@@ -11,14 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs-int64 parquet timestamps (not INT96) so the driver's DuckDB/pyarrow
+      // compare sees the same logical type the oracle produces.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Surface timestamps as NTZ: session TZ is UTC, so wall-clock values
+        // are unchanged, but parquet gets isAdjustedToUTC=false — the same
+        // logical type DuckDB's oracle results carry (naive timestamps).
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+        val surfaced = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+          else col(f.name)
+        }.toIndexedSeq: _*)
+        surfaced.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
