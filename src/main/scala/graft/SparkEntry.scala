@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    cdc.CdcQueries.queries
+    cdc.CdcQueries.queries ++
+      relational.ReferenceSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    cdc.CdcQueries.oracles
+    cdc.CdcQueries.oracles ++
+      relational.ReferenceSurface.oracles
 }

@@ -1,6 +1,6 @@
 package graft.model
 
-import java.sql.{Date, Timestamp}
+import java.time.{Instant, LocalDate}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
@@ -15,8 +15,8 @@ final case class IngestionRun(
     table_name: String,
     name_dataBase: String,
     row_count: java.lang.Long,
-    execution_date: Date,
-    execution_time: Timestamp)
+    execution_date: LocalDate,   // java.time: tz-unambiguous literals
+    execution_time: Instant)
 
 object Audit {
   /** In-memory source with explicit schema (reference S5,

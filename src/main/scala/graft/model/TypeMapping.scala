@@ -23,7 +23,7 @@ object TypeMapping {
     case ByteType                              => "INT64"
     case DoubleType | FloatType                => "FLOAT64"
     case BooleanType                           => "BOOL"
-    case TimestampType                         => "TIMESTAMP"
+    case TimestampType | TimestampNTZType      => "TIMESTAMP"
     case DateType                              => "DATE"
     case BinaryType                            => "BYTES"
     case _                                     => "STRING"
