@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++
-      relational.ReferenceSurface.queries
+      relational.ReferenceSurface.queries ++
+      relational.CoreQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracles ++
-      relational.ReferenceSurface.oracles
+      relational.ReferenceSurface.oracles ++
+      relational.CoreQueries.oracles
 }

@@ -1,0 +1,345 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Relational breadth (SURVEY.md §2B X1–X13): the general-purpose query
+  * surface over the star schema. All built-in Catalyst operators — filters
+  * and projections push to the parquet scan, dimension joins broadcast, fact
+  * aggregations run partial+final, windows sort within partitions only.
+  *
+  * Determinism rules (SURVEY §7.4): every query ends in an ORDER BY over a
+  * unique key; double aggregates round to fixed scale; window orderings
+  * carry unique tiebreakers.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1: filter + project — predicate and 4-column projection reach the scan.
+    "x_filter_project" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        // raw double arithmetic: bit-exact in both engines per-row, so no
+        // rounding (round() half-way semantics differ Spark vs DuckDB)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))),
+
+    // X2: star join — facts shuffle on join keys, all four dims broadcast.
+    "x_join_star" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val ord = Tables.orders(s, dir)
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      val reg = Tables.region(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // X3a: left-semi (EXISTS) — orders having a heavy line item.
+    "x_join_semi" -> ((s, dir) => {
+      val heavy = Tables.lineitem(s, dir).where(col("l_quantity") >= 49)
+      Tables.orders(s, dir)
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // X3b: left-anti (NOT EXISTS) — customers who never ordered.
+    "x_join_anti_cust" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // X4: TPC-H Q1 shape — multi-key hash aggregation with partial combine.
+    "x_agg_q1" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // X5: exact distinct aggregation (expand-based multi-distinct).
+    "x_agg_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // X5b: approximate distinct (HLL++) — the 100 TB path where exact
+    // distinct would shuffle every key. No SQL oracle (estimator-specific);
+    // driver does the rows-only check. Bounded: 3 groups.
+    "x_agg_approx_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // X6: rollup — group keys coalesced to a sentinel so both engines agree
+    // on NULL-marker ordering.
+    "x_agg_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // X6b: cube.
+    "x_agg_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")),
+
+    // X7: ranking window — top-3 orders per customer; unique tiebreak keeps
+    // rank() and row_number() deterministic.
+    "x_win_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rk", "drk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // X8: analytic window with frames — lag/lead + running sum per customer
+    // over their order history (o_orderkey is unique ⇒ deterministic frames;
+    // lineitem's synthetic (orderkey, linenumber) is NOT unique).
+    "x_win_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          round(sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+          round(avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).as("ma3_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // X9: top-k — TakeOrderedAndProject, no global sort of the full table.
+    "x_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)),
+
+    // X10: set ops — INTERSECT / EXCEPT / UNION distinct semantics in one
+    // labeled result.
+    "x_setops" -> ((s, dir) => {
+      val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      f.intersect(o).withColumn("op", lit("both"))
+        .unionByName(f.except(o).withColumn("op", lit("f_only")))
+        .unionByName(o.except(f).withColumn("op", lit("o_only")))
+        .select("op", "k")
+        .orderBy("op", "k")
+    }),
+
+    // X11: scalar string/math functions (all codegen'd builtins).
+    "x_scalar_fns" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_type"), 1, 5).as("type_pfx"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+        abs(col("p_size") - 25).as("size_dev"),
+        round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+        pmod(col("p_partkey"), lit(7)).as("key_mod"))
+        .orderBy("p_partkey")),
+
+    // X12: JSON extraction from the events props payload.
+    "x_json" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id")),
+
+    // X12b: JSON agg — sum of extracted values per event type.
+    "x_json_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // X13: array ops over embeddings — size, element access, ordered fold.
+    "x_array" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")), 4).as("vec_sum"))
+        .orderBy("vec_id")),
+
+    // X13b: posexplode — lateral expansion with positions.
+    "x_array_explode" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .where(col("vec_id") < 20)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), col("pos"),
+          round(col("v").cast("double"), 6).as("val"))
+        .orderBy("vec_id", "pos"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "x_join_star" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "x_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin,
+    "x_join_anti_cust" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "x_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "x_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_agg_rollup" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "x_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "x_win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rk, drk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
+        |    CAST(rank() OVER w AS INTEGER) AS rk,
+        |    CAST(dense_rank() OVER w AS INTEGER) AS drk
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "x_win_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "x_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "x_setops" ->
+      """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'both' AS op, k FROM (SELECT k FROM f INTERSECT SELECT k FROM o)
+        |UNION ALL
+        |SELECT 'f_only' AS op, k FROM (SELECT k FROM f EXCEPT SELECT k FROM o)
+        |UNION ALL
+        |SELECT 'o_only' AS op, k FROM (SELECT k FROM o EXCEPT SELECT k FROM f)
+        |ORDER BY op, k""".stripMargin,
+    "x_scalar_fns" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lower,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_type, 1, 5) AS type_pfx,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  coalesce(regexp_extract(p_name, '([a-z]+)', 1), '') AS first_word,
+        |  round(p_retailprice * 1.1, 2) AS marked_up,
+        |  CAST(abs(p_size - 25) AS INTEGER) AS size_dev,
+        |  round(sqrt(p_retailprice), 4) AS sqrt_price,
+        |  CAST(p_partkey % 7 AS BIGINT) AS key_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "x_json_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_array" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x_array_explode" ->
+      """SELECT vec_id, CAST(i AS INTEGER) AS pos,
+        |  round(CAST(embedding[i + 1] AS DOUBLE), 6) AS val
+        |FROM embeddings, range(0, 64) t(i)
+        |WHERE vec_id < 20 ORDER BY vec_id, pos""".stripMargin
+  )
+}
