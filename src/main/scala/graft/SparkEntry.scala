@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     cdc.CdcQueries.queries ++
       relational.ReferenceSurface.queries ++
-      relational.CoreQueries.queries
+      relational.CoreQueries.queries ++
+      llm.LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     cdc.CdcQueries.oracles ++
       relational.ReferenceSurface.oracles ++
-      relational.CoreQueries.oracles
+      relational.CoreQueries.oracles ++
+      llm.LlmQueries.oracles
 }

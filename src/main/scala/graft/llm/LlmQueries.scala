@@ -1,0 +1,221 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Query keys + DuckDB oracles for the LLM-pipeline surface (dedup,
+  * similarity, text analysis, multimodal plumbing). Oracles for the
+  * signature-based operators are generated from the same hash constants the
+  * Scala operators use, so both engines compute identical signatures.
+  */
+object LlmQueries {
+
+  private val JaccardThreshold = 0.5
+  private val MinhashThreshold = 0.5
+  private val EmbedThreshold = 0.35 // synthetic vectors are near-random; q99.9 ≈ 0.37
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "x_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    "x_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "x_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(Tables.documents(s, dir), 20)),
+
+    "x_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir))),
+
+    "x_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(Tables.documents(s, dir), Dedup.rawKey)),
+
+    "x_dedup_normalized" -> ((s, dir) =>
+      Dedup.exactDuplicates(Tables.documents(s, dir), Dedup.normalizedKey)),
+
+    "x_dedup_ngram" -> ((s, dir) =>
+      Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
+
+    "x_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
+
+    "x_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir))),
+
+    "x_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
+
+    "x_sim_topk" -> ((s, dir) =>
+      Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)),
+
+    "x_sim_ann" -> ((s, dir) =>
+      Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 5)),
+
+    "x_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id"))
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val toksCte =
+    "toks AS (SELECT doc_id, text, n_chars, lang, string_split(text, ' ') AS t FROM documents)"
+  private val shCte =
+    """sh AS (SELECT doc_id, unnest(list_distinct(
+      |  CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+      |    ELSE [] END)) AS s FROM toks)""".stripMargin
+
+  private def stopIn(lang: String): String =
+    TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  private val minhashSigCols = (0 until Dedup.NumHashes).map { j =>
+    s"min((id * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}) AS mh_$j"
+  }.mkString(",\n    ")
+  private val rowsPerBand = Dedup.NumHashes / Dedup.NumBands
+  private val bandCols = (0 until Dedup.NumBands).map { b =>
+    val ms = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}").mkString(", ")
+    s"concat_ws('_', $ms) AS band_$b"
+  }.mkString(",\n    ")
+  private val bandMatch = (0 until Dedup.NumBands)
+    .map(b => s"a.band_$b = b.band_$b").mkString(" OR ")
+  private val sigList = (0 until Dedup.NumHashes).map(j => s"mh_$j").mkString(", ")
+
+  private val cosExpr =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val oracles: Map[String, String] = Map(
+    "x_text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+         |  round(CAST(list_sum(list_transform(t, w -> length(w))) AS DOUBLE) / len(t), 4) AS avg_tok_len,
+         |  n_chars
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "x_lang_id" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, lang,
+         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id, lang, text,
+         |    len(list_filter(t, w -> w IN (${stopIn("de")}))) AS s_de,
+         |    len(list_filter(t, w -> w IN (${stopIn("en")}))) AS s_en,
+         |    len(list_filter(t, w -> w IN (${stopIn("es")}))) AS s_es,
+         |    len(list_filter(t, w -> w IN (${stopIn("fr")}))) AS s_fr
+         |  FROM toks)
+         |ORDER BY doc_id""".stripMargin,
+    "x_quality" ->
+      s"""WITH $toksCte,
+         |raw AS (SELECT doc_id, len(t) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS div_raw,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |    / length(text) AS punct_raw
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  round(div_raw, 6) AS diversity,
+         |  round(punct_raw, 6) AS punct_ratio,
+         |  round(least(n_tokens / 100.0, 1.0) * div_raw * (1.0 - punct_raw), 6) AS quality
+         |FROM raw ORDER BY doc_id""".stripMargin,
+    "x_top_tokens" ->
+      s"""WITH $toksCte
+         |SELECT token, count(*) AS n
+         |FROM (SELECT unnest(t) AS token FROM toks)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "x_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp, n_chars FROM documents ORDER BY doc_id",
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "x_dedup_normalized" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "x_dedup_ngram" ->
+      s"""WITH $toksCte, $shCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |scored AS (SELECT da, db,
+         |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)
+         |SELECT da, db, jaccard FROM scored
+         |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
+    "x_dedup_minhash" ->
+      s"""WITH $toksCte, $shCte,
+         |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT s FROM sh)),
+         |ids AS (SELECT doc_id, id FROM sh JOIN dict USING (s)),
+         |sig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM ids GROUP BY doc_id),
+         |sigb AS (SELECT doc_id, [$sigList] AS sig,
+         |    $bandCols
+         |  FROM sig),
+         |cands AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+         |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |scored AS (SELECT da, db,
+         |    CAST(len(list_filter(range(${Dedup.NumHashes}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+         |      / ${Dedup.NumHashes} AS est_sim
+         |  FROM cands)
+         |SELECT da, db, est_sim FROM scored
+         |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_dedup_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |dict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT w FROM tok)),
+         |votes AS (SELECT doc_id, k,
+         |    sum(CASE WHEN ((id * (k * 1000003 + 7) + (k * 998244353 + 12345)) % ${Dedup.P}) % 2 = 1
+         |      THEN 1 ELSE -1 END) AS vote
+         |  FROM tok JOIN dict USING (w) CROSS JOIN range(16) t(k)
+         |  GROUP BY doc_id, k)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+         |    round($cosExpr, 6) AS cos_sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT va, vb, label, cos_sim FROM scored
+         |WHERE cos_sim >= $EmbedThreshold ORDER BY va, vb""".stripMargin,
+    "x_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x_sim_ann" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v,
+         |    (SELECT CAST(sum(CASE WHEN list_dot_product(v, list_transform(range(64),
+         |        d -> CAST((1103515245::BIGINT * (k * 64 + d) + 12345) % 2147483648 AS DOUBLE) / 2147483648 - 0.5)) >= 0
+         |      THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) FROM range(8) t(k)) AS bucket
+         |  FROM e),
+         |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, bucket,
+         |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |FROM b, q WHERE bucket = qb AND vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "x_multimodal" ->
+      """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(list_sum(list_transform(range(strlen(text)),
+        |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) % 1000003 AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,47 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata,
+  * with feature extraction as batched per-partition processing.
+  *
+  * The testdata has no real media, so `text` bytes stand in for an
+  * image/audio payload and the "decoder" is a deterministic stub — but the
+  * Spark-side shape is the real thing: binary column + metadata struct in,
+  * `mapPartitions` over the typed Dataset out (one decoder instance per
+  * partition, streaming batches, no driver involvement). A real decoder
+  * (JNI image lib, audio codec) drops into `decodeStub` unchanged.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Int, first_byte: Int, checksum: Long)
+
+  /** Attach the opaque payload + typed metadata struct (schema pattern for
+    * image/audio/video columns at scale: bytes + sidecar metadata). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(col("n_chars"), col("lang"), col("source")).as("meta"))
+
+  /** Deterministic stand-in for a media decoder: byte length, first byte,
+    * additive checksum mod 1000003. Replace with a real decode at will —
+    * the partition-batched plumbing stays identical. */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    var sum = 0L
+    var i = 0
+    while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+    MediaFeatures(r.doc_id, r.payload.length,
+      if (r.payload.nonEmpty) r.payload(0) & 0xff else -1, sum % 1000003L)
+  }
+
+  /** Feature extraction over partitions of binary payloads. */
+  def extractFeatures(docs: DataFrame): Dataset[MediaFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).select("doc_id", "payload").as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+  }
+}

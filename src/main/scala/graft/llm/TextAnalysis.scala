@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the `documents`
+  * table: tokenization, per-document stats, stopword-based language ID,
+  * quality scoring, token frequency, fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs); every
+  * operator streams — per-document work only, aggregations partial+final —
+  * so they hold at 100 TB: no driver-side state, no global sorts except
+  * explicit top-k.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (documents.text is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Kept deliberately small + SQL-expressible so the DuckDB
+    * oracle can replicate scoring exactly. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def stopHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stopwords(lang))))
+
+  /** Language ID: CJK characters → zh; otherwise argmax of stopword hit
+    * counts with deterministic tie-break in lexicographic language order. */
+  def languageId(text: Column): Column = {
+    val t = tokens(text)
+    val de = stopHits(t, "de"); val en = stopHits(t, "en")
+    val es = stopHits(t, "es"); val fr = stopHits(t, "fr")
+    when(text.rlike("[一-鿿]"), "zh")
+      .when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Per-document token statistics. */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(aggregate(transform(t, w => length(w)), lit(0),
+        (acc, x) => acc + x).cast("double") / size(t), 4).as("avg_tok_len"),
+      col("n_chars"))
+  }
+
+  /** Quality score in [0,1]: length saturation × lexical diversity ×
+    * (1 − punctuation density). Deterministic double arithmetic. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+      length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      round(diversity, 6).as("diversity"),
+      round(punct, 6).as("punct_ratio"),
+      round(least(nTok / 100.0, lit(1.0)) * diversity * (lit(1.0) - punct), 6)
+        .as("quality"))
+  }
+
+  /** Global token frequency top-k (explode → hash agg → TakeOrdered). */
+  def topTokens(docs: DataFrame, k: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Content fingerprint for exact-dedup joins: md5 of the raw text. (A
+    * rolling/shingle hash variant backs the MinHash path in Dedup.) */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"),
+      col("n_chars")).orderBy("doc_id")
+}
