@@ -21,7 +21,8 @@ object SparkEntry {
     cdc.CdcQueries.queries ++
       relational.ReferenceSurface.queries ++
       relational.CoreQueries.queries ++
-      llm.LlmQueries.queries
+      llm.LlmQueries.queries ++
+      streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     cdc.CdcQueries.oracles ++
       relational.ReferenceSurface.oracles ++
       relational.CoreQueries.oracles ++
-      llm.LlmQueries.oracles
+      llm.LlmQueries.oracles ++
+      streaming.StreamQueries.oracles
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Upsert
+import graft.model.Tables
+
+/** Query keys + oracles for event-time windowing, sessionization, and
+  * row-level upsert. Batch mode here (DuckDB-checkable); EventStreamSpec
+  * asserts the streaming twins produce identical results.
+  */
+object StreamQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_win_tumbling" -> ((s, dir) =>
+      TimeWindows.tumbling(Tables.events(s, dir), "10 minutes")),
+
+    "x_win_sliding" -> ((s, dir) =>
+      TimeWindows.sliding(Tables.events(s, dir), "10 minutes", "5 minutes")),
+
+    "x_sessionize" -> ((s, dir) =>
+      TimeWindows.sessionize(Tables.events(s, dir), "30 minutes")),
+
+    // X20: merge odd-event "updates" over even-event "target"; newest
+    // (ts, event_id) per user wins.
+    "x_upsert_latest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          date_trunc("second", col("ts")).as("ts_s"), col("value"))
+      val target = ev.where(col("event_id") % 2 === 0)
+      val updates = ev.where(col("event_id") % 2 === 1)
+      Upsert.merge(target, updates, Seq("user_id"), Seq(col("ts_s"), col("event_id")))
+        .orderBy("user_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x_win_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', date_trunc('second', ts)) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "x_win_sliding" ->
+      """WITH ev AS (SELECT date_trunc('second', ts) AS tss, event_type, value FROM events),
+        |expanded AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', tss) AS w_start, event_type, value FROM ev
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '5 minutes', tss) - INTERVAL '5 minutes' AS w_start,
+        |    event_type, value FROM ev)
+        |SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM expanded GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "x_sessionize" ->
+      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS tss, value FROM events),
+        |marked AS (SELECT user_id, tss, value,
+        |    CASE WHEN lag(tss) OVER w IS NULL
+        |         OR tss - lag(tss) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        |sessed AS (SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(tss) AS sess_start, max(tss) AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessed GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "x_upsert_latest" ->
+      """WITH ev AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, value
+        |  FROM events),
+        |merged AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_s DESC, event_id DESC) AS rn
+        |  FROM ev)
+        |SELECT event_id, user_id, ts_s, value FROM merged
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+  )
+}

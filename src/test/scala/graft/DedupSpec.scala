@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.matchers.should.Matchers
+
+import graft.llm.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical texts and keeps the min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 4L -> "a b c")
+    val got = Dedup.exactDuplicates(d, Dedup.rawKey)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 3L))
+  }
+
+  test("exact dedup is idempotent: deduped corpus has no duplicate groups") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val kept = d.join(
+      Dedup.exactDuplicates(d, Dedup.rawKey).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    Dedup.exactDuplicates(kept, Dedup.rawKey).count() shouldBe 0L
+  }
+
+  test("normalized key matches reordered and repeated token sets") {
+    val d = docs(1L -> "a b c", 2L -> "c b a a", 3L -> "a b d")
+    val got = Dedup.exactDuplicates(d, Dedup.normalizedKey)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    got shouldBe Seq((1L, 2L))
+  }
+
+  test("shingles: 3-grams of the token stream, distinct, empty under 3 tokens") {
+    val sh = Dedup.shingles(TextAnalysis.tokens(col("text")))
+    val got = docs(1L -> "a b c d", 2L -> "a b").select(col("doc_id"), sh.as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    got(1L) shouldBe Seq("a b c", "b c d")
+    got(2L) shouldBe Seq.empty
+  }
+
+  test("ngram near-dup finds identical docs with jaccard 1 and respects threshold") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the sleepy cat",
+      4L -> "completely different words here entirely now")
+    // 5 of 9 shingles shared between 1/2 and 3 → jaccard 0.5556
+    val got = Dedup.nearDuplicates(d, 0.7)
+      .as[(Long, Long, Double)].collect().toSeq
+    got.map(p => (p._1, p._2)) shouldBe Seq((1L, 2L))
+    got.head._3 shouldBe 1.0
+    val loose = Dedup.nearDuplicates(d, 0.5).as[(Long, Long, Double)].collect()
+    loose.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
+  }
+
+  test("minhash signatures are identical for identical shingle sets") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
+    val sig = Dedup.minhashSignatures(d)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    sig(1L) shouldBe sig(2L)
+    sig(1L) should not be sig(3L)
+    sig(1L).length shouldBe Dedup.NumHashes
+  }
+
+  test("minhash LSH surfaces exact duplicates with est_sim 1") {
+    val d = docs(1L -> "a b c d e f g", 2L -> "a b c d e f g",
+      3L -> "z y x w v u t")
+    val got = Dedup.minhashNearDuplicates(d, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 1.0))
+  }
+
+  test("simhash: identical docs share fingerprints; fingerprints fit in 16 bits") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z w")
+    val got = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    got(1L) shouldBe got(2L)
+    all(got.values) should (be >= 0L and be < 65536L)
+  }
+
+  test("embedding near-dup finds identical vectors within a label bucket") {
+    val emb = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (3L, 0, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f)) // other bucket: never compared
+    ).toDF("vec_id", "label", "embedding")
+    val got = Dedup.embeddingNearDuplicates(emb, 0.99)
+      .select("va", "vb", "cos_sim").as[(Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 1.0))
+  }
+}

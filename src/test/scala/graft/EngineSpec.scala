@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.matchers.should.Matchers
+
+import graft.ingest.Upsert
+import graft.llm.{Multimodal, Similarity, TextAnalysis}
+import graft.sources.ControlFile
+
+/** Operator-level specs for the remaining modules + the driver contract. */
+class EngineSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("driver contract: every oracle key has a query; entry returns rows") {
+    SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
+    SparkEntry.queries.size should be >= 50
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("upsert merge keeps the newest version per key and inserts unmatched keys") {
+    val target = Seq((1L, "old", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "keep", Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("k", "v", "ver")
+    val updates = Seq((1L, "new", Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3L, "ins", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "v", "ver")
+    val got = Upsert.merge(target, updates, Seq("k"), Seq(col("ver")))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    got shouldBe Map(1L -> "new", 2L -> "keep", 3L -> "ins")
+  }
+
+  test("control file round-trips and is defensively empty on a missing path") {
+    val changed = Seq("wp_posts", "wp_options").toDF("table_name")
+    val path = graft.ingest.Sinks.tempDir("controltest")
+    ControlFile.write(changed, path)
+    ControlFile.read(spark, path).as[String].collect().toSet shouldBe
+      Set("wp_posts", "wp_options")
+    ControlFile.read(spark, "/tmp/graft_does_not_exist_42").count() shouldBe 0L
+  }
+
+  test("language id prefers stopword-scored language, CJK wins outright") {
+    val d = Seq(
+      (1L, "the cat and the hat of doom"),
+      (2L, "el la de que los amigos"),
+      (3L, "中文 text 由 汉字")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    got shouldBe Map(1L -> "en", 2L -> "es", 3L -> "zh")
+  }
+
+  test("multimodal decode stub: bytes length, first byte, checksum") {
+    val f = Multimodal.decodeStub(Multimodal.MediaRow(5L, "abc".getBytes("UTF-8")))
+    f shouldBe Multimodal.MediaFeatures(5L, 3, 97, (97 + 98 + 99) % 1000003L)
+    Multimodal.decodeStub(Multimodal.MediaRow(6L, Array.emptyByteArray)) shouldBe
+      Multimodal.MediaFeatures(6L, 0, -1, 0L)
+  }
+
+  test("similarity: identical vector ranks first with cosine 1") {
+    val emb = Seq(
+      (0L, 0, Seq(1.0f, 2.0f, 3.0f)),
+      (1L, 0, Seq(1.0f, 2.0f, 3.0f)),   // identical to query
+      (2L, 0, Seq(-1.0f, -2.0f, -3.0f)),
+      (3L, 0, Seq(3.0f, 2.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.topK(emb, 0L, 3)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    got.head shouldBe ((1L, 1.0))
+    got.last._1 shouldBe 2L // antipodal vector ranks last
+  }
+
+  test("ann bucket assignment is stable and self-consistent") {
+    val emb = graft.model.Tables.embeddings(spark, sf0001)
+    val ann = Similarity.annTopK(emb, 0L, 5).collect()
+    ann.length should be <= 5
+    // every candidate shares the query's bucket by construction
+    ann.map(_.getAs[Long]("bucket")).distinct.length should be <= 1
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.{EventStream, TimeWindows}
+
+class StreamingSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("streaming tumbling aggregation equals the batch result on sf0.001") {
+    val batch = TimeWindows.tumbling(
+      graft.model.Tables.events(spark, sf0001), "10 minutes")
+      .collect().toSet
+    val stream = EventStream.runToMemory(
+      EventStream.tumbling(EventStream.read(spark, sf0001), "10 minutes", "1 hour"),
+      "tumbling_test")
+      .collect().toSet
+    stream shouldBe batch
+    batch.size should be > 0
+  }
+
+  test("session window semantics: an exact-gap event merges; beyond-gap starts a new session") {
+    // Pinned empirically: Spark session_window merges when diff <= gap and
+    // splits only when diff > gap — the DuckDB oracle mirrors this with
+    // a strict `>` gap test.
+    def ev(id: Long, t: String) = (id, 7L, Timestamp.valueOf(t), 1.0)
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00"),
+      ev(2, "2024-01-01 00:29:59"), // within gap → same session
+      ev(3, "2024-01-01 00:59:59"), // exactly 30:00 after #2 → still merged
+      ev(4, "2024-01-01 01:30:00"), // 30:01 after #3 → new session
+      ev(5, "2024-01-01 03:00:00")  // far away → third session
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = TimeWindows.sessionize(events, "30 minutes")
+      .select("n_events").as[Long].collect().toSeq
+    got shouldBe Seq(3L, 1L, 1L)
+  }
+
+  test("sliding windows place each event in width/slide buckets") {
+    val events = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00"), "a", 2.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = TimeWindows.sliding(events, "10 minutes", "5 minutes")
+      .select("w_start").as[Timestamp].collect().toSeq
+    got shouldBe Seq(
+      Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:05:00"))
+  }
+}
