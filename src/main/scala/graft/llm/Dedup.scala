@@ -51,16 +51,22 @@ object Dedup {
         concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3)))))
       .otherwise(array().cast("array<string>"))
 
-  /** (doc_id, s): one row per distinct shingle per document. */
+  /** (doc_id, s): one row per distinct shingle per document. The corpus
+    * arrives as few file partitions (tiny testdata = one), so spread docs
+    * across the cluster BEFORE the 60×-multiplying explode — otherwise the
+    * whole shingle generation runs on one core. */
   def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(shingles(TextAnalysis.tokens(col("text")))).as("s"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(shingles(TextAnalysis.tokens(col("text")))).as("s"))
 
   /** Exact n-gram Jaccard near-duplicates via inverted-index self-join:
     * any pair with Jaccard > 0 shares a shingle, so the shingle join is a
     * complete candidate generator; |A∩B| falls out of the pair count. */
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleSets(docs)
+    // the shingle relation feeds both the pair join and the size lookup —
+    // materialize once instead of re-exploding the corpus three times
+    val sh = shingleSets(docs).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -85,8 +91,8 @@ object Dedup {
   /** MinHash signatures: per doc, min over shingle ids of each affine hash.
     * Output: doc_id, mh_0 … mh_{15}, sig (array). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
-    val ids = sh.join(dictionary(sh), "s").select("doc_id", "id")
+    val sh = shingleSets(docs).cache()
+    val ids = sh.join(broadcast(dictionary(sh)), "s").select("doc_id", "id")
     val mhCols = (0 until NumHashes).map(j =>
       min((col("id") * hashA(j) + hashB(j)) % P).as(s"mh_$j"))
     ids.groupBy("doc_id")
@@ -97,7 +103,9 @@ object Dedup {
   /** LSH banding: candidate pairs = docs sharing ≥1 band of 4 consecutive
     * minhashes; estimated similarity = fraction of equal signature slots. */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    val sig = minhashSignatures(docs)
+    // signatures appear on both sides of the band self-join — cache so the
+    // shingle → dictionary → min-agg chain runs once
+    val sig = minhashSignatures(docs).cache()
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map(b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
@@ -123,7 +131,8 @@ object Dedup {
     * positive. */
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val tok = docs.select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
     val dict = tok.select("w").distinct()
       .withColumn("id", row_number().over(Window.orderBy("w")).cast("long"))
     val ks = spark.range(0, 16).toDF("k")
@@ -144,11 +153,16 @@ object Dedup {
     * IVF-style coarse partitioning so the pair space is per-bucket, not
     * global (the at-scale pattern: assign → bucket-local verify). */
   def embeddingNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    // norms are per-vector, so compute them once before the pair join —
+    // the O(pairs) stage then evaluates a single dot product per pair
+    // instead of three array folds
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm")).cache()
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"),
-        round(VectorOps.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("va", "vb")
   }

@@ -88,9 +88,6 @@ object LlmQueries {
     .map(b => s"a.band_$b = b.band_$b").mkString(" OR ")
   private val sigList = (0 until Dedup.NumHashes).map(j => s"mh_$j").mkString(", ")
 
-  private val cosExpr =
-    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-
   val oracles: Map[String, String] = Map(
     "x_text_stats" ->
       s"""WITH $toksCte
@@ -186,9 +183,11 @@ object LlmQueries {
          |  CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
          |scored AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
-         |    round($cosExpr, 6) AS cos_sim
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
          |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT va, vb, label, cos_sim FROM scored
          |WHERE cos_sim >= $EmbedThreshold ORDER BY va, vb""".stripMargin,
