@@ -22,7 +22,8 @@ object SparkEntry {
       relational.ReferenceSurface.queries ++
       relational.CoreQueries.queries ++
       llm.LlmQueries.queries ++
-      streaming.StreamQueries.queries
+      streaming.StreamQueries.queries ++
+      sources.FormatQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +32,6 @@ object SparkEntry {
       relational.ReferenceSurface.oracles ++
       relational.CoreQueries.oracles ++
       llm.LlmQueries.oracles ++
-      streaming.StreamQueries.oracles
+      streaming.StreamQueries.oracles ++
+      sources.FormatQueries.oracles
 }

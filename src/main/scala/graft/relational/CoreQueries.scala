@@ -56,7 +56,7 @@ object CoreQueries {
     }),
 
     // X3b: left-anti (NOT EXISTS) — customers who never ordered.
-    "x_join_anti_cust" -> ((s, dir) =>
+    "x_join_anti" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
@@ -213,6 +213,74 @@ object CoreQueries {
           (acc, x) => acc + x.cast("double")), 4).as("vec_sum"))
         .orderBy("vec_id")),
 
+    // Range (non-equi) join: orders banded into price tiers — a 3-row
+    // broadcast side makes the nested-loop join effectively a map-side
+    // banding; at scale prefer a computed band key + equi join.
+    "x_join_range" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val tiers = Seq(("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+        ("high", 150000.0, 1e9)).toDF("tier", "lo", "hi")
+      Tables.orders(s, dir)
+        .join(broadcast(tiers),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("tier")
+    }),
+
+    // Pivot: orderstatus columns per priority (missing combos → 0).
+    "x_pivot" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("o_orderpriority")),
+
+    // Distribution windows: ntile / percent_rank / cume_dist.
+    "x_win_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir).select(
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // Statistical aggregates: stddev/variance/correlation/covariance.
+    "x_agg_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"))
+        .orderBy("l_returnflag")),
+
+    // Collect aggregation: sorted distinct set rendered to a string.
+    "x_agg_collect" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // Exact interpolated percentiles (median + p90).
+    "x_agg_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+        .orderBy("l_returnflag")),
+
     // X13b: posexplode — lateral expansion with positions.
     "x_array_explode" -> ((s, dir) =>
       Tables.embeddings(s, dir)
@@ -244,7 +312,7 @@ object CoreQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
         |ORDER BY o_orderkey""".stripMargin,
-    "x_join_anti_cust" ->
+    "x_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
@@ -336,6 +404,43 @@ object CoreQueries {
         |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "x_join_range" ->
+      """SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        |  ('high', 150000.0, 1e9)) t(tier, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "x_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_win_dist" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_agg_collect" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_array_explode" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS pos,
         |  round(CAST(embedding[i + 1] AS DOUBLE), 6) AS val

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.Sinks
+import graft.model.Tables
+
+/** Lake file-format breadth: CSV / JSON / ORC sink+source round-trips.
+  *
+  * The reference reads only JDBC (`spark.read.jdbc`,
+  * `Sites/DataProc_Script/spark_ingest_slmandicprd.py:63`); a Spark-native
+  * lake engine also needs the standard file formats. Each key writes a
+  * projection to the format, reads it back with an explicit schema, and
+  * aggregates — the oracle runs the same aggregation over the original
+  * parquet, so the check proves the round-trip is lossless.
+  */
+object FormatQueries {
+
+  private def roundTrip(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val src = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    val path = Sinks.tempDir(s"fmt_$format")
+    src.write.mode("overwrite").format(format)
+      .option("header", "true") // header only meaningful for csv; harmless otherwise
+      .save(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("event_type", StringType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    spark.read.format(format).option("header", "true").schema(schema).load(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_source_csv" -> ((s, dir) => roundTrip(s, dir, "csv")),
+    "x_source_json" -> ((s, dir) => roundTrip(s, dir, "json")),
+    "x_source_orc" -> ((s, dir) => roundTrip(s, dir, "orc"))
+  )
+
+  private val aggSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+      |  round(sum(value), 2) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "x_source_csv" -> aggSql,
+    "x_source_json" -> aggSql,
+    "x_source_orc" -> aggSql
+  )
+}
