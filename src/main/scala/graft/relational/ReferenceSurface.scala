@@ -118,7 +118,23 @@ object ReferenceSurface {
     }),
 
     // O6 composite: detect → ingest → audit-append → re-check (SURVEY §3 E1-E3).
-    "audit_pipeline" -> ((s, dir) => AuditPipeline.run(s, dir)._1)
+    "audit_pipeline" -> ((s, dir) => AuditPipeline.run(s, dir)._1),
+
+    // K1 at scale: date-partitioned lake layout — the write side of P3's
+    // partition pruning (the reference's _PARTITIONTIME filter maps to a
+    // partitionBy("event_date") directory layout; EngineSpec asserts the
+    // date predicate prunes to one partition).
+    "sink_partitioned" -> ((s, dir) => {
+      val path = Sinks.tempDir("partitioned")
+      Tables.events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("event_date").parquet(path)
+      s.read.parquet(path)
+        .where(col("event_date") === lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type")
+    })
   )
 
   private val catalogSql =
@@ -181,6 +197,10 @@ object ReferenceSurface {
     "sink_append" ->
       """SELECT n_regionkey, CAST(count(*) * 2 AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "sink_partitioned" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "audit_pipeline" ->
       s"""WITH changed AS ($changedSql),
          |counts AS (
