@@ -195,6 +195,27 @@ object CoreQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .orderBy("event_id")),
 
+    // X12c: from_json with explicit schema — typed struct access (vs the
+    // stringly get_json_object path).
+    "x_json_struct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k_val"))
+        .where(col("k_val") > 50)
+        .orderBy("event_id")),
+
+    // Salted two-phase aggregation (skew pattern): same answer as a plain
+    // groupBy, heavy shuffle spread 16-ways.
+    "x_agg_salted" -> ((s, dir) => {
+      val out = Skew.saltedSumCount(
+        Tables.events(s, dir), "event_type", "value", buckets = 16)
+      out.select(col("event_type"),
+        round(col("value_sum"), 2).as("value_sum"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // X12b: JSON agg — sum of extracted values per event type.
     "x_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -393,6 +414,15 @@ object CoreQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "x_json_struct" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "x_agg_salted" ->
+      """SELECT event_type, round(sum(value), 2) AS value_sum, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_json_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

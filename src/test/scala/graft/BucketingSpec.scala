@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.relational.Skew
+
+/** Scale patterns: bucketed co-located joins and salted aggregation. */
+class BucketingSpec extends SparkSpec with Matchers {
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = graft.model.Tables.orders(spark, sf0001)
+    val lineitem = graft.model.Tables.lineitem(spark, sf0001)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // a previously aborted run can leave the managed location behind even
+    // after DROP TABLE — clear it or saveAsTable fails LOCATION_ALREADY_EXISTS
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+
+    // disable broadcast so the join exercises the bucketed sort-merge path
+    // (tiny test tables would otherwise broadcast — also a fine plan, but
+    // not the one this test demonstrates)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      // co-located bucketed join: the sort-merge join consumes the bucket
+      // layout directly — no shuffle exchange below the join
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("SortMergeJoin")
+        plan.split("SortMergeJoin")(1) should not include "Exchange hashpartitioning(l_orderkey"
+        plan.split("SortMergeJoin")(1) should not include "Exchange hashpartitioning(o_orderkey"
+        plan should include("Bucketed: true")
+      }
+      joined.count() should be > 0L
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16)
+      .select(col("event_type"), round(col("value_sum"), 2).as("s"), col("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = ev.groupBy("event_type")
+      .agg(round(sum("value"), 2).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    salted shouldBe plain
+  }
+}
