@@ -216,6 +216,14 @@ object CoreQueries {
         .orderBy("event_type")
     }),
 
+    // Typed Aggregator[IN,BUF,OUT]: quantity-weighted mean price per flag.
+    "x_agg_typed" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(graft.functions.TypedAggregators.weightedMeanCol(
+          col("l_extendedprice"), col("l_quantity")), 4).as("w_mean_price"))
+        .orderBy("l_returnflag")),
+
     // X12b: JSON agg — sum of extracted values per event type.
     "x_json_agg" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -423,6 +431,10 @@ object CoreQueries {
     "x_agg_salted" ->
       """SELECT event_type, round(sum(value), 2) AS value_sum, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_agg_typed" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_mean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_json_agg" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,

@@ -46,6 +46,14 @@ object EventStream {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: duplicates of (user_id,
+    * event_type) are dropped; the watermark lets the state store evict keys
+    * older than the horizon — the streaming twin of the batch dedup
+    * operators in graft.llm.Dedup. */
+  def dedup(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "event_type")
+
   /** Run a streaming aggregation to completion against an in-memory sink
     * and return the materialized result (local verification harness). */
   def runToMemory(agg: DataFrame, name: String): DataFrame = {

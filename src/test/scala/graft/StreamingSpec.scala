@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSpec with Matchers {
     got shouldBe Seq(3L, 1L, 1L)
   }
 
+  test("streaming dedup keeps one row per (user_id, event_type)") {
+    val deduped = EventStream.dedup(EventStream.read(spark, sf0001), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_test")
+      .groupBy("user_id", "event_type").count()
+    got.filter($"count" > 1).count() shouldBe 0L
+    // same distinct-key cardinality as batch
+    val batchKeys = graft.model.Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    spark.table("dedup_test").count() shouldBe batchKeys
+  }
+
   test("sliding windows place each event in width/slide buckets") {
     val events = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00"), "a", 2.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
