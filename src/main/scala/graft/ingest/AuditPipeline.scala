@@ -24,8 +24,10 @@ object AuditPipeline {
   def auditRows(spark: SparkSession, sfDir: String): DataFrame = {
     val catalog = CdcQueries.catalog(spark, sfDir)
     val history = CdcQueries.history(spark, sfDir)
+    // changed feeds both the semi-join and the timestamp lookup — cache the
+    // (tiny) result instead of re-running the CDC chain per consumer
     val changed = ChangeDetection.changedTables(catalog, history)
-      .select("table_name", "update_time")
+      .select("table_name", "update_time").cache()
     val events = Tables.events(spark, sfDir)
     val counts = events
       .join(changed, events("event_type") === changed("table_name"), "left_semi")

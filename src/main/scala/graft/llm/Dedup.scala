@@ -15,6 +15,10 @@ import graft.functions.VectorOps
   * collisions, the standard 100 TB near-dup pattern (one band match ⇒
   * candidate, verified against the full signature).
   *
+  * Background: compressed-index string-similarity joins (ICDE 2022,
+  * /root/repo/PAPERS.md:6) motivate the inverted-index + verify shape;
+  * Delta Lake (VLDB 2020, PAPERS.md:9) the lake-layout assumptions.
+  *
   * Hash-family note: signatures use affine hashes over dictionary token ids
   * ((a·id + b) mod p) rather than an opaque hash, so the DuckDB oracle can
   * replicate results exactly. The dictionary is a rank over distinct

@@ -14,6 +14,11 @@ import graft.functions.VectorOps
   *  - `annTopK`: random-hyperplane LSH bucketing; only the query's bucket is
   *    scanned exactly. The hyperplanes come from a deterministic LCG so the
   *    DuckDB oracle reproduces the same buckets bit-for-bit.
+  *
+  * Background: incremental top-k similarity (EDBT 2020,
+  * /root/repo/PAPERS.md:7) and distributed top-k with local reference
+  * structures (REPOSE, ICDE 2021, PAPERS.md:8) — the bucket-then-rescore
+  * decomposition here is the degenerate single-probe variant.
   */
 object Similarity {
 
