@@ -48,10 +48,10 @@ object CdcQueries {
   )
 
   private val catalogSql =
-    """SELECT event_type AS table_name, date_trunc('second', max(ts)) AS update_time
+    """SELECT event_type AS table_name, CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS update_time
       |FROM events GROUP BY event_type""".stripMargin
   private val historySql =
-    """SELECT event_type AS table_name, date_trunc('second', ts) AS execution_time
+    """SELECT event_type AS table_name, CAST(date_trunc('second', ts) AS TIMESTAMP) AS execution_time
       |FROM events WHERE user_id % 2 = 0 AND event_type <> 'click'""".stripMargin
 
   val oracles: Map[String, String] = Map(

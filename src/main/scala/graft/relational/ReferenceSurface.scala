@@ -138,10 +138,10 @@ object ReferenceSurface {
   )
 
   private val catalogSql =
-    """SELECT event_type AS table_name, date_trunc('second', max(ts)) AS update_time
+    """SELECT event_type AS table_name, CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS update_time
       |FROM events GROUP BY event_type""".stripMargin
   private val historySql =
-    """SELECT event_type AS table_name, date_trunc('second', ts) AS execution_time
+    """SELECT event_type AS table_name, CAST(date_trunc('second', ts) AS TIMESTAMP) AS execution_time
       |FROM events WHERE user_id % 2 = 0 AND event_type <> 'click'""".stripMargin
   private val changedSql =
     s"""WITH catalog AS ($catalogSql), history AS ($historySql)
@@ -160,7 +160,7 @@ object ReferenceSurface {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
     "filter_time_range" ->
-      """SELECT event_id, event_type, date_trunc('second', ts) AS ts_s FROM events
+      """SELECT event_id, event_type, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s FROM events
         |WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' ORDER BY event_id""".stripMargin,
     "join_inner" ->
       """SELECT n_nationkey, n_name, r_name FROM nation

@@ -37,11 +37,11 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "x_win_tumbling" ->
-      """SELECT time_bucket(INTERVAL '10 minutes', date_trunc('second', ts)) AS w_start,
+      """SELECT CAST(time_bucket(INTERVAL '10 minutes', date_trunc('second', ts)) AS TIMESTAMP) AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "x_win_sliding" ->
-      """WITH ev AS (SELECT date_trunc('second', ts) AS tss, event_type, value FROM events),
+      """WITH ev AS (SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type, value FROM events),
         |expanded AS (
         |  SELECT time_bucket(INTERVAL '5 minutes', tss) AS w_start, event_type, value FROM ev
         |  UNION ALL
@@ -50,7 +50,7 @@ object StreamQueries {
         |SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "x_sessionize" ->
-      """WITH ev AS (SELECT user_id, date_trunc('second', ts) AS tss, value FROM events),
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
         |marked AS (SELECT user_id, tss, value,
         |    CASE WHEN lag(tss) OVER w IS NULL
         |         OR tss - lag(tss) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
@@ -63,7 +63,7 @@ object StreamQueries {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sessed GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "x_upsert_latest" ->
-      """WITH ev AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts_s, value
+      """WITH ev AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
         |  FROM events),
         |merged AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts_s DESC, event_id DESC) AS rn
