@@ -258,6 +258,22 @@ object CoreQueries {
         .orderBy("tier")
     }),
 
+    // As-of join: each click matched with the user's latest purchase at or
+    // before the click (null when none) — see AsOfJoin for the composition.
+    "x_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_s")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_s").agg(max("value").as("p_value"))
+      AsOfJoin.asof(clicks, purchases, "user_id", "ts_s", "p_value",
+          "purchase_ts", "purchase_value")
+        .orderBy("event_id")
+    }),
+
     // Pivot: orderstatus columns per priority (missing combos → 0).
     "x_pivot" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -452,6 +468,17 @@ object CoreQueries {
         |  ('high', 150000.0, 1e9)) t(tier, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "x_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_s, max(value) AS p_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts_s)
+        |SELECT c.event_id, c.user_id, c.ts_s,
+        |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+        |ORDER BY c.event_id""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
