@@ -42,7 +42,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimension mismatch is a data bug — fail like DuckDB's
+    // list_dot_product rather than returning a silent partial product
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"DotProduct: mismatched vector dimensions $n vs ${y.numElements()}")
     val leftIsFloat = elemType(left) == FloatType
     val rightIsFloat = elemType(right) == FloatType
     var s = 0.0
@@ -58,17 +62,27 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
-      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+      // fresh names: two DotProducts in one codegen scope (cosine = three of
+      // them) would otherwise emit duplicate declarations → janino failure
+      // → silent interpreted fallback
+      val n = ctx.freshName("dpN")
+      val s = ctx.freshName("dpSum")
+      val i = ctx.freshName("dpI")
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += $lGet * $rGet;
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "DotProduct: mismatched vector dimensions " + $n + " vs " + $b.numElements());
          |}
-         |${ev.value} = s;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $lGet * $rGet;
+         |}
+         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -19,6 +19,12 @@ import graft.functions.VectorOps
   * /root/repo/PAPERS.md:6) motivate the inverted-index + verify shape;
   * Delta Lake (VLDB 2020, PAPERS.md:9) the lake-layout assumptions.
   *
+  * Caching note: the shingle/signature/norm relations are cached because
+  * they sit on both sides of self-joins; they are deliberately not
+  * unpersisted (the builders return lazy plans — the consumer decides when
+  * evaluation ends) and rely on Spark's LRU storage eviction. In a
+  * long-lived service, callers should unpersist after materializing.
+  *
   * Hash-family note: signatures use affine hashes over dictionary token ids
   * ((a·id + b) mod p) rather than an opaque hash, so the DuckDB oracle can
   * replicate results exactly. The dictionary is a rank over distinct

@@ -210,10 +210,13 @@ object LlmQueries {
          |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM b, q WHERE bucket = qb AND vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    // byte_len counts UTF-8 bytes (strlen); first_byte/checksum are code
+    // points over characters (length/ascii) — matching decodeStub exactly
+    // even for non-ASCII documents.
     "x_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |  CAST(list_sum(list_transform(range(strlen(text)),
+        |  CAST(list_sum(list_transform(range(length(text)),
         |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) % 1000003 AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )

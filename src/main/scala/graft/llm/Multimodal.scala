@@ -26,15 +26,18 @@ object Multimodal {
       col("text").cast("binary").as("payload"),
       struct(col("n_chars"), col("lang"), col("source")).as("meta"))
 
-  /** Deterministic stand-in for a media decoder: byte length, first byte,
-    * additive checksum mod 1000003. Replace with a real decode at will —
-    * the partition-batched plumbing stays identical. */
+  /** Deterministic stand-in for a media decoder: decode the payload (here
+    * UTF-8 text; really an image/audio codec), then extract byte length,
+    * first code point, and an additive code-point checksum mod 1000003.
+    * Code points (not raw bytes) keep the oracle's char-based SQL exact for
+    * non-ASCII content. Replace the decode at will — the partition-batched
+    * plumbing stays identical. */
   def decodeStub(r: MediaRow): MediaFeatures = {
+    val decoded = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
     var sum = 0L
-    var i = 0
-    while (i < r.payload.length) { sum += (r.payload(i) & 0xff); i += 1 }
+    decoded.codePoints().forEach(cp => sum += cp)
     MediaFeatures(r.doc_id, r.payload.length,
-      if (r.payload.nonEmpty) r.payload(0) & 0xff else -1, sum % 1000003L)
+      if (decoded.nonEmpty) decoded.codePointAt(0) else -1, sum % 1000003L)
   }
 
   /** Feature extraction over partitions of binary payloads. */

@@ -513,7 +513,8 @@ object CoreQueries {
     "x_array_explode" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS pos,
         |  round(CAST(embedding[i + 1] AS DOUBLE), 6) AS val
-        |FROM embeddings, range(0, 64) t(i)
-        |WHERE vec_id < 20 ORDER BY vec_id, pos""".stripMargin
+        |FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
+        |      FROM embeddings WHERE vec_id < 20)
+        |ORDER BY vec_id, pos""".stripMargin
   )
 }

@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted distributive aggregation: sum + count per key. */
+  /** Salted distributive aggregation: sum + count per key. The salt is a
+    * per-row counter, NOT a value hash — a hot key with constant values
+    * (the canonical skew case) would collapse a value-derived salt back
+    * into one bucket. The final merge makes the result salt-invariant. */
   def saltedSumCount(df: DataFrame, key: String, value: String,
       buckets: Int): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(col(value)), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(value)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

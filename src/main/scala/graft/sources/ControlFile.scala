@@ -22,11 +22,14 @@ object ControlFile {
   def write(changed: DataFrame, path: String): Unit =
     changed.select("table_name").coalesce(1).write.mode("overwrite").json(path)
 
-  /** Missing path / unparseable content → empty DataFrame (reference O8). */
+  /** Missing path / unparseable content → empty DataFrame (reference O8).
+    * FAILFAST mode makes corrupt JSON throw (default PERMISSIVE would
+    * silently yield null rows instead of the documented empty no-op). */
   def read(spark: SparkSession, path: String): DataFrame =
     Try {
-      val df = spark.read.schema(schema).json(path)
-      df.count() // force read so a missing path throws here
+      val df = spark.read.schema(schema)
+        .option("mode", "FAILFAST").json(path)
+      df.count() // force the read so missing paths / corrupt JSON throw here
       df
     }.getOrElse(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))

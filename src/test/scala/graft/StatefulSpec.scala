@@ -37,6 +37,15 @@ class StatefulSpec extends SparkSpec with Matchers {
     got shouldBe 11.0
   }
 
+  test("graft_dot rejects mismatched vector dimensions") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").collect()
+    }
+    e.getMessage should include("mismatched vector dimensions")
+  }
+
   test("date-partitioned sink prunes partitions under a date predicate") {
     import org.apache.spark.sql.functions._
     val path = graft.ingest.Sinks.tempDir("prunetest")
