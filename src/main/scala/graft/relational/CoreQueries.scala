@@ -88,6 +88,16 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
+    // X5c: exact distinct via a RoaringBitmap TypedImperativeAggregate —
+    // partial bitmaps merge at the shuffle instead of streaming every
+    // distinct value (see BitmapDistinctCount).
+    "x_agg_bitmap_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(graft.functions.BitmapDistinct.bitmapDistinct(
+          col("l_partkey").cast("int")).as("n_parts"))
+        .orderBy("l_returnflag")),
+
     // X5b: approximate distinct (HLL++) — the 100 TB path where exact
     // distinct would shuffle every key. No SQL oracle (estimator-specific);
     // driver does the rows-only check. Bounded: 3 groups.
@@ -379,6 +389,10 @@ object CoreQueries {
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
         |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_agg_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_agg_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
