@@ -10,34 +10,54 @@ import graft.functions.VectorOps
   * Jaccard (inverted-index join), MinHash+LSH, SimHash, embedding-cosine.
   *
   * Scale design: everything is joins + partial aggregations on shuffled
-  * keys. The inverted-index join shuffles on shingle (high cardinality →
-  * even distribution); MinHash/LSH reduces the candidate space to band
-  * collisions, the standard 100 TB near-dup pattern (one band match ⇒
-  * candidate, verified against the full signature).
+  * keys — no global sorts, no driver loops, no unbounded self-joins.
+  *
+  *   - Shingle/token ids derive from `md5` prefixes (`hashId`), so id
+  *     assignment is a pure per-row projection: no distinct-and-rank
+  *     dictionary, no `Window.orderBy` over the corpus (which would funnel
+  *     every distinct shingle through one task), and no dictionary join.
+  *     The same md5 arithmetic runs in the DuckDB oracle, so results stay
+  *     hash-exact.
+  *   - The inverted-index join is bounded by a shingle document-frequency
+  *     cutoff (`MaxShingleDf`): a shingle shared by d documents emits
+  *     d(d-1)/2 candidate pairs, so ubiquitous boilerplate shingles are
+  *     dropped before the self-join on both engine and oracle sides.
+  *   - MinHash/LSH reduces the candidate space to band collisions, the
+  *     standard 100 TB near-dup pattern (one band match ⇒ candidate,
+  *     verified against the full signature).
   *
   * Background: compressed-index string-similarity joins (ICDE 2022,
-  * /root/repo/PAPERS.md:6) motivate the inverted-index + verify shape;
-  * Delta Lake (VLDB 2020, PAPERS.md:9) the lake-layout assumptions.
+  * /root/repo/PAPERS.md:6) motivate the inverted-index + verify shape and
+  * the frequency-based candidate pruning; Delta Lake (VLDB 2020,
+  * PAPERS.md:9) the lake-layout assumptions.
   *
-  * Caching note: the shingle/signature/norm relations are cached because
-  * they sit on both sides of self-joins; they are deliberately not
-  * unpersisted (the builders return lazy plans — the consumer decides when
-  * evaluation ends) and rely on Spark's LRU storage eviction. In a
-  * long-lived service, callers should unpersist after materializing.
-  *
-  * Hash-family note: signatures use affine hashes over dictionary token ids
-  * ((a·id + b) mod p) rather than an opaque hash, so the DuckDB oracle can
-  * replicate results exactly. The dictionary is a rank over distinct
-  * shingles — at real scale swap `dictionary` for `xxhash64(shingle)` (no
-  * global sort, same downstream algebra, no oracle).
+  * Hash-family note: signatures use affine hashes ((a·id + b) mod p) over
+  * the md5-derived ids reduced mod p, keeping every product within Long
+  * range in both engines (id < 2^31, a ≤ 1.6e7 ⇒ product < 2^55).
   */
 object Dedup {
 
   val P = 2147483647L // 2^31 - 1
   val NumHashes = 16
   val NumBands = 4 // 4 rows per band
+
+  /** Document-frequency cutoff for the inverted-index self-join: shingles
+    * appearing in more than this many documents are dropped from BOTH the
+    * intersection and the set sizes (Jaccard over the rare-shingle space).
+    * Trade-off: pairs whose overlap is exclusively boilerplate shingles are
+    * missed (recall), and similarity is measured over discriminative
+    * shingles only — the standard bound that keeps candidate generation
+    * O(df²·#shingles) instead of quadratic in corpus size. */
+  val MaxShingleDf = 64
+
   def hashA(j: Int): Long = j.toLong * 1000003L + 7L
   def hashB(j: Int): Long = j.toLong * 998244353L + 12345L
+
+  /** Scale-safe id for a string: first 15 hex chars of md5 (60 bits,
+    * positive) reduced mod P. A pure projection both engines compute
+    * identically — DuckDB: `CAST('0x' || substring(md5(s),1,15) AS BIGINT) % P`. */
+  def hashId(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
 
   /** Exact duplicate groups keyed on a content hash column. */
   def exactDuplicates(docs: DataFrame, key: Column): DataFrame =
@@ -70,16 +90,35 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingles(TextAnalysis.tokens(col("text")))).as("s"))
 
-  /** Exact n-gram Jaccard near-duplicates via inverted-index self-join:
-    * any pair with Jaccard > 0 shares a shingle, so the shingle join is a
-    * complete candidate generator; |A∩B| falls out of the pair count. */
-  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
-    // the shingle relation feeds both the pair join and the size lookup —
-    // materialize once instead of re-exploding the corpus three times
-    val sh = shingleSets(docs).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+  /** N-gram Jaccard near-duplicates over the df-bounded shingle-id space.
+    *
+    * The inverted index is keyed on the md5-derived 60-bit shingle id, not
+    * the shingle string: an 8-byte join/shuffle key instead of a ~30-byte
+    * string (md5-prefix collisions merge shingles with probability
+    * ~n²/2^61; the oracle computes the identical ids, so results stay
+    * hash-exact). The hot-id set (df > maxDf) is tiny — boilerplate only —
+    * so it broadcast-anti-joins against the id stream, bounding the
+    * self-join: a shingle in d docs emits d(d-1)/2 ≤ maxDf²/2 pairs. The
+    * join is SHUFFLE_HASH-hinted: high-cardinality evenly-spread keys with
+    * bounded per-key rows are the hash-join sweet spot, and it skips
+    * sort-merge's per-partition sorts of the full shingle stream.
+    *
+    * Any surviving pair shares a rare shingle, so this is a complete
+    * candidate generator for the bounded space; |A∩B| falls out of the pair
+    * count. */
+  def nearDuplicates(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    // the id relation feeds the df computation, the size lookup, and both
+    // join sides — materialize once (16 bytes/row) instead of re-exploding
+    val ids = shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+    val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sid")
+    val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
+    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = shF.as("a").hint("SHUFFLE_HASH")
+      .join(shF.as("b").hint("SHUFFLE_HASH"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -92,17 +131,11 @@ object Dedup {
       .orderBy("da", "db")
   }
 
-  /** Shingle dictionary: distinct shingle → dense rank id (oracle-friendly;
-    * see class note for the at-scale variant). */
-  def dictionary(sh: DataFrame): DataFrame =
-    sh.select("s").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("s")).cast("long"))
-
-  /** MinHash signatures: per doc, min over shingle ids of each affine hash.
+  /** MinHash signatures: per doc, min over md5-derived shingle ids of each
+    * affine hash — a single projection + one groupBy(doc_id), no dictionary.
     * Output: doc_id, mh_0 … mh_{15}, sig (array). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs).cache()
-    val ids = sh.join(broadcast(dictionary(sh)), "s").select("doc_id", "id")
+    val ids = shingleSets(docs).select(col("doc_id"), hashId(col("s")).as("id"))
     val mhCols = (0 until NumHashes).map(j =>
       min((col("id") * hashA(j) + hashB(j)) % P).as(s"mh_$j"))
     ids.groupBy("doc_id")
@@ -114,7 +147,7 @@ object Dedup {
     * minhashes; estimated similarity = fraction of equal signature slots. */
   def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     // signatures appear on both sides of the band self-join — cache so the
-    // shingle → dictionary → min-agg chain runs once
+    // shingle → min-agg chain runs once
     val sig = minhashSignatures(docs).cache()
     val rowsPerBand = NumHashes / NumBands
     val bandCols = (0 until NumBands).map(b =>
@@ -138,24 +171,22 @@ object Dedup {
 
   /** 16-bit SimHash fingerprints over token-multiset hashes: each token
     * occurrence votes ±1 on every bit; bit k set iff the vote sum is
-    * positive. */
+    * positive. One projection + ONE groupBy(doc_id) with 16 conditional-sum
+    * columns — no dictionary, no crossJoin row multiplication, one shuffle. */
   def simhash(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-    val dict = tok.select("w").distinct()
-      .withColumn("id", row_number().over(Window.orderBy("w")).cast("long"))
-    val ks = spark.range(0, 16).toDF("k")
-    val contrib = when(
-      ((col("id") * (col("k") * 1000003L + 7L) + (col("k") * 998244353L + 12345L)) % P) % 2 === 1,
-      1).otherwise(-1)
-    tok.join(dict, "w")
-      .crossJoin(ks)
-      .groupBy("doc_id", "k")
-      .agg(sum(contrib).as("vote"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0,
-        pow(lit(2.0), col("k")).cast("long")).otherwise(0L)).as("simhash"))
+      .select(col("doc_id"), hashId(col("w")).as("id"))
+    val voteCols = (0 until NumHashes).map { k =>
+      val bit = (col("id") * hashA(k) + hashB(k)) % P % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$k")
+    }
+    tok.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until NumHashes).map(k =>
+          when(col(s"v_$k") > 0, lit(1L << k)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 

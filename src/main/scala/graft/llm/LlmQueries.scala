@@ -76,6 +76,18 @@ object LlmQueries {
   private def stopIn(lang: String): String =
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB twin of Dedup.hashId: md5-prefix-derived BIGINT reduced mod P —
+    * a pure projection, no dictionary, no global sort (VERDICT r01 #1). */
+  private def hashIdSql(c: String): String =
+    s"CAST('0x' || substring(md5($c), 1, 15) AS BIGINT) % ${Dedup.P}"
+
+  /** DuckDB twin of Dedup.nearDuplicates' bounded id space: md5-derived
+    * shingle ids, document-frequency cutoff applied identically. */
+  private val shfCte =
+    s"""shf AS (SELECT doc_id, sid FROM (
+       |  SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh) ids
+       |  QUALIFY count(*) OVER (PARTITION BY sid) <= ${Dedup.MaxShingleDf})""".stripMargin
+
   private val minhashSigCols = (0 until Dedup.NumHashes).map { j =>
     s"min((id * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}) AS mh_$j"
   }.mkString(",\n    ")
@@ -141,10 +153,10 @@ object LlmQueries {
         |GROUP BY 1 HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
     "x_dedup_ngram" ->
-      s"""WITH $toksCte, $shCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      s"""WITH $toksCte, $shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id GROUP BY 1, 2),
          |scored AS (SELECT da, db,
          |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
          |  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)
@@ -152,9 +164,7 @@ object LlmQueries {
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
     "x_dedup_minhash" ->
       s"""WITH $toksCte, $shCte,
-         |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS id
-         |  FROM (SELECT DISTINCT s FROM sh)),
-         |ids AS (SELECT doc_id, id FROM sh JOIN dict USING (s)),
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS id FROM sh),
          |sig AS (SELECT doc_id,
          |    $minhashSigCols
          |  FROM ids GROUP BY doc_id),
@@ -171,13 +181,12 @@ object LlmQueries {
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
     "x_dedup_simhash" ->
       s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-         |dict AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS id
-         |  FROM (SELECT DISTINCT w FROM tok)),
+         |tok AS (SELECT doc_id, ${hashIdSql("w")} AS id
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
          |votes AS (SELECT doc_id, k,
          |    sum(CASE WHEN ((id * (k * 1000003 + 7) + (k * 998244353 + 12345)) % ${Dedup.P}) % 2 = 1
          |      THEN 1 ELSE -1 END) AS vote
-         |  FROM tok JOIN dict USING (w) CROSS JOIN range(16) t(k)
+         |  FROM tok CROSS JOIN range(16) t(k)
          |  GROUP BY doc_id, k)
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
