@@ -31,7 +31,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the stdout line travels through sbt's [info] wrapper,
+    // which a stricter driver parse could reject — persist the metric too
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

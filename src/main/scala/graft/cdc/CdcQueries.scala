@@ -61,7 +61,7 @@ object CdcQueries {
          |FROM catalog c LEFT JOIN
          |  (SELECT table_name, max(execution_time) AS last_exec FROM history GROUP BY table_name) h
          |  USING (table_name)
-         |WHERE c.update_time IS NOT NULL AND (h.last_exec IS NULL OR c.update_time > h.last_exec)
+         |WHERE h.last_exec IS NULL OR (c.update_time IS NOT NULL AND c.update_time > h.last_exec)
          |ORDER BY c.table_name""".stripMargin,
     "join_anti" ->
       s"""WITH catalog AS ($catalogSql), history AS ($historySql)

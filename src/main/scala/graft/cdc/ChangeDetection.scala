@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   * rules, preserved here exactly:
   *
   *   1. table has no history row (never ingested)       → INCLUDE
+  *      (checked FIRST, `verifica_carga_slmandicprd.py:95-96` — so a
+  *      never-ingested table is included even when its source
+  *      `update_time` is NULL, as with InnoDB `information_schema`
+  *      where `update_time` is often unset)
   *   2. source `update_time` IS NULL                    → SKIP
   *      (`verifica_carga_slmandicprd.py:97-98`)
   *   3. source `update_time` strictly > last execution  → INCLUDE
@@ -39,9 +43,11 @@ object ChangeDetection {
     * ordered by table_name for determinism. */
   def changedTables(catalog: DataFrame, history: DataFrame): DataFrame = {
     val latest = latestRuns(history)
+    // branch order matches the reference: the never-ingested branch wins
+    // before the NULL-update_time skip
     catalog.join(latest, Seq("table_name"), "left_outer")
-      .where(col("update_time").isNotNull &&
-        (col("last_exec").isNull || col("update_time") > col("last_exec")))
+      .where(col("last_exec").isNull ||
+        (col("update_time").isNotNull && col("update_time") > col("last_exec")))
       .select("table_name", "update_time", "last_exec")
       .orderBy("table_name")
   }

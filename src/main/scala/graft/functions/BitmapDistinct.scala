@@ -1,9 +1,8 @@
 package graft.functions
 
-import java.io.{ByteArrayOutputStream, DataOutputStream}
-import java.nio.ByteBuffer
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
-import org.roaringbitmap.RoaringBitmap
+import org.roaringbitmap.longlong.Roaring64NavigableMap
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -12,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** Exact distinct count over a RoaringBitmap buffer — the
+/** Exact distinct count over a 64-bit Roaring bitmap buffer — the
   * `TypedImperativeAggregate` pattern for sketch-style aggregation state
   * (mutable buffer, custom serialization at shuffle boundaries).
   *
@@ -20,49 +19,59 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * distinct value, this aggregates a compressed bitmap partially on the map
   * side and merges bitmaps on the reduce side: one shuffle, payload
   * proportional to the compressed bitmap, not the value stream — the
-  * at-scale shape for exact distinct over bounded integer domains
-  * (cf. Spark's own bitmap-based functions). Exact, so the DuckDB oracle is
-  * plain `count(DISTINCT x)`.
+  * at-scale shape for exact distinct over integer domains (cf. Spark's own
+  * bitmap-based functions). Exact, so the DuckDB oracle is plain
+  * `count(DISTINCT x)`.
+  *
+  * Backed by `Roaring64NavigableMap`, so the full LongType key domain is
+  * exact — no narrowing cast, no silent collision past 2^31 (TPC-H partkey
+  * crosses that around sf2000). IntegerType input is widened losslessly.
   */
 case class BitmapDistinctCount(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[RoaringBitmap] {
+  extends TypedImperativeAggregate[Roaring64NavigableMap] {
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"bitmap distinct needs an int column, got ${child.dataType.simpleString}")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bitmap distinct needs an int or long column, got ${other.simpleString}")
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
 
-  override def createAggregationBuffer(): RoaringBitmap = new RoaringBitmap()
+  override def createAggregationBuffer(): Roaring64NavigableMap =
+    new Roaring64NavigableMap()
 
-  override def update(buffer: RoaringBitmap, input: InternalRow): RoaringBitmap = {
+  override def update(buffer: Roaring64NavigableMap, input: InternalRow): Roaring64NavigableMap = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Int])
+    v match {
+      case null       => ()
+      case i: Integer => buffer.addLong(i.longValue())
+      case l: java.lang.Long => buffer.addLong(l.longValue())
+    }
     buffer
   }
 
-  override def merge(buffer: RoaringBitmap, other: RoaringBitmap): RoaringBitmap = {
+  override def merge(buffer: Roaring64NavigableMap, other: Roaring64NavigableMap): Roaring64NavigableMap = {
     buffer.or(other)
     buffer
   }
 
-  override def eval(buffer: RoaringBitmap): Any = buffer.getLongCardinality
+  override def eval(buffer: Roaring64NavigableMap): Any = buffer.getLongCardinality
 
-  override def serialize(buffer: RoaringBitmap): Array[Byte] = {
+  override def serialize(buffer: Roaring64NavigableMap): Array[Byte] = {
     buffer.runOptimize()
     val bos = new ByteArrayOutputStream()
     buffer.serialize(new DataOutputStream(bos))
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): RoaringBitmap = {
-    val bitmap = new RoaringBitmap()
-    bitmap.deserialize(ByteBuffer.wrap(bytes))
+  override def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val bitmap = new Roaring64NavigableMap()
+    bitmap.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
     bitmap
   }
 
@@ -78,7 +87,7 @@ case class BitmapDistinctCount(
 object BitmapDistinct {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
-  /** Column form: exact distinct count of an integer-domain column. */
+  /** Column form: exact distinct count of an int/long-domain column. */
   def bitmapDistinct(c: Column): Column =
     column(BitmapDistinctCount(expression(c)).toAggregateExpression())
 }

@@ -221,12 +221,15 @@ object LlmQueries {
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
     // byte_len counts UTF-8 bytes (strlen); first_byte/checksum are code
     // points over characters (length/ascii) — matching decodeStub exactly
-    // even for non-ASCII documents.
+    // even for non-ASCII documents. Empty payload: decodeStub yields
+    // first_byte=-1 / checksum=0, mirrored here (DuckDB's ascii('')=0 and
+    // list_sum([])=NULL would otherwise diverge).
     "x_multimodal" ->
       """SELECT doc_id, CAST(strlen(text) AS INTEGER) AS byte_len,
-        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
-        |  CAST(list_sum(list_transform(range(length(text)),
-        |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))) % 1000003 AS BIGINT) AS checksum
+        |  CAST(CASE WHEN length(text) = 0 THEN -1
+        |    ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
+        |  CAST(coalesce(list_sum(list_transform(range(length(text)),
+        |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) % 1000003 AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -88,23 +88,31 @@ object CoreQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // X5c: exact distinct via a RoaringBitmap TypedImperativeAggregate —
+    // X5c: exact distinct via a Roaring64 TypedImperativeAggregate —
     // partial bitmaps merge at the shuffle instead of streaming every
-    // distinct value (see BitmapDistinctCount).
+    // distinct value; full long key domain (see BitmapDistinctCount).
     "x_agg_bitmap_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(graft.functions.BitmapDistinct.bitmapDistinct(
-          col("l_partkey").cast("int")).as("n_parts"))
+          col("l_partkey")).as("n_parts"))
         .orderBy("l_returnflag")),
 
     // X5b: approximate distinct (HLL++) — the 100 TB path where exact
-    // distinct would shuffle every key. No SQL oracle (estimator-specific);
-    // driver does the rows-only check. Bounded: 3 groups.
+    // distinct would shuffle every key. HLL estimates aren't
+    // SQL-reproducible, so the checked claim is the estimator's contract
+    // itself: |approx − exact| / exact within the configured rsd bound per
+    // group (exact side from the bitmap aggregate, same single pass);
+    // oracle = `true` per group.
     "x_agg_approx_distinct" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          graft.functions.BitmapDistinct.bitmapDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.05)
+            .as("within_tol"))
         .orderBy("l_returnflag")),
 
     // X6: rollup — group keys coalesced to a sentinel so both engines agree
@@ -220,7 +228,8 @@ object CoreQueries {
     // groupBy, heavy shuffle spread 16-ways.
     "x_agg_salted" -> ((s, dir) => {
       val out = Skew.saltedSumCount(
-        Tables.events(s, dir), "event_type", "value", buckets = 16)
+        Tables.events(s, dir), "event_type", "value", buckets = 16,
+        saltCols = Seq(col("event_id")))
       out.select(col("event_type"),
         round(col("value_sum"), 2).as("value_sum"), col("n"))
         .orderBy("event_type")
@@ -343,8 +352,39 @@ object CoreQueries {
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .select(col("vec_id"), col("pos"),
           round(col("v").cast("double"), 6).as("val"))
-        .orderBy("vec_id", "pos"))
+        .orderBy("vec_id", "pos")),
+
+    // X24: native MapType — build a map from the event payload, filter its
+    // entries (map_filter), introspect keys (map_keys / size / element_at).
+    // The reference's type fallback coerces MAP columns to STRING
+    // (spark_ingest_slmandicprd.py:81); this engine keeps them first-class.
+    "x_map_ops" -> ((s, dir) => {
+      val m = eventMap(Tables.events(s, dir))
+      m.select(col("event_id"),
+          size(col("m")).as("m_size"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("keys_csv"),
+          element_at(col("m"), "et").as("et_val"))
+        .orderBy("event_id")
+    }),
+
+    // X24b: map explode — one row per surviving map entry.
+    "x_map_explode" -> ((s, dir) =>
+      eventMap(Tables.events(s, dir))
+        .select(col("event_id"), explode(col("m")).as(Seq("mkey", "mval")))
+        .orderBy("event_id", "mkey"))
   )
+
+  /** Bounded event slice with a filtered MapType column: {et → event_type,
+    * k → props.k}, keeping the k entry only when its value exceeds 50. */
+  private def eventMap(events: DataFrame): DataFrame =
+    events
+      .where(col("event_id") < 2000)
+      .select(col("event_id"),
+        map_filter(
+          map_from_arrays(
+            array(lit("et"), lit("k")),
+            array(col("event_type"), get_json_object(col("props"), "$.k"))),
+          (k, v) => k === "et" || v.cast("int") > 50).as("m"))
 
   val oracles: Map[String, String] = Map(
     "x_filter_project" ->
@@ -393,6 +433,9 @@ object CoreQueries {
     "x_agg_bitmap_distinct" ->
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_agg_approx_distinct" ->
+      """SELECT l_returnflag, true AS within_tol
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_agg_rollup" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
@@ -529,6 +572,25 @@ object CoreQueries {
         |  round(CAST(embedding[i + 1] AS DOUBLE), 6) AS val
         |FROM (SELECT vec_id, embedding, unnest(range(len(embedding))) AS i
         |      FROM embeddings WHERE vec_id < 20)
-        |ORDER BY vec_id, pos""".stripMargin
+        |ORDER BY vec_id, pos""".stripMargin,
+    "x_map_ops" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN k > 50 THEN 2 ELSE 1 END AS INTEGER) AS m_size,
+        |  CASE WHEN k > 50 THEN 'et,k' ELSE 'et' END AS keys_csv,
+        |  event_type AS et_val
+        |FROM (SELECT event_id, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin,
+    "x_map_explode" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    json_extract_string(props, '$.k') AS kstr,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id, mkey, mval FROM (
+        |  SELECT event_id, 'et' AS mkey, event_type AS mval FROM e
+        |  UNION ALL
+        |  SELECT event_id, 'k' AS mkey, kstr AS mval FROM e WHERE k > 50)
+        |ORDER BY event_id, mkey""".stripMargin
   )
 }

@@ -149,7 +149,7 @@ object ReferenceSurface {
        |FROM catalog c LEFT JOIN
        |  (SELECT table_name, max(execution_time) AS last_exec FROM history GROUP BY table_name) h
        |  USING (table_name)
-       |WHERE c.update_time IS NOT NULL AND (h.last_exec IS NULL OR c.update_time > h.last_exec)""".stripMargin
+       |WHERE h.last_exec IS NULL OR (c.update_time IS NOT NULL AND c.update_time > h.last_exec)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "scan_table" -> "SELECT * FROM nation ORDER BY n_nationkey",

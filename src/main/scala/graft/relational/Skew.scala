@@ -16,14 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted distributive aggregation: sum + count per key. The salt is a
-    * per-row counter, NOT a value hash — a hot key with constant values
-    * (the canonical skew case) would collapse a value-derived salt back
-    * into one bucket. The final merge makes the result salt-invariant. */
+  /** Salted distributive aggregation: sum + count per key. The salt hashes
+    * the caller-supplied stable columns (e.g. a unique row id) — NOT the
+    * grouping key or a nondeterministic row counter: a hot key with
+    * constant values would collapse a value-derived salt into one bucket,
+    * and a `monotonically_increasing_id` salt changes on shuffle-retry
+    * recomputation, double-counting or dropping partials on a real cluster.
+    * The final merge makes the result salt-invariant. */
   def saltedSumCount(df: DataFrame, key: String, value: String,
-      buckets: Int): DataFrame = {
+      buckets: Int, saltCols: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+      pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
     salted.groupBy(col(key), col("__salt"))
       .agg(sum(col(value)).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))

@@ -36,10 +36,32 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** Schema evolution on read — the reference's whole job is schema-drift
+    * handling (per-run DDL-if-absent, `spark_ingest_slmandicprd.py:83-97`),
+    * but its sink rewrites the full table each run. Here the lake layout
+    * evolves in place: batch 1 writes (o_orderkey, o_custkey), batch 2
+    * appends a widened schema with o_totalprice, and a `mergeSchema` read
+    * reconciles both — old files surface the new column as NULL. (Avro and
+    * Delta/Iceberg variants are out of scope in this sandbox: neither
+    * spark-avro nor a table-format jar is on the offline classpath.) */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val path = Sinks.tempDir("schema_evo")
+    val orders = Tables.orders(spark, dir)
+    orders.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.mode("overwrite").parquet(path)
+    orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("append").parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_source_csv" -> ((s, dir) => roundTrip(s, dir, "csv")),
     "x_source_json" -> ((s, dir) => roundTrip(s, dir, "json")),
-    "x_source_orc" -> ((s, dir) => roundTrip(s, dir, "orc"))
+    "x_source_orc" -> ((s, dir) => roundTrip(s, dir, "orc")),
+    "x_schema_evolution" -> ((s, dir) => schemaEvolution(s, dir))
   )
 
   private val aggSql =
@@ -51,6 +73,10 @@ object FormatQueries {
   val oracles: Map[String, String] = Map(
     "x_source_csv" -> aggSql,
     "x_source_json" -> aggSql,
-    "x_source_orc" -> aggSql
+    "x_source_orc" -> aggSql,
+    "x_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

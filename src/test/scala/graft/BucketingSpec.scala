@@ -54,7 +54,8 @@ class BucketingSpec extends SparkSpec with Matchers {
 
   test("salted aggregation equals the plain aggregation") {
     val ev = graft.model.Tables.events(spark, sf0001)
-    val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16)
+    val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16,
+        saltCols = Seq(col("event_id")))
       .select(col("event_type"), round(col("value_sum"), 2).as("s"), col("n"))
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
     val plain = ev.groupBy("event_type")

@@ -8,8 +8,10 @@ import org.scalacheck.{Gen, Prop, Properties}
 import graft.cdc.ChangeDetection
 
 /** ScalaCheck algebra for change detection (SURVEY.md §5.3):
-  *  - the changed set is a subset of the catalog's non-null-update tables,
-  *  - never-ingested tables with a non-null update_time are always included,
+  *  - the changed set is a subset of the catalog's non-null-update tables
+  *    plus the never-ingested ones (the reference's rule order: the
+  *    no-history branch wins before the NULL-update_time skip),
+  *  - never-ingested tables are always included,
   *  - growing history never grows the changed set (monotonicity).
   */
 object CdcProperties extends Properties("ChangeDetection") {
@@ -42,17 +44,21 @@ object CdcProperties extends Properties("ChangeDetection") {
       .select("table_name").as[String].collect().toSet
   }
 
-  property("subset of catalog with non-null update_time") =
+  property("subset of non-null-update plus never-ingested tables") =
     Prop.forAll(genCatalog, genHistory) { (cat, hist) =>
-      val eligible = cat.collect { case (n, Some(_)) => n }.toSet
+      val ingested = hist.map(_._1).toSet
+      val eligible = cat.collect {
+        case (n, Some(_)) => n
+        case (n, None) if !ingested.contains(n) => n
+      }.toSet
       run(cat, hist).subsetOf(eligible)
     }
 
-  property("never-ingested with known update_time are included") =
+  property("never-ingested tables are always included") =
     Prop.forAll(genCatalog, genHistory) { (cat, hist) =>
       val ingested = hist.map(_._1).toSet
       val expected = cat.collect {
-        case (n, Some(_)) if !ingested.contains(n) => n
+        case (n, _) if !ingested.contains(n) => n
       }.toSet
       expected.subsetOf(run(cat, hist))
     }

@@ -15,7 +15,8 @@ class CdcSpec extends SparkSpec with Matchers {
 
   private def catalog = Seq(
     ("never_ingested", ts("2024-01-10 00:00:00")),
-    ("null_update", null.asInstanceOf[Timestamp]), // rule 2: skip
+    ("null_update", null.asInstanceOf[Timestamp]), // no history → rule 1 includes it
+    ("null_stale", null.asInstanceOf[Timestamp]),  // has history → rule 2 skips it
     ("stale", ts("2024-01-05 00:00:00")),          // not newer than history
     ("changed", ts("2024-01-20 00:00:00")),        // strictly newer
     ("equal_time", ts("2024-01-05 00:00:00"))      // equal, NOT strictly newer
@@ -24,6 +25,7 @@ class CdcSpec extends SparkSpec with Matchers {
   private def history = Seq(
     ("stale", ts("2024-01-06 00:00:00")),
     ("stale", ts("2024-01-07 00:00:00")),
+    ("null_stale", ts("2024-01-07 00:00:00")),
     ("changed", ts("2024-01-15 00:00:00")),
     ("equal_time", ts("2024-01-05 00:00:00"))
   ).toDF("table_name", "execution_time")
@@ -31,14 +33,17 @@ class CdcSpec extends SparkSpec with Matchers {
   test("changedTables keeps exactly the never-ingested and strictly-newer tables") {
     val got = ChangeDetection.changedTables(catalog, history)
       .select("table_name").as[String].collect().toSeq
-    got shouldBe Seq("changed", "never_ingested")
+    got shouldBe Seq("changed", "never_ingested", "null_update")
   }
 
-  test("null update_time is skipped even with no history (rule order)") {
+  test("never-ingested wins over null update_time (reference rule order)") {
+    // the reference checks the no-history branch FIRST
+    // (verifica_carga_slmandicprd.py:95-96), so a never-ingested table with
+    // NULL update_time is still included
     val cat = Seq(("only_null", null.asInstanceOf[Timestamp]))
       .toDF("table_name", "update_time")
     val hist = Seq.empty[(String, Timestamp)].toDF("table_name", "execution_time")
-    ChangeDetection.changedTables(cat, hist).count() shouldBe 0L
+    ChangeDetection.changedTables(cat, hist).count() shouldBe 1L
   }
 
   test("latestRuns picks MAX execution_time per table") {
@@ -63,6 +68,6 @@ class CdcSpec extends SparkSpec with Matchers {
       Seq(("changed", ts("2024-01-20 00:00:00"))).toDF("table_name", "execution_time"))
     val next = ChangeDetection.changedTables(catalog, newHistory)
       .select("table_name").as[String].collect().toSet
-    next shouldBe Set("never_ingested")
+    next shouldBe Set("never_ingested", "null_update")
   }
 }
