@@ -16,7 +16,15 @@ object Bench {
     // first timed query.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // writer init (committer, codecs) is per-format — pay it before timing
+    Seq("parquet", "csv", "json", "orc").foreach { fmt =>
+      try spark.range(8L).coalesce(1).write.mode("overwrite").format(fmt)
+        .save(graft.ingest.Sinks.tempDir(s"warm_$fmt"))
+      catch { case _: Throwable => () }
+    }
+    // deterministic (sorted) order: run-to-run and round-to-round timings
+    // compare like-for-like instead of depending on Map iteration order
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -25,12 +33,15 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $dt%8.2fs") // progress → stderr only
+      // builder-side caches (dedup/similarity self-join inputs) must not
+      // outlive their query: evict before the next timing starts
+      spark.catalog.clearCache()
       // a crashed query must not masquerade as a fast one: report -1
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-braces: the stdout line travels through sbt's [info] wrapper,

@@ -34,6 +34,7 @@ object Verify {
           else col(f.name)
         }.toIndexedSeq: _*)
         surfaced.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        spark.catalog.clearCache() // builder caches must not outlive a query
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

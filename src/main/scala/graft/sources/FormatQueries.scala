@@ -47,11 +47,15 @@ object FormatQueries {
   private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val path = Sinks.tempDir("schema_evo")
     val orders = Tables.orders(spark, dir)
+    // few, larger files per batch: schema reconciliation reads every file
+    // footer, so don't fan a small batch into one file per core
     orders.where(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_custkey"))
+      .repartition(4)
       .write.mode("overwrite").parquet(path)
     orders.where(col("o_orderkey") % 2 === 1)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(4)
       .write.mode("append").parquet(path)
     spark.read.option("mergeSchema", "true").parquet(path)
       .orderBy("o_orderkey")
