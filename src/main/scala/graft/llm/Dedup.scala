@@ -57,7 +57,7 @@ object Dedup {
     * positive) reduced mod P. A pure projection both engines compute
     * identically — DuckDB: `CAST('0x' || substring(md5(s),1,15) AS BIGINT) % P`. */
   def hashId(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long") % P
+    graft.functions.StableHash.md5Prefix60(s) % P
 
   /** Exact duplicate groups keyed on a content hash column. */
   def exactDuplicates(docs: DataFrame, key: Column): DataFrame =

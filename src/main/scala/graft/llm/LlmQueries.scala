@@ -35,6 +35,15 @@ object LlmQueries {
     "x_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(Tables.documents(s, dir))),
 
+    "x_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+
+    "x_fingerprint_rolling" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(Tables.documents(s, dir))),
+
+    "x_embed_centroid" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
+
     "x_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(Tables.documents(s, dir), Dedup.rawKey)),
 
@@ -142,6 +151,33 @@ object LlmQueries {
          |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "x_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp, n_chars FROM documents ORDER BY doc_id",
+    "x_token_count" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(t) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS INTEGER) AS bpe_tokens,
+         |  CAST((CAST(n_chars AS BIGINT) * 10000)
+         |    // len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS cpt_e4
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "x_fingerprint_rolling" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, list_transform(
+         |    CASE WHEN len(t) >= 3
+         |      THEN list_distinct(list_transform(range(len(t) - 2),
+         |        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+         |      ELSE [] END,
+         |    s -> ${graft.functions.StableHash.md5Prefix60Sql("s")}) AS hs
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN len(hs) > 0 THEN list_min(hs) END AS fp_min,
+         |  CASE WHEN len(hs) > 0 THEN list_max(hs) END AS fp_max,
+         |  CAST(len(list_distinct(hs)) AS INTEGER) AS n_windows
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "x_embed_centroid" ->
+      """SELECT label, CAST(pos - 1 AS INTEGER) AS pos, round(avg(v), 6) AS cval
+        |FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |        generate_subscripts(embedding, 1) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "x_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1

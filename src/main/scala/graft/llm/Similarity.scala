@@ -47,6 +47,17 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroids — the IVF coarse-quantizer build step (assign →
+    * average per cell). Emitted as (label, pos, cval) rows rather than
+    * re-assembled arrays: posexplode → one partial+final average per
+    * (label, dimension), fully distributed, and directly joinable as a
+    * quantizer table. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(avg(col("v").cast("double")), 6).as("cval"))
+      .orderBy("label", "pos")
+
   /** ANN top-k: exact rescoring restricted to the query's LSH bucket. At
     * scale the bucket column is a partition key, so a query touches one
     * partition instead of the full corpus. */

@@ -84,4 +84,42 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"),
       col("n_chars")).orderBy("doc_id")
+
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, and punctuation
+    * runs, each optionally absorbing a leading space — the GPT-2-style
+    * pre-tokenization shape reduced to ASCII classes so Java and RE2-family
+    * regex engines (and the DuckDB oracle) agree exactly. */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Token counting two ways: whitespace tokens (corpus bookkeeping) and
+    * BPE-ish sub-word-boundary tokens (training-budget estimation), plus
+    * chars-per-token ×10⁴ — the compression-ratio signal data curators
+    * filter on, kept in exact integer arithmetic (row-level double
+    * rounding is engine-divergent on .xx5 values). Pure codegen'd
+    * projections. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      bpe.as("bpe_tokens"),
+      floor(col("n_chars").cast("long") * 10000L / bpe).cast("long").as("cpt_e4"))
+      .orderBy("doc_id")
+  }
+
+  /** Rolling-hash fingerprint sketch (winnowing-style): hash every word
+    * 3-gram window with the engine-portable md5-prefix hash, keep the
+    * min/max and the distinct-window count. Equal sketches ⇒ near-certain
+    * duplicates; the min-hash column doubles as a 1-permutation MinHash.
+    * Per-document column expressions only — no explode, no shuffle. */
+  def rollingFingerprint(docs: DataFrame): DataFrame = {
+    val hashes = transform(Dedup.shingles(tokens(col("text"))),
+      s => graft.functions.StableHash.md5Prefix60(s))
+    docs.select(
+      col("doc_id"),
+      when(size(hashes) > 0, array_min(hashes)).as("fp_min"),
+      when(size(hashes) > 0, array_max(hashes)).as("fp_max"),
+      size(array_distinct(hashes)).as("n_windows"))
+      .orderBy("doc_id")
+  }
 }

@@ -371,7 +371,61 @@ object CoreQueries {
     "x_map_explode" -> ((s, dir) =>
       eventMap(Tables.events(s, dir))
         .select(col("event_id"), explode(col("m")).as(Seq("mkey", "mval")))
-        .orderBy("event_id", "mkey"))
+        .orderBy("event_id", "mkey")),
+
+    // X26: deterministic hash sampling — reproducible across engines,
+    // partitionings, and retries (Spark's native sample is none of those).
+    "x_sample_hash" -> ((s, dir) =>
+      Sampling.hashSample(Tables.orders(s, dir), col("o_orderkey"), pct = 20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // X26b: stratified variant — per-class rates (training-mix rebalance).
+    "x_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir),
+          col("event_id"), col("event_type"),
+          rates = Map("click" -> 10, "purchase" -> 100), defaultPct = 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("user_id").as("user_sum"))
+        .orderBy("event_type")),
+
+    // X5d: approximate percentile checked the same way as approx distinct —
+    // the estimator's error contract vs the exact interpolated percentile.
+    "x_agg_approx_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")) / col("exact") <= 0.05).as("within_tol"))
+        .orderBy("l_returnflag")),
+
+    // X6c: explicit grouping sets (beyond rollup/cube's fixed lattices).
+    "x_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")),
+
+    // X8b: RANGE window frame — value-based (31-day) trailing sum per
+    // customer; peers by day value, not row position.
+    "x_win_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("days"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("days",
+          datediff(col("o_orderdate"), to_date(lit("1990-01-01"))))
+        .select(col("o_custkey"), col("o_orderkey"), col("days"),
+          round(sum("o_totalprice").over(w), 2).as("sum_31d"))
+        .orderBy("o_orderkey")
+    })
   )
 
   /** Bounded event slice with a filtered MapType column: {et → event_type,
@@ -582,6 +636,34 @@ object CoreQueries {
         |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |  FROM events WHERE event_id < 2000)
         |ORDER BY event_id""".stripMargin,
+    "x_sample_hash" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE ${graft.functions.StableHash.md5Prefix60Sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 20
+         |ORDER BY o_orderkey""".stripMargin,
+    "x_sample_stratified" ->
+      s"""SELECT event_type, count(*) AS n, CAST(sum(user_id) AS BIGINT) AS user_sum
+         |FROM events
+         |WHERE ${graft.functions.StableHash.md5Prefix60Sql("CAST(event_id AS VARCHAR)")} % 100 <
+         |  CASE event_type WHEN 'click' THEN 10 WHEN 'purchase' THEN 100 ELSE 50 END
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_agg_approx_percentile" ->
+      """SELECT l_returnflag, true AS within_tol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "x_win_range" ->
+      """SELECT o_custkey, o_orderkey, days,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY days
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS sum_31d
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "x_map_explode" ->
       """WITH e AS (SELECT event_id, event_type,
         |    json_extract_string(props, '$.k') AS kstr,

@@ -1,0 +1,38 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Spark's `sample`/`sampleBy` draw from per-partition XORShift streams:
+  * results change with partitioning, retries, and engine — unusable when a
+  * training mix must be reproducible or audited. These samplers key on a
+  * stable-hash bucket of a caller-chosen key column instead: the same row
+  * is in or out everywhere, forever, at any partitioning, and the DuckDB
+  * oracle reproduces the exact sample. Pure projections — predicate
+  * pushdown still applies, nothing shuffles.
+  */
+object Sampling {
+
+  /** Hash bucket in [0, 100) for percentage-based sampling. */
+  def pctBucket(key: Column): Column =
+    StableHash.md5Prefix60(key.cast("string")) % 100
+
+  /** Keep ~pct% of rows, chosen by the key's hash bucket. */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.where(pctBucket(key) < pct)
+
+  /** Stratified variant: per-stratum percentages (default for strata not
+    * listed), e.g. downsample boilerplate classes and keep rare ones —
+    * the training-mix rebalancing pattern. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+      rates: Map[String, Int], defaultPct: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (s, pct)) =>
+      when(stratum === s, pct).otherwise(acc)
+    }
+    df.where(pctBucket(key) < rate)
+  }
+}
