@@ -190,6 +190,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-cluster assignment: connected components of the near-dup
+    * pair graph by iterative min-label propagation — the step that turns
+    * pairwise matches into "keep doc X, drop the rest of its cluster".
+    *
+    * Each iteration is one distributed join + aggregation (the standard
+    * Spark connected-components shape, cf. GraphX/large-star); the driver
+    * only sees a scalar changed-count per iteration, never the data. The
+    * loop runs to an exact fixpoint, bounded by the pair graph's diameter
+    * (near-dup clusters are near-cliques — single digits in practice) with
+    * `maxIter` as a safety stop. The DuckDB oracle computes the same
+    * components with a recursive CTE, so results are hash-exact.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edges, both directions — tiny relative to the corpus
+    // (only docs that matched some pair), cached across iterations
+    val edges = pairs.select(col("da"), col("db"))
+      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+      .cache()
+    var labels = edges.select(col("da").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var cachedGen = labels // the cached dataset backing the current labels
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, col("db") === col("node"))
+        .groupBy(col("da")).agg(min("label").as("nl"))
+      val updated = labels.join(neighborMin, col("node") === col("da"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
+        .cache()
+      changed = updated.where(col("next") < col("label")).count() // materializes `updated`
+      cachedGen.unpersist() // superseded generation — don't pin per-iteration state
+      cachedGen = updated
+      labels = updated.select(col("node"), col("next").as("label"))
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-duplicates: exact cosine within `label` buckets —
     * IVF-style coarse partitioning so the pair space is per-bucket, not
     * global (the at-scale pattern: assign → bucket-local verify). */

@@ -62,6 +62,24 @@ object LlmQueries {
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
 
+    // cluster assignment over the n-gram near-dup pair graph (bounded doc
+    // slice keeps the bench proportionate; the operator itself is
+    // corpus-size-agnostic)
+    "x_dedup_cluster" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDuplicates(
+          Tables.documents(s, dir).where(col("doc_id") < 2000), JaccardThreshold))),
+
+    "x_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.normalized(col("text")).as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")))
+        .orderBy("doc_id")),
+
+    "x_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), 3)),
+
     "x_sim_topk" -> ((s, dir) =>
       Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)),
 
@@ -227,6 +245,48 @@ object LlmQueries {
          |SELECT doc_id,
          |  CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_dedup_cluster" ->
+      s"""WITH RECURSIVE
+         |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 2000),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |    ELSE [] END)) AS s FROM ftoks),
+         |$shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |hits AS (SELECT da, db
+         |  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $JaccardThreshold),
+         |edges AS (SELECT da, db FROM hits UNION ALL SELECT db AS da, da AS db FROM hits),
+         |reach AS (SELECT da AS node, da AS label FROM edges
+         |  UNION
+         |  SELECT e.da AS node, r.label FROM edges e JOIN reach r ON e.db = r.node)
+         |SELECT node AS doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "x_normalize" ->
+      """SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len
+        |FROM (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "x_tfidf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, count(*) AS tlen FROM tok GROUP BY 1),
+         |docfreq AS (SELECT token, count(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1),
+         |total AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, token,
+         |    CAST(cnt * 1000000 * n AS BIGINT) // CAST(tlen * dfreq AS BIGINT) AS score_e6
+         |  FROM tf JOIN dlen USING (doc_id) JOIN docfreq USING (token) CROSS JOIN total),
+         |ranked AS (SELECT doc_id, token, score_e6,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, token) AS rk
+         |  FROM scored)
+         |SELECT doc_id, token, CAST(rk AS INTEGER) AS rk, score_e6
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "x_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

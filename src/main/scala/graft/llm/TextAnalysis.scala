@@ -107,6 +107,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Normalization for dedup/quality pipelines: lowercase, strip
+    * punctuation, collapse runs of whitespace, trim. Pure codegen'd
+    * projection — the pre-pass every exact-dedup key assumes. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), " +", " "))
+
+  /** TF-IDF top terms per document (linear idf = N/df — avoids
+    * `ln`, whose last-ulp behavior is libm-specific and would break the
+    * cross-engine hash check; the ranking is idf-monotone either way).
+    * Score kept in exact integer arithmetic ×10⁶. One explode pass feeds
+    * both the tf and df aggregations; df joins back on the token (shuffle
+    * on high-cardinality token — even spread); doc count N broadcasts as a
+    * 1-row cross join. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    // one explode pass → (doc, token, cnt); the repartition(doc_id) already
+    // clusters the grouping keys, so the tf aggregation adds no exchange.
+    // tf IS the distinct (doc, token) set, so document frequency and doc
+    // length both derive from it — no second pass over the token stream.
+    val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    // doc length is a windowed sum over tf's existing doc_id partitioning
+    // (no join, no exchange — a per-doc relation would be corpus-sized at
+    // 100 TB, so never broadcast); dfreq is vocabulary-bounded → broadcast.
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val scored = tf
+      .withColumn("len", sum("cnt").over(wDoc))
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_e6",
+        expr("CAST(cnt * 1000000 * n AS BIGINT) div CAST(len * df AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_e6").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("doc_id"), col("token"), col("rk"), col("score_e6"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Rolling-hash fingerprint sketch (winnowing-style): hash every word
     * 3-gram window with the engine-portable md5-prefix hash, keep the
     * min/max and the distinct-window count. Equal sketches ⇒ near-certain
