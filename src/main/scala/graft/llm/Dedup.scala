@@ -204,12 +204,18 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edges, both directions — tiny relative to the corpus
-    // (only docs that matched some pair), cached across iterations
-    val edges = pairs.select(col("da"), col("db"))
-      .unionByName(pairs.select(col("db").as("da"), col("da").as("db")))
+    // (only docs that matched some pair), cached across iterations. The
+    // pair relation is cached FIRST: both union branches read it, and an
+    // uncached union would evaluate the whole upstream pair pipeline twice.
+    // coalesce(8): the graph is orders of magnitude smaller than the
+    // corpus, so the iterative stages run on a compacted layout instead of
+    // inheriting one task per upstream shuffle partition.
+    val p = pairs.select(col("da"), col("db")).coalesce(8).cache()
+    val edges = p
+      .unionByName(p.select(col("db").as("da"), col("da").as("db")))
       .cache()
     var labels = edges.select(col("da").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
+      .withColumn("label", col("node")).coalesce(8).cache()
     var cachedGen = labels // the cached dataset backing the current labels
     var changed = 1L
     var iter = 0
@@ -219,7 +225,7 @@ object Dedup {
       val updated = labels.join(neighborMin, col("node") === col("da"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .cache()
+        .coalesce(8).cache()
       changed = updated.where(col("next") < col("label")).count() // materializes `updated`
       cachedGen.unpersist() // superseded generation — don't pin per-iteration state
       cachedGen = updated

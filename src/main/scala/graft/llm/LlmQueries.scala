@@ -68,7 +68,7 @@ object LlmQueries {
     "x_dedup_cluster" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(
-          Tables.documents(s, dir).where(col("doc_id") < 2000), JaccardThreshold))),
+          Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold))),
 
     "x_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -248,7 +248,7 @@ object LlmQueries {
     "x_dedup_cluster" ->
       s"""WITH RECURSIVE
          |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents WHERE doc_id < 2000),
+         |  FROM documents WHERE doc_id < 1000),
          |sh AS (SELECT doc_id, unnest(list_distinct(
          |  CASE WHEN len(t) >= 3
          |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
