@@ -54,6 +54,43 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Watermarked stream-stream inner join: each click joined to the same
+    * user's purchases in the following 10 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on both ends, so
+    * the state store evicts rows as soon as the watermark proves they can
+    * no longer match — bounded state at unbounded input (without the time
+    * bound Spark would have to buffer both streams forever). */
+  def clickPurchaseJoin(events: DataFrame, watermark: String): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        date_trunc("second", col("ts")).as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+  }
+
+  /** Streaming sessionization — the watermark-bounded twin of
+    * [[TimeWindows.sessionize]]: a session's state closes (and emits) once
+    * the watermark passes its gap horizon. */
+  def sessionized(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(date_trunc("second", col("ts"))).as("sess_start"),
+        max(date_trunc("second", col("ts"))).as("sess_end"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("sess_start"), col("sess_end"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming aggregation to completion against an in-memory sink
     * and return the materialized result (local verification harness). */
   def runToMemory(agg: DataFrame, name: String): DataFrame = {

@@ -53,6 +53,45 @@ class StreamingSpec extends SparkSpec with Matchers {
     spark.table("dedup_test").count() shouldBe batchKeys
   }
 
+  test("stream-stream click/purchase join equals the batch interval join") {
+    val stream = EventStream.clickPurchaseJoin(
+      EventStream.read(spark, sf0001), "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_test").collect().toSet
+
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        date_trunc("second", col("ts")).as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("p_ts"), col("value").as("p_value"))
+    val batch = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+      .collect().toSet
+    got shouldBe batch
+    batch.size should be > 0
+  }
+
+  test("streaming sessionization equals the batch session_window result") {
+    val stream = EventStream.runToMemory(
+      EventStream.sessionized(EventStream.read(spark, sf0001), "30 minutes", "1 hour"),
+      "sess_test").collect().toSet
+    val batch = TimeWindows.sessionize(
+      graft.model.Tables.events(spark, sf0001), "30 minutes")
+      .collect().toSet
+    stream shouldBe batch
+    batch.size should be > 0
+  }
+
   test("sliding windows place each event in width/slide buckets") {
     val events = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00"), "a", 2.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
