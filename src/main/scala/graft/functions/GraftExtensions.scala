@@ -5,8 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions entry point: registers graft's custom Catalyst
-  * expressions as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")`
-  * works next to the Column API.
+  * expressions as SQL functions (so `spark.sql("SELECT graft_dot(a, b)")`
+  * works next to the Column API) and the engine's optimizer rules
+  * (integral `count(DISTINCT …)` → Roaring bitmap aggregate,
+  * [[graft.plans.BitmapDistinctRewrite]]).
   *
   * Wire-up: `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`; for an existing
@@ -15,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
+    e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
   }
 }
 

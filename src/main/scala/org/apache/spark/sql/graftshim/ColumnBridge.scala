@@ -13,3 +13,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same-package bridge for turning an optimized/transformed LogicalPlan
+  * back into a DataFrame (`Dataset.ofRows` is private[sql]) — used by plan
+  * tests to execute the output of a standalone optimizer rule. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.PlanBridge
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.BitmapDistinctCount
+import graft.plans.BitmapDistinctRewrite
+
+/** The optimizer rule that swaps integral `count(DISTINCT c)` for the
+  * Roaring bitmap aggregate: plan shape + exact-equality checks. */
+class BitmapRewriteSpec extends SparkSpec with Matchers {
+
+  private def lineitem = graft.model.Tables.lineitem(spark, sf0001)
+
+  test("integral count distinct rewrites to the bitmap aggregate") {
+    val df = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    val rewritten = BitmapDistinctRewrite(df.queryExecution.analyzed)
+    val found = rewritten.expressions.flatMap(_.collect {
+      case b: BitmapDistinctCount => b
+    })
+    found should have size 1
+    // no distinct flag survives → no Expand-based distinct planning later
+    val stillDistinct = rewritten.expressions.flatMap(_.collect {
+      case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+          if ae.isDistinct => ae
+    })
+    stillDistinct shouldBe empty
+  }
+
+  test("rewritten plan returns exactly the distinct counts") {
+    val df = lineitem.groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+    val rewritten = PlanBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      BitmapDistinctRewrite(df.queryExecution.analyzed))
+    rewritten.collect().toSeq shouldBe df.collect().toSeq
+  }
+
+  test("non-integral and multi-column distincts pass through untouched") {
+    val strDistinct = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_linestatus")).as("n")) // string column
+    val multi = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey"), col("l_suppkey")).as("n"))
+    Seq(strDistinct, multi).foreach { df =>
+      val rewritten = BitmapDistinctRewrite(df.queryExecution.analyzed)
+      rewritten.expressions.flatMap(_.collect {
+        case b: BitmapDistinctCount => b
+      }) shouldBe empty
+    }
+  }
+}
