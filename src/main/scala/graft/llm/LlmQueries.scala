@@ -87,7 +87,10 @@ object LlmQueries {
       Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 5)),
 
     "x_multimodal" -> ((s, dir) =>
-      Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id"))
+      Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
+    "x_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir)))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -326,6 +329,19 @@ object LlmQueries {
         |    ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS first_byte,
         |  CAST(coalesce(list_sum(list_transform(range(length(text)),
         |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) % 1000003 AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frames are character-addressed (see Multimodal.frameSample); Spark's
+    // sequence(0, nf-1, s) and DuckDB's range(0, nf, s) enumerate the same
+    // sampled indices
+    "x_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST((length(text) + 63) // 64 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  CASE WHEN n_frames > 0 THEN array_to_string(
+        |    list_transform(range(0, CAST(n_frames AS BIGINT), 4),
+        |      i -> substring(md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)), 1, 8)), ',')
+        |  ELSE '' END AS fp_csv
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

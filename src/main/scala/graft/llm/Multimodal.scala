@@ -47,4 +47,22 @@ object Multimodal {
     withPayload(docs).select("doc_id", "payload").as[MediaRow]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** Frame sampling — the video-pipeline shape: split the payload into
+    * fixed-size frames, keep every `stride`-th, fingerprint each kept
+    * frame. Frames are character-addressed (a real codec would slice
+    * byte ranges; character frames keep the differential oracle exact for
+    * multi-byte text payloads) and the whole thing is per-row column
+    * expressions — no shuffle, no UDF. */
+  def frameSample(docs: DataFrame, frameChars: Int = 64, stride: Int = 4): DataFrame = {
+    val nf = floor((length(col("text")) + frameChars - 1) / frameChars).cast("int")
+    docs.select(
+      col("doc_id"),
+      nf.as("n_frames"),
+      when(nf > 0,
+        concat_ws(",", transform(sequence(lit(0), nf - 1, lit(stride)),
+          i => substring(md5(col("text").substr(i * frameChars + 1, lit(frameChars))), 1, 8))))
+        .otherwise("").as("fp_csv"))
+      .orderBy("doc_id")
+  }
 }
