@@ -214,8 +214,13 @@ object Dedup {
     val edges = p
       .unionByName(p.select(col("db").as("da"), col("da").as("db")))
       .cache()
-    var labels = edges.select(col("da").as("node")).distinct()
-      .withColumn("label", col("node")).coalesce(8).cache()
+    // iteration 0 fused into initialization: the bidirectional edge list
+    // names every node on its `da` side, so one aggregation yields both the
+    // node set and its first propagated label min(node, neighbors)
+    var labels = edges.groupBy(col("da").as("node"))
+      .agg(min(col("db")).as("mn"))
+      .select(col("node"), least(col("mn"), col("node")).as("label"))
+      .coalesce(8).cache()
     var cachedGen = labels // the cached dataset backing the current labels
     var changed = 1L
     var iter = 0

@@ -6,6 +6,11 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Tables
 
+/** Typed row for the Dataset[T] pipeline key (top-level so the case-class
+  * Encoder derives cleanly). */
+final case class OrderRow(
+    o_orderkey: Long, o_custkey: Long, o_orderstatus: String, o_totalprice: Double)
+
 /** Relational breadth (SURVEY.md §2B X1–X13): the general-purpose query
   * surface over the star schema. All built-in Catalyst operators — filters
   * and projections push to the parquet scan, dimension joins broadcast, fact
@@ -414,6 +419,38 @@ object CoreQueries {
           col("n"), col("total"))
         .orderBy("status", "priority")),
 
+    // X34: spark.sql surface + correlated scalar subquery (Catalyst
+    // decorrelates it into a left outer aggregate join — the plan a user
+    // writing SQL against this engine actually gets).
+    "x_sql_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT round(max(l_quantity), 2) FROM v_lineitem
+          |   WHERE l_orderkey = o_orderkey) AS max_qty
+          |FROM v_orders
+          |WHERE o_orderkey < 3000
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // X35: typed Dataset[T] pipeline — case-class Encoder, typed filter +
+    // map + groupByKey aggregation (the compile-time-checked API path).
+    "x_typed_ds" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .as[OrderRow]
+        .filter(_.o_totalprice > 100000.0)
+        .map(o => (o.o_orderstatus, o.o_totalprice))
+        .groupByKey(_._1)
+        .agg(
+          count(lit(1)).as[Long],
+          round(sum(col("_2")), 2).as[Double])
+        .toDF("o_orderstatus", "n", "total")
+        .orderBy("o_orderstatus")
+    }),
+
     // X8b: RANGE window frame — value-based (31-day) trailing sum per
     // customer; peers by day value, not row position.
     "x_win_range" -> ((s, dir) => {
@@ -656,6 +693,15 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "x_sql_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT round(max(l_quantity), 2) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_typed_ds" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 100000.0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x_win_range" ->
       """SELECT o_custkey, o_orderkey, days,
         |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY days
