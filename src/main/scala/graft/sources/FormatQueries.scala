@@ -61,11 +61,61 @@ object FormatQueries {
       .orderBy("o_orderkey")
   }
 
+  /** Snapshot ("time travel") emulation over an append-only versioned log —
+    * the Delta/Iceberg read pattern re-expressed on plain parquet (no table
+    * format jar offline, SURVEY X25): every write appends full rows tagged
+    * with a monotonically increasing version; a read "as of v" filters
+    * `version <= v` and keeps the per-key latest. Version 2 re-prices every
+    * third order; the as-of-2 read must surface exactly those updates. */
+  private def snapshotRead(spark: SparkSession, dir: String, asOf: Int): DataFrame = {
+    val path = Sinks.tempDir("snapshot_log")
+    val orders = Tables.orders(spark, dir)
+    orders.select(col("o_orderkey"), col("o_totalprice"), lit(1).as("version"))
+      .repartition(4).write.mode("overwrite").parquet(path)
+    orders.where(col("o_orderkey") % 3 === 0)
+      // +1000.0, not *1.1+round: identical doubles add identically in both
+      // engines; row-level round() is engine-divergent on .xx5
+      .select(col("o_orderkey"), (col("o_totalprice") + 1000.0).as("o_totalprice"),
+        lit(2).as("version"))
+      .repartition(4).write.mode("append").parquet(path)
+    val log = spark.read.parquet(path).where(col("version") <= asOf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("version").desc)
+    log.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_orderkey", "o_totalprice", "version")
+      .orderBy("o_orderkey")
+  }
+
+  /** Small-file compaction — the lake-maintenance rewrite: a landing zone
+    * fragmented into one file per arriving micro-batch is rewritten into a
+    * few large files. Content must be byte-identical (the oracle re-derives
+    * it from the source table); CompactionSpec asserts the file count
+    * actually dropped. */
+  def compact(spark: SparkSession, dir: String): (String, DataFrame) = {
+    val fragmented = Sinks.tempDir("compact_in")
+    val compacted = Sinks.tempDir("compact_out")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      .repartition(64) // the small-file problem, induced
+      .write.mode("overwrite").parquet(fragmented)
+    spark.read.parquet(fragmented)
+      .coalesce(4) // no shuffle: files merge within existing partitions
+      .write.mode("overwrite").parquet(compacted)
+    (compacted, spark.read.parquet(compacted)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_source_csv" -> ((s, dir) => roundTrip(s, dir, "csv")),
     "x_source_json" -> ((s, dir) => roundTrip(s, dir, "json")),
     "x_source_orc" -> ((s, dir) => roundTrip(s, dir, "orc")),
-    "x_schema_evolution" -> ((s, dir) => schemaEvolution(s, dir))
+    "x_schema_evolution" -> ((s, dir) => schemaEvolution(s, dir)),
+    "x_snapshot_read" -> ((s, dir) => snapshotRead(s, dir, asOf = 2)),
+    "x_compaction" -> ((s, dir) => compact(s, dir)._2)
   )
 
   private val aggSql =
@@ -81,6 +131,13 @@ object FormatQueries {
     "x_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x_snapshot_read" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x_compaction" -> aggSql
   )
 }
