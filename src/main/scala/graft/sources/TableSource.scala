@@ -84,7 +84,11 @@ final case class JdbcSource(
       .collect()
       .head
     if (row.isNullAt(0)) this // empty table: single-partition read is correct
-    else copy(partitioning =
-      Some(JdbcPartitioning(column, row.getLong(0), row.getLong(1), numPartitions)))
+    else copy(partitioning = Some(JdbcPartitioning(column,
+      // MIN/MAX surface in the column's own width (int for INT keys) —
+      // widen via Number instead of assuming long
+      row.getAs[Number](0).longValue(),
+      row.getAs[Number](1).longValue(),
+      numPartitions)))
   }
 }
