@@ -200,16 +200,26 @@ object Dedup {
     * (near-dup clusters are near-cliques — single digits in practice) with
     * `maxIter` as a safety stop. The DuckDB oracle computes the same
     * components with a recursive CTE, so results are hash-exact.
+    *
+    * `graphPartitions` sizes the compacted layout for the iterative stages:
+    * the pair graph is orders of magnitude smaller than the corpus, so
+    * inheriting one task per upstream shuffle partition wastes scheduler
+    * round-trips per iteration. Default (0) keeps the cluster's default
+    * parallelism; pass an explicit small value when the graph is known to
+    * be tiny (the bench key uses 8 for the testdata slice).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+      graphPartitions: Int = 0): DataFrame = {
+    val parts = if (graphPartitions > 0) graphPartitions
+      else pairs.sparkSession.sparkContext.defaultParallelism
     // undirected edges, both directions — tiny relative to the corpus
     // (only docs that matched some pair), cached across iterations. The
     // pair relation is cached FIRST: both union branches read it, and an
     // uncached union would evaluate the whole upstream pair pipeline twice.
-    // coalesce(8): the graph is orders of magnitude smaller than the
+    // coalesce(parts): the graph is orders of magnitude smaller than the
     // corpus, so the iterative stages run on a compacted layout instead of
     // inheriting one task per upstream shuffle partition.
-    val p = pairs.select(col("da"), col("db")).coalesce(8).cache()
+    val p = pairs.select(col("da"), col("db")).coalesce(parts).cache()
     val edges = p
       .unionByName(p.select(col("db").as("da"), col("da").as("db")))
       .cache()
@@ -219,7 +229,7 @@ object Dedup {
     var labels = edges.groupBy(col("da").as("node"))
       .agg(min(col("db")).as("mn"))
       .select(col("node"), least(col("mn"), col("node")).as("label"))
-      .coalesce(8).cache()
+      .coalesce(parts).cache()
     var cachedGen = labels // the cached dataset backing the current labels
     var changed = 1L
     var iter = 0
@@ -229,7 +239,7 @@ object Dedup {
       val updated = labels.join(neighborMin, col("node") === col("da"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .coalesce(8).cache()
+        .coalesce(parts).cache()
       changed = updated.where(col("next") < col("label")).count() // materializes `updated`
       cachedGen.unpersist() // superseded generation — don't pin per-iteration state
       cachedGen = updated

@@ -68,7 +68,8 @@ object LlmQueries {
     "x_dedup_cluster" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.nearDuplicates(
-          Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold))),
+          Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold),
+        graphPartitions = 8)), // testdata pair graph is ~100 edges
 
     "x_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
