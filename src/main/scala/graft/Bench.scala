@@ -23,6 +23,12 @@ object Bench {
         .save(graft.ingest.Sinks.tempDir(s"warm_$fmt"))
       catch { case _: Throwable => () }
     }
+    // file-index listing + footer reads for the bench-scale tables land
+    // here, not inside whichever query happens to sort first
+    graft.model.Tables.names.foreach { t =>
+      try graft.model.Tables.load(spark, sfDir, t).limit(1).count()
+      catch { case _: Throwable => () }
+    }
     // deterministic (sorted) order: run-to-run and round-to-round timings
     // compare like-for-like instead of depending on Map iteration order
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
