@@ -81,6 +81,9 @@ object LlmQueries {
     "x_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), 3)),
 
+    "x_curation" -> ((s, dir) =>
+      TextAnalysis.curationVerdict(Tables.documents(s, dir), minQuality = 0.15)),
+
     "x_sim_topk" -> ((s, dir) =>
       Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)),
 
@@ -291,6 +294,33 @@ object LlmQueries {
          |  FROM scored)
          |SELECT doc_id, token, CAST(rk AS INTEGER) AS rk, score_e6
          |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "x_curation" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, lang, text, t,
+         |    len(list_filter(t, w -> w IN (${stopIn("de")}))) AS s_de,
+         |    len(list_filter(t, w -> w IN (${stopIn("en")}))) AS s_en,
+         |    len(list_filter(t, w -> w IN (${stopIn("es")}))) AS s_es,
+         |    len(list_filter(t, w -> w IN (${stopIn("fr")}))) AS s_fr,
+         |    len(t) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS div_raw,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |      / length(text) AS punct_raw,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM toks),
+         |v AS (SELECT doc_id, lang, keeper,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_fr THEN 'es'
+         |         ELSE 'fr' END AS pred_lang,
+         |    round(least(n_tokens / 100.0, 1.0) * div_raw * (1.0 - punct_raw), 6) AS quality
+         |  FROM scored)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id <> keeper THEN 'duplicate'
+         |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+         |       WHEN quality < 0.15 THEN 'low_quality'
+         |       ELSE 'keep' END AS verdict
+         |FROM v ORDER BY doc_id""".stripMargin,
     "x_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
          |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm

@@ -107,6 +107,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Curation verdict — the pipeline terminus that composes the filters a
+    * training-data curator actually applies, with first-failing-rule
+    * attribution: exact-duplicate suppression (canonical = min doc_id per
+    * content hash, one windowed aggregation over the hash partition),
+    * language-ID agreement, and quality-score floor. Everything is column
+    * expressions over one pass; the content-hash window shuffles once on
+    * md5(text) (high cardinality — even spread). */
+  def curationVerdict(docs: DataFrame, minQuality: Double): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val diversity = size(array_distinct(t)).cast("double") / nTok
+    val punct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
+      length(col("text")).cast("double")
+    val quality = round(least(nTok / 100.0, lit(1.0)) * diversity * (lit(1.0) - punct), 6)
+    val keeper = min(col("doc_id"))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+    docs.select(col("doc_id"), col("lang"),
+        quality.as("quality"),
+        languageId(col("text")).as("pred_lang"),
+        keeper.as("keeper"))
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper"), "duplicate")
+          .when(col("pred_lang") =!= col("lang"), "lang_mismatch")
+          .when(col("quality") < minQuality, "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** Normalization for dedup/quality pipelines: lowercase, strip
     * punctuation, collapse runs of whitespace, trim. Pure codegen'd
     * projection — the pre-pass every exact-dedup key assumes. */
