@@ -109,7 +109,35 @@ object FormatQueries {
       .orderBy("event_type"))
   }
 
+  /** Defensive reads beyond FAILFAST (reference O8): PERMISSIVE mode with a
+    * `_corrupt_record` column quarantines malformed rows instead of failing
+    * the batch — the landing-zone posture when upstream producers can't be
+    * trusted. The fixture is self-authored (3 valid + 2 broken JSON lines);
+    * the result is the valid/corrupt split. */
+  private def corruptRead(spark: SparkSession): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt")
+    java.nio.file.Files.writeString(dir.resolve("batch.json"),
+      """{"id": 1, "v": 10.0}
+        |{"id": 2, "v": 20.0}
+        |{"id": broken
+        |{"id": 3, "v": 30.0}
+        |not json at all""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // SPARK-21610: corrupt-column queries need the full row materialized
+    read.agg(
+      count(col("id")).as("n_valid"),
+      count(col("_corrupt_record")).as("n_corrupt"),
+      round(sum("v"), 2).as("v_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_source_corrupt" -> ((s, dir) => corruptRead(s)),
     "x_source_csv" -> ((s, dir) => roundTrip(s, dir, "csv")),
     "x_source_json" -> ((s, dir) => roundTrip(s, dir, "json")),
     "x_source_orc" -> ((s, dir) => roundTrip(s, dir, "orc")),
@@ -138,6 +166,11 @@ object FormatQueries {
         |       ELSE o_totalprice END AS o_totalprice,
         |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS version
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "x_compaction" -> aggSql
+    "x_compaction" -> aggSql,
+    // fixture is self-authored (no source table); the oracle pins the
+    // deterministic quarantine split the PERMISSIVE read must produce
+    "x_source_corrupt" ->
+      """SELECT CAST(3 AS BIGINT) AS n_valid, CAST(2 AS BIGINT) AS n_corrupt,
+        |  round(60.0, 2) AS v_sum""".stripMargin
   )
 }
