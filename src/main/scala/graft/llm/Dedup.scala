@@ -106,6 +106,12 @@ object Dedup {
     * candidate generator for the bounded space; |A∩B| falls out of the pair
     * count. */
   def nearDuplicates(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame =
+    nearDuplicatePairs(docs, threshold, maxDf).orderBy("da", "db")
+
+  /** [[nearDuplicates]] without the presentation sort — feed this to
+    * downstream consumers (cluster assignment) that re-partition anyway. */
+  def nearDuplicatePairs(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
     // the id relation feeds the df computation, the size lookup, and both
     // join sides — materialize once (16 bytes/row) instead of re-exploding
@@ -127,7 +133,6 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("da", "db")
   }
 
   /** MinHash signatures: per doc, min over md5-derived shingle ids of each
@@ -246,6 +251,11 @@ object Dedup {
       labels = updated.select(col("node"), col("next").as("label"))
       iter += 1
     }
+    // a silent partial result would be wrong cluster assignments — fail
+    // loudly instead (deep chains need a larger maxIter)
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter for this graph")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

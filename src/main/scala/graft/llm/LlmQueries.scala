@@ -67,7 +67,7 @@ object LlmQueries {
     // corpus-size-agnostic)
     "x_dedup_cluster" -> ((s, dir) =>
       Dedup.duplicateClusters(
-        Dedup.nearDuplicates(
+        Dedup.nearDuplicatePairs( // unsorted: clustering re-partitions anyway
           Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold),
         graphPartitions = 8)), // testdata pair graph is ~100 edges
 
@@ -111,9 +111,10 @@ object LlmQueries {
     TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(", ")
 
   /** DuckDB twin of Dedup.hashId: md5-prefix-derived BIGINT reduced mod P —
-    * a pure projection, no dictionary, no global sort (VERDICT r01 #1). */
+    * a pure projection, no dictionary, no global sort (VERDICT r01 #1).
+    * Delegates to StableHash so the recipe has exactly one definition. */
   private def hashIdSql(c: String): String =
-    s"CAST('0x' || substring(md5($c), 1, 15) AS BIGINT) % ${Dedup.P}"
+    s"${graft.functions.StableHash.md5Prefix60Sql(c)} % ${Dedup.P}"
 
   /** DuckDB twin of Dedup.nearDuplicates' bounded id space: md5-derived
     * shingle ids, document-frequency cutoff applied identically. */

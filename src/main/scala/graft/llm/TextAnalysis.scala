@@ -54,22 +54,32 @@ object TextAnalysis {
       col("n_chars"))
   }
 
-  /** Quality score in [0,1]: length saturation × lexical diversity ×
-    * (1 − punctuation density). Deterministic double arithmetic. */
-  def qualityScore(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val diversity = size(array_distinct(t)).cast("double") / nTok
-    val punct = (length(col("text")) -
+  /** Lexical diversity of a token array: distinct fraction. */
+  def diversityExpr(t: Column): Column =
+    size(array_distinct(t)).cast("double") / size(t).cast("double")
+
+  /** Punctuation density of the text column. */
+  def punctExpr: Column =
+    (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
       length(col("text")).cast("double")
+
+  /** Quality score in [0,1]: length saturation × lexical diversity ×
+    * (1 − punctuation density) — the single definition shared by
+    * qualityScore and curationVerdict (and mirrored by their oracles). */
+  def qualityExpr(t: Column): Column =
+    round(least(size(t).cast("double") / 100.0, lit(1.0)) *
+      diversityExpr(t) * (lit(1.0) - punctExpr), 6)
+
+  /** Per-document quality breakdown. Deterministic double arithmetic. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
     docs.select(
       col("doc_id"),
       size(t).as("n_tokens"),
-      round(diversity, 6).as("diversity"),
-      round(punct, 6).as("punct_ratio"),
-      round(least(nTok / 100.0, lit(1.0)) * diversity * (lit(1.0) - punct), 6)
-        .as("quality"))
+      round(diversityExpr(t), 6).as("diversity"),
+      round(punctExpr, 6).as("punct_ratio"),
+      qualityExpr(t).as("quality"))
   }
 
   /** Global token frequency top-k (explode → hash agg → TakeOrdered). */
@@ -116,16 +126,10 @@ object TextAnalysis {
     * md5(text) (high cardinality — even spread). */
   def curationVerdict(docs: DataFrame, minQuality: Double): DataFrame = {
     val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val diversity = size(array_distinct(t)).cast("double") / nTok
-    val punct = (length(col("text")) -
-      length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double") /
-      length(col("text")).cast("double")
-    val quality = round(least(nTok / 100.0, lit(1.0)) * diversity * (lit(1.0) - punct), 6)
     val keeper = min(col("doc_id"))
       .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
     docs.select(col("doc_id"), col("lang"),
-        quality.as("quality"),
+        qualityExpr(t).as("quality"),
         languageId(col("text")).as("pred_lang"),
         keeper.as("keeper"))
       .select(col("doc_id"),

@@ -29,15 +29,23 @@ final case class JdbcPartitioning(
   require(upperBound >= lowerBound, s"bounds inverted: [$lowerBound, $upperBound]")
   require(numPartitions > 0, "numPartitions must be positive")
 
+  /** Key span as an unsigned count — `upper - lower` wraps negative when
+    * the range covers most of the long domain (hash-derived keys), which
+    * would silently collapse the scan to one partition. */
+  private def span: Long = upperBound - lowerBound // interpret unsigned below
+
   /** Partitions that actually receive a key sub-range: Spark's JDBC stride
     * is (upper - lower) / n; a span smaller than n collapses the tail. */
   def effectivePartitions: Int =
-    math.min(numPartitions.toLong, math.max(1L, upperBound - lowerBound + 1)).toInt
+    if (java.lang.Long.compareUnsigned(span, numPartitions.toLong) >= 0) numPartitions
+    else math.max(1L, span + 1).toInt
 
   /** Keys per partition range (the quantity to sanity-check against
     * executor memory when sizing numPartitions). */
-  def stride: Long =
-    math.max(1L, (upperBound - lowerBound) / effectivePartitions)
+  def stride: Long = {
+    val s = java.lang.Long.divideUnsigned(span, effectivePartitions.toLong)
+    if (s == 0L) 1L else s
+  }
 
   def options: Map[String, String] = Map(
     "partitionColumn" -> column,

@@ -21,9 +21,9 @@ class JdbcSourceSpec extends AnyFunSuite {
   test("degenerate placeholder bounds would be rejected by stride sanity") {
     // the r01 placeholder: [0, Long.MaxValue) over 8 partitions
     val p = JdbcPartitioning("id", 0L, Long.MaxValue, 8)
-    // stride ~1.15e18: any realistic key (< 2^40) lands in partition 0 —
+    // stride ~2^60: any realistic key (< 2^40) lands in partition 0 —
     // the check a caller should make before accepting discovered bounds
-    assert(p.stride > (1L << 60))
+    assert(p.stride >= (1L << 59))
   }
 
   test("span smaller than partition count collapses to span partitions") {
@@ -43,5 +43,14 @@ class JdbcSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       JdbcPartitioning("id", 10L, 5L, 4)
     }
+  }
+
+  test("full-domain span (hash-derived keys) keeps all partitions") {
+    // upper - lower wraps negative here; the unsigned math must not
+    // collapse the scan to one partition
+    val p = JdbcPartitioning("h", Long.MinValue + 10, Long.MaxValue - 10, 8)
+    assert(p.effectivePartitions == 8)
+    assert(p.stride > (1L << 59))
+    assert(p.options("numPartitions") == "8")
   }
 }
