@@ -92,6 +92,36 @@ class StreamingSpec extends SparkSpec with Matchers {
     batch.size should be > 0
   }
 
+  test("AvailableNow trigger drains the source then stops (scheduled-batch pattern)") {
+    // the reference's scheduled daily run (O1) maps to this trigger: each
+    // invocation processes everything available, then terminates
+    val agg = EventStream.tumbling(EventStream.read(spark, sf0001), "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("avail_now_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true // self-terminates after draining
+    val streamed = spark.table("avail_now_test").collect().toSet
+    val batch = TimeWindows.tumbling(
+      graft.model.Tables.events(spark, sf0001), "10 minutes").collect().toSet
+    streamed shouldBe batch
+  }
+
+  test("foreachBatch bridges streaming micro-batches into a batch sink") {
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = EventStream.read(spark, sf0001)
+      .select("event_id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sink.addAndGet(batch.count()) // stands in for a parquet/JDBC batch write
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+    sink.get() shouldBe graft.model.Tables.events(spark, sf0001).count()
+  }
+
   test("sliding windows place each event in width/slide buckets") {
     val events = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00"), "a", 2.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
