@@ -359,6 +359,35 @@ object CoreQueries {
           round(col("v").cast("double"), 6).as("val"))
         .orderBy("vec_id", "pos")),
 
+    // X7b: value-positional windows — first/last/nth order values per
+    // customer (frame pinned to the full partition so last/nth are stable).
+    "x_win_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        first("o_orderkey").over(w).as("first_order"),
+        last("o_orderkey").over(w).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // X4b: argmax/argmin aggregates — the key of the extreme row, not the
+    // extreme value (max_by/min_by ≙ DuckDB arg_max/arg_min). Tie-safe:
+    // o_totalprice ties are broken by aggregating the min orderkey among
+    // the tied rows on both engines via the (price, -orderkey) pair trick.
+    "x_agg_minmax_by" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderkey"),
+            struct(col("o_totalprice"), (-col("o_orderkey")).as("nk"))).as("priciest_order"),
+          min_by(col("o_orderkey"),
+            struct(col("o_totalprice"), col("o_orderkey"))).as("cheapest_order"),
+          round(max("o_totalprice"), 2).as("max_price"))
+        .orderBy("o_orderstatus")),
+
     // X24: native MapType — build a map from the event payload, filter its
     // entries (map_filter), introspect keys (map_keys / size / element_at).
     // The reference's type fallback coerces MAP columns to STRING
@@ -693,6 +722,29 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "x_win_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER w AS last_order,
+        |  nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // arg_max in this DuckDB build lacks struct order keys; the window
+    // formulation encodes the same (price, orderkey) tie-break
+    "x_agg_minmax_by" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rmax,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey) AS rmin
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
