@@ -24,7 +24,13 @@ object CdcQueries {
 
   /** Catalog stand-in: (table_name, update_time). */
   def catalog(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    catalogOf(Tables.events(spark, sfDir))
+
+  /** Catalog from an already-loaded (possibly cached) events relation —
+    * composite pipelines scan events several times and shouldn't pay the
+    * source read per derivation. */
+  def catalogOf(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type").as("table_name"))
       .agg(max(date_trunc("second", col("ts"))).as("update_time"))
 
@@ -33,7 +39,11 @@ object CdcQueries {
     * even-user events ingested (so some tables have strictly newer source
     * data → the strict-`>` branch fires at every SF, checked empirically). */
   def history(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+    historyOf(Tables.events(spark, sfDir))
+
+  /** History from an already-loaded events relation (see [[catalogOf]]). */
+  def historyOf(events: DataFrame): DataFrame =
+    events
       .where(col("user_id") % 2 === 0 && col("event_type") =!= "click")
       .select(col("event_type").as("table_name"),
         date_trunc("second", col("ts")).as("execution_time"))

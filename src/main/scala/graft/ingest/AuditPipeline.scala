@@ -22,13 +22,15 @@ object AuditPipeline {
 
   /** Audit rows for the current round's changed tables. */
   def auditRows(spark: SparkSession, sfDir: String): DataFrame = {
-    val catalog = CdcQueries.catalog(spark, sfDir)
-    val history = CdcQueries.history(spark, sfDir)
+    // one cached scan feeds catalog, history, AND the row counting — the
+    // composite otherwise reads the source table three times here alone
+    val events = Tables.events(spark, sfDir).cache()
+    val catalog = CdcQueries.catalogOf(events)
+    val history = CdcQueries.historyOf(events)
     // changed feeds both the semi-join and the timestamp lookup — cache the
     // (tiny) result instead of re-running the CDC chain per consumer
     val changed = ChangeDetection.changedTables(catalog, history)
       .select("table_name", "update_time").cache()
-    val events = Tables.events(spark, sfDir)
     val counts = events
       .join(changed, events("event_type") === changed("table_name"), "left_semi")
       .groupBy(col("event_type").as("table_name"))
@@ -50,10 +52,12 @@ object AuditPipeline {
     val sink = Sinks.tempDir("audit")
     Sinks.append(auditRows(spark, sfDir), sink)
     val audit = Sinks.read(spark, sink)
-    val newHistory = CdcQueries.history(spark, sfDir)
+    // the cache populated inside auditRows serves the re-check reads too
+    val events = Tables.events(spark, sfDir)
+    val newHistory = CdcQueries.historyOf(events)
       .unionByName(audit.select("table_name", "execution_time"))
     val recheck = ChangeDetection.changedTables(
-      CdcQueries.catalog(spark, sfDir), newHistory)
+      CdcQueries.catalogOf(events), newHistory)
     (audit.orderBy("table_name"), recheck)
   }
 }
