@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec with Matchers {
     batch.size should be > 0
   }
 
+  test("streaming dedup runs on the RocksDB state store (at-scale state backend)") {
+    // the default HDFS-backed store keeps state on-heap; RocksDB is the
+    // backend that holds 100 TB-scale dedup state — same results required
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val deduped = EventStream.dedup(EventStream.read(spark, sf0001), "1 hour")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_dedup_test").start()
+      q.processAllAvailable()
+      q.stop()
+      val batchKeys = graft.model.Tables.events(spark, sf0001)
+        .select("user_id", "event_type").distinct().count()
+      spark.table("rocksdb_dedup_test").count() shouldBe batchKeys
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("AvailableNow trigger drains the source then stops (scheduled-batch pattern)") {
     // the reference's scheduled daily run (O1) maps to this trigger: each
     // invocation processes everything available, then terminates
