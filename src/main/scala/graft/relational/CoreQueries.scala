@@ -388,6 +388,17 @@ object CoreQueries {
           round(max("o_totalprice"), 2).as("max_price"))
         .orderBy("o_orderstatus")),
 
+    // X4c: boolean + conditional aggregates — data-quality assertion shape
+    // ("all rows in this partition satisfy the invariant").
+    "x_agg_bool" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_over_400k"),
+          count_if(col("o_totalprice") > 200000.0).as("n_over_200k"))
+        .orderBy("o_orderstatus")),
+
     // X24: native MapType — build a map from the event payload, filter its
     // entries (map_filter), introspect keys (map_keys / size / element_at).
     // The reference's type fallback coerces MAP columns to STRING
@@ -722,6 +733,12 @@ object CoreQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "x_agg_bool" ->
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_over_400k,
+        |  count_if(o_totalprice > 200000.0) AS n_over_200k
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x_win_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_orderkey) OVER w AS first_order,
