@@ -150,9 +150,19 @@ object TextAnalysis {
     * `ln`, whose last-ulp behavior is libm-specific and would break the
     * cross-engine hash check; the ranking is idf-monotone either way).
     * Score kept in exact integer arithmetic ×10⁶. One explode pass feeds
-    * both the tf and df aggregations; df joins back on the token (shuffle
-    * on high-cardinality token — even spread); doc count N broadcasts as a
-    * 1-row cross join. */
+    * both the tf and df aggregations; df joins back on the token — a plain
+    * shuffle join on the high-cardinality, even-spread token key, with NO
+    * broadcast hint: a raw web-scale vocabulary (typos, URLs, numbers) is
+    * 10⁸+ distinct tokens, far past broadcast range, and AQE still picks a
+    * broadcast on its own when dfreq turns out genuinely small. Doc count N
+    * broadcasts as a 1-row cross join.
+    *
+    * Overflow ceiling: the ×10⁶-scaled score computes `cnt · 10⁶ · N` in
+    * BIGINT, which wraps (silently in non-ANSI Spark, loudly in DuckDB)
+    * once max-term-count × corpus-doc-count exceeds 2⁶³/10⁶ ≈ 9.2 × 10¹².
+    * With per-doc term counts ≤ 10⁴ that is safe to ~10⁹ documents; for a
+    * larger corpus lower the score scale (10³) or compute the score in
+    * DECIMAL(38,0). */
   def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     // one explode pass → (doc, token, cnt); the repartition(doc_id) already
     // clusters the grouping keys, so the tf aggregation adds no exchange.
@@ -165,11 +175,11 @@ object TextAnalysis {
     val n = docs.select(count(lit(1)).as("n"))
     // doc length is a windowed sum over tf's existing doc_id partitioning
     // (no join, no exchange — a per-doc relation would be corpus-sized at
-    // 100 TB, so never broadcast); dfreq is vocabulary-bounded → broadcast.
+    // 100 TB, so never broadcast)
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val scored = tf
       .withColumn("len", sum("cnt").over(wDoc))
-      .join(broadcast(dfreq), "token")
+      .join(dfreq, "token")
       .crossJoin(broadcast(n))
       .withColumn("score_e6",
         expr("CAST(cnt * 1000000 * n AS BIGINT) div CAST(len * df AS BIGINT)"))

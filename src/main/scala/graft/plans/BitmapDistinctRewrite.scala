@@ -28,10 +28,25 @@ import graft.functions.BitmapDistinctCount
   * Registered via `GraftExtensions` (injectOptimizerRule → operator
   * optimization batch, which runs before RewriteDistinctAggregates'
   * Expand). Proven equal + plan-checked in BitmapRewriteSpec.
+  *
+  * Memory trade-off and the opt-out conf: Roaring bitmaps compress dense
+  * and clustered id domains extremely well, but a high-entropy 64-bit
+  * domain (random/hashed ids) degrades toward one 16-bit container per
+  * value — the per-group on-heap state can then exceed what the standard
+  * Expand plan shuffles. The rewrite is therefore gated on
+  * `spark.graft.bitmapDistinct.enabled` (default true): set it to false
+  * per-session or per-statement (`SET spark.graft.bitmapDistinct.enabled=
+  * false`) when counting distinct over unbounded high-entropy domains.
   */
 object BitmapDistinctRewrite extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  val EnabledKey = "spark.graft.bitmapDistinct.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
+    else rewrite(plan)
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
       agg.copy(aggregateExpressions = agg.aggregateExpressions.map { ne =>
         ne.transformUp {
