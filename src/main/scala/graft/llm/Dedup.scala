@@ -260,18 +260,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding near-duplicates: exact cosine within `label` buckets —
-    * IVF-style coarse partitioning so the pair space is per-bucket, not
-    * global (the at-scale pattern: assign → bucket-local verify). */
+  /** Embedding near-duplicates, IVF-bucketed: build centroids
+    * ([[Similarity.centroidVectors]]), assign every vector to its nearest
+    * centroid ([[Similarity.assignCells]]), then verify with exact cosine
+    * inside each cell only — the real assign → cell-local-verify ANN
+    * pattern. Pair space is Σ|cell|²/2 ≈ N²/(2K) for K balanced cells, so
+    * K scales the quadratic down (K ≈ √N gives N^1.5 total work); the
+    * r02 version bucketed on the raw `label` column, whose FIXED bucket
+    * count left the per-bucket pair space linear in corpus size.
+    *
+    * Recall bound: a near-dup pair split across two cells is missed — the
+    * standard IVF trade; tighten with multi-probe assignment (assign each
+    * vector to its 2 nearest cells and dedupe pairs) when recall matters
+    * more than the 2× candidate volume. */
   def embeddingNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
+    val cents = Similarity.centroidVectors(emb)
     // norms are per-vector, so compute them once before the pair join —
     // the O(pairs) stage then evaluates a single dot product per pair
     // instead of three array folds
-    val e = emb.select(col("vec_id"), col("label"), col("embedding"),
-      VectorOps.norm(col("embedding")).as("nrm")).cache()
+    val e = Similarity.assignCells(emb, cents)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .cache()
     e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.label").as("label"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("a.cell").as("cell"),
         round(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)

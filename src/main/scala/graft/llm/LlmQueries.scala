@@ -90,6 +90,9 @@ object LlmQueries {
     "x_sim_ann" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 5)),
 
+    "x_sim_ann_ivf" -> ((s, dir) =>
+      Similarity.annTopKIvf(Tables.embeddings(s, dir), queryId = 0L, k = 5, nProbe = 2)),
+
     "x_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
@@ -122,6 +125,26 @@ object LlmQueries {
     s"""shf AS (SELECT doc_id, sid FROM (
        |  SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh) ids
        |  QUALIFY count(*) OVER (PARTITION BY sid) <= ${Dedup.MaxShingleDf})""".stripMargin
+
+  /** DuckDB twins of the IVF quantizer: centroid vectors from rounded
+    * per-(label, dim) averages (`cent`), and the argmax cell assignment
+    * (`asg`) — same rounded cosine, same lowest-cell tie-break as
+    * [[Similarity.assignCells]]. Both assume an `e` CTE providing
+    * (vec_id, v DOUBLE[]). */
+  private val centCte =
+    """cent AS (SELECT label AS cell, list(cval ORDER BY pos) AS cvec FROM (
+      |    SELECT label, pos, round(avg(v), 6) AS cval
+      |    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
+      |    GROUP BY label, pos)
+      |  GROUP BY label)""".stripMargin
+  private val asgCte =
+    """asg AS (SELECT vec_id, cell, v FROM (
+      |    SELECT e.vec_id, cent.cell, e.v, row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(v, cvec) /
+      |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+      |        cent.cell) AS rk
+      |    FROM e CROSS JOIN cent) WHERE rk = 1)""".stripMargin
 
   private val minhashSigCols = (0 until Dedup.NumHashes).map { j =>
     s"min((id * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}) AS mh_$j"
@@ -323,13 +346,14 @@ object LlmQueries {
          |       ELSE 'keep' END AS verdict
          |FROM v ORDER BY doc_id""".stripMargin,
     "x_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
-         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-         |  FROM embeddings),
-         |scored AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS label,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$centCte,
+         |$asgCte,
+         |an AS (SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nrm FROM asg),
+         |scored AS (SELECT a.vec_id AS va, b.vec_id AS vb, a.cell AS cell,
          |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT va, vb, label, cos_sim FROM scored
+         |  FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |SELECT va, vb, cell, cos_sim FROM scored
          |WHERE cos_sim >= $EmbedThreshold ORDER BY va, vb""".stripMargin,
     "x_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -338,6 +362,23 @@ object LlmQueries {
          |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x_sim_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$centCte,
+         |$asgCte,
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probes AS (SELECT cell FROM (
+         |    SELECT cell, row_number() OVER (ORDER BY
+         |      round(list_dot_product(qv, cvec) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+         |      cell) AS rk
+         |    FROM cent CROSS JOIN q) WHERE rk <= 2)
+         |SELECT vec_id, cell,
+         |  round(list_dot_product(v, qv) /
+         |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |FROM asg JOIN probes USING (cell) CROSS JOIN q
+         |WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
     "x_sim_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,

@@ -53,14 +53,81 @@ object Similarity {
     * (label, dimension), fully distributed, and directly joinable as a
     * quantizer table. */
   def labelCentroids(emb: DataFrame): DataFrame =
+    centroidCells(emb).orderBy("label", "pos")
+
+  /** Unordered centroid build (the sort is presentation-only; the vector
+    * re-assembly in [[centroidVectors]] shuffles again anyway). Values are
+    * rounded to 6 decimals: averaging is the one summation whose order
+    * differs across engines, so the quantizer is pinned to the rounded
+    * values — every downstream dot product over them is then bit-exact. */
+  private def centroidCells(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy("label", "pos")
       .agg(round(avg(col("v").cast("double")), 6).as("cval"))
-      .orderBy("label", "pos")
+
+  /** Centroids re-assembled as vectors: (cell, cvec array<double>). The
+    * seed partition is the `label` column (any coarse partition works as a
+    * quantizer seed — at scale, a k-means pass over a sample); cell quality
+    * affects ANN recall, never correctness, because verification inside a
+    * cell is exact. */
+  def centroidVectors(emb: DataFrame): DataFrame =
+    centroidCells(emb)
+      .groupBy(col("label").as("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cval")))).as("pc"))
+      .select(col("cell"), transform(col("pc"), p => p.getField("cval")).as("cvec"))
+
+  /** IVF assignment: each vector goes to its nearest centroid by cosine
+    * (argmax; ties broken toward the lowest cell id so both engines agree).
+    * One broadcast cross join + one map-side-combined groupBy — the scored
+    * N×K relation never shuffles, only the N reduced rows do.
+    *
+    * Scale bound: the centroid table is K·dim doubles — with K ≈ √N = 10⁵
+    * cells at 64 dims that is ~50 MB, the practical broadcast ceiling;
+    * beyond it, shuffle-join the assignment on a pre-partitioned centroid
+    * table instead of broadcasting. */
+  def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("cvec")), 6).as("c_sim"))
+      .groupBy("vec_id")
+      .agg(
+        max_by(col("cell"), struct(col("c_sim"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("embedding")).as("embedding"))
+
+  /** IVF ANN top-k: assign the corpus to centroid cells, probe the query's
+    * `nProbe` nearest cells, rescore exactly inside them. Multi-probe is
+    * the recall lever: a query near a cell boundary finds its true
+    * neighbors in the second-nearest cell, which single-probe misses —
+    * recall rises with nProbe while scanned volume stays nProbe·N/K. */
+  def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = centroidVectors(emb).cache() // tiny (K rows); feeds probes + assignment
+    val assigned = assignCells(emb, cents)
+    val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("q_vec"))
+    val probes = q.crossJoin(cents)
+      .select(col("q_vec"), col("cell"),
+        round(VectorOps.cosine(col("q_vec"), col("cvec")), 6).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("cell"))
+      .limit(nProbe)
+      .select(col("cell").as("q_cell"), col("q_vec"))
+    assigned.join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("q_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** ANN top-k: exact rescoring restricted to the query's LSH bucket. At
     * scale the bucket column is a partition key, so a query touches one
-    * partition instead of the full corpus. */
+    * partition instead of the full corpus.
+    *
+    * Recall trade-off: this is the SINGLE-probe variant — with `nBits`
+    * hyperplanes a true neighbor lands in the query's bucket only when all
+    * `nBits` signs agree (for cosine similarity cos θ, each hyperplane
+    * agrees with probability 1 − θ/π), so recall decays as that probability
+    * to the nBits-th power. The multi-probe extension — also scan the
+    * buckets at Hamming distance 1, or the IVF variant [[annTopKIvf]] with
+    * nProbe > 1 — buys recall at proportional scan cost. */
   def annTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
     val bucketed = emb.withColumn("bucket", bucket(col("embedding"), nBits))
     val q = bucketed.where(col("vec_id") === queryId)

@@ -77,4 +77,32 @@ class EngineSpec extends SparkSpec with Matchers {
     // every candidate shares the query's bucket by construction
     ann.map(_.getAs[Long]("bucket")).distinct.length should be <= 1
   }
+
+  test("ivf: vectors reassign to the nearest centroid, not their seed label") {
+    val emb = Seq(
+      (0L, 0, Seq(1.0f, 0.1f)),
+      (1L, 0, Seq(0.9f, 0.0f)),
+      (2L, 1, Seq(0.0f, 1.0f)),
+      (3L, 1, Seq(0.1f, 0.9f)),
+      (4L, 0, Seq(0.05f, 1.1f))).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroidVectors(emb)
+    cents.count() shouldBe 2L
+    val asg = Similarity.assignCells(emb, cents)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    asg(0L) shouldBe 0
+    asg(1L) shouldBe 0
+    asg(2L) shouldBe 1
+    asg(3L) shouldBe 1
+    asg(4L) shouldBe 1 // seeded into label 0, but its nearest centroid is cell 1
+  }
+
+  test("ivf ann: candidates span at most nProbe cells; more probes never lose recall") {
+    val emb = graft.model.Tables.embeddings(spark, sf0001)
+    val one = Similarity.annTopKIvf(emb, 0L, 5, nProbe = 1).collect()
+    one.map(_.getAs[Int]("cell")).distinct.length should be <= 1
+    val two = Similarity.annTopKIvf(emb, 0L, 5, nProbe = 2).collect()
+    two.map(_.getAs[Int]("cell")).distinct.length should be <= 2
+    // multi-probe recall is monotone: the best candidate can only improve
+    two.head.getAs[Double]("cos_sim") should be >= one.head.getAs[Double]("cos_sim")
+  }
 }
