@@ -110,28 +110,42 @@ object Dedup {
     nearDuplicatePairs(docs, threshold, maxDf).orderBy("da", "db")
 
   /** [[nearDuplicates]] without the presentation sort — feed this to
-    * downstream consumers (cluster assignment) that re-partition anyway. */
+    * downstream consumers (cluster assignment) that re-partition anyway.
+    *
+    * Size-ratio pruning (the prefix-filter family, ICDE 2022 cit. above):
+    * J(A,B) ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), so the pair join
+    * carries each document's rare-shingle count and drops incompatible
+    * pairs AT CANDIDATE FORMATION — before they enter the pair-count
+    * aggregation — instead of after scoring. The filter is implied by the
+    * final Jaccard threshold, so results are identical; the candidate
+    * volume is not. Carrying `n` on the join sides also makes the two
+    * post-aggregation size joins unnecessary (min over a constant-per-group
+    * column recovers them). */
   def nearDuplicatePairs(docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf): DataFrame = {
-    // the id relation feeds the df computation, the size lookup, and both
-    // join sides — materialize once (16 bytes/row) instead of re-exploding
+    // the id relation feeds the df computation and the size computation —
+    // materialize once (16 bytes/row) instead of re-exploding
     val ids = shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
     val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = shF.as("a").hint("SHUFFLE_HASH")
-      .join(shF.as("b").hint("SHUFFLE_HASH"),
-        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+    // both inputs are partitioned by doc_id (shingleSets repartitions), so
+    // this join adds no exchange; cached because it feeds BOTH sides of the
+    // sid self-join
+    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    withN.as("a").hint("SHUFFLE_HASH")
+      .join(withN.as("b").hint("SHUFFLE_HASH"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("db") === col("sb.doc_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
       .select(col("da"), col("db"),
         round(col("inter").cast("double") /
-          (col("sa.n") + col("sb.n") - col("inter")), 6).as("jaccard"))
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -198,12 +212,14 @@ object Dedup {
     * pair graph by iterative min-label propagation — the step that turns
     * pairwise matches into "keep doc X, drop the rest of its cluster".
     *
-    * Each iteration is one distributed join + aggregation (the standard
-    * Spark connected-components shape, cf. GraphX/large-star); the driver
-    * only sees a scalar changed-count per iteration, never the data. The
-    * loop runs to an exact fixpoint, bounded by the pair graph's diameter
-    * (near-dup clusters are near-cliques — single digits in practice) with
-    * `maxIter` as a safety stop. The DuckDB oracle computes the same
+    * Each iteration is two distributed propagation steps (join +
+    * aggregation each — the standard Spark connected-components shape, cf.
+    * GraphX/large-star) followed by ONE scalar changed-count: propagation
+    * is monotone decreasing, so comparing every second generation still
+    * detects the exact fixpoint while halving the driver-blocking count()
+    * actions. The loop runs to that exact fixpoint, bounded by the pair
+    * graph's diameter (near-dup clusters are near-cliques — single digits
+    * in practice) with `maxIter` double-steps as a safety stop. The DuckDB oracle computes the same
     * components with a recursive CTE, so results are hash-exact.
     *
     * `graphPartitions` sizes the compacted layout for the iterative stages:
@@ -235,27 +251,44 @@ object Dedup {
       .agg(min(col("db")).as("mn"))
       .select(col("node"), least(col("mn"), col("node")).as("label"))
       .coalesce(parts).cache()
+    // one propagation step: label := min(label, min over neighbors' labels),
+    // preserving any extra columns on `l` (the pre-double-step label rides
+    // along for the convergence check)
+    def propagate(l: DataFrame): DataFrame = {
+      val neighborMin = edges.join(l.select(col("node"), col("label")),
+          col("db") === col("node"))
+        .groupBy(col("da")).agg(min("label").as("nl"))
+      l.join(neighborMin, col("node") === col("da"), "left")
+        .select(l.columns.filter(_ != "label").map(col) :+
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"): _*)
+    }
     var cachedGen = labels // the cached dataset backing the current labels
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges.join(labels, col("db") === col("node"))
-        .groupBy(col("da")).agg(min("label").as("nl"))
-      val updated = labels.join(neighborMin, col("node") === col("da"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("next"))
-        .coalesce(parts).cache()
-      changed = updated.where(col("next") < col("label")).count() // materializes `updated`
+      // TWO propagation steps per changed-count: the count() is the
+      // expensive part (a full driver-blocking job per call), and min-label
+      // propagation is monotone decreasing, so label_{t+2} == label_t
+      // already implies label_{t+1} == label_t — comparing every second
+      // generation detects the exact fixpoint with half the actions.
+      val base = labels.select(col("node"), col("label").as("prev"), col("label"))
+      // mid is referenced twice inside the second step (neighbor agg + join)
+      // — cache it so the first step's join+agg isn't evaluated twice
+      val mid = propagate(base).coalesce(parts).cache()
+      val updated = propagate(mid).coalesce(parts).cache()
+      changed = updated.where(col("label") < col("prev")).count() // materializes `updated`
+      mid.unpersist() // safe: `updated` is materialized
       cachedGen.unpersist() // superseded generation — don't pin per-iteration state
       cachedGen = updated
-      labels = updated.select(col("node"), col("next").as("label"))
+      labels = updated.select(col("node"), col("label"))
       iter += 1
     }
     // a silent partial result would be wrong cluster assignments — fail
     // loudly instead (deep chains need a larger maxIter)
     if (changed > 0) throw new IllegalStateException(
-      s"duplicateClusters did not converge in $maxIter iterations " +
-        s"($changed labels still changing); raise maxIter for this graph")
+      s"duplicateClusters did not converge in $maxIter double-step iterations " +
+        s"(${2 * maxIter} propagation steps; $changed labels still changing); " +
+        "raise maxIter for this graph")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

@@ -240,11 +240,15 @@ object LlmQueries {
     "x_dedup_ngram" ->
       s"""WITH $toksCte, $shCte, $shfCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
          |scored AS (SELECT da, db,
-         |    round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
-         |  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)
+         |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |  FROM pairs)
          |SELECT da, db, jaccard FROM scored
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
     "x_dedup_minhash" ->
@@ -286,11 +290,14 @@ object LlmQueries {
          |    ELSE [] END)) AS s FROM ftoks),
          |$shfCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-         |  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         |hits AS (SELECT da, db
-         |  FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-         |  WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) >= $JaccardThreshold),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |hits AS (SELECT da, db FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= $JaccardThreshold),
          |edges AS (SELECT da, db FROM hits UNION ALL SELECT db AS da, da AS db FROM hits),
          |reach AS (SELECT da AS node, da AS label FROM edges
          |  UNION

@@ -80,15 +80,18 @@ class DedupSpec extends SparkSpec with Matchers {
     all(got.values) should (be >= 0L and be < 65536L)
   }
 
-  test("embedding near-dup finds identical vectors within a label bucket") {
+  test("embedding near-dup finds identical vectors across seed labels via IVF cells") {
     val emb = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
       (2L, 0, Seq(1.0f, 0.0f, 0.0f)),
       (3L, 0, Seq(0.0f, 1.0f, 0.0f)),
-      (4L, 1, Seq(1.0f, 0.0f, 0.0f)) // other bucket: never compared
+      // seeded into label 1, but identical to 1/2 — IVF reassignment puts
+      // all three in the same cell (the label-bucket version missed these
+      // cross-label pairs)
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "label", "embedding")
     val got = Dedup.embeddingNearDuplicates(emb, 0.99)
       .select("va", "vb", "cos_sim").as[(Long, Long, Double)].collect().toSeq
-    got shouldBe Seq((1L, 2L, 1.0))
+    got shouldBe Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0))
   }
 }
