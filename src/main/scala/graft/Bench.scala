@@ -33,23 +33,36 @@ object Bench {
         df.limit(1).count()
       } catch { case _: Throwable => () }
     }
+    // dev-only knobs (the driver sets neither): SPARK_GRAFT_KEYS narrows to
+    // a comma-separated key subset, SPARK_GRAFT_REPS repeats each key and
+    // reports the MEDIAN — the host's I/O variance swings single runs 3×,
+    // so per-key comparisons need medians (docs/NOTES_r02.md)
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSet)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(1).max(1)
     // deterministic (sorted) order: run-to-run and round-to-round timings
     // compare like-for-like instead of depending on Map iteration order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // builder-side caches (dedup/similarity self-join inputs) must not
+          // outlive their query: evict before the next timing starts
+          spark.catalog.clearCache()
+          // a crashed query must not masquerade as a fast one: report -1
+          if (ok) dt else -1.0
+        }
+        val dt = if (times.contains(-1.0)) -1.0 else times.sorted.apply(times.length / 2)
+        System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
+          (if (reps > 1) times.map(t => f"$t%.2f").mkString("  [", " ", "]") else ""))
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $dt%8.2fs") // progress → stderr only
-      // builder-side caches (dedup/similarity self-join inputs) must not
-      // outlive their query: evict before the next timing starts
-      spark.catalog.clearCache()
-      // a crashed query must not masquerade as a fast one: report -1
-      name -> (if (ok) dt else -1.0)
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
