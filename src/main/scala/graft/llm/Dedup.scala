@@ -293,6 +293,33 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check (decontamination): which corpus
+    * documents contain a benchmark document's shingles? Containment
+    * C(d,b) = |shingles(d) ∩ shingles(b)| / |shingles(b)| — the eval-set
+    * leakage metric (asymmetric on purpose: a corpus doc EMBEDDING the
+    * whole benchmark item scores 1 regardless of its own length).
+    *
+    * Scale shape: the benchmark side is small by nature (eval suites are
+    * 10⁴–10⁶ items), so its shingle-id set BROADCASTS and the 100 TB corpus
+    * streams past it map-side — no corpus-wide shuffle before the per-pair
+    * count, which only aggregates rows that actually hit a benchmark
+    * shingle. The demo key splits `documents` at `benchMaxId`. */
+  def contamination(docs: DataFrame, benchMaxId: Long, threshold: Double): DataFrame = {
+    val bench = shingleSets(docs.where(col("doc_id") < benchMaxId))
+      .select(col("doc_id").as("bench_id"), hashId(col("s")).as("sid"))
+    val bsizes = bench.groupBy("bench_id").agg(count(lit(1)).as("bn"))
+    val corpus = shingleSets(docs.where(col("doc_id") >= benchMaxId))
+      .select(col("doc_id"), hashId(col("s")).as("sid"))
+    corpus.join(broadcast(bench), Seq("sid"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(bsizes), Seq("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("inter"),
+        round(col("inter").cast("double") / col("bn"), 6).as("containment"))
+      .where(col("containment") >= threshold)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Embedding near-duplicates, IVF-bucketed: build centroids
     * ([[Similarity.centroidVectors]]), assign every vector to its nearest
     * centroid ([[Similarity.assignCells]]), then verify with exact cosine

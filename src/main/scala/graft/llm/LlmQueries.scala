@@ -71,6 +71,20 @@ object LlmQueries {
           Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold),
         graphPartitions = 8)), // testdata pair graph is ~100 edges
 
+    // benchmark-decontamination: corpus docs (id >= 50) containing >= half
+    // of a "benchmark" doc's (id < 50) shingles
+    "x_contamination" -> ((s, dir) =>
+      Dedup.contamination(Tables.documents(s, dir), benchMaxId = 50L, threshold = 0.5)),
+
+    "x_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, dir))),
+
+    "x_quality_topk" -> ((s, dir) =>
+      TextAnalysis.qualityTopDecile(Tables.documents(s, dir))),
+
+    "x_pii_scrub" -> ((s, dir) =>
+      TextAnalysis.piiScrub(Tables.documents(s, dir))),
+
     "x_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -304,6 +318,61 @@ object LlmQueries {
          |  SELECT e.da AS node, r.label FROM edges e JOIN reach r ON e.db = r.node)
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "x_contamination" ->
+      s"""WITH $toksCte, $shCte,
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh),
+         |b AS (SELECT doc_id AS bench_id, sid FROM ids WHERE doc_id < 50),
+         |bsz AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+         |c AS (SELECT doc_id, sid FROM ids WHERE doc_id >= 50),
+         |i AS (SELECT doc_id, bench_id, count(*) AS inter
+         |  FROM c JOIN b USING (sid) GROUP BY 1, 2),
+         |scored AS (SELECT doc_id, bench_id, inter,
+         |    round(CAST(inter AS DOUBLE) / bn, 6) AS containment
+         |  FROM i JOIN bsz USING (bench_id))
+         |SELECT doc_id, bench_id, inter, containment FROM scored
+         |WHERE containment >= 0.5 ORDER BY doc_id, bench_id""".stripMargin,
+    "x_repetition" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id, CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |    ELSE [] END AS grams FROM toks)
+         |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_grams,
+         |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_uniq_grams,
+         |  CASE WHEN len(grams) > 0
+         |    THEN CAST((len(grams) - len(list_distinct(grams))) * 1000000 // len(grams) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS rep_e6
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "x_quality_topk" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, lang,
+         |    round(least(len(t) / 100.0, 1.0)
+         |      * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |        / length(text)), 6) AS quality
+         |  FROM toks),
+         |r AS (SELECT doc_id, lang, quality,
+         |    ntile(10) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS decile
+         |  FROM q)
+         |SELECT doc_id, lang, quality FROM r WHERE decile = 1
+         |ORDER BY lang, doc_id""".stripMargin,
+    "x_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |        || '@example.com or +1 555 ' || CAST(doc_id % 10000 AS VARCHAR)
+         |      ELSE text END AS wp
+         |  FROM documents),
+         |s AS (SELECT doc_id, wp,
+         |    regexp_replace(regexp_replace(wp,
+         |      '${TextAnalysis.PhonePattern}', '<PHONE>', 'g'),
+         |      '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g') AS sc
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(wp, '${TextAnalysis.EmailPattern}')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(wp, '${TextAnalysis.PhonePattern}')) AS INTEGER) AS n_phones,
+         |  CAST(length(sc) AS INTEGER) AS scrub_len,
+         |  md5(sc) AS scrub_fp
+         |FROM s ORDER BY doc_id""".stripMargin,
     "x_normalize" ->
       """SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len
         |FROM (SELECT doc_id,

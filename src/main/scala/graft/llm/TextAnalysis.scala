@@ -191,6 +191,73 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Within-document repetition ratio (the Gopher-family quality signal:
+    * templated/spammy documents repeat internally). Fraction of word
+    * 3-grams that are repeats of an earlier 3-gram in the SAME document,
+    * in exact ×10⁶ integer arithmetic (row-level double rounding is
+    * engine-divergent on .xx5). Pure per-row array expressions — no
+    * explode, no shuffle, safe at any corpus size. */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val all = when(size(t) >= 3,
+        transform(sequence(lit(0), size(t) - 3), i =>
+          concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"),
+        size(all).as("n_grams"),
+        size(array_distinct(all)).as("n_uniq_grams"))
+      .withColumn("rep_e6",
+        when(col("n_grams") > 0,
+          floor((col("n_grams") - col("n_uniq_grams")).cast("long") * 1000000L /
+            col("n_grams")).cast("long"))
+          .otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language top-decile selection by quality score — the mixture-
+    * curation step ("keep the best 10% of each language"). `ntile` instead
+    * of `percent_rank`: the decile boundary is then an integer comparison,
+    * not a double one, so both engines cut identically. The window
+    * partitions by lang — per-language data volumes are large but each
+    * partition sorts distributedly under range-partitioned window exec. */
+  def qualityTopDecile(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), qualityExpr(tokens(col("text"))).as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .where(col("decile") === 1)
+      .select("doc_id", "lang", "quality")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Explicit character classes only — Java (Spark) and RE2-family (DuckDB)
+    * regex engines agree exactly on these; shorthand classes like `\d`/`\w`
+    * have dialect-divergent Unicode semantics. */
+  val EmailPattern = "[a-zA-Z0-9]+@[a-zA-Z0-9]+\\.[a-zA-Z]+"
+  val PhonePattern = "\\+[0-9]+ [0-9]+ [0-9]+"
+
+  /** PII scrub: redact email/phone patterns, report per-document match
+    * counts and a fingerprint of the scrubbed text. The synthetic corpus
+    * contains no PII, so a deterministic fake contact line is appended to
+    * every third document first — the injection makes the scrub measurable;
+    * the scrub itself (codegen'd regexp projections, no UDF) is the
+    * operator. Spark's regexp_replace replaces all occurrences; the DuckDB
+    * twin needs the explicit 'g' flag. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val withPii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555 "), (col("doc_id") % 10000).cast("string")))
+      .otherwise(col("text"))
+    val scrubbed = regexp_replace(
+      regexp_replace(withPii, PhonePattern, "<PHONE>"), EmailPattern, "<EMAIL>")
+    docs.select(col("doc_id"),
+        size(regexp_extract_all(withPii, lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(withPii, lit(PhonePattern), lit(0))).as("n_phones"),
+        length(scrubbed).as("scrub_len"),
+        md5(scrubbed).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling-hash fingerprint sketch (winnowing-style): hash every word
     * 3-gram window with the engine-portable md5-prefix hash, keep the
     * min/max and the distinct-window count. Equal sketches ⇒ near-certain

@@ -460,6 +460,17 @@ object CoreQueries {
         .orderBy("l_returnflag")
     }),
 
+    // X40: equal-width histogram — the data-profiling primitive (one hash
+    // aggregation on a computed bin key; floor of an IEEE division is
+    // engine-exact, so bins agree without tolerance).
+    "x_histogram" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("bin_min"),
+          round(max("o_totalprice"), 2).as("bin_max"))
+        .orderBy("bin")),
+
     // X6c: explicit grouping sets (beyond rollup/cube's fixed lattices).
     "x_grouping_sets" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -740,6 +751,12 @@ object CoreQueries {
     "x_agg_approx_percentile" ->
       """SELECT l_returnflag, true AS within_tol, CAST(0 AS BIGINT) AS tol_excess
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS bin_min,
+        |  round(max(o_totalprice), 2) AS bin_max
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "x_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(o_orderpriority, '(all)') AS priority,

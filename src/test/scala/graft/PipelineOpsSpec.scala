@@ -66,4 +66,38 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     rows(1L) shouldBe rows(2L)
     rows(1L) should not be rows(3L)
   }
+
+  test("contamination: a corpus doc embedding a benchmark doc scores containment 1") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),              // benchmark (id < 10)
+      (2L, "zeta eta theta iota kappa"),           // benchmark, unrelated
+      (10L, "prefix words alpha beta gamma delta suffix words here"), // embeds doc 1
+      (11L, "totally unrelated corpus content words")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(df, benchMaxId = 10L, threshold = 0.5)
+      .select("doc_id", "bench_id", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    got shouldBe Seq((10L, 1L, 1.0)) // all of doc 1's shingles appear in doc 10
+  }
+
+  test("repetition ratio: repeated 3-grams counted exactly, short docs are zero") {
+    val df = Seq(
+      (1L, "a b c a b c"),   // grams: abc bca cab abc → 4 total, 3 uniq → 250000
+      (2L, "w x y z"),       // 2 grams, both unique → 0
+      (3L, "one two")        // under 3 tokens → 0 grams, ratio 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(df)
+      .select("doc_id", "n_grams", "rep_e6").as[(Long, Int, Long)].collect().toSeq
+    got shouldBe Seq((1L, 4, 250000L), (2L, 2, 0L), (3L, 0, 0L))
+  }
+
+  test("pii scrub redacts every email/phone occurrence and counts them") {
+    // doc_id 3 gets the deterministic injection (3 % 3 == 0); doc_id 4 none
+    val df = Seq((3L, "clean words"), (4L, "also clean")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones")))).toMap
+    got(3L) shouldBe ((1, 1))
+    got(4L) shouldBe ((0, 0))
+  }
 }
