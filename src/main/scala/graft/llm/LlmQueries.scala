@@ -85,6 +85,17 @@ object LlmQueries {
     "x_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
+    // training-window chunking: 32-token chunks, stride 24 (25% overlap)
+    "x_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), chunkSize = 32, stride = 24)),
+
+    // concatenate-and-cut packing into 256-token windows, per language
+    "x_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), window = 256)),
+
+    "x_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir))),
+
     "x_normalize" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -373,6 +384,39 @@ object LlmQueries {
          |  CAST(length(sc) AS INTEGER) AS scrub_len,
          |  md5(sc) AS scrub_fp
          |FROM s ORDER BY doc_id""".stripMargin,
+    "x_chunk" ->
+      s"""WITH $toksCte,
+         |st AS (SELECT doc_id, t,
+         |    unnest(range(0, greatest(len(t), 1), 24)) AS st
+         |  FROM toks)
+         |SELECT doc_id, CAST(st // 24 AS INTEGER) AS chunk_idx,
+         |  CAST(len(list_slice(t, st + 1, st + 32)) AS INTEGER) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(t, st + 1, st + 32), ' ')) AS chunk_fp
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "x_pack" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |o AS (SELECT doc_id, lang, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |  FROM n)
+         |SELECT doc_id, lang, n_tokens, tok_offset,
+         |  tok_offset // 256 AS first_pack,
+         |  (tok_offset + n_tokens - 1) // 256 AS last_pack
+         |FROM o ORDER BY lang, doc_id""".stripMargin,
+    "x_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+        |q AS (SELECT vec_id, max_abs,
+        |    CASE WHEN max_abs > 0
+        |      THEN list_transform(v, x -> CAST(floor(x * 127.0 / max_abs) AS INTEGER))
+        |      ELSE list_transform(v, x -> 0) END AS qvec
+        |  FROM m)
+        |SELECT vec_id, round(max_abs, 6) AS max_abs_r,
+        |  CAST(list_min(qvec) AS INTEGER) AS q_min,
+        |  CAST(list_max(qvec) AS INTEGER) AS q_max,
+        |  md5(array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',')) AS q_fp
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_normalize" ->
       """SELECT doc_id, norm_text, CAST(length(norm_text) AS INTEGER) AS norm_len
         |FROM (SELECT doc_id,

@@ -94,6 +94,26 @@ object Similarity {
         max_by(col("cell"), struct(col("c_sim"), (-col("cell")).as("nc"))).as("cell"),
         first(col("embedding")).as("embedding"))
 
+  /** Symmetric int8 quantization per vector: q_i = floor(v_i · 127 /
+    * max|v|) — the ANN memory-compression step (4× smaller than float32,
+    * 8× smaller than the float64 working form). Pure per-row array
+    * expressions; `floor` instead of `round` because floor of an IEEE
+    * division is engine-exact while double `round` half-way behavior is
+    * not. All-zero vectors quantize to zeros (guarded division). */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    emb.select(col("vec_id"), col("embedding"), maxabs.as("max_abs"))
+      .withColumn("qvec",
+        when(col("max_abs") > 0.0,
+          transform(col("embedding"), x =>
+            floor(x.cast("double") * 127.0 / col("max_abs")).cast("int")))
+          .otherwise(transform(col("embedding"), _ => lit(0))))
+      .select(col("vec_id"), round(col("max_abs"), 6).as("max_abs_r"),
+        array_min(col("qvec")).as("q_min"), array_max(col("qvec")).as("q_max"),
+        md5(concat_ws(",", transform(col("qvec"), _.cast("string")))).as("q_fp"))
+      .orderBy("vec_id")
+  }
+
   /** IVF ANN top-k: assign the corpus to centroid cells, probe the query's
     * `nProbe` nearest cells, rescore exactly inside them. Multi-probe is
     * the recall lever: a query near a cell boundary finds its true

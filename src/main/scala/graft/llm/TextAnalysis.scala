@@ -230,6 +230,46 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** Fixed-size training-window chunking with overlap: one output row per
+    * (document, chunk), where chunk c covers tokens [c·stride, c·stride +
+    * chunkSize). The per-doc expansion is a generator over computed chunk
+    * starts — `posexplode` inside whole-stage codegen, no join, no shuffle;
+    * the trailing partial chunk is kept (sequence packing, X46, is the step
+    * that levels window fill). */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    val t = tokens(col("text"))
+    val starts = sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride))
+    docs.select(col("doc_id"), t.as("toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkSize))).as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkSize))))
+          .as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Sequence packing, concatenate-and-cut style (how autoregressive
+    * training actually packs: the token stream is concatenated in a
+    * deterministic order and cut every `window` tokens, documents straddle
+    * cuts). Reports each document's span: first/last pack id and the token
+    * offset where it starts. Packing runs PER LANGUAGE partition — a single
+    * global stream would be one giant window sort (the classic
+    * SinglePartition funnel); per-shard streams are how a 1000-executor
+    * packing job runs, and the cumulative sum inside each shard is one
+    * range-partitioned window. Offsets are exact integers. */
+  def packSequences(docs: DataFrame, window: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("tok_offset"),
+        expr(s"tok_offset div $window").as("first_pack"),
+        expr(s"(tok_offset + n_tokens - 1) div $window").as("last_pack"))
+      .orderBy("lang", "doc_id")
+  }
+
   /** Explicit character classes only — Java (Spark) and RE2-family (DuckDB)
     * regex engines agree exactly on these; shorthand classes like `\d`/`\w`
     * have dialect-divergent Unicode semantics. */

@@ -289,6 +289,22 @@ object CoreQueries {
         .orderBy("tier")
     }),
 
+    // X45: salted skew join — o_orderstatus has 3 distinct values, the
+    // textbook hot-key shape; each fact row salts on its stable unique key,
+    // the 3-row dim replicates 8 ways, and the join runs on (key, salt).
+    // Result provably equals the plain join (the oracle IS the plain join).
+    "x_join_salted" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val statusDim = Seq(("F", "fulfilled"), ("O", "open"), ("P", "pending"))
+        .toDF("o_orderstatus", "status_desc")
+      Skew.saltedJoin(Tables.orders(s, dir), statusDim, "o_orderstatus",
+          buckets = 8, saltCols = Seq(col("o_orderkey")))
+        .groupBy("status_desc")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("status_desc")
+    }),
+
     // As-of join: each click matched with the user's latest purchase at or
     // before the click (null when none) — see AsOfJoin for the composition.
     "x_asof_join" -> ((s, dir) => {
@@ -751,6 +767,12 @@ object CoreQueries {
     "x_agg_approx_percentile" ->
       """SELECT l_returnflag, true AS within_tol, CAST(0 AS BIGINT) AS tol_excess
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_join_salted" ->
+      """WITH dim(o_orderstatus, status_desc) AS (VALUES
+        |    ('F', 'fulfilled'), ('O', 'open'), ('P', 'pending'))
+        |SELECT status_desc, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN dim USING (o_orderstatus)
+        |GROUP BY status_desc ORDER BY status_desc""".stripMargin,
     "x_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n,

@@ -32,4 +32,27 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__psum")).as("value_sum"), sum(col("__pcnt")).as("n"))
   }
+
+  /** Salted equi-join for a skewed fact-side key: each fact row gets a
+    * stable salt in [0, buckets), the (small) dimension is replicated once
+    * per salt value, and the join runs on (key, salt) — the hot key's rows
+    * spread `buckets`-ways instead of landing on one reducer. Results are
+    * identical to the unsalted join (the salt matches by construction and
+    * is dropped on output).
+    *
+    * Same salt rules as [[saltedSumCount]]: derive it from stable fact
+    * columns, never from the join key (constant under the hot key) or a
+    * nondeterministic counter (shuffle-retry divergence). Use when the dim
+    * is replicable (small) but a plain broadcast is unavailable or the
+    * build side must stay partitioned; AQE's skew-join split handles the
+    * sort-merge case automatically — this is the explicit, planner-
+    * independent form. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      buckets: Int, saltCols: Seq[Column]): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
+    val repDim = dim.select(col("*"),
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))).as("__salt"))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -91,6 +91,41 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     got shouldBe Seq((1L, 4, 250000L), (2L, 2, 0L), (3L, 0, 0L))
   }
 
+  test("salted join equals the plain join and actually salts the key") {
+    val orders = graft.model.Tables.orders(spark, sf0001)
+    val dim = Seq(("F", "f"), ("O", "o"), ("P", "p")).toDF("o_orderstatus", "d")
+    val salted = graft.relational.Skew.saltedJoin(orders, dim, "o_orderstatus",
+      buckets = 4, saltCols = Seq(col("o_orderkey")))
+    val plain = orders.join(dim, "o_orderstatus")
+    salted.count() shouldBe plain.count()
+    salted.groupBy("d").count().as[(String, Long)].collect().toMap shouldBe
+      plain.groupBy("d").count().as[(String, Long)].collect().toMap
+    // the physical join key must include the salt, or nothing was spread
+    salted.queryExecution.executedPlan.toString should include ("__salt")
+  }
+
+  test("chunking covers every token with the configured overlap") {
+    val df = Seq((7L, (1 to 80).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunkDocuments(df, chunkSize = 32, stride = 24)
+      .select("chunk_idx", "n_chunk_tokens").as[(Int, Int)].collect().toSeq
+    // 80 tokens, starts 0/24/48/72 → sizes 32,32,32,8
+    rows shouldBe Seq((0, 32), (1, 32), (2, 32), (3, 8))
+  }
+
+  test("packing offsets are contiguous per language and spans are consistent") {
+    val docs = graft.model.Tables.documents(spark, sf0001)
+    val got = TextAnalysis.packSequences(docs, window = 256)
+      .select("lang", "n_tokens", "tok_offset", "first_pack", "last_pack")
+      .as[(String, Long, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array((_, n, off, _, _), (_, _, off2, _, _)) => off2 shouldBe off + n
+        case _ => ()
+      }
+    }
+    all(got.map(r => r._4 <= r._5)) shouldBe true // first_pack <= last_pack
+  }
+
   test("pii scrub redacts every email/phone occurrence and counts them") {
     // doc_id 3 gets the deterministic injection (3 % 3 == 0); doc_id 4 none
     val df = Seq((3L, "clean words"), (4L, "also clean")).toDF("doc_id", "text")
