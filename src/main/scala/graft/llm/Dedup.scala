@@ -191,21 +191,62 @@ object Dedup {
     * occurrence votes ±1 on every bit; bit k set iff the vote sum is
     * positive. One projection + ONE groupBy(doc_id) with 16 conditional-sum
     * columns — no dictionary, no crossJoin row multiplication, one shuffle. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame): DataFrame =
+    simhashFingerprints(docs).orderBy("doc_id")
+
+  /** [[simhash]] without the presentation sort (pair generation re-shuffles
+    * anyway). `nBits` ≤ 62 (bit k contributes 2^k; the default 16 keeps the
+    * fingerprint key compact, the pairing op uses 60). */
+  def simhashFingerprints(docs: DataFrame, nBits: Int = NumHashes): DataFrame = {
     val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
       .select(col("doc_id"), hashId(col("w")).as("id"))
-    val voteCols = (0 until NumHashes).map { k =>
+    val voteCols = (0 until nBits).map { k =>
       val bit = (col("id") * hashA(k) + hashB(k)) % P % 2
       sum(when(bit === 1, 1).otherwise(-1)).as(s"v_$k")
     }
     tok.groupBy("doc_id")
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col("doc_id"),
-        (0 until NumHashes).map(k =>
+        (0 until nBits).map(k =>
           when(col(s"v_$k") > 0, lit(1L << k)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
-      .orderBy("doc_id")
+  }
+
+  /** SimHash near-duplicate pairs: band-blocked candidate generation +
+    * Hamming verification over a 60-BIT fingerprint (the 16-bit fingerprint
+    * key is a compact demo; 2¹⁶ total values cannot block a large corpus).
+    * The fingerprint splits into 4 bands of 15 bits; by pigeonhole, Hamming
+    * distance ≤ 3 forces at least one band to match exactly, so
+    * equi-joining on (band_idx, band_val) is a COMPLETE candidate generator
+    * for `maxHamming` ≤ 3 — the standard trick that turns a quadratic
+    * Hamming search into an equi-join. Each band carries 2¹⁵ values, so
+    * random collisions are rare and the candidate volume tracks true
+    * near-duplicates (reordered/lightly-edited docs — SimHash's target),
+    * not the corpus square. Verification is one codegen'd `bit_count(xor)`
+    * per candidate. */
+  val SimhashPairBits = 60
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
+    val bandBits = SimhashPairBits / 4
+    val mask = (1L << bandBits) - 1
+    val fp = simhashFingerprints(docs, SimhashPairBits).cache() // both join sides
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("da"), col("db"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .orderBy("da", "db")
   }
 
   /** Duplicate-cluster assignment: connected components of the near-dup

@@ -59,6 +59,9 @@ object LlmQueries {
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
 
+    "x_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
+
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
 
@@ -170,6 +173,20 @@ object LlmQueries {
       |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
       |        cent.cell) AS rk
       |    FROM e CROSS JOIN cent) WHERE rk = 1)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.simhashFingerprints]]: fp(doc_id, simhash).
+    * Assumes the `toks` CTE. */
+  private def simhashFpCte(nBits: Int) =
+    s"""stok AS (SELECT doc_id, ${hashIdSql("w")} AS id
+       |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+       |svotes AS (SELECT doc_id, k,
+       |    sum(CASE WHEN ((id * (k * 1000003 + 7) + (k * 998244353 + 12345)) % ${Dedup.P}) % 2 = 1
+       |      THEN 1 ELSE -1 END) AS vote
+       |  FROM stok CROSS JOIN range($nBits) t(k)
+       |  GROUP BY doc_id, k),
+       |fp AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM svotes GROUP BY doc_id)""".stripMargin
 
   private val minhashSigCols = (0 until Dedup.NumHashes).map { j =>
     s"min((id * ${Dedup.hashA(j)} + ${Dedup.hashB(j)}) % ${Dedup.P}) AS mh_$j"
@@ -294,17 +311,19 @@ object LlmQueries {
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
     "x_dedup_simhash" ->
-      s"""WITH $toksCte,
-         |tok AS (SELECT doc_id, ${hashIdSql("w")} AS id
-         |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
-         |votes AS (SELECT doc_id, k,
-         |    sum(CASE WHEN ((id * (k * 1000003 + 7) + (k * 998244353 + 12345)) % ${Dedup.P}) % 2 = 1
-         |      THEN 1 ELSE -1 END) AS vote
-         |  FROM tok CROSS JOIN range(16) t(k)
-         |  GROUP BY doc_id, k)
-         |SELECT doc_id,
-         |  CAST(sum(CASE WHEN vote > 0 THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $toksCte, ${simhashFpCte(Dedup.NumHashes)}
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "x_dedup_simhash_pairs" ->
+      s"""WITH $toksCte, ${simhashFpCte(Dedup.SimhashPairBits)},
+         |band AS (SELECT doc_id, simhash, b AS band_idx,
+         |    (simhash >> (b * ${Dedup.SimhashPairBits / 4})) & ${(1L << (Dedup.SimhashPairBits / 4)) - 1} AS band_val
+         |  FROM fp CROSS JOIN range(4) t2(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM band a JOIN band b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
     "x_dedup_cluster" ->
       s"""WITH RECURSIVE
          |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t

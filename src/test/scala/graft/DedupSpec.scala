@@ -80,6 +80,16 @@ class DedupSpec extends SparkSpec with Matchers {
     all(got.values) should (be >= 0L and be < 65536L)
   }
 
+  test("simhash pairs: reordered duplicates at hamming 0, distinct docs absent") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "epsilon delta gamma beta alpha", // same multiset → same fingerprint
+      3L -> "utterly different words over here instead now")
+    val got = Dedup.simhashNearDuplicates(d, maxHamming = 3)
+      .select("da", "db", "hamming").as[(Long, Long, Int)].collect().toSeq
+    got shouldBe Seq((1L, 2L, 0))
+  }
+
   test("embedding near-dup finds identical vectors across seed labels via IVF cells") {
     val emb = Seq(
       (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
