@@ -349,8 +349,12 @@ object LlmQueries {
          |SELECT node AS doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "x_contamination" ->
-      s"""WITH $toksCte, $shCte,
-         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh),
+      s"""WITH $toksCte,
+         |sh8 AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 8
+         |    THEN list_transform(range(len(t) - 7), i -> array_to_string(list_slice(t, i + 1, i + 8), ' '))
+         |    ELSE [] END)) AS s FROM toks),
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh8),
          |b AS (SELECT doc_id AS bench_id, sid FROM ids WHERE doc_id < 50),
          |bsz AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
          |c AS (SELECT doc_id, sid FROM ids WHERE doc_id >= 50),

@@ -68,16 +68,17 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
   }
 
   test("contamination: a corpus doc embedding a benchmark doc scores containment 1") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota" // 9 tokens → 2 8-grams
     val df = Seq(
-      (1L, "alpha beta gamma delta"),              // benchmark (id < 10)
-      (2L, "zeta eta theta iota kappa"),           // benchmark, unrelated
-      (10L, "prefix words alpha beta gamma delta suffix words here"), // embeds doc 1
-      (11L, "totally unrelated corpus content words")
+      (1L, benchText),                                   // benchmark (id < 10)
+      (2L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"),            // benchmark, unrelated
+      (10L, s"prefix words $benchText suffix words here"), // embeds doc 1 verbatim
+      (11L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 totally unrelated")
     ).toDF("doc_id", "text")
     val got = Dedup.contamination(df, benchMaxId = 10L, threshold = 0.5)
       .select("doc_id", "bench_id", "containment")
       .as[(Long, Long, Double)].collect().toSeq
-    got shouldBe Seq((10L, 1L, 1.0)) // all of doc 1's shingles appear in doc 10
+    got shouldBe Seq((10L, 1L, 1.0)) // every 8-gram of doc 1 appears in doc 10
   }
 
   test("repetition ratio: repeated 3-grams counted exactly, short docs are zero") {
