@@ -289,6 +289,30 @@ object CoreQueries {
         .orderBy("tier")
     }),
 
+    // X49: typed cogroup — KeyValueGroupedDataset.cogroup aligns two keyed
+    // datasets and hands BOTH iterables to arbitrary per-key merge logic
+    // (the surface joins can't express when the merge isn't relational).
+    // Demo merge: per-user click/purchase engagement. All arithmetic is
+    // order-independent integer cents (the group iterables arrive in
+    // arbitrary order, so a double sum would be partitioning-dependent).
+    "x_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"))
+      def keyed(t: String) = ev.where(col("event_type") === t)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+      keyed("click").cogroup(keyed("purchase")) { (uid, cs, ps) =>
+        var nc = 0L; var cc = 0L
+        cs.foreach { c => nc += 1; cc += cents(c._2) }
+        var np = 0L; var pc = 0L
+        ps.foreach { p => np += 1; pc += cents(p._2) }
+        Iterator((uid, nc, cc, np, pc, nc > 0 && np > 0))
+      }.toDF("user_id", "n_clicks", "click_cents", "n_purchases", "purchase_cents", "engaged")
+        .orderBy("user_id")
+    }),
+
     // X45: salted skew join — o_orderstatus has 3 distinct values, the
     // textbook hot-key shape; each fact row salts on its stable unique key,
     // the 3-row dim replicates 8 ways, and the join runs on (key, salt).
@@ -767,6 +791,19 @@ object CoreQueries {
     "x_agg_approx_percentile" ->
       """SELECT l_returnflag, true AS within_tol, CAST(0 AS BIGINT) AS tol_excess
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_cogroup" ->
+      """WITH c AS (SELECT user_id, count(*) AS nc,
+        |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cc
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (SELECT user_id, count(*) AS np,
+        |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS pc
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT user_id,
+        |  coalesce(nc, 0) AS n_clicks, coalesce(cc, 0) AS click_cents,
+        |  coalesce(np, 0) AS n_purchases, coalesce(pc, 0) AS purchase_cents,
+        |  coalesce(nc, 0) > 0 AND coalesce(np, 0) > 0 AS engaged
+        |FROM c FULL JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "x_join_salted" ->
       """WITH dim(o_orderstatus, status_desc) AS (VALUES
         |    ('F', 'fulfilled'), ('O', 'open'), ('P', 'pending'))
