@@ -136,7 +136,62 @@ object FormatQueries {
       round(sum("v"), 2).as("v_sum"))
   }
 
+  /** `binaryFile` source — the multimodal ingestion path: opaque files
+    * (images/audio in production) land as (path, length, content BINARY)
+    * rows. The fixture stages one file per document for the first five
+    * docs (a bounded, ControlFile-style control-plane write; at scale the
+    * files already exist in object storage and binaryFile lists them
+    * distributedly). The read proves path/length/content fidelity:
+    * byte length and md5 over the RAW BYTES must match the oracle's
+    * UTF-8 view of the source text. */
+  private def binarySource(spark: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_binsrc")
+    Tables.documents(spark, dir).where(col("doc_id") < 5)
+      .select("doc_id", "text").collect() // 5 rows: control-plane staging
+      .foreach { r =>
+        java.nio.file.Files.write(
+          stage.resolve(s"doc_${r.getLong(0)}.txt"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    spark.read.format("binaryFile").load(stage.toString)
+      .select(
+        regexp_extract(col("path"), "doc_[0-9]+\\.txt", 0).as("fname"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("content_fp"))
+      .orderBy("fname")
+  }
+
+  /** Dynamic partition pruning — the 100 TB fact-table pattern: the fact
+    * lands partitioned by month, the dim filter is only known at runtime,
+    * and DPP turns the broadcast dim into a pruning subquery on the
+    * partition column so only the selected months' files are READ (a
+    * static plan would scan all 80 partitions). The plan-level guarantee
+    * (`dynamicpruning` subquery present) is asserted in EngineSpec; this
+    * key checks the result. */
+  private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val path = Sinks.tempDir("dpp_orders")
+    Tables.orders(spark, dir)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .write.mode("overwrite").partitionBy("o_month").parquet(path)
+    // the dim must be a FILTERED relation — DPP's rule requires a selective
+    // predicate on the build side (a bare literal relation never triggers
+    // it); a month dim with a runtime `pick` flag is the realistic shape
+    val dimPath = Sinks.tempDir("dpp_dim")
+    Tables.orders(spark, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("o_month")).distinct()
+      .withColumn("pick", when(col("o_month").isin("1996-03", "1997-07"), 1).otherwise(0))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("pick") === 1).select("o_month")
+    spark.read.parquet(path)
+      .join(broadcast(dim), "o_month")
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dpp" -> ((s, dir) => dppJoin(s, dir)),
+    "x_source_binary" -> ((s, dir) => binarySource(s, dir)),
     "x_source_corrupt" -> ((s, dir) => corruptRead(s)),
     "x_source_csv" -> ((s, dir) => roundTrip(s, dir, "csv")),
     "x_source_json" -> ((s, dir) => roundTrip(s, dir, "json")),
@@ -153,6 +208,19 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_dpp" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') IN ('1996-03', '1997-07')
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
+    // md5 over the file's raw bytes == md5 over the source text's UTF-8
+    // encoding; strlen counts UTF-8 bytes — both sides of the fidelity check
+    "x_source_binary" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_fp
+        |FROM documents WHERE doc_id < 5 ORDER BY fname""".stripMargin,
     "x_source_csv" -> aggSql,
     "x_source_json" -> aggSql,
     "x_source_orc" -> aggSql,

@@ -78,6 +78,12 @@ class EngineSpec extends SparkSpec with Matchers {
     ann.map(_.getAs[Long]("bucket")).distinct.length should be <= 1
   }
 
+  test("dynamic partition pruning fires on the partitioned fact join") {
+    val df = graft.sources.FormatQueries.queries("x_dpp")(spark, sf0001)
+    df.queryExecution.executedPlan.toString.toLowerCase should include ("dynamicpruning")
+    df.count() shouldBe 2L // one row per selected month
+  }
+
   test("ivf: vectors reassign to the nearest centroid, not their seed label") {
     val emb = Seq(
       (0L, 0, Seq(1.0f, 0.1f)),
