@@ -289,6 +289,43 @@ object CoreQueries {
         .orderBy("tier")
     }),
 
+    // X53: re-aggregatable sketches — per-group HLL sketches (DataSketches)
+    // UNIONED into a global estimate without rescanning the data: the
+    // lakehouse incremental-stats pattern (persist per-partition/per-day
+    // sketches, merge on demand). Checked like X5b: the union's estimate
+    // must honor the error contract vs the exact bitmap count (lgK=12 →
+    // rsd ≈ 1.6%, tolerance 5% ≈ 3σ); tol_excess reports excursion
+    // magnitude on failure.
+    "x_sketch_union" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val perGroup = orders.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+      val approx = perGroup
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").cast("double").as("approx"))
+      val exact = orders
+        .agg(graft.functions.BitmapDistinct.bitmapDistinct(col("o_custkey"))
+          .cast("double").as("exact"))
+      approx.crossJoin(exact).select(
+        (abs(col("approx") - col("exact")) / col("exact") <= 0.05).as("within_tol"),
+        floor(abs(col("approx") - col("exact")) / col("exact") / 0.05)
+          .cast("long").as("tol_excess"))
+    }),
+
+    // X52: bounded per-group top-k via the custom TypedImperativeAggregate
+    // (TopKPairs) — at most k rows per group per partition reach the
+    // shuffle, vs the window row_number() pattern's full per-group sort.
+    // Exact and deterministic (score desc, id asc tie-break), so the
+    // oracle is the window formulation.
+    "x_topk_group" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(graft.functions.TopKAggregate.topK(
+          col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+        .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("int").as("rk"),
+          col("e.score").as("price"), col("e.id").as("okey"))
+        .orderBy("o_orderstatus", "rk")),
+
     // X49: typed cogroup — KeyValueGroupedDataset.cogroup aligns two keyed
     // datasets and hands BOTH iterables to arbitrary per-key merge logic
     // (the surface joins can't express when the merge isn't relational).
@@ -791,6 +828,15 @@ object CoreQueries {
     "x_agg_approx_percentile" ->
       """SELECT l_returnflag, true AS within_tol, CAST(0 AS BIGINT) AS tol_excess
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_sketch_union" ->
+      "SELECT true AS within_tol, CAST(0 AS BIGINT) AS tol_excess",
+    "x_topk_group" ->
+      """SELECT o_orderstatus, rk, o_totalprice AS price, o_orderkey AS okey
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_orderstatus, rk""".stripMargin,
     "x_cogroup" ->
       """WITH c AS (SELECT user_id, count(*) AS nc,
         |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cc

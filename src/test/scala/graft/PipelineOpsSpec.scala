@@ -92,6 +92,22 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     got shouldBe Seq((1L, 4, 250000L), (2L, 2, 0L), (3L, 0, 0L))
   }
 
+  test("topK aggregate equals the window top-k under forced partial merges") {
+    val orders = graft.model.Tables.orders(spark, sf0001).repartition(7) // force merges
+    val viaAgg = orders.groupBy("o_orderstatus")
+      .agg(graft.functions.TopKAggregate.topK(col("o_totalprice"), col("o_orderkey"), 5).as("tk"))
+      .select(col("o_orderstatus"), explode(col("tk")).as("e"))
+      .select(col("o_orderstatus"), col("e.score"), col("e.id"))
+      .as[(String, Double, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)].collect().toSet
+    viaAgg shouldBe viaWindow
+  }
+
   test("salted join equals the plain join and actually salts the key") {
     val orders = graft.model.Tables.orders(spark, sf0001)
     val dim = Seq(("F", "f"), ("O", "o"), ("P", "p")).toDF("o_orderstatus", "d")
