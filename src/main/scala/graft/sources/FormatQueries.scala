@@ -170,8 +170,12 @@ object FormatQueries {
     * key checks the result. */
   private def dppJoin(spark: SparkSession, dir: String): DataFrame = {
     val path = Sinks.tempDir("dpp_orders")
+    // repartition on the partition column BEFORE the partitioned write:
+    // otherwise every task writes into every month dir — up to
+    // tasks × months tiny files (the small-file problem, self-inflicted)
     Tables.orders(spark, dir)
       .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .repartition(col("o_month"))
       .write.mode("overwrite").partitionBy("o_month").parquet(path)
     // the dim must be a FILTERED relation — DPP's rule requires a selective
     // predicate on the build side (a bare literal relation never triggers
