@@ -77,6 +77,20 @@ object EventStream {
         col("c_ts"), col("p_ts"), col("p_value"))
   }
 
+  /** Stream–static enrichment join + windowed rollup: the streaming fact
+    * joins a STATIC dimension (re-read per micro-batch, broadcast when
+    * small — no streaming state at all, unlike a stream-stream join), then
+    * aggregates per window and dimension attribute. The standard
+    * ingest-enrich-aggregate shape for reference-data joins at any scale;
+    * spec-checked equal to the identical batch composition. */
+  def enrichedTumbling(events: DataFrame, dim: DataFrame,
+      width: String, watermark: String): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(date_trunc("second", col("ts")), width).as("w"), col("category"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("category"), col("n"), col("sum_value"))
+
   /** Streaming sessionization — the watermark-bounded twin of
     * [[TimeWindows.sessionize]]: a session's state closes (and emits) once
     * the watermark passes its gap horizon. */

@@ -38,6 +38,30 @@ class StreamingSpec extends SparkSpec with Matchers {
     got shouldBe Seq(3L, 1L, 1L)
   }
 
+  test("stream-static enrichment join equals the batch composition") {
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue"), ("cart", "revenue"))
+      .toDF("event_type", "category")
+    val batchEvents = graft.model.Tables.events(spark, sf0001)
+    val batch = batchEvents.join(dim, Seq("event_type"))
+      .groupBy(org.apache.spark.sql.functions.window(
+        org.apache.spark.sql.functions.date_trunc("second", $"ts"), "10 minutes").as("w"),
+        $"category")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum($"value"), 2).as("sum_value"))
+      .select($"w.start".as("w_start"), $"category", $"n", $"sum_value")
+      .collect().toSet
+    val stream = EventStream.runToMemory(
+      EventStream.enrichedTumbling(EventStream.read(spark, sf0001), dim,
+        "10 minutes", "1 hour"),
+      "enriched_test")
+      .collect().toSet
+    stream shouldBe batch
+    batch.size should be > 0
+  }
+
   test("streaming dedup keeps one row per (user_id, event_type)") {
     val deduped = EventStream.dedup(EventStream.read(spark, sf0001), "1 hour")
     val q = deduped.writeStream.outputMode("append")
