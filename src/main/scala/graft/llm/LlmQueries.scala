@@ -85,6 +85,16 @@ object LlmQueries {
     "x_quality_topk" -> ((s, dir) =>
       TextAnalysis.qualityTopDecile(Tables.documents(s, dir))),
 
+    // importance sampling: keep probability ≈ quality score (upweight good
+    // documents in the training mix), deterministic and auditable
+    "x_sample_weighted" -> ((s, dir) => {
+      val withQ = Tables.documents(s, dir)
+        .withColumn("quality", TextAnalysis.qualityExpr(TextAnalysis.tokens(col("text"))))
+      graft.relational.Sampling.weightedSample(withQ, col("doc_id"), col("quality"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
+
     "x_pii_scrub" -> ((s, dir) =>
       TextAnalysis.piiScrub(Tables.documents(s, dir))),
 
@@ -376,6 +386,18 @@ object LlmQueries {
          |    THEN CAST((len(grams) - len(list_distinct(grams))) * 1000000 // len(grams) AS BIGINT)
          |    ELSE CAST(0 AS BIGINT) END AS rep_e6
          |FROM g ORDER BY doc_id""".stripMargin,
+    "x_sample_weighted" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id,
+         |    round(least(len(t) / 100.0, 1.0)
+         |      * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |        / length(text)), 6) AS quality
+         |  FROM toks)
+         |SELECT doc_id, quality FROM q
+         |WHERE ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 10000
+         |  < floor(quality * 10000.0)
+         |ORDER BY doc_id""".stripMargin,
     "x_quality_topk" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, lang,

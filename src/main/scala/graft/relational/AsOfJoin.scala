@@ -26,7 +26,19 @@ object AsOfJoin {
     * @param outTs     output column holding the matched right timestamp
     * @param outValue  output column holding the matched right value */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      value: String, outTs: String, outValue: String): DataFrame = {
+      value: String, outTs: String, outValue: String): DataFrame =
+    asofImpl(left, right, key, ts, value, outTs, outValue, forward = false)
+
+  /** Forward variant: each left row picks the EARLIEST right row with
+    * `right.ts >= left.ts` — "what happened next" enrichment (next
+    * deployment after an alert, next purchase after a click). Same
+    * union + running-window shape, time reversed. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String, ts: String,
+      value: String, outTs: String, outValue: String): DataFrame =
+    asofImpl(left, right, key, ts, value, outTs, outValue, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String, ts: String,
+      value: String, outTs: String, outValue: String, forward: Boolean): DataFrame = {
     val tsType = right.schema(ts).dataType
     val valType = right.schema(value).dataType
     val leftTagged = left
@@ -37,8 +49,11 @@ object AsOfJoin {
       col(key), col(ts), lit(0).as("__left"),
       col(ts).as("__r_ts"), col(value).as("__r_val"))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // at equal timestamps the right row sorts before the left row in both
+    // directions, so the match is inclusive (<= backward, >= forward)
+    val timeOrder = if (forward) col(ts).desc else col(ts).asc
     val w = Window.partitionBy(key)
-      .orderBy(col(ts).asc, col("__left").asc)
+      .orderBy(timeOrder, col("__left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(outTs, last(col("__r_ts"), ignoreNulls = true).over(w))

@@ -382,6 +382,22 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X23b: forward as-of — each click matched with the user's EARLIEST
+    // purchase at or after it ("what happened next" enrichment).
+    "x_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_s")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_s").agg(max("value").as("p_value"))
+      AsOfJoin.asofForward(clicks, purchases, "user_id", "ts_s", "p_value",
+          "next_purchase_ts", "next_purchase_value")
+        .orderBy("event_id")
+    }),
+
     // Pivot: orderstatus columns per priority (missing combos → 0).
     "x_pivot" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -768,6 +784,17 @@ object CoreQueries {
         |SELECT c.event_id, c.user_id, c.ts_s,
         |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+        |ORDER BY c.event_id""".stripMargin,
+    "x_asof_forward" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_s, max(value) AS p_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts_s)
+        |SELECT c.event_id, c.user_id, c.ts_s,
+        |  p.ts_s AS next_purchase_ts, p.p_value AS next_purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s <= p.ts_s
         |ORDER BY c.event_id""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderpriority,

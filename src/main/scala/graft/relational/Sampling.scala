@@ -35,4 +35,14 @@ object Sampling {
     }
     df.where(pctBucket(key) < rate)
   }
+
+  /** Weight-proportional sampling: each row kept with probability ≈ its
+    * `weight` ∈ [0,1] (importance sampling — upweight high-quality
+    * documents in the training mix). The bucket is 10⁴-grained and the
+    * threshold is `floor(weight · 10⁴)` — floor of an IEEE product is
+    * engine-exact, so the kept set is deterministic and auditable like the
+    * other samplers. Still a pure projection. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
+    df.where(StableHash.md5Prefix60(key.cast("string")) % 10000 <
+      floor(weight * 10000.0))
 }
