@@ -382,6 +382,53 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X55: one-pass data profiling (the ANALYZE-TABLE shape): per-column
+    // null count, distinct count, min, max from a SINGLE aggregation over
+    // one scan, then `stack` unpivots the wide row into one row per
+    // column. At 100 TB this is the difference between one pass and one
+    // pass per column.
+    "x_profile" -> ((s, dir) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max")) }
+      val stackArgs = cols.map(c =>
+        s"'$c', n_rows - ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+      Tables.orders(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, n_nulls, n_distinct, min_v, max_v)"))
+        .orderBy("column_name")
+    }),
+
+    // X54: time-series gap-fill + forward fill — generate the full per-key
+    // day grid (sequence + explode: a generator, not a join against a
+    // calendar table), left-join the observed points, and forward-fill
+    // with last(ignoreNulls) over a running frame. Day ordinals are exact
+    // integers so the grid is engine-identical. The month-level grain
+    // keeps the demo grid small; the shape is grain-agnostic.
+    "x_gapfill" -> ((s, dir) => {
+      val day = datediff(to_date(col("o_orderdate")), lit("1990-01-01"))
+      val base = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1995-07-01")) // induce sparsity window
+        .groupBy(col("o_orderstatus"), (day - day % 7).as("wk"))
+        .agg(round(sum("o_totalprice"), 2).as("total"))
+      val grid = base.groupBy("o_orderstatus")
+        .agg(min("wk").as("wk_min"), max("wk").as("wk_max"))
+        .select(col("o_orderstatus"),
+          explode(sequence(col("wk_min"), col("wk_max"), lit(7))).as("wk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy("wk")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(base, Seq("o_orderstatus", "wk"), "left")
+        .select(col("o_orderstatus"), col("wk"),
+          col("total").isNotNull.as("observed"),
+          last(col("total"), ignoreNulls = true).over(w).as("total_ff"))
+        .orderBy("o_orderstatus", "wk")
+    }),
+
     // X23b: forward as-of — each click matched with the user's EARLIEST
     // purchase at or after it ("what happened next" enrichment).
     "x_asof_forward" -> ((s, dir) => {
@@ -785,6 +832,41 @@ object CoreQueries {
         |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
         |ORDER BY c.event_id""".stripMargin,
+    "x_profile" ->
+      """WITH t AS (SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
+        |    CAST(min(o_orderkey) AS DOUBLE) AS k_min, CAST(max(o_orderkey) AS DOUBLE) AS k_max,
+        |    count(o_custkey) AS c_nn, count(DISTINCT o_custkey) AS c_nd,
+        |    CAST(min(o_custkey) AS DOUBLE) AS c_min, CAST(max(o_custkey) AS DOUBLE) AS c_max,
+        |    count(o_totalprice) AS p_nn, count(DISTINCT o_totalprice) AS p_nd,
+        |    CAST(min(o_totalprice) AS DOUBLE) AS p_min, CAST(max(o_totalprice) AS DOUBLE) AS p_max
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderkey' AS column_name, n_rows - k_nn AS n_nulls,
+        |    k_nd AS n_distinct, k_min AS min_v, k_max AS max_v FROM t
+        |  UNION ALL
+        |  SELECT 'o_custkey', n_rows - c_nn, c_nd, c_min, c_max FROM t
+        |  UNION ALL
+        |  SELECT 'o_totalprice', n_rows - p_nn, p_nd, p_min, p_max FROM t)
+        |ORDER BY column_name""".stripMargin,
+    "x_gapfill" ->
+      """WITH base AS (SELECT o_orderstatus, d - d % 7 AS wk,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM (SELECT o_orderstatus, o_totalprice,
+        |      datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01')
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT o_orderstatus, min(wk) AS wk_min, max(wk) AS wk_max
+        |  FROM base GROUP BY 1),
+        |grid AS (SELECT o_orderstatus, unnest(range(wk_min, wk_max + 1, 7)) AS wk
+        |  FROM bounds),
+        |j AS (SELECT g.o_orderstatus, g.wk, b.total
+        |  FROM grid g LEFT JOIN base b USING (o_orderstatus, wk))
+        |SELECT o_orderstatus, CAST(wk AS INTEGER) AS wk,
+        |  total IS NOT NULL AS observed,
+        |  last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY wk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ff
+        |FROM j ORDER BY o_orderstatus, wk""".stripMargin,
     "x_asof_forward" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
