@@ -382,6 +382,35 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X3d: full outer join — both unmatched sides preserved (reconciliation
+    // shape: every customer and every order bucket accounted for).
+    "x_join_full" -> ((s, dir) => {
+      val perCust = Tables.orders(s, dir)
+        .where(col("o_totalprice") > 300000.0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), round(sum("o_totalprice"), 2).as("big_total"))
+      Tables.customer(s, dir)
+        .where(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_big"), col("big_total"))
+        .orderBy("custkey")
+    }),
+
+    // X13c: explode_outer — rows whose array is empty SURVIVE with a NULL
+    // element (plain explode silently drops them: a row-count bug when the
+    // exploded side is optional).
+    "x_explode_outer" -> ((s, dir) => {
+      val tags = filter(array(
+        when(col("o_totalprice") > 400000.0, "jumbo"),
+        when(col("o_orderpriority") === "1-URGENT", "urgent")), t => t.isNotNull)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), explode_outer(tags).as("tag"))
+        .orderBy("o_orderkey", "tag")
+    }),
+
     // X55: one-pass data profiling (the ANALYZE-TABLE shape): per-column
     // null count, distinct count, min, max from a SINGLE aggregation over
     // one scan, then `stack` unpivots the wide row into one row per
@@ -832,6 +861,23 @@ object CoreQueries {
         |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
         |ORDER BY c.event_id""".stripMargin,
+    "x_join_full" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS n_big,
+        |    round(sum(o_totalprice), 2) AS big_total
+        |  FROM orders WHERE o_totalprice > 300000.0 GROUP BY 1),
+        |cu AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 9000.0)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment, n_big, big_total
+        |FROM cu FULL JOIN pc ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "x_explode_outer" ->
+      """WITH t AS (SELECT o_orderkey, list_filter([
+        |    CASE WHEN o_totalprice > 400000.0 THEN 'jumbo' END,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' END],
+        |    x -> x IS NOT NULL) AS tags
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  unnest(CASE WHEN len(tags) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE tags END) AS tag
+        |FROM t ORDER BY o_orderkey, tag NULLS FIRST""".stripMargin,
     "x_profile" ->
       """WITH t AS (SELECT count(*) AS n_rows,
         |    count(o_orderkey) AS k_nn, count(DISTINCT o_orderkey) AS k_nd,
