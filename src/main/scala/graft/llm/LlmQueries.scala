@@ -53,6 +53,21 @@ object LlmQueries {
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
 
+    // fuzzy verification of the shingle-based candidates: exact edit
+    // distance over the candidate pairs ONLY (levenshtein is O(len²) per
+    // pair — never run it corpus-wide; the inverted-index join bounds the
+    // pair set first, then the expensive exact measure runs on survivors)
+    "x_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Dedup.nearDuplicatePairs(docs, JaccardThreshold)
+        .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
+        .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
+        .select(col("da"), col("db"),
+          levenshtein(col("ta"), col("tb")).as("edit_dist"),
+          length(col("ta")).as("len_a"), length(col("tb")).as("len_b"))
+        .orderBy("da", "db")
+    }),
+
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
 
@@ -303,6 +318,23 @@ object LlmQueries {
          |  FROM pairs)
          |SELECT da, db, jaccard FROM scored
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
+    "x_edit_distance" ->
+      s"""WITH $toksCte, $shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |hits AS (SELECT da, db FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= $JaccardThreshold)
+         |SELECT da, db, CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist,
+         |  CAST(length(ta.text) AS INTEGER) AS len_a,
+         |  CAST(length(tb.text) AS INTEGER) AS len_b
+         |FROM hits JOIN documents ta ON da = ta.doc_id
+         |  JOIN documents tb ON db = tb.doc_id
+         |ORDER BY da, db""".stripMargin,
     "x_dedup_minhash" ->
       s"""WITH $toksCte, $shCte,
          |ids AS (SELECT doc_id, ${hashIdSql("s")} AS id FROM sh),

@@ -311,6 +311,23 @@ object CoreQueries {
           .cast("long").as("tol_excess"))
     }),
 
+    // X53b: EXACT re-aggregatable distinct — the bitmap counterpart of the
+    // HLL union: per-group serialized Roaring64 bitmaps persisted to
+    // parquet (incremental per-day/per-partition stats), read back, and
+    // UNIONED for the exact global distinct without rescanning the facts.
+    "x_bitmap_incremental" -> ((s, dir) => {
+      val path = graft.ingest.Sinks.tempDir("bitmap_incr")
+      Tables.orders(s, dir).groupBy("o_orderstatus")
+        .agg(
+          graft.functions.BitmapDistinct.bitmapAgg(col("o_custkey")).as("bm"),
+          graft.functions.BitmapDistinct.bitmapDistinct(col("o_custkey")).as("n_grp"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n_groups"),
+        sum("n_grp").as("sum_per_group"), // > global_distinct ⇔ cross-group overlap
+        graft.functions.BitmapDistinct.bitmapUnionCount(col("bm")).as("global_distinct"))
+    }),
+
     // X52: bounded per-group top-k via the custom TypedImperativeAggregate
     // (TopKPairs) — at most k rows per group per partition reach the
     // shuffle, vs the window row_number() pattern's full per-group sort.
@@ -985,6 +1002,13 @@ object CoreQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_sketch_union" ->
       "SELECT true AS within_tol, CAST(0 AS BIGINT) AS tol_excess",
+    "x_bitmap_incremental" ->
+      """WITH g AS (SELECT o_orderstatus, count(DISTINCT o_custkey) AS c
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS sum_per_group,
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS global_distinct
+        |FROM g""".stripMargin,
     "x_topk_group" ->
       """SELECT o_orderstatus, rk, o_totalprice AS price, o_orderkey AS okey
         |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -42,6 +42,21 @@ class BitmapRewriteSpec extends SparkSpec with Matchers {
     rewritten.collect().toSeq shouldBe df.collect().toSeq
   }
 
+  test("serialized bitmap build + union equals the direct distinct count") {
+    import org.apache.spark.sql.functions.{col, lit, count}
+    val orders = graft.model.Tables.orders(spark, sf0001).repartition(5) // force merges
+    val partials = orders.groupBy("o_orderstatus")
+      .agg(graft.functions.BitmapDistinct.bitmapAgg(col("o_custkey")).as("bm"))
+    val merged = partials
+      .agg(graft.functions.BitmapDistinct.bitmapUnionCount(col("bm")).as("n"))
+      .collect().head.getLong(0)
+    val direct = orders.agg(
+      graft.functions.BitmapDistinct.bitmapDistinct(col("o_custkey")).as("n"))
+      .collect().head.getLong(0)
+    merged shouldBe direct
+    direct should be > 0L
+  }
+
   test("non-integral and multi-column distincts pass through untouched") {
     val strDistinct = lineitem.groupBy("l_returnflag")
       .agg(countDistinct(col("l_linestatus")).as("n")) // string column
