@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, round, sum}
 import org.scalatest.matchers.should.Matchers
 
 import graft.ingest.Upsert
@@ -76,6 +76,20 @@ class EngineSpec extends SparkSpec with Matchers {
     ann.length should be <= 5
     // every candidate shares the query's bucket by construction
     ann.map(_.getAs[Long]("bucket")).distinct.length should be <= 1
+  }
+
+  test("observe collects audit metrics in the same pass as the write") {
+    // the reference pays a separate count() job per ingested table for its
+    // audit row; Observation rides the write job itself — zero extra passes
+    val obs = org.apache.spark.sql.Observation("ingest_audit")
+    val orders = graft.model.Tables.orders(spark, sf0001)
+    orders
+      .observe(obs, count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .write.mode("overwrite").parquet(graft.ingest.Sinks.tempDir("observe_test"))
+    obs.get("n_rows") shouldBe orders.count()
+    obs.get("total") shouldBe orders
+      .agg(round(sum(col("o_totalprice")), 2)).collect().head.get(0)
   }
 
   test("dynamic partition pruning fires on the partitioned fact join") {
