@@ -193,7 +193,42 @@ object FormatQueries {
       .orderBy("o_month")
   }
 
+  /** Bucketed co-located join: both fact tables land bucketed (and
+    * bucket-sorted) on the join key, so the sort-merge join consumes the
+    * bucket layout directly — NO shuffle exchange below the join, the
+    * pre-shuffled-storage pattern for repeated large-fact joins at 100 TB
+    * (pay the shuffle once at write time, never per query). Plan-level
+    * no-exchange guarantee asserted in BucketingSpec; this key checks the
+    * result. */
+  private def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    Seq("kb_orders", "kb_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // an aborted run can leave the managed location behind post-DROP
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
+    Tables.orders(spark, dir)
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("kb_orders")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("kb_lineitem")
+    spark.table("kb_lineitem")
+      .join(spark.table("kb_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
     "x_dpp" -> ((s, dir) => dppJoin(s, dir)),
     "x_source_binary" -> ((s, dir) => binarySource(s, dir)),
     "x_source_corrupt" -> ((s, dir) => corruptRead(s)),
@@ -212,6 +247,10 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x_dpp" ->
       """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
