@@ -21,6 +21,7 @@ object SparkEntry {
     cdc.CdcQueries.queries ++
       relational.ReferenceSurface.queries ++
       relational.CoreQueries.queries ++
+      relational.EventAnalytics.queries ++
       llm.LlmQueries.queries ++
       streaming.StreamQueries.queries ++
       sources.FormatQueries.queries
@@ -31,6 +32,7 @@ object SparkEntry {
     cdc.CdcQueries.oracles ++
       relational.ReferenceSurface.oracles ++
       relational.CoreQueries.oracles ++
+      relational.EventAnalytics.oracles ++
       llm.LlmQueries.oracles ++
       streaming.StreamQueries.oracles ++
       sources.FormatQueries.oracles

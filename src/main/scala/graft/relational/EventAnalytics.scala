@@ -1,0 +1,147 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Behavioral event analytics: funnel, cohort retention, and the binned
+  * interval join — the product-analytics query family a warehouse engine is
+  * expected to answer over an append-only event stream.
+  *
+  * The reference's event handling stops at audit counts per ingestion run
+  * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py:88` writes one
+  * `Historico_Execucao` row per table); these operators answer the questions
+  * an analyst asks OF that event history. All three are built to hold at
+  * 100 TB: every shuffle is on a high-cardinality key (`user_id`, day-bin),
+  * aggregation is partial map-side, and the interval join replaces the
+  * O(N·M) inequality nested loop with an equi-join on a bounded bin key.
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: first view → first click at-or-after that
+    * view → first purchase at-or-after that click. Three aggregations, all
+    * hash-partitioned on `user_id` (a 100 TB event table funnels with three
+    * co-partitioned shuffles and no window sort). Timestamps are truncated
+    * to seconds on both engines so stage comparisons are bit-identical.
+    * One-row final is a legitimate single-row global (PlanAudit-sanctioned),
+    * unpivoted to a row per stage. */
+  private def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_type"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tss").as("t1"))
+    val s2 = ev.where(col("event_type") === "click")
+      .join(s1, "user_id").where(col("tss") >= col("t1"))
+      .groupBy("user_id").agg(min("tss").as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase")
+      .join(s2, "user_id").where(col("tss") >= col("t2"))
+      .groupBy("user_id").agg(min("tss").as("t3"))
+    ev.select("user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("c0"), count(col("t1")).as("c1"),
+        count(col("t2")).as("c2"), count(col("t3")).as("c3"))
+      .select(expr(
+        """stack(4,
+          |  0, 'all_users', c0,
+          |  1, 'first_view', c1,
+          |  2, 'click_after_view', c2,
+          |  3, 'purchase_after_click', c3) AS (stage_ord, stage, users)"""
+          .stripMargin))
+      .orderBy("stage_ord")
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week, counted
+    * distinct per (cohort_week, week_offset). Integer week ordinals from a
+    * fixed epoch keep the grid engine-exact. Two shuffles: one on `user_id`
+    * (first-seen), one on the small (cohort, offset) key — both partial
+    * map-side first. */
+  private def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val weeks = ev
+      .withColumn("w", expr("CAST(datediff(d, DATE '2024-01-01') div 7 AS BIGINT)"))
+      .select("user_id", "w")
+    val firsts = weeks.groupBy("user_id").agg(min("w").as("cohort_week"))
+    weeks.distinct().join(firsts, "user_id")
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Binned interval join: each interval [s, e] is exploded onto the fixed
+    * day-bins it covers (`sequence(s div B, e div B)` — a generator, at most
+    * ceil(len/B)+1 rows), points carry their single bin, and the join is a
+    * plain equi-join on the bin key refined by the exact BETWEEN. This is
+    * the scale-safe form of the inequality join: the naive `p BETWEEN s AND
+    * e` condition forces a broadcast nested loop (O(N·M) compares), while
+    * the bin form shuffles both sides evenly on an integer key and compares
+    * only within-bin pairs. Each (point, interval) pair meets exactly once —
+    * in the point's bin — so no post-join dedup is needed. Oracle: DuckDB's
+    * native IEJoin on the raw inequality. */
+  private def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val B = 16 // bin width (days) > max interval length => ≤ 2 bins/interval
+    val iv = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)").as("s"))
+      .withColumn("e", col("s") + col("o_orderkey") % 7 + lit(1))
+      .withColumn("bin", explode(expr(s"sequence(s div $B, e div $B)")))
+    val pt = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT)").as("p"),
+        col("l_quantity"))
+      .withColumn("bin", expr(s"p div $B"))
+    pt.join(iv, Seq("bin")).where(col("p").between(col("s"), col("e")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("o_orderkey").as("n_orders"),
+        round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_funnel" -> ((s, dir) => funnel(s, dir)),
+    "x_retention" -> ((s, dir) => retention(s, dir)),
+    "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "x_funnel" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type FROM events),
+        |s1 AS (SELECT user_id, min(tss) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(tss) AS t2 FROM ev JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND tss >= t1 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(tss) AS t3 FROM ev JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND tss >= t2 GROUP BY 1)
+        |SELECT 0 AS stage_ord, 'all_users' AS stage, count(DISTINCT user_id) AS users FROM ev
+        |UNION ALL SELECT 1, 'first_view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click_after_view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3
+        |ORDER BY stage_ord""".stripMargin,
+    "x_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+        |  FROM events),
+        |firsts AS (SELECT user_id, min(w) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT cohort_week, w - cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN firsts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "x_interval_join" ->
+      """WITH iv AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |iv2 AS (SELECT o_orderkey, o_orderstatus, s, s + o_orderkey % 7 + 1 AS e FROM iv),
+        |pt AS (SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS p,
+        |    l_quantity
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT o_orderstatus, count(*) AS n_pairs,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
+        |FROM pt JOIN iv2 ON p BETWEEN s AND e
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+}
