@@ -24,7 +24,8 @@ object SparkEntry {
       relational.EventAnalytics.queries ++
       llm.LlmQueries.queries ++
       streaming.StreamQueries.queries ++
-      sources.FormatQueries.queries
+      sources.FormatQueries.queries ++
+      ingest.Integrity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -35,5 +36,6 @@ object SparkEntry {
       relational.EventAnalytics.oracles ++
       llm.LlmQueries.oracles ++
       streaming.StreamQueries.oracles ++
-      sources.FormatQueries.oracles
+      sources.FormatQueries.oracles ++
+      ingest.Integrity.oracles
 }

@@ -1,0 +1,107 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.model.Tables
+
+/** Data-integrity primitives for replicated / migrated tables: an
+  * order-independent table checksum and a snapshot diff (anti-entropy).
+  *
+  * The reference trusts its ingestion blindly — it records row counts in
+  * `Historico_Execucao` (`Sites/DataProc_Script/spark_ingest_slmandicprd
+  * .py:88`) but never verifies content. At 100 TB, "did the copy match?"
+  * must be answerable without sorting or collecting anything: both
+  * operators here are a pure per-row projection followed by one partial
+  * map-side aggregation (checksum), or one co-partitioned full-outer join
+  * (diff). XOR and bounded-sum are commutative/associative, so per-group
+  * checksums re-aggregate to table checksums without rescanning — the same
+  * incremental pattern as the X53/X53b sketches.
+  */
+object Integrity {
+
+  /** Canonical row serialization for `orders` — engine-portable: integer
+    * and string columns verbatim, the double price as exact cents (the ×100
+    * value sits within 1e-9 of an integer, so `round` agrees bit-exactly
+    * across engines), the timestamp as an ISO date string. */
+  private def canon(price: Column): Column = concat_ws("|",
+    col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    round(price * 100).cast("long"),
+    col("o_orderdate").cast("date").cast("string"),
+    col("o_orderpriority"))
+
+  /** DuckDB rendition of [[canon]]. */
+  private def canonSql(price: String): String =
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+      s"CAST(round($price * 100) AS BIGINT), " +
+      "CAST(CAST(o_orderdate AS DATE) AS VARCHAR), o_orderpriority)"
+
+  /** Per-status + grand-total content checksum: row count, XOR of the
+    * 60-bit row hashes, and a bounded hash sum (mod ~2³⁰ per row, so the
+    * BIGINT sum holds past 10¹² rows). One scan, one hash aggregation;
+    * the rollup row proves re-aggregability (global = XOR of group XORs). */
+  private def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        StableHash.md5Prefix60(canon(col("o_totalprice"))).as("h"))
+      .rollup("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(h)").as("h_xor"),
+        sum(col("h") % 1000000007L).as("h_sum"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+
+  /** Snapshot diff (anti-entropy): classify every key as added / removed /
+    * changed / unchanged between two snapshots by comparing per-row content
+    * hashes under a co-partitioned full-outer join — never row payloads, so
+    * the shuffle moves 16 bytes per row regardless of row width. Snapshots
+    * are derived deterministically from `orders` (v1 drops keys ≡0 mod 7;
+    * v2 drops ≡0 mod 11 and bumps the price of keys ≡0 mod 5) so both
+    * engines build identical inputs. */
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val v1 = base.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"),
+        StableHash.md5Prefix60(canon(col("o_totalprice"))).as("h1"))
+    val v2 = base.where(col("o_orderkey") % 11 =!= 0)
+      .withColumn("pr", when(col("o_orderkey") % 5 === 0,
+        col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+      .select(col("o_orderkey"), StableHash.md5Prefix60(canon(col("pr"))).as("h2"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") =!= col("h2"), "changed")
+        .otherwise("unchanged").as("change_type"))
+      .groupBy("change_type").agg(count(lit(1)).as("n"))
+      .orderBy("change_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_checksum" -> ((s, dir) => tableChecksum(s, dir)),
+    "x_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)))
+
+  private val hashSql = StableHash.md5Prefix60Sql(canonSql("o_totalprice"))
+
+  val oracles: Map[String, String] = Map(
+    "x_checksum" ->
+      s"""WITH h AS (SELECT o_orderstatus, $hashSql AS h FROM orders)
+         |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+         |  bit_xor(h) AS h_xor,
+         |  CAST(sum(h % 1000000007) AS BIGINT) AS h_sum
+         |FROM h GROUP BY ROLLUP (o_orderstatus)
+         |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "x_snapshot_diff" ->
+      s"""WITH v1 AS (SELECT o_orderkey, $hashSql AS h1
+         |  FROM orders WHERE o_orderkey % 7 <> 0),
+         |adj AS (SELECT * REPLACE (CASE WHEN o_orderkey % 5 = 0
+         |    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice)
+         |  FROM orders WHERE o_orderkey % 11 <> 0),
+         |v2 AS (SELECT o_orderkey, $hashSql AS h2 FROM adj)
+         |SELECT CASE WHEN h1 IS NULL THEN 'added'
+         |    WHEN h2 IS NULL THEN 'removed'
+         |    WHEN h1 <> h2 THEN 'changed'
+         |    ELSE 'unchanged' END AS change_type,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM v1 FULL JOIN v2 USING (o_orderkey)
+         |GROUP BY 1 ORDER BY change_type""".stripMargin)
+}

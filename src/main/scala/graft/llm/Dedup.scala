@@ -406,4 +406,21 @@ object Dedup {
       .where(col("cos_sim") >= threshold)
       .orderBy("va", "vb")
   }
+
+  /** Canonical-document selection: for each duplicate cluster keep the best
+    * member (longest, ties to the lowest id) and report how many it
+    * replaces — the step that turns cluster ASSIGNMENT ([[duplicateClusters]])
+    * into actual corpus shrinkage. `max_by` over a (quality, -id) struct is
+    * a single hash aggregation with map-side partials; nothing is sorted or
+    * collected, so the selection cost is one shuffle of (cluster_id, 16
+    * bytes) rows at any corpus size. */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("kept_doc"),
+        count(lit(1)).as("n_members"))
+      .withColumn("n_dropped", col("n_members") - 1)
+      .orderBy("cluster_id")
 }

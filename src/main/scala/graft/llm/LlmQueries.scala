@@ -89,6 +89,27 @@ object LlmQueries {
           Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold),
         graphPartitions = 8)), // testdata pair graph is ~100 edges
 
+    // cluster → canonical: keep the best member per duplicate cluster
+    "x_dedup_canonical" -> ((s, dir) =>
+      Dedup.canonicalPerCluster(
+        Dedup.duplicateClusters(
+          Dedup.nearDuplicatePairs(
+            Tables.documents(s, dir).where(col("doc_id") < 1000),
+            JaccardThreshold),
+          graphPartitions = 8),
+        Tables.documents(s, dir))),
+
+    // deterministic 80/10/10 split audit: per-split counts + content xor
+    "x_split" -> ((s, dir) =>
+      graft.relational.Sampling
+        .trainValTest(Tables.documents(s, dir), col("doc_id"))
+        .withColumn("h", graft.functions.StableHash.md5Prefix60(
+          col("doc_id").cast("string")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          expr("bit_xor(h)").as("h_xor"))
+        .orderBy("split")),
+
     // benchmark-decontamination: corpus docs (id >= 50) containing >= half
     // of a "benchmark" doc's (id < 50) shingles
     "x_contamination" -> ((s, dir) =>
@@ -178,6 +199,33 @@ object LlmQueries {
     s"""shf AS (SELECT doc_id, sid FROM (
        |  SELECT doc_id, ${hashIdSql("s")} AS sid FROM sh) ids
        |  QUALIFY count(*) OVER (PARTITION BY sid) <= ${Dedup.MaxShingleDf})""".stripMargin
+
+  /** The x_dedup_cluster component chain (docs with doc_id < 1000), ending
+    * in `clusters(doc_id, cluster_id)` — shared by the cluster-assignment
+    * and canonical-selection oracles. Callers open with `WITH RECURSIVE`. */
+  private val clusterCtes =
+    s"""ftoks AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE doc_id < 1000),
+       |sh AS (SELECT doc_id, unnest(list_distinct(
+       |  CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+       |    ELSE [] END)) AS s FROM ftoks),
+       |$shfCte,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+       |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+       |    min(a.n) AS na, min(b.n) AS nb
+       |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+       |  GROUP BY 1, 2),
+       |hits AS (SELECT da, db FROM pairs
+       |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= $JaccardThreshold),
+       |edges AS (SELECT da, db FROM hits UNION ALL SELECT db AS da, da AS db FROM hits),
+       |reach AS (SELECT da AS node, da AS label FROM edges
+       |  UNION
+       |  SELECT e.da AS node, r.label FROM edges e JOIN reach r ON e.db = r.node),
+       |clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
+       |  FROM reach GROUP BY node)""".stripMargin
 
   /** DuckDB twins of the IVF quantizer: centroid vectors from rounded
     * per-(label, dim) averages (`cent`), and the argmax cell assignment
@@ -367,29 +415,28 @@ object LlmQueries {
          |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
     "x_dedup_cluster" ->
-      s"""WITH RECURSIVE
-         |ftoks AS (SELECT doc_id, string_split(text, ' ') AS t
-         |  FROM documents WHERE doc_id < 1000),
-         |sh AS (SELECT doc_id, unnest(list_distinct(
-         |  CASE WHEN len(t) >= 3
-         |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
-         |    ELSE [] END)) AS s FROM ftoks),
-         |$shfCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
-         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
-         |    min(a.n) AS na, min(b.n) AS nb
-         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
-         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
-         |  GROUP BY 1, 2),
-         |hits AS (SELECT da, db FROM pairs
-         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= $JaccardThreshold),
-         |edges AS (SELECT da, db FROM hits UNION ALL SELECT db AS da, da AS db FROM hits),
-         |reach AS (SELECT da AS node, da AS label FROM edges
-         |  UNION
-         |  SELECT e.da AS node, r.label FROM edges e JOIN reach r ON e.db = r.node)
-         |SELECT node AS doc_id, min(label) AS cluster_id
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "x_split" ->
+      s"""WITH b AS (SELECT n_chars,
+         |    ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT CASE WHEN h % 100 < 80 THEN 'train'
+         |    WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  bit_xor(h) AS h_xor
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "x_dedup_canonical" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |sel AS (SELECT cluster_id, c.doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, c.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM clusters c JOIN documents USING (doc_id))
+         |SELECT cluster_id, doc_id AS kept_doc, n_members,
+         |  n_members - 1 AS n_dropped
+         |FROM sel WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "x_contamination" ->
       s"""WITH $toksCte,
          |sh8 AS (SELECT doc_id, unnest(list_distinct(

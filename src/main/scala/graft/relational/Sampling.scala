@@ -45,4 +45,14 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column): DataFrame =
     df.where(StableHash.md5Prefix60(key.cast("string")) % 10000 <
       floor(weight * 10000.0))
+
+  /** Deterministic train/val/test assignment (80/10/10) from the key's hash
+    * bucket: every engine, retry, and partitioning agrees on each row's
+    * split — the property that keeps eval sets uncontaminated when the
+    * corpus is rebuilt. Pure projection. */
+  def trainValTest(df: DataFrame, key: Column): DataFrame = {
+    val b = pctBucket(key)
+    df.withColumn("split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+  }
 }
