@@ -657,6 +657,61 @@ object CoreQueries {
           round(max("o_totalprice"), 2).as("bin_max"))
         .orderBy("bin")),
 
+    // X40b: equi-depth histogram — per-status deciles from a PARTITIONED
+    // ntile (integer cut, per-group sort only; the global-sort ntile would
+    // be a single-partition funnel at scale).
+    "x_histogram_eqdepth" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("decile", ntile(10).over(Window
+          .partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy("o_orderstatus", "decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .orderBy("o_orderstatus", "decile")),
+
+    // X13b: Dataset.unpivot (wide→long melt) — the API path, not a stack()
+    // expression; generator-expanded per row, no shuffle before the
+    // aggregation.
+    "x_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(Array.empty,
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric").agg(round(sum("val"), 2).as("total"))
+        .orderBy("metric")),
+
+    // X3d: null-safe equality join (<=>) — NULL hashes as a regular key so
+    // the join stays a hash join (plain equality would drop NULL rows and a
+    // coalesce-to-sentinel workaround risks collisions).
+    "x_join_nullsafe" -> ((s, dir) => {
+      val a = Tables.orders(s, dir)
+        .select(expr("nullif(o_custkey % 20, 0)").as("k1"))
+      val b = Tables.customer(s, dir)
+        .select(expr("nullif(c_custkey % 20, 0)").as("k2"))
+      a.join(b, col("k1") <=> col("k2"))
+        .groupBy(col("k1").as("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
+    // X3e: lateral join — per-order top-2 line items via a correlated
+    // LATERAL subquery with ORDER BY + LIMIT (Catalyst decorrelates to a
+    // per-group window filter, so the "top-N per key" stays distributed).
+    "x_join_lateral" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderkey, l_linenumber, round(price, 2) AS price
+          |FROM v_orders o,
+          |  LATERAL (SELECT l_linenumber, l_extendedprice AS price
+          |           FROM v_lineitem WHERE l_orderkey = o.o_orderkey
+          |           ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+          |WHERE o.o_orderpriority = '1-URGENT'
+          |ORDER BY o_orderkey, l_linenumber""".stripMargin)
+    }),
+
     // X6c: explicit grouping sets (beyond rollup/cube's fixed lattices).
     "x_grouping_sets" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1077,6 +1132,34 @@ object CoreQueries {
         |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
         |  round(max(o_totalprice), 2) AS max_price
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "x_histogram_eqdepth" ->
+      """SELECT o_orderstatus, CAST(decile AS INTEGER) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, decile""".stripMargin,
+    "x_unpivot" ->
+      """SELECT 'l_discount' AS metric, round(sum(l_discount), 2) AS total FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', round(sum(l_extendedprice), 2) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', round(sum(l_quantity), 2) FROM lineitem
+        |ORDER BY metric""".stripMargin,
+    "x_join_nullsafe" ->
+      """SELECT k1 AS k, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT nullif(o_custkey % 20, 0) AS k1 FROM orders) a
+        |JOIN (SELECT nullif(c_custkey % 20, 0) AS k2 FROM customer) b
+        |  ON k1 IS NOT DISTINCT FROM k2
+        |GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
+    "x_join_lateral" ->
+      """SELECT o_orderkey, l_linenumber, round(price, 2) AS price
+        |FROM orders o,
+        |  LATERAL (SELECT l_linenumber, l_extendedprice AS price
+        |           FROM lineitem WHERE l_orderkey = o.o_orderkey
+        |           ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
     "x_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
