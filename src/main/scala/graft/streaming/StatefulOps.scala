@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom stateful streaming: per-user running aggregates via
   * `flatMapGroupsWithState` — the escape hatch when built-in windowed
@@ -33,5 +34,40 @@ object StatefulOps {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** State-v2 twin of [[runningTotals]]: the Spark 4 `transformWithState`
+    * API (SPARK-46815). Unlike GroupState, the processor owns named,
+    * individually-typed state handles with per-state TTL, can register
+    * timers, and can evolve state schema — the surface long-lived 100 TB
+    * streaming jobs need. Requires the RocksDB state-store provider (the
+    * backend that holds at-scale state off-heap); spec-checked equal to the
+    * GroupState implementation and the batch groupBy. */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("running",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, batch: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserRunning] = {
+      val (n0, total0) = Option(state.get()).getOrElse((0L, 0.0))
+      var n = n0
+      var total = total0
+      batch.foreach { e => n += 1; total += e.value }
+      state.update((n, total))
+      Iterator.single(UserRunning(userId, n, total))
+    }
+  }
+
+  /** [[runningTotals]] on the state-v2 engine. */
+  def runningTotalsV2(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

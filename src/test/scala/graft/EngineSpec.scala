@@ -92,6 +92,36 @@ class EngineSpec extends SparkSpec with Matchers {
       .agg(round(sum(col("o_totalprice")), 2)).collect().head.get(0)
   }
 
+  test("runtime bloom filter prunes the shuffle-join fact side") {
+    // AQE's InjectRuntimeFilter: a selective predicate on the dim side of a
+    // shuffle join materializes a bloom filter that pre-filters the fact
+    // scan — the runtime complement to static pushdown, and the lever that
+    // keeps a 100 TB fact ⋈ filtered-dim join from scanning rows the join
+    // would discard anyway. Local testdata is below the default size
+    // thresholds, so they're lowered for the assertion; semantics are
+    // unchanged (the filter only ever removes non-matching rows).
+    val overrides = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = graft.model.Tables.orders(spark, sf0001)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val fact = graft.model.Tables.lineitem(spark, sf0001)
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.queryExecution.optimizedPlan.toString.toLowerCase should
+        include ("might_contain")
+      joined.count() should be > 0L
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic partition pruning fires on the partitioned fact join") {
     val df = graft.sources.FormatQueries.queries("x_dpp")(spark, sf0001)
     df.queryExecution.executedPlan.toString.toLowerCase should include ("dynamicpruning")

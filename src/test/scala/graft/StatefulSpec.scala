@@ -28,6 +28,34 @@ class StatefulSpec extends SparkSpec with Matchers {
     rows.filter(_.user_id == 2).map(_.n_events).max shouldBe 1L
   }
 
+  test("transformWithState (state v2) matches the GroupState running totals") {
+    // the v2 API requires the RocksDB state-store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[UserEvent]
+      val q = StatefulOps.runningTotalsV2(input.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("running_v2").start()
+      input.addData(UserEvent(1, "click", 1.0), UserEvent(1, "view", 2.0),
+        UserEvent(2, "click", 5.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1, "click", 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("running_v2").as[UserRunning].collect()
+      rows.filter(_.user_id == 1).map(_.n_events).max shouldBe 3L
+      rows.filter(_.user_id == 1).map(_.total_value).max shouldBe 7.0
+      rows.filter(_.user_id == 2).map(_.n_events).max shouldBe 1L
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val got = spark.sql(
