@@ -685,15 +685,18 @@ object CoreQueries {
 
     // X3d: null-safe equality join (<=>) — NULL hashes as a regular key so
     // the join stays a hash join (plain equality would drop NULL rows and a
-    // coalesce-to-sentinel workaround risks collisions).
+    // coalesce-to-sentinel workaround risks collisions). NULL is kept RARE
+    // on the dim side (one row): the null bucket is semantically a cross
+    // product, so bounding one side keeps the key linear in the fact size.
     "x_join_nullsafe" -> ((s, dir) => {
       val a = Tables.orders(s, dir)
-        .select(expr("nullif(o_custkey % 20, 0)").as("k1"))
+        .select(expr("if(o_orderkey % 20 = 0, NULL, o_custkey)").as("k1"))
       val b = Tables.customer(s, dir)
-        .select(expr("nullif(c_custkey % 20, 0)").as("k2"))
+        .select(expr("nullif(c_custkey, 20)").as("k2"))
       a.join(b, col("k1") <=> col("k2"))
-        .groupBy(col("k1").as("k")).agg(count(lit(1)).as("n"))
-        .orderBy(col("k").asc_nulls_first)
+        .groupBy(col("k1").isNull.as("null_key"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("k1")).as("n_keys"))
+        .orderBy("null_key")
     }),
 
     // X3e: lateral join — per-order top-2 line items via a correlated
@@ -1147,11 +1150,13 @@ object CoreQueries {
         |UNION ALL SELECT 'l_quantity', round(sum(l_quantity), 2) FROM lineitem
         |ORDER BY metric""".stripMargin,
     "x_join_nullsafe" ->
-      """SELECT k1 AS k, CAST(count(*) AS BIGINT) AS n
-        |FROM (SELECT nullif(o_custkey % 20, 0) AS k1 FROM orders) a
-        |JOIN (SELECT nullif(c_custkey % 20, 0) AS k2 FROM customer) b
+      """SELECT k1 IS NULL AS null_key, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT k1) AS BIGINT) AS n_keys
+        |FROM (SELECT CASE WHEN o_orderkey % 20 = 0 THEN NULL
+        |    ELSE o_custkey END AS k1 FROM orders) a
+        |JOIN (SELECT nullif(c_custkey, 20) AS k2 FROM customer) b
         |  ON k1 IS NOT DISTINCT FROM k2
-        |GROUP BY 1 ORDER BY k NULLS FIRST""".stripMargin,
+        |GROUP BY 1 ORDER BY null_key""".stripMargin,
     "x_join_lateral" ->
       """SELECT o_orderkey, l_linenumber, round(price, 2) AS price
         |FROM orders o,
