@@ -155,6 +155,12 @@ object LlmQueries {
     "x_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), 3)),
 
+    // heavy hitters: exact frequent set flagged with membership in the
+    // one-pass freqItems sketch — the oracle pins in_sketch=true, so a
+    // violation of the sketch's no-false-negatives guarantee turns red
+    "x_freq_items" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), 0.03)),
+
     "x_curation" -> ((s, dir) =>
       TextAnalysis.curationVerdict(Tables.documents(s, dir), minQuality = 0.15)),
 
@@ -547,6 +553,14 @@ object LlmQueries {
         |    trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'), ' +', ' ', 'g')) AS norm_text
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "x_freq_items" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT unnest(t) AS token FROM toks),
+         |exact AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM exact)
+         |SELECT token, cnt, true AS in_sketch
+         |FROM exact CROSS JOIN tot WHERE cnt > 0.03 * n_total
+         |ORDER BY token""".stripMargin,
     "x_tfidf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),

@@ -117,6 +117,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heavy hitters with an explicit error contract. `stat.freqItems` runs
+    * the one-pass streaming frequent-items algorithm (Karp et al.), whose
+    * guarantee is one-sided: every item with frequency > support·N is in
+    * the returned list (false positives possible, false NEGATIVES never).
+    * The key exploits exactly that: the output is the EXACT frequent set
+    * (one aggregation) flagged with sketch membership — the oracle pins
+    * `in_sketch = true`, so any guarantee violation turns the key red.
+    * The sketch itself is a single ~(1/support)-counter state per
+    * partition merged at the driver; the exact side is one partial-first
+    * aggregation — both scale-clean. */
+  def heavyHitters(docs: DataFrame, support: Double): DataFrame = {
+    val tok = docs.select(explode(tokens(col("text"))).as("token"))
+    val sketch: Seq[String] = tok.stat.freqItems(Array("token"), support)
+      .head.getSeq[String](0)
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(exact.agg(sum("cnt").as("n_total"))) // 1-row broadcast
+      .where(col("cnt") > lit(support) * col("n_total"))
+      .select(col("token"), col("cnt"),
+        col("token").isin(sketch: _*).as("in_sketch"))
+      .orderBy("token")
+  }
+
   /** Curation verdict — the pipeline terminus that composes the filters a
     * training-data curator actually applies, with first-failing-rule
     * attribution: exact-duplicate suppression (canonical = min doc_id per

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -227,7 +227,53 @@ object FormatQueries {
       .orderBy("o_orderstatus")
   }
 
+  /** 16-bit Morton spread: insert a zero between each bit (x → bit i of x
+    * lands at bit 2i). Shift-and-mask only — engine-identical on BIGINT. */
+  private def spread16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton z-value of two 16-bit dimensions (even bits x, odd bits y). */
+  private[graft] def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** DuckDB rendition of [[spread16]] (same shift-and-mask chain). */
+  private def spread16Sql(e: String): String = {
+    val s0 = s"(($e) & 65535)"
+    val s1 = s"(($s0 | ($s0 << 8)) & 16711935)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 252645135)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 858993459)"
+    s"(($s3 | ($s3 << 1)) & 1431655765)"
+  }
+
+  /** Z-order (Morton) multi-dimensional clustering key: interleave the bits
+    * of two dimensions so that sorting by ONE integer keeps BOTH dimensions
+    * locally bounded — the data-layout technique that lets min/max file
+    * statistics prune 2-D predicates after a 1-D sort (Delta/Iceberg
+    * OPTIMIZE ZORDER; here built from shift-and-mask expressions). The key
+    * checks the curve math and its locality property: bucketing by the top
+    * z-bits confines each dimension's span per bucket. The write-side
+    * layout (repartitionByRange(z) + sortWithinPartitions, per-file spans
+    * a fraction of the global span) is asserted in BucketingSpec. */
+  private def zorder(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir).select(
+      (col("o_custkey") % 65536).as("cx"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) % 65536")
+        .as("dy"))
+    df.withColumn("z", zValue(col("cx"), col("dy")))
+      .groupBy(expr("z div 262144").as("z_bucket")) // top 14 interleaved bits
+      .agg(count(lit(1)).as("n"),
+        min("cx").as("min_cx"), max("cx").as("max_cx"),
+        min("dy").as("min_dy"), max("dy").as("max_dy"))
+      .orderBy("z_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zorder" -> ((s, dir) => zorder(s, dir)),
     "x_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
     "x_dpp" -> ((s, dir) => dppJoin(s, dir)),
     "x_source_binary" -> ((s, dir) => binarySource(s, dir)),
@@ -247,6 +293,18 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_zorder" -> {
+      val zx = spread16Sql("cx")
+      val zy = spread16Sql("dy")
+      s"""WITH d AS (SELECT o_custkey % 65536 AS cx,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) % 65536 AS dy
+         |  FROM orders),
+         |z AS (SELECT cx, dy, ($zx | ($zy << 1)) AS z FROM d)
+         |SELECT z // 262144 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(cx) AS min_cx, max(cx) AS max_cx,
+         |  min(dy) AS min_dy, max(dy) AS max_dy
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+    },
     "x_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

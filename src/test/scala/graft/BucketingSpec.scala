@@ -52,6 +52,29 @@ class BucketingSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("z-ordered layout bounds both dimensions within each file") {
+    // the payoff of the z-value: sorting by ONE integer localizes BOTH
+    // dimensions, so per-file min/max stats can prune 2-D predicates
+    val df = graft.model.Tables.orders(spark, sf0001).select(
+        (col("o_custkey") % 65536).as("cx"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) % 65536")
+          .as("dy"))
+      .withColumn("z", graft.sources.FormatQueries.zValue(col("cx"), col("dy")))
+    val path = graft.ingest.Sinks.tempDir("zorder_layout")
+    df.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(path)
+    val spans = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("dy") - min("dy")).cast("double").as("dy_span"),
+        count(lit(1)).as("n"))
+    val globalSpan = df.agg((max("dy") - min("dy")).cast("double"))
+      .head.getDouble(0)
+    val avgSpan = spans.agg(avg("dy_span")).head.getDouble(0)
+    withClue(s"avg per-file dy span $avgSpan vs global $globalSpan: ") {
+      avgSpan should be < globalSpan * 0.75
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val ev = graft.model.Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16,
