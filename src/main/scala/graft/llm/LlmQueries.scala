@@ -99,6 +99,19 @@ object LlmQueries {
           graphPartitions = 8),
         Tables.documents(s, dir))),
 
+    // temperature (α=0.5) mixture rebalance: dominant strata downsampled
+    // toward sqrt-share, smallest stratum kept whole; skew induced
+    // deterministically (the synthetic sources are uniform)
+    "x_mix_temperature" -> ((s, dir) =>
+      graft.relational.Sampling.temperatureResample(
+        Tables.documents(s, dir), col("doc_id"),
+        expr("CASE WHEN doc_id % 10 < 8 THEN 'head' " +
+          "WHEN doc_id % 10 = 8 THEN 'torso' ELSE 'tail' END"))
+        .groupBy("stratum")
+        .agg(max("n_orig").as("n_orig"), count(lit(1)).as("n_kept"),
+          max("keep_lt_e4").as("keep_lt_e4"))
+        .orderBy("stratum")),
+
     // deterministic 80/10/10 split audit: per-split counts + content xor
     "x_split" -> ((s, dir) =>
       graft.relational.Sampling
@@ -423,6 +436,20 @@ object LlmQueries {
     "x_dedup_cluster" ->
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "x_mix_temperature" ->
+      s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'head'
+         |    WHEN doc_id % 10 = 8 THEN 'torso' ELSE 'tail' END AS stratum
+         |  FROM documents),
+         |c AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_orig FROM d GROUP BY 1),
+         |m AS (SELECT min(n_orig) AS n_min FROM c),
+         |r AS (SELECT stratum, n_orig,
+         |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_orig AS DOUBLE)) * 10000) AS BIGINT)
+         |      AS keep_lt_e4
+         |  FROM c CROSS JOIN m)
+         |SELECT stratum, n_orig, CAST(count(*) AS BIGINT) AS n_kept, keep_lt_e4
+         |FROM d JOIN r USING (stratum)
+         |WHERE ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < keep_lt_e4
+         |GROUP BY stratum, n_orig, keep_lt_e4 ORDER BY stratum""".stripMargin,
     "x_split" ->
       s"""WITH b AS (SELECT n_chars,
          |    ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} AS h

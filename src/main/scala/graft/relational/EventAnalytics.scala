@@ -104,12 +104,41 @@ object EventAnalytics {
       .orderBy("o_orderstatus")
   }
 
+  /** Path (sequence) mining: the top event-type journeys per (user, day).
+    * The per-key sequence is assembled by `array_sort` over (ts, event_id,
+    * type) structs — event_id makes the order total, so both engines build
+    * the identical string; no window sort, one aggregation per level. The
+    * final top-10 is a TakeOrdered over the path-count table (already
+    * aggregated — tiny), with a total ORDER BY so LIMIT is deterministic. */
+  private def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), to_date(col("ts")).as("d"),
+      struct(date_trunc("second", col("ts")).as("tss"), col("event_id"),
+        col("event_type")).as("s"))
+    ev.groupBy("user_id", "d")
+      .agg(array_sort(collect_list("s")).as("seq"))
+      .select(concat_ws(">", expr("transform(seq, x -> x.event_type)")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_paths" -> ((s, dir) => topPaths(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_retention" -> ((s, dir) => retention(s, dir)),
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_paths" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_id, event_type
+        |  FROM events),
+        |paths AS (SELECT user_id, d,
+        |    string_agg(event_type, '>' ORDER BY tss, event_id) AS path
+        |  FROM ev GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM paths GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "x_funnel" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type FROM events),
         |s1 AS (SELECT user_id, min(tss) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

@@ -46,6 +46,28 @@ object Sampling {
     df.where(StableHash.md5Prefix60(key.cast("string")) % 10000 <
       floor(weight * 10000.0))
 
+  /** Temperature (α = 0.5) mixture resampling: rebalance a skewed source
+    * mix toward `p_s^α` shares by pure downsampling — the keep rate for
+    * stratum s is `sqrt(n_min / n_s)` (the smallest stratum keeps 100%,
+    * dominant strata shed mass), applied with the same 10⁴-grained hash
+    * threshold as [[weightedSample]]. `sqrt` and division are IEEE
+    * exact-rounded (unlike pow/ln), so the kept set is engine-exact.
+    * Two aggregations over the stratum table (tiny) + one pure-projection
+    * filter over the corpus — nothing quadratic, nothing driver-side. */
+  def temperatureResample(df: DataFrame, key: Column, stratum: Column): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_orig"))
+    val rates = counts
+      .crossJoin(counts.agg(min("n_orig").as("n_min"))) // 1-row broadcast
+      .withColumn("keep_lt_e4", floor(sqrt(
+        col("n_min").cast("double") / col("n_orig").cast("double")) * 10000.0)
+        .cast("long"))
+      .select("stratum", "n_orig", "keep_lt_e4")
+    df.withColumn("stratum", stratum).join(rates, "stratum")
+      .where(StableHash.md5Prefix60(key.cast("string")) % 10000 <
+        col("keep_lt_e4"))
+  }
+
   /** Deterministic train/val/test assignment (80/10/10) from the key's hash
     * bucket: every engine, retry, and partitioning agrees on each row's
     * split — the property that keeps eval sets uncontaminated when the

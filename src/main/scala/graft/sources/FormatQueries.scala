@@ -272,7 +272,43 @@ object FormatQueries {
       .orderBy("z_bucket")
   }
 
+  /** Per-file (min, max) statistics of `statCol` — the Iceberg/Delta
+    * manifest, derived here by one metadata-shaped aggregation (one row per
+    * FILE: thousands of rows at 100 TB, not billions). */
+  private[graft] def fileManifest(spark: SparkSession, path: String,
+      statCol: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(statCol).as("lo"), max(statCol).as("hi"))
+
+  /** Manifest (file-statistics) pruning — the lakehouse scan-planning
+    * pattern: data lands range-clustered on the predicate column, a
+    * manifest of per-file (min, max) answers "which files can contain
+    * 1996?", and the query reads ONLY those. The file list is collected on
+    * the driver — that is the control plane (the same thing Iceberg's
+    * planner does with manifest files); the data plane never moves. The
+    * oracle aggregates the whole table, so the check proves pruning lost
+    * nothing; PruningSpec-style file-count reduction is asserted in
+    * BucketingSpec. */
+  private def statsPrune(spark: SparkSession, dir: String): DataFrame = {
+    val path = Sinks.tempDir("stats_prune")
+    Tables.orders(spark, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val sel = fileManifest(spark, path, "o_orderdate")
+      .where(col("hi") >= lit("1996-01-01").cast("timestamp") &&
+        col("lo") <= lit("1996-12-31 23:59:59").cast("timestamp"))
+      .select("f").collect().map(_.getString(0))
+    require(sel.nonEmpty, "manifest pruning selected no files")
+    spark.read.parquet(sel.toIndexedSeq: _*)
+      .where(year(col("o_orderdate")) === 1996)
+      .groupBy(month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("m")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_stats_prune" -> ((s, dir) => statsPrune(s, dir)),
     "x_zorder" -> ((s, dir) => zorder(s, dir)),
     "x_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
     "x_dpp" -> ((s, dir) => dppJoin(s, dir)),
@@ -293,6 +329,11 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_stats_prune" ->
+      """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996
+        |GROUP BY 1 ORDER BY m""".stripMargin,
     "x_zorder" -> {
       val zx = spread16Sql("cx")
       val zy = spread16Sql("dy")

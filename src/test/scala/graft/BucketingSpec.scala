@@ -75,6 +75,25 @@ class BucketingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("manifest pruning reads strictly fewer files than the full scan") {
+    val path = graft.ingest.Sinks.tempDir("stats_prune_spec")
+    graft.model.Tables.orders(spark, sf0001)
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val manifest = graft.sources.FormatQueries
+      .fileManifest(spark, path, "o_orderdate").cache()
+    val total = manifest.count()
+    val selected = manifest
+      .where(col("hi") >= lit("1996-01-01").cast("timestamp") &&
+        col("lo") <= lit("1996-12-31 23:59:59").cast("timestamp"))
+      .count()
+    manifest.unpersist()
+    withClue(s"selected $selected of $total files: ") {
+      selected should be > 0L
+      selected should be < total
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val ev = graft.model.Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16,
