@@ -41,8 +41,12 @@ object EventStream {
     * [[TimeWindows.tumbling]]. State for a window is dropped once the
     * watermark passes its end — bounded memory at unbounded input. */
   def tumbling(events: DataFrame, width: String, watermark: String): DataFrame =
-    events.withWatermark("ts", watermark)
-      .groupBy(window(date_trunc("second", col("ts")), width).as("w"), col("event_type"))
+    // the watermark must sit on the SAME column the window groups by —
+    // watermarking `ts` and windowing date_trunc(ts) leaves the aggregation
+    // "without watermark" for the analyzer, which forbids append mode
+    events.withColumn("tss", date_trunc("second", col("ts")))
+      .withWatermark("tss", watermark)
+      .groupBy(window(col("tss"), width).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 

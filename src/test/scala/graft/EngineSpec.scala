@@ -92,6 +92,20 @@ class EngineSpec extends SparkSpec with Matchers {
       .agg(round(sum(col("o_totalprice")), 2)).collect().head.get(0)
   }
 
+  test("telemetry listener records completed actions with durations") {
+    val l = graft.ingest.Telemetry.attach(spark)
+    try {
+      graft.model.Tables.orders(spark, sf0001)
+        .groupBy("o_orderstatus").count().collect()
+      // listener delivery is async on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (l.runs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      l.runs should not be empty
+      l.runs.map(_.durationNs).max should be > 0L
+      l.runs.flatMap(_.error) shouldBe empty
+    } finally graft.ingest.Telemetry.detach(spark, l)
+  }
+
   test("runtime bloom filter prunes the shuffle-join fact side") {
     // AQE's InjectRuntimeFilter: a selective predicate on the dim side of a
     // shuffle join materializes a bloom filter that pre-filters the fact
