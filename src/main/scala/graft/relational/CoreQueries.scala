@@ -743,6 +743,22 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // X34b: correlated EXISTS / NOT EXISTS — Catalyst decorrelates into a
+    // left-semi and a left-anti join on the same fact (the SQL spelling of
+    // the X3 semi/anti family).
+    "x_sql_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders
+          |FROM v_orders o
+          |WHERE EXISTS (SELECT 1 FROM v_lineitem l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          |  AND NOT EXISTS (SELECT 1 FROM v_lineitem l
+          |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // X35: typed Dataset[T] pipeline — case-class Encoder, typed filter +
     // map + groupByKey aggregation (the compile-time-checked API path).
     "x_typed_ds" -> ((s, dir) => {
@@ -1170,6 +1186,14 @@ object CoreQueries {
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_sql_exists" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "x_typed_ds" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE o_totalprice > 100000.0
