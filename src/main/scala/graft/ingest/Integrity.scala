@@ -76,9 +76,26 @@ object Integrity {
       .orderBy("change_type")
   }
 
+  /** Targeted delete (GDPR erasure shape) verified by content checksum:
+    * a deletion-vector relation anti-joins the table, and the surviving
+    * rows' checksum must equal the oracle's independent computation — the
+    * "prove the rewrite dropped exactly the requested keys and nothing
+    * else" audit. Anti join + one aggregation; the deletion vector shuffles
+    * as keys only. */
+  private def targetedDelete(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val dv = base.where(col("o_orderkey") % 97 === 0).select("o_orderkey")
+    base.join(dv, Seq("o_orderkey"), "left_anti")
+      .select(StableHash.md5Prefix60(canon(col("o_totalprice"))).as("h"))
+      .agg(count(lit(1)).as("n_remaining"),
+        expr("bit_xor(h)").as("h_xor"),
+        sum(col("h") % 1000000007L).as("h_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_checksum" -> ((s, dir) => tableChecksum(s, dir)),
-    "x_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)))
+    "x_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
+    "x_targeted_delete" -> ((s, dir) => targetedDelete(s, dir)))
 
   private val hashSql = StableHash.md5Prefix60Sql(canonSql("o_totalprice"))
 
@@ -90,6 +107,12 @@ object Integrity {
          |  CAST(sum(h % 1000000007) AS BIGINT) AS h_sum
          |FROM h GROUP BY ROLLUP (o_orderstatus)
          |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+    "x_targeted_delete" ->
+      s"""WITH h AS (SELECT $hashSql AS h FROM orders WHERE o_orderkey % 97 <> 0)
+         |SELECT CAST(count(*) AS BIGINT) AS n_remaining,
+         |  bit_xor(h) AS h_xor,
+         |  CAST(sum(h % 1000000007) AS BIGINT) AS h_sum
+         |FROM h""".stripMargin,
     "x_snapshot_diff" ->
       s"""WITH v1 AS (SELECT o_orderkey, $hashSql AS h1
          |  FROM orders WHERE o_orderkey % 7 <> 0),

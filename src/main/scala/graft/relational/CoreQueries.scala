@@ -743,6 +743,26 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // X40c: quantile normalization — map each value to its per-group
+    // empirical percentile in exact ×10⁶ integers (row_number over a TOTAL
+    // order / group size; percent_rank doubles could diverge). The ML
+    // feature-prep step; per-group window sort only, output bounded by a
+    // key filter (the percentile is still computed over the FULL group).
+    "x_quantile_norm" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wc = Window.partitionBy("o_orderstatus")
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .where(col("o_orderkey") < 3000)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          expr("CAST(rk - 1 AS BIGINT) * 1000000 div greatest(cnt - 1, 1)")
+            .as("pct_e6"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
     // X34b: correlated EXISTS / NOT EXISTS — Catalyst decorrelates into a
     // left-semi and a left-anti join on the same fact (the SQL spelling of
     // the X3 semi/anti family).
@@ -1186,6 +1206,16 @@ object CoreQueries {
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_quantile_norm" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(CAST(rk - 1 AS BIGINT) * 1000000 // greatest(cnt - 1, 1) AS BIGINT) AS pct_e6
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |WHERE o_orderkey < 3000
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "x_sql_exists" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o
