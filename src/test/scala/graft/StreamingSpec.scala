@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.scalatest.matchers.should.Matchers
 
-import graft.streaming.{EventStream, TimeWindows}
+import graft.streaming.{EventStream, IncrementalView, TimeWindows}
 
 class StreamingSpec extends SparkSpec with Matchers {
   import spark.implicits._
@@ -175,6 +175,27 @@ class StreamingSpec extends SparkSpec with Matchers {
     val n2 = spark.read.parquet(out).count()
     n1 should be > 0L
     n2 shouldBe n1
+  }
+
+  test("incrementally maintained view equals the batch recompute") {
+    val out = graft.ingest.Sinks.tempDir("ivm_out")
+    val q = EventStream.read(spark, sf0001)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalView.upsertBatch(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+    import org.apache.spark.sql.functions._
+    val got = IncrementalView.read(spark, out)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.model.Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe batch
+    batch.size should be > 0
   }
 
   test("foreachBatch bridges streaming micro-batches into a batch sink") {
