@@ -748,6 +748,10 @@ object CoreQueries {
     // order / group size; percent_rank doubles could diverge). The ML
     // feature-prep step; per-group window sort only, output bounded by a
     // key filter (the percentile is still computed over the FULL group).
+    // Scale caveat (also X40b): a per-group window sorts each group on one
+    // reducer, so the PARTITION BY column must have cardinality ≥ cluster
+    // parallelism at 100 TB; for a handful of huge groups use the X5d
+    // approx-percentile path (one pass, mergeable sketches) instead.
     "x_quantile_norm" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice"), col("o_orderkey"))
