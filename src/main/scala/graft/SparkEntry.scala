@@ -22,6 +22,7 @@ object SparkEntry {
       relational.ReferenceSurface.queries ++
       relational.CoreQueries.queries ++
       relational.EventAnalytics.queries ++
+      relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
       streaming.StreamQueries.queries ++
       sources.FormatQueries.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       relational.ReferenceSurface.oracles ++
       relational.CoreQueries.oracles ++
       relational.EventAnalytics.oracles ++
+      relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
       streaming.StreamQueries.oracles ++
       sources.FormatQueries.oracles ++

@@ -123,13 +123,48 @@ object EventAnalytics {
       .limit(10)
   }
 
+  /** Markov transition matrix over the event stream: P(next | current) per
+    * adjacent event pair within a user's timeline, in exact ×10⁶ integers.
+    * One `lead` window per user (high-cardinality partition — each user's
+    * slice sorts locally, nothing global), one pair aggregation, and a
+    * window over the 25-row transition table for row-normalization. */
+  private def transitions(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+    val counts = ev.withColumn("nxt", lead("event_type", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("tot", sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cur")))
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 1000000 div tot").as("p_e6"))
+      .orderBy("cur", "nxt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_transitions" -> ((s, dir) => transitions(s, dir)),
     "x_paths" -> ((s, dir) => topPaths(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_retention" -> ((s, dir) => retention(s, dir)),
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_transitions" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, event_type FROM events),
+        |p AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS nxt
+        |  FROM ev),
+        |c AS (SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM p WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, nxt, n,
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY cur) AS BIGINT) AS p_e6
+        |FROM c ORDER BY cur, nxt""".stripMargin,
     "x_paths" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
         |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_id, event_type

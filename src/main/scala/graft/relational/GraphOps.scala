@@ -1,0 +1,100 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Distributed graph analytics beyond connected components (which lives in
+  * `graft.llm.Dedup.duplicateClusters`): triangle counting with
+  * degree-ordered edge orientation — the classic MapReduce formulation
+  * (Suri & Vassilvitskii, WWW 2011 "Counting triangles and the curse of
+  * the last reducer"; public algorithm).
+  *
+  * Why orientation matters at 100 TB: the naive wedge join E ⋈ E on a
+  * shared vertex generates Σ deg(v)² candidate wedges — a single celebrity
+  * vertex with 10⁷ neighbors contributes 10¹⁴ wedges to one reducer (the
+  * "last reducer" curse). Orienting every edge from its (degree, id)-lower
+  * endpoint to its higher one makes each triangle countable exactly once
+  * from its LOWEST-degree corner, bounding per-vertex out-degree by
+  * O(√|E|) and the wedge volume by O(|E|^{3/2}) regardless of skew.
+  */
+object GraphOps {
+
+  /** Undirected distinct edges of the part co-occurrence graph: two parts
+    * are adjacent if some order contains both. Per-order pair expansion is
+    * bounded by the max line count per order (single digits), never
+    * quadratic in the table. */
+  def coOccurrenceEdges(lineitem: DataFrame, maxPart: Long): DataFrame = {
+    val li = lineitem.where(col("l_partkey") < maxPart)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
+  /** Triangle count via degree-ordered wedges. Every shuffle is on a
+    * vertex key; the two joins are plain equi-joins; output is a one-row
+    * global summary (edges, wedges, triangles). */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient each edge lo→hi under the (degree, id) total order
+    val oriented = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("du").as("d")))
+          .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("v").as("id"), col("dv").as("d")))
+          .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("hi"))
+      .select(col("lo.id").as("lo"), col("hi.id").as("hi"),
+        col("lo.d").as("dlo"), col("hi.d").as("dhi"))
+      .cache()
+    // wedges from each triangle's lowest corner: (a→b, a→c) with b before c
+    // under the same (degree, id) order; closed iff oriented edge b→c exists
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") &&
+          (struct(col("e1.dhi"), col("e1.hi")) <
+            struct(col("e2.dhi"), col("e2.hi"))))
+      .select(col("e1.hi").as("b"), col("e2.hi").as("c"))
+    val triangles = wedges.join(oriented,
+      col("b") === col("lo") && col("c") === col("hi"))
+    val nEdges = oriented.count()
+    val nWedges = wedges.count()
+    val nTriangles = triangles.count()
+    oriented.unpersist()
+    import spark.implicits._
+    Seq((nEdges, nWedges, nTriangles)).toDF("n_edges", "n_wedges", "n_triangles")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_triangles" -> ((s, dir) =>
+      triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))))
+
+  val oracles: Map[String, String] = Map(
+    "x_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem WHERE l_partkey < 200),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS lo,
+        |    CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS hi,
+        |    CASE WHEN (du, u) < (dv, v) THEN du ELSE dv END AS dlo,
+        |    CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dhi
+        |  FROM (SELECT u, v, d1.d AS du, d2.d AS dv
+        |    FROM e JOIN deg d1 ON d1.x = u JOIN deg d2 ON d2.x = v)),
+        |w AS (SELECT e1.hi AS b, e2.hi AS c
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |    AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |t AS (SELECT * FROM w JOIN o ON b = lo AND c = hi)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triangles""".stripMargin)
+}
