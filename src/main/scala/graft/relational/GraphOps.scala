@@ -72,16 +72,70 @@ object GraphOps {
     Seq((nEdges, nWedges, nTriangles)).toDF("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** Fixed-iteration PageRank in EXACT integer arithmetic: ranks are
+    * ×10¹²-scaled BIGINTs, a node's contribution is `r div deg` (integer
+    * floor), and the damping update is `0.15·10¹² + (85·Σc) div 100` — no
+    * floating-point summation anywhere, so the result is independent of
+    * aggregation order and engine (double sums are order-dependent; ranks
+    * would diverge between Spark and the oracle). Each iteration is one
+    * equi-join (ranks ⋈ adjacency on the vertex key) + one partial-first
+    * aggregation — the standard distributed power-method step; the
+    * iteration count is fixed (3) rather than convergence-driven, which is
+    * what keeps a SQL oracle expressible (the convergence-loop variant of
+    * this shape is `Dedup.duplicateClusters`). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val bi = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val adj = bi.join(deg, "u").cache() // (u, v, d) — reused every iteration
+    var ranks = deg.select(col("u").as("node"), lit(1000000000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = adj.join(ranks, col("u") === col("node"))
+        .select(col("v"), expr("r div d").as("c"))
+      ranks = contrib.groupBy(col("v").as("node"))
+        .agg(expr("150000000000 + (85 * sum(c)) div 100").as("r"))
+    }
+    val out = ranks.orderBy("node").cache()
+    out.count() // materialize before dropping the iteration caches
+    adj.unpersist()
+    bi.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_triangles" -> ((s, dir) =>
-      triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))))
+      triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
+    "x_pagerank" -> ((s, dir) =>
+      pageRank(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
+        iters = 3)))
+
+  /** Shared oracle CTEs: the co-occurrence edge list (maxPart = 200). */
+  private val edgeCtes =
+    """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      |  FROM lineitem WHERE l_partkey < 200),
+      |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+      |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
+
+  /** One unrolled PageRank iteration (oracle side). */
+  private def prIter(prev: String, out: String): String =
+    s"""c$out AS (SELECT bi.v, r // d AS c
+       |  FROM bi JOIN deg USING (u) JOIN $prev ON $prev.node = bi.u),
+       |$out AS (SELECT v AS node,
+       |    CAST(150000000000 + (85 * sum(c)) // 100 AS BIGINT) AS r
+       |  FROM c$out GROUP BY v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_pagerank" ->
+      s"""WITH $edgeCtes,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+         |r0 AS (SELECT u AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+         |${prIter("r0", "r1")},
+         |${prIter("r1", "r2")},
+         |${prIter("r2", "r3")}
+         |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
     "x_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-        |  FROM lineitem WHERE l_partkey < 200),
-        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+      s"""WITH $edgeCtes,
         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
         |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
         |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS lo,
