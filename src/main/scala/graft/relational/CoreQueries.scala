@@ -743,6 +743,18 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // X11b: timezone conversion — UTC event times viewed in the operational
+    // system's zone (the reference's clinics run on America/Sao_Paulo and
+    // its CDC compares cross-system timestamps, F2). Both engines resolve
+    // the SAME IANA zone; 2024 Brazil has no DST, but the lookup is a real
+    // tz-db conversion, not a fixed offset.
+    "x_timezone" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(hour(from_utc_timestamp(col("ts"), "America/Sao_Paulo"))
+          .as("local_hour"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("local_hour")),
+
     // X40c: quantile normalization — map each value to its per-group
     // empirical percentile in exact ×10⁶ integers (row_number over a TOTAL
     // order / group size; percent_rank doubles could diverge). The ML
@@ -1210,6 +1222,10 @@ object CoreQueries {
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_timezone" ->
+      """SELECT CAST(hour(timezone('America/Sao_Paulo', CAST(ts AS TIMESTAMPTZ))) AS INTEGER) AS local_hour,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY local_hour""".stripMargin,
     "x_quantile_norm" ->
       """SELECT o_orderstatus, o_orderkey,
         |  CAST(CAST(rk - 1 AS BIGINT) * 1000000 // greatest(cnt - 1, 1) AS BIGINT) AS pct_e6
