@@ -743,6 +743,19 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // X12b: VARIANT semi-structured type (Spark 4) — `parse_json` once into
+    // the binary variant encoding, then typed `variant_get` path access;
+    // unlike stringly get_json_object (X12), repeated field access doesn't
+    // re-parse the document, the shredded-at-scale path for JSON columns.
+    "x_variant" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"), max("k").as("k_max"),
+          count(when(col("k") > 50, 1)).as("n_over_50"))
+        .orderBy("event_type")),
+
     // X11b: timezone conversion — UTC event times viewed in the operational
     // system's zone (the reference's clinics run on America/Sao_Paulo and
     // its CDC compares cross-system timestamps, F2). Both engines resolve
@@ -1222,6 +1235,13 @@ object CoreQueries {
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_variant" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum, max(k) AS k_max,
+        |  CAST(count(CASE WHEN k > 50 THEN 1 END) AS BIGINT) AS n_over_50
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_timezone" ->
       """SELECT CAST(hour(timezone('America/Sao_Paulo', CAST(ts AS TIMESTAMPTZ))) AS INTEGER) AS local_hour,
         |  CAST(count(*) AS BIGINT) AS n
