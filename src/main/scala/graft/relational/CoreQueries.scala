@@ -399,6 +399,28 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X23c: as-of join with tolerance (pandas merge_asof's `tolerance`) —
+    // matches staler than 1 hour are nulled while the left row survives;
+    // a pure post-projection over the same one-shuffle composition, so the
+    // scale shape is unchanged.
+    "x_asof_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_s")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_s").agg(max("value").as("p_value"))
+      val within = col("purchase_ts") >= col("ts_s") - expr("INTERVAL 1 HOUR")
+      AsOfJoin.asof(clicks, purchases, "user_id", "ts_s", "p_value",
+          "purchase_ts", "purchase_value")
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          when(within, col("purchase_ts")).as("purchase_ts"),
+          when(within, col("purchase_value")).as("purchase_value"))
+        .orderBy("event_id")
+    }),
+
     // X3d: full outer join — both unmatched sides preserved (reconciliation
     // shape: every customer and every order bucket accounted for).
     "x_join_full" -> ((s, dir) => {
@@ -1001,6 +1023,20 @@ object CoreQueries {
         |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
         |ORDER BY c.event_id""".stripMargin,
+    "x_asof_tolerance" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_s, max(value) AS p_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts_s),
+        |j AS (SELECT c.event_id, c.user_id, c.ts_s,
+        |    p.ts_s AS p_ts, p.p_value
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s)
+        |SELECT event_id, user_id, ts_s,
+        |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_ts END AS purchase_ts,
+        |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_value END AS purchase_value
+        |FROM j ORDER BY event_id""".stripMargin,
     "x_join_full" ->
       """WITH pc AS (SELECT o_custkey, count(*) AS n_big,
         |    round(sum(o_totalprice), 2) AS big_total

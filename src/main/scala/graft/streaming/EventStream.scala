@@ -81,6 +81,30 @@ object EventStream {
         col("c_ts"), col("p_ts"), col("p_value"))
   }
 
+  /** Left-outer variant of [[clickPurchaseJoin]]: clicks with no purchase
+    * in the window are emitted with NULL payload — but only once the
+    * watermark PROVES no match can still arrive (outer results are
+    * withheld until then; clicks inside the final watermark horizon when
+    * the stream drains stay in state, which is correct-by-definition for
+    * an unbounded stream). Same bounded-state shape as the inner join. */
+  def clickPurchaseLeftJoin(events: DataFrame, watermark: String): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        date_trunc("second", col("ts")).as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("c_ts"), col("p_ts"), col("p_value"))
+  }
+
   /** Stream–static enrichment join + windowed rollup: the streaming fact
     * joins a STATIC dimension (re-read per micro-batch, broadcast when
     * small — no streaming state at all, unlike a stream-stream join), then

@@ -105,6 +105,41 @@ class StreamingSpec extends SparkSpec with Matchers {
     batch.size should be > 0
   }
 
+  test("left-outer stream-stream join: matches equal batch, unmatched flush with NULLs") {
+    val stream = EventStream.clickPurchaseLeftJoin(
+      EventStream.read(spark, sf0001), "1 hour")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_left_test").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj_left_test").collect()
+    val (matched, unmatched) = rows.partition(r => !r.isNullAt(4))
+
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        date_trunc("second", col("ts")).as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"),
+        date_trunc("second", col("ts")).as("p_ts"), col("value").as("p_value"))
+    val batchInner = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("c_user"), col("c_ts"), col("p_ts"), col("p_value"))
+      .collect().toSet
+    // matched rows are exactly the batch inner join
+    matched.toSet shouldBe batchInner
+    // outer rows exist and are a subset of the batch-unmatched clicks
+    // (clicks inside the final watermark horizon legitimately stay in state)
+    unmatched.length should be > 0
+    val batchMatchedIds = batchInner.map(_.getLong(0))
+    unmatched.foreach { r =>
+      batchMatchedIds.contains(r.getLong(0)) shouldBe false
+    }
+  }
+
   test("streaming sessionization equals the batch session_window result") {
     val stream = EventStream.runToMemory(
       EventStream.sessionized(EventStream.read(spark, sf0001), "30 minutes", "1 hour"),
