@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
   }
 }
 
