@@ -146,7 +146,53 @@ object EventAnalytics {
       .orderBy("cur", "nxt")
   }
 
+  /** The NAIVE inequality formulation of [[intervalJoin]] — exactly what a
+    * user writes, and the shape Spark plans as a nested loop. Input to the
+    * X60b rewrite rule. */
+  private def naiveIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)").as("s"))
+      .withColumn("e", col("s") + col("o_orderkey") % 7 + lit(1))
+    val pt = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .select(
+        expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT)").as("p"),
+        col("l_quantity"))
+    pt.join(iv, col("p").between(col("s"), col("e")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("o_orderkey").as("n_orders"),
+        round(sum("l_quantity"), 2).as("qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** X60b end-to-end through the driver gate: the naive BETWEEN join is
+    * rewritten by `IntervalJoinRewrite` into the binned equi-join and must
+    * hash-match the same oracle as the hand-built [[intervalJoin]]. The
+    * rule is applied explicitly (conf restored immediately) so no session
+    * state leaks into other keys; `require` makes a silently-unfired
+    * rewrite a loud failure rather than a nested-loop fallback. */
+  private def intervalJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val naive = naiveIntervalJoin(spark, dir)
+    val key = graft.plans.IntervalJoinRewrite.BinWidthKey
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "16")
+      val rewritten = graft.plans.IntervalJoinRewrite(naive.queryExecution.analyzed)
+      require(rewritten.toString.contains("__graft_bin_p"),
+        "IntervalJoinRewrite did not fire on the naive BETWEEN join")
+      org.apache.spark.sql.graftshim.PlanBridge.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], rewritten)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
     "x_transitions" -> ((s, dir) => transitions(s, dir)),
     "x_paths" -> ((s, dir) => topPaths(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
@@ -195,7 +241,11 @@ object EventAnalytics {
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN firsts USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
-    "x_interval_join" ->
+    "x_interval_join_auto" -> intervalOracle,
+    "x_interval_join" -> intervalOracle)
+
+  /** Shared by the hand-built and rule-rewritten interval-join keys. */
+  private lazy val intervalOracle: String =
       """WITH iv AS (SELECT o_orderkey, o_orderstatus,
         |    CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s
         |  FROM orders WHERE o_orderpriority = '1-URGENT'),
@@ -207,5 +257,5 @@ object EventAnalytics {
         |  count(DISTINCT o_orderkey) AS n_orders,
         |  round(CAST(sum(l_quantity) AS DOUBLE), 2) AS qty
         |FROM pt JOIN iv2 ON p BETWEEN s AND e
-        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
 }
