@@ -94,6 +94,38 @@ class BucketingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("AQE splits a skewed join partition (the built-in complement to salting)") {
+    // one hot key dominates the left side; with the skew thresholds lowered
+    // to test scale, AQE's OptimizeSkewedJoin must split that partition
+    // rather than leave one straggler reducer (X45 salting is the manual
+    // lever for aggregations; this is the engine-native one for joins)
+    val overrides = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val hot = spark.range(0, 20000).select(
+        when(col("id") % 100 =!= 0, 7L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val dim = spark.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("v"))
+      // NOTE: no keyed aggregation above the join — a parent requiring
+      // hashpartitioning(k) would forbid splitting the skewed partition
+      val joined = hot.join(dim, "k")
+      joined.collect().length shouldBe 19802
+      val plan = joined.queryExecution.executedPlan.toString
+      withClue(plan) { plan should include ("skew=true") }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val ev = graft.model.Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16,
