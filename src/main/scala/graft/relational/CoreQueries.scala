@@ -765,6 +765,26 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
+    // X34c: recursive CTE (Spark 4) — hierarchical rollup over the implicit
+    // keyspace tree (k → k div 10 → …): each order contributes a row to
+    // every ancestor; the recursion is ACYCLIC with a monotone guard, which
+    // is exactly the shape Spark 4 supports (UNION ALL; UNION-distinct
+    // reachability stays on the iterative X30 path — pinned in
+    // RecursiveCteProbe). Integer-exact in both engines.
+    "x_recursive_cte" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      s.sql(
+        """WITH RECURSIVE anc (k, a) AS (
+          |  SELECT o_orderkey AS k, o_orderkey div 10 AS a
+          |  FROM v_orders WHERE o_orderkey >= 10
+          |  UNION ALL
+          |  SELECT k, a div 10 FROM anc WHERE a >= 10
+          |)
+          |SELECT a, count(*) AS n_desc
+          |FROM anc WHERE a BETWEEN 1 AND 99
+          |GROUP BY a ORDER BY a""".stripMargin)
+    }),
+
     // X12b: VARIANT semi-structured type (Spark 4) — `parse_json` once into
     // the binary variant encoding, then typed `variant_get` path access;
     // unlike stringly get_json_object (X12), repeated field access doesn't
@@ -1271,6 +1291,16 @@ object CoreQueries {
         |  (SELECT round(max(l_quantity), 2) FROM lineitem
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey""".stripMargin,
+    "x_recursive_cte" ->
+      """WITH RECURSIVE anc (k, a) AS (
+        |  SELECT o_orderkey AS k, o_orderkey // 10 AS a
+        |  FROM orders WHERE o_orderkey >= 10
+        |  UNION ALL
+        |  SELECT k, a // 10 FROM anc WHERE a >= 10
+        |)
+        |SELECT a, CAST(count(*) AS BIGINT) AS n_desc
+        |FROM anc WHERE a BETWEEN 1 AND 99
+        |GROUP BY a ORDER BY a""".stripMargin,
     "x_variant" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum, max(k) AS k_max,
