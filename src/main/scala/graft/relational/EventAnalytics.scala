@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
@@ -191,7 +192,113 @@ object EventAnalytics {
     }
   }
 
+  /** Gaps-and-islands: per-user runs of CONSECUTIVE active days, reduced to
+    * a streak-length distribution. The classic trick — day_ordinal minus the
+    * per-user row_number is constant within a run — needs only one window
+    * over the (user, day) DISTINCT set (partitioned by user_id: each user's
+    * slice sorts locally, nothing global) and two partial-first
+    * aggregations. row_number is INT in Spark and BIGINT in DuckDB, so the
+    * subtraction casts explicitly. */
+  private def islands(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)").as("ord"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("ord")
+    active
+      .withColumn("g", col("ord") - row_number().over(w).cast("long"))
+      .groupBy("user_id", "g")
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy("streak_len")
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("streak_len")
+  }
+
+  /** Slowly-changing-dimension (type 2) build from a change stream: collapse
+    * each user's event-type timeline to its state CHANGES, then derive
+    * validity intervals [valid_from, valid_to) with `lead` — the
+    * merge-free way to construct a versioned dimension from raw events.
+    * Two windows, both partitioned on the high-cardinality user_id; output
+    * is the per-state version summary (bounded), not the row stream, so
+    * the key's hash stays scale-independent. Timestamps truncate to seconds
+    * and order by (tss, event_id) — a total order, so lag/lead are
+    * engine-deterministic. */
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val changes = ev
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+    val scd = changes
+      .withColumn("valid_to", lead("tss", 1).over(w))
+      .select(col("event_type").as("state"), col("tss").as("valid_from"),
+        col("valid_to"))
+    scd.groupBy("state")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+        sum(expr("timestampdiff(SECOND, valid_from, valid_to)")).as("dur_seconds"))
+      .orderBy("state")
+  }
+
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent PRECEDING non-purchase event. One window per user with an
+    * explicit `rowsBetween(unboundedPreceding, -1)` frame and
+    * `last(..., ignoreNulls)` — the running "last marketing touch" is
+    * computed in a single pass, no self-join of purchases against the
+    * event history (which would re-shuffle the full stream per purchase).
+    * Revenue is exact integer cents. */
+  private def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  /** Anomalous-day detection in EXACT integer arithmetic: a day whose event
+    * count deviates from the mean by more than k standard deviations
+    * satisfies (n·c − s)² > k²·(n·ssq − s²) — the z-score inequality with
+    * both sides multiplied by n², which removes every division and square
+    * root. Squares are computed in DECIMAL(38,0) (Spark) / HUGEINT-width
+    * integers (the oracle), so the comparison is exact cross-engine at any
+    * volume below ~10¹⁹ events/day. One daily aggregation, one 1-row global
+    * (PlanAudit-sanctioned), one broadcast-out comparison. */
+  private def anomalousDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val glob = daily.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("c").cast("decimal(38,0)")).as("s"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("ssq"))
+    daily.crossJoin(broadcast(glob))
+      .withColumn("dev2",
+        (col("n") * col("c") - col("s")) * (col("n") * col("c") - col("s")))
+      .withColumn("varn2", col("n") * col("ssq") - col("s") * col("s"))
+      .select(col("d"), col("c"),
+        when(col("dev2") > col("varn2") * 9, 3)
+          .when(col("dev2") > col("varn2") * 4, 2)
+          .when(col("dev2") > col("varn2"), 1)
+          .otherwise(0).as("sigma_class"))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_islands" -> ((s, dir) => islands(s, dir)),
+    "x_scd2" -> ((s, dir) => scd2(s, dir)),
+    "x_attribution" -> ((s, dir) => attribution(s, dir)),
+    "x_anomaly" -> ((s, dir) => anomalousDays(s, dir)),
     "x_interval_join_auto" -> ((s, dir) => intervalJoinAuto(s, dir)),
     "x_transitions" -> ((s, dir) => transitions(s, dir)),
     "x_paths" -> ((s, dir) => topPaths(s, dir)),
@@ -200,6 +307,54 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_islands" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS ord
+        |  FROM events),
+        |runs AS (SELECT user_id,
+        |    ord - CAST(row_number() OVER (PARTITION BY user_id ORDER BY ord) AS BIGINT) AS g
+        |  FROM active),
+        |streaks AS (SELECT user_id, g, CAST(count(*) AS BIGINT) AS streak_len
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM streaks GROUP BY 1 ORDER BY streak_len""".stripMargin,
+    "x_scd2" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, event_type FROM events),
+        |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS prev
+        |  FROM ev),
+        |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type),
+        |scd AS (SELECT user_id, event_type AS state, tss AS valid_from,
+        |    lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS valid_to
+        |  FROM chg)
+        |SELECT state, CAST(count(*) AS BIGINT) AS n_versions,
+        |  CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+        |  CAST(sum(date_diff('second', valid_from, valid_to)) AS BIGINT) AS dur_seconds
+        |FROM scd GROUP BY 1 ORDER BY state""".stripMargin,
+    "x_attribution" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, event_type, value FROM events),
+        |t AS (SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tss, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM ev)
+        |SELECT coalesce(touch, 'none') AS channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
+    "x_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |gs AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
+        |    CAST(sum(c * c) AS HUGEINT) AS ssq FROM daily)
+        |SELECT d, c,
+        |  CAST(CASE WHEN (n*c - s)*(n*c - s) > 9 * (n*ssq - s*s) THEN 3
+        |       WHEN (n*c - s)*(n*c - s) > 4 * (n*ssq - s*s) THEN 2
+        |       WHEN (n*c - s)*(n*c - s) > (n*ssq - s*s) THEN 1
+        |       ELSE 0 END AS INTEGER) AS sigma_class
+        |FROM daily, gs ORDER BY d""".stripMargin,
     "x_transitions" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
         |    event_id, event_type FROM events),
