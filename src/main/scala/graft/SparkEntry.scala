@@ -22,6 +22,7 @@ object SparkEntry {
       relational.ReferenceSurface.queries ++
       relational.CoreQueries.queries ++
       relational.EventAnalytics.queries ++
+      relational.StatsOps.queries ++
       relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
       streaming.StreamQueries.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
       relational.ReferenceSurface.oracles ++
       relational.CoreQueries.oracles ++
       relational.EventAnalytics.oracles ++
+      relational.StatsOps.oracles ++
       relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
       streaming.StreamQueries.oracles ++

@@ -1,0 +1,247 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchAggregates, StableHash}
+import graft.model.Tables
+
+/** Statistical / data-quality operators: mergeable quantile + set-algebra
+  * sketches (DataSketches KLL and Theta), KMV distinct estimation, exact
+  * integer-arithmetic correlation, log2 histograms, and a declarative
+  * data-quality rule suite.
+  *
+  * The reference has no statistics surface beyond row counts
+  * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py:88`); these are the
+  * profile/verify primitives a 100 TB lakehouse needs around ingestion.
+  * Design rules as elsewhere in the engine: aggregation is partial
+  * map-side, one-row globals are the only SinglePartition exchanges, and
+  * anything float crossing the oracle is either IEEE-exact (single
+  * correctly-rounded ops on identical integer inputs) or guarded by an
+  * explicit error contract.
+  */
+object StatsOps {
+
+  /** X75: KLL quantile sketch with an error contract. Per-group sketches
+    * (mergeable, persistable — the per-partition stats pattern) union into
+    * a global median estimate; the estimate's TRUE rank, computed exactly,
+    * must sit within 5% of 0.5 (k=200 guarantees ≈1.65% at 99% — KLL
+    * compaction is randomized, so the contract, not the value, is the
+    * invariant). Scale path for percentiles where a per-group window sort
+    * would funnel one reducer (the X40b/x_quantile_norm caveat). */
+  private def kllMedianContract(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perGroup = li.groupBy("l_returnflag")
+      .agg(SketchAggregates.kllBuild(col("l_extendedprice")).as("sk"))
+    val est = perGroup.agg(
+      SketchAggregates.kllUnionQuantile(col("sk"), 0.5).as("est"))
+    val rank = li.select(col("l_extendedprice").as("v"))
+      .crossJoin(broadcast(est))
+      .agg((sum(when(col("v") <= col("est"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("r"))
+    rank.select(
+      (abs(col("r") - 0.5) <= 0.05).as("within_tol"),
+      floor(abs(col("r") - 0.5) / 0.05).cast("long").as("tol_excess"))
+  }
+
+  /** X76: Theta-sketch INTERSECTION — the set operation HLL cannot do.
+    * Per-status customer sketches intersect into "customers with orders in
+    * EVERY status" without rescanning the fact table; contract-checked
+    * against the exact intersection (theta is deterministic under the
+    * library's fixed seed; lgK=12 ⇒ rsd ≈1.6%, tolerance 5% ≈ 3σ). */
+  private def thetaIntersectContract(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val perStatus = o.groupBy("o_orderstatus")
+      .agg(SketchAggregates.thetaBuild(col("o_custkey")).as("sk"))
+    val est = perStatus.agg(SketchAggregates.thetaIntersect(col("sk")).as("est"))
+    val exact = o.groupBy("o_custkey")
+      .agg(countDistinct("o_orderstatus").as("ns"))
+      .where(col("ns") === 3)
+      .agg(count(lit(1)).cast("double").as("exact"))
+    est.crossJoin(exact).select(
+      (abs(col("est") - col("exact")) / col("exact") <= 0.05).as("within_tol"),
+      floor(abs(col("est") - col("exact")) / col("exact") / 0.05)
+        .cast("long").as("tol_excess"))
+  }
+
+  /** X77: KMV (k-minimum-values) distinct estimation — fully DETERMINISTIC
+    * and engine-reproducible, unlike HLL/KLL: the estimate is a pure
+    * function of the k smallest md5-derived 60-bit hashes, so the ORACLE
+    * COMPUTES THE SAME ESTIMATE and the whole row hash-matches (no pinned
+    * contract). est = (k−1)·2⁶⁰ / h_k; below k distinct values the sketch
+    * is exact. (k−1)·2⁶⁰ = 255·2⁶⁰ has 8 significant bits — exactly
+    * representable in a double — and every subsequent op is one correctly-
+    * rounded IEEE step on identical inputs, so the doubles agree bitwise. */
+  private def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val pairs = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("st"), col("o_custkey")).distinct()
+    val hashed = pairs.select(col("st"),
+      StableHash.md5Prefix60(col("o_custkey").cast("string")).as("h"))
+    val w = Window.partitionBy("st").orderBy("h")
+    val stats = hashed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("st")
+      .agg(count(lit(1)).as("exact_n"),
+        max(when(col("rn") <= k, col("h"))).as("hk"))
+    stats
+      .withColumn("est",
+        when(col("exact_n") < k, col("exact_n").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 1152921504606846976.0) /
+            col("hk").cast("double")))
+      .select(col("st"), col("exact_n"),
+        floor(col("est")).cast("long").as("kmv_est"),
+        (abs(col("est") - col("exact_n")) / col("exact_n") <= 0.20)
+          .as("within_tol"))
+      .orderBy("st")
+  }
+
+  /** X78: Pearson correlation + OLS slope in EXACT integer sums. The five
+    * sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are BIGINT-exact and
+    * aggregation-order-independent — the one place floats appear is the
+    * final one-row combination, where every op (int→double conversion,
+    * sqrt, ×, ÷) is a single correctly-rounded IEEE step on identical
+    * inputs, so both engines produce the same double bit-for-bit. A
+    * float-summed corr() would be aggregation-order-dependent and could
+    * never hash-match. BIGINT ceiling: n·Σxy < 2⁶³ holds to ~10⁸ rows at
+    * these magnitudes (x ≤ 50, y ≤ 10⁵). */
+  private def corrExact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-03-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .select(col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+    li.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("corr"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"))
+  }
+
+  /** X79: log2-bucketed histogram — the scale-free length profile. The
+    * bucket key is floor(log2(v))+1 computed WITHOUT libm (`ln` diverges
+    * across engines): it is the digit count of the binary rendering, an
+    * integer-exact string op both engines share. */
+  private def histLog2(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("n_chars"))
+      .withColumn("bucket", length(bin(col("n_chars"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("bucket")
+
+  /** X80: declarative data-quality rule suite, evaluated in THREE plans
+    * total regardless of rule count: every row-level predicate folds into
+    * ONE conditional aggregation pass (adding a rule adds a column, not a
+    * scan), plus one anti-join (referential integrity) and one group-count
+    * (uniqueness). The dbt/Deequ-style contract surface: (rule,
+    * violations, pass), ordered for a stable report. */
+  private def dqRules(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val rowLevel = o.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v2"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("v3"),
+        sum(when(col("o_orderdate") < lit("1992-01-01") ||
+          col("o_orderdate") >= lit("2010-01-01"), 1L).otherwise(0L)).as("v4"))
+      .select(expr(
+        """stack(4,
+          |  'not_null: o_custkey', v1,
+          |  'range: o_totalprice > 0', v2,
+          |  'accepted_values: o_orderstatus', v3,
+          |  'range: o_orderdate in [1992, 2010)', v4) AS (rule, violations)"""
+          .stripMargin))
+    val fk = o.join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("fk: o_custkey -> customer.c_custkey").as("rule"),
+        col("violations"))
+    val dup = o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .agg(coalesce(sum("cnt"), lit(0L)).as("violations"))
+      .select(lit("unique: o_orderkey").as("rule"), col("violations"))
+    rowLevel.unionByName(fk).unionByName(dup)
+      .withColumn("pass", col("violations") === 0)
+      .orderBy("rule")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sketch_kll" -> ((s, dir) => kllMedianContract(s, dir)),
+    "x_sketch_theta" -> ((s, dir) => thetaIntersectContract(s, dir)),
+    "x_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
+    "x_corr" -> ((s, dir) => corrExact(s, dir)),
+    "x_hist_log2" -> ((s, dir) => histLog2(s, dir)),
+    "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "x_sketch_kll" ->
+      "SELECT true AS within_tol, CAST(0 AS BIGINT) AS tol_excess",
+    "x_sketch_theta" ->
+      "SELECT true AS within_tol, CAST(0 AS BIGINT) AS tol_excess",
+    "x_kmv_distinct" ->
+      s"""WITH pairs AS (SELECT DISTINCT o_orderstatus AS st, o_custkey FROM orders),
+         |h AS (SELECT st, ${StableHash.md5Prefix60Sql("CAST(o_custkey AS VARCHAR)")} AS h
+         |  FROM pairs),
+         |r AS (SELECT st, h, row_number() OVER (PARTITION BY st ORDER BY h) AS rn FROM h),
+         |s AS (SELECT st, CAST(count(*) AS BIGINT) AS exact_n,
+         |    max(CASE WHEN rn <= 256 THEN h END) AS hk
+         |  FROM r GROUP BY st),
+         |e AS (SELECT st, exact_n,
+         |    CASE WHEN exact_n < 256 THEN CAST(exact_n AS DOUBLE)
+         |         ELSE (255.0 * 1152921504606846976.0) / CAST(hk AS DOUBLE) END AS est
+         |  FROM s)
+         |SELECT st, exact_n, CAST(floor(est) AS BIGINT) AS kmv_est,
+         |  abs(est - exact_n) / exact_n <= 0.20 AS within_tol
+         |FROM e ORDER BY st""".stripMargin,
+    "x_corr" ->
+      """WITH d AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM d)
+        |SELECT n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+        |FROM s""".stripMargin,
+    "x_hist_log2" ->
+      """SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS lo, max(n_chars) AS hi
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "x_dq_rules" ->
+      """WITH rules(rule, violations) AS (
+        |  SELECT 'not_null: o_custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL)
+        |  UNION ALL SELECT 'range: o_totalprice > 0',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice <= 0)
+        |  UNION ALL SELECT 'accepted_values: o_orderstatus',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+        |  UNION ALL SELECT 'range: o_orderdate in [1992, 2010)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_orderdate < TIMESTAMP '1992-01-01'
+        |        OR o_orderdate >= TIMESTAMP '2010-01-01')
+        |  UNION ALL SELECT 'fk: o_custkey -> customer.c_custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'unique: o_orderkey',
+        |    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) FROM (
+        |       SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey
+        |       HAVING count(*) > 1)))
+        |SELECT rule, violations, violations = 0 AS pass
+        |FROM rules ORDER BY rule""".stripMargin)
+}
