@@ -102,7 +102,45 @@ object GraphOps {
     out
   }
 
+  /** Fixed-depth BFS reachability: per hop, the count of NEWLY reached
+    * vertices from a seed set. Each hop is one equi-join on the vertex key
+    * (frontier ⋈ adjacency), a distinct, and an anti-join against the
+    * visited set — the standard distributed BFS step; only per-hop scalar
+    * counts reach the driver. Caches are explicit and unpersisted as soon
+    * as superseded (the `duplicateClusters` discipline). Depth is fixed
+    * (3), which keeps the unrolled-CTE oracle expressible. */
+  def kHopReach(edges: DataFrame, seedMax: Long, hops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bi = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    var visited = bi.select(col("u").as("node")).where(col("node") < seedMax)
+      .distinct().cache()
+    var frontier = visited
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)](
+      (0, visited.count()))
+    for (h <- 1 to hops) {
+      val next = bi.join(frontier, col("u") === col("node"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti").cache()
+      counts += ((h, next.count()))
+      val grown = visited.unionAll(next).cache()
+      grown.count()
+      if (frontier ne visited) frontier.unpersist()
+      visited.unpersist()
+      visited = grown
+      frontier = next
+    }
+    frontier.unpersist()
+    visited.unpersist()
+    bi.unpersist()
+    counts.toSeq.toDF("hop", "n_new")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_khop" -> ((s, dir) =>
+      kHopReach(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
+        seedMax = 5L, hops = 3)),
     "x_triangles" -> ((s, dir) =>
       triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
     "x_pagerank" -> ((s, dir) =>
@@ -125,6 +163,23 @@ object GraphOps {
        |  FROM c$out GROUP BY v)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_khop" ->
+      s"""WITH $edgeCtes,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |v0 AS (SELECT DISTINCT u AS node FROM bi WHERE u < 5),
+         |f1 AS (SELECT DISTINCT v AS node FROM bi JOIN v0 ON bi.u = v0.node
+         |  EXCEPT SELECT node FROM v0),
+         |v1 AS (SELECT node FROM v0 UNION SELECT node FROM f1),
+         |f2 AS (SELECT DISTINCT v AS node FROM bi JOIN f1 ON bi.u = f1.node
+         |  EXCEPT SELECT node FROM v1),
+         |v2 AS (SELECT node FROM v1 UNION SELECT node FROM f2),
+         |f3 AS (SELECT DISTINCT v AS node FROM bi JOIN f2 ON bi.u = f2.node
+         |  EXCEPT SELECT node FROM v2)
+         |SELECT CAST(0 AS INTEGER) AS hop, (SELECT CAST(count(*) AS BIGINT) FROM v0) AS n_new
+         |UNION ALL SELECT 1, (SELECT count(*) FROM f1)
+         |UNION ALL SELECT 2, (SELECT count(*) FROM f2)
+         |UNION ALL SELECT 3, (SELECT count(*) FROM f3)
+         |ORDER BY hop""".stripMargin,
     "x_pagerank" ->
       s"""WITH $edgeCtes,
          |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
