@@ -119,20 +119,19 @@ object GraphOps {
     var frontier = visited
     val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)](
       (0, visited.count()))
+    val cached = scala.collection.mutable.ArrayBuffer(visited)
     for (h <- 1 to hops) {
       val next = bi.join(frontier, col("u") === col("node"))
         .select(col("v").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti").cache()
       counts += ((h, next.count()))
-      val grown = visited.unionAll(next).cache()
-      grown.count()
-      if (frontier ne visited) frontier.unpersist()
-      visited.unpersist()
-      visited = grown
+      // visited stays a lazy union of CACHED frontiers — no re-materialize
+      // action per hop; the union is metadata over in-memory partitions.
+      visited = visited.unionAll(next)
       frontier = next
+      cached += next
     }
-    frontier.unpersist()
-    visited.unpersist()
+    cached.foreach(_.unpersist())
     bi.unpersist()
     counts.toSeq.toDF("hop", "n_new")
   }
