@@ -230,8 +230,40 @@ case class ThetaIntersectEstimate(
     copy(child = newChildren.head)
 }
 
+/** Scalar expression over a SERIALIZED KLL sketch column: extract several
+  * quantiles at once. This is the read half of sketch-column algebra —
+  * persisted per-group/per-partition sketch state queried without touching
+  * the facts. Evaluates post-aggregation on one row per group, so
+  * `CodegenFallback` costs nothing in the hot path. */
+case class KllQuantilesExpr(child: Expression, qs: Seq[Double])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll quantiles needs a binary (serialized sketch) column, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val sk = KllDoublesSketch.heapify(Memory.wrap(input.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      qs.map(q => sk.getQuantile(q)).toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): KllQuantilesExpr =
+    copy(child = newChild)
+}
+
 object SketchAggregates {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+
+  /** Quantiles read from a serialized KLL sketch column (scalar). */
+  def kllQuantiles(c: Column, qs: Seq[Double]): Column =
+    column(KllQuantilesExpr(expression(c), qs))
 
   /** Per-group KLL quantile sketch (serialized, persistable, mergeable). */
   def kllBuild(c: Column, k: Int = 200): Column =

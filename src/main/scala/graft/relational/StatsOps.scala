@@ -175,7 +175,92 @@ object StatsOps {
       .orderBy("rule")
   }
 
+  /** X82: KMV Jaccard similarity between two key sets — like X77, the
+    * estimate is a pure function of the md5 hash order, so the oracle
+    * reproduces it EXACTLY (integer ×10⁶, no contract pinning). The
+    * bottom-k of the union is a `TakeOrderedAndProject` (distributed
+    * top-k, k bounded), never a global sort; membership flags ride along
+    * from one grouped pass over the facts. rse ≈ √(J(1−J)/k) ≈ 3% at
+    * k=256 — tolerance 0.1 ≈ 3σ, checked as an integer inequality. */
+  private def kmvJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val flags = Tables.orders(spark, dir)
+      .where(col("o_orderstatus").isin("F", "O"))
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderstatus") === "F").as("in_a"),
+        max(col("o_orderstatus") === "O").as("in_b"))
+    val hashed = flags.select(
+      StableHash.md5Prefix60(col("o_custkey").cast("string")).as("h"),
+      col("in_a"), col("in_b"))
+    val sample = hashed.orderBy("h").limit(k)
+    val est = sample.agg(count(lit(1)).as("m"),
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("both"))
+      .select(expr("both * 1000000 div m").as("kmv_j_e6"))
+    val exact = flags.agg(
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("inter"),
+        count(lit(1)).as("uni"))
+      .select(expr("inter * 1000000 div uni").as("exact_j_e6"))
+    est.crossJoin(exact).select(col("kmv_j_e6"), col("exact_j_e6"),
+      (abs(col("kmv_j_e6") - col("exact_j_e6")) <= 100000).as("within_tol"))
+  }
+
+  /** X83: winsorized mean — robust-statistics cleaning for heavy-tailed
+    * value columns. Nearest-rank p05/p95 cut points (ceil-index, an exact
+    * integer rule both engines share), values clamped, all arithmetic in
+    * integer cents. The per-group window sorts each group on one reducer —
+    * fine for bounded group counts; for huge groups the X75 KLL path
+    * supplies the cut points instead (same caveat as x_quantile_norm). */
+  private def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag").as("flag"),
+      expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("flag").orderBy("cents")
+    val ranked = li
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+    val cuts = ranked.groupBy("flag").agg(
+      max("n").as("n"),
+      max(when(col("rn") === expr("(n * 5 + 99) div 100"), col("cents"))).as("lo_cents"),
+      max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("cents"))).as("hi_cents"))
+    li.join(cuts, "flag")
+      .groupBy("flag")
+      .agg(max("n").as("n"), max("lo_cents").as("lo_cents"),
+        max("hi_cents").as("hi_cents"),
+        expr("sum(greatest(lo_cents, least(hi_cents, cents))) div max(n)")
+          .as("wins_mean_cents"))
+      .orderBy("flag")
+  }
+
+  /** X84: per-group quantile BANDS (p50/p95/p99) read from ONE KLL sketch
+    * per group via the scalar [[graft.functions.KllQuantilesExpr]] — the
+    * monitoring-dashboard shape (latency bands per service) computed
+    * without any per-group sort. Contract per group: each band's TRUE rank
+    * within 5% of its target (KLL randomization ⇒ contract, not value). */
+  private def kllBands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+    val bands = li.groupBy("flag")
+      .agg(SketchAggregates.kllBuild(col("v")).as("sk"))
+      .select(col("flag"),
+        SketchAggregates.kllQuantiles(col("sk"), Seq(0.5, 0.95, 0.99)).as("qs"))
+      .select(col("flag"), col("qs")(0).as("p50"), col("qs")(1).as("p95"),
+        col("qs")(2).as("p99"))
+    li.join(broadcast(bands), "flag")
+      .groupBy("flag")
+      .agg(avg(when(col("v") <= col("p50"), 1.0).otherwise(0.0)).as("r50"),
+        avg(when(col("v") <= col("p95"), 1.0).otherwise(0.0)).as("r95"),
+        avg(when(col("v") <= col("p99"), 1.0).otherwise(0.0)).as("r99"))
+      .select(col("flag"),
+        (abs(col("r50") - 0.5) <= 0.05 && abs(col("r95") - 0.95) <= 0.05 &&
+          abs(col("r99") - 0.99) <= 0.05).as("within_tol"),
+        floor(greatest(abs(col("r50") - 0.5), abs(col("r95") - 0.95),
+          abs(col("r99") - 0.99)) / 0.05).cast("long").as("tol_excess"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kll_bands" -> ((s, dir) => kllBands(s, dir)),
+    "x_kmv_jaccard" -> ((s, dir) => kmvJaccard(s, dir)),
+    "x_winsorize" -> ((s, dir) => winsorizedMean(s, dir)),
     "x_sketch_kll" -> ((s, dir) => kllMedianContract(s, dir)),
     "x_sketch_theta" -> ((s, dir) => thetaIntersectContract(s, dir)),
     "x_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
@@ -184,6 +269,42 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_kll_bands" ->
+      """SELECT DISTINCT l_returnflag AS flag, true AS within_tol,
+        |  CAST(0 AS BIGINT) AS tol_excess
+        |FROM lineitem ORDER BY flag""".stripMargin,
+    "x_kmv_jaccard" ->
+      s"""WITH flags AS (SELECT o_custkey,
+         |    max(o_orderstatus = 'F') AS in_a, max(o_orderstatus = 'O') AS in_b
+         |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+         |h AS (SELECT ${StableHash.md5Prefix60Sql("CAST(o_custkey AS VARCHAR)")} AS h,
+         |    in_a, in_b FROM flags),
+         |sample AS (SELECT * FROM h ORDER BY h LIMIT 256),
+         |e AS (SELECT CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1000000
+         |      // count(*) AS BIGINT) AS kmv_j_e6 FROM sample),
+         |x AS (SELECT CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) * 1000000
+         |      // count(*) AS BIGINT) AS exact_j_e6 FROM flags)
+         |SELECT kmv_j_e6, exact_j_e6,
+         |  abs(kmv_j_e6 - exact_j_e6) <= 100000 AS within_tol
+         |FROM e, x""".stripMargin,
+    "x_winsorize" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT flag, cents,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM li),
+        |cuts AS (SELECT flag, max(n) AS n,
+        |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN cents END) AS lo_cents,
+        |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS hi_cents
+        |  FROM r GROUP BY flag)
+        |SELECT li.flag, max(cuts.n) AS n, max(lo_cents) AS lo_cents,
+        |  max(hi_cents) AS hi_cents,
+        |  CAST(sum(greatest(lo_cents, least(hi_cents, cents))) // max(cuts.n) AS BIGINT)
+        |    AS wins_mean_cents
+        |FROM li JOIN cuts USING (flag)
+        |GROUP BY li.flag ORDER BY flag""".stripMargin,
     "x_sketch_kll" ->
       "SELECT true AS within_tol, CAST(0 AS BIGINT) AS tol_excess",
     "x_sketch_theta" ->
