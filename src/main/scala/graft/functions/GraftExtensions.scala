@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotProductDescriptor)
     e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    e.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
   }
 }
 

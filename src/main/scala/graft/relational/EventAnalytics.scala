@@ -294,7 +294,50 @@ object EventAnalytics {
       .orderBy("d")
   }
 
+  /** X85 end-to-end through the driver gate: a daily rollup written against
+    * the RAW events table is routed by `MaterializedViewRewrite` to a
+    * pre-built daily summary, and must hash-match the oracle computed from
+    * the raw events — proving routed ≡ direct. The summary is built here
+    * (standing in for X72's maintained view), the rule is applied
+    * explicitly with conf restored, and a silent non-fire is a loud
+    * failure: the routed plan must contain NO base-table scan. */
+  private def mvRoute(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+    val ev = Tables.events(spark, dir)
+    val summaryDir = graft.ingest.Sinks.tempDir("mv_summary")
+    ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"), sum(cents).as("cents"))
+      .write.mode("overwrite").parquet(summaryDir)
+    val naive = ev.groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"))
+      .orderBy("d")
+    val rule = graft.plans.MaterializedViewRewrite
+    val prev = Seq(rule.BasePathKey, rule.SummaryPathKey)
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(rule.BasePathKey, s"$dir/events.parquet")
+      spark.conf.set(rule.SummaryPathKey, summaryDir)
+      val routed = rule(naive.queryExecution.analyzed)
+      val baseScans = routed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+            r.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+              .location.rootPaths.exists(_.toString.contains("events.parquet")) => r
+      }
+      require(baseScans.isEmpty,
+        "MaterializedViewRewrite did not route the daily rollup to the summary")
+      org.apache.spark.sql.graftshim.PlanBridge.ofRows(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], routed)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mv_route" -> ((s, dir) => mvRoute(s, dir)),
     "x_islands" -> ((s, dir) => islands(s, dir)),
     "x_scd2" -> ((s, dir) => scd2(s, dir)),
     "x_attribution" -> ((s, dir) => attribution(s, dir)),
@@ -307,6 +350,10 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_mv_route" ->
+      """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
     "x_islands" ->
       """WITH active AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS ord
