@@ -71,16 +71,25 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** `to_date(ts)` (analyzed: a RuntimeReplaceable wrapping Cast-to-date)
-    * over the subtree's TimestampType column named `ts`. */
-  private def dayOf(e: Expression): Option[Attribute] = {
+  /** Day-or-coarser grain over the subtree's TimestampType `ts` column:
+    * `to_date(ts)` (analyzed: a RuntimeReplaceable wrapping Cast-to-date),
+    * optionally wrapped in `trunc(…, fmt)` — every TruncDate grain (week/
+    * month/quarter/year) is a function of the day, so the daily summary
+    * answers it by re-truncating its `d` column (aggregate navigation with
+    * grain coarsening). Returns the ts attribute and the trunc format. */
+  private def grainOf(e: Expression): Option[(Attribute, Option[String])] = {
     val stripped = e.transformDown {
       case r: RuntimeReplaceable => r.replacement
     }
-    stripped match {
+    def day(x: Expression): Option[Attribute] = x match {
       case Cast(a: AttributeReference, DateType, _, _)
         if a.dataType == TimestampType && a.name == "ts" => Some(a)
       case _ => None
+    }
+    stripped match {
+      case TruncDate(d, Literal(fmt, _)) if fmt != null =>
+        day(d).map(a => (a, Some(fmt.toString)))
+      case other => day(other).map(a => (a, None))
     }
   }
 
@@ -100,7 +109,7 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
       summaryPath: String): Option[LogicalPlan] = {
     if (!isBaseScan(agg.child, basePath)) return None
     if (agg.groupingExpressions.size != 1) return None
-    val day = dayOf(agg.groupingExpressions.head).getOrElse(return None)
+    val (_, fmt) = grainOf(agg.groupingExpressions.head).getOrElse(return None)
     val value = agg.child.output
       .collectFirst { case a if a.name == "value" && a.dataType == DoubleType => a }
     val cents = value.map(centsCanonical)
@@ -116,10 +125,12 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
     if (dAttr.dataType != DateType || cntAttr.dataType != LongType ||
       centsAttr.dataType != LongType) return None
 
+    val grainNew: Expression =
+      fmt.fold(dAttr: Expression)(f => TruncDate(dAttr, Literal(f)))
     val routed = agg.aggregateExpressions.map {
       case a @ Alias(child, name) =>
         val replaced: Expression = child match {
-          case g if dayOf(g).isDefined => dAttr
+          case g if grainOf(g).exists(_._2 == fmt) => grainNew
           case AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _) =>
             Sum(cntAttr).toAggregateExpression()
           case AggregateExpression(Sum(e, _), _, false, None, _)
@@ -130,6 +141,6 @@ object MaterializedViewRewrite extends Rule[LogicalPlan] {
         Alias(replaced, name)(exprId = a.exprId)
       case _ => return None
     }
-    Some(Aggregate(Seq(dAttr), routed, summaryPlan))
+    Some(Aggregate(Seq(grainNew), routed, summaryPlan))
   }
 }

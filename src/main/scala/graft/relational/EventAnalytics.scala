@@ -301,16 +301,34 @@ object EventAnalytics {
     * (standing in for X72's maintained view), the rule is applied
     * explicitly with conf restored, and a silent non-fire is a loud
     * failure: the routed plan must contain NO base-table scan. */
-  private def mvRoute(spark: SparkSession, dir: String): DataFrame = {
-    val cents = expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+  private def mvRoute(spark: SparkSession, dir: String): DataFrame =
+    routeThroughMv(spark, dir) { ev =>
+      ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"), sum(mvCents).as("value_cents"))
+        .orderBy("d")
+    }
+
+  /** X85b: GRAIN COARSENING through the same router — a WEEKLY rollup is
+    * answered from the daily summary by re-truncating its day column
+    * (every TruncDate grain is a function of the day, and count/sum
+    * re-aggregate). The oracle is again computed from the raw events. */
+  private def mvRouteCoarse(spark: SparkSession, dir: String): DataFrame =
+    routeThroughMv(spark, dir) { ev =>
+      ev.groupBy(trunc(to_date(col("ts")), "week").as("wk"))
+        .agg(count(lit(1)).as("n_events"), sum(mvCents).as("value_cents"))
+        .orderBy("wk")
+    }
+
+  private val mvCents = expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")
+
+  private def routeThroughMv(spark: SparkSession, dir: String)(
+      build: DataFrame => DataFrame): DataFrame = {
     val ev = Tables.events(spark, dir)
     val summaryDir = graft.ingest.Sinks.tempDir("mv_summary")
     ev.groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("cnt"), sum(cents).as("cents"))
+      .agg(count(lit(1)).as("cnt"), sum(mvCents).as("cents"))
       .write.mode("overwrite").parquet(summaryDir)
-    val naive = ev.groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("n_events"), sum(cents).as("value_cents"))
-      .orderBy("d")
+    val naive = build(ev)
     val rule = graft.plans.MaterializedViewRewrite
     val prev = Seq(rule.BasePathKey, rule.SummaryPathKey)
       .map(k => k -> spark.conf.getOption(k))
@@ -338,6 +356,7 @@ object EventAnalytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_mv_route" -> ((s, dir) => mvRoute(s, dir)),
+    "x_mv_route_coarse" -> ((s, dir) => mvRouteCoarse(s, dir)),
     "x_islands" -> ((s, dir) => islands(s, dir)),
     "x_scd2" -> ((s, dir) => scd2(s, dir)),
     "x_attribution" -> ((s, dir) => attribution(s, dir)),
@@ -354,6 +373,11 @@ object EventAnalytics {
       """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events GROUP BY 1 ORDER BY d""".stripMargin,
+    "x_mv_route_coarse" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY wk""".stripMargin,
     "x_islands" ->
       """WITH active AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS ord
