@@ -25,6 +25,7 @@ object SparkEntry {
       relational.StatsOps.queries ++
       relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
+      llm.TrainingSets.queries ++
       streaming.StreamQueries.queries ++
       sources.FormatQueries.queries ++
       ingest.Integrity.queries
@@ -39,6 +40,7 @@ object SparkEntry {
       relational.StatsOps.oracles ++
       relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
+      llm.TrainingSets.oracles ++
       streaming.StreamQueries.oracles ++
       sources.FormatQueries.oracles ++
       ingest.Integrity.oracles

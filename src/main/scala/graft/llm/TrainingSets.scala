@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.model.Tables
+import graft.relational.AsOfJoin
+
+/** Training-set assembly operators: point-in-time-correct feature joins
+  * (the feature-store discipline) and deterministic negative sampling (the
+  * recommender-training counterpart of X63's split). The reference
+  * pipeline stops at ingestion; these are the operators that turn its
+  * ingested event/fact history into model-ready matrices without leakage.
+  */
+object TrainingSets {
+
+  private val cents = (c: String) =>
+    expr(s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)")
+
+  /** X86: point-in-time feature assembly — each label row (purchase) is
+    * enriched with feature values AS OF its timestamp from two separately
+    * maintained feature streams (running view counts, running click
+    * spend), via two as-of joins. This is THE leakage guard in training
+    * pipelines: a plain join against "current" features trains on the
+    * future. Feature streams are pre-aggregated to one row per (user,
+    * second) so the as-of match is deterministic; each as-of is the X23
+    * union + running-window composition (one shuffle per feature table,
+    * no join explosion — the 100 TB shape). */
+  private def featureAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      col("event_type"), col("value"))
+    val labels = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss"), col("event_id"),
+        cents("value").as("label_cents"))
+    val wRun = Window.partitionBy("user_id").orderBy("tss")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viewCounts = ev.where(col("event_type") === "view")
+      .groupBy("user_id", "tss").agg(count(lit(1)).as("c"))
+      .withColumn("cum_views", sum("c").over(wRun))
+      .select("user_id", "tss", "cum_views")
+    val clickSpend = ev.where(col("event_type") === "click")
+      .groupBy("user_id", "tss").agg(sum(cents("value")).as("cc"))
+      .withColumn("cum_cents", sum("cc").over(wRun))
+      .select("user_id", "tss", "cum_cents")
+    val f1 = AsOfJoin.asof(labels, viewCounts, "user_id", "tss",
+      "cum_views", "f1_ts", "views_before")
+    val f2 = AsOfJoin.asof(f1, clickSpend, "user_id", "tss",
+      "cum_cents", "f2_ts", "clicks_cents_before")
+    f2.select(col("user_id"), col("tss"), col("event_id"),
+        coalesce(col("views_before"), lit(0L)).as("views_before"),
+        coalesce(col("clicks_cents_before"), lit(0L)).as("clicks_cents_before"),
+        col("label_cents"))
+      .orderBy("user_id", "tss", "event_id")
+  }
+
+  /** X87: deterministic negative sampling — for each user with purchase
+    * history, k items they did NOT interact with, drawn by stable hash
+    * (rebuild-invariant, engine-reproducible, no RNG). Candidates are
+    * 2k per user (a generator — linear, never the users×items grid),
+    * anti-joined against positives, deduped, first k by draw index kept.
+    * Output is the per-user audit (count + item-id sum), not the row
+    * stream, so the key's size is user-bounded. */
+  private def negativeSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val pos = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("it")).distinct()
+    val maxItem = pos.agg(max("it").as("max_it"))
+    val cands = pos.select("u").distinct()
+      .crossJoin(broadcast(maxItem))
+      .select(col("u"), col("max_it"),
+        explode(expr(s"sequence(0, ${2 * k - 1})")).as("i"))
+      .withColumn("it",
+        StableHash.md5Prefix60(concat_ws("_", col("u"), col("i"))) %
+          col("max_it") + 1)
+    val negs = cands
+      .join(pos, Seq("u", "it"), "left_anti")
+      .groupBy("u", "it").agg(min("i").as("i")) // hash collisions → one draw
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy("i", "it")))
+      .where(col("rn") <= k)
+    negs.groupBy("u")
+      .agg(count(lit(1)).as("n_neg"), sum("it").as("item_sum"))
+      .orderBy("u")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_feature_asof" -> ((s, dir) => featureAsOf(s, dir)),
+    "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "x_feature_asof" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, event_type, value FROM events),
+        |labels AS (SELECT user_id, tss, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS label_cents
+        |  FROM ev WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, tss, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+        |f1 AS (SELECT user_id, tss,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY tss) AS BIGINT) AS cum_views
+        |  FROM v),
+        |cl AS (SELECT user_id, tss,
+        |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cc
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+        |f2 AS (SELECT user_id, tss,
+        |    CAST(sum(cc) OVER (PARTITION BY user_id ORDER BY tss) AS BIGINT) AS cum_cents
+        |  FROM cl)
+        |SELECT l.user_id, l.tss, l.event_id,
+        |  coalesce(f1.cum_views, 0) AS views_before,
+        |  coalesce(f2.cum_cents, 0) AS clicks_cents_before,
+        |  l.label_cents
+        |FROM labels l
+        |ASOF LEFT JOIN f1 ON l.user_id = f1.user_id AND l.tss >= f1.tss
+        |ASOF LEFT JOIN f2 ON l.user_id = f2.user_id AND l.tss >= f2.tss
+        |ORDER BY l.user_id, l.tss, l.event_id""".stripMargin,
+    "x_negative_sample" ->
+      s"""WITH pos AS (SELECT DISTINCT o_custkey AS u, l_partkey AS it
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |mx AS (SELECT max(it) AS max_it FROM pos),
+         |cands AS (SELECT u, max_it, unnest(generate_series(0, 5)) AS i
+         |  FROM (SELECT DISTINCT u FROM pos), mx),
+         |drawn AS (SELECT u,
+         |    ${StableHash.md5Prefix60Sql("concat_ws('_', u, i)")} % max_it + 1 AS it, i
+         |  FROM cands),
+         |neg AS (SELECT d.u, d.it, min(d.i) AS i FROM drawn d
+         |  ANTI JOIN pos p ON d.u = p.u AND d.it = p.it GROUP BY 1, 2),
+         |ranked AS (SELECT u, it,
+         |    row_number() OVER (PARTITION BY u ORDER BY i, it) AS rn FROM neg)
+         |SELECT u, CAST(count(*) AS BIGINT) AS n_neg,
+         |  CAST(sum(it) AS BIGINT) AS item_sum
+         |FROM ranked WHERE rn <= 3
+         |GROUP BY u ORDER BY u""".stripMargin)
+}

@@ -257,7 +257,34 @@ object StatsOps {
       .orderBy("flag")
   }
 
+  /** X88: join-key skew diagnosis — the report to read BEFORE picking a
+    * salting factor (X45) or AQE thresholds (X45b). Exact group-size
+    * percentiles WITHOUT sorting the key table: group counts collapse to
+    * the COUNT-OF-COUNTS table (one row per distinct size — a bounded 1-D
+    * CDF), and percentiles are nearest-rank lookups on its running sum.
+    * The only window runs over that CDF, never over keys or rows.
+    * skew_e6 = max·n_keys·10⁶ / total — 10⁶ means perfectly even. */
+  private def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val coc = counts.groupBy("c").agg(count(lit(1)).as("nk"))
+    val tot = coc.agg(sum("nk").as("n_keys"),
+      sum(col("c") * col("nk")).as("total_rows"), max("c").as("max_size"))
+    val cdf = coc.withColumn("cum", sum("nk").over(
+      Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+    val p50 = cdf.where(col("cum") >= expr("(n_keys + 1) div 2"))
+      .agg(min("c").as("p50_size"))
+    val p99 = cdf.where(col("cum") >= expr("(n_keys * 99 + 99) div 100"))
+      .agg(min("c").as("p99_size"))
+    tot.crossJoin(p50).crossJoin(p99)
+      .select(col("n_keys"), col("total_rows"), col("max_size"),
+        col("p50_size"), col("p99_size"),
+        expr("max_size * n_keys * 1000000 div total_rows").as("skew_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_skew_report" -> ((s, dir) => skewReport(s, dir)),
     "x_kll_bands" -> ((s, dir) => kllBands(s, dir)),
     "x_kmv_jaccard" -> ((s, dir) => kmvJaccard(s, dir)),
     "x_winsorize" -> ((s, dir) => winsorizedMean(s, dir)),
@@ -269,6 +296,19 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_skew_report" ->
+      """WITH counts AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |coc AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM counts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n_keys,
+        |    CAST(sum(c * nk) AS BIGINT) AS total_rows, max(c) AS max_size FROM coc),
+        |cdf AS (SELECT c, CAST(sum(nk) OVER (ORDER BY c) AS BIGINT) AS cum FROM coc),
+        |p50 AS (SELECT min(c) AS p50_size FROM cdf, tot WHERE cum >= (n_keys + 1) // 2),
+        |p99 AS (SELECT min(c) AS p99_size FROM cdf, tot
+        |  WHERE cum >= (n_keys * 99 + 99) // 100)
+        |SELECT n_keys, total_rows, max_size, p50_size, p99_size,
+        |  CAST(max_size * n_keys * 1000000 // total_rows AS BIGINT) AS skew_e6
+        |FROM tot, p50, p99""".stripMargin,
     "x_kll_bands" ->
       """SELECT DISTINCT l_returnflag AS flag, true AS within_tol,
         |  CAST(0 AS BIGINT) AS tol_excess
