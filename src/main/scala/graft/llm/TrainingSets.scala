@@ -88,11 +88,51 @@ object TrainingSets {
       .orderBy("u")
   }
 
+  /** X89: bigram language model with add-one smoothing, in exact ×10⁶
+    * integers: P(w₂|w₁) = (c₁₂+1)/(c₁+V) — the classic n-gram LM estimate
+    * (and the scoring half of perplexity-based quality filtering). Bigrams
+    * come from `sequence` + `element_at` over the token array (a generator
+    * projection — no position self-join), counts are two partial-first
+    * aggregations, and the probability is integer division, so every row
+    * is engine-exact. Top-20 by count with a total order. */
+  private def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks
+      .select(col("t"), explode(expr("sequence(1, size(t) - 1)")).as("i"))
+      .select(expr("element_at(t, i)").as("w1"),
+        expr("element_at(t, CAST(i + 1 AS INT))").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(countDistinct("w").as("vocab"))
+    c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c12"),
+        expr("(c12 + 1) * 1000000 div (c1 + vocab)").as("p_e6"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_feature_asof" -> ((s, dir) => featureAsOf(s, dir)),
+    "x_ngram_lm" -> ((s, dir) => bigramLm(s, dir)),
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+        |c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM (
+        |    SELECT unnest(t) AS w FROM toks))
+        |SELECT w1, w2, c12,
+        |  CAST((c12 + 1) * 1000000 // (c1 + vocab) AS BIGINT) AS p_e6
+        |FROM c12 JOIN c1 USING (w1), v
+        |ORDER BY c12 DESC, w1, w2 LIMIT 20""".stripMargin,
     "x_feature_asof" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
         |    event_id, event_type, value FROM events),

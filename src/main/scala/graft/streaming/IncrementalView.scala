@@ -29,4 +29,21 @@ object IncrementalView {
     spark.read.parquet(path)
       .groupBy("event_type")
       .agg(sum("n").as("n"), round(sum("v_sum"), 2).as("v_sum"))
+
+  /** Count/sum partials generalize to SKETCH partials (X75): each batch
+    * persists a serialized per-group KLL sketch, and any reader unions the
+    * binary column into a quantile — incrementally maintained DISTRIBUTION
+    * state, the thing count/sum views cannot answer. Same idempotent
+    * `batch=<id>` overwrite contract. */
+  def upsertSketchBatch(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.groupBy("event_type")
+      .agg(graft.functions.SketchAggregates.kllBuild(col("value")).as("sk"))
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Global median from the maintained sketch partials — reads batches ×
+    * groups sketch rows, never the event history. */
+  def readMedian(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .agg(graft.functions.SketchAggregates.kllUnionQuantile(col("sk"), 0.5)
+        .as("est"))
 }

@@ -233,6 +233,26 @@ class StreamingSpec extends SparkSpec with Matchers {
     batch.size should be > 0
   }
 
+  test("incrementally maintained KLL sketch partials answer the global median") {
+    val out = graft.ingest.Sinks.tempDir("ivm_sketch")
+    val q = EventStream.read(spark, sf0001)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IncrementalView.upsertSketchBatch(b, id, out)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000) shouldBe true
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val est = IncrementalView.readMedian(spark, out).as[Double].head()
+    val ev = graft.model.Tables.events(spark, sf0001)
+    val n = ev.count()
+    val below = ev.where(col("value") <= est).count()
+    // same rank contract as X75: k=200 ⇒ ≈1.65% @99%, 5% is far outside
+    below.toDouble / n shouldBe 0.5 +- 0.05
+  }
+
   test("foreachBatch bridges streaming micro-batches into a batch sink") {
     val sink = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = EventStream.read(spark, sf0001)
