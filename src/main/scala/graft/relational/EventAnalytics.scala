@@ -354,7 +354,51 @@ object EventAnalytics {
     }
   }
 
+  /** X90: distribution drift between two corpus snapshots (first vs second
+    * half of the event history): per-category ×10⁶ share in each snapshot
+    * and the absolute share delta — the monitoring primitive behind
+    * training-data drift alerts. One conditional aggregation pass builds
+    * both distributions; shares are integer division (engine-exact). */
+  private def drift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (to_date(col("ts")) < lit("2024-01-16")).as("is_a"))
+    val counts = ev.groupBy("event_type").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"),
+        expr("ca * 1000000 div ta").as("share_a_e6"),
+        expr("cb * 1000000 div tb").as("share_b_e6"),
+        abs(expr("ca * 1000000 div ta") - expr("cb * 1000000 div tb"))
+          .as("drift_e6"))
+      .orderBy("event_type")
+  }
+
+  /** X91: time-weighted average value (TWAP) per user — each observation
+    * weighted by how long it was "current" (seconds until the next event),
+    * the right average for irregularly sampled series. One `lead` window
+    * per user, integer cents × integer seconds, one aggregation; the last
+    * observation has no duration and drops in both engines. */
+  private def twap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("nxt", lead("tss", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .withColumn("dt", expr("timestampdiff(SECOND, tss, nxt)"))
+      .groupBy("user_id")
+      .agg(sum("dt").as("total_dt"),
+        expr("sum(cents * dt) div sum(dt)").as("twap_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_drift" -> ((s, dir) => drift(s, dir)),
+    "x_twap" -> ((s, dir) => twap(s, dir)),
     "x_mv_route" -> ((s, dir) => mvRoute(s, dir)),
     "x_mv_route_coarse" -> ((s, dir) => mvRouteCoarse(s, dir)),
     "x_islands" -> ((s, dir) => islands(s, dir)),
@@ -369,6 +413,28 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_drift" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM c)
+        |SELECT event_type,
+        |  CAST(ca * 1000000 // ta AS BIGINT) AS share_a_e6,
+        |  CAST(cb * 1000000 // tb AS BIGINT) AS share_b_e6,
+        |  abs(CAST(ca * 1000000 // ta AS BIGINT) - CAST(cb * 1000000 // tb AS BIGINT)) AS drift_e6
+        |FROM c, t ORDER BY event_type""".stripMargin,
+    "x_twap" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |n AS (SELECT *, lead(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) AS nxt
+        |  FROM ev),
+        |d AS (SELECT user_id, cents, date_diff('second', tss, nxt) AS dt
+        |  FROM n WHERE nxt IS NOT NULL)
+        |SELECT user_id, CAST(sum(dt) AS BIGINT) AS total_dt,
+        |  CAST(sum(cents * dt) // sum(dt) AS BIGINT) AS twap_cents
+        |FROM d GROUP BY 1 ORDER BY user_id""".stripMargin,
     "x_mv_route" ->
       """SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
