@@ -850,6 +850,39 @@ object CoreQueries {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // X34c: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
+    // function DEFINED in SQL is inlined by the analyzer into the plan, so
+    // unlike a Scala/Python UDF it stays inside codegen and pushdown: the
+    // right way to share business logic (the canonical cents rendering)
+    // across SQL users with zero execution cost. The oracle computes the
+    // same expression inline.
+    "x_sql_udf" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_udf")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+          |RETURNS BIGINT RETURN CAST(floor(x * 100.0 + 0.5) AS BIGINT)"""
+          .stripMargin)
+      s.sql(
+        """SELECT o_orderstatus, sum(graft_cents(o_totalprice)) AS cents
+          |FROM v_orders_udf GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // X34d: lateral column aliases (Spark 4, SPARK-27561) — a SELECT item
+    // can reference an alias defined earlier in the same list; the
+    // analyzer expands the chain, so the plan is one Project (no
+    // subquery nesting). DuckDB shares the feature, so the oracle is the
+    // same text modulo casts.
+    "x_sql_lateral_alias" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_la")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(floor(o_totalprice) AS BIGINT) AS dollars,
+          |  dollars * 2 AS doubled,
+          |  doubled + o_orderkey AS mixed
+          |FROM v_orders_la WHERE o_orderkey <= 100
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // X35: typed Dataset[T] pipeline — case-class Encoder, typed filter +
     // map + groupByKey aggregation (the compile-time-checked API path).
     "x_typed_ds" -> ((s, dir) => {
@@ -1322,6 +1355,17 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_sql_udf" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    "x_sql_lateral_alias" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS dollars,
+        |  dollars * 2 AS doubled,
+        |  doubled + o_orderkey AS mixed
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey""".stripMargin,
     "x_sql_exists" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o

@@ -396,7 +396,50 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** X92: resample to a regular daily grid with LINEAR interpolation — the
+    * gapfill (X54) upgrade from step-hold to lerp, in exact integers:
+    * v = v₀ + (v₁−v₀)(t−t₀) div (t₁−t₀). Observed days keep their value;
+    * interior gaps interpolate between the surrounding observations
+    * (running `last(ignoreNulls)` backward + `first(ignoreNulls)` forward
+    * over the same per-user window); edges hold the nearest observation.
+    * Grid days come from a `sequence` generator, never a calendar join. */
+  private def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT)").as("d"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    // one observation per (user, day): the day's LAST event (total order)
+    val wDay = Window.partitionBy("user_id", "d")
+      .orderBy(col("tss").desc, col("event_id").desc)
+    val obs = ev.withColumn("rn", row_number().over(wDay))
+      .where(col("rn") === 1).select("user_id", "d", "cents")
+    val span = obs.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1)")).as("d"))
+    val joined = grid.join(obs, Seq("user_id", "d"), "left")
+    val wB = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wB))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wB))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wF))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("d")),
+        ignoreNulls = true).over(wF))
+      .select(col("user_id"), col("d"),
+        when(col("cents").isNotNull, col("cents"))
+          // weighted-average form keeps the dividend non-negative, so
+          // Spark's truncating div and DuckDB's flooring // agree
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("(pv * (nd - d) + nv * (d - pd)) div (nd - pd)"))
+          .otherwise(coalesce(col("pv"), col("nv"))).as("interp_cents"))
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_interpolate" -> ((s, dir) => interpolate(s, dir)),
     "x_drift" -> ((s, dir) => drift(s, dir)),
     "x_twap" -> ((s, dir) => twap(s, dir)),
     "x_mv_route" -> ((s, dir) => mvRoute(s, dir)),
@@ -413,6 +456,36 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_interpolate" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |obs AS (SELECT user_id, d, cents FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, d
+        |        ORDER BY tss DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+        |j AS (SELECT g.user_id, g.d, o.cents FROM grid g
+        |  LEFT JOIN obs o ON g.user_id = o.user_id AND g.d = o.d),
+        |f AS (SELECT user_id, d, cents,
+        |    last_value(cents IGNORE NULLS) OVER w AS pv,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER w AS pd,
+        |    first_value(cents IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS) OVER wf AS nd
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY user_id ORDER BY d
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, d,
+        |  CAST(CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |         THEN (pv * (nd - d) + nv * (d - pd)) // (nd - pd)
+        |       ELSE coalesce(pv, nv) END AS BIGINT) AS interp_cents
+        |FROM f ORDER BY user_id, d""".stripMargin,
     "x_drift" ->
       """WITH c AS (SELECT event_type,
         |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
