@@ -413,9 +413,12 @@ object EventAnalytics {
       .orderBy(col("tss").desc, col("event_id").desc)
     val obs = ev.withColumn("rn", row_number().over(wDay))
       .where(col("rn") === 1).select("user_id", "d", "cents")
-    val span = obs.groupBy("user_id").agg(min("d").as("d0"), max("d").as("d1"))
-    val grid = span.select(col("user_id"),
-      explode(expr("sequence(d0, d1)")).as("d"))
+    // COMMON panel grid (corpus-wide span) — users inactive at the corpus
+    // edges get leading/trailing gaps, exercising the edge-hold branch
+    val span = obs.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = obs.select("user_id").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("d"))
     val joined = grid.join(obs, Seq("user_id", "d"), "left")
     val wB = Window.partitionBy("user_id").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -466,8 +469,9 @@ object EventAnalytics {
         |    SELECT *, row_number() OVER (PARTITION BY user_id, d
         |        ORDER BY tss DESC, event_id DESC) AS rn FROM ev)
         |  WHERE rn = 1),
-        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM obs GROUP BY 1),
-        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d FROM span),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM obs),
+        |grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS d
+        |  FROM (SELECT DISTINCT user_id FROM obs), span),
         |j AS (SELECT g.user_id, g.d, o.cents FROM grid g
         |  LEFT JOIN obs o ON g.user_id = o.user_id AND g.d = o.d),
         |f AS (SELECT user_id, d, cents,
