@@ -186,6 +186,18 @@ object LlmQueries {
     "x_sim_ann_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.embeddings(s, dir), queryId = 0L, k = 5, nProbe = 2)),
 
+    // X93: PQ code histogram — every vector's 4×4-bit code word, counted.
+    // Pins each subspace argmin end-to-end: a single mis-encoded vector
+    // moves a word between histogram buckets and the hash goes red.
+    "x_pq" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir))
+        .groupBy("vec_id")
+        .agg(sum(expr(
+          "code * CASE s WHEN 0 THEN 4096 WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END"))
+          .as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(25)),
+
     "x_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
@@ -647,6 +659,28 @@ object LlmQueries {
          |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT s, label AS code, list(cval ORDER BY sp) AS cvec FROM (
+        |    SELECT label, (pos - 1) // 16 AS s, (pos - 1) % 16 AS sp,
+        |      round(avg(v), 6) AS cval
+        |    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY s, label),
+        |scored AS (SELECT vec_id, s, code,
+        |    round(2 * list_dot_product(v[s*16+1 : s*16+16], cvec)
+        |      - list_dot_product(cvec, cvec), 6) AS score
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY score DESC, code) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |words AS (SELECT vec_id, CAST(sum(code * CASE s WHEN 0 THEN 4096
+        |      WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END) AS BIGINT) AS word
+        |  FROM enc GROUP BY 1)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n
+        |FROM words GROUP BY 1 ORDER BY n DESC, word LIMIT 25""".stripMargin,
     "x_sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$centCte,

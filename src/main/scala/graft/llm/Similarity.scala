@@ -94,6 +94,46 @@ object Similarity {
         max_by(col("cell"), struct(col("c_sim"), (-col("cell")).as("nc"))).as("cell"),
         first(col("embedding")).as("embedding"))
 
+  /** Product-quantization codebooks (the PQ half of IVF-PQ, the standard
+    * billion-scale ANN layout): the 64-dim space splits into `m`
+    * subspaces of `subDim` dims; each subspace gets its own codebook from
+    * label-partition averages (the same seed-partition argument as the
+    * IVF coarse quantizer — codebook quality affects distortion, never
+    * correctness). Values rounded to 6dp pin the quantizer cross-engine.
+    * Output: (s, code, cvec) — one row per sub-centroid. */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame =
+    emb.select(col("label"),
+        posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as(Seq("pos", "v")))
+      .select(col("label"), expr(s"pos div $subDim").as("s"),
+        expr(s"pos % $subDim").as("sp"), col("v"))
+      .groupBy("label", "s", "sp").agg(round(avg("v"), 6).as("cval"))
+      .groupBy(col("s"), col("label").as("code"))
+      .agg(array_sort(collect_list(struct(col("sp"), col("cval")))).as("pc"))
+      .select(col("s"), col("code"),
+        transform(col("pc"), p => p.getField("cval")).as("cvec"))
+
+  /** PQ encoding: per (vector, subspace) the nearest sub-centroid by L2 —
+    * argmin ‖x_s−c‖² ≡ argmax 2·x_s·c − ‖c‖² (‖x_s‖² is constant within
+    * the argmin), so each subspace costs one fixed-order dot product per
+    * codeword. A 64-dim float vector compresses to m codebook indices
+    * (here 4 × 4 bits): ~64× smaller, the memory layout that lets a
+    * billion-vector index live in RAM. One broadcast cross join + one
+    * map-side max_by — the N×(m·K) scored relation never shuffles. */
+  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame = {
+    val cb = pqCodebooks(emb, m, subDim)
+    emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("s"), col("code"),
+        round(VectorOps.dot(expr(s"slice(v, s * $subDim + 1, $subDim)"),
+          col("cvec")) * 2 - VectorOps.dot(col("cvec"), col("cvec")), 6)
+          .as("score"))
+      .groupBy("vec_id", "s")
+      .agg(max_by(col("code"),
+        struct(col("score"), (-col("code")).as("nc"))).as("code"))
+  }
+
   /** Symmetric int8 quantization per vector: q_i = floor(v_i · 127 /
     * max|v|) — the ANN memory-compression step (4× smaller than float32,
     * 8× smaller than the float64 working form). Pure per-row array
