@@ -186,6 +186,36 @@ object LlmQueries {
     "x_sim_ann_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.embeddings(s, dir), queryId = 0L, k = 5, nProbe = 2)),
 
+    // X93b: ADC (asymmetric distance computation) — PQ's query half. The
+    // query builds a 4×10 lookup table of per-subspace dot products against
+    // the codebooks; each ENCODED vector's approximate score is then four
+    // table lookups, never a touch of the original floats — the scan cost
+    // model that makes billion-vector search feasible. The per-subspace
+    // terms are pivoted to columns and summed in FIXED order (t0+t1+t2+t3),
+    // so the double is engine-exact; an aggregated sum would be
+    // order-dependent and could never hash-match.
+    "x_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = Similarity.pqCodebooks(emb)
+      val enc = Similarity.pqEncode(emb)
+      val q = emb.where(col("vec_id") === 0L)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      val tables = cb.crossJoin(broadcast(q))
+        .select(col("s"), col("code"),
+          round(graft.functions.VectorOps.dot(
+            expr("slice(qv, s * 16 + 1, 16)"), col("cvec")), 6).as("t"))
+      enc.join(broadcast(tables), Seq("s", "code"))
+        .groupBy("vec_id")
+        .agg(max(when(col("s") === 0, col("t"))).as("t0"),
+          max(when(col("s") === 1, col("t"))).as("t1"),
+          max(when(col("s") === 2, col("t"))).as("t2"),
+          max(when(col("s") === 3, col("t"))).as("t3"))
+        .where(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adc"))
+        .orderBy(col("adc").desc, col("vec_id")).limit(10)
+    }),
+
     // X93: PQ code histogram — every vector's 4×4-bit code word, counted.
     // Pins each subspace argmin end-to-end: a single mis-encoded vector
     // moves a word between histogram buckets and the hash goes red.
@@ -659,6 +689,36 @@ object LlmQueries {
          |  round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "x_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS (SELECT s, label AS code, list(cval ORDER BY sp) AS cvec FROM (
+        |    SELECT label, (pos - 1) // 16 AS s, (pos - 1) % 16 AS sp,
+        |      round(avg(v), 6) AS cval
+        |    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY s, label),
+        |scored AS (SELECT vec_id, s, code,
+        |    round(2 * list_dot_product(v[s*16+1 : s*16+16], cvec)
+        |      - list_dot_product(cvec, cvec), 6) AS score
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+        |        ORDER BY score DESC, code) AS rk FROM scored)
+        |  WHERE rk = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |tbl AS (SELECT s, code,
+        |    round(list_dot_product(qv[s*16+1 : s*16+16], cvec), 6) AS t
+        |  FROM cb, q),
+        |piv AS (SELECT vec_id,
+        |    max(CASE WHEN s = 0 THEN t END) AS t0,
+        |    max(CASE WHEN s = 1 THEN t END) AS t1,
+        |    max(CASE WHEN s = 2 THEN t END) AS t2,
+        |    max(CASE WHEN s = 3 THEN t END) AS t3
+        |  FROM enc JOIN tbl USING (s, code) GROUP BY 1)
+        |SELECT vec_id, round(t0 + t1 + t2 + t3, 6) AS adc
+        |FROM piv WHERE vec_id <> 0
+        |ORDER BY adc DESC, vec_id LIMIT 10""".stripMargin,
     "x_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cb AS (SELECT s, label AS code, list(cval ORDER BY sp) AS cvec FROM (
