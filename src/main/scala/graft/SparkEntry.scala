@@ -26,6 +26,7 @@ object SparkEntry {
       relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
       llm.TrainingSets.queries ++
+      llm.FeatureOps.queries ++
       streaming.StreamQueries.queries ++
       sources.FormatQueries.queries ++
       ingest.Integrity.queries
@@ -41,6 +42,7 @@ object SparkEntry {
       relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
       llm.TrainingSets.oracles ++
+      llm.FeatureOps.oracles ++
       streaming.StreamQueries.oracles ++
       sources.FormatQueries.oracles ++
       ingest.Integrity.oracles

@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.model.Tables
+
+/** Feature-engineering operators for retrieval / model-input pipelines:
+  * BM25 relevance scoring, the feature-hashing trick, and one-hot
+  * encoding. The reference pipeline stops at ingestion
+  * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py`); these turn the
+  * ingested document corpus into ranked retrieval results and fixed-width
+  * model features — all as pure projections + partial-first aggregations,
+  * nothing quadratic, nothing driver-side.
+  *
+  * Exactness discipline (the engine-wide rule): every score that crosses
+  * the differential oracle is integer arithmetic — BM25's rational
+  * constants are cleared to one fused integer expression, and idf uses the
+  * floor-log2 digit-count trick (`length(bin(x))`) instead of libm `ln`,
+  * which is NOT correctly-rounded and diverges across engines.
+  */
+object FeatureOps {
+
+  /** X95: BM25 scoring (k1=1.2, b=0.75) of a term query over the document
+    * corpus, in EXACT integers.
+    *
+    * With k1=6/5 and b=3/4, per-term BM25 reduces to one integer-exact
+    * expression: tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) multiplied through
+    * by 20·avgdl gives
+    *
+    *   score_e6 = idf · 44·tf·avgdl·10⁶ div (20·tf·avgdl + 6·avgdl + 18·dl)
+    *
+    * where idf = length(bin(n div df)) = ⌊log2(n/df)⌋+1 — the digit count
+    * of the binary rendering, integer-exact in both engines (the X79
+    * trick); a libm `ln` idf would not hash-match. All factors are BIGINT;
+    * div truncates identically (operands non-negative). Overflow ceiling:
+    * idf·44·tf·avgdl·10⁶ < 2⁶³ holds while tf·avgdl·idf < 2×10¹¹ — i.e.
+    * ~10⁴-token docs at web-scale avgdl; beyond that, divide avgdl through
+    * first (documented, not silently wrapped).
+    *
+    * Shape at scale: the explode is the posting-list build (linear in
+    * corpus tokens); tf keeps ONLY query terms (a tiny IN filter pushed to
+    * the scan side of the explode); df and the corpus stats are one
+    * partial-first aggregation each, broadcast as 1-to-3-row relations;
+    * ranking is TakeOrderedAndProject — no global sort. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val posting = toks
+      .select(col("doc_id"), explode(col("t")).as("w"))
+      .where(col("w").isin(terms: _*))
+    val tf = posting.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = posting.groupBy("w").agg(countDistinct("doc_id").as("df"))
+    tf.join(lens, "doc_id")
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", length(bin(expr("n div df"))).cast("long"))
+      .withColumn("term_score",
+        expr("idf * 44 * tf * avgdl * 1000000 div " +
+          "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("score_e6"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** X96: the feature-hashing trick (Weinberger et al., ICML'09): token →
+    * bucket = h(token) mod D with a sign bit from the next hash bit, so
+    * collisions cancel in expectation instead of accumulating. Fixed-width
+    * model input from unbounded vocabulary with NO dictionary, NO vocab
+    * broadcast, NO fit step — a pure projection + one partial-first
+    * aggregation, the property that makes it THE featurizer that survives
+    * 10⁸-token vocabularies where one-hot's dictionary does not.
+    * Deterministic via the md5-derived [[StableHash]], so retries, rebuilds
+    * and the oracle all agree. */
+  def hashedFeatures(docs: DataFrame, numBuckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), StableHash.md5Prefix60(col("w")).as("h"))
+      .select(col("doc_id"), (col("h") % numBuckets).as("bucket"),
+        when(expr(s"(h div $numBuckets) % 2") === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sign").as("feat"))
+      .where(col("feat") =!= 0)
+
+  /** Known language codes in the corpus (FIXTURES.md §A documents table).
+    * One-hot REQUIRES a closed category set — passing explicit values to
+    * `pivot` also keeps the plan static (no pre-scan job to discover them,
+    * which at 100 TB would be a full extra pass). */
+  val LangValues: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** X97: one-hot encoding of a bounded categorical column via `pivot`
+    * with EXPLICIT values: each lang becomes a 0/1 BIGINT column. The
+    * output width is fixed by the declared domain, so this stays a single
+    * partial-first aggregation at any corpus size; for unbounded domains
+    * use [[hashedFeatures]] instead (the dictionary-free alternative). */
+  def oneHotLang(docs: DataFrame): DataFrame =
+    docs.groupBy("doc_id")
+      .pivot("lang", LangValues)
+      .agg(count(lit(1)))
+      .select(col("doc_id") +: LangValues.map(v =>
+        coalesce(col(v), lit(0L)).as(s"lang_$v")): _*)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bm25" -> ((s, dir) =>
+      bm25(Tables.documents(s, dir), Seq("dup", "spark", "window"), 20)),
+    "x_feature_hash" -> ((s, dir) =>
+      hashedFeatures(Tables.documents(s, dir), 64)
+        .where(col("doc_id") < 50)
+        .orderBy("doc_id", "bucket")),
+    "x_onehot" -> ((s, dir) =>
+      oneHotLang(Tables.documents(s, dir)).orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "x_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
+        |posting AS (SELECT doc_id, w
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+        |  WHERE w IN ('dup', 'spark', 'window')),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM posting GROUP BY 1, 2),
+        |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+        |scored AS (SELECT tf.doc_id,
+        |    CAST(length(bin(n // df)) AS BIGINT) *
+        |      44 * tf * avgdl * 1000000 //
+        |      (20 * tf * avgdl + 6 * avgdl + 18 * dl) AS term_score
+        |  FROM tf JOIN lens USING (doc_id) JOIN df USING (w), stats)
+        |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e6,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "x_feature_hash" ->
+      s"""WITH h AS (SELECT doc_id,
+         |    ${StableHash.md5Prefix60Sql("w")} AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents))
+         |SELECT doc_id, h % 64 AS bucket,
+         |  CAST(sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+         |    AS feat
+         |FROM h WHERE doc_id < 50
+         |GROUP BY 1, 2 HAVING sum(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0
+         |ORDER BY doc_id, bucket""".stripMargin,
+    "x_onehot" ->
+      """SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS lang_de,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS lang_en,
+        |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS lang_es,
+        |  CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS lang_fr,
+        |  CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS lang_zh
+        |FROM documents GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

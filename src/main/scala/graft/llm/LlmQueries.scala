@@ -68,6 +68,9 @@ object LlmQueries {
         .orderBy("da", "db")
     }),
 
+    "x_dedup_prefix" -> ((s, dir) =>
+      Dedup.prefixFilterNearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
+
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
 
@@ -427,6 +430,33 @@ object LlmQueries {
          |  FROM pairs)
          |SELECT da, db, jaccard FROM scored
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
+    "x_dedup_prefix" ->
+      s"""WITH $toksCte, $shCte,
+         |ids AS (SELECT DISTINCT doc_id, ${hashIdSql("s")} AS sid FROM sh),
+         |dfreq AS (SELECT sid, CAST(count(*) AS BIGINT) AS df FROM ids GROUP BY sid),
+         |ranked AS (SELECT doc_id, sid,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY df, sid) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS m
+         |  FROM ids JOIN dfreq USING (sid)),
+         |pfx AS (SELECT doc_id, sid, m FROM ranked
+         |  WHERE rn <= m - CAST(ceil($JaccardThreshold * m) AS BIGINT) + 1),
+         |cands AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    min(a.m) AS ma, min(b.m) AS mb
+         |  FROM pfx a JOIN pfx b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.m, b.m) >= $JaccardThreshold * greatest(a.m, b.m)
+         |  GROUP BY 1, 2),
+         |scored AS (SELECT da, db, min(ma) AS ma, min(mb) AS mb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM cands
+         |  JOIN ids ia ON ia.doc_id = da
+         |  JOIN ids ib ON ib.doc_id = db AND ib.sid = ia.sid
+         |  GROUP BY 1, 2)
+         |SELECT da, db,
+         |  round(CAST(inter AS DOUBLE) / (ma + mb - inter), 6) AS jaccard
+         |FROM scored
+         |WHERE round(CAST(inter AS DOUBLE) / (ma + mb - inter), 6)
+         |  >= $JaccardThreshold
+         |ORDER BY da, db""".stripMargin,
     "x_edit_distance" ->
       s"""WITH $toksCte, $shCte, $shfCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),

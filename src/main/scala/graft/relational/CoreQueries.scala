@@ -202,6 +202,107 @@ object CoreQueries {
         .orderBy("op", "k")
     }),
 
+    // X10b: multiset set ops — EXCEPT ALL / INTERSECT ALL keep
+    // MULTIPLICITY (a customer with 3 F-orders and 1 O-order survives
+    // EXCEPT ALL twice), the semantics dedup audits need when row counts
+    // matter; output re-aggregated per key so the result is order-free.
+    "x_setops_all" -> ((s, dir) => {
+      val f = Tables.orders(s, dir).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      val o = Tables.orders(s, dir).where(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"))
+      f.exceptAll(o).groupBy("k").agg(count(lit(1)).as("cnt"))
+        .withColumn("op", lit("f_minus_o_all"))
+        .unionByName(f.intersectAll(o).groupBy("k")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("op", lit("f_intersect_o_all")))
+        .select("op", "k", "cnt")
+        .orderBy("op", "k")
+    }),
+
+    // X10c: total-order presentation — ORDER BY with explicit NULLS FIRST
+    // + OFFSET/LIMIT pagination. A global sort is inherent to the
+    // semantics, but LIMIT+OFFSET push a TakeOrdered(offset+limit) into
+    // the shuffle — no full-result materialization.
+    "x_order_offset" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("pri"),
+          col("o_totalprice"))
+        .orderBy(col("pri").asc_nulls_first, col("o_orderkey").asc)
+        .offset(10).limit(10)),
+
+    // X3f: theta join — equality conjunct + inequality RESIDUAL. The
+    // planner must keep the equi-hash join and evaluate the inequality as
+    // a post-join filter (asserted in EngineSpec): only the equality key
+    // shuffles, so the join stays hash-partitioned at any scale — the
+    // trap is writing it as pure inequality and silently getting a
+    // nested-loop cross product (the X60/X60b territory).
+    "x_join_theta" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey") &&
+          col("o_totalprice") > col("c_acctbal") * lit(20.0))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+            .as("sum_cents"))
+        .orderBy("segment")
+    }),
+
+    // X13c: higher-order array functions — transform / filter / aggregate
+    // / zip_with / exists / forall, all evaluated INSIDE codegen per row
+    // (no explode-regroup round trip, no UDF): the per-order line arrays
+    // are built once with a deterministic (l_linenumber) order, then every
+    // derived column is a lambda over them.
+    "x_hof" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+      li.groupBy("l_orderkey")
+        .agg(array_sort(collect_list(struct(col("l_linenumber"),
+          col("cents"), col("qty")))).as("ls"))
+        .select(col("l_orderkey"),
+          expr("transform(ls, x -> x.cents)").as("prices"),
+          expr("transform(ls, x -> x.qty)").as("qtys"))
+        .select(col("l_orderkey"),
+          size(col("prices")).cast("long").as("n_items"),
+          expr("aggregate(prices, 0L, (acc, x) -> acc + x)").as("total_cents"),
+          expr("CAST(size(filter(prices, x -> x > 5000000)) AS BIGINT)").as("n_big"),
+          expr("exists(prices, x -> x > 5000000)").as("any_big"),
+          expr("forall(prices, x -> x > 0)").as("all_pos"),
+          expr("zip_with(prices, qtys, (p, q) -> p * q)").as("amounts"))
+        .where(col("l_orderkey") <= 3000)
+        .orderBy("l_orderkey")
+    }),
+
+    // X6d: grouping_id — disambiguates "NULL because rolled up" from "NULL
+    // in the data" in cube/rollup outputs; the bitmask is the standard BI
+    // contract for super-aggregate rows.
+    "x_grouping_id" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("gid"), col("n"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)),
+
+    // X11c: regex extraction — regexp_extract_all into arrays + per-row
+    // match counts. Explicit character classes ONLY (the X44 lesson: Java
+    // regex and RE2 agree on explicit classes; shorthand like \w diverges
+    // on unicode defaults).
+    "x_regex_extract" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
+        expr("regexp_extract_all(p_type, '[A-Z]+', 0)").as("upper_runs"),
+        expr("CAST(size(regexp_extract_all(p_brand, '[0-9]', 0)) AS BIGINT)")
+          .as("n_digits"),
+        regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_upper"))
+        .orderBy("p_partkey")),
+
     // X11: scalar string/math functions (all codegen'd builtins).
     "x_scalar_fns" -> ((s, dir) =>
       Tables.part(s, dir).select(
@@ -1018,6 +1119,61 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'o_only' AS op, k FROM (SELECT k FROM o EXCEPT SELECT k FROM f)
         |ORDER BY op, k""".stripMargin,
+    "x_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS LAST,
+        |  o_orderpriority ASC NULLS LAST""".stripMargin,
+    "x_regex_extract" ->
+      """SELECT p_partkey,
+        |  regexp_extract_all(p_name, '[a-z]+') AS words,
+        |  regexp_extract_all(p_type, '[A-Z]+') AS upper_runs,
+        |  CAST(len(regexp_extract_all(p_brand, '[0-9]')) AS BIGINT) AS n_digits,
+        |  coalesce(regexp_extract(p_type, '([A-Z]+)', 1), '') AS first_upper
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x_setops_all" ->
+      """WITH f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |     o AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+        |SELECT 'f_minus_o_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT k FROM f EXCEPT ALL SELECT k FROM o) GROUP BY k
+        |UNION ALL
+        |SELECT 'f_intersect_o_all' AS op, k, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT k FROM f INTERSECT ALL SELECT k FROM o) GROUP BY k
+        |ORDER BY op, k""".stripMargin,
+    "x_order_offset" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS pri,
+        |  o_totalprice
+        |FROM orders
+        |ORDER BY pri ASC NULLS FIRST, o_orderkey ASC
+        |LIMIT 10 OFFSET 10""".stripMargin,
+    "x_join_theta" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM customer JOIN orders
+        |  ON c_custkey = o_custkey AND o_totalprice > c_acctbal * 20.0
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+    "x_hof" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |arrs AS (SELECT l_orderkey,
+        |    list(cents ORDER BY l_linenumber, cents, qty) AS prices,
+        |    list(qty ORDER BY l_linenumber, cents, qty) AS qtys
+        |  FROM li GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(prices) AS BIGINT) AS n_items,
+        |  CAST(list_reduce(prices, (acc, x) -> acc + x) AS BIGINT) AS total_cents,
+        |  CAST(len(list_filter(prices, x -> x > 5000000)) AS BIGINT) AS n_big,
+        |  len(list_filter(prices, x -> x > 5000000)) > 0 AS any_big,
+        |  len(list_filter(prices, x -> x > 0)) = len(prices) AS all_pos,
+        |  list_transform(generate_series(1, CAST(len(prices) AS INT)),
+        |    i -> prices[i] * qtys[i]) AS amounts
+        |FROM arrs WHERE l_orderkey <= 3000
+        |ORDER BY l_orderkey""".stripMargin,
     "x_scalar_fns" ->
       """SELECT p_partkey,
         |  lower(p_name) AS name_lower,

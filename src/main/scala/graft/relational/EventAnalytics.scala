@@ -441,7 +441,33 @@ object EventAnalytics {
       .orderBy("user_id", "d")
   }
 
+  /** X100: OHLC resampling — irregular event values downsampled to 5-minute
+    * open/high/low/close/volume bars per event type, the canonical
+    * time-series summarization. Open/close are `min_by`/`max_by` on a
+    * composite integer order key (epoch_seconds·10⁷ + event_id — unique, so
+    * the argmin is deterministic; a bare-timestamp argmin would be
+    * tie-nondeterministic and could never hash-match). ONE partial-first
+    * aggregation: min_by/max_by carry (key, value) partials map-side, so a
+    * 100 TB stream reduces to #bars rows with no window sort — the window
+    * formulation would sort every bar's rows on a reducer. */
+  private def ohlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("(unix_timestamp(ts) div 300) * 300").as("bar_epoch"),
+        (unix_timestamp(col("ts")) * 10000000L + col("event_id")).as("okey"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "bar_epoch")
+      .agg(min_by(col("cents"), col("okey")).as("open_cents"),
+        max("cents").as("high_cents"), min("cents").as("low_cents"),
+        max_by(col("cents"), col("okey")).as("close_cents"),
+        count(lit(1)).as("n_trades"))
+      .select(col("event_type"), to_timestamp(col("bar_epoch")).as("bar_ts"),
+        col("open_cents"), col("high_cents"), col("low_cents"),
+        col("close_cents"), col("n_trades"))
+      .orderBy("event_type", "bar_ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ohlc" -> ((s, dir) => ohlc(s, dir)),
     "x_interpolate" -> ((s, dir) => interpolate(s, dir)),
     "x_drift" -> ((s, dir) => drift(s, dir)),
     "x_twap" -> ((s, dir) => twap(s, dir)),
@@ -501,6 +527,20 @@ object EventAnalytics {
         |  CAST(cb * 1000000 // tb AS BIGINT) AS share_b_e6,
         |  abs(CAST(ca * 1000000 // ta AS BIGINT) - CAST(cb * 1000000 // tb AS BIGINT)) AS drift_e6
         |FROM c, t ORDER BY event_type""".stripMargin,
+    "x_ohlc" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+        |    event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |keyed AS (SELECT event_type, (es // 300) * 300 AS bar_epoch,
+        |    es * 10000000 + event_id AS okey, cents FROM ev)
+        |SELECT event_type, make_timestamp(bar_epoch * 1000000) AS bar_ts,
+        |  arg_min(cents, okey) AS open_cents,
+        |  max(cents) AS high_cents, min(cents) AS low_cents,
+        |  arg_max(cents, okey) AS close_cents,
+        |  CAST(count(*) AS BIGINT) AS n_trades
+        |FROM keyed GROUP BY event_type, bar_epoch
+        |ORDER BY event_type, bar_ts""".stripMargin,
     "x_twap" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
         |    event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents

@@ -283,7 +283,76 @@ object StatsOps {
         expr("max_size * n_keys * 1000000 div total_rows").as("skew_e6"))
   }
 
+  /** X98: MAD (median absolute deviation) outlier screen — the robust
+    * dispersion measure that, unlike stddev, a single corrupt value cannot
+    * inflate (breakdown point 50% vs 0%). Per group: nearest-rank median
+    * (ceil-index rule, X83's exact integer convention), then the median of
+    * |v − med|, then the outlier count at the 3·MAD fence — every
+    * comparison in integer cents, so both engines agree row-for-row. Two
+    * per-group windows; same bounded-group-count caveat as X83, with the
+    * X75 KLL sketch as the huge-group path. */
+  private def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag").as("flag"),
+      expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("flag").orderBy("cents")
+    val med = li
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("flag")))
+      .groupBy("flag").agg(
+        max("n").as("n"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents")))
+          .as("med_cents"))
+    val dev = li.join(med, "flag")
+      .select(col("flag"), col("cents"), col("n"), col("med_cents"),
+        abs(col("cents") - col("med_cents")).as("adev"))
+    val wd = Window.partitionBy("flag").orderBy("adev")
+    val mad = dev
+      .withColumn("rn", row_number().over(wd).cast("long"))
+      .groupBy("flag").agg(
+        max("n").as("n"), max("med_cents").as("med_cents"),
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("adev")))
+          .as("mad_cents"))
+    dev.select(col("flag"), col("adev")).join(mad, "flag")
+      .groupBy("flag")
+      .agg(max("n").as("n"), max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("adev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("flag")
+  }
+
+  /** X99: z-score standardization (feature scaling) with the X78 exactness
+    * argument: μ and σ come from BIGINT/DECIMAL(38,0) sufficient statistics
+    * (aggregation-order-independent), and the per-row z is a FIXED sequence
+    * of correctly-rounded IEEE steps on identical integer inputs — so
+    * floor(z·10⁴) is engine-exact, where a float-accumulated avg/stddev
+    * would differ run-to-run, let alone engine-to-engine. The one-row
+    * per-group stats broadcast back onto the stream: standardization of a
+    * 100 TB column is one partial-first aggregation + one projection. */
+  private def zscore(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority").as("pri"),
+      expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val stats = o.groupBy("pri").agg(
+      count(lit(1)).as("n"), sum("cents").as("s"),
+      sum(col("cents").cast("decimal(38,0)") * col("cents")).as("ssq"))
+    o.join(broadcast(stats), "pri")
+      .select(col("o_orderkey"), col("pri"),
+        // num = n·Σv² − (Σv)² stays EXACT in DECIMAL(38,0); every double op
+        // after the cast is one correctly-rounded IEEE step (see scaladoc)
+        expr("""CAST(floor(
+          (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ssq - CAST(s AS DECIMAL(38,0)) * s
+                      AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+          * 10000.0) AS BIGINT)""").as("z_e4"))
+      .where(col("o_orderkey") <= 1000)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mad" -> ((s, dir) => madOutliers(s, dir)),
+    "x_zscore" -> ((s, dir) => zscore(s, dir)),
     "x_skew_report" -> ((s, dir) => skewReport(s, dir)),
     "x_kll_bands" -> ((s, dir) => kllBands(s, dir)),
     "x_kmv_jaccard" -> ((s, dir) => kmvJaccard(s, dir)),
@@ -296,6 +365,50 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_mad" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |ranked AS (SELECT flag, cents,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+        |  FROM li),
+        |med AS (SELECT flag, max(n) AS n,
+        |    max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS med_cents
+        |  FROM ranked GROUP BY flag),
+        |dev AS (SELECT li.flag, med.n, med.med_cents,
+        |    abs(cents - med_cents) AS adev
+        |  FROM li JOIN med USING (flag)),
+        |devranked AS (SELECT flag, n, med_cents, adev,
+        |    CAST(row_number() OVER (PARTITION BY flag ORDER BY adev) AS BIGINT) AS rn
+        |  FROM dev),
+        |mad AS (SELECT flag, max(n) AS n, max(med_cents) AS med_cents,
+        |    max(CASE WHEN rn = (n * 50 + 99) // 100 THEN adev END) AS mad_cents
+        |  FROM devranked GROUP BY flag)
+        |SELECT d.flag, max(m.n) AS n, max(m.med_cents) AS med_cents,
+        |  max(m.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.adev > 3 * m.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad m ON d.flag = m.flag
+        |GROUP BY d.flag ORDER BY d.flag""".stripMargin,
+    "x_zscore" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |stats AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    sum(CAST(cents AS HUGEINT) * cents) AS ssq
+        |  FROM o GROUP BY pri)
+        |SELECT o_orderkey, pri,
+        |  CAST(floor(
+        |    (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s
+        |                AS DOUBLE)
+        |           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |    * 10000.0) AS BIGINT) AS z_e4
+        |FROM o JOIN stats USING (pri)
+        |WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "x_skew_report" ->
       """WITH counts AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
         |  FROM lineitem GROUP BY 1),

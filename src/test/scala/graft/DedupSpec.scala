@@ -56,6 +56,20 @@ class DedupSpec extends SparkSpec with Matchers {
     loose.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
   }
 
+  test("prefix-filter join equals the unbounded inverted-index join") {
+    // with no df cutoff, nearDuplicates' rare-shingle-space Jaccard IS full
+    // Jaccard and its candidate generator is complete — so the prefix
+    // filter (a complete generator by the prefix theorem) must produce the
+    // identical pair set and scores on real corpus data
+    val d = graft.model.Tables.documents(spark, sf0001)
+    val full = Dedup.nearDuplicates(d, 0.5, maxDf = Int.MaxValue)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val pfx = Dedup.prefixFilterNearDuplicates(d, 0.5)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    pfx shouldBe full
+    pfx should not be empty
+  }
+
   test("minhash signatures are identical for identical shingle sets") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
     val sig = Dedup.minhashSignatures(d)

@@ -19,6 +19,16 @@ class EngineSpec extends SparkSpec with Matchers {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("theta join plans as an equi-hash join with the inequality residual") {
+    // X3f: the equality conjunct must drive the join; the inequality rides
+    // as a post-join condition. A nested-loop/cartesian plan here would be
+    // the quadratic trap the key exists to document.
+    val plan = relational.CoreQueries.queries("x_join_theta")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
   test("upsert merge keeps the newest version per key and inserts unmatched keys") {
     val target = Seq((1L, "old", Timestamp.valueOf("2024-01-01 00:00:00")),
       (2L, "keep", Timestamp.valueOf("2024-01-05 00:00:00")))
