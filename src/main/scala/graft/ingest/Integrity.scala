@@ -76,6 +76,35 @@ object Integrity {
       .orderBy("change_type")
   }
 
+  /** X105: CDC change-data feed — the ROW-LEVEL companion of
+    * [[snapshotDiff]]'s summary: full-outer join of two snapshots on the
+    * key emits (op, key, before, after) for every insert/update/delete,
+    * the Change Data Feed contract downstream incremental consumers
+    * (X20 merge, X72 view maintenance) replay. Unchanged rows never enter
+    * the feed; only keys + two integer images shuffle, independent of row
+    * width (hash-compare first at scale — X62 — then fetch images for the
+    * changed minority). */
+  private def cdcFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val v1 = base.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("cents").as("before_cents"))
+    val v2 = base.where(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("after_cents"))
+    v1.join(v2, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("before_cents").isNull, "insert")
+          .when(col("after_cents").isNull, "delete")
+          .when(col("before_cents") =!= col("after_cents"), "update"))
+      .where(col("op").isNotNull)
+      .select(col("op"), col("o_orderkey"), col("before_cents"),
+        col("after_cents"))
+      .orderBy("op", "o_orderkey")
+  }
+
   /** Targeted delete (GDPR erasure shape) verified by content checksum:
     * a deletion-vector relation anti-joins the table, and the surviving
     * rows' checksum must equal the oracle's independent computation — the
@@ -93,6 +122,7 @@ object Integrity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cdc_feed" -> ((s, dir) => cdcFeed(s, dir)),
     "x_checksum" -> ((s, dir) => tableChecksum(s, dir)),
     "x_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "x_targeted_delete" -> ((s, dir) => targetedDelete(s, dir)))
@@ -100,6 +130,25 @@ object Integrity {
   private val hashSql = StableHash.md5Prefix60Sql(canonSql("o_totalprice"))
 
   val oracles: Map[String, String] = Map(
+    "x_cdc_feed" ->
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT o_orderkey, cents AS before_cents FROM base
+        |  WHERE o_orderkey % 7 <> 0),
+        |v2 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END
+        |      AS after_cents
+        |  FROM base WHERE o_orderkey % 11 <> 0),
+        |feed AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |    before_cents, after_cents,
+        |    CASE WHEN before_cents IS NULL THEN 'insert'
+        |         WHEN after_cents IS NULL THEN 'delete'
+        |         WHEN before_cents <> after_cents THEN 'update' END AS op
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey)
+        |SELECT op, o_orderkey, before_cents, after_cents
+        |FROM feed WHERE op IS NOT NULL
+        |ORDER BY op, o_orderkey""".stripMargin,
     "x_checksum" ->
       s"""WITH h AS (SELECT o_orderstatus, $hashSql AS h FROM orders)
          |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,

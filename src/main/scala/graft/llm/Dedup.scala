@@ -229,9 +229,11 @@ object Dedup {
           .partitionBy("doc_id").orderBy("df", "sid")).cast("long"))
       .withColumn("m", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    // cached: feeds BOTH sides of the candidate self-join — without it the
+    // explode → df-join → double-window chain executes twice
     val pfx = ranked
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select("doc_id", "sid", "m")
+      .select("doc_id", "sid", "m").cache()
     val cands = pfx.as("a").join(pfx.as("b"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.m"), col("b.m")).cast("double") >=
@@ -329,8 +331,15 @@ object Dedup {
     * parallelism; pass an explicit small value when the graph is known to
     * be tiny (the bench key uses 8 for the testdata slice).
     */
+  /** @param truncateEvery if > 0, `localCheckpoint` the label relation
+    *   every N double-step iterations: each iteration's plan otherwise
+    *   nests the previous one's (caches shortcut EXECUTION, not the
+    *   LINEAGE), so a deep convergence run grows an O(iterations)-deep
+    *   plan — analyzer time per action creeps, and recovery of a lost
+    *   cached partition would replay the whole chain. Truncation caps plan
+    *   depth at the checkpoint cadence; results are identical (spec). */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-      graphPartitions: Int = 0): DataFrame = {
+      graphPartitions: Int = 0, truncateEvery: Int = 0): DataFrame = {
     val parts = if (graphPartitions > 0) graphPartitions
       else pairs.sparkSession.sparkContext.defaultParallelism
     // undirected edges, both directions — tiny relative to the corpus
@@ -382,6 +391,9 @@ object Dedup {
       cachedGen = updated
       labels = updated.select(col("node"), col("label"))
       iter += 1
+      if (truncateEvery > 0 && iter % truncateEvery == 0)
+        // eager: materializes before the old lineage (and caches) vanish
+        labels = labels.localCheckpoint(true)
     }
     // a silent partial result would be wrong cluster assignments — fail
     // loudly instead (deep chains need a larger maxIter)

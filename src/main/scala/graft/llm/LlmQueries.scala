@@ -71,6 +71,15 @@ object LlmQueries {
     "x_dedup_prefix" -> ((s, dir) =>
       Dedup.prefixFilterNearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
 
+    // X102: the BPE statistics pass — adjacent character-pair counts over
+    // the distinct-word table, weighted by word frequency (the merge LOOP
+    // is spec-checked; its argmax input is exactly this relation)
+    "x_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(
+        TextAnalysis.wordSymbolTable(Tables.documents(s, dir)))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(20)),
+
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
 
@@ -235,7 +244,10 @@ object LlmQueries {
       Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
     "x_frame_sample" -> ((s, dir) =>
-      Multimodal.frameSample(Tables.documents(s, dir)))
+      Multimodal.frameSample(Tables.documents(s, dir))),
+
+    "x_audio_frames" -> ((s, dir) =>
+      Multimodal.audioFrames(Tables.documents(s, dir)))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -430,6 +442,17 @@ object LlmQueries {
          |  FROM pairs)
          |SELECT da, db, jaccard FROM scored
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
+    "x_bpe_pairs" ->
+      """WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pairs AS (SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b,
+        |    freq
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) s
+        |  WHERE length(w) >= 2)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY a, b
+        |ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin,
     "x_dedup_prefix" ->
       s"""WITH $toksCte, $shCte,
          |ids AS (SELECT DISTINCT doc_id, ${hashIdSql("s")} AS sid FROM sh),
@@ -824,6 +847,22 @@ object LlmQueries {
         |    list_transform(range(0, CAST(n_frames AS BIGINT), 4),
         |      i -> substring(md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)), 1, 8)), ',')
         |  ELSE '' END AS fp_csv
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // octet_length of the UTF-8 payload; frames = 1 + (n-80)//40 when the
+    // payload holds at least one full 80-sample frame
+    "x_audio_frames" ->
+      """WITH a AS (SELECT doc_id,
+        |    CAST(strlen(text) // 2 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |f AS (SELECT doc_id, n_samples,
+        |    CASE WHEN n_samples >= 80
+        |         THEN 1 + (n_samples - 80) // 40 ELSE 0 END AS n_frames
+        |  FROM a)
+        |SELECT doc_id, n_samples, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CASE WHEN n_frames > 0 THEN
+        |    list_transform(generate_series(0, CAST(least(n_frames - 1, 4) AS BIGINT)),
+        |      i -> i * 40)
+        |  ELSE [] END AS first_offsets
         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

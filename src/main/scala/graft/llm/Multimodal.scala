@@ -54,6 +54,31 @@ object Multimodal {
     * byte ranges; character frames keep the differential oracle exact for
     * multi-byte text payloads) and the whole thing is per-row column
     * expressions — no shuffle, no UDF. */
+  /** X107: audio framing — the ASR-preprocessing shape: a PCM payload of
+    * `n = octet_length div 2` 16-bit samples yields overlapping analysis
+    * frames of `frameLen` samples at `stride` hop (the 25 ms / 10 ms
+    * convention); n_frames = 1 + (n − frameLen) div stride for n ≥
+    * frameLen, else 0. Pure integer projections + a bounded `sequence`
+    * generator for the first offsets — the metadata/windowing half of an
+    * audio pipeline is engine-exact even while the codec itself stays a
+    * stub (this container has no audio libs; a real PCM decoder drops into
+    * [[decodeStub]]'s slot unchanged). */
+  def audioFrames(docs: DataFrame, frameLen: Int = 80, stride: Int = 40): DataFrame = {
+    docs.select(
+      col("doc_id"),
+      expr("CAST(octet_length(CAST(text AS BINARY)) div 2 AS BIGINT)")
+        .as("n_samples"))
+      .withColumn("n_frames",
+        when(col("n_samples") >= frameLen,
+          expr(s"1 + (n_samples - $frameLen) div $stride")).otherwise(0L))
+      .withColumn("first_offsets",
+        when(col("n_frames") > 0,
+          expr(s"transform(sequence(0, CAST(least(n_frames - 1, 4) AS BIGINT)), " +
+            s"i -> i * ${stride}L)"))
+          .otherwise(array().cast("array<long>")))
+      .orderBy("doc_id")
+  }
+
   def frameSample(docs: DataFrame, frameChars: Int = 64, stride: Int = 4): DataFrame = {
     val nf = floor((length(col("text")) + frameChars - 1) / frameChars).cast("int")
     docs.select(

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines over the `documents`
   * table: tokenization, per-document stats, stopword-based language ID,
@@ -334,5 +335,83 @@ object TextAnalysis {
       when(size(hashes) > 0, array_max(hashes)).as("fp_max"),
       size(array_distinct(hashes)).as("n_windows"))
       .orderBy("doc_id")
+  }
+
+  /** Per-word frequency table + character-symbol sequences — the BPE
+    * working set. One aggregation over the token explode; every later BPE
+    * pass works on the DISTINCT-WORD table (vocabulary-sized, corpus-size-
+    * independent) with counts as weights — the standard trick that makes
+    * BPE training tractable: merging "t h e" once per distinct word, not
+    * once per 10¹¹ occurrences. */
+  def wordSymbolTable(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+
+  /** Adjacent-symbol pair counts weighted by word frequency — one BPE
+    * statistics pass (generator projection + one partial-first
+    * aggregation; no position self-join). */
+  def bpePairCounts(words: DataFrame): DataFrame =
+    words
+      // sequence(1, 0) DESCENDS in Spark — single-symbol words must be
+      // filtered before the generator, not by it
+      .where(size(col("syms")) >= 2)
+      .select(col("freq"), col("syms"),
+        explode(expr("sequence(1, size(syms) - 1)")).as("i"))
+      .select(expr("element_at(syms, i)").as("a"),
+        expr("element_at(syms, CAST(i + 1 AS INT))").as("b"), col("freq"))
+      .groupBy("a", "b").agg(sum("freq").as("cnt"))
+
+  /** X102: BPE merge training (Sennrich et al., ACL'16) — `numMerges`
+    * iterations of: count adjacent symbol pairs (distributed, weighted by
+    * word freq), pick the most frequent (deterministic tie-break
+    * cnt DESC, a, b), and apply the merge GREEDY LEFT-TO-RIGHT to every
+    * symbol sequence. The driver holds only the chosen (a, b) per
+    * iteration — a scalar per merge, control plane like X69's file list;
+    * sequences never leave the cluster. The greedy application is a pure
+    * `aggregate` lambda (struct accumulator carrying the pending symbol),
+    * so overlapping occurrences collapse exactly like the reference
+    * algorithm ("aaa" + merge(a,a) → ["aa","a"], not ["aa","aa"]). */
+  def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
+    var words = wordSymbolTable(docs).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (0 until numMerges).foreach { _ =>
+      val top = bpePairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val prev = words
+        words = prev.withColumn("syms",
+          applyMerge(col("syms"), a, b)).cache()
+        words.count() // materialize before unpersisting the parent
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Greedy left-to-right application of one BPE merge to a symbol-array
+    * column, as a typed `aggregate` lambda (codegen-able, no UDF, no
+    * string-interpolated SQL — symbols ride as Column literals). */
+  def applyMerge(syms: Column, a: String, b: String): Column = {
+    val empty = array().cast("array<string>")
+    val noPend = lit(null).cast("string")
+    aggregate(
+      syms,
+      struct(empty.as("acc"), noPend.as("pend")),
+      (s, x) => {
+        val acc = s.getField("acc"); val pend = s.getField("pend")
+        when(pend.isNull, struct(acc.as("acc"), x.as("pend")))
+          .when(pend === lit(a) && x === lit(b),
+            struct(array_append(acc, lit(a + b)).as("acc"), noPend.as("pend")))
+          .otherwise(struct(array_append(acc, pend).as("acc"), x.as("pend")))
+      },
+      s => when(s.getField("pend").isNull, s.getField("acc"))
+        .otherwise(array_append(s.getField("acc"), s.getField("pend"))))
   }
 }

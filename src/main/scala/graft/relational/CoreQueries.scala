@@ -277,6 +277,22 @@ object CoreQueries {
         .orderBy("l_orderkey")
     }),
 
+    // X11d: try_* error-safe functions — NULL instead of job-killing
+    // exceptions for division by zero, integer overflow, and bad casts:
+    // the ANSI-safe posture a 100 TB batch needs (one corrupt row must not
+    // kill a 6-hour job; the NULLs are then countable as a DQ metric, X80).
+    "x_try_fns" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          expr("try_divide(o_totalprice, CAST(o_orderkey % 10 AS DOUBLE))")
+            .as("div_or_null"),
+          expr("try_add(o_orderkey, 9223372036854775797L)").as("add_or_null"),
+          expr("try_cast(o_orderpriority AS INT)").as("cast_or_null"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("pri_digit"))
+        .where(col("o_orderkey") <= 1000)
+        .orderBy("o_orderkey")),
+
     // X6d: grouping_id — disambiguates "NULL because rolled up" from "NULL
     // in the data" in cube/rollup outputs; the bitmask is the standard BI
     // contract for super-aggregate rows.
@@ -1119,6 +1135,17 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'o_only' AS op, k FROM (SELECT k FROM o EXCEPT SELECT k FROM f)
         |ORDER BY op, k""".stripMargin,
+    "x_try_fns" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN NULL
+        |       ELSE o_totalprice / CAST(o_orderkey % 10 AS DOUBLE) END
+        |    AS div_or_null,
+        |  CASE WHEN o_orderkey > 10 THEN NULL
+        |       ELSE o_orderkey + 9223372036854775797 END AS add_or_null,
+        |  try_cast(o_orderpriority AS INT) AS cast_or_null,
+        |  try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin,
     "x_grouping_id" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

@@ -350,7 +350,38 @@ object StatsOps {
       .orderBy("o_orderkey")
   }
 
+  /** X106: null imputation with the per-group nearest-rank median — the
+    * cleaning step between X80's detection and model input: NULLs (here
+    * synthesized deterministically so the oracle sees the same holes) are
+    * filled with their group's exact median of OBSERVED values. Group
+    * medians are one windowed pass over non-null rows (X83/X98 rule);
+    * broadcast-back + coalesce is a projection — imputing a 100 TB column
+    * never rescans it. The imputed flag stays queryable (imputation must be
+    * auditable, not silent). */
+  private def imputeMedian(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority").as("pri"),
+      when(col("o_orderkey") % 13 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"))
+        .as("cents"))
+    val obs = o.where(col("cents").isNotNull)
+    val w = Window.partitionBy("pri").orderBy("cents")
+    val med = obs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+      .groupBy("pri").agg(
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("cents")))
+          .as("med_cents"))
+    o.join(broadcast(med), "pri")
+      .select(col("o_orderkey"), col("pri"),
+        col("cents").isNull.as("was_null"),
+        coalesce(col("cents"), col("med_cents")).as("imputed_cents"))
+      .where(col("o_orderkey") <= 1500)
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_impute" -> ((s, dir) => imputeMedian(s, dir)),
     "x_mad" -> ((s, dir) => madOutliers(s, dir)),
     "x_zscore" -> ((s, dir) => zscore(s, dir)),
     "x_skew_report" -> ((s, dir) => skewReport(s, dir)),
@@ -365,6 +396,23 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_impute" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+        |         ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END
+        |      AS cents
+        |  FROM orders),
+        |obs AS (SELECT pri, cents,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY cents) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+        |  FROM o WHERE cents IS NOT NULL),
+        |med AS (SELECT pri,
+        |    max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS med_cents
+        |  FROM obs GROUP BY pri)
+        |SELECT o_orderkey, pri, cents IS NULL AS was_null,
+        |  coalesce(cents, med_cents) AS imputed_cents
+        |FROM o JOIN med USING (pri)
+        |WHERE o_orderkey <= 1500 ORDER BY o_orderkey""".stripMargin,
     "x_mad" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents

@@ -58,6 +58,19 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "event_type")
 
+  /** Streaming dedup with GUARANTEED bounded state (SPARK-42931): unlike
+    * [[dedup]], whose per-key state lives forever for keys that keep
+    * recurring, `dropDuplicatesWithinWatermark` evicts a key's state once
+    * the watermark passes its event time + delay — so state is bounded by
+    * the horizon's key arrival rate even when TOTAL key cardinality is
+    * unbounded (the 100 TB/day contract). Trade-off, spec-pinned: a key
+    * recurring AFTER the horizon is emitted again — dedup-within-horizon,
+    * not dedup-ever. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Watermarked stream-stream inner join: each click joined to the same
     * user's purchases in the following 10 minutes. Both sides carry
     * watermarks and the join condition bounds event time on both ends, so

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
@@ -124,6 +126,37 @@ class BucketingSpec extends SparkSpec with Matchers {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("parquet bloom filters land in the file footer and answer membership") {
+    // X103: point-lookup data skipping BELOW row-group min/max — a bloom
+    // filter per column chunk lets the scan skip row groups whose range
+    // admits the key but whose content lacks it (high-cardinality ids where
+    // min/max prunes nothing). Write-side option; verified by reading the
+    // footer back with the parquet API, not by trusting the option.
+    val dir = graft.ingest.Sinks.tempDir("bloomtest")
+    graft.model.Tables.orders(spark, sf0001)
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#o_orderkey", "20000")
+      .parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "o_orderkey").get
+      colMeta.getBloomFilterOffset should be > 0L
+      val bloom = reader.getBloomFilterDataReader(rg).readBloomFilter(colMeta)
+      bloom should not be null
+      // a present key must hit (bloom filters have no false negatives)
+      val hash = bloom.hash(java.lang.Long.valueOf(1L))
+      bloom.findHash(hash) shouldBe true
+    } finally reader.close()
   }
 
   test("salted aggregation equals the plain aggregation") {

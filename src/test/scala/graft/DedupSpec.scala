@@ -70,6 +70,18 @@ class DedupSpec extends SparkSpec with Matchers {
     pfx should not be empty
   }
 
+  test("cluster assignment is identical with lineage truncation enabled") {
+    val d = graft.model.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 500)
+    def clusters(trunc: Int) = Dedup.duplicateClusters(
+        Dedup.nearDuplicatePairs(d, 0.5), graphPartitions = 4,
+        truncateEvery = trunc)
+      .as[(Long, Long)].collect().toSet
+    val plain = clusters(0)
+    clusters(1) shouldBe plain
+    plain should not be empty
+  }
+
   test("minhash signatures are identical for identical shingle sets") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "p q r s t")
     val sig = Dedup.minhashSignatures(d)

@@ -60,6 +60,25 @@ class EngineSpec extends SparkSpec with Matchers {
     got shouldBe Map(1L -> "en", 2L -> "es", 3L -> "zh")
   }
 
+  test("bpe: greedy merge collapses overlaps left-to-right") {
+    // "aaa" + merge(a,a) must give [aa, a] — the overlap rule that
+    // distinguishes BPE's greedy scan from naive pair replacement
+    val d = Seq("aaa").toDF("w")
+      .select(TextAnalysis.applyMerge(
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        "a", "a").as("m"))
+    d.as[Seq[String]].collect().head shouldBe Seq("aa", "a")
+  }
+
+  test("bpe training learns the hand-computed merge sequence") {
+    // corpus: aaab ×3, ab ×1. iter1: (a,a)=6 wins; iter2: (a,b)=4;
+    // iter3: (aa,ab)=3 — the textbook frequency-argmax chain
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    TextAnalysis.bpeTrain(docs, 3) shouldBe
+      Seq(("a", "a"), ("a", "b"), ("aa", "ab"))
+  }
+
   test("multimodal decode stub: bytes length, first byte, checksum") {
     val f = Multimodal.decodeStub(Multimodal.MediaRow(5L, "abc".getBytes("UTF-8")))
     f shouldBe Multimodal.MediaFeatures(5L, 3, 97, (97 + 98 + 99) % 1000003L)

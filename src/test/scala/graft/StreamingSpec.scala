@@ -77,6 +77,31 @@ class StreamingSpec extends SparkSpec with Matchers {
     spark.table("dedup_test").count() shouldBe batchKeys
   }
 
+  test("dedup within watermark: dups inside the horizon drop, a recurrence beyond it re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val src = MemoryStream[(Long, Timestamp)]
+    val deduped = graft.streaming.EventStream.dedupWithinWatermark(
+      src.toDF().toDF("id", "ts"), Seq("id"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddww_test").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    // batch 1: id=1 twice within the horizon (one survives), id=2 once
+    src.addData((1L, t("2024-01-01 10:00:00")), (1L, t("2024-01-01 10:05:00")),
+      (2L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // batch 2 advances the watermark past id=1's expiry (10:00 + 10 min)
+    src.addData((99L, t("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    // batch 3: id=1 again — state evicted, so it must RE-emit
+    src.addData((1L, t("2024-01-01 11:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ddww_test").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 2L, 2L -> 1L, 99L -> 1L)
+  }
+
   test("stream-stream click/purchase join equals the batch interval join") {
     val stream = EventStream.clickPurchaseJoin(
       EventStream.read(spark, sf0001), "1 hour")
