@@ -23,6 +23,7 @@ object SparkEntry {
       relational.CoreQueries.queries ++
       relational.EventAnalytics.queries ++
       relational.StatsOps.queries ++
+      relational.RecordLinkage.queries ++
       relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
       llm.TrainingSets.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       relational.CoreQueries.oracles ++
       relational.EventAnalytics.oracles ++
       relational.StatsOps.oracles ++
+      relational.RecordLinkage.oracles ++
       relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
       llm.TrainingSets.oracles ++

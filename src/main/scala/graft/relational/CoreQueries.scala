@@ -766,6 +766,27 @@ object CoreQueries {
         .agg(count(lit(1)).as("n"), sum("user_id").as("user_sum"))
         .orderBy("event_type")),
 
+    // X26e: fixed-size per-group sample as a bounded-memory AGGREGATE —
+    // exactly k rows per group by md5-hash order (deterministic "reservoir":
+    // the X52 k-heap over hash scores), so at most k rows per group per
+    // partition move map-side, where the window formulation sorts each
+    // whole group on a reducer. Hash reduced mod 2^50 so the heap's double
+    // score is integer-EXACT (53-bit mantissa); ties broken by id in both
+    // the aggregate and the oracle.
+    "x_sample_fixed_k" -> ((s, dir) => {
+      val h = graft.functions.StableHash
+        .md5Prefix60(col("o_orderkey").cast("string")) % 1125899906842624L
+      Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"), h.as("hm"))
+        .groupBy("o_orderstatus")
+        .agg(graft.functions.TopKAggregate.topK(
+          -col("hm").cast("double"), col("o_orderkey"), 5).as("tk"))
+        .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("o_orderstatus"), (col("pos") + 1).cast("long").as("rk"),
+          (-col("e.score")).cast("long").as("hm"), col("e.id").as("okey"))
+        .orderBy("o_orderstatus", "rk")
+    }),
+
     // X5d: approximate percentile checked the same way as approx distinct —
     // the estimator's error contract vs the exact interpolated percentile.
     // accuracy=10000 bounds RANK error at 1/accuracy; the 5% VALUE tolerance
@@ -1135,6 +1156,17 @@ object CoreQueries {
         |UNION ALL
         |SELECT 'o_only' AS op, k FROM (SELECT k FROM o EXCEPT SELECT k FROM f)
         |ORDER BY op, k""".stripMargin,
+    "x_sample_fixed_k" ->
+      s"""WITH h AS (SELECT o_orderstatus, o_orderkey,
+         |    ${graft.functions.StableHash.md5Prefix60Sql("CAST(o_orderkey AS VARCHAR)")}
+         |      % 1125899906842624 AS hm
+         |  FROM orders),
+         |r AS (SELECT o_orderstatus, o_orderkey, hm,
+         |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+         |      ORDER BY hm, o_orderkey) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT o_orderstatus, rk, hm, o_orderkey AS okey
+         |FROM r WHERE rk <= 5 ORDER BY o_orderstatus, rk""".stripMargin,
     "x_try_fns" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderkey % 10 = 0 THEN NULL

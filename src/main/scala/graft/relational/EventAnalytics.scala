@@ -466,7 +466,60 @@ object EventAnalytics {
         col("close_cents"), col("n_trades"))
       .orderBy("event_type", "bar_ts")
 
+  /** X110: period-over-period — monthly revenue with absolute and ×10⁶
+    * relative deltas vs the prior month (`lag` over the month series). The
+    * window is a GLOBAL order, which is exactly right here: the windowed
+    * relation is the months table (≤ a few hundred rows after the
+    * partial-first aggregation), not the fact stream — the one-reducer
+    * sort touches metadata-scale data, the X40b caveat does not apply. */
+  private def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(expr("sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))")
+        .as("rev_cents"))
+    monthly
+      .withColumn("prev_cents",
+        lag("rev_cents", 1).over(Window.orderBy("month")))
+      .select(col("month"), col("rev_cents"),
+        (col("rev_cents") - col("prev_cents")).as("delta_cents"),
+        expr("(rev_cents - prev_cents) * 1000000 div prev_cents").as("pop_e6"))
+      .orderBy("month")
+  }
+
+  /** X111: bounded-window EWMA — an 8-tap exponentially-weighted moving
+    * average with decay 1/2, entirely in integers: weights 2⁷…2⁰ over the
+    * last 8 observations, normalized by the sum of PRESENT taps (edges use
+    * fewer). The infinite-memory EWMA recurrence is inherently sequential
+    * (and float-accumulation order-dependent — it could never hash-match);
+    * the bounded FIR form keeps >99% of the mass at depth 8, is one
+    * per-user window of 8 `lag`s, and is engine-exact. */
+  private def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val taps = 8
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"),
+        col("event_id"),
+        expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val lagged = (0 until taps).foldLeft(ev) { (d, i) =>
+      d.withColumn(s"l_$i",
+        if (i == 0) col("cents") else lag("cents", i).over(w))
+    }
+    val num = (0 until taps).map(i =>
+      coalesce(col(s"l_$i") * (1L << (taps - 1 - i)), lit(0L))).reduce(_ + _)
+    val den = (0 until taps).map(i =>
+      when(col(s"l_$i").isNotNull, 1L << (taps - 1 - i)).otherwise(0L))
+      .reduce(_ + _)
+    lagged
+      .withColumn("num", num).withColumn("den", den)
+      .select(col("user_id"), col("tss"), col("event_id"), col("cents"),
+        expr("num div den").as("ewma_cents"))
+      .where(col("user_id") <= 100)
+      .orderBy("user_id", "tss", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pop" -> ((s, dir) => periodOverPeriod(s, dir)),
+    "x_ewma" -> ((s, dir) => ewma(s, dir)),
     "x_ohlc" -> ((s, dir) => ohlc(s, dir)),
     "x_interpolate" -> ((s, dir) => interpolate(s, dir)),
     "x_drift" -> ((s, dir) => drift(s, dir)),
@@ -527,6 +580,47 @@ object EventAnalytics {
         |  CAST(cb * 1000000 // tb AS BIGINT) AS share_b_e6,
         |  abs(CAST(ca * 1000000 // ta AS BIGINT) - CAST(cb * 1000000 // tb AS BIGINT)) AS drift_e6
         |FROM c, t ORDER BY event_type""".stripMargin,
+    "x_pop" ->
+      """WITH monthly AS (SELECT
+        |    CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1),
+        |lagged AS (SELECT month, rev_cents,
+        |    lag(rev_cents, 1) OVER (ORDER BY month) AS prev_cents
+        |  FROM monthly)
+        |SELECT month, rev_cents,
+        |  rev_cents - prev_cents AS delta_cents,
+        |  CAST((rev_cents - prev_cents) * 1000000 // prev_cents AS BIGINT)
+        |    AS pop_e6
+        |FROM lagged ORDER BY month""".stripMargin,
+    "x_ewma" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_id,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |lagged AS (SELECT user_id, tss, event_id, cents,
+        |    lag(cents, 1) OVER w AS l_1, lag(cents, 2) OVER w AS l_2,
+        |    lag(cents, 3) OVER w AS l_3, lag(cents, 4) OVER w AS l_4,
+        |    lag(cents, 5) OVER w AS l_5, lag(cents, 6) OVER w AS l_6,
+        |    lag(cents, 7) OVER w AS l_7
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id))
+        |SELECT user_id, tss, event_id, cents,
+        |  CAST((coalesce(cents * 128, 0) + coalesce(l_1 * 64, 0)
+        |      + coalesce(l_2 * 32, 0) + coalesce(l_3 * 16, 0)
+        |      + coalesce(l_4 * 8, 0) + coalesce(l_5 * 4, 0)
+        |      + coalesce(l_6 * 2, 0) + coalesce(l_7 * 1, 0))
+        |    // (CASE WHEN cents IS NOT NULL THEN 128 ELSE 0 END
+        |      + CASE WHEN l_1 IS NOT NULL THEN 64 ELSE 0 END
+        |      + CASE WHEN l_2 IS NOT NULL THEN 32 ELSE 0 END
+        |      + CASE WHEN l_3 IS NOT NULL THEN 16 ELSE 0 END
+        |      + CASE WHEN l_4 IS NOT NULL THEN 8 ELSE 0 END
+        |      + CASE WHEN l_5 IS NOT NULL THEN 4 ELSE 0 END
+        |      + CASE WHEN l_6 IS NOT NULL THEN 2 ELSE 0 END
+        |      + CASE WHEN l_7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ewma_cents
+        |FROM lagged WHERE user_id <= 100
+        |ORDER BY user_id, tss, event_id""".stripMargin,
     "x_ohlc" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,

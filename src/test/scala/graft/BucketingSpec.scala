@@ -159,6 +159,37 @@ class BucketingSpec extends SparkSpec with Matchers {
     } finally reader.close()
   }
 
+  test("ANALYZE TABLE statistics feed the optimizer's row-count estimates") {
+    // X112: statistics-driven planning (CBO) — table + column stats from
+    // ANALYZE land in the catalog and surface as optimizer row counts; at
+    // scale these drive join reorder and broadcast selection where
+    // file-size heuristics misjudge filtered/compressed relations.
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    val dir = new java.io.File("spark-warehouse/stats_nation")
+    if (dir.exists()) { def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }; rm(dir) }
+    graft.model.Tables.nation(spark, sf0001).write.saveAsTable("stats_nation")
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    val cat = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("stats_nation"))
+    cat.stats shouldBe defined
+    cat.stats.get.rowCount shouldBe Some(BigInt(25))
+    cat.stats.get.colStats.keySet should contain("n_nationkey")
+    withSQLConf("spark.sql.cbo.enabled" -> "true") {
+      val rc = spark.table("stats_nation")
+        .queryExecution.optimizedPlan.stats.rowCount
+      rc shouldBe Some(BigInt(25))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation equals the plain aggregation") {
     val ev = graft.model.Tables.events(spark, sf0001)
     val salted = Skew.saltedSumCount(ev, "event_type", "value", buckets = 16,
