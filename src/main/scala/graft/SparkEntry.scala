@@ -24,6 +24,7 @@ object SparkEntry {
       relational.EventAnalytics.queries ++
       relational.StatsOps.queries ++
       relational.RecordLinkage.queries ++
+      relational.OrderedOps.queries ++
       relational.GraphOps.queries ++
       llm.LlmQueries.queries ++
       llm.TrainingSets.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       relational.EventAnalytics.oracles ++
       relational.StatsOps.oracles ++
       relational.RecordLinkage.oracles ++
+      relational.OrderedOps.oracles ++
       relational.GraphOps.oracles ++
       llm.LlmQueries.oracles ++
       llm.TrainingSets.oracles ++

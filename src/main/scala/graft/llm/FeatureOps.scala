@@ -105,7 +105,33 @@ object FeatureOps {
       .select(col("doc_id") +: LangValues.map(v =>
         coalesce(col(v), lit(0L)).as(s"lang_$v")): _*)
 
+  /** X98: smoothed target encoding (the high-cardinality-categorical
+    * featurizer): enc(seg) = (Σ_seg y + m·ȳ_global) / (n_seg + m), m = 10 —
+    * the Bayesian shrinkage that keeps rare categories from memorizing
+    * their few labels. Exact integers: clearing ȳ = S/N gives
+    * enc_cents = (sum_cents·N + m·S) div ((n+m)·N) — one truncating
+    * division on non-negative operands, engine-identical. Overflow
+    * ceiling: sum_cents·N < 2⁶³ holds to ~10⁸ orders; beyond that divide
+    * the global mean through first (same discipline as BM25 above). Shape:
+    * fact→dim join then ONE partial-first aggregation; the 1-row global is
+    * broadcast — nothing label-wide ever sits on one node. */
+  def targetEncode(orders: DataFrame, customer: DataFrame, m: Int): DataFrame = {
+    val joined = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val global = joined.agg(count(lit(1)).as("gn"), sum("cents").as("gs"))
+    joined.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .crossJoin(broadcast(global))
+      .select(col("segment"), col("n"),
+        expr(s"(s * gn + $m * gs) div ((n + $m) * gn)").as("enc_cents"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_target_encode" -> ((s, dir) =>
+      targetEncode(Tables.orders(s, dir), Tables.customer(s, dir), 10)),
     "x_bm25" -> ((s, dir) =>
       bm25(Tables.documents(s, dir), Seq("dup", "spark", "window"), 20)),
     "x_feature_hash" -> ((s, dir) =>
@@ -116,6 +142,16 @@ object FeatureOps {
       oneHotLang(Tables.documents(s, dir)).orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "x_target_encode" ->
+      """WITH j AS (SELECT c_mktsegment AS segment,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS gn,
+        |    CAST(sum(cents) AS BIGINT) AS gs FROM j)
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((sum(cents) * gn + 10 * gs) // ((count(*) + 10) * gn) AS BIGINT)
+        |    AS enc_cents
+        |FROM j, g GROUP BY segment, gn, gs ORDER BY segment""".stripMargin,
     "x_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
