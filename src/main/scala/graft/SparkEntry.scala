@@ -25,7 +25,9 @@ object SparkEntry {
       relational.StatsOps.queries ++
       relational.RecordLinkage.queries ++
       relational.OrderedOps.queries ++
+      relational.SpatialOps.queries ++
       relational.GraphOps.queries ++
+      llm.CorpusStats.queries ++
       llm.LlmQueries.queries ++
       llm.TrainingSets.queries ++
       llm.FeatureOps.queries ++
@@ -43,7 +45,9 @@ object SparkEntry {
       relational.StatsOps.oracles ++
       relational.RecordLinkage.oracles ++
       relational.OrderedOps.oracles ++
+      relational.SpatialOps.oracles ++
       relational.GraphOps.oracles ++
+      llm.CorpusStats.oracles ++
       llm.LlmQueries.oracles ++
       llm.TrainingSets.oracles ++
       llm.FeatureOps.oracles ++

@@ -1,0 +1,171 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.model.Tables
+
+/** Corpus-level statistics for training-data curation, beyond the per-doc
+  * signals in [[TextAnalysis]]: span-level duplication measurement, LM
+  * surprisal scoring (the perplexity-filter shape), and the vocabulary
+  * growth curve. The reference has no text surface at all
+  * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py` moves tables);
+  * these are the corpus-health instruments a 100 TB text lake needs.
+  *
+  * Engine-wide exactness discipline: anything crossing the oracle is
+  * integer (counts, truncating div, the floor-log2 digit-count trick) —
+  * a libm `ln`/`pow` would not hash-match across engines.
+  */
+object CorpusStats {
+
+  private val ChunkWords = 8
+
+  /** X105: span-level duplication (Lee et al., ACL'22 "Deduplicating
+    * Training Data" measured at span granularity): documents are cut into
+    * DISJOINT 8-word chunks, chunks are counted corpus-wide, and each doc
+    * reports the fraction of its chunks that occur elsewhere. Doc-level
+    * dedup (x_dedup_exact/minhash) misses boilerplate REPEATED INSIDE
+    * otherwise-distinct documents; this is the operator that sees it.
+    *
+    * Scale shape: chunking is a pure projection (explode over sequence —
+    * no joins to form spans); chunks travel as 8-byte md5-derived ids, so
+    * the corpus-wide count groupBy shuffles 8 bytes per chunk regardless
+    * of span text width; the count join back is equi on the same id. The
+    * whole plan is two shuffles on evenly-spread keys — no pair space,
+    * unlike similarity dedup. */
+  def spanDuplication(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= ChunkWords)
+    val chunks = toks
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(t) div $ChunkWords - 1)")).as("ci"),
+        col("t"))
+      .select(col("doc_id"),
+        StableHash.md5Prefix60(
+          expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))"))
+          .as("h"))
+    val counts = chunks.groupBy("h").agg(count(lit(1)).as("c"))
+    chunks.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        expr("n_dup * 1000000 div n_chunks").as("dup_frac_e6"))
+  }
+
+  /** X106: bigram surprisal scoring — the CCNet/Wenzek perplexity-filter
+    * shape with an ENGINE-EXACT statistic: per-doc mean of
+    * ⌊log₂((c(w₁·)+V) div (c(w₁w₂)+1))⌋ over the corpus's own ADD-ONE
+    * smoothed bigram counts (quantized self-perplexity; high ⇒ improbable
+    * word sequences ⇒ gibberish candidate). The smoothing is load-bearing,
+    * not cosmetic: unsmoothed, a document of never-repeated words scores
+    * P(w₂|w₁) = 1/1 = certainty — the spec pins that a gibberish doc must
+    * score WORSE than corpus-typical text, which only holds smoothed.
+    * floor-log₂ is the binary digit count (`length(bin(x)) − 1`),
+    * integer-exact in both engines, where a libm `ln` would diverge.
+    * Complements x_ngram_lm (which BUILDS the smoothed LM); this SCORES
+    * every document against the corpus model.
+    *
+    * Scale shape: bigram formation is a projection (sequence + element_at
+    * — no positional self-join); the two count relations group and join
+    * on evenly-spread token keys; nothing is broadcast (a web corpus has
+    * 10⁸⁺ distinct bigrams — the TF-IDF lesson from round 2). */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks
+      .select(col("doc_id"), explode(expr("sequence(1, size(t) - 1)")).as("i"),
+        col("t"))
+      .select(col("doc_id"), expr("element_at(t, i)").as("w1"),
+        expr("element_at(t, i + 1)").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = bg.agg(countDistinct("w2").as("v")) // next-word vocabulary
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (length(bin(expr("(cu + v) div (cb + 1)"))) - 1).cast("long").as("sb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("sb").as("bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("bits * 1000 div n_bigrams").as("bits_per_bigram_e3"))
+  }
+
+  /** X107: vocabulary growth (the empirical Heaps-law curve): cumulative
+    * distinct word types vs cumulative tokens, by doc-id bucket. The
+    * naive formulation — count(DISTINCT) over an expanding window — is
+    * quadratic and funnels one reducer; the first-occurrence formulation
+    * is ONE groupBy (min bucket per type) plus windows over the
+    * BUCKET-COUNT-sized relation (∼20 rows — control plane, any scale). */
+  def vocabularyGrowth(docs: DataFrame, docsPerBucket: Int): DataFrame = {
+    val tok = docs.select(expr(s"doc_id div $docsPerBucket").as("b"),
+      explode(split(col("text"), " ")).as("w"))
+    val newTypes = tok.groupBy("w").agg(min("b").as("fb"))
+      .groupBy("fb").agg(count(lit(1)).as("new_types"))
+      .withColumnRenamed("fb", "b")
+    val tokCounts = tok.groupBy("b").agg(count(lit(1)).as("toks"))
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    tokCounts.join(newTypes, Seq("b"), "left")
+      .select(col("b"), col("toks"), coalesce(col("new_types"), lit(0L)).as("nt"))
+      .select(col("b"),
+        sum("toks").over(w).as("tokens_cum"),
+        col("nt").as("new_types"),
+        sum("nt").over(w).as("vocab_cum"))
+      .orderBy("b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dedup_span" -> ((s, dir) =>
+      spanDuplication(Tables.documents(s, dir))
+        .where(col("doc_id") <= 300).orderBy("doc_id")),
+    "x_surprisal" -> ((s, dir) =>
+      surprisal(Tables.documents(s, dir))
+        .where(col("doc_id") <= 200).orderBy("doc_id")),
+    "x_vocab_growth" -> ((s, dir) =>
+      vocabularyGrowth(Tables.documents(s, dir), 25)))
+
+  val oracles: Map[String, String] = Map(
+    "x_dedup_span" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         |ix AS (SELECT doc_id, t, unnest(range(len(t) // 8)) AS ci FROM toks),
+         |ch AS (SELECT doc_id,
+         |    ${StableHash.md5Prefix60Sql(
+             "array_to_string(t[ci * 8 + 1 : ci * 8 + 8], ' ')")} AS h
+         |  FROM ix),
+         |counts AS (SELECT h, count(*) AS c FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS dup_frac_e6
+         |FROM ch JOIN counts USING (h)
+         |WHERE doc_id <= 300 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_surprisal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ix AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+        |bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM ix),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+        |vo AS (SELECT count(DISTINCT w2) AS v FROM bg),
+        |s AS (SELECT doc_id,
+        |    CAST(length(bin((cu + v) // (cb + 1))) - 1 AS BIGINT) AS sb
+        |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), vo)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(sb) * 1000 // count(*) AS BIGINT) AS bits_per_bigram_e3
+        |FROM s WHERE doc_id <= 200 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_vocab_growth" ->
+      """WITH tok AS (SELECT doc_id // 25 AS b,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |nt AS (SELECT fb AS b, CAST(count(*) AS BIGINT) AS nt
+        |  FROM (SELECT w, min(b) AS fb FROM tok GROUP BY w) GROUP BY fb),
+        |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS toks FROM tok GROUP BY b)
+        |SELECT b,
+        |  CAST(sum(toks) OVER (ORDER BY b) AS BIGINT) AS tokens_cum,
+        |  coalesce(nt, 0) AS new_types,
+        |  CAST(sum(coalesce(nt, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_cum
+        |FROM tc LEFT JOIN nt USING (b) ORDER BY b""".stripMargin)
+}
