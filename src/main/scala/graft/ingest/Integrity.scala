@@ -121,15 +121,51 @@ object Integrity {
         sum(col("h") % 1000000007L).as("h_sum"))
   }
 
+  /** X110: incremental partition-level recompute — the "don't rescan 100 TB
+    * for today's 200 GB" operator. Yesterday's materialized per-day
+    * aggregate is combined with a recompute of ONLY the days touched by
+    * new arrivals: changed days come from the arrival feed (one distinct
+    * over the delta), recompute scans just those partitions (the day
+    * filter prunes a date-partitioned fact — cf. x_dpp), and untouched
+    * days are served verbatim from the old aggregate via an anti join.
+    * The differential oracle computes the FULL aggregate directly, so a
+    * hash match PROVES incremental == full recompute — the invariant that
+    * makes incremental maintenance trustworthy. (Streaming twin:
+    * IncrementalView's per-batch partials; this is the batch/backfill
+    * form.) Arrivals are derived deterministically: event_id ≡ 0 mod 17
+    * rows are "today's load", the rest the prior snapshot. */
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val full = Tables.events(spark, dir).select(
+      col("ts").cast("date").as("day"),
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"),
+      col("event_id"))
+    val prior = full.where(col("event_id") % 17 =!= 0)
+    val priorAgg = prior.groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val changedDays = full.where(col("event_id") % 17 === 0)
+      .select("day").distinct()
+    val recomputed = full.join(broadcast(changedDays), Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val untouched = priorAgg.join(broadcast(changedDays), Seq("day"), "left_anti")
+    untouched.unionByName(recomputed).orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_cdc_feed" -> ((s, dir) => cdcFeed(s, dir)),
     "x_checksum" -> ((s, dir) => tableChecksum(s, dir)),
+    "x_incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
     "x_snapshot_diff" -> ((s, dir) => snapshotDiff(s, dir)),
     "x_targeted_delete" -> ((s, dir) => targetedDelete(s, dir)))
 
   private val hashSql = StableHash.md5Prefix60Sql(canonSql("o_totalprice"))
 
   val oracles: Map[String, String] = Map(
+    // Full recompute — a hash match proves the incremental splice exact.
+    "x_incremental_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "x_cdc_feed" ->
       """WITH base AS (SELECT o_orderkey,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents

@@ -642,6 +642,23 @@ object CoreQueries {
           coalesce(col("P"), lit(0L)).as("p_cnt"))
         .orderBy("o_orderpriority")),
 
+    // Pivot with MULTIPLE aggregates per cell: one pass produces
+    // (count, sum) per pivot value — still a single partial-first hash
+    // aggregation; column names are <value>_<agg alias>.
+    "x_pivot_multi" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es"))
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("chars"))
+        .select(col("source"),
+          coalesce(col("de_cnt"), lit(0L)).as("de_cnt"),
+          coalesce(col("de_chars"), lit(0L)).as("de_chars"),
+          coalesce(col("en_cnt"), lit(0L)).as("en_cnt"),
+          coalesce(col("en_chars"), lit(0L)).as("en_chars"),
+          coalesce(col("es_cnt"), lit(0L)).as("es_cnt"),
+          coalesce(col("es_chars"), lit(0L)).as("es_chars"))
+        .orderBy("source")),
+
     // Distribution windows: ntile / percent_rank / cume_dist.
     "x_win_dist" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus")
@@ -1374,6 +1391,15 @@ object CoreQueries {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "x_pivot_multi" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS de_cnt,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'de'), 0) AS BIGINT) AS de_chars,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS en_cnt,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'en'), 0) AS BIGINT) AS en_chars,
+        |  CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS es_cnt,
+        |  CAST(coalesce(sum(n_chars) FILTER (WHERE lang = 'es'), 0) AS BIGINT) AS es_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "x_win_dist" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

@@ -106,6 +106,39 @@ object StatsOps {
     * float-summed corr() would be aggregation-order-dependent and could
     * never hash-match. BIGINT ceiling: n·Σxy < 2⁶³ holds to ~10⁸ rows at
     * these magnitudes (x ≤ 50, y ≤ 10⁵). */
+  /** X111: Spearman rank correlation — x_corr's robust sibling (monotone,
+    * not linear, association; immune to the price outliers that drag
+    * Pearson). Ranks are EXACT integers via `row_number` with a
+    * deterministic tie-break (value, then the unique line key), so
+    * Σd² is integer and ρ is a rational — emitted as (1+ρ)·10⁶ because
+    * 6Σd² ≤ 2n(n²−1) keeps THAT dividend non-negative, making Spark's
+    * truncating `div` equal DuckDB's flooring `//` (the x_interpolate
+    * trick; a raw ρ < 0 would floor/truncate differently). The big
+    * products run in DECIMAL(38,0)/HUGEINT — n³·10⁶ passes 2⁶³ at only
+    * ~16k rows (the x_anomaly discipline). Scope: one month, because the
+    * two ranking windows are GLOBAL sorts — the exact-global-rank funnel
+    * documented at x_quantile_norm; corpus-wide Spearman at scale should
+    * range-partition ranks (the x_pack cumsum shape) or use KLL ranks. */
+  private def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1995-03-01") &&
+        col("l_shipdate") < lit("1995-04-01"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("y"))
+    val rxw = Window.orderBy("x", "l_orderkey", "l_linenumber")
+    val ryw = Window.orderBy("y", "l_orderkey", "l_linenumber")
+    d.withColumn("rx", row_number().over(rxw).cast("long"))
+      .withColumn("ry", row_number().over(ryw).cast("long"))
+      .select(expr("(rx - ry) * (rx - ry)").as("d2"))
+      .agg(count(lit(1)).as("n"), sum("d2").as("sd2"))
+      .select(col("n"),
+        expr("""CAST((2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1)
+               |       - 6 * CAST(sd2 AS DECIMAL(38,0))) * 1000000
+               |     div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))
+               |     AS BIGINT)""".stripMargin).as("rho_p1_e6"))
+  }
+
   private def corrExact(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .where(col("l_shipdate") >= lit("1995-03-01") &&
@@ -392,6 +425,7 @@ object StatsOps {
     "x_sketch_theta" -> ((s, dir) => thetaIntersectContract(s, dir)),
     "x_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "x_corr" -> ((s, dir) => corrExact(s, dir)),
+    "x_spearman" -> ((s, dir) => spearman(s, dir)),
     "x_hist_log2" -> ((s, dir) => histLog2(s, dir)),
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
@@ -538,6 +572,23 @@ object StatsOps {
         |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr,
         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
+        |FROM s""".stripMargin,
+    "x_spearman" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'),
+        |r AS (SELECT
+        |    CAST(row_number() OVER (ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rx,
+        |    CAST(row_number() OVER (ORDER BY y, l_orderkey, l_linenumber) AS BIGINT) AS ry
+        |  FROM d),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum((rx - ry) * (rx - ry)) AS HUGEINT) AS sd2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST((2 * n * (n * n - 1) - 6 * sd2) * 1000000
+        |       // (n * (n * n - 1)) AS BIGINT) AS rho_p1_e6
         |FROM s""".stripMargin,
     "x_hist_log2" ->
       """SELECT CAST(length(bin(n_chars)) AS INTEGER) AS bucket,
