@@ -106,6 +106,36 @@ object StatsOps {
     * float-summed corr() would be aggregation-order-dependent and could
     * never hash-match. BIGINT ceiling: n·Σxy < 2⁶³ holds to ~10⁸ rows at
     * these magnitudes (x ≤ 50, y ≤ 10⁵). */
+  /** X112: mergeable heavy-hitters (DataSketches frequent-items) with the
+    * Misra–Gries contract. Per-source sketches (O(maxMapSize) state each,
+    * any vocabulary size) union into a corpus sketch; the exact top-10
+    * tokens must all appear in the union's NO_FALSE_NEGATIVES output with
+    * their true counts inside [lb, ub]. The contract, never the raw
+    * estimates, is what's asserted: purge retention is merge-order
+    * sensitive below the error floor (see [[graft.functions.FreqSketch]]).
+    * Guarantee scope: an item is certain to survive when its true count
+    * exceeds maxError ≈ N/maxMapSize — holds for any vocabulary whose
+    * top-10 clears N/64; the forced-purge regime is spec-covered with
+    * planted heavy items. Exact x_top_tokens pays a full token-count
+    * shuffle for the same answer; this state is 64 entries per group. */
+  private def heavyHittersContract(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val perSource = toks.groupBy("source")
+      .agg(graft.functions.FreqSketch.freqBuild(col("w"), 64).as("sk"))
+    val hh = perSource
+      .agg(graft.functions.FreqSketch.freqUnionRows(col("sk"), 64).as("rows"))
+      .select(explode(col("rows")).as("r"))
+      .select(col("r.token").as("w"), col("r.est"), col("r.lb"), col("r.ub"))
+    val exactTop = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(10)
+    exactTop.join(hh, Seq("w"), "left")
+      .select(col("w"), col("c"),
+        col("est").isNotNull.as("in_sketch"),
+        (col("c") >= col("lb") && col("c") <= col("ub")).as("bracketed"))
+      .orderBy(col("c").desc, col("w"))
+  }
+
   /** X111: Spearman rank correlation — x_corr's robust sibling (monotone,
     * not linear, association; immune to the price outliers that drag
     * Pearson). Ranks are EXACT integers via `row_number` with a
@@ -426,6 +456,7 @@ object StatsOps {
     "x_kmv_distinct" -> ((s, dir) => kmvDistinct(s, dir)),
     "x_corr" -> ((s, dir) => corrExact(s, dir)),
     "x_spearman" -> ((s, dir) => spearman(s, dir)),
+    "x_sketch_hh" -> ((s, dir) => heavyHittersContract(s, dir)),
     "x_hist_log2" -> ((s, dir) => histLog2(s, dir)),
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
@@ -573,6 +604,13 @@ object StatsOps {
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr,
         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope
         |FROM s""".stripMargin,
+    "x_sketch_hh" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top10 AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY w ORDER BY c DESC, w LIMIT 10)
+        |SELECT w, c, true AS in_sketch, true AS bracketed
+        |FROM top10 ORDER BY c DESC, w""".stripMargin,
     "x_spearman" ->
       """WITH d AS (SELECT l_orderkey, l_linenumber,
         |    CAST(l_quantity AS BIGINT) AS x,

@@ -35,6 +35,27 @@ class SketchAggSpec extends SparkSpec with Matchers {
     one shouldBe exact.toDouble
   }
 
+  test("frequent-items union keeps planted heavy hitters under forced purges") {
+    import graft.functions.FreqSketch.{freqBuild, freqUnionRows}
+    // 2000 distinct one-off items vs 3 heavy items, maxMapSize 8 → the
+    // sketch MUST purge; NO_FALSE_NEGATIVES still guarantees the heavies
+    // (true count 200 ≫ maxError ≤ N/8) survive with true ∈ [lb, ub].
+    val heavy = Seq("alpha", "beta", "gamma")
+    val rows = (0 until 2000).map(i => (i % 5, s"noise_$i")) ++
+      heavy.flatMap(h => (0 until 200).map(i => (i % 5, h)))
+    val df = rows.toDF("g", "w").repartition(7)
+    val got = df.groupBy("g").agg(freqBuild(col("w"), 8).as("sk"))
+      .agg(freqUnionRows(col("sk"), 8).as("rows"))
+      .select(org.apache.spark.sql.functions.explode(col("rows")).as("r"))
+      .select(col("r.token"), col("r.lb"), col("r.ub"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    heavy.foreach { h =>
+      assert(got.contains(h), s"heavy item $h purged — contract violated")
+      val (lb, ub) = got(h)
+      assert(lb <= 200L && 200L <= ub, s"$h true count 200 outside [$lb, $ub]")
+    }
+  }
+
   test("kll union of per-group sketches honors the rank contract under forced merges") {
     val li = graft.model.Tables.lineitem(spark, sf0001).repartition(7)
     val est = li.groupBy("l_returnflag")
