@@ -992,6 +992,36 @@ object CoreQueries {
     // X34b: correlated EXISTS / NOT EXISTS — Catalyst decorrelates into a
     // left-semi and a left-anti join on the same fact (the SQL spelling of
     // the X3 semi/anti family).
+    // Ordered string aggregation: collect_set is UNORDERED (and
+    // collect_list partition-order-dependent) — array_sort before join is
+    // what makes the result deterministic and engine-identical.
+    "x_string_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // ANSI NOT IN vs NOT EXISTS with a NULL in the subquery: tri-valued
+    // logic makes `x NOT IN (…, NULL)` UNKNOWN for every non-member row,
+    // so the NOT IN count is 0 while NOT EXISTS counts real non-members —
+    // pinned cross-engine because silently "fixing" this divergence is a
+    // classic migration bug.
+    "x_sql_not_in" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql(
+        """WITH sub AS (SELECT c_custkey AS x FROM v_customer
+          |             WHERE c_custkey % 100 = 0
+          |             UNION ALL SELECT CAST(NULL AS BIGINT))
+          |SELECT
+          |  (SELECT count(*) FROM v_orders
+          |   WHERE o_custkey NOT IN (SELECT x FROM sub)) AS n_not_in,
+          |  (SELECT count(*) FROM v_orders o WHERE NOT EXISTS (
+          |     SELECT 1 FROM sub s WHERE s.x = o.o_custkey)) AS n_not_exists""".stripMargin)
+    }),
+
     "x_sql_exists" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("v_orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
@@ -1560,6 +1590,25 @@ object CoreQueries {
         |           ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
         |WHERE o.o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "x_string_agg" ->
+      """WITH d AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders),
+        |ag AS (SELECT o_orderpriority,
+        |    string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |  FROM d GROUP BY 1),
+        |n AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, statuses, n
+        |FROM ag JOIN n USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "x_sql_not_in" ->
+      """WITH sub AS (SELECT c_custkey AS x FROM customer
+        |             WHERE c_custkey % 100 = 0
+        |             UNION ALL SELECT CAST(NULL AS BIGINT))
+        |SELECT
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey NOT IN (SELECT x FROM sub)) AS n_not_in,
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS (
+        |     SELECT 1 FROM sub s WHERE s.x = o.o_custkey)) AS n_not_exists""".stripMargin,
     "x_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT round(max(l_quantity), 2) FROM lineitem

@@ -60,6 +60,30 @@ object EventAnalytics {
     * fixed epoch keep the grid engine-exact. Two shuffles: one on `user_id`
     * (first-seen), one on the small (cohort, offset) key — both partial
     * map-side first. */
+  /** X113: trailing-7-day active users (WAU) per day — the sliding
+    * DISTINCT count, which unlike sums does NOT decompose over window
+    * frames. Exact formulation: each distinct (user, active-day) pair
+    * contributes to the 7 window-end days it covers (explode over a
+    * 7-element sequence), then one countDistinct per window-end — cost
+    * |user-days| × 7, all equi-shuffles, no window sort anywhere. At
+    * larger windows (MAU ×30) or when approximation suffices, the
+    * mergeable path is per-day HLL/Theta sketches unioned per window
+    * (the X53 layer) — state per day instead of ×w row fan-out. Day
+    * ordinals are integers vs 2024-01-01 (the x_gapfill convention) so
+    * the grid is engine-identical. */
+  private def wau(spark: SparkSession, dir: String): DataFrame = {
+    val ad = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("d"))
+      .distinct()
+    val maxD = ad.agg(max("d").as("dmax"))
+    ad.select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("wd"))
+      .groupBy("wd").agg(countDistinct("user_id").as("wau"))
+      .join(broadcast(maxD), col("wd") <= col("dmax"))
+      .select(col("wd"), col("wau"))
+      .orderBy("wd")
+  }
+
   private def retention(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"))
@@ -535,6 +559,7 @@ object EventAnalytics {
     "x_paths" -> ((s, dir) => topPaths(s, dir)),
     "x_funnel" -> ((s, dir) => funnel(s, dir)),
     "x_retention" -> ((s, dir) => retention(s, dir)),
+    "x_wau" -> ((s, dir) => wau(s, dir)),
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -735,6 +760,14 @@ object EventAnalytics {
         |UNION ALL SELECT 2, 'click_after_view', count(*) FROM s2
         |UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3
         |ORDER BY stage_ord""".stripMargin,
+    "x_wau" ->
+      """WITH ad AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM ad),
+        |x AS (SELECT user_id, unnest(generate_series(d, d + 6)) AS wd FROM ad)
+        |SELECT wd, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        |FROM x, mx WHERE wd <= dmax GROUP BY wd ORDER BY wd""".stripMargin,
     "x_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w

@@ -307,7 +307,43 @@ object FormatQueries {
       .orderBy("m")
   }
 
+  /** Partition-LAYOUT evolution (distinct from X25's column-schema
+    * evolution): the table's first generation was laid out by week, a
+    * later generation by day — the re-layout every growing lake performs
+    * when coarse partitions stop pruning well. Readers must see ONE
+    * logical table across generations: each generation is read with its
+    * own partition scheme, normalized to a common projection, and
+    * unioned; the differential oracle aggregates the SOURCE table, so a
+    * hash match proves the two-layout union is lossless. At 100 TB this
+    * is a metadata-only pattern — no rewrite of the old generation, and
+    * partition pruning still works per-generation (week filters prune
+    * gen-1 dirs, day filters prune gen-2). */
+  private def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"), col("ts").cast("date").as("day"),
+      expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val cut = "2024-01-16" // the corpus spans one month; week→day re-layout
+    val gen1 = graft.ingest.Sinks.tempDir("pe_weekly")
+    val gen2 = graft.ingest.Sinks.tempDir("pe_daily")
+    ev.withColumn("w", expr("datediff(day, DATE '2024-01-01') div 7"))
+      .where(col("day") < lit(cut).cast("date"))
+      .repartition(col("w"))
+      .write.partitionBy("w").mode("overwrite").parquet(gen1)
+    ev.where(col("day") >= lit(cut).cast("date"))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(gen2)
+    val g1 = spark.read.parquet(gen1)
+      .select(col("event_id"), col("day").cast("date").as("day"), col("cents"))
+    val g2 = spark.read.parquet(gen2)
+      .select(col("event_id"), col("day").cast("date").as("day"), col("cents"))
+    g1.unionByName(g2)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_partition_evolution" -> ((s, dir) => partitionEvolution(s, dir)),
     "x_stats_prune" -> ((s, dir) => statsPrune(s, dir)),
     "x_zorder" -> ((s, dir) => zorder(s, dir)),
     "x_bucketed_join" -> ((s, dir) => bucketedJoin(s, dir)),
@@ -329,6 +365,14 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Aggregates the SOURCE table — hash match proves the two-generation
+    // partition-layout union lost nothing.
+    "x_partition_evolution" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "x_stats_prune" ->
       """SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
