@@ -121,7 +121,7 @@ object Integrity {
         sum(col("h") % 1000000007L).as("h_sum"))
   }
 
-  /** X110: incremental partition-level recompute — the "don't rescan 100 TB
+  /** X124: incremental partition-level recompute — the "don't rescan 100 TB
     * for today's 200 GB" operator. Yesterday's materialized per-day
     * aggregate is combined with a recompute of ONLY the days touched by
     * new arrivals: changed days come from the arrival feed (one distinct

@@ -22,7 +22,7 @@ object CorpusStats {
 
   private val ChunkWords = 8
 
-  /** X105: span-level duplication (Lee et al., ACL'22 "Deduplicating
+  /** X120: span-level duplication (Lee et al., ACL'22 "Deduplicating
     * Training Data" measured at span granularity): documents are cut into
     * DISJOINT 8-word chunks, chunks are counted corpus-wide, and each doc
     * reports the fraction of its chunks that occur elsewhere. Doc-level
@@ -55,7 +55,7 @@ object CorpusStats {
         expr("n_dup * 1000000 div n_chunks").as("dup_frac_e6"))
   }
 
-  /** X106: bigram surprisal scoring — the CCNet/Wenzek perplexity-filter
+  /** X121: bigram surprisal scoring — the CCNet/Wenzek perplexity-filter
     * shape with an ENGINE-EXACT statistic: per-doc mean of
     * ⌊log₂((c(w₁·)+V) div (c(w₁w₂)+1))⌋ over the corpus's own ADD-ONE
     * smoothed bigram counts (quantized self-perplexity; high ⇒ improbable
@@ -93,7 +93,7 @@ object CorpusStats {
         expr("bits * 1000 div n_bigrams").as("bits_per_bigram_e3"))
   }
 
-  /** X107: vocabulary growth (the empirical Heaps-law curve): cumulative
+  /** X122: vocabulary growth (the empirical Heaps-law curve): cumulative
     * distinct word types vs cumulative tokens, by doc-id bucket. The
     * naive formulation — count(DISTINCT) over an expanding window — is
     * quadratic and funnels one reducer; the first-occurrence formulation

@@ -105,7 +105,7 @@ object FeatureOps {
       .select(col("doc_id") +: LangValues.map(v =>
         coalesce(col(v), lit(0L)).as(s"lang_$v")): _*)
 
-  /** X98: smoothed target encoding (the high-cardinality-categorical
+  /** X119: smoothed target encoding (the high-cardinality-categorical
     * featurizer): enc(seg) = (Σ_seg y + m·ȳ_global) / (n_seg + m), m = 10 —
     * the Bayesian shrinkage that keeps rare categories from memorizing
     * their few labels. Exact integers: clearing ȳ = S/N gives

@@ -60,7 +60,7 @@ object EventAnalytics {
     * fixed epoch keep the grid engine-exact. Two shuffles: one on `user_id`
     * (first-seen), one on the small (cohort, offset) key — both partial
     * map-side first. */
-  /** X113: trailing-7-day active users (WAU) per day — the sliding
+  /** X127: trailing-7-day active users (WAU) per day — the sliding
     * DISTINCT count, which unlike sums does NOT decompose over window
     * frames. Exact formulation: each distinct (user, active-day) pair
     * contributes to the 7 window-end days it covers (explode over a

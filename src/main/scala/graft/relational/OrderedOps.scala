@@ -23,7 +23,7 @@ object OrderedOps {
   private def cents(c: String) =
     expr(s"CAST(floor($c * 100.0 + 0.5) AS BIGINT)")
 
-  /** X100: schema-evolution union — `unionByName(allowMissingColumns)`
+  /** X114: schema-evolution union — `unionByName(allowMissingColumns)`
     * aligns two snapshot projections whose columns differ (the day-N vs
     * day-N+1 export problem); absent columns become NULL, matching
     * DuckDB's `UNION ALL BY NAME`. A positional `union` here would be a
@@ -39,7 +39,7 @@ object OrderedOps {
       .orderBy("o_orderkey", "src")
   }
 
-  /** X101: keyset (seek) pagination — page 3 of size 100 over the total
+  /** X115: keyset (seek) pagination — page 3 of size 100 over the total
     * order (o_orderdate, o_orderkey). The boundary row is fetched with two
     * chained top-k's (TakeOrderedAndProject — bounded heap per partition,
     * never a global sort), broadcast as ONE row, and the page predicate
@@ -62,7 +62,7 @@ object OrderedOps {
       .orderBy("o_orderdate", "o_orderkey").limit(100)
   }
 
-  /** X102: deterministic per-group mode. DuckDB's `mode()` and any
+  /** X116: deterministic per-group mode. DuckDB's `mode()` and any
     * hash-ordered argmax leave ties unspecified; here the tie-break is
     * explicit (highest count, then lexicographically smallest value) via
     * `row_number` over the COUNTS relation — |groups × distinct values|
@@ -82,7 +82,7 @@ object OrderedOps {
         col("mode_value").as("mode_status"), col("cnt"))
       .orderBy("pri")
 
-  /** X103: rolling 7-row median price per part — the robust-trend
+  /** X117: rolling 7-row median price per part — the robust-trend
     * alternative to x_ewma's mean. Exact without a percentile UDAF: the
     * ROWS frame is collected (7 elements, bounded), sorted, and the middle
     * element taken — integer cents in, integer cents out, engine-identical.
@@ -108,7 +108,7 @@ object OrderedOps {
       .orderBy("l_partkey", "l_orderkey", "l_linenumber")
   }
 
-  /** X104: skewness + excess kurtosis from EXACT integer sufficient sums
+  /** X118: skewness + excess kurtosis from EXACT integer sufficient sums
     * (Σx…Σx⁴ in BIGINT — x = l_quantity ≤ 50, so Σx⁴ stays under 2⁶³ to
     * ~10¹¹ rows; beyond that move the two highest moments to DECIMAL(38)).
     * The five sums are aggregation-order-independent; the one-row final

@@ -51,7 +51,7 @@ object SpatialOps {
         (col("y0") + 40 + StableHash.md5Prefix60(
           concat(col("rid").cast("string"), lit("h"))) % 120).as("y1"))
 
-  /** X108: points-in-rectangles via the grid. Shape: point side is a
+  /** X123: points-in-rectangles via the grid. Shape: point side is a
     * projection + ONE equi shuffle on (cx, cy); rect side explodes to
     * covering cells (≤ 9 here) and broadcasts when small. Refinement is a
     * residual filter on the joined stream — exact, no false positives

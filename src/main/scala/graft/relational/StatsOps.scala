@@ -106,7 +106,7 @@ object StatsOps {
     * float-summed corr() would be aggregation-order-dependent and could
     * never hash-match. BIGINT ceiling: n·Σxy < 2⁶³ holds to ~10⁸ rows at
     * these magnitudes (x ≤ 50, y ≤ 10⁵). */
-  /** X112: mergeable heavy-hitters (DataSketches frequent-items) with the
+  /** X126: mergeable heavy-hitters (DataSketches frequent-items) with the
     * Misra–Gries contract. Per-source sketches (O(maxMapSize) state each,
     * any vocabulary size) union into a corpus sketch; the exact top-10
     * tokens must all appear in the union's NO_FALSE_NEGATIVES output with
@@ -136,7 +136,7 @@ object StatsOps {
       .orderBy(col("c").desc, col("w"))
   }
 
-  /** X111: Spearman rank correlation — x_corr's robust sibling (monotone,
+  /** X125: Spearman rank correlation — x_corr's robust sibling (monotone,
     * not linear, association; immune to the price outliers that drag
     * Pearson). Ranks are EXACT integers via `row_number` with a
     * deterministic tie-break (value, then the unique line key), so
