@@ -1035,6 +1035,51 @@ object CoreQueries {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // X135: GROUP BY ALL / ORDER BY ALL (Spark 4 + DuckDB share the
+    // feature) — grouping keys inferred as every non-aggregate select item.
+    // Worth pinning cross-engine because the inference rule, not the user,
+    // picks the keys: an engine that classified a select item differently
+    // (e.g. a deterministic scalar over a grouped column) would silently
+    // change the grouping. The ORDER BY ALL total order makes the result
+    // row-stable for the hash compare.
+    "x_group_by_all" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem_gba")
+      s.sql(
+        """SELECT l_returnflag AS flag, l_linestatus AS status,
+          |  count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+          |FROM v_lineitem_gba GROUP BY ALL ORDER BY ALL""".stripMargin)
+    }),
+
+    // X136: declarative recursion — WITH RECURSIVE (Spark 4, SPARK-24497)
+    // over the event-type transition graph: depth-bounded reachability from
+    // a seed node, the SQL-native twin of the iterative BFS at x_khop.
+    // UNION ALL recursion with a monotone depth guard terminates
+    // unconditionally (the UNION-distinct cyclic form is pinned unsupported
+    // in RecursiveCteProbe — cyclic closure stays on the iterative path).
+    // The recursion runs over the TRANSITION GRAPH (bounded: event-type
+    // vocabulary², metadata scale), never over the event stream — the
+    // stream is reduced to distinct edges first.
+    "x_sql_recursive" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("v_events_rec")
+      s.sql(
+        """WITH RECURSIVE trans AS (
+          |  SELECT event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |                          ORDER BY ts, event_id) AS prev
+          |  FROM v_events_rec),
+          |edges AS (SELECT DISTINCT prev AS src, event_type AS dst
+          |  FROM trans WHERE prev IS NOT NULL AND prev <> event_type),
+          |reach(node, depth) AS (
+          |  SELECT 'click' AS node, 0 AS depth
+          |  UNION ALL
+          |  SELECT e.dst, r.depth + 1
+          |  FROM reach r JOIN edges e ON e.src = r.node
+          |  WHERE r.depth < 3)
+          |SELECT node, CAST(min(depth) AS BIGINT) AS hops,
+          |  CAST(count(*) AS BIGINT) AS n_paths
+          |FROM reach GROUP BY node ORDER BY node""".stripMargin)
+    }),
+
     // X34c: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
     // function DEFINED in SQL is inlined by the analyzer into the plan, so
     // unlike a Scala/Python UDF it stays inside codegen and pushdown: the
@@ -1645,6 +1690,27 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_group_by_all" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin,
+    "x_sql_recursive" ->
+      """WITH RECURSIVE trans AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |edges AS (SELECT DISTINCT prev AS src, event_type AS dst
+        |  FROM trans WHERE prev IS NOT NULL AND prev <> event_type),
+        |reach(node, depth) AS (
+        |  SELECT 'click' AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT e.dst, r.depth + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node, CAST(min(depth) AS BIGINT) AS hops,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "x_sql_udf" ->
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents

@@ -443,7 +443,96 @@ object StatsOps {
       .orderBy("o_orderkey")
   }
 
+  /** X132: Gini impurity per group — the split-quality / class-balance
+    * measure (1 − Σpᵢ²) for monitoring label or language mix per corpus
+    * slice. Fully RATIONAL: gini·10⁶ = (n² − Σcᵢ²)·10⁶ div n², so the key
+    * is engine-exact with no float anywhere. Two partial-first
+    * aggregations (class counts, then per-group moments); products run in
+    * DECIMAL(38,0)/HUGEINT — n²·10⁶ passes 2⁶³ at n ≈ 3·10⁶ rows per
+    * group (the x_anomaly discipline); DECIMAL(38,0) carries it to
+    * n ≈ 10¹⁶. */
+  private def giniImpurity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_classes"), sum("c").as("n"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"))
+      .select(col("source"), col("n_classes"), col("n"),
+        expr("""CAST((CAST(n AS DECIMAL(38,0)) * n - sc2) * 1000000
+               |     div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+          .as("gini_e6"))
+      .orderBy("source")
+
+  /** X133: chi-square test of independence over a contingency table
+    * (order status × priority) — the drift/association test behind
+    * feature-target dependence screens. The full grid INCLUDING empty
+    * cells is materialized (distinct-rows × distinct-cols, left-joined to
+    * observed counts: a zero cell still contributes E = R·C/n to the
+    * statistic, which a bare groupBy would silently drop). Per-cell terms
+    * are floored rationals — term·10⁶ = ⌊(n·O − R·C)²·10⁶ / (n·R·C)⌋ —
+    * summed as integers, so both engines agree exactly. Products in
+    * DECIMAL(38,0)/HUGEINT; (n·O)²·10⁶ passes DECIMAL(38,0) at
+    * n ≈ 4·10¹⁵ cell observations. Margins are metadata-sized relations
+    * (r + c + 1 rows) and broadcast onto the grid. */
+  private def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("s"), col("o_orderpriority").as("p"))
+    val cells = o.groupBy("s", "p").agg(count(lit(1)).as("obs"))
+    val rows = o.groupBy("s").agg(count(lit(1)).as("r"))
+    val colsM = o.groupBy("p").agg(count(lit(1)).as("cl"))
+    val tot = o.agg(count(lit(1)).as("n"))
+    rows.crossJoin(colsM)
+      .join(cells, Seq("s", "p"), "left")
+      .select(col("s"), col("p"), col("r"), col("cl"),
+        coalesce(col("obs"), lit(0L)).as("obs"))
+      .crossJoin(broadcast(tot))
+      .select(expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * obs - CAST(r AS DECIMAL(38,0)) * cl)
+          |     * (CAST(n AS DECIMAL(38,0)) * obs - CAST(r AS DECIMAL(38,0)) * cl)
+          |     * 1000000
+          |     div (CAST(n AS DECIMAL(38,0)) * r * cl) AS BIGINT)""".stripMargin)
+        .as("term_e6"), col("n"))
+      .agg(max("n").as("n_obs"), count(lit(1)).as("n_cells"),
+        sum("term_e6").as("chi2_e6"))
+  }
+
+  /** X134: lagged cross-correlation between two event-count series (clicks
+    * leading errors at lags 0–3 days) — the lead/lag dependence scan for
+    * monitoring pipelines. The raw stream reduces to a per-day count table
+    * FIRST (the series length is calendar-bounded metadata, not data), the
+    * lag alignment is a generator-driven self-join on day ordinals, and
+    * per-lag sufficient statistics are exact BIGINTs with the one-row IEEE
+    * final written in x_corr's association order — engine-exact doubles. */
+  private def crossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01")).as("d"),
+        col("event_type"))
+      .groupBy("d")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
+      .cache()
+    val lags = spark.range(0, 4).select(col("id").cast("int").as("lag"))
+    val aligned = daily.as("a").crossJoin(broadcast(lags))
+      .join(daily.as("b"), col("b.d") === col("a.d") + col("lag"))
+      .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
+    aligned.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+          .as("xcorr"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_gini" -> ((s, dir) => giniImpurity(s, dir)),
+    "x_chisq" -> ((s, dir) => chiSquare(s, dir)),
+    "x_cross_corr" -> ((s, dir) => crossCorrelation(s, dir)),
     "x_impute" -> ((s, dir) => imputeMedian(s, dir)),
     "x_mad" -> ((s, dir) => madOutliers(s, dir)),
     "x_zscore" -> ((s, dir) => zscore(s, dir)),
@@ -461,6 +550,53 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_gini" ->
+      """WITH cc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    sum(CAST(c AS HUGEINT) * c) AS sc2
+        |  FROM cc GROUP BY source)
+        |SELECT source, n_classes, n,
+        |  CAST((CAST(n AS HUGEINT) * n - sc2) * 1000000
+        |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gini_e6
+        |FROM g ORDER BY source""".stripMargin,
+    "x_chisq" ->
+      """WITH o AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders),
+        |cells AS (SELECT s, p, CAST(count(*) AS BIGINT) AS obs FROM o GROUP BY 1, 2),
+        |r AS (SELECT s, CAST(count(*) AS BIGINT) AS r FROM o GROUP BY 1),
+        |c AS (SELECT p, CAST(count(*) AS BIGINT) AS cl FROM o GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |grid AS (SELECT r.s, c.p, r.r, c.cl, coalesce(cells.obs, 0) AS obs, t.n
+        |  FROM r CROSS JOIN c
+        |  LEFT JOIN cells ON cells.s = r.s AND cells.p = c.p, t)
+        |SELECT max(n) AS n_obs, CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum((CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * cl)
+        |           * (CAST(n AS HUGEINT) * obs - CAST(r AS HUGEINT) * cl)
+        |           * 1000000
+        |           // (CAST(n AS HUGEINT) * r * cl)) AS BIGINT) AS chi2_e6
+        |FROM grid""".stripMargin,
+    "x_cross_corr" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |aligned AS (SELECT l.lag, a.x, b.y
+        |  FROM daily a
+        |  CROSS JOIN (SELECT unnest(range(4)) AS lag) l
+        |  JOIN daily b ON b.d = a.d + l.lag),
+        |s AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM aligned GROUP BY lag)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+        |FROM s ORDER BY lag""".stripMargin,
     "x_impute" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
         |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
