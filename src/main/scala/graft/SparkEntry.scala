@@ -28,6 +28,7 @@ object SparkEntry {
       relational.SpatialOps.queries ++
       relational.GraphOps.queries ++
       llm.CorpusStats.queries ++
+      llm.Retrieval.queries ++
       llm.LlmQueries.queries ++
       llm.TrainingSets.queries ++
       llm.FeatureOps.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       relational.SpatialOps.oracles ++
       relational.GraphOps.oracles ++
       llm.CorpusStats.oracles ++
+      llm.Retrieval.oracles ++
       llm.LlmQueries.oracles ++
       llm.TrainingSets.oracles ++
       llm.FeatureOps.oracles ++

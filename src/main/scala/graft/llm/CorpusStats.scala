@@ -116,7 +116,43 @@ object CorpusStats {
       .orderBy("b")
   }
 
+  /** X137: top-bigram character fraction (the Gopher repetition-rule
+    * family, Rae et al. 2021 Table A1: "fraction of characters in the most
+    * common n-gram"): per document, the most frequent word bigram
+    * (deterministic tie-break: count desc, then lexicographic) and the
+    * fraction of the document's characters its occurrences cover. High
+    * values flag template/keyword-stuffing pages that x_repetition's
+    * duplicate-3-gram fraction under-weights when one phrase dominates.
+    * All integer: covered = count·len(bigram), frac·10⁶ by truncating
+    * division against the raw text length. Bigram formation is the X89
+    * generator projection (sequence + element_at, no positional
+    * self-join); the only window runs per-document over that doc's
+    * DISTINCT bigram counts — bounded by doc length, evenly spread. */
+  def topNgramFraction(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), length(col("text")).as("text_len"),
+        split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+    val bg = toks
+      .select(col("doc_id"), col("text_len"),
+        explode(expr("sequence(1, size(t) - 1)")).as("i"), col("t"))
+      .select(col("doc_id"), col("text_len"),
+        concat(expr("element_at(t, i)"), lit(" "),
+          expr("element_at(t, i + 1)")).as("bigram"))
+    val counts = bg.groupBy("doc_id", "bigram")
+      .agg(count(lit(1)).as("c"), max("text_len").as("text_len"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("bigram"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"), col("c"),
+        expr("c * length(bigram) * 1000000 div text_len").as("frac_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_top_ngram_frac" -> ((s, dir) =>
+      topNgramFraction(Tables.documents(s, dir))
+        .where(col("doc_id") <= 400).orderBy("doc_id")),
     "x_dedup_span" -> ((s, dir) =>
       spanDuplication(Tables.documents(s, dir))
         .where(col("doc_id") <= 300).orderBy("doc_id")),
@@ -127,6 +163,21 @@ object CorpusStats {
       vocabularyGrowth(Tables.documents(s, dir), 25)))
 
   val oracles: Map[String, String] = Map(
+    "x_top_ngram_frac" ->
+      """WITH toks AS (SELECT doc_id, length(text) AS text_len,
+        |    string_split(text, ' ') AS t
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ix AS (SELECT doc_id, text_len, t, unnest(range(1, len(t))) AS i FROM toks),
+        |bg AS (SELECT doc_id, text_len, t[i] || ' ' || t[i + 1] AS bigram FROM ix),
+        |counts AS (SELECT doc_id, bigram, CAST(count(*) AS BIGINT) AS c,
+        |    max(text_len) AS text_len
+        |  FROM bg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, bigram, c, text_len,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rk
+        |  FROM counts)
+        |SELECT doc_id, bigram AS top_bigram, c,
+        |  CAST(c * length(bigram) * 1000000 // text_len AS BIGINT) AS frac_e6
+        |FROM top WHERE rk = 1 AND doc_id <= 400 ORDER BY doc_id""".stripMargin,
     "x_dedup_span" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
          |  FROM documents WHERE len(string_split(text, ' ')) >= 8),

@@ -441,6 +441,42 @@ object Dedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** X142: corpus-internal containment pairs — asymmetric near-dup
+    * detection: C(A,B) = |A∩B| / min(|A|,|B|) over the df-bounded
+    * rare-shingle space. Catches the subset relation Jaccard structurally
+    * misses: a short doc fully embedded in a long one has
+    * J = |A|/|B| (small) but containment 1.0 — quotation farms, page
+    * wrappers around syndicated cores, truncated re-crawls. Same bounded
+    * inverted-index shape as [[nearDuplicatePairs]] MINUS the size-ratio
+    * prune (which is exactly the pairs this operator exists to keep);
+    * candidate volume is still df-bounded to ≤ maxDf²/2 pairs per
+    * shingle. The Jaccard column rides along so downstream policy can
+    * separate "true subset" (high C, low J) from "near-identical" (both
+    * high). */
+  def containmentPairs(docs: DataFrame, threshold: Double,
+      maxDf: Int = MaxShingleDf): DataFrame = {
+    val ids = shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+    val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sid")
+    val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
+    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    withN.as("a").hint("SHUFFLE_HASH")
+      .join(withN.as("b").hint("SHUFFLE_HASH"),
+        col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .select(col("da"), col("db"), col("inter"),
+        col("na"), col("nb"),
+        expr("inter * 1000000 div least(na, nb)").as("cont_e6"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("cont_e6") >= (threshold * 1000000).toLong)
+      .orderBy("da", "db")
+  }
+
   /** Embedding near-duplicates, IVF-bucketed: build centroids
     * ([[Similarity.centroidVectors]]), assign every vector to its nearest
     * centroid ([[Similarity.assignCells]]), then verify with exact cosine

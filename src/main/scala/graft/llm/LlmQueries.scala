@@ -53,6 +53,11 @@ object LlmQueries {
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
 
+    // asymmetric containment: subset-duplicates (short doc embedded in a
+    // long one) that the Jaccard threshold structurally misses
+    "x_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), 0.9)),
+
     // fuzzy verification of the shingle-based candidates: exact edit
     // distance over the candidate pairs ONLY (levenshtein is O(len²) per
     // pair — never run it corpus-wide; the inverted-index join bounds the
@@ -308,14 +313,14 @@ object LlmQueries {
     * (`asg`) — same rounded cosine, same lowest-cell tie-break as
     * [[Similarity.assignCells]]. Both assume an `e` CTE providing
     * (vec_id, v DOUBLE[]). */
-  private val centCte =
+  private[llm] val centCte =
     """cent AS (SELECT label AS cell, list(cval ORDER BY pos) AS cvec FROM (
       |    SELECT label, pos, round(avg(v), 6) AS cval
       |    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
       |            generate_subscripts(embedding, 1) AS pos FROM embeddings)
       |    GROUP BY label, pos)
       |  GROUP BY label)""".stripMargin
-  private val asgCte =
+  private[llm] val asgCte =
     """asg AS (SELECT vec_id, cell, v FROM (
       |    SELECT e.vec_id, cent.cell, e.v, row_number() OVER (PARTITION BY e.vec_id
       |      ORDER BY round(list_dot_product(v, cvec) /
@@ -442,6 +447,21 @@ object LlmQueries {
          |  FROM pairs)
          |SELECT da, db, jaccard FROM scored
          |WHERE jaccard >= $JaccardThreshold ORDER BY da, db""".stripMargin,
+    "x_dedup_containment" ->
+      s"""WITH $toksCte, $shCte, $shfCte,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT da, db, inter, na, nb,
+         |  CAST(inter * 1000000 // least(na, nb) AS BIGINT) AS cont_e6,
+         |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |FROM pairs
+         |WHERE inter * 1000000 // least(na, nb) >= 900000
+         |ORDER BY da, db""".stripMargin,
     "x_bpe_pairs" ->
       """WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.model.Tables
+
+/** Retrieval-stack operators above the ANN/BM25 primitives: rank fusion,
+  * retrieval-quality evaluation, and the k-means refinement step that
+  * turns the label-seeded IVF quantizer into a trained one. The reference
+  * has no retrieval surface (`Sites/DataProc_Script/spark_ingest_slmandicprd.py`
+  * is table movement); these are the serving-side operators of a corpus
+  * engine (SURVEY.md §2B north star).
+  *
+  * Exactness discipline: rankings order by ROUNDED cosine (6dp, the
+  * Similarity convention — each dot product is a fixed-order IEEE sum both
+  * engines share) with an id tie-break, and every metric derived from a
+  * rank is an integer (×10⁶ truncating division) — so rank-based keys
+  * hash-match with no tolerance contract.
+  */
+object Retrieval {
+
+  /** X139: reciprocal rank fusion (RRF, Cormack et al., SIGIR 2009) — the
+    * standard hybrid-retrieval combiner: each ranked list contributes
+    * 1/(k+rank) per document; k=60 damps rank-1 dominance. Here the fused
+    * lists are the per-term term-frequency rankings of the corpus's two
+    * most frequent tokens (deterministic stand-ins for two retriever
+    * outputs; the operator only sees (doc_id, rank) lists). Scores are
+    * exact integers: 10⁶ div (k+r) summed per doc.
+    *
+    * Scale shape: candidate lists are top-`listLen` per query — the window
+    * partitions by query term, so each partition holds one retriever's
+    * candidate set (bounded by design: retrievers emit top-N, not the
+    * corpus). The fusion itself is one groupBy over list-length×queries
+    * rows — metadata scale next to the corpus. */
+  def rrf(docs: DataFrame, k: Int = 60, listLen: Int = 100,
+      topN: Int = 20): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val top2 = tf.groupBy("w").agg(sum("tf").as("ctf"))
+      .orderBy(col("ctf").desc, col("w")).limit(2)
+    val ranked = tf.join(broadcast(top2.select("w")), "w")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("w").orderBy(col("tf").desc, col("doc_id")))
+        .cast("long"))
+      .where(col("r") <= listLen)
+    ranked.groupBy("doc_id")
+      .agg(sum(expr(s"1000000 div ($k + r)")).as("rrf_e6"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(topN)
+  }
+
+  /** X140: retrieval evaluation — MRR and recall@k against the label
+    * structure as ground truth: one query per label (its lowest vec_id),
+    * relevant = same-label vectors, ranking = exact cosine (6dp-rounded,
+    * id tie-break). Emits per-query first-relevant rank, reciprocal rank
+    * ×10⁶, and recall@k ×10⁶ — the eval harness every ANN variant
+    * (x_sim_ann/x_sim_ann_ivf) is tuned against.
+    *
+    * Scale shape: the query set is broadcast (eval sets are bounded by
+    * design); scoring is a map-side projection over the corpus; the
+    * per-query ranking window partitions by query — Q partitions of N
+    * rows. For corpus-scale N per reducer, cut candidates first with the
+    * ANN bucket (rank only the probed cells) — the eval then measures the
+    * ANN's OWN candidate recall, which is the number that matters. */
+  def evalRetrieval(emb: DataFrame, atK: Int = 10): DataFrame = {
+    val qIds = emb.groupBy(col("label").as("q_label"))
+      .agg(min("vec_id").as("q_id"))
+    val queries = emb.join(qIds, emb("vec_id") === qIds("q_id"))
+      .select(col("q_label"), col("q_id"), col("embedding").as("q_vec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_label"), col("q_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("q_vec")), 6).as("sim"),
+        col("vec_id"))
+    val ranked = scored.withColumn("r", row_number().over(
+      Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id")))
+      .cast("long"))
+    ranked.where(col("label") === col("q_label"))
+      .groupBy("q_label")
+      .agg(min("r").as("first_rank"),
+        sum(when(col("r") <= atK, 1L).otherwise(0L)).as("hits"),
+        count(lit(1)).as("n_rel"))
+      .select(col("q_label"), col("first_rank"),
+        expr("1000000 div first_rank").as("rr_e6"),
+        expr(s"hits * 1000000 div least(CAST($atK AS BIGINT), n_rel)")
+          .as(s"recall_e6"))
+      .orderBy("q_label")
+  }
+
+  /** X141: one k-means (Lloyd) refinement step over the IVF quantizer:
+    * assign every vector to its nearest current centroid
+    * ([[Similarity.assignCells]] — broadcast K-row centroid table, map-side
+    * argmax), then recompute each cell's centroid as the member mean. The
+    * step that turns the label-seeded coarse quantizer (X29) into a
+    * TRAINED one — iterate to taste; each iteration is one broadcast join
+    * + two partial-first aggregations, never a corpus shuffle of vectors
+    * (the per-(cell,dim) layout shuffles 16-byte rows).
+    *
+    * Exactness: coordinates are quantized to ×10⁶ integers BEFORE
+    * averaging (floor(v·10⁶ + 0.5) — two correctly-rounded IEEE ops on
+    * identical inputs), so the mean is an integer division and the new
+    * centroids are engine-exact; averaging raw floats would be
+    * aggregation-order-dependent and could never hash-match. */
+  def kmeansStep(emb: DataFrame, maxPos: Int = 8): DataFrame = {
+    val cents = Similarity.centroidVectors(emb)
+    Similarity.assignCells(emb, cents)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cell"), col("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v_e6"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(v_e6) div count(*)").as("c_e6"))
+      .where(col("pos") < maxPos)
+      .orderBy("cell", "pos")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rrf" -> ((s, dir) => rrf(Tables.documents(s, dir))),
+    "x_eval_retrieval" -> ((s, dir) =>
+      evalRetrieval(Tables.embeddings(s, dir))),
+    "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
+
+  val oracles: Map[String, String] = Map(
+    "x_rrf" ->
+      """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |top2 AS (SELECT w FROM (SELECT w, sum(tf) AS ctf FROM tf GROUP BY w)
+        |  ORDER BY ctf DESC, w LIMIT 2),
+        |ranked AS (SELECT doc_id,
+        |    CAST(row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc_id)
+        |      AS BIGINT) AS r
+        |  FROM tf JOIN top2 USING (w)
+        |  QUALIFY r <= 100)
+        |SELECT doc_id,
+        |  CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_e6,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM ranked GROUP BY doc_id
+        |ORDER BY rrf_e6 DESC, doc_id LIMIT 20""".stripMargin,
+    "x_eval_retrieval" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT e.label AS q_label, e.vec_id AS q_id, e.v AS qv
+        |  FROM e JOIN (SELECT label, min(vec_id) AS q_id FROM e GROUP BY label) m
+        |    ON e.vec_id = m.q_id),
+        |ranked AS (SELECT q.q_label, q.q_id, e.label,
+        |    CAST(row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |      round(list_dot_product(e.v, q.qv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) *
+        |         sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+        |      e.vec_id) AS BIGINT) AS r
+        |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        |SELECT q_label, min(r) AS first_rank,
+        |  CAST(1000000 // min(r) AS BIGINT) AS rr_e6,
+        |  CAST(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) * 1000000
+        |       // least(10, count(*)) AS BIGINT) AS recall_e6
+        |FROM ranked WHERE label = q_label
+        |GROUP BY q_label ORDER BY q_label""".stripMargin,
+    "x_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${LlmQueries.centCte},
+         |${LlmQueries.asgCte},
+         |m AS (SELECT cell, pos - 1 AS pos,
+         |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS v_e6
+         |  FROM (SELECT cell, unnest(v) AS x,
+         |          generate_subscripts(v, 1) AS pos FROM asg))
+         |SELECT cell, CAST(pos AS INTEGER) AS pos,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(v_e6) // count(*) AS BIGINT) AS c_e6
+         |FROM m WHERE pos < 8
+         |GROUP BY cell, pos ORDER BY cell, pos""".stripMargin)
+}

@@ -114,12 +114,54 @@ object TrainingSets {
       .limit(20)
   }
 
+  /** X138: dedup-aware split leakage audit — the eval-contamination check
+    * that must run AFTER any hash split (X63): exact-duplicate content
+    * groups (md5 of the raw text) that straddle train/val/test boundaries
+    * leak eval answers into training. The split is keyed on doc_id while
+    * duplicate content shares a text hash, so duplicates land in
+    * independent splits ~1−(0.8²+0.1²+0.1²) of the time — this audit
+    * counts those clusters and their documents. Shape: one groupBy on the
+    * content hash (evenly-spread 16-byte keys) + a one-row global — the
+    * same cost as exact dedup at any corpus size. The fix it feeds:
+    * re-key the split on the CONTENT hash (then a cluster is atomic by
+    * construction) or drop non-canonical members first (X30b). */
+  private def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.relational.Sampling
+      .trainValTest(Tables.documents(spark, dir), col("doc_id"))
+      .select(col("split"), md5(col("text")).as("ck"))
+    val clusters = d.groupBy("ck")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("split").as("n_splits"))
+      .where(col("n_docs") > 1)
+    clusters.agg(
+      count(lit(1)).as("n_dup_clusters"),
+      sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaky_clusters"),
+      coalesce(sum(when(col("n_splits") > 1, col("n_docs"))), lit(0L))
+        .as("n_docs_in_leaky"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_split_leakage" -> ((s, dir) => splitLeakage(s, dir)),
     "x_feature_asof" -> ((s, dir) => featureAsOf(s, dir)),
     "x_ngram_lm" -> ((s, dir) => bigramLm(s, dir)),
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_split_leakage" ->
+      s"""WITH b AS (SELECT md5(text) AS ck,
+         |    CASE WHEN h % 100 < 80 THEN 'train'
+         |         WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT text,
+         |      ${StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} AS h
+         |    FROM documents)),
+         |cl AS (SELECT ck, CAST(count(*) AS BIGINT) AS n_docs,
+         |    count(DISTINCT split) AS n_splits
+         |  FROM b GROUP BY ck HAVING count(*) > 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_dup_clusters,
+         |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_leaky_clusters,
+         |  CAST(coalesce(sum(CASE WHEN n_splits > 1 THEN n_docs END), 0) AS BIGINT)
+         |    AS n_docs_in_leaky
+         |FROM cl""".stripMargin,
     "x_ngram_lm" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),

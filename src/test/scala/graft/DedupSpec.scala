@@ -130,4 +130,19 @@ class DedupSpec extends SparkSpec with Matchers {
       .select("va", "vb", "cos_sim").as[(Long, Long, Double)].collect().toSeq
     got shouldBe Seq((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0))
   }
+
+  test("containment finds a subset doc that the Jaccard threshold misses") {
+    // doc 2's shingle set (8) is fully inside doc 1's (18):
+    // containment = 1.0 but Jaccard = 8/18 ≈ 0.44 < 0.5
+    val long = (1 to 20).map(i => s"w$i").mkString(" ")
+    val short = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> long, 2L -> short, 3L -> "x1 x2 x3 x4 x5")
+    val cont = Dedup.containmentPairs(d, 0.9)
+      .select("da", "db", "cont_e6", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    cont shouldBe Seq((1L, 2L, 1000000L, 0.444444))
+    // the symmetric Jaccard operator structurally misses the pair
+    Dedup.nearDuplicatePairs(d, 0.5)
+      .where(col("da") === 1L && col("db") === 2L).count() shouldBe 0L
+  }
 }

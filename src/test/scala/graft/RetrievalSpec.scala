@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.llm.{Retrieval, Similarity}
+
+class RetrievalSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("RRF fuses two ranked lists: dual-list members outrank single-list leaders") {
+    // corpus top-2 tokens: a (8), b (8). Lists rank by per-doc tf.
+    //   list a: doc1 (r1), doc3 (r2), doc4 (r3)
+    //   list b: doc2 (r1), doc3 (r2), doc4 (r3)
+    val d = docs(1L -> "a a a a", 2L -> "b b b b",
+      3L -> "a a a b b b", 4L -> "a b c c")
+    val got = Retrieval.rrf(d)
+      .select("doc_id", "rrf_e6", "n_lists").as[(Long, Long, Long)]
+      .collect().toSeq
+    // doc3: 2·⌊10⁶/62⌋ = 32258 beats doc1/doc2's single ⌊10⁶/61⌋ = 16393;
+    // doc4's two rank-3 entries (31746) also beat any single rank-1.
+    got shouldBe Seq(
+      (3L, 2 * (1000000L / 62), 2L),
+      (4L, 2 * (1000000L / 63), 2L),
+      (1L, 1000000L / 61, 1L),
+      (2L, 1000000L / 61, 1L))
+  }
+
+  private def emb(rows: (Long, Seq[Float], Int)*) =
+    rows.toDF("vec_id", "embedding", "label")
+
+  test("retrieval eval: clean label geometry gives MRR = 1 and full recall") {
+    val e = emb(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0.1f, 0.9f), 1))
+    val got = Retrieval.evalRetrieval(e, atK = 10)
+      .select("q_label", "first_rank", "rr_e6", "recall_e6")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // each query's same-label neighbor is its nearest vector → rank 1,
+    // and the single relevant doc is inside the top-10 → recall 10⁶
+    got shouldBe Seq((0, 1L, 1000000L, 1000000L), (1, 1L, 1000000L, 1000000L))
+  }
+
+  test("k-means step: membership counts partition the corpus and means are exact") {
+    val e = embTable
+    val step = Retrieval.kmeansStep(e, maxPos = 2).cache()
+    val total = e.count()
+    // each dimension slice sees every vector exactly once
+    step.where(col("pos") === 0).agg(sum("n_members")).as[Long].head() shouldBe total
+    step.groupBy("cell", "pos").count().where(col("count") > 1).count() shouldBe 0L
+    // a centroid coordinate is the integer mean of its members' ×10⁶ coords
+    val cell0 = Similarity.assignCells(e, Similarity.centroidVectors(e))
+      .where(col("cell") === 0)
+      .select(expr("CAST(floor(CAST(embedding[0] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("v"))
+      .agg(expr("sum(v) div count(*)").as("m")).as[Long].head()
+    step.where(col("cell") === 0 && col("pos") === 0)
+      .select("c_e6").as[Long].head() shouldBe cell0
+  }
+
+  private def embTable =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+}
