@@ -29,6 +29,12 @@ object LlmQueries {
     "x_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    "x_c4_filters" -> ((s, dir) =>
+      TextAnalysis.c4Filters(Tables.documents(s, dir))),
+
+    "x_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
+
     "x_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(Tables.documents(s, dir), 20)),
 
@@ -389,6 +395,41 @@ object LlmQueries {
          |  round(punct_raw, 6) AS punct_ratio,
          |  round(least(n_tokens / 100.0, 1.0) * div_raw * (1.0 - punct_raw), 6) AS quality
          |FROM raw ORDER BY doc_id""".stripMargin,
+    "x_c4_filters" ->
+      s"""WITH $toksCte,
+         |v AS (SELECT
+         |    CAST(sum(CASE WHEN len(t) < 5 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |    CAST(sum(CASE WHEN text LIKE '%{%' OR text LIKE '%}%' THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         |    CAST(sum(CASE WHEN lower(text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         |    CAST(sum(CASE WHEN NOT regexp_matches(text, '[.!?]$$') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         |    CAST(sum(CASE WHEN list_max(list_transform(t, w -> length(w))) > 20 THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+         |    CAST(sum(CASE WHEN len(list_filter(t, w -> w IN (${stopIn("de")}, ${stopIn("en")}, ${stopIn("es")}, ${stopIn("fr")}))) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v6
+         |  FROM toks),
+         |rules(rule, violations) AS (
+         |  SELECT 'min_words: >= 5', v1 FROM v
+         |  UNION ALL SELECT 'no_code_braces', v2 FROM v
+         |  UNION ALL SELECT 'no_lorem_ipsum', v3 FROM v
+         |  UNION ALL SELECT 'terminal_punctuation', v4 FROM v
+         |  UNION ALL SELECT 'max_word_len: <= 20', v5 FROM v
+         |  UNION ALL SELECT 'has_stopwords', v6 FROM v)
+         |SELECT rule, violations, violations = 0 AS pass
+         |FROM rules ORDER BY rule""".stripMargin,
+    "x_lang_confusion" ->
+      s"""WITH $toksCte,
+         |pred AS (SELECT lang,
+         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT lang, text,
+         |    len(list_filter(t, w -> w IN (${stopIn("de")}))) AS s_de,
+         |    len(list_filter(t, w -> w IN (${stopIn("en")}))) AS s_en,
+         |    len(list_filter(t, w -> w IN (${stopIn("es")}))) AS s_es,
+         |    len(list_filter(t, w -> w IN (${stopIn("fr")}))) AS s_fr
+         |  FROM toks))
+         |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "x_top_tokens" ->
       s"""WITH $toksCte
          |SELECT token, count(*) AS n

@@ -120,13 +120,49 @@ object Retrieval {
       .orderBy("cell", "pos")
   }
 
+  /** X150: per-dimension embedding statistics — the embedding-QA scan that
+    * catches dead dimensions (constant output), saturated dimensions
+    * (clipped min/max), and scale drift between model versions before they
+    * poison every downstream dot product. Coordinates quantize to ×10⁶
+    * integers first (the [[kmeansStep]] discipline), so mean/min/max/zero
+    * counts are engine-exact. One posexplode + one groupBy(pos) — 16-byte
+    * rows, dimension-bounded output, scan-speed at any corpus size. */
+  def dimStats(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("pos"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)")
+          .as("v6"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        // integer division: Spark's `div` and DuckDB's integer `//` BOTH
+        // truncate toward zero (DuckDB floors only for DOUBLE operands),
+        // so the mean is engine-exact even for the negative sums this
+        // scan exists to surface — and stays exact past the 2⁵³ ceiling
+        // a float division would hit
+        expr("sum(v6) div count(*)").as("mean_e6"),
+        min("v6").as("min_e6"), max("v6").as("max_e6"),
+        sum(when(col("v6") === 0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy("pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_dim_stats" -> ((s, dir) =>
+      dimStats(Tables.embeddings(s, dir))),
     "x_rrf" -> ((s, dir) => rrf(Tables.documents(s, dir))),
     "x_eval_retrieval" -> ((s, dir) =>
       evalRetrieval(Tables.embeddings(s, dir))),
     "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
 
   val oracles: Map[String, String] = Map(
+    "x_embed_dim_stats" ->
+      """WITH m AS (SELECT pos - 1 AS pos,
+        |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS v6
+        |  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |          generate_subscripts(embedding, 1) AS pos FROM embeddings))
+        |SELECT CAST(pos AS INTEGER) AS pos, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v6) // count(*) AS BIGINT) AS mean_e6,
+        |  min(v6) AS min_e6, max(v6) AS max_e6,
+        |  CAST(sum(CASE WHEN v6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM m GROUP BY pos ORDER BY pos""".stripMargin,
     "x_rrf" ->
       """WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

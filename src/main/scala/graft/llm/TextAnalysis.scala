@@ -43,6 +43,51 @@ object TextAnalysis {
       .otherwise("fr")
   }
 
+  /** X148: C4-style heuristic filter suite (Raffel et al. 2020 §2.2,
+    * adapted to this corpus's features) evaluated like the X80 DQ rules:
+    * every row-level predicate folds into ONE conditional-aggregation scan
+    * — adding a rule adds a column, never a pass. Report rows:
+    * (rule, violations, pass). The rules themselves are the C4 family:
+    * minimum length, code markers (braces), boilerplate phrase
+    * ("lorem ipsum"), terminal punctuation, runaway token length
+    * (gibberish), and zero stopword hits (non-language). */
+  def c4Filters(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val hits = size(filter(t, w => w.isInCollection(allStops)))
+    docs.agg(
+        sum(when(size(t) < 5, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("text").contains("{") || col("text").contains("}"), 1L)
+          .otherwise(0L)).as("v2"),
+        sum(when(lower(col("text")).contains("lorem ipsum"), 1L).otherwise(0L))
+          .as("v3"),
+        sum(when(!col("text").rlike("[.!?]$"), 1L).otherwise(0L)).as("v4"),
+        sum(when(array_max(transform(t, w => length(w))) > 20, 1L)
+          .otherwise(0L)).as("v5"),
+        sum(when(hits === 0, 1L).otherwise(0L)).as("v6"))
+      .select(expr(
+        """stack(6,
+          |  'min_words: >= 5', v1,
+          |  'no_code_braces', v2,
+          |  'no_lorem_ipsum', v3,
+          |  'terminal_punctuation', v4,
+          |  'max_word_len: <= 20', v5,
+          |  'has_stopwords', v6) AS (rule, violations)""".stripMargin))
+      .withColumn("pass", col("violations") === 0)
+      .orderBy("rule")
+  }
+
+  /** X149: language confusion matrix — declared `lang` column vs the
+    * n-gram/stopword detector ([[languageId]]): the audit that catches
+    * mislabeled-language ingestion before it skews per-language sampling
+    * (X26d) or per-language packing (X47). One projection + one groupBy
+    * over (declared, detected) — a vocabulary²-bounded relation. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), languageId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
   /** Per-document token statistics. */
   def stats(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))

@@ -1080,6 +1080,71 @@ object CoreQueries {
           |FROM reach GROUP BY node ORDER BY node""".stripMargin)
     }),
 
+    // X145: DISTINCT ON semantics (latest-row-per-key) — DuckDB/Postgres
+    // spell it DISTINCT ON; Spark's equivalent is one hash aggregation of
+    // a lexicographic struct max (NO window sort: max(struct) has map-side
+    // partials, so top-1-per-key costs one shuffle of 16-byte rows where
+    // the row_number formulation sorts every group). Pinned cross-engine
+    // with a deterministic (date, key) order.
+    "x_distinct_on" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+          col("m.o_orderdate").as("o_orderdate"))
+        .orderBy("o_custkey")),
+
+    // X146: window navigation matrix — lag/lead with explicit defaults and
+    // nth_value / last_value IGNORE NULLS over explicit frames, in one
+    // windowed projection (ONE sort per partition serves all five
+    // functions). The frame is spelled out because nth_value's DEFAULT
+    // frame (unbounded preceding..current row) silently yields NULL for
+    // rows before the nth — the classic migration surprise, pinned here.
+    "x_window_nav" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_nav")
+      s.sql(
+        """SELECT o_custkey, o_orderkey,
+          |  lag(cents, 2, -1) OVER w AS lag2,
+          |  lead(cents, 1, -1) OVER w AS lead1,
+          |  nth_value(cents, 3) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth3,
+          |  last_value(maybe_cents) IGNORE NULLS OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate, o_orderkey
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+          |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+          |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+          |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+          |      ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END
+          |      AS maybe_cents
+          |  FROM v_orders_nav WHERE o_custkey <= 150)
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_custkey, o_orderkey""".stripMargin)
+    }),
+
+    // X147: percentile_disc vs percentile_cont (WITHIN GROUP ordered-set
+    // aggregates, Spark 4 + DuckDB): disc returns a MEMBER of the set
+    // (engine-exact on integer cents), cont interpolates between the two
+    // straddling members — the two are routinely confused and differ on
+    // every even-count group. p = 0.25 exercises a non-trivial
+    // interpolation fraction; the cont result is rounded at 6dp (the
+    // interpolation is two IEEE ops on exact integers; association order
+    // can differ across engines by 1 ulp — far below 6dp at these
+    // magnitudes).
+    "x_percentile_kinds" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem_pk")
+      s.sql(
+        """SELECT l_returnflag AS flag,
+          |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25_disc,
+          |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
+          |    AS p25_cont
+          |FROM (SELECT l_returnflag,
+          |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+          |  FROM v_lineitem_pk)
+          |GROUP BY l_returnflag ORDER BY flag""".stripMargin)
+    }),
+
     // X34c: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
     // function DEFINED in SQL is inlined by the analyzer into the plan, so
     // unlike a Scala/Python UDF it stays inside codegen and pushdown: the
@@ -1690,6 +1755,39 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_distinct_on" ->
+      """SELECT * FROM (
+        |  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |  FROM orders WHERE o_custkey <= 200
+        |  ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+        |ORDER BY o_custkey""".stripMargin,
+    "x_window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(cents, 2, -1) OVER w AS lag2,
+        |  lead(cents, 1, -1) OVER w AS lead1,
+        |  nth_value(cents, 3) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth3,
+        |  last_value(maybe_cents IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_seen
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END
+        |      AS maybe_cents
+        |  FROM orders WHERE o_custkey <= 150)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "x_percentile_kinds" ->
+      """SELECT l_returnflag AS flag,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25_disc,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
+        |    AS p25_cont
+        |FROM (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY flag""".stripMargin,
     "x_group_by_all" ->
       """SELECT l_returnflag AS flag, l_linestatus AS status,
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty

@@ -529,7 +529,72 @@ object StatsOps {
       .orderBy("lag")
   }
 
+  /** X143: two-feature OLS regression by the closed-form normal equations —
+    * distributed model fitting with NO iteration: one pass of BIGINT
+    * sufficient sums (Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y), then a
+    * one-row 2×2 Cramer solve. The centered normal-matrix entries
+    * (n·Σx₁² − (Σx₁)², …) and BOTH Cramer numerators stay EXACT integers
+    * in DECIMAL(38,0)/HUGEINT, so each coefficient is a single
+    * correctly-rounded IEEE division of identical exact integers —
+    * engine-bit-exact, where an iterative or float-accumulated fit never
+    * could be. Ceilings at these magnitudes (x₁ ≤ 50, x₂ ≤ 10, y ≤ 10⁷):
+    * numerator ≈ n²·Σx₁y ≲ 10³⁸ holds to n ≈ 10⁸ rows; beyond that,
+    * pre-scale y. */
+  private def ols2(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("x1"),
+      expr("CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)").as("x2"),
+      expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)").as("y"))
+    li.agg(count(lit(1)).as("n"), sum("x1").as("sx1"), sum("x2").as("sx2"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11r"),
+        sum(col("x2") * col("x2")).as("s22r"),
+        sum(col("x1") * col("x2")).as("s12r"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      .selectExpr("n", "sx1", "sx2", "sy",
+        "CAST(n AS DECIMAL(38,0)) * s11r - CAST(sx1 AS DECIMAL(38,0)) * sx1 AS m11",
+        "CAST(n AS DECIMAL(38,0)) * s22r - CAST(sx2 AS DECIMAL(38,0)) * sx2 AS m22",
+        "CAST(n AS DECIMAL(38,0)) * s12r - CAST(sx1 AS DECIMAL(38,0)) * sx2 AS m12",
+        "CAST(n AS DECIMAL(38,0)) * s1y - CAST(sx1 AS DECIMAL(38,0)) * sy AS my1",
+        "CAST(n AS DECIMAL(38,0)) * s2y - CAST(sx2 AS DECIMAL(38,0)) * sy AS my2")
+      .selectExpr("n",
+        "round(CAST(my1 * m22 - my2 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS b1",
+        "round(CAST(my2 * m11 - my1 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS b2",
+        """round((CAST(sy AS DOUBLE)
+          |  - CAST(my1 * m22 - my2 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+          |  - CAST(my2 * m11 - my1 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+          |  / CAST(n AS DOUBLE), 6) AS b0""".stripMargin)
+  }
+
+  /** X144: Benford first-digit audit — the fraud/corruption screen for
+    * "organically grown" numeric columns: the observed first-significant-
+    * digit distribution against Benford's log₁₀(1+1/d) expectation. The
+    * digit is a string operation on the floored integer (engine-identical,
+    * no libm); expected shares are ×10⁶ literal constants on both sides,
+    * so the whole report is exact integers. One groupBy(digit) + a 1-row
+    * broadcast total — scan-bound at any scale. */
+  private def benford(spark: SparkSession, dir: String): DataFrame = {
+    val bexp = "CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091 " +
+      "WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181 " +
+      "WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153 " +
+      "ELSE 45757 END"
+    val d = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("total"))
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_e6"),
+        expr(s"CAST($bexp AS BIGINT)").as("benford_e6"),
+        expr(s"n * 1000000 div total - ($bexp)").as("dev_e6"))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ols2" -> ((s, dir) => ols2(s, dir)),
+    "x_benford" -> ((s, dir) => benford(s, dir)),
     "x_gini" -> ((s, dir) => giniImpurity(s, dir)),
     "x_chisq" -> ((s, dir) => chiSquare(s, dir)),
     "x_cross_corr" -> ((s, dir) => crossCorrelation(s, dir)),
@@ -550,6 +615,52 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_ols2" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1 * x1) AS BIGINT) AS s11r,
+        |    CAST(sum(x2 * x2) AS BIGINT) AS s22r,
+        |    CAST(sum(x1 * x2) AS BIGINT) AS s12r,
+        |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+        |  FROM li),
+        |m AS (SELECT n, sx1, sx2, sy,
+        |    CAST(n AS HUGEINT) * s11r - CAST(sx1 AS HUGEINT) * sx1 AS m11,
+        |    CAST(n AS HUGEINT) * s22r - CAST(sx2 AS HUGEINT) * sx2 AS m22,
+        |    CAST(n AS HUGEINT) * s12r - CAST(sx1 AS HUGEINT) * sx2 AS m12,
+        |    CAST(n AS HUGEINT) * s1y - CAST(sx1 AS HUGEINT) * sy AS my1,
+        |    CAST(n AS HUGEINT) * s2y - CAST(sx2 AS HUGEINT) * sy AS my2
+        |  FROM s)
+        |SELECT n,
+        |  round(CAST(my1 * m22 - my2 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS b1,
+        |  round(CAST(my2 * m11 - my1 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS b2,
+        |  round((CAST(sy AS DOUBLE)
+        |    - CAST(my1 * m22 - my2 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+        |    - CAST(my2 * m11 - my1 * m12 AS DOUBLE) / CAST(m11 * m22 - m12 * m12 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS b0
+        |FROM m""".stripMargin,
+    "x_benford" ->
+      """WITH d AS (SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+        |b AS (SELECT digit, n, total,
+        |    CASE digit WHEN '1' THEN 301030 WHEN '2' THEN 176091
+        |      WHEN '3' THEN 124939 WHEN '4' THEN 96910 WHEN '5' THEN 79181
+        |      WHEN '6' THEN 66947 WHEN '7' THEN 57992 WHEN '8' THEN 51153
+        |      ELSE 45757 END AS benford_e6
+        |  FROM d, t)
+        |SELECT digit, n,
+        |  CAST(n * 1000000 // total AS BIGINT) AS share_e6,
+        |  CAST(benford_e6 AS BIGINT) AS benford_e6,
+        |  CAST(n * 1000000 // total - benford_e6 AS BIGINT) AS dev_e6
+        |FROM b ORDER BY digit""".stripMargin,
     "x_gini" ->
       """WITH cc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
         |  FROM documents GROUP BY 1, 2),
