@@ -149,7 +149,33 @@ object CorpusStats {
         expr("c * length(bigram) * 1000000 div text_len").as("frac_e6"))
   }
 
+  /** X156: corpus-slice similarity matrix — vocabulary Jaccard between
+    * every pair of sources: the provenance-dedup signal (two feeds
+    * syndicating the same upstream show near-identical vocabularies) and
+    * the mix-design input (how much marginal diversity a source adds).
+    * The token self-join fans out per token only to the #sources containing
+    * it (≤ S), so the candidate volume is ≤ S·|vocab| — linear in
+    * vocabulary with an S² output, never corpus-quadratic. Jaccard in
+    * exact ×10⁶ integers. */
+  def sourceSimilarity(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.as("a").join(st.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("inter"),
+        expr("inter * 1000000 div (na + nb - inter)").as("jaccard_e6"))
+      .orderBy("sa", "sb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_source_similarity" -> ((s, dir) =>
+      sourceSimilarity(Tables.documents(s, dir))),
     "x_top_ngram_frac" -> ((s, dir) =>
       topNgramFraction(Tables.documents(s, dir))
         .where(col("doc_id") <= 400).orderBy("doc_id")),
@@ -163,6 +189,22 @@ object CorpusStats {
       vocabularyGrowth(Tables.documents(s, dir), 25)))
 
   val oracles: Map[String, String] = Map(
+    "x_source_similarity" ->
+      """WITH st AS (SELECT DISTINCT source, w
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM st GROUP BY source),
+        |inter AS (SELECT a.source AS sa, b.source AS sb,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa, sb, inter,
+        |  CAST(inter * 1000000 // (na.n + nb.n - inter) AS BIGINT) AS jaccard_e6
+        |FROM inter
+        |JOIN sizes na ON na.source = inter.sa
+        |JOIN sizes nb ON nb.source = inter.sb
+        |ORDER BY sa, sb""".stripMargin,
     "x_top_ngram_frac" ->
       """WITH toks AS (SELECT doc_id, length(text) AS text_len,
         |    string_split(text, ' ') AS t

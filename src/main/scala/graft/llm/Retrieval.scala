@@ -144,7 +144,71 @@ object Retrieval {
         sum(when(col("v6") === 0, 1L).otherwise(0L)).as("n_zero"))
       .orderBy("pos")
 
+  /** X157: embedding-space separation audit — mean pairwise cosine within
+    * vs across labels over a deterministic id-bounded sample: the one-row
+    * answer to "does this embedding model separate the classes at all"
+    * (intra ≫ inter) and the drift canary between model versions. Cosines
+    * quantize to ⌊cos·10⁶⌋ integers (the fixed-order IEEE cosine both
+    * engines share, one multiply, exact floor), so means are integer
+    * divisions. The pair space is sample², never corpus² — eval-bounded
+    * by design. */
+  def embedSeparation(emb: DataFrame, maxId: Long = 100): DataFrame = {
+    val e = emb.where(col("vec_id") < maxId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.label") === col("b.label")).as("same_label"),
+        floor(VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")) * 1000000.0).cast("long").as("cos_e6"))
+      .groupBy("same_label")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(cos_e6) div count(*)").as("mean_cos_e6"))
+      .orderBy("same_label")
+  }
+
+  /** X158: ANN recall-vs-probe sweep — the tuning curve the IVF variants
+    * ([[Similarity.annTopKIvf]]) trade on: for one query, ground truth =
+    * exact top-10, then for nProbe ∈ 1..4 the fraction of truth found in
+    * the nProbe nearest cells, plus the candidate volume scanned. Makes
+    * the recall/cost trade MEASURED rather than asserted. All rank-derived
+    * integers; probe ranking and assignment reuse the oracle-pinned
+    * centroid CTEs. */
+  def annRecallSweep(emb: DataFrame, queryId: Long, k: Int = 10,
+      maxProbe: Int = 4): DataFrame = {
+    val cents = Similarity.centroidVectors(emb).cache()
+    val assigned = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("q_vec"))
+    val cellRank = cents.crossJoin(broadcast(q))
+      .select(col("cell"),
+        round(VectorOps.cosine(col("cvec"), col("q_vec")), 6).as("c_sim"))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("c_sim").desc, col("cell"))).cast("long"))
+      .select("cell", "crank")
+    val truth = Similarity.topK(emb, queryId, k)
+      .join(assigned, "vec_id")
+      .join(cellRank, "cell")
+      .select(col("vec_id"), col("crank"))
+    val cellSizes = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .join(cellRank, "cell")
+    val probes = emb.sparkSession.range(1, maxProbe + 1)
+      .select(col("id").cast("long").as("n_probe"))
+    probes
+      .join(truth, col("crank") <= col("n_probe"), "left")
+      .groupBy("n_probe").agg(count(col("vec_id")).as("hits"))
+      .join(probes.join(cellSizes, col("crank") <= col("n_probe"))
+        .groupBy("n_probe").agg(sum("csz").as("n_candidates")), "n_probe")
+      .select(col("n_probe"), col("hits"),
+        expr(s"hits * 1000000 div $k").as("recall_e6"), col("n_candidates"))
+      .orderBy("n_probe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_separation" -> ((s, dir) =>
+      embedSeparation(Tables.embeddings(s, dir))),
+    "x_ann_recall_sweep" -> ((s, dir) =>
+      annRecallSweep(Tables.embeddings(s, dir), queryId = 0L)),
     "x_embed_dim_stats" -> ((s, dir) =>
       dimStats(Tables.embeddings(s, dir))),
     "x_rrf" -> ((s, dir) => rrf(Tables.documents(s, dir))),
@@ -153,6 +217,46 @@ object Retrieval {
     "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
 
   val oracles: Map[String, String] = Map(
+    "x_embed_separation" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |p AS (SELECT (a.label = b.label) AS same_label,
+        |    CAST(floor(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        |      * 1000000.0) AS BIGINT) AS cos_e6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(cos_e6) // count(*) AS BIGINT) AS mean_cos_e6
+        |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin,
+    "x_ann_recall_sweep" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |${LlmQueries.centCte},
+         |${LlmQueries.asgCte},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cr AS (SELECT cell, CAST(row_number() OVER (ORDER BY
+         |      round(list_dot_product(cvec, qv) /
+         |        (sqrt(list_dot_product(cvec, cvec)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+         |      cell) AS BIGINT) AS crank
+         |  FROM cent CROSS JOIN q),
+         |ranked AS (SELECT vec_id, row_number() OVER (ORDER BY
+         |      round(list_dot_product(v, qv) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) DESC,
+         |      vec_id) AS rk
+         |  FROM e CROSS JOIN q WHERE vec_id <> 0),
+         |truth AS (SELECT r.vec_id, cr.crank
+         |  FROM ranked r JOIN asg ON asg.vec_id = r.vec_id
+         |  JOIN cr ON cr.cell = asg.cell
+         |  WHERE r.rk <= 10),
+         |csz AS (SELECT cr.crank, CAST(count(*) AS BIGINT) AS csz
+         |  FROM asg JOIN cr ON cr.cell = asg.cell GROUP BY cr.crank),
+         |probes AS (SELECT CAST(unnest(range(1, 5)) AS BIGINT) AS n_probe),
+         |h AS (SELECT n_probe, CAST(count(t.vec_id) AS BIGINT) AS hits
+         |  FROM probes LEFT JOIN truth t ON t.crank <= n_probe GROUP BY n_probe),
+         |c AS (SELECT n_probe, CAST(sum(csz) AS BIGINT) AS n_candidates
+         |  FROM probes JOIN csz ON csz.crank <= n_probe GROUP BY n_probe)
+         |SELECT h.n_probe, hits,
+         |  CAST(hits * 1000000 // 10 AS BIGINT) AS recall_e6, n_candidates
+         |FROM h JOIN c USING (n_probe) ORDER BY n_probe""".stripMargin,
     "x_embed_dim_stats" ->
       """WITH m AS (SELECT pos - 1 AS pos,
         |    CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS v6

@@ -1145,6 +1145,52 @@ object CoreQueries {
           |GROUP BY l_returnflag ORDER BY flag""".stripMargin)
     }),
 
+    // X151: string scalar-function parity matrix — the migration surface
+    // where engines silently disagree (1-based positions, out-of-range
+    // split_part, pad/translate semantics), pinned in one projection.
+    // Every function here is codegen'd in Spark; a UDF rewrite of any of
+    // them would leave whole-stage codegen for no reason.
+    "x_string_fns" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("v_docs_sf")
+      s.sql(
+        """SELECT doc_id,
+          |  length(text) AS len,
+          |  upper(left(text, 10)) AS up10,
+          |  right(text, 3) AS r3,
+          |  reverse(left(text, 5)) AS rev5,
+          |  split_part(text, ' ', 3) AS w3,
+          |  CAST(instr(text, 'e') AS BIGINT) AS pos_e,
+          |  translate(left(text, 10), 'aeiou', '_____') AS tr10,
+          |  lpad(CAST(doc_id AS STRING), 6, '0') AS id_pad
+          |FROM v_docs_sf WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin)
+    }),
+
+    // X152: datetime scalar-function parity matrix — calendar semantics
+    // pinned cross-engine: ISO week numbering, day-of-week convention
+    // (Spark's dayofweek is 1=Sunday, DuckDB's dow 0=Sunday — both sides
+    // emit the ISO 1=Monday form instead), end-of-month clamping of
+    // month arithmetic (Jan 31 + 1 month = Feb 29), quarter truncation,
+    // and day arithmetic. All pure projections over the scan.
+    "x_datetime_fns" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_dt")
+      s.sql(
+        """SELECT o_orderkey,
+          |  CAST(o_orderdate AS DATE) AS d,
+          |  CAST(year(o_orderdate) AS INT) AS yr,
+          |  CAST(quarter(o_orderdate) AS INT) AS q,
+          |  CAST(month(o_orderdate) AS INT) AS mo,
+          |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+          |  CAST(weekday(o_orderdate) + 1 AS INT) AS iso_dow,
+          |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+          |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+          |  add_months(CAST(o_orderdate AS DATE), 1) AS plus_1m,
+          |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT)
+          |    AS days_since_95,
+          |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+          |FROM v_orders_dt WHERE o_orderkey <= 100
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // X34c: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
     // function DEFINED in SQL is inlined by the analyzer into the plan, so
     // unlike a Scala/Python UDF it stays inside codegen and pushdown: the
@@ -1755,6 +1801,33 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_string_fns" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  upper(left(text, 10)) AS up10,
+        |  right(text, 3) AS r3,
+        |  reverse(left(text, 5)) AS rev5,
+        |  split_part(text, ' ', 3) AS w3,
+        |  CAST(strpos(text, 'e') AS BIGINT) AS pos_e,
+        |  translate(left(text, 10), 'aeiou', '_____') AS tr10,
+        |  lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id_pad
+        |FROM documents WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin,
+    "x_datetime_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS d,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(week(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_1m,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    AS days_since_95,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start
+        |FROM orders WHERE o_orderkey <= 100
+        |ORDER BY o_orderkey""".stripMargin,
     "x_distinct_on" ->
       """SELECT * FROM (
         |  SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate

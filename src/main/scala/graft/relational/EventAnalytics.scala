@@ -541,7 +541,56 @@ object EventAnalytics {
       .orderBy("user_id", "tss", "event_id")
   }
 
+  /** X153: peak concurrency (sweep-line over bounded activity windows) —
+    * capacity planning's core question: the per-day maximum of
+    * simultaneously active 5-minute event windows. Each event explodes to
+    * the ≤5 minute-buckets it covers (the X127 bounded-explode shape — a
+    * true sweep line's global running sum would funnel one reducer), the
+    * per-minute count is one partial-first aggregation, and the per-day
+    * argmax window runs over ≤1440 minute rows per day (calendar-bounded).
+    * Minute ordinals are integer seconds-since-epoch div 60, identical in
+    * both engines. */
+  private def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("CAST(ts AS LONG) div 60").as("m0"))
+    val active = ev
+      .select(explode(expr("sequence(m0, m0 + 4)")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("active"))
+    active.withColumn("day", expr("m div 1440"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("day").orderBy(col("active").desc, col("m"))))
+      .where(col("rk") === 1)
+      .select(col("day"), col("m").as("peak_minute"), col("active").as("peak_active"))
+      .orderBy("day")
+  }
+
+  /** X154: out-of-order arrival audit — the batch-side measurement that
+    * sizes streaming watermarks (X18/X70): per user, how many events
+    * arrived with a timestamp more than 60 s behind the high-water mark of
+    * everything already received (arrival order = event_id), and the worst
+    * regression. One per-user window over arrival order; the high-water
+    * mark is an UNBOUNDED-PRECEDING running max — no self-join. Integer
+    * seconds throughout; the first event's null mark coalesces to its own
+    * ts (lateness 0) to keep null semantics out of the oracle. */
+  private def outOfOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      expr("CAST(ts AS LONG)").as("sec"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("hwm", coalesce(max("sec").over(w), col("sec")))
+      .select(col("user_id"),
+        when(col("hwm") - col("sec") > 60, 1L).otherwise(0L).as("late"),
+        greatest(col("hwm") - col("sec"), lit(0L)).as("lateness"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+        max("lateness").as("max_late_s"))
+      .where(col("user_id") <= 50)
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_concurrency" -> ((s, dir) => peakConcurrency(s, dir)),
+    "x_out_of_order" -> ((s, dir) => outOfOrder(s, dir)),
     "x_pop" -> ((s, dir) => periodOverPeriod(s, dir)),
     "x_ewma" -> ((s, dir) => ewma(s, dir)),
     "x_ohlc" -> ((s, dir) => ohlc(s, dir)),
@@ -563,6 +612,30 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_concurrency" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m0 FROM events),
+        |mins AS (SELECT m0 + x AS m
+        |  FROM e, LATERAL (SELECT unnest(range(5)) AS x) s),
+        |act AS (SELECT m, CAST(count(*) AS BIGINT) AS active FROM mins GROUP BY m),
+        |r AS (SELECT m // 1440 AS day, m, active,
+        |    row_number() OVER (PARTITION BY m // 1440
+        |      ORDER BY active DESC, m) AS rk
+        |  FROM act)
+        |SELECT day, m AS peak_minute, active AS peak_active
+        |FROM r WHERE rk = 1 ORDER BY day""".stripMargin,
+    "x_out_of_order" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |h AS (SELECT user_id, sec,
+        |    coalesce(max(sec) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), sec) AS hwm
+        |  FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN hwm - sec > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(max(greatest(hwm - sec, 0)) AS BIGINT) AS max_late_s
+        |FROM h WHERE user_id <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "x_interpolate" ->
       """WITH ev AS (SELECT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,

@@ -592,7 +592,37 @@ object StatsOps {
       .orderBy("digit")
   }
 
+  /** X155: market-basket association rules — top co-purchased part pairs
+    * with confidence and lift, the classic recsys/assortment miner. The
+    * pair space is bounded by BASKET SIZE, not catalog size: the self-join
+    * on order key emits |basket|²/2 pairs per order (TPC-H ≤ 7 lines ⇒
+    * ≤ 21), so candidate volume is linear in order count at any scale.
+    * Support counts, confidence c_ab·10⁶ div c_a, and lift
+    * c_ab·n·10⁶ div (c_a·c_b) are all exact integers (lift products in
+    * DECIMAL(38,0)/HUGEINT — c_a·c_b·10⁶ passes 2⁶³ at c ≈ 3·10⁶). */
+  private def marketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val cnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
+    val nOrders = li.agg(countDistinct("ok").as("n"))
+    li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .join(cnt.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+      .join(cnt.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("c_ab"), col("ca"), col("cb"),
+        expr("c_ab * 1000000 div ca").as("conf_e6"),
+        expr("""CAST(CAST(c_ab AS DECIMAL(38,0)) * n * 1000000
+               |     div (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)"""
+          .stripMargin).as("lift_e6"))
+      .orderBy(col("c_ab").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_basket" -> ((s, dir) => marketBasket(s, dir)),
     "x_ols2" -> ((s, dir) => ols2(s, dir)),
     "x_benford" -> ((s, dir) => benford(s, dir)),
     "x_gini" -> ((s, dir) => giniImpurity(s, dir)),
@@ -615,6 +645,22 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY pk),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+        |pairs AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, c_ab, ca.c AS ca, cb.c AS cb,
+        |  CAST(c_ab * 1000000 // ca.c AS BIGINT) AS conf_e6,
+        |  CAST(CAST(c_ab AS HUGEINT) * n.n * 1000000
+        |       // (CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS lift_e6
+        |FROM pairs
+        |JOIN cnt ca ON ca.pk = pairs.pa
+        |JOIN cnt cb ON cb.pk = pairs.pb, n
+        |ORDER BY c_ab DESC, pa, pb LIMIT 20""".stripMargin,
     "x_ols2" ->
       """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
         |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2,
