@@ -173,7 +173,36 @@ object CorpusStats {
       .orderBy("sa", "sb")
   }
 
+  /** X160: vocabulary coverage curve — for frequency thresholds 2⁰..2⁵,
+    * how many word types survive and what share of all token OCCURRENCES
+    * they cover: the tokenizer-design input (where to cut the vocab) and
+    * the long-tail health check. Computed entirely from the
+    * COUNT-OF-COUNTS table (one row per distinct frequency — a bounded
+    * 1-D distribution, the X88 trick), so no ranking window ever touches
+    * the vocabulary: the naive top-k-by-rank formulation sorts the whole
+    * vocab on one reducer. All integers. */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val tc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val coc = tc.groupBy("c").agg(count(lit(1)).as("nt"))
+    val tot = coc.agg(sum(col("c") * col("nt")).as("total_occ"),
+      sum("nt").as("total_types"))
+    val thresholds = docs.sparkSession.range(0, 6)
+      .select(expr("CAST(shiftleft(1, CAST(id AS INT)) AS BIGINT)").as("thr"))
+    thresholds.crossJoin(broadcast(coc))
+      .where(col("c") >= col("thr"))
+      .groupBy("thr")
+      .agg(sum("nt").as("types_kept"),
+        sum(col("c") * col("nt")).as("occ_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("thr"), col("types_kept"), col("total_types"),
+        expr("occ_kept * 1000000 div total_occ").as("occ_share_e6"))
+      .orderBy("thr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_vocab_coverage" -> ((s, dir) =>
+      vocabCoverage(Tables.documents(s, dir))),
     "x_source_similarity" -> ((s, dir) =>
       sourceSimilarity(Tables.documents(s, dir))),
     "x_top_ngram_frac" -> ((s, dir) =>
@@ -189,6 +218,19 @@ object CorpusStats {
       vocabularyGrowth(Tables.documents(s, dir), 25)))
 
   val oracles: Map[String, String] = Map(
+    "x_vocab_coverage" ->
+      """WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |coc AS (SELECT c, CAST(count(*) AS BIGINT) AS nt FROM tc GROUP BY c),
+        |tot AS (SELECT CAST(sum(c * nt) AS BIGINT) AS total_occ,
+        |    CAST(sum(nt) AS BIGINT) AS total_types FROM coc),
+        |thr AS (SELECT CAST(1 << CAST(unnest(range(6)) AS INTEGER) AS BIGINT) AS thr)
+        |SELECT thr, CAST(sum(nt) AS BIGINT) AS types_kept,
+        |  max(total_types) AS total_types,
+        |  CAST(sum(c * nt) * 1000000 // max(total_occ) AS BIGINT) AS occ_share_e6
+        |FROM thr JOIN coc ON c >= thr, tot
+        |GROUP BY thr ORDER BY thr""".stripMargin,
     "x_source_similarity" ->
       """WITH st AS (SELECT DISTINCT source, w
         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w

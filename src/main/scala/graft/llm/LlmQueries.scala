@@ -32,6 +32,93 @@ object LlmQueries {
     "x_c4_filters" -> ((s, dir) =>
       TextAnalysis.c4Filters(Tables.documents(s, dir))),
 
+    // X161: per-class precision/recall/F1 from the language-ID confusion —
+    // classifier evaluation as pure aggregation: tp/n_pred/n_actual per
+    // class, every metric a rational ×10⁶ (F1 = 2·tp/(n_pred+n_actual)
+    // clears the harmonic mean to ONE integer division). Classes = union
+    // of observed and predicted labels (a predicted-only class must show
+    // precision 0, not vanish).
+    "x_prf_metrics" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("pred"))
+      val classes = pred.select(col("lang").as("cls"))
+        .union(pred.select(col("pred").as("cls"))).distinct()
+      val tp = pred.where(col("lang") === col("pred"))
+        .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+      val actual = pred.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_actual"))
+      val predicted = pred.groupBy(col("pred").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      classes.join(actual, Seq("cls"), "left")
+        .join(predicted, Seq("cls"), "left")
+        .join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+        .select(col("cls"), col("tp"), col("n_actual"), col("n_pred"),
+          expr("CASE WHEN n_pred > 0 THEN tp * 1000000 div n_pred ELSE 0 END")
+            .as("precision_e6"),
+          expr("CASE WHEN n_actual > 0 THEN tp * 1000000 div n_actual ELSE 0 END")
+            .as("recall_e6"),
+          expr("CASE WHEN n_pred + n_actual > 0 THEN 2 * tp * 1000000 div (n_pred + n_actual) ELSE 0 END")
+            .as("f1_e6"))
+        .orderBy("cls")
+    }),
+
+    // X162: exact AUC by the rank-sum (Mann–Whitney U) identity — ranking
+    // quality of a score column against a binary label with NO threshold
+    // sweep: AUC = (Σ ranks of positives − n₊(n₊+1)/2) / (n₊·n₋). Ranks
+    // are exact integers under a deterministic (score, id) tie-break (the
+    // pinned variant — midrank tie handling would differ); the statistic
+    // is one rational cleared in DECIMAL(38,0)/HUGEINT. One global
+    // ranking window — the exact-global-rank funnel caveat shared with
+    // x_quantile_norm; range-partitioned ranks or the X75 sketch are the
+    // corpus-scale path.
+    "x_auc" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          size(filter(t, w => w.isInCollection(TextAnalysis.stopwords("en"))))
+            .cast("long").as("score"))
+      scored
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score"), col("doc_id"))).cast("long"))
+        .agg(sum(when(col("pos"), col("r"))).as("rs"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+        .select(col("np"), col("nn"),
+          expr("""CAST((CAST(rs AS DECIMAL(38,0)) - CAST(np AS DECIMAL(38,0)) * (np + 1) div 2)
+                 |     * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)"""
+            .stripMargin).as("auc_e6"))
+    }),
+
+    // X163: calibration by score decile — does the score's level track the
+    // label rate? ntile(10) over (score, id) buckets the corpus into equal
+    // deciles (cast to INT: DuckDB's ntile returns BIGINT, Spark INT);
+    // per-decile observed positive rate and mean score are exact ×10⁶
+    // integers. Same global-window caveat as x_auc.
+    "x_calibration" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          size(filter(t, w => w.isInCollection(TextAnalysis.stopwords("en"))))
+            .cast("long").as("score"))
+      scored
+        .withColumn("dec", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score"), col("doc_id"))).cast("int"))
+        .groupBy("dec")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum("score").as("score_sum"))
+        .select(col("dec"), col("n"),
+          expr("n_pos * 1000000 div n").as("pos_rate_e6"),
+          expr("score_sum * 1000000 div n").as("mean_score_e6"))
+        .orderBy("dec")
+    }),
+
     "x_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
 
@@ -430,6 +517,72 @@ object LlmQueries {
          |  FROM toks))
          |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
          |FROM pred GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+    "x_prf_metrics" ->
+      s"""WITH $toksCte,
+         |pred AS (SELECT lang,
+         |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred
+         |FROM (SELECT lang, text,
+         |    len(list_filter(t, w -> w IN (${stopIn("de")}))) AS s_de,
+         |    len(list_filter(t, w -> w IN (${stopIn("en")}))) AS s_en,
+         |    len(list_filter(t, w -> w IN (${stopIn("es")}))) AS s_es,
+         |    len(list_filter(t, w -> w IN (${stopIn("fr")}))) AS s_fr
+         |  FROM toks)),
+         |cls AS (SELECT DISTINCT lang AS cls FROM pred
+         |  UNION SELECT DISTINCT pred FROM pred),
+         |tpc AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tp
+         |  FROM pred WHERE lang = pred GROUP BY 1),
+         |act AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_actual
+         |  FROM pred GROUP BY 1),
+         |prd AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+         |  FROM pred GROUP BY 1)
+         |SELECT cls, coalesce(tp, 0) AS tp,
+         |  coalesce(n_actual, 0) AS n_actual, coalesce(n_pred, 0) AS n_pred,
+         |  CAST(CASE WHEN coalesce(n_pred, 0) > 0
+         |    THEN coalesce(tp, 0) * 1000000 // n_pred ELSE 0 END AS BIGINT)
+         |    AS precision_e6,
+         |  CAST(CASE WHEN coalesce(n_actual, 0) > 0
+         |    THEN coalesce(tp, 0) * 1000000 // n_actual ELSE 0 END AS BIGINT)
+         |    AS recall_e6,
+         |  CAST(CASE WHEN coalesce(n_pred, 0) + coalesce(n_actual, 0) > 0
+         |    THEN 2 * coalesce(tp, 0) * 1000000
+         |         // (coalesce(n_pred, 0) + coalesce(n_actual, 0))
+         |    ELSE 0 END AS BIGINT) AS f1_e6
+         |FROM cls LEFT JOIN tpc USING (cls) LEFT JOIN act USING (cls)
+         |LEFT JOIN prd USING (cls)
+         |ORDER BY cls""".stripMargin,
+    "x_auc" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, lang = 'en' AS pos,
+         |    CAST(len(list_filter(t, w -> w IN (${stopIn("en")}))) AS BIGINT) AS score
+         |  FROM toks),
+         |r AS (SELECT pos,
+         |    CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS r
+         |  FROM scored),
+         |s AS (SELECT CAST(sum(CASE WHEN pos THEN r END) AS HUGEINT) AS rs,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM r)
+         |SELECT np, nn,
+         |  CAST((rs - CAST(np AS HUGEINT) * (np + 1) // 2) * 1000000
+         |       // (CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_e6
+         |FROM s""".stripMargin,
+    "x_calibration" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, lang = 'en' AS pos,
+         |    CAST(len(list_filter(t, w -> w IN (${stopIn("en")}))) AS BIGINT) AS score
+         |  FROM toks),
+         |b AS (SELECT pos, score,
+         |    CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INTEGER) AS dec
+         |  FROM scored)
+         |SELECT dec, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000 // count(*)
+         |    AS BIGINT) AS pos_rate_e6,
+         |  CAST(sum(score) * 1000000 // count(*) AS BIGINT) AS mean_score_e6
+         |FROM b GROUP BY dec ORDER BY dec""".stripMargin,
     "x_top_tokens" ->
       s"""WITH $toksCte
          |SELECT token, count(*) AS n

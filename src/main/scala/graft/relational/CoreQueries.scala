@@ -1145,6 +1145,26 @@ object CoreQueries {
           |GROUP BY l_returnflag ORDER BY flag""".stripMargin)
     }),
 
+    // X164: NULL sort-order semantics — the engines' DEFAULTS disagree
+    // (Spark ASC puts NULLS FIRST, DuckDB ASC puts NULLS LAST), so any
+    // ordering consumed downstream (ranks, pagination keys, top-k
+    // boundaries) silently shifts in a migration unless the modifier is
+    // explicit. This key ranks planted NULLs under all three explicit
+    // spellings — the only portable form — and hash-pins the result.
+    "x_null_ordering" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_no")
+      s.sql(
+        """WITH d AS (SELECT o_orderkey,
+          |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+          |      ELSE CAST(floor(o_totalprice) AS BIGINT) END AS v
+          |  FROM v_orders_no WHERE o_orderkey <= 200)
+          |SELECT o_orderkey, v,
+          |  CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn_nf,
+          |  CAST(row_number() OVER (ORDER BY v ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nl,
+          |  CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, o_orderkey) AS BIGINT) AS rn_dnl
+          |FROM d ORDER BY o_orderkey""".stripMargin)
+    }),
+
     // X151: string scalar-function parity matrix — the migration surface
     // where engines silently disagree (1-based positions, out-of-range
     // split_part, pad/translate semantics), pinned in one projection.
@@ -1801,6 +1821,16 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_null_ordering" ->
+      """WITH d AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |      ELSE CAST(floor(o_totalprice) AS BIGINT) END AS v
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT o_orderkey, v,
+        |  CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey) AS BIGINT) AS rn_nf,
+        |  CAST(row_number() OVER (ORDER BY v ASC NULLS LAST, o_orderkey) AS BIGINT) AS rn_nl,
+        |  CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, o_orderkey) AS BIGINT) AS rn_dnl
+        |FROM d ORDER BY o_orderkey""".stripMargin,
     "x_string_fns" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS len,

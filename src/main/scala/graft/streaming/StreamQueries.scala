@@ -22,6 +22,26 @@ object StreamQueries {
     "x_sessionize" -> ((s, dir) =>
       TimeWindows.sessionize(Tables.events(s, dir), "30 minutes")),
 
+    // X159: Spark's NATIVE session_window aggregation pinned against the
+    // gap-island SQL formulation. The boundary convention differs from
+    // X19's hand-rolled sessionizer: session_window treats window end as
+    // last_event + gap EXCLUSIVE, so an event arriving at exactly
+    // gap-distance starts a NEW session (diff >= gap), where the islands
+    // form with `diff > gap` merges it — the off-by-one that silently
+    // shifts every downstream session metric in a migration. Comparison
+    // runs in exact µs integers (epoch_us both sides); output timestamps
+    // truncate to seconds at the boundary (the ns-parquet convention).
+    "x_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("user_id") <= 10)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_trunc("second", col("w.start")).as("sess_start"),
+          expr("CAST(w.end AS LONG) - CAST(w.start AS LONG)").as("dur_s"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start")),
+
     // X20: merge odd-event "updates" over even-event "target"; newest
     // (ts, event_id) per user wins.
     "x_upsert_latest" -> ((s, dir) => {
@@ -62,6 +82,26 @@ object StreamQueries {
         |SELECT user_id, min(tss) AS sess_start, max(tss) AS sess_end,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sessed GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+    "x_session_window" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id <= 10),
+        |m AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m),
+        |g AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id,
+        |  CAST(date_trunc('second', t0) AS TIMESTAMP) AS sess_start,
+        |  CAST(epoch_us(t1) // 1000000 + 600 - epoch_us(t0) // 1000000 AS BIGINT)
+        |    AS dur_s,
+        |  n_events
+        |FROM g ORDER BY user_id, sess_start""".stripMargin,
     "x_upsert_latest" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, value
         |  FROM events),
