@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Tables
+import graft.relational.AsOfJoin
 
 /** Behavioral event analytics: funnel, cohort retention, and the binned
   * interval join — the product-analytics query family a warehouse engine is
@@ -588,7 +589,69 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** X166: interval union (coverage) — total ACTIVE time per user after
+    * merging overlapping 5-minute activity windows: the billing/uptime
+    * primitive where summing raw durations double-counts overlaps. The
+    * classic sweep is sequential; the distributed form is the X57b island
+    * trick on intervals: a new island starts where an interval's start
+    * exceeds the running max of all PRECEDING ends (one per-user window),
+    * islands collapse with min(start)/max(end), and coverage is an exact
+    * integer-seconds sum. Two per-user windows + two aggregations — no
+    * pair joins, no sequential state. */
+  private def intervalUnion(spark: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG)").as("s0"))
+      .withColumn("s1", col("s0") + 300)
+    val w = Window.partitionBy("user_id").orderBy("s0", "s1")
+    val marked = iv
+      .withColumn("maxend",
+        max("s1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_iv",
+        when(col("maxend").isNull || col("s0") > col("maxend"), 1L)
+          .otherwise(0L))
+    marked
+      .withColumn("iid",
+        sum("new_iv").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "iid")
+      .agg(min("s0").as("a"), max("s1").as("b"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("b") - col("a")).as("covered_s"))
+      .where(col("user_id") <= 50)
+      .orderBy("user_id")
+  }
+
+  /** X167: SCD2 point-in-time lookup — the consumption half of the X57
+    * dimension build: each purchase is enriched with the state version
+    * valid AT its timestamp. Because SCD2 validity intervals PARTITION
+    * the timeline per key, interval containment degenerates to an as-of
+    * join on valid_from (X23's union + running-window shape — one shuffle,
+    * no interval join needed). Simultaneous changes collapse to the last
+    * writer (max event_id) before the lookup, mirrored exactly in the
+    * oracle. */
+  private def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_id"),
+      col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("tss", "event_id")
+    val dim = ev
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("event_type"))
+      .groupBy("user_id", "tss")
+      .agg(max_by(col("event_type"), col("event_id")).as("state"))
+    val facts = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss"), col("event_id"))
+    AsOfJoin.asof(facts, dim, "user_id", "tss", "state",
+        "state_since", "state_at_purchase")
+      .where(col("user_id") <= 30)
+      .select(col("event_id"), col("user_id"), col("tss"),
+        col("state_at_purchase"))
+      .orderBy("user_id", "tss", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_interval_union" -> ((s, dir) => intervalUnion(s, dir)),
+    "x_scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir)),
     "x_concurrency" -> ((s, dir) => peakConcurrency(s, dir)),
     "x_out_of_order" -> ((s, dir) => outOfOrder(s, dir)),
     "x_pop" -> ((s, dir) => periodOverPeriod(s, dir)),
@@ -612,6 +675,47 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_interval_union" ->
+      """WITH iv AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s0,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS s1
+        |  FROM events),
+        |m AS (SELECT user_id, s0, s1,
+        |    max(s1) OVER (PARTITION BY user_id ORDER BY s0, s1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend
+        |  FROM iv),
+        |f AS (SELECT user_id, s0, s1,
+        |    CASE WHEN maxend IS NULL OR s0 > maxend THEN 1 ELSE 0 END AS new_iv
+        |  FROM m),
+        |g AS (SELECT user_id, s0, s1,
+        |    sum(new_iv) OVER (PARTITION BY user_id ORDER BY s0, s1
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+        |  FROM f),
+        |isl AS (SELECT user_id, iid, min(s0) AS a, max(s1) AS b
+        |  FROM g GROUP BY user_id, iid)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(sum(b - a) AS BIGINT) AS covered_s
+        |FROM isl WHERE user_id <= 50
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "x_scd2_lookup" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss,
+        |    event_id, event_type
+        |  FROM events),
+        |ch AS (SELECT user_id, tss, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tss, event_id) AS prev
+        |  FROM ev),
+        |dim AS (SELECT user_id, tss, max_by(event_type, event_id) AS state
+        |  FROM ch WHERE prev IS NULL OR prev <> event_type
+        |  GROUP BY user_id, tss),
+        |facts AS (SELECT user_id, tss, event_id FROM ev
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.tss, d.state AS state_at_purchase
+        |FROM facts f
+        |ASOF LEFT JOIN dim d ON f.user_id = d.user_id AND f.tss >= d.tss
+        |WHERE f.user_id <= 30
+        |ORDER BY f.user_id, f.tss, f.event_id""".stripMargin,
     "x_concurrency" ->
       """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 60 AS m0 FROM events),
         |mins AS (SELECT m0 + x AS m

@@ -71,10 +71,52 @@ object SpatialOps {
       .orderBy("rid")
   }
 
+  /** Synthetic query points, one per nation (a small "stores" table). */
+  def queryPoints(nation: DataFrame): DataFrame =
+    nation.where(col("n_nationkey") <= 5)
+      .select(col("n_nationkey").as("qid"),
+        (StableHash.md5Prefix60(concat(col("n_nationkey").cast("string"), lit("qx")))
+          % 1000).as("qx"),
+        (StableHash.md5Prefix60(concat(col("n_nationkey").cast("string"), lit("qy")))
+          % 1000).as("qy"))
+
+  /** X165: grid-bucketed k-nearest-neighbor join — "k closest points to
+    * each store". Each query explodes to its 3×3 cell ring (bounded ×9),
+    * candidates come from the EQUI join on cells (the X123 blocking), the
+    * exact integer squared distance refines, and a per-query window keeps
+    * the top k. The naive kNN is a cross join + global sort per query —
+    * quadratic and unshardable. Semantics note: this is ring-1 kNN —
+    * neighbors beyond the adjacent cells are out of scope by definition
+    * (cell edge 100 ⇒ everything within distance 100 is guaranteed
+    * covered); a production variant expands the ring until k candidates
+    * exist. The oracle computes the identical ring-bounded definition. */
+  def knnJoin(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val p = points.withColumn("cx", expr(s"px div $Cell"))
+      .withColumn("cy", expr(s"py div $Cell"))
+    val q = queries
+      .withColumn("dx", explode(expr("sequence(-1, 1)")))
+      .withColumn("dy", explode(expr("sequence(-1, 1)")))
+      .select(col("qid"), col("qx"), col("qy"),
+        (expr(s"qx div $Cell") + col("dx")).as("cx"),
+        (expr(s"qy div $Cell") + col("dy")).as("cy"))
+    p.join(broadcast(q), Seq("cx", "cy"))
+      .select(col("qid"), col("pid"),
+        ((col("px") - col("qx")) * (col("px") - col("qx")) +
+          (col("py") - col("qy")) * (col("py") - col("qy"))).as("d2"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("d2", "pid")).cast("long"))
+      .where(col("rk") <= k)
+      .orderBy("qid", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_spatial_join" -> ((s, dir) =>
       containmentJoin(points(Tables.customer(s, dir)),
-        rects(Tables.nation(s, dir)))))
+        rects(Tables.nation(s, dir)))),
+    "x_geo_knn" -> ((s, dir) =>
+      knnJoin(points(Tables.customer(s, dir)),
+        queryPoints(Tables.nation(s, dir)), k = 5)))
 
   val oracles: Map[String, String] = Map(
     "x_spatial_join" ->
@@ -93,5 +135,24 @@ object SpatialOps {
          |SELECT rid, CAST(count(*) AS BIGINT) AS n_points,
          |  min(pid) AS min_pid, max(pid) AS max_pid
          |FROM p JOIN r ON px BETWEEN x0 AND x1 AND py BETWEEN y0 AND y1
-         |GROUP BY rid ORDER BY rid""".stripMargin)
+         |GROUP BY rid ORDER BY rid""".stripMargin,
+    "x_geo_knn" ->
+      s"""WITH p AS (SELECT c_custkey AS pid,
+         |    ${StableHash.md5Prefix60Sql("CAST(c_custkey AS VARCHAR) || 'x'")} % 1000 AS px,
+         |    ${StableHash.md5Prefix60Sql("CAST(c_custkey AS VARCHAR) || 'y'")} % 1000 AS py
+         |  FROM customer),
+         |q AS (SELECT n_nationkey AS qid,
+         |    ${StableHash.md5Prefix60Sql("CAST(n_nationkey AS VARCHAR) || 'qx'")} % 1000 AS qx,
+         |    ${StableHash.md5Prefix60Sql("CAST(n_nationkey AS VARCHAR) || 'qy'")} % 1000 AS qy
+         |  FROM nation WHERE n_nationkey <= 5),
+         |cand AS (SELECT qid, pid,
+         |    (px - qx) * (px - qx) + (py - qy) * (py - qy) AS d2
+         |  FROM p JOIN q
+         |    ON px // 100 BETWEEN qx // 100 - 1 AND qx // 100 + 1
+         |   AND py // 100 BETWEEN qy // 100 - 1 AND qy // 100 + 1),
+         |r AS (SELECT qid, pid, d2,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS BIGINT) AS rk
+         |  FROM cand)
+         |SELECT qid, pid, d2, rk FROM r WHERE rk <= 5
+         |ORDER BY qid, rk""".stripMargin)
 }

@@ -621,7 +621,33 @@ object StatsOps {
       .limit(20)
   }
 
+  /** X168: k-anonymity / l-diversity audit — the re-identification risk
+    * report data governance runs before sharing a table: group by the
+    * quasi-identifier tuple (nation, market segment, balance bucket) and
+    * flag groups smaller than k (linkable to an individual) or with fewer
+    * than l distinct sensitive values (attribute disclosure even when
+    * k-anonymous). Two partial-first aggregations + a one-row report —
+    * scan-bound at any table size; the quasi-identifier space is the
+    * GROUP count, not the row count. */
+  private def kAnonymity(spark: SparkSession, dir: String,
+      k: Int = 5, l: Int = 3): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_bucket"),
+      expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").as("sensitive"))
+    c.groupBy("nat", "seg", "bal_bucket")
+      .agg(count(lit(1)).as("sz"), countDistinct("sensitive").as("ldiv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_groups_lt_k"),
+        coalesce(sum(when(col("sz") < k, col("sz"))), lit(0L))
+          .as("rows_at_risk"),
+        min("sz").as("min_group_size"),
+        sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_groups_lt_l"),
+        min("ldiv").as("min_l_diversity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
     "x_basket" -> ((s, dir) => marketBasket(s, dir)),
     "x_ols2" -> ((s, dir) => ols2(s, dir)),
     "x_benford" -> ((s, dir) => benford(s, dir)),
@@ -645,6 +671,22 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS sensitive
+        |  FROM customer),
+        |g AS (SELECT nat, seg, bal_bucket, CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT sensitive) AS BIGINT) AS ldiv
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_lt_k,
+        |  CAST(coalesce(sum(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+        |    AS rows_at_risk,
+        |  min(sz) AS min_group_size,
+        |  CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_lt_l,
+        |  min(ldiv) AS min_l_diversity
+        |FROM g""".stripMargin,
     "x_basket" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),
