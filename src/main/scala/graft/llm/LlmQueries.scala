@@ -181,6 +181,40 @@ object LlmQueries {
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
 
+    // X169: LSH quality evaluation — MinHash+banding candidates measured
+    // against the exact (rare-shingle-space) Jaccard ground truth on the
+    // same slice: tp/fp/fn, precision, recall, and the mean absolute
+    // error of the 16-slot signature estimate on true pairs. Turns the
+    // LSH parameter choice (16 hashes × 4 bands) from folklore into a
+    // MEASURED trade-off, the same instrumentation X158 gives IVF. All
+    // integers (est = matches/16 is exact; jaccard quantized ×10⁶).
+    "x_near_dup_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 1500)
+      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold)
+        .select(col("da"), col("db"),
+          floor(col("jaccard") * 1000000.0 + 0.5).cast("long").as("j_e6"))
+      val lsh = Dedup.minhashNearDuplicates(docs, MinhashThreshold)
+        .select(col("da"), col("db"),
+          floor(col("est_sim") * 1000000.0 + 0.5).cast("long").as("est_e6"))
+      exact.join(lsh, Seq("da", "db"), "full_outer")
+        .agg(
+          sum(when(col("j_e6").isNotNull && col("est_e6").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("j_e6").isNull && col("est_e6").isNotNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("j_e6").isNotNull && col("est_e6").isNull, 1L)
+            .otherwise(0L)).as("fn"),
+          coalesce(sum(when(col("j_e6").isNotNull && col("est_e6").isNotNull,
+            abs(col("est_e6") - col("j_e6")))), lit(0L)).as("abs_err_sum"))
+        .select(col("tp"), col("fp"), col("fn"),
+          expr("CASE WHEN tp + fp > 0 THEN tp * 1000000 div (tp + fp) ELSE 0 END")
+            .as("precision_e6"),
+          expr("CASE WHEN tp + fn > 0 THEN tp * 1000000 div (tp + fn) ELSE 0 END")
+            .as("recall_e6"),
+          expr("CASE WHEN tp > 0 THEN abs_err_sum div tp ELSE 0 END")
+            .as("mae_e6"))
+    }),
+
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
 
@@ -728,6 +762,61 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_near_dup_eval" ->
+      s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
+         |    string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 1500),
+         |$shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |epairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $MinhashThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT da, db,
+         |    CAST(floor(round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS j_e6
+         |  FROM epairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    >= $MinhashThreshold),
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS id FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM ids GROUP BY doc_id),
+         |sigb AS (SELECT doc_id, [$sigList] AS sig,
+         |    $bandCols
+         |  FROM sig),
+         |cands AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+         |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |lsh AS (SELECT da, db,
+         |    CAST(floor(CAST(len(list_filter(range(${Dedup.NumHashes}),
+         |        i -> sa[i+1] = sb[i+1])) AS DOUBLE) / ${Dedup.NumHashes}
+         |      * 1000000.0 + 0.5) AS BIGINT) AS est_e6
+         |  FROM cands
+         |  WHERE CAST(len(list_filter(range(${Dedup.NumHashes}),
+         |      i -> sa[i+1] = sb[i+1])) AS DOUBLE) / ${Dedup.NumHashes}
+         |    >= $MinhashThreshold),
+         |j AS (SELECT e.j_e6, l.est_e6
+         |  FROM exact e FULL JOIN lsh l ON e.da = l.da AND e.db = l.db),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN j_e6 IS NOT NULL AND est_e6 IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN j_e6 IS NULL AND est_e6 IS NOT NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN j_e6 IS NOT NULL AND est_e6 IS NULL
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN j_e6 IS NOT NULL AND est_e6 IS NOT NULL
+         |      THEN abs(est_e6 - j_e6) END), 0) AS BIGINT) AS abs_err_sum
+         |  FROM j)
+         |SELECT tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp > 0 THEN tp * 1000000 // (tp + fp)
+         |    ELSE 0 END AS BIGINT) AS precision_e6,
+         |  CAST(CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+         |    ELSE 0 END AS BIGINT) AS recall_e6,
+         |  CAST(CASE WHEN tp > 0 THEN abs_err_sum // tp ELSE 0 END AS BIGINT)
+         |    AS mae_e6
+         |FROM agg""".stripMargin,
     "x_dedup_simhash" ->
       s"""WITH $toksCte, ${simhashFpCte(Dedup.NumHashes)}
          |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
