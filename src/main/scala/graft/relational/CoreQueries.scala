@@ -1145,6 +1145,51 @@ object CoreQueries {
           |GROUP BY l_returnflag ORDER BY flag""".stripMargin)
     }),
 
+    // X173: data-level Bloom-filter membership — build a filter over one
+    // side's keys with `bloom_filter_agg`, probe the other side with
+    // `might_contain`: the pre-filter that skips shuffle rows before an
+    // expensive join (the data-plane twin of X66's runtime bloom). The
+    // filter itself is engine-internal, so the oracle pins the CONTRACT:
+    // zero false negatives (every true member must probe positive — the
+    // structural guarantee), exact member counts, and the observed
+    // false-positive rate under 5% at these sizing parameters (40k bits /
+    // ~1.5k items ⇒ expected fpp ≪ 1%).
+    "x_bloom_filter" -> ((s, dir) => {
+      // bloom_filter_agg / might_contain are not SQL-registered in Spark 4
+      // (InjectRuntimeFilter builds them directly) — construct the same
+      // Catalyst expressions through the package bridge
+      import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+      val bfAgg = column(new org.apache.spark.sql.catalyst.expressions
+        .aggregate.BloomFilterAggregate(
+          expression(xxhash64(col("c_custkey"))),
+          org.apache.spark.sql.catalyst.expressions.Literal(5000L),
+          org.apache.spark.sql.catalyst.expressions.Literal(40000L))
+        .toAggregateExpression())
+      // might_contain requires a CONSTANT filter: collect the one bloom
+      // binary to the driver (a scalar broadcast — the same legitimate
+      // 1-row collect class as the JDBC bounds query)
+      val bfBytes = Tables.customer(s, dir)
+        .where(col("c_custkey") % 10 === 0)
+        .agg(bfAgg.as("bf"))
+        .head().getAs[Array[Byte]](0)
+      Tables.orders(s, dir)
+        .select((col("o_custkey") % 10 === 0).as("actual"),
+          column(org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(
+              org.apache.spark.sql.catalyst.expressions.Literal(bfBytes,
+                org.apache.spark.sql.types.BinaryType),
+              expression(xxhash64(col("o_custkey"))))).as("maybe"))
+        .agg(count(lit(1)).as("n_probed"),
+          sum(when(col("actual"), 1L).otherwise(0L)).as("n_members"),
+          sum(when(col("actual") && !col("maybe"), 1L).otherwise(0L))
+            .as("false_negatives"),
+          sum(when(!col("actual") && col("maybe"), 1L).otherwise(0L))
+            .as("fp"))
+        .select(col("n_probed"), col("n_members"), col("false_negatives"),
+          (col("fp") * 1000000 <= (col("n_probed") - col("n_members")) * 50000)
+            .as("fp_within_contract"))
+    }),
+
     // X164: NULL sort-order semantics — the engines' DEFAULTS disagree
     // (Spark ASC puts NULLS FIRST, DuckDB ASC puts NULLS LAST), so any
     // ordering consumed downstream (ranks, pagination keys, top-k
@@ -1821,6 +1866,13 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_bloom_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_members,
+        |  CAST(0 AS BIGINT) AS false_negatives,
+        |  true AS fp_within_contract
+        |FROM orders""".stripMargin,
     "x_null_ordering" ->
       """WITH d AS (SELECT o_orderkey,
         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL

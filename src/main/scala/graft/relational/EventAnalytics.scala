@@ -649,7 +649,63 @@ object EventAnalytics {
       .orderBy("user_id", "tss", "event_id")
   }
 
+  /** X170: conversion-window rate — the time-bound funnel: a view
+    * converts if the SAME user purchases within 1 hour. The "next
+    * purchase after each view" is one forward as-of join (X23b shape —
+    * union + running window, one shuffle, never a views×purchases
+    * inequality join); the window bound is a residual filter; the report
+    * is a per-day aggregation. Timestamps compare at second grain,
+    * boundary inclusive on both ends (>= at the as-of, <= 3600 at the
+    * window), mirrored exactly in the oracle's forward ASOF. */
+  private def conversionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      date_trunc("second", col("ts")).as("tss"), col("event_type"))
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("tss"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tss")).distinct()
+      .withColumn("pts", col("tss"))
+    val joined = AsOfJoin.asofForward(views, purch, "user_id", "tss",
+      "pts", "np_ts", "next_purchase")
+    joined
+      .select(col("tss").cast("date").as("day"),
+        when(col("next_purchase").isNotNull &&
+          expr("CAST(next_purchase AS LONG) - CAST(tss AS LONG)") <= 3600, 1L)
+          .otherwise(0L).as("conv"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_views"), sum("conv").as("n_conv"))
+      .select(col("day"), col("n_views"), col("n_conv"),
+        expr("n_conv * 1000000 div n_views").as("conv_rate_e6"))
+      .orderBy("day")
+  }
+
+  /** X171: temporal pattern pairs — for every ordered event-type pair
+    * (a, b): of the users who did both, how many did their FIRST a before
+    * their LAST b (the "a can lead to b" sequence signal). The stream
+    * reduces to one (user, type) min/max aggregation first; the pair join
+    * fans out ≤ |type-vocabulary|² per user — bounded by construction,
+    * never an event-level self-join. Second-grain integer comparisons. */
+  private def sequencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("sec"))
+      .groupBy("user_id", "event_type")
+      .agg(min("sec").as("first_s"), max("sec").as("last_s"))
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_users_both"),
+        sum(when(col("a.first_s") < col("b.last_s"), 1L).otherwise(0L))
+          .as("n_seq"))
+      .select(col("ta"), col("tb"), col("n_users_both"), col("n_seq"),
+        expr("n_seq * 1000000 div n_users_both").as("seq_share_e6"))
+      .orderBy("ta", "tb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_conversion_window" -> ((s, dir) => conversionWindow(s, dir)),
+    "x_seq_pairs" -> ((s, dir) => sequencePairs(s, dir)),
     "x_interval_union" -> ((s, dir) => intervalUnion(s, dir)),
     "x_scd2_lookup" -> ((s, dir) => scd2Lookup(s, dir)),
     "x_concurrency" -> ((s, dir) => peakConcurrency(s, dir)),
@@ -675,6 +731,38 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_conversion_window" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type
+        |  FROM events),
+        |v AS (SELECT user_id, tss FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT DISTINCT user_id, tss AS pts FROM ev
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT v.tss, p.pts
+        |  FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.tss <= p.pts),
+        |c AS (SELECT CAST(tss AS DATE) AS day,
+        |    CASE WHEN pts IS NOT NULL
+        |      AND CAST(floor(epoch(pts)) - floor(epoch(tss)) AS BIGINT) <= 3600
+        |      THEN 1 ELSE 0 END AS conv
+        |  FROM j)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_views,
+        |  CAST(sum(conv) AS BIGINT) AS n_conv,
+        |  CAST(sum(conv) * 1000000 // count(*) AS BIGINT) AS conv_rate_e6
+        |FROM c GROUP BY day ORDER BY day""".stripMargin,
+    "x_seq_pairs" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |    CAST(min(floor(epoch(ts))) AS BIGINT) AS first_s,
+        |    CAST(max(floor(epoch(ts))) AS BIGINT) AS last_s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(count(*) AS BIGINT) AS n_users_both,
+        |  CAST(sum(CASE WHEN a.first_s < b.last_s THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seq,
+        |  CAST(sum(CASE WHEN a.first_s < b.last_s THEN 1 ELSE 0 END) * 1000000
+        |       // count(*) AS BIGINT) AS seq_share_e6
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |GROUP BY 1, 2 ORDER BY ta, tb""".stripMargin,
     "x_interval_union" ->
       """WITH iv AS (SELECT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS s0,

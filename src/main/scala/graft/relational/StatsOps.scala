@@ -646,7 +646,52 @@ object StatsOps {
         min("ldiv").as("min_l_diversity"))
   }
 
+  /** X172: join-size estimation from KMV sketches — the CBO input
+    * computed WITHOUT running the join: the distinct-key overlap of the
+    * two join sides estimated from one bottom-k pass over the union of
+    * key sets (X82's membership-flag trick), |A∩B|_est = Ĵ·Û where Û is
+    * the X77 KMV cardinality of the union. Fully deterministic (a pure
+    * function of the md5 hash order), so the ORACLE REPRODUCES THE
+    * ESTIMATE ITSELF and the exact overlap rides along for the error
+    * check. This is how a planner sizes an FK join from per-table
+    * sketches before choosing broadcast vs shuffle. */
+  private def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val a = Tables.orders(spark, dir)
+      .where(col("o_custkey") % 3 === 0)
+      .select(col("o_custkey").as("key")).distinct()
+      .withColumn("in_a", lit(true))
+    val b = Tables.customer(spark, dir)
+      .where(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("key")).distinct()
+      .withColumn("in_b", lit(true))
+    val flags = a.join(b, Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("in_a"), lit(false)).as("in_a"),
+        coalesce(col("in_b"), lit(false)).as("in_b"))
+    val hashed = flags.select(
+      StableHash.md5Prefix60(col("key").cast("string")).as("h"),
+      col("in_a"), col("in_b"))
+    val sample = hashed.orderBy("h").limit(k)
+    val est = sample.agg(count(lit(1)).as("m"), max("h").as("hk"),
+        sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("both"))
+      .select(
+        expr(s"""CASE WHEN m < $k THEN m
+                |  ELSE CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0
+                |       / CAST(hk AS DOUBLE)) AS BIGINT) END""".stripMargin)
+          .as("u_est"),
+        expr("both * 1000000 div m").as("j_e6"))
+      .select(col("u_est"), col("j_e6"),
+        expr("j_e6 * u_est div 1000000").as("inter_est"))
+    val exact = flags.agg(
+      sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("inter_exact"))
+    est.crossJoin(exact).select(
+      col("u_est"), col("j_e6"), col("inter_est"), col("inter_exact"),
+      (abs(col("inter_est") - col("inter_exact")).cast("double") <=
+        col("inter_exact") * 0.25).as("within_tol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_join_size_est" -> ((s, dir) => joinSizeEstimate(s, dir)),
     "x_k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
     "x_basket" -> ((s, dir) => marketBasket(s, dir)),
     "x_ols2" -> ((s, dir) => ols2(s, dir)),
@@ -671,6 +716,33 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_join_size_est" ->
+      s"""WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders
+         |  WHERE o_custkey % 3 = 0),
+         |b AS (SELECT DISTINCT c_custkey AS key FROM customer
+         |  WHERE c_custkey % 2 = 0),
+         |flags AS (SELECT coalesce(a.key, b.key) AS key,
+         |    a.key IS NOT NULL AS in_a, b.key IS NOT NULL AS in_b
+         |  FROM a FULL JOIN b ON a.key = b.key),
+         |h AS (SELECT ${StableHash.md5Prefix60Sql("CAST(key AS VARCHAR)")} AS h,
+         |    in_a, in_b FROM flags),
+         |sample AS (SELECT * FROM h ORDER BY h LIMIT 256),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk,
+         |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+         |  FROM sample),
+         |est AS (SELECT
+         |    CASE WHEN m < 256 THEN m
+         |      ELSE CAST(floor(255.0 * 1152921504606846976.0
+         |           / CAST(hk AS DOUBLE)) AS BIGINT) END AS u_est,
+         |    CAST(nb * 1000000 // m AS BIGINT) AS j_e6
+         |  FROM e),
+         |x AS (SELECT CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS inter_exact FROM flags)
+         |SELECT u_est, j_e6,
+         |  CAST(j_e6 * u_est // 1000000 AS BIGINT) AS inter_est, inter_exact,
+         |  abs(j_e6 * u_est // 1000000 - inter_exact)
+         |    <= inter_exact * 0.25 AS within_tol
+         |FROM est, x""".stripMargin,
     "x_k_anonymity" ->
       """WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
