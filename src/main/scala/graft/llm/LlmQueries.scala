@@ -321,6 +321,60 @@ object LlmQueries {
     "x_curation" -> ((s, dir) =>
       TextAnalysis.curationVerdict(Tables.documents(s, dir), minQuality = 0.15)),
 
+    // X174: end-to-end curation pipeline report — the flagship composite:
+    // exact-dedup survivorship (min-doc_id per content hash), quality
+    // floor (X38's shared quality expression), then language-balance
+    // temperature resampling (X26d's sqrt keep rate) applied to the
+    // SURVIVORS — per-source before/after counts at every stage. One scan
+    // + one content-hash window + two metadata-sized broadcasts; each
+    // stage is a column, so the whole funnel costs one pass regardless of
+    // how many stages are chained.
+    "x_curation_pipeline" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val keeper = min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))))
+      val staged = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          TextAnalysis.qualityExpr(t).as("quality"), keeper.as("keeper"))
+        .withColumn("s1", col("doc_id") === col("keeper"))
+        .withColumn("s2", col("s1") && col("quality") >= 0.15)
+      val counts = staged.where(col("s2"))
+        .groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min("n_lang").as("n_min"))))
+        .select(col("lang"),
+          floor(sqrt(col("n_min").cast("double") / col("n_lang").cast("double"))
+            * 10000.0).cast("long").as("keep_lt_e4"))
+      staged.join(broadcast(rates), Seq("lang"), "left")
+        .withColumn("s3", col("s2") &&
+          graft.functions.StableHash.md5Prefix60(col("doc_id").cast("string"))
+            % 10000 < col("keep_lt_e4"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("s1"), 1L).otherwise(0L)).as("n_dedup"),
+          sum(when(col("s2"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("s3"), 1L).otherwise(0L)).as("n_balanced"))
+        .orderBy("source")
+    }),
+
+    // X175: dedup threshold tuning curve — surviving pair count at
+    // Jaccard thresholds 0.3..0.9 from ONE scoring pass over the bounded
+    // candidate set (the containment generator with no prune): the "how
+    // aggressive should dedup be" decision input, measured instead of
+    // guessed. Bucket = floor(jaccard·10); the cumulative counts come
+    // from a 7-row broadcast bucket join, never a re-score.
+    "x_dedup_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.containmentPairs(
+        Tables.documents(s, dir).where(col("doc_id") < 2000), 0.0)
+      val buckets = s.range(3, 10).select(col("id").cast("long").as("thr_e1"))
+      buckets.join(
+          pairs.select(floor(col("jaccard") * 10.0).cast("long").as("jb")),
+          col("jb") >= col("thr_e1"), "left")
+        .groupBy("thr_e1")
+        .agg(count(col("jb")).as("n_pairs_ge"))
+        .orderBy("thr_e1")
+    }),
+
     "x_sim_topk" -> ((s, dir) =>
       Similarity.topK(Tables.embeddings(s, dir), queryId = 0L, k = 10)),
 
@@ -762,6 +816,53 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_curation_pipeline" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, source, lang,
+         |    round(least(len(t) / 100.0, 1.0)
+         |      * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+         |      * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |          / length(text)), 6) AS quality,
+         |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM (SELECT toks.*, documents.source FROM toks
+         |        JOIN documents USING (doc_id))),
+         |st AS (SELECT doc_id, source, lang,
+         |    (doc_id = keeper) AS s1,
+         |    (doc_id = keeper AND quality >= 0.15) AS s2
+         |  FROM q),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+         |  FROM st WHERE s2 GROUP BY 1),
+         |m AS (SELECT min(n_lang) AS n_min FROM c),
+         |r AS (SELECT lang,
+         |    CAST(floor(sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE))
+         |      * 10000) AS BIGINT) AS keep_lt_e4
+         |  FROM c, m),
+         |f AS (SELECT st.*, r.keep_lt_e4,
+         |    ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS hb
+         |  FROM st LEFT JOIN r USING (lang))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_raw,
+         |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+         |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(sum(CASE WHEN s2 AND hb < keep_lt_e4 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_balanced
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "x_dedup_threshold_curve" ->
+      s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
+         |    string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 2000),
+         |$shCte, $shfCte,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    CAST(count(*) AS BIGINT) AS inter, min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jb AS (SELECT CAST(floor(round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    * 10.0) AS BIGINT) AS jb FROM pairs),
+         |th AS (SELECT CAST(unnest(range(3, 10)) AS BIGINT) AS thr_e1)
+         |SELECT thr_e1, CAST(count(jb.jb) AS BIGINT) AS n_pairs_ge
+         |FROM th LEFT JOIN jb ON jb.jb >= th.thr_e1
+         |GROUP BY thr_e1 ORDER BY thr_e1""".stripMargin,
     "x_near_dup_eval" ->
       s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
          |    string_split(text, ' ') AS t

@@ -1190,6 +1190,30 @@ object CoreQueries {
             .as("fp_within_contract"))
     }),
 
+    // X176: cast-semantics matrix — the silent numeric/boolean conversion
+    // divergences, pinned through their PORTABLE spellings. The headline
+    // trap: Spark CAST(double AS INT) TRUNCATES while DuckDB CAST ROUNDS
+    // (3.99 → 3 vs 4) — so the matrix never casts a fractional double
+    // directly; it goes through floor/round first (this key's Spark side
+    // uses bare CAST where Spark truncates, and the oracle writes
+    // trunc() explicitly — pinning that the normalized forms agree).
+    // TRY_CAST null-on-failure, whitespace trimming, exponent literals,
+    // and the shared 'true'/'1' boolean spellings round out the matrix
+    // ('yes' diverges: Spark true, DuckDB NULL — excluded by design).
+    "x_cast_matrix" -> ((s, dir) =>
+      s.sql(
+        """SELECT
+          |  TRY_CAST('12abc' AS INT) AS bad_int,
+          |  TRY_CAST(' 42 ' AS INT) AS trimmed_int,
+          |  TRY_CAST('1e3' AS DOUBLE) AS exp_double,
+          |  CAST(3.99D AS BIGINT) AS trunc_pos,
+          |  CAST(-3.99D AS BIGINT) AS trunc_neg,
+          |  CAST(floor(-3.01D) AS BIGINT) AS floor_neg,
+          |  CAST(round(2.5D) AS BIGINT) AS round_half,
+          |  CAST(round(-2.5D) AS BIGINT) AS round_neg_half,
+          |  TRY_CAST('true' AS BOOLEAN) AS bool_true,
+          |  TRY_CAST('1' AS BOOLEAN) AS bool_one""".stripMargin)),
+
     // X164: NULL sort-order semantics — the engines' DEFAULTS disagree
     // (Spark ASC puts NULLS FIRST, DuckDB ASC puts NULLS LAST), so any
     // ordering consumed downstream (ranks, pagination keys, top-k
@@ -1866,6 +1890,18 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_cast_matrix" ->
+      """SELECT
+        |  TRY_CAST('12abc' AS INTEGER) AS bad_int,
+        |  TRY_CAST(' 42 ' AS INTEGER) AS trimmed_int,
+        |  TRY_CAST('1e3' AS DOUBLE) AS exp_double,
+        |  CAST(trunc(CAST(3.99 AS DOUBLE)) AS BIGINT) AS trunc_pos,
+        |  CAST(trunc(CAST(-3.99 AS DOUBLE)) AS BIGINT) AS trunc_neg,
+        |  CAST(floor(CAST(-3.01 AS DOUBLE)) AS BIGINT) AS floor_neg,
+        |  CAST(round(CAST(2.5 AS DOUBLE)) AS BIGINT) AS round_half,
+        |  CAST(round(CAST(-2.5 AS DOUBLE)) AS BIGINT) AS round_neg_half,
+        |  TRY_CAST('true' AS BOOLEAN) AS bool_true,
+        |  TRY_CAST('1' AS BOOLEAN) AS bool_one""".stripMargin,
     "x_bloom_filter" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_probed,
         |  CAST(sum(CASE WHEN o_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)

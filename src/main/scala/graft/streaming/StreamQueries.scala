@@ -23,14 +23,15 @@ object StreamQueries {
       TimeWindows.sessionize(Tables.events(s, dir), "30 minutes")),
 
     // X159: Spark's NATIVE session_window aggregation pinned against the
-    // gap-island SQL formulation. The boundary convention differs from
-    // X19's hand-rolled sessionizer: session_window treats window end as
-    // last_event + gap EXCLUSIVE, so an event arriving at exactly
-    // gap-distance starts a NEW session (diff >= gap), where the islands
-    // form with `diff > gap` merges it — the off-by-one that silently
-    // shifts every downstream session metric in a migration. Comparison
-    // runs in exact µs integers (epoch_us both sides); output timestamps
-    // truncate to seconds at the boundary (the ns-parquet convention).
+    // gap-island SQL formulation. Boundary semantics (pinned empirically
+    // in StreamingSpec — an assertion of the opposite FAILED): despite the
+    // window end being start+gap "exclusive", an event at exactly
+    // gap-distance MERGES; a new session starts only at diff > gap — the
+    // same convention as the hand-rolled X19 islands, so the two
+    // formulations are interchangeable and the oracle's island form uses
+    // the strict `>` test. Comparison runs in exact µs integers
+    // (epoch_us both sides); output timestamps truncate to seconds at
+    // the boundary (the ns-parquet convention).
     "x_session_window" -> ((s, dir) =>
       Tables.events(s, dir)
         .where(col("user_id") <= 10)
@@ -86,7 +87,7 @@ object StreamQueries {
       """WITH e AS (SELECT user_id, ts FROM events WHERE user_id <= 10),
         |m AS (SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
         |      THEN 1 ELSE 0 END AS new_s
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts,

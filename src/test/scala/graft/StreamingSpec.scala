@@ -38,6 +38,40 @@ class StreamingSpec extends SparkSpec with Matchers {
     got shouldBe Seq(3L, 1L, 1L)
   }
 
+  test("NATIVE session_window boundary: an event at exactly gap distance MERGES") {
+    // Pinned empirically (this test originally asserted the opposite and
+    // failed): session_window merges while diff <= gap and splits only at
+    // diff > gap — the SAME convention as the hand-rolled island
+    // sessionizer, despite the window's end being start+gap "exclusive".
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    val events = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 00:10:00")), // exactly gap → merges
+      (3L, 7L, Timestamp.valueOf("2024-01-01 00:20:01"))  // 10:01 after #2 → new session
+    ).toDF("event_id", "user_id", "ts")
+    val got = events
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect().toSeq.sorted
+    got shouldBe Seq(1L, 2L)
+  }
+
+  test("streaming session_window twin equals the batch result on sf0.001") {
+    import org.apache.spark.sql.functions.{col, count, lit, session_window}
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("user_id") <= 10)
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s"), col("n_events"))
+    val batch = agg(graft.model.Tables.events(spark, sf0001)).collect().toSet
+    val stream = EventStream.runToMemory(
+      agg(EventStream.read(spark, sf0001).withWatermark("ts", "1 hour")),
+      "session_twin_test")
+      .collect().toSet
+    stream shouldBe batch
+    batch.size should be > 0
+  }
+
   test("stream-static enrichment join equals the batch composition") {
     val dim = Seq(("click", "engagement"), ("view", "engagement"),
       ("purchase", "revenue"), ("cart", "revenue"))
