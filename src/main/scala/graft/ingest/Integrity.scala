@@ -150,7 +150,51 @@ object Integrity {
     untouched.unionByName(recomputed).orderBy("day")
   }
 
+  /** X179: CDC apply with a roundtrip PROOF — the consumption half of
+    * [[cdcFeed]]: the derived insert/update/delete feed is applied back
+    * onto snapshot v1 (anti-join the delete/update keys, union the
+    * insert/update after-images), and the result's checksum is computed
+    * ALONGSIDE the target snapshot v2's checksum — `roundtrip_ok` is a
+    * genuinely computed equality in both engines, so any apply-logic
+    * defect (lost delete, double-applied update) flips the key red.
+    * Apply cost: one anti join on keys + one union — row-width-
+    * independent, the same shape a MERGE executes. */
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+    val v1 = base.where(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("cents"))
+    val v2 = base.where(col("o_orderkey") % 11 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("cents") + 100)
+          .otherwise(col("cents")).as("cents"))
+    val feed = v1.withColumnRenamed("cents", "before_cents")
+      .join(v2.withColumnRenamed("cents", "after_cents"),
+        Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("before_cents").isNull, "insert")
+          .when(col("after_cents").isNull, "delete")
+          .when(col("before_cents") =!= col("after_cents"), "update"))
+      .where(col("op").isNotNull)
+    val applied = v1
+      .join(feed.where(col("op").isin("delete", "update"))
+        .select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(feed.where(col("op").isin("insert", "update"))
+        .select(col("o_orderkey"), col("after_cents").as("cents")))
+    def checksum(df: DataFrame, n: String, x: String) = df
+      .select(StableHash.md5Prefix60(
+        concat_ws("_", col("o_orderkey"), col("cents"))).as("h"))
+      .agg(count(lit(1)).as(n), expr("bit_xor(h)").as(x))
+    checksum(applied, "n_applied", "x_applied")
+      .crossJoin(checksum(v2, "n_target", "x_target"))
+      .select(col("n_applied"), col("n_target"),
+        (col("n_applied") === col("n_target") &&
+          col("x_applied") === col("x_target")).as("roundtrip_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cdc_apply" -> ((s, dir) => cdcApply(s, dir)),
     "x_cdc_feed" -> ((s, dir) => cdcFeed(s, dir)),
     "x_checksum" -> ((s, dir) => tableChecksum(s, dir)),
     "x_incremental_agg" -> ((s, dir) => incrementalAgg(s, dir)),
@@ -166,6 +210,39 @@ object Integrity {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "x_cdc_apply" ->
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |v1 AS (SELECT o_orderkey, cents FROM base WHERE o_orderkey % 7 <> 0),
+         |v2 AS (SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN cents + 100 ELSE cents END AS cents
+         |  FROM base WHERE o_orderkey % 11 <> 0),
+         |feed AS (SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+         |    v1.cents AS before_cents, v2.cents AS after_cents,
+         |    CASE WHEN v1.cents IS NULL THEN 'insert'
+         |         WHEN v2.cents IS NULL THEN 'delete'
+         |         WHEN v1.cents <> v2.cents THEN 'update' END AS op
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey),
+         |f AS (SELECT * FROM feed WHERE op IS NOT NULL),
+         |applied AS (
+         |  SELECT o_orderkey, cents FROM v1
+         |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM f
+         |                           WHERE op IN ('delete', 'update'))
+         |  UNION ALL
+         |  SELECT o_orderkey, after_cents AS cents FROM f
+         |  WHERE op IN ('insert', 'update')),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_applied,
+         |    bit_xor(${StableHash.md5Prefix60Sql(
+             "concat_ws('_', o_orderkey, cents)")}) AS x_applied
+         |  FROM applied),
+         |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_target,
+         |    bit_xor(${StableHash.md5Prefix60Sql(
+             "concat_ws('_', o_orderkey, cents)")}) AS x_target
+         |  FROM v2)
+         |SELECT n_applied, n_target,
+         |  (n_applied = n_target AND x_applied = x_target) AS roundtrip_ok
+         |FROM ca, ct""".stripMargin,
     "x_cdc_feed" ->
       """WITH base AS (SELECT o_orderkey,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents

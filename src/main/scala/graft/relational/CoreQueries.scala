@@ -445,6 +445,51 @@ object CoreQueries {
         graft.functions.BitmapDistinct.bitmapUnionCount(col("bm")).as("global_distinct"))
     }),
 
+    // X177: cumulative distinct users per day from per-day BITMAPS — the
+    // incremental form of the expanding count(DISTINCT): each day
+    // contributes one serialized Roaring64 bitmap (X53b state), and day
+    // d's cumulative uniques is the union of bitmaps for days ≤ d. A new
+    // day unions ONE more bitmap instead of rescanning history, and the
+    // prefix join runs over the DAY table (calendar-bounded metadata) —
+    // compare x_vocab_growth's first-occurrence trick, which answers the
+    // same question but cannot be maintained incrementally.
+    "x_cumulative_uniques" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01")).as("d"),
+          col("user_id"))
+      val bm = daily.groupBy("d")
+        .agg(graft.functions.BitmapDistinct.bitmapAgg(col("user_id")).as("bm"))
+      bm.as("a").join(bm.as("b"), col("b.d") <= col("a.d"))
+        .groupBy(col("a.d").as("d"))
+        .agg(graft.functions.BitmapDistinct.bitmapUnionCount(col("b.bm"))
+          .as("cum_uniques"))
+        .orderBy("d")
+    }),
+
+    // X178: federated union with source precedence — two systems publish
+    // the same keys; conflicts resolve by (source priority, then latest
+    // order date): the master-data-management survivorship rule. One
+    // union + one per-key window over ≤ #sources rows per key — never a
+    // join of system A against system B.
+    "x_union_precedence" -> ((s, dir) => {
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("cents"))
+      val sysA = base.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit("A").as("src"), lit(1).as("pri"),
+          col("o_orderdate"), col("cents"))
+      val sysB = base.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), lit("B").as("src"), lit(2).as("pri"),
+          col("o_orderdate"), (col("cents") + 5).as("cents"))
+      sysA.unionByName(sysB)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderkey")
+            .orderBy(col("pri"), col("o_orderdate").desc)))
+        .where(col("rk") === 1 && col("o_orderkey") <= 600)
+        .select(col("o_orderkey"), col("src"), col("cents"))
+        .orderBy("o_orderkey")
+    }),
+
     // X52: bounded per-group top-k via the custom TypedImperativeAggregate
     // (TopKPairs) — at most k rows per group per partition reach the
     // shuffle, vs the window row_number() pattern's full per-group sort.
@@ -1890,6 +1935,32 @@ object CoreQueries {
         |  FROM orders)
         |WHERE o_orderkey < 3000
         |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+    "x_cumulative_uniques" ->
+      """WITH ad AS (SELECT DISTINCT
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM ad)
+        |SELECT CAST(days.d AS INTEGER) AS d,
+        |  CAST(count(DISTINCT ad.user_id) AS BIGINT) AS cum_uniques
+        |FROM days JOIN ad ON ad.d <= days.d
+        |GROUP BY days.d ORDER BY d""".stripMargin,
+    "x_union_precedence" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (SELECT o_orderkey, 'A' AS src, 1 AS pri, o_orderdate, cents
+        |    FROM base WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'B' AS src, 2 AS pri, o_orderdate, cents + 5
+        |    FROM base WHERE o_orderkey % 2 = 0),
+        |r AS (SELECT o_orderkey, src, cents,
+        |    row_number() OVER (PARTITION BY o_orderkey
+        |      ORDER BY pri, o_orderdate DESC) AS rk
+        |  FROM u)
+        |SELECT o_orderkey, src, cents FROM r
+        |WHERE rk = 1 AND o_orderkey <= 600
+        |ORDER BY o_orderkey""".stripMargin,
     "x_cast_matrix" ->
       """SELECT
         |  TRY_CAST('12abc' AS INTEGER) AS bad_int,
