@@ -357,6 +357,42 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // X180: dataset card — the one-row "datasheet for the dataset"
+    // (Gebru et al.) a corpus release ships with: volume, language/source
+    // breadth, exact duplicate rate, mean quality, and the exact median
+    // document length. The median comes from the COUNT-OF-COUNTS CDF
+    // (X88's trick — lengths collapse to one row per distinct value), so
+    // no global sort touches the corpus; everything else is ONE
+    // conditional-aggregation pass. All integers.
+    "x_dataset_card" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("ck"),
+          floor(TextAnalysis.qualityExpr(t) * 1000000.0 + 0.5).cast("long")
+            .as("q_e6"))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars_total"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("ck").as("n_distinct_texts"),
+        sum("q_e6").as("q_sum"))
+      val cdf = d.groupBy("n_chars").agg(count(lit(1)).as("nk"))
+        .withColumn("cum", sum("nk").over(
+          org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      val p50 = cdf.crossJoin(broadcast(base.select("n_docs")))
+        .where(col("cum") >= expr("(n_docs + 1) div 2"))
+        .agg(min("n_chars").as("p50_chars"))
+      base.crossJoin(p50).select(
+        col("n_docs"), col("n_chars_total"), col("n_langs"), col("n_sources"),
+        expr("(n_docs - n_distinct_texts) * 1000000 div n_docs")
+          .as("dup_rate_e6"),
+        expr("q_sum div n_docs").as("mean_quality_e6"),
+        col("p50_chars"))
+    }),
+
     // X175: dedup threshold tuning curve — surviving pair count at
     // Jaccard thresholds 0.3..0.9 from ONE scoring pass over the bounded
     // candidate set (the containment generator with no prune): the "how
@@ -816,6 +852,33 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_dataset_card" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, toks.lang, documents.source, toks.n_chars,
+         |    md5(toks.text) AS ck,
+         |    CAST(floor(round(least(len(t) / 100.0, 1.0)
+         |      * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+         |      * (1.0 - CAST(length(toks.text) - length(regexp_replace(toks.text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |          / length(toks.text)), 6) * 1000000.0 + 0.5) AS BIGINT) AS q_e6
+         |  FROM toks JOIN documents USING (doc_id)),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT ck) AS BIGINT) AS n_distinct_texts,
+         |    CAST(sum(q_e6) AS BIGINT) AS q_sum
+         |  FROM d),
+         |cdf AS (SELECT n_chars, CAST(sum(count(*)) OVER (ORDER BY n_chars)
+         |    AS BIGINT) AS cum
+         |  FROM d GROUP BY n_chars),
+         |p50 AS (SELECT min(n_chars) AS p50_chars FROM cdf, base
+         |  WHERE cum >= (n_docs + 1) // 2)
+         |SELECT n_docs, n_chars_total, n_langs, n_sources,
+         |  CAST((n_docs - n_distinct_texts) * 1000000 // n_docs AS BIGINT)
+         |    AS dup_rate_e6,
+         |  CAST(q_sum // n_docs AS BIGINT) AS mean_quality_e6,
+         |  p50_chars
+         |FROM base, p50""".stripMargin,
     "x_curation_pipeline" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, source, lang,
