@@ -393,6 +393,25 @@ object LlmQueries {
         col("p50_chars"))
     }),
 
+    // X181: cross-source duplication matrix — near-dup pairs attributed to
+    // their (source, source) cell: the syndication map (which feeds copy
+    // which) that x_source_similarity's vocabulary Jaccard only hints at,
+    // here backed by actual document-level near-dup evidence. Two
+    // dimension joins onto the bounded pair stream + one S²-bounded
+    // aggregation.
+    "x_cross_source_dups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 2000)
+      val pairs = Dedup.nearDuplicatePairs(docs, JaccardThreshold)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), "da")
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), "db")
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy("s1", "s2").agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
     // X175: dedup threshold tuning curve — surviving pair count at
     // Jaccard thresholds 0.3..0.9 from ONE scoring pass over the bounded
     // candidate set (the containment generator with no prune): the "how
@@ -926,6 +945,28 @@ object LlmQueries {
          |SELECT thr_e1, CAST(count(jb.jb) AS BIGINT) AS n_pairs_ge
          |FROM th LEFT JOIN jb ON jb.jb >= th.thr_e1
          |GROUP BY thr_e1 ORDER BY thr_e1""".stripMargin,
+    "x_cross_source_dups" ->
+      s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
+         |    string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 2000),
+         |$shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |hits AS (SELECT da, db FROM pairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    >= $JaccardThreshold),
+         |att AS (SELECT least(sa.source, sb.source) AS s1,
+         |    greatest(sa.source, sb.source) AS s2
+         |  FROM hits
+         |  JOIN documents sa ON sa.doc_id = hits.da
+         |  JOIN documents sb ON sb.doc_id = hits.db)
+         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |FROM att GROUP BY 1, 2 ORDER BY s1, s2""".stripMargin,
     "x_near_dup_eval" ->
       s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
          |    string_split(text, ' ') AS t

@@ -703,7 +703,69 @@ object EventAnalytics {
       .orderBy("ta", "tb")
   }
 
+  /** X182: windowed (bucketed) deduplication — keep the FIRST event per
+    * (user, type) per tumbling hour: the batch twin of the streaming
+    * dropDuplicatesWithinWatermark state discipline, with the crisp
+    * bucket-based definition a batch recompute can reproduce exactly
+    * (the trailing-gap form depends on which prior duplicates were
+    * themselves kept — well-defined only with sequential state). One
+    * per-(user,type,bucket) window; report per type. */
+  private def windowedDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      col("event_type"), col("event_id"),
+      expr("CAST(ts AS LONG)").as("sec"))
+      .withColumn("bucket", expr("sec div 3600"))
+    ev.withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "event_type", "bucket")
+          .orderBy("sec", "event_id")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("n_raw"), col("n_kept"),
+        expr("(n_raw - n_kept) * 1000000 div n_raw").as("suppressed_e6"))
+      .orderBy("event_type")
+  }
+
+  /** X183: time-to-convert — from each user's FIRST view to their first
+    * purchase at-or-after it: funnel latency, reported as conversion rate,
+    * integer mean, and the exact median via the count-of-counts CDF over
+    * minute buckets (X88's trick — latencies collapse to one row per
+    * distinct minute, no global sort of users). The per-user reduction is
+    * one conditional min aggregation; everything downstream is
+    * metadata-scale. */
+  private def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ts AS LONG)").as("sec"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("sec"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("sec"))).as("fp"))
+      .where(col("fv").isNotNull)
+      .withColumn("delta",
+        when(col("fp").isNotNull && col("fp") >= col("fv"),
+          col("fp") - col("fv")))
+      .cache()
+    val base = f.agg(count(lit(1)).as("n_viewed"),
+      count(col("delta")).as("n_converted"),
+      coalesce(sum("delta"), lit(0L)).as("delta_sum"))
+    val cdf = f.where(col("delta").isNotNull)
+      .select(expr("delta div 60").as("dm"))
+      .groupBy("dm").agg(count(lit(1)).as("nk"))
+      .withColumn("cum", sum("nk").over(
+        Window.orderBy("dm").rowsBetween(Window.unboundedPreceding, 0)))
+    val p50 = cdf.crossJoin(broadcast(base.select("n_converted")))
+      .where(col("cum") >= expr("(n_converted + 1) div 2"))
+      .agg(min("dm").as("p50_delta_min"))
+    base.crossJoin(p50).select(col("n_viewed"), col("n_converted"),
+      expr("n_converted * 1000000 div n_viewed").as("conv_rate_e6"),
+      expr("CASE WHEN n_converted > 0 THEN delta_sum div n_converted ELSE 0 END")
+        .as("mean_delta_s"),
+      col("p50_delta_min"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_windowed_dedup" -> ((s, dir) => windowedDedup(s, dir)),
+    "x_time_to_convert" -> ((s, dir) => timeToConvert(s, dir)),
     "x_conversion_window" -> ((s, dir) => conversionWindow(s, dir)),
     "x_seq_pairs" -> ((s, dir) => sequencePairs(s, dir)),
     "x_interval_union" -> ((s, dir) => intervalUnion(s, dir)),
@@ -731,6 +793,45 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_windowed_dedup" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bucket
+        |  FROM events),
+        |r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id, event_type, bucket
+        |      ORDER BY sec, event_id) AS rk
+        |  FROM ev)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST((count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)) * 1000000
+        |       // count(*) AS BIGINT) AS suppressed_e6
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x_time_to_convert" ->
+      """WITH f AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fv,
+        |    min(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT user_id, fv, fp,
+        |    CASE WHEN fp IS NOT NULL AND fp >= fv THEN fp - fv END AS delta
+        |  FROM f WHERE fv IS NOT NULL),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+        |    CAST(count(delta) AS BIGINT) AS n_converted,
+        |    CAST(coalesce(sum(delta), 0) AS BIGINT) AS delta_sum
+        |  FROM d),
+        |cdf AS (SELECT delta // 60 AS dm,
+        |    CAST(sum(count(*)) OVER (ORDER BY delta // 60) AS BIGINT) AS cum
+        |  FROM d WHERE delta IS NOT NULL GROUP BY 1),
+        |p50 AS (SELECT min(dm) AS p50_delta_min FROM cdf, base
+        |  WHERE cum >= (n_converted + 1) // 2)
+        |SELECT n_viewed, n_converted,
+        |  CAST(n_converted * 1000000 // n_viewed AS BIGINT) AS conv_rate_e6,
+        |  CAST(CASE WHEN n_converted > 0 THEN delta_sum // n_converted
+        |    ELSE 0 END AS BIGINT) AS mean_delta_s,
+        |  p50_delta_min
+        |FROM base, p50""".stripMargin,
     "x_conversion_window" ->
       """WITH ev AS (SELECT user_id,
         |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, event_type
