@@ -763,7 +763,36 @@ object EventAnalytics {
       col("p50_delta_min"))
   }
 
+  /** X185: weekly churn — active / retained / new / churned user counts
+    * per calendar week: the product-health dashboard's top row, computed
+    * as ONE full-outer self-join of the (user, week) activity relation
+    * against itself shifted a week (16-byte rows), never a per-user
+    * window over history. Complements X59's cohort retention (fixed
+    * cohorts) with the rolling week-over-week view. */
+  private def weeklyChurn(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) div 7")
+          .as("wk"))
+      .distinct().cache()
+    val shifted = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+      .withColumn("prev_active", lit(true))
+    val cur = uw.withColumn("now_active", lit(true))
+    cur.join(shifted, Seq("user_id", "wk"), "full_outer")
+      .select(col("wk"),
+        coalesce(col("now_active"), lit(false)).as("now"),
+        coalesce(col("prev_active"), lit(false)).as("prev"))
+      .where(col("wk") >= 1)
+      .groupBy("wk")
+      .agg(sum(when(col("now"), 1L).otherwise(0L)).as("active"),
+        sum(when(col("now") && col("prev"), 1L).otherwise(0L)).as("retained"),
+        sum(when(col("now") && !col("prev"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(!col("now") && col("prev"), 1L).otherwise(0L)).as("churned"))
+      .orderBy("wk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_churn" -> ((s, dir) => weeklyChurn(s, dir)),
     "x_windowed_dedup" -> ((s, dir) => windowedDedup(s, dir)),
     "x_time_to_convert" -> ((s, dir) => timeToConvert(s, dir)),
     "x_conversion_window" -> ((s, dir) => conversionWindow(s, dir)),
@@ -793,6 +822,24 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      // 7 AS wk
+        |  FROM events),
+        |cur AS (SELECT user_id, wk, true AS now_active FROM uw),
+        |prev AS (SELECT user_id, wk + 1 AS wk, true AS prev_active FROM uw),
+        |j AS (SELECT coalesce(cur.wk, prev.wk) AS wk,
+        |    coalesce(now_active, false) AS now, coalesce(prev_active, false) AS prev
+        |  FROM cur FULL JOIN prev
+        |    ON cur.user_id = prev.user_id AND cur.wk = prev.wk)
+        |SELECT wk,
+        |  CAST(sum(CASE WHEN now THEN 1 ELSE 0 END) AS BIGINT) AS active,
+        |  CAST(sum(CASE WHEN now AND prev THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN now AND NOT prev THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN NOT now AND prev THEN 1 ELSE 0 END) AS BIGINT) AS churned
+        |FROM j WHERE wk >= 1
+        |GROUP BY wk ORDER BY wk""".stripMargin,
     "x_windowed_dedup" ->
       """WITH ev AS (SELECT user_id, event_type, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,

@@ -690,7 +690,36 @@ object StatsOps {
         col("inter_exact") * 0.25).as("within_tol"))
   }
 
+  /** X184: sampling-bias audit — does the 10% hash sample preserve the
+    * population's language mix? Per-language share in sample vs full
+    * corpus, deviations in exact ×10⁶ integers: the validity check every
+    * sampled-eval pipeline owes its consumers (a biased key column makes
+    * hash sampling silently non-representative). Two aggregations + a
+    * language-bounded join. */
+  private def sampleBias(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val full = d.groupBy("lang").agg(count(lit(1)).as("n_full"))
+    val samp = graft.relational.Sampling
+      .hashSample(d, col("doc_id"), 10)
+      .groupBy("lang").agg(count(lit(1)).as("n_samp"))
+    val tot = full.agg(sum("n_full").as("t_full"))
+    val totS = samp.agg(sum("n_samp").as("t_samp"))
+    full.join(samp, Seq("lang"), "left")
+      .select(col("lang"), col("n_full"),
+        coalesce(col("n_samp"), lit(0L)).as("n_samp"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(totS))
+      .select(col("lang"), col("n_full"), col("n_samp"),
+        expr("n_full * 1000000 div t_full").as("share_full_e6"),
+        expr("CASE WHEN t_samp > 0 THEN n_samp * 1000000 div t_samp ELSE 0 END")
+          .as("share_samp_e6"),
+        abs(expr("n_full * 1000000 div t_full") -
+          expr("CASE WHEN t_samp > 0 THEN n_samp * 1000000 div t_samp ELSE 0 END"))
+          .as("dev_e6"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_sample_bias" -> ((s, dir) => sampleBias(s, dir)),
     "x_join_size_est" -> ((s, dir) => joinSizeEstimate(s, dir)),
     "x_k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
     "x_basket" -> ((s, dir) => marketBasket(s, dir)),
@@ -716,6 +745,28 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_sample_bias" ->
+      s"""WITH d AS (SELECT lang,
+         |    ${StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS hb
+         |  FROM documents),
+         |full_c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_full
+         |  FROM d GROUP BY lang),
+         |samp_c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_samp
+         |  FROM d WHERE hb < 10 GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_full) AS BIGINT) AS t_full FROM full_c),
+         |ts AS (SELECT CAST(coalesce(sum(n_samp), 0) AS BIGINT) AS t_samp
+         |  FROM samp_c)
+         |SELECT lang, n_full, coalesce(n_samp, 0) AS n_samp,
+         |  CAST(n_full * 1000000 // t_full AS BIGINT) AS share_full_e6,
+         |  CAST(CASE WHEN t_samp > 0
+         |    THEN coalesce(n_samp, 0) * 1000000 // t_samp ELSE 0 END AS BIGINT)
+         |    AS share_samp_e6,
+         |  CAST(abs(n_full * 1000000 // t_full
+         |    - CASE WHEN t_samp > 0
+         |      THEN coalesce(n_samp, 0) * 1000000 // t_samp ELSE 0 END)
+         |    AS BIGINT) AS dev_e6
+         |FROM full_c LEFT JOIN samp_c USING (lang), t, ts
+         |ORDER BY lang""".stripMargin,
     "x_join_size_est" ->
       s"""WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders
          |  WHERE o_custkey % 3 = 0),
