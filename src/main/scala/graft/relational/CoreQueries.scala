@@ -1235,6 +1235,42 @@ object CoreQueries {
             .as("fp_within_contract"))
     }),
 
+    // X186: aggregate FILTER clause — the ANSI `agg(x) FILTER (WHERE p)`
+    // syntax both engines share, pinned as the PORTABLE spelling of
+    // conditional aggregation: count_if diverges in type (DuckDB HUGEINT —
+    // the r02 x_agg_bool lesson) and CASE-in-sum diverges in null
+    // handling for non-count aggregates; FILTER has neither problem.
+    "x_sql_filter_clause" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_fc")
+      s.sql(
+        """SELECT o_orderstatus,
+          |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+          |  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+          |    FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_cents,
+          |  min(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0) AS min_even_key
+          |FROM v_orders_fc GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // X187: regex dialect-safe subset — Spark regexes are Java
+    // (backtracking: lookarounds, backreferences) while DuckDB's are RE2
+    // (linear-time: NEITHER supported), so any migrated pattern must stay
+    // inside the shared subset. This matrix pins that subset working
+    // identically: explicit character classes, anchors, bounded
+    // quantifiers, alternation, greedy/lazy-free extraction — the
+    // features every engine-portable pipeline (X44's PII scrub) is
+    // restricted to.
+    "x_regex_dialect" -> ((s, dir) =>
+      s.sql(
+        """SELECT
+          |  'a1b22c333' RLIKE '^[a-z][0-9]' AS anchored_class,
+          |  'a1b22c333' RLIKE '[0-9]{3}' AS bounded_quant,
+          |  'foo-bar' RLIKE 'foo|baz' AS alternation,
+          |  regexp_extract('key=val;k2=v2', '([a-z0-9]+)=([a-z0-9]+)', 2) AS group_2,
+          |  regexp_replace('a  b   c', ' +', '_') AS collapse_ws,
+          |  regexp_extract('x=17,y=42', 'y=([0-9]+)', 1) AS y_val
+          |""".stripMargin)),
+
     // X176: cast-semantics matrix — the silent numeric/boolean conversion
     // divergences, pinned through their PORTABLE spellings. The headline
     // trap: Spark CAST(double AS INT) TRUNCATES while DuckDB CAST ROUNDS
@@ -1961,6 +1997,22 @@ object CoreQueries {
         |SELECT o_orderkey, src, cents FROM r
         |WHERE rk = 1 AND o_orderkey <= 600
         |ORDER BY o_orderkey""".stripMargin,
+    "x_sql_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+        |    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS urgent_cents,
+        |  min(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0) AS min_even_key
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "x_regex_dialect" ->
+      """SELECT
+        |  regexp_matches('a1b22c333', '^[a-z][0-9]') AS anchored_class,
+        |  regexp_matches('a1b22c333', '[0-9]{3}') AS bounded_quant,
+        |  regexp_matches('foo-bar', 'foo|baz') AS alternation,
+        |  regexp_extract('key=val;k2=v2', '([a-z0-9]+)=([a-z0-9]+)', 2) AS group_2,
+        |  regexp_replace('a  b   c', ' +', '_', 'g') AS collapse_ws,
+        |  regexp_extract('x=17,y=42', 'y=([0-9]+)', 1) AS y_val""".stripMargin,
     "x_cast_matrix" ->
       """SELECT
         |  TRY_CAST('12abc' AS INTEGER) AS bad_int,
