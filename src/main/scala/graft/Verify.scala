@@ -35,9 +35,11 @@ object Verify {
           else col(f.name)
         }.toIndexedSeq: _*)
         surfaced.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        spark.catalog.clearCache() // builder caches must not outlive a query
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        spark.catalog.clearCache() // builder caches must not outlive a query,
+        // even one that failed mid-build
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -513,7 +513,15 @@ object Dedup {
     * into actual corpus shrinkage. `max_by` over a (quality, -id) struct is
     * a single hash aggregation with map-side partials; nothing is sorted or
     * collected, so the selection cost is one shuffle of (cluster_id, 16
-    * bytes) rows at any corpus size. */
+    * bytes) rows at any corpus size.
+    *
+    * Bench note: the `x_dedup_canonical` KEY re-runs the full
+    * pair-generation + connected-components chain before this aggregation
+    * because each bench key is an independent plan — a harness artifact,
+    * not a production cost. A real pipeline computes [[duplicateClusters]]
+    * once and feeds the SAME cached cluster relation to this selection
+    * (as `x_curation_pipeline` does); the incremental cost of the
+    * canonical step itself is the one bounded shuffle above. */
   def canonicalPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame =
     clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("cluster_id")

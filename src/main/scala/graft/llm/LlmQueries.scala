@@ -89,8 +89,12 @@ object LlmQueries {
           sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
           sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
         .select(col("np"), col("nn"),
-          expr("""CAST((CAST(rs AS DECIMAL(38,0)) - CAST(np AS DECIMAL(38,0)) * (np + 1) div 2)
-                 |     * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)"""
+          // zero guard: a slice with no positives or no negatives has no
+          // defined AUC — NULL, not a divide-by-zero NULL/error divergence
+          expr("""CASE WHEN np > 0 AND nn > 0 THEN
+                 |  CAST((CAST(rs AS DECIMAL(38,0)) - CAST(np AS DECIMAL(38,0)) * (np + 1) div 2)
+                 |       * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
+                 |ELSE CAST(NULL AS BIGINT) END"""
             .stripMargin).as("auc_e6"))
     }),
 
@@ -710,8 +714,10 @@ object LlmQueries {
          |    CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
          |  FROM r)
          |SELECT np, nn,
-         |  CAST((rs - CAST(np AS HUGEINT) * (np + 1) // 2) * 1000000
-         |       // (CAST(np AS HUGEINT) * nn) AS BIGINT) AS auc_e6
+         |  CASE WHEN np > 0 AND nn > 0 THEN
+         |    CAST((rs - CAST(np AS HUGEINT) * (np + 1) // 2) * 1000000
+         |         // (CAST(np AS HUGEINT) * nn) AS BIGINT)
+         |  ELSE CAST(NULL AS BIGINT) END AS auc_e6
          |FROM s""".stripMargin,
     "x_calibration" ->
       s"""WITH $toksCte,
@@ -1157,8 +1163,9 @@ object LlmQueries {
       s"""WITH $toksCte,
          |n AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
          |o AS (SELECT doc_id, lang, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_offset
          |  FROM n)
          |SELECT doc_id, lang, n_tokens, tok_offset,
          |  tok_offset // 256 AS first_pack,
@@ -1368,9 +1375,10 @@ object LlmQueries {
         |  FROM a)
         |SELECT doc_id, n_samples, CAST(n_frames AS BIGINT) AS n_frames,
         |  CASE WHEN n_frames > 0 THEN
-        |    list_transform(generate_series(0, CAST(least(n_frames - 1, 4) AS BIGINT)),
-        |      i -> i * 40)
-        |  ELSE [] END AS first_offsets
+        |    array_to_string(list_transform(
+        |      generate_series(0, CAST(least(n_frames - 1, 4) AS BIGINT)),
+        |      i -> i * 40), ',')
+        |  ELSE '' END AS first_offsets
         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

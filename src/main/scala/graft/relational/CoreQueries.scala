@@ -272,7 +272,10 @@ object CoreQueries {
           expr("CAST(size(filter(prices, x -> x > 5000000)) AS BIGINT)").as("n_big"),
           expr("exists(prices, x -> x > 5000000)").as("any_big"),
           expr("forall(prices, x -> x > 0)").as("all_pos"),
-          expr("zip_with(prices, qtys, (p, q) -> p * q)").as("amounts"))
+          // serialized, not a top-level array: the differential gate hashes
+          // rows through pandas, which cannot sort list-typed columns
+          expr("array_join(transform(zip_with(prices, qtys, (p, q) -> p * q), " +
+            "x -> CAST(x AS STRING)), ',')").as("amounts_csv"))
         .where(col("l_orderkey") <= 3000)
         .orderBy("l_orderkey")
     }),
@@ -312,8 +315,9 @@ object CoreQueries {
     "x_regex_extract" -> ((s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
-        expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
-        expr("regexp_extract_all(p_type, '[A-Z]+', 0)").as("upper_runs"),
+        // space-joined, not top-level arrays (same gate constraint as x_hof)
+        expr("array_join(regexp_extract_all(p_name, '[a-z]+', 0), ' ')").as("words"),
+        expr("array_join(regexp_extract_all(p_type, '[A-Z]+', 0), ' ')").as("upper_runs"),
         expr("CAST(size(regexp_extract_all(p_brand, '[0-9]', 0)) AS BIGINT)")
           .as("n_digits"),
         regexp_extract(col("p_type"), "([A-Z]+)", 1).as("first_upper"))
@@ -1170,7 +1174,10 @@ object CoreQueries {
 
     // X147: percentile_disc vs percentile_cont (WITHIN GROUP ordered-set
     // aggregates, Spark 4 + DuckDB): disc returns a MEMBER of the set
-    // (engine-exact on integer cents), cont interpolates between the two
+    // (value engine-exact on integer cents; REPRESENTATION differs — Spark
+    // returns DOUBLE, DuckDB the element type, so the oracle casts its disc
+    // result to DOUBLE; cents < 2^53 makes the double exact), cont
+    // interpolates between the two
     // straddling members — the two are routinely confused and differ on
     // every even-count group. p = 0.25 exercises a non-trivial
     // interpolation fraction; the cont result is rounded at 6dp (the
@@ -1324,7 +1331,7 @@ object CoreQueries {
       Tables.documents(s, dir).createOrReplaceTempView("v_docs_sf")
       s.sql(
         """SELECT doc_id,
-          |  length(text) AS len,
+          |  CAST(length(text) AS BIGINT) AS len,
           |  upper(left(text, 10)) AS up10,
           |  right(text, 3) AS r3,
           |  reverse(left(text, 5)) AS rev5,
@@ -1560,8 +1567,8 @@ object CoreQueries {
         |  o_orderpriority ASC NULLS LAST""".stripMargin,
     "x_regex_extract" ->
       """SELECT p_partkey,
-        |  regexp_extract_all(p_name, '[a-z]+') AS words,
-        |  regexp_extract_all(p_type, '[A-Z]+') AS upper_runs,
+        |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ') AS words,
+        |  array_to_string(regexp_extract_all(p_type, '[A-Z]+'), ' ') AS upper_runs,
         |  CAST(len(regexp_extract_all(p_brand, '[0-9]')) AS BIGINT) AS n_digits,
         |  coalesce(regexp_extract(p_type, '([A-Z]+)', 1), '') AS first_upper
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -1602,8 +1609,8 @@ object CoreQueries {
         |  CAST(len(list_filter(prices, x -> x > 5000000)) AS BIGINT) AS n_big,
         |  len(list_filter(prices, x -> x > 5000000)) > 0 AS any_big,
         |  len(list_filter(prices, x -> x > 0)) = len(prices) AS all_pos,
-        |  list_transform(generate_series(1, CAST(len(prices) AS INT)),
-        |    i -> prices[i] * qtys[i]) AS amounts
+        |  array_to_string(list_transform(generate_series(1, CAST(len(prices) AS INT)),
+        |    i -> prices[i] * qtys[i]), ',') AS amounts_csv
         |FROM arrs WHERE l_orderkey <= 3000
         |ORDER BY l_orderkey""".stripMargin,
     "x_scalar_fns" ->
@@ -1833,8 +1840,10 @@ object CoreQueries {
         |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS pc
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
         |SELECT user_id,
-        |  coalesce(nc, 0) AS n_clicks, coalesce(cc, 0) AS click_cents,
-        |  coalesce(np, 0) AS n_purchases, coalesce(pc, 0) AS purchase_cents,
+        |  CAST(coalesce(nc, 0) AS BIGINT) AS n_clicks,
+        |  CAST(coalesce(cc, 0) AS BIGINT) AS click_cents,
+        |  CAST(coalesce(np, 0) AS BIGINT) AS n_purchases,
+        |  CAST(coalesce(pc, 0) AS BIGINT) AS purchase_cents,
         |  coalesce(nc, 0) > 0 AND coalesce(np, 0) > 0 AS engaged
         |FROM c FULL JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin,
@@ -2095,7 +2104,8 @@ object CoreQueries {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "x_percentile_kinds" ->
       """SELECT l_returnflag AS flag,
-        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS p25_disc,
+        |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS DOUBLE)
+        |    AS p25_disc,
         |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents), 6)
         |    AS p25_cont
         |FROM (SELECT l_returnflag,

@@ -522,9 +522,13 @@ object StatsOps {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("lag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
-            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+        // zero-variance guard: a constant series has no defined correlation —
+        // NULL on both engines, never a NaN-vs-error divergence
+        round(when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+            (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))), 6)
           .as("xcorr"))
       .orderBy("lag")
   }
@@ -670,8 +674,10 @@ object StatsOps {
         coalesce(col("in_b"), lit(false)).as("in_b"))
     val hashed = flags.select(
       StableHash.md5Prefix60(col("key").cast("string")).as("h"),
-      col("in_a"), col("in_b"))
-    val sample = hashed.orderBy("h").limit(k)
+      col("key"), col("in_a"), col("in_b"))
+    // (h, key) tie-break: a 60-bit prefix collision at the k-th boundary
+    // must not make the bottom-k selection engine-dependent
+    val sample = hashed.orderBy("h", "key").limit(k)
     val est = sample.agg(count(lit(1)).as("m"), max("h").as("hk"),
         sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("both"))
       .select(
@@ -776,8 +782,8 @@ object StatsOps {
          |    a.key IS NOT NULL AS in_a, b.key IS NOT NULL AS in_b
          |  FROM a FULL JOIN b ON a.key = b.key),
          |h AS (SELECT ${StableHash.md5Prefix60Sql("CAST(key AS VARCHAR)")} AS h,
-         |    in_a, in_b FROM flags),
-         |sample AS (SELECT * FROM h ORDER BY h LIMIT 256),
+         |    key, in_a, in_b FROM flags),
+         |sample AS (SELECT * FROM h ORDER BY h, key LIMIT 256),
          |e AS (SELECT CAST(count(*) AS BIGINT) AS m, max(h) AS hk,
          |    CAST(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS BIGINT) AS nb
          |  FROM sample),
@@ -915,9 +921,11 @@ object StatsOps {
         |    CAST(sum(y * y) AS BIGINT) AS syy
         |  FROM aligned GROUP BY lag)
         |SELECT CAST(lag AS INTEGER) AS lag, n,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  ELSE NULL END AS xcorr
         |FROM s ORDER BY lag""".stripMargin,
     "x_impute" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,

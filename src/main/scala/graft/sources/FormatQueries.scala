@@ -425,6 +425,6 @@ object FormatQueries {
     // deterministic quarantine split the PERMISSIVE read must produce
     "x_source_corrupt" ->
       """SELECT CAST(3 AS BIGINT) AS n_valid, CAST(2 AS BIGINT) AS n_corrupt,
-        |  round(60.0, 2) AS v_sum""".stripMargin
+        |  CAST(round(60.0, 2) AS DOUBLE) AS v_sum""".stripMargin
   )
 }

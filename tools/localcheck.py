@@ -1,26 +1,59 @@
 #!/usr/bin/env python3
 """Dev-only differential harness (NOT part of the shipped library).
 
-Mirrors the driver's correctness gate: reads the parquet dumps written by
-`graft.Verify` plus `oracle_sql.json`, runs each oracle in DuckDB over the
-same testdata parquet tables, and compares row-by-row with columns sorted by
-name. Usage:  python3 tools/localcheck.py <sfDir> <verifyOutDir> [key ...]
+Mirrors the driver's correctness gate at FULL strictness: reads the parquet
+dumps written by `graft.Verify` plus `oracle_sql.json`, runs each oracle in
+DuckDB over the same testdata parquet tables, converts both sides to pandas,
+and compares
+
+  1. column names (sorted),
+  2. dtypes EXACTLY (no coercion: an int64 result vs a HUGEINT-as-float64
+     oracle is a FAIL here, exactly as it hash-fails at the driver),
+  3. values EXACTLY (no float rounding — the driver hashes raw values, so
+     this harness must too),
+
+after sorting rows by every column, as the driver does. Top-level
+list/map/struct columns are REJECTED outright: the driver's pandas sort
+crashes on them (`unhashable type: numpy.ndarray`), so a key emitting one
+can never pass the gate regardless of values — serialize the array
+(array_join / array_to_string) on both sides instead.
+
+The round-3 lesson this encodes: the previous norm()-rounding version passed
+six keys the driver gate failed. Lenient dev harness == red driver rows.
+
+Usage:  python3 tools/localcheck.py <sfDir> <verifyOutDir> [key ...]
 """
 import json
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+NESTED = (list, tuple, dict, np.ndarray)
 
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+
+def nested_cols(df):
+    """Columns holding list/map/struct values (driver-gate poison)."""
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            for v in col:
+                if isinstance(v, NESTED):
+                    bad.append(c)
+                    break
+    return bad
+
+
+def canon(df):
+    """Sort columns by name, rows by all columns — the driver's layout."""
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
 def main():
@@ -37,25 +70,52 @@ def main():
             continue
         try:
             got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')").fetch_arrow_table()
-            want = con.execute(sql).fetch_arrow_table()
-            g_cols, w_cols = sorted(got.column_names), sorted(want.column_names)
-            if g_cols != w_cols:
-                print(f"FAIL {key}: columns {g_cols} vs oracle {w_cols}")
+                f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')"
+            ).fetch_arrow_table().to_pandas()
+            want = con.execute(sql).fetch_arrow_table().to_pandas()
+
+            bad = [(side, c) for side, df in (("spark", got), ("oracle", want))
+                   for c in nested_cols(df)]
+            if bad:
                 n_bad += 1
+                print(f"FAIL {key}: top-level array/map column(s) "
+                      f"{bad} — the driver gate cannot hash these; "
+                      f"serialize with array_join/array_to_string")
                 continue
-            g = [tuple(norm(row[c]) for c in g_cols) for row in got.to_pylist()]
-            w = [tuple(norm(row[c]) for c in w_cols) for row in want.to_pylist()]
-            if g == w:
-                print(f"ok   {key}: {len(g)} rows")
+
+            g_cols, w_cols = sorted(got.columns), sorted(want.columns)
+            if g_cols != w_cols:
+                n_bad += 1
+                print(f"FAIL {key}: columns {g_cols} vs oracle {w_cols}")
+                continue
+
+            got, want = canon(got), canon(want)
+            dt_g = [str(t) for t in got.dtypes]
+            dt_w = [str(t) for t in want.dtypes]
+            if dt_g != dt_w:
+                n_bad += 1
+                diffs = [(c, a, b) for c, a, b in zip(g_cols, dt_g, dt_w)
+                         if a != b]
+                print(f"FAIL {key}: dtype mismatch (spark vs oracle): {diffs}")
+                continue
+
+            if len(got) != len(want):
+                n_bad += 1
+                print(f"FAIL {key}: rows {len(got)} vs {len(want)}")
+                continue
+
+            if got.equals(want):
+                print(f"ok   {key}: {len(got)} rows")
                 n_ok += 1
             else:
                 n_bad += 1
-                print(f"FAIL {key}: rows {len(g)} vs {len(w)}")
-                for i, (a, b) in enumerate(zip(g, w)):
-                    if a != b:
-                        print(f"  first diff at row {i}:\n   spark={a}\n   duck ={b}")
-                        break
+                neq = ~(got.eq(want) | (got.isna() & want.isna()))
+                rows = neq.any(axis=1)
+                i = int(rows.idxmax())
+                cols = [c for c in got.columns if neq.loc[i, c]]
+                print(f"FAIL {key}: value diff, first at sorted row {i} "
+                      f"cols {cols}:\n   spark={got.loc[i].to_dict()}"
+                      f"\n   duck ={want.loc[i].to_dict()}")
         except Exception as e:
             n_bad += 1
             print(f"FAIL {key}: {type(e).__name__}: {e}")
