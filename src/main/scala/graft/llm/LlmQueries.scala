@@ -16,6 +16,27 @@ object LlmQueries {
   private val MinhashThreshold = 0.5
   private val EmbedThreshold = 0.35 // synthetic vectors are near-random; q99.9 ≈ 0.37
 
+  /** X162 core: exact AUC by the rank-sum (Mann–Whitney U) identity over a
+    * `(doc_id, pos BOOLEAN, score BIGINT)` relation. Ranks are exact
+    * integers under the deterministic (score, doc_id) tie-break; the
+    * statistic is one rational cleared in DECIMAL(38,0). A slice with no
+    * positives or no negatives has no defined AUC — NULL, never a
+    * divide-by-zero NULL/error divergence (spec-pinned on planted data). */
+  def aucRankSum(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score"), col("doc_id"))).cast("long"))
+      .agg(sum(when(col("pos"), col("r"))).as("rs"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+      .select(col("np"), col("nn"),
+        expr("""CASE WHEN np > 0 AND nn > 0 THEN
+               |  CAST((CAST(rs AS DECIMAL(38,0)) - CAST(np AS DECIMAL(38,0)) * (np + 1) div 2)
+               |       * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
+               |ELSE CAST(NULL AS BIGINT) END"""
+          .stripMargin).as("auc_e6"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_text_stats" -> ((s, dir) =>
       TextAnalysis.stats(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -77,25 +98,10 @@ object LlmQueries {
     // corpus-scale path.
     "x_auc" -> ((s, dir) => {
       val t = TextAnalysis.tokens(col("text"))
-      val scored = Tables.documents(s, dir)
+      aucRankSum(Tables.documents(s, dir)
         .select(col("doc_id"), (col("lang") === "en").as("pos"),
           size(filter(t, w => w.isInCollection(TextAnalysis.stopwords("en"))))
-            .cast("long").as("score"))
-      scored
-        .withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("score"), col("doc_id"))).cast("long"))
-        .agg(sum(when(col("pos"), col("r"))).as("rs"),
-          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
-          sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
-        .select(col("np"), col("nn"),
-          // zero guard: a slice with no positives or no negatives has no
-          // defined AUC — NULL, not a divide-by-zero NULL/error divergence
-          expr("""CASE WHEN np > 0 AND nn > 0 THEN
-                 |  CAST((CAST(rs AS DECIMAL(38,0)) - CAST(np AS DECIMAL(38,0)) * (np + 1) div 2)
-                 |       * 1000000 div (CAST(np AS DECIMAL(38,0)) * nn) AS BIGINT)
-                 |ELSE CAST(NULL AS BIGINT) END"""
-            .stripMargin).as("auc_e6"))
+            .cast("long").as("score")))
     }),
 
     // X163: calibration by score decile — does the score's level track the

@@ -512,7 +512,17 @@ object StatsOps {
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("y"))
       .cache()
-    val lags = spark.range(0, 4).select(col("id").cast("int").as("lag"))
+    crossCorrFromSeries(spark, daily, 4)
+  }
+
+  /** X135 core: lagged Pearson cross-correlation of a `(d, x, y)` integer
+    * series for lags `0 until maxLag`, from one pass of BIGINT sufficient
+    * sums per lag. A zero-variance slice (constant x or y at some lag) has
+    * no defined correlation — NULL on both engines, never a NaN-vs-error
+    * divergence (spec-pinned on planted data). */
+  def crossCorrFromSeries(spark: SparkSession, daily: DataFrame,
+      maxLag: Int): DataFrame = {
+    val lags = spark.range(0, maxLag).select(col("id").cast("int").as("lag"))
     val aligned = daily.as("a").crossJoin(broadcast(lags))
       .join(daily.as("b"), col("b.d") === col("a.d") + col("lag"))
       .select(col("lag"), col("a.x").as("x"), col("b.y").as("y"))
