@@ -55,6 +55,51 @@ object CorpusStats {
         expr("n_dup * 1000000 div n_chunks").as("dup_frac_e6"))
   }
 
+  /** X188: destructive span dedup — the REMOVE step that X120 only
+    * measures (Lee et al., ACL'22: delete repeated spans, keep one
+    * canonical copy). Documents are cut into disjoint 8-word chunks
+    * (ceiling — the tail chunk is kept so reconstruction is lossless);
+    * each distinct chunk's FIRST corpus occurrence (min (doc_id, pos),
+    * encoded as one integer ordinal) survives, later occurrences are
+    * dropped, and each document is reassembled from its surviving chunks
+    * in position order. Unlike doc-level dedup this shrinks boilerplate
+    * INSIDE otherwise-unique documents — the operator that actually
+    * recovers the 3–5% corpus shrinkage the span measurement predicts.
+    *
+    * Scale shape: chunking is a generator projection (no join); the only
+    * shuffle is the first-occurrence window partitioned by chunk — evenly
+    * spread keys, no pair space; reassembly is a groupBy(doc_id) whose
+    * per-group state is one document's chunks (bounded by doc length).
+    * The ordinal `doc_id·10⁵ + pos` is exact while doc_id < 2⁶³/10⁵
+    * ≈ 9·10¹³ — beyond that, widen to min-by-struct. A doc whose every
+    * chunk is owned elsewhere collapses to NULL (both engines via
+    * nullif(…, '')). */
+  def spanRewrite(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"sequence(0, (size(t) + ${ChunkWords - 1}) div $ChunkWords - 1)"))
+          .as("ci"),
+        col("t"))
+      .select(col("doc_id"), col("ci"),
+        expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))")
+          .as("chunk"))
+    chunks
+      .withColumn("ord", expr("doc_id * 100000 + ci"))
+      .withColumn("first_ord",
+        min("ord").over(Window.partitionBy("chunk")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("ord") =!= col("first_ord"), 1L).otherwise(0L))
+          .as("n_removed"),
+        expr("""nullif(concat_ws(' ', transform(array_sort(collect_list(
+               |  CASE WHEN ord = first_ord
+               |       THEN named_struct('ci', ci, 'chunk', chunk) END)),
+               |  x -> x.chunk)), '')""".stripMargin).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** X121: bigram surprisal scoring — the CCNet/Wenzek perplexity-filter
     * shape with an ENGINE-EXACT statistic: per-doc mean of
     * ⌊log₂((c(w₁·)+V) div (c(w₁w₂)+1))⌋ over the corpus's own ADD-ONE
@@ -211,6 +256,8 @@ object CorpusStats {
     "x_dedup_span" -> ((s, dir) =>
       spanDuplication(Tables.documents(s, dir))
         .where(col("doc_id") <= 300).orderBy("doc_id")),
+    "x_dedup_span_rewrite" -> ((s, dir) =>
+      spanRewrite(Tables.documents(s, dir))),
     "x_surprisal" -> ((s, dir) =>
       surprisal(Tables.documents(s, dir))
         .where(col("doc_id") <= 200).orderBy("doc_id")),
@@ -277,6 +324,21 @@ object CorpusStats {
          |    AS BIGINT) AS dup_frac_e6
          |FROM ch JOIN counts USING (h)
          |WHERE doc_id <= 300 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_dedup_span_rewrite" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_pos,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+        |  FROM w, UNNEST(range(0, (len(ws)+7)//8)) AS t(i)),
+        |f AS (SELECT doc_id, chunk_pos, chunk,
+        |    min(doc_id*100000 + chunk_pos) OVER (PARTITION BY chunk) AS first_ord
+        |  FROM c)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE doc_id*100000 + chunk_pos <> first_ord)
+        |    AS BIGINT) AS n_removed,
+        |  nullif(string_agg(chunk, ' ' ORDER BY chunk_pos)
+        |    FILTER (WHERE doc_id*100000 + chunk_pos = first_ord), '') AS clean_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_surprisal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

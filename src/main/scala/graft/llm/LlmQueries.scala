@@ -288,6 +288,10 @@ object LlmQueries {
     "x_quality_topk" -> ((s, dir) =>
       TextAnalysis.qualityTopDecile(Tables.documents(s, dir))),
 
+    // absolute per-source cap (keep the top-15 docs per source by size)
+    "x_domain_cap" -> ((s, dir) =>
+      TextAnalysis.domainCap(Tables.documents(s, dir), cap = 15)),
+
     // importance sampling: keep probability ≈ quality score (upweight good
     // documents in the training mix), deterministic and auditable
     "x_sample_weighted" -> ((s, dir) => {
@@ -1138,6 +1142,18 @@ object LlmQueries {
          |  FROM q)
          |SELECT doc_id, lang, quality FROM r WHERE decile = 1
          |ORDER BY lang, doc_id""".stripMargin,
+    "x_domain_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE rn <= 15) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_chars) FILTER (WHERE rn <= 15) AS BIGINT) AS chars_kept,
+        |  CAST(min(n_chars) FILTER (WHERE rn <= 15) AS BIGINT) AS cap_floor
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "x_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0

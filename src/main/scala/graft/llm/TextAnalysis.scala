@@ -298,6 +298,31 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** X189: absolute per-source document cap — the RefinedWeb/web-crawl
+    * curation rule "no domain contributes more than K documents",
+    * complementing X43's RELATIVE per-language decile cut. Within each
+    * source, documents rank by (n_chars DESC, doc_id) — a fully
+    * deterministic tie-break — and the report carries, per source, the
+    * pre-cap volume, the kept count, the kept character mass, and the
+    * quality floor the cap induced (min n_chars among survivors).
+    *
+    * Scale shape: one window partitioned by source (the key a crawl is
+    * naturally laid out by; a pathological mega-domain is exactly the row
+    * the cap exists to bound) feeding one partial-first aggregation —
+    * no joins, no pair space, one shuffle. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= cap, col("n_chars"))).as("chars_kept"),
+        min(when(col("rn") <= cap, col("n_chars"))).as("cap_floor"))
+      .orderBy("source")
+  }
+
   /** Fixed-size training-window chunking with overlap: one output row per
     * (document, chunk), where chunk c covers tokens [c·stride, c·stride +
     * chunkSize). The per-doc expansion is a generator over computed chunk
