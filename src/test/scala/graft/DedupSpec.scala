@@ -145,4 +145,24 @@ class DedupSpec extends SparkSpec with Matchers {
     Dedup.nearDuplicatePairs(d, 0.5)
       .where(col("da") === 1L && col("db") === 2L).count() shouldBe 0L
   }
+
+  test("spanRewrite keeps first occurrence, reassembles in order, NULLs owned docs") {
+    val c1 = (1 to 8).map(i => s"a$i").mkString(" ")  // chunk owned by doc 1
+    val c2 = (1 to 8).map(i => s"b$i").mkString(" ")
+    val u = (1 to 8).map(i => s"c$i").mkString(" ")
+    val tail10 = (1 to 10).map(i => s"u$i").mkString(" ") // 10 words: 8 + ceil tail of 2
+    val d = docs(
+      1L -> s"$c1 $c2", // owns both chunks — untouched
+      2L -> s"$c1 $u",  // first chunk duplicated from doc 1, second unique
+      3L -> c2,         // entirely owned elsewhere — collapses to NULL
+      4L -> tail10)     // unique incl. partial tail chunk — lossless roundtrip
+    val got = graft.llm.CorpusStats.spanRewrite(d)
+      .select("doc_id", "n_chunks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 0L, Some(s"$c1 $c2")),
+      (2L, 2L, 1L, Some(u)),
+      (3L, 1L, 1L, None),
+      (4L, 2L, 0L, Some(tail10)))
+  }
 }

@@ -152,4 +152,31 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     got(3L) shouldBe ((1, 1))
     got(4L) shouldBe ((0, 0))
   }
+
+  test("domainCap caps per source with (n_chars desc, doc_id) tie-break") {
+    val df = Seq(
+      (1L, "s1", 10L), (2L, "s1", 10L), (3L, "s1", 5L), // tie at 10 → 1, 2 kept
+      (4L, "s2", 7L))                                   // under cap — all kept
+      .toDF("doc_id", "source", "n_chars")
+    val got = TextAnalysis.domainCap(df, cap = 2)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(("s1", 3L, 2L, 20L, 10L), ("s2", 1L, 1L, 7L, 7L))
+  }
+
+  test("batchPadding: sorted batching arithmetic exact, invariants vs hashed") {
+    // token counts 1..4, batches of 2: sorted → {1,2},{3,4}:
+    // capacity 2·2 + 2·4 = 12, tokens 10, padded 2
+    val df = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TrainingSets.batchPadding(df, batchSize = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    got("sorted") shouldBe (("sorted", 2L, 10L, 12L, 2L, 166666L))
+    val h = got("hashed")
+    h._2 shouldBe 2L   // same batch count
+    h._3 shouldBe 10L  // same token mass — batching moves nothing
+    h._4 should be >= h._3 // capacity dominates content
+    // contiguous sorted batching minimizes the sum of batch maxima
+    h._5 should be >= 2L
+  }
 }
