@@ -194,6 +194,39 @@ object CorpusStats {
         expr("c * length(bigram) * 1000000 div text_len").as("frac_e6"))
   }
 
+  /** X192: per-source marginal novelty — of each source's 8-word chunk
+    * instances (X120's granularity), the fraction that are the chunk's
+    * FIRST corpus occurrence (min (doc_id, pos) ordinal). This is the
+    * mix-design number X156's vocabulary Jaccard cannot see: two sources
+    * can share a vocabulary yet one contribute nothing but re-syndicated
+    * spans (novelty → 0), and the dedup pipeline keeps exactly the
+    * first-owned mass this measures. Same two-shuffle shape as X120 —
+    * chunks travel as md5-derived ids, the first-occurrence window
+    * partitions on evenly-spread ids, the per-source rollup is
+    * partial-first. */
+  def sourceNovelty(docs: DataFrame): DataFrame = {
+    val chunks = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= ChunkWords)
+      .select(col("doc_id"), col("source"),
+        explode(expr(s"sequence(0, size(t) div $ChunkWords - 1)")).as("ci"),
+        col("t"))
+      .select(col("doc_id"), col("source"), col("ci"),
+        StableHash.md5Prefix60(
+          expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))"))
+          .as("h"))
+    chunks
+      .withColumn("o", expr("doc_id * 100000 + ci"))
+      .withColumn("fo", min("o").over(Window.partitionBy("h")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("o") === col("fo"), 1L).otherwise(0L))
+          .as("n_first_owned"))
+      .select(col("source"), col("n_chunks"), col("n_first_owned"),
+        expr("n_first_owned * 1000000 div n_chunks").as("novelty_e6"))
+      .orderBy("source")
+  }
+
   /** X156: corpus-slice similarity matrix — vocabulary Jaccard between
     * every pair of sources: the provenance-dedup signal (two feeds
     * syndicating the same upstream show near-identical vocabularies) and
@@ -258,6 +291,8 @@ object CorpusStats {
         .where(col("doc_id") <= 300).orderBy("doc_id")),
     "x_dedup_span_rewrite" -> ((s, dir) =>
       spanRewrite(Tables.documents(s, dir))),
+    "x_source_novelty" -> ((s, dir) =>
+      sourceNovelty(Tables.documents(s, dir))),
     "x_surprisal" -> ((s, dir) =>
       surprisal(Tables.documents(s, dir))
         .where(col("doc_id") <= 200).orderBy("doc_id")),
@@ -324,6 +359,21 @@ object CorpusStats {
          |    AS BIGINT) AS dup_frac_e6
          |FROM ch JOIN counts USING (h)
          |WHERE doc_id <= 300 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_source_novelty" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS t
+         |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         |c AS (SELECT doc_id, source, i AS ci,
+         |    ${StableHash.md5Prefix60Sql(
+             "array_to_string(t[(i*8+1):(i*8+8)], ' ')")} AS h
+         |  FROM w, UNNEST(range(len(t) // 8)) AS s(i)),
+         |f AS (SELECT source, doc_id * 100000 + ci AS o,
+         |    min(doc_id * 100000 + ci) OVER (PARTITION BY h) AS fo
+         |  FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) FILTER (WHERE o = fo) AS BIGINT) AS n_first_owned,
+         |  CAST(count(*) FILTER (WHERE o = fo) * 1000000 // count(*)
+         |    AS BIGINT) AS novelty_e6
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "x_dedup_span_rewrite" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, i AS chunk_pos,

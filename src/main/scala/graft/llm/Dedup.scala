@@ -156,6 +156,53 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** X191: incremental (delta-vs-base) near-dup — the daily-ingest shape:
+    * a new batch (doc_id ≥ `deltaFrom`) is probed against the existing
+    * corpus (doc_id < `deltaFrom`), and each delta document reports its
+    * best base match (max Jaccard, then min base id) plus how many base
+    * docs it matched. The full-corpus keys (x_dedup_ngram et al.) re-pair
+    * everything every run; production ingest must pair ONLY delta×base —
+    * base never re-self-joins (its pairs were resolved when it was the
+    * delta), delta×delta waits until the batch joins the base.
+    *
+    * Scale shape: identical bounded candidate space as
+    * [[nearDuplicatePairs]] (df cutoff + size-ratio prune on the
+    * md5-derived 60-bit id stream), but the self-join becomes a
+    * base×delta join, so candidate volume scales with |delta|·df, not
+    * |corpus|²-ish — the base side is the persisted shingle-id index a
+    * real pipeline keeps partitioned by sid on disk. Best-match selection
+    * is a per-delta-doc window over its own matches (bounded group). */
+  def incrementalNearDuplicates(docs: DataFrame, deltaFrom: Long,
+      threshold: Double, maxDf: Int = MaxShingleDf): DataFrame = {
+    val ids = shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+    val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("sid")
+    val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
+    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    withN.where(col("doc_id") < deltaFrom).as("a").hint("SHUFFLE_HASH")
+      .join(withN.where(col("doc_id") >= deltaFrom).as("b")
+          .hint("SHUFFLE_HASH"),
+        col("a.sid") === col("b.sid") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * threshold)
+      .groupBy(col("b.doc_id").as("doc_id"), col("a.doc_id").as("base_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.n")).as("na"), min(col("b.n")).as("nb"))
+      .select(col("doc_id"), col("base_id"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .withColumn("n_base_matches", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("jaccard").desc, col("base_id"))))
+      .where(col("rk") === 1)
+      .select("doc_id", "base_id", "inter", "jaccard", "n_base_matches")
+      .orderBy("doc_id")
+  }
+
   /** MinHash signatures: per doc, min over md5-derived shingle ids of each
     * affine hash — a single projection + one groupBy(doc_id), no dictionary.
     * Output: doc_id, mh_0 … mh_{15}, sig (array). */

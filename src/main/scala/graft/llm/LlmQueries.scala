@@ -153,6 +153,12 @@ object LlmQueries {
     "x_dedup_normalized" -> ((s, dir) =>
       Dedup.exactDuplicates(Tables.documents(s, dir), Dedup.normalizedKey)),
 
+    // incremental ingest dedup: delta batch (doc_id >= 250) probed against
+    // the existing base corpus — best base match per flagged delta doc
+    "x_dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalNearDuplicates(Tables.documents(s, dir),
+        deltaFrom = 250L, threshold = JaccardThreshold)),
+
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
 
@@ -786,6 +792,26 @@ object LlmQueries {
         |FROM documents
         |GROUP BY 1 HAVING count(*) > 1
         |ORDER BY keep_id""".stripMargin,
+    "x_dedup_incremental" ->
+      s"""WITH $toksCte, $shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |pairs AS (SELECT b.doc_id AS doc_id, a.doc_id AS base_id,
+         |    count(*) AS inter, min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid
+         |    AND a.doc_id < 250 AND b.doc_id >= 250
+         |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, base_id, CAST(inter AS BIGINT) AS inter,
+         |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+         |  FROM pairs),
+         |fl AS (SELECT doc_id, base_id, inter, jaccard,
+         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_base_matches,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY jaccard DESC, base_id) AS rk
+         |  FROM sc WHERE jaccard >= $JaccardThreshold)
+         |SELECT doc_id, base_id, inter, jaccard, n_base_matches
+         |FROM fl WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "x_dedup_ngram" ->
       s"""WITH $toksCte, $shCte, $shfCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),

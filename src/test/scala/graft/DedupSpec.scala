@@ -146,6 +146,32 @@ class DedupSpec extends SparkSpec with Matchers {
       .where(col("da") === 1L && col("db") === 2L).count() shouldBe 0L
   }
 
+  test("incremental dedup pairs delta against base only, tie-breaks to min base id") {
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val d = docs(
+      1L -> t20, 2L -> t20,     // base duplicates of each other — must NOT pair
+      300L -> t20,              // delta dup of base: matches BOTH 1 and 2
+      301L -> other,            // delta unique — absent from output
+      302L -> t20)              // second delta dup — must not pair with 300
+    val got = Dedup.incrementalNearDuplicates(d, deltaFrom = 250L, threshold = 0.5)
+      .select("doc_id", "base_id", "jaccard", "n_base_matches")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    got shouldBe Seq((300L, 1L, 1.0, 2L), (302L, 1L, 1.0, 2L))
+  }
+
+  test("sourceNovelty credits a chunk's first corpus occurrence to its source") {
+    val c = (1 to 8).map(i => s"a$i").mkString(" ")
+    val fresh = (1 to 8).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (1L, "sA", c),               // owns the chunk
+      (2L, "sB", s"$c $fresh"))    // re-syndicates it + one novel chunk
+      .toDF("doc_id", "source", "text")
+    val got = graft.llm.CorpusStats.sourceNovelty(d)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(("sA", 1L, 1L, 1000000L), ("sB", 2L, 1L, 500000L))
+  }
+
   test("spanRewrite keeps first occurrence, reassembles in order, NULLs owned docs") {
     val c1 = (1 to 8).map(i => s"a$i").mkString(" ")  // chunk owned by doc 1
     val c2 = (1 to 8).map(i => s"b$i").mkString(" ")
