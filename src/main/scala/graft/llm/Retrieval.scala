@@ -207,6 +207,8 @@ object Retrieval {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_separation" -> ((s, dir) =>
       embedSeparation(Tables.embeddings(s, dir))),
+    "x_embed_outlier" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables.embeddings(s, dir), k = 5)),
     "x_ann_recall_sweep" -> ((s, dir) =>
       annRecallSweep(Tables.embeddings(s, dir), queryId = 0L)),
     "x_embed_dim_stats" -> ((s, dir) =>
@@ -228,6 +230,21 @@ object Retrieval {
         |SELECT same_label, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(cos_e6) // count(*) AS BIGINT) AS mean_cos_e6
         |FROM p GROUP BY same_label ORDER BY same_label""".stripMargin,
+    "x_embed_outlier" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |${LlmQueries.centCte},
+         |sc AS (SELECT vec_id, label,
+         |    CAST(floor(list_dot_product(v, cvec) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec)))
+         |      * 1000000.0) AS BIGINT) AS cos_e6
+         |  FROM e JOIN cent ON cent.cell = e.label),
+         |r AS (SELECT label, vec_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY label
+         |                            ORDER BY cos_e6, vec_id) AS BIGINT) AS rk
+         |  FROM sc)
+         |SELECT label, rk, vec_id, cos_e6 FROM r WHERE rk <= 5
+         |ORDER BY label, rk""".stripMargin,
     "x_ann_recall_sweep" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |${LlmQueries.centCte},

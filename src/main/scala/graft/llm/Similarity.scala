@@ -94,6 +94,36 @@ object Similarity {
         max_by(col("cell"), struct(col("c_sim"), (-col("cell")).as("nc"))).as("cell"),
         first(col("embedding")).as("embedding"))
 
+  /** X193: embedding-outlier curation — per label, the k vectors LEAST
+    * similar to their own label centroid (the CLIP-score/embedding-filter
+    * shape: a vector far from its class center is a mislabel or junk
+    * candidate; negative cosines here are exactly the near-random junk
+    * planted in the synthetic table). Centroids are the oracle-pinned
+    * rounded quantizer from [[centroidVectors]], so the fixed-order
+    * cosine is bit-exact cross-engine; scores quantize to ⌊cos·10⁶⌋
+    * integers so ranking never compares raw doubles.
+    *
+    * Scale shape: K centroid rows broadcast against the N-row scan (one
+    * codegen'd dot per row, no shuffle for scoring); the only shuffle is
+    * the per-label ranking window — bounded per label, and at 100 TB the
+    * same rank runs as a per-label top-k heap aggregate (X52) instead of
+    * a full window sort. */
+  def labelOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val cents = centroidVectors(emb)
+    emb.join(broadcast(cents), col("label") === col("cell"))
+      .select(col("vec_id"), col("label"),
+        floor(VectorOps.dot(col("embedding"), col("cvec")) /
+          (VectorOps.norm(col("embedding")) * VectorOps.norm(col("cvec")))
+          * 1000000.0).cast("long").as("cos_e6"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("cos_e6"), col("vec_id")))
+        .cast("long"))
+      .where(col("rk") <= k)
+      .select(col("label"), col("rk"), col("vec_id"), col("cos_e6"))
+      .orderBy("label", "rk")
+  }
+
   /** Product-quantization codebooks (the PQ half of IVF-PQ, the standard
     * billion-scale ANN layout): the 64-dim space splits into `m`
     * subspaces of `subDim` dims; each subspace gets its own codebook from

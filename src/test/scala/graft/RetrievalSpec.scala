@@ -59,6 +59,18 @@ class RetrievalSpec extends SparkSpec with Matchers {
       .select("c_e6").as[Long].head() shouldBe cell0
   }
 
+  test("labelOutliers ranks the anti-aligned vector as its label's worst fit") {
+    val e = emb(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0), (3L, Seq(-1f, 0f), 0),
+      (4L, Seq(0f, 1f), 1), (5L, Seq(0f, 1f), 1))
+    val got = Similarity.labelOutliers(e, k = 1)
+      .select("label", "rk", "vec_id", "cos_e6")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // label 0 centroid ≈ (1/3, 0): vec 3 is anti-aligned (cos −1);
+    // label 1 is tight — its "worst" still has cos 1 (tie → min vec_id)
+    got shouldBe Seq((0, 1L, 3L, -1000000L), (1, 1L, 4L, 1000000L))
+  }
+
   private def embTable =
     spark.read.parquet(s"$sf0001/embeddings.parquet")
 }
