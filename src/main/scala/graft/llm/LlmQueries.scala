@@ -508,7 +508,11 @@ object LlmQueries {
       Multimodal.frameSample(Tables.documents(s, dir))),
 
     "x_audio_frames" -> ((s, dir) =>
-      Multimodal.audioFrames(Tables.documents(s, dir)))
+      Multimodal.audioFrames(Tables.documents(s, dir))),
+
+    // aspect-preserving resize geometry + ViT patch/pad accounting
+    "x_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Tables.documents(s, dir)))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1427,6 +1431,16 @@ object LlmQueries {
         |      generate_series(0, CAST(least(n_frames - 1, 4) AS BIGINT)),
         |      i -> i * 40), ',')
         |  ELSE '' END AS first_offsets
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "x_resize_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(16 + n_chars % 640 AS BIGINT) AS w,
+        |    CAST(16 + (n_chars * 7) % 480 AS BIGINT) AS h FROM documents),
+        |o AS (SELECT doc_id, w, h,
+        |    greatest(w * 224 // greatest(w, h), 1) AS out_w,
+        |    greatest(h * 224 // greatest(w, h), 1) AS out_h FROM d)
+        |SELECT doc_id, w, h, out_w, out_h,
+        |  CAST(((out_w + 31) // 32) * ((out_h + 31) // 32) AS BIGINT) AS n_patches,
+        |  CAST(50176 - out_w * out_h AS BIGINT) AS pad_px
+        |FROM o ORDER BY doc_id""".stripMargin
   )
 }

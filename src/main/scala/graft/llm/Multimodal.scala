@@ -81,6 +81,30 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** X194: resize planning — the batch-shape half of image preprocessing
+    * (the pixel work itself is the decoder stub's job): synthetic source
+    * dimensions derive deterministically from the metadata (w = 16 +
+    * n_chars % 640, h = 16 + 7·n_chars % 480 — stand-ins for the header
+    * fields a real decoder reads), then aspect-preserving fit into a
+    * `target`² canvas with integer-exact geometry: out = dim·target div
+    * max(w, h) (floor, ≥ 1), patch grid = ceil(out/patch) per axis
+    * (ViT-style), letterbox padding = target² − out_w·out_h. This is what
+    * a preprocessing planner computes per image to budget batches BEFORE
+    * touching pixels — pure per-row projection, codegen'd, no shuffle,
+    * and every number crossing the oracle is integer. */
+  def resizePlan(docs: DataFrame, target: Int = 224, patch: Int = 32): DataFrame =
+    docs.select(col("doc_id"),
+        expr("16 + n_chars % 640").cast("long").as("w"),
+        expr("16 + (n_chars * 7) % 480").cast("long").as("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        greatest(expr(s"w * $target div greatest(w, h)"), lit(1L)).as("out_w"),
+        greatest(expr(s"h * $target div greatest(w, h)"), lit(1L)).as("out_h"))
+      .select(col("doc_id"), col("w"), col("h"), col("out_w"), col("out_h"),
+        expr(s"((out_w + ${patch - 1}) div $patch) * ((out_h + ${patch - 1}) div $patch)")
+          .as("n_patches"),
+        expr(s"${target.toLong * target} - out_w * out_h").as("pad_px"))
+      .orderBy("doc_id")
+
   def frameSample(docs: DataFrame, frameChars: Int = 64, stride: Int = 4): DataFrame = {
     val nf = floor((length(col("text")) + frameChars - 1) / frameChars).cast("int")
     docs.select(
