@@ -512,7 +512,15 @@ object LlmQueries {
 
     // aspect-preserving resize geometry + ViT patch/pad accounting
     "x_resize_plan" -> ((s, dir) =>
-      Multimodal.resizePlan(Tables.documents(s, dir)))
+      Multimodal.resizePlan(Tables.documents(s, dir))),
+
+    // per-language chars-per-token equity vs the en reference
+    "x_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir))),
+
+    // greedy quality-ordered token-budget waterfill across sources
+    "x_mix_budget" -> ((s, dir) =>
+      TextAnalysis.mixtureBudget(Tables.documents(s, dir), budget = 15000L))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -1441,6 +1449,35 @@ object LlmQueries {
         |SELECT doc_id, w, h, out_w, out_h,
         |  CAST(((out_w + 31) // 32) * ((out_h + 31) // 32) AS BIGINT) AS n_patches,
         |  CAST(50176 - out_w * out_h AS BIGINT) AS pad_px
-        |FROM o ORDER BY doc_id""".stripMargin
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "x_tokenizer_fertility" ->
+      s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS chars,
+         |    CAST(sum(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')))
+         |      AS BIGINT) AS bpe_tokens
+         |  FROM documents GROUP BY lang),
+         |f AS (SELECT lang, n_docs, chars, bpe_tokens,
+         |    CAST(chars * 1000 // bpe_tokens AS BIGINT) AS fertility_e3 FROM per),
+         |en AS (SELECT fertility_e3 AS en_f FROM f WHERE lang = 'en')
+         |SELECT lang, n_docs, chars, bpe_tokens, fertility_e3,
+         |  CAST(fertility_e3 * 1000 // en_f AS BIGINT) AS rel_en_e3
+         |FROM f, en ORDER BY lang""".stripMargin,
+    "x_mix_budget" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |    CAST(sum(len(list_distinct(string_split(text, ' ')))) * 1000000
+        |         // sum(len(string_split(text, ' '))) AS BIGINT) AS quality_e6
+        |  FROM documents GROUP BY source),
+        |cw AS (SELECT source, quality_e6, tokens,
+        |    CAST(sum(tokens) OVER (ORDER BY quality_e6 DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM per),
+        |al AS (SELECT source, quality_e6, tokens,
+        |    CAST(CASE WHEN cum <= 15000 THEN tokens
+        |              WHEN cum - tokens < 15000 THEN 15000 - (cum - tokens)
+        |              ELSE 0 END AS BIGINT) AS alloc_tokens FROM cw)
+        |SELECT source, quality_e6, tokens, alloc_tokens,
+        |  CAST(alloc_tokens * 1000000 // 15000 AS BIGINT) AS share_e6
+        |FROM al ORDER BY source""".stripMargin
   )
 }

@@ -163,6 +163,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X195: per-language tokenizer fertility — chars per BPE-ish token
+    * (×10³) by language, and each language's ratio to English (×10³): the
+    * multilingual tokenizer-equity check (a language whose fertility runs
+    * far above en pays more tokens per character of content, i.e. gets
+    * less context window and more compute per word — the NLLB/tokenizer-
+    * parity argument). All integer: summed chars and token counts divide
+    * once per language. One partial-first aggregation over the corpus;
+    * the en reference row is a 1-row broadcast. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val bpe = size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .cast("long")
+    val perLang = docs.select(col("lang"), col("n_chars"), bpe.as("bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        sum("bpe").as("bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
+        expr("chars * 1000 div bpe_tokens").as("fertility_e3"))
+    val en = perLang.where(col("lang") === "en")
+      .select(col("fertility_e3").as("en_f"))
+    perLang.crossJoin(broadcast(en))
+      .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
+        col("fertility_e3"),
+        expr("fertility_e3 * 1000 div en_f").as("rel_en_e3"))
+      .orderBy("lang")
+  }
+
+  /** X196: token-budget mixture allocation — the step that turns quality
+    * scores into an actual data recipe: sources are funded greedily in
+    * (quality DESC, source) order until the token budget is exhausted,
+    * the boundary source gets the remainder, the rest get zero (the
+    * deterministic waterfill every "take the best N tokens" mix design
+    * reduces to). Quality here is the distinct-token ratio ×10⁶ (any
+    * integer score slots in). One aggregation + one window over the
+    * SOURCE-COUNT-sized relation — the allocation itself is control-plane
+    * scale regardless of corpus size. */
+  def mixtureBudget(docs: DataFrame, budget: Long): DataFrame = {
+    val t = tokens(col("text"))
+    val per = docs
+      .select(col("source"), size(t).cast("long").as("toks"),
+        size(array_distinct(t)).cast("long").as("dtoks"))
+      .groupBy("source")
+      .agg(sum("toks").as("tokens"), sum("dtoks").as("d_tokens"))
+      .select(col("source"), col("tokens"),
+        expr("d_tokens * 1000000 div tokens").as("quality_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_e6").desc, col("source"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per.withColumn("cum", sum("tokens").over(w))
+      .select(col("source"), col("quality_e6"), col("tokens"),
+        expr(s"""CAST(CASE WHEN cum <= $budget THEN tokens
+                |WHEN cum - tokens < $budget THEN $budget - (cum - tokens)
+                |ELSE 0 END AS BIGINT)""".stripMargin).as("alloc_tokens"))
+      .select(col("source"), col("quality_e6"), col("tokens"),
+        col("alloc_tokens"),
+        expr(s"alloc_tokens * 1000000 div $budget").as("share_e6"))
+      .orderBy("source")
+  }
+
   /** Heavy hitters with an explicit error contract. `stat.freqItems` runs
     * the one-pass streaming frequent-items algorithm (Karp et al.), whose
     * guarantee is one-sided: every item with frequency > support·N is in

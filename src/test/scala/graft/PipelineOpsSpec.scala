@@ -163,6 +163,34 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     got shouldBe Seq(("s1", 3L, 2L, 20L, 10L), ("s2", 1L, 1L, 7L, 7L))
   }
 
+  test("mixtureBudget funds best-quality sources fully, boundary partially, rest zero") {
+    def rep(p: String, n: Int, distinct: Int) =
+      (0 until n).map(i => s"$p${i % distinct}").mkString(" ")
+    val df = Seq(
+      (1L, "sA", rep("a", 10, 10)),  // quality 10/10
+      (2L, "sB", rep("b", 10, 5)),   // quality 5/10
+      (3L, "sC", rep("c", 10, 1)))   // quality 1/10
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.mixtureBudget(df, budget = 15L)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("sA", 1000000L, 10L, 10L, 666666L),
+      ("sB", 500000L, 10L, 5L, 333333L),
+      ("sC", 100000L, 10L, 0L, 0L))
+  }
+
+  test("tokenizerFertility divides summed chars by summed tokens, relative to en") {
+    val df = Seq(
+      (1L, "en", "ab12", 4L),  // "ab" + "12" → 2 tokens → fertility 2000
+      (2L, "de", "abcd", 4L))  // one letter run → fertility 4000, 2× en
+      .toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextAnalysis.tokenizerFertility(df)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      ("de", 1L, 4L, 1L, 4000L, 2000L),
+      ("en", 1L, 4L, 2L, 2000L, 1000L))
+  }
+
   test("batchPadding: sorted batching arithmetic exact, invariants vs hashed") {
     // token counts 1..4, batches of 2: sorted → {1,2},{3,4}:
     // capacity 2·2 + 2·4 = 12, tokens 10, padded 2
