@@ -181,7 +181,34 @@ object TrainingSets {
       .orderBy("strategy")
   }
 
+  /** X198: balanced shard export planning — the write-side partner of
+    * X190's batching audit: documents stripe round-robin over K output
+    * shards in (token count DESC, doc_id) rank order (big docs spread
+    * first — the LPT-flavored heuristic that keeps shard token masses
+    * within a few ‰ of each other, vs the >10% skew naive hash sharding
+    * gives on heavy-tailed docs), and the report carries each shard's doc
+    * count, token mass, and ×10⁶ share — the numbers an exporter checks
+    * before writing N training files. The global rank is the spec; at
+    * scale it is a range-partitioned sort and the modulo is a
+    * projection. */
+  def shardBalance(docs: DataFrame, shards: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val per = toks
+      .withColumn("shard", expr(
+        s"(row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % $shards")
+        .cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+    per.crossJoin(broadcast(per.agg(sum("tokens").as("total"))))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr("tokens * 1000000 div total").as("share_e6"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_shard_balance" -> ((s, dir) =>
+      shardBalance(Tables.documents(s, dir), shards = 8)),
     "x_batch_pad" -> ((s, dir) =>
       batchPadding(Tables.documents(s, dir), batchSize = 16)),
     "x_split_leakage" -> ((s, dir) => splitLeakage(s, dir)),
@@ -190,6 +217,19 @@ object TrainingSets {
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_shard_balance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |    (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1) % 8 AS shard
+        |  FROM toks),
+        |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS tokens FROM r GROUP BY shard),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_docs, tokens,
+        |  CAST(tokens * 1000000 // total AS BIGINT) AS share_e6
+        |FROM per, tot ORDER BY shard""".stripMargin,
     "x_batch_pad" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

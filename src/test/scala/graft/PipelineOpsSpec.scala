@@ -191,6 +191,16 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
       ("en", 1L, 4L, 2L, 2000L, 1000L))
   }
 
+  test("shardBalance stripes size-ranked docs round-robin across shards") {
+    // token counts 4,3,2,1 over 2 shards: rank order 4,3,2,1 →
+    // shard0 gets {4,2}=6 tokens, shard1 gets {3,1}=4
+    val df = Seq((1L, "a b c d"), (2L, "a b c"), (3L, "a b"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TrainingSets.shardBalance(df, shards = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq((0L, 2L, 6L, 600000L), (1L, 2L, 4L, 400000L))
+  }
+
   test("batchPadding: sorted batching arithmetic exact, invariants vs hashed") {
     // token counts 1..4, batches of 2: sorted → {1,2},{3,4}:
     // capacity 2·2 + 2·4 = 12, tokens 10, padded 2
