@@ -70,10 +70,10 @@ object CorpusStats {
     * shuffle is the first-occurrence window partitioned by chunk — evenly
     * spread keys, no pair space; reassembly is a groupBy(doc_id) whose
     * per-group state is one document's chunks (bounded by doc length).
-    * The ordinal `doc_id·10⁵ + pos` is exact while doc_id < 2⁶³/10⁵
-    * ≈ 9·10¹³ — beyond that, widen to min-by-struct. A doc whose every
-    * chunk is owned elsewhere collapses to NULL (both engines via
-    * nullif(…, '')). */
+    * The ordinal `doc_id·2²⁴ + pos` is exact while pos < 2²⁴ (docs under
+    * ~134 M words) AND doc_id < 2³⁹ ≈ 5.5·10¹¹ — beyond either bound,
+    * widen to min-by-struct. A doc whose every chunk is owned elsewhere
+    * collapses to NULL (both engines via nullif(…, '')). */
   def spanRewrite(docs: DataFrame): DataFrame = {
     val chunks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -86,7 +86,7 @@ object CorpusStats {
         expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))")
           .as("chunk"))
     chunks
-      .withColumn("ord", expr("doc_id * 100000 + ci"))
+      .withColumn("ord", expr("doc_id * 16777216 + ci"))
       .withColumn("first_ord",
         min("ord").over(Window.partitionBy("chunk")))
       .groupBy("doc_id")
@@ -216,7 +216,7 @@ object CorpusStats {
           expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))"))
           .as("h"))
     chunks
-      .withColumn("o", expr("doc_id * 100000 + ci"))
+      .withColumn("o", expr("doc_id * 16777216 + ci"))
       .withColumn("fo", min("o").over(Window.partitionBy("h")))
       .groupBy("source")
       .agg(count(lit(1)).as("n_chunks"),
@@ -366,8 +366,8 @@ object CorpusStats {
          |    ${StableHash.md5Prefix60Sql(
              "array_to_string(t[(i*8+1):(i*8+8)], ' ')")} AS h
          |  FROM w, UNNEST(range(len(t) // 8)) AS s(i)),
-         |f AS (SELECT source, doc_id * 100000 + ci AS o,
-         |    min(doc_id * 100000 + ci) OVER (PARTITION BY h) AS fo
+         |f AS (SELECT source, doc_id * 16777216 + ci AS o,
+         |    min(doc_id * 16777216 + ci) OVER (PARTITION BY h) AS fo
          |  FROM c)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
          |  CAST(count(*) FILTER (WHERE o = fo) AS BIGINT) AS n_first_owned,
@@ -380,14 +380,14 @@ object CorpusStats {
         |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
         |  FROM w, UNNEST(range(0, (len(ws)+7)//8)) AS t(i)),
         |f AS (SELECT doc_id, chunk_pos, chunk,
-        |    min(doc_id*100000 + chunk_pos) OVER (PARTITION BY chunk) AS first_ord
+        |    min(doc_id*16777216 + chunk_pos) OVER (PARTITION BY chunk) AS first_ord
         |  FROM c)
         |SELECT doc_id,
         |  CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(*) FILTER (WHERE doc_id*100000 + chunk_pos <> first_ord)
+        |  CAST(count(*) FILTER (WHERE doc_id*16777216 + chunk_pos <> first_ord)
         |    AS BIGINT) AS n_removed,
         |  nullif(string_agg(chunk, ' ' ORDER BY chunk_pos)
-        |    FILTER (WHERE doc_id*100000 + chunk_pos = first_ord), '') AS clean_text
+        |    FILTER (WHERE doc_id*16777216 + chunk_pos = first_ord), '') AS clean_text
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_surprisal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

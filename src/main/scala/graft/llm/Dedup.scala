@@ -173,7 +173,22 @@ object Dedup {
     * real pipeline keeps partitioned by sid on disk. Best-match selection
     * is a per-delta-doc window over its own matches (bounded group). */
   def incrementalNearDuplicates(docs: DataFrame, deltaFrom: Long,
-      threshold: Double, maxDf: Int = MaxShingleDf): DataFrame = {
+      threshold: Double, maxDf: Int = MaxShingleDf): DataFrame =
+    incrementalBuild(docs, deltaFrom, threshold, maxDf)._1
+
+  /** Loan-pattern variant for LONG-RUNNING callers (the streaming ingest
+    * path): runs `f` over the flagged relation, then unpersists the two
+    * internal caches. The plain [[incrementalNearDuplicates]] leaves them
+    * live for the harness's per-key clearCache; a per-micro-batch caller
+    * that did the same would accumulate cached plans without bound. */
+  def withIncrementalNearDuplicates[A](docs: DataFrame, deltaFrom: Long,
+      threshold: Double, maxDf: Int = MaxShingleDf)(f: DataFrame => A): A = {
+    val (result, caches) = incrementalBuild(docs, deltaFrom, threshold, maxDf)
+    try f(result) finally caches.foreach(_.unpersist())
+  }
+
+  private def incrementalBuild(docs: DataFrame, deltaFrom: Long,
+      threshold: Double, maxDf: Int): (DataFrame, Seq[DataFrame]) = {
     val ids = shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
@@ -182,7 +197,8 @@ object Dedup {
     val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val withN = shF.join(sizes, Seq("doc_id")).cache()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    withN.where(col("doc_id") < deltaFrom).as("a").hint("SHUFFLE_HASH")
+    val flagged = withN.where(col("doc_id") < deltaFrom).as("a")
+      .hint("SHUFFLE_HASH")
       .join(withN.where(col("doc_id") >= deltaFrom).as("b")
           .hint("SHUFFLE_HASH"),
         col("a.sid") === col("b.sid") &&
@@ -201,6 +217,7 @@ object Dedup {
       .where(col("rk") === 1)
       .select("doc_id", "base_id", "inter", "jaccard", "n_base_matches")
       .orderBy("doc_id")
+    (flagged, Seq(ids, withN))
   }
 
   /** MinHash signatures: per doc, min over md5-derived shingle ids of each

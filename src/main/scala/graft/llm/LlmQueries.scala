@@ -15,6 +15,13 @@ object LlmQueries {
   private val JaccardThreshold = 0.5
   private val MinhashThreshold = 0.5
   private val EmbedThreshold = 0.35 // synthetic vectors are near-random; q99.9 ≈ 0.37
+  // single definition site for parameters each key's oracle interpolates —
+  // tuning the Scala side can then never silently drift from the SQL side
+  private val IncrementalDeltaFrom = 250
+  private val DomainCapK = 15
+  private val MixBudgetTokens = 15000
+  private val ResizeTarget = 224
+  private val ResizePatch = 32
 
   /** X162 core: exact AUC by the rank-sum (Mann–Whitney U) identity over a
     * `(doc_id, pos BOOLEAN, score BIGINT)` relation. Ranks are exact
@@ -157,7 +164,7 @@ object LlmQueries {
     // the existing base corpus — best base match per flagged delta doc
     "x_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalNearDuplicates(Tables.documents(s, dir),
-        deltaFrom = 250L, threshold = JaccardThreshold)),
+        deltaFrom = IncrementalDeltaFrom.toLong, threshold = JaccardThreshold)),
 
     "x_dedup_ngram" -> ((s, dir) =>
       Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
@@ -296,7 +303,7 @@ object LlmQueries {
 
     // absolute per-source cap (keep the top-15 docs per source by size)
     "x_domain_cap" -> ((s, dir) =>
-      TextAnalysis.domainCap(Tables.documents(s, dir), cap = 15)),
+      TextAnalysis.domainCap(Tables.documents(s, dir), cap = DomainCapK)),
 
     // importance sampling: keep probability ≈ quality score (upweight good
     // documents in the training mix), deterministic and auditable
@@ -512,7 +519,7 @@ object LlmQueries {
 
     // aspect-preserving resize geometry + ViT patch/pad accounting
     "x_resize_plan" -> ((s, dir) =>
-      Multimodal.resizePlan(Tables.documents(s, dir))),
+      Multimodal.resizePlan(Tables.documents(s, dir), ResizeTarget, ResizePatch)),
 
     // per-language chars-per-token equity vs the en reference
     "x_tokenizer_fertility" -> ((s, dir) =>
@@ -520,7 +527,7 @@ object LlmQueries {
 
     // greedy quality-ordered token-budget waterfill across sources
     "x_mix_budget" -> ((s, dir) =>
-      TextAnalysis.mixtureBudget(Tables.documents(s, dir), budget = 15000L))
+      TextAnalysis.mixtureBudget(Tables.documents(s, dir), budget = MixBudgetTokens.toLong))
   )
 
   // ---- oracle SQL ----------------------------------------------------
@@ -811,7 +818,7 @@ object LlmQueries {
          |pairs AS (SELECT b.doc_id AS doc_id, a.doc_id AS base_id,
          |    count(*) AS inter, min(a.n) AS na, min(b.n) AS nb
          |  FROM shfn a JOIN shfn b ON a.sid = b.sid
-         |    AND a.doc_id < 250 AND b.doc_id >= 250
+         |    AND a.doc_id < $IncrementalDeltaFrom AND b.doc_id >= $IncrementalDeltaFrom
          |    AND least(a.n, b.n) >= $JaccardThreshold * greatest(a.n, b.n)
          |  GROUP BY 1, 2),
          |sc AS (SELECT doc_id, base_id, CAST(inter AS BIGINT) AS inter,
@@ -1181,17 +1188,17 @@ object LlmQueries {
          |SELECT doc_id, lang, quality FROM r WHERE decile = 1
          |ORDER BY lang, doc_id""".stripMargin,
     "x_domain_cap" ->
-      """WITH ranked AS (
-        |  SELECT source, doc_id, n_chars,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY n_chars DESC, doc_id) AS rn
-        |  FROM documents)
-        |SELECT source,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(*) FILTER (WHERE rn <= 15) AS BIGINT) AS n_kept,
-        |  CAST(sum(n_chars) FILTER (WHERE rn <= 15) AS BIGINT) AS chars_kept,
-        |  CAST(min(n_chars) FILTER (WHERE rn <= 15) AS BIGINT) AS cap_floor
-        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |                       ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE rn <= $DomainCapK) AS BIGINT) AS n_kept,
+         |  CAST(sum(n_chars) FILTER (WHERE rn <= $DomainCapK) AS BIGINT) AS chars_kept,
+         |  CAST(min(n_chars) FILTER (WHERE rn <= $DomainCapK) AS BIGINT) AS cap_floor
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
     "x_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id,
          |    CASE WHEN doc_id % 3 = 0
@@ -1441,15 +1448,16 @@ object LlmQueries {
         |  ELSE '' END AS first_offsets
         |FROM f ORDER BY doc_id""".stripMargin,
     "x_resize_plan" ->
-      """WITH d AS (SELECT doc_id, CAST(16 + n_chars % 640 AS BIGINT) AS w,
-        |    CAST(16 + (n_chars * 7) % 480 AS BIGINT) AS h FROM documents),
-        |o AS (SELECT doc_id, w, h,
-        |    greatest(w * 224 // greatest(w, h), 1) AS out_w,
-        |    greatest(h * 224 // greatest(w, h), 1) AS out_h FROM d)
-        |SELECT doc_id, w, h, out_w, out_h,
-        |  CAST(((out_w + 31) // 32) * ((out_h + 31) // 32) AS BIGINT) AS n_patches,
-        |  CAST(50176 - out_w * out_h AS BIGINT) AS pad_px
-        |FROM o ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, CAST(16 + n_chars % 640 AS BIGINT) AS w,
+         |    CAST(16 + (n_chars * 7) % 480 AS BIGINT) AS h FROM documents),
+         |o AS (SELECT doc_id, w, h,
+         |    greatest(w * $ResizeTarget // greatest(w, h), 1) AS out_w,
+         |    greatest(h * $ResizeTarget // greatest(w, h), 1) AS out_h FROM d)
+         |SELECT doc_id, w, h, out_w, out_h,
+         |  CAST(((out_w + ${ResizePatch - 1}) // $ResizePatch)
+         |    * ((out_h + ${ResizePatch - 1}) // $ResizePatch) AS BIGINT) AS n_patches,
+         |  CAST(${ResizeTarget * ResizeTarget} - out_w * out_h AS BIGINT) AS pad_px
+         |FROM o ORDER BY doc_id""".stripMargin,
     "x_tokenizer_fertility" ->
       s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -1458,26 +1466,28 @@ object LlmQueries {
          |  FROM documents GROUP BY lang),
          |f AS (SELECT lang, n_docs, chars, bpe_tokens,
          |    CAST(chars * 1000 // bpe_tokens AS BIGINT) AS fertility_e3 FROM per),
-         |en AS (SELECT fertility_e3 AS en_f FROM f WHERE lang = 'en')
+         |r AS (SELECT *, max(CASE WHEN lang = 'en' THEN fertility_e3 END)
+         |    OVER () AS en_f FROM f)
          |SELECT lang, n_docs, chars, bpe_tokens, fertility_e3,
          |  CAST(fertility_e3 * 1000 // en_f AS BIGINT) AS rel_en_e3
-         |FROM f, en ORDER BY lang""".stripMargin,
+         |FROM r ORDER BY lang""".stripMargin,
     "x_mix_budget" ->
-      """WITH per AS (SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-        |    CAST(sum(len(list_distinct(string_split(text, ' ')))) * 1000000
-        |         // sum(len(string_split(text, ' '))) AS BIGINT) AS quality_e6
-        |  FROM documents GROUP BY source),
-        |cw AS (SELECT source, quality_e6, tokens,
-        |    CAST(sum(tokens) OVER (ORDER BY quality_e6 DESC, source
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |  FROM per),
-        |al AS (SELECT source, quality_e6, tokens,
-        |    CAST(CASE WHEN cum <= 15000 THEN tokens
-        |              WHEN cum - tokens < 15000 THEN 15000 - (cum - tokens)
-        |              ELSE 0 END AS BIGINT) AS alloc_tokens FROM cw)
-        |SELECT source, quality_e6, tokens, alloc_tokens,
-        |  CAST(alloc_tokens * 1000000 // 15000 AS BIGINT) AS share_e6
-        |FROM al ORDER BY source""".stripMargin
+      s"""WITH per AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+         |    CAST(sum(len(list_distinct(string_split(text, ' ')))) * 1000000
+         |         // sum(len(string_split(text, ' '))) AS BIGINT) AS quality_e6
+         |  FROM documents GROUP BY source),
+         |cw AS (SELECT source, quality_e6, tokens,
+         |    CAST(sum(tokens) OVER (ORDER BY quality_e6 DESC, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM per),
+         |al AS (SELECT source, quality_e6, tokens,
+         |    CAST(CASE WHEN cum <= $MixBudgetTokens THEN tokens
+         |              WHEN cum - tokens < $MixBudgetTokens
+         |                THEN $MixBudgetTokens - (cum - tokens)
+         |              ELSE 0 END AS BIGINT) AS alloc_tokens FROM cw)
+         |SELECT source, quality_e6, tokens, alloc_tokens,
+         |  CAST(alloc_tokens * 1000000 // $MixBudgetTokens AS BIGINT) AS share_e6
+         |FROM al ORDER BY source""".stripMargin
   )
 }

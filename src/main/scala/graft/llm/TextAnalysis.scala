@@ -180,9 +180,17 @@ object TextAnalysis {
         sum("bpe").as("bpe_tokens"))
       .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
         expr("chars * 1000 div bpe_tokens").as("fertility_e3"))
-    val en = perLang.where(col("lang") === "en")
-      .select(col("fertility_e3").as("en_f"))
-    perLang.crossJoin(broadcast(en))
+    // en reference as an unbounded window over the LANGUAGE-COUNT-sized
+    // aggregate: one pass (no recompute of perLang for a second side), and
+    // a corpus with no en rows degrades to NULL rel_en_e3 — never an
+    // empty report (an inner join against an empty en frame would drop
+    // every language)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    perLang
+      .withColumn("en_f",
+        max(when(col("lang") === "en", col("fertility_e3"))).over(wAll))
       .select(col("lang"), col("n_docs"), col("chars"), col("bpe_tokens"),
         col("fertility_e3"),
         expr("fertility_e3 * 1000 div en_f").as("rel_en_e3"))

@@ -200,7 +200,12 @@ object TrainingSets {
         .cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
-    per.crossJoin(broadcast(per.agg(sum("tokens").as("total"))))
+    // total via an unbounded window over the K-row aggregate — one pass;
+    // a crossJoin against per.agg would re-run the scan + rank for the
+    // second side
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("total", sum("tokens").over(wAll))
       .select(col("shard"), col("n_docs"), col("tokens"),
         expr("tokens * 1000000 div total").as("share_e6"))
       .orderBy("shard")
@@ -226,10 +231,10 @@ object TrainingSets {
         |  FROM toks),
         |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(n_tok) AS BIGINT) AS tokens FROM r GROUP BY shard),
-        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per)
+        |tt AS (SELECT *, sum(tokens) OVER () AS total FROM per)
         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, tokens,
         |  CAST(tokens * 1000000 // total AS BIGINT) AS share_e6
-        |FROM per, tot ORDER BY shard""".stripMargin,
+        |FROM tt ORDER BY shard""".stripMargin,
     "x_batch_pad" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -36,8 +36,11 @@ object IngestDedup {
     deltaStream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty) {
-          sink(Dedup.incrementalNearDuplicates(
-            baseDocs.unionByName(batch.toDF()), deltaFrom, threshold))
+          // loan variant: the internal caches unpersist after the sink
+          // materializes — a per-batch plain call would accumulate cached
+          // plans without bound on a long-running stream
+          Dedup.withIncrementalNearDuplicates(
+            baseDocs.unionByName(batch.toDF()), deltaFrom, threshold)(sink)
         }
         ()
       }

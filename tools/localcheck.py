@@ -27,25 +27,19 @@ import json
 import sys
 
 import duckdb
-import numpy as np
+import pyarrow.types as patypes
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-NESTED = (list, tuple, dict, np.ndarray)
 
+def nested_cols(table):
+    """List/map/struct columns in an arrow table (driver-gate poison).
 
-def nested_cols(df):
-    """Columns holding list/map/struct values (driver-gate poison)."""
-    bad = []
-    for c in df.columns:
-        col = df[c]
-        if col.dtype == object:
-            for v in col:
-                if isinstance(v, NESTED):
-                    bad.append(c)
-                    break
-    return bad
+    Schema-level check: O(#columns), catches an all-NULL LIST column too —
+    the previous per-value Python scan walked every string cell of every
+    clean key just to conclude it was flat."""
+    return [f.name for f in table.schema if patypes.is_nested(f.type)]
 
 
 def canon(df):
@@ -69,13 +63,15 @@ def main():
         if only and key not in only:
             continue
         try:
-            got = con.execute(
+            got_t = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{key}/*.parquet')"
-            ).fetch_arrow_table().to_pandas()
-            want = con.execute(sql).fetch_arrow_table().to_pandas()
+            ).fetch_arrow_table()
+            want_t = con.execute(sql).fetch_arrow_table()
 
-            bad = [(side, c) for side, df in (("spark", got), ("oracle", want))
-                   for c in nested_cols(df)]
+            bad = [(side, c)
+                   for side, t in (("spark", got_t), ("oracle", want_t))
+                   for c in nested_cols(t)]
+            got, want = got_t.to_pandas(), want_t.to_pandas()
             if bad:
                 n_bad += 1
                 print(f"FAIL {key}: top-level array/map column(s) "
