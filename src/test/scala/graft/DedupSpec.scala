@@ -160,6 +160,19 @@ class DedupSpec extends SparkSpec with Matchers {
     got shouldBe Seq((300L, 1L, 1.0, 2L), (302L, 1L, 1.0, 2L))
   }
 
+  test("withIncrementalNearDuplicates unpersists its caches after the loan") {
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t20, 300L -> t20)
+    spark.catalog.clearCache()
+    val flagged = Dedup.withIncrementalNearDuplicates(d, 250L, 0.5) { df =>
+      df.select("doc_id", "base_id").as[(Long, Long)].collect().toSeq
+    }
+    flagged shouldBe Seq((300L, 1L))
+    // the streaming path calls this per micro-batch — leftover cached
+    // plans here would accumulate without bound on a long-running stream
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
   test("sourceNovelty credits a chunk's first corpus occurrence to its source") {
     val c = (1 to 8).map(i => s"a$i").mkString(" ")
     val fresh = (1 to 8).map(i => s"b$i").mkString(" ")

@@ -179,6 +179,14 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
       ("sC", 100000L, 10L, 0L, 0L))
   }
 
+  test("tokenizerFertility without en rows reports fertility with NULL relative") {
+    val df = Seq((1L, "de", "abcd", 4L)).toDF("doc_id", "lang", "text", "n_chars")
+    val got = TextAnalysis.tokenizerFertility(df)
+      .select("lang", "fertility_e3", "rel_en_e3")
+      .as[(String, Long, Option[Long])].collect().toSeq
+    got shouldBe Seq(("de", 4000L, None)) // not an empty report
+  }
+
   test("tokenizerFertility divides summed chars by summed tokens, relative to en") {
     val df = Seq(
       (1L, "en", "ab12", 4L),  // "ab" + "12" → 2 tokens → fertility 2000
