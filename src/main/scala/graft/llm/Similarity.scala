@@ -94,6 +94,22 @@ object Similarity {
         max_by(col("cell"), struct(col("c_sim"), (-col("cell")).as("nc"))).as("cell"),
         first(col("embedding")).as("embedding"))
 
+  /** Multi-probe cell assignment: each vector lands in its `probes` nearest
+    * cells (cosine desc, ties to the lower cell id), emitting `probes` rows
+    * per vector. `probes = 1` reproduces [[assignCells]] exactly (same
+    * ordering rule), so consumers can dial recall vs candidate volume with
+    * one knob. The ranking window partitions by vec_id over the K broadcast
+    * centroids — bounded K-row groups, no corpus-wide sort. */
+  def assignCellsMulti(emb: DataFrame, cents: DataFrame, probes: Int): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        round(VectorOps.cosine(col("embedding"), col("cvec")), 6).as("c_sim"))
+      .withColumn("pr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("c_sim").desc, col("cell"))))
+      .where(col("pr") <= probes)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
   /** X193: embedding-outlier curation — per label, the k vectors LEAST
     * similar to their own label centroid (the CLIP-score/embedding-filter
     * shape: a vector far from its class center is a mislabel or junk

@@ -452,21 +452,27 @@ object CoreQueries {
     // X177: cumulative distinct users per day from per-day BITMAPS — the
     // incremental form of the expanding count(DISTINCT): each day
     // contributes one serialized Roaring64 bitmap (X53b state), and day
-    // d's cumulative uniques is the union of bitmaps for days ≤ d. A new
-    // day unions ONE more bitmap instead of rescanning history, and the
-    // prefix join runs over the DAY table (calendar-bounded metadata) —
-    // compare x_vocab_growth's first-occurrence trick, which answers the
-    // same question but cannot be maintained incrementally.
+    // d's cumulative uniques is the RUNNING union over the calendar-ordered
+    // bitmap column (UNBOUNDED PRECEDING .. CURRENT ROW). Spark's
+    // running-frame processor feeds each bitmap into the aggregate buffer
+    // exactly once, so the whole curve costs O(D) bitmap unions and the
+    // shuffle moves each day's bitmap once — vs the naive prefix
+    // self-join's D²/2 bitmap copies. The un-partitioned window is a
+    // deliberate SinglePartition over the ≤D-row calendar-bounded bitmap
+    // relation (metadata, not facts); the fact scan itself aggregates in
+    // parallel. Compare x_vocab_growth's first-occurrence trick, which
+    // answers the same question but cannot be maintained incrementally.
     "x_cumulative_uniques" -> ((s, dir) => {
       val daily = Tables.events(s, dir)
         .select(datediff(col("ts").cast("date"), lit("2024-01-01")).as("d"),
           col("user_id"))
       val bm = daily.groupBy("d")
         .agg(graft.functions.BitmapDistinct.bitmapAgg(col("user_id")).as("bm"))
-      bm.as("a").join(bm.as("b"), col("b.d") <= col("a.d"))
-        .groupBy(col("a.d").as("d"))
-        .agg(graft.functions.BitmapDistinct.bitmapUnionCount(col("b.bm"))
-          .as("cum_uniques"))
+      bm.select(col("d"),
+          graft.functions.BitmapDistinct.bitmapUnionCount(col("bm"))
+            .over(Window.orderBy("d")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_uniques"))
         .orderBy("d")
     }),
 

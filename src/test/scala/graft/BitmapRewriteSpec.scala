@@ -69,4 +69,24 @@ class BitmapRewriteSpec extends SparkSpec with Matchers {
       }) shouldBe empty
     }
   }
+
+  // X177 scale contract: the cumulative-uniques curve is a RUNNING window
+  // union over the ≤D-row per-day bitmap relation — each bitmap crosses the
+  // shuffle once. A prefix SELF-JOIN (D²/2 bitmap copies) must never come
+  // back; this pins the plan the way BucketingSpec pins no-exchange joins.
+  test("x_cumulative_uniques plans as a window fold, not a prefix self-join") {
+    val df = graft.relational.CoreQueries.queries("x_cumulative_uniques")(
+      spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    plan should not include ("join")
+    plan should include ("window")
+    // and it still answers the expanding count(DISTINCT) exactly
+    val rows = df.collect()
+    rows.length should be > 1
+    val curve = rows.map(_.getLong(1))
+    curve shouldBe curve.sorted // monotone non-decreasing
+    val total = graft.model.Tables.events(spark, sf0001)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    curve.last shouldBe total
+  }
 }

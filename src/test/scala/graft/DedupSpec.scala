@@ -160,6 +160,67 @@ class DedupSpec extends SparkSpec with Matchers {
     got shouldBe Seq((300L, 1L, 1.0, 2L), (302L, 1L, 1.0, 2L))
   }
 
+  test("every dedup loan variant leaves the cache manager empty after use") {
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val t20b = (1 to 20).map(i => s"w${i + 1}").mkString(" ")
+    val d = docs(1L -> t20, 2L -> t20, 3L -> t20b)
+    val emb = graft.model.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 200)
+    spark.catalog.clearCache()
+    Dedup.withNearDuplicatePairs(d, 0.5)(_.count()) should be > 0L
+    Dedup.withMinhashNearDuplicates(d, 0.5)(_.count()) should be > 0L
+    Dedup.withPrefixFilterNearDuplicates(d, 0.5)(_.count()) should be > 0L
+    Dedup.withSimhashNearDuplicates(d, 3)(_.count()) should be > 0L
+    Dedup.withContainmentPairs(d, 0.9)(_.count()) should be > 0L
+    Dedup.withEmbeddingNearDuplicates(emb, 0.5)(_.count()) should be >= 0L
+    // a library caller that materializes within each loan scope must end
+    // with ZERO cached plans pinned — the r03/r04 leak class
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
+  test("duplicateClusters releases its internal caches and survives clearCache") {
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t20, 2L -> t20, 3L -> t20)
+    spark.catalog.clearCache()
+    val clusters = Dedup.withNearDuplicatePairs(d, 0.5) { pairs =>
+      Dedup.duplicateClusters(pairs, graphPartitions = 2)
+    }
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+    // result is self-contained (localCheckpoint): still readable after the
+    // loan unpersisted the pair caches AND after an explicit clearCache
+    spark.catalog.clearCache()
+    clusters.as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 1L), (2L, 1L), (3L, 1L))
+  }
+
+  test("sharedNgramClusters memoizes the chain per (session, input, params)") {
+    val d = graft.model.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") < 500)
+    try {
+      val first = Dedup.sharedNgramClusters(d, 0.5, graphPartitions = 4)
+      val second = Dedup.sharedNgramClusters(d, 0.5, graphPartitions = 4)
+      // same memoized DataFrame instance — canonical selection reuses the
+      // assignment key's materialized chain instead of re-running it
+      (second eq first) shouldBe true
+      // a different threshold is a different relation
+      val other = Dedup.sharedNgramClusters(d, 0.7, graphPartitions = 4)
+      (other eq first) shouldBe false
+      first.count() should be > 0L
+    } finally Dedup.releaseSharedClusters(spark)
+  }
+
+  test("multi-probe embedding dedup is a superset of single-probe, pairs deduped") {
+    val emb = graft.model.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 300)
+    val p1 = Dedup.embeddingNearDuplicates(emb, 0.3, probes = 1)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    val p2rows = Dedup.embeddingNearDuplicates(emb, 0.3, probes = 2)
+      .select("va", "vb").as[(Long, Long)].collect().toSeq
+    val p2 = p2rows.toSet
+    p2rows.size shouldBe p2.size // no duplicate pairs from shared cells
+    p1.subsetOf(p2) shouldBe true // probe-2 only ADDS cross-cell pairs
+  }
+
   test("withIncrementalNearDuplicates unpersists its caches after the loan") {
     val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
     val d = docs(1L -> t20, 300L -> t20)
