@@ -70,10 +70,13 @@ object CorpusStats {
     * shuffle is the first-occurrence window partitioned by chunk — evenly
     * spread keys, no pair space; reassembly is a groupBy(doc_id) whose
     * per-group state is one document's chunks (bounded by doc length).
-    * The ordinal `doc_id·2²⁴ + pos` is exact while pos < 2²⁴ (docs under
-    * ~134 M words) AND doc_id < 2³⁹ ≈ 5.5·10¹¹ — beyond either bound,
-    * widen to min-by-struct. A doc whose every chunk is owned elsewhere
-    * collapses to NULL (both engines via nullif(…, '')). */
+    * First occurrence = lexicographic min (doc_id, ci), computed as two
+    * same-partitioning window mins (min doc_id, then min ci within that
+    * doc) — exact at EVERY doc_id/position range, unlike the packed
+    * `doc_id·2²⁴ + ci` ordinal this replaced (silent collision past
+    * ci ≥ 2²⁴ or doc_id ≥ 2³⁹); the second window reuses the first's
+    * exchange. A doc whose every chunk is owned elsewhere collapses to
+    * NULL (both engines via nullif(…, '')). */
   def spanRewrite(docs: DataFrame): DataFrame = {
     val chunks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -85,16 +88,18 @@ object CorpusStats {
       .select(col("doc_id"), col("ci"),
         expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))")
           .as("chunk"))
+    val byChunk = Window.partitionBy("chunk")
     chunks
-      .withColumn("ord", expr("doc_id * 16777216 + ci"))
-      .withColumn("first_ord",
-        min("ord").over(Window.partitionBy("chunk")))
+      .withColumn("fdoc", min("doc_id").over(byChunk))
+      .withColumn("fci",
+        min(when(col("doc_id") === col("fdoc"), col("ci"))).over(byChunk))
+      .withColumn("is_first",
+        col("doc_id") === col("fdoc") && col("ci") === col("fci"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("ord") =!= col("first_ord"), 1L).otherwise(0L))
-          .as("n_removed"),
+        sum(when(!col("is_first"), 1L).otherwise(0L)).as("n_removed"),
         expr("""nullif(concat_ws(' ', transform(array_sort(collect_list(
-               |  CASE WHEN ord = first_ord
+               |  CASE WHEN is_first
                |       THEN named_struct('ci', ci, 'chunk', chunk) END)),
                |  x -> x.chunk)), '')""".stripMargin).as("clean_text"))
       .orderBy("doc_id")
@@ -215,13 +220,15 @@ object CorpusStats {
         StableHash.md5Prefix60(
           expr(s"concat_ws(' ', slice(t, ci * $ChunkWords + 1, $ChunkWords))"))
           .as("h"))
+    val byHash = Window.partitionBy("h")
     chunks
-      .withColumn("o", expr("doc_id * 16777216 + ci"))
-      .withColumn("fo", min("o").over(Window.partitionBy("h")))
+      .withColumn("fdoc", min("doc_id").over(byHash))
+      .withColumn("fci",
+        min(when(col("doc_id") === col("fdoc"), col("ci"))).over(byHash))
       .groupBy("source")
       .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("o") === col("fo"), 1L).otherwise(0L))
-          .as("n_first_owned"))
+        sum(when(col("doc_id") === col("fdoc") && col("ci") === col("fci"), 1L)
+          .otherwise(0L)).as("n_first_owned"))
       .select(col("source"), col("n_chunks"), col("n_first_owned"),
         expr("n_first_owned * 1000000 div n_chunks").as("novelty_e6"))
       .orderBy("source")
@@ -289,8 +296,16 @@ object CorpusStats {
     "x_dedup_span" -> ((s, dir) =>
       spanDuplication(Tables.documents(s, dir))
         .where(col("doc_id") <= 300).orderBy("doc_id")),
+    // gate projection: hash + length of the rewrite instead of the full
+    // reassembled text — the differential check still covers EVERY document
+    // (an altered rewrite changes its md5), but the verify dump no longer
+    // re-materializes the whole corpus through the export coalesce
     "x_dedup_span_rewrite" -> ((s, dir) =>
-      spanRewrite(Tables.documents(s, dir))),
+      spanRewrite(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chunks"), col("n_removed"),
+          md5(col("clean_text")).as("clean_md5"),
+          length(col("clean_text")).cast("long").as("clean_len"))
+        .orderBy("doc_id")),
     "x_source_novelty" -> ((s, dir) =>
       sourceNovelty(Tables.documents(s, dir))),
     "x_surprisal" -> ((s, dir) =>
@@ -366,29 +381,38 @@ object CorpusStats {
          |    ${StableHash.md5Prefix60Sql(
              "array_to_string(t[(i*8+1):(i*8+8)], ' ')")} AS h
          |  FROM w, UNNEST(range(len(t) // 8)) AS s(i)),
-         |f AS (SELECT source, doc_id * 16777216 + ci AS o,
-         |    min(doc_id * 16777216 + ci) OVER (PARTITION BY h) AS fo
-         |  FROM c)
+         |f1 AS (SELECT source, doc_id, ci, h,
+         |    min(doc_id) OVER (PARTITION BY h) AS fdoc FROM c),
+         |f AS (SELECT source, doc_id, ci, fdoc,
+         |    min(CASE WHEN doc_id = fdoc THEN ci END) OVER (PARTITION BY h) AS fci
+         |  FROM f1)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
-         |  CAST(count(*) FILTER (WHERE o = fo) AS BIGINT) AS n_first_owned,
-         |  CAST(count(*) FILTER (WHERE o = fo) * 1000000 // count(*)
-         |    AS BIGINT) AS novelty_e6
+         |  CAST(count(*) FILTER (WHERE doc_id = fdoc AND ci = fci) AS BIGINT)
+         |    AS n_first_owned,
+         |  CAST(count(*) FILTER (WHERE doc_id = fdoc AND ci = fci) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_e6
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "x_dedup_span_rewrite" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, i AS chunk_pos,
         |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
         |  FROM w, UNNEST(range(0, (len(ws)+7)//8)) AS t(i)),
-        |f AS (SELECT doc_id, chunk_pos, chunk,
-        |    min(doc_id*16777216 + chunk_pos) OVER (PARTITION BY chunk) AS first_ord
-        |  FROM c)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(*) FILTER (WHERE doc_id*16777216 + chunk_pos <> first_ord)
-        |    AS BIGINT) AS n_removed,
-        |  nullif(string_agg(chunk, ' ' ORDER BY chunk_pos)
-        |    FILTER (WHERE doc_id*16777216 + chunk_pos = first_ord), '') AS clean_text
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |f1 AS (SELECT doc_id, chunk_pos, chunk,
+        |    min(doc_id) OVER (PARTITION BY chunk) AS fdoc FROM c),
+        |f AS (SELECT doc_id, chunk_pos, chunk, fdoc,
+        |    min(CASE WHEN doc_id = fdoc THEN chunk_pos END)
+        |      OVER (PARTITION BY chunk) AS fci
+        |  FROM f1),
+        |g AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(count(*) FILTER (WHERE NOT (doc_id = fdoc AND chunk_pos = fci))
+        |      AS BIGINT) AS n_removed,
+        |    nullif(string_agg(chunk, ' ' ORDER BY chunk_pos)
+        |      FILTER (WHERE doc_id = fdoc AND chunk_pos = fci), '') AS clean_text
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_removed, md5(clean_text) AS clean_md5,
+        |  CAST(len(clean_text) AS BIGINT) AS clean_len
+        |FROM g ORDER BY doc_id""".stripMargin,
     "x_surprisal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

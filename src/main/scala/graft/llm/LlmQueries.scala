@@ -247,6 +247,35 @@ object LlmQueries {
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
 
+    // X199: IVF pair-recall probe sweep — measures the single-probe
+    // cross-cell recall loss the IVF bucketing trades for its N²/K pair
+    // space, against EXACT cosine ground truth (brute-force all-pairs on
+    // the bounded eval corpus; the production corpus never does this —
+    // it's the instrument, not the operator). probes=1 is x_dedup_embed's
+    // assignment; probes=2 adds each vector's second-nearest cell and
+    // dedupes pairs. Found pairs are exact-cosine-verified, so precision
+    // is 1 by construction and recall is the whole story. All integers.
+    "x_near_dup_eval_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val nrm = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
+      val nExact = nrm.as("a").join(nrm.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .where(round(
+          graft.functions.VectorOps.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")), 6) >= EmbedThreshold)
+        .agg(count(lit(1)).as("n_exact"))
+      def foundAt(p: Int) =
+        Dedup.embeddingNearDuplicates(emb, EmbedThreshold, probes = p)
+          .agg(count(lit(1)).as("n_found"))
+          .select(lit(p.toLong).as("probes"), col("n_found"))
+      foundAt(1).unionByName(foundAt(2))
+        .crossJoin(broadcast(nExact))
+        .select(col("probes"), col("n_exact"), col("n_found"),
+          expr("CAST(CASE WHEN n_exact > 0 THEN n_found * 1000000 div n_exact " +
+            "ELSE 0 END AS BIGINT)").as("recall_e6"))
+        .orderBy("probes")
+    }),
+
     // cluster assignment over the n-gram near-dup pair graph (bounded doc
     // slice keeps the bench proportionate; the operator itself is
     // corpus-size-agnostic)
@@ -1316,6 +1345,35 @@ object LlmQueries {
          |  FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id)
          |SELECT va, vb, cell, cos_sim FROM scored
          |WHERE cos_sim >= $EmbedThreshold ORDER BY va, vb""".stripMargin,
+    "x_near_dup_eval_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$centCte,
+         |asg2 AS (SELECT vec_id, cell, v, rk FROM (
+         |    SELECT e.vec_id, cent.cell, e.v, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_dot_product(v, cvec) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+         |        cent.cell) AS rk
+         |    FROM e CROSS JOIN cent) WHERE rk <= 2),
+         |an AS (SELECT vec_id, cell, rk, v, sqrt(list_dot_product(v, v)) AS nrm FROM asg2),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM an a JOIN an b ON a.vec_id < b.vec_id AND a.rk = 1 AND b.rk = 1
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedThreshold),
+         |f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM (
+         |  SELECT DISTINCT a.vec_id, b.vec_id
+         |  FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |    AND a.rk = 1 AND b.rk = 1
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedThreshold)),
+         |f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM (
+         |  SELECT DISTINCT a.vec_id, b.vec_id
+         |  FROM an a JOIN an b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $EmbedThreshold)),
+         |res AS (
+         |  SELECT CAST(1 AS BIGINT) AS probes, n_found FROM f1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), n_found FROM f2)
+         |SELECT probes, n_exact, n_found,
+         |  CAST(CASE WHEN n_exact > 0 THEN n_found * 1000000 // n_exact ELSE 0 END AS BIGINT) AS recall_e6
+         |FROM res CROSS JOIN ex ORDER BY probes""".stripMargin,
     "x_sim_topk" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

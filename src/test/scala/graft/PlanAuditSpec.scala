@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+/** Gated plan audit: every query key's physical plan is scanned for
+  * `SinglePartition` exchanges — the classic hidden scale-killer — and any
+  * hit must be on the explicit allowlist below with its observed exchange
+  * count. A future key that funnels the data path through one partition
+  * (or a new funnel inside an allowlisted key) fails the build here, the
+  * same insurance BucketingSpec gives the no-exchange join plans.
+  *
+  * Why the allowlisted exchanges are NOT scale bugs — every entry is one
+  * of these shapes, none of which moves the data path through a funnel:
+  *
+  *   1. GLOBAL-SCALAR FINAL: the key's answer IS a single row (or a fixed
+  *      handful of rows) of global statistics — x_auc, x_corr, x_ols2,
+  *      x_chisq, x_kmv_jaccard, x_dataset_card, x_profile, agg_count,
+  *      sketch unions (x_sketch_*, x_bitmap_incremental), eval summaries
+  *      (x_near_dup_eval, x_near_dup_eval_ivf, x_ann_recall_sweep,
+  *      x_split_leakage, x_sample_bias) … The exchange merges map-side
+  *      PARTIALS of a global aggregate: its input volume is one row per
+  *      upstream partition, not the data; the distributed work happened
+  *      in the partial stage. This is how any engine computes a scalar.
+  *   2. BROADCAST-SCALAR PLUMBING: a 1-row aggregate feeding
+  *      `crossJoin(broadcast(…))` — corpus totals for rates/thresholds
+  *      (x_c4_filters, x_bm25, x_tfidf, x_mix_*, x_curation_pipeline,
+  *      x_ngram_lm, x_surprisal, x_target_encode, x_tokenizer_fertility,
+  *      x_vocab_*, x_negative_sample, x_shard_balance …). The exchange
+  *      carries partials of that scalar; the fact stream never funnels.
+  *   3. BOUNDED-METADATA WINDOW/SORT: an un-partitioned window or global
+  *      cumulative over a relation bounded by the CALENDAR or a fixed
+  *      grid, not the corpus — days (x_cumulative_uniques, x_anomaly,
+  *      x_interpolate, x_drift, x_pop, x_wau, x_time_to_convert),
+  *      length/score buckets (x_batch_pad, x_calibration, x_freq_items,
+  *      x_sketch_hh, x_k_anonymity), planted semantics probes
+  *      (x_null_ordering, x_sql_not_in), rule/report relations
+  *      (x_dq_rules, x_skew_report, x_basket, x_benford, x_funnel).
+  *   4. CONTROL/AUDIT ARTIFACT WRITES: single-file control-plane outputs
+  *      (sink_overwrite, x_targeted_delete, x_cdc_apply audit rows,
+  *      x_source_corrupt quarantine) — deliberate 1-file artifacts of
+  *      bounded size, documented at their definition sites.
+  *
+  * Counts are pinned (`<=`) so an allowlisted key acquiring an ADDITIONAL
+  * funnel also fails. Audited at sf0.001 — plan SHAPE is what's asserted,
+  * and SinglePartition presence does not depend on the scale factor.
+  */
+class PlanAuditSpec extends SparkSpec with Matchers {
+
+  private val allowed: Map[String, Int] = Map(
+    "agg_count" -> 1,
+    "sink_overwrite" -> 1,
+    "x_ann_recall_sweep" -> 2,
+    "x_anomaly" -> 1,
+    "x_auc" -> 1,
+    "x_basket" -> 1,
+    "x_batch_pad" -> 2,
+    "x_benford" -> 1,
+    "x_bitmap_incremental" -> 1,
+    "x_bloom_filter" -> 1,
+    "x_bm25" -> 1,
+    "x_c4_filters" -> 1,
+    "x_calibration" -> 1,
+    "x_cdc_apply" -> 2,
+    "x_chisq" -> 2,
+    "x_corr" -> 1,
+    "x_cumulative_uniques" -> 1,
+    "x_curation_pipeline" -> 1,
+    "x_dataset_card" -> 3,
+    "x_dq_rules" -> 3,
+    "x_drift" -> 1,
+    "x_freq_items" -> 1,
+    "x_funnel" -> 1,
+    "x_interpolate" -> 1,
+    "x_join_size_est" -> 1,
+    "x_k_anonymity" -> 1,
+    "x_kmv_jaccard" -> 1,
+    "x_mix_budget" -> 1,
+    "x_mix_temperature" -> 1,
+    "x_near_dup_eval" -> 1,
+    "x_near_dup_eval_ivf" -> 3,
+    "x_negative_sample" -> 1,
+    "x_ngram_lm" -> 1,
+    "x_null_ordering" -> 1,
+    "x_ols2" -> 1,
+    "x_pop" -> 1,
+    "x_profile" -> 1,
+    "x_sample_bias" -> 2,
+    "x_shard_balance" -> 1,
+    "x_sketch_hh" -> 1,
+    "x_sketch_kll" -> 2,
+    "x_sketch_theta" -> 2,
+    "x_sketch_union" -> 2,
+    "x_skew_report" -> 5,
+    "x_source_corrupt" -> 1,
+    "x_spearman" -> 1,
+    "x_split_leakage" -> 1,
+    "x_sql_not_in" -> 2,
+    "x_surprisal" -> 1,
+    "x_target_encode" -> 1,
+    "x_targeted_delete" -> 1,
+    "x_tfidf" -> 1,
+    "x_time_to_convert" -> 3,
+    "x_tokenizer_fertility" -> 1,
+    "x_vocab_coverage" -> 1,
+    "x_vocab_growth" -> 1,
+    "x_wau" -> 1)
+
+  test("no unexplained SinglePartition exchanges across the full query surface") {
+    val flagged = scala.collection.mutable.SortedMap.empty[String, Int]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val n = plan.linesIterator.count(_.contains("SinglePartition"))
+      if (n > 0) flagged(name) = n
+      spark.catalog.clearCache()
+    }
+    graft.llm.Dedup.releaseSharedClusters(spark)
+    // detection sanity: a global count MUST show its partial-merge exchange
+    flagged.keySet should contain ("agg_count")
+    val unexplained = flagged.keySet.diff(allowed.keySet)
+    withClue(s"keys with UNDOCUMENTED SinglePartition exchanges: $unexplained — " +
+      "either remove the funnel or add the key here WITH a category above: ") {
+      unexplained shouldBe empty
+    }
+    val grown = flagged.filter { case (k, n) => n > allowed.getOrElse(k, 0) }
+    withClue(s"allowlisted keys that GREW new SinglePartition exchanges: $grown: ") {
+      grown shouldBe empty
+    }
+    // allowlist hygiene: every entry still names a live query key
+    allowed.keySet.diff(SparkEntry.queries.keySet) shouldBe empty
+  }
+}

@@ -370,6 +370,60 @@ class StreamingSpec extends SparkSpec with Matchers {
     flaggedIds.sorted shouldBe Seq((300L, 1L), (301L, 2L))
   }
 
+  test("indexed ingest dedup equals the batch operator and never rescans base") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // testdata has no base-hot shingles at the default cutoff, so the
+    // frozen-index and batch-parity df semantics coincide here
+    val expected = graft.llm.Dedup
+      .incrementalNearDuplicates(docs, deltaFrom = 250L, threshold = 0.5)
+      .collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.where(col("doc_id") >= 250)
+      .as[(Long, String)].collect().toIndexedSeq)
+    val buf = collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val q = graft.streaming.IngestDedup.dedupStreamIndexed(
+      docs.where(col("doc_id") < 250),
+      mem.toDF().toDF("doc_id", "text"), 0.5) { flagged =>
+      buf.synchronized { buf ++= flagged.collect() }; ()
+    }
+    q.processAllAvailable(); q.stop()
+    buf.toSet shouldBe expected
+    expected.size should be > 0
+  }
+
+  test("indexed ingest dedup is exactly invariant to micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val base = Seq((1L, t20), (2L, other)).toDF("doc_id", "text")
+    def run(split: Boolean): Seq[(Long, Long)] = {
+      val mem = MemoryStream[(Long, String)]
+      val got = collection.mutable.ArrayBuffer[(Long, Long)]()
+      val q = graft.streaming.IngestDedup.dedupStreamIndexed(
+        base, mem.toDF().toDF("doc_id", "text"), 0.5) { flagged =>
+        val rows = flagged.select("doc_id", "base_id")
+          .as[(Long, Long)].collect()
+        got.synchronized { got ++= rows }; ()
+      }
+      if (split) {
+        mem.addData((300L, t20)); q.processAllAvailable()
+        mem.addData((301L, other)); q.processAllAvailable()
+      } else {
+        mem.addData(Seq((300L, t20), (301L, other))); q.processAllAvailable()
+      }
+      q.stop()
+      got.sorted.toSeq
+    }
+    val oneBatch = run(split = false)
+    run(split = true) shouldBe oneBatch
+    oneBatch shouldBe Seq((300L, 1L), (301L, 2L))
+  }
+
   test("sliding windows place each event in width/slide buckets") {
     val events = Seq((1L, 1L, Timestamp.valueOf("2024-01-01 00:07:00"), "a", 2.0))
       .toDF("event_id", "user_id", "ts", "event_type", "value")
