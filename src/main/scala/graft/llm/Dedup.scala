@@ -267,25 +267,39 @@ object Dedup {
     // signatures appear on both sides of the band self-join — cache so the
     // shingle → min-agg chain runs once
     val sig = minhashSignatures(docs).cache()
-    val rowsPerBand = NumHashes / NumBands
-    val bandCols = (0 until NumBands).map(b =>
+    val result = minhashBandCandidates(sig, NumBands)
+      .where(col("est_sim") >= threshold)
+      .orderBy("da", "db")
+    (result, Seq(sig))
+  }
+
+  /** Band-collision candidate pairs for an arbitrary banding of the
+    * NumHashes-slot signature (`bands` must divide NumHashes): docs
+    * sharing ≥1 band of NumHashes/bands consecutive minhashes, scored by
+    * the estimated similarity (equal-slot fraction). The banding knob IS
+    * the S-curve: more bands ⇒ shorter bands ⇒ higher candidate recall and
+    * more false candidates — X200 `x_lsh_band_sweep` measures the trade
+    * instead of asserting it. `bands = NumBands` reproduces
+    * [[minhashNearDuplicates]]' candidate stage exactly. */
+  def minhashBandCandidates(sig: DataFrame, bands: Int): DataFrame = {
+    require(NumHashes % bands == 0,
+      s"bands ($bands) must divide NumHashes ($NumHashes)")
+    val rowsPerBand = NumHashes / bands
+    val bandCols = (0 until bands).map(b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val cands = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.sig").as("sa"), col("b.sig").as("sb"))
       .distinct()
-    val result = cands.select(col("da"), col("db"),
+      .select(col("da"), col("db"),
         (size(filter(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
           / NumHashes).as("est_sim"))
-      .where(col("est_sim") >= threshold)
-      .orderBy("da", "db")
-    (result, Seq(sig))
   }
 
   /** 16-bit SimHash fingerprints over token-multiset hashes: each token

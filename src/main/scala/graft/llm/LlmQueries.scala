@@ -238,6 +238,41 @@ object LlmQueries {
             .as("mae_e6"))
     }),
 
+    // X200: LSH banding sweep — X169 measures ONE banding (4×4); this
+    // sweeps the S-curve knob itself: 16 hashes arranged as 2×8 / 4×4 /
+    // 8×2 bands, each config's candidate+verify pipeline scored against
+    // the same exact rare-shingle-Jaccard ground truth. One signature
+    // relation feeds all three bandings (pure projections); one pass over
+    // the exact pairs tags all configs. Turns the banding choice into a
+    // measured precision/recall frontier. All integers.
+    "x_lsh_band_sweep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 1500)
+      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold)
+        .select(col("da"), col("db"), lit(1L).as("truth"))
+      val sig = Dedup.minhashSignatures(docs)
+      val cands = Seq(2, 4, 8).map(b =>
+          Dedup.minhashBandCandidates(sig, b)
+            .where(col("est_sim") >= MinhashThreshold)
+            .select(lit(b.toLong).as("bands"), col("da"), col("db")))
+        .reduce(_.unionByName(_))
+      val tagged = cands.join(exact, Seq("da", "db"), "left")
+        .groupBy("bands")
+        .agg(count(lit(1)).as("n_found"),
+          coalesce(sum("truth"), lit(0L)).as("tp"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      tagged.crossJoin(broadcast(nEx))
+        .select(col("bands"),
+          expr(s"CAST(${Dedup.NumHashes} div bands AS BIGINT)")
+            .as("rows_per_band"),
+          col("tp"), (col("n_found") - col("tp")).as("fp"),
+          (col("n_exact") - col("tp")).as("fn"),
+          expr("CAST(CASE WHEN n_found > 0 THEN tp * 1000000 div n_found " +
+            "ELSE 0 END AS BIGINT)").as("precision_e6"),
+          expr("CAST(CASE WHEN n_exact > 0 THEN tp * 1000000 div n_exact " +
+            "ELSE 0 END AS BIGINT)").as("recall_e6"))
+        .orderBy("bands")
+    }),
+
     "x_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir))),
 
@@ -656,6 +691,24 @@ object LlmQueries {
   private val bandMatch = (0 until Dedup.NumBands)
     .map(b => s"a.band_$b = b.band_$b").mkString(" OR ")
   private val sigList = (0 until Dedup.NumHashes).map(j => s"mh_$j").mkString(", ")
+  // X200 sweep: band columns / match disjunction for an arbitrary banding
+  private def bandColsFor(b: Int): String = {
+    val r = Dedup.NumHashes / b
+    (0 until b).map { i =>
+      val ms = (0 until r).map(j => s"mh_${i * r + j}").mkString(", ")
+      s"concat_ws('_', $ms) AS band${b}_$i"
+    }.mkString(", ")
+  }
+  private def bandMatchFor(b: Int): String =
+    (0 until b).map(i => s"a.band${b}_$i = b.band${b}_$i").mkString(" OR ")
+  private def bandFilterCte(b: Int): String =
+    s"""f$b AS (SELECT da, db FROM (
+       |    SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+       |    FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id
+       |      AND (${bandMatchFor(b)}))
+       |  WHERE CAST(len(list_filter(range(${Dedup.NumHashes}),
+       |      i -> sa[i+1] = sb[i+1])) AS DOUBLE) / ${Dedup.NumHashes}
+       |    >= $MinhashThreshold)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "x_text_stats" ->
@@ -960,6 +1013,48 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_lsh_band_sweep" ->
+      s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
+         |    string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 1500),
+         |$shCte, $shfCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+         |shfn AS (SELECT shf.doc_id, sid, n FROM shf JOIN sizes USING (doc_id)),
+         |epairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter,
+         |    min(a.n) AS na, min(b.n) AS nb
+         |  FROM shfn a JOIN shfn b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |    AND least(a.n, b.n) >= $MinhashThreshold * greatest(a.n, b.n)
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT da, db FROM epairs
+         |  WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+         |    >= $MinhashThreshold),
+         |nex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS id FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM ids GROUP BY doc_id),
+         |sigb AS (SELECT doc_id, [$sigList] AS sig,
+         |    ${bandColsFor(2)}, ${bandColsFor(4)}, ${bandColsFor(8)}
+         |  FROM sig),
+         |${bandFilterCte(2)},
+         |${bandFilterCte(4)},
+         |${bandFilterCte(8)},
+         |cands AS (
+         |  SELECT 2 AS bands, da, db FROM f2
+         |  UNION ALL SELECT 4, da, db FROM f4
+         |  UNION ALL SELECT 8, da, db FROM f8),
+         |tag AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_found,
+         |    CAST(count(ex.da) AS BIGINT) AS tp
+         |  FROM cands LEFT JOIN ex ON cands.da = ex.da AND cands.db = ex.db
+         |  GROUP BY bands)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(${Dedup.NumHashes} // bands AS BIGINT) AS rows_per_band,
+         |  tp, n_found - tp AS fp, n_exact - tp AS fn,
+         |  CAST(CASE WHEN n_found > 0 THEN tp * 1000000 // n_found ELSE 0 END
+         |    AS BIGINT) AS precision_e6,
+         |  CAST(CASE WHEN n_exact > 0 THEN tp * 1000000 // n_exact ELSE 0 END
+         |    AS BIGINT) AS recall_e6
+         |FROM tag CROSS JOIN nex ORDER BY bands""".stripMargin,
     "x_dataset_card" ->
       s"""WITH $toksCte,
          |d AS (SELECT doc_id, toks.lang, documents.source, toks.n_chars,

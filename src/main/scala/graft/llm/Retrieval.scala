@@ -175,7 +175,9 @@ object Retrieval {
     * centroid CTEs. */
   def annRecallSweep(emb: DataFrame, queryId: Long, k: Int = 10,
       maxProbe: Int = 4): DataFrame = {
-    val cents = Similarity.centroidVectors(emb).cache()
+    // K-row relation reused by assignment, cell ranking, and sizes —
+    // localCheckpoint, not cache, so callers hold no cached plan
+    val cents = Similarity.centroidVectors(emb).localCheckpoint(true)
     val assigned = Similarity.assignCells(emb, cents)
       .select(col("vec_id"), col("cell"))
     val q = emb.where(col("vec_id") === queryId)

@@ -206,7 +206,9 @@ object Similarity {
     * neighbors in the second-nearest cell, which single-probe misses —
     * recall rises with nProbe while scanned volume stays nProbe·N/K. */
   def annTopKIvf(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = centroidVectors(emb).cache() // tiny (K rows); feeds probes + assignment
+    // tiny (K rows); feeds probes + assignment — localCheckpoint, not
+    // cache, so callers hold no cached plan to unpersist
+    val cents = centroidVectors(emb).localCheckpoint(true)
     val assigned = assignCells(emb, cents)
     val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("q_vec"))
     val probes = q.crossJoin(cents)

@@ -95,8 +95,10 @@ object GraphOps {
       ranks = contrib.groupBy(col("v").as("node"))
         .agg(expr("150000000000 + (85 * sum(c)) div 100").as("r"))
     }
-    val out = ranks.orderBy("node").cache()
-    out.count() // materialize before dropping the iteration caches
+    // materialize the (tiny) rank relation as self-contained blocks, then
+    // drop the iteration caches — callers hold no cached plans
+    // (ContextCleaner reclaims checkpoint blocks once unreferenced)
+    val out = ranks.orderBy("node").localCheckpoint(true)
     adj.unpersist()
     bi.unpersist()
     out

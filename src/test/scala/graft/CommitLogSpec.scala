@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.sources.CommitLog
+
+/** Commit-protocol contract for the X36 snapshot log: atomic single-winner
+  * version creation, loser-retry, snapshot isolation of uncommitted data,
+  * and as-of reads over the committed prefix. */
+class CommitLogSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  private def table(): String = graft.ingest.Sinks.tempDir("commitlog")
+
+  test("sequential commits number monotonically and as-of reads time-travel") {
+    val t = table()
+    val v1 = CommitLog.commit(spark, t,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "amt"))
+    val v2 = CommitLog.commit(spark, t,
+      Seq((2L, 99L)).toDF("k", "amt")) // upsert one key
+    (v1, v2) shouldBe ((1, 2))
+    CommitLog.latestVersion(spark, t) shouldBe 2
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)].collect().toSeq shouldBe
+      Seq((1L, 10L, 1), (2L, 99L, 2), (3L, 30L, 1))
+    CommitLog.read(spark, t, "k", asOf = 1).orderBy("k")
+      .select("k", "amt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (2L, 20L), (3L, 30L))
+  }
+
+  test("exactly one of two writers racing for a version wins; loser retries clean") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 1L)).toDF("k", "amt"))
+    // both writers stage against observed latest = 1, then race for v2
+    val stagedA = "data/v2-writerA"
+    val stagedB = "data/v2-writerB"
+    Seq((2L, 2L)).toDF("k", "amt").write.parquet(s"$t/$stagedA")
+    Seq((3L, 3L)).toDF("k", "amt").write.parquet(s"$t/$stagedB")
+    val aWon = CommitLog.tryCommit(spark, t, 2, stagedA)
+    val bWon = CommitLog.tryCommit(spark, t, 2, stagedB)
+    aWon shouldBe true
+    bWon shouldBe false // atomic create arbitrates: second create MUST fail
+    // the loser's full path: commit() re-reads the log and lands at v3
+    val v3 = CommitLog.commit(spark, t, Seq((3L, 3L)).toDF("k", "amt"))
+    v3 shouldBe 3
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 1L), (2L, 2L), (3L, 3L))
+  }
+
+  test("uncommitted staging data is invisible to readers") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 1L)).toDF("k", "amt"))
+    // a crashed writer's orphan: staged data, no manifest
+    Seq((9L, 9L)).toDF("k", "amt").write.parquet(s"$t/data/v2-orphan")
+    CommitLog.latestVersion(spark, t) shouldBe 1
+    CommitLog.read(spark, t, "k")
+      .select("k").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
+  test("reads refuse an as-of before the first commit rather than lie") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 1L)).toDF("k", "amt"))
+    an[IllegalArgumentException] should be thrownBy
+      CommitLog.read(spark, t, "k", asOf = 0).collect()
+  }
+}

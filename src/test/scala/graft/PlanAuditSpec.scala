@@ -74,6 +74,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_join_size_est" -> 1,
     "x_k_anonymity" -> 1,
     "x_kmv_jaccard" -> 1,
+    "x_lsh_band_sweep" -> 1, // category 2: 1-row n_exact broadcast
     "x_mix_budget" -> 1,
     "x_mix_temperature" -> 1,
     "x_near_dup_eval" -> 1,
