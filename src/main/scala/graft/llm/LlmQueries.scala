@@ -18,6 +18,8 @@ object LlmQueries {
   // single definition site for parameters each key's oracle interpolates —
   // tuning the Scala side can then never silently drift from the SQL side
   private val IncrementalDeltaFrom = 250
+  private val MineScoreFloor = 350000L // ⌊cos·10⁶⌋ absolute floor (X202)
+  private val MineGapFloor = 20000L // best-vs-runner-up margin (X202)
   private val DomainCapK = 15
   private val MixBudgetTokens = 15000
   private val ResizeTarget = 224
@@ -281,6 +283,80 @@ object LlmQueries {
 
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
+
+    // X201: canonical-URL dedup — the step-one web-corpus operator: strip
+    // the fragment, lowercase scheme+host, drop the www prefix, remove
+    // tracking params (utm_*), sort the survivors, and dedup on the
+    // canonical form (keep min doc_id). URLs are induced deterministically
+    // from (source, doc_id) — casing noise, utm variants, fragments — the
+    // same way other keys induce skew; the canonicalization itself is pure
+    // codegen'd string projection, so the only shuffle is the dedup
+    // groupBy on the canonical key. Identical regex/sort semantics in the
+    // oracle.
+    "x_url_dedup" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), expr(
+          "concat('HTTPS://WWW.', source, '.Example.com/p', " +
+            "CAST(doc_id % 7 AS STRING), " +
+            "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', " +
+            "CAST(doc_id % 10 AS STRING)) WHEN doc_id % 3 = 1 THEN " +
+            "concat('?id=', CAST(doc_id % 10 AS STRING), '&utm_campaign=x') " +
+            "ELSE concat('?id=', CAST(doc_id % 10 AS STRING)) END, " +
+            "CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)").as("url"))
+        .withColumn("nofrag", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("nofrag"), "^[A-Za-z]+://([^/?]+)", 1)),
+          "^www\\.", ""))
+        .withColumn("path",
+          regexp_extract(col("nofrag"), "^[A-Za-z]+://[^/?]+([^?]*)", 1))
+        .withColumn("query", regexp_extract(col("nofrag"), "\\?(.*)$", 1))
+        .withColumn("q", expr("concat_ws('&', array_sort(filter(" +
+          "split(query, '&'), p -> substring(p, 1, 4) <> 'utm_')))"))
+        .withColumn("canon_url", expr("concat('https://', host, path, " +
+          "CASE WHEN q = '' THEN '' ELSE concat('?', q) END)"))
+        .groupBy("canon_url")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .where(col("n_copies") > 1)
+        .select(col("keep_id"), col("n_copies"), col("canon_url"))
+        .orderBy("keep_id")),
+
+    // X202: margin-based bitext mining (Artetxe & Schwenk's margin
+    // criterion, difference form): the two corpus halves stand in for two
+    // language sides; each left vector's best right match qualifies only
+    // if the score clears an absolute floor AND beats the runner-up by a
+    // margin — the dual test that rejects hubs (vectors near everything).
+    // Brute-force scoring on the bounded eval slice, same precedent as
+    // X199's ground truth; at corpus scale the candidate stage is the IVF
+    // probe (annTopKIvf) and the margin test is unchanged. Integer ⌊cos·10⁶⌋
+    // scores; ranking ties break on b_id.
+    "x_bitext_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
+      val a = e.where(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+          col("nrm").as("na"))
+      val b = e.where(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+          col("nrm").as("nb"))
+      val pairs = a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          floor(round(
+            graft.functions.VectorOps.dot(col("va"), col("vb")) /
+              (col("na") * col("nb")), 6) * 1000000.0 + 0.5)
+            .cast("long").as("cos_e6"))
+      val ranked = pairs.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))))
+      ranked.where(col("r") <= 2)
+        .groupBy("a_id")
+        .agg(max(when(col("r") === 1, col("b_id"))).as("b_id"),
+          max(when(col("r") === 1, col("cos_e6"))).as("best_e6"),
+          max(when(col("r") === 2, col("cos_e6"))).as("second_e6"))
+        .select(col("a_id"), col("b_id"), col("best_e6"),
+          (col("best_e6") - col("second_e6")).as("gap_e6"))
+        .where(col("best_e6") >= MineScoreFloor && col("gap_e6") >= MineGapFloor)
+        .orderBy("a_id")
+    }),
 
     // X199: IVF pair-recall probe sweep — measures the single-probe
     // cross-cell recall loss the IVF bucketing trades for its N²/K pair
@@ -1013,6 +1089,51 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    concat('HTTPS://WWW.', source, '.Example.com/p', CAST(doc_id % 7 AS STRING),
+        |      CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&id=', CAST(doc_id % 10 AS STRING))
+        |           WHEN doc_id % 3 = 1 THEN concat('?id=', CAST(doc_id % 10 AS STRING), '&utm_campaign=x')
+        |           ELSE concat('?id=', CAST(doc_id % 10 AS STRING)) END,
+        |      CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |parts AS (SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)), '^www\.', '') AS host,
+        |    regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+([^?]*)', 1) AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS query
+        |  FROM nf),
+        |canon AS (SELECT doc_id,
+        |    concat('https://', host, path,
+        |      CASE WHEN q = '' THEN '' ELSE concat('?', q) END) AS canon_url
+        |  FROM (SELECT doc_id, host, path,
+        |      array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |        p -> substring(p, 1, 4) <> 'utm_')), '&') AS q
+        |    FROM parts))
+        |SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies, canon_url
+        |FROM canon GROUP BY canon_url HAVING count(*) > 1
+        |ORDER BY keep_id""".stripMargin,
+    "x_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(floor(round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+         |  FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |rk AS (SELECT a_id, b_id, cos_e6, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY cos_e6 DESC, b_id) AS r FROM pairs),
+         |sel AS (SELECT a_id,
+         |    max(CASE WHEN r = 1 THEN b_id END) AS b_id,
+         |    max(CASE WHEN r = 1 THEN cos_e6 END) AS best_e6,
+         |    max(CASE WHEN r = 2 THEN cos_e6 END) AS second_e6
+         |  FROM rk WHERE r <= 2 GROUP BY a_id)
+         |SELECT a_id, b_id, best_e6, best_e6 - second_e6 AS gap_e6
+         |FROM sel WHERE best_e6 >= $MineScoreFloor
+         |  AND best_e6 - second_e6 >= $MineGapFloor
+         |ORDER BY a_id""".stripMargin,
     "x_lsh_band_sweep" ->
       s"""WITH toks AS (SELECT doc_id, text, n_chars, lang,
          |    string_split(text, ' ') AS t
