@@ -284,6 +284,60 @@ object LlmQueries {
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold)),
 
+    // X203: positional phrase search over an inverted index — the
+    // index-once / query-many shape: the corpus explodes ONCE into
+    // (doc_id, word, pos) postings, the phrase's words select their
+    // posting slices, and consecutive-position equi-joins (doc_id, pos+k)
+    // assemble exact phrase hits — no text rescan per query, no regex
+    // over the corpus. At 100 TB the postings relation is the persisted
+    // artifact (partitioned by word); each phrase query touches only its
+    // words' slices. Join keys are (doc_id, pos) — evenly spread.
+    "x_phrase_search" -> ((s, dir) => {
+      val Seq(w1, w2, w3) = Seq("big", "order", "scan")
+      val idx = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos0", "w")))
+        .select(col("doc_id"), col("w"), (col("pos0") + 1).cast("long").as("pos"))
+        .where(col("w").isin(w1, w2, w3))
+      val i1 = idx.where(col("w") === w1).select(col("doc_id"), col("pos"))
+      val i2 = idx.where(col("w") === w2)
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      val i3 = idx.where(col("w") === w3)
+        .select(col("doc_id").as("d3"), col("pos").as("p3"))
+      i1.join(i2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .join(i3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+        .orderBy("doc_id")
+    }),
+
+    // X204: domain-blocklist filtering — the UT1-style curation gate: a
+    // tiny rule list matches a document's host exactly OR as a dotted
+    // suffix (rule "src3.example.com" blocks "cdn.src3.example.com").
+    // Hosts are induced deterministically from (source, doc_id parity);
+    // the rule relation BROADCASTS and the corpus streams past it
+    // map-side (small×large non-equi broadcast join — no corpus shuffle
+    // before the per-source rollup). min(rule_id) arbitrates multi-rule
+    // matches deterministically.
+    "x_domain_blocklist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CASE WHEN doc_id % 2 = 0 THEN concat(lower(source), '.example.com') " +
+            "ELSE concat('cdn.', lower(source), '.example.com') END").as("host"))
+      val rules = s.createDataFrame(Seq(
+          (1L, "src3.example.com"), (2L, "src7.example.com"),
+          (3L, "src12.example.com")))
+        .toDF("rule_id", "rule")
+      docs.join(broadcast(rules),
+          col("host") === col("rule") ||
+            col("host").endsWith(concat(lit("."), col("rule"))), "left")
+        .groupBy("doc_id", "source")
+        .agg(min("rule_id").as("rule_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("rule_id")).as("n_blocked"))
+        .orderBy("source")
+    }),
+
     // X201: canonical-URL dedup — the step-one web-corpus operator: strip
     // the fragment, lowercase scheme+host, drop the www prefix, remove
     // tracking params (utm_*), sort the survivors, and dedup on the
@@ -1089,6 +1143,32 @@ object LlmQueries {
          |  FROM cands)
          |SELECT da, db, est_sim FROM scored
          |WHERE est_sim >= $MinhashThreshold ORDER BY da, db""".stripMargin,
+    "x_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |idx AS (SELECT doc_id, w, CAST(pos AS BIGINT) AS pos FROM (
+        |    SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM t)
+        |  WHERE w IN ('big', 'order', 'scan')),
+        |hits AS (SELECT i1.doc_id, i1.pos FROM idx i1
+        |  JOIN idx i2 ON i1.doc_id = i2.doc_id AND i2.pos = i1.pos + 1
+        |  JOIN idx i3 ON i1.doc_id = i3.doc_id AND i3.pos = i1.pos + 2
+        |  WHERE i1.w = 'big' AND i2.w = 'order' AND i3.w = 'scan')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(min(pos) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_domain_blocklist" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0 THEN concat(lower(source), '.example.com')
+        |         ELSE concat('cdn.', lower(source), '.example.com') END AS host
+        |  FROM documents),
+        |rules AS (SELECT * FROM (VALUES (1, 'src3.example.com'),
+        |    (2, 'src7.example.com'), (3, 'src12.example.com')) AS r(rule_id, rule)),
+        |m AS (SELECT h.doc_id, h.source, min(rules.rule_id) AS rule_id
+        |  FROM h LEFT JOIN rules
+        |    ON h.host = rules.rule OR suffix(h.host, concat('.', rules.rule))
+        |  GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(rule_id) AS BIGINT) AS n_blocked
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "x_url_dedup" ->
       """WITH u AS (SELECT doc_id,
         |    concat('HTTPS://WWW.', source, '.Example.com/p', CAST(doc_id % 7 AS STRING),
