@@ -285,7 +285,58 @@ object CorpusStats {
       .orderBy("thr")
   }
 
+  /** X205: bigram collocation mining — which adjacent word pairs co-occur
+    * far more than their unigram frequencies predict (PMI-family
+    * association, the phrase-discovery primitive behind tokenizer vocab
+    * candidates and multiword-expression lists). Association is the exact
+    * integer lift `c_ab·10⁹ div (c_a·c_b)` — ordering-equivalent to PMI at
+    * fixed corpus size (log is monotone and the global N²/N_bigrams factor
+    * is constant), so no libm crosses the oracle. Exact-integer ceiling:
+    * c_ab < 2⁶³/10⁹ ≈ 9.2·10⁹ pair occurrences.
+    *
+    * Scale shape: bigrams form by ARRAY zip_with inside the row — a pure
+    * generator projection, no self-join and no window shuffle to pair
+    * neighbors; the only shuffles are the two count groupBys (unigram,
+    * bigram — evenly spread keys) and the vocabulary²-bounded join of
+    * bigram counts to their two unigram counts. Top-k via sort on the
+    * vocabulary²-bounded score relation, never the token stream. */
+  def collocations(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs.select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> struct(a AS wa, b AS wb))")).as("p"))
+      .select(col("p.wa"), col("p.wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("c_ab"))
+    bi.join(uni.select(col("w").as("wa"), col("c").as("ca")), "wa")
+      .join(uni.select(col("w").as("wb"), col("c").as("cb")), "wb")
+      .select(col("wa"), col("wb"), col("c_ab"),
+        expr("c_ab * 1000000000 div (ca * cb)").as("assoc_e9"))
+      .orderBy(col("assoc_e9").desc, col("wa"), col("wb"))
+      .limit(k)
+  }
+
+  /** X206: Simpson concentration index per language — the probability two
+    * random documents of a language come from the SAME source,
+    * `Σ c_s² / N²` in exact ×10⁶ integers (1/index = effective source
+    * count). The mix-design audit that catches a "diverse" language slice
+    * secretly dominated by one crawl. Two map-side-partial aggregations,
+    * no joins, no windows; S·L rows of intermediate state. */
+  def simpsonDiversity(docs: DataFrame): DataFrame =
+    docs.groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_docs"), sum(col("c") * col("c")).as("s2"))
+      .select(col("lang"), col("n_docs"),
+        expr("s2 * 1000000 div (n_docs * n_docs)").as("simpson_e6"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_collocations" -> ((s, dir) =>
+      collocations(Tables.documents(s, dir))),
+    "x_simpson_diversity" -> ((s, dir) =>
+      simpsonDiversity(Tables.documents(s, dir))),
     "x_vocab_coverage" -> ((s, dir) =>
       vocabCoverage(Tables.documents(s, dir))),
     "x_source_similarity" -> ((s, dir) =>
@@ -315,6 +366,26 @@ object CorpusStats {
       vocabularyGrowth(Tables.documents(s, dir), 25)))
 
   val oracles: Map[String, String] = Map(
+    "x_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tok AS (SELECT unnest(t) AS w FROM t),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |ix AS (SELECT t, unnest(range(1, len(t))) AS i FROM t
+        |  WHERE len(t) >= 2),
+        |bi AS (SELECT t[i] AS wa, t[i + 1] AS wb,
+        |    CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM ix GROUP BY 1, 2)
+        |SELECT wa, wb, c_ab,
+        |  CAST(c_ab * 1000000000 // (ua.c * ub.c) AS BIGINT) AS assoc_e9
+        |FROM bi JOIN uni ua ON bi.wa = ua.w JOIN uni ub ON bi.wb = ub.w
+        |ORDER BY assoc_e9 DESC, wa, wb LIMIT 20""".stripMargin,
+    "x_simpson_diversity" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(c * c) * 1000000 // (sum(c) * sum(c)) AS BIGINT)
+        |    AS simpson_e6
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     "x_vocab_coverage" ->
       """WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

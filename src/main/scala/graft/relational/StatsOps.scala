@@ -734,7 +734,38 @@ object StatsOps {
       .orderBy("lang")
   }
 
+  /** X207: skyline (Pareto frontier) — documents not dominated on
+    * (maximize token count, minimize char count): no other doc has
+    * ≥ tokens AND ≤ chars with one strict. The multi-criteria shortlist
+    * operator (cheapest-yet-densest docs, best quality-per-cost) that the
+    * naive formulation computes as an O(n²) NOT EXISTS dominance
+    * self-join.
+    *
+    * Scale shape, the distributed-skyline pattern: (1) a PARALLEL
+    * per-x reduction — groupBy(n_chars).max(n_tok) — collapses the corpus
+    * to ≤ |distinct n_chars| candidate points (value-bounded metadata,
+    * not row-bounded), since for a given char count only the max-token
+    * doc can be undominated; (2) one running-max window over that bounded
+    * relation (sorted by chars asc, the frontier is where tokens exceed
+    * every preceding max) — a deliberate, allowlisted SinglePartition
+    * over metadata; (3) an equi join back tags the winning documents
+    * (ties at a frontier point all surface). No dominance pair space
+    * anywhere. */
+  private def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val cand = m.groupBy("n_chars").agg(max("n_tok").as("n_tok"))
+    val w = Window.orderBy(col("n_chars").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = cand.withColumn("prev_max", max("n_tok").over(w))
+      .where(col("prev_max").isNull || col("n_tok") > col("prev_max"))
+      .drop("prev_max")
+    m.join(frontier, Seq("n_chars", "n_tok"))
+      .select("doc_id", "n_chars", "n_tok").orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_skyline" -> ((s, dir) => skyline(s, dir)),
     "x_sample_bias" -> ((s, dir) => sampleBias(s, dir)),
     "x_join_size_est" -> ((s, dir) => joinSizeEstimate(s, dir)),
     "x_k_anonymity" -> ((s, dir) => kAnonymity(s, dir)),
@@ -761,6 +792,19 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_skyline" ->
+      """WITH m AS (SELECT doc_id, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cand AS (SELECT n_chars, max(n_tok) AS n_tok FROM m GROUP BY n_chars),
+        |w AS (SELECT n_chars, n_tok,
+        |    max(n_tok) OVER (ORDER BY n_chars ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM cand),
+        |f AS (SELECT n_chars, n_tok FROM w
+        |  WHERE prev_max IS NULL OR n_tok > prev_max)
+        |SELECT m.doc_id, m.n_chars, m.n_tok
+        |FROM m JOIN f USING (n_chars, n_tok) ORDER BY m.doc_id""".stripMargin,
     "x_sample_bias" ->
       s"""WITH d AS (SELECT lang,
          |    ${StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS hb

@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_sketch_theta" -> 2,
     "x_sketch_union" -> 2,
     "x_skew_report" -> 5,
+    "x_skyline" -> 1, // category 3: frontier scan over |distinct n_chars| candidates
     "x_source_corrupt" -> 1,
     "x_spearman" -> 1,
     "x_split_leakage" -> 1,
