@@ -332,7 +332,31 @@ object CorpusStats {
         expr("s2 * 1000000 div (n_docs * n_docs)").as("simpson_e6"))
       .orderBy("lang")
 
+  /** X209: Zipf-law audit — for the top-k tokens by frequency, the
+    * rank·frequency product (constant under an ideal Zipf distribution):
+    * the one-glance check that a corpus' head looks like natural language
+    * rather than boilerplate (a flat product curve ≈ Zipfian; a head
+    * token whose product towers over the rest is template spam). Exact
+    * integers — no log-log fit crosses the oracle.
+    *
+    * Scale shape: the frequency groupBy is the only corpus-sized shuffle;
+    * top-k is `orderBy(...).limit(k)` (a TakeOrdered, never a full vocab
+    * sort to one reducer); the ranking window then runs over the ≤k-row
+    * result — an allowlisted bounded-metadata exchange. */
+  def zipfProduct(docs: DataFrame, k: Int = 30): DataFrame = {
+    val tc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val top = tc.orderBy(col("c").desc, col("w")).limit(k)
+    val win = Window.orderBy(col("c").desc, col("w"))
+    top.withColumn("rank", row_number().over(win).cast("long"))
+      .select(col("rank"), col("w"), col("c"),
+        (col("rank") * col("c")).as("rank_c"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_zipf_product" -> ((s, dir) =>
+      zipfProduct(Tables.documents(s, dir))),
     "x_collocations" -> ((s, dir) =>
       collocations(Tables.documents(s, dir))),
     "x_simpson_diversity" -> ((s, dir) =>
@@ -366,6 +390,16 @@ object CorpusStats {
       vocabularyGrowth(Tables.documents(s, dir), 25)))
 
   val oracles: Map[String, String] = Map(
+    "x_zipf_product" ->
+      """WITH tc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |top AS (SELECT w, c FROM tc ORDER BY c DESC, w LIMIT 30),
+        |rk AS (SELECT w, c,
+        |    row_number() OVER (ORDER BY c DESC, w) AS rank FROM top)
+        |SELECT CAST(rank AS BIGINT) AS rank, w, c,
+        |  CAST(rank * c AS BIGINT) AS rank_c
+        |FROM rk ORDER BY rank""".stripMargin,
     "x_collocations" ->
       """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
         |tok AS (SELECT unnest(t) AS w FROM t),

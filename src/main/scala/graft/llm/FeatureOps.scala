@@ -129,7 +129,39 @@ object FeatureOps {
       .orderBy("segment")
   }
 
+  /** X208: hashed linear text classifier — the fastText-shaped scorer
+    * behind modern model-based curation (quality classifiers gate what
+    * enters the training mix): tokens hash into `numBuckets` feature
+    * buckets ([[hashedFeatures]]' dictionary-free trick), each bucket
+    * carries an integer weight, and a document's score is the sum of its
+    * tokens' bucket weights; `kept = score > 0` is the gate decision.
+    * Weights here are derived deterministically from the bucket id (the
+    * sandbox stand-in for a trained model — the PLUMBING is the operator:
+    * swap the weight relation for trained parameters and nothing else
+    * changes).
+    *
+    * Scale shape: the weight relation is `numBuckets` rows and BROADCASTS;
+    * scoring is explode → hash → map-side join → one partial-first
+    * aggregation per doc. No shuffle carries anything wider than
+    * (doc_id, bucket); model size never touches the corpus path. */
+  def classifierScore(docs: DataFrame, numBuckets: Int): DataFrame = {
+    val weights = docs.sparkSession.range(numBuckets)
+      .select(col("id").as("b"),
+        (StableHash.md5Prefix60(col("id").cast("string")) % 201 - 100).as("wt"))
+    docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), (StableHash.md5Prefix60(col("w")) % numBuckets).as("b"))
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("wt").as("score"))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        (col("score") > 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_classifier_score" -> ((s, dir) =>
+      classifierScore(Tables.documents(s, dir), 64)),
     "x_target_encode" -> ((s, dir) =>
       targetEncode(Tables.orders(s, dir), Tables.customer(s, dir), 10)),
     "x_bm25" -> ((s, dir) =>
@@ -142,6 +174,18 @@ object FeatureOps {
       oneHotLang(Tables.documents(s, dir)).orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "x_classifier_score" ->
+      s"""WITH wts AS (SELECT CAST(b AS BIGINT) AS b,
+         |    (${StableHash.md5Prefix60Sql("CAST(b AS VARCHAR)")} % 201) - 100 AS wt
+         |  FROM range(64) r(b)),
+         |tok AS (SELECT doc_id, ${StableHash.md5Prefix60Sql("w")} % 64 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(wt) AS BIGINT) AS score
+         |  FROM tok JOIN wts USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n_tok, score, score > 0 AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "x_target_encode" ->
       """WITH j AS (SELECT c_mktsegment AS segment,
         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents

@@ -40,14 +40,26 @@ object CommitLog {
 
   private def logDir(table: String) = new Path(table, "_log")
 
-  /** Highest committed version, 0 if none. */
+  private def listLog(fs: FileSystem, table: String): Array[String] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+  }
+
+  private def manifestVersions(names: Array[String]): Array[Int] =
+    names.flatMap(n => scala.util.Try(n.toInt).toOption)
+
+  private def checkpointVersions(names: Array[String]): Array[Int] =
+    names.filter(_.endsWith(".ckpt"))
+      .flatMap(n => scala.util.Try(n.stripSuffix(".ckpt").toInt).toOption)
+
+  /** Highest committed version, 0 if none. A checkpoint (see [[expire]])
+    * counts: after full compaction the table's version floor must still
+    * advance new commits past it. */
   def latestVersion(spark: SparkSession, table: String): Int = {
     val fs = hadoopFs(spark, table)
-    val dir = logDir(table)
-    if (!fs.exists(dir)) 0
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .flatMap(n => scala.util.Try(n.toInt).toOption)
-      .foldLeft(0)(math.max)
+    val names = listLog(fs, table)
+    (manifestVersions(names) ++ checkpointVersions(names)).foldLeft(0)(math.max)
   }
 
   /** Attempt to commit `stagedDir` as exactly `version`. Returns true iff
@@ -92,18 +104,34 @@ object CommitLog {
   /** Snapshot read: union every committed manifest ≤ `asOf` (default: all),
     * tag rows with their commit version, keep each key's latest row. Only
     * manifest-named files are read — uncommitted staging dirs and orphans
-    * are invisible by construction. */
+    * are invisible by construction. When a checkpoint ≤ `asOf` exists (see
+    * [[expire]]), the LARGEST such checkpoint replaces every manifest at or
+    * below it: the checkpoint parquet carries each row's ORIGINAL commit
+    * version in `__v`, so reads at or above the retention floor are
+    * bit-identical before and after expiry. Reads entirely below the floor
+    * refuse — that history has been vacuumed. */
   def read(spark: SparkSession, table: String, keyCol: String,
       asOf: Int = Int.MaxValue): DataFrame = {
     val fs = hadoopFs(spark, table)
     val dir = logDir(table)
-    val versions =
-      if (!fs.exists(dir)) Seq.empty[Int]
-      else fs.listStatus(dir).map(_.getPath.getName)
-        .flatMap(n => scala.util.Try(n.toInt).toOption)
-        .filter(_ <= asOf).sorted.toSeq
-    require(versions.nonEmpty, s"no committed versions <= $asOf in $table")
-    val parts = versions.map { v =>
+    val names = listLog(fs, table)
+    val ckpt = checkpointVersions(names).filter(_ <= asOf)
+      .sorted.lastOption
+    val floor = ckpt.getOrElse(0)
+    val versions = manifestVersions(names)
+      .filter(v => v > floor && v <= asOf).sorted.toSeq
+    require(ckpt.nonEmpty || versions.nonEmpty,
+      s"no committed versions <= $asOf in $table" +
+        (if (checkpointVersions(names).nonEmpty)
+          s" (history below the retention floor ${checkpointVersions(names).min} was expired)"
+        else ""))
+    val ckptPart = ckpt.toSeq.map { c =>
+      val staged =
+        new String(readFully(fs, new Path(dir, s"$c.ckpt")), StandardCharsets.UTF_8)
+      spark.read.parquet(s"$table/$staged")
+        .withColumn("version", col("__v")).drop("__v")
+    }
+    val parts = ckptPart ++ versions.map { v =>
       val manifest = new Path(dir, v.toString)
       val staged = new String(readFully(fs, manifest), StandardCharsets.UTF_8)
       spark.read.parquet(s"$table/$staged").withColumn("version", lit(v))
@@ -114,6 +142,69 @@ object CommitLog {
     log.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
       .drop("rn")
+  }
+
+  /** X36c: retention (vacuum + checkpoint) — compact every version ≤
+    * (latest − keepLast) into one parquet checkpoint and physically delete
+    * the compacted manifests and their staging dirs. The Delta-shaped
+    * maintenance op (checkpoint + log cleanup + VACUUM) the snapshot log
+    * needs to stop growing without bound, with the same crash-safe
+    * ordering: (1) stage the compacted state under `data/ckpt-v<cut>-…`;
+    * (2) publish it by atomic create of `_log/<cut>.ckpt` — the same
+    * single-winner arbiter as [[commit]], so concurrent expires race
+    * safely; (3) only THEN delete superseded manifests, their data dirs,
+    * and older checkpoints. A crash before (2) changes nothing a reader
+    * sees; between (2) and (3) both the checkpoint and the stale manifests
+    * are present and reads stay correct (the checkpoint shadows them).
+    * Compacted rows keep their original commit version (`__v`), so any
+    * read at or above the new floor is identical pre/post. Returns the new
+    * floor, or 0 when there is nothing to expire. */
+  def expire(spark: SparkSession, table: String, keyCol: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 0, "keepLast must be >= 0")
+    val fs = hadoopFs(spark, table)
+    val names = listLog(fs, table)
+    val latest =
+      (manifestVersions(names) ++ checkpointVersions(names)).foldLeft(0)(math.max)
+    val oldFloor = checkpointVersions(names).foldLeft(0)(math.max)
+    val cut = latest - keepLast
+    if (cut < 1 || cut <= oldFloor) return 0
+    val compacted = read(spark, table, keyCol, asOf = cut)
+      .withColumnRenamed("version", "__v")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/ckpt-v$cut-$token"
+    compacted.write.mode("errorifexists").parquet(s"$table/$staged")
+    val ckFile = new Path(logDir(table), s"$cut.ckpt")
+    val won =
+      try {
+        val out = fs.create(ckFile, /* overwrite = */ false)
+        try out.write(staged.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: java.io.IOException => false // concurrent expire won this floor
+      }
+    if (!won) {
+      fs.delete(new Path(table, staged), true)
+      return 0
+    }
+    // cleanup: superseded manifests + their staging dirs, and older ckpts
+    listLog(fs, table).foreach { n =>
+      val mv = scala.util.Try(n.toInt).toOption
+      val cv =
+        if (n.endsWith(".ckpt"))
+          scala.util.Try(n.stripSuffix(".ckpt").toInt).toOption
+        else None
+      val supersededManifest = mv.exists(_ <= cut)
+      val supersededCkpt = cv.exists(_ < cut)
+      if (supersededManifest || supersededCkpt) {
+        val p = new Path(logDir(table), n)
+        val stagedDir = new String(readFully(fs, p), StandardCharsets.UTF_8)
+        fs.delete(new Path(table, stagedDir), true)
+        fs.delete(p, false)
+      }
+    }
+    cut
   }
 
   private def readFully(fs: FileSystem, p: Path): Array[Byte] = {

@@ -65,4 +65,67 @@ class CommitLogSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       CommitLog.read(spark, t, "k", asOf = 0).collect()
   }
+
+  test("expire compacts history into a checkpoint; reads at/above the floor are identical") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"))
+    CommitLog.commit(spark, t, Seq((2L, 21L), (3L, 30L)).toDF("k", "amt"))
+    CommitLog.commit(spark, t, Seq((3L, 31L)).toDF("k", "amt"))
+    CommitLog.commit(spark, t, Seq((4L, 40L)).toDF("k", "amt"))
+    val before3 = CommitLog.read(spark, t, "k", asOf = 3).orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)].collect().toSeq
+    val beforeAll = CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)].collect().toSeq
+
+    CommitLog.expire(spark, t, "k", keepLast = 2) shouldBe 2
+
+    // latest + as-of ≥ floor: bit-identical, INCLUDING original versions
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)]
+      .collect().toSeq shouldBe beforeAll
+    CommitLog.read(spark, t, "k", asOf = 3).orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)]
+      .collect().toSeq shouldBe before3
+    // vacuumed: manifests 1,2 and their staging dirs are gone
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(t, "_log/1")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(t, "_log/2")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(t, "_log/2.ckpt")) shouldBe true
+    fs.listStatus(new org.apache.hadoop.fs.Path(t, "data"))
+      .map(_.getPath.getName).count(_.startsWith("v1-")) shouldBe 0
+    // history below the floor refuses
+    an[IllegalArgumentException] should be thrownBy
+      CommitLog.read(spark, t, "k", asOf = 1).collect()
+  }
+
+  test("expire is a no-op when nothing is below the retention window") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 1L)).toDF("k", "amt"))
+    CommitLog.expire(spark, t, "k", keepLast = 2) shouldBe 0
+    CommitLog.read(spark, t, "k").select("k").as[Long].collect().toSeq shouldBe Seq(1L)
+  }
+
+  test("commits continue past a full compaction and floors advance monotonically") {
+    val t = table()
+    CommitLog.commit(spark, t, Seq((1L, 10L)).toDF("k", "amt"))
+    CommitLog.commit(spark, t, Seq((1L, 11L)).toDF("k", "amt"))
+    // keepLast = 0: EVERY version compacts; the table is checkpoint-only
+    CommitLog.expire(spark, t, "k", keepLast = 0) shouldBe 2
+    CommitLog.latestVersion(spark, t) shouldBe 2
+    val v3 = CommitLog.commit(spark, t, Seq((2L, 20L)).toDF("k", "amt"))
+    v3 shouldBe 3
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)].collect().toSeq shouldBe
+      Seq((1L, 11L, 2), (2L, 20L, 3))
+    // a second expire advances the floor and retires the older checkpoint
+    CommitLog.expire(spark, t, "k", keepLast = 0) shouldBe 3
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(t, "_log/2.ckpt")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(t, "_log/3.ckpt")) shouldBe true
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt", "version").as[(Long, Long, Int)].collect().toSeq shouldBe
+      Seq((1L, 11L, 2), (2L, 20L, 3))
+  }
 }
