@@ -791,7 +791,32 @@ object EventAnalytics {
       .orderBy("wk")
   }
 
+  /** X211: geometric-decay activity counters — each user's events count
+    * with per-day halving (a day-old event is worth 1/2, two days 1/4 …):
+    * the recency-weighted engagement score that exponential-decay counters
+    * approximate in streaming systems, here EXACT in integers because the
+    * decay is a right-shift (`c div 2^age`) instead of a float power — no
+    * libm crosses the oracle (age is capped at 62 so the shift stays in
+    * BIGINT; older events contribute 0 anyway). One groupBy to day
+    * granularity, a broadcast 1-row max-day, one partial-first
+    * re-aggregation; top-k via TakeOrdered. */
+  private def decayCounts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val mx = d.agg(max("day").as("mday"))
+    d.groupBy("user_id", "day").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"), col("c"),
+        least(datediff(col("mday"), col("day")), lit(62)).cast("int").as("age"))
+      .groupBy("user_id")
+      .agg(sum("c").as("total"),
+        sum(expr("c div shiftleft(CAST(1 AS BIGINT), age)")).as("decayed"))
+      .orderBy(col("decayed").desc, col("user_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_decay_counts" -> ((s, dir) => decayCounts(s, dir)),
     "x_churn" -> ((s, dir) => weeklyChurn(s, dir)),
     "x_windowed_dedup" -> ((s, dir) => windowedDedup(s, dir)),
     "x_time_to_convert" -> ((s, dir) => timeToConvert(s, dir)),
@@ -822,6 +847,16 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_decay_counts" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |mx AS (SELECT max(day) AS mday FROM d),
+        |cd AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS c
+        |  FROM d GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(sum(c // (CAST(1 AS BIGINT) <<
+        |    least(date_diff('day', day, mday), 62))) AS BIGINT) AS decayed
+        |FROM cd, mx GROUP BY user_id
+        |ORDER BY decayed DESC, user_id LIMIT 10""".stripMargin,
     "x_churn" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)

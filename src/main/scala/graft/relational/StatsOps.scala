@@ -764,7 +764,44 @@ object StatsOps {
       .select("doc_id", "n_chars", "n_tok").orderBy("doc_id")
   }
 
+  /** X210: count-min sketch AS A RELATION — the mergeable frequency
+    * sketch (Cormode & Muthukrishnan) held as (depth, bucket, count) rows
+    * instead of an opaque blob: depth×width = 4×256 counters built in one
+    * fan-out-4 pass (each item increments one bucket per depth row);
+    * merging two sketches is a UNION + re-sum on the same 1024 keys —
+    * exactly the per-partition/per-day stats pattern X53/X53b use for
+    * distincts, here for point frequency. A probe key's estimate is the
+    * MIN of its 4 buckets; the one-sided CMS guarantee (never an
+    * undercount) is asserted per probe in the output, with the exact
+    * count alongside — contract measured, not assumed (the X75/X5e
+    * discipline for sketches). Hashes are the engine-portable
+    * [[StableHash]], so the sketch is reproducible across engines and
+    * retries. */
+  private def cmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val depths = spark.range(4).select(col("id").as("d"))
+    val cms = ev.select(col("user_id").cast("string").as("k"))
+      .crossJoin(broadcast(depths))
+      .select(col("d"), (StableHash.md5Prefix60(
+        concat(col("d").cast("string"), lit(":"), col("k"))) % 256).as("b"))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val probe = ev.where(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).as("true_c"))
+    probe.crossJoin(broadcast(depths))
+      .select(col("user_id"), col("true_c"), col("d"),
+        (StableHash.md5Prefix60(concat(col("d").cast("string"), lit(":"),
+          col("user_id").cast("string"))) % 256).as("b"))
+      .join(cms, Seq("d", "b"), "left")
+      .groupBy("user_id")
+      .agg(max("true_c").as("true_c"),
+        min(coalesce(col("c"), lit(0L))).as("est_c"))
+      .select(col("user_id"), col("true_c"), col("est_c"),
+        (col("est_c") >= col("true_c")).as("no_undercount"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cms_estimate" -> ((s, dir) => cmsEstimate(s, dir)),
     "x_skyline" -> ((s, dir) => skyline(s, dir)),
     "x_sample_bias" -> ((s, dir) => sampleBias(s, dir)),
     "x_join_size_est" -> ((s, dir) => joinSizeEstimate(s, dir)),
@@ -792,6 +829,23 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_cms_estimate" ->
+      s"""WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |cms AS (SELECT CAST(d AS BIGINT) AS d,
+         |    ${StableHash.md5Prefix60Sql("concat(CAST(d AS VARCHAR), ':', k)")} % 256 AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM tok CROSS JOIN range(4) r(d) GROUP BY 1, 2),
+         |probe AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_c
+         |  FROM events WHERE user_id < 10 GROUP BY user_id),
+         |pb AS (SELECT user_id, true_c, CAST(d AS BIGINT) AS d,
+         |    ${StableHash.md5Prefix60Sql(
+                "concat(CAST(d AS VARCHAR), ':', CAST(user_id AS VARCHAR))")} % 256 AS b
+         |  FROM probe CROSS JOIN range(4) r(d)),
+         |est AS (SELECT user_id, max(true_c) AS true_c,
+         |    CAST(min(coalesce(c, 0)) AS BIGINT) AS est_c
+         |  FROM pb LEFT JOIN cms USING (d, b) GROUP BY user_id)
+         |SELECT user_id, true_c, est_c, est_c >= true_c AS no_undercount
+         |FROM est ORDER BY user_id""".stripMargin,
     "x_skyline" ->
       """WITH m AS (SELECT doc_id, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

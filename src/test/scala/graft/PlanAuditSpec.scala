@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_cumulative_uniques" -> 1,
     "x_curation_pipeline" -> 1,
     "x_dataset_card" -> 3,
+    "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
     "x_dq_rules" -> 3,
     "x_drift" -> 1,
     "x_freq_items" -> 1,
