@@ -800,7 +800,37 @@ object StatsOps {
       .orderBy("user_id")
   }
 
+  /** X212: keyed pseudonymization with a referential-integrity proof —
+    * the GDPR-pipeline primitive: replace the natural key with a keyed
+    * hash (rotate the key to break old linkage; drop it to anonymize)
+    * while JOINS KEEP WORKING, because every table maps the key through
+    * the same function. The output is the audit: per-segment join
+    * cardinality on the original key vs the pseudonymized key, with the
+    * preserved flag — if the keyed hash collided inside the key domain,
+    * the counts would diverge (measured, not assumed, per the sketch
+    * discipline). Pure projection on both sides; the join shape (and its
+    * shuffle) is IDENTICAL pre/post — pseudonymization costs nothing at
+    * plan level. */
+  private def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    val rotationKey = "rot-2025Q3"
+    def pid(c: org.apache.spark.sql.Column) =
+      StableHash.md5Prefix60(concat(lit(rotationKey), lit(":"), c.cast("string")))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    val orig = ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_orig"))
+    val pseudo = ord.select(pid(col("o_custkey")).as("pk"))
+      .join(cust.select(pid(col("c_custkey")).as("pk"), col("c_mktsegment")), "pk")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_pseudo"))
+    orig.join(pseudo, Seq("c_mktsegment"))
+      .select(col("c_mktsegment").as("segment"), col("n_orig"), col("n_pseudo"),
+        (col("n_orig") === col("n_pseudo")).as("preserved"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pseudonymize" -> ((s, dir) => pseudonymize(s, dir)),
     "x_cms_estimate" -> ((s, dir) => cmsEstimate(s, dir)),
     "x_skyline" -> ((s, dir) => skyline(s, dir)),
     "x_sample_bias" -> ((s, dir) => sampleBias(s, dir)),
@@ -829,6 +859,23 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_pseudonymize" ->
+      s"""WITH orig AS (SELECT c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS n_orig
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY c_mktsegment),
+         |op AS (SELECT ${StableHash.md5Prefix60Sql(
+              "concat('rot-2025Q3:', CAST(o_custkey AS VARCHAR))")} AS pk
+         |  FROM orders),
+         |cp AS (SELECT ${StableHash.md5Prefix60Sql(
+              "concat('rot-2025Q3:', CAST(c_custkey AS VARCHAR))")} AS pk,
+         |    c_mktsegment FROM customer),
+         |pseudo AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pseudo
+         |  FROM op JOIN cp USING (pk) GROUP BY c_mktsegment)
+         |SELECT orig.c_mktsegment AS segment, n_orig, n_pseudo,
+         |  n_orig = n_pseudo AS preserved
+         |FROM orig JOIN pseudo ON orig.c_mktsegment = pseudo.c_mktsegment
+         |ORDER BY segment""".stripMargin,
     "x_cms_estimate" ->
       s"""WITH tok AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
          |cms AS (SELECT CAST(d AS BIGINT) AS d,

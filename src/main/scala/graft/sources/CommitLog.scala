@@ -144,6 +144,48 @@ object CommitLog {
       .drop("rn")
   }
 
+  /** X36d: idempotent commit — the exactly-once hook for streaming sinks
+    * (Spark's foreachBatch contract: a micro-batch MAY be redelivered
+    * after a failure, identified by its monotonic batchId; the sink must
+    * make the second delivery a no-op — the same txnAppId/txnVersion
+    * design Delta's streaming writer uses). The batch id travels IN the
+    * staged dir name (`data/v<N>-b<id>-<token>`), so the committed log
+    * itself is the dedup ledger — no side state to drift. A redelivered
+    * batch finds its id among committed manifests and returns the
+    * original version without writing. Caveat shared with Delta:
+    * [[expire]] compacts manifests away, so retention must keep at least
+    * the reprocessing horizon or a replay older than the floor would
+    * re-append (document, don't guess: keepLast ≥ max replayable lag). */
+  def commitIdempotent(spark: SparkSession, table: String, batch: DataFrame,
+      batchId: Long, maxRetries: Int = 10): Int = {
+    val fs = hadoopFs(spark, table)
+    val marker = s"-b$batchId-"
+    val existing = listLog(fs, table)
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+      .find { v =>
+        val staged =
+          new String(readFully(fs, new Path(logDir(table), v.toString)),
+            StandardCharsets.UTF_8)
+        staged.contains(marker)
+      }
+    existing match {
+      case Some(v) => v
+      case None =>
+        var attempt = 0
+        while (attempt < maxRetries) {
+          val v = latestVersion(spark, table) + 1
+          val token = java.util.UUID.randomUUID().toString.take(8)
+          val staged = s"data/v$v${marker}$token"
+          batch.write.mode("errorifexists").parquet(s"$table/$staged")
+          if (tryCommit(spark, table, v, staged)) return v
+          fs.delete(new Path(table, staged), true)
+          attempt += 1
+        }
+        throw new IllegalStateException(
+          s"idempotent commit lost $maxRetries races on $table")
+    }
+  }
+
   /** X36c: retention (vacuum + checkpoint) — compact every version ≤
     * (latest − keepLast) into one parquet checkpoint and physically delete
     * the compacted manifests and their staging dirs. The Delta-shaped

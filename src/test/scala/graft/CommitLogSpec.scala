@@ -106,6 +106,49 @@ class CommitLogSpec extends SparkSpec with Matchers {
     CommitLog.read(spark, t, "k").select("k").as[Long].collect().toSeq shouldBe Seq(1L)
   }
 
+  test("idempotent commits dedup on batchId — a replayed micro-batch is a no-op") {
+    val t = table()
+    val v1 = CommitLog.commitIdempotent(spark, t,
+      Seq((1L, 10L)).toDF("k", "amt"), batchId = 0L)
+    val v2 = CommitLog.commitIdempotent(spark, t,
+      Seq((2L, 20L)).toDF("k", "amt"), batchId = 1L)
+    (v1, v2) shouldBe ((1, 2))
+    // failure replay: batch 1 redelivered (possibly with identical content)
+    val replayed = CommitLog.commitIdempotent(spark, t,
+      Seq((2L, 20L)).toDF("k", "amt"), batchId = 1L)
+    replayed shouldBe 2 // original version returned, nothing written
+    CommitLog.latestVersion(spark, t) shouldBe 2
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (2L, 20L))
+  }
+
+  test("foreachBatch + commit log = exactly-once streaming sink with version history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = table()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("k", "amt")
+      .writeStream
+      .foreachBatch(graft.streaming.TransactionalSink.into(t))
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("txnsink_ckpt"))
+      .start()
+    src.addData((1L, 10L), (2L, 20L))
+    q.processAllAvailable()
+    src.addData((2L, 21L))
+    q.processAllAvailable()
+    q.stop()
+    // two micro-batches → two committed versions; latest-per-key upsert view
+    CommitLog.latestVersion(spark, t) shouldBe 2
+    CommitLog.read(spark, t, "k").orderBy("k")
+      .select("k", "amt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (2L, 21L))
+    // as-of 1 = the first micro-batch alone
+    CommitLog.read(spark, t, "k", asOf = 1).orderBy("k")
+      .select("k", "amt").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 10L), (2L, 20L))
+  }
+
   test("commits continue past a full compaction and floors advance monotonically") {
     val t = table()
     CommitLog.commit(spark, t, Seq((1L, 10L)).toDF("k", "amt"))
