@@ -338,6 +338,60 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // X213: robots-rule gating — the crawl-politeness semantic the
+    // blocklist (X204) doesn't capture: rules are PATH PREFIXES with
+    // allow/deny polarity and the MOST SPECIFIC (longest) matching rule
+    // wins, ties broken by rule_id (robots.txt "most specific match"
+    // arbitration). The rule list broadcasts; each doc's induced path
+    // joins map-side on starts_with, and the per-doc winner is a window
+    // over the ≤|rules| matched candidates partitioned by doc — evenly
+    // spread, bounded fan-out per doc. Per-source allow rollup.
+    "x_robots_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          concat(lit("/"), expr("CAST(doc_id % 7 AS STRING)"),
+            lit("/p"), expr("CAST(doc_id % 13 AS STRING)")).as("path"))
+      val rules = s.createDataFrame(Seq(
+          ("/", true, 1), ("/3", false, 2), ("/3/p5", true, 3),
+          ("/5", false, 4), ("/1/p", false, 5)))
+        .toDF("prefix", "allow", "rule_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(length(col("prefix")).desc, col("rule_id"))
+      docs.join(broadcast(rules), col("path").startsWith(col("prefix")))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("allow"), 1L).otherwise(0L)).as("n_allowed"))
+        .orderBy("source")
+    }),
+
+    // X214: HTML boilerplate stripping — the text-extraction step of every
+    // web pipeline reduced to its Spark-side shape: a deterministic HTML
+    // wrapper is induced (tags around the known text, bold markers
+    // injected mid-sentence), then stripped by the dialect-safe regex
+    // subset (X187): tags → space, whitespace collapse, trim. Pure
+    // codegen'd projection — no shuffle at all before the presentation
+    // sort; the real-world swap-in (trafilatura-class extraction) replaces
+    // only the regex chain.
+    "x_html_strip" -> ((s, dir) => {
+      val h = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("<html><head><title>doc"), col("doc_id").cast("string"),
+            lit("</title></head><body><p>"),
+            expr("replace(text, ' the ', ' <b>the</b> ')"),
+            lit("</p></body></html>")).as("html"))
+      h.select(col("doc_id"), col("html"),
+          trim(regexp_replace(regexp_replace(col("html"), "<[^>]*>", " "),
+            " +", " ")).as("stripped"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("html_len"),
+          length(col("stripped")).cast("long").as("text_len"),
+          substring(col("stripped"), 1, 40).as("head"))
+        .orderBy("doc_id")
+    }),
+
     // X201: canonical-URL dedup — the step-one web-corpus operator: strip
     // the fragment, lowercase scheme+host, drop the www prefix, remove
     // tracking params (utm_*), sort the survivors, and dedup on the
@@ -1169,6 +1223,35 @@ object LlmQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(rule_id) AS BIGINT) AS n_blocked
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "x_robots_gate" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    concat('/', CAST(doc_id % 7 AS VARCHAR), '/p',
+        |      CAST(doc_id % 13 AS VARCHAR)) AS path
+        |  FROM documents),
+        |rules AS (SELECT * FROM (VALUES
+        |    ('/', true, 1), ('/3', false, 2), ('/3/p5', true, 3),
+        |    ('/5', false, 4), ('/1/p', false, 5)) AS r(prefix, allow, rule_id)),
+        |m AS (SELECT doc_id, source, allow,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY length(prefix) DESC, rule_id) AS rk
+        |  FROM u JOIN rules ON starts_with(path, prefix))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN allow THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+        |FROM m WHERE rk = 1 GROUP BY source ORDER BY source""".stripMargin,
+    "x_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |    concat('<html><head><title>doc', CAST(doc_id AS VARCHAR),
+        |      '</title></head><body><p>',
+        |      replace(text, ' the ', ' <b>the</b> '),
+        |      '</p></body></html>') AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS stripped FROM h)
+        |SELECT doc_id, CAST(length(html) AS BIGINT) AS html_len,
+        |  CAST(length(stripped) AS BIGINT) AS text_len,
+        |  substring(stripped, 1, 40) AS head
+        |FROM s ORDER BY doc_id""".stripMargin,
     "x_url_dedup" ->
       """WITH u AS (SELECT doc_id,
         |    concat('HTTPS://WWW.', source, '.Example.com/p', CAST(doc_id % 7 AS STRING),

@@ -815,7 +815,30 @@ object EventAnalytics {
       .limit(10)
   }
 
+  /** X215: freshness / staleness SLA audit — per stream (event_type), the
+    * last-seen event time, its lag behind the freshest stream, and the
+    * SLA verdict: the ingestion-health dashboard row every scheduled
+    * pipeline owes its operators (the reference's audit table records
+    * load timestamps for exactly this question,
+    * Sites/DataProc_Script/spark_ingest_slmandicprd.py:88-96). One
+    * partial-first max per stream + a broadcast 1-row global max;
+    * second-granularity timestamps so the oracle hash-matches. */
+  private def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val per = e.groupBy("event_type")
+      .agg(date_trunc("second", max("ts")).as("last_ts"))
+    val g = e.agg(date_trunc("second", max("ts")).as("gmax"))
+    per.crossJoin(broadcast(g))
+      .select(col("event_type"), col("last_ts"),
+        (unix_timestamp(col("gmax")) - unix_timestamp(col("last_ts")))
+          .as("lag_sec"),
+        ((unix_timestamp(col("gmax")) - unix_timestamp(col("last_ts"))) <=
+          86400L).as("sla_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_freshness" -> ((s, dir) => freshness(s, dir)),
     "x_decay_counts" -> ((s, dir) => decayCounts(s, dir)),
     "x_churn" -> ((s, dir) => weeklyChurn(s, dir)),
     "x_windowed_dedup" -> ((s, dir) => windowedDedup(s, dir)),
@@ -847,6 +870,15 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_freshness" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('second', max(ts)) AS last_ts
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT date_trunc('second', max(ts)) AS gmax FROM events)
+        |SELECT event_type, last_ts,
+        |  CAST(date_diff('second', last_ts, gmax) AS BIGINT) AS lag_sec,
+        |  date_diff('second', last_ts, gmax) <= 86400 AS sla_ok
+        |FROM e, g ORDER BY event_type""".stripMargin,
     "x_decay_counts" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |mx AS (SELECT max(day) AS mday FROM d),

@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_dq_rules" -> 3,
     "x_drift" -> 1,
     "x_freq_items" -> 1,
+    "x_freshness" -> 1, // category 2: 1-row global-max broadcast
     "x_funnel" -> 1,
     "x_interpolate" -> 1,
     "x_join_size_est" -> 1,
