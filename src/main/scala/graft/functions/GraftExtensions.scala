@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.BitmapDistinctRewrite)
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

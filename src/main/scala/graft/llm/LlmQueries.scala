@@ -392,6 +392,89 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // X220: registrable-domain (eTLD+1) extraction — the grouping key of
+    // every per-site crawl policy (rate limits, quality priors, caps):
+    // a public-suffix list decides where the registrable domain starts,
+    // and the LONGEST matching suffix wins ('a.site.co.uk' → site.co.uk,
+    // not co.uk's 'uk'). Same bounded arbitration as robots (X213), on
+    // the suffix side: broadcast suffix list, map-side ends_with join,
+    // per-host winner via a ≤|suffixes| window, then one rollup by
+    // registrable domain. The last label before the suffix comes off
+    // with pure string math + the dialect-safe regex subset.
+    "x_etld" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(lit("sub"), expr("CAST(doc_id % 3 AS STRING)"),
+            lit(".site"), expr("CAST(doc_id % 11 AS STRING)"), lit("."),
+            expr("CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+              "WHEN 2 THEN 'org' ELSE 'com.br' END")).as("host"))
+      val suffixes = Seq("com", "org", "co.uk", "com.br", "uk", "br")
+        .toDF("suf")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+        .orderBy(length(col("suf")).desc, col("suf"))
+      docs.join(broadcast(suffixes),
+          col("host").endsWith(concat(lit("."), col("suf"))))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("host"),
+          concat(regexp_extract(
+            expr("substr(host, 1, length(host)-length(suf)-1)"),
+            "[^.]+$", 0), lit("."), col("suf")).as("etld1"))
+        .groupBy("etld1")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("host").as("n_hosts"))
+        .orderBy("etld1")
+    }),
+
+    // X221: anchor-text aggregation — the web-graph enrichment step:
+    // inbound link anchors summarize a target page better than its own
+    // text (the classic search-index signal). Edges and anchors form by
+    // pure projection (deterministic dst = (id²+3) mod N so in-degrees
+    // genuinely vary; anchor = the source's first 3 words); the ONE
+    // corpus shuffle is the groupBy(dst) rollup: in-degree, distinct
+    // anchor count, lexicographic top anchor. The N scalar broadcasts.
+    "x_anchor_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(count(lit(1)).as("c"))
+      docs.crossJoin(broadcast(n))
+        .select(((col("doc_id") * col("doc_id") + 3) % col("c")).as("dst"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("anchor"))
+        .groupBy("dst")
+        .agg(count(lit(1)).as("n_in"),
+          countDistinct("anchor").as("n_anchors"),
+          min("anchor").as("top_anchor"))
+        .orderBy("dst")
+    }),
+
+    // X222: crawl-frontier politeness scheduling — the fetch planner:
+    // per-host FIFO slots enforce the crawl delay (one fetch per host
+    // per slot), hosts shard onto a fixed worker fleet, and each
+    // worker's schedule interleaves hosts round-robin (order by slot,
+    // then host) — the BFS frontier discipline of a polite crawler.
+    // Both windows are partitioned (by host, then by worker): per-host
+    // fan-in is the host's URL count, per-worker sequencing is inherent
+    // to the semantic (a worker IS a sequential fetcher) and parallel
+    // across the fleet. Output: per-worker load + makespan at 5 s/fetch.
+    "x_crawl_schedule" -> ((s, dir) => {
+      val u = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 7).as("host_id"))
+      val wh = org.apache.spark.sql.expressions.Window
+        .partitionBy("host_id").orderBy("doc_id")
+      val ww = org.apache.spark.sql.expressions.Window
+        .partitionBy("worker")
+        .orderBy(col("slot"), col("host_id"), col("doc_id"))
+      u.withColumn("slot", row_number().over(wh).cast("long") - 1)
+        .withColumn("worker", col("host_id") % 4)
+        .withColumn("seq", row_number().over(ww).cast("long"))
+        .groupBy("worker")
+        .agg(count(lit(1)).as("n_fetches"),
+          countDistinct("host_id").as("n_hosts"),
+          (max("seq") * 5).as("makespan_sec"))
+        .orderBy("worker")
+    }),
+
     // X201: canonical-URL dedup — the step-one web-corpus operator: strip
     // the fragment, lowercase scheme+host, drop the www prefix, remove
     // tracking params (utm_*), sort the survivors, and dedup on the
@@ -1252,6 +1335,49 @@ object LlmQueries {
         |  CAST(length(stripped) AS BIGINT) AS text_len,
         |  substring(stripped, 1, 40) AS head
         |FROM s ORDER BY doc_id""".stripMargin,
+    "x_etld" ->
+      """WITH h AS (SELECT doc_id,
+        |    concat('sub', CAST(doc_id % 3 AS VARCHAR), '.site',
+        |      CAST(doc_id % 11 AS VARCHAR), '.',
+        |      CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |        WHEN 2 THEN 'org' ELSE 'com.br' END) AS host
+        |  FROM documents),
+        |sx AS (SELECT * FROM (VALUES ('com'), ('org'), ('co.uk'),
+        |    ('com.br'), ('uk'), ('br')) s(suf)),
+        |m AS (SELECT doc_id, host, suf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY length(suf) DESC, suf) AS rk
+        |  FROM h JOIN sx ON ends_with(host, concat('.', suf))),
+        |e AS (SELECT host,
+        |    concat(regexp_extract(
+        |      substr(host, 1, length(host)-length(suf)-1), '[^.]+$'),
+        |      '.', suf) AS etld1
+        |  FROM m WHERE rk = 1)
+        |SELECT etld1, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM e GROUP BY etld1 ORDER BY etld1""".stripMargin,
+    "x_anchor_text" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+        |e AS (SELECT (doc_id*doc_id+3) % c AS dst,
+        |    array_to_string(list_slice(string_split(text,' '),1,3),' ')
+        |      AS anchor
+        |  FROM documents, nn)
+        |SELECT dst, CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+        |  min(anchor) AS top_anchor
+        |FROM e GROUP BY dst ORDER BY dst""".stripMargin,
+    "x_crawl_schedule" ->
+      """WITH u AS (SELECT doc_id, doc_id % 7 AS host_id FROM documents),
+        |s AS (SELECT doc_id, host_id,
+        |    row_number() OVER (PARTITION BY host_id ORDER BY doc_id) - 1
+        |      AS slot FROM u),
+        |w AS (SELECT doc_id, host_id, slot, host_id % 4 AS worker,
+        |    row_number() OVER (PARTITION BY host_id % 4
+        |      ORDER BY slot, host_id, doc_id) AS seq FROM s)
+        |SELECT worker, CAST(count(*) AS BIGINT) AS n_fetches,
+        |  CAST(count(DISTINCT host_id) AS BIGINT) AS n_hosts,
+        |  CAST(max(seq)*5 AS BIGINT) AS makespan_sec
+        |FROM w GROUP BY worker ORDER BY worker""".stripMargin,
     "x_url_dedup" ->
       """WITH u AS (SELECT doc_id,
         |    concat('HTTPS://WWW.', source, '.Example.com/p', CAST(doc_id % 7 AS STRING),

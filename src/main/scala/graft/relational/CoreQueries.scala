@@ -571,6 +571,31 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X23d: NATIVE as-of join — the same query as x_asof_join, answered by
+    // the custom whole-plan operator (logical node → planner strategy →
+    // merge-scan exec; graft/plans/AsOfJoinNative.scala): one declared
+    // hash exchange + sort per side, then a streaming linear merge with
+    // two rows of state — no union, no window buffer. The differential
+    // gate proves the physical operator agrees with DuckDB's ASOF JOIN;
+    // AsOfJoinNativeSpec pins the plan shape and the composed-vs-native
+    // equivalence.
+    "x_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_s")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_s").agg(max("value").as("p_value"))
+        .select(col("user_id").as("r_user_id"),
+          col("ts_s").as("purchase_ts"), col("p_value").as("purchase_value"))
+      graft.plans.AsOfJoinNative.asof(clicks, purchases,
+          "user_id", "r_user_id", "ts_s", "purchase_ts")
+        .drop("r_user_id")
+        .orderBy("event_id")
+    }),
+
     // X23c: as-of join with tolerance (pandas merge_asof's `tolerance`) —
     // matches staler than 1 hour are nulled while the left row survives;
     // a pure post-projection over the same one-shuffle composition, so the
@@ -1667,6 +1692,17 @@ object CoreQueries {
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
     "x_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_s, max(value) AS p_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts_s)
+        |SELECT c.event_id, c.user_id, c.ts_s,
+        |  p.ts_s AS purchase_ts, p.p_value AS purchase_value
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s
+        |ORDER BY c.event_id""".stripMargin,
+    "x_asof_native" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
         |  FROM events),

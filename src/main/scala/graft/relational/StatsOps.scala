@@ -829,7 +829,121 @@ object StatsOps {
       .orderBy("segment")
   }
 
+  /** X216: CUSUM changepoint detection — the level-shift detector over a
+    * daily series, kept EXACT in integers: instead of the textbook
+    * cumsum of (x_i − mean) (a float division), the cusum is scaled by
+    * n: C_k = n·Σ_{i≤k}x_i − k·Σx, which is n× the textbook curve and
+    * shares its argmax. The day where |C_k| peaks is the maximum-
+    * likelihood single changepoint. Scale shape: the corpus-sized work
+    * is one daily groupBy; the running windows ride the CALENDAR-bounded
+    * daily relation (category-3 metadata window), and the n/total scalar
+    * broadcasts. */
+  private def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("ts").cast("date").as("dy"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("c").as("tot"))
+    val w = Window.orderBy("dy")
+    val s = daily.crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        col("n") * sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)) -
+          row_number().over(w) * col("tot"))
+    val mx = s.agg(max(abs(col("cusum"))).as("mx"))
+    s.crossJoin(broadcast(mx))
+      .select(col("dy"), col("c"), col("cusum"),
+        (abs(col("cusum")) === col("mx")).as("is_changepoint"))
+      .orderBy("dy")
+  }
+
+  /** X217: exact rolling variance — the 7-day volatility band with no
+    * order-dependent float sum: daily revenue is quantized to integer
+    * cents, and the rolling variance travels as its integer NUMERATOR
+    * n·Σs² − (Σs)² (= n²·variance) over a ROWS frame — comparisons and
+    * thresholds on the numerator are exactly the comparisons on the
+    * variance. One corpus groupBy to days; the rolling frame rides the
+    * calendar-bounded daily relation. Magnitudes: daily cents ≤ ~10⁷ at
+    * bench scale → n·Σs² ≤ ~10¹⁶, inside int64. */
+  private def rollingVar(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("ts").cast("date").as("dy"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("s"))
+    val w = Window.orderBy("dy").rowsBetween(-6, 0)
+    daily.select(col("dy"), col("s"),
+        count(lit(1)).over(w).as("n"),
+        sum("s").over(w).as("win_sum"),
+        (count(lit(1)).over(w) * sum(col("s") * col("s")).over(w) -
+          sum("s").over(w) * sum("s").over(w)).as("var_num"))
+      .orderBy("dy")
+  }
+
+  /** X218: Mann–Whitney U (rank-sum test) — the nonparametric
+    * two-sample location test, computed the 100 TB way: values bucket to
+    * a VALUE-BOUNDED grid (deci-units: floor(v·10)), the corpus reduces
+    * to per-bucket counts (c1, c2), and tie-averaged ranks come from the
+    * grid's running count — 2·avgrank(q) = 2·cum_before(q) + cnt(q) + 1
+    * stays integral (the ×2 trick). U₁ and U₂ are derived INDEPENDENTLY
+    * from their own rank sums, so the output's u1+u2 = 2·n1·n2 identity
+    * is a genuine cross-check, not a tautology. No rank() over the raw
+    * corpus: the only unpartitioned window rides the grid relation. */
+  private def mannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(col("event_type").as("t"),
+        floor(col("value") * 10).cast("long").as("q"))
+    val g = v.groupBy("q").agg(
+      sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    val r = g.withColumn("cumb",
+        coalesce(sum(col("c1") + col("c2")).over(w), lit(0L)))
+      .withColumn("r2", lit(2L) * col("cumb") + col("c1") + col("c2") + 1L)
+    r.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * col("r2")).as("rs1"),
+        sum(col("c2") * col("r2")).as("rs2"))
+      .select(col("n1"), col("n2"),
+        (col("rs1") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+        (col("rs2") - col("n2") * (col("n2") + 1)).as("u2_x2"))
+      .withColumn("consistent",
+        col("u1_x2") + col("u2_x2") === lit(2L) * col("n1") * col("n2"))
+  }
+
+  /** X219: two-sample Kolmogorov–Smirnov distance — the distribution-
+    * drift test with the ECDF gap kept exact: on the value-bounded grid
+    * (floor(v·10)), D's numerator is max|n2·cum1 − n1·cum2| over the
+    * grid (= n1·n2·D for the binned ECDFs, exact integers; the binned D
+    * lower-bounds the continuous one and refines with the grid). The
+    * corpus collapses to grid counts in one groupBy; cumulatives and the
+    * argmax ride the bounded grid relation. Also reports the location
+    * (min grid point attaining the max — deterministic tie-break). */
+  private def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(spark, dir)
+      .where(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+      .select(col("event_type").as("t"),
+        floor(col("value") * 10).cast("long").as("q"))
+    val g = v.groupBy("q").agg(
+      sum(when(col("t") === "click", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("t") === "purchase", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    val s = g.select(col("q"),
+      sum("c1").over(w).as("cum1"), sum("c2").over(w).as("cum2"))
+    val n = g.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val diffs = s.crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"), col("q"),
+        abs(col("n2") * col("cum1") - col("n1") * col("cum2")).as("diff"))
+    diffs.withColumn("mxd", max("diff").over(Window.partitionBy(lit(1))))
+      .groupBy("n1", "n2")
+      .agg(max("diff").as("d_num"),
+        min(when(col("diff") === col("mxd"), col("q"))).as("at_q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_cusum" -> ((s, dir) => cusum(s, dir)),
+    "x_rolling_var" -> ((s, dir) => rollingVar(s, dir)),
+    "x_mannwhitney" -> ((s, dir) => mannWhitney(s, dir)),
+    "x_ks_test" -> ((s, dir) => ksTest(s, dir)),
     "x_pseudonymize" -> ((s, dir) => pseudonymize(s, dir)),
     "x_cms_estimate" -> ((s, dir) => cmsEstimate(s, dir)),
     "x_skyline" -> ((s, dir) => skyline(s, dir)),
@@ -859,6 +973,67 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_cusum" ->
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS tot FROM dd),
+        |s AS (SELECT dy, CAST(c AS BIGINT) AS c,
+        |    CAST(n * sum(c) OVER (ORDER BY dy) -
+        |      row_number() OVER (ORDER BY dy) * tot AS BIGINT) AS cusum
+        |  FROM dd, t),
+        |mx AS (SELECT max(abs(cusum)) AS mxv FROM s)
+        |SELECT dy, c, cusum, abs(cusum) = mxv AS is_changepoint
+        |FROM s, mx ORDER BY dy""".stripMargin,
+    "x_rolling_var" ->
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS dy,
+        |    CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT dy, s, CAST(count(*) OVER w AS BIGINT) AS n,
+        |  CAST(sum(s) OVER w AS BIGINT) AS win_sum,
+        |  CAST(count(*) OVER w * sum(s*s) OVER w -
+        |    sum(s) OVER w * sum(s) OVER w AS BIGINT) AS var_num
+        |FROM dd
+        |WINDOW w AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY dy""".stripMargin,
+    "x_mannwhitney" ->
+      """WITH v AS (SELECT event_type AS t,
+        |    CAST(floor(value*10) AS BIGINT) AS q FROM events
+        |  WHERE event_type IN ('click','purchase') AND value IS NOT NULL),
+        |g AS (SELECT q,
+        |    CAST(sum(CASE WHEN t='click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN t='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |r AS (SELECT q, c1, c2,
+        |    coalesce(sum(c1+c2) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM g),
+        |r2 AS (SELECT c1, c2, 2*cumb + c1 + c2 + 1 AS r2v FROM r),
+        |f AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2,
+        |    CAST(sum(c1*r2v) AS BIGINT) AS rs1,
+        |    CAST(sum(c2*r2v) AS BIGINT) AS rs2 FROM r2)
+        |SELECT n1, n2, rs1 - n1*(n1+1) AS u1_x2, rs2 - n2*(n2+1) AS u2_x2,
+        |  (rs1 - n1*(n1+1)) + (rs2 - n2*(n2+1)) = 2*n1*n2 AS consistent
+        |FROM f""".stripMargin,
+    "x_ks_test" ->
+      """WITH v AS (SELECT event_type AS t,
+        |    CAST(floor(value*10) AS BIGINT) AS q FROM events
+        |  WHERE event_type IN ('click','purchase') AND value IS NOT NULL),
+        |g AS (SELECT q,
+        |    CAST(sum(CASE WHEN t='click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN t='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM v GROUP BY 1),
+        |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM g),
+        |s AS (SELECT q, sum(c1) OVER (ORDER BY q) AS cum1,
+        |    sum(c2) OVER (ORDER BY q) AS cum2 FROM g),
+        |d AS (SELECT n1, n2, q,
+        |    CAST(abs(n2*cum1 - n1*cum2) AS BIGINT) AS diff FROM s, n),
+        |mx AS (SELECT max(diff) AS mxd FROM d)
+        |SELECT n1, n2, max(diff) AS d_num,
+        |  min(CASE WHEN diff = mxd THEN q END) AS at_q
+        |FROM d, mx GROUP BY n1, n2""".stripMargin,
     "x_pseudonymize" ->
       s"""WITH orig AS (SELECT c_mktsegment,
          |    CAST(count(*) AS BIGINT) AS n_orig

@@ -69,6 +69,11 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
     "x_dq_rules" -> 3,
     "x_drift" -> 1,
+    "x_anchor_text" -> 1, // category 2: 1-row corpus-count broadcast
+    "x_cusum" -> 4, // categories 2+3: n/tot + max-|cusum| scalar broadcasts, calendar-bounded daily windows
+    "x_ks_test" -> 2, // categories 2+3: n1/n2 scalar broadcast, value-grid windows
+    "x_mannwhitney" -> 1, // category 3: value-grid running-count window
+    "x_rolling_var" -> 1, // category 3: calendar-bounded daily rolling frame
     "x_freq_items" -> 1,
     "x_freshness" -> 1, // category 2: 1-row global-max broadcast
     "x_funnel" -> 1,
