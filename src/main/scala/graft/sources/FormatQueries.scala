@@ -342,7 +342,43 @@ object FormatQueries {
       .orderBy("day")
   }
 
+  /** X223: read through the DataSourceV2 connector (`graft.sources.v2`) —
+    * the id-range predicates and the bucket equality push INTO the scan
+    * (the served interval narrows to [5000, 150000) and the reader skips
+    * other buckets), the projection prunes `tag` out of the reader's row,
+    * and the 8 planned slices are the scan's executor parallelism. The
+    * oracle rebuilds the deterministic table from DuckDB `range()`, so the
+    * hash match proves the pushdown machinery never changes answers. */
+  private def dsv2Scan(spark: SparkSession): DataFrame = {
+    spark.read.format("graft-range")
+      .option("start", 0L).option("end", 200000L).option("slices", 8)
+      .load()
+      .where(col("id") >= 5000 && col("id") < 150000 && col("bucket") === 3)
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum("val").as("val_sum"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("g")
+  }
+
+  /** X223b: the same connector answering through AGGREGATE pushdown
+    * (`SupportsPushDownAggregates`, partial mode): each slice pre-aggregates
+    * its interval and ships one row per bucket; Spark plans only the final
+    * merge (sum-of-counts/sums, min-of-mins, max-of-maxes). The scan's
+    * output is `slices × 16` rows, never the 200k-row interval —
+    * `Dsv2SourceSpec` pins `agg=[…]` in the scan description. */
+  private def dsv2Agg(spark: SparkSession): DataFrame = {
+    spark.read.format("graft-range")
+      .option("start", 0L).option("end", 200000L).option("slices", 8)
+      .load()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("val").as("val_sum"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dsv2_scan" -> ((s, dir) => dsv2Scan(s)),
+    "x_dsv2_agg" -> ((s, dir) => dsv2Agg(s)),
     "x_partition_evolution" -> ((s, dir) => partitionEvolution(s, dir)),
     "x_stats_prune" -> ((s, dir) => statsPrune(s, dir)),
     "x_zorder" -> ((s, dir) => zorder(s, dir)),
@@ -365,6 +401,25 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Rebuilds the deterministic DSv2 table from range() — the pushdown
+    // path (filter/prune/slice) must not change the answer.
+    "x_dsv2_scan" ->
+      """WITH r AS (SELECT range AS id FROM range(0, 200000)),
+        |d AS (SELECT id, id % 16 AS bucket,
+        |    (id * 2654435761) % 1000003 AS val FROM r)
+        |SELECT id % 7 AS g, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS val_sum,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM d WHERE id >= 5000 AND id < 150000 AND bucket = 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dsv2_agg" ->
+      """WITH r AS (SELECT range AS id FROM range(0, 200000)),
+        |d AS (SELECT id, id % 16 AS bucket,
+        |    (id * 2654435761) % 1000003 AS val FROM r)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(val) AS BIGINT) AS val_sum,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // Aggregates the SOURCE table — hash match proves the two-generation
     // partition-layout union lost nothing.
     "x_partition_evolution" ->
