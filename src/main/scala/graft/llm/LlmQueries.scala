@@ -841,6 +841,10 @@ object LlmQueries {
     "x_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(Tables.documents(s, dir)).toDF().orderBy("doc_id")),
 
+    // X227: dHash-style perceptual dedup over the decoded-payload stub
+    "x_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashPairs(Tables.documents(s, dir))),
+
     "x_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
 
@@ -1979,6 +1983,28 @@ object LlmQueries {
         |  CAST(coalesce(list_sum(list_transform(range(length(text)),
         |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) % 1000003 AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same 61-point proportional grid + gradient-bit packing, then the
+    // 4×15 band self-join and the xor verify — integers end to end
+    "x_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |s AS (SELECT doc_id, i,
+        |    ascii(substr(w[CAST(1 + (i*(n-1))//60 AS INT)], 1, 1)) AS a,
+        |    ascii(substr(w[CAST(1 + ((i+1)*(n-1))//60 AS INT)], 1, 1)) AS b
+        |  FROM (SELECT doc_id, w, n, unnest(range(0, 60)) AS i FROM d)),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN a < b THEN 1::BIGINT << CAST(i AS INT)
+        |      ELSE 0::BIGINT END) AS BIGINT) AS h
+        |  FROM s GROUP BY doc_id),
+        |b AS (SELECT doc_id, h, unnest([0, 1, 2, 3]) AS bi FROM h),
+        |bb AS (SELECT doc_id, h, bi, (h >> (15*bi)) & 32767 AS bv FROM b),
+        |c AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+        |    x.h AS ha, y.h AS hb
+        |  FROM bb x JOIN bb y ON x.bi = y.bi AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+        |FROM c WHERE bit_count(xor(ha, hb)) <= 3
+        |ORDER BY da, db""".stripMargin,
     // frames are character-addressed (see Multimodal.frameSample); Spark's
     // sequence(0, nf-1, s) and DuckDB's range(0, nf, s) enumerate the same
     // sampled indices

@@ -105,6 +105,46 @@ object Multimodal {
         expr(s"${target.toLong * target} - out_w * out_h").as("pad_px"))
       .orderBy("doc_id")
 
+  /** X227: perceptual-hash dedup — the image-dedup protocol (dHash:
+    * Krawetz's difference hash, public algorithm) run on the decoded-
+    * representation stub: sample a fixed 61-point grid PROPORTIONALLY
+    * across the payload's token stream (the grid is what makes the hash
+    * locality-sensitive — a real decoder swaps pixels in for tokens, the
+    * plumbing is identical), emit one gradient bit per adjacent sample
+    * pair (`sample_i < sample_{i+1}`), pack 60 bits into a BIGINT, then
+    * dedup exactly like SimHash (X15): 4×15-bit band blocking — complete
+    * for Hamming ≤ 3 by pigeonhole — and a `bit_count(xor)` verify on
+    * band-collision candidates only. Unlike the md5 content hash (X14),
+    * near-identical payloads land NEAR each other: edits move only the
+    * grid bits they touch. Candidates are O(collisions), never corpus². */
+  def phashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+    val bits = d.select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), lit(59))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("ascii(substr(element_at(w, CAST(1 + (i*(n-1)) div 60 AS INT)), 1, 1))")
+          .as("a"),
+        expr("ascii(substr(element_at(w, CAST(1 + ((i+1)*(n-1)) div 60 AS INT)), 1, 1))")
+          .as("b"))
+    val h = bits.groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN a < b THEN shiftleft(CAST(1 AS BIGINT), i) " +
+        "ELSE CAST(0 AS BIGINT) END")).as("h"))
+    val bands = h.select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(3))).as("bi"))
+      .withColumn("bv", expr("shiftright(h, 15 * bi) & 32767"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+      .select(col("da"), col("db"),
+        expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .orderBy("da", "db")
+  }
+
   def frameSample(docs: DataFrame, frameChars: Int = 64, stride: Int = 4): DataFrame = {
     val nf = floor((length(col("text")) + frameChars - 1) / frameChars).cast("int")
     docs.select(

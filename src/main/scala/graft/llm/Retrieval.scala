@@ -206,7 +206,85 @@ object Retrieval {
       .orderBy("n_probe")
   }
 
+  /** X224: trigram-index substring search (the pg_trgm pattern) — corpus
+    * substring search without a per-query full scan: documents explode ONCE
+    * into distinct character-trigram postings (at scale: persisted,
+    * partitioned by trigram — the X203 postings discipline at character
+    * granularity); a query selects its own trigrams' posting slices, and a
+    * doc is a CANDIDATE iff it matches ALL query trigrams (count equality).
+    * The trigram filter is complete (a true substring match contains every
+    * query trigram) but not exact — trigrams can match out of order — so
+    * candidates carry a `verified` flag from the residual `contains` check,
+    * which runs only on the candidate slice, never the corpus. */
+  private val TrigramQuery = "window small"
+
+  def trigramSearch(docs: DataFrame): DataFrame = {
+    val qt = TrigramQuery.sliding(3).toSeq.distinct
+    val d = docs.select(col("doc_id"), lower(col("text")).as("t"))
+      .where(length(col("t")) >= 3)
+    val postings = d.select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("t")) - 2),
+          i => col("t").substr(i, lit(3)))).as("tg"))
+      .distinct()
+    val cand = postings.where(col("tg").isin(qt: _*))
+      .groupBy("doc_id").agg(countDistinct("tg").as("n_match"))
+      .where(col("n_match") === qt.size)
+    cand.join(d, "doc_id")
+      .select(col("doc_id"), col("n_match"),
+        col("t").contains(TrigramQuery).as("verified"))
+      .orderBy("doc_id")
+  }
+
+  /** X225: WAND-style pruned top-k retrieval (Broder et al., CIKM 2003,
+    * public algorithm) — document-at-a-time scoring with an upper-bound
+    * skip: per-term score ceilings (max tf·weight over the posting) bound
+    * any doc's total score by the SUM of ceilings of the query terms it
+    * contains, so docs whose ceiling-sum can't reach the current top-k
+    * threshold θ are pruned BEFORE exact scoring. θ comes from a cheap
+    * conjunctive first pass (docs matching all terms), valid only when it
+    * yields a full k (otherwise θ=0 and nothing prunes — the safety rule).
+    * The ORACLE scores every matching doc exhaustively: the hash match is
+    * the proof that pruning never changes the top-k. Weights are exact
+    * integers (10⁶ div df); ties break on doc_id. */
+  private val WandTerms = Seq("data", "query", "stream")
+  private val WandK = 10
+
+  def wandTopK(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term").isin(WandTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wt = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), expr("1000000 div df").as("wt"))
+    val scored = tf.join(broadcast(wt), "term")
+      .select(col("doc_id"), col("term"), expr("tf * wt").as("p"))
+    // per-term ceiling, then the conjunctive pass that seeds θ
+    val ub = scored.groupBy("term").agg(max("p").as("ub"))
+    val conj = scored.groupBy("doc_id")
+      .agg(countDistinct("term").as("nt"), sum("p").as("sc"))
+      .where(col("nt") === WandTerms.size)
+      .orderBy(col("sc").desc, col("doc_id")).limit(WandK)
+    val theta = conj.agg(
+      when(count(lit(1)) === WandK, min("sc")).otherwise(lit(0L)).as("theta"))
+    // ceiling-sum prune, then exact scoring of survivors only
+    val bounds = scored.join(broadcast(ub), "term")
+      .groupBy("doc_id").agg(sum("ub").as("bound"))
+    val survivors = bounds.crossJoin(broadcast(theta))
+      .where(col("bound") >= col("theta"))
+      .select("doc_id")
+    scored.join(survivors, "doc_id")
+      .groupBy("doc_id").agg(sum("p").as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id")).limit(WandK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_e6"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_trigram_search" -> ((s, dir) => trigramSearch(Tables.documents(s, dir))),
+    "x_wand_topk" -> ((s, dir) => wandTopK(Tables.documents(s, dir))),
     "x_embed_separation" -> ((s, dir) =>
       embedSeparation(Tables.embeddings(s, dir))),
     "x_embed_outlier" -> ((s, dir) =>
@@ -221,6 +299,33 @@ object Retrieval {
     "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
 
   val oracles: Map[String, String] = Map(
+    "x_trigram_search" ->
+      """WITH q AS (SELECT DISTINCT substr('window small', CAST(i AS INT), 3) AS tg
+        |  FROM (SELECT unnest(range(1, length('window small')-1)) AS i)),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |d AS (SELECT doc_id, lower(text) AS t, length(text) AS len
+        |  FROM documents WHERE length(text) >= 3),
+        |p AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS tg
+        |  FROM (SELECT doc_id, t, unnest(range(1, len-1)) AS i FROM d)),
+        |c AS (SELECT doc_id, CAST(count(DISTINCT p.tg) AS BIGINT) AS n_match
+        |  FROM p JOIN q ON p.tg = q.tg GROUP BY doc_id),
+        |f AS (SELECT c.doc_id, n_match FROM c, nq WHERE n_match = nq.n)
+        |SELECT f.doc_id, n_match, contains(d.t, 'window small') AS verified
+        |FROM f JOIN d ON f.doc_id = d.doc_id ORDER BY f.doc_id""".stripMargin,
+    // exhaustive scoring — no pruning — so the hash match proves the
+    // Spark-side WAND prune is lossless
+    "x_wand_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+        |  FROM documents),
+        |qt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+        |  WHERE term IN ('data','query','stream') GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qt GROUP BY 1),
+        |s AS (SELECT doc_id, CAST(sum(tf * (1000000 // df)) AS BIGINT) AS score_e6
+        |  FROM qt JOIN df USING (term) GROUP BY doc_id),
+        |r AS (SELECT doc_id, score_e6,
+        |    row_number() OVER (ORDER BY score_e6 DESC, doc_id) AS rk FROM s)
+        |SELECT CAST(rk AS BIGINT) AS rank, doc_id, score_e6
+        |FROM r WHERE rk <= 10 ORDER BY rank""".stripMargin,
     "x_embed_separation" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE vec_id < 100),

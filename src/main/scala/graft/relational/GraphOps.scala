@@ -72,6 +72,56 @@ object GraphOps {
     Seq((nEdges, nWedges, nTriangles)).toDF("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** X226: local clustering coefficient — per-vertex triangle density
+    * tri(v) / C(deg(v), 2) as an exact ×10⁶ integer ratio. Triangles come
+    * from the same degree-ordered wedge join as `triangleCount` (each
+    * triangle materializes ONCE, as the ordered triple (a, b, c) seen from
+    * its lowest corner — the skew bound carries over unchanged), then each
+    * corner takes one credit via a 3-row explode of the triangle relation —
+    * never a per-vertex wedge recount, which would re-inflate the celebrity
+    * vertex the orientation was built to tame. Vertices with degree < 2
+    * have no defined coefficient and are excluded on both sides. */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("id"), col("du").as("d")))
+          .otherwise(struct(col("v").as("id"), col("dv").as("d"))).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("v").as("id"), col("dv").as("d")))
+          .otherwise(struct(col("u").as("id"), col("du").as("d"))).as("hi"))
+      .select(col("lo.id").as("lo"), col("hi.id").as("hi"),
+        col("lo.d").as("dlo"), col("hi.d").as("dhi"))
+      .cache()
+    val triangles = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.lo") === col("e2.lo") &&
+          (struct(col("e1.dhi"), col("e1.hi")) <
+            struct(col("e2.dhi"), col("e2.hi"))))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"), col("e2.hi").as("c"))
+      .join(oriented, col("b") === col("lo") && col("c") === col("hi"))
+      .select("a", "b", "c")
+    val credit = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("tri"))
+    val out = deg.where(col("d") >= 2)
+      .join(credit, Seq("x"), "left")
+      .select(col("x").as("node"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        expr("(2 * coalesce(tri, CAST(0 AS BIGINT)) * 1000000) div (d * (d - 1))")
+          .as("cc_e6"))
+      .orderBy("node")
+      // materialize the (≤ maxPart-row) result, then drop the edge cache —
+      // callers hold no cached plans (the pageRank discipline)
+      .localCheckpoint(true)
+    oriented.unpersist()
+    out
+  }
+
   /** Fixed-iteration PageRank in EXACT integer arithmetic: ranks are
     * ×10¹²-scaled BIGINTs, a node's contribution is `r div deg` (integer
     * floor), and the damping update is `0.15·10¹² + (85·Σc) div 100` — no
@@ -144,6 +194,8 @@ object GraphOps {
         seedMax = 5L, hops = 3)),
     "x_triangles" -> ((s, dir) =>
       triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
+    "x_local_cc" -> ((s, dir) =>
+      localClustering(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
     "x_pagerank" -> ((s, dir) =>
       pageRank(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
         iters = 3)))
@@ -190,6 +242,29 @@ object GraphOps {
          |${prIter("r1", "r2")},
          |${prIter("r2", "r3")}
          |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
+    "x_local_cc" ->
+      s"""WITH $edgeCtes,
+        |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+        |o AS (SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS lo,
+        |    CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS hi,
+        |    CASE WHEN (du, u) < (dv, v) THEN du ELSE dv END AS dlo,
+        |    CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dhi
+        |  FROM (SELECT u, v, d1.d AS du, d2.d AS dv
+        |    FROM e JOIN deg d1 ON d1.x = u JOIN deg d2 ON d2.x = v)),
+        |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |    AND (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |t AS (SELECT a, b, c FROM w JOIN o ON b = lo AND c = hi),
+        |cr AS (SELECT x, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS x FROM t UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t) GROUP BY x)
+        |SELECT deg.x AS node, deg.d,
+        |  CAST(coalesce(tri, 0) AS BIGINT) AS n_tri,
+        |  CAST((2 * coalesce(tri, 0) * 1000000) // (d * (d - 1)) AS BIGINT)
+        |    AS cc_e6
+        |FROM deg LEFT JOIN cr ON deg.x = cr.x
+        |WHERE d >= 2 ORDER BY node""".stripMargin,
     "x_triangles" ->
       s"""WITH $edgeCtes,
         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (

@@ -198,4 +198,18 @@ class EngineSpec extends SparkSpec with Matchers {
     // multi-probe recall is monotone: the best candidate can only improve
     two.head.getAs[Double]("cos_sim") should be >= one.head.getAs[Double]("cos_sim")
   }
+
+  test("local clustering coefficient: planted triangle + pendant vertex") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: cc(1)=cc(2)=1, cc(3)=1/3,
+    // node 4 has degree 1 -> excluded (undefined coefficient)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = graft.relational.GraphOps.localClustering(edges)
+      .select("node", "d", "n_tri", "cc_e6")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L))
+  }
 }

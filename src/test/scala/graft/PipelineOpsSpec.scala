@@ -225,4 +225,26 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     // contiguous sorted batching minimizes the sum of batch maxima
     h._5 should be >= 2L
   }
+
+  test("phash: identical payloads at distance 0; a one-word edit stays near") {
+    // 100 words so the 61-sample grid is denser than the edit; first
+    // characters must VARY (the gradient bit compares them) or every
+    // hash degenerates to 0
+    val base = (0 until 100)
+      .map(i => ('a' + (i * 5) % 23).toChar.toString + i).mkString(" ")
+    val edited = base.split(" ").updated(50, "zz").mkString(" ")
+    val far = (0 until 100)
+      .map(i => ('a' + (i * i * 3 + 7) % 26).toChar.toString + i).mkString(" ")
+    val d = Seq(1L -> base, 2L -> base, 3L -> edited, 4L -> far)
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(d, maxDist = 6)
+      .select("da", "db", "dist").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pairs((1L, 2L)) shouldBe 0L // identical -> identical hash
+    // the edit flips only the grid bits whose samples touch word 51
+    pairs.get((1L, 3L)).foreach(_ should be <= 6L)
+    pairs should contain key ((1L, 3L))
+    // unrelated payload never pairs with the base family at <= 6 bits
+    pairs.keySet.exists(_._2 == 4L) shouldBe false
+  }
 }

@@ -71,6 +71,40 @@ class RetrievalSpec extends SparkSpec with Matchers {
     got shouldBe Seq((0, 1L, 3L, -1000000L), (1, 1L, 4L, 1000000L))
   }
 
+  test("trigram search: all-trigrams candidates include out-of-order false positives") {
+    // doc 1: true contiguous match -> candidate AND verified. doc 2:
+    // contains every query trigram but scattered -> candidate, verify
+    // kills it (the filter is complete, not exact). doc 3: no trigrams.
+    val q = "window small"
+    val planted = docs(
+      1L -> ("xx " + q + " yy"), // contiguous -> verified
+      2L -> q.sliding(3).toSeq.distinct.mkString(" zz "), // scrambled -> candidate, unverified
+      3L -> "nothing here at all")
+    val got = Retrieval.trigramSearch(planted)
+      .select("doc_id", "verified").as[(Long, Boolean)].collect().toMap
+    got(1L) shouldBe true
+    got(2L) shouldBe false
+    got.contains(3L) shouldBe false
+  }
+
+  test("WAND: pruned docs can never reach the conjunctive threshold") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    // exact scores for every matching doc (the brute-force reference)
+    val tok = corpus.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .where(col("term").isin("data", "query", "stream"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wt = tok.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), expr("1000000 div df").as("wt"))
+    val exact = tok.join(wt, "term").groupBy("doc_id")
+      .agg(sum(expr("tf * wt")).as("s"))
+    val brute = exact.orderBy(col("s").desc, col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSeq
+    val wand = Retrieval.wandTopK(corpus)
+      .select("doc_id").as[Long].collect().toSeq
+    wand shouldBe brute
+  }
+
   private def embTable =
     spark.read.parquet(s"$sf0001/embeddings.parquet")
 }
