@@ -845,6 +845,36 @@ object LlmQueries {
     "x_phash_dedup" -> ((s, dir) =>
       Multimodal.phashPairs(Tables.documents(s, dir))),
 
+    // X231: adaptive per-language length gate — C4's fixed length
+    // thresholds (X148) made distribution-aware: each language's own
+    // p10/p95 bound the keep-range (fixed global cutoffs misfire across
+    // scripts — 100 chars of zh ≠ 100 chars of en). percentile_disc keeps
+    // the bounds EXACT data values (the X147 discipline — no interpolated
+    // floats cross the oracle); one sort-based agg per language over the
+    // (lang, len) projection, then a broadcast-size bounds join back.
+    "x_length_gate" -> ((s, dir) => {
+      Tables.documents(s, dir).createOrReplaceTempView("v_docs_gate")
+      s.sql(
+        """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS len
+          |  FROM v_docs_gate),
+          |b AS (SELECT lang,
+          |    CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY len)
+          |      AS BIGINT) AS lo,
+          |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY len)
+          |      AS BIGINT) AS hi
+          |  FROM d GROUP BY lang)
+          |SELECT d.lang, b.lo, b.hi,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN len >= lo AND len <= hi THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_kept,
+          |  sum(CASE WHEN len >= lo AND len <= hi THEN CAST(1 AS BIGINT)
+          |      ELSE CAST(0 AS BIGINT) END) * 1000000 div count(*)
+          |    AS kept_share_e6
+          |FROM d JOIN b ON d.lang = b.lang
+          |GROUP BY d.lang, b.lo, b.hi
+          |ORDER BY d.lang""".stripMargin)
+    }),
+
     "x_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
 
@@ -1983,6 +2013,24 @@ object LlmQueries {
         |  CAST(coalesce(list_sum(list_transform(range(length(text)),
         |    i -> ascii(substr(text, CAST(i + 1 AS INTEGER), 1)))), 0) % 1000003 AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_length_gate" ->
+      """WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS len
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY len)
+        |      AS BIGINT) AS lo,
+        |    CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY len)
+        |      AS BIGINT) AS hi
+        |  FROM d GROUP BY lang)
+        |SELECT d.lang, b.lo, b.hi,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN len >= lo AND len <= hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  (CAST(sum(CASE WHEN len >= lo AND len <= hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000) // count(*) AS kept_share_e6
+        |FROM d JOIN b ON d.lang = b.lang
+        |GROUP BY d.lang, b.lo, b.hi
+        |ORDER BY d.lang""".stripMargin,
     // the same 61-point proportional grid + gradient-bit packing, then the
     // 4×15 band self-join and the xor verify — integers end to end
     "x_phash_dedup" ->

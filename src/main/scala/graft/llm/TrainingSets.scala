@@ -211,7 +211,87 @@ object TrainingSets {
       .orderBy("shard")
   }
 
+  /** X228: greedy set-cover source selection — the submodular
+    * data-mixture step (pick the sources that together cover the most
+    * distinct content; greedy is the classic (1−1/e)-approximation,
+    * public algorithm). Universe = distinct word-trigram shingles; each
+    * round scores every unpicked source by its MARGINAL coverage (an
+    * anti-join against the covered set — never a rescan of covered
+    * content), takes the argmax as ONE driver-side scalar row (the X102
+    * BPE control-plane discipline: the corpus never reaches the driver),
+    * and grows the covered relation. The (source, shingle) relation is
+    * built once and cached for the loop; callers get a self-contained
+    * result (loan discipline — cache released in `finally`). */
+  def setCoverSources(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs.select(col("source"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("n", size(col("ws"))).where(col("n") >= 3)
+    val sv = w.select(col("source"),
+        explode(transform(sequence(lit(1), col("n") - 2),
+          i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("term"))
+      .distinct().cache()
+    try {
+      val total = sv.select("term").distinct().count()
+      var covered = sv.select("term").where(lit(false))
+      val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long)]
+      var cum = 0L
+      for (r <- 1 to rounds) {
+        val marg = sv
+          .where(if (picked.isEmpty) lit(true)
+                 else !col("source").isin(picked.toSeq: _*))
+          .join(covered, Seq("term"), "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("source")).limit(1)
+          .collect()
+        marg.headOption.foreach { row =>
+          val src = row.getString(0)
+          val m = row.getLong(1)
+          picked += src
+          cum += m
+          covered = covered
+            .unionAll(sv.where(col("source") === src).select("term"))
+            .distinct()
+          out += ((r, src, m, cum, cum * 1000000L / total))
+        }
+      }
+      out.toSeq.toDF("round", "source", "marginal_new", "cum_terms", "share_e6")
+    } finally sv.unpersist()
+  }
+
+  /** X229: chunk-reassembly round-trip — the loader-side inverse of X46
+    * chunking, proven lossless: documents split into fixed 100-char
+    * pieces with ordinals, reassembly sorts each doc's pieces inside the
+    * aggregation (`array_sort` over (ord, piece) structs — collect order
+    * is NOT deterministic in a distributed shuffle, the sort is the
+    * correctness load-bearing step) and concatenates; the md5 equality
+    * against the original text is the per-document proof. One shuffle
+    * (the per-doc groupBy); pieces carry no global ordering dependency,
+    * so the relation shards freely at corpus scale. */
+  def stitchRoundtrip(docs: DataFrame): DataFrame = {
+    val chunks = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        expr("CAST((length(text) + 99) div 100 AS INT)").as("nc"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("nc") - 1),
+          i => struct(i.as("ord"),
+            col("text").substr(i * 100 + 1, lit(100)).as("piece")))).as("c"))
+      .select(col("doc_id"), col("c.ord").as("ord"), col("c.piece").as("piece"))
+    val asm = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("ord"), col("piece")))),
+        s => s.getField("piece")), "").as("re"))
+    asm.join(docs, "doc_id")
+      .select(col("doc_id"), col("n_chunks"),
+        (md5(col("re")) === md5(col("text"))).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_set_cover" -> ((s, dir) => setCoverSources(Tables.documents(s, dir))),
+    "x_stitch" -> ((s, dir) => stitchRoundtrip(Tables.documents(s, dir))),
     "x_shard_balance" -> ((s, dir) =>
       shardBalance(Tables.documents(s, dir), shards = 8)),
     "x_batch_pad" -> ((s, dir) =>
@@ -222,6 +302,61 @@ object TrainingSets {
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    // the same greedy unrolled: each round's argmax over marginal
+    // coverage, NOT-IN anti-joins against the covered prefix
+    "x_set_cover" ->
+      """WITH w AS (SELECT source, string_split(lower(text), ' ') AS ws,
+        |    len(string_split(lower(text), ' ')) AS n FROM documents),
+        |sv AS (SELECT DISTINCT source,
+        |    ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)] || ' ' ||
+        |      ws[CAST(i+2 AS INT)] AS term
+        |  FROM (SELECT source, ws, unnest(range(1, n-1)) AS i
+        |        FROM w WHERE n >= 3)),
+        |tot AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS t FROM sv),
+        |c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv GROUP BY 1),
+        |p1 AS (SELECT source, n FROM c1 ORDER BY n DESC, source LIMIT 1),
+        |cov1 AS (SELECT DISTINCT term FROM sv
+        |  WHERE source IN (SELECT source FROM p1)),
+        |c2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv
+        |  WHERE source NOT IN (SELECT source FROM p1)
+        |    AND term NOT IN (SELECT term FROM cov1) GROUP BY 1),
+        |p2 AS (SELECT source, n FROM c2 ORDER BY n DESC, source LIMIT 1),
+        |cov2 AS (SELECT term FROM cov1 UNION SELECT term FROM sv
+        |  WHERE source IN (SELECT source FROM p2)),
+        |c3 AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv
+        |  WHERE source NOT IN (SELECT source FROM p1
+        |                       UNION SELECT source FROM p2)
+        |    AND term NOT IN (SELECT term FROM cov2) GROUP BY 1),
+        |p3 AS (SELECT source, n FROM c3 ORDER BY n DESC, source LIMIT 1),
+        |cov3 AS (SELECT term FROM cov2 UNION SELECT term FROM sv
+        |  WHERE source IN (SELECT source FROM p3))
+        |SELECT CAST(1 AS INT) AS round, source, n AS marginal_new,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cov1) AS cum_terms,
+        |  ((SELECT CAST(count(*) AS BIGINT) FROM cov1) * 1000000) //
+        |    (SELECT t FROM tot) AS share_e6
+        |FROM p1
+        |UNION ALL SELECT 2, source, n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cov2),
+        |  ((SELECT CAST(count(*) AS BIGINT) FROM cov2) * 1000000) //
+        |    (SELECT t FROM tot)
+        |FROM p2
+        |UNION ALL SELECT 3, source, n,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cov3),
+        |  ((SELECT CAST(count(*) AS BIGINT) FROM cov3) * 1000000) //
+        |    (SELECT t FROM tot)
+        |FROM p3
+        |ORDER BY round""".stripMargin,
+    "x_stitch" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST((length(text) + 99) // 100 AS INT) AS nc
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, i,
+        |    substr(text, CAST(i*100 + 1 AS INT), 100) AS piece
+        |  FROM (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM d)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |    string_agg(piece, '' ORDER BY i) AS re FROM ch GROUP BY doc_id)
+        |SELECT a.doc_id, n_chunks, md5(re) = md5(text) AS roundtrip_ok
+        |FROM a JOIN d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "x_shard_balance" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -376,7 +376,42 @@ object FormatQueries {
       .orderBy("bucket")
   }
 
+  /** X230: dictionary-encoding audit — the storage-planning arithmetic
+    * behind parquet's dictionary pages, surfaced as a query: per column,
+    * the exact cost of encoding (distinct-value dictionary bytes + n·⌈log₂
+    * |dict|⌉ bits of codes) against the raw UTF-8 bytes. Bit width uses
+    * the `length(bin(x))` floor-log₂ idiom (libm-free — the ×10⁶/bin
+    * exactness discipline). Two partial-first aggregates per column (full
+    * rows, then distinct values); no joins, no windows. The ratio is what
+    * a layout planner reads to choose dictionary vs plain encoding. */
+  private def dictStats(df: DataFrame, colName: String): DataFrame = {
+    val v = df.select(col(colName).cast("string").as("v"))
+      .where(col("v").isNotNull)
+    val rows = v.agg(count(lit(1)).as("n_rows"),
+      sum(octet_length(col("v"))).as("raw_bytes"))
+    val dict = v.distinct().agg(count(lit(1)).as("n_distinct"),
+      sum(octet_length(col("v"))).as("dict_bytes"))
+    rows.crossJoin(dict)
+      .select(lit(colName).as("col_name"), col("n_rows"), col("raw_bytes"),
+        col("n_distinct"), col("dict_bytes"),
+        expr("CAST(length(bin(greatest(n_distinct - 1, 1))) AS BIGINT)")
+          .as("bits_per_value"))
+      .withColumn("enc_bytes",
+        expr("(n_rows * bits_per_value + 7) div 8 + dict_bytes"))
+      .withColumn("ratio_e6", expr("enc_bytes * 1000000 div raw_bytes"))
+  }
+
+  private def dictEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    dictStats(ev, "event_type")
+      .unionAll(dictStats(docs, "lang"))
+      .unionAll(dictStats(docs, "source"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dict_encode" -> ((s, dir) => dictEncode(s, dir)),
     "x_dsv2_scan" -> ((s, dir) => dsv2Scan(s)),
     "x_dsv2_agg" -> ((s, dir) => dsv2Agg(s)),
     "x_partition_evolution" -> ((s, dir) => partitionEvolution(s, dir)),
@@ -412,6 +447,28 @@ object FormatQueries {
         |  min(id) AS min_id, max(id) AS max_id
         |FROM d WHERE id >= 5000 AND id < 150000 AND bucket = 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dict_encode" -> {
+      def one(table: String, c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(strlen($c)) AS BIGINT) AS raw_bytes,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  (SELECT CAST(sum(strlen(v)) AS BIGINT) FROM
+           |    (SELECT DISTINCT $c AS v FROM $table WHERE $c IS NOT NULL))
+           |    AS dict_bytes
+           |FROM $table WHERE $c IS NOT NULL""".stripMargin
+      s"""WITH b AS (${one("events", "event_type")}
+         |UNION ALL ${one("documents", "lang")}
+         |UNION ALL ${one("documents", "source")}),
+         |w AS (SELECT *, CAST(length(bin(greatest(n_distinct - 1, 1)))
+         |    AS BIGINT) AS bits_per_value FROM b),
+         |e AS (SELECT *, (n_rows * bits_per_value + 7) // 8 + dict_bytes
+         |    AS enc_bytes FROM w)
+         |SELECT col_name, n_rows, raw_bytes, n_distinct, dict_bytes,
+         |  bits_per_value, enc_bytes, (enc_bytes * 1000000) // raw_bytes
+         |    AS ratio_e6
+         |FROM e ORDER BY col_name""".stripMargin
+    },
     "x_dsv2_agg" ->
       """WITH r AS (SELECT range AS id FROM range(0, 200000)),
         |d AS (SELECT id, id % 16 AS bucket,

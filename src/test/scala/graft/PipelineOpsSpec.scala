@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
-import graft.llm.{Dedup, Multimodal, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, TextAnalysis, TrainingSets}
 import graft.relational.Sampling
 
 /** Semantics pins for the round-2 pipeline operators (the DuckDB oracle
@@ -246,5 +246,35 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
     pairs should contain key ((1L, 3L))
     // unrelated payload never pairs with the base family at <= 6 bits
     pairs.keySet.exists(_._2 == 4L) shouldBe false
+  }
+
+  test("set cover: greedy picks by marginal coverage with a source tie-break") {
+    // trigram universes: A={abc,bcd,cde}, B={abc,bcx,cxy}, C={qrs}
+    // round 1: A and B tie at 3 -> min source wins (A)
+    // round 2: B adds 2 (bcx,cxy); C adds 1 -> B
+    // round 3: C adds 1
+    val d = Seq(
+      (1L, "srcA", "a b c d e"),
+      (2L, "srcB", "a b c x y"),
+      (3L, "srcC", "q r s")).toDF("doc_id", "source", "text")
+    val got = TrainingSets.setCoverSources(d, rounds = 3)
+      .select("round", "source", "marginal_new", "cum_terms")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (1, "srcA", 3L, 3L),
+      (2, "srcB", 2L, 5L),
+      (3, "srcC", 1L, 6L))
+  }
+
+  test("stitch: exact chunk counts at the 100-char boundaries, md5 round-trip") {
+    val d = Seq(
+      (1L, "x" * 100),        // exactly one chunk
+      (2L, "y" * 101),        // boundary + 1 -> two chunks
+      (3L, ("ab" * 125)))     // 250 chars -> three chunks
+      .toDF("doc_id", "text")
+    val got = TrainingSets.stitchRoundtrip(d)
+      .select("doc_id", "n_chunks", "roundtrip_ok")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    got shouldBe Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, true))
   }
 }
