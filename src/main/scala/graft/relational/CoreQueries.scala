@@ -618,6 +618,28 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X233: join-strategy matrix — the SAME equi-join forced through all
+    // three physical strategies (broadcast hash / sort-merge / shuffled
+    // hash) via join hints; the key's three rows must be identical except
+    // the label, proving strategy choice never changes answers, and
+    // JoinHintSpec pins that each hint actually produced its operator.
+    // This is the knob a 100 TB planner turns: broadcast when the build
+    // side fits, shuffled-hash when one side is much smaller but too big
+    // to broadcast, sort-merge for the balanced giant case.
+    "x_join_strategies" -> ((s, dir) => {
+      def one(hint: String) = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).hint(hint),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"),
+          sum(expr("CAST(o_custkey AS BIGINT)")).as("cust_sum"))
+        .withColumn("strategy", lit(hint))
+      Seq("broadcast", "merge", "shuffle_hash").map(one)
+        .reduce(_ unionByName _)
+        .select("strategy", "n", "qty", "cust_sum")
+        .orderBy("strategy")
+    }),
+
     // X3d: full outer join — both unmatched sides preserved (reconciliation
     // shape: every customer and every order bucket accounted for).
     "x_join_full" -> ((s, dir) => {
@@ -1727,6 +1749,15 @@ object CoreQueries {
         |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_ts END AS purchase_ts,
         |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_value END AS purchase_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // one physical answer, three labels: the engine-side strategies must
+    // all hash to this
+    "x_join_strategies" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS cust_sum
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |s AS (SELECT unnest(['broadcast', 'merge', 'shuffle_hash']) AS strategy)
+        |SELECT strategy, n, qty, cust_sum FROM s, a ORDER BY strategy""".stripMargin,
     "x_join_full" ->
       """WITH pc AS (SELECT o_custkey, count(*) AS n_big,
         |    round(sum(o_totalprice), 2) AS big_total

@@ -22,6 +22,30 @@ object StreamQueries {
     "x_sessionize" -> ((s, dir) =>
       TimeWindows.sessionize(Tables.events(s, dir), "30 minutes")),
 
+    // X232: INCREMENTAL sessionization — the daily-ingest shape for
+    // session tables: the base corpus's sessions are already materialized
+    // (the expensive pass, paid once); a delta batch recomputes sessions
+    // ONLY for the users it touches (semi-join bounded — a delta event can
+    // extend or merge that user's old sessions, so their full history
+    // re-sessionizes), and every untouched user's sessions carry over via
+    // an anti-join with zero recompute. The oracle sessionizes the WHOLE
+    // corpus from scratch: the hash match is the differential proof that
+    // incremental == full recompute (the X191 dedup discipline applied to
+    // stateful windows).
+    "x_session_incremental" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast("date")
+      val base = ev.where(col("ts").cast("date") < cut)
+      val delta = ev.where(col("ts").cast("date") >= cut)
+      val deltaUsers = delta.select("user_id").distinct()
+      val carried = TimeWindows.sessionize(base, "30 minutes")
+        .join(deltaUsers, Seq("user_id"), "left_anti")
+      val touched = TimeWindows.sessionize(
+        base.join(deltaUsers, Seq("user_id"), "left_semi").unionByName(delta),
+        "30 minutes")
+      carried.unionByName(touched).orderBy("user_id", "sess_start")
+    }),
+
     // X159: Spark's NATIVE session_window aggregation pinned against the
     // gap-island SQL formulation. Boundary semantics (pinned empirically
     // in StreamingSpec — an assertion of the opposite FAILED): despite the
@@ -70,6 +94,21 @@ object StreamQueries {
         |    event_type, value FROM ev)
         |SELECT w_start, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM expanded GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    // full-recompute oracle: identical to x_sessionize — the incremental
+    // path must be indistinguishable from sessionizing everything
+    "x_session_incremental" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
+        |marked AS (SELECT user_id, tss, value,
+        |    CASE WHEN lag(tss) OVER w IS NULL
+        |         OR tss - lag(tss) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tss)),
+        |sessed AS (SELECT user_id, tss, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(tss) AS sess_start, max(tss) AS sess_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sessed GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
     "x_sessionize" ->
       """WITH ev AS (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS tss, value FROM events),
         |marked AS (SELECT user_id, tss, value,

@@ -51,7 +51,46 @@ class BucketingSpec extends SparkSpec with Matchers {
         plan should include("Bucketed: true")
       }
       joined.count() should be > 0L
+
+      // X234: bucket pruning — an equality filter on the bucket column
+      // reads ONE bucket's files, not all 8 (the read-side payoff of the
+      // bucketed layout; at scale this is an 8× scan cut before any
+      // filter runs). autoBucketedScan would demote a bare filter scan to
+      // a plain one ("Bucketed: false (disabled by query planner)"), so
+      // pin it on for the assertion.
+      val prevAuto =
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val pruned = spark.table("b_orders").where(col("o_orderkey") === 1L)
+        val prunedPlan = pruned.queryExecution.executedPlan.toString
+        withClue(prunedPlan) {
+          prunedPlan should include("SelectedBucketsCount: 1 out of 8")
+        }
+        pruned.collect().foreach(_.getAs[Long]("o_orderkey") shouldBe 1L)
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("join hints force each physical strategy and answers never move") {
+    // X233's spec half: the oracle proves the three labeled results are
+    // identical; this pins that each hint genuinely selected its operator
+    val li = graft.model.Tables.lineitem(spark, sf0001)
+    val o = graft.model.Tables.orders(spark, sf0001)
+    def planOf(hint: String): String =
+      li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+    withClue(planOf("broadcast")) {
+      planOf("broadcast") should include("BroadcastHashJoin")
+    }
+    withClue(planOf("merge")) {
+      planOf("merge") should include("SortMergeJoin")
+    }
+    withClue(planOf("shuffle_hash")) {
+      planOf("shuffle_hash") should include("ShuffledHashJoin")
+    }
   }
 
   test("z-ordered layout bounds both dimensions within each file") {
