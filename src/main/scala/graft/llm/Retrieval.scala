@@ -282,7 +282,69 @@ object Retrieval {
       .orderBy("rank")
   }
 
+  /** X235: Matryoshka (truncated-prefix) recall — the embedding
+    * storage/quality trade measured: serve vectors at 8/16/32 of 64 dims
+    * and report top-k recall against the full-dimension ground truth
+    * (MRL-style prefix truncation, public technique). The eval slice is
+    * bounded (10 queries × corpus brute force — X202's pattern; IVF is
+    * the corpus-scale candidate stage); cosines quantize to ⌊cos·10⁶⌋
+    * fixed-order integers, ranks tie-break on vec_id, recall is an
+    * integer division — nothing float crosses the oracle. */
+  def mrlRecall(emb: DataFrame, k: Int = 5, nq: Long = 10,
+      dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val q = e.where(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val pairs = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    def topk(d: Option[Int]): DataFrame = {
+      val (av, qv) = d match {
+        case Some(m) => (slice(col("embedding"), 1, m), slice(col("qv"), 1, m))
+        case None => (col("embedding"), col("qv"))
+      }
+      val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      pairs.select(col("q_id"), col("vec_id"),
+          floor(VectorOps.dot(av, qv) /
+            (VectorOps.norm(av) * VectorOps.norm(qv)) * 1000000.0)
+            .cast("long").as("c"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= k)
+        .select("q_id", "vec_id")
+    }
+    val truth = topk(None)
+    dims.map { d =>
+      topk(Some(d)).join(truth, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d).as("dims"), col("hits"),
+          expr(s"hits * 1000000 div ${k * nq}").as("recall_e6"))
+    }.reduce(_ unionByName _).orderBy("dims")
+  }
+
+  /** X236: hard-negative mining — the contrastive-training selector: for
+    * each query, the highest-cosine vector with a DIFFERENT label (the
+    * negative the model most confuses; random negatives (X87) are too
+    * easy). Same bounded eval slice + broadcast queries as X235; per-query
+    * winner by a partitioned rank window with the vec_id tie-break. */
+  def hardNegatives(emb: DataFrame, nq: Long = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val q = e.where(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        floor(VectorOps.dot(col("embedding"), col("qv")) /
+          (VectorOps.norm(col("embedding")) * VectorOps.norm(col("qv"))) *
+          1000000.0).cast("long").as("c"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("q_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("c").as("cos_e6"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_mrl_recall" -> ((s, dir) => mrlRecall(Tables.embeddings(s, dir))),
+    "x_hard_negatives" -> ((s, dir) => hardNegatives(Tables.embeddings(s, dir))),
     "x_trigram_search" -> ((s, dir) => trigramSearch(Tables.documents(s, dir))),
     "x_wand_topk" -> ((s, dir) => wandTopK(Tables.documents(s, dir))),
     "x_embed_separation" -> ((s, dir) =>
@@ -299,6 +361,65 @@ object Retrieval {
     "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
 
   val oracles: Map[String, String] = Map(
+    "x_mrl_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |p AS (SELECT q_id, e.vec_id, qv, v FROM e, q WHERE e.vec_id <> q_id),
+        |sc AS (SELECT q_id, vec_id,
+        |    CAST(floor(list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+        |      * 1000000.0) AS BIGINT) AS c64,
+        |    CAST(floor(list_dot_product(v[1:8], qv[1:8]) /
+        |      (sqrt(list_dot_product(v[1:8], v[1:8])) *
+        |       sqrt(list_dot_product(qv[1:8], qv[1:8]))) * 1000000.0)
+        |      AS BIGINT) AS c8,
+        |    CAST(floor(list_dot_product(v[1:16], qv[1:16]) /
+        |      (sqrt(list_dot_product(v[1:16], v[1:16])) *
+        |       sqrt(list_dot_product(qv[1:16], qv[1:16]))) * 1000000.0)
+        |      AS BIGINT) AS c16,
+        |    CAST(floor(list_dot_product(v[1:32], qv[1:32]) /
+        |      (sqrt(list_dot_product(v[1:32], v[1:32])) *
+        |       sqrt(list_dot_product(qv[1:32], qv[1:32]))) * 1000000.0)
+        |      AS BIGINT) AS c32
+        |  FROM p),
+        |t64 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c64 DESC, vec_id)
+        |      AS rk FROM sc) WHERE rk <= 5),
+        |t8 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c8 DESC, vec_id)
+        |      AS rk FROM sc) WHERE rk <= 5),
+        |t16 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c16 DESC, vec_id)
+        |      AS rk FROM sc) WHERE rk <= 5),
+        |t32 AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c32 DESC, vec_id)
+        |      AS rk FROM sc) WHERE rk <= 5)
+        |SELECT CAST(8 AS INT) AS dims,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM t8 JOIN t64 USING (q_id, vec_id)) AS hits,
+        |  ((SELECT CAST(count(*) AS BIGINT) FROM t8 JOIN t64 USING (q_id, vec_id)) * 1000000) // 50 AS recall_e6
+        |UNION ALL SELECT 16,
+        |  (SELECT count(*) FROM t16 JOIN t64 USING (q_id, vec_id)),
+        |  ((SELECT count(*) FROM t16 JOIN t64 USING (q_id, vec_id)) * 1000000) // 50
+        |UNION ALL SELECT 32,
+        |  (SELECT count(*) FROM t32 JOIN t64 USING (q_id, vec_id)),
+        |  ((SELECT count(*) FROM t32 JOIN t64 USING (q_id, vec_id)) * 1000000) // 50
+        |ORDER BY dims""".stripMargin,
+    "x_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+        |  WHERE vec_id < 10),
+        |sc AS (SELECT q_id, e.vec_id, e.label,
+        |    CAST(floor(list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+        |      * 1000000.0) AS BIGINT) AS c
+        |  FROM e, q WHERE e.label <> q_label),
+        |r AS (SELECT q_id, vec_id, label, c,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)
+        |      AS rk FROM sc)
+        |SELECT q_id, vec_id AS neg_id, label AS neg_label, c AS cos_e6
+        |FROM r WHERE rk = 1 ORDER BY q_id""".stripMargin,
     "x_trigram_search" ->
       """WITH q AS (SELECT DISTINCT substr('window small', CAST(i AS INT), 3) AS tg
         |  FROM (SELECT unnest(range(1, length('window small')-1)) AS i)),

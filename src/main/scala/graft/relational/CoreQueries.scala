@@ -618,6 +618,32 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X238: single-pass pipeline metrics via `Dataset.observe` — data-
+    // quality counters collected ON the same job that runs the real
+    // pipeline (a `CollectMetrics` node inside the plan), not a second
+    // scan: at 100 TB the difference between "audit for free" and "pay
+    // the corpus read twice". The key materializes a downstream aggregate
+    // once, then surfaces the observed counters; the oracle recomputes
+    // them directly, so the hash match proves the piggybacked metrics
+    // equal the ground truth.
+    "x_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val gated = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents_sum"),
+          max("user_id").as("max_user"))
+      // the pipeline's own action — metrics ride along on this single pass
+      gated.groupBy("event_type").agg(count(lit(1))).count()
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("cents_sum").asInstanceOf[Long],
+        m("max_user").asInstanceOf[Long]))
+        .toDF("n_rows", "cents_sum", "max_user")
+    }),
+
     // X233: join-strategy matrix — the SAME equi-join forced through all
     // three physical strategies (broadcast hash / sort-merge / shuffled
     // hash) via join hints; the key's three rows must be identical except
@@ -1749,6 +1775,13 @@ object CoreQueries {
         |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_ts END AS purchase_ts,
         |  CASE WHEN p_ts >= ts_s - INTERVAL 1 HOUR THEN p_value END AS purchase_value
         |FROM j ORDER BY event_id""".stripMargin,
+    // ground truth recomputed directly — the observed counters must match
+    "x_observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  CAST(max(user_id) AS BIGINT) AS max_user
+        |FROM events WHERE value IS NOT NULL""".stripMargin,
     // one physical answer, three labels: the engine-side strategies must
     // all hash to this
     "x_join_strategies" ->

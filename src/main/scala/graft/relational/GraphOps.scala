@@ -72,6 +72,34 @@ object GraphOps {
     Seq((nEdges, nWedges, nTriangles)).toDF("n_edges", "n_wedges", "n_triangles")
   }
 
+  /** X237: HITS hubs & authorities (Kleinberg, JACM 1999 — public
+    * algorithm), two unnormalized power iterations in exact integers over
+    * a deterministic directed link graph (each doc links to two derived
+    * targets, so in-degrees vary while out-degree stays 2): a₁ = in-link
+    * count (h₀ ≡ 1), h₁(u) = Σ_out a₁(v), a₂(v) = Σ_in h₁(u). Skipping
+    * the textbook L2 normalization keeps every score an integer (the
+    * X74 PageRank discipline) — rankings are unaffected because
+    * normalization is a positive global scalar per round. Each iteration
+    * is one equi-join + one partial-first aggregation on the vertex key. */
+  def hits(docs: DataFrame): DataFrame = {
+    // corpus count as ONE driver scalar (control-plane metadata) — kept
+    // in-plan it would replicate its SinglePartition final into every
+    // consumer of the un-cached edge relation
+    val c = docs.count()
+    val edges = docs
+      .select(col("doc_id").as("u"),
+        explode(array((col("doc_id") * 7 + 3) % c,
+          (col("doc_id") * 13 + 5) % c)).as("v"))
+      .where(col("u") =!= col("v"))
+    val a1 = edges.groupBy("v").agg(count(lit(1)).as("a1"))
+    val h1 = edges.join(a1, "v").groupBy("u").agg(sum("a1").as("h1"))
+    val a2 = edges.join(h1, "u").groupBy("v").agg(sum("h1").as("a2"))
+    a2.join(h1, col("v") === col("u"), "left")
+      .select(col("v").as("node"), col("a2").as("auth"),
+        coalesce(col("h1"), lit(0L)).as("hub"))
+      .orderBy(col("auth").desc, col("node")).limit(20)
+  }
+
   /** X226: local clustering coefficient — per-vertex triangle density
     * tri(v) / C(deg(v), 2) as an exact ×10⁶ integer ratio. Triangles come
     * from the same degree-ordered wedge join as `triangleCount` (each
@@ -196,6 +224,7 @@ object GraphOps {
       triangleCount(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
     "x_local_cc" -> ((s, dir) =>
       localClustering(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L))),
+    "x_hits" -> ((s, dir) => hits(Tables.documents(s, dir))),
     "x_pagerank" -> ((s, dir) =>
       pageRank(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
         iters = 3)))
@@ -242,6 +271,20 @@ object GraphOps {
          |${prIter("r1", "r2")},
          |${prIter("r2", "r3")}
          |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
+    "x_hits" ->
+      """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents),
+        |ed AS (SELECT doc_id AS u, (doc_id*7+3) % c AS v FROM documents, nn
+        |  UNION ALL SELECT doc_id, (doc_id*13+5) % c FROM documents, nn),
+        |e AS (SELECT u, v FROM ed WHERE u <> v),
+        |a1 AS (SELECT v, CAST(count(*) AS BIGINT) AS a1 FROM e GROUP BY v),
+        |h1 AS (SELECT u, CAST(sum(a1) AS BIGINT) AS h1
+        |  FROM e JOIN a1 USING (v) GROUP BY u),
+        |a2 AS (SELECT v, CAST(sum(h1) AS BIGINT) AS a2
+        |  FROM e JOIN h1 USING (u) GROUP BY v)
+        |SELECT a2.v AS node, a2.a2 AS auth,
+        |  CAST(coalesce(h1.h1, 0) AS BIGINT) AS hub
+        |FROM a2 LEFT JOIN h1 ON a2.v = h1.u
+        |ORDER BY auth DESC, node LIMIT 20""".stripMargin,
     "x_local_cc" ->
       s"""WITH $edgeCtes,
         |deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d FROM (

@@ -199,6 +199,27 @@ class EngineSpec extends SparkSpec with Matchers {
     two.head.getAs[Double]("cos_sim") should be >= one.head.getAs[Double]("cos_sim")
   }
 
+  test("HITS: hand-computed hubs and authorities on a 5-node planted graph") {
+    import spark.implicits._
+    // c=5 -> edges 0→3, 1→0, 1→3, 2→1, 3→4 (×2), 4→1, 4→2
+    // a1 = in-degrees; h1 = Σ out a1; a2 = Σ in h1 (worked by hand)
+    val docs = (0L until 5L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = graft.relational.GraphOps.hits(docs)
+      .select("node", "auth", "hub").as[(Long, Long, Long)].collect().toSeq
+    got shouldBe Seq(
+      (4L, 8L, 3L), (1L, 5L, 3L), (3L, 5L, 4L), (0L, 3L, 2L), (2L, 3L, 2L))
+  }
+
+  test("observe collects pipeline metrics inside the plan (CollectMetrics node)") {
+    val obs = org.apache.spark.sql.Observation()
+    val df = graft.model.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .observe(obs, count(lit(1)).as("n"))
+    df.queryExecution.analyzed.toString should include("CollectMetrics")
+    val direct = df.count()
+    obs.get("n").asInstanceOf[Long] shouldBe direct
+  }
+
   test("local clustering coefficient: planted triangle + pendant vertex") {
     import spark.implicits._
     // triangle 1-2-3 plus pendant edge 3-4: cc(1)=cc(2)=1, cc(3)=1/3,

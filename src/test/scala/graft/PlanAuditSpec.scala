@@ -71,6 +71,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_drift" -> 1,
     "x_dict_encode" -> 6, // category 2: per-column 1-row (rows × dict) aggregate finals ×3 columns
     "x_join_strategies" -> 3, // category 2: one global 1-row aggregate final per strategy leg
+    "x_mrl_recall" -> 3, // category 2: one 1-row hits-count final per dims leg over the bounded eval slice
     "x_anchor_text" -> 1, // category 2: 1-row corpus-count broadcast
     "x_cusum" -> 4, // categories 2+3: n/tot + max-|cusum| scalar broadcasts, calendar-bounded daily windows
     "x_ks_test" -> 2, // categories 2+3: n1/n2 scalar broadcast, value-grid windows

@@ -105,6 +105,28 @@ class RetrievalSpec extends SparkSpec with Matchers {
     wand shouldBe brute
   }
 
+  test("matryoshka recall: more prefix dims never lose recall on this corpus") {
+    val r = Retrieval.mrlRecall(embTable)
+      .select("dims", "recall_e6").as[(Int, Long)].collect().sortBy(_._1)
+    r.map(_._1).toSeq shouldBe Seq(8, 16, 32)
+    // monotone on this corpus (not a theorem — a measured property pin)
+    r.sliding(2).foreach { case Array(a, b) => b._2 should be >= a._2 }
+    r.foreach(_._2 should be <= 1000000L)
+  }
+
+  test("hard negative: different label, and no different-label vector scores higher") {
+    val negs = Retrieval.hardNegatives(embTable)
+      .select("q_id", "neg_id", "neg_label", "cos_e6")
+      .as[(Long, Long, Long, Long)].collect()
+    negs.length shouldBe 10
+    val labels = embTable.select("vec_id", "label").as[(Long, Long)]
+      .collect().toMap
+    negs.foreach { case (q, n, nl, _) =>
+      nl shouldBe labels(n)
+      nl should not be labels(q)
+    }
+  }
+
   private def embTable =
     spark.read.parquet(s"$sf0001/embeddings.parquet")
 }
