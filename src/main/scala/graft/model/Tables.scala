@@ -30,18 +30,27 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read it as int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and normalize to a µs
-    * TimestampType column — the same truncation DuckDB applies, keeping the
-    * oracle comparison exact. */
+  /** `events.ts` normalization. The generated file has carried two physical
+    * shapes across driver revisions: nanosecond-precision parquet (which
+    * Spark 4 rejects outright — PARQUET_TYPE_ILLEGAL — unless read as int64
+    * nanos via `spark.sql.legacy.parquet.nanosAsLong`) and µs naive
+    * timestamps (which Spark 4 infers as TIMESTAMP_NTZ — a type
+    * `CAST(ts AS LONG)` refuses). Normalize both to a µs session-TZ
+    * TimestampType column: session TZ is pinned UTC everywhere, so the NTZ→
+    * LTZ cast preserves wall-clock values and matches DuckDB's naive-as-UTC
+    * oracle arithmetic exactly. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

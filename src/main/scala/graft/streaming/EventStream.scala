@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as the file stream needs it declared up front —
-    * ts read as int64 nanos (see graft.model.Tables.events) and normalized
-    * to a µs timestamp column. */
+  /** events.parquet schema as the file stream needs it declared up front.
+    * `ts`'s physical shape has varied across testdata revisions (int64
+    * nanos vs µs naive timestamps — see graft.model.Tables.events); the
+    * declared type is taken from the file at hand and normalized to a µs
+    * session-TZ timestamp column either way. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -32,9 +34,20 @@ object EventStream {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       landing.resolve("events.parquet"))
-    spark.readStream.schema(rawSchema)
-      .parquet(landing.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // declare the ts type the file actually carries (a one-footer batch
+    // read), then normalize exactly as the batch loader does
+    val fileTs = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = fileTs) else f))
+    val raw = spark.readStream.schema(schema).parquet(landing.toString)
+    fileTs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling aggregation: the streaming twin of
