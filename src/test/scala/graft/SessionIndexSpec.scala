@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.llm.{PostingsIndex, Retrieval}
+import graft.relational.SessionIndex
+
+/** The index-once/query-many contract (r05 verdict #1) and the disjunctive
+  * WAND θ seed (r05 verdict #5), pinned at the plan level. */
+class SessionIndexSpec extends SparkSpec with Matchers {
+  import spark.implicits._
+
+  test("second indexed trigram query: no rebuild, no corpus re-explode in the plan") {
+    SessionIndex.reset(spark)
+    val first = Retrieval.trigramSearchIndexed(spark, sf0001)
+    first.collect()
+    SessionIndex.buildCount(spark, s"postings_tg|$sf0001") shouldBe 1L
+
+    val second = Retrieval.trigramSearchIndexed(spark, sf0001)
+    second.collect()
+    SessionIndex.buildCount(spark, s"postings_tg|$sf0001") shouldBe 1L
+    // the probe plan must scan the checkpointed postings, not re-run the
+    // trigram explode: no Generate (explode) operator anywhere in it
+    val planText = second.queryExecution.executedPlan.toString
+    planText should not include "Generate"
+    planText should include regex "(Scan ExistingRDD|LocalTableScan)"
+  }
+
+  test("indexed WAND and phrase paths share session postings across invocations") {
+    SessionIndex.reset(spark)
+    Retrieval.wandTopKIndexed(spark, sf0001).collect()
+    val tfBuilds = SessionIndex.buildCount(spark, s"postings_tf|$sf0001")
+    tfBuilds shouldBe 1L
+    // tf derives from the positional index — one corpus tokenize total
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    val again = Retrieval.wandTopKIndexed(spark, sf0001)
+    again.collect()
+    SessionIndex.buildCount(spark, s"postings_tf|$sf0001") shouldBe 1L
+    again.queryExecution.executedPlan.toString should not include "Generate"
+  }
+
+  test("indexed results equal the inline-index results") {
+    SessionIndex.reset(spark)
+    val docs = model.Tables.documents(spark, sf0001)
+    val inlineTri = Retrieval.trigramSearch(docs).collect().toSeq
+    val indexedTri = Retrieval.trigramSearchIndexed(spark, sf0001).collect().toSeq
+    indexedTri shouldBe inlineTri
+    val inlineWand = Retrieval.wandTopK(docs).collect().toSeq
+    val indexedWand = Retrieval.wandTopKIndexed(spark, sf0001).collect().toSeq
+    indexedWand shouldBe inlineWand
+  }
+
+  test("disjunctive θ: pruning survives a sparse query (conjunctive seed would not prune)") {
+    // only doc 1 contains BOTH terms -> the old conjunctive seed yields
+    // fewer than k docs, θ=0, nothing pruned; the disjunctive seed exact-
+    // scores the per-term posting heads and still prunes doc 6
+    val planted = Seq(
+      1L -> "a b",       // both terms  p = 200000 + 500000 = 700000
+      2L -> "a a a a",   // p = 800000
+      3L -> "a a a",     // p = 600000
+      4L -> "a",         // p = 200000
+      5L -> "a",         // p = 200000
+      6L -> "b"          // p = 500000, bound 500000 < θ=700000 -> pruned
+    ).toDF("doc_id", "text")
+    val (topk, survivors) =
+      Retrieval.wandCore(Retrieval.tokenizeTf(planted), Seq("a", "b"), k = 2)
+    val surv = survivors.select("doc_id").as[Long].collect().toSet
+    surv should not contain 6L      // pruned despite matching a term
+    surv.size should be < 6         // strictly fewer candidates than matches
+    // pruning never changes the answer: exhaustive top-2 is (2, 1)
+    topk.select("rank", "doc_id").as[(Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 2L), (2L, 1L))
+  }
+
+  test("getOrBuild memoizes per name and getOrAdopt registers as-is") {
+    SessionIndex.reset(spark)
+    var built = 0
+    def rel = { built += 1; spark.range(3).toDF("id") }
+    val a = SessionIndex.getOrBuild(spark, "spec_probe")(rel)
+    val b = SessionIndex.getOrBuild(spark, "spec_probe")(rel)
+    built shouldBe 1
+    (a eq b) shouldBe true
+    b.count() shouldBe 3
+    SessionIndex.drop(spark, "spec_probe")
+    SessionIndex.getOrBuild(spark, "spec_probe")(rel)
+    built shouldBe 2
+  }
+}
