@@ -289,7 +289,35 @@ object TrainingSets {
       .orderBy("doc_id")
   }
 
+  /** X242: preference-pair construction — the RLHF/DPO data-prep
+    * selector: candidate responses grouped per prompt (here: deterministic
+    * groups of 10 docs; in production the prompt id), the highest-scored
+    * candidate becomes `chosen`, the lowest `rejected`, and groups without
+    * a strict score gap are dropped (a DPO pair with margin 0 teaches
+    * nothing). Score is the length proxy `n_chars` — production swaps in
+    * a reward-model column; the selection plumbing (one hash aggregation
+    * with max_by/min_by over (score, id) structs, deterministic
+    * tie-breaks: chosen ties → lowest id, rejected ties → highest id) is
+    * the operator. One shuffle on group_id at any corpus size. */
+  private def prefPairs(docs: DataFrame): DataFrame =
+    docs.select(expr("doc_id div 10").as("group_id"), col("doc_id"),
+        col("n_chars"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("chosen_id"),
+        max(col("n_chars")).as("chosen_score"),
+        min_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))
+          .as("rejected_id"),
+        min(col("n_chars")).as("rejected_score"))
+      .where(col("chosen_score") > col("rejected_score"))
+      .select(col("group_id"), col("n_candidates"), col("chosen_id"),
+        col("rejected_id"), col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .orderBy("group_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pref_pairs" -> ((s, dir) => prefPairs(Tables.documents(s, dir))),
     "x_set_cover" -> ((s, dir) => setCoverSources(Tables.documents(s, dir))),
     "x_stitch" -> ((s, dir) => stitchRoundtrip(Tables.documents(s, dir))),
     "x_shard_balance" -> ((s, dir) =>
@@ -302,6 +330,25 @@ object TrainingSets {
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_pref_pairs" ->
+      """WITH d AS (SELECT doc_id // 10 AS group_id, doc_id, n_chars
+        |  FROM documents),
+        |ch AS (SELECT group_id, doc_id AS chosen_id, n_chars AS chosen_score,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM d),
+        |rj AS (SELECT group_id, doc_id AS rejected_id, n_chars AS rejected_score,
+        |    row_number() OVER (PARTITION BY group_id
+        |      ORDER BY n_chars ASC, doc_id DESC) AS rk FROM d),
+        |n AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM d GROUP BY 1)
+        |SELECT n.group_id AS group_id, n_candidates, chosen_id, rejected_id,
+        |  chosen_score, rejected_score,
+        |  chosen_score - rejected_score AS margin
+        |FROM n
+        |JOIN ch ON n.group_id = ch.group_id AND ch.rk = 1
+        |JOIN rj ON n.group_id = rj.group_id AND rj.rk = 1
+        |WHERE chosen_score > rejected_score
+        |ORDER BY group_id""".stripMargin,
     // the same greedy unrolled: each round's argmax over marginal
     // coverage, NOT-IN anti-joins against the covered prefix
     "x_set_cover" ->

@@ -1464,6 +1464,26 @@ object CoreQueries {
           |FROM v_orders_udf GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // X34e: SQL PIVOT clause — the DECLARATIVE pivot surface (vs X6's
+    // DataFrame .pivot): named value columns, multiple aliased aggregates
+    // per value, resolved at analysis into the same conditional-aggregate
+    // plan a hand-written CASE rollup produces (one hash aggregation, no
+    // extra shuffle vs GROUP BY). Measures are pre-quantized to integer
+    // cents (floor(x·100+0.5) — correctly-rounded IEEE ops both engines
+    // share) so the pivoted sums are exact. The oracle IS that CASE
+    // rollup — proving the sugar changes nothing.
+    "x_sql_pivot" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders_pv")
+      s.sql(
+        """SELECT * FROM (
+          |  SELECT o_orderstatus AS status, o_orderpriority,
+          |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          |  FROM v_orders_pv)
+          |PIVOT (count(*) AS n, sum(cents) AS cents
+          |       FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low))
+          |ORDER BY status""".stripMargin)
+    }),
+
     // X34d: lateral column aliases (Spark 4, SPARK-27561) — a SELECT item
     // can reference an alias defined earlier in the same list; the
     // analyzer expands the chain, so the plan is one Project (no
@@ -2243,6 +2263,20 @@ object CoreQueries {
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // the de-sugared pivot: one conditional-CASE hash aggregation
+    "x_sql_pivot" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS urgent_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS urgent_cents,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS low_n,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS low_cents
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "x_sql_lateral_alias" ->
       """SELECT o_orderkey,
         |  CAST(floor(o_totalprice) AS BIGINT) AS dollars,

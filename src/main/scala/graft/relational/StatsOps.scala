@@ -939,7 +939,100 @@ object StatsOps {
         min(when(col("diff") === col("mxd"), col("q"))).as("at_q"))
   }
 
+  /** X239: weighted percentile — revenue-weighted quantity quantiles per
+    * return flag ("the median order size by dollar volume", the pricing/
+    * capacity answer an unweighted median gets wrong whenever big-ticket
+    * rows are rare). Exact integer formulation: weights are
+    * `floor(l_extendedprice)` (floor is a correctly-rounded IEEE op on the
+    * shared double, so both engines derive the same integer), the weighted
+    * CDF is a per-flag cumulative sum over the (flag, qty) rollup — ≤50
+    * distinct quantities per flag, so the window is metadata-scale — and
+    * p-th percentile = smallest qty whose cumulative weight reaches
+    * ⌈p·W⌉ (integer cross-multiplied: `cum·100 ≥ tot·p`). One corpus
+    * aggregation + one bounded window; no global sort of rows. */
+  private def weightedPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"),
+        expr("CAST(floor(l_extendedprice) AS BIGINT)").as("w"))
+    val byQty = li.groupBy("flag", "qty").agg(sum("w").as("wq"))
+    val cdf = byQty
+      .withColumn("cum", sum("wq").over(
+        Window.partitionBy("flag").orderBy("qty")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum("wq").over(Window.partitionBy("flag")))
+    cdf.groupBy("flag")
+      .agg(max("tot").as("total_w"),
+        min(when(col("cum") * 100 >= col("tot") * 50, col("qty"))).as("p50_qty"),
+        min(when(col("cum") * 100 >= col("tot") * 90, col("qty"))).as("p90_qty"))
+      .orderBy("flag")
+  }
+
+  /** X240: per-group OLS trend — slope/intercept of daily event volume per
+    * event type, the "is this stream growing and how fast" fleet query.
+    * Exact integers end to end: x is the day ordinal vs 2024-01-01, y the
+    * daily count; slope/intercept come from the closed-form normal
+    * equations ((nΣxy−ΣxΣy)/(nΣxx−Σx²)) as ×10⁶ truncating divisions —
+    * the X143 (global OLS) discipline, here grouped. One partial-first
+    * rollup to (type, day), one per-type aggregation; no windows. */
+  private def groupOls(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("x"))
+      .groupBy("t", "x").agg(count(lit(1)).as("y"))
+    daily.groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+      // n ≥ 2 distinct days ⇒ nΣx² > (Σx)² strictly, so the divisions are
+      // safe; a 1-day group has no trend to fit
+      .where(col("n") >= 2)
+      .select(col("t"), col("n"),
+        expr("(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)")
+          .as("slope_e6"),
+        expr("(sy * sxx - sx * sxy) * 1000000 div (n * sxx - sx * sx)")
+          .as("intercept_e6"))
+      .orderBy("t")
+  }
+
+  /** X241: Wald–Wolfowitz runs test over daily event volume — the
+    * randomness audit that catches autocorrelated load (ramps, weekly
+    * cycles, incident plateaus) that mean/variance monitoring misses: too
+    * FEW runs of above/below-median days means trending, too many means
+    * oscillation. Exact integers: the median is the positional value at
+    * rank ⌈n/2⌉ of the ≤366-row daily relation (ties at the median drop,
+    * the standard treatment), a run boundary is a lag() sign change, and
+    * the expected-runs reference 1 + 2·na·nb/(na+nb) ships as a ×10⁶
+    * division. Calendar-bounded windows only (category-3 scale shape). */
+  private def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01"))
+        .cast("long").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    val ranked = daily.withColumn("rk",
+      row_number().over(Window.orderBy("c", "d")))
+    val med = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("c").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .where(col("c") =!= col("med"))
+      .select(col("d"), when(col("c") > col("med"), 1).otherwise(0).as("s"))
+    signed
+      .withColumn("prev", lag("s", 1).over(Window.orderBy("d")))
+      .agg(
+        sum(when(col("prev").isNull || col("prev") =!= col("s"), 1L)
+          .otherwise(0L)).as("n_runs"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_below"))
+      .select(col("n_runs"), col("n_above"), col("n_below"),
+        expr("1000000 + 2 * n_above * n_below * 1000000 div (n_above + n_below)")
+          .as("expected_e6"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_weighted_percentile" -> ((s, dir) => weightedPercentile(s, dir)),
+    "x_group_ols" -> ((s, dir) => groupOls(s, dir)),
+    "x_runs_test" -> ((s, dir) => runsTest(s, dir)),
     "x_cusum" -> ((s, dir) => cusum(s, dir)),
     "x_rolling_var" -> ((s, dir) => rollingVar(s, dir)),
     "x_mannwhitney" -> ((s, dir) => mannWhitney(s, dir)),
@@ -973,6 +1066,52 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_weighted_percentile" ->
+      """WITH li AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice) AS BIGINT) AS w FROM lineitem),
+        |bq AS (SELECT flag, qty, CAST(sum(w) AS BIGINT) AS wq
+        |  FROM li GROUP BY 1, 2),
+        |c AS (SELECT flag, qty,
+        |    CAST(sum(wq) OVER (PARTITION BY flag ORDER BY qty) AS BIGINT) AS cum,
+        |    CAST(sum(wq) OVER (PARTITION BY flag) AS BIGINT) AS tot FROM bq)
+        |SELECT flag, max(tot) AS total_w,
+        |  min(CASE WHEN cum * 100 >= tot * 50 THEN qty END) AS p50_qty,
+        |  min(CASE WHEN cum * 100 >= tot * 90 THEN qty END) AS p90_qty
+        |FROM c GROUP BY flag ORDER BY flag""".stripMargin,
+    "x_group_ols" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM daily GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT t, n,
+        |  (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) AS slope_e6,
+        |  (sy * sxx - sx * sxy) * 1000000 // (n * sxx - sx * sx) AS intercept_e6
+        |FROM s ORDER BY t""".stripMargin,
+    "x_runs_test" ->
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c, d) AS rk FROM daily),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |med AS (SELECT c AS med FROM rk, n WHERE rk = (n + 1) // 2),
+        |sg AS (SELECT d, CASE WHEN c > med THEN 1 ELSE 0 END AS s
+        |  FROM daily, med WHERE c <> med),
+        |lagged AS (SELECT s, lag(s) OVER (ORDER BY d) AS prev FROM sg)
+        |SELECT
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> s THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+        |  CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  1000000 + 2 * CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) *
+        |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
+        |    CAST(count(*) AS BIGINT) AS expected_e6
+        |FROM lagged""".stripMargin,
     "x_cusum" ->
       """WITH dd AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS c
         |  FROM events GROUP BY 1),

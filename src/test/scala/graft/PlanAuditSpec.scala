@@ -77,6 +77,9 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_ks_test" -> 2, // categories 2+3: n1/n2 scalar broadcast, value-grid windows
     "x_mannwhitney" -> 1, // category 3: value-grid running-count window
     "x_rolling_var" -> 1, // category 3: calendar-bounded daily rolling frame
+    // categories 2+3: median-rank scalar broadcast + calendar-bounded
+    // (≤366-row) daily rank/lag windows + 1-row global final
+    "x_runs_test" -> 4,
     "x_freq_items" -> 1,
     "x_freshness" -> 1, // category 2: 1-row global-max broadcast
     "x_funnel" -> 1,
