@@ -758,6 +758,41 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // X23e: NEAREST as-of — pandas merge_asof(direction='nearest')
+    // semantics: each click matches its closest purchase in EITHER
+    // direction, ties to the earlier (backward) side. Composed from the
+    // existing backward + forward as-of operators (two bounded
+    // enrichments, no new join shape) with a pure-projection arbiter:
+    // chosen side, matched ts/value, and the |Δt| in integer seconds.
+    "x_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_s")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts_s").agg(max("value").as("p_value"))
+      val bwd = AsOfJoin.asof(clicks, purchases, "user_id", "ts_s",
+        "p_value", "prev_ts", "prev_value")
+      val both = AsOfJoin.asofForward(bwd, purchases, "user_id", "ts_s",
+        "p_value", "next_ts", "next_value")
+      val db = expr("CAST(ts_s AS LONG) - CAST(prev_ts AS LONG)")
+      val df = expr("CAST(next_ts AS LONG) - CAST(ts_s AS LONG)")
+      val chosePrev = col("prev_ts").isNotNull &&
+        (col("next_ts").isNull || db <= df)
+      both.select(col("event_id"), col("user_id"), col("ts_s"),
+          when(chosePrev, col("prev_ts")).otherwise(col("next_ts"))
+            .as("near_ts"),
+          when(chosePrev, col("prev_value")).otherwise(col("next_value"))
+            .as("near_value"),
+          when(col("prev_ts").isNull && col("next_ts").isNull, lit(null))
+            .otherwise(when(chosePrev, lit("backward")).otherwise(lit("forward")))
+            .cast("string").as("direction"),
+          when(chosePrev, db).otherwise(df).as("delta_s"))
+        .orderBy("event_id")
+    }),
+
     // Pivot: orderstatus columns per priority (missing combos → 0).
     "x_pivot" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1863,6 +1898,32 @@ object CoreQueries {
         |  last_value(total IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY wk
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_ff
         |FROM j ORDER BY o_orderstatus, wk""".stripMargin,
+    "x_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value
+        |  FROM events),
+        |c AS (SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_s, max(value) AS p_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, ts_s),
+        |b AS (SELECT c.event_id, c.user_id, c.ts_s,
+        |    p.ts_s AS prev_ts, p.p_value AS prev_value
+        |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_s >= p.ts_s),
+        |bf AS (SELECT b.event_id, b.user_id, b.ts_s, b.prev_ts, b.prev_value,
+        |    p.ts_s AS next_ts, p.p_value AS next_value
+        |  FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.ts_s <= p.ts_s),
+        |a AS (SELECT *,
+        |    prev_ts IS NOT NULL AND (next_ts IS NULL OR
+        |      epoch(ts_s) - epoch(prev_ts) <= epoch(next_ts) - epoch(ts_s))
+        |      AS chose_prev
+        |  FROM bf)
+        |SELECT event_id, user_id, ts_s,
+        |  CASE WHEN chose_prev THEN prev_ts ELSE next_ts END AS near_ts,
+        |  CASE WHEN chose_prev THEN prev_value ELSE next_value END AS near_value,
+        |  CASE WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+        |       WHEN chose_prev THEN 'backward' ELSE 'forward' END AS direction,
+        |  CAST(CASE WHEN chose_prev THEN epoch(ts_s) - epoch(prev_ts)
+        |       ELSE epoch(next_ts) - epoch(ts_s) END AS BIGINT) AS delta_s
+        |FROM a ORDER BY event_id""".stripMargin,
     "x_asof_forward" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_s, event_type, value

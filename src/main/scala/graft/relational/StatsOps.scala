@@ -1029,7 +1029,41 @@ object StatsOps {
           .as("expected_e6"))
   }
 
+  /** X243: A/B test readout — two-proportion z² over per-user conversion
+    * (any purchase), variants assigned by user_id parity (production swaps
+    * in the experiment-assignment column). Counts are exact integers; the
+    * z² statistic (c₁n₂−c₂n₁)²·N / (n₁n₂·c·(N−c)) is ONE double division
+    * over products of exact integers written in identical association
+    * order on both engines, rounded at 6dp — the cosine keys' exactness
+    * recipe. Degenerate cases (zero or universal conversion) short-circuit
+    * to 0. Shape: one user rollup (shuffle on user_id), then scalars. */
+  private def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(expr("user_id % 2").as("variant"), col("conv"))
+    val z2 =
+      """CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+        |ELSE round(
+        |  (CAST(c0 * n1 - c1 * n0 AS DOUBLE) * CAST(c0 * n1 - c1 * n0 AS DOUBLE)
+        |    * CAST(n0 + n1 AS DOUBLE)) /
+        |  (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(c0 + c1 AS DOUBLE)
+        |    * CAST(n0 + n1 - c0 - c1 AS DOUBLE)), 6)
+        |END""".stripMargin
+    u.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        expr("c0 * 1000000 div n0").as("rate0_e6"),
+        expr("c1 * 1000000 div n1").as("rate1_e6"),
+        expr(z2).as("z2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ab_test" -> ((s, dir) => abTest(s, dir)),
     "x_weighted_percentile" -> ((s, dir) => weightedPercentile(s, dir)),
     "x_group_ols" -> ((s, dir) => groupOls(s, dir)),
     "x_runs_test" -> ((s, dir) => runsTest(s, dir)),
@@ -1066,6 +1100,29 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM v)
+        |SELECT n0, c0, n1, c1,
+        |  c0 * 1000000 // n0 AS rate0_e6,
+        |  c1 * 1000000 // n1 AS rate1_e6,
+        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+        |  ELSE round(
+        |    (CAST(c0 * n1 - c1 * n0 AS DOUBLE) * CAST(c0 * n1 - c1 * n0 AS DOUBLE)
+        |      * CAST(n0 + n1 AS DOUBLE)) /
+        |    (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(c0 + c1 AS DOUBLE)
+        |      * CAST(n0 + n1 - c0 - c1 AS DOUBLE)), 6)
+        |  END AS z2
+        |FROM s""".stripMargin,
     "x_weighted_percentile" ->
       """WITH li AS (SELECT l_returnflag AS flag,
         |    CAST(l_quantity AS BIGINT) AS qty,

@@ -76,6 +76,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_cusum" -> 4, // categories 2+3: n/tot + max-|cusum| scalar broadcasts, calendar-bounded daily windows
     "x_ks_test" -> 2, // categories 2+3: n1/n2 scalar broadcast, value-grid windows
     "x_mannwhitney" -> 1, // category 3: value-grid running-count window
+    "x_ab_test" -> 1, // category 1: 1-row global variant-counts final
     "x_rolling_var" -> 1, // category 3: calendar-bounded daily rolling frame
     // categories 2+3: median-rank scalar broadcast + calendar-bounded
     // (≤366-row) daily rank/lag windows + 1-row global final
