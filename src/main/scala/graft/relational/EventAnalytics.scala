@@ -837,7 +837,35 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** X244: multi-granularity time rollup — hour/day/week event counts and
+    * distinct users in ONE corpus pass via GROUPING SETS (Expand + a
+    * single hash aggregation), vs the three separate scans the naive
+    * union-of-GROUP-BYs pays. Buckets are integer ordinals (epoch-second
+    * division), the grain label decodes from grouping(); at 100 TB the
+    * Expand triples rows BEFORE partial aggregation but the map-side
+    * combine collapses them within the task, so the shuffle carries one
+    * row per (grain, bucket) partial — the standard cube economics. */
+  private def timeRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).select(
+        expr("CAST(ts AS LONG) div 3600").as("h"),
+        expr("CAST(ts AS LONG) div 86400").as("d"),
+        expr("CAST(ts AS LONG) div 604800").as("w"),
+        col("user_id"))
+      .createOrReplaceTempView("v_time_rollup")
+    spark.sql(
+      """SELECT
+        |  CASE WHEN grouping(h) = 0 THEN 'hour'
+        |       WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+        |  coalesce(h, d, w) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM v_time_rollup
+        |GROUP BY GROUPING SETS ((h), (d), (w))
+        |ORDER BY grain, bucket""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_time_rollup" -> ((s, dir) => timeRollup(s, dir)),
     "x_freshness" -> ((s, dir) => freshness(s, dir)),
     "x_decay_counts" -> ((s, dir) => decayCounts(s, dir)),
     "x_churn" -> ((s, dir) => weeklyChurn(s, dir)),
@@ -870,6 +898,22 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_time_rollup" ->
+      """WITH es AS (SELECT
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s, user_id
+        |  FROM events),
+        |v AS (SELECT s // 3600 AS h, s // 86400 AS d, s // 604800 AS w,
+        |    user_id
+        |  FROM es)
+        |SELECT
+        |  CASE WHEN grouping(h) = 0 THEN 'hour'
+        |       WHEN grouping(d) = 0 THEN 'day' ELSE 'week' END AS grain,
+        |  coalesce(h, d, w) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM v
+        |GROUP BY GROUPING SETS ((h), (d), (w))
+        |ORDER BY grain, bucket""".stripMargin,
     "x_freshness" ->
       """WITH e AS (SELECT event_type,
         |    date_trunc('second', max(ts)) AS last_ts

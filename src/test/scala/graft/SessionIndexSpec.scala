@@ -40,6 +40,17 @@ class SessionIndexSpec extends SparkSpec with Matchers {
     again.queryExecution.executedPlan.toString should not include "Generate"
   }
 
+  test("phrase search probes the positional session index (no re-explode)") {
+    SessionIndex.reset(spark)
+    val q = SparkEntry.queries("x_phrase_search")
+    q(spark, sf0001).collect()
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    val second = q(spark, sf0001)
+    second.collect()
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    second.queryExecution.executedPlan.toString should not include "Generate"
+  }
+
   test("indexed results equal the inline-index results") {
     SessionIndex.reset(spark)
     val docs = model.Tables.documents(spark, sf0001)
