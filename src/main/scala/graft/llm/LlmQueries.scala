@@ -155,6 +155,41 @@ object LlmQueries {
         .orderBy("dec")
     }),
 
+    // X248: cumulative gains / lift by score decile — completes the
+    // classifier-eval family (X162 AUC, X163 calibration): rank the corpus
+    // by score DESC, and per decile report the cumulative share of all
+    // positives captured (gains) and its ratio to random targeting (lift).
+    // The "how deep must curation read to catch X% of the good docs"
+    // answer. Same label/score convention and global-ntile caveat as
+    // x_calibration (allowlisted; range-partitioned ranks at corpus
+    // scale); the cumulative pass is a 10-row window.
+    "x_gains" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("lang") === "en").as("pos"),
+          size(filter(t, w => w.isInCollection(TextAnalysis.stopwords("en"))))
+            .cast("long").as("score"))
+      val dec = scored
+        .withColumn("dec", ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+        .groupBy("dec")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+      val wCum = org.apache.spark.sql.expressions.Window.orderBy("dec")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = scored.agg(count(lit(1)).as("tot"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("tot_pos"))
+      dec
+        .withColumn("cum_n", sum("n").over(wCum))
+        .withColumn("cum_pos", sum("n_pos").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("dec"), col("n"), col("n_pos"), col("cum_pos"),
+          expr("cum_pos * 1000000 div tot_pos").as("gain_e6"),
+          expr("cum_pos * tot * 1000000 div (cum_n * tot_pos)").as("lift_e6"))
+        .orderBy("dec")
+    }),
+
     "x_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
 
@@ -1176,6 +1211,28 @@ object LlmQueries {
          |    AS BIGINT) AS pos_rate_e6,
          |  CAST(sum(score) * 1000000 // count(*) AS BIGINT) AS mean_score_e6
          |FROM b GROUP BY dec ORDER BY dec""".stripMargin,
+    "x_gains" ->
+      s"""WITH $toksCte,
+         |scored AS (SELECT doc_id, lang = 'en' AS pos,
+         |    CAST(len(list_filter(t, w -> w IN (${stopIn("en")}))) AS BIGINT) AS score
+         |  FROM toks),
+         |b AS (SELECT pos,
+         |    CAST(ntile(10) OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS dec
+         |  FROM scored),
+         |g AS (SELECT dec, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM b GROUP BY dec),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS tot,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS tot_pos
+         |  FROM scored),
+         |c AS (SELECT dec, n, n_pos,
+         |    CAST(sum(n) OVER (ORDER BY dec) AS BIGINT) AS cum_n,
+         |    CAST(sum(n_pos) OVER (ORDER BY dec) AS BIGINT) AS cum_pos
+         |  FROM g)
+         |SELECT dec, n, n_pos, cum_pos,
+         |  cum_pos * 1000000 // tot_pos AS gain_e6,
+         |  cum_pos * tot * 1000000 // (cum_n * tot_pos) AS lift_e6
+         |FROM c, t ORDER BY dec""".stripMargin,
     "x_top_tokens" ->
       s"""WITH $toksCte
          |SELECT token, count(*) AS n

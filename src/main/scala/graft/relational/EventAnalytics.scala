@@ -864,7 +864,61 @@ object EventAnalytics {
         |ORDER BY grain, bucket""".stripMargin)
   }
 
+  /** X246: weekly seasonality profile — mean daily volume per
+    * (event_type, day-of-week), the load-shape fingerprint behind
+    * capacity planning and the X241 runs test's "too few runs" verdicts.
+    * Day-of-week is derived ARITHMETICALLY from the integer day ordinal
+    * (2024-01-01 is a Monday, so dow = d % 7 with 0 = Monday) — Spark's
+    * dayofweek() (1=Sunday) and DuckDB's dow (0=Sunday) disagree, integer
+    * modulus cannot. Mean is a ×10⁶ truncating division. Two partial-first
+    * rollups; output is type×7 rows. */
+  private def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("d"))
+      .groupBy("t", "d").agg(count(lit(1)).as("c"))
+    daily.select(col("t"), expr("d % 7").as("dow"), col("c"))
+      .groupBy("t", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("c").as("total"))
+      .select(col("t"), col("dow"), col("n_days"), col("total"),
+        expr("total * 1000000 div n_days").as("mean_daily_e6"))
+      .orderBy("t", "dow")
+  }
+
+  /** X247: naive-forecast backtest — per event type, yesterday's value
+    * (naive) vs the value a week earlier (seasonal-naive) as day-ahead
+    * forecasts, scored by MAE over the days where both are defined: the
+    * baseline every real forecasting model must beat, and the quickest
+    * measurement of HOW seasonal a stream is (seasonal MAE ≪ naive MAE ⇒
+    * strong weekly cycle). lag(1)/lag(7) windows partition by type over
+    * the calendar-bounded daily relation; MAE ships ×10⁶. The lags are
+    * ROW offsets on the daily grid — exact calendar offsets here because
+    * the stream has no empty days; a sparse stream gap-fills first (X54)
+    * so row-lag and calendar-lag coincide. */
+  private def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        datediff(col("ts").cast("date"), lit("2024-01-01")).cast("long").as("d"))
+      .groupBy("t", "d").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("t").orderBy("d")
+    daily
+      .withColumn("f_naive", lag("c", 1).over(w))
+      .withColumn("f_seasonal", lag("c", 7).over(w))
+      .where(col("f_naive").isNotNull && col("f_seasonal").isNotNull)
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("c") - col("f_naive"))).as("ae_naive"),
+        sum(abs(col("c") - col("f_seasonal"))).as("ae_seasonal"))
+      .select(col("t"), col("n_eval"),
+        expr("ae_naive * 1000000 div n_eval").as("mae_naive_e6"),
+        expr("ae_seasonal * 1000000 div n_eval").as("mae_seasonal_e6"),
+        (col("ae_seasonal") < col("ae_naive")).as("seasonal_wins"))
+      .orderBy("t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_seasonal_profile" -> ((s, dir) => seasonalProfile(s, dir)),
+    "x_forecast_backtest" -> ((s, dir) => forecastBacktest(s, dir)),
     "x_time_rollup" -> ((s, dir) => timeRollup(s, dir)),
     "x_freshness" -> ((s, dir) => freshness(s, dir)),
     "x_decay_counts" -> ((s, dir) => decayCounts(s, dir)),
@@ -898,6 +952,36 @@ object EventAnalytics {
     "x_interval_join" -> ((s, dir) => intervalJoin(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_seasonal_profile" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT t, d % 7 AS dow,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(c) AS BIGINT) AS total,
+        |  CAST(sum(c) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+        |    AS mean_daily_e6
+        |FROM daily GROUP BY t, dow ORDER BY t, dow""".stripMargin,
+    "x_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT t, d, c,
+        |    lag(c, 1) OVER (PARTITION BY t ORDER BY d) AS f_naive,
+        |    lag(c, 7) OVER (PARTITION BY t ORDER BY d) AS f_seasonal
+        |  FROM daily),
+        |e AS (SELECT t, c, f_naive, f_seasonal FROM lagged
+        |  WHERE f_naive IS NOT NULL AND f_seasonal IS NOT NULL)
+        |SELECT t, CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(abs(c - f_naive)) AS BIGINT) * 1000000 //
+        |    CAST(count(*) AS BIGINT) AS mae_naive_e6,
+        |  CAST(sum(abs(c - f_seasonal)) AS BIGINT) * 1000000 //
+        |    CAST(count(*) AS BIGINT) AS mae_seasonal_e6,
+        |  CAST(sum(abs(c - f_seasonal)) AS BIGINT) <
+        |    CAST(sum(abs(c - f_naive)) AS BIGINT) AS seasonal_wins
+        |FROM e GROUP BY t ORDER BY t""".stripMargin,
     "x_time_rollup" ->
       """WITH es AS (SELECT
         |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s, user_id

@@ -1062,7 +1062,37 @@ object StatsOps {
         expr(z2).as("z2"))
   }
 
+  /** X245: IQR (Tukey-fence) outlier screen per group — the box-plot rule
+    * (1.5×IQR beyond the quartiles) that complements MAD (X98, robust to
+    * the outliers themselves) and z-score (X99, assumes normality).
+    * Exact: quartiles via percentile_disc over integer cents (an actual
+    * member value, so the ×3/2 fence arithmetic stays in BIGINTs); one
+    * quantile aggregation + one counting join per group, no global sort.
+    * Spark's percentile_disc surfaces DOUBLE — cast back to BIGINT, exact
+    * for cents < 2⁵³. */
+  private def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_li_iqr")
+    spark.sql(
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM v_li_iqr),
+        |q AS (SELECT flag,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q3
+        |  FROM c GROUP BY flag)
+        |SELECT c.flag, q1, q3, q3 - q1 AS iqr,
+        |  q1 - 3 * (q3 - q1) div 2 AS lo_fence,
+        |  q3 + 3 * (q3 - q1) div 2 AS hi_fence,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN cents < q1 - 3 * (q3 - q1) div 2
+        |                  OR cents > q3 + 3 * (q3 - q1) div 2
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM c JOIN q ON c.flag = q.flag
+        |GROUP BY c.flag, q1, q3 ORDER BY c.flag""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_outlier_iqr" -> ((s, dir) => iqrOutliers(s, dir)),
     "x_ab_test" -> ((s, dir) => abTest(s, dir)),
     "x_weighted_percentile" -> ((s, dir) => weightedPercentile(s, dir)),
     "x_group_ols" -> ((s, dir) => groupOls(s, dir)),
@@ -1100,6 +1130,23 @@ object StatsOps {
     "x_dq_rules" -> ((s, dir) => dqRules(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "x_outlier_iqr" ->
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |q AS (SELECT flag,
+        |    CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q1,
+        |    CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS q3
+        |  FROM c GROUP BY flag)
+        |SELECT c.flag AS flag, q1, q3, q3 - q1 AS iqr,
+        |  q1 - 3 * (q3 - q1) // 2 AS lo_fence,
+        |  q3 + 3 * (q3 - q1) // 2 AS hi_fence,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN cents < q1 - 3 * (q3 - q1) // 2
+        |                  OR cents > q3 + 3 * (q3 - q1) // 2
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM c JOIN q ON c.flag = q.flag
+        |GROUP BY c.flag, q1, q3 ORDER BY flag""".stripMargin,
     "x_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -77,6 +77,10 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_ks_test" -> 2, // categories 2+3: n1/n2 scalar broadcast, value-grid windows
     "x_mannwhitney" -> 1, // category 3: value-grid running-count window
     "x_ab_test" -> 1, // category 1: 1-row global variant-counts final
+    // categories 1+3: global-scalar totals broadcast + the x_calibration
+    // global-ntile caveat (range-partitioned ranks at corpus scale) + the
+    // 10-row decile cumulative window
+    "x_gains" -> 3,
     "x_rolling_var" -> 1, // category 3: calendar-bounded daily rolling frame
     // categories 2+3: median-rank scalar broadcast + calendar-bounded
     // (≤366-row) daily rank/lag windows + 1-row global final
