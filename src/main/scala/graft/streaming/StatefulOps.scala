@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Custom stateful streaming: per-user running aggregates via
   * `flatMapGroupsWithState` — the escape hatch when built-in windowed
@@ -69,5 +70,66 @@ object StatefulOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class TimedEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      start_ms: Long, end_ms: Long)
+
+  /** X65b: TIMER-driven session expiry — the state-v2 capability the
+    * GroupState API only approximates with per-key timeouts. The processor
+    * keeps (n, start, last) per user; on every input batch it re-arms an
+    * EVENT-TIME timer at (last event + gap) (deleting the stale one —
+    * timers are per-(key, timestamp), not a single slot); when the
+    * WATERMARK passes the armed timestamp, `handleExpiredTimer` fires and
+    * the CLOSED session is emitted exactly once, state cleared. Sessions
+    * therefore close from stream-time progress alone — no poll, no
+    * sentinel event, and (unlike processing-time timeouts) replays produce
+    * identical output. At scale timers live in the RocksDB state store
+    * next to the value state, sharded by key like everything else. */
+  final class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, batch: Iterator[TimedEvent],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      var (n, start, last) = Option(sess.get()).getOrElse((0L, Long.MaxValue, 0L))
+      batch.foreach { e =>
+        val t = e.ts.getTime
+        n += 1
+        if (t < start) start = t
+        if (t > last) last = t
+      }
+      sess.update((n, start, last))
+      // re-arm: exactly one live timer per key, at last-seen + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      Option(sess.get()) match {
+        case Some((n, start, last)) if last + gapMs <= expiredTimerInfo.getExpiryTimeInMs =>
+          sess.clear()
+          Iterator.single(ClosedSession(userId, n, start, last))
+        case _ => Iterator.empty // stale timer raced a fresher session
+      }
+    }
+  }
+
+  /** Sessionize with event-time timers; `events` must carry a watermark on
+    * `ts` (the timer clock). Emits only CLOSED sessions (append mode). */
+  def sessionsWithTimers(events: Dataset[TimedEvent], gapMs: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

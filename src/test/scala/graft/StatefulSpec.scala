@@ -56,6 +56,60 @@ class StatefulSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("event-time timers close sessions exactly once as the watermark passes") {
+    import java.sql.Timestamp
+    import graft.streaming.StatefulOps.{ClosedSession, TimedEvent}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[TimedEvent]
+      val gapMs = 60_000L // 1-minute session gap
+      val withWm = input.toDS()
+        .withWatermark("ts", "10 seconds")
+        .as[TimedEvent]
+      val q = StatefulOps.sessionsWithTimers(withWm, gapMs)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("timer_sessions").start()
+
+      def t(s: Long) = new Timestamp(s * 1000L)
+      // timeline starts well above 0: the INITIAL watermark is 0 ms and
+      // event-time mode drops rows at-or-before it (an epoch-0 event
+      // would silently vanish)
+      // user 1: two events 30s apart -> one session [1000s, 1030s]
+      input.addData(TimedEvent(1L, t(1000)), TimedEvent(1L, t(1030)))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed 1030s + 60s
+      spark.table("timer_sessions").count() shouldBe 0L
+
+      // user 2 far in the future advances the watermark past user 1's
+      // expiry (batch N computes the watermark, batch N+1 fires timers)
+      input.addData(TimedEvent(2L, t(2000)))
+      q.processAllAvailable()
+      input.addData(TimedEvent(2L, t(2010)))
+      q.processAllAvailable()
+
+      val closed = spark.table("timer_sessions").as[ClosedSession].collect()
+      withClue(s"closed=${closed.mkString(";")}: ") {
+        closed.count(_.user_id == 1L) shouldBe 1
+      }
+      val s1 = closed.find(_.user_id == 1L).get
+      withClue(s"closed=${closed.mkString(";")}: ") {
+        s1.n_events shouldBe 2L
+      }
+      s1.start_ms shouldBe 1_000_000L
+      s1.end_ms shouldBe 1_030_000L
+      // user 2's session is still open (watermark never passed its expiry)
+      closed.exists(_.user_id == 2L) shouldBe false
+      q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("graft_dot is callable from SQL after registration") {
     GraftFunctions.register(spark)
     val got = spark.sql(
