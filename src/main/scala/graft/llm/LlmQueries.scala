@@ -641,6 +641,20 @@ object LlmQueries {
         Tables.documents(s, dir).where(col("doc_id") < 1000), JaccardThreshold,
         graphPartitions = 8)), // testdata pair graph is ~100 edges
 
+    // X30b: cluster assignment over the MinHash-LSH pair graph — the same
+    // connected-components label propagation as x_dedup_cluster, fed by
+    // the banding candidate generator instead of the inverted-index join:
+    // the assignment step is generator-agnostic (any (da, db) pair
+    // relation), which is exactly why it is factored as duplicateClusters.
+    // Same bounded doc slice as the ngram twin; loan scope releases the
+    // signature caches once the (tiny) label relation materializes.
+    "x_dedup_cluster_minhash" -> ((s, dir) =>
+      Dedup.withMinhashNearDuplicates(
+        Tables.documents(s, dir).where(col("doc_id") < 1000),
+        MinhashThreshold) { pairs =>
+        Dedup.duplicateClusters(pairs, graphPartitions = 8)
+      }),
+
     // cluster → canonical: keep the best member per duplicate cluster,
     // reusing the session-memoized cluster relation instead of re-running
     // pair generation + label propagation
@@ -1750,6 +1764,32 @@ object LlmQueries {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY da, db""".stripMargin,
     "x_dedup_cluster" ->
       s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "x_dedup_cluster_minhash" ->
+      s"""WITH RECURSIVE ftoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 1000),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |  CASE WHEN len(t) >= 3
+         |    THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+         |    ELSE [] END)) AS s FROM ftoks),
+         |ids AS (SELECT doc_id, ${hashIdSql("s")} AS id FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM ids GROUP BY doc_id),
+         |sigb AS (SELECT doc_id, [$sigList] AS sig,
+         |    $bandCols
+         |  FROM sig),
+         |cands AS (SELECT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+         |  FROM sigb a JOIN sigb b ON a.doc_id < b.doc_id AND ($bandMatch)),
+         |hits AS (SELECT da, db FROM cands
+         |  WHERE CAST(len(list_filter(range(${Dedup.NumHashes}), i -> sa[i+1] = sb[i+1])) AS DOUBLE)
+         |    / ${Dedup.NumHashes} >= $MinhashThreshold),
+         |edges AS (SELECT da, db FROM hits UNION ALL SELECT db AS da, da AS db FROM hits),
+         |reach AS (SELECT da AS node, da AS label FROM edges
+         |  UNION
+         |  SELECT e.da AS node, r.label FROM edges e JOIN reach r ON e.db = r.node),
+         |clusters AS (SELECT node AS doc_id, min(label) AS cluster_id
+         |  FROM reach GROUP BY node)
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
     "x_mix_temperature" ->
       s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 10 < 8 THEN 'head'

@@ -1499,6 +1499,34 @@ object CoreQueries {
           |FROM v_orders_udf GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // X249: column-level lineage / pruning introspection — walk the
+    // flagship star join's PHYSICAL plan and emit exactly which columns
+    // each parquet scan reads (`FileSourceScanExec.requiredSchema`, the
+    // post-pruning read set). This is the engine feature twice over: the
+    // lineage answer a governance tool asks for, AND a correctness-GATED
+    // column-pruning assertion — the oracle pins the literal expected
+    // (table, column) set, so a regression that drags extra columns into
+    // any scan (a pruning break) fails the driver hash, not just a spec.
+    // Driver-side plan walk; output is plan-bounded metadata rows.
+    "x_lineage" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(scans)
+      }
+      val star = queries("x_join_star")(s, dir)
+      val rows = scans(star.queryExecution.executedPlan).flatMap { f =>
+        val table = f.relation.location.rootPaths.head.getName
+          .stripSuffix(".parquet")
+        f.requiredSchema.fieldNames.map(c => (table, c))
+      }.distinct.sorted
+      import s.implicits._
+      rows.toDF("table_name", "col_name").orderBy("table_name", "col_name")
+    }),
+
     // X34e: SQL PIVOT clause — the DECLARATIVE pivot surface (vs X6's
     // DataFrame .pivot): named value columns, multiple aliased aggregates
     // per value, resolved at analysis into the same conditional-aggregate
@@ -2324,6 +2352,19 @@ object CoreQueries {
       """SELECT o_orderstatus,
         |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
         |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
+    // the literal expected read set: the minimal columns the star join
+    // references — any extra row here means a scan stopped pruning
+    "x_lineage" ->
+      """SELECT * FROM (VALUES
+        |  ('customer', 'c_custkey'), ('customer', 'c_nationkey'),
+        |  ('lineitem', 'l_discount'), ('lineitem', 'l_extendedprice'),
+        |  ('lineitem', 'l_orderkey'),
+        |  ('nation', 'n_name'), ('nation', 'n_nationkey'),
+        |  ('nation', 'n_regionkey'),
+        |  ('orders', 'o_custkey'), ('orders', 'o_orderkey'),
+        |  ('region', 'r_name'), ('region', 'r_regionkey'))
+        |  AS t(table_name, col_name)
+        |ORDER BY table_name, col_name""".stripMargin,
     // the de-sugared pivot: one conditional-CASE hash aggregation
     "x_sql_pivot" ->
       """SELECT o_orderstatus AS status,
