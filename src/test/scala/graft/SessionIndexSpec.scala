@@ -12,14 +12,17 @@ class SessionIndexSpec extends SparkSpec with Matchers {
   import spark.implicits._
 
   test("second indexed trigram query: no rebuild, no corpus re-explode in the plan") {
-    SessionIndex.reset(spark)
+    // assert the DELTA, not an absolute count: other suites iterate the
+    // full query surface against the same shared session and may have
+    // built (or rebuilt after a reset) this index already
     val first = Retrieval.trigramSearchIndexed(spark, sf0001)
     first.collect()
-    SessionIndex.buildCount(spark, s"postings_tg|$sf0001") shouldBe 1L
+    val builds1 = SessionIndex.buildCount(spark, s"postings_tg|$sf0001")
+    builds1 should be >= 1L
 
     val second = Retrieval.trigramSearchIndexed(spark, sf0001)
     second.collect()
-    SessionIndex.buildCount(spark, s"postings_tg|$sf0001") shouldBe 1L
+    SessionIndex.buildCount(spark, s"postings_tg|$sf0001") shouldBe builds1
     // the probe plan must scan the checkpointed postings, not re-run the
     // trigram explode: no Generate (explode) operator anywhere in it
     val planText = second.queryExecution.executedPlan.toString
@@ -28,31 +31,29 @@ class SessionIndexSpec extends SparkSpec with Matchers {
   }
 
   test("indexed WAND and phrase paths share session postings across invocations") {
-    SessionIndex.reset(spark)
     Retrieval.wandTopKIndexed(spark, sf0001).collect()
     val tfBuilds = SessionIndex.buildCount(spark, s"postings_tf|$sf0001")
-    tfBuilds shouldBe 1L
+    tfBuilds should be >= 1L
     // tf derives from the positional index — one corpus tokenize total
-    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") should be >= 1L
     val again = Retrieval.wandTopKIndexed(spark, sf0001)
     again.collect()
-    SessionIndex.buildCount(spark, s"postings_tf|$sf0001") shouldBe 1L
+    SessionIndex.buildCount(spark, s"postings_tf|$sf0001") shouldBe tfBuilds
     again.queryExecution.executedPlan.toString should not include "Generate"
   }
 
   test("phrase search probes the positional session index (no re-explode)") {
-    SessionIndex.reset(spark)
     val q = SparkEntry.queries("x_phrase_search")
     q(spark, sf0001).collect()
-    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    val builds1 = SessionIndex.buildCount(spark, s"postings_pos|$sf0001")
+    builds1 should be >= 1L
     val second = q(spark, sf0001)
     second.collect()
-    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe builds1
     second.queryExecution.executedPlan.toString should not include "Generate"
   }
 
   test("indexed results equal the inline-index results") {
-    SessionIndex.reset(spark)
     val docs = model.Tables.documents(spark, sf0001)
     val inlineTri = Retrieval.trigramSearch(docs).collect().toSeq
     val indexedTri = Retrieval.trigramSearchIndexed(spark, sf0001).collect().toSeq
