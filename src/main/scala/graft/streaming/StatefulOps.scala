@@ -106,8 +106,11 @@ object StatefulOps {
         if (t > last) last = t
       }
       sess.update((n, start, last))
-      // re-arm: exactly one live timer per key, at last-seen + gap
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      // re-arm: exactly one live timer per key, at last-seen + gap.
+      // Materialize the listing BEFORE deleting — deleting under a live
+      // state-store iterator is the classic invalidation trap.
+      val stale = getHandle.listTimers().map(_.asInstanceOf[Long]).toList
+      stale.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(last + gapMs)
       Iterator.empty
     }
