@@ -872,6 +872,10 @@ object LlmQueries {
     "x_sim_ann_ivf" -> ((s, dir) =>
       Similarity.annTopKIvf(Tables.embeddings(s, dir), queryId = 0L, k = 5, nProbe = 2)),
 
+    "x_sim_ann_batch" -> ((s, dir) =>
+      Similarity.annTopKBatch(Tables.embeddings(s, dir), nQueries = 10L,
+        k = 5, nProbe = 2)),
+
     // X93b: ADC (asymmetric distance computation) — PQ's query half. The
     // query builds a 4×10 lookup table of per-subspace dot products against
     // the codebooks; each ENCODED vector's approximate score is then four
@@ -2119,6 +2123,27 @@ object LlmQueries {
          |FROM asg JOIN probes USING (cell) CROSS JOIN q
          |WHERE vec_id <> 0
          |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin,
+    "x_sim_ann_batch" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |$centCte,
+         |$asgCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+         |probes AS (SELECT q_id, qv, cell FROM (
+         |    SELECT q.q_id, q.qv, cent.cell, row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_dot_product(qv, cvec) /
+         |        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+         |      cent.cell) AS rk
+         |    FROM cent CROSS JOIN q) WHERE rk <= 2),
+         |sc AS (SELECT q_id, vec_id,
+         |    round(list_dot_product(v, qv) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |  FROM asg JOIN probes USING (cell) WHERE vec_id <> q_id),
+         |r AS (SELECT q_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT q_id, rank, vec_id, cos_sim FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
     "x_sim_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v,

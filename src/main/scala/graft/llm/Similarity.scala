@@ -225,6 +225,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** X250: BATCHED multi-probe IVF ANN — the serving shape ([[annTopKIvf]]
+    * answers one query; real retrieval answers thousands per plan). Each
+    * query row assigns to its nProbe nearest cells against the broadcast
+    * K-row centroid table (map-side, a per-query rank window over K rows);
+    * corpus vectors keep their single primary cell; candidates are the
+    * probed cells' members, exact-cosine re-ranked per query with the
+    * (cos desc, vec_id) tie-break. Pair volume Q·nProbe·N/K vs Q·N brute
+    * force, and the per-query ranking window partitions by q_id — Q
+    * bounded groups, no global sort. */
+  def annTopKBatch(emb: DataFrame, nQueries: Long, k: Int,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroidVectors(emb).localCheckpoint(true)
+    val assigned = assignCells(emb, cents)
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = q.crossJoin(cents)
+      .select(col("q_id"), col("q_vec"), col("cell"),
+        round(VectorOps.cosine(col("q_vec"), col("cvec")), 6).as("c_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("c_sim").desc, col("cell"))))
+      .where(col("rk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("cell").as("q_cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.cosine(col("embedding"), col("q_vec")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
   /** ANN top-k: exact rescoring restricted to the query's LSH bucket. At
     * scale the bucket column is a partition key, so a query touches one
     * partition instead of the full corpus.
