@@ -85,6 +85,12 @@ object Bench {
     // which a stricter driver parse could reject — persist the metric too
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench.json"), line)
     catch { case _: Throwable => () }
+    // The driver captures only a tail of the output, so per-key regression
+    // analysis needs the complete map persisted where it can be committed:
+    // bench_keys.json at the repo root (copied per round to
+    // docs/bench_keys_r<N>.json alongside the medians-of-3 file).
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_keys.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -41,12 +41,17 @@ object PostingsIndex {
   /** Case-folded term frequencies `(doc_id, term, tf)` — derived from the
     * positional index (lower-casing commutes with the space split), so the
     * corpus is tokenized at most once per session across both indexes. */
-  def termFreqs(spark: SparkSession, dir: String): DataFrame =
+  def termFreqs(spark: SparkSession, dir: String): DataFrame = {
+    // Resolve the index-on-index dependency BEFORE entering the registry so
+    // the build closure never re-enters SessionIndex (see getOrBuild's
+    // re-entrancy note).
+    val pos = positional(spark, dir)
     SessionIndex.getOrBuild(spark, s"postings_tf|$dir") {
-      positional(spark, dir)
+      pos
         .select(col("doc_id"), lower(col("w")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     }
+  }
 
   /** Distinct character-trigram postings `(doc_id, tg)` over lower-cased
     * text (docs shorter than 3 chars have no trigrams). */

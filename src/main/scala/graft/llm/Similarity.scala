@@ -260,6 +260,63 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** X251: IVF × PQ composed ANN serving — the actual billion-vector
+    * layout the pieces were built for (IVF coarse cells from
+    * [[centroidVectors]], PQ codes from [[pqEncode]], ADC scoring from the
+    * query's per-subspace lookup tables, exact rescoring only on the
+    * shortlist).
+    *
+    * Scan model at scale: the persisted index is `(cell, vec_id, s, code)`
+    * — PQ codes partitioned by their IVF cell. A query reads nProbe cells'
+    * code stripes (nProbe·N/K rows of m 4-bit codes, never the floats),
+    * scores each with m table lookups, and only the `depth`-row shortlist
+    * ever touches full-precision vectors. The shortlist here is the
+    * ADC-ordered top `depth` with the (adc desc, vec_id) tie-break, so
+    * both engines cut identically. */
+  def ivfPqShortlist(emb: DataFrame, queryId: Long, nProbe: Int, depth: Int): DataFrame = {
+    val cents = centroidVectors(emb).localCheckpoint(true)
+    // the persisted IVF-PQ index: per-cell stripes of PQ codes
+    val index = pqEncode(emb)
+      .join(assignCells(emb, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val q = emb.where(col("vec_id") === queryId)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+    val probes = q.crossJoin(cents)
+      .select(col("cell"),
+        round(VectorOps.cosine(col("qv"), col("cvec")), 6).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell").as("q_cell"))
+    val tables = pqCodebooks(emb).crossJoin(broadcast(q))
+      .select(col("s"), col("code"),
+        round(VectorOps.dot(expr("slice(qv, s * 16 + 1, 16)"), col("cvec")), 6).as("t"))
+    index.join(broadcast(probes), col("cell") === col("q_cell"))
+      .where(col("vec_id") =!= queryId)
+      .join(broadcast(tables), Seq("s", "code"))
+      .groupBy("vec_id")
+      .agg(max(when(col("s") === 0, col("t"))).as("t0"),
+        max(when(col("s") === 1, col("t"))).as("t1"),
+        max(when(col("s") === 2, col("t"))).as("t2"),
+        max(when(col("s") === 3, col("t"))).as("t3"))
+      .select(col("vec_id"),
+        round(col("t0") + col("t1") + col("t2") + col("t3"), 6).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id")).limit(depth)
+  }
+
+  /** IVF×PQ top-k: ADC shortlist (see [[ivfPqShortlist]]) exact-rescored
+    * by true cosine — the original floats are fetched only for the
+    * `rescoreDepth` shortlist rows, the single full-precision read in the
+    * whole query. */
+  def annTopKIvfPq(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 2,
+      rescoreDepth: Int = 20): DataFrame = {
+    val short = ivfPqShortlist(emb, queryId, nProbe, rescoreDepth)
+    val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("q_vec"))
+    emb.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("adc"),
+        round(VectorOps.cosine(col("embedding"), col("q_vec")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: exact rescoring restricted to the query's LSH bucket. At
     * scale the bucket column is a partition key, so a query touches one
     * partition instead of the full corpus.

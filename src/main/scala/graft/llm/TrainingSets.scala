@@ -221,8 +221,16 @@ object TrainingSets {
     * BPE control-plane discipline: the corpus never reaches the driver),
     * and grows the covered relation. The (source, shingle) relation is
     * built once and cached for the loop; callers get a self-contained
-    * result (loan discipline — cache released in `finally`). */
-  def setCoverSources(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    * result (loan discipline — cache released in `finally`).
+    *
+    * The covered relation grows one union+distinct per round —
+    * O(rounds)-deep lineage that the optimizer re-analyzes every
+    * iteration; past a handful of rounds that plan depth, not the data,
+    * becomes the cost. `truncateEvery` applies the X108 localCheckpoint
+    * cadence: every k-th round materializes `covered` and truncates its
+    * lineage, so plan depth stays bounded at any round count. */
+  def setCoverSources(docs: DataFrame, rounds: Int = 3,
+      truncateEvery: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val w = docs.select(col("source"), split(lower(col("text")), " ").as("ws"))
@@ -253,6 +261,8 @@ object TrainingSets {
           covered = covered
             .unionAll(sv.where(col("source") === src).select("term"))
             .distinct()
+          if (r % truncateEvery == 0 && r < rounds)
+            covered = covered.localCheckpoint(true)
           out += ((r, src, m, cum, cum * 1000000L / total))
         }
       }

@@ -1482,7 +1482,7 @@ object CoreQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // X34c: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
+    // X34f: SQL UDF DDL (Spark 4 SQL scalar functions, SPARK-44837) — a
     // function DEFINED in SQL is inlined by the analyzer into the plan, so
     // unlike a Scala/Python UDF it stays inside codegen and pushdown: the
     // right way to share business logic (the canonical cents rendering)

@@ -3,6 +3,7 @@ package graft.relational
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialized-relation registry: the "index once / query
@@ -36,22 +37,57 @@ object SessionIndex {
     s"${spark.sparkContext.applicationId}|${spark.sparkContext.startTime}|$name"
 
   /** Return the materialized relation registered under `name`, building it
-    * with `build` (then localCheckpoint-ing eagerly) only on first use. */
+    * with `build` (then localCheckpoint-ing eagerly) only on first use.
+    *
+    * Indexes may derive from other indexes (e.g. term frequencies from the
+    * positional postings), so a build may re-enter this registry. The build
+    * therefore runs OUTSIDE any map lock — `ConcurrentHashMap`'s contract
+    * forbids a mapping function updating other mappings, and a nested
+    * `computeIfAbsent` on two keys sharing a bin throws
+    * `IllegalStateException("Recursive update")`. get → build →
+    * `putIfAbsent` keeps re-entrancy legal; under a concurrent race the
+    * first registration wins and the loser's build is discarded. */
   def getOrBuild(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(scoped(spark, name), { _ =>
-      builds.computeIfAbsent(scoped(spark, name), _ => new LongAdder).increment()
-      build.localCheckpoint(true)
-    })
+    getOrRegister(spark, scoped(spark, name))(build.localCheckpoint(true))
 
   /** Like [[getOrBuild]], but `build` returns an ALREADY-materialized
     * relation (e.g. a loan-pattern chain that localCheckpoints inside its
     * scope so intermediate caches can be released) — registered as-is,
     * no second checkpoint. */
   def getOrAdopt(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
-    memo.computeIfAbsent(scoped(spark, name), { _ =>
-      builds.computeIfAbsent(scoped(spark, name), _ => new LongAdder).increment()
-      build
-    })
+    getOrRegister(spark, scoped(spark, name))(build)
+
+  private def getOrRegister(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val existing = memo.get(key)
+    if (existing != null) return existing
+    ensureEvictionHook(spark)
+    val built = build
+    val prior = memo.putIfAbsent(key, built)
+    if (prior != null) prior
+    else {
+      builds.computeIfAbsent(key, _ => new LongAdder).increment()
+      built
+    }
+  }
+
+  /** Contexts whose application-end eviction listener is installed, by
+    * scoped-key prefix. A checkpointed DataFrame is useless once its
+    * SparkContext stops; without eviction dead-session entries would
+    * accumulate for the JVM's lifetime in multi-session JVMs. */
+  private val hooked = ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureEvictionHook(spark: SparkSession): Unit = {
+    val prefix = s"${spark.sparkContext.applicationId}|${spark.sparkContext.startTime}|"
+    if (hooked.add(prefix)) {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit = {
+          memo.keySet.removeIf(_.startsWith(prefix))
+          builds.keySet.removeIf(_.startsWith(prefix))
+          hooked.remove(prefix)
+        }
+      })
+    }
+  }
 
   /** How many times `name` has been built in this session (0 or 1 unless
     * dropped in between) — the spec-facing "no rebuild" assertion. */

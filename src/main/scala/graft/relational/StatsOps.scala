@@ -1025,7 +1025,10 @@ object StatsOps {
         sum(when(col("s") === 1, 1L).otherwise(0L)).as("n_above"),
         sum(when(col("s") === 0, 1L).otherwise(0L)).as("n_below"))
       .select(col("n_runs"), col("n_above"), col("n_below"),
-        expr("1000000 + 2 * n_above * n_below * 1000000 div (n_above + n_below)")
+        // nullif: a corpus where every day equals the median empties the
+        // signed relation; both engines must then emit NULL, not one NULL
+        // and one division error
+        expr("1000000 + 2 * n_above * n_below * 1000000 div nullif(n_above + n_below, 0)")
           .as("expected_e6"))
   }
 
@@ -1043,8 +1046,12 @@ object StatsOps {
       .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("conv"))
       .select(expr("user_id % 2").as("variant"), col("conv"))
+    // degenerate corpora (an absent parity class, zero/universal
+    // conversion) must produce the SAME row on both engines, not a
+    // DuckDB division error vs a Spark NULL — hence the nullif guards
+    // and the n0/n1 = 0 short-circuit
     val z2 =
-      """CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+      """CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
         |ELSE round(
         |  (CAST(c0 * n1 - c1 * n0 AS DOUBLE) * CAST(c0 * n1 - c1 * n0 AS DOUBLE)
         |    * CAST(n0 + n1 AS DOUBLE)) /
@@ -1057,8 +1064,8 @@ object StatsOps {
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
-        expr("c0 * 1000000 div n0").as("rate0_e6"),
-        expr("c1 * 1000000 div n1").as("rate1_e6"),
+        expr("c0 * 1000000 div nullif(n0, 0)").as("rate0_e6"),
+        expr("c1 * 1000000 div nullif(n1, 0)").as("rate1_e6"),
         expr(z2).as("z2"))
   }
 
@@ -1160,9 +1167,9 @@ object StatsOps {
         |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
         |  FROM v)
         |SELECT n0, c0, n1, c1,
-        |  c0 * 1000000 // n0 AS rate0_e6,
-        |  c1 * 1000000 // n1 AS rate1_e6,
-        |  CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+        |  c0 * 1000000 // nullif(n0, 0) AS rate0_e6,
+        |  c1 * 1000000 // nullif(n1, 0) AS rate1_e6,
+        |  CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
         |  ELSE round(
         |    (CAST(c0 * n1 - c1 * n0 AS DOUBLE) * CAST(c0 * n1 - c1 * n0 AS DOUBLE)
         |      * CAST(n0 + n1 AS DOUBLE)) /
@@ -1214,7 +1221,7 @@ object StatsOps {
         |  CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
         |  1000000 + 2 * CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) *
         |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
-        |    CAST(count(*) AS BIGINT) AS expected_e6
+        |    nullif(CAST(count(*) AS BIGINT), 0) AS expected_e6
         |FROM lagged""".stripMargin,
     "x_cusum" ->
       """WITH dd AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS c

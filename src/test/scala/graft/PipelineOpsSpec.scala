@@ -266,6 +266,22 @@ class PipelineOpsSpec extends SparkSpec with Matchers {
       (3, "srcC", 1L, 6L))
   }
 
+  test("set cover: 12 rounds with checkpoint cadence == untruncated lineage") {
+    // 12 distinct single-shingle sources: every round picks exactly one;
+    // the cadence (truncate every 4th round) must not change any row vs
+    // the effectively-untruncated run, and the deep-round loop completes
+    // with bounded plan depth instead of 12 stacked union-distincts
+    val d = (0 until 12).map { i =>
+      (i.toLong, s"src$i", s"w${i}a w${i}b w${i}c")
+    }.toDF("doc_id", "source", "text")
+    val truncated = TrainingSets.setCoverSources(d, rounds = 12, truncateEvery = 4)
+      .collect().toSeq
+    val plain = TrainingSets.setCoverSources(d, rounds = 12, truncateEvery = 1000)
+      .collect().toSeq
+    truncated shouldBe plain
+    truncated.size shouldBe 12
+  }
+
   test("stitch: exact chunk counts at the 100-char boundaries, md5 round-trip") {
     val d = Seq(
       (1L, "x" * 100),        // exactly one chunk

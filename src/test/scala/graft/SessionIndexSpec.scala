@@ -85,6 +85,37 @@ class SessionIndexSpec extends SparkSpec with Matchers {
       Seq((1L, 2L), (2L, 1L))
   }
 
+  test("re-entrant getOrBuild (index derived from index) is safe on colliding bins") {
+    SessionIndex.reset(spark)
+    val sc = spark.sparkContext
+    def scopedKey(name: String) = s"${sc.applicationId}|${sc.startTime}|$name"
+    def spread(h: Int): Int = (h ^ (h >>> 16)) & 0x7fffffff
+    val outer = "spec_outer_idx"
+    // Pick a dependency name whose scoped key shares the outer key's CHM bin
+    // for any table size up to 2^16. Under the former computeIfAbsent-based
+    // implementation this nested build deterministically hit the outer
+    // ReservationNode and threw IllegalStateException("Recursive update").
+    val target = spread(scopedKey(outer).hashCode) & 0xffff
+    val dep = Iterator.from(0).map(i => s"spec_dep_$i")
+      .find(n => (spread(scopedKey(n).hashCode) & 0xffff) == target).get
+    val out = SessionIndex.getOrBuild(spark, outer) {
+      SessionIndex.getOrBuild(spark, dep)(spark.range(5).toDF("id"))
+        .select((col("id") * 2).as("id2"))
+    }
+    out.count() shouldBe 5
+    SessionIndex.buildCount(spark, outer) shouldBe 1L
+    SessionIndex.buildCount(spark, dep) shouldBe 1L
+  }
+
+  test("termFreqs built FIRST in a clean registry (x_wand_topk before x_phrase_search)") {
+    // the driver's Verify loop may deliver the WAND key before any other
+    // postings consumer — tf must build cleanly when positional is absent
+    SessionIndex.reset(spark)
+    PostingsIndex.termFreqs(spark, sf0001).count() should be > 0L
+    SessionIndex.buildCount(spark, s"postings_pos|$sf0001") shouldBe 1L
+    SessionIndex.buildCount(spark, s"postings_tf|$sf0001") shouldBe 1L
+  }
+
   test("getOrBuild memoizes per name and getOrAdopt registers as-is") {
     SessionIndex.reset(spark)
     var built = 0
