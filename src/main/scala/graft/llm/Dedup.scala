@@ -687,17 +687,19 @@ object Dedup {
     * measures the probes=1 vs probes=2 recall gap against exact cosine
     * ground truth — measured, not assumed, like X169 for the text LSH. */
   def embeddingNearDuplicates(emb: DataFrame, threshold: Double,
-      probes: Int = 1): DataFrame =
-    embeddingBuild(emb, threshold, probes)._1
+      probes: Int = 1, centsOpt: Option[DataFrame] = None): DataFrame =
+    embeddingBuild(emb, threshold, probes, centsOpt)._1
 
   /** Loan form of [[embeddingNearDuplicates]] for long-running callers. */
   def withEmbeddingNearDuplicates[A](emb: DataFrame, threshold: Double,
       probes: Int = 1)(f: DataFrame => A): A =
-    loan(embeddingBuild(emb, threshold, probes))(f)
+    loan(embeddingBuild(emb, threshold, probes, None))(f)
 
   private def embeddingBuild(emb: DataFrame, threshold: Double,
-      probes: Int): (DataFrame, Seq[DataFrame]) = {
-    val cents = Similarity.centroidVectors(emb)
+      probes: Int, centsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+    // callers over the full table supply the session-persisted quantizer
+    // (VectorIndex.centroids); ad-hoc slices build their own
+    val cents = centsOpt.getOrElse(Similarity.centroidVectors(emb))
     // norms are per-vector, so compute them once before the pair join —
     // the O(pairs) stage then evaluates a single dot product per pair
     // instead of three array folds

@@ -345,7 +345,7 @@ object LlmQueries {
     // contradicted our own instrument (r05 verdict #3)
     "x_dedup_embed" -> ((s, dir) =>
       Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir), EmbedThreshold,
-        probes = 2)),
+        probes = 2, centsOpt = Some(VectorIndex.centroids(s, dir)))),
 
     // X203: positional phrase search over an inverted index — the
     // index-once / query-many shape: the corpus explodes ONCE PER SESSION
@@ -628,7 +628,8 @@ object LlmQueries {
             (col("a.nrm") * col("b.nrm")), 6) >= EmbedThreshold)
         .agg(count(lit(1)).as("n_exact"))
       def foundAt(p: Int) =
-        Dedup.embeddingNearDuplicates(emb, EmbedThreshold, probes = p)
+        Dedup.embeddingNearDuplicates(emb, EmbedThreshold, probes = p,
+            centsOpt = Some(VectorIndex.centroids(s, dir)))
           .agg(count(lit(1)).as("n_found"))
           .select(lit(p.toLong).as("probes"), col("n_found"))
       foundAt(1).unionByName(foundAt(2))
@@ -875,12 +876,14 @@ object LlmQueries {
     "x_sim_ann" -> ((s, dir) =>
       Similarity.annTopK(Tables.embeddings(s, dir), queryId = 0L, k = 5)),
 
+    // the IVF/PQ key family probes the session-persisted quantizer
+    // artifacts (VectorIndex) — a query never recomputes centroids,
+    // assignments, or codes, the steady-state a serving deployment pays
     "x_sim_ann_ivf" -> ((s, dir) =>
-      Similarity.annTopKIvf(Tables.embeddings(s, dir), queryId = 0L, k = 5, nProbe = 2)),
+      VectorIndex.annTopKIvf(s, dir, queryId = 0L, k = 5, nProbe = 2)),
 
     "x_sim_ann_batch" -> ((s, dir) =>
-      Similarity.annTopKBatch(Tables.embeddings(s, dir), nQueries = 10L,
-        k = 5, nProbe = 2)),
+      VectorIndex.annTopKBatch(s, dir, nQueries = 10L, k = 5, nProbe = 2)),
 
     // X251: IVF × PQ composed serving — probe 2 coarse cells, ADC-score
     // their members' PQ codes (no floats), exact-rescore the 20-row
@@ -888,7 +891,7 @@ object LlmQueries {
     // supplied the probe, x_pq_adc the scan model; this key runs them as
     // one operator with the floats touched only at rescore depth.
     "x_sim_ann_ivfpq" -> ((s, dir) =>
-      Similarity.annTopKIvfPq(Tables.embeddings(s, dir), queryId = 0L,
+      VectorIndex.annTopKIvfPq(s, dir, queryId = 0L,
         k = 5, nProbe = 2, rescoreDepth = 20)),
 
     // X251b: stage-wise recall instrument for the composed operator (the
@@ -899,9 +902,10 @@ object LlmQueries {
     "x_ivfpq_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val exact = Similarity.topK(emb, queryId = 0L, k = 5).select(col("vec_id"))
-      val adc5 = Similarity.ivfPqShortlist(emb, queryId = 0L, nProbe = 2, depth = 5)
+      val adc5 = VectorIndex.ivfPqShortlist(s, dir, queryId = 0L, nProbe = 2, depth = 5)
         .select(col("vec_id"))
-      val resc5 = Similarity.annTopKIvfPq(emb, queryId = 0L, k = 5)
+      val resc5 = VectorIndex.annTopKIvfPq(s, dir, queryId = 0L, k = 5,
+        nProbe = 2, rescoreDepth = 20)
         .select(col("vec_id"))
       def stage(name: String, ids: org.apache.spark.sql.DataFrame) =
         ids.join(exact, Seq("vec_id"), "left_semi")
@@ -922,8 +926,8 @@ object LlmQueries {
     // order-dependent and could never hash-match.
     "x_pq_adc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cb = Similarity.pqCodebooks(emb)
-      val enc = Similarity.pqEncode(emb)
+      val cb = VectorIndex.pqCodebooks(s, dir)
+      val enc = VectorIndex.pqCodes(s, dir)
       val q = emb.where(col("vec_id") === 0L)
         .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
       val tables = cb.crossJoin(broadcast(q))
@@ -946,7 +950,7 @@ object LlmQueries {
     // Pins each subspace argmin end-to-end: a single mis-encoded vector
     // moves a word between histogram buckets and the hash goes red.
     "x_pq" -> ((s, dir) =>
-      Similarity.pqEncode(Tables.embeddings(s, dir))
+      VectorIndex.pqCodes(s, dir)
         .groupBy("vec_id")
         .agg(sum(expr(
           "code * CASE s WHEN 0 THEN 4096 WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END"))

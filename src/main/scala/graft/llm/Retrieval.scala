@@ -106,8 +106,9 @@ object Retrieval {
     * identical inputs), so the mean is an integer division and the new
     * centroids are engine-exact; averaging raw floats would be
     * aggregation-order-dependent and could never hash-match. */
-  def kmeansStep(emb: DataFrame, maxPos: Int = 8): DataFrame = {
-    val cents = Similarity.centroidVectors(emb)
+  def kmeansStep(emb: DataFrame, maxPos: Int = 8,
+      centsOpt: Option[DataFrame] = None): DataFrame = {
+    val cents = centsOpt.getOrElse(Similarity.centroidVectors(emb))
     Similarity.assignCells(emb, cents)
       .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cell"), col("pos"),
@@ -174,11 +175,14 @@ object Retrieval {
     * integers; probe ranking and assignment reuse the oracle-pinned
     * centroid CTEs. */
   def annRecallSweep(emb: DataFrame, queryId: Long, k: Int = 10,
-      maxProbe: Int = 4): DataFrame = {
+      maxProbe: Int = 4, centsOpt: Option[DataFrame] = None,
+      assignedOpt: Option[DataFrame] = None): DataFrame = {
     // K-row relation reused by assignment, cell ranking, and sizes —
-    // localCheckpoint, not cache, so callers hold no cached plan
-    val cents = Similarity.centroidVectors(emb).localCheckpoint(true)
-    val assigned = Similarity.assignCells(emb, cents)
+    // localCheckpoint, not cache, so callers hold no cached plan;
+    // full-table callers supply the session-persisted artifacts instead
+    val cents = centsOpt.getOrElse(
+      Similarity.centroidVectors(emb).localCheckpoint(true))
+    val assigned = assignedOpt.getOrElse(Similarity.assignCells(emb, cents))
       .select(col("vec_id"), col("cell"))
     val q = emb.where(col("vec_id") === queryId)
       .select(col("embedding").as("q_vec"))
@@ -408,13 +412,16 @@ object Retrieval {
     "x_embed_outlier" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir), k = 5)),
     "x_ann_recall_sweep" -> ((s, dir) =>
-      annRecallSweep(Tables.embeddings(s, dir), queryId = 0L)),
+      annRecallSweep(Tables.embeddings(s, dir), queryId = 0L,
+        centsOpt = Some(VectorIndex.centroids(s, dir)),
+        assignedOpt = Some(VectorIndex.assigned(s, dir)))),
     "x_embed_dim_stats" -> ((s, dir) =>
       dimStats(Tables.embeddings(s, dir))),
     "x_rrf" -> ((s, dir) => rrf(Tables.documents(s, dir))),
     "x_eval_retrieval" -> ((s, dir) =>
       evalRetrieval(Tables.embeddings(s, dir))),
-    "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir))))
+    "x_kmeans_step" -> ((s, dir) => kmeansStep(Tables.embeddings(s, dir),
+      centsOpt = Some(VectorIndex.centroids(s, dir)))))
 
   val oracles: Map[String, String] = Map(
     "x_mrl_recall" ->

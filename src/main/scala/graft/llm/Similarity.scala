@@ -166,8 +166,13 @@ object Similarity {
     * (here 4 × 4 bits): ~64× smaller, the memory layout that lets a
     * billion-vector index live in RAM. One broadcast cross join + one
     * map-side max_by — the N×(m·K) scored relation never shuffles. */
-  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame = {
-    val cb = pqCodebooks(emb, m, subDim)
+  def pqEncode(emb: DataFrame, m: Int = 4, subDim: Int = 16): DataFrame =
+    pqEncodeWith(emb, pqCodebooks(emb, m, subDim), subDim)
+
+  /** [[pqEncode]] against a PREBUILT codebook relation — the split that
+    * lets a session registry (or a persisted table at scale) supply the
+    * codebooks instead of rebuilding them per query. */
+  def pqEncodeWith(emb: DataFrame, cb: DataFrame, subDim: Int = 16): DataFrame = {
     emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .crossJoin(broadcast(cb))
@@ -209,7 +214,13 @@ object Similarity {
     // tiny (K rows); feeds probes + assignment — localCheckpoint, not
     // cache, so callers hold no cached plan to unpersist
     val cents = centroidVectors(emb).localCheckpoint(true)
-    val assigned = assignCells(emb, cents)
+    annTopKIvfCore(emb, cents, assignCells(emb, cents), queryId, k, nProbe)
+  }
+
+  /** [[annTopKIvf]] against PREBUILT centroid/assignment relations (the
+    * session-index serving path — at scale these are persisted tables). */
+  def annTopKIvfCore(emb: DataFrame, cents: DataFrame, assigned: DataFrame,
+      queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("q_vec"))
     val probes = q.crossJoin(cents)
       .select(col("q_vec"), col("cell"),
@@ -236,9 +247,14 @@ object Similarity {
     * bounded groups, no global sort. */
   def annTopKBatch(emb: DataFrame, nQueries: Long, k: Int,
       nProbe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroidVectors(emb).localCheckpoint(true)
-    val assigned = assignCells(emb, cents)
+    annTopKBatchCore(emb, cents, assignCells(emb, cents), nQueries, k, nProbe)
+  }
+
+  /** [[annTopKBatch]] against prebuilt centroid/assignment relations. */
+  def annTopKBatchCore(emb: DataFrame, cents: DataFrame, assigned: DataFrame,
+      nQueries: Long, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = emb.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val probes = q.crossJoin(cents)
@@ -278,6 +294,13 @@ object Similarity {
     // the persisted IVF-PQ index: per-cell stripes of PQ codes
     val index = pqEncode(emb)
       .join(assignCells(emb, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    ivfPqShortlistCore(emb, cents, pqCodebooks(emb), index, queryId, nProbe, depth)
+  }
+
+  /** [[ivfPqShortlist]] against prebuilt centroids, codebooks, and the
+    * (cell, vec_id, s, code) index relation. */
+  def ivfPqShortlistCore(emb: DataFrame, cents: DataFrame, cb: DataFrame,
+      index: DataFrame, queryId: Long, nProbe: Int, depth: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryId)
       .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
     val probes = q.crossJoin(cents)
@@ -285,7 +308,7 @@ object Similarity {
         round(VectorOps.cosine(col("qv"), col("cvec")), 6).as("c_sim"))
       .orderBy(col("c_sim").desc, col("cell")).limit(nProbe)
       .select(col("cell").as("q_cell"))
-    val tables = pqCodebooks(emb).crossJoin(broadcast(q))
+    val tables = cb.crossJoin(broadcast(q))
       .select(col("s"), col("code"),
         round(VectorOps.dot(expr("slice(qv, s * 16 + 1, 16)"), col("cvec")), 6).as("t"))
     index.join(broadcast(probes), col("cell") === col("q_cell"))
@@ -306,8 +329,14 @@ object Similarity {
     * `rescoreDepth` shortlist rows, the single full-precision read in the
     * whole query. */
   def annTopKIvfPq(emb: DataFrame, queryId: Long, k: Int, nProbe: Int = 2,
-      rescoreDepth: Int = 20): DataFrame = {
-    val short = ivfPqShortlist(emb, queryId, nProbe, rescoreDepth)
+      rescoreDepth: Int = 20): DataFrame =
+    rescoreShortlist(emb, ivfPqShortlist(emb, queryId, nProbe, rescoreDepth),
+      queryId, k)
+
+  /** Exact rescore of an ADC shortlist: fetch original floats ONLY for the
+    * shortlist rows, rank by true cosine. */
+  def rescoreShortlist(emb: DataFrame, short: DataFrame, queryId: Long,
+      k: Int): DataFrame = {
     val q = emb.where(col("vec_id") === queryId).select(col("embedding").as("q_vec"))
     emb.join(broadcast(short), Seq("vec_id"))
       .crossJoin(broadcast(q))

@@ -89,6 +89,12 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_freshness" -> 1, // category 2: 1-row global-max broadcast
     "x_funnel" -> 1,
     "x_interpolate" -> 1,
+    // categories 1+3: the ADC shortlist cut — a global top-`depth` (20-row)
+    // ordered limit over per-candidate ADC aggregates feeding the exact
+    // rescore; input volume is the probed cells' candidate partials, the
+    // data path (code stripes) never funnels
+    "x_sim_ann_ivfpq" -> 1,
+    "x_ivfpq_recall" -> 1, // same shortlist cut inside the instrument
     "x_join_size_est" -> 1,
     "x_k_anonymity" -> 1,
     "x_kmv_jaccard" -> 1,
