@@ -916,6 +916,35 @@ object LlmQueries {
         .orderBy("stage")
     }),
 
+    // X253: incremental IVF maintenance — the persisted-index lifecycle
+    // step VectorIndex models in-session: new vectors (vec_id % 5 = 0 as
+    // the ingest delta) are assigned to the FROZEN base centroids (no
+    // rebuild — the 100 TB contract: append is cheap, retrain is a
+    // scheduled job), and the audit reports per-cell base-vs-delta share
+    // drift — the number that decides when the quantizer is stale enough
+    // to retrain. Integer shares; full-outer so an empty cell on either
+    // side still surfaces.
+    "x_ivf_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.where(col("vec_id") % 5 =!= 0)
+      val delta = emb.where(col("vec_id") % 5 === 0)
+      val cents = Similarity.centroidVectors(base).localCheckpoint(true)
+      def counts(d: org.apache.spark.sql.DataFrame, n: String) =
+        Similarity.assignCells(d, cents).groupBy("cell").agg(count(lit(1)).as(n))
+      val totals = base.agg(count(lit(1)).as("tb"))
+        .crossJoin(delta.agg(count(lit(1)).as("td")))
+      counts(base, "n_base")
+        .join(counts(delta, "n_delta"), Seq("cell"), "full_outer")
+        .na.fill(0L, Seq("n_base", "n_delta"))
+        .crossJoin(broadcast(totals))
+        .select(col("cell"), col("n_base"), col("n_delta"),
+          expr("n_base * 1000000 div tb").as("base_share_e6"),
+          expr("n_delta * 1000000 div td").as("delta_share_e6"),
+          expr("n_delta * 1000000 div td - n_base * 1000000 div tb")
+            .as("drift_e6"))
+        .orderBy("cell")
+    }),
+
     // X93b: ADC (asymmetric distance computation) — PQ's query half. The
     // query builds a 4×10 lookup table of per-subspace dot products against
     // the codebooks; each ENCODED vector's approximate score is then four
@@ -2229,6 +2258,41 @@ object LlmQueries {
         |  FROM enc GROUP BY 1)
         |SELECT word, CAST(count(*) AS BIGINT) AS n
         |FROM words GROUP BY 1 ORDER BY n DESC, word LIMIT 25""".stripMargin,
+    "x_ivf_append" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id, v FROM e WHERE vec_id % 5 <> 0),
+        |dl AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
+        |cent AS (SELECT label AS cell, list(cval ORDER BY pos) AS cvec FROM (
+        |    SELECT label, pos, round(avg(v), 6) AS cval
+        |    FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |            generate_subscripts(embedding, 1) AS pos FROM embeddings
+        |          WHERE vec_id % 5 <> 0)
+        |    GROUP BY label, pos)
+        |  GROUP BY label),
+        |asgb AS (SELECT vec_id, cell FROM (
+        |    SELECT b.vec_id, cent.cell, row_number() OVER (PARTITION BY b.vec_id
+        |      ORDER BY round(list_dot_product(v, cvec) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |        cent.cell) AS rk
+        |    FROM b CROSS JOIN cent) WHERE rk = 1),
+        |asgd AS (SELECT vec_id, cell FROM (
+        |    SELECT dl.vec_id, cent.cell, row_number() OVER (PARTITION BY dl.vec_id
+        |      ORDER BY round(list_dot_product(v, cvec) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cvec, cvec))), 6) DESC,
+        |        cent.cell) AS rk
+        |    FROM dl CROSS JOIN cent) WHERE rk = 1),
+        |cb2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base FROM asgb GROUP BY 1),
+        |cd2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_delta FROM asgd GROUP BY 1),
+        |t AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS tb,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM dl) AS td)
+        |SELECT coalesce(cb2.cell, cd2.cell) AS cell,
+        |  coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta,
+        |  coalesce(n_base, 0) * 1000000 // tb AS base_share_e6,
+        |  coalesce(n_delta, 0) * 1000000 // td AS delta_share_e6,
+        |  coalesce(n_delta, 0) * 1000000 // td
+        |    - coalesce(n_base, 0) * 1000000 // tb AS drift_e6
+        |FROM cb2 FULL OUTER JOIN cd2 ON cb2.cell = cd2.cell CROSS JOIN t
+        |ORDER BY cell""".stripMargin,
     "x_sim_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$centCte,

@@ -326,7 +326,60 @@ object TrainingSets {
         (col("chosen_score") - col("rejected_score")).as("margin"))
       .orderBy("group_id")
 
+  /** X252: right-to-be-forgotten propagation audit — deleting source
+    * documents must purge every DERIVED artifact, not just the source
+    * table: the chunk table (X46's 32/24 chunking), the packed-sequence
+    * table (X47's 256-token per-language packing — REBUILT after the
+    * delete, because pack boundaries shift; purging packs in place would
+    * leave sequences containing deleted text), and the embedding table
+    * keyed by the same ids. One audit row per artifact with a GENUINELY
+    * COMPUTED residual-reference count (the x_cdc_apply roundtrip
+    * discipline: the oracle recomputes everything, so a lost delete
+    * anywhere — a wrong anti-join key, a stale derived table — turns the
+    * key red, instead of the audit asserting its own correctness).
+    *
+    * Scale shape: the delete set is the GDPR request, not the corpus —
+    * broadcast anti-joins against each artifact; pack rebuild is X47's
+    * per-language range-partitioned window. Delete set: doc_id % 13 = 0. */
+  private def deletePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val del = docs.where(col("doc_id") % 13 === 0).select("doc_id")
+    val docsAfter = docs.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val chunks = TextAnalysis.chunkDocuments(docs, chunkSize = 32, stride = 24)
+      .select("doc_id")
+    val chunksAfter = chunks.join(broadcast(del), Seq("doc_id"), "left_anti")
+    val embDel = del.withColumnRenamed("doc_id", "vec_id")
+    val embAfter = emb.join(broadcast(embDel), Seq("vec_id"), "left_anti")
+    def packs(d: DataFrame) =
+      TextAnalysis.packSequences(d, window = 256)
+        .groupBy("lang").agg((max("last_pack") + 1).as("n_packs"))
+        .agg(coalesce(sum("n_packs"), lit(0L)).as("n"))
+    def cnt(d: DataFrame) = d.agg(count(lit(1)).as("n"))
+    def refs(d: DataFrame, key: String, ids: DataFrame) =
+      cnt(d.join(broadcast(ids), Seq(key), "left_semi"))
+    def audit(name: String, before: DataFrame, after: DataFrame,
+        residual: DataFrame) =
+      before.select(col("n").as("n_before"))
+        .crossJoin(broadcast(after.select(col("n").as("n_after"))))
+        .crossJoin(broadcast(residual.select(col("n").as("residual_refs"))))
+        .select(lit(name).as("artifact"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_removed"),
+          col("n_after"), col("residual_refs"))
+    audit("chunks", cnt(chunks), cnt(chunksAfter),
+        refs(chunksAfter, "doc_id", del))
+      .unionByName(audit("documents", cnt(docs), cnt(docsAfter),
+        refs(docsAfter, "doc_id", del)))
+      .unionByName(audit("embeddings", cnt(emb), cnt(embAfter),
+        refs(embAfter, "vec_id", embDel)))
+      .unionByName(audit("packs", packs(docs), packs(docsAfter),
+        refs(TextAnalysis.packSequences(docsAfter, window = 256),
+          "doc_id", del)))
+      .orderBy("artifact")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_delete_propagation" -> ((s, dir) => deletePropagation(s, dir)),
     "x_pref_pairs" -> ((s, dir) => prefPairs(Tables.documents(s, dir))),
     "x_set_cover" -> ((s, dir) => setCoverSources(Tables.documents(s, dir))),
     "x_stitch" -> ((s, dir) => stitchRoundtrip(Tables.documents(s, dir))),
@@ -340,6 +393,40 @@ object TrainingSets {
     "x_negative_sample" -> ((s, dir) => negativeSample(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    // recomputes every artifact count from scratch (the roundtrip
+    // discipline): chunk rows = 1 + ⌊max(n_tok−1,0)/24⌋ per doc (X46's
+    // generator arithmetic), packs per language = ⌊(Σtok−1)/256⌋ + 1
+    // (X47's concatenate-and-cut), purges via NOT IN against the delete
+    // set; residual_refs is pinned 0 — a Spark-side lost delete shows up
+    // as a nonzero residual or a count mismatch
+    "x_delete_propagation" ->
+      """WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+        |d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |da AS (SELECT * FROM d
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+        |ch AS (SELECT CAST(sum(1 + greatest(n_tok - 1, 0) // 24) AS BIGINT) AS n
+        |  FROM d),
+        |cha AS (SELECT CAST(sum(1 + greatest(n_tok - 1, 0) // 24) AS BIGINT) AS n
+        |  FROM da),
+        |pk AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n FROM (
+        |    SELECT (sum(n_tok) - 1) // 256 + 1 AS np FROM d GROUP BY lang)),
+        |pka AS (SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n FROM (
+        |    SELECT (sum(n_tok) - 1) // 256 + 1 AS np FROM da GROUP BY lang)),
+        |ec AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT doc_id FROM del)),
+        |dc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |dda AS (SELECT CAST(count(*) AS BIGINT) AS n FROM da)
+        |SELECT 'chunks' AS artifact, ch.n AS n_before, ch.n - cha.n AS n_removed,
+        |  cha.n AS n_after, CAST(0 AS BIGINT) AS residual_refs FROM ch, cha
+        |UNION ALL SELECT 'documents', dc.n, dc.n - dda.n, dda.n,
+        |  CAST(0 AS BIGINT) FROM dc, dda
+        |UNION ALL SELECT 'embeddings', ec.n, ec.n - ea.n, ea.n,
+        |  CAST(0 AS BIGINT) FROM ec, ea
+        |UNION ALL SELECT 'packs', pk.n, pk.n - pka.n, pka.n,
+        |  CAST(0 AS BIGINT) FROM pk, pka
+        |ORDER BY artifact""".stripMargin,
     "x_pref_pairs" ->
       """WITH d AS (SELECT doc_id // 10 AS group_id, doc_id, n_chars
         |  FROM documents),

@@ -95,6 +95,11 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     // data path (code stripes) never funnels
     "x_sim_ann_ivfpq" -> 1,
     "x_ivfpq_recall" -> 1, // same shortlist cut inside the instrument
+    // category 1: a 5-column audit report of global artifact counts — 4
+    // artifacts × (before/after/residual) scalar finals; every count's
+    // distributed work is in its partial stage, the corpora never funnel
+    "x_delete_propagation" -> 12,
+    "x_ivf_append" -> 2, // category 2: base/delta total-count broadcasts
     "x_join_size_est" -> 1,
     "x_k_anonymity" -> 1,
     "x_kmv_jaccard" -> 1,
