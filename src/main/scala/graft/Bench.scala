@@ -46,6 +46,9 @@ object Bench {
     // them at index-build time, queries only probe
     try graft.llm.VectorIndex.warm(spark, sfDir)
     catch { case _: Throwable => () }
+    // ...and the shared shingle-id index the near-dup family probes
+    try graft.llm.Dedup.shingleIds(spark, sfDir).count()
+    catch { case _: Throwable => () }
     // dev-only knobs (the driver sets neither): SPARK_GRAFT_KEYS narrows to
     // a comma-separated key subset, SPARK_GRAFT_REPS repeats each key and
     // reports the MEDIAN — the host's I/O variance swings single runs 3×,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -96,6 +96,19 @@ object Dedup {
       .select(col("doc_id"),
         explode(shingles(TextAnalysis.tokens(col("text")))).as("s"))
 
+  /** Session-persisted (doc_id, sid) word-3-gram shingle-id relation over
+    * the FULL documents table of `dir` — the shared index the near-dup
+    * family probes (the PostingsIndex/VectorIndex discipline; the
+    * [[incrementalNearDuplicates]] scaladoc's "persisted shingle-id index
+    * a real pipeline keeps" made concrete in-session). Full-table
+    * consumers pass it via their `idsOpt` parameter; ad-hoc slices keep
+    * deriving their own. */
+  def shingleIds(spark: SparkSession, dir: String): DataFrame =
+    graft.relational.SessionIndex.getOrBuild(spark, s"shingle_ids|$dir") {
+      shingleSets(graft.model.Tables.documents(spark, dir))
+        .select(col("doc_id"), hashId(col("s")).as("sid"))
+    }
+
   /** N-gram Jaccard near-duplicates over the df-bounded shingle-id space.
     *
     * The inverted index is keyed on the md5-derived 60-bit shingle id, not
@@ -123,13 +136,13 @@ object Dedup {
     try f(built._1) finally built._2.foreach(_.unpersist())
 
   def nearDuplicates(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxShingleDf): DataFrame =
-    nearDuplicatePairs(docs, threshold, maxDf).orderBy("da", "db")
+      maxDf: Int = MaxShingleDf, idsOpt: Option[DataFrame] = None): DataFrame =
+    nearDuplicatePairs(docs, threshold, maxDf, idsOpt).orderBy("da", "db")
 
   /** Loan form of [[nearDuplicatePairs]] for long-running callers. */
   def withNearDuplicatePairs[A](docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf)(f: DataFrame => A): A =
-    loan(nearPairsBuild(docs, threshold, maxDf))(f)
+    loan(nearPairsBuild(docs, threshold, maxDf, None))(f)
 
   /** [[nearDuplicates]] without the presentation sort — feed this to
     * downstream consumers (cluster assignment) that re-partition anyway.
@@ -144,15 +157,17 @@ object Dedup {
     * post-aggregation size joins unnecessary (min over a constant-per-group
     * column recovers them). */
   def nearDuplicatePairs(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxShingleDf): DataFrame =
-    nearPairsBuild(docs, threshold, maxDf)._1
+      maxDf: Int = MaxShingleDf, idsOpt: Option[DataFrame] = None): DataFrame =
+    nearPairsBuild(docs, threshold, maxDf, idsOpt)._1
 
   private def nearPairsBuild(docs: DataFrame, threshold: Double,
-      maxDf: Int): (DataFrame, Seq[DataFrame]) = {
+      maxDf: Int, idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     // the id relation feeds the df computation and the size computation —
-    // materialize once (16 bytes/row) instead of re-exploding
-    val ids = shingleSets(docs)
-      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+    // materialize once (16 bytes/row) instead of re-exploding; a supplied
+    // session artifact ([[shingleIds]]) is already checkpointed, so skip
+    // the cache AND its unpersist
+    val ids = idsOpt.getOrElse(shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache())
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
@@ -173,7 +188,7 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    (pairs, Seq(ids, withN))
+    (pairs, if (idsOpt.isDefined) Seq(withN) else Seq(ids, withN))
   }
 
   /** X191: incremental (delta-vs-base) near-dup — the daily-ingest shape:
@@ -193,8 +208,9 @@ object Dedup {
     * real pipeline keeps partitioned by sid on disk. Best-match selection
     * is a per-delta-doc window over its own matches (bounded group). */
   def incrementalNearDuplicates(docs: DataFrame, deltaFrom: Long,
-      threshold: Double, maxDf: Int = MaxShingleDf): DataFrame =
-    incrementalBuild(docs, deltaFrom, threshold, maxDf)._1
+      threshold: Double, maxDf: Int = MaxShingleDf,
+      idsOpt: Option[DataFrame] = None): DataFrame =
+    incrementalBuild(docs, deltaFrom, threshold, maxDf, idsOpt)._1
 
   /** Loan-pattern variant for LONG-RUNNING callers (the streaming ingest
     * path): runs `f` over the flagged relation, then unpersists the two
@@ -203,14 +219,16 @@ object Dedup {
     * that did the same would accumulate cached plans without bound. */
   def withIncrementalNearDuplicates[A](docs: DataFrame, deltaFrom: Long,
       threshold: Double, maxDf: Int = MaxShingleDf)(f: DataFrame => A): A = {
-    val (result, caches) = incrementalBuild(docs, deltaFrom, threshold, maxDf)
+    val (result, caches) =
+      incrementalBuild(docs, deltaFrom, threshold, maxDf, None)
     try f(result) finally caches.foreach(_.unpersist())
   }
 
   private def incrementalBuild(docs: DataFrame, deltaFrom: Long,
-      threshold: Double, maxDf: Int): (DataFrame, Seq[DataFrame]) = {
-    val ids = shingleSets(docs)
-      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+      threshold: Double, maxDf: Int,
+      idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+    val ids = idsOpt.getOrElse(shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache())
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
@@ -237,14 +255,16 @@ object Dedup {
       .where(col("rk") === 1)
       .select("doc_id", "base_id", "inter", "jaccard", "n_base_matches")
       .orderBy("doc_id")
-    (flagged, Seq(ids, withN))
+    (flagged, if (idsOpt.isDefined) Seq(withN) else Seq(ids, withN))
   }
 
   /** MinHash signatures: per doc, min over md5-derived shingle ids of each
     * affine hash — a single projection + one groupBy(doc_id), no dictionary.
     * Output: doc_id, mh_0 … mh_{15}, sig (array). */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val ids = shingleSets(docs).select(col("doc_id"), hashId(col("s")).as("id"))
+  def minhashSignatures(docs: DataFrame,
+      idsOpt: Option[DataFrame] = None): DataFrame = {
+    val ids = idsOpt.map(_.withColumnRenamed("sid", "id")).getOrElse(
+      shingleSets(docs).select(col("doc_id"), hashId(col("s")).as("id")))
     val mhCols = (0 until NumHashes).map(j =>
       min((col("id") * hashA(j) + hashB(j)) % P).as(s"mh_$j"))
     ids.groupBy("doc_id")
@@ -254,19 +274,20 @@ object Dedup {
 
   /** LSH banding: candidate pairs = docs sharing ≥1 band of 4 consecutive
     * minhashes; estimated similarity = fraction of equal signature slots. */
-  def minhashNearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
-    minhashBuild(docs, threshold)._1
+  def minhashNearDuplicates(docs: DataFrame, threshold: Double,
+      idsOpt: Option[DataFrame] = None): DataFrame =
+    minhashBuild(docs, threshold, idsOpt)._1
 
   /** Loan form of [[minhashNearDuplicates]] for long-running callers. */
   def withMinhashNearDuplicates[A](docs: DataFrame, threshold: Double)(
       f: DataFrame => A): A =
-    loan(minhashBuild(docs, threshold))(f)
+    loan(minhashBuild(docs, threshold, None))(f)
 
-  private def minhashBuild(docs: DataFrame,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
+  private def minhashBuild(docs: DataFrame, threshold: Double,
+      idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     // signatures appear on both sides of the band self-join — cache so the
     // shingle → min-agg chain runs once
-    val sig = minhashSignatures(docs).cache()
+    val sig = minhashSignatures(docs, idsOpt).cache()
     val result = minhashBandCandidates(sig, NumBands)
       .where(col("est_sim") >= threshold)
       .orderBy("da", "db")
@@ -327,18 +348,21 @@ object Dedup {
     * joins candidate pairs back to full sets — bounded by candidates, never
     * corpus². Size-ratio pruning rides the candidate join as in
     * [[nearDuplicatePairs]]. */
-  def prefixFilterNearDuplicates(docs: DataFrame, threshold: Double): DataFrame =
-    prefixFilterBuild(docs, threshold)._1
+  def prefixFilterNearDuplicates(docs: DataFrame, threshold: Double,
+      idsOpt: Option[DataFrame] = None): DataFrame =
+    prefixFilterBuild(docs, threshold, idsOpt)._1
 
   /** Loan form of [[prefixFilterNearDuplicates]] for long-running callers. */
   def withPrefixFilterNearDuplicates[A](docs: DataFrame, threshold: Double)(
       f: DataFrame => A): A =
-    loan(prefixFilterBuild(docs, threshold))(f)
+    loan(prefixFilterBuild(docs, threshold, None))(f)
 
-  private def prefixFilterBuild(docs: DataFrame,
-      threshold: Double): (DataFrame, Seq[DataFrame]) = {
-    val ids = shingleSets(docs)
-      .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache()
+  private def prefixFilterBuild(docs: DataFrame, threshold: Double,
+      idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+    // shingleSets is distinct-per-doc by construction, so the artifact
+    // needs no extra distinct
+    val ids = idsOpt.map(_.distinct()).getOrElse(shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache())
     val dfreq = ids.groupBy("sid").agg(count(lit(1)).as("df"))
     val ranked = ids.join(dfreq, "sid")
       .withColumn("rn", row_number().over(
@@ -367,7 +391,7 @@ object Dedup {
           (col("ma") + col("mb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("da", "db")
-    (result, Seq(ids, pfx))
+    (result, if (idsOpt.isDefined) Seq(pfx) else Seq(ids, pfx))
   }
 
   def simhash(docs: DataFrame): DataFrame =
@@ -635,18 +659,18 @@ object Dedup {
     * separate "true subset" (high C, low J) from "near-identical" (both
     * high). */
   def containmentPairs(docs: DataFrame, threshold: Double,
-      maxDf: Int = MaxShingleDf): DataFrame =
-    containmentBuild(docs, threshold, maxDf)._1
+      maxDf: Int = MaxShingleDf, idsOpt: Option[DataFrame] = None): DataFrame =
+    containmentBuild(docs, threshold, maxDf, idsOpt)._1
 
   /** Loan form of [[containmentPairs]] for long-running callers. */
   def withContainmentPairs[A](docs: DataFrame, threshold: Double,
       maxDf: Int = MaxShingleDf)(f: DataFrame => A): A =
-    loan(containmentBuild(docs, threshold, maxDf))(f)
+    loan(containmentBuild(docs, threshold, maxDf, None))(f)
 
   private def containmentBuild(docs: DataFrame, threshold: Double,
-      maxDf: Int): (DataFrame, Seq[DataFrame]) = {
-    val ids = shingleSets(docs)
-      .select(col("doc_id"), hashId(col("s")).as("sid")).cache()
+      maxDf: Int, idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+    val ids = idsOpt.getOrElse(shingleSets(docs)
+      .select(col("doc_id"), hashId(col("s")).as("sid")).cache())
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
@@ -665,7 +689,7 @@ object Dedup {
           (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .where(col("cont_e6") >= (threshold * 1000000).toLong)
       .orderBy("da", "db")
-    (result, Seq(ids, withN))
+    (result, if (idsOpt.isDefined) Seq(withN) else Seq(ids, withN))
   }
 
   /** Embedding near-duplicates, IVF-bucketed: build centroids

@@ -222,17 +222,23 @@ object LlmQueries {
 
     // incremental ingest dedup: delta batch (doc_id >= 250) probed against
     // the existing base corpus — best base match per flagged delta doc
+    // the full-corpus near-dup keys probe the session-persisted shingle-id
+    // index (Dedup.shingleIds) — at 100 TB the (doc_id, sid) relation is a
+    // persisted table partitioned by sid; only ad-hoc slices re-explode
     "x_dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalNearDuplicates(Tables.documents(s, dir),
-        deltaFrom = IncrementalDeltaFrom.toLong, threshold = JaccardThreshold)),
+        deltaFrom = IncrementalDeltaFrom.toLong, threshold = JaccardThreshold,
+        idsOpt = Some(Dedup.shingleIds(s, dir)))),
 
     "x_dedup_ngram" -> ((s, dir) =>
-      Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
+      Dedup.nearDuplicates(Tables.documents(s, dir), JaccardThreshold,
+        idsOpt = Some(Dedup.shingleIds(s, dir)))),
 
     // asymmetric containment: subset-duplicates (short doc embedded in a
     // long one) that the Jaccard threshold structurally misses
     "x_dedup_containment" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir), 0.9)),
+      Dedup.containmentPairs(Tables.documents(s, dir), 0.9,
+        idsOpt = Some(Dedup.shingleIds(s, dir)))),
 
     // fuzzy verification of the shingle-based candidates: exact edit
     // distance over the candidate pairs ONLY (levenshtein is O(len²) per
@@ -240,7 +246,8 @@ object LlmQueries {
     // pair set first, then the expensive exact measure runs on survivors)
     "x_edit_distance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      Dedup.nearDuplicatePairs(docs, JaccardThreshold)
+      Dedup.nearDuplicatePairs(docs, JaccardThreshold,
+          idsOpt = Some(Dedup.shingleIds(s, dir)))
         .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), "da")
         .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), "db")
         .select(col("da"), col("db"),
@@ -250,7 +257,8 @@ object LlmQueries {
     }),
 
     "x_dedup_prefix" -> ((s, dir) =>
-      Dedup.prefixFilterNearDuplicates(Tables.documents(s, dir), JaccardThreshold)),
+      Dedup.prefixFilterNearDuplicates(Tables.documents(s, dir), JaccardThreshold,
+        idsOpt = Some(Dedup.shingleIds(s, dir)))),
 
     // X102: the BPE statistics pass — adjacent character-pair counts over
     // the distinct-word table, weighted by word frequency (the merge LOOP
@@ -262,7 +270,8 @@ object LlmQueries {
         .limit(20)),
 
     "x_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold)),
+      Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold,
+        idsOpt = Some(Dedup.shingleIds(s, dir)))),
 
     // X169: LSH quality evaluation — MinHash+banding candidates measured
     // against the exact (rare-shingle-space) Jaccard ground truth on the
@@ -273,10 +282,11 @@ object LlmQueries {
     // integers (est = matches/16 is exact; jaccard quantized ×10⁶).
     "x_near_dup_eval" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).where(col("doc_id") < 1500)
-      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold)
+      val ids = Some(Dedup.shingleIds(s, dir).where(col("doc_id") < 1500))
+      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold, idsOpt = ids)
         .select(col("da"), col("db"),
           floor(col("jaccard") * 1000000.0 + 0.5).cast("long").as("j_e6"))
-      val lsh = Dedup.minhashNearDuplicates(docs, MinhashThreshold)
+      val lsh = Dedup.minhashNearDuplicates(docs, MinhashThreshold, idsOpt = ids)
         .select(col("da"), col("db"),
           floor(col("est_sim") * 1000000.0 + 0.5).cast("long").as("est_e6"))
       exact.join(lsh, Seq("da", "db"), "full_outer")
@@ -307,9 +317,12 @@ object LlmQueries {
     // measured precision/recall frontier. All integers.
     "x_lsh_band_sweep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).where(col("doc_id") < 1500)
-      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold)
+      // shingling is row-local, so the doc_id slice commutes with the
+      // session artifact: filter the shared index instead of re-exploding
+      val ids = Some(Dedup.shingleIds(s, dir).where(col("doc_id") < 1500))
+      val exact = Dedup.nearDuplicatePairs(docs, MinhashThreshold, idsOpt = ids)
         .select(col("da"), col("db"), lit(1L).as("truth"))
-      val sig = Dedup.minhashSignatures(docs)
+      val sig = Dedup.minhashSignatures(docs, idsOpt = ids)
       val cands = Seq(2, 4, 8).map(b =>
           Dedup.minhashBandCandidates(sig, b)
             .where(col("est_sim") >= MinhashThreshold)

@@ -56,6 +56,33 @@ class DedupSpec extends SparkSpec with Matchers {
     loose.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L), (1L, 3L), (2L, 3L))
   }
 
+  test("a supplied shingle-id artifact yields identical results to self-derivation") {
+    // the idsOpt contract (session shingle index): artifact-fed == inline
+    // for every consumer, including the distinct handling in prefix-filter
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the sleepy cat",
+      4L -> "completely different words here entirely now")
+    val ids = Dedup.shingleSets(d)
+      .select(col("doc_id"), Dedup.hashId(col("s")).as("sid"))
+      .localCheckpoint(true)
+    Dedup.nearDuplicates(d, 0.5, idsOpt = Some(ids)).collect().toSeq shouldBe
+      Dedup.nearDuplicates(d, 0.5).collect().toSeq
+    Dedup.prefixFilterNearDuplicates(d, 0.5, idsOpt = Some(ids))
+      .collect().toSeq shouldBe
+      Dedup.prefixFilterNearDuplicates(d, 0.5).collect().toSeq
+    Dedup.minhashNearDuplicates(d, 0.5, idsOpt = Some(ids))
+      .collect().toSeq shouldBe
+      Dedup.minhashNearDuplicates(d, 0.5).collect().toSeq
+    Dedup.containmentPairs(d, 0.9, idsOpt = Some(ids)).collect().toSeq shouldBe
+      Dedup.containmentPairs(d, 0.9).collect().toSeq
+    Dedup.incrementalNearDuplicates(d, deltaFrom = 2L, threshold = 0.5,
+        idsOpt = Some(ids)).collect().toSeq shouldBe
+      Dedup.incrementalNearDuplicates(d, deltaFrom = 2L, threshold = 0.5)
+        .collect().toSeq
+  }
+
   test("prefix-filter join equals the unbounded inverted-index join") {
     // with no df cutoff, nearDuplicates' rare-shingle-space Jaccard IS full
     // Jaccard and its candidate generator is complete — so the prefix
