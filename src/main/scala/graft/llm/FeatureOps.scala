@@ -159,7 +159,81 @@ object FeatureOps {
       .orderBy("doc_id")
   }
 
+  /** The batched retrieval workload for [[ragContext]]: 5 two-term
+    * queries over the corpus vocabulary, literal in code AND oracle. */
+  val RagQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("join", "hash"), 2L -> Seq("scan", "filter"),
+    3L -> Seq("window", "spark"), 4L -> Seq("stream", "batch"),
+    5L -> Seq("sort", "merge"))
+
+  /** X254: RAG context assembly — retrieval composed into the data product
+    * a retrieval-augmented pipeline actually ships: Q queries per plan
+    * (the X250 batching argument), each retrieving its BM25 top-k
+    * documents (the X95 integer-exact scoring, batched by q_id), then the
+    * context packs docs in rank order under a token budget with a STRICT
+    * prefix cut (the first overflowing doc truncates the context — the
+    * deterministic behavior a production context builder wants, because
+    * skip-and-continue packing reorders evidence under budget changes).
+    *
+    * Shapes at scale: the query-term relation broadcasts (it is the
+    * request batch); postings join on term then aggregate per (q_id,
+    * doc_id) — candidate volume Σ_q df(terms of q), never Q·N; ranking
+    * and the cumulative-token window partition by q_id (Q bounded
+    * groups). Output is one row per query: counts, packed token total,
+    * and the ordered context id list. */
+  def ragContext(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+      .toDF("q_id", "w")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("t"))
+    val lens = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      expr("sum(dl) div count(1)").as("avgdl"))
+    val posting = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .join(broadcast(q), Seq("w"))
+    val tf = posting.groupBy("q_id", "doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = posting.groupBy("q_id", "w")
+      .agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(lens, "doc_id")
+      .join(broadcast(dfreq), Seq("q_id", "w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", length(bin(expr("n div df"))).cast("long"))
+      .withColumn("term_score",
+        expr("idf * 44 * tf * avgdl * 1000000 div " +
+          "(20 * tf * avgdl + 6 * avgdl + 18 * dl)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("term_score").as("score_e6"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score_e6").desc, col("doc_id"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("rk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val topk = scored
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .where(col("rk") <= k)
+      .join(lens, "doc_id")
+      .withColumn("cum", sum("dl").over(wCum))
+    val counts = topk.groupBy("q_id").agg(count(lit(1)).as("n_retrieved"))
+    val used = topk.where(col("cum") <= budget)
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_used"), sum("dl").as("tokens_used"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rk"),
+            col("doc_id").cast("string").as("d")))),
+          s => s.getField("d")), ",").as("context_ids"))
+    counts.join(used, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_used", "tokens_used"))
+      .na.fill("", Seq("context_ids"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_rag_context" -> ((s, dir) =>
+      ragContext(Tables.documents(s, dir), RagQueries, k = 3, budget = 120L)),
     "x_classifier_score" -> ((s, dir) =>
       classifierScore(Tables.documents(s, dir), 64)),
     "x_target_encode" -> ((s, dir) =>
@@ -174,6 +248,44 @@ object FeatureOps {
       oneHotLang(Tables.documents(s, dir)).orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
+    "x_rag_context" ->
+      """WITH q(q_id, w) AS (VALUES (1, 'join'), (1, 'hash'),
+        |    (2, 'scan'), (2, 'filter'), (3, 'window'), (3, 'spark'),
+        |    (4, 'stream'), (4, 'batch'), (5, 'sort'), (5, 'merge')),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
+        |posting AS (SELECT q_id, doc_id, u.w
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u JOIN q ON u.w = q.w),
+        |tf AS (SELECT q_id, doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM posting GROUP BY 1, 2, 3),
+        |df AS (SELECT q_id, w, count(DISTINCT doc_id) AS df
+        |  FROM posting GROUP BY 1, 2),
+        |scored AS (SELECT tf.q_id, tf.doc_id,
+        |    CAST(sum(CAST(length(bin(n // df)) AS BIGINT) *
+        |      44 * tf * avgdl * 1000000 //
+        |      (20 * tf * avgdl + 6 * avgdl + 18 * dl)) AS BIGINT) AS score_e6
+        |  FROM tf JOIN lens USING (doc_id) JOIN df USING (q_id, w), stats
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT q_id, doc_id, score_e6,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rk
+        |  FROM scored),
+        |topk AS (SELECT r.q_id, r.doc_id, r.rk, lens.dl,
+        |    CAST(sum(dl) OVER (PARTITION BY q_id ORDER BY rk) AS BIGINT) AS cum
+        |  FROM ranked r JOIN lens USING (doc_id) WHERE rk <= 3),
+        |counts AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_retrieved
+        |  FROM topk GROUP BY 1),
+        |used AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_used,
+        |    CAST(sum(dl) AS BIGINT) AS tokens_used,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rk) AS context_ids
+        |  FROM topk WHERE cum <= 120 GROUP BY 1)
+        |SELECT CAST(counts.q_id AS BIGINT) AS q_id, n_retrieved,
+        |  coalesce(n_used, 0) AS n_used,
+        |  coalesce(tokens_used, 0) AS tokens_used,
+        |  coalesce(context_ids, '') AS context_ids
+        |FROM counts LEFT JOIN used USING (q_id) ORDER BY q_id""".stripMargin,
     "x_classifier_score" ->
       s"""WITH wts AS (SELECT CAST(b AS BIGINT) AS b,
          |    (${StableHash.md5Prefix60Sql("CAST(b AS VARCHAR)")} % 201) - 100 AS wt

@@ -101,6 +101,10 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delete_propagation" -> 12,
     "x_ivf_append" -> 2, // category 2: base/delta total-count broadcasts
     "x_join_size_est" -> 1,
+    // category 2: the corpus n/avgdl scalar broadcast (as in x_bm25) plus
+    // the broadcast build of the per-(q_id, term) df relation — request-
+    // batch-sized, never the corpus
+    "x_rag_context" -> 2,
     "x_k_anonymity" -> 1,
     "x_kmv_jaccard" -> 1,
     "x_lsh_band_sweep" -> 1, // category 2: 1-row n_exact broadcast
