@@ -34,6 +34,7 @@ object SparkEntry {
       llm.FeatureOps.queries ++
       streaming.StreamQueries.queries ++
       sources.FormatQueries.queries ++
+      sources.AvroFormat.queries ++
       ingest.Integrity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
@@ -55,5 +56,6 @@ object SparkEntry {
       llm.FeatureOps.oracles ++
       streaming.StreamQueries.oracles ++
       sources.FormatQueries.oracles ++
+      sources.AvroFormat.oracles ++
       ingest.Integrity.oracles
 }

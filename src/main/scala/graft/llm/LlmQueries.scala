@@ -269,6 +269,12 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(20)),
 
+    // X256: the tokenizer half of BPE — 4 trained merges applied to the
+    // corpus, surfaced as the learned sub-word vocabulary
+    "x_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodedVocab(Tables.documents(s, dir),
+        numMerges = 4, topK = 20)),
+
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold,
         idsOpt = Some(Dedup.shingleIds(s, dir)))),
@@ -1256,6 +1262,24 @@ object LlmQueries {
        |      i -> sa[i+1] = sb[i+1])) AS DOUBLE) / ${Dedup.NumHashes}
        |    >= $MinhashThreshold)""".stripMargin
 
+  /** One unrolled BPE train round (oracle side): pair counts over the
+    * sentinel-delimited symbol strings, top-1 merge (cnt DESC, a, b), then
+    * greedy left-to-right application — `replace` on the ␁sym␂ wrapping is
+    * exactly the greedy merge because adjacent matches share no boundary
+    * characters (see [[TextAnalysis.bpeEncodedVocab]]). */
+  private def bpeRound(prev: String, r: String): String =
+    s"""sy$r AS (SELECT s, freq,
+       |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms
+       |  FROM $prev),
+       |p$r AS (SELECT syms[i] AS a, syms[i + 1] AS b,
+       |    CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM sy$r, LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) t
+       |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+       |m$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |w$r AS (SELECT replace(s, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+       |      chr(1) || a || b || chr(2)) AS s, freq
+       |  FROM $prev, m$r)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "x_text_stats" ->
       s"""WITH $toksCte
@@ -1509,6 +1533,35 @@ object LlmQueries {
          |FROM pairs
          |WHERE inter * 1000000 // least(na, nb) >= 900000
          |ORDER BY da, db""".stripMargin,
+    "x_bpe_encode" -> {
+      def m(r: String) = s"chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2)," +
+        s" chr(1) || m$r.a || m$r.b || chr(2)"
+      s"""WITH w0 AS (SELECT
+         |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |    WHERE ${graft.functions.StableHash.md5Prefix60Sql("CAST(doc_id AS VARCHAR)")} % 100 < 20)
+         |  GROUP BY 1),
+         |${bpeRound("w0", "1")},
+         |${bpeRound("w1", "2")},
+         |${bpeRound("w2", "3")},
+         |${bpeRound("w3", "4")},
+         |w0f AS (SELECT
+         |    regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+         |    CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |wf AS (SELECT replace(replace(replace(replace(w0f.s,
+         |      ${m("1")}), ${m("2")}), ${m("3")}), ${m("4")}) AS s, freq
+         |  FROM w0f, m1, m2, m3, m4),
+         |syf AS (SELECT
+         |    string_split(substr(s, 2, length(s) - 2), chr(2) || chr(1)) AS syms,
+         |    freq
+         |  FROM wf)
+         |SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM (SELECT unnest(syms) AS sym, freq FROM syf)
+         |GROUP BY 1 ORDER BY cnt DESC, symbol LIMIT 20""".stripMargin
+    },
     "x_bpe_pairs" ->
       """WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)

@@ -514,6 +514,11 @@ object TextAnalysis {
     * algorithm ("aaa" + merge(a,a) → ["aa","a"], not ["aa","aa"]). */
   def bpeTrain(docs: DataFrame, numMerges: Int): Seq[(String, String)] = {
     var words = wordSymbolTable(docs).cache()
+    // every round's table stays cached until the loop ends (the kHopReach
+    // frontier discipline): the NEXT round's pair-count job materializes
+    // the fold lazily through the cache, so no per-round count() action —
+    // one Spark job per merge instead of two
+    val cached = scala.collection.mutable.ArrayBuffer(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     (0 until numMerges).foreach { _ =>
       val top = bpePairCounts(words)
@@ -521,15 +526,44 @@ object TextAnalysis {
       if (top.nonEmpty) {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
-        val prev = words
-        words = prev.withColumn("syms",
-          applyMerge(col("syms"), a, b)).cache()
-        words.count() // materialize before unpersisting the parent
-        prev.unpersist()
+        words = words.withColumn("syms", applyMerge(col("syms"), a, b)).cache()
+        cached += words
       }
     }
-    words.unpersist()
+    cached.foreach(_.unpersist())
     merges.toSeq
+  }
+
+  /** X256: BPE ENCODE — train `numMerges` merges (X102's loop), then apply
+    * them in order to the distinct-word table and surface the resulting
+    * sub-word VOCABULARY (top `topK` symbols by corpus frequency). This is
+    * the tokenizer half of BPE: the corpus text re-expressed in the learned
+    * symbol alphabet, which is what a token-budget pipeline actually
+    * consumes. All heavy work stays vocabulary-sized (the distinct-word
+    * trick), encode is `numMerges` chained `applyMerge` folds inside one
+    * projection, and the final rollup is a single partial-first aggregate.
+    * The DuckDB oracle re-runs the whole train+encode loop via the
+    * sentinel-replace identity: wrapping every symbol as ␁sym␂ makes
+    * non-overlapping left-to-right `replace('␁a␂␁b␂' → '␁ab␂')` EXACTLY
+    * the greedy merge (adjacent matches share no boundary characters), so
+    * the two engines must agree on every merge decision AND every encoded
+    * sequence for the key to hash-match. */
+  def bpeEncodedVocab(docs: DataFrame, numMerges: Int, topK: Int,
+      trainPct: Int = 20): DataFrame = {
+    // Train on a deterministic hash-sample (standard tokenizer practice —
+    // merge statistics converge long before the full corpus is seen), so
+    // the per-round passes touch trainPct% of the vocabulary stream; the
+    // ENCODE below is the only full-corpus pass, and it is one lazy
+    // projection chaining the merge folds, not a pass per merge.
+    val merges = bpeTrain(
+      graft.relational.Sampling.hashSample(docs, col("doc_id"), trainPct),
+      numMerges)
+    val words = merges.foldLeft(wordSymbolTable(docs)) { case (w, (a, b)) =>
+      w.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    words.select(explode(col("syms")).as("symbol"), col("freq"))
+      .groupBy("symbol").agg(sum("freq").as("cnt"))
+      .orderBy(col("cnt").desc, col("symbol")).limit(topK)
   }
 
   /** Greedy left-to-right application of one BPE merge to a symbol-array

@@ -216,7 +216,42 @@ object GraphOps {
     counts.toSeq.toDF("hop", "n_new")
   }
 
+  /** X255: label-propagation community detection (Raghavan et al. 2007's
+    * LPA), synchronous and fully deterministic: every vertex starts as its
+    * own community; each round a vertex adopts its neighbors' PLURALITY
+    * label, ties broken to the SMALLEST label (the asynchronous/random
+    * variants converge faster but are not reproducible — a differential
+    * gate needs the deterministic form). Per round the data plane is: one
+    * equi-join (adjacency ⋈ labels, both sides hash-partitioned on the
+    * vertex key), one (vertex, label) count aggregate, and one argmax
+    * aggregate — `max(struct(cnt, -label))`, so plurality selection is a
+    * hash aggregate with map-side partials, never a per-vertex sort. Round
+    * count is fixed (3) to keep the unrolled-CTE oracle expressible; the
+    * convergence-driven variant of this loop shape is
+    * `Dedup.duplicateClusters` (min-label CC is LPA's lower envelope). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val bi = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    var labels = bi.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = bi.join(labels, col("u") === col("node"))
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts
+        .groupBy(col("v").as("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    val out = labels.orderBy("node").localCheckpoint(true)
+    bi.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_label_prop" -> ((s, dir) =>
+      labelPropagation(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
+        iters = 3)),
     "x_khop" -> ((s, dir) =>
       kHopReach(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
         seedMax = 5L, hops = 3)),
@@ -244,7 +279,26 @@ object GraphOps {
        |    CAST(150000000000 + (85 * sum(c)) // 100 AS BIGINT) AS r
        |  FROM c$out GROUP BY v)""".stripMargin
 
+  /** One unrolled label-propagation round (oracle side): plurality label,
+    * ties to the smallest label. */
+  private def lpIter(prev: String, out: String): String =
+    s"""n$out AS (SELECT bi.v, $prev.label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bi JOIN $prev ON bi.u = $prev.node GROUP BY bi.v, $prev.label),
+       |$out AS (SELECT v AS node, label FROM (
+       |    SELECT v, label, row_number() OVER (
+       |      PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM n$out)
+       |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_label_prop" ->
+      s"""WITH $edgeCtes,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM bi),
+         |${lpIter("l0", "l1")},
+         |${lpIter("l1", "l2")},
+         |${lpIter("l2", "l3")}
+         |SELECT node, CAST(label AS BIGINT) AS label FROM l3
+         |ORDER BY node""".stripMargin,
     "x_khop" ->
       s"""WITH $edgeCtes,
          |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
