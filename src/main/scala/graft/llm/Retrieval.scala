@@ -262,6 +262,67 @@ object Retrieval {
     trigramProbe(PostingsIndex.trigrams(spark, dir), d)
   }
 
+  /** X257: required-trigram extraction from a regex pattern — the Google
+    * Code Search / pg_trgm acceleration trick (public technique): any
+    * string matching the pattern must CONTAIN every literal run the
+    * pattern forces, so the runs' trigrams form a sound index prefilter.
+    * Sound-subset rules (never over-claim a requirement):
+    *   - `[...]` character class: ends the current literal run;
+    *   - `+` keeps its preceding char (one occurrence is mandatory) but
+    *     ends the run (repetitions break contiguity with what follows);
+    *   - `*` / `?` make the preceding char optional: drop it, end the run;
+    *   - `.` ends the run;
+    *   - alternation/groups/escapes are out of the supported subset —
+    *     extraction returns Nil and the caller must full-scan (correct,
+    *     just unaccelerated).
+    * Fewer trigrams only weakens pruning, never completeness. */
+  private[graft] def requiredTrigrams(pattern: String): Seq[String] = {
+    if (pattern.exists("(|)\\{}^$".contains(_))) return Seq.empty
+    val runs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def endRun(): Unit = { if (cur.nonEmpty) runs += cur.result(); cur.clear() }
+    var i = 0
+    while (i < pattern.length) {
+      pattern.charAt(i) match {
+        case '[' =>
+          endRun()
+          i = pattern.indexOf(']', i) // subset guarantees no nested/escaped ]
+        case '+' => endRun()
+        case '*' | '?' =>
+          if (cur.nonEmpty) cur.setLength(cur.length - 1)
+          endRun()
+        case '.' => endRun()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    endRun()
+    runs.toSeq.filter(_.length >= 3).flatMap(_.sliding(3)).distinct
+  }
+
+  /** X257: trigram-accelerated regex search — the pattern's required
+    * trigrams select candidate postings slices (a doc qualifies only if it
+    * carries ALL of them), and the regex itself runs on the CANDIDATE
+    * slice, never the corpus. The oracle regex-scans every document, so
+    * the hash match is the completeness proof: the prefilter may never
+    * drop a true match. Probes the session trigram index ([[PostingsIndex]]
+    * — persisted, trigram-partitioned at scale). */
+  def regexSearchIndexed(spark: SparkSession, dir: String,
+      pattern: String): DataFrame = {
+    val req = requiredTrigrams(pattern)
+    require(req.nonEmpty, s"pattern '$pattern' has no indexable literals")
+    val cand = PostingsIndex.trigrams(spark, dir)
+      .where(col("tg").isin(req: _*))
+      .groupBy("doc_id").agg(countDistinct("tg").as("n_match"))
+      .where(col("n_match") === req.size)
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    cand.join(d, "doc_id")
+      .where(col("t").rlike(pattern))
+      .select(col("doc_id"), regexp_extract(col("t"), pattern, 0).as("hit"))
+      .orderBy("doc_id")
+  }
+
   /** X225: WAND-style pruned top-k retrieval (Broder et al., CIKM 2003,
     * public algorithm) — document-at-a-time scoring with an upper-bound
     * skip: per-term score ceilings (max tf·weight over the posting) bound
@@ -406,6 +467,8 @@ object Retrieval {
     "x_mrl_recall" -> ((s, dir) => mrlRecall(Tables.embeddings(s, dir))),
     "x_hard_negatives" -> ((s, dir) => hardNegatives(Tables.embeddings(s, dir))),
     "x_trigram_search" -> ((s, dir) => trigramSearchIndexed(s, dir)),
+    "x_regex_search" -> ((s, dir) =>
+      regexSearchIndexed(s, dir, "wind[a-z]+ small")),
     "x_wand_topk" -> ((s, dir) => wandTopKIndexed(s, dir)),
     "x_embed_separation" -> ((s, dir) =>
       embedSeparation(Tables.embeddings(s, dir))),
@@ -483,6 +546,12 @@ object Retrieval {
         |      AS rk FROM sc)
         |SELECT q_id, vec_id AS neg_id, label AS neg_label, c AS cos_e6
         |FROM r WHERE rk = 1 ORDER BY q_id""".stripMargin,
+    // the completeness proof: the oracle regex-scans EVERY document; the
+    // indexed path may never drop a true match
+    "x_regex_search" ->
+      """SELECT doc_id, regexp_extract(lower(text), 'wind[a-z]+ small') AS hit
+        |FROM documents WHERE regexp_matches(lower(text), 'wind[a-z]+ small')
+        |ORDER BY doc_id""".stripMargin,
     "x_trigram_search" ->
       """WITH q AS (SELECT DISTINCT substr('window small', CAST(i AS INT), 3) AS tg
         |  FROM (SELECT unnest(range(1, length('window small')-1)) AS i)),

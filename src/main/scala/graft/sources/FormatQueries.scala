@@ -410,7 +410,46 @@ object FormatQueries {
       .orderBy("col_name")
   }
 
+  /** X36e: Delta-format round-trip — two commits (initial write + append)
+    * through [[DeltaLite]], read back at latest and aggregated; the oracle
+    * aggregates the original parquet, so the table format must be lossless
+    * end-to-end. */
+  private def deltaRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_rt")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    DeltaLite.write(spark, ev.where(col("event_id") % 2 === 0), table)
+    DeltaLite.write(spark, ev.where(col("event_id") % 2 === 1), table)
+    DeltaLite.read(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** X36f: Delta time travel — version 1 OVERWRITES (remove+add actions)
+    * with repriced rows; reading `versionAsOf = 0` must surface the
+    * pre-overwrite table, latest the repriced one. */
+  private def deltaTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_tt")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o, table)
+    val repriced = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    DeltaLite.write(spark, repriced, table, overwrite = true)
+    def summarize(df: DataFrame, v: Long) =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    summarize(DeltaLite.read(spark, table, versionAsOf = 0L), 0L)
+      .unionAll(summarize(DeltaLite.read(spark, table), 1L))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
+    "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_dict_encode" -> ((s, dir) => dictEncode(s, dir)),
     "x_dsv2_scan" -> ((s, dir) => dsv2Scan(s)),
     "x_dsv2_agg" -> ((s, dir) => dsv2Agg(s)),
@@ -436,6 +475,16 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_delta_roundtrip" -> aggSql,
+    "x_delta_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total FROM orders
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*),
+        |  round(sum(o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END), 2)
+        |FROM orders
+        |ORDER BY version""".stripMargin,
     // Rebuilds the deterministic DSv2 table from range() — the pushdown
     // path (filter/prune/slice) must not change the answer.
     "x_dsv2_scan" ->

@@ -1,0 +1,88 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.ingest.Sinks
+import graft.sources.DeltaLite
+
+/** X36e/X36f: the minimal Delta-protocol implementation — log structure
+  * conformance, overwrite/remove semantics, time travel, and the
+  * atomic-create commit arbiter. */
+class DeltaLiteSpec extends SparkSpec with Matchers {
+
+  private val mapper = new ObjectMapper()
+
+  private def logLines(table: String, v: Long): Seq[String] = {
+    val p = java.nio.file.Paths.get(table, "_delta_log", f"$v%020d.json")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq.filter(_.nonEmpty)
+  }
+
+  test("v0 log carries protocol + metaData + add actions, spec-shaped") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec0")
+    val v = DeltaLite.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2), table)
+    v shouldBe 0L
+    val lines = logLines(table, 0L).map(mapper.readTree)
+    lines.head.get("protocol").get("minReaderVersion").asInt() shouldBe 1
+    val meta = lines(1).get("metaData")
+    meta.get("format").get("provider").asText() shouldBe "parquet"
+    // schemaString is Spark's StructType JSON — must parse back losslessly
+    DeltaLite.tableSchema(spark, table).fieldNames.toSeq shouldBe Seq("k", "s")
+    val adds = lines.drop(2)
+    adds.foreach { a =>
+      a.has("add") shouldBe true
+      a.get("add").get("dataChange").asBoolean() shouldBe true
+      val f = new java.io.File(table, a.get("add").get("path").asText())
+      f.exists() shouldBe true
+      a.get("add").get("size").asLong() shouldBe f.length()
+    }
+  }
+
+  test("append accumulates; overwrite removes every previously-live file") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec1")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table)
+    DeltaLite.read(spark, table).count() shouldBe 2L
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table,
+      overwrite = true)
+    val latest = DeltaLite.read(spark, table).collect()
+    latest.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((9L, 90L))
+    // the overwrite commit must carry one remove per previously-live file
+    val v2 = logLines(table, 2L).map(mapper.readTree)
+    val removed = v2.filter(_.has("remove")).map(_.get("remove").get("path").asText())
+    val liveBefore =
+      (logLines(table, 0L) ++ logLines(table, 1L)).map(mapper.readTree)
+        .filter(_.has("add")).map(_.get("add").get("path").asText())
+    removed.toSet shouldBe liveBefore.toSet
+    // time travel below the overwrite still sees both original rows
+    DeltaLite.read(spark, table, versionAsOf = 1L).count() shouldBe 2L
+    DeltaLite.read(spark, table, versionAsOf = 0L).count() shouldBe 1L
+  }
+
+  test("commit arbiter: a taken version cannot be committed twice") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec2")
+    DeltaLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), table)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaLite.tryCommit(fs, table, 0L, Seq("{}")) shouldBe false
+    DeltaLite.tryCommit(fs, table, 1L, Seq("{}")) shouldBe true
+  }
+
+  test("empty snapshot after total overwrite keeps the committed schema") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec3")
+    DeltaLite.write(spark, Seq((1L, "x")).toDF("k", "s"), table)
+    DeltaLite.write(spark,
+      Seq.empty[(Long, String)].toDF("k", "s"), table, overwrite = true)
+    val df = DeltaLite.read(spark, table)
+    df.count() shouldBe 0L
+    df.schema.fieldNames.toSeq shouldBe Seq("k", "s")
+  }
+}

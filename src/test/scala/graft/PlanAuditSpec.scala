@@ -66,6 +66,8 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_cumulative_uniques" -> 1,
     "x_curation_pipeline" -> 1,
     "x_dataset_card" -> 3,
+    // category 1: two global-scalar finals (count+sum per snapshot version)
+    "x_delta_time_travel" -> 2,
     "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
     "x_dq_rules" -> 3,
     "x_drift" -> 1,

@@ -87,6 +87,19 @@ class RetrievalSpec extends SparkSpec with Matchers {
     got.contains(3L) shouldBe false
   }
 
+  test("regex literal extraction: sound required-trigram rules") {
+    // class ends a run; '+' keeps its char; '*'/'?' drop theirs; '.' splits
+    Retrieval.requiredTrigrams("wind[a-z]+ small") shouldBe
+      Seq("win", "ind", " sm", "sma", "mal", "all")
+    Retrieval.requiredTrigrams("abc+def") shouldBe // c mandatory, run splits
+      Seq("abc", "def")
+    Retrieval.requiredTrigrams("abcd*ef") shouldBe // d optional: dropped
+      Seq("abc")
+    Retrieval.requiredTrigrams("ab.cdef") shouldBe Seq("cde", "def")
+    // unsupported metacharacters: no prefilter claimed at all
+    Retrieval.requiredTrigrams("(merge|join) ord") shouldBe Seq.empty
+  }
+
   test("WAND: pruned docs can never reach the conjunctive threshold") {
     val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
     // exact scores for every matching doc (the brute-force reference)
