@@ -196,6 +196,41 @@ object DeltaLite {
       .asInstanceOf[StructType]
   }
 
+  /** Incremental read: the rows ADDED in versions (fromV, toV] — the
+    * append-only change feed (the Delta CDF pattern for blind appends; a
+    * table whose range contains removes needs row-level change tracking,
+    * which is [[graft.ingest.Integrity]]'s x_cdc_feed domain — refused
+    * here rather than silently mis-answered). At scale this is THE
+    * incremental-consumer contract: a downstream job reads only the new
+    * files of the versions it has not seen. */
+  def readChanges(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    val fs = hadoopFs(spark, table)
+    val added = mutable.LinkedHashSet.empty[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val p = versionFile(table, v)
+      require(fs.exists(p), s"version $v absent from $table/_delta_log")
+      val in = fs.open(p)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      text.split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove"))
+          throw new UnsupportedOperationException(
+            s"version $v removes files: append-only change feed cannot " +
+              "represent it — use row-level CDC")
+        if (node.has("add")) added += node.get("add").get("path").asText()
+      }
+    }
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema(spark, table))
+    else spark.read.parquet(added.toSeq.map(f => s"$table/$f"): _*)
+  }
+
   /** Read the table at `versionAsOf` (default: latest) — the live file set
     * as one multi-path parquet scan, so pushdown/pruning/AQE apply as on
     * any parquet read. An empty snapshot yields an empty DataFrame with

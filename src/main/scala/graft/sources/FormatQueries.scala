@@ -447,9 +447,70 @@ object FormatQueries {
       .orderBy("version")
   }
 
+  /** X36g: MERGE INTO on the versioned table — the upsert/delete contract
+    * every CDC consumer needs from a table format: source rows carry an op
+    * (`U` upsert / `D` delete), the merge is ONE full-outer equi-join on
+    * the key (never a per-row loop), and the result commits as an
+    * overwrite version so time travel still sees the pre-merge table.
+    * Output is the post-merge aggregate plus genuinely computed audit
+    * counts (inserted/updated/deleted — the x_cdc_apply discipline: the
+    * oracle recomputes all five numbers from the raw table, so a lost or
+    * double-applied row turns the key red). */
+  private def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_mg")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3), table)
+    // disjoint by construction: upserts hit even keys, deletes odd ones
+    val src = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"), lit("U").as("op"))
+      .unionAll(o.where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op")))
+    val cur = DeltaLite.read(spark, table)
+    val joined = cur.as("t").join(src.as("s"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        col("t.o_totalprice").as("t_price"),
+        col("s.o_totalprice").as("s_price"), col("op"))
+    val merged = joined
+      .where(col("op").isNull || col("op") === "U")
+      .select(col("o_orderkey"),
+        when(col("op") === "U", col("s_price")).otherwise(col("t_price"))
+          .as("o_totalprice"))
+    DeltaLite.write(spark, merged, table, overwrite = true)
+    val audit = joined.agg(
+      sum(when(col("op") === "U" && col("t_price").isNull, 1L).otherwise(0L))
+        .as("n_inserted"),
+      sum(when(col("op") === "U" && col("t_price").isNotNull, 1L).otherwise(0L))
+        .as("n_updated"),
+      sum(when(col("op") === "D" && col("t_price").isNotNull, 1L).otherwise(0L))
+        .as("n_deleted"))
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .crossJoin(audit)
+  }
+
+  /** X36h: incremental (changes-between-versions) read — a downstream
+    * consumer reads ONLY the files version 1 appended, never rescanning
+    * the base. */
+  private def deltaIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_inc")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    DeltaLite.write(spark, ev.where(col("event_id") % 2 === 0), table)
+    DeltaLite.write(spark, ev.where(col("event_id") % 2 === 1), table)
+    DeltaLite.readChanges(spark, table, fromV = 0L, toV = 1L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
+    "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
+    "x_delta_incremental" -> ((s, dir) => deltaIncremental(s, dir)),
     "x_dict_encode" -> ((s, dir) => dictEncode(s, dir)),
     "x_dsv2_scan" -> ((s, dir) => dsv2Scan(s)),
     "x_dsv2_agg" -> ((s, dir) => dsv2Agg(s)),
@@ -476,6 +537,31 @@ object FormatQueries {
 
   val oracles: Map[String, String] = Map(
     "x_delta_roundtrip" -> aggSql,
+    "x_delta_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 3),
+        |u AS (SELECT o_orderkey, o_totalprice + 500.0 AS p FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |d AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 8 = 1),
+        |fin AS (SELECT COALESCE(u.o_orderkey, base.o_orderkey) AS k,
+        |    COALESCE(u.p, base.o_totalprice) AS p
+        |  FROM base FULL JOIN u ON base.o_orderkey = u.o_orderkey
+        |  WHERE COALESCE(u.o_orderkey, base.o_orderkey)
+        |    NOT IN (SELECT o_orderkey FROM d))
+        |SELECT CAST(count(*) AS BIGINT) AS n, round(sum(p), 2) AS total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u
+        |    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)) AS n_inserted,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u
+        |    WHERE o_orderkey IN (SELECT o_orderkey FROM base)) AS n_updated,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d
+        |    WHERE o_orderkey IN (SELECT o_orderkey FROM base)) AS n_deleted
+        |FROM fin""".stripMargin,
+    "x_delta_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_delta_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total FROM orders

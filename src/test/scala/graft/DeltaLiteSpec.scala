@@ -75,6 +75,19 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.tryCommit(fs, table, 1L, Seq("{}")) shouldBe true
   }
 
+  test("readChanges: append-only slices read; ranges with removes refuse") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec4")
+    DeltaLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((2L, 2L), (3L, 3L)).toDF("k", "v"), table)
+    val changed = DeltaLite.readChanges(spark, table, 0L, 1L).collect()
+    changed.map(_.getLong(0)).toSet shouldBe Set(2L, 3L)
+    DeltaLite.write(spark, Seq((9L, 9L)).toDF("k", "v"), table,
+      overwrite = true)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.readChanges(spark, table, 1L, 2L)
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")

@@ -68,6 +68,9 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_dataset_card" -> 3,
     // category 1: two global-scalar finals (count+sum per snapshot version)
     "x_delta_time_travel" -> 2,
+    // category 1+2: post-merge scalar aggregate × 1-row audit-count
+    // aggregate, crossJoined into the single output row
+    "x_delta_merge" -> 2,
     "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
     "x_dq_rules" -> 3,
     "x_drift" -> 1,
