@@ -248,7 +248,44 @@ object GraphOps {
     out
   }
 
+  /** X258: k-core decomposition by synchronous peeling — each round drops
+    * every vertex whose degree WITHIN the surviving subgraph is < k; the
+    * fixpoint is the k-core (Seidman 1983, public algorithm). Round count
+    * is FIXED on both engines (6), which keeps the unrolled oracle exact
+    * regardless of convergence; KCoreSpec separately proves rounds 6 and 7
+    * agree on the test corpus, i.e. the fixpoint was reached. Per round:
+    * two semi-joins restrict the adjacency to surviving endpoints (all
+    * vertex-partitioned equi-joins), one degree aggregate, one filter.
+    * Each round's survivor set is CACHED — it feeds two joins, and an
+    * uncached lazy chain would double the subplan per round (2^rounds
+    * recompute; the kHopReach frontier discipline prevents it). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val bi = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
+    var active = bi.select(col("u").as("node")).distinct().cache()
+    val cached = scala.collection.mutable.ArrayBuffer(active)
+    def induced(a: DataFrame) =
+      bi.join(a.select(col("node").as("u")), "u")
+        .join(a.select(col("node").as("v")), "v")
+    for (_ <- 1 to rounds) {
+      active = induced(active)
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("u").as("node")).cache()
+      cached += active
+    }
+    val out = induced(active)
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("node"), col("deg"))
+      .orderBy("node").localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    bi.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_kcore" -> ((s, dir) =>
+      kCore(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
+        k = 8, rounds = 6)),
     "x_label_prop" -> ((s, dir) =>
       labelPropagation(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
         iters = 3)),
@@ -289,7 +326,28 @@ object GraphOps {
        |      PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM n$out)
        |  WHERE rn = 1)""".stripMargin
 
+  /** One unrolled peel round (oracle side). */
+  private def coreIter(prev: String, out: String, k: Int): String =
+    s"""e$out AS (SELECT bi.u, bi.v FROM bi
+       |  JOIN $prev x ON bi.u = x.node JOIN $prev y ON bi.v = y.node),
+       |$out AS (SELECT u AS node FROM (
+       |    SELECT u, count(*) AS d FROM e$out GROUP BY u) WHERE d >= $k)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "x_kcore" ->
+      s"""WITH $edgeCtes,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |a0 AS (SELECT DISTINCT u AS node FROM bi),
+         |${coreIter("a0", "a1", 8)},
+         |${coreIter("a1", "a2", 8)},
+         |${coreIter("a2", "a3", 8)},
+         |${coreIter("a3", "a4", 8)},
+         |${coreIter("a4", "a5", 8)},
+         |${coreIter("a5", "a6", 8)},
+         |ef AS (SELECT bi.u FROM bi
+         |  JOIN a6 x ON bi.u = x.node JOIN a6 y ON bi.v = y.node)
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+         |FROM ef GROUP BY u ORDER BY node""".stripMargin,
     "x_label_prop" ->
       s"""WITH $edgeCtes,
          |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),

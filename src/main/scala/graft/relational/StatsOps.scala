@@ -1032,6 +1032,44 @@ object StatsOps {
           .as("expected_e6"))
   }
 
+  /** X259: decision-stump training INSIDE the engine — the best 1-level
+    * split of label (l_returnflag = 'R') on feature l_quantity by weighted
+    * Gini impurity, exactly (CART's split-search step, public algorithm;
+    * the building block of tree ensembles and of feature-importance
+    * audits). Minimizing weighted Gini Σ nₛ·(1−Σp²) is equivalent to
+    * MAXIMIZING Σₛ (posₛ² + negₛ²)/nₛ, kept as an exact ×10⁶ integer so
+    * the argmax is engine-deterministic (ties break to the smallest
+    * threshold). Shape: ONE pass aggregates per feature value (the domain
+    * is the bounded 1..50 quantity grid), a 50-row cumulative window turns
+    * value counts into left-split counts, totals broadcast — the corpus is
+    * never re-scanned per candidate threshold, the trick that makes
+    * histogram-based tree learners (LightGBM-style) scale. ×10⁶ products
+    * bound: pos² · 10⁶ needs pos ≤ 3·10⁶ per side — at larger corpora
+    * drop the ×10⁶ (or widen to DECIMAL); the argmax is unaffected. */
+  private def stump(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_li_stump")
+    spark.sql(
+      """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM v_li_stump),
+        |pq AS (SELECT q, CAST(count(*) AS BIGINT) AS nq,
+        |    CAST(sum(y) AS BIGINT) AS posq
+        |  FROM c GROUP BY q),
+        |cum AS (SELECT q, sum(nq) OVER (ORDER BY q) AS n_l,
+        |    sum(posq) OVER (ORDER BY q) AS pos_l FROM pq),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM c),
+        |sc AS (SELECT q AS threshold, n_l, pos_l,
+        |    n - n_l AS n_r, pos - pos_l AS pos_r
+        |  FROM cum CROSS JOIN tot WHERE n_l < n)
+        |SELECT threshold,
+        |  (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * 1000000 div n_l
+        |    + (pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r)) * 1000000 div n_r
+        |    AS score_e6,
+        |  n_l AS n_left, pos_l AS pos_left, n_r AS n_right, pos_r AS pos_right
+        |FROM sc ORDER BY score_e6 DESC, threshold LIMIT 1""".stripMargin)
+  }
+
   /** X243: A/B test readout — two-proportion z² over per-user conversion
     * (any purchase), variants assigned by user_id parity (production swaps
     * in the experiment-assignment column). Counts are exact integers; the
@@ -1100,6 +1138,7 @@ object StatsOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_outlier_iqr" -> ((s, dir) => iqrOutliers(s, dir)),
+    "x_stump" -> ((s, dir) => stump(s, dir)),
     "x_ab_test" -> ((s, dir) => abTest(s, dir)),
     "x_weighted_percentile" -> ((s, dir) => weightedPercentile(s, dir)),
     "x_group_ols" -> ((s, dir) => groupOls(s, dir)),
@@ -1154,6 +1193,26 @@ object StatsOps {
         |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM c JOIN q ON c.flag = q.flag
         |GROUP BY c.flag, q1, q3 ORDER BY flag""".stripMargin,
+    "x_stump" ->
+      """WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |pq AS (SELECT q, CAST(count(*) AS BIGINT) AS nq,
+        |    CAST(sum(y) AS BIGINT) AS posq
+        |  FROM c GROUP BY q),
+        |cum AS (SELECT q, CAST(sum(nq) OVER (ORDER BY q) AS BIGINT) AS n_l,
+        |    CAST(sum(posq) OVER (ORDER BY q) AS BIGINT) AS pos_l FROM pq),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM c),
+        |sc AS (SELECT q AS threshold, n_l, pos_l,
+        |    n - n_l AS n_r, pos - pos_l AS pos_r
+        |  FROM cum CROSS JOIN tot WHERE n_l < n)
+        |SELECT threshold,
+        |  (pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l)) * 1000000 // n_l
+        |    + (pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r)) * 1000000 // n_r
+        |    AS score_e6,
+        |  n_l AS n_left, pos_l AS pos_left, n_r AS n_right, pos_r AS pos_right
+        |FROM sc ORDER BY score_e6 DESC, threshold LIMIT 1""".stripMargin,
     "x_ab_test" ->
       """WITH u AS (SELECT user_id,
         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
