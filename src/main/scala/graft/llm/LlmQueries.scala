@@ -901,6 +901,11 @@ object LlmQueries {
     "x_sim_ann_ivf" -> ((s, dir) =>
       VectorIndex.annTopKIvf(s, dir, queryId = 0L, k = 5, nProbe = 2)),
 
+    // X260: EXACT max-inner-product search, norm-bound cell pruning —
+    // the oracle's exhaustive scan proves the prune lossless
+    "x_sim_mips" -> ((s, dir) =>
+      Similarity.mipsTopK(VectorIndex.assigned(s, dir), queryId = 0L, k = 10)),
+
     "x_sim_ann_batch" -> ((s, dir) =>
       VectorIndex.annTopKBatch(s, dir, nQueries = 10L, k = 5, nProbe = 2)),
 
@@ -2388,6 +2393,12 @@ object LlmQueries {
          |    FROM resc5 WHERE vec_id IN (SELECT vec_id FROM exact))
          |SELECT stage, n_hit, n_hit * 1000000 // 5 AS recall_e6
          |FROM st ORDER BY stage""".stripMargin,
+    "x_sim_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(list_dot_product(v, qv), 6) AS ip
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
     "x_sim_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |$centCte,

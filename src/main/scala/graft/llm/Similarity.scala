@@ -205,6 +205,54 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** X260: EXACT maximum-inner-product search (MIPS) with norm-bound cell
+    * pruning — WAND's upper-bound skip (X225) applied to vectors:
+    * Cauchy–Schwarz bounds every inner product in a cell by ‖q‖·max‖x‖,
+    * so cells whose bound cannot reach the threshold θ are skipped BEFORE
+    * exact scoring. θ seeds from exact-scoring the query's OWN cell (its
+    * k-th best is a valid lower bound on the global k-th best — X225's
+    * disjunctive-seed rule); when fewer than k seeds exist or θ ≤ 0, no
+    * cell prunes (a non-positive threshold bounds nothing — the safety
+    * rule), and the prune comparison carries a 10⁻³ slack so 6-dp score
+    * rounding can never promote a pruned vector into the rounded top-k.
+    * The ORACLE scores every vector exhaustively — the hash match proves
+    * pruning is lossless. MIPS (not cosine) is the recommendation-serving
+    * score: large-norm items legitimately dominate, and the per-cell
+    * max-norm table is its classic exact accelerator. Data plane: seed =
+    * one cell's members (k-row driver scalar, the WAND control-plane
+    * discipline), bounds = one map-side-combined aggregate over the
+    * session assignment artifact (K rows), final scoring touches ONLY
+    * surviving cells' members. */
+  def mipsTopK(asg: DataFrame, queryId: Long, k: Int): DataFrame =
+    mipsCore(asg, queryId, k)._1
+
+  private[graft] def mipsCore(asg: DataFrame, queryId: Long, k: Int)
+      : (DataFrame, DataFrame) = {
+    val q = asg.where(col("vec_id") === queryId)
+      .select(col("cell").as("qcell"), col("embedding").as("qv"))
+    val seed = asg.crossJoin(broadcast(q))
+      .where(col("cell") === col("qcell") && col("vec_id") =!= queryId)
+      .select(round(VectorOps.dot(col("embedding"), col("qv")), 6).as("ip"))
+      .orderBy(col("ip").desc).limit(k).collect()
+    val theta =
+      if (seed.length == k) seed.last.getDouble(0) else Double.NegativeInfinity
+    val bounds = asg.groupBy("cell")
+      .agg(max(VectorOps.dot(col("embedding"), col("embedding"))).as("mx2"))
+    val survivors =
+      if (theta <= 0.0) bounds.select("cell")
+      else bounds.crossJoin(broadcast(q))
+        .where(sqrt(col("mx2") * VectorOps.dot(col("qv"), col("qv")))
+          >= lit(theta) - lit(0.001))
+        .select("cell")
+    val res = asg.join(broadcast(survivors), "cell")
+      .crossJoin(broadcast(q))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(VectorOps.dot(col("embedding"), col("qv")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id")).limit(k)
+    (res, survivors)
+  }
+
   /** IVF ANN top-k: assign the corpus to centroid cells, probe the query's
     * `nProbe` nearest cells, rescore exactly inside them. Multi-probe is
     * the recall lever: a query near a cell boundary finds its true

@@ -97,6 +97,25 @@ object SimilarityProperties extends Properties("PqAdc") {
       } :| s"adc=${adc.toSeq.sorted} vs reconstruction"
     }
 
+  property("MIPS norm-bound pruning never changes the exact top-k") =
+    Prop.forAll(embGen) { rows =>
+      import spark.implicits._
+      val emb = rows.toDF("vec_id", "label", "embedding")
+      val asg = Similarity.assignCells(emb, Similarity.centroidVectors(emb))
+      val qId = rows.head._1
+      val k = 3
+      val got = Similarity.mipsCore(asg, qId, k)._1
+        .collect().map(_.getLong(0)).toSeq
+      val q = rows.find(_._1 == qId).get._3.map(_.toDouble).toSeq
+      val expect = rows.filter(_._1 != qId)
+        .map { case (id, _, v) =>
+          (id, BigDecimal(dot(v.map(_.toDouble).toSeq, q))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (id, ip) => (-ip, id) }.take(k).map(_._1)
+      (got == expect) :| s"got=$got expect=$expect"
+    }
+
   property("IVF-PQ top-k == exact cosine over the ADC shortlist") =
     Prop.forAll(embGen) { rows =>
       import spark.implicits._
