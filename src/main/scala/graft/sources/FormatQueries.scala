@@ -506,7 +506,45 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X261: Iceberg-format round-trip — the [[DeltaLite]] contract on the
+    * second major table format: two snapshots (initial + append, the
+    * append REUSING the first snapshot's manifest by reference), read at
+    * current and aggregated against the parquet oracle. */
+  private def icebergRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_rt")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    IcebergLite.write(spark, ev.where(col("event_id") % 2 === 0), table)
+    IcebergLite.write(spark, ev.where(col("event_id") % 2 === 1), table)
+    IcebergLite.read(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  /** X261b: Iceberg snapshot time travel — snapshot 2 overwrites with
+    * repriced rows; reading snapshot 1 must surface the original table. */
+  private def icebergTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_tt")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o, table)
+    val repriced = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    IcebergLite.write(spark, repriced, table, overwrite = true)
+    def summarize(df: DataFrame, v: Long) =
+      df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(lit(v).as("version"), col("n"), col("total"))
+    summarize(IcebergLite.read(spark, table, snapshotId = 1L), 0L)
+      .unionAll(summarize(IcebergLite.read(spark, table), 1L))
+      .orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
+    "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -536,6 +574,16 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_iceberg_roundtrip" -> aggSql,
+    "x_iceberg_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total FROM orders
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*),
+        |  round(sum(o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END), 2)
+        |FROM orders
+        |ORDER BY version""".stripMargin,
     "x_delta_roundtrip" -> aggSql,
     "x_delta_merge" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders

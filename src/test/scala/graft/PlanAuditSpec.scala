@@ -68,6 +68,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_dataset_card" -> 3,
     // category 1: two global-scalar finals (count+sum per snapshot version)
     "x_delta_time_travel" -> 2,
+    "x_iceberg_time_travel" -> 2,
     // category 3+1: cumulative window over the ≤50-row quantity grid +
     // the label-total scalar; the corpus pass is the partial-first per-
     // quantity aggregate upstream
