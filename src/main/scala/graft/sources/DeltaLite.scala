@@ -130,29 +130,8 @@ object DeltaLite {
     * (the orphan is deleted before retry, the [[CommitLog.commit]]
     * discipline). */
   def write(spark: SparkSession, df: DataFrame, table: String,
-      overwrite: Boolean = false, maxRetries: Int = 10): Long = {
-    val fs = hadoopFs(spark, table)
-    var attempt = 0
-    while (attempt < maxRetries) {
-      val v = latestVersion(spark, table) + 1
-      val token = java.util.UUID.randomUUID().toString.take(8)
-      val staged = s"data/v$v-$token"
-      df.write.mode("errorifexists").parquet(s"$table/$staged")
-      val parts = fs.listStatus(new Path(table, staged))
-        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-      val adds = parts.toSeq.map(p =>
-        addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime))
-      val removes =
-        if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine)
-        else Seq.empty
-      val header =
-        if (v == 0) Seq(protocolLine, metaDataLine(df.schema)) else Seq.empty
-      if (tryCommit(fs, table, v, header ++ removes ++ adds)) return v
-      fs.delete(new Path(table, staged), true) // lost: drop the orphan, retry
-      attempt += 1
-    }
-    throw new IllegalStateException(s"commit lost $maxRetries races on $table")
-  }
+      overwrite: Boolean = false, maxRetries: Int = 10): Long =
+    writeTagged(spark, df, table, overwrite, tag = "-", maxRetries = maxRetries)
 
   /** Snapshot file list at `asOf`: replay the action log in version order,
     * adds inserting and removes deleting — Delta's snapshot construction
@@ -194,6 +173,60 @@ object DeltaLite {
       .getOrElse(throw new IllegalArgumentException(s"no metaData in $table v0"))
     DataType.fromJson(meta.get("metaData").get("schemaString").asText())
       .asInstanceOf[StructType]
+  }
+
+  /** Exactly-once micro-batch commit: the streaming `batchId` travels in
+    * the staged-directory name (`…-b<id>-…`), so the committed log IS the
+    * dedup ledger — a redelivered batch finds its marker among the live
+    * add paths and returns the original version without writing. The
+    * Delta txnAppId/txnVersion contract, jar-free (the
+    * [[CommitLog.commitIdempotent]] discipline in the Delta wire format).
+    * Returns the version that carries the batch. */
+  def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
+      batchId: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val marker = s"-b$batchId-"
+    val latest = latestVersion(spark, table)
+    var v = 0L
+    while (v <= latest) { // scan committed versions for the batch marker
+      val p = versionFile(table, v)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        if (text.contains(marker)) return v
+      }
+      v += 1
+    }
+    writeTagged(spark, df, table, overwrite = false, tag = marker)
+  }
+
+  private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
+      overwrite: Boolean, tag: String, maxRetries: Int = 10): Long = {
+    val fs = hadoopFs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, table) + 1
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staged = s"data/v$v$tag$token"
+      df.write.mode("errorifexists").parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      val adds = parts.toSeq.map(p =>
+        addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime))
+      val removes =
+        if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine)
+        else Seq.empty
+      val header =
+        if (v == 0) Seq(protocolLine, metaDataLine(df.schema)) else Seq.empty
+      if (tryCommit(fs, table, v, header ++ removes ++ adds)) return v
+      fs.delete(new Path(table, staged), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit lost $maxRetries races on $table")
   }
 
   /** Incremental read: the rows ADDED in versions (fromV, toV] — the

@@ -25,4 +25,16 @@ object TransactionalSink {
       CommitLog.commitIdempotent(df.sparkSession, table, df, batchId)
       ()
     }
+
+  /** X36i: the same exactly-once contract INTO THE DELTA WIRE FORMAT —
+    * each micro-batch becomes one `_delta_log` version via
+    * [[graft.sources.DeltaLite.commitIdempotent]], so the sink output is
+    * a standard Delta table (versioned, time-travelable, incrementally
+    * consumable via `readChanges`) rather than the private CommitLog
+    * layout. Redelivered batches no-op on their logged batch marker. */
+  def intoDelta(table: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.DeltaLite.commitIdempotent(df.sparkSession, df, table, batchId)
+      ()
+    }
 }

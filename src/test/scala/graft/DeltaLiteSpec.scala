@@ -88,6 +88,20 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.readChanges(spark, table, 1L, 2L)
   }
 
+  test("commitIdempotent: a redelivered micro-batch is a no-op") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec5")
+    val b0 = Seq((1L, 10L)).toDF("k", "v")
+    val v0 = DeltaLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    // redelivery of batch 0 (failure/replay) returns the ORIGINAL version
+    DeltaLite.commitIdempotent(spark, b0, table, batchId = 0L) shouldBe v0
+    val v1 = DeltaLite.commitIdempotent(spark,
+      Seq((2L, 20L)).toDF("k", "v"), table, batchId = 1L)
+    v1 should be > v0
+    DeltaLite.read(spark, table).count() shouldBe 2L // no duplicate rows
+    DeltaLite.latestVersion(spark, table) shouldBe v1
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")
