@@ -275,6 +275,11 @@ object LlmQueries {
       TextAnalysis.bpeEncodedVocab(Tables.documents(s, dir),
         numMerges = 4, topK = 20)),
 
+    // X262: RAKE keywords — stopword-bounded phrases, degree/frequency
+    // word scores, integer-exact ranking
+    "x_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeywords(Tables.documents(s, dir))),
+
     "x_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashNearDuplicates(Tables.documents(s, dir), MinhashThreshold,
         idsOpt = Some(Dedup.shingleIds(s, dir)))),
@@ -1538,6 +1543,27 @@ object LlmQueries {
          |FROM pairs
          |WHERE inter * 1000000 // least(na, nb) >= 900000
          |ORDER BY da, db""".stripMargin,
+    "x_rake" ->
+      """WITH ph0 AS (SELECT trim(p) AS phrase FROM (
+        |    SELECT unnest(string_split(regexp_replace(text,
+        |      '\b(the|a|and|of|is)\b', chr(167), 'g'), chr(167))) AS p
+        |    FROM documents) WHERE trim(p) <> ''),
+        |ph AS (SELECT phrase FROM ph0
+        |  WHERE len(string_split(phrase, ' ')) <= 4),
+        |w AS (SELECT len(string_split(phrase, ' ')) AS l,
+        |    unnest(string_split(phrase, ' ')) AS word FROM ph),
+        |ws AS (SELECT word, CAST(sum(l) AS BIGINT) * 1000000
+        |    // CAST(count(*) AS BIGINT) AS wscore
+        |  FROM w GROUP BY word),
+        |occ AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM ph GROUP BY phrase),
+        |psc AS (SELECT phrase, CAST(sum(wscore) AS BIGINT) AS score_e6
+        |  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+        |        FROM occ)
+        |  JOIN ws USING (word) GROUP BY phrase)
+        |SELECT occ.phrase, n_occ, score_e6
+        |FROM occ JOIN psc ON occ.phrase = psc.phrase
+        |ORDER BY score_e6 DESC, occ.phrase LIMIT 15""".stripMargin,
     "x_bpe_encode" -> {
       def m(r: String) = s"chr(1) || m$r.a || chr(2) || chr(1) || m$r.b || chr(2)," +
         s" chr(1) || m$r.a || m$r.b || chr(2)"

@@ -474,6 +474,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** X262: RAKE keyword extraction (Rose et al. 2010, public algorithm) —
+    * candidate phrases are the maximal stopword-free runs (split at
+    * stopword boundaries, capped at `maxLen` words — RAKE's convention),
+    * each word scores deg(w)·10⁶ div freq(w) where deg sums the lengths
+    * of the candidate phrases containing it (a word that travels in long
+    * phrases "co-occurs" more) and freq counts its candidate occurrences;
+    * a phrase scores the sum of its words' scores. All-integer scoring so
+    * the ranking is engine-deterministic (ties to the lexicographically
+    * first phrase). Shape: one generator explode per document (linear),
+    * two partial-first word aggregates, one word-keyed join + one
+    * phrase-keyed rollup — no pair space anywhere. */
+  def rakeKeywords(docs: DataFrame, lang: String = "en", maxLen: Int = 4,
+      topK: Int = 15): DataFrame = {
+    val pat = "\\b(" + stopwords(lang).mkString("|") + ")\\b"
+    val ph = docs
+      .select(explode(split(regexp_replace(col("text"), pat, "§"), "§"))
+        .as("p"))
+      .select(trim(col("p")).as("phrase"))
+      .where(col("phrase") =!= "" &&
+        size(split(col("phrase"), " ")) <= maxLen)
+    val w = ph.select(size(split(col("phrase"), " ")).as("l"),
+      explode(split(col("phrase"), " ")).as("word"))
+    val ws = w.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("l").as("deg"))
+      .select(col("word"), expr("deg * 1000000 div freq").as("wscore"))
+    val occ = ph.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+    val psc = occ.select(col("phrase"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(ws, "word")
+      .groupBy("phrase").agg(sum("wscore").as("score_e6"))
+    occ.join(psc, "phrase")
+      .select(col("phrase"), col("n_occ"), col("score_e6"))
+      .orderBy(col("score_e6").desc, col("phrase")).limit(topK)
+  }
+
   /** Per-word frequency table + character-symbol sequences — the BPE
     * working set. One aggregation over the token explode; every later BPE
     * pass works on the DISTINCT-WORD table (vocabulary-sized, corpus-size-

@@ -542,7 +542,24 @@ object FormatQueries {
       .orderBy("version")
   }
 
+  /** X261c: Iceberg incremental read — the files snapshot 2 appended,
+    * straight off the manifest list's added_snapshot_id. */
+  private def icebergIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_inc")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    IcebergLite.write(spark, ev.where(col("event_id") % 2 === 0), table)
+    IcebergLite.write(spark, ev.where(col("event_id") % 2 === 1), table)
+    IcebergLite.readChanges(spark, table, fromSnap = 1L, toSnap = 2L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
@@ -574,6 +591,12 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_iceberg_incremental" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_iceberg_roundtrip" -> aggSql,
     "x_iceberg_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,

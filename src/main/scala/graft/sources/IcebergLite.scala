@@ -300,6 +300,41 @@ object IcebergLite {
     }
   }
 
+  /** Incremental read: rows ADDED in snapshots (fromSnap, toSnap] —
+    * directly off the manifest list's `added_snapshot_id` field (each
+    * manifest records which snapshot added it, so the incremental file
+    * set needs no diffing). A range containing an overwrite snapshot
+    * REFUSES (its summary says so) — an append-only feed cannot represent
+    * logical deletion, the [[DeltaLite.readChanges]] contract. */
+  def readChanges(spark: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long): DataFrame = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    meta.get("snapshots").forEach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      if (sid > fromSnap && sid <= toSnap &&
+        s.get("summary").get("operation").asText() == "overwrite")
+        throw new UnsupportedOperationException(
+          s"snapshot $sid overwrites: append-only change feed cannot " +
+            "represent it — use row-level CDC")
+    }
+    val snap = metaJsonSnapshots(meta).find(_._1 == toSnap).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $toSnap not in $table"))
+    val files = readAvroFile(fs, new Path(snap._2))
+      .filter { m =>
+        val sid = m.get("added_snapshot_id").asInstanceOf[Long]
+        sid > fromSnap && sid <= toSnap
+      }
+      .flatMap(m => readAvroFile(fs, new Path(m.get("manifest_path").toString))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString))
+    require(files.nonEmpty, s"no files added in ($fromSnap, $toSnap] on $table")
+    spark.read.parquet(files: _*)
+  }
+
   /** Read the table at `snapshotId` (default: current) — one multi-path
     * parquet scan, pushdown/pruning/AQE untouched. */
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
