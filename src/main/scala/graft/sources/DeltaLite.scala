@@ -96,8 +96,10 @@ object DeltaLite {
     p.put("minWriterVersion", 2)
   }
 
-  private def metaDataLine(schema: StructType): String = jsonObj("metaData") { m =>
-    m.put("id", java.util.UUID.randomUUID().toString)
+  private def metaDataLine(schema: StructType,
+      tableId: String = java.util.UUID.randomUUID().toString): String =
+    jsonObj("metaData") { m =>
+    m.put("id", tableId)
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
@@ -159,20 +161,41 @@ object DeltaLite {
     live.toSeq
   }
 
-  /** Table schema from version 0's `metaData.schemaString` (Spark's
-    * StructType JSON — the encoding Delta itself uses). */
-  def tableSchema(spark: SparkSession, table: String): StructType = {
+  /** Latest (tableId, schemaString) at or below `upTo` — a later commit
+    * may carry a metaData action that EVOLVES the schema (Delta's
+    * schema-evolution contract: the table schema is the newest metaData,
+    * never per-file inference). */
+  private def latestMeta(fs: FileSystem, table: String,
+      upTo: Long): Option[(String, String)] = {
+    var found: Option[(String, String)] = None
+    (0L to upTo).foreach { v =>
+      val p = versionFile(table, v)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        text.split('\n').filter(_.nonEmpty).map(mapper.readTree)
+          .filter(_.has("metaData")).foreach { n =>
+            found = Some((n.get("metaData").get("id").asText(),
+              n.get("metaData").get("schemaString").asText()))
+          }
+      }
+    }
+    found
+  }
+
+  /** Table schema as of `asOf` (default: latest metaData anywhere in the
+    * log) — Spark's StructType JSON, the encoding Delta itself uses. */
+  def tableSchema(spark: SparkSession, table: String,
+      asOf: Long = Long.MaxValue): StructType = {
     val fs = hadoopFs(spark, table)
-    val in = fs.open(versionFile(table, 0L))
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    val meta = text.split('\n').map(mapper.readTree).find(_.has("metaData"))
-      .getOrElse(throw new IllegalArgumentException(s"no metaData in $table v0"))
-    DataType.fromJson(meta.get("metaData").get("schemaString").asText())
-      .asInstanceOf[StructType]
+    val upTo = math.min(asOf, latestVersion(spark, table))
+    val (_, sj) = latestMeta(fs, table, upTo).getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    DataType.fromJson(sj).asInstanceOf[StructType]
   }
 
   /** Exactly-once micro-batch commit: the streaming `batchId` travels in
@@ -221,7 +244,14 @@ object DeltaLite {
         if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine)
         else Seq.empty
       val header =
-        if (v == 0) Seq(protocolLine, metaDataLine(df.schema)) else Seq.empty
+        if (v == 0) Seq(protocolLine, metaDataLine(df.schema))
+        else latestMeta(fs, table, v - 1) match {
+          // schema EVOLUTION: a widened batch re-declares the table schema
+          // in this commit's metaData (same table id — Delta's contract)
+          case Some((id, sj)) if sj != df.schema.json =>
+            Seq(metaDataLine(df.schema, id))
+          case _ => Seq.empty
+        }
       if (tryCommit(fs, table, v, header ++ removes ++ adds)) return v
       fs.delete(new Path(table, staged), true)
       attempt += 1
@@ -260,8 +290,9 @@ object DeltaLite {
     }
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tableSchema(spark, table))
-    else spark.read.parquet(added.toSeq.map(f => s"$table/$f"): _*)
+        tableSchema(spark, table, toV))
+    else spark.read.schema(tableSchema(spark, table, toV))
+      .parquet(added.toSeq.map(f => s"$table/$f"): _*)
   }
 
   /** Read the table at `versionAsOf` (default: latest) — the live file set
@@ -275,9 +306,13 @@ object DeltaLite {
     val asOf = if (versionAsOf < 0) latest else versionAsOf
     require(asOf <= latest, s"versionAsOf=$asOf > latest=$latest on $table")
     val files = liveFiles(spark, table, asOf)
+    // Delta readers always apply the TABLE schema (newest metaData at or
+    // below the read version) — files predating an evolution surface the
+    // added columns as NULL, never via per-file inference
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tableSchema(spark, table))
-    else spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        tableSchema(spark, table, asOf))
+    else spark.read.schema(tableSchema(spark, table, asOf))
+      .parquet(files.map(f => s"$table/$f"): _*)
   }
 }

@@ -558,7 +558,26 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X36j: Delta schema evolution — a widened append re-declares the
+    * table schema via a metaData action in its own commit; reads apply
+    * the NEWEST schema (never per-file inference), so pre-evolution files
+    * surface the added column as NULL. The [[schemaEvolution]] semantics
+    * (X25) in the table-format contract, where the log — not a
+    * `mergeSchema` scan option — is the source of truth. */
+  private def deltaSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_evo")
+    val orders = Tables.orders(spark, dir)
+    DeltaLite.write(spark,
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")), table)
+    DeltaLite.write(spark,
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), table)
+    DeltaLite.read(spark, table).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
@@ -591,6 +610,10 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_delta_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "x_iceberg_incremental" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id) AS BIGINT) AS user_sum,

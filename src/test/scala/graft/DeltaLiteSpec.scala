@@ -102,6 +102,27 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.latestVersion(spark, table) shouldBe v1
   }
 
+  test("schema evolution: newest metaData governs reads, old versions keep theirs") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec6")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    DeltaLite.write(spark,
+      Seq((2L, 20L, "x")).toDF("k", "v", "s"), table)
+    // latest read: evolved 3-column schema; v0 file surfaces s as NULL
+    val latest = DeltaLite.read(spark, table).orderBy("k").collect()
+    latest.map(_.schema.fieldNames.length).toSet shouldBe Set(3)
+    latest(0).isNullAt(2) shouldBe true
+    latest(1).getString(2) shouldBe "x"
+    // a versionAsOf=0 read still sees the ORIGINAL 2-column schema
+    DeltaLite.read(spark, table, versionAsOf = 0L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v")
+    // the evolving commit re-declared metaData with the SAME table id
+    val id0 = mapper.readTree(logLines(table, 0L)(1)).get("metaData").get("id").asText()
+    val metas1 = logLines(table, 1L).map(mapper.readTree).filter(_.has("metaData"))
+    metas1.size shouldBe 1
+    metas1.head.get("metaData").get("id").asText() shouldBe id0
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")
