@@ -576,7 +576,24 @@ object FormatQueries {
     DeltaLite.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** X261d: Iceberg schema evolution — the widened append lands under a
+    * NEW schema-id appended to the immutable schemas list; the current
+    * read resolves it, pre-evolution files surfacing the added column as
+    * NULL, while snapshot-1 time travel keeps its own original schema. */
+  private def icebergSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_evo")
+    val orders = Tables.orders(spark, dir)
+    IcebergLite.write(spark,
+      orders.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey")), table)
+    IcebergLite.write(spark,
+      orders.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")), table)
+    IcebergLite.read(spark, table).orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_iceberg_schema_evolution" -> ((s, dir) => icebergSchemaEvolution(s, dir)),
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
@@ -610,6 +627,10 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_iceberg_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "x_delta_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice

@@ -219,20 +219,51 @@ object IcebergLite {
     root.put("location", table)
     root.put("last-updated-ms", 0L)
     root.put("last-column-id", df.schema.fields.length)
+    // schema EVOLUTION: if this commit's schema differs from the current
+    // one, it gets a NEW schema-id appended to the schemas list (Iceberg's
+    // rule: schemas are immutable and id-addressed; snapshots reference
+    // the id they were written under)
+    def schemaFields(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      val arr = n.putArray("fields")
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val fn = arr.addObject()
+        fn.put("id", i + 1)
+        fn.put("name", f.name)
+        fn.put("required", false)
+        fn.put("type", icebergType(f.dataType))
+      }
+    }
+    val prevSchemas = prevMeta.map(_.get("schemas"))
+    val prevCurrentId = prevMeta.map(_.get("current-schema-id").asInt())
+    val candidate = mapper.createObjectNode()
+    candidate.put("type", "struct")
+    candidate.put("schema-id", 0) // placeholder; compared on fields only
+    schemaFields(candidate)
+    val matchingId = prevSchemas.flatMap { arr =>
+      var found: Option[Int] = None
+      arr.forEach { s =>
+        if (s.get("fields") == candidate.get("fields"))
+          found = Some(s.get("schema-id").asInt())
+      }
+      found
+    }
+    val schemaId = matchingId.getOrElse(
+      prevCurrentId.map(_ => {
+        var mx = -1
+        prevSchemas.get.forEach(s => mx = math.max(mx, s.get("schema-id").asInt()))
+        mx + 1
+      }).getOrElse(0))
     val schemaNode = root.putObject("schema")
     schemaNode.put("type", "struct")
-    schemaNode.put("schema-id", 0)
-    val fieldsArr = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
-      val fn = fieldsArr.addObject()
-      fn.put("id", i + 1)
-      fn.put("name", f.name)
-      fn.put("required", false)
-      fn.put("type", icebergType(f.dataType))
-    }
-    root.set[com.fasterxml.jackson.databind.JsonNode]("schemas",
-      mapper.createArrayNode().add(schemaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()))
-    root.put("current-schema-id", 0)
+    schemaNode.put("schema-id", schemaId)
+    schemaFields(schemaNode)
+    val schemasArr = root.putArray("schemas")
+    prevSchemas.foreach(_.forEach(s =>
+      schemasArr.add(s.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
+    if (matchingId.isEmpty || prevSchemas.isEmpty)
+      schemasArr.add(
+        schemaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
+    root.put("current-schema-id", schemaId)
     root.putArray("partition-spec")
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
@@ -251,7 +282,7 @@ object IcebergLite {
     sn.putObject("summary").put("operation",
       if (overwrite) "overwrite" else "append")
     sn.put("manifest-list", s"$table/metadata/$listName")
-    sn.put("schema-id", 0)
+    sn.put("schema-id", schemaId)
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
     val committed = try {
@@ -335,11 +366,50 @@ object IcebergLite {
     spark.read.parquet(files: _*)
   }
 
+  private def sparkType(t: String): org.apache.spark.sql.types.DataType =
+    t match {
+      case "long" => LongType
+      case "double" => DoubleType
+      case "string" => StringType
+      case other => throw new IllegalArgumentException(
+        s"type $other outside the IcebergLite subset")
+    }
+
+  /** The schema a snapshot was written under (its `schema-id` into the
+    * immutable `schemas` list) — Iceberg's time-travel contract: a
+    * historical read uses the schema of its own snapshot, the current
+    * read the current schema. */
+  private def schemaForSnapshot(meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): StructType = {
+    var sid = meta.get("current-schema-id").asInt()
+    meta.get("snapshots").forEach { s =>
+      if (s.get("snapshot-id").asLong() == snapshotId && s.has("schema-id"))
+        sid = s.get("schema-id").asInt()
+    }
+    val fields = mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
+    meta.get("schemas").forEach { sch =>
+      if (sch.get("schema-id").asInt() == sid) {
+        fields.clear()
+        sch.get("fields").forEach(f => fields +=
+          org.apache.spark.sql.types.StructField(
+            f.get("name").asText(), sparkType(f.get("type").asText())))
+      }
+    }
+    require(fields.nonEmpty, s"schema-id $sid not found in metadata")
+    StructType(fields.toSeq)
+  }
+
   /** Read the table at `snapshotId` (default: current) — one multi-path
-    * parquet scan, pushdown/pruning/AQE untouched. */
+    * parquet scan under the snapshot's OWN schema (files predating an
+    * evolution surface added columns as NULL); pushdown/pruning/AQE
+    * untouched. */
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+    val fs = hadoopFs(spark, table)
+    val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
+    val wanted =
+      if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
     val files = snapshotFiles(spark, table, snapshotId)
     require(files.nonEmpty, s"snapshot has no data files in $table")
-    spark.read.parquet(files: _*)
+    spark.read.schema(schemaForSnapshot(meta, wanted)).parquet(files: _*)
   }
 }

@@ -56,6 +56,26 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       .get("record_count").asInstanceOf[Long]).sum shouldBe 2L
   }
 
+  test("schema evolution: new schema-id appended, snapshots keep their own") {
+    import spark.implicits._
+    val table = Sinks.tempDir("iceberg_spec2")
+    IcebergLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    IcebergLite.write(spark, Seq((2L, 20L, "x")).toDF("k", "v", "s"), table)
+    val meta = mapper.readTree(
+      new java.io.File(table, "metadata/v2.metadata.json"))
+    meta.get("current-schema-id").asInt() shouldBe 1
+    meta.get("schemas").size() shouldBe 2 // immutable list grew, not mutated
+    meta.get("snapshots").get(0).get("schema-id").asInt() shouldBe 0
+    meta.get("snapshots").get(1).get("schema-id").asInt() shouldBe 1
+    // current read: evolved schema, old file surfaces s as NULL
+    val latest = IcebergLite.read(spark, table).orderBy("k").collect()
+    latest(0).isNullAt(2) shouldBe true
+    latest(1).getString(2) shouldBe "x"
+    // snapshot-1 time travel keeps the ORIGINAL 2-column schema
+    IcebergLite.read(spark, table, snapshotId = 1L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v")
+  }
+
   test("append reuses the prior manifest by reference; overwrite does not") {
     import spark.implicits._
     val table = Sinks.tempDir("iceberg_spec1")
