@@ -1074,6 +1074,16 @@ object LlmQueries {
     // bit_count-verified, the X227 protocol fed by the actual codec
     "x_image_phash_pairs" -> ((s, _) => ImageOps.dhashPairs(s)),
 
+    // X107b: REAL WAV decode (javax.sound.sampled) — fixture samples
+    // follow a closed-form (clip_id, i) formula, so the oracle predicts
+    // peak/energy/zero-crossings without a codec while Spark parses a
+    // genuine RIFF/WAVE container per partition
+    "x_audio_decode" -> ((s, _) => AudioOps.decodeStats(s)),
+
+    // X107c: frame-energy argmax (win 80 / hop 40 — the X107 framing
+    // convention) computed from REAL decoded samples
+    "x_audio_frame_energy" -> ((s, _) => AudioOps.frameEnergy(s)),
+
     // aspect-preserving resize geometry + ViT patch/pad accounting
     "x_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(Tables.documents(s, dir), ResizeTarget, ResizePatch)),
@@ -2557,6 +2567,41 @@ object LlmQueries {
          |SELECT da, db, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
          |FROM c WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY da, db""".stripMargin,
+    // the audio-fixture CTEs reproduce AudioOps' generator formulas:
+    // n = 400 + 60·(d mod 16), sample = ((31d + 7i) mod 2048) − 1024 — so
+    // the oracle never parses a WAV yet pins every sample statistic the
+    // Spark-side codec produces
+    "x_audio_decode" ->
+      """WITH c AS (SELECT CAST(d AS BIGINT) AS d,
+        |    400 + (d % 16) * 60 AS n FROM range(0, 20) t(d)),
+        |s AS (SELECT d, unnest(range(0, n)) AS i FROM c),
+        |v AS (SELECT d, i, ((d * 31 + i * 7) % 2048) - 1024 AS v FROM s),
+        |w AS (SELECT d, i, v,
+        |    lag(v) OVER (PARTITION BY d ORDER BY i) AS pv FROM v)
+        |SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(v) AS BIGINT) AS peak, CAST(min(v) AS BIGINT) AS trough,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        |FROM w GROUP BY d ORDER BY doc_id""".stripMargin,
+    // each sample i lands in frames {i div 40 − 1, i div 40} (win 80 /
+    // hop 40); ties on energy break to the smallest frame index
+    "x_audio_frame_energy" ->
+      """WITH c AS (SELECT CAST(d AS BIGINT) AS d,
+        |    400 + (d % 16) * 60 AS n FROM range(0, 20) t(d)),
+        |nf AS (SELECT d, 1 + (n - 80) // 40 AS n_frames FROM c),
+        |s AS (SELECT d, unnest(range(0, n)) AS i FROM c),
+        |v AS (SELECT d, i, ((d * 31 + i * 7) % 2048) - 1024 AS v FROM s),
+        |m AS (SELECT d, i, v, unnest([i // 40, i // 40 - 1]) AS k FROM v),
+        |fe AS (SELECT m.d, k, CAST(sum(v * v) AS BIGINT) AS e
+        |  FROM m JOIN nf ON m.d = nf.d
+        |  WHERE k >= 0 AND k < n_frames GROUP BY m.d, k),
+        |r AS (SELECT d, k, e,
+        |    row_number() OVER (PARTITION BY d ORDER BY e DESC, k) AS rn
+        |  FROM fe)
+        |SELECT nf.d AS doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(r.k AS BIGINT) AS best_frame, r.e AS best_energy
+        |FROM nf JOIN r ON nf.d = r.d AND rn = 1 ORDER BY doc_id""".stripMargin,
     // frames are character-addressed (see Multimodal.frameSample); Spark's
     // sequence(0, nf-1, s) and DuckDB's range(0, nf, s) enumerate the same
     // sampled indices

@@ -282,7 +282,49 @@ object GraphOps {
     out
   }
 
+  /** X263: link prediction by common-neighborhood scoring — the classic
+    * unsupervised triad (Liben-Nowell & Kleinberg, CIKM 2003, public):
+    * for every NON-adjacent pair (a, b) sharing ≥1 neighbor, score by
+    * common-neighbor count, resource allocation Σ_w 1/deg(w) (Zhou et al.
+    * 2009 — hub neighbors evidence less), and neighborhood Jaccard
+    * |Γa∩Γb| / |Γa∪Γb| — both ratios as exact ×10⁶ integer arithmetic so
+    * the differential gate is bit-exact.
+    *
+    * Scale shape: candidates form ONLY through shared neighbors (the
+    * wedge join bi ⋈ bi on w — never all pairs), and wedge volume is
+    * Σ deg(w)², so hub vertices (deg > maxDeg) are excluded from wedge
+    * FORMATION — the df-cutoff discipline of the dedup family: a
+    * celebrity vertex contributes deg² candidates while carrying near-
+    * zero RA evidence, so capping it bounds the candidate space at
+    * maxDeg·|E| without moving the ranking. Anti-join drops existing
+    * edges; top-k orders on (cn, ra, a, b) — fully deterministic. */
+  def linkPrediction(edges: DataFrame, maxDeg: Long, topK: Int): DataFrame = {
+    val bi = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val deg = bi.groupBy("u").agg(count(lit(1)).as("d"))
+    val nonHub = bi.join(deg.where(col("d") <= maxDeg), "u")
+    val cand = nonHub.as("x").join(nonHub.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("w"), col("x.d").as("dw"),
+        col("x.v").as("a"), col("y.v").as("b"))
+    val nonEdge = cand.join(edges,
+      cand("a") === edges("u") && cand("b") === edges("v"), "left_anti")
+    nonEdge
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div dw")).as("ra_e6"))
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("ra_e6"),
+        expr("cn * 1000000 div (da + db - cn)").as("jaccard_e6"))
+      .orderBy(col("cn").desc, col("ra_e6").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_link_predict" -> ((s, dir) =>
+      linkPrediction(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
+        maxDeg = 64L, topK = 20)),
     "x_kcore" -> ((s, dir) =>
       kCore(coOccurrenceEdges(Tables.lineitem(s, dir), maxPart = 200L),
         k = 8, rounds = 6)),
@@ -334,6 +376,23 @@ object GraphOps {
        |    SELECT u, count(*) AS d FROM e$out GROUP BY u) WHERE d >= $k)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "x_link_predict" ->
+      s"""WITH $edgeCtes,
+         |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY u),
+         |nh AS (SELECT bi.u, bi.v, deg.d FROM bi
+         |  JOIN deg ON bi.u = deg.u WHERE deg.d <= 64),
+         |cand AS (SELECT x.u AS w, x.d AS dw, x.v AS a, y.v AS b
+         |  FROM nh x JOIN nh y ON x.u = y.u AND x.v < y.v),
+         |ne AS (SELECT * FROM cand c WHERE NOT EXISTS (
+         |    SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b)),
+         |s AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+         |    CAST(sum(1000000 // dw) AS BIGINT) AS ra_e6
+         |  FROM ne GROUP BY a, b)
+         |SELECT s.a, s.b, s.cn, s.ra_e6,
+         |  CAST(s.cn * 1000000 // (da.d + db.d - s.cn) AS BIGINT) AS jaccard_e6
+         |FROM s JOIN deg da ON s.a = da.u JOIN deg db ON s.b = db.u
+         |ORDER BY cn DESC, ra_e6 DESC, a, b LIMIT 20""".stripMargin,
     "x_kcore" ->
       s"""WITH $edgeCtes,
          |bi AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),

@@ -135,65 +135,182 @@ object DeltaLite {
       overwrite: Boolean = false, maxRetries: Int = 10): Long =
     writeTagged(spark, df, table, overwrite, tag = "-", maxRetries = maxRetries)
 
-  /** Snapshot file list at `asOf`: replay the action log in version order,
-    * adds inserting and removes deleting — Delta's snapshot construction
-    * (log files are control-plane: one small JSON per commit). */
-  private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] = {
+  private def readLogText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Snapshot state at one version: live file set, governing metaData,
+    * and how it was assembled (checkpoint used + JSON commits replayed) —
+    * the numbers the checkpoint key surfaces so a silently-ignored
+    * checkpoint turns the gate red. */
+  private[graft] final case class Snapshot(files: Seq[String],
+      meta: Option[(String, String)], checkpointVersion: Long,
+      jsonReplayed: Long)
+
+  private def checkpointFile(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint.parquet")
+
+  private def lastCheckpointFile(table: String) =
+    new Path(logDir(table), "_last_checkpoint")
+
+  /** The `_last_checkpoint` pointer's version, -1 when absent. */
+  def lastCheckpointVersion(spark: SparkSession, table: String): Long = {
     val fs = hadoopFs(spark, table)
+    val p = lastCheckpointFile(table)
+    if (!fs.exists(p)) -1L
+    else mapper.readTree(readLogText(fs, p)).get("version").asLong()
+  }
+
+  /** Snapshot construction — Delta's own read path: start from the newest
+    * checkpoint at or below `asOf` when one exists (its parquet rows ARE
+    * the replay state at that version: protocol + metaData + live adds),
+    * then replay only the JSON commits after it. Without a usable
+    * checkpoint, replay the full JSON prefix. At scale this is the
+    * difference between O(commits-since-checkpoint) and O(all commits)
+    * per read — the reason Delta can carry million-commit logs. */
+  private def snapshot(spark: SparkSession, table: String, asOf: Long): Snapshot = {
+    val fs = hadoopFs(spark, table)
+    val cpV = lastCheckpointVersion(spark, table)
     val live = mutable.LinkedHashSet.empty[String]
-    (0L to asOf).foreach { v =>
+    var meta: Option[(String, String)] = None
+    val fromCheckpoint = cpV >= 0 && cpV <= asOf &&
+      fs.exists(checkpointFile(table, cpV))
+    if (fromCheckpoint) {
+      val rows = spark.read.parquet(checkpointFile(table, cpV).toString)
+        .select("protocol", "metaData", "add").collect()
+      rows.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val m = r.getStruct(1)
+          meta = Some((m.getString(0), m.getString(1)))
+        }
+        if (!r.isNullAt(2)) live += r.getStruct(2).getString(0)
+      }
+    }
+    val firstJson = if (fromCheckpoint) cpV + 1 else 0L
+    (firstJson to asOf).foreach { v =>
       val p = versionFile(table, v)
       if (!fs.exists(p))
         throw new IllegalArgumentException(
           s"version $v absent from $table/_delta_log (asOf=$asOf)")
-      val in = fs.open(p)
-      val text = try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-        buf.toString("UTF-8")
-      } finally in.close()
-      text.split('\n').filter(_.nonEmpty).foreach { line =>
+      readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
         if (node.has("add")) live += node.get("add").get("path").asText()
         else if (node.has("remove")) live -= node.get("remove").get("path").asText()
+        else if (node.has("metaData")) {
+          val m = node.get("metaData")
+          meta = Some((m.get("id").asText(), m.get("schemaString").asText()))
+        }
       }
     }
-    live.toSeq
+    Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
+      asOf - firstJson + 1)
   }
 
-  /** Latest (tableId, schemaString) at or below `upTo` — a later commit
-    * may carry a metaData action that EVOLVES the schema (Delta's
-    * schema-evolution contract: the table schema is the newest metaData,
-    * never per-file inference). */
-  private def latestMeta(fs: FileSystem, table: String,
-      upTo: Long): Option[(String, String)] = {
-    var found: Option[(String, String)] = None
-    (0L to upTo).foreach { v =>
+  private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
+    snapshot(spark, table, asOf).files
+
+  /** Write a checkpoint at version `v` (default: latest): ONE parquet file
+    * `_delta_log/%020d.checkpoint.parquet` holding the full replay state
+    * (protocol / metaData / one add row per live file — the spec's
+    * flattened action columns), then flip `_last_checkpoint` to it. The
+    * parquet is staged via a Spark write and renamed to the spec path, so
+    * the checkpoint itself never buffers through the driver. */
+  def checkpoint(spark: SparkSession, table: String, version: Long = -1L): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val fs = hadoopFs(spark, table)
+    val v = if (version < 0) latestVersion(spark, table) else version
+    require(v >= 0, s"$table has no commits to checkpoint")
+    val snap = snapshot(spark, table, v)
+    val (tableId, schemaJson) = snap.meta.getOrElse(
+      throw new IllegalStateException(s"no metaData at version $v of $table"))
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows = Row(Row(1, 2), null, null) +: Row(null, Row(tableId, schemaJson), null) +:
+      snap.files.map { f =>
+        val st = fs.getFileStatus(new Path(table, f))
+        Row(null, null, Row(f, st.getLen, st.getModificationTime, true))
+      }
+    val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+      .write.parquet(staged.toString)
+    val part = fs.listStatus(staged)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(part, checkpointFile(table, v))
+    fs.delete(staged, true)
+    val out = fs.create(lastCheckpointFile(table), /* overwrite = */ true)
+    try out.write(s"""{"version":$v,"size":${rows.size}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** Metadata retention: delete JSON commits BELOW the checkpointed
+    * version (they are subsumed by the checkpoint's replay state — Delta's
+    * own log-cleanup rule). Time travel below the checkpoint then refuses
+    * with a missing-version error instead of answering wrong. Returns the
+    * number of log files removed. */
+  def expireLog(spark: SparkSession, table: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val cpV = lastCheckpointVersion(spark, table)
+    require(cpV >= 0, s"$table has no checkpoint — nothing is subsumed")
+    (0L until cpV).count { v =>
       val p = versionFile(table, v)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val text = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-          buf.toString("UTF-8")
-        } finally in.close()
-        text.split('\n').filter(_.nonEmpty).map(mapper.readTree)
-          .filter(_.has("metaData")).foreach { n =>
-            found = Some((n.get("metaData").get("id").asText(),
-              n.get("metaData").get("schemaString").asText()))
-          }
+      fs.exists(p) && fs.delete(p, false)
+    }.toLong
+  }
+
+  /** Physical cleanup: delete data files no longer referenced by the
+    * CURRENT snapshot (tombstoned by overwrite/merge commits). Retention
+    * subset: immediate (retention 0) — after vacuum, time travel to a
+    * version that referenced a deleted file fails at scan time, exactly
+    * Delta's documented trade. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, table: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val live = liveFiles(spark, table, latestVersion(spark, table)).toSet
+    val dataRoot = new Path(table, "data")
+    if (!fs.exists(dataRoot)) return 0L
+    val it = fs.listFiles(dataRoot, /* recursive = */ true)
+    var deleted = 0L
+    // compare fully-QUALIFIED paths on both sides: listFiles returns
+    // scheme-qualified paths (file:///…) that URI-relativize against a
+    // bare table path would never match — and a no-match default of
+    // "unreferenced" would delete the whole table
+    val qualifiedTable = fs.makeQualified(new Path(table)).toString
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) {
+        val rel = st.getPath.toString.stripPrefix(qualifiedTable + "/")
+        if (!live.contains(rel)) { fs.delete(st.getPath, false); deleted += 1 }
       }
     }
-    found
+    deleted
   }
 
   /** Table schema as of `asOf` (default: latest metaData anywhere in the
-    * log) — Spark's StructType JSON, the encoding Delta itself uses. */
+    * log) — Spark's StructType JSON, the encoding Delta itself uses. A
+    * later commit may carry a metaData action that EVOLVES the schema
+    * (the table schema is the newest metaData, never per-file
+    * inference). */
   def tableSchema(spark: SparkSession, table: String,
       asOf: Long = Long.MaxValue): StructType = {
-    val fs = hadoopFs(spark, table)
     val upTo = math.min(asOf, latestVersion(spark, table))
-    val (_, sj) = latestMeta(fs, table, upTo).getOrElse(
+    val (_, sj) = snapshot(spark, table, upTo).meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))
     DataType.fromJson(sj).asInstanceOf[StructType]
   }
@@ -245,7 +362,7 @@ object DeltaLite {
         else Seq.empty
       val header =
         if (v == 0) Seq(protocolLine, metaDataLine(df.schema))
-        else latestMeta(fs, table, v - 1) match {
+        else snapshot(spark, table, v - 1).meta match {
           // schema EVOLUTION: a widened batch re-declares the table schema
           // in this commit's metaData (same table id — Delta's contract)
           case Some((id, sj)) if sj != df.schema.json =>
@@ -300,19 +417,30 @@ object DeltaLite {
     * any parquet read. An empty snapshot yields an empty DataFrame with
     * the committed schema. */
   def read(spark: SparkSession, table: String,
-      versionAsOf: Long = -1L): DataFrame = {
+      versionAsOf: Long = -1L): DataFrame =
+    readWithStats(spark, table, versionAsOf)._1
+
+  /** [[read]] plus the snapshot-assembly stats (checkpoint version used,
+    * JSON commits replayed) — how the checkpoint key proves the read
+    * actually went through the checkpoint instead of a full log replay. */
+  def readWithStats(spark: SparkSession, table: String,
+      versionAsOf: Long = -1L): (DataFrame, Snapshot) = {
     val latest = latestVersion(spark, table)
     require(latest >= 0, s"$table has no Delta log")
     val asOf = if (versionAsOf < 0) latest else versionAsOf
     require(asOf <= latest, s"versionAsOf=$asOf > latest=$latest on $table")
-    val files = liveFiles(spark, table, asOf)
+    val snap = snapshot(spark, table, asOf)
     // Delta readers always apply the TABLE schema (newest metaData at or
     // below the read version) — files predating an evolution surface the
     // added columns as NULL, never via per-file inference
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        tableSchema(spark, table, asOf))
-    else spark.read.schema(tableSchema(spark, table, asOf))
-      .parquet(files.map(f => s"$table/$f"): _*)
+    val schema = DataType.fromJson(snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))._2)
+      .asInstanceOf[StructType]
+    val df =
+      if (snap.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schema)
+      else spark.read.schema(schema).parquet(snap.files.map(f => s"$table/$f"): _*)
+    (df, snap)
   }
 }

@@ -506,6 +506,54 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X36k: Delta checkpoint — the log-scalability contract: after 3
+    * appends the table checkpoints at version 2 and EXPIRES the subsumed
+    * JSON commits (0 and 1 are deleted), then a 4th quarter appends as
+    * version 3. The current read can only succeed through the checkpoint
+    * (a full JSON replay would hit the deleted files), and the surfaced
+    * stats — checkpoint version used, JSON commits replayed — are
+    * genuinely computed by the snapshot assembly, so a silently-ignored
+    * checkpoint turns the key red. At scale this is O(commits-since-
+    * checkpoint) per read instead of O(all commits). */
+  private def deltaCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cp")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    (0 until 3).foreach(q =>
+      DeltaLite.write(spark, ev.where(col("event_id") % 4 === q), table))
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.write(spark, ev.where(col("event_id") % 4 === 3), table)
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .withColumn("checkpoint_version", lit(snap.checkpointVersion))
+      .withColumn("n_json_replayed", lit(snap.jsonReplayed))
+      .orderBy("event_type")
+  }
+
+  /** X36l: Delta vacuum — physical cleanup of overwrite tombstones: the
+    * overwrite at version 1 leaves version 0's two files (writes pinned
+    * to `repartition(2)`) unreferenced; vacuum deletes exactly those, the
+    * current read is byte-identical after, and the deleted/remaining
+    * counts are computed from the actual filesystem walk. */
+  private def deltaVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_vac")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.repartition(2), table)
+    val repriced = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    DeltaLite.write(spark, repriced.repartition(2), table, overwrite = true)
+    val deleted = DeltaLite.vacuum(spark, table)
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    df.agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_files_deleted", lit(deleted))
+      .withColumn("n_files_remaining", lit(snap.files.size.toLong))
+  }
+
   /** X261: Iceberg-format round-trip — the [[DeltaLite]] contract on the
     * second major table format: two snapshots (initial + append, the
     * append REUSING the first snapshot's manifest by reference), read at
@@ -558,6 +606,32 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X261e: Iceberg HIDDEN partitioning + manifest scan pruning — the
+    * table declares `truncate[7]` on `o_orderdate` (the month prefix);
+    * data files split by the transform value, manifests record it per
+    * file, and the two-month query is planned off the MANIFESTS alone:
+    * the scan reads exactly the matched files with NO row filter — the
+    * answer is correct purely because pruning is (the hidden-partitioning
+    * proof). files_scanned/files_total come from the actual planning
+    * walk, so a planner that silently full-scans turns the key red. */
+  private def icebergPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_part")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"))
+    IcebergLite.write(spark, o, table,
+      partitionTruncate = Some(("o_orderdate", 7)))
+    val (files, matched, total) =
+      IcebergLite.planPartitioned(spark, table, Set("1996-03", "1997-07"))
+    spark.read.parquet(files: _*)
+      .groupBy(substring(col("o_orderdate"), 1, 7).as("o_month"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(matched))
+      .withColumn("files_total", lit(total))
+      .orderBy("o_month")
+  }
+
   /** X36j: Delta schema evolution — a widened append re-declares the
     * table schema via a metaData action in its own commit; reads apply
     * the NEWEST schema (never per-file inference), so pre-evolution files
@@ -596,9 +670,12 @@ object FormatQueries {
     "x_iceberg_schema_evolution" -> ((s, dir) => icebergSchemaEvolution(s, dir)),
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
+    "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
+    "x_delta_checkpoint" -> ((s, dir) => deltaCheckpoint(s, dir)),
+    "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
     "x_delta_incremental" -> ((s, dir) => deltaIncremental(s, dir)),
@@ -642,6 +719,18 @@ object FormatQueries {
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_iceberg_roundtrip" -> aggSql,
+    // the pruned scan carries NO row filter — equality with this filtered
+    // aggregate is the hidden-partitioning proof; files_total = distinct
+    // months (one file per transform value by construction)
+    "x_iceberg_partition" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(2 AS BIGINT) AS files_scanned,
+        |  (SELECT count(DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m'))
+        |     FROM orders) AS files_total
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') IN ('1996-03', '1997-07')
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "x_iceberg_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total FROM orders
@@ -652,6 +741,25 @@ object FormatQueries {
         |FROM orders
         |ORDER BY version""".stripMargin,
     "x_delta_roundtrip" -> aggSql,
+    // constants 2/1 are the EXPECTED snapshot-assembly stats (checkpoint
+    // at v2, one JSON commit after it); Spark computes them from the read
+    "x_delta_checkpoint" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum,
+        |  CAST(2 AS BIGINT) AS checkpoint_version,
+        |  CAST(1 AS BIGINT) AS n_json_replayed
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // 2/2: the overwrite tombstoned version 0's two pinned files, the
+    // current snapshot keeps its own two; both counts computed, not set
+    "x_delta_vacuum" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END), 2)
+        |    AS total,
+        |  CAST(2 AS BIGINT) AS n_files_deleted,
+        |  CAST(2 AS BIGINT) AS n_files_remaining
+        |FROM orders""".stripMargin,
     "x_delta_merge" ->
       """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
         |  WHERE o_orderkey % 4 <> 3),

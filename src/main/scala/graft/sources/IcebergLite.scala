@@ -69,23 +69,35 @@ object IcebergLite {
       |]}""".stripMargin)
 
   /** Manifest-entry Avro schema — status + nested data_file with the
-    * required v1 fields (100-105; empty partition struct for the
-    * unpartitioned subset). */
-  private val manifestEntrySchema: Schema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int","field-id":0},
-      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |  {"name":"data_file","field-id":2,"type":{
-      |    "type":"record","name":"r2","fields":[
-      |      {"name":"file_path","type":"string","field-id":100},
-      |      {"name":"file_format","type":"string","field-id":101},
-      |      {"name":"partition","field-id":102,
-      |        "type":{"type":"record","name":"r102","fields":[]}},
-      |      {"name":"record_count","type":"long","field-id":103},
-      |      {"name":"file_size_in_bytes","type":"long","field-id":104},
-      |      {"name":"block_size_in_bytes","type":"long","field-id":105}
-      |  ]}}
-      |]}""".stripMargin)
+    * required v1 fields (100-105). The partition struct (field-id 102) is
+    * empty for unpartitioned tables and carries one `p0` field (Iceberg
+    * partition-field ids start at 1000) for the truncate-partitioned
+    * variant — the manifest row is where partition values live, which is
+    * what makes manifest-level scan pruning possible without opening any
+    * data file. */
+  private def entrySchemaFor(partitioned: Boolean): Schema = {
+    val partFields =
+      if (partitioned)
+        """{"name":"p0","type":["null","string"],"default":null,"field-id":1000}"""
+      else ""
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"data_file","field-id":2,"type":{
+         |    "type":"record","name":"r2","fields":[
+         |      {"name":"file_path","type":"string","field-id":100},
+         |      {"name":"file_format","type":"string","field-id":101},
+         |      {"name":"partition","field-id":102,
+         |        "type":{"type":"record","name":"r102","fields":[$partFields]}},
+         |      {"name":"record_count","type":"long","field-id":103},
+         |      {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |      {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |  ]}}
+         |]}""".stripMargin)
+  }
+
+  private val manifestEntrySchema: Schema = entrySchemaFor(partitioned = false)
 
   /** Spark → Iceberg primitive type names (the subset the fixture tables
     * use; Iceberg types are lowercase strings in metadata JSON). */
@@ -144,19 +156,62 @@ object IcebergLite {
   /** Commit `df` as a new snapshot. `overwrite = true` starts the manifest
     * list fresh (prior data files leave the snapshot); append reuses every
     * prior manifest BY REFERENCE — commit cost is O(new files). Returns
-    * the new snapshot id (= metadata version). */
+    * the new snapshot id (= metadata version).
+    *
+    * `partitionTruncate = Some((col, w))` declares the table HIDDEN-
+    * partitioned by the spec transform `truncate[w]` on a string source
+    * column: data files are physically split by the transform value, the
+    * value is recorded in each file's manifest row (never in the data
+    * file — the source column stays there untouched), and
+    * [[planPartitioned]] prunes scans off the manifests alone. Every
+    * commit to a partitioned table must declare the SAME spec. */
   def write(spark: SparkSession, df: DataFrame, table: String,
-      overwrite: Boolean = false): Long = {
+      overwrite: Boolean = false,
+      partitionTruncate: Option[(String, Int)] = None): Long = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
+    if (prevV > 0) {
+      val priorSpec = partitionSpec(readMetadata(fs, table, prevV))
+      require(priorSpec == partitionTruncate,
+        s"partition spec mismatch on $table: table has $priorSpec, " +
+          s"commit declares $partitionTruncate")
+    }
     val snapshotId = prevV + 1L
     // stage data files (commit-private dir, the DeltaLite discipline)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/s$snapshotId-$token"
-    df.write.mode("errorifexists").parquet(s"$table/$staged")
-    val parts = fs.listStatus(new Path(table, staged))
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    // (relative-file-path, partition-value-or-null, file-status)
+    val parts: Seq[(String, String, org.apache.hadoop.fs.FileStatus)] =
+      partitionTruncate match {
+        case None =>
+          df.write.mode("errorifexists").parquet(s"$table/$staged")
+          fs.listStatus(new Path(table, staged))
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+            .map(p => (s"$staged/${p.getPath.getName}", null, p)).toSeq
+        case Some((src, w)) =>
+          // one file per transform value: repartition by the value, then
+          // partitionBy splits each task's rows into per-value directories
+          df.withColumn("_p", org.apache.spark.sql.functions
+              .substring(org.apache.spark.sql.functions.col(src), 1, w))
+            .repartition(org.apache.spark.sql.functions.col("_p"))
+            .write.mode("errorifexists").partitionBy("_p")
+            .parquet(s"$table/$staged")
+          val out = mutable.ArrayBuffer
+            .empty[(String, String, org.apache.hadoop.fs.FileStatus)]
+          fs.listStatus(new Path(table, staged))
+            .filter(_.getPath.getName.startsWith("_p="))
+            .sortBy(_.getPath.getName).foreach { d =>
+              val value = d.getPath.getName.stripPrefix("_p=")
+              fs.listStatus(d.getPath)
+                .filter(_.getPath.getName.endsWith(".parquet"))
+                .sortBy(_.getPath.getName).foreach(p => out +=
+                  ((s"$staged/${d.getPath.getName}/${p.getPath.getName}",
+                    value, p)))
+            }
+          out.toSeq
+      }
     // per-file record counts from the committed parquet footers (cheap
     // driver-side reads of file metadata via a count over each file would
     // scan; instead count once per staged write)
@@ -166,16 +221,19 @@ object IcebergLite {
       .count().collect().map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
       .toMap
     // manifest for the new files
-    val entries = parts.toSeq.map { p =>
-      val e = new GenericData.Record(manifestEntrySchema)
+    val entrySchema = entrySchemaFor(partitionTruncate.isDefined)
+    val entries = parts.map { case (rel, pval, p) =>
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      d.put("file_path", s"$table/$staged/${p.getPath.getName}")
+        entrySchema.getField("data_file").schema())
+      d.put("file_path", s"$table/$rel")
       d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(manifestEntrySchema
-        .getField("data_file").schema().getField("partition").schema()))
+      val partRecord = new GenericData.Record(entrySchema
+        .getField("data_file").schema().getField("partition").schema())
+      if (pval != null) partRecord.put("p0", pval)
+      d.put("partition", partRecord)
       d.put("record_count", counts.getOrElse(p.getPath.getName, 0L))
       d.put("file_size_in_bytes", p.getLen)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
@@ -184,7 +242,7 @@ object IcebergLite {
     }
     val manifestName = s"$snapshotId-$token-m0.avro"
     val manifestLocal = new File(new File(table, "metadata"), manifestName)
-    val manifestLen = writeAvroFile(manifestLocal, manifestEntrySchema, entries)
+    val manifestLen = writeAvroFile(manifestLocal, entrySchema, entries)
     // manifest list = prior manifests (append) + the new one
     val prior: Seq[(String, Long, Long)] =
       if (overwrite || prevV == 0) Seq.empty
@@ -268,9 +326,17 @@ object IcebergLite {
     val specs = root.putArray("partition-specs")
     val spec0 = specs.addObject()
     spec0.put("spec-id", 0)
-    spec0.putArray("fields")
+    val specFields = spec0.putArray("fields")
+    partitionTruncate.foreach { case (src, w) =>
+      val pf = specFields.addObject()
+      pf.put("name", s"${src}_trunc")
+      pf.put("transform", s"truncate[$w]")
+      pf.put("source-id",
+        df.schema.fieldNames.indexOf(src) + 1) // Iceberg field ids are 1-based
+      pf.put("field-id", 1000)
+    }
     root.put("default-spec-id", 0)
-    root.put("last-partition-id", 999)
+    root.put("last-partition-id", if (partitionTruncate.isDefined) 1000 else 999)
     root.putObject("properties")
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
@@ -300,6 +366,54 @@ object IcebergLite {
     try hint.write(s"${prevV + 1}".getBytes(StandardCharsets.UTF_8))
     finally hint.close()
     snapshotId
+  }
+
+  /** The table's declared truncate partition spec, decoded back from the
+    * metadata JSON (None = unpartitioned). */
+  private def partitionSpec(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[(String, Int)] = {
+    var found: Option[(String, Int)] = None
+    meta.get("partition-specs").forEach { s =>
+      if (s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
+        s.get("fields").forEach { f =>
+          val t = f.get("transform").asText()
+          require(t.startsWith("truncate["),
+            s"transform $t outside the IcebergLite subset")
+          val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+          found = Some((f.get("name").asText().stripSuffix("_trunc"), w))
+        }
+    }
+    found
+  }
+
+  /** Hidden-partitioning scan planning: the reader holds a predicate on
+    * the SOURCE column (here: a wanted set of transform values — what a
+    * range predicate on the source reduces to under `truncate`), and the
+    * planner selects data files off the MANIFEST partition values alone —
+    * no data file is opened, no footer read. Returns (matched files,
+    * matched count, total file count): at 100 TB this is the layer that
+    * turns a two-month query over a decade of data into a two-month
+    * scan. */
+  def planPartitioned(spark: SparkSession, table: String,
+      wanted: Set[String]): (Seq[String], Long, Long) = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    require(partitionSpec(meta).isDefined, s"$table is not partitioned")
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    val all = readAvroFile(fs, new Path(snap._2)).flatMap { m =>
+      readAvroFile(fs, new Path(m.get("manifest_path").toString))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val part = d.get("partition").asInstanceOf[GenericRecord]
+          (d.get("file_path").toString, String.valueOf(part.get("p0")))
+        }
+    }
+    val matched = all.filter(f => wanted.contains(f._2)).map(_._1)
+    (matched, matched.size.toLong, all.size.toLong)
   }
 
   private def metaJsonSnapshots(meta: com.fasterxml.jackson.databind.JsonNode)

@@ -123,6 +123,50 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     metas1.head.get("metaData").get("id").asText() shouldBe id0
   }
 
+  test("checkpoint: reads survive expired JSON prefix; state is exact") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec7")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((9L, 90L), (2L, 21L)).toDF("k", "v"), table,
+      overwrite = true) // checkpoint must capture the post-remove live set
+    DeltaLite.checkpoint(spark, table) shouldBe 2L
+    DeltaLite.lastCheckpointVersion(spark, table) shouldBe 2L
+    // the checkpoint is one spec-named parquet FILE, not a directory
+    new java.io.File(table,
+      "_delta_log/00000000000000000002.checkpoint.parquet").isFile shouldBe true
+    DeltaLite.expireLog(spark, table) shouldBe 2L // 0.json + 1.json deleted
+    DeltaLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((9L, 90L), (2L, 21L), (3L, 30L))
+    snap.checkpointVersion shouldBe 2L
+    snap.jsonReplayed shouldBe 1L // only version 3
+    // schema survives through the checkpoint's metaData row
+    DeltaLite.tableSchema(spark, table).fieldNames.toSeq shouldBe Seq("k", "v")
+    // time travel below the checkpoint refuses (its JSON is expired)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.read(spark, table, versionAsOf = 1L)
+  }
+
+  test("vacuum deletes exactly the tombstoned files; current read intact") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec8")
+    DeltaLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .repartition(2), table)
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table,
+      overwrite = true)
+    // pre-vacuum: time travel to v0 still works
+    DeltaLite.read(spark, table, versionAsOf = 0L).count() shouldBe 2L
+    DeltaLite.vacuum(spark, table) shouldBe 2L
+    DeltaLite.vacuum(spark, table) shouldBe 0L // idempotent
+    DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((9L, 90L))
+    // v0's file set is gone: the time-travel scan now fails at read time
+    an[Exception] should be thrownBy
+      DeltaLite.read(spark, table, versionAsOf = 0L).collect()
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")

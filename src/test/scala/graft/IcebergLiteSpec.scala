@@ -101,4 +101,38 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table, snapshotId = 1L).count() shouldBe 1L
     IcebergLite.read(spark, table, snapshotId = 2L).count() shouldBe 2L
   }
+
+  test("hidden partitioning: manifests carry values, planning prunes, appends check spec") {
+    import spark.implicits._
+    val table = Sinks.tempDir("iceberg_spec_part")
+    val rows = Seq((1L, "2024-01-05", 10L), (2L, "2024-01-20", 20L),
+      (3L, "2024-02-02", 30L), (4L, "2024-03-09", 40L))
+    IcebergLite.write(spark, rows.toDF("k", "d", "v"), table,
+      partitionTruncate = Some(("d", 7)))
+    // metadata declares the spec transform with partition-field-id 1000
+    val meta = mapper.readTree(new java.io.File(table, "metadata/v1.metadata.json"))
+    val pf = meta.get("partition-specs").get(0).get("fields").get(0)
+    pf.get("transform").asText() shouldBe "truncate[7]"
+    pf.get("field-id").asInt() shouldBe 1000
+    // planning prunes to one file per wanted month, off manifests alone
+    val (files, matched, total) =
+      IcebergLite.planPartitioned(spark, table, Set("2024-01", "2024-03"))
+    total shouldBe 3L // one file per distinct month
+    matched shouldBe 2L
+    val planned = spark.read.parquet(files: _*).collect()
+      .map(_.getLong(0)).toSet
+    planned shouldBe Set(1L, 2L, 4L) // no row filter applied — pruning IS the filter
+    // the source column survives untouched in the data files
+    spark.read.parquet(files.head).schema.fieldNames.toSeq shouldBe
+      Seq("k", "d", "v")
+    // full (unpruned) read still sees everything
+    IcebergLite.read(spark, table).count() shouldBe 4L
+    // an append must re-declare the identical spec
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.write(spark, Seq((5L, "2024-04-01", 50L)).toDF("k", "d", "v"),
+        table)
+    IcebergLite.write(spark, Seq((5L, "2024-04-01", 50L)).toDF("k", "d", "v"),
+      table, partitionTruncate = Some(("d", 7)))
+    IcebergLite.planPartitioned(spark, table, Set("2024-04"))._2 shouldBe 1L
+  }
 }
