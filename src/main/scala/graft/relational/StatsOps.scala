@@ -1136,7 +1136,35 @@ object StatsOps {
         |GROUP BY c.flag, q1, q3 ORDER BY c.flag""".stripMargin)
   }
 
+  /** X264: delete-one jackknife variance of the mean daily revenue
+    * (Tukey 1958 — the resampling estimator that needs NO second pass:
+    * for the mean, every leave-one-out estimate is a linear function of
+    * the totals). Exact integers end-to-end: with per-day cent sums s_i,
+    * n days and T = Σs_i, the jackknife variance
+    * (n−1)/n · Σ(θ̂₍ᵢ₎ − θ̂₍·₎)² reduces algebraically to
+    * Σ(T − n·s_i)² / (n³(n−1)) — one daily rollup, one 1-row totals
+    * broadcast, one global sum; no per-replicate recompute (the naive
+    * form re-aggregates the corpus n times). Magnitude bound: |T − n·s_i|
+    * ≤ n·max|s_i − s̄|, so the squared sum stays in int64 through ~10⁹
+    * total cents at bench scale; beyond that, compute via DECIMAL. */
+  private def jackknife(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("ts").cast("date").as("dy"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("s"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("s").as("t"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("n"), col("t"),
+        ((col("t") - col("n") * col("s")) *
+          (col("t") - col("n") * col("s"))).as("sq"))
+      .groupBy("n", "t").agg(sum("sq").as("ssq"))
+      .select(col("n").as("n_days"),
+        expr("t div n").as("mean_daily_cents"),
+        expr("ssq div nullif(n * n * n * (n - 1), 0)").as("jk_var_cents2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_jackknife" -> ((s, dir) => jackknife(s, dir)),
     "x_outlier_iqr" -> ((s, dir) => iqrOutliers(s, dir)),
     "x_stump" -> ((s, dir) => stump(s, dir)),
     "x_ab_test" -> ((s, dir) => abTest(s, dir)),
@@ -1282,6 +1310,18 @@ object StatsOps {
         |    CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 //
         |    nullif(CAST(count(*) AS BIGINT), 0) AS expected_e6
         |FROM lagged""".stripMargin,
+    "x_jackknife" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS dy,
+        |    CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS t FROM d),
+        |q AS (SELECT n, t,
+        |    CAST(sum((t - n*s) * (t - n*s)) AS BIGINT) AS ssq
+        |  FROM d, t GROUP BY n, t)
+        |SELECT n AS n_days, t // n AS mean_daily_cents,
+        |  ssq // nullif(n*n*n*(n-1), 0) AS jk_var_cents2
+        |FROM q""".stripMargin,
     "x_cusum" ->
       """WITH dd AS (SELECT CAST(ts AS DATE) AS dy, count(*) AS c
         |  FROM events GROUP BY 1),

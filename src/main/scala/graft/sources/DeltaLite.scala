@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
 
 /** A minimal Delta Lake TABLE-FORMAT implementation against the PUBLIC
   * protocol specification (delta-io PROTOCOL.md; Armbrust et al., VLDB'20,
@@ -109,13 +109,17 @@ object DeltaLite {
     m.put("createdTime", 0L)
   }
 
-  private def addLine(path: String, size: Long, modTime: Long): String =
+  private def addLine(path: String, size: Long, modTime: Long,
+      stats: Option[String] = None): String =
     jsonObj("add") { a =>
       a.put("path", path)
       a.putObject("partitionValues")
       a.put("size", size)
       a.put("modificationTime", modTime)
       a.put("dataChange", true)
+      // per the protocol, `stats` is a JSON STRING of file statistics —
+      // the layer data skipping reads (numRecords/minValues/maxValues)
+      stats.foreach(s => a.put("stats", s))
     }
 
   private def removeLine(path: String): String = jsonObj("remove") { r =>
@@ -132,8 +136,10 @@ object DeltaLite {
     * (the orphan is deleted before retry, the [[CommitLog.commit]]
     * discipline). */
   def write(spark: SparkSession, df: DataFrame, table: String,
-      overwrite: Boolean = false, maxRetries: Int = 10): Long =
-    writeTagged(spark, df, table, overwrite, tag = "-", maxRetries = maxRetries)
+      overwrite: Boolean = false, maxRetries: Int = 10,
+      collectStats: Boolean = false): Long =
+    writeTagged(spark, df, table, overwrite, tag = "-",
+      maxRetries = maxRetries, collectStats = collectStats)
 
   private def readLogText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -150,7 +156,7 @@ object DeltaLite {
     * checkpoint turns the gate red. */
   private[graft] final case class Snapshot(files: Seq[String],
       meta: Option[(String, String)], checkpointVersion: Long,
-      jsonReplayed: Long)
+      jsonReplayed: Long, stats: Map[String, String] = Map.empty)
 
   private def checkpointFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
@@ -177,6 +183,7 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val cpV = lastCheckpointVersion(spark, table)
     val live = mutable.LinkedHashSet.empty[String]
+    val stats = mutable.Map.empty[String, String]
     var meta: Option[(String, String)] = None
     val fromCheckpoint = cpV >= 0 && cpV <= asOf &&
       fs.exists(checkpointFile(table, cpV))
@@ -188,7 +195,11 @@ object DeltaLite {
           val m = r.getStruct(1)
           meta = Some((m.getString(0), m.getString(1)))
         }
-        if (!r.isNullAt(2)) live += r.getStruct(2).getString(0)
+        if (!r.isNullAt(2)) {
+          val a = r.getStruct(2)
+          live += a.getString(0)
+          if (!a.isNullAt(4)) stats(a.getString(0)) = a.getString(4)
+        }
       }
     }
     val firstJson = if (fromCheckpoint) cpV + 1 else 0L
@@ -199,16 +210,22 @@ object DeltaLite {
           s"version $v absent from $table/_delta_log (asOf=$asOf)")
       readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("add")) live += node.get("add").get("path").asText()
-        else if (node.has("remove")) live -= node.get("remove").get("path").asText()
-        else if (node.has("metaData")) {
+        if (node.has("add")) {
+          val a = node.get("add")
+          live += a.get("path").asText()
+          if (a.has("stats")) stats(a.get("path").asText()) = a.get("stats").asText()
+        } else if (node.has("remove")) {
+          val p = node.get("remove").get("path").asText()
+          live -= p
+          stats -= p
+        } else if (node.has("metaData")) {
           val m = node.get("metaData")
           meta = Some((m.get("id").asText(), m.get("schemaString").asText()))
         }
       }
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
-      asOf - firstJson + 1)
+      asOf - firstJson + 1, stats.toMap)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -240,11 +257,14 @@ object DeltaLite {
         StructField("path", StringType),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType))))))
     val rows = Row(Row(1, 2), null, null) +: Row(null, Row(tableId, schemaJson), null) +:
       snap.files.map { f =>
         val st = fs.getFileStatus(new Path(table, f))
-        Row(null, null, Row(f, st.getLen, st.getModificationTime, true))
+        Row(null, null,
+          Row(f, st.getLen, st.getModificationTime, true,
+            snap.stats.getOrElse(f, null)))
       }
     val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
@@ -345,7 +365,8 @@ object DeltaLite {
   }
 
   private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
-      overwrite: Boolean, tag: String, maxRetries: Int = 10): Long = {
+      overwrite: Boolean, tag: String, maxRetries: Int = 10,
+      collectStats: Boolean = false): Long = {
     val fs = hadoopFs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -355,8 +376,42 @@ object DeltaLite {
       df.write.mode("errorifexists").parquet(s"$table/$staged")
       val parts = fs.listStatus(new Path(table, staged))
         .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      // protocol `stats`: per-file numRecords + min/max of every LONG
+      // column (the IcebergLite-subset numeric key types), computed in ONE
+      // distributed pass over the staged files grouped by file name — the
+      // statistics layer [[planSkipping]] prunes scans off
+      val statsByFile: Map[String, String] =
+        if (!collectStats) Map.empty
+        else {
+          import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+          val longCols = df.schema.fields
+            .filter(_.dataType == LongType).map(_.name).toSeq
+          val aggs = count(lit(1)).as("numRecords") +:
+            longCols.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          spark.read.parquet(s"$table/$staged")
+            .groupBy(input_file_name().as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val o = mapper.createObjectNode()
+              o.put("numRecords", r.getAs[Long]("numRecords"))
+              val mins = o.putObject("minValues")
+              val maxs = o.putObject("maxValues")
+              longCols.foreach { c =>
+                val mi = r.getAs[java.lang.Long](s"min_$c")
+                val ma = r.getAs[java.lang.Long](s"max_$c")
+                // all-NULL columns carry no bounds — readers keep the file
+                if (mi != null && ma != null) {
+                  mins.put(c, mi.longValue())
+                  maxs.put(c, ma.longValue())
+                }
+              }
+              (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+            }.toMap
+        }
       val adds = parts.toSeq.map(p =>
-        addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime))
+        addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+          statsByFile.get(p.getPath.getName)))
       val removes =
         if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine)
         else Seq.empty
@@ -410,6 +465,30 @@ object DeltaLite {
         tableSchema(spark, table, toV))
     else spark.read.schema(tableSchema(spark, table, toV))
       .parquet(added.toSeq.map(f => s"$table/$f"): _*)
+  }
+
+  /** Data skipping off the log's `stats` layer: select the current
+    * snapshot's files whose recorded [min, max] for `column` intersects
+    * [lo, hi] — no data file or footer is opened; the decision rides
+    * entirely on the statistics the writer committed into the add
+    * actions (Delta's own skipping model). Files WITHOUT stats for the
+    * column are conservatively kept — skipping is an optimization, never
+    * a filter. Returns (matched files, matched count, total count). */
+  def planSkipping(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): (Seq[String], Long, Long) = {
+    val snap = snapshot(spark, table, latestVersion(spark, table))
+    val matched = snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case Some(js) =>
+          val n = mapper.readTree(js)
+          val mi = n.path("minValues").path(column)
+          val ma = n.path("maxValues").path(column)
+          mi.isMissingNode || ma.isMissingNode ||
+            (ma.asLong() >= lo && mi.asLong() <= hi)
+        case None => true
+      }
+    }
+    (matched, matched.size.toLong, snap.files.size.toLong)
   }
 
   /** Read the table at `versionAsOf` (default: latest) — the live file set

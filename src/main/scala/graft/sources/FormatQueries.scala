@@ -606,6 +606,34 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X36m: Delta data skipping off the log's `stats` layer — four
+    * appends, each a contiguous quarter of the o_orderkey range staged as
+    * one file with `collectStats = true` (per-file numRecords + min/max
+    * committed into the add actions). The [1, max/4] range query is
+    * planned off the LOG alone — no footer opened — and the matched scan
+    * carries NO row filter: answer correctness is the skipping proof
+    * (each file holds exactly its key quarter by construction).
+    * files_scanned/files_total come from the actual stats walk. */
+  private def deltaSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_skip")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    // control-plane scalar (the JDBC-bounds discipline): the slice edges
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    val bounds = Seq((0L, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, mx))
+    bounds.foreach { case (lo, hi) =>
+      DeltaLite.write(spark,
+        o.where(col("o_orderkey").between(lo, hi)).repartition(1), table,
+        collectStats = true)
+    }
+    val (files, matched, total) = DeltaLite.planSkipping(
+      spark, table, "o_orderkey", lo = 0L, hi = q)
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(matched))
+      .withColumn("files_total", lit(total))
+  }
+
   /** X261e: Iceberg HIDDEN partitioning + manifest scan pruning — the
     * table declares `truncate[7]` on `o_orderdate` (the month prefix);
     * data files split by the transform value, manifests record it per
@@ -675,6 +703,7 @@ object FormatQueries {
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
     "x_delta_checkpoint" -> ((s, dir) => deltaCheckpoint(s, dir)),
+    "x_delta_skipping" -> ((s, dir) => deltaSkipping(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -750,6 +779,14 @@ object FormatQueries {
         |  CAST(2 AS BIGINT) AS checkpoint_version,
         |  CAST(1 AS BIGINT) AS n_json_replayed
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the skipped scan reads only the first key quarter's file; 1/4 are
+    // the expected stats-walk counts, computed Spark-side from the log
+    "x_delta_skipping" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(4 AS BIGINT) AS files_total
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin,
     // 2/2: the overwrite tombstoned version 0's two pinned files, the
     // current snapshot keeps its own two; both counts computed, not set
     "x_delta_vacuum" ->

@@ -167,6 +167,35 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.read(spark, table, versionAsOf = 0L).collect()
   }
 
+  test("stats skipping: add actions carry min/max, planner prunes, checkpoint keeps stats") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec9")
+    DeltaLite.write(spark,
+      Seq((1L, 10L), (5L, 50L)).toDF("k", "v").coalesce(1), table,
+      collectStats = true)
+    DeltaLite.write(spark,
+      Seq((100L, 11L), (200L, 22L)).toDF("k", "v").coalesce(1), table,
+      collectStats = true)
+    // the committed add action carries protocol-shaped stats JSON
+    val adds0 = logLines(table, 0L).map(mapper.readTree).filter(_.has("add"))
+    val st0 = mapper.readTree(adds0.head.get("add").get("stats").asText())
+    st0.get("numRecords").asLong() shouldBe 2L
+    st0.get("minValues").get("k").asLong() shouldBe 1L
+    st0.get("maxValues").get("k").asLong() shouldBe 5L
+    // planning keeps only overlapping files; conservative without stats
+    val (files, matched, total) = DeltaLite.planSkipping(spark, table, "k", 1L, 10L)
+    (matched, total) shouldBe ((1L, 2L))
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 5L)
+    // a statsless append cannot be skipped
+    DeltaLite.write(spark, Seq((500L, 55L)).toDF("k", "v"), table)
+    DeltaLite.planSkipping(spark, table, "k", 1L, 10L)._2 shouldBe 2L
+    // stats survive the checkpoint round-trip
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.planSkipping(spark, table, "k", 150L, 300L)._2 shouldBe 2L // file 2 + statsless
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")

@@ -77,6 +77,13 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     // aggregate, crossJoined into the single output row
     "x_delta_merge" -> 2,
     "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
+    // category 1: 1-row global summary over the skip-planned file set
+    "x_delta_skipping" -> 1,
+    "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
+    // categories 1+2: daily-totals scalar broadcast feeding the 1-row
+    // jackknife reduction (the corpus pass is the per-day partial-first
+    // aggregate upstream)
+    "x_jackknife" -> 1,
     "x_dq_rules" -> 3,
     "x_drift" -> 1,
     "x_dict_encode" -> 6, // category 2: per-column 1-row (rows × dict) aggregate finals ×3 columns
