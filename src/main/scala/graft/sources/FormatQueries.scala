@@ -660,6 +660,27 @@ object FormatQueries {
       .orderBy("o_month")
   }
 
+  /** X261g: Iceberg snapshot expiration — the retention lifecycle op:
+    * after an overwrite, expiring to keepLast=1 drops the pre-overwrite
+    * snapshot from the metadata and sweeps its manifest list, manifest,
+    * and the two unreferenced data files (writes pinned to
+    * `repartition(2)`); the current read is byte-identical after, and
+    * the expired/deleted counts come from the actual sweep. */
+  private def icebergExpire(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_exp")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.repartition(2), table)
+    val repriced = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    IcebergLite.write(spark, repriced.repartition(2), table, overwrite = true)
+    val (expired, deleted) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    IcebergLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_snapshots_expired", lit(expired))
+      .withColumn("n_files_deleted", lit(deleted))
+  }
+
   /** X36j: Delta schema evolution — a widened append re-declares the
     * table schema via a metaData action in its own commit; reads apply
     * the NEWEST schema (never per-file inference), so pre-evolution files
@@ -699,6 +720,7 @@ object FormatQueries {
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
+    "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
@@ -748,6 +770,16 @@ object FormatQueries {
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_iceberg_roundtrip" -> aggSql,
+    // 1/2: one pre-overwrite snapshot expired, its two pinned data files
+    // swept; the post-overwrite aggregate must be byte-identical
+    "x_iceberg_expire" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice +
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 1000.0 ELSE 0.0 END), 2)
+        |    AS total,
+        |  CAST(1 AS BIGINT) AS n_snapshots_expired,
+        |  CAST(2 AS BIGINT) AS n_files_deleted
+        |FROM orders""".stripMargin,
     // the pruned scan carries NO row filter — equality with this filtered
     // aggregate is the hidden-partitioning proof; files_total = distinct
     // months (one file per transform value by construction)

@@ -167,7 +167,8 @@ object IcebergLite {
     * commit to a partitioned table must declare the SAME spec. */
   def write(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean = false,
-      partitionTruncate: Option[(String, Int)] = None): Long = {
+      partitionTruncate: Option[(String, Int)] = None,
+      summaryProps: Map[String, String] = Map.empty): Long = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -345,8 +346,9 @@ object IcebergLite {
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
     sn.put("timestamp-ms", 0L)
-    sn.putObject("summary").put("operation",
-      if (overwrite) "overwrite" else "append")
+    val summary = sn.putObject("summary")
+    summary.put("operation", if (overwrite) "overwrite" else "append")
+    summaryProps.foreach { case (k, v2) => summary.put(k, v2) }
     sn.put("manifest-list", s"$table/metadata/$listName")
     sn.put("schema-id", schemaId)
     root.putArray("snapshot-log")
@@ -366,6 +368,99 @@ object IcebergLite {
     try hint.write(s"${prevV + 1}".getBytes(StandardCharsets.UTF_8))
     finally hint.close()
     snapshotId
+  }
+
+  /** Exactly-once micro-batch commit — the Delta txnAppId/txnVersion
+    * contract in Iceberg terms: the streaming `batchId` travels as a
+    * snapshot-summary property, so the snapshot list IS the dedup ledger.
+    * A redelivered batch finds its marker among the committed snapshots
+    * and returns the original snapshot id without writing. */
+  def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
+      batchId: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    if (v > 0) {
+      var found = -1L
+      readMetadata(fs, table, v).get("snapshots").forEach { s =>
+        if (s.get("summary").path("graft-batch-id").asText("") == batchId.toString)
+          found = s.get("snapshot-id").asLong()
+      }
+      if (found >= 0) return found
+    }
+    write(spark, df, table,
+      summaryProps = Map("graft-batch-id" -> batchId.toString))
+  }
+
+  /** Snapshot expiration — Iceberg's retention op (`expireSnapshots`):
+    * drop all but the newest `keepLast` snapshots from the metadata (a
+    * NEW metadata version, committed by the same atomic-create arbiter),
+    * then delete every manifest list, manifest, and data file no retained
+    * snapshot references. Time travel to an expired snapshot then refuses
+    * by its own absence from the snapshot list — never a wrong answer.
+    * Returns (snapshots expired, data files deleted). */
+  def expireSnapshots(spark: SparkSession, table: String,
+      keepLast: Int): (Long, Long) = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val snaps = mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.JsonNode]
+    meta.get("snapshots").forEach(s => snaps += s)
+    val retained = snaps.sortBy(_.get("snapshot-id").asLong()).takeRight(keepLast)
+    val expired = snaps.size - retained.size
+    if (expired == 0) return (0L, 0L)
+    val newSnaps = meta.putArray("snapshots")
+    retained.foreach(newSnaps.add)
+    val committed = try {
+      val out = fs.create(metaFile(table, v + 1), /* overwrite = */ false)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+    if (!committed)
+      throw new IllegalStateException(
+        s"lost the commit race for metadata v${v + 1} on $table")
+    // referenced closure of the retained snapshots: lists → manifests → files
+    val refLists = retained.map(s =>
+      new Path(s.get("manifest-list").asText()).getName).toSet
+    val refManifests = retained.flatMap(s =>
+      readAvroFile(fs, new Path(s.get("manifest-list").asText()))
+        .map(r => new Path(r.get("manifest_path").toString).getName)).toSet
+    val refFiles = retained.flatMap(s =>
+      readAvroFile(fs, new Path(s.get("manifest-list").asText()))
+        .flatMap(m => readAvroFile(fs, new Path(m.get("manifest_path").toString))
+          .map(_.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString))).toSet
+    // sweep unreferenced metadata avro files
+    fs.listStatus(metaDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      val isList = n.startsWith("snap-") && n.endsWith(".avro")
+      val isManifest = n.endsWith("-m0.avro")
+      if ((isList && !refLists.contains(n)) ||
+        (isManifest && !refManifests.contains(n))) fs.delete(st.getPath, false)
+    }
+    // sweep unreferenced data files (qualified-path compare, the
+    // DeltaLite.vacuum discipline)
+    var deleted = 0L
+    val dataRoot = new Path(table, "data")
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, /* recursive = */ true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          // manifests record file paths as written ($table/data/…) — match
+          // on the table-relative suffix to survive scheme qualification
+          val rel = st.getPath.toUri.getPath
+          if (!refFiles.exists(r => rel.endsWith(
+            r.stripPrefix(table).stripPrefix("/")))) {
+            fs.delete(st.getPath, false)
+            deleted += 1
+          }
+        }
+      }
+    }
+    (expired.toLong, deleted)
   }
 
   /** The table's declared truncate partition spec, decoded back from the

@@ -37,4 +37,15 @@ object TransactionalSink {
       graft.sources.DeltaLite.commitIdempotent(df.sparkSession, df, table, batchId)
       ()
     }
+
+  /** X261f: the exactly-once contract INTO THE ICEBERG FORMAT — each
+    * micro-batch commits as one snapshot whose summary carries the batch
+    * id (the snapshot list is the dedup ledger), so the sink output is a
+    * standard versioned Iceberg table; redelivered batches return their
+    * original snapshot without writing. */
+  def intoIceberg(table: String): (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.IcebergLite.commitIdempotent(df.sparkSession, df, table, batchId)
+      ()
+    }
 }

@@ -102,6 +102,40 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table, snapshotId = 2L).count() shouldBe 2L
   }
 
+  test("commitIdempotent: redelivered micro-batch returns its original snapshot") {
+    import spark.implicits._
+    val table = Sinks.tempDir("iceberg_spec_txn")
+    val b0 = Seq((1L, 10L)).toDF("k", "v")
+    val s0 = IcebergLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    IcebergLite.commitIdempotent(spark, b0, table, batchId = 0L) shouldBe s0
+    val s1 = IcebergLite.commitIdempotent(spark,
+      Seq((2L, 20L)).toDF("k", "v"), table, batchId = 1L)
+    s1 should be > s0
+    IcebergLite.read(spark, table).count() shouldBe 2L // no duplicate rows
+  }
+
+  test("expireSnapshots: metadata drops old snapshots, unreferenced layers swept") {
+    import spark.implicits._
+    val table = Sinks.tempDir("iceberg_spec_exp")
+    IcebergLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .coalesce(1), table)
+    IcebergLite.write(spark, Seq((9L, 90L)).toDF("k", "v").coalesce(1), table,
+      overwrite = true)
+    IcebergLite.read(spark, table, snapshotId = 1L).count() shouldBe 2L
+    val (expired, deleted) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    (expired, deleted) shouldBe ((1L, 1L))
+    // idempotent: nothing left to expire
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1) shouldBe ((0L, 0L))
+    // current read intact; expired snapshot refuses by absence
+    IcebergLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((9L, 90L))
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.read(spark, table, snapshotId = 1L)
+    // a later append still works against the expired-compacted metadata
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    IcebergLite.read(spark, table).count() shouldBe 2L
+  }
+
   test("hidden partitioning: manifests carry values, planning prunes, appends check spec") {
     import spark.implicits._
     val table = Sinks.tempDir("iceberg_spec_part")

@@ -80,6 +80,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     // category 1: 1-row global summary over the skip-planned file set
     "x_delta_skipping" -> 1,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
+    "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
     // categories 1+2: daily-totals scalar broadcast feeding the 1-row
     // jackknife reduction (the corpus pass is the per-day partial-first
     // aggregate upstream)
