@@ -385,6 +385,8 @@ object TrainingSets {
     "x_stitch" -> ((s, dir) => stitchRoundtrip(Tables.documents(s, dir))),
     "x_shard_balance" -> ((s, dir) =>
       shardBalance(Tables.documents(s, dir), shards = 8)),
+    "x_webdataset_export" -> ((s, dir) =>
+      ShardExport.roundTrip(Tables.documents(s, dir))),
     "x_batch_pad" -> ((s, dir) =>
       batchPadding(Tables.documents(s, dir), batchSize = 16)),
     "x_split_leakage" -> ((s, dir) => splitLeakage(s, dir)),
@@ -501,6 +503,17 @@ object TrainingSets {
         |    string_agg(piece, '' ORDER BY i) AS re FROM ch GROUP BY doc_id)
         |SELECT a.doc_id, n_chunks, md5(re) = md5(text) AS roundtrip_ok
         |FROM a JOIN d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    // the oracle chains member md5s in doc_id order per shard — a lost,
+    // reordered, or corrupted tar member changes the digest; the Spark
+    // side computes the SAME chain from the parsed archive bytes
+    "x_webdataset_export" ->
+      """WITH m AS (SELECT doc_id % 4 AS shard, doc_id, md5(text) AS h,
+        |    CAST(strlen(text) AS BIGINT) AS b FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS n_bytes,
+        |  md5(string_agg(h, '' ORDER BY doc_id)) AS content_fp
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
     "x_shard_balance" ->
       """WITH toks AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
