@@ -1084,6 +1084,12 @@ object LlmQueries {
     // convention) computed from REAL decoded samples
     "x_audio_frame_energy" -> ((s, _) => AudioOps.frameEnergy(s)),
 
+    // X107d: REAL video-container decode — AVI/RIFF parse + uncompressed
+    // 24-bit DIB frames (the jar-free subset of the public AVI spec),
+    // stride-2 frame sampling; the oracle predicts every frame statistic
+    // from the pixel formula without a parser
+    "x_video_decode" -> ((s, _) => VideoOps.decodedFeatures(s)),
+
     // aspect-preserving resize geometry + ViT patch/pad accounting
     "x_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(Tables.documents(s, dir), ResizeTarget, ResizePatch)),
@@ -2584,6 +2590,30 @@ object LlmQueries {
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
         |FROM w GROUP BY d ORDER BY doc_id""".stripMargin,
+    // the video-fixture CTEs reproduce VideoOps' generator formulas:
+    // w = 16 + 8·(d mod 4), h = 12 + 4·(d mod 5), nf = 6 + d mod 5,
+    // pixel = (31d + 17f + 7x + 13y) mod 256 — the oracle never parses
+    // an AVI yet pins dims, frame counts, corner pixel, sampled sums,
+    // and the per-frame fingerprint chain
+    "x_video_decode" ->
+      """WITH c AS (SELECT CAST(d AS BIGINT) AS d,
+        |    16 + (d % 4) * 8 AS w, 12 + (d % 5) * 4 AS h,
+        |    6 + d % 5 AS nf FROM range(0, 20) t(d)),
+        |f AS (SELECT d, w, h, unnest(range(0, nf, 2)) AS fr FROM c),
+        |p AS (SELECT d, fr, h, unnest(range(0, w)) AS x FROM f),
+        |q AS (SELECT d, fr, x, unnest(range(0, h)) AS y FROM p),
+        |v AS (SELECT d, fr,
+        |    CAST(sum((d*31 + fr*17 + x*7 + y*13) % 256) AS BIGINT) AS s
+        |  FROM q GROUP BY d, fr),
+        |agg AS (SELECT d, CAST(count(*) AS BIGINT) AS n_sampled,
+        |    CAST(sum(s) AS BIGINT) AS sampled_sum,
+        |    string_agg(CASE WHEN fr < 8 THEN CAST(s AS VARCHAR) END,
+        |      ',' ORDER BY fr) AS fp_csv
+        |  FROM v GROUP BY d)
+        |SELECT c.d AS doc_id, CAST(w AS BIGINT) AS w,
+        |  CAST(h AS BIGINT) AS h, CAST(nf AS BIGINT) AS n_frames,
+        |  n_sampled, (c.d * 31) % 256 AS corner_px, sampled_sum, fp_csv
+        |FROM c JOIN agg ON c.d = agg.d ORDER BY doc_id""".stripMargin,
     // each sample i lands in frames {i div 40 − 1, i div 40} (win 80 /
     // hop 40); ties on energy break to the smallest frame index
     "x_audio_frame_energy" ->
