@@ -231,7 +231,42 @@ object FeatureOps {
       .orderBy("q_id")
   }
 
+  /** X266: BM25 pseudo-relevance feedback — RM3's shape (Lavrenko &
+    * Croft 2001; Abdul-Jaleel et al. 2004, public): retrieve top-`kFb`
+    * docs for the seed query, extract the `mExp` best NEW terms from
+    * them (score = feedback-tf × corpus idf, the bit-length idf of X95 —
+    * all-integer, ties lexicographic), re-run BM25 with the expanded
+    * query. Expansion terms are a control-plane scalar (the BPE-argmax
+    * discipline: `mExp` strings collected once, never per-row); both
+    * retrieval passes are X95's candidate-bounded posting joins. The
+    * oracle replays BOTH passes and the expansion selection, so a term
+    * picked differently anywhere turns the key red. */
+  def bm25Prf(docs: DataFrame, seed: Seq[String], kFb: Int, mExp: Int,
+      kFinal: Int): DataFrame = {
+    val first = bm25(docs, seed, kFb)
+    val fbIds = first.select("doc_id")
+    val toks = docs.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(col("t")).as("w"))
+    val fbTf = toks.join(broadcast(fbIds), "doc_id")
+      .where(!col("w").isin(seed: _*))
+      .groupBy("w").agg(count(lit(1)).as("fbtf"))
+    val n = docs.count() // corpus-size scalar (control plane, as in X237)
+    val dfAll = toks.join(broadcast(fbTf.select("w")), "w")
+      .groupBy("w").agg(countDistinct("doc_id").as("df"))
+    val expansion = fbTf.join(dfAll, "w")
+      .withColumn("esc",
+        col("fbtf") * length(bin(expr(s"$n div df"))).cast("long"))
+      .orderBy(col("esc").desc, col("w")).limit(mExp)
+      .collect().map(_.getString(0)).toSeq
+    bm25(docs, seed ++ expansion, kFinal)
+      .withColumn("expansion_csv", lit(expansion.mkString(",")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bm25_prf" -> ((s, dir) =>
+      bm25Prf(Tables.documents(s, dir), Seq("dup", "spark", "window"),
+        kFb = 5, mExp = 3, kFinal = 15)),
     "x_rag_context" -> ((s, dir) =>
       ragContext(Tables.documents(s, dir), RagQueries, k = 3, budget = 120L)),
     "x_classifier_score" -> ((s, dir) =>
@@ -308,6 +343,50 @@ object FeatureOps {
         |  CAST((sum(cents) * gn + 10 * gs) // ((count(*) + 10) * gn) AS BIGINT)
         |    AS enc_cents
         |FROM j, g GROUP BY segment, gn, gs ORDER BY segment""".stripMargin,
+    // replays both retrieval passes AND the expansion selection: pass-1
+    // top-5, feedback-tf × bit-length idf term scores (ties lexicographic),
+    // pass-2 with the expanded term set, csv in selection order
+    "x_bm25_prf" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) // count(*) AS BIGINT) AS avgdl FROM lens),
+        |allw AS (SELECT doc_id, unnest(t) AS w FROM toks),
+        |p1 AS (SELECT doc_id, w FROM allw
+        |  WHERE w IN ('dup', 'spark', 'window')),
+        |tf1 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p1 GROUP BY 1, 2),
+        |df1 AS (SELECT w, count(DISTINCT doc_id) AS df FROM p1 GROUP BY 1),
+        |s1 AS (SELECT tf1.doc_id,
+        |    CAST(length(bin(n // df)) AS BIGINT) * 44 * tf * avgdl * 1000000 //
+        |      (20 * tf * avgdl + 6 * avgdl + 18 * dl) AS term_score
+        |  FROM tf1 JOIN lens USING (doc_id) JOIN df1 USING (w), stats),
+        |fb AS (SELECT doc_id FROM s1 GROUP BY doc_id
+        |  ORDER BY sum(term_score) DESC, doc_id LIMIT 5),
+        |fbw AS (SELECT w, CAST(count(*) AS BIGINT) AS fbtf FROM allw
+        |  WHERE doc_id IN (SELECT doc_id FROM fb)
+        |    AND w NOT IN ('dup', 'spark', 'window') GROUP BY w),
+        |dfa AS (SELECT w, count(DISTINCT doc_id) AS df FROM allw
+        |  WHERE w IN (SELECT w FROM fbw) GROUP BY w),
+        |ex AS (SELECT fbw.w,
+        |    fbtf * CAST(length(bin(n // df)) AS BIGINT) AS esc
+        |  FROM fbw JOIN dfa USING (w), stats
+        |  ORDER BY esc DESC, fbw.w LIMIT 3),
+        |ecsv AS (SELECT string_agg(w, ',' ORDER BY esc DESC, w) AS e FROM ex),
+        |p2 AS (SELECT doc_id, w FROM allw
+        |  WHERE w IN ('dup', 'spark', 'window')
+        |     OR w IN (SELECT w FROM ex)),
+        |tf2 AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p2 GROUP BY 1, 2),
+        |df2 AS (SELECT w, count(DISTINCT doc_id) AS df FROM p2 GROUP BY 1),
+        |s2 AS (SELECT tf2.doc_id,
+        |    CAST(length(bin(n // df)) AS BIGINT) * 44 * tf * avgdl * 1000000 //
+        |      (20 * tf * avgdl + 6 * avgdl + 18 * dl) AS term_score
+        |  FROM tf2 JOIN lens USING (doc_id) JOIN df2 USING (w), stats)
+        |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score_e6,
+        |  CAST(count(*) AS BIGINT) AS n_terms, e AS expansion_csv
+        |FROM s2, ecsv GROUP BY doc_id, e
+        |ORDER BY score_e6 DESC, doc_id LIMIT 15""".stripMargin,
     "x_bm25" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),

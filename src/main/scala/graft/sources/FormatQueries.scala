@@ -660,6 +660,29 @@ object FormatQueries {
       .orderBy("o_month")
   }
 
+  /** X261h: Iceberg value-bounds skipping — [[deltaSkipping]]'s proof on
+    * the second format's statistics layer: four appends of contiguous
+    * o_orderkey quarters (one file each, bounds recorded in the
+    * manifests), the [0, max/4] query planned off the manifests alone,
+    * the matched scan unfiltered. */
+  private def icebergSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_skip")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    val bounds = Seq((0L, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, mx))
+    bounds.foreach { case (lo, hi) =>
+      IcebergLite.write(spark,
+        o.where(col("o_orderkey").between(lo, hi)).repartition(1), table,
+        boundsColumn = Some("o_orderkey"))
+    }
+    val (files, matched, total) = IcebergLite.planBounds(spark, table, 0L, q)
+    spark.read.parquet(files: _*)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(matched))
+      .withColumn("files_total", lit(total))
+  }
+
   /** X261g: Iceberg snapshot expiration — the retention lifecycle op:
     * after an overwrite, expiring to keepLast=1 drops the pre-overwrite
     * snapshot from the metadata and sweeps its manifest list, manifest,
@@ -721,6 +744,7 @@ object FormatQueries {
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
+    "x_iceberg_skipping" -> ((s, dir) => icebergSkipping(s, dir)),
     "x_iceberg_roundtrip" -> ((s, dir) => icebergRoundTrip(s, dir)),
     "x_iceberg_time_travel" -> ((s, dir) => icebergTimeTravel(s, dir)),
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
@@ -770,6 +794,13 @@ object FormatQueries {
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_iceberg_roundtrip" -> aggSql,
+    // same contract as x_delta_skipping, planned off Iceberg manifests
+    "x_iceberg_skipping" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(4 AS BIGINT) AS files_total
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin,
     // 1/2: one pre-overwrite snapshot expired, its two pinned data files
     // swept; the post-overwrite aggregate must be byte-identical
     "x_iceberg_expire" ->

@@ -75,10 +75,19 @@ object IcebergLite {
     * variant — the manifest row is where partition values live, which is
     * what makes manifest-level scan pruning possible without opening any
     * data file. */
-  private def entrySchemaFor(partitioned: Boolean): Schema = {
+  private def entrySchemaFor(partitioned: Boolean,
+      withBounds: Boolean = false): Schema = {
     val partFields =
       if (partitioned)
         """{"name":"p0","type":["null","string"],"default":null,"field-id":1000}"""
+      else ""
+    // the spec's per-file column bounds (lower_bounds/upper_bounds,
+    // field-ids 125/128) for ONE declared long column — the value-range
+    // subset of Iceberg's bytes-map encoding, stated as such
+    val boundFields =
+      if (withBounds)
+        """,{"name":"lower_bound","type":["null","long"],"default":null,"field-id":125},
+          |{"name":"upper_bound","type":["null","long"],"default":null,"field-id":128}""".stripMargin
       else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -92,7 +101,7 @@ object IcebergLite {
          |        "type":{"type":"record","name":"r102","fields":[$partFields]}},
          |      {"name":"record_count","type":"long","field-id":103},
          |      {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |      {"name":"block_size_in_bytes","type":"long","field-id":105}
+         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields
          |  ]}}
          |]}""".stripMargin)
   }
@@ -168,7 +177,8 @@ object IcebergLite {
   def write(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean = false,
       partitionTruncate: Option[(String, Int)] = None,
-      summaryProps: Map[String, String] = Map.empty): Long = {
+      summaryProps: Map[String, String] = Map.empty,
+      boundsColumn: Option[String] = None): Long = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -213,16 +223,27 @@ object IcebergLite {
             }
           out.toSeq
       }
-    // per-file record counts from the committed parquet footers (cheap
-    // driver-side reads of file metadata via a count over each file would
-    // scan; instead count once per staged write)
-    val counts = spark.read.parquet(s"$table/$staged")
-      .groupBy(org.apache.spark.sql.functions
-        .input_file_name().as("f"))
-      .count().collect().map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
-      .toMap
+    // per-file record counts (and, when a bounds column is declared, its
+    // min/max) in ONE pass over the staged files grouped by file name
+    import org.apache.spark.sql.functions.{count => cnt, col => c_, input_file_name, lit => lt, max => mx_, min => mn_}
+    val statsAggs = cnt(lt(1)).as("n") +: boundsColumn.toSeq.flatMap(c =>
+      Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx")))
+    val fileStats: Map[String, (Long, Option[(Long, Long)])] =
+      spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f"))
+        .agg(statsAggs.head, statsAggs.tail: _*)
+        .collect().map { r =>
+          val bounds = boundsColumn.flatMap { _ =>
+            val mi = r.getAs[java.lang.Long]("mn")
+            val ma = r.getAs[java.lang.Long]("mx")
+            if (mi == null || ma == null) None
+            else Some((mi.longValue(), ma.longValue()))
+          }
+          (new Path(r.getAs[String]("f")).getName, (r.getAs[Long]("n"), bounds))
+        }.toMap
     // manifest for the new files
-    val entrySchema = entrySchemaFor(partitionTruncate.isDefined)
+    val entrySchema =
+      entrySchemaFor(partitionTruncate.isDefined, boundsColumn.isDefined)
     val entries = parts.map { case (rel, pval, p) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -235,9 +256,14 @@ object IcebergLite {
         .getField("data_file").schema().getField("partition").schema())
       if (pval != null) partRecord.put("p0", pval)
       d.put("partition", partRecord)
-      d.put("record_count", counts.getOrElse(p.getPath.getName, 0L))
+      val (n, bounds) = fileStats.getOrElse(p.getPath.getName, (0L, None))
+      d.put("record_count", n)
       d.put("file_size_in_bytes", p.getLen)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      bounds.foreach { case (lo, hi) =>
+        d.put("lower_bound", lo)
+        d.put("upper_bound", hi)
+      }
       e.put("data_file", d)
       e
     }
@@ -508,6 +534,38 @@ object IcebergLite {
         }
     }
     val matched = all.filter(f => wanted.contains(f._2)).map(_._1)
+    (matched, matched.size.toLong, all.size.toLong)
+  }
+
+  /** Value-bounds scan planning off the manifests' lower/upper bound
+    * fields (spec field-ids 125/128): keep files whose recorded range
+    * intersects [lo, hi]; files without bounds are conservatively kept.
+    * With [[planPartitioned]] this completes the spec's pruning pair —
+    * partition values prune coarse, column bounds prune inside a
+    * partition — all without opening a data file. Returns (matched
+    * files, matched count, total count). */
+  def planBounds(spark: SparkSession, table: String, lo: Long,
+      hi: Long): (Seq[String], Long, Long) = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    val all = readAvroFile(fs, new Path(snap._2)).flatMap { m =>
+      readAvroFile(fs, new Path(m.get("manifest_path").toString))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val hasBounds = d.getSchema.getField("lower_bound") != null &&
+            d.get("lower_bound") != null && d.get("upper_bound") != null
+          val keep = !hasBounds ||
+            (d.get("upper_bound").asInstanceOf[Long] >= lo &&
+              d.get("lower_bound").asInstanceOf[Long] <= hi)
+          (d.get("file_path").toString, keep)
+        }
+    }
+    val matched = all.filter(_._2).map(_._1)
     (matched, matched.size.toLong, all.size.toLong)
   }
 

@@ -136,6 +136,22 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 2L
   }
 
+  test("value bounds: manifests carry min/max, planBounds prunes, boundless files kept") {
+    import spark.implicits._
+    val table = Sinks.tempDir("iceberg_spec_bounds")
+    IcebergLite.write(spark, Seq((1L, 10L), (5L, 50L)).toDF("k", "v")
+      .coalesce(1), table, boundsColumn = Some("k"))
+    IcebergLite.write(spark, Seq((100L, 11L), (200L, 22L)).toDF("k", "v")
+      .coalesce(1), table, boundsColumn = Some("k"))
+    val (files, matched, total) = IcebergLite.planBounds(spark, table, 1L, 10L)
+    (matched, total) shouldBe ((1L, 2L))
+    spark.read.parquet(files: _*).collect()
+      .map(_.getLong(0)).toSet shouldBe Set(1L, 5L)
+    // an append without bounds is conservatively kept by every plan
+    IcebergLite.write(spark, Seq((500L, 55L)).toDF("k", "v").coalesce(1), table)
+    IcebergLite.planBounds(spark, table, 1L, 10L)._2 shouldBe 2L
+  }
+
   test("hidden partitioning: manifests carry values, planning prunes, appends check spec") {
     import spark.implicits._
     val table = Sinks.tempDir("iceberg_spec_part")

@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_bitmap_incremental" -> 1,
     "x_bloom_filter" -> 1,
     "x_bm25" -> 1,
+    "x_bm25_prf" -> 1, // category 2: the same n/avgdl scalar broadcast
     "x_c4_filters" -> 1,
     "x_calibration" -> 1,
     "x_cdc_apply" -> 2,
@@ -81,6 +82,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delta_skipping" -> 1,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
+    "x_iceberg_skipping" -> 1, // category 1: 1-row planned-scan summary
     // categories 1+2: daily-totals scalar broadcast feeding the 1-row
     // jackknife reduction (the corpus pass is the per-day partial-first
     // aggregate upstream)
