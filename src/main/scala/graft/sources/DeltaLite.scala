@@ -491,6 +491,78 @@ object DeltaLite {
     (matched, matched.size.toLong, snap.files.size.toLong)
   }
 
+  /** Row-level DELETE with stats-planned minimal rewrite — the reason the
+    * stats layer matters for DML, not just reads: only files whose
+    * recorded [min, max] for `column` can contain rows in [lo, hi] are
+    * rewritten (read → filter out → re-stage); untouched files stay
+    * referenced as-is. The commit is remove(rewritten) + add(replacements)
+    * in ONE version. Rewritten files keep collected stats. Returns
+    * (version, filesRewritten, rowsDeleted). */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col => c_, not}
+    val fs = hadoopFs(spark, table)
+    val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
+    if (affected.isEmpty) return (latestVersion(spark, table), 0L, 0L)
+    val affectedDf = spark.read.schema(tableSchema(spark, table))
+      .parquet(affected.map(f => s"$table/$f"): _*)
+    val rowsBefore = affectedDf.count()
+    val kept = affectedDf.where(not(c_(column).between(lo, hi)))
+    val rowsAfter = kept.count()
+    // stage replacements (commit-private dir, the writeTagged discipline)
+    val v = latestVersion(spark, table) + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-del-$token"
+    kept.write.mode("errorifexists").parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val statsByFile = spark.read.parquet(s"$table/$staged")
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("numRecords"),
+        org.apache.spark.sql.functions.min(c_(column)).as("mn"),
+        org.apache.spark.sql.functions.max(c_(column)).as("mx"))
+      .collect().map { r =>
+        val o = mapper.createObjectNode()
+        o.put("numRecords", r.getAs[Long]("numRecords"))
+        val mi = r.getAs[java.lang.Long]("mn")
+        val ma = r.getAs[java.lang.Long]("mx")
+        if (mi != null && ma != null) {
+          o.putObject("minValues").put(column, mi.longValue())
+          o.putObject("maxValues").put(column, ma.longValue())
+        }
+        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+      }.toMap
+    val adds = parts.toSeq.map(p =>
+      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+        statsByFile.get(p.getPath.getName)))
+    val removes = affected.map(removeLine)
+    if (!tryCommit(fs, table, v, removes ++ adds))
+      throw new IllegalStateException(s"delete lost the commit race on $table")
+    (v, affected.size.toLong, rowsBefore - rowsAfter)
+  }
+
+  /** RESTORE to an earlier version as a NEW commit (Delta's own rollback
+    * model — history is preserved, nothing rewinds): the restore version
+    * removes every currently-live file absent from the target snapshot
+    * and re-adds every target file not currently live. Returns the new
+    * version. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    val target = snapshot(spark, table, toVersion)
+    val current = snapshot(spark, table, latest)
+    val removes = current.files.filterNot(target.files.contains).map(removeLine)
+    val adds = target.files.filterNot(current.files.contains).map { f =>
+      val st = fs.getFileStatus(new Path(table, f))
+      addLine(f, st.getLen, st.getModificationTime, target.stats.get(f))
+    }
+    val v = latest + 1
+    if (!tryCommit(fs, table, v, removes ++ adds))
+      throw new IllegalStateException(s"restore lost the commit race on $table")
+    v
+  }
+
   /** Read the table at `versionAsOf` (default: latest) — the live file set
     * as one multi-path parquet scan, so pushdown/pruning/AQE apply as on
     * any parquet read. An empty snapshot yields an empty DataFrame with

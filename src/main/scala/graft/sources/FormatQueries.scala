@@ -634,6 +634,49 @@ object FormatQueries {
       .withColumn("files_total", lit(total))
   }
 
+  /** X36n: Delta row-level DELETE with stats-planned minimal rewrite —
+    * on the 4-quarter skipping layout, deleting keys in [0, q/2] plans
+    * ONE affected file off the log stats, rewrites only it, and commits
+    * remove+add in one version. The unfiltered current read plus the
+    * genuinely computed (files-rewritten, rows-deleted) pair prove both
+    * the delete and the minimality of the rewrite. */
+  private def deltaDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_del")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    val bounds = Seq((0L, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, mx))
+    bounds.foreach { case (lo, hi) =>
+      DeltaLite.write(spark,
+        o.where(col("o_orderkey").between(lo, hi)).repartition(1), table,
+        collectStats = true)
+    }
+    val (_, rewritten, deleted) =
+      DeltaLite.deleteWhere(spark, table, "o_orderkey", 0L, q / 2)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_files_rewritten", lit(rewritten))
+      .withColumn("n_rows_deleted", lit(deleted))
+  }
+
+  /** X36o: Delta RESTORE — rolling back to version 0 as a NEW commit
+    * (history preserved): the restore removes the overwrite's files and
+    * re-adds version 0's, so the current read equals the original table
+    * while all three versions stay readable. */
+  private def deltaRestore(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_rst")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o, table)
+    val repriced = o.select(col("o_orderkey"),
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    DeltaLite.write(spark, repriced, table, overwrite = true)
+    val v = DeltaLite.restore(spark, table, toVersion = 0L)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("restore_version", lit(v))
+  }
+
   /** X261e: Iceberg HIDDEN partitioning + manifest scan pruning — the
     * table declares `truncate[7]` on `o_orderdate` (the month prefix);
     * data files split by the transform value, manifests record it per
@@ -750,6 +793,8 @@ object FormatQueries {
     "x_delta_roundtrip" -> ((s, dir) => deltaRoundTrip(s, dir)),
     "x_delta_checkpoint" -> ((s, dir) => deltaCheckpoint(s, dir)),
     "x_delta_skipping" -> ((s, dir) => deltaSkipping(s, dir)),
+    "x_delta_delete" -> ((s, dir) => deltaDelete(s, dir)),
+    "x_delta_restore" -> ((s, dir) => deltaRestore(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -850,6 +895,22 @@ object FormatQueries {
         |  CAST(4 AS BIGINT) AS files_total
         |FROM orders
         |WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin,
+    // 1 rewritten file = the stats-planned minimum; rows deleted and the
+    // surviving aggregate both recomputed from the raw table
+    "x_delta_delete" ->
+      """SELECT count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS n_files_rewritten,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey <= (SELECT (max(o_orderkey) // 4) // 2
+        |                        FROM orders)) AS n_rows_deleted
+        |FROM orders
+        |WHERE o_orderkey > (SELECT (max(o_orderkey) // 4) // 2 FROM orders)""".stripMargin,
+    // the restore commit is version 2; current content = version 0's
+    "x_delta_restore" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(2 AS BIGINT) AS restore_version
+        |FROM orders""".stripMargin,
     // 2/2: the overwrite tombstoned version 0's two pinned files, the
     // current snapshot keeps its own two; both counts computed, not set
     "x_delta_vacuum" ->

@@ -196,6 +196,35 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.planSkipping(spark, table, "k", 150L, 300L)._2 shouldBe 2L // file 2 + statsless
   }
 
+  test("deleteWhere rewrites only stats-affected files; restore rolls forward") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec10")
+    DeltaLite.write(spark,
+      Seq((1L, 10L), (5L, 50L)).toDF("k", "v").coalesce(1), table,
+      collectStats = true)
+    DeltaLite.write(spark,
+      Seq((100L, 11L), (200L, 22L)).toDF("k", "v").coalesce(1), table,
+      collectStats = true)
+    val (v, rewritten, deleted) = DeltaLite.deleteWhere(spark, table, "k", 5L, 150L)
+    v shouldBe 2L
+    rewritten shouldBe 2L // both files' ranges intersect [5, 150]
+    deleted shouldBe 2L // keys 5 and 100
+    DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 10L), (200L, 22L))
+    // the rewritten files carry fresh stats: a disjoint range now skips both
+    DeltaLite.planSkipping(spark, table, "k", 5L, 150L)._2 shouldBe 0L
+    // pre-delete snapshot is intact (history preserved)
+    DeltaLite.read(spark, table, versionAsOf = 1L).count() shouldBe 4L
+    // a no-op delete touches nothing
+    DeltaLite.deleteWhere(spark, table, "k", 1000L, 2000L)._2 shouldBe 0L
+    // restore to the pre-delete version as a NEW commit
+    val rv = DeltaLite.restore(spark, table, toVersion = 1L)
+    rv shouldBe 3L
+    DeltaLite.read(spark, table).count() shouldBe 4L
+    DeltaLite.read(spark, table, versionAsOf = 2L).count() shouldBe 2L // history kept
+  }
+
   test("empty snapshot after total overwrite keeps the committed schema") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec3")

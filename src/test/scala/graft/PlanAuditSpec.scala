@@ -80,6 +80,8 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_decay_counts" -> 1, // category 2: 1-row max-day broadcast
     // category 1: 1-row global summary over the skip-planned file set
     "x_delta_skipping" -> 1,
+    "x_delta_delete" -> 1, // category 1: 1-row post-delete summary
+    "x_delta_restore" -> 1, // category 1: 1-row post-restore summary
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
     "x_iceberg_skipping" -> 1, // category 1: 1-row planned-scan summary
