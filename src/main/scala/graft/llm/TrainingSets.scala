@@ -191,6 +191,35 @@ object TrainingSets {
     * before writing N training files. The global rank is the spec; at
     * scale it is a range-partitioned sort and the modulo is a
     * projection. */
+  /** X267: rendezvous (highest-random-weight) sharding — Thaler &
+    * Ravishankar 1996 (public; the consistent-placement scheme behind
+    * cache/shard routing): a doc's shard is argmax over shards of
+    * h(doc, shard). The defining property: growing K→K+1 moves ONLY docs
+    * whose new-shard hash wins — expected 1/(K+1) of the corpus, every
+    * move INTO the new shard, no doc moves between old shards (modulo
+    * sharding reshuffles (K−1)/K of everything). The key computes both
+    * assignments and the movement matrix, so the oracle pins the
+    * minimal-disruption property as data, not prose. Pure projection +
+    * two argmax aggregates + one doc-keyed join; h is the engine-portable
+    * [[StableHash.md5Prefix60]]. */
+  def rendezvousStability(docs: DataFrame, kOld: Int, kNew: Int): DataFrame = {
+    val cand = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(kNew - 1))).as("s"))
+      .withColumn("h", StableHash.md5Prefix60(
+        concat(col("doc_id").cast("string"), lit(":"), col("s").cast("string"))))
+    def assign(c: DataFrame, name: String) = c
+      .groupBy("doc_id")
+      .agg(max(struct(col("h"), col("s"))).as("m"))
+      .select(col("doc_id"), col("m.s").cast("long").as(name))
+    assign(cand.where(col("s") < kOld), "shard_old")
+      .join(assign(cand, "shard_new"), "doc_id")
+      .groupBy("shard_new")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_old") =!= col("shard_new"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .orderBy("shard_new")
+  }
+
   def shardBalance(docs: DataFrame, shards: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -387,6 +416,8 @@ object TrainingSets {
       shardBalance(Tables.documents(s, dir), shards = 8)),
     "x_webdataset_export" -> ((s, dir) =>
       ShardExport.roundTrip(Tables.documents(s, dir))),
+    "x_rendezvous" -> ((s, dir) =>
+      rendezvousStability(Tables.documents(s, dir), kOld = 4, kNew = 5)),
     "x_batch_pad" -> ((s, dir) =>
       batchPadding(Tables.documents(s, dir), batchSize = 16)),
     "x_split_leakage" -> ((s, dir) => splitLeakage(s, dir)),
@@ -503,6 +534,28 @@ object TrainingSets {
         |    string_agg(piece, '' ORDER BY i) AS re FROM ch GROUP BY doc_id)
         |SELECT a.doc_id, n_chunks, md5(re) = md5(text) AS roundtrip_ok
         |FROM a JOIN d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+    // the minimal-disruption matrix: every n_moved row except the new
+    // shard's must be 0 — pinned by the hash compare, not asserted
+    "x_rendezvous" -> {
+      val h = graft.functions.StableHash.md5Prefix60Sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+      s"""WITH cand AS (SELECT doc_id, unnest(range(0, 5)) AS s FROM documents),
+         |h AS (SELECT doc_id, s, $h AS h FROM cand),
+         |a_old AS (SELECT doc_id, s AS shard_old FROM (
+         |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, s DESC) AS rn FROM h WHERE s < 4)
+         |  WHERE rn = 1),
+         |a_new AS (SELECT doc_id, s AS shard_new FROM (
+         |    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY h DESC, s DESC) AS rn FROM h)
+         |  WHERE rn = 1)
+         |SELECT CAST(shard_new AS BIGINT) AS shard_new,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN shard_old <> shard_new THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_moved
+         |FROM a_old JOIN a_new USING (doc_id)
+         |GROUP BY shard_new ORDER BY shard_new""".stripMargin
+    },
     // the oracle chains member md5s in doc_id order per shard — a lost,
     // reordered, or corrupted tar member changes the digest; the Spark
     // side computes the SAME chain from the parsed archive bytes
