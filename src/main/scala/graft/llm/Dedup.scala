@@ -359,9 +359,11 @@ object Dedup {
 
   private def prefixFilterBuild(docs: DataFrame, threshold: Double,
       idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
-    // shingleSets is distinct-per-doc by construction, so the artifact
-    // needs no extra distinct
-    val ids = idsOpt.map(_.distinct()).getOrElse(shingleSets(docs)
+    // shingleSets is distinct-per-doc by construction and the session
+    // artifact inherits that, so NO defensive distinct here: it would be
+    // an uncached full shuffle of the corpus relation, re-executed by
+    // every one of this plan's four consumers of `ids`
+    val ids = idsOpt.getOrElse(shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache())
     val dfreq = ids.groupBy("sid").agg(count(lit(1)).as("df"))
     val ranked = ids.join(dfreq, "sid")
@@ -381,9 +383,18 @@ object Dedup {
             greatest(col("a.m"), col("b.m")) * threshold)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(min(col("a.m")).as("ma"), min(col("b.m")).as("mb"))
+    // verification joins MUST shuffle: `ids` is corpus-sized, but when it
+    // arrives as the session-checkpointed artifact its LogicalRDD stats
+    // under-estimate (Generate output ~ input rows), and the planner
+    // happily BROADCASTS the whole shingle relation — twice. Measured at
+    // sf0.1: ~4.5 s/run rebuilding two corpus-wide hashed relations; at
+    // 100 TB it is a driver OOM. SHUFFLE_HASH pins the scalable plan
+    // (evenly-spread doc_id/sid keys, bounded per-key rows).
     val result = cands
-      .join(ids.select(col("doc_id").as("da"), col("sid")), "da")
-      .join(ids.select(col("doc_id").as("db"), col("sid")), Seq("db", "sid"))
+      .join(ids.select(col("doc_id").as("da"), col("sid")).hint("shuffle_hash"),
+        "da")
+      .join(ids.select(col("doc_id").as("db"), col("sid")).hint("shuffle_hash"),
+        Seq("db", "sid"))
       .groupBy("da", "db")
       .agg(min("ma").as("ma"), min("mb").as("mb"), count(lit(1)).as("inter"))
       .select(col("da"), col("db"),
