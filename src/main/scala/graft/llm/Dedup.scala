@@ -171,11 +171,15 @@ object Dedup {
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
-    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // both inputs are partitioned by doc_id (shingleSets repartitions), so
-    // this join adds no exchange; cached because it feeds BOTH sides of the
-    // sid self-join
-    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    // per-doc rare-shingle count as a WINDOW over the id stream — one
+    // doc_id shuffle, bounded groups. The previous shape (aggregate +
+    // equi-join back) let the planner BROADCAST the per-doc size relation
+    // when `ids` is the checkpointed session artifact (unknown stats):
+    // sizes has corpus-document cardinality, so that broadcast dies at
+    // scale. Cached because it feeds BOTH sides of the sid self-join.
+    val withN = shF.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id"))).cache()
     val pairs = withN.as("a").hint("SHUFFLE_HASH")
       .join(withN.as("b").hint("SHUFFLE_HASH"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
@@ -232,8 +236,10 @@ object Dedup {
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
-    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    // window count, not aggregate+join-back — see nearPairsBuild's note
+    val withN = shF.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id"))).cache()
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val flagged = withN.where(col("doc_id") < deltaFrom).as("a")
       .hint("SHUFFLE_HASH")
@@ -685,8 +691,12 @@ object Dedup {
     val hot = ids.groupBy("sid").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sid")
     val shF = ids.join(broadcast(hot), Seq("sid"), "left_anti")
-    val sizes = shF.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val withN = shF.join(sizes, Seq("doc_id")).cache()
+    // window count, not aggregate+join-back — see nearPairsBuild's note
+    // (the join shape broadcasts a corpus-cardinality size relation when
+    // ids is the session artifact)
+    val withN = shF.withColumn("n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id"))).cache()
     val result = withN.as("a").hint("SHUFFLE_HASH")
       .join(withN.as("b").hint("SHUFFLE_HASH"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id"))
