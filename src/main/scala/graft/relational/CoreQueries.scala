@@ -1071,6 +1071,35 @@ object CoreQueries {
     // X34: spark.sql surface + correlated scalar subquery (Catalyst
     // decorrelates it into a left outer aggregate join — the plan a user
     // writing SQL against this engine actually gets).
+    // X34g: SQL pipe syntax (Spark 4) — the linear FROM |> op |> op form;
+    // each |> stage maps to the same logical operator as its clause
+    // twin, so the optimized plan is identical to the classic query the
+    // oracle runs
+    "x_sql_pipe" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql(
+        """FROM v_lineitem
+          ||> WHERE l_quantity <= 25
+          ||> EXTEND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          ||> AGGREGATE count(*) AS n, sum(cents) AS cents_sum
+          |   GROUP BY l_returnflag
+          ||> ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // X34h: SQL session variables (Spark 4 DECLARE/SET VARIABLE) — the
+    // parameterized-query surface: the predicate threshold lives in
+    // session state, constant-folded into the plan at analysis
+    "x_sql_variables" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("DECLARE OR REPLACE VARIABLE qty_cap DOUBLE DEFAULT 25.0")
+      s.sql("SET VARIABLE qty_cap = 30.0")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  round(sum(l_quantity), 2) AS sum_qty
+          |FROM v_lineitem WHERE l_quantity <= qty_cap
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "x_sql_subquery" -> ((s, dir) => {
       Tables.orders(s, dir).createOrReplaceTempView("v_orders")
       Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
@@ -2159,6 +2188,17 @@ object CoreQueries {
         |   WHERE o_custkey NOT IN (SELECT x FROM sub)) AS n_not_in,
         |  (SELECT count(*) FROM orders o WHERE NOT EXISTS (
         |     SELECT 1 FROM sub s WHERE s.x = o.o_custkey)) AS n_not_exists""".stripMargin,
+    "x_sql_pipe" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents_sum
+        |FROM lineitem WHERE l_quantity <= 25
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_sql_variables" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_quantity <= 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "x_sql_subquery" ->
       """SELECT o_orderkey, o_totalprice,
         |  (SELECT round(max(l_quantity), 2) FROM lineitem

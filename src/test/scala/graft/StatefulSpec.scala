@@ -56,6 +56,29 @@ class StatefulSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("state-store data source reads a stopped query's state as a batch DataFrame") {
+    // X65c: Spark 4's statestore reader — operational introspection of
+    // streaming state (debugging, audits, state migration) without
+    // touching the running query: the checkpoint IS a queryable table.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_state_src").toString
+    val q = input.toDS().dropDuplicates("user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("state_src").option("checkpointLocation", ckpt).start()
+    input.addData(UserEvent(1, "a", 1.0), UserEvent(2, "b", 2.0),
+      UserEvent(1, "c", 3.0))
+    q.processAllAvailable()
+    input.addData(UserEvent(3, "d", 4.0), UserEvent(2, "e", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.format("statestore").load(ckpt)
+    // dedup state: one row per distinct key, key struct carries the column
+    state.count() shouldBe 3L
+    state.select("key.user_id").collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L, 3L)
+  }
+
   test("event-time timers close sessions exactly once as the watermark passes") {
     import java.sql.Timestamp
     import graft.streaming.StatefulOps.{ClosedSession, TimedEvent}
