@@ -96,6 +96,14 @@ object DeltaLite {
     p.put("minWriterVersion", 2)
   }
 
+  /** The protocol's provenance action — first line of every commit (as
+    * Delta itself writes it); what DESCRIBE HISTORY surfaces. */
+  private def commitInfoLine(operation: String): String =
+    jsonObj("commitInfo") { c =>
+      c.put("timestamp", 0L)
+      c.put("operation", operation)
+    }
+
   private def metaDataLine(schema: StructType,
       tableId: String = java.util.UUID.randomUUID().toString): String =
     jsonObj("metaData") { m =>
@@ -424,7 +432,8 @@ object DeltaLite {
             Seq(metaDataLine(df.schema, id))
           case _ => Seq.empty
         }
-      if (tryCommit(fs, table, v, header ++ removes ++ adds)) return v
+      val info = commitInfoLine(if (overwrite) "OVERWRITE" else "WRITE")
+      if (tryCommit(fs, table, v, info +: (header ++ removes ++ adds))) return v
       fs.delete(new Path(table, staged), true)
       attempt += 1
     }
@@ -537,7 +546,8 @@ object DeltaLite {
       addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
         statsByFile.get(p.getPath.getName)))
     val removes = affected.map(removeLine)
-    if (!tryCommit(fs, table, v, removes ++ adds))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("DELETE") +: (removes ++ adds)))
       throw new IllegalStateException(s"delete lost the commit race on $table")
     (v, affected.size.toLong, rowsBefore - rowsAfter)
   }
@@ -558,9 +568,33 @@ object DeltaLite {
       addLine(f, st.getLen, st.getModificationTime, target.stats.get(f))
     }
     val v = latest + 1
-    if (!tryCommit(fs, table, v, removes ++ adds))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("RESTORE") +: (removes ++ adds)))
       throw new IllegalStateException(s"restore lost the commit race on $table")
     v
+  }
+
+  /** DESCRIBE HISTORY — one row per retained commit straight off the log
+    * (control-plane: one small JSON per version): operation from the
+    * commitInfo action plus genuinely counted add/remove actions. Expired
+    * (checkpoint-subsumed) versions are absent, as in Delta. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    (0L to latest).flatMap { v =>
+      val p = versionFile(table, v)
+      if (!fs.exists(p)) None
+      else {
+        val nodes = readLogText(fs, p).split('\n').filter(_.nonEmpty)
+          .map(mapper.readTree)
+        Some((v,
+          nodes.find(_.has("commitInfo"))
+            .map(_.get("commitInfo").get("operation").asText()).getOrElse("-"),
+          nodes.count(_.has("add")).toLong,
+          nodes.count(_.has("remove")).toLong))
+      }
+    }.toDF("version", "operation", "n_adds", "n_removes")
   }
 
   /** Read the table at `versionAsOf` (default: latest) — the live file set

@@ -634,6 +634,20 @@ object FormatQueries {
       .withColumn("files_total", lit(total))
   }
 
+  /** X36p: DESCRIBE HISTORY — the table's commit provenance off the
+    * commitInfo actions: append (2 pinned files), append (1), overwrite
+    * (1 add, 3 removes), restore to v1 (re-adds the 3, removes the
+    * overwrite's 1). Every count is read from the actual log. */
+  private def deltaHistory(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_hist")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1).repartition(1), table)
+    DeltaLite.write(spark, o.repartition(1), table, overwrite = true)
+    DeltaLite.restore(spark, table, toVersion = 1L)
+    DeltaLite.history(spark, table).orderBy("version")
+  }
+
   /** X36n: Delta row-level DELETE with stats-planned minimal rewrite —
     * on the 4-quarter skipping layout, deleting keys in [0, q/2] plans
     * ONE affected file off the log stats, rewrites only it, and commits
@@ -795,6 +809,7 @@ object FormatQueries {
     "x_delta_skipping" -> ((s, dir) => deltaSkipping(s, dir)),
     "x_delta_delete" -> ((s, dir) => deltaDelete(s, dir)),
     "x_delta_restore" -> ((s, dir) => deltaRestore(s, dir)),
+    "x_delta_history" -> ((s, dir) => deltaHistory(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -906,6 +921,16 @@ object FormatQueries {
         |                        FROM orders)) AS n_rows_deleted
         |FROM orders
         |WHERE o_orderkey > (SELECT (max(o_orderkey) // 4) // 2 FROM orders)""".stripMargin,
+    // the expected provenance rows; every count on the Spark side is
+    // counted from the committed log actions, not asserted
+    "x_delta_history" ->
+      """SELECT CAST(version AS BIGINT) AS version, operation,
+        |  CAST(n_adds AS BIGINT) AS n_adds,
+        |  CAST(n_removes AS BIGINT) AS n_removes
+        |FROM (VALUES (0, 'WRITE', 2, 0), (1, 'WRITE', 1, 0),
+        |  (2, 'OVERWRITE', 1, 3), (3, 'RESTORE', 3, 1))
+        |  t(version, operation, n_adds, n_removes)
+        |ORDER BY version""".stripMargin,
     // the restore commit is version 2; current content = version 0's
     "x_delta_restore" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,

@@ -29,12 +29,14 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2), table)
     v shouldBe 0L
     val lines = logLines(table, 0L).map(mapper.readTree)
-    lines.head.get("protocol").get("minReaderVersion").asInt() shouldBe 1
-    val meta = lines(1).get("metaData")
+    // commitInfo leads every commit, as Delta itself writes it
+    lines.head.get("commitInfo").get("operation").asText() shouldBe "WRITE"
+    lines(1).get("protocol").get("minReaderVersion").asInt() shouldBe 1
+    val meta = lines(2).get("metaData")
     meta.get("format").get("provider").asText() shouldBe "parquet"
     // schemaString is Spark's StructType JSON — must parse back losslessly
     DeltaLite.tableSchema(spark, table).fieldNames.toSeq shouldBe Seq("k", "s")
-    val adds = lines.drop(2)
+    val adds = lines.drop(3)
     adds.foreach { a =>
       a.has("add") shouldBe true
       a.get("add").get("dataChange").asBoolean() shouldBe true
@@ -117,7 +119,8 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.read(spark, table, versionAsOf = 0L)
       .schema.fieldNames.toSeq shouldBe Seq("k", "v")
     // the evolving commit re-declared metaData with the SAME table id
-    val id0 = mapper.readTree(logLines(table, 0L)(1)).get("metaData").get("id").asText()
+    val id0 = logLines(table, 0L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData").get("id").asText()
     val metas1 = logLines(table, 1L).map(mapper.readTree).filter(_.has("metaData"))
     metas1.size shouldBe 1
     metas1.head.get("metaData").get("id").asText() shouldBe id0
