@@ -316,7 +316,12 @@ object Dedup {
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
     val banded = sig.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    banded.as("a").join(banded.as("b"),
+    // per-doc band relation = corpus-sized; the cached artifact's stats
+    // are underestimated, so without the hint the planner BROADCASTS one
+    // side of this self-join (r10 broadcast-audit finding — the same class
+    // as the prefix-filter df join). Band values are 64-bit concats with
+    // near-uniform spread: shuffle hash partitions evenly.
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -372,7 +377,14 @@ object Dedup {
     val ids = idsOpt.getOrElse(shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache())
     val dfreq = ids.groupBy("sid").agg(count(lit(1)).as("df"))
-    val ranked = ids.join(dfreq, "sid")
+    // dfreq is the FULL distinct-shingle relation (one row per distinct
+    // shingle) — vocabulary-sized, i.e. billions of rows at 100 TB. Its
+    // stats come from the (possibly checkpointed) `ids` artifact and are
+    // underestimated, so without the hint the planner BROADCASTS it into
+    // this ranking join — the same trap fixed on the verification joins
+    // below. SHUFFLE_HASH pins the scalable plan: sid keys are hashed ids
+    // with an even spread, per-key rows bounded by df.
+    val ranked = ids.join(dfreq.hint("shuffle_hash"), "sid")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("df", "sid")).cast("long"))
@@ -383,7 +395,9 @@ object Dedup {
     val pfx = ranked
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
       .select("doc_id", "sid", "m").cache()
-    val cands = pfx.as("a").join(pfx.as("b"),
+    // the self-join's build side is the same corpus-scale prefix relation
+    // (cached => underestimated stats => broadcast): pin shuffle too
+    val cands = pfx.as("a").join(pfx.as("b").hint("shuffle_hash"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.m"), col("b.m")).cast("double") >=
             greatest(col("a.m"), col("b.m")) * threshold)
@@ -465,7 +479,9 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band_val")))
-    val result = banded.as("a").join(banded.as("b"),
+    // same corpus-sized self-join as minhashBandCandidates: pin shuffle so
+    // the cached fingerprint relation is never broadcast (r10 audit)
+    val result = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -781,7 +797,12 @@ object Dedup {
     * other reuses the materialized cluster relation, so the incremental
     * cost of the canonical step itself is the one bounded shuffle above. */
   def canonicalPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame =
-    clusters.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+    // the cluster relation is a checkpointed artifact (LogicalRDD, one row
+    // per clustered doc — corpus-scale when duplication is heavy) whose
+    // stats underestimate: unpinned, the planner broadcasts it into this
+    // join (r10 broadcast-audit finding). doc_id spreads evenly.
+    clusters.hint("shuffle_hash")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy("cluster_id")
       .agg(
         max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id")))

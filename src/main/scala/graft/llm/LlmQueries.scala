@@ -389,8 +389,14 @@ object LlmQueries {
         .select(col("doc_id").as("d2"), col("pos").as("p2"))
       val i3 = idx.where(col("w") === w3)
         .select(col("doc_id").as("d3"), col("pos").as("p3"))
-      i1.join(i2, col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
-        .join(i3, col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
+      // a posting slice is df(word)-scale — unbounded for a frequent word
+      // at 100 TB — and the index artifact's stats underestimate, so the
+      // planner would broadcast i2/i3 (r10 broadcast-audit finding); the
+      // (doc_id, pos) shuffle keys spread evenly, so pin shuffle hash
+      i1.join(i2.hint("shuffle_hash"),
+          col("doc_id") === col("d2") && col("p2") === col("pos") + 1)
+        .join(i3.hint("shuffle_hash"),
+          col("doc_id") === col("d3") && col("p3") === col("pos") + 2)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
         .orderBy("doc_id")

@@ -378,7 +378,12 @@ object Retrieval {
     val survivors = bounds.crossJoin(broadcast(theta))
       .where(col("bound") >= col("theta"))
       .select("doc_id")
-    val topk = scored.join(survivors, "doc_id")
+    // `scored` is the query terms' full posting lists — df-scale, i.e.
+    // millions of rows for a frequent term at 100 TB — and arrives via the
+    // session index artifact, so its stats underestimate and the planner
+    // broadcasts it here (r10 broadcast-audit finding). Pin the shuffle;
+    // survivors (⊆ scored's doc_ids, post-prune) is the build side.
+    val topk = scored.join(survivors.hint("shuffle_hash"), "doc_id")
       .groupBy("doc_id").agg(sum("p").as("score_e6"))
       .orderBy(col("score_e6").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(
