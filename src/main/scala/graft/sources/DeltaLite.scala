@@ -25,10 +25,13 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   - versions are `_delta_log/%020d.json`, claimed by ATOMIC CREATE
   *     (the same optimistic arbiter as [[CommitLog.tryCommit]]; Delta on
   *     HDFS-class stores uses exactly this primitive);
-  *   - unpartitioned tables, no checkpoint parquet, no deletion vectors,
-  *     no column mapping — a reader of THIS subset sees standard protocol
-  *     v1 tables; [[CommitLog]] covers the checkpoint/vacuum lifecycle
-  *     the subset omits.
+  *   - also emitted: `commitInfo` (provenance), `txn` (SetTransaction —
+  *     the exactly-once streaming ledger, preserved across checkpoints),
+  *     partitioned tables (partitionValues in adds, partitionColumns in
+  *     metaData), single-file checkpoint parquet + `_last_checkpoint`;
+  *   - not implemented: deletion vectors, column mapping, multi-part
+  *     checkpoints — a reader of THIS subset sees standard protocol v1
+  *     tables.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own
@@ -105,36 +108,53 @@ object DeltaLite {
     }
 
   private def metaDataLine(schema: StructType,
-      tableId: String = java.util.UUID.randomUUID().toString): String =
+      tableId: String = java.util.UUID.randomUUID().toString,
+      partitionColumns: Seq[String] = Seq.empty): String =
     jsonObj("metaData") { m =>
     m.put("id", tableId)
     val fmt = m.putObject("format")
     fmt.put("provider", "parquet")
     fmt.putObject("options")
     m.put("schemaString", schema.json)
-    m.putArray("partitionColumns")
+    val pc = m.putArray("partitionColumns")
+    partitionColumns.foreach(pc.add)
     m.putObject("configuration")
     m.put("createdTime", 0L)
   }
 
   private def addLine(path: String, size: Long, modTime: Long,
-      stats: Option[String] = None): String =
+      stats: Option[String] = None, dataChange: Boolean = true,
+      partitionValues: Map[String, String] = Map.empty): String =
     jsonObj("add") { a =>
       a.put("path", path)
-      a.putObject("partitionValues")
+      val pv = a.putObject("partitionValues")
+      partitionValues.foreach { case (k, v) =>
+        if (v == null) pv.putNull(k) else pv.put(k, v)
+      }
       a.put("size", size)
       a.put("modificationTime", modTime)
-      a.put("dataChange", true)
+      a.put("dataChange", dataChange)
       // per the protocol, `stats` is a JSON STRING of file statistics —
       // the layer data skipping reads (numRecords/minValues/maxValues)
       stats.foreach(s => a.put("stats", s))
     }
 
-  private def removeLine(path: String): String = jsonObj("remove") { r =>
-    r.put("path", path)
-    r.put("deletionTimestamp", 0L)
-    r.put("dataChange", true)
-  }
+  /** The protocol's SetTransaction action — the exactly-once ledger that
+    * SURVIVES checkpoint+expireLog (the r09 advisor finding: the `-b<id>-`
+    * path marker alone dies with its JSON commit). */
+  private def txnLine(appId: String, version: Long): String =
+    jsonObj("txn") { t =>
+      t.put("appId", appId)
+      t.put("version", version)
+      t.put("lastUpdated", 0L)
+    }
+
+  private def removeLine(path: String, dataChange: Boolean = true): String =
+    jsonObj("remove") { r =>
+      r.put("path", path)
+      r.put("deletionTimestamp", 0L)
+      r.put("dataChange", dataChange)
+    }
 
   /** Stage `df` as parquet under a commit-private directory and commit it
     * as the table's next version; `overwrite = true` additionally emits
@@ -164,7 +184,31 @@ object DeltaLite {
     * checkpoint turns the gate red. */
   private[graft] final case class Snapshot(files: Seq[String],
       meta: Option[(String, String)], checkpointVersion: Long,
-      jsonReplayed: Long, stats: Map[String, String] = Map.empty)
+      jsonReplayed: Long, stats: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty,
+      pvals: Map[String, Map[String, String]] = Map.empty)
+
+  /** Inverse of Spark/Hive's partition-directory escaping (the r09
+    * advisor finding on the Iceberg side): directory names URI-escape
+    * special characters as %XX and encode null/empty as the Hive default
+    * sentinel — recovering the raw value must undo both, or partition
+    * pruning silently misses files whose values needed escaping. */
+  private[sources] def unescapePathName(s: String): String = {
+    if (s == "__HIVE_DEFAULT_PARTITION__") return null
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
 
   private def checkpointFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
@@ -192,12 +236,20 @@ object DeltaLite {
     val cpV = lastCheckpointVersion(spark, table)
     val live = mutable.LinkedHashSet.empty[String]
     val stats = mutable.Map.empty[String, String]
+    val txns = mutable.Map.empty[String, Long]
+    val pvals = mutable.Map.empty[String, Map[String, String]]
     var meta: Option[(String, String)] = None
     val fromCheckpoint = cpV >= 0 && cpV <= asOf &&
       fs.exists(checkpointFile(table, cpV))
     if (fromCheckpoint) {
-      val rows = spark.read.parquet(checkpointFile(table, cpV).toString)
-        .select("protocol", "metaData", "add").collect()
+      val cp = spark.read.parquet(checkpointFile(table, cpV).toString)
+      // checkpoints written before the txn/partition columns lack them
+      val hasTxn = cp.schema.fieldNames.contains("txn")
+      val addType = cp.schema("add").dataType
+        .asInstanceOf[StructType]
+      val hasPv = addType.fieldNames.contains("partitionValues")
+      val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
+        else cp.select("protocol", "metaData", "add")).collect()
       rows.foreach { r =>
         if (!r.isNullAt(1)) {
           val m = r.getStruct(1)
@@ -207,6 +259,15 @@ object DeltaLite {
           val a = r.getStruct(2)
           live += a.getString(0)
           if (!a.isNullAt(4)) stats(a.getString(0)) = a.getString(4)
+          if (hasPv && !a.isNullAt(5)) {
+            val m = a.getMap[String, String](5)
+            if (m.nonEmpty) pvals(a.getString(0)) = m.toMap
+          }
+        }
+        if (hasTxn && !r.isNullAt(3)) {
+          val t = r.getStruct(3)
+          txns(t.getString(0)) =
+            math.max(txns.getOrElse(t.getString(0), Long.MinValue), t.getLong(1))
         }
       }
     }
@@ -220,20 +281,34 @@ object DeltaLite {
         val node = mapper.readTree(line)
         if (node.has("add")) {
           val a = node.get("add")
-          live += a.get("path").asText()
-          if (a.has("stats")) stats(a.get("path").asText()) = a.get("stats").asText()
+          val path = a.get("path").asText()
+          live += path
+          if (a.has("stats")) stats(path) = a.get("stats").asText()
+          val pvNode = a.path("partitionValues")
+          if (pvNode.isObject && pvNode.size() > 0) {
+            val m = mutable.Map.empty[String, String]
+            pvNode.fields().forEachRemaining(e =>
+              m(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText())
+            pvals(path) = m.toMap
+          }
         } else if (node.has("remove")) {
           val p = node.get("remove").get("path").asText()
           live -= p
           stats -= p
+          pvals -= p
         } else if (node.has("metaData")) {
           val m = node.get("metaData")
           meta = Some((m.get("id").asText(), m.get("schemaString").asText()))
+        } else if (node.has("txn")) {
+          val t = node.get("txn")
+          val app = t.get("appId").asText()
+          txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
+            t.get("version").asLong())
         }
       }
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
-      asOf - firstJson + 1, stats.toMap)
+      asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -266,14 +341,24 @@ object DeltaLite {
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", StringType))))))
-    val rows = Row(Row(1, 2), null, null) +: Row(null, Row(tableId, schemaJson), null) +:
+        StructField("stats", StringType),
+        StructField("partitionValues", MapType(StringType, StringType))))),
+      // SetTransaction rows — the spec REQUIRES checkpoints to preserve
+      // txn actions precisely so streaming dedup survives log cleanup
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
+    val rows = Row(Row(1, 2), null, null, null) +:
+      Row(null, Row(tableId, schemaJson), null, null) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+        Row(null, null, null, Row(app, ver))
+      } ++
       snap.files.map { f =>
         val st = fs.getFileStatus(new Path(table, f))
         Row(null, null,
           Row(f, st.getLen, st.getModificationTime, true,
-            snap.stats.getOrElse(f, null)))
-      }
+            snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null)), null)
+      })
     val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
       .write.parquet(staged.toString)
@@ -304,15 +389,31 @@ object DeltaLite {
   }
 
   /** Physical cleanup: delete data files no longer referenced by the
-    * CURRENT snapshot (tombstoned by overwrite/merge commits). Retention
-    * subset: immediate (retention 0) — after vacuum, time travel to a
-    * version that referenced a deleted file fails at scan time, exactly
-    * Delta's documented trade. Returns the number of files deleted. */
-  def vacuum(spark: SparkSession, table: String): Long = {
+    * CURRENT snapshot (tombstoned by overwrite/merge commits). After
+    * vacuum, time travel to a version that referenced a deleted file
+    * fails at scan time, exactly Delta's documented trade.
+    *
+    * Concurrent-writer safety (the r09 advisor finding — an in-flight
+    * writer's commit-PRIVATE staging directory is by definition not in
+    * the snapshot, and a naive sweep would delete it under the writer,
+    * who then commits add actions to vanished files):
+    *   - a staging directory mid-write (Spark's `_temporary` subdir still
+    *     present) is ALWAYS skipped;
+    *   - files younger than `graceMs` are skipped — covering the window
+    *     between write completion and log commit. Delta's own vacuum has
+    *     the same retention contract (default 7 days) for the same
+    *     reason. `graceMs = 0` (the default here) is the single-writer
+    *     fast path: nothing else may be mid-commit when it runs.
+    * Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, table: String, graceMs: Long = 0L): Long = {
     val fs = hadoopFs(spark, table)
     val live = liveFiles(spark, table, latestVersion(spark, table)).toSet
     val dataRoot = new Path(table, "data")
     if (!fs.exists(dataRoot)) return 0L
+    val cutoff = System.currentTimeMillis() - graceMs
+    val inFlight = fs.listStatus(dataRoot).filter(_.isDirectory)
+      .filter(d => fs.exists(new Path(d.getPath, "_temporary")))
+      .map(_.getPath.getName).toSet
     val it = fs.listFiles(dataRoot, /* recursive = */ true)
     var deleted = 0L
     // compare fully-QUALIFIED paths on both sides: listFiles returns
@@ -324,10 +425,173 @@ object DeltaLite {
       val st = it.next()
       if (st.getPath.getName.endsWith(".parquet")) {
         val rel = st.getPath.toString.stripPrefix(qualifiedTable + "/")
-        if (!live.contains(rel)) { fs.delete(st.getPath, false); deleted += 1 }
+        val staging = rel.split('/').drop(1).headOption.getOrElse("")
+        if (!live.contains(rel) && !inFlight.contains(staging) &&
+          st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false); deleted += 1
+        }
       }
     }
     deleted
+  }
+
+  /** OPTIMIZE — bin-packing compaction as ONE commit (the protocol models
+    * it as plain remove+add actions with `dataChange = false`, so
+    * incremental consumers know no rows changed): the current snapshot's
+    * files are read back, coalesced to `targetFiles` outputs, staged
+    * commit-private, and swapped in a single version. Reads before and
+    * after see identical rows; the file count drops — the small-file
+    * maintenance op a 100 TB streaming-ingest table needs continuously.
+    * Stats for the compacted files are recomputed for every LONG column
+    * (same one-pass shape as [[write]]'s collectStats), so data skipping
+    * keeps working after compaction. Returns
+    * (version, filesBefore, filesAfter). */
+  def optimize(spark: SparkSession, table: String,
+      targetFiles: Int = 1): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    val before = snapshot(spark, table, latest)
+    if (before.files.size <= targetFiles)
+      return (latest, before.files.size.toLong, before.files.size.toLong)
+    val schema = tableSchema(spark, table)
+    val src = spark.read.schema(schema)
+      .parquet(before.files.map(f => s"$table/$f"): _*)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-opt-$token"
+    src.coalesce(targetFiles).write.mode("errorifexists")
+      .parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
+    val aggs = count(lit(1)).as("numRecords") +:
+      longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val statsByFile = spark.read.parquet(s"$table/$staged")
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val o = mapper.createObjectNode()
+        o.put("numRecords", r.getAs[Long]("numRecords"))
+        val mins = o.putObject("minValues")
+        val maxs = o.putObject("maxValues")
+        longCols.foreach { c =>
+          val mi = r.getAs[java.lang.Long](s"min_$c")
+          val ma = r.getAs[java.lang.Long](s"max_$c")
+          if (mi != null && ma != null) {
+            mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+          }
+        }
+        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+      }.toMap
+    val adds = parts.toSeq.map(p =>
+      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+        statsByFile.get(p.getPath.getName), dataChange = false))
+    val removes = before.files.map(removeLine(_, dataChange = false))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("OPTIMIZE") +: (removes ++ adds)))
+      throw new IllegalStateException(s"optimize lost the commit race on $table")
+    (v, before.files.size.toLong, parts.length.toLong)
+  }
+
+  /** Partitioned commit — the layout 100 TB tables actually use: data
+    * files split by `partCol`'s (stringified) value, the value recorded in
+    * each add action's `partitionValues` (PROTOCOL.md), and the v0
+    * metaData declaring `partitionColumns`. Subset note (documented, not
+    * hidden): the partition column also STAYS in the data files — real
+    * Delta strips it and reconstructs from partitionValues at scan; a
+    * reader of this subset scans it directly, while the log still carries
+    * the full partitionValues layer that [[planPartitioned]] (and any
+    * protocol reader) prunes on. Directory names are written escaped by
+    * Spark and unescaped on recovery ([[unescapePathName]]), so values
+    * needing %-escaping and the null sentinel round-trip exactly. Stats
+    * collection composes as in [[write]]. Returns the version. */
+  def writePartitioned(spark: SparkSession, df: DataFrame, table: String,
+      partCol: String, collectStats: Boolean = false,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val fs = hadoopFs(spark, table)
+    require(df.schema.fieldNames.contains(partCol),
+      s"partition column $partCol absent from schema")
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, table) + 1
+      if (v > 0) {
+        val prior = snapshot(spark, table, v - 1)
+        require(prior.files.isEmpty ||
+          prior.pvals.values.forall(_.keySet == Set(partCol)),
+          s"$table is not partitioned by $partCol")
+      }
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staged = s"data/v$v-p$token"
+      df.withColumn("_p", col(partCol).cast("string"))
+        .repartition(col("_p"))
+        .write.mode("errorifexists").partitionBy("_p")
+        .parquet(s"$table/$staged")
+      // (relative path, recovered raw partition value, status)
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.startsWith("_p="))
+        .sortBy(_.getPath.getName).toSeq.flatMap { d =>
+          val value = unescapePathName(d.getPath.getName.stripPrefix("_p="))
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).map(p =>
+              (s"$staged/${d.getPath.getName}/${p.getPath.getName}", value, p))
+        }
+      val longCols = df.schema.fields
+        .filter(_.dataType == LongType).map(_.name).toSeq
+      val statsByFile: Map[String, String] =
+        if (!collectStats) Map.empty
+        else {
+          val aggs = count(lit(1)).as("numRecords") +:
+            longCols.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          spark.read.parquet(s"$table/$staged")
+            .groupBy(input_file_name().as("f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val o = mapper.createObjectNode()
+              o.put("numRecords", r.getAs[Long]("numRecords"))
+              val mins = o.putObject("minValues")
+              val maxs = o.putObject("maxValues")
+              longCols.foreach { c =>
+                val mi = r.getAs[java.lang.Long](s"min_$c")
+                val ma = r.getAs[java.lang.Long](s"max_$c")
+                if (mi != null && ma != null) {
+                  mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+                }
+              }
+              (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+            }.toMap
+        }
+      val adds = parts.map { case (rel, value, p) =>
+        addLine(rel, p.getLen, p.getModificationTime,
+          statsByFile.get(p.getPath.getName),
+          partitionValues = Map(partCol -> value))
+      }
+      val header =
+        if (v == 0)
+          Seq(protocolLine, metaDataLine(df.schema, partitionColumns = Seq(partCol)))
+        else Seq.empty
+      if (tryCommit(fs, table, v,
+          commitInfoLine("WRITE") +: (header ++ adds))) return v
+      fs.delete(new Path(table, staged), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit lost $maxRetries races on $table")
+  }
+
+  /** Partition pruning off the log alone: the current snapshot's files
+    * whose recorded partitionValues for `partCol` fall in `wanted` — no
+    * file listing, no footer read; the add actions ARE the index (pass
+    * `null` inside `wanted` to match the null partition). Composes with
+    * [[planSkipping]]: partitions prune coarse, per-file stats prune
+    * inside a partition. Returns (matched files, matched, total). */
+  def planPartitioned(spark: SparkSession, table: String, partCol: String,
+      wanted: Set[String]): (Seq[String], Long, Long) = {
+    val snap = snapshot(spark, table, latestVersion(spark, table))
+    val matched = snap.files.filter(f =>
+      snap.pvals.get(f).exists(pv => wanted.contains(pv.getOrElse(partCol, null))))
+    (matched, matched.size.toLong, snap.files.size.toLong)
   }
 
   /** Table schema as of `asOf` (default: latest metaData anywhere in the
@@ -350,31 +614,41 @@ object DeltaLite {
     * Delta txnAppId/txnVersion contract, jar-free (the
     * [[CommitLog.commitIdempotent]] discipline in the Delta wire format).
     * Returns the version that carries the batch. */
+  /** The txn appId this sink family commits under. */
+  private[graft] val TxnAppId = "graft-stream"
+
   def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
       batchId: Long): Long = {
     val fs = hadoopFs(spark, table)
     val marker = s"-b$batchId-"
     val latest = latestVersion(spark, table)
-    var v = 0L
-    while (v <= latest) { // scan committed versions for the batch marker
-      val p = versionFile(table, v)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val text = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-          buf.toString("UTF-8")
-        } finally in.close()
-        if (text.contains(marker)) return v
+    if (latest >= 0) {
+      // authoritative ledger: the snapshot's SetTransaction state. It
+      // survives checkpoint+expireLog (checkpoints persist txn rows) and
+      // overwrites of the batch's files — unlike the path marker, which
+      // dies with its JSON commit. Micro-batch ids are monotone (the
+      // Structured Streaming contract), so max(version) decides.
+      val snap = snapshot(spark, table, latest)
+      if (snap.txns.get(TxnAppId).exists(_ >= batchId)) {
+        // exact original version when its JSON commit still exists …
+        var v = 0L
+        while (v <= latest) {
+          val p = versionFile(table, v)
+          if (fs.exists(p) && readLogText(fs, p).contains(marker)) return v
+          v += 1
+        }
+        // … otherwise it was subsumed by the checkpoint: report that
+        return math.max(lastCheckpointVersion(spark, table), 0L)
       }
-      v += 1
     }
-    writeTagged(spark, df, table, overwrite = false, tag = marker)
+    writeTagged(spark, df, table, overwrite = false, tag = marker,
+      txn = Some((TxnAppId, batchId)))
   }
 
   private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean, tag: String, maxRetries: Int = 10,
-      collectStats: Boolean = false): Long = {
+      collectStats: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val fs = hadoopFs(spark, table)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -421,7 +695,7 @@ object DeltaLite {
         addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
           statsByFile.get(p.getPath.getName)))
       val removes =
-        if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine)
+        if (overwrite && v > 0) liveFiles(spark, table, v - 1).map(removeLine(_))
         else Seq.empty
       val header =
         if (v == 0) Seq(protocolLine, metaDataLine(df.schema))
@@ -433,7 +707,9 @@ object DeltaLite {
           case _ => Seq.empty
         }
       val info = commitInfoLine(if (overwrite) "OVERWRITE" else "WRITE")
-      if (tryCommit(fs, table, v, info +: (header ++ removes ++ adds))) return v
+      val txns = txn.map { case (app, ver) => txnLine(app, ver) }.toSeq
+      if (tryCommit(fs, table, v,
+          info +: (header ++ txns ++ removes ++ adds))) return v
       fs.delete(new Path(table, staged), true)
       attempt += 1
     }
@@ -462,11 +738,16 @@ object DeltaLite {
       } finally in.close()
       text.split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("remove"))
+        // dataChange=false actions (OPTIMIZE rearrangements) move bytes,
+        // not rows — invisible to the change feed by protocol contract
+        if (node.has("remove") &&
+          node.get("remove").path("dataChange").asBoolean(true))
           throw new UnsupportedOperationException(
             s"version $v removes files: append-only change feed cannot " +
               "represent it — use row-level CDC")
-        if (node.has("add")) added += node.get("add").get("path").asText()
+        if (node.has("add") &&
+          node.get("add").path("dataChange").asBoolean(true))
+          added += node.get("add").get("path").asText()
       }
     }
     if (added.isEmpty)
@@ -545,7 +826,7 @@ object DeltaLite {
     val adds = parts.toSeq.map(p =>
       addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
         statsByFile.get(p.getPath.getName)))
-    val removes = affected.map(removeLine)
+    val removes = affected.map(removeLine(_))
     if (!tryCommit(fs, table, v,
         commitInfoLine("DELETE") +: (removes ++ adds)))
       throw new IllegalStateException(s"delete lost the commit race on $table")
@@ -562,7 +843,7 @@ object DeltaLite {
     val latest = latestVersion(spark, table)
     val target = snapshot(spark, table, toVersion)
     val current = snapshot(spark, table, latest)
-    val removes = current.files.filterNot(target.files.contains).map(removeLine)
+    val removes = current.files.filterNot(target.files.contains).map(removeLine(_))
     val adds = target.files.filterNot(current.files.contains).map { f =>
       val st = fs.getFileStatus(new Path(table, f))
       addLine(f, st.getLen, st.getModificationTime, target.stats.get(f))

@@ -648,6 +648,68 @@ object FormatQueries {
     DeltaLite.history(spark, table).orderBy("version")
   }
 
+  /** X36q: Delta OPTIMIZE — four single-file commits bin-packed into ONE
+    * file in one dataChange=false commit; the aggregate is byte-identical
+    * pre/post and the file counts come from the optimize return (counted,
+    * not asserted). The maintenance op that keeps a streaming-ingest
+    * table's file count bounded at 100 TB. */
+  private def deltaOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_opt")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    Seq((0L, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, mx)).foreach {
+      case (lo, hi) =>
+        DeltaLite.write(spark,
+          o.where(col("o_orderkey").between(lo, hi)).repartition(1), table,
+          collectStats = true)
+    }
+    val (_, nBefore, nAfter) = DeltaLite.optimize(spark, table)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_files_before", lit(nBefore))
+      .withColumn("n_files_after", lit(nAfter))
+  }
+
+  /** X36r: partitioned Delta table — the layout 100 TB tables actually
+    * use: partitionValues in the add actions (one per o_orderpriority,
+    * incl. '4-NOT SPECIFIED', whose space exercises the Hive escaping
+    * roundtrip), planPartitioned prunes scans off the LOG alone, and the
+    * pruned read carries NO row filter — equality with the oracle's
+    * filtered aggregate is the pruning proof. */
+  private def deltaPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_part")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    DeltaLite.writePartitioned(spark, o, table, "o_orderpriority",
+      collectStats = true)
+    val wanted = Set("1-URGENT", "4-NOT SPECIFIED")
+    val (files, matched, total) =
+      DeltaLite.planPartitioned(spark, table, "o_orderpriority", wanted)
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(matched))
+      .withColumn("files_total", lit(total))
+      .orderBy("o_orderpriority")
+  }
+
+  /** X261i: Iceberg history — [[DeltaLite.history]]'s parity surface off
+    * snapshot summaries + genuinely recounted manifest entries, incl. the
+    * streaming batch marker a commitIdempotent snapshot carries. */
+  private def icebergHistory(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_hist")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1).repartition(1), table)
+    IcebergLite.write(spark, o.repartition(1), table, overwrite = true)
+    IcebergLite.commitIdempotent(spark,
+      o.where(col("o_orderkey") === 1L).repartition(1), table, batchId = 7L)
+    IcebergLite.history(spark, table)
+  }
+
   /** X36n: Delta row-level DELETE with stats-planned minimal rewrite —
     * on the 4-quarter skipping layout, deleting keys in [0, q/2] plans
     * ONE affected file off the log stats, rewrites only it, and commits
@@ -810,6 +872,9 @@ object FormatQueries {
     "x_delta_delete" -> ((s, dir) => deltaDelete(s, dir)),
     "x_delta_restore" -> ((s, dir) => deltaRestore(s, dir)),
     "x_delta_history" -> ((s, dir) => deltaHistory(s, dir)),
+    "x_delta_optimize" -> ((s, dir) => deltaOptimize(s, dir)),
+    "x_delta_partitioned" -> ((s, dir) => deltaPartitioned(s, dir)),
+    "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -931,6 +996,37 @@ object FormatQueries {
         |  (2, 'OVERWRITE', 1, 3), (3, 'RESTORE', 3, 1))
         |  t(version, operation, n_adds, n_removes)
         |ORDER BY version""".stripMargin,
+    // 4 → 1: the bin-pack is real (counts from the optimize return);
+    // rows byte-identical pre/post is the compaction-correctness proof
+    "x_delta_optimize" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(4 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_after
+        |FROM orders""".stripMargin,
+    // the pruned scan carries NO row filter — equality with this filtered
+    // aggregate proves log-only partition pruning; files_total = distinct
+    // priorities (one file per partition value by construction); the
+    // wanted set includes a value with a SPACE (Hive-escaped on disk)
+    "x_delta_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(2 AS BIGINT) AS files_scanned,
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders) AS files_total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // expected provenance: snapshots 1-3 (2+1 appended files, then the
+    // overwrite), snapshot 4 = the idempotent batch-7 commit; every count
+    // recounted from the manifest layer Spark-side, not asserted
+    "x_iceberg_history" ->
+      """SELECT CAST(snapshot_id AS BIGINT) AS snapshot_id, operation,
+        |  CAST(n_added AS BIGINT) AS n_added_files,
+        |  CAST(n_total AS BIGINT) AS n_total_files,
+        |  CAST(batch_id AS BIGINT) AS batch_id
+        |FROM (VALUES (1, 'append', 2, 2, -1), (2, 'append', 1, 3, -1),
+        |  (3, 'overwrite', 1, 1, -1), (4, 'append', 1, 2, 7))
+        |  t(snapshot_id, operation, n_added, n_total, batch_id)
+        |ORDER BY snapshot_id""".stripMargin,
     // the restore commit is version 2; current content = version 0's
     "x_delta_restore" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,

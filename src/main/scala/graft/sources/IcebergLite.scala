@@ -178,7 +178,29 @@ object IcebergLite {
       overwrite: Boolean = false,
       partitionTruncate: Option[(String, Int)] = None,
       summaryProps: Map[String, String] = Map.empty,
-      boundsColumn: Option[String] = None): Long = {
+      boundsColumn: Option[String] = None,
+      maxRetries: Int = 10): Long = {
+    // optimistic-concurrency retry (Iceberg's own commit model): a lost
+    // metadata-version race cleans up this attempt's commit-private
+    // artifacts (staged data, manifest, manifest list) and replans from
+    // the winner's metadata — both writers' rows land, in two snapshots
+    var attempt = 0
+    while (attempt < maxRetries) {
+      writeOnce(spark, df, table, overwrite, partitionTruncate,
+        summaryProps, boundsColumn) match {
+        case Some(snapshotId) => return snapshotId
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commit lost $maxRetries metadata races on $table")
+  }
+
+  private def writeOnce(spark: SparkSession, df: DataFrame, table: String,
+      overwrite: Boolean,
+      partitionTruncate: Option[(String, Int)],
+      summaryProps: Map[String, String],
+      boundsColumn: Option[String]): Option[Long] = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -214,7 +236,12 @@ object IcebergLite {
           fs.listStatus(new Path(table, staged))
             .filter(_.getPath.getName.startsWith("_p="))
             .sortBy(_.getPath.getName).foreach { d =>
-              val value = d.getPath.getName.stripPrefix("_p=")
+              // directory names are Hive-escaped by Spark (%XX, null →
+              // the default-partition sentinel): recover the RAW value or
+              // manifest rows would never match planPartitioned's wanted
+              // strings (r09 advisor finding)
+              val value = DeltaLite.unescapePathName(
+                d.getPath.getName.stripPrefix("_p="))
               fs.listStatus(d.getPath)
                 .filter(_.getPath.getName.endsWith(".parquet"))
                 .sortBy(_.getPath.getName).foreach(p => out +=
@@ -386,14 +413,19 @@ object IcebergLite {
       finally out.close()
       true
     } catch { case _: java.io.IOException => false }
-    if (!committed)
-      throw new IllegalStateException(
-        s"lost the commit race for metadata v${prevV + 1} on $table")
+    if (!committed) {
+      // lost the race: remove THIS attempt's commit-private artifacts
+      // (nothing references them) and let the caller replan
+      fs.delete(new Path(table, staged), true)
+      fs.delete(new Path(metaDir(table), manifestName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      return None
+    }
     // advisory pointer (spec: best-effort)
     val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
     try hint.write(s"${prevV + 1}".getBytes(StandardCharsets.UTF_8))
     finally hint.close()
-    snapshotId
+    Some(snapshotId)
   }
 
   /** Exactly-once micro-batch commit — the Delta txnAppId/txnVersion
@@ -406,8 +438,16 @@ object IcebergLite {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     if (v > 0) {
+      val meta = readMetadata(fs, table, v)
+      // ledger half 1: the high-water mark [[expireSnapshots]] folds into
+      // table properties when it drops marker-carrying snapshots (the r09
+      // advisor finding) — batch ids are monotone (the Structured
+      // Streaming contract), so <= means already applied
+      val hwm = meta.path("properties").path("graft-max-batch-id").asLong(-1L)
+      if (batchId <= hwm) return meta.get("current-snapshot-id").asLong()
+      // ledger half 2: the retained snapshots' own summary markers
       var found = -1L
-      readMetadata(fs, table, v).get("snapshots").forEach { s =>
+      meta.get("snapshots").forEach { s =>
         if (s.get("summary").path("graft-batch-id").asText("") == batchId.toString)
           found = s.get("snapshot-id").asLong()
       }
@@ -423,9 +463,12 @@ object IcebergLite {
     * then delete every manifest list, manifest, and data file no retained
     * snapshot references. Time travel to an expired snapshot then refuses
     * by its own absence from the snapshot list — never a wrong answer.
-    * Returns (snapshots expired, data files deleted). */
+    * `graceMs` spares unreferenced files younger than the window (plus
+    * any directory mid-write) so a concurrent writer's staged-but-not-
+    * yet-committed files survive the sweep; 0 is the single-writer fast
+    * path. Returns (snapshots expired, data files deleted). */
   def expireSnapshots(spark: SparkSession, table: String,
-      keepLast: Int): (Long, Long) = {
+      keepLast: Int, graceMs: Long = 0L): (Long, Long) = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
@@ -435,6 +478,21 @@ object IcebergLite {
     val retained = snaps.sortBy(_.get("snapshot-id").asLong()).takeRight(keepLast)
     val expired = snaps.size - retained.size
     if (expired == 0) return (0L, 0L)
+    // exactly-once ledger preservation (r09 advisor finding): dropping a
+    // snapshot whose summary carries a `graft-batch-id` marker would let a
+    // redelivered batch re-commit. Fold the expired markers' high-water
+    // mark into table properties, where [[commitIdempotent]] consults it —
+    // batch ids are monotone, so the max subsumes every dropped marker.
+    val dropped = snaps.sortBy(_.get("snapshot-id").asLong())
+      .dropRight(keepLast)
+    val expiredHwm = dropped
+      .map(_.get("summary").path("graft-batch-id").asLong(-1L))
+      .foldLeft(meta.path("properties").path("graft-max-batch-id").asLong(-1L))(
+        math.max)
+    if (expiredHwm >= 0) {
+      val props = meta.`with`("properties")
+      props.put("graft-max-batch-id", expiredHwm)
+    }
     val newSnaps = meta.putArray("snapshots")
     retained.foreach(newSnaps.add)
     val committed = try {
@@ -471,6 +529,14 @@ object IcebergLite {
     var deleted = 0L
     val dataRoot = new Path(table, "data")
     if (fs.exists(dataRoot)) {
+      // concurrent-writer safety (the DeltaLite.vacuum discipline): a
+      // commit-private staging directory mid-write (`_temporary` present)
+      // is never swept, and files younger than `graceMs` are spared —
+      // they may belong to a writer between staging and metadata commit
+      val cutoff = System.currentTimeMillis() - graceMs
+      val inFlight = fs.listStatus(dataRoot).filter(_.isDirectory)
+        .filter(d => fs.exists(new Path(d.getPath, "_temporary")))
+        .map(_.getPath.getName).toSet
       val it = fs.listFiles(dataRoot, /* recursive = */ true)
       while (it.hasNext) {
         val st = it.next()
@@ -478,8 +544,16 @@ object IcebergLite {
           // manifests record file paths as written ($table/data/…) — match
           // on the table-relative suffix to survive scheme qualification
           val rel = st.getPath.toUri.getPath
+          // the staging dir is the path component directly under data/
+          // (partitioned staging nests _p= dirs below it)
+          var anc = st.getPath
+          while (anc.getParent != null && anc.getParent.getName != "data")
+            anc = anc.getParent
+          val staging = anc.getName
           if (!refFiles.exists(r => rel.endsWith(
-            r.stripPrefix(table).stripPrefix("/")))) {
+            r.stripPrefix(table).stripPrefix("/"))) &&
+            !inFlight.contains(staging) &&
+            st.getModificationTime < cutoff) {
             fs.delete(st.getPath, false)
             deleted += 1
           }
@@ -530,7 +604,8 @@ object IcebergLite {
         .map { e =>
           val d = e.get("data_file").asInstanceOf[GenericRecord]
           val part = d.get("partition").asInstanceOf[GenericRecord]
-          (d.get("file_path").toString, String.valueOf(part.get("p0")))
+          val pv = part.get("p0") // null = the null partition, NOT "null"
+          (d.get("file_path").toString, if (pv == null) null else pv.toString)
         }
     }
     val matched = all.filter(f => wanted.contains(f._2)).map(_._1)
@@ -678,5 +753,40 @@ object IcebergLite {
     val files = snapshotFiles(spark, table, snapshotId)
     require(files.nonEmpty, s"snapshot has no data files in $table")
     spark.read.schema(schemaForSnapshot(meta, wanted)).parquet(files: _*)
+  }
+
+  /** Table history — one row per RETAINED snapshot off the metadata's
+    * snapshot list (the Iceberg `history`/`snapshots` metadata-table
+    * surface, [[DeltaLite.history]]'s parity op): operation from the
+    * snapshot summary, file counts genuinely recounted from the manifest
+    * layer (added = this snapshot's own manifests' live entries, total =
+    * the full snapshot), and the streaming batch marker when one was
+    * committed. Expired snapshots are absent — their ids identify the
+    * retention cut, exactly as in Iceberg. All control-plane reads. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val rows = mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+    meta.get("snapshots").forEach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      val manifests = readAvroFile(fs, new Path(s.get("manifest-list").asText()))
+      def liveCount(own: Boolean): Long = manifests
+        .filter(m => !own ||
+          m.get("added_snapshot_id").asInstanceOf[Long] == sid)
+        .map(m => readAvroFile(fs, new Path(m.get("manifest_path").toString))
+          .count(_.get("status").asInstanceOf[Int] != 2).toLong).sum
+      rows += ((sid,
+        s.get("summary").get("operation").asText(),
+        liveCount(own = true),
+        liveCount(own = false),
+        s.get("summary").path("graft-batch-id").asLong(-1L)))
+    }
+    rows.toSeq
+      .toDF("snapshot_id", "operation", "n_added_files", "n_total_files",
+        "batch_id")
+      .orderBy("snapshot_id")
   }
 }

@@ -238,4 +238,125 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     df.count() shouldBe 0L
     df.schema.fieldNames.toSeq shouldBe Seq("k", "s")
   }
+
+  test("commitIdempotent survives checkpoint + expireLog (txn ledger)") {
+    import spark.implicits._
+    // the r09 advisor scenario: expireLog deletes the JSON commits whose
+    // staged-path markers were the dedup ledger; the SetTransaction rows
+    // persisted into the checkpoint must still refuse the redelivery
+    val table = Sinks.tempDir("delta_spec_txn")
+    val b0 = Seq((1L, 10L)).toDF("k", "v")
+    val b1 = Seq((2L, 20L)).toDF("k", "v")
+    DeltaLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    DeltaLite.commitIdempotent(spark, b1, table, batchId = 1L)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table) shouldBe 1L // 0.json subsumed
+    // redelivered batches 0 and 1 must both be refused post-expiry
+    DeltaLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    DeltaLite.commitIdempotent(spark, b1, table, batchId = 1L)
+    DeltaLite.read(spark, table).count() shouldBe 2L // no duplicates
+    DeltaLite.latestVersion(spark, table) shouldBe 1L // no new commits
+    // a genuinely NEW batch still lands
+    DeltaLite.commitIdempotent(spark,
+      Seq((3L, 30L)).toDF("k", "v"), table, batchId = 2L) shouldBe 2L
+    DeltaLite.read(spark, table).count() shouldBe 3L
+  }
+
+  test("optimize: bin-packing compaction, one commit, rows identical") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_opt")
+    (0 until 4).foreach(i =>
+      DeltaLite.write(spark,
+        Seq((i.toLong, i * 10L)).toDF("k", "v").repartition(2), table))
+    val beforeRows = DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (v, nBefore, nAfter) = DeltaLite.optimize(spark, table)
+    nBefore should be > nAfter
+    nAfter shouldBe 1L
+    v shouldBe 4L
+    DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe beforeRows
+    // the commit is remove+add with dataChange=false (protocol OPTIMIZE)
+    val lines = logLines(table, v)
+    val m = new ObjectMapper()
+    lines.count(_.contains("\"remove\"")) shouldBe nBefore
+    lines.filter(l => l.contains("\"add\"") || l.contains("\"remove\""))
+      .foreach { l =>
+        val n = m.readTree(l)
+        val act = if (n.has("add")) n.get("add") else n.get("remove")
+        act.get("dataChange").asBoolean() shouldBe false
+      }
+    // compacted stats survive: skipping still prunes
+    val (_, matched, total) =
+      DeltaLite.planSkipping(spark, table, "k", 0L, 1L)
+    total shouldBe 1L
+    matched shouldBe 1L
+    // the change feed sees OPTIMIZE as a no-op, not a refusal
+    DeltaLite.readChanges(spark, table, v - 1, v).count() shouldBe 0L
+    // time travel to the pre-optimize version still reads (files on disk)
+    DeltaLite.read(spark, table, versionAsOf = v - 1).count() shouldBe 4L
+  }
+
+  test("partitioned table: partitionValues in adds, pruning, escaping") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_part")
+    // values that NEED escaping (':' and ' ') plus a null partition
+    val df = Seq((1L, "a:1"), (2L, "a:1"), (3L, "b 2"), (4L, null))
+      .toDF("k", "src")
+    DeltaLite.writePartitioned(spark, df, table, "src")
+    // v0 metaData declares the partition column
+    val m = new ObjectMapper()
+    val meta = logLines(table, 0L).find(_.contains("\"metaData\"")).get
+    m.readTree(meta).get("metaData").get("partitionColumns")
+      .get(0).asText() shouldBe "src"
+    // every add carries partitionValues with the RAW (unescaped) value
+    val pvs = logLines(table, 0L).filter(_.contains("\"add\"")).map { l =>
+      val pv = m.readTree(l).get("add").get("partitionValues")
+      if (pv.get("src").isNull) null else pv.get("src").asText()
+    }
+    pvs.toSet shouldBe Set("a:1", "b 2", null)
+    // roundtrip: the full read returns all rows with raw values
+    DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set((1L, "a:1"), (2L, "a:1"), (3L, "b 2"), (4L, null))
+    // pruning off the log alone, incl. escaped and null partitions
+    val (files, n, total) =
+      DeltaLite.planPartitioned(spark, table, "src", Set("a:1"))
+    n shouldBe 1L
+    total shouldBe 3L
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .count() shouldBe 2L
+    DeltaLite.planPartitioned(spark, table, "src",
+      Set(null.asInstanceOf[String]))._2 shouldBe 1L
+    // appends keep working and pvals survive a checkpoint
+    DeltaLite.writePartitioned(spark,
+      Seq((5L, "a:1")).toDF("k", "src"), table, "src")
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.planPartitioned(spark, table, "src", Set("a:1"))._2 shouldBe 2L
+  }
+
+  test("vacuum spares in-flight staging and files inside the grace window") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_vgrace")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table,
+      overwrite = true) // tombstones v0's file
+    // simulate a CONCURRENT writer: a staged-but-uncommitted directory
+    // (write finished → no _temporary) and one mid-write (_temporary)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((3L, 30L)).toDF("k", "v").write.parquet(s"$table/data/v9-zz-inflight")
+    fs.mkdirs(new Path(s"$table/data/v9-yy-midwrite/_temporary"))
+    val out = fs.create(new Path(s"$table/data/v9-yy-midwrite/part-0.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // grace window: only files older than graceMs are swept — the staged
+    // writer's fresh files survive, the old tombstoned file is deleted
+    DeltaLite.vacuum(spark, table, graceMs = 60000L) shouldBe 0L
+    fs.exists(new Path(s"$table/data/v9-zz-inflight")) shouldBe true
+    // zero grace still always spares a directory that is mid-write
+    val deleted = DeltaLite.vacuum(spark, table)
+    deleted should be >= 1L // v0's tombstoned file (+ the staged orphan)
+    fs.exists(new Path(s"$table/data/v9-yy-midwrite/part-0.parquet")) shouldBe true
+    DeltaLite.read(spark, table).count() shouldBe 1L
+  }
 }

@@ -185,4 +185,90 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       table, partitionTruncate = Some(("d", 7)))
     IcebergLite.planPartitioned(spark, table, Set("2024-04"))._2 shouldBe 1L
   }
+
+  test("two racing writers: exactly one wins each version, loser retries") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_race")
+    IcebergLite.write(spark, Seq((0L, 0L)).toDF("k", "v"), table)
+    // both writers plan from metadata v1 and race to create v2; the
+    // atomic-create arbiter admits one, the other cleans up and replans
+    // to v3 — both appends land, in two snapshots
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = Seq(1L, 2L).map { i =>
+      new Thread(() => results.add(
+        IcebergLite.write(spark,
+          Seq((i, i * 10L)).toDF("k", "v"), table)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSet shouldBe Set(2L, 3L)
+    IcebergLite.latestMetadataVersion(spark, table) shouldBe 3
+    IcebergLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((0L, 0L), (1L, 10L), (2L, 20L))
+    // every retained snapshot still reads (no dangling manifests)
+    IcebergLite.read(spark, table, snapshotId = 2L).count() shouldBe 2L
+  }
+
+  test("commitIdempotent survives expireSnapshots (batch-id high-water mark)") {
+    import spark.implicits._
+    // the r09 advisor scenario: expiration drops the marker-carrying
+    // snapshots; the high-water mark folded into table properties must
+    // still refuse the redelivery
+    val table = graft.ingest.Sinks.tempDir("ice_txn")
+    val b0 = Seq((1L, 10L)).toDF("k", "v")
+    val b1 = Seq((2L, 20L)).toDF("k", "v")
+    IcebergLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    IcebergLite.commitIdempotent(spark, b1, table, batchId = 1L)
+    val (expired, _) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    expired shouldBe 1L
+    IcebergLite.commitIdempotent(spark, b0, table, batchId = 0L)
+    IcebergLite.commitIdempotent(spark, b1, table, batchId = 1L)
+    IcebergLite.read(spark, table).count() shouldBe 2L // no duplicates
+    // a genuinely NEW batch still lands
+    IcebergLite.commitIdempotent(spark,
+      Seq((3L, 30L)).toDF("k", "v"), table, batchId = 2L)
+    IcebergLite.read(spark, table).count() shouldBe 3L
+  }
+
+  test("partition values needing escaping and the null partition roundtrip") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_esc")
+    // truncate[5] over values with ':' and ' ' (Hive-escaped in dir
+    // names) and a null source value (default-partition sentinel)
+    val df = Seq((1L, "a:b c2024", 10L), (2L, "a:b cXXXX", 20L),
+      (3L, null, 30L)).toDF("k", "d", "v")
+    IcebergLite.write(spark, df, table, partitionTruncate = Some(("d", 5)))
+    val (files, n, total) =
+      IcebergLite.planPartitioned(spark, table, Set("a:b c"))
+    total shouldBe 2L
+    n shouldBe 1L
+    spark.read.parquet(files: _*).collect().map(_.getLong(0)).toSet shouldBe
+      Set(1L, 2L)
+    // the null partition is addressable as null, not the string "null"
+    IcebergLite.planPartitioned(spark, table,
+      Set(null.asInstanceOf[String]))._2 shouldBe 1L
+    IcebergLite.planPartitioned(spark, table, Set("null"))._2 shouldBe 0L
+  }
+
+  test("history: per-snapshot operation + genuinely recounted file counts") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_hist")
+    IcebergLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+      .repartition(2), table)
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    IcebergLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table,
+      overwrite = true)
+    val h = IcebergLite.history(spark, table).collect()
+    h.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+    h.map(_.getString(1)).toSeq shouldBe Seq("append", "append", "overwrite")
+    h.map(_.getLong(2)).toSeq shouldBe Seq(2L, 1L, 1L) // added files
+    h.map(_.getLong(3)).toSeq shouldBe Seq(2L, 3L, 1L) // total live files
+    h.map(_.getLong(4)).toSeq shouldBe Seq(-1L, -1L, -1L) // no batch markers
+    // after expiration, history shows only the retained cut
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    IcebergLite.history(spark, table).collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(3L)
+  }
 }
