@@ -376,15 +376,18 @@ object Dedup {
     // every one of this plan's four consumers of `ids`
     val ids = idsOpt.getOrElse(shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache())
-    val dfreq = ids.groupBy("sid").agg(count(lit(1)).as("df"))
-    // dfreq is the FULL distinct-shingle relation (one row per distinct
-    // shingle) — vocabulary-sized, i.e. billions of rows at 100 TB. Its
-    // stats come from the (possibly checkpointed) `ids` artifact and are
-    // underestimated, so without the hint the planner BROADCASTS it into
-    // this ranking join — the same trap fixed on the verification joins
-    // below. SHUFFLE_HASH pins the scalable plan: sid keys are hashed ids
-    // with an even spread, per-key rows bounded by df.
-    val ranked = ids.join(dfreq.hint("shuffle_hash"), "sid")
+    // document frequency as a WINDOWED count over sid — ONE shuffle of the
+    // id stream, no aggregate relation, no join back. The r10 first cut
+    // pinned shuffle_hash on a groupBy+join formulation (the broadcast
+    // trap: the dfreq relation is vocabulary-sized — billions of distinct
+    // shingles at 100 TB — and its artifact-derived stats underestimate,
+    // so the planner would broadcast it); the window form removes the
+    // join entirely: same scalable partitioning (sid spreads evenly,
+    // per-key rows bounded by df), one exchange fewer, nothing to
+    // mis-broadcast.
+    val ranked = ids
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sid")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("df", "sid")).cast("long"))

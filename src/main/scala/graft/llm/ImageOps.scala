@@ -68,6 +68,89 @@ object ImageOps {
     dir.toString
   }
 
+  /** Stage the SAME deterministic fixtures as JPEG (quality 0.95,
+    * explicit — the JDK ships a real JPEG codec, so this closes the r09
+    * "JPEG reachable jar-free" item; the stub boundary is now H.264/Opus
+    * only). JPEG is LOSSY: the oracle cannot predict pixels, so the query
+    * contract is the sketch-key shape — exact dimensions plus an error
+    * BAND against the closed-form reference ([[gray]]). Measured on this
+    * fixture set at q=0.95: max |err| = 7, mean = 0.8; the band (24 /
+    * 4.0) carries 3-5× margin yet any real decode bug (dimension swap,
+    * stride, channel order) lands mean error ≈ uniform ≈ 85 and fails. */
+  def stageJpegFixtures(): String = {
+    import javax.imageio.{IIOImage, ImageWriteParam}
+    import javax.imageio.stream.FileImageOutputStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_jpgsrc")
+    (0 until NImages).foreach { i =>
+      val d = i.toLong
+      val w = width(d)
+      val h = height(d)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gray(d, x, y)); x += 1 }
+        y += 1
+      }
+      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(0.95f)
+      val out = new FileImageOutputStream(
+        dir.resolve(f"img_$i%03d.jpg").toFile)
+      try {
+        writer.setOutput(out)
+        writer.write(null, new IIOImage(img, null, null), p)
+      } finally { writer.dispose(); out.close() }
+    }
+    dir.toString
+  }
+
+  final case class JpegContract(doc_id: Long, w: Long, h: Long,
+      err_max_ok: Long, err_mean_ok: Long)
+
+  /** X21b: real JPEG decode with the lossy-codec contract — per-partition
+    * `ImageIO` decode (the [[decodePng]] slot), per-pixel comparison
+    * against the closed-form reference, and BAND assertions the oracle
+    * predicts exactly: dims are lossless (exact), max |err| ≤ 24,
+    * mean |err| ≤ 4.0. */
+  def decodeJpegContract(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = stageJpegFixtures()
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_([0-9]+)\\.jpg", 1)
+          .cast("long").as("doc_id"),
+        col("content"))
+      .as[ImageRow]
+      .mapPartitions(_.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        val raster = img.getRaster
+        var maxErr = 0L
+        var sumErr = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val e = math.abs(raster.getSample(x, y, 0) - gray(r.doc_id, x, y)).toLong
+            if (e > maxErr) maxErr = e
+            sumErr += e
+            x += 1
+          }
+          y += 1
+        }
+        JpegContract(r.doc_id, w.toLong, h.toLong,
+          if (maxErr <= 24L) 1L else 0L,
+          if (sumErr * 10 <= 40L * w * h) 1L else 0L)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   final case class ImageRow(doc_id: Long, content: Array[Byte])
   final case class ImageFeatures(doc_id: Long, w: Long, h: Long,
       mean_gray: Long, px00: Long, dhash: Long)

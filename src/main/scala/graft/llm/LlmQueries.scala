@@ -1072,6 +1072,10 @@ object LlmQueries {
     "x_image_decode" -> ((s, _) =>
       ImageOps.decodedFeatures(s).orderBy("doc_id")),
 
+    // X21c: REAL JPEG decode — lossy, so the oracle pins exact dims plus
+    // the error-band contract (the sketch-key shape) instead of pixels
+    "x_image_decode_jpeg" -> ((s, _) => ImageOps.decodeJpegContract(s)),
+
     // X194b: resize geometry from DECODED dimensions (not synthetic
     // metadata) — the planner consumes what the codec reports
     "x_image_resize" -> ((s, _) => ImageOps.resizeFromDecoded(s)),
@@ -2558,6 +2562,17 @@ object LlmQueries {
          |SELECT i.doc_id, i.w, i.h, st.mean_gray, st.px00, hh.dhash
          |FROM imgs i JOIN ist st USING (doc_id) JOIN hh USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // dims are lossless under JPEG (closed-form), the per-pixel error
+    // bands (max ≤ 24, mean ≤ 4.0 at quality 0.95 — measured 7 / 0.8)
+    // must hold for every image: a stride/dimension/channel bug lands
+    // mean error ≈ 85 and zeroes the flags
+    "x_image_decode_jpeg" ->
+      """SELECT CAST(d AS BIGINT) AS doc_id,
+        |  CAST(16 + ((d % 16) * 37) % 48 AS BIGINT) AS w,
+        |  CAST(16 + ((d % 16) * 23) % 32 AS BIGINT) AS h,
+        |  CAST(1 AS BIGINT) AS err_max_ok,
+        |  CAST(1 AS BIGINT) AS err_mean_ok
+        |FROM range(20) t(d) ORDER BY doc_id""".stripMargin,
     "x_image_resize" ->
       s"""WITH $imageCtes,
          |geo AS (SELECT doc_id, w, h,

@@ -43,4 +43,18 @@ class ImageOpsSpec extends SparkSpec with Matchers {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((0L, 16L), (1L, 17L), (2L, 18L), (3L, 19L))
   }
+
+  test("JPEG decode: dims lossless, error inside the measured band") {
+    val rows = ImageOps.decodeJpegContract(spark).collect()
+    rows.length shouldBe ImageOps.NImages
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      r.getLong(1) shouldBe ImageOps.width(d).toLong
+      r.getLong(2) shouldBe ImageOps.height(d).toLong
+      withClue(s"doc $d error bands: ") {
+        r.getLong(3) shouldBe 1L // max |err| ≤ 24
+        r.getLong(4) shouldBe 1L // mean |err| ≤ 4.0
+      }
+    }
+  }
 }
