@@ -291,13 +291,20 @@ object Dedup {
 
   private def minhashBuild(docs: DataFrame, threshold: Double,
       idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
-    // signatures appear on both sides of the band self-join — cache so the
-    // shingle → min-agg chain runs once
-    val sig = minhashSignatures(docs, idsOpt).cache()
-    val result = minhashBandCandidates(sig, NumBands)
+    // the BANDED relation (not the signatures) is what both sides of the
+    // self-join consume: repartition it by the join keys and cache, so
+    // the whole signature → band chain runs once, ONE shuffle feeds both
+    // sides (InMemoryRelation preserves the hash partitioning — the
+    // self-join needs no further exchange), and nothing corpus-scale is
+    // ever broadcast (r10 audit). This is the scalable plan AND the
+    // cheapest local one: the r10 first cut shuffled both sides
+    // separately and paid 3× the r09 wall-clock.
+    val banded = bandedSignatures(minhashSignatures(docs, idsOpt), NumBands)
+      .repartition(col("band_idx"), col("band_val")).cache()
+    val result = bandCollisionPairs(banded)
       .where(col("est_sim") >= threshold)
       .orderBy("da", "db")
-    (result, Seq(sig))
+    (result, Seq(banded))
   }
 
   /** Band-collision candidate pairs for an arbitrary banding of the
@@ -308,19 +315,27 @@ object Dedup {
     * more false candidates — X200 `x_lsh_band_sweep` measures the trade
     * instead of asserting it. `bands = NumBands` reproduces
     * [[minhashNearDuplicates]]' candidate stage exactly. */
-  def minhashBandCandidates(sig: DataFrame, bands: Int): DataFrame = {
+  /** (doc_id, sig, band_idx, band_val) band rows for an arbitrary banding
+    * of the NumHashes-slot signature. */
+  private def bandedSignatures(sig: DataFrame, bands: Int): DataFrame = {
     require(NumHashes % bands == 0,
       s"bands ($bands) must divide NumHashes ($NumHashes)")
     val rowsPerBand = NumHashes / bands
     val bandCols = (0 until bands).map(b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
-    val banded = sig.select(col("doc_id"), col("sig"),
+    sig.select(col("doc_id"), col("sig"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    // per-doc band relation = corpus-sized; the cached artifact's stats
-    // are underestimated, so without the hint the planner BROADCASTS one
-    // side of this self-join (r10 broadcast-audit finding — the same class
-    // as the prefix-filter df join). Band values are 64-bit concats with
-    // near-uniform spread: shuffle hash partitions evenly.
+  }
+
+  /** Band-collision pairs from a band relation, est_sim-scored. The
+    * per-doc band relation is corpus-sized and its artifact-derived stats
+    * underestimate, so without the hint the planner would BROADCAST one
+    * side of this self-join (r10 broadcast-audit finding — the same class
+    * as the prefix-filter df join); shuffle hash pins the scalable plan
+    * (band values spread near-uniformly), and a caller that pre-partitions
+    * `banded` by (band_idx, band_val) and caches it pays ONE shuffle for
+    * both sides. */
+  private def bandCollisionPairs(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -332,7 +347,9 @@ object Dedup {
         (size(filter(zip_with(col("sa"), col("sb"),
           (x, y) => when(x === y, 1).otherwise(0)), v => v === 1)).cast("double")
           / NumHashes).as("est_sim"))
-  }
+
+  def minhashBandCandidates(sig: DataFrame, bands: Int): DataFrame =
+    bandCollisionPairs(bandedSignatures(sig, bands))
 
   /** 16-bit SimHash fingerprints over token-multiset hashes: each token
     * occurrence votes ±1 on every bit; bit k set iff the vote sum is
@@ -397,7 +414,10 @@ object Dedup {
     // explode → df-join → double-window chain executes twice
     val pfx = ranked
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select("doc_id", "sid", "m").cache()
+      .select("doc_id", "sid", "m")
+      // pre-partition by the self-join key before caching: one shuffle
+      // feeds BOTH join sides (InMemoryRelation preserves partitioning)
+      .repartition(col("sid")).cache()
     // the self-join's build side is the same corpus-scale prefix relation
     // (cached => underestimated stats => broadcast): pin shuffle too
     val cands = pfx.as("a").join(pfx.as("b").hint("shuffle_hash"),
@@ -477,13 +497,16 @@ object Dedup {
       s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
     val bandBits = SimhashPairBits / 4
     val mask = (1L << bandBits) - 1
-    val fp = simhashFingerprints(docs, SimhashPairBits).cache() // both join sides
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "band_val")))
-    // same corpus-sized self-join as minhashBandCandidates: pin shuffle so
-    // the cached fingerprint relation is never broadcast (r10 audit)
+    // cache the BANDED relation pre-partitioned by the join keys: the
+    // fingerprint chain runs once, one shuffle feeds both self-join
+    // sides, and the shuffle pin keeps the corpus-scale relation off the
+    // broadcast path (r10 audit — the minhashBuild discipline)
+    val banded = simhashFingerprints(docs, SimhashPairBits)
+      .select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .repartition(col("band_idx"), col("band_val")).cache()
     val result = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -495,7 +518,7 @@ object Dedup {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("da", "db")
-    (result, Seq(fp))
+    (result, Seq(banded))
   }
 
   /** Duplicate-cluster assignment: connected components of the near-dup

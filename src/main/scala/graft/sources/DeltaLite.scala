@@ -28,10 +28,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   - also emitted: `commitInfo` (provenance), `txn` (SetTransaction —
   *     the exactly-once streaming ledger, preserved across checkpoints),
   *     partitioned tables (partitionValues in adds, partitionColumns in
-  *     metaData), single-file checkpoint parquet + `_last_checkpoint`;
-  *   - not implemented: deletion vectors, column mapping, multi-part
-  *     checkpoints — a reader of THIS subset sees standard protocol v1
-  *     tables.
+  *     metaData), single-file AND multi-part checkpoint parquet +
+  *     `_last_checkpoint` (with `parts`);
+  *   - not implemented: deletion vectors, column mapping — a reader of
+  *     THIS subset sees standard protocol v1 tables.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own
@@ -213,6 +213,13 @@ object DeltaLite {
   private def checkpointFile(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint.parquet")
 
+  /** Spec naming for one part of a MULTI-PART checkpoint
+    * (PROTOCOL.md §checkpoints): `%020d.checkpoint.%010d.%010d.parquet`
+    * = version, part number (1-based), total parts. */
+  private def checkpointPartFile(table: String, v: Long, part: Int,
+      parts: Int) =
+    new Path(logDir(table), f"$v%020d.checkpoint.$part%010d.$parts%010d.parquet")
+
   private def lastCheckpointFile(table: String) =
     new Path(logDir(table), "_last_checkpoint")
 
@@ -222,6 +229,31 @@ object DeltaLite {
     val p = lastCheckpointFile(table)
     if (!fs.exists(p)) -1L
     else mapper.readTree(readLogText(fs, p)).get("version").asLong()
+  }
+
+  /** Declared part count of the last checkpoint (the `parts` field of
+    * `_last_checkpoint`; absent = single-file = 1, per the protocol). */
+  def lastCheckpointParts(spark: SparkSession, table: String): Int = {
+    val fs = hadoopFs(spark, table)
+    val p = lastCheckpointFile(table)
+    if (!fs.exists(p)) 1
+    else mapper.readTree(readLogText(fs, p)).path("parts").asInt(1)
+  }
+
+  /** The checkpoint's file set at version `v`: the single spec-named file
+    * or all `parts` part files; empty when incomplete/absent (the spec's
+    * rule — a reader must only use a checkpoint whose every part
+    * exists). */
+  private def checkpointFileSet(spark: SparkSession, table: String,
+      v: Long): Seq[Path] = {
+    val fs = hadoopFs(spark, table)
+    val single = checkpointFile(table, v)
+    if (fs.exists(single)) Seq(single)
+    else {
+      val parts = lastCheckpointParts(spark, table)
+      val files = (1 to parts).map(i => checkpointPartFile(table, v, i, parts))
+      if (parts > 1 && files.forall(fs.exists)) files else Seq.empty
+    }
   }
 
   /** Snapshot construction — Delta's own read path: start from the newest
@@ -239,10 +271,12 @@ object DeltaLite {
     val txns = mutable.Map.empty[String, Long]
     val pvals = mutable.Map.empty[String, Map[String, String]]
     var meta: Option[(String, String)] = None
-    val fromCheckpoint = cpV >= 0 && cpV <= asOf &&
-      fs.exists(checkpointFile(table, cpV))
+    val cpFiles =
+      if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
+      else Seq.empty
+    val fromCheckpoint = cpFiles.nonEmpty
     if (fromCheckpoint) {
-      val cp = spark.read.parquet(checkpointFile(table, cpV).toString)
+      val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
       // checkpoints written before the txn/partition columns lack them
       val hasTxn = cp.schema.fieldNames.contains("txn")
       val addType = cp.schema("add").dataType
@@ -314,13 +348,19 @@ object DeltaLite {
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
     snapshot(spark, table, asOf).files
 
-  /** Write a checkpoint at version `v` (default: latest): ONE parquet file
-    * `_delta_log/%020d.checkpoint.parquet` holding the full replay state
-    * (protocol / metaData / one add row per live file — the spec's
-    * flattened action columns), then flip `_last_checkpoint` to it. The
-    * parquet is staged via a Spark write and renamed to the spec path, so
-    * the checkpoint itself never buffers through the driver. */
-  def checkpoint(spark: SparkSession, table: String, version: Long = -1L): Long = {
+  /** Write a checkpoint at version `v` (default: latest) holding the full
+    * replay state (protocol / metaData / txn ledger / one add row per
+    * live file — the spec's flattened action columns), then flip
+    * `_last_checkpoint` to it. `parts = 1` writes the classic single
+    * `%020d.checkpoint.parquet`; `parts > 1` writes the spec's MULTI-PART
+    * form (`%020d.checkpoint.%010d.%010d.parquet`, `_last_checkpoint`
+    * carrying `parts`) — how Delta checkpoints million-file tables
+    * without one giant parquet; readers must see every part or fall back
+    * to full JSON replay. The parquet is staged via a Spark write and
+    * renamed to the spec paths, so the checkpoint never buffers through
+    * the driver. */
+  def checkpoint(spark: SparkSession, table: String, version: Long = -1L,
+      parts: Int = 1): Long = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val fs = hadoopFs(spark, table)
@@ -360,14 +400,23 @@ object DeltaLite {
             snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null)), null)
       })
     val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(parts, 1)), cpSchema)
       .write.parquet(staged.toString)
-    val part = fs.listStatus(staged)
-      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.rename(part, checkpointFile(table, v))
+    val stagedParts = fs.listStatus(staged)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).map(_.getPath)
+    // actual non-empty output may be fewer than requested (tiny state):
+    // the COMMITTED part count is what the files say
+    val nParts = stagedParts.length
+    if (nParts == 1) fs.rename(stagedParts.head, checkpointFile(table, v))
+    else stagedParts.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, checkpointPartFile(table, v, i + 1, nParts))
+    }
     fs.delete(staged, true)
+    val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
     val out = fs.create(lastCheckpointFile(table), /* overwrite = */ true)
-    try out.write(s"""{"version":$v,"size":${rows.size}}"""
+    try out.write(s"""{"version":$v,"size":${rows.size}$partsField}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     v

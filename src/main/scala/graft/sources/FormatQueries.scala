@@ -694,6 +694,26 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X261j: Iceberg rewriteDataFiles — [[deltaOptimize]]'s parity op:
+    * four single-file snapshots bin-packed into one `replace` snapshot;
+    * aggregate byte-identical, counts from the rewrite return. */
+  private def icebergOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_opt")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    Seq((0L, q), (q + 1, 2 * q), (2 * q + 1, 3 * q), (3 * q + 1, mx)).foreach {
+      case (lo, hi) =>
+        IcebergLite.write(spark,
+          o.where(col("o_orderkey").between(lo, hi)).repartition(1), table)
+    }
+    val (_, nBefore, nAfter) = IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_files_before", lit(nBefore))
+      .withColumn("n_files_after", lit(nAfter))
+  }
+
   /** X261i: Iceberg history — [[DeltaLite.history]]'s parity surface off
     * snapshot summaries + genuinely recounted manifest entries, incl. the
     * streaming batch marker a commitIdempotent snapshot carries. */
@@ -875,6 +895,7 @@ object FormatQueries {
     "x_delta_optimize" -> ((s, dir) => deltaOptimize(s, dir)),
     "x_delta_partitioned" -> ((s, dir) => deltaPartitioned(s, dir)),
     "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
+    "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -1015,6 +1036,13 @@ object FormatQueries {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // parity contract with x_delta_optimize: 4 → 1 via a `replace`
+    // snapshot, rows byte-identical
+    "x_iceberg_optimize" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(4 AS BIGINT) AS n_files_before,
+        |  CAST(1 AS BIGINT) AS n_files_after
+        |FROM orders""".stripMargin,
     // expected provenance: snapshots 1-3 (2+1 appended files, then the
     // overwrite), snapshot 4 = the idempotent batch-7 commit; every count
     // recounted from the manifest layer Spark-side, not asserted

@@ -179,7 +179,8 @@ object IcebergLite {
       partitionTruncate: Option[(String, Int)] = None,
       summaryProps: Map[String, String] = Map.empty,
       boundsColumn: Option[String] = None,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10,
+      operation: Option[String] = None): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
@@ -187,7 +188,7 @@ object IcebergLite {
     var attempt = 0
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionTruncate,
-        summaryProps, boundsColumn) match {
+        summaryProps, boundsColumn, operation) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -200,7 +201,8 @@ object IcebergLite {
       overwrite: Boolean,
       partitionTruncate: Option[(String, Int)],
       summaryProps: Map[String, String],
-      boundsColumn: Option[String]): Option[Long] = {
+      boundsColumn: Option[String],
+      operation: Option[String] = None): Option[Long] = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -400,7 +402,8 @@ object IcebergLite {
     sn.put("snapshot-id", snapshotId)
     sn.put("timestamp-ms", 0L)
     val summary = sn.putObject("summary")
-    summary.put("operation", if (overwrite) "overwrite" else "append")
+    summary.put("operation",
+      operation.getOrElse(if (overwrite) "overwrite" else "append"))
     summaryProps.foreach { case (k, v2) => summary.put(k, v2) }
     sn.put("manifest-list", s"$table/metadata/$listName")
     sn.put("schema-id", schemaId)
@@ -687,10 +690,16 @@ object IcebergLite {
     val meta = readMetadata(fs, table, v)
     meta.get("snapshots").forEach { s =>
       val sid = s.get("snapshot-id").asLong()
+      val op = s.get("summary").get("operation").asText()
+      // `replace` (rewriteDataFiles) changes no rows, but it REPLACES the
+      // manifest list, so the added_snapshot_id walk below can no longer
+      // attribute earlier rows to their true snapshots — refuse rather
+      // than double-count (full ancestry-walking incremental scan is
+      // Iceberg's own answer; out of this subset, stated as such)
       if (sid > fromSnap && sid <= toSnap &&
-        s.get("summary").get("operation").asText() == "overwrite")
+        (op == "overwrite" || op == "replace"))
         throw new UnsupportedOperationException(
-          s"snapshot $sid overwrites: append-only change feed cannot " +
+          s"snapshot $sid ${op}s files: append-only change feed cannot " +
             "represent it — use row-level CDC")
     }
     val snap = metaJsonSnapshots(meta).find(_._1 == toSnap).getOrElse(
@@ -753,6 +762,28 @@ object IcebergLite {
     val files = snapshotFiles(spark, table, snapshotId)
     require(files.nonEmpty, s"snapshot has no data files in $table")
     spark.read.schema(schemaForSnapshot(meta, wanted)).parquet(files: _*)
+  }
+
+  /** rewriteDataFiles — Iceberg's compaction op ([[DeltaLite.optimize]]'s
+    * parity surface): the current snapshot's files read back, bin-packed
+    * to `targetFiles`, and committed as ONE new snapshot with operation
+    * `replace` (the spec's name for rewrites that change bytes, not
+    * rows) and a fresh manifest list. Rows byte-identical pre/post;
+    * prior snapshots still time-travel until expired; incremental
+    * readers refuse ranges containing the replace (no row-change
+    * representation — [[readChanges]]). Returns
+    * (snapshotId, filesBefore, filesAfter). */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+      targetFiles: Int = 1): (Long, Long, Long) = {
+    val before = snapshotFiles(spark, table, -1L)
+    if (before.size <= targetFiles)
+      return (readMetadata(hadoopFs(spark, table), table,
+        latestMetadataVersion(spark, table)).get("current-snapshot-id").asLong(),
+        before.size.toLong, before.size.toLong)
+    val src = read(spark, table)
+    val sid = write(spark, src.coalesce(targetFiles), table,
+      overwrite = true, operation = Some("replace"))
+    (sid, before.size.toLong, snapshotFiles(spark, table, sid).size.toLong)
   }
 
   /** Table history — one row per RETAINED snapshot off the metadata's

@@ -336,6 +336,39 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.planPartitioned(spark, table, "src", Set("a:1"))._2 shouldBe 2L
   }
 
+  test("multi-part checkpoint: spec names, parts pointer, reads + txn survive") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_mpcp")
+    DeltaLite.commitIdempotent(spark,
+      Seq((1L, 10L)).toDF("k", "v"), table, batchId = 0L)
+    (1 to 5).foreach(i =>
+      DeltaLite.write(spark, Seq((i.toLong + 1, i * 10L)).toDF("k", "v"), table))
+    DeltaLite.checkpoint(spark, table, parts = 3) shouldBe 5L
+    DeltaLite.lastCheckpointParts(spark, table) shouldBe 3
+    // the spec's part naming: %020d.checkpoint.%010d.%010d.parquet
+    (1 to 3).foreach { i =>
+      new java.io.File(table,
+        f"_delta_log/${5L}%020d.checkpoint.$i%010d.${3}%010d.parquet")
+        .isFile shouldBe true
+    }
+    DeltaLite.expireLog(spark, table) shouldBe 5L
+    // reads assemble from ALL parts (6 rows across 3 part files)
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    df.count() shouldBe 6L
+    snap.checkpointVersion shouldBe 5L
+    // the txn ledger survives the multi-part round-trip too
+    DeltaLite.commitIdempotent(spark,
+      Seq((1L, 10L)).toDF("k", "v"), table, batchId = 0L)
+    DeltaLite.latestVersion(spark, table) shouldBe 5L // refused, no commit
+    // a missing part means the checkpoint is unusable — full replay
+    // would be needed, so the read must NOT half-use it: delete a part
+    // and the snapshot falls back (here: fails, prefix is expired)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(table,
+      f"_delta_log/${5L}%020d.checkpoint.${2}%010d.${3}%010d.parquet"), false)
+    an[Exception] should be thrownBy DeltaLite.read(spark, table)
+  }
+
   test("vacuum spares in-flight staging and files inside the grace window") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec_vgrace")

@@ -252,6 +252,33 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.planPartitioned(spark, table, Set("null"))._2 shouldBe 0L
   }
 
+  test("rewriteDataFiles: replace snapshot, rows identical, feed refuses") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_rw")
+    (0 until 3).foreach(i =>
+      IcebergLite.write(spark,
+        Seq((i.toLong, i * 10L)).toDF("k", "v"), table))
+    val beforeRows = IcebergLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val (sid, nBefore, nAfter) = IcebergLite.rewriteDataFiles(spark, table)
+    nBefore shouldBe 3L
+    nAfter shouldBe 1L
+    IcebergLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe beforeRows
+    // provenance: the rewrite is a `replace` snapshot
+    IcebergLite.history(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe
+      Seq((1L, "append"), (2L, "append"), (3L, "append"), (sid, "replace"))
+    // prior snapshots still time-travel; the feed refuses the replace
+    IcebergLite.read(spark, table, snapshotId = 3L).count() shouldBe 3L
+    an[UnsupportedOperationException] should be thrownBy
+      IcebergLite.readChanges(spark, table, 2L, sid)
+    // expiration then reclaims the pre-compaction small files
+    val (_, deleted) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    deleted shouldBe 3L
+    IcebergLite.read(spark, table).count() shouldBe 3L
+  }
+
   test("history: per-snapshot operation + genuinely recounted file counts") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_hist")
