@@ -69,14 +69,8 @@ object CommitLog {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(logDir(table))
     val manifest = new Path(logDir(table), version.toString)
-    try {
-      val out = fs.create(manifest, /* overwrite = */ false)
-      try out.write(stagedDir.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: java.io.IOException => false // lost the race for this version
-    }
+    AtomicCreate.create(fs, manifest,
+      stagedDir.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Stage `batch` (schema: key, payload columns) and commit it as the next
@@ -218,14 +212,8 @@ object CommitLog {
     compacted.write.mode("errorifexists").parquet(s"$table/$staged")
     val ckFile = new Path(logDir(table), s"$cut.ckpt")
     val won =
-      try {
-        val out = fs.create(ckFile, /* overwrite = */ false)
-        try out.write(staged.getBytes(StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: java.io.IOException => false // concurrent expire won this floor
-      }
+      AtomicCreate.create(fs, ckFile,
+        staged.getBytes(StandardCharsets.UTF_8)) // concurrent expire arbiter
     if (!won) {
       fs.delete(new Path(table, staged), true)
       return 0

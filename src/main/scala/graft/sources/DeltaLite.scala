@@ -77,15 +77,8 @@ object DeltaLite {
   private[graft] def tryCommit(fs: FileSystem, table: String, v: Long,
       actionLines: Seq[String]): Boolean = {
     fs.mkdirs(logDir(table))
-    try {
-      val out = fs.create(versionFile(table, v), /* overwrite = */ false)
-      try out.write((actionLines.mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch {
-      case _: java.io.IOException => false // lost the race for this version
-    }
+    AtomicCreate.create(fs, versionFile(table, v),
+      (actionLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
   }
 
   private def jsonObj(field: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
@@ -511,6 +504,64 @@ object DeltaLite {
     val staged = s"data/v$v-opt-$token"
     src.coalesce(targetFiles).write.mode("errorifexists")
       .parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
+    val aggs = count(lit(1)).as("numRecords") +:
+      longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val statsByFile = spark.read.parquet(s"$table/$staged")
+      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val o = mapper.createObjectNode()
+        o.put("numRecords", r.getAs[Long]("numRecords"))
+        val mins = o.putObject("minValues")
+        val maxs = o.putObject("maxValues")
+        longCols.foreach { c =>
+          val mi = r.getAs[java.lang.Long](s"min_$c")
+          val ma = r.getAs[java.lang.Long](s"max_$c")
+          if (mi != null && ma != null) {
+            mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+          }
+        }
+        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+      }.toMap
+    val adds = parts.toSeq.map(p =>
+      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+        statsByFile.get(p.getPath.getName), dataChange = false))
+    val removes = before.files.map(removeLine(_, dataChange = false))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("OPTIMIZE") +: (removes ++ adds)))
+      throw new IllegalStateException(s"optimize lost the commit race on $table")
+    (v, before.files.size.toLong, parts.length.toLong)
+  }
+
+  /** OPTIMIZE ZORDER BY — [[optimize]] with multi-dimensional
+    * re-clustering (Delta's own `OPTIMIZE ... ZORDER BY (a, b)`): rows are
+    * range-partitioned and sorted on the Morton interleave of the two
+    * (16-bit-reduced) long columns before the rewrite, so each output
+    * file covers a TIGHT range on BOTH dimensions and the per-file stats
+    * layer ([[planSkipping]]) prunes box predicates on either column —
+    * the reason Z-ordering exists at 100 TB. Same one-version
+    * dataChange=false commit contract as [[optimize]]. Returns
+    * (version, filesBefore, filesAfter). */
+  def optimizeZorder(spark: SparkSession, table: String, colX: String,
+      colY: String, targetFiles: Int): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, pmod}
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    val before = snapshot(spark, table, latest)
+    val schema = tableSchema(spark, table)
+    val src = spark.read.schema(schema)
+      .parquet(before.files.map(f => s"$table/$f"): _*)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-zord-$token"
+    src.withColumn("_z", FormatQueries.zValue(
+        pmod(col(colX), lit(65536L)), pmod(col(colY), lit(65536L))))
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("errorifexists").parquet(s"$table/$staged")
     val parts = fs.listStatus(new Path(table, staged))
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq

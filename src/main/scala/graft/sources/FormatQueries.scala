@@ -694,6 +694,41 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X36s: Delta OPTIMIZE ZORDER BY — compaction that re-clusters on the
+    * Morton interleave of (cx, dy) so the per-file stats prune BOX
+    * predicates on both dimensions: plan the box via two planSkipping
+    * walks (one per column), read only the INTERSECTED files, and prove
+    * both the pruning (files_scanned < files_total, a Z-order property a
+    * hash layout does not have) and the answer (row-filtered aggregate ==
+    * the oracle's whole-table filter). */
+  private def deltaZorder(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_zord")
+    val d = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      (col("o_custkey") % 65536).as("cx"),
+      expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS BIGINT) % 65536")
+        .as("dy"),
+      col("o_totalprice"))
+    DeltaLite.write(spark, d.repartition(4), table, collectStats = true)
+    val (_, _, nAfter) = DeltaLite.optimizeZorder(spark, table, "cx", "dy", 4)
+    // the box is SF-robust: custkey (so cx) scales with SF, day offsets
+    // don't — [10, 60] × [100, 400] is non-empty from sf0.001 up
+    val (fx, _, total) = DeltaLite.planSkipping(spark, table, "cx", 10L, 60L)
+    val (fy, _, _) = DeltaLite.planSkipping(spark, table, "dy", 100L, 400L)
+    val sel = fx.toSet.intersect(fy.toSet).toSeq.sorted
+    // empty intersection = planner proved no file can match; reading
+    // everything is the conservative equivalent (skipping is an
+    // optimization, never a filter)
+    val files = if (sel.nonEmpty) sel else fx ++ fy
+    require(files.nonEmpty, "z-order table has no files")
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .where(col("cx").between(10, 60) && col("dy").between(100, 400))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("pruned",
+        lit(if (sel.size < nAfter) 1L else 0L))
+      .withColumn("files_total", lit(total))
+  }
+
   /** X261j: Iceberg rewriteDataFiles — [[deltaOptimize]]'s parity op:
     * four single-file snapshots bin-packed into one `replace` snapshot;
     * aggregate byte-identical, counts from the rewrite return. */
@@ -896,6 +931,7 @@ object FormatQueries {
     "x_delta_partitioned" -> ((s, dir) => deltaPartitioned(s, dir)),
     "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
     "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
+    "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -1036,6 +1072,18 @@ object FormatQueries {
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // pruned=1 is the Z-ORDER property: after re-clustering on the
+    // Morton key, the (cx, dy) box intersects fewer than all 4 files'
+    // stats ranges (a hash layout gives every file the full range);
+    // the aggregate equality is the correctness half
+    "x_delta_zorder" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS pruned, CAST(4 AS BIGINT) AS files_total
+        |FROM orders
+        |WHERE (o_custkey % 65536) BETWEEN 10 AND 60
+        |  AND CAST(date_diff('day', DATE '1995-01-01',
+        |        CAST(o_orderdate AS DATE)) AS BIGINT) % 65536
+        |      BETWEEN 100 AND 400""".stripMargin,
     // parity contract with x_delta_optimize: 4 → 1 via a `replace`
     // snapshot, rows byte-identical
     "x_iceberg_optimize" ->

@@ -409,13 +409,9 @@ object IcebergLite {
     sn.put("schema-id", schemaId)
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
-    val committed = try {
-      val out = fs.create(metaFile(table, prevV + 1), /* overwrite = */ false)
-      try out.write(mapper.writerWithDefaultPrettyPrinter()
+    val committed = AtomicCreate.create(fs, metaFile(table, prevV + 1),
+      mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
     if (!committed) {
       // lost the race: remove THIS attempt's commit-private artifacts
       // (nothing references them) and let the caller replan
@@ -498,13 +494,9 @@ object IcebergLite {
     }
     val newSnaps = meta.putArray("snapshots")
     retained.foreach(newSnaps.add)
-    val committed = try {
-      val out = fs.create(metaFile(table, v + 1), /* overwrite = */ false)
-      try out.write(mapper.writerWithDefaultPrettyPrinter()
+    val committed = AtomicCreate.create(fs, metaFile(table, v + 1),
+      mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
     if (!committed)
       throw new IllegalStateException(
         s"lost the commit race for metadata v${v + 1} on $table")

@@ -369,6 +369,32 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy DeltaLite.read(spark, table)
   }
 
+  test("optimizeZorder: box pruning works after re-clustering; rows identical") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_zord")
+    // a 64×64 grid hash-scattered across 4 files: before z-ordering every
+    // file spans the full range on both dims, so a box prunes nothing
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y =>
+      (x.toLong * 64 + y, x.toLong, y.toLong)))
+    DeltaLite.write(spark,
+      grid.toDF("id", "cx", "dy").repartition(4), table, collectStats = true)
+    def boxFiles(): Int = {
+      val (fx, _, _) = DeltaLite.planSkipping(spark, table, "cx", 0L, 7L)
+      val (fy, _, _) = DeltaLite.planSkipping(spark, table, "dy", 0L, 7L)
+      fx.toSet.intersect(fy.toSet).size
+    }
+    boxFiles() shouldBe 4 // hash layout: no pruning possible
+    val (v, nBefore, nAfter) = DeltaLite.optimizeZorder(spark, table, "cx", "dy", 4)
+    nBefore shouldBe 4L
+    nAfter shouldBe 4L
+    // z-ordered: the 8×8 corner box is a tiny z-range — 1 file, or 2 when
+    // a SAMPLED range boundary straddles the corner cell; never all 4
+    boxFiles() should be <= 2
+    // rows byte-identical, commit is dataChange=false remove+add
+    DeltaLite.read(spark, table).count() shouldBe 4096L
+    DeltaLite.readChanges(spark, table, v - 1, v).count() shouldBe 0L
+  }
+
   test("vacuum spares in-flight staging and files inside the grace window") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec_vgrace")
@@ -383,8 +409,9 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     val out = fs.create(new Path(s"$table/data/v9-yy-midwrite/part-0.parquet"))
     out.write(Array[Byte](1, 2, 3)); out.close()
     // grace window: only files older than graceMs are swept — the staged
-    // writer's fresh files survive, the old tombstoned file is deleted
-    DeltaLite.vacuum(spark, table, graceMs = 60000L) shouldBe 0L
+    // writer's fresh files survive (1 h window: immune to suite-load
+    // stalls between staging and this call)
+    DeltaLite.vacuum(spark, table, graceMs = 3600000L) shouldBe 0L
     fs.exists(new Path(s"$table/data/v9-zz-inflight")) shouldBe true
     // zero grace still always spares a directory that is mid-write
     val deleted = DeltaLite.vacuum(spark, table)

@@ -85,6 +85,7 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     // staged coalesce write, which is a shuffle-free narrow plan)
     "x_delta_optimize" -> 1,
     "x_iceberg_optimize" -> 1, // category 1: same shape on the Iceberg side
+    "x_delta_zorder" -> 1,     // category 1: 1-row box-aggregate final
     "x_delta_restore" -> 1, // category 1: 1-row post-restore summary
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
