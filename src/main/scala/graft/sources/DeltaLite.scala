@@ -607,7 +607,8 @@ object DeltaLite {
     * collection composes as in [[write]]. Returns the version. */
   def writePartitioned(spark: SparkSession, df: DataFrame, table: String,
       partCol: String, collectStats: Boolean = false,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, tag: String = "-p-",
+      txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
     require(df.schema.fieldNames.contains(partCol),
@@ -622,7 +623,7 @@ object DeltaLite {
           s"$table is not partitioned by $partCol")
       }
       val token = java.util.UUID.randomUUID().toString.take(8)
-      val staged = s"data/v$v-p$token"
+      val staged = s"data/v$v$tag$token"
       df.withColumn("_p", col(partCol).cast("string"))
         .repartition(col("_p"))
         .write.mode("errorifexists").partitionBy("_p")
@@ -672,12 +673,40 @@ object DeltaLite {
         if (v == 0)
           Seq(protocolLine, metaDataLine(df.schema, partitionColumns = Seq(partCol)))
         else Seq.empty
+      val txns = txn.map { case (app, ver) => txnLine(app, ver) }.toSeq
       if (tryCommit(fs, table, v,
-          commitInfoLine("WRITE") +: (header ++ adds))) return v
+          commitInfoLine("WRITE") +: (header ++ txns ++ adds))) return v
       fs.delete(new Path(table, staged), true)
       attempt += 1
     }
     throw new IllegalStateException(s"commit lost $maxRetries races on $table")
+  }
+
+  /** Exactly-once micro-batch commit into a PARTITIONED table — the
+    * composition a streaming ingest at 100 TB actually runs: each batch
+    * lands as one partitioned version ([[writePartitioned]]) whose
+    * SetTransaction action is the dedup ledger ([[commitIdempotent]]'s
+    * contract — survives checkpoint+expireLog), with the `-b<id>-` staged
+    * path marker for exact-version answers while the JSON commit lives. */
+  def commitIdempotentPartitioned(spark: SparkSession, df: DataFrame,
+      table: String, partCol: String, batchId: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val marker = s"-b$batchId-"
+    val latest = latestVersion(spark, table)
+    if (latest >= 0) {
+      val snap = snapshot(spark, table, latest)
+      if (snap.txns.get(TxnAppId).exists(_ >= batchId)) {
+        var v = 0L
+        while (v <= latest) {
+          val p = versionFile(table, v)
+          if (fs.exists(p) && readLogText(fs, p).contains(marker)) return v
+          v += 1
+        }
+        return math.max(lastCheckpointVersion(spark, table), 0L)
+      }
+    }
+    writePartitioned(spark, df, table, partCol, tag = marker,
+      txn = Some((TxnAppId, batchId)))
   }
 
   /** Partition pruning off the log alone: the current snapshot's files

@@ -38,6 +38,19 @@ object TransactionalSink {
       ()
     }
 
+  /** [[intoDelta]] landing each micro-batch PARTITIONED by `partCol` —
+    * the streaming-ingest-into-partitioned-table composition: sink output
+    * is a standard partitioned Delta table whose add actions carry
+    * partitionValues (log-only pruning for downstream readers), with the
+    * same SetTransaction exactly-once ledger. */
+  def intoDeltaPartitioned(table: String, partCol: String)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.DeltaLite.commitIdempotentPartitioned(
+        df.sparkSession, df, table, partCol, batchId)
+      ()
+    }
+
   /** X261f: the exactly-once contract INTO THE ICEBERG FORMAT — each
     * micro-batch commits as one snapshot whose summary carries the batch
     * id (the snapshot list is the dedup ledger), so the sink output is a

@@ -369,6 +369,34 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     an[Exception] should be thrownBy DeltaLite.read(spark, table)
   }
 
+  test("partitioned exactly-once: redelivery no-ops, pruning + txn survive") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_ptxn")
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "src")
+    val b1 = Seq((3L, "a")).toDF("k", "src")
+    val v0 = DeltaLite.commitIdempotentPartitioned(spark, b0, table, "src", 0L)
+    // redelivery returns the ORIGINAL version, writes nothing
+    DeltaLite.commitIdempotentPartitioned(spark, b0, table, "src", 0L) shouldBe v0
+    DeltaLite.commitIdempotentPartitioned(spark, b1, table, "src", 1L)
+    DeltaLite.read(spark, table).count() shouldBe 3L
+    // sink output is a REAL partitioned table: log-only pruning works
+    val (files, n, total) =
+      DeltaLite.planPartitioned(spark, table, "src", Set("a"))
+    n shouldBe 2L // one 'a' file per batch
+    total shouldBe 3L
+    spark.read.parquet(files.map(f => s"$table/$f"): _*).count() shouldBe 2L
+    // the txn ledger survives checkpoint + expireLog, as on the flat path
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.commitIdempotentPartitioned(spark, b0, table, "src", 0L)
+    DeltaLite.commitIdempotentPartitioned(spark, b1, table, "src", 1L)
+    DeltaLite.read(spark, table).count() shouldBe 3L // still no duplicates
+    DeltaLite.commitIdempotentPartitioned(spark,
+      Seq((4L, "c")).toDF("k", "src"), table, "src", 2L)
+    DeltaLite.read(spark, table).count() shouldBe 4L
+    DeltaLite.planPartitioned(spark, table, "src", Set("c"))._2 shouldBe 1L
+  }
+
   test("optimizeZorder: box pruning works after re-clustering; rows identical") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec_zord")
