@@ -494,6 +494,11 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val latest = latestVersion(spark, table)
     val before = snapshot(spark, table, latest)
+    // a PARTITIONED table must compact WITHIN partitions — a cross-
+    // partition coalesce would emit files without partitionValues and
+    // silently destroy the layout (Delta's own OPTIMIZE is per-partition)
+    if (before.pvals.nonEmpty)
+      return optimizePartitioned(spark, table, targetFiles, before, latest)
     if (before.files.size <= targetFiles)
       return (latest, before.files.size.toLong, before.files.size.toLong)
     val schema = tableSchema(spark, table)
@@ -535,6 +540,72 @@ object DeltaLite {
     (v, before.files.size.toLong, parts.length.toLong)
   }
 
+  /** Per-partition bin-packing for a partitioned table: each partition's
+    * files compact to `targetFiles` outputs CARRYING the partition's
+    * partitionValues; partitions already at or under the target are left
+    * untouched (their files stay referenced as-is). One Spark job per
+    * compacted partition, driver-looped — control-plane orchestration,
+    * exactly like Delta's own per-partition OPTIMIZE binning. */
+  private def optimizePartitioned(spark: SparkSession, table: String,
+      targetFiles: Int, before: Snapshot, latest: Long): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    val fs = hadoopFs(spark, table)
+    val schema = tableSchema(spark, table)
+    val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
+    val groups = before.files
+      .groupBy(f => before.pvals.getOrElse(f, Map.empty[String, String]))
+      .toSeq.sortBy(_._1.toSeq.sortBy(_._1).map(kv => s"${kv._1}=${kv._2}").mkString(","))
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-opt-$token"
+    val adds = mutable.ArrayBuffer.empty[String]
+    val removes = mutable.ArrayBuffer.empty[String]
+    var filesAfter = 0L
+    groups.zipWithIndex.foreach { case ((pv, files), gi) =>
+      if (files.size <= targetFiles) filesAfter += files.size
+      else {
+        val sub = s"$staged/g$gi"
+        spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+          .coalesce(targetFiles)
+          .write.mode("errorifexists").parquet(s"$table/$sub")
+        val parts = fs.listStatus(new Path(table, sub))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val aggs = count(lit(1)).as("numRecords") +:
+          longCols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        val statsByFile = spark.read.parquet(s"$table/$sub")
+          .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val o = mapper.createObjectNode()
+            o.put("numRecords", r.getAs[Long]("numRecords"))
+            val mins = o.putObject("minValues")
+            val maxs = o.putObject("maxValues")
+            longCols.foreach { c =>
+              val mi = r.getAs[java.lang.Long](s"min_$c")
+              val ma = r.getAs[java.lang.Long](s"max_$c")
+              if (mi != null && ma != null) {
+                mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+              }
+            }
+            (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+          }.toMap
+        adds ++= parts.toSeq.map(p =>
+          addLine(s"$sub/${p.getPath.getName}", p.getLen, p.getModificationTime,
+            statsByFile.get(p.getPath.getName), dataChange = false,
+            partitionValues = pv))
+        removes ++= files.map(removeLine(_, dataChange = false))
+        filesAfter += parts.length
+      }
+    }
+    if (removes.isEmpty)
+      return (latest, before.files.size.toLong, before.files.size.toLong)
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("OPTIMIZE") +: (removes.toSeq ++ adds.toSeq)))
+      throw new IllegalStateException(s"optimize lost the commit race on $table")
+    (v, before.files.size.toLong, filesAfter)
+  }
+
   /** OPTIMIZE ZORDER BY — [[optimize]] with multi-dimensional
     * re-clustering (Delta's own `OPTIMIZE ... ZORDER BY (a, b)`): rows are
     * range-partitioned and sorted on the Morton interleave of the two
@@ -550,6 +621,9 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val latest = latestVersion(spark, table)
     val before = snapshot(spark, table, latest)
+    require(before.pvals.isEmpty,
+      s"$table is partitioned: Z-ordering within partitions is not in " +
+        "this subset — compact with optimize() instead")
     val schema = tableSchema(spark, table)
     val src = spark.read.schema(schema)
       .parquet(before.files.map(f => s"$table/$f"): _*)

@@ -433,7 +433,8 @@ object IcebergLite {
     * A redelivered batch finds its marker among the committed snapshots
     * and returns the original snapshot id without writing. */
   def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
-      batchId: Long): Long = {
+      batchId: Long,
+      partitionTruncate: Option[(String, Int)] = None): Long = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     if (v > 0) {
@@ -452,7 +453,7 @@ object IcebergLite {
       }
       if (found >= 0) return found
     }
-    write(spark, df, table,
+    write(spark, df, table, partitionTruncate = partitionTruncate,
       summaryProps = Map("graft-batch-id" -> batchId.toString))
   }
 

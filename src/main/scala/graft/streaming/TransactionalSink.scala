@@ -61,4 +61,17 @@ object TransactionalSink {
       graft.sources.IcebergLite.commitIdempotent(df.sparkSession, df, table, batchId)
       ()
     }
+
+  /** [[intoIceberg]] landing each micro-batch under the table's declared
+    * hidden-partitioning spec (`truncate[w]` on `src`) — the
+    * [[intoDeltaPartitioned]] composition on the second format: manifests
+    * carry the partition values, downstream scans prune off the manifest
+    * layer, snapshot summaries stay the exactly-once ledger. */
+  def intoIcebergPartitioned(table: String, src: String, width: Int)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.IcebergLite.commitIdempotent(df.sparkSession, df, table,
+        batchId, partitionTruncate = Some((src, width)))
+      ()
+    }
 }

@@ -397,6 +397,35 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.planPartitioned(spark, table, "src", Set("c"))._2 shouldBe 1L
   }
 
+  test("optimize on a partitioned table compacts WITHIN partitions") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_spec_popt")
+    // two commits → 2 files per partition value ('a' ×2, 'b' ×2, 'c' ×1)
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "src"), table, "src")
+    DeltaLite.writePartitioned(spark,
+      Seq((3L, "a"), (4L, "b"), (5L, "c")).toDF("k", "src"), table, "src")
+    val beforeRows = DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    val (v, nBefore, nAfter) = DeltaLite.optimize(spark, table)
+    nBefore shouldBe 5L
+    nAfter shouldBe 3L // one file per partition value
+    DeltaLite.read(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted shouldBe beforeRows
+    // the layout SURVIVES: every live file still carries partitionValues
+    // and log-only pruning works exactly as before the compaction
+    val (files, n, total) =
+      DeltaLite.planPartitioned(spark, table, "src", Set("a"))
+    total shouldBe 3L
+    n shouldBe 1L
+    spark.read.parquet(files.map(f => s"$table/$f"): _*).count() shouldBe 2L
+    DeltaLite.readChanges(spark, table, v - 1, v).count() shouldBe 0L
+    // z-ordering a partitioned table is out of subset — refuses, never
+    // silently destroys the layout
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.optimizeZorder(spark, table, "k", "k", 2)
+  }
+
   test("optimizeZorder: box pruning works after re-clustering; rows identical") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_spec_zord")

@@ -279,6 +279,28 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 3L
   }
 
+  test("partitioned exactly-once: redelivery no-ops, manifests prune") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_ptxn")
+    val spec = Some(("d", 7))
+    val b0 = Seq((1L, "2024-01-05"), (2L, "2024-02-01")).toDF("k", "d")
+    val b1 = Seq((3L, "2024-01-20")).toDF("k", "d")
+    val s0 = IcebergLite.commitIdempotent(spark, b0, table, 0L, spec)
+    IcebergLite.commitIdempotent(spark, b0, table, 0L, spec) shouldBe s0
+    IcebergLite.commitIdempotent(spark, b1, table, 1L, spec)
+    IcebergLite.read(spark, table).count() shouldBe 3L
+    // sink output is a REAL hidden-partitioned table
+    val (files, n, total) =
+      IcebergLite.planPartitioned(spark, table, Set("2024-01"))
+    n shouldBe 2L // one 2024-01 file per batch
+    total shouldBe 3L
+    spark.read.parquet(files: _*).count() shouldBe 2L
+    // expiration folds the markers into the high-water mark as usual
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    IcebergLite.commitIdempotent(spark, b0, table, 0L, spec)
+    IcebergLite.read(spark, table).count() shouldBe 3L
+  }
+
   test("history: per-snapshot operation + genuinely recounted file counts") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_hist")
