@@ -729,6 +729,32 @@ object FormatQueries {
       .withColumn("files_total", lit(total))
   }
 
+  /** X36r (widened r10): per-partition OPTIMIZE on the partitioned
+    * layout — two partitioned commits leave 2 files per priority (10
+    * total); optimize compacts WITHIN partitions to 5, partitionValues
+    * survive (the pruned read still works, NO row filter), and the
+    * per-priority aggregate is byte-identical. */
+  private def deltaOptimizePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_popt")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    DeltaLite.writePartitioned(spark,
+      o.where(col("o_orderkey") % 2 === 0), table, "o_orderpriority")
+    DeltaLite.writePartitioned(spark,
+      o.where(col("o_orderkey") % 2 === 1), table, "o_orderpriority")
+    val (_, nBefore, nAfter) = DeltaLite.optimize(spark, table)
+    val wanted = Set("1-URGENT", "4-NOT SPECIFIED")
+    val (files, matched, _) =
+      DeltaLite.planPartitioned(spark, table, "o_orderpriority", wanted)
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(matched))
+      .withColumn("n_files_before", lit(nBefore))
+      .withColumn("n_files_after", lit(nAfter))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261j: Iceberg rewriteDataFiles — [[deltaOptimize]]'s parity op:
     * four single-file snapshots bin-packed into one `replace` snapshot;
     * aggregate byte-identical, counts from the rewrite return. */
@@ -932,6 +958,8 @@ object FormatQueries {
     "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
     "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
+    "x_delta_optimize_partitioned" ->
+      ((s, dir) => deltaOptimizePartitioned(s, dir)),
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
@@ -1084,6 +1112,18 @@ object FormatQueries {
         |  AND CAST(date_diff('day', DATE '1995-01-01',
         |        CAST(o_orderdate AS DATE)) AS BIGINT) % 65536
         |      BETWEEN 100 AND 400""".stripMargin,
+    // per-partition compaction: 10 (2 commits × 5 priorities) → 5 (one
+    // per priority); the pruned post-optimize read proves the layout
+    // survived — matched files still carry partitionValues
+    "x_delta_optimize_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(2 AS BIGINT) AS files_scanned,
+        |  CAST(10 AS BIGINT) AS n_files_before,
+        |  CAST(5 AS BIGINT) AS n_files_after
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // parity contract with x_delta_optimize: 4 → 1 via a `replace`
     // snapshot, rows byte-identical
     "x_iceberg_optimize" ->
