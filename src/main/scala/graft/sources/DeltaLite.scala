@@ -92,6 +92,22 @@ object DeltaLite {
     p.put("minWriterVersion", 2)
   }
 
+  /** Table-features protocol (PROTOCOL.md §Table Features): deletion
+    * vectors require reader 3 / writer 7 with the feature named in BOTH
+    * lists — readers that don't know the feature must refuse the table
+    * (enforced in [[snapshot]]'s replay, spec-tested). */
+  private def dvProtocolLine: String = jsonObj("protocol") { p =>
+    p.put("minReaderVersion", 3)
+    p.put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors")
+    p.putArray("writerFeatures").add("deletionVectors")
+  }
+
+  /** Reader features this implementation understands; a protocol action
+    * declaring any OTHER readerFeature makes every read refuse (the
+    * spec's forward-compatibility rule — guessing would answer wrong). */
+  private val knownReaderFeatures = Set("deletionVectors")
+
   /** The protocol's provenance action — first line of every commit (as
     * Delta itself writes it); what DESCRIBE HISTORY surfaces. */
   private def commitInfoLine(operation: String): String =
@@ -117,7 +133,8 @@ object DeltaLite {
 
   private def addLine(path: String, size: Long, modTime: Long,
       stats: Option[String] = None, dataChange: Boolean = true,
-      partitionValues: Map[String, String] = Map.empty): String =
+      partitionValues: Map[String, String] = Map.empty,
+      dv: Option[DeletionVectors.Descriptor] = None): String =
     jsonObj("add") { a =>
       a.put("path", path)
       val pv = a.putObject("partitionValues")
@@ -130,6 +147,14 @@ object DeltaLite {
       // per the protocol, `stats` is a JSON STRING of file statistics —
       // the layer data skipping reads (numRecords/minValues/maxValues)
       stats.foreach(s => a.put("stats", s))
+      dv.foreach { d =>
+        val o = a.putObject("deletionVector")
+        o.put("storageType", d.storageType)
+        o.put("pathOrInlineDv", d.pathOrInlineDv)
+        o.put("offset", d.offset)
+        o.put("sizeInBytes", d.sizeInBytes)
+        o.put("cardinality", d.cardinality)
+      }
     }
 
   /** The protocol's SetTransaction action — the exactly-once ledger that
@@ -179,7 +204,8 @@ object DeltaLite {
       meta: Option[(String, String)], checkpointVersion: Long,
       jsonReplayed: Long, stats: Map[String, String] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      pvals: Map[String, Map[String, String]] = Map.empty)
+      pvals: Map[String, Map[String, String]] = Map.empty,
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
 
   /** Inverse of Spark/Hive's partition-directory escaping (the r09
     * advisor finding on the Iceberg side): directory names URI-escape
@@ -263,6 +289,7 @@ object DeltaLite {
     val stats = mutable.Map.empty[String, String]
     val txns = mutable.Map.empty[String, Long]
     val pvals = mutable.Map.empty[String, Map[String, String]]
+    val dvs = mutable.Map.empty[String, DeletionVectors.Descriptor]
     var meta: Option[(String, String)] = None
     val cpFiles =
       if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
@@ -275,9 +302,20 @@ object DeltaLite {
       val addType = cp.schema("add").dataType
         .asInstanceOf[StructType]
       val hasPv = addType.fieldNames.contains("partitionValues")
+      val hasDv = addType.fieldNames.contains("deletionVector")
+      val protoHasRf = cp.schema("protocol").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("readerFeatures")
       val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
         else cp.select("protocol", "metaData", "add")).collect()
       rows.foreach { r =>
+        if (protoHasRf && !r.isNullAt(0)) {
+          val p = r.getStruct(0)
+          if (!p.isNullAt(2)) p.getSeq[String](2).foreach { f =>
+            if (!knownReaderFeatures.contains(f))
+              throw new UnsupportedOperationException(
+                s"table requires unknown readerFeature '$f'")
+          }
+        }
         if (!r.isNullAt(1)) {
           val m = r.getStruct(1)
           meta = Some((m.getString(0), m.getString(1)))
@@ -289,6 +327,12 @@ object DeltaLite {
           if (hasPv && !a.isNullAt(5)) {
             val m = a.getMap[String, String](5)
             if (m.nonEmpty) pvals(a.getString(0)) = m.toMap
+          }
+          if (hasDv && !a.isNullAt(6)) {
+            val d = a.getStruct(6)
+            dvs(a.getString(0)) = DeletionVectors.Descriptor(
+              d.getString(0), d.getString(1), d.getInt(2), d.getInt(3),
+              d.getLong(4))
           }
         }
         if (hasTxn && !r.isNullAt(3)) {
@@ -306,7 +350,16 @@ object DeltaLite {
           s"version $v absent from $table/_delta_log (asOf=$asOf)")
       readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("add")) {
+        if (node.has("protocol")) {
+          // forward-compat rule: a readerFeature we don't implement means
+          // we cannot interpret this table — refuse, never answer wrong
+          val rf = node.get("protocol").path("readerFeatures")
+          if (rf.isArray) rf.forEach { f =>
+            if (!knownReaderFeatures.contains(f.asText()))
+              throw new UnsupportedOperationException(
+                s"table requires unknown readerFeature '${f.asText()}'")
+          }
+        } else if (node.has("add")) {
           val a = node.get("add")
           val path = a.get("path").asText()
           live += path
@@ -318,11 +371,24 @@ object DeltaLite {
               m(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText())
             pvals(path) = m.toMap
           }
+          // an add REPLACES the path's entry: a dv-less re-add clears any
+          // earlier vector (this subset keys logical files by path; real
+          // Delta keys by (path, dvId) — single live DV per file here)
+          val dvNode = a.path("deletionVector")
+          if (dvNode.isObject)
+            dvs(path) = DeletionVectors.Descriptor(
+              dvNode.get("storageType").asText(),
+              dvNode.get("pathOrInlineDv").asText(),
+              dvNode.get("offset").asInt(),
+              dvNode.get("sizeInBytes").asInt(),
+              dvNode.get("cardinality").asLong())
+          else dvs -= path
         } else if (node.has("remove")) {
           val p = node.get("remove").get("path").asText()
           live -= p
           stats -= p
           pvals -= p
+          dvs -= p
         } else if (node.has("metaData")) {
           val m = node.get("metaData")
           meta = Some((m.get("id").asText(), m.get("schemaString").asText()))
@@ -335,7 +401,7 @@ object DeltaLite {
       }
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
-      asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap)
+      asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -365,7 +431,9 @@ object DeltaLite {
     val cpSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType)))),
@@ -375,22 +443,42 @@ object DeltaLite {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
         StructField("stats", StringType),
-        StructField("partitionValues", MapType(StringType, StringType))))),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        // the spec's own rationale for checkpointing DV descriptors: a
+        // checkpoint SUBSUMES the JSON commits — dropping the vector
+        // here would resurrect deleted rows after expireLog
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       // SetTransaction rows — the spec REQUIRES checkpoints to preserve
       // txn actions precisely so streaming dedup survives log cleanup
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
-    val rows = Row(Row(1, 2), null, null, null) +:
+    // the checkpoint subsumes the JSON prefix, so it must re-declare the
+    // table-features protocol a DV table upgraded to — a (1,2) row would
+    // let a pre-DV reader replay the checkpoint without refusing
+    val protocolRow =
+      if (snap.dvs.nonEmpty)
+        Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
+      else Row(1, 2, null, null)
+    val rows = Row(protocolRow, null, null, null) +:
       Row(null, Row(tableId, schemaJson), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         Row(null, null, null, Row(app, ver))
       } ++
       snap.files.map { f =>
         val st = fs.getFileStatus(new Path(table, f))
+        val dvRow = snap.dvs.get(f).map(d =>
+          Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality)).orNull
         Row(null, null,
           Row(f, st.getLen, st.getModificationTime, true,
-            snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null)), null)
+            snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null),
+            dvRow), null)
       })
     val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(
@@ -449,10 +537,23 @@ object DeltaLite {
     * Returns the number of files deleted. */
   def vacuum(spark: SparkSession, table: String, graceMs: Long = 0L): Long = {
     val fs = hadoopFs(spark, table)
-    val live = liveFiles(spark, table, latestVersion(spark, table)).toSet
-    val dataRoot = new Path(table, "data")
-    if (!fs.exists(dataRoot)) return 0L
+    val snap = snapshot(spark, table, latestVersion(spark, table))
+    val live = snap.files.toSet
     val cutoff = System.currentTimeMillis() - graceMs
+    // deletion-vector files superseded by a later merge (or whose data
+    // file was dropped) are garbage like any tombstoned parquet — same
+    // time-travel trade, same grace window
+    val liveDvNames = snap.dvs.values.map(_.relativePath).toSet
+    var dvDeleted = 0L
+    fs.listStatus(new Path(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("deletion_vector_") && n.endsWith(".bin") &&
+        !liveDvNames.contains(n) && st.getModificationTime < cutoff) {
+        fs.delete(st.getPath, false); dvDeleted += 1
+      }
+    }
+    val dataRoot = new Path(table, "data")
+    if (!fs.exists(dataRoot)) return dvDeleted
     val inFlight = fs.listStatus(dataRoot).filter(_.isDirectory)
       .filter(d => fs.exists(new Path(d.getPath, "_temporary")))
       .map(_.getPath.getName).toSet
@@ -474,7 +575,7 @@ object DeltaLite {
         }
       }
     }
-    deleted
+    deleted + dvDeleted
   }
 
   /** OPTIMIZE — bin-packing compaction as ONE commit (the protocol models
@@ -1036,6 +1137,89 @@ object DeltaLite {
     (v, affected.size.toLong, rowsBefore - rowsAfter)
   }
 
+  /** Row-level DELETE as a DELETION-VECTOR commit (merge-on-read) — the
+    * protocol's alternative to [[deleteWhere]]'s copy-on-write rewrite:
+    * no data file is rewritten; instead each affected file gains a
+    * roaring-bitmap vector of deleted row indexes ([[DeletionVectors]]),
+    * and the commit swaps `add` entries carrying the descriptor. At
+    * 100 TB this is the difference between rewriting terabytes to delete
+    * kilobytes and writing kilobytes to delete kilobytes — the reason
+    * the feature exists.
+    *
+    * Mechanics: skipping-planned candidate files are scanned ONCE with
+    * the parquet reader's own `_metadata.row_index` column (the DV
+    * coordinate system, computed distributed in the scan); matched
+    * positions per file union into any EXISTING vector (re-deleting an
+    * already-deleted row is a no-op, spec-tested); files whose union
+    * reaches the file's numRecords are dropped outright instead of
+    * carrying a full vector. All vectors for the commit pack into ONE DV
+    * file at distinct offsets, exactly the protocol's layout. The commit
+    * carries the table-features protocol upgrade (reader 3 / writer 7 +
+    * `deletionVectors`), so pre-DV readers refuse instead of resurrecting
+    * rows. Position lists pass through the driver bounded by the
+    * DELETED-row count (control-plane, same cost model as the log
+    * itself); production Delta shards DV-file writing per partition.
+    *
+    * Returns (version, filesGainingOrLosingVectors, newlyDeletedRows);
+    * (latest, 0, 0) when nothing matches. */
+  def deleteWhereDV(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col => c_, collect_list, sort_array}
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    val snap = snapshot(spark, table, latest)
+    val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
+    if (affected.isEmpty) return (latest, 0L, 0L)
+    val schema = tableSchema(spark, table)
+    val byFile = spark.read.schema(schema)
+      .parquet(affected.map(f => s"$table/$f"): _*)
+      .select(c_("_metadata.file_path").as("__fp"),
+        c_("_metadata.row_index").as("__ri"), c_(column).as("__v"))
+      .where(c_("__v").between(lo, hi))
+      .groupBy("__fp")
+      .agg(sort_array(collect_list("__ri")).as("pos"))
+      .collect()
+    // scan paths are absolute; part-file names are UUID-unique, so the
+    // name alone maps back to the log-relative path
+    val byName = affected.map(f => new Path(f).getName -> f).toMap
+    def numRecords(f: String): Option[Long] = snap.stats.get(f).flatMap { s =>
+      val n = mapper.readTree(s).path("numRecords")
+      if (n.isNumber) Some(n.asLong()) else None
+    }
+    // union new positions into any existing vector; keep only files with
+    // NEWLY deleted rows
+    val perFile: Seq[(String, Long, Array[Long])] = byFile.toSeq.map { r =>
+      val f = byName(new Path(r.getString(0)).getName)
+      val old = snap.dvs.get(f)
+        .map(d => DeletionVectors.readPositions(fs, table, d))
+        .getOrElse(Array.empty[Long])
+      val newPos = r.getSeq[Long](1).toArray
+      val union = (old ++ newPos).distinct.sorted
+      (f, old.length.toLong, union)
+    }.filter { case (_, oldN, union) => union.length > oldN }
+    if (perFile.isEmpty) return (latest, 0L, 0L)
+    val (fullyDeleted, partial) = perFile.partition { case (f, _, union) =>
+      numRecords(f).contains(union.length.toLong)
+    }
+    val descs =
+      if (partial.isEmpty) Seq.empty
+      else DeletionVectors.writeDvFile(fs, table, partial.map(_._3))
+    val actions =
+      fullyDeleted.map { case (f, _, _) => removeLine(f) } ++
+        partial.zip(descs).flatMap { case ((f, _, _), d) =>
+          val st = fs.getFileStatus(new Path(table, f))
+          Seq(removeLine(f),
+            addLine(f, st.getLen, st.getModificationTime, snap.stats.get(f),
+              dataChange = true, snap.pvals.getOrElse(f, Map.empty), Some(d)))
+        }
+    val v = latest + 1
+    if (!tryCommit(fs, table, v,
+        Seq(commitInfoLine("DELETE"), dvProtocolLine) ++ actions))
+      throw new IllegalStateException(s"DV delete lost the commit race on $table")
+    val deleted = perFile.map { case (_, oldN, union) => union.length - oldN }.sum
+    (v, perFile.size.toLong, deleted.toLong)
+  }
+
   /** RESTORE to an earlier version as a NEW commit (Delta's own rollback
     * model — history is preserved, nothing rewinds): the restore version
     * removes every currently-live file absent from the target snapshot
@@ -1046,11 +1230,20 @@ object DeltaLite {
     val latest = latestVersion(spark, table)
     val target = snapshot(spark, table, toVersion)
     val current = snapshot(spark, table, latest)
-    val removes = current.files.filterNot(target.files.contains).map(removeLine(_))
-    val adds = target.files.filterNot(current.files.contains).map { f =>
-      val st = fs.getFileStatus(new Path(table, f))
-      addLine(f, st.getLen, st.getModificationTime, target.stats.get(f))
-    }
+    // a path live in BOTH snapshots still needs a remove+add when its
+    // deletion-vector state differs — restoring past a DV delete must
+    // resurrect the rows (and vice versa), not just the file set
+    val dvChanged = target.files.filter(current.files.contains)
+      .filter(f => target.dvs.get(f) != current.dvs.get(f))
+    val removes = (current.files.filterNot(target.files.contains) ++ dvChanged)
+      .map(removeLine(_))
+    val adds = (target.files.filterNot(current.files.contains) ++ dvChanged)
+      .map { f =>
+        val st = fs.getFileStatus(new Path(table, f))
+        addLine(f, st.getLen, st.getModificationTime, target.stats.get(f),
+          dataChange = true, target.pvals.getOrElse(f, Map.empty),
+          target.dvs.get(f))
+      }
     val v = latest + 1
     if (!tryCommit(fs, table, v,
         commitInfoLine("RESTORE") +: (removes ++ adds)))
@@ -1109,7 +1302,33 @@ object DeltaLite {
       if (snap.files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
-      else spark.read.schema(schema).parquet(snap.files.map(f => s"$table/$f"): _*)
+      else if (snap.dvs.isEmpty)
+        spark.read.schema(schema).parquet(snap.files.map(f => s"$table/$f"): _*)
+      else {
+        // merge-on-read: subtract each file's deleted positions. The
+        // vectors decode driver-side (bounded by the snapshot's deleted-
+        // row count — control-plane, like the log) into a LocalRelation
+        // anti-joined on (file name, row_index); the DATA side stays a
+        // plain distributed parquet scan. Production Delta applies each
+        // bitmap inside its scan task; the anti-join is the relational
+        // equivalent at this subset's scale model.
+        import org.apache.spark.sql.functions.{col => c_, element_at, split}
+        import spark.implicits._
+        val fs = hadoopFs(spark, table)
+        val deleted: Seq[(String, Long)] = snap.dvs.toSeq.flatMap {
+          case (f, d) =>
+            val name = new Path(f).getName
+            DeletionVectors.readPositions(fs, table, d).map(p => (name, p))
+        }
+        val delDf = deleted.toDF("__fn", "__ri")
+        spark.read.schema(schema)
+          .parquet(snap.files.map(f => s"$table/$f"): _*)
+          .withColumn("__fn",
+            element_at(split(c_("_metadata.file_path"), "/"), -1))
+          .withColumn("__ri", c_("_metadata.row_index"))
+          .join(delDf, Seq("__fn", "__ri"), "left_anti")
+          .drop("__fn", "__ri")
+      }
     (df, snap)
   }
 }

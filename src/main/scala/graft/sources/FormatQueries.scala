@@ -816,6 +816,46 @@ object FormatQueries {
       .withColumn("n_rows_deleted", lit(deleted))
   }
 
+  /** X36t: Delta DELETE via DELETION VECTORS — merge-on-read row removal
+    * (PROTOCOL.md §Deletion Vectors): two overlapping range deletes leave
+    * every affected parquet file physically untouched and carry roaring-
+    * bitmap vectors instead; the second delete MERGES into the first's
+    * vectors (union semantics — only newly-deleted rows count), reads
+    * subtract positions through the parquet reader's own row_index, and
+    * the pre-delete version still time-travels to the full row count.
+    * `files_unchanged` pins the no-rewrite property: the live file SET is
+    * identical before and after both deletes. */
+  private def deltaDv(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_dv")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    // two hash-spread commits: every file mixes key ranges, so deletes
+    // leave PARTIAL vectors (never whole-file drops)
+    DeltaLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0).repartition(2), table,
+      collectStats = true)
+    DeltaLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1).repartition(2), table,
+      collectStats = true)
+    val preV = DeltaLite.latestVersion(spark, table)
+    val filesBefore = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    val (_, _, del1) = DeltaLite.deleteWhereDV(spark, table, "o_orderkey", q, 2 * q)
+    val (_, _, del2) =
+      DeltaLite.deleteWhereDV(spark, table, "o_orderkey", 3 * q / 2, 5 * q / 2)
+    val filesAfter = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    val rowsBefore = DeltaLite.read(spark, table, preV).count()
+    DeltaLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_deleted_1", lit(del1))
+      .withColumn("rows_deleted_2", lit(del2))
+      .withColumn("rows_before", lit(rowsBefore))
+      .withColumn("files_unchanged", lit(filesAfter == filesBefore))
+      .orderBy("o_orderpriority")
+  }
+
   /** X36o: Delta RESTORE — rolling back to version 0 as a NEW commit
     * (history preserved): the restore removes the overwrite's files and
     * re-adds version 0's, so the current read equals the original table
@@ -951,6 +991,7 @@ object FormatQueries {
     "x_delta_checkpoint" -> ((s, dir) => deltaCheckpoint(s, dir)),
     "x_delta_skipping" -> ((s, dir) => deltaSkipping(s, dir)),
     "x_delta_delete" -> ((s, dir) => deltaDelete(s, dir)),
+    "x_delta_dv" -> ((s, dir) => deltaDv(s, dir)),
     "x_delta_restore" -> ((s, dir) => deltaRestore(s, dir)),
     "x_delta_history" -> ((s, dir) => deltaHistory(s, dir)),
     "x_delta_optimize" -> ((s, dir) => deltaOptimize(s, dir)),
@@ -1071,6 +1112,23 @@ object FormatQueries {
         |                        FROM orders)) AS n_rows_deleted
         |FROM orders
         |WHERE o_orderkey > (SELECT (max(o_orderkey) // 4) // 2 FROM orders)""".stripMargin,
+    // merge-on-read delete: overlapping ranges [q,2q] and [3q/2,5q/2] —
+    // rows_deleted_2 counts only the NEW half (union merge); the final
+    // read excludes the combined range; files_unchanged pins no-rewrite
+    "x_delta_dv" ->
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN q AND 2*q) AS rows_deleted_1,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN (3*q)//2 AND (5*q)//2
+        |     AND o_orderkey NOT BETWEEN q AND 2*q) AS rows_deleted_2,
+        |  (SELECT count(*) FROM orders) AS rows_before,
+        |  TRUE AS files_unchanged
+        |FROM orders, b
+        |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the expected provenance rows; every count on the Spark side is
     // counted from the committed log actions, not asserted
     "x_delta_history" ->

@@ -476,4 +476,147 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     fs.exists(new Path(s"$table/data/v9-yy-midwrite/part-0.parquet")) shouldBe true
     DeltaLite.read(spark, table).count() shouldBe 1L
   }
+
+  // ------------------------------------------------- deletion vectors
+
+  test("roaring/Z85 byte formats round-trip: array, bitmap, multi-bucket") {
+    import graft.sources.DeletionVectors._
+    // array container (small sparse set)
+    val small = Array(0L, 5L, 100L, 65535L, 65536L, 131071L)
+    deserializeBitmap(serializeBitmap(small)).toSeq shouldBe small.toSeq
+    // bitmap container: > 4096 positions inside one 16-bit chunk
+    val dense = (0L until 5000L).map(_ * 13 % 65536).distinct.sorted.toArray
+    dense.length should be > 4096
+    deserializeBitmap(serializeBitmap(dense)).toSeq shouldBe dense.toSeq
+    // multi-bucket: positions above 2^32 exercise the 64-bit array loop
+    // (and the dense-gap rule: bucket 1 is empty but still serialized)
+    val wide = Array(3L, 7L, (2L << 32) + 1, (2L << 32) + 99)
+    deserializeBitmap(serializeBitmap(wide)).toSeq shouldBe wide.toSeq
+    // Z85: uuid → 20 chars → same uuid, for many uuids
+    (1 to 50).foreach { _ =>
+      val u = java.util.UUID.randomUUID()
+      val z = uuidToZ85(u)
+      z.length shouldBe 20
+      uuidFromZ85(z) shouldBe u
+    }
+  }
+
+  test("DV delete: no rewrite, descriptor in log, merge on re-delete") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_dv0")
+    val df = (0L until 100L).map(k => (k, k * 10)).toDF("k", "v")
+    DeltaLite.write(spark, df.repartition(2), table, collectStats = true)
+    val filesBefore = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    val (v1, nf1, del1) = DeltaLite.deleteWhereDV(spark, table, "k", 10L, 29L)
+    del1 shouldBe 20L
+    nf1 should be >= 1L
+    // merge-on-read: the PHYSICAL file set is unchanged — that is the op
+    DeltaLite.readWithStats(spark, table)._2.files.toSet shouldBe filesBefore
+    DeltaLite.read(spark, table).count() shouldBe 80L
+    DeltaLite.read(spark, table).agg(min($"k")).head.getLong(0) shouldBe 0L
+    // time travel below the delete still sees all rows
+    DeltaLite.read(spark, table, v1 - 1).count() shouldBe 100L
+    // the log commit carries the table-features protocol + descriptor
+    val lines = logLines(table, v1).map(mapper.readTree)
+    val proto = lines.find(_.has("protocol")).get.get("protocol")
+    proto.get("minReaderVersion").asInt() shouldBe 3
+    proto.get("readerFeatures").get(0).asText() shouldBe "deletionVectors"
+    val add = lines.find(_.has("add")).get.get("add")
+    val dv = add.get("deletionVector")
+    dv.get("storageType").asText() shouldBe "u"
+    dv.get("pathOrInlineDv").asText().length shouldBe 20
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = graft.sources.DeletionVectors
+      .uuidFromZ85(dv.get("pathOrInlineDv").asText())
+    fs.exists(new Path(table, s"deletion_vector_$uuid.bin")) shouldBe true
+    // overlapping second delete: only NEWLY deleted rows count (union)
+    val (_, _, del2) = DeltaLite.deleteWhereDV(spark, table, "k", 20L, 39L)
+    del2 shouldBe 10L // 30..39; 20..29 were already gone
+    DeltaLite.read(spark, table).count() shouldBe 70L
+    // re-deleting an already-deleted range is a version-preserving no-op
+    val before = DeltaLite.latestVersion(spark, table)
+    val (v3, nf3, del3) = DeltaLite.deleteWhereDV(spark, table, "k", 15L, 35L)
+    (v3, nf3, del3) shouldBe ((before, 0L, 0L))
+  }
+
+  test("DV delete drops a file whose every row is deleted") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_dv_full")
+    // two files split by range: k<50 and k>=50
+    DeltaLite.write(spark,
+      (0L until 50L).map(k => (k, k)).toDF("k", "v"), table,
+      collectStats = true)
+    DeltaLite.write(spark,
+      (50L until 100L).map(k => (k, k)).toDF("k", "v"), table,
+      collectStats = true)
+    val (_, _, del) = DeltaLite.deleteWhereDV(spark, table, "k", 0L, 49L)
+    del shouldBe 50L
+    val snap = DeltaLite.readWithStats(spark, table)._2
+    // the fully-deleted file is REMOVED, not carried with a full vector
+    snap.dvs shouldBe empty
+    DeltaLite.read(spark, table).count() shouldBe 50L
+  }
+
+  test("DV state survives checkpoint + expireLog; restore resurrects") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_dv_cp")
+    // hash-repartition so every file holds a MIX of key ranges — the
+    // delete below must leave partial vectors, not drop whole files
+    DeltaLite.write(spark,
+      (0L until 40L).map(k => (k, k % 7)).toDF("k", "v").repartition(2),
+      table, collectStats = true)
+    val (v1, _, _) = DeltaLite.deleteWhereDV(spark, table, "k", 0L, 9L)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    // the replay is now checkpoint-only — the vector must live there
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    snap.checkpointVersion shouldBe v1
+    snap.dvs should not be empty
+    df.count() shouldBe 30L
+    // a second delete extends the vectors; restore to the checkpointed
+    // version must resurrect its rows by re-adding the SAME physical
+    // files with v1's (smaller) vectors
+    DeltaLite.deleteWhereDV(spark, table, "k", 10L, 14L)
+    DeltaLite.read(spark, table).count() shouldBe 25L
+    DeltaLite.restore(spark, table, v1)
+    DeltaLite.read(spark, table).count() shouldBe 30L
+    DeltaLite.readWithStats(spark, table)._2.dvs shouldBe snap.dvs
+  }
+
+  test("vacuum reclaims superseded DV files, keeps the live vector") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_dv_vac")
+    // ONE data file, so the second vector provably supersedes the first
+    DeltaLite.write(spark,
+      (0L until 30L).map(k => (k, k)).toDF("k", "v").coalesce(1), table,
+      collectStats = true)
+    DeltaLite.deleteWhereDV(spark, table, "k", 0L, 4L)
+    DeltaLite.deleteWhereDV(spark, table, "k", 10L, 14L) // supersedes DV #1
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvFiles = fs.listStatus(new Path(table))
+      .map(_.getPath.getName).filter(_.startsWith("deletion_vector_")).toSet
+    dvFiles.size shouldBe 2
+    DeltaLite.vacuum(spark, table) should be >= 1L
+    dvFiles.size shouldBe 1
+    DeltaLite.read(spark, table).count() shouldBe 20L
+  }
+
+  test("a protocol readerFeature we don't implement refuses every read") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_dv_feat")
+    DeltaLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), table)
+    // hand-write a v1 commit upgrading to a feature this reader lacks
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(table, "_delta_log/" + f"${1L}%020d.json")
+    val out = fs.create(p, false)
+    out.write(
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    out.close()
+    val e = intercept[UnsupportedOperationException] {
+      DeltaLite.read(spark, table).count()
+    }
+    e.getMessage should include("v2Checkpoint")
+  }
 }
