@@ -68,6 +68,65 @@ object IcebergLite {
       |  {"name":"added_snapshot_id","type":"long","field-id":503}
       |]}""".stripMargin)
 
+  /** v2 manifest-list schema — v1's fields plus the format-version-2
+    * columns that make row-level deletes plannable from the list alone:
+    * `content` (field-id 517: 0 = data manifest, 1 = DELETE manifest) and
+    * `sequence_number` (field-id 515: the commit order deletes apply
+    * against — a position delete applies to data files with sequence ≤
+    * its own). */
+  private val manifestListSchemaV2: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","default":0,"field-id":517},
+      |  {"name":"sequence_number","type":"long","default":0,"field-id":515},
+      |  {"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  /** One manifest-list row, v1/v2-agnostic: v1 lists lack content and
+    * sequence_number — content defaults to DATA, sequence to the adding
+    * snapshot's id (this writer's ids are the monotone commit order, so
+    * the mapping satisfies the spec's ordering contract). */
+  private final case class MEntry(path: String, len: Long, addedSid: Long,
+      content: Int, seq: Long)
+
+  private def listEntries(fs: FileSystem, listPath: Path): Seq[MEntry] =
+    readAvroFile(fs, listPath).map { r =>
+      val sid = r.get("added_snapshot_id").asInstanceOf[Long]
+      val content = r.get("content") match {
+        case null => 0
+        case c => c.asInstanceOf[Int]
+      }
+      val seq = r.get("sequence_number") match {
+        case null => sid
+        case s => s.asInstanceOf[Long]
+      }
+      MEntry(r.get("manifest_path").toString,
+        r.get("manifest_length").asInstanceOf[Long], sid, content, seq)
+    }
+
+  /** Write a manifest list; the v2 schema is used exactly when the table
+    * is format-version 2 (so v1 tables keep byte-stable v1 lists). */
+  private def writeManifestList(table: String, listName: String,
+      entries: Seq[MEntry], v2: Boolean): Unit = {
+    val schema = if (v2) manifestListSchemaV2 else manifestListSchema
+    val records = entries.map { e =>
+      val r = new GenericData.Record(schema)
+      r.put("manifest_path", e.path)
+      r.put("manifest_length", e.len)
+      r.put("partition_spec_id", 0)
+      if (v2) {
+        r.put("content", e.content)
+        r.put("sequence_number", e.seq)
+      }
+      r.put("added_snapshot_id", e.addedSid)
+      r
+    }
+    writeAvroFile(new File(new File(table, "metadata"), listName),
+      schema, records)
+  }
+
   /** Manifest-entry Avro schema — status + nested data_file with the
     * required v1 fields (100-105). The partition struct (field-id 102) is
     * empty for unpartitioned tables and carries one `p0` field (Iceberg
@@ -299,35 +358,29 @@ object IcebergLite {
     val manifestName = s"$snapshotId-$token-m0.avro"
     val manifestLocal = new File(new File(table, "metadata"), manifestName)
     val manifestLen = writeAvroFile(manifestLocal, entrySchema, entries)
-    // manifest list = prior manifests (append) + the new one
-    val prior: Seq[(String, Long, Long)] =
+    // manifest list = prior manifests (append, BY REFERENCE — including
+    // any v2 DELETE manifests, whose content/sequence fields must survive
+    // the copy or deletes would silently re-apply as data) + the new one
+    val prevMeta = if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None
+    val formatVersion =
+      prevMeta.map(_.path("format-version").asInt(1)).getOrElse(1)
+    val prior: Seq[MEntry] =
       if (overwrite || prevV == 0) Seq.empty
       else {
-        val meta = readMetadata(fs, table, prevV)
+        val meta = prevMeta.get
         val cur = meta.get("current-snapshot-id").asLong()
         val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
-        readAvroFile(fs, new Path(snap._2)).map(r =>
-          (r.get("manifest_path").toString,
-            r.get("manifest_length").asInstanceOf[Long],
-            r.get("added_snapshot_id").asInstanceOf[Long]))
+        listEntries(fs, new Path(snap._2))
       }
-    val listRecords = (prior :+
-      (s"$table/metadata/$manifestName", manifestLen, snapshotId)).map {
-      case (p, len, sid) =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
-        r.put("added_snapshot_id", sid)
-        r
-    }
     val listName = s"snap-$snapshotId-$token.avro"
-    writeAvroFile(new File(new File(table, "metadata"), listName),
-      manifestListSchema, listRecords)
+    writeManifestList(table, listName,
+      prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
+        snapshotId, content = 0, seq = snapshotId),
+      v2 = formatVersion == 2)
     // new table metadata: prior snapshots + this one, atomic-create commit
     val root = mapper.createObjectNode()
-    root.put("format-version", 1)
-    val prevMeta = if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None
+    root.put("format-version", formatVersion)
+    if (formatVersion == 2) root.put("last-sequence-number", snapshotId)
     root.put("table-uuid", prevMeta.map(_.get("table-uuid").asText())
       .getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", table)
@@ -400,6 +453,7 @@ object IcebergLite {
       snaps.add(s.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
+    if (formatVersion == 2) sn.put("sequence-number", snapshotId)
     sn.put("timestamp-ms", 0L)
     val summary = sn.putObject("summary")
     summary.put("operation",
@@ -594,8 +648,9 @@ object IcebergLite {
     require(partitionSpec(meta).isDefined, s"$table is not partitioned")
     val cur = meta.get("current-snapshot-id").asLong()
     val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
-    val all = readAvroFile(fs, new Path(snap._2)).flatMap { m =>
-      readAvroFile(fs, new Path(m.get("manifest_path").toString))
+    val all = listEntries(fs, new Path(snap._2)).filter(_.content == 0)
+      .flatMap { m =>
+      readAvroFile(fs, new Path(m.path))
         .filter(_.get("status").asInstanceOf[Int] != 2)
         .map { e =>
           val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -623,8 +678,9 @@ object IcebergLite {
     val meta = readMetadata(fs, table, v)
     val cur = meta.get("current-snapshot-id").asLong()
     val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
-    val all = readAvroFile(fs, new Path(snap._2)).flatMap { m =>
-      readAvroFile(fs, new Path(m.get("manifest_path").toString))
+    val all = listEntries(fs, new Path(snap._2)).filter(_.content == 0)
+      .flatMap { m =>
+      readAvroFile(fs, new Path(m.path))
         .filter(_.get("status").asInstanceOf[Int] != 2)
         .map { e =>
           val d = e.get("data_file").asInstanceOf[GenericRecord]
@@ -651,7 +707,20 @@ object IcebergLite {
   /** Data files of a snapshot: manifest list → manifests → live entries
     * (status != DELETED). All control-plane reads. */
   private[graft] def snapshotFiles(spark: SparkSession, table: String,
-      snapshotId: Long): Seq[String] = {
+      snapshotId: Long): Seq[String] =
+    snapshotManifestFiles(spark, table, snapshotId, content = 0).map(_._1)
+
+  /** POSITION-DELETE files live in a snapshot exactly like data files —
+    * listed by manifests whose list row says content = 1. */
+  private[graft] def snapshotDeleteFiles(spark: SparkSession, table: String,
+      snapshotId: Long): Seq[String] =
+    snapshotManifestFiles(spark, table, snapshotId, content = 1).map(_._1)
+
+  /** (file_path, sequence_number) of every live file of the given kind in
+    * a snapshot: manifest list → manifests of that `content` → entries
+    * with status != DELETED. All control-plane reads. */
+  private def snapshotManifestFiles(spark: SparkSession, table: String,
+      snapshotId: Long, content: Int): Seq[(String, Long)] = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
@@ -661,12 +730,13 @@ object IcebergLite {
     val snap = metaJsonSnapshots(meta).find(_._1 == wanted).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot $wanted not in $table metadata v$v"))
-    readAvroFile(fs, new Path(snap._2)).flatMap { m =>
-      readAvroFile(fs, new Path(m.get("manifest_path").toString))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
-        .map(_.get("data_file").asInstanceOf[GenericRecord]
-          .get("file_path").toString)
-    }
+    listEntries(fs, new Path(snap._2)).filter(_.content == content)
+      .flatMap { m =>
+        readAvroFile(fs, new Path(m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString, m.seq))
+      }
   }
 
   /** Incremental read: rows ADDED in snapshots (fromSnap, toSnap] —
