@@ -34,7 +34,12 @@ private[sources] object AtomicCreate {
           true
         } catch { case _: java.io.IOException => false }
     }
-    monitors.remove(key, m) // hygiene; double-guarded by exists+O_EXCL
+    // Only retire the monitor once the file EXISTS: removing it after a
+    // failed create would let a third thread mint a fresh monitor while
+    // another still holds the old one — reopening the exact exists+create
+    // TOCTOU this helper closes. Monitors for losers/failures stay mapped
+    // (bounded: one tiny Object per version-file path this JVM touches).
+    if (won) monitors.remove(key, m)
     won
   }
 }

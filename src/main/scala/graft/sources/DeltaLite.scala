@@ -30,8 +30,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     partitioned tables (partitionValues in adds, partitionColumns in
   *     metaData), single-file AND multi-part checkpoint parquet +
   *     `_last_checkpoint` (with `parts`);
-  *   - not implemented: deletion vectors, column mapping — a reader of
-  *     THIS subset sees standard protocol v1 tables.
+  *   - deletion vectors are implemented ([[deleteWhereDV]] writes
+  *     roaring-bitmap DV files; [[readWithStats]] and every rewrite path
+  *     subtract them) with the reader-3/writer-7 table-features protocol
+  *     upgrade; the remaining exclusion is column mapping only — a
+  *     DV-free table stays standard protocol v1.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own
@@ -200,12 +203,20 @@ object DeltaLite {
     * and how it was assembled (checkpoint used + JSON commits replayed) —
     * the numbers the checkpoint key surfaces so a silently-ignored
     * checkpoint turns the gate red. */
+  /** The table's protocol action, replayed verbatim — checkpoints must
+    * re-emit the LATEST protocol, never infer one from current state (a
+    * DV-upgraded table whose vectors were later cleared must stay at
+    * reader 3/writer 7, or expireLog silently downgrades it). */
+  private[graft] final case class Protocol(minReader: Int, minWriter: Int,
+      readerFeatures: Seq[String], writerFeatures: Seq[String])
+
   private[graft] final case class Snapshot(files: Seq[String],
       meta: Option[(String, String)], checkpointVersion: Long,
       jsonReplayed: Long, stats: Map[String, String] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       pvals: Map[String, Map[String, String]] = Map.empty,
-      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty)
+      dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
+      protocol: Option[Protocol] = None)
 
   /** Inverse of Spark/Hive's partition-directory escaping (the r09
     * advisor finding on the Iceberg side): directory names URI-escape
@@ -291,6 +302,7 @@ object DeltaLite {
     val pvals = mutable.Map.empty[String, Map[String, String]]
     val dvs = mutable.Map.empty[String, DeletionVectors.Descriptor]
     var meta: Option[(String, String)] = None
+    var proto: Option[Protocol] = None
     val cpFiles =
       if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
       else Seq.empty
@@ -308,13 +320,16 @@ object DeltaLite {
       val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
         else cp.select("protocol", "metaData", "add")).collect()
       rows.foreach { r =>
-        if (protoHasRf && !r.isNullAt(0)) {
+        if (!r.isNullAt(0)) {
           val p = r.getStruct(0)
-          if (!p.isNullAt(2)) p.getSeq[String](2).foreach { f =>
+          if (protoHasRf && !p.isNullAt(2)) p.getSeq[String](2).foreach { f =>
             if (!knownReaderFeatures.contains(f))
               throw new UnsupportedOperationException(
                 s"table requires unknown readerFeature '$f'")
           }
+          proto = Some(Protocol(p.getInt(0), p.getInt(1),
+            if (protoHasRf && !p.isNullAt(2)) p.getSeq[String](2) else Nil,
+            if (protoHasRf && !p.isNullAt(3)) p.getSeq[String](3) else Nil))
         }
         if (!r.isNullAt(1)) {
           val m = r.getStruct(1)
@@ -353,12 +368,19 @@ object DeltaLite {
         if (node.has("protocol")) {
           // forward-compat rule: a readerFeature we don't implement means
           // we cannot interpret this table — refuse, never answer wrong
-          val rf = node.get("protocol").path("readerFeatures")
+          val pn = node.get("protocol")
+          val rf = pn.path("readerFeatures")
           if (rf.isArray) rf.forEach { f =>
             if (!knownReaderFeatures.contains(f.asText()))
               throw new UnsupportedOperationException(
                 s"table requires unknown readerFeature '${f.asText()}'")
           }
+          def feats(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+            if (!n.isArray) Nil
+            else { val b = Seq.newBuilder[String]; n.forEach(f => b += f.asText()); b.result() }
+          proto = Some(Protocol(pn.get("minReaderVersion").asInt(),
+            pn.get("minWriterVersion").asInt(),
+            feats(rf), feats(pn.path("writerFeatures"))))
         } else if (node.has("add")) {
           val a = node.get("add")
           val path = a.get("path").asText()
@@ -401,7 +423,8 @@ object DeltaLite {
       }
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
-      asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap)
+      asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap,
+      proto)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -458,13 +481,17 @@ object DeltaLite {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
-    // the checkpoint subsumes the JSON prefix, so it must re-declare the
-    // table-features protocol a DV table upgraded to — a (1,2) row would
-    // let a pre-DV reader replay the checkpoint without refusing
-    val protocolRow =
-      if (snap.dvs.nonEmpty)
-        Row(3, 7, Seq("deletionVectors"), Seq("deletionVectors"))
-      else Row(1, 2, null, null)
+    // the checkpoint subsumes the JSON prefix, so it must re-emit the
+    // table's LATEST protocol action VERBATIM — inferring it from current
+    // DV presence would silently downgrade a reader-3/writer-7 table
+    // whose vectors were later cleared (full-file deletes, restore),
+    // and a (1,2) row would let a pre-DV reader replay without refusing
+    val protocolRow = snap.protocol match {
+      case Some(p) => Row(p.minReader, p.minWriter,
+        if (p.readerFeatures.nonEmpty) p.readerFeatures else null,
+        if (p.writerFeatures.nonEmpty) p.writerFeatures else null)
+      case None => Row(1, 2, null, null)
+    }
     val rows = Row(protocolRow, null, null, null) +:
       Row(null, Row(tableId, schemaJson), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
@@ -578,6 +605,38 @@ object DeltaLite {
     deleted + dvDeleted
   }
 
+  /** Distributed scan over a subset of a snapshot's data files WITH any
+    * live deletion vectors subtracted — the same merge-on-read mechanics
+    * as [[readWithStats]], factored so every REWRITE path (optimize,
+    * Z-order, copy-on-write delete) sees the table's logical rows. A
+    * rewrite that raw-scanned files carrying DVs would re-materialize the
+    * deleted rows and — because the remove+add swap drops the vectors —
+    * silently resurrect deleted data. Files without vectors take the
+    * plain-scan fast path (no metadata columns, no join). */
+  private def scanWithDvs(spark: SparkSession, table: String,
+      schema: StructType, files: Seq[String],
+      dvs: Map[String, DeletionVectors.Descriptor]): DataFrame = {
+    val relevant = dvs.filter { case (f, _) => files.contains(f) }
+    val base = spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    if (relevant.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{col => c_, element_at, split}
+      import spark.implicits._
+      val fs = hadoopFs(spark, table)
+      val deleted: Seq[(String, Long)] = relevant.toSeq.flatMap {
+        case (f, d) =>
+          val name = new Path(f).getName
+          DeletionVectors.readPositions(fs, table, d).map(p => (name, p))
+      }
+      val delDf = deleted.toDF("__fn", "__ri")
+      base
+        .withColumn("__fn", element_at(split(c_("_metadata.file_path"), "/"), -1))
+        .withColumn("__ri", c_("_metadata.row_index"))
+        .join(delDf, Seq("__fn", "__ri"), "left_anti")
+        .drop("__fn", "__ri")
+    }
+  }
+
   /** OPTIMIZE — bin-packing compaction as ONE commit (the protocol models
     * it as plain remove+add actions with `dataChange = false`, so
     * incremental consumers know no rows changed): the current snapshot's
@@ -600,11 +659,13 @@ object DeltaLite {
     // silently destroy the layout (Delta's own OPTIMIZE is per-partition)
     if (before.pvals.nonEmpty)
       return optimizePartitioned(spark, table, targetFiles, before, latest)
-    if (before.files.size <= targetFiles)
+    if (before.files.size <= targetFiles && before.dvs.isEmpty)
       return (latest, before.files.size.toLong, before.files.size.toLong)
     val schema = tableSchema(spark, table)
-    val src = spark.read.schema(schema)
-      .parquet(before.files.map(f => s"$table/$f"): _*)
+    // DV-aware source: compaction of a merge-on-read table is ALSO the op
+    // that re-materializes vectors away (files shrink to their live rows,
+    // the remove+add swap drops the descriptors)
+    val src = scanWithDvs(spark, table, schema, before.files, before.dvs)
     val v = latest + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/v$v-opt-$token"
@@ -663,10 +724,11 @@ object DeltaLite {
     val removes = mutable.ArrayBuffer.empty[String]
     var filesAfter = 0L
     groups.zipWithIndex.foreach { case ((pv, files), gi) =>
-      if (files.size <= targetFiles) filesAfter += files.size
+      if (files.size <= targetFiles && files.forall(!before.dvs.contains(_)))
+        filesAfter += files.size
       else {
         val sub = s"$staged/g$gi"
-        spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+        scanWithDvs(spark, table, schema, files, before.dvs)
           .coalesce(targetFiles)
           .write.mode("errorifexists").parquet(s"$table/$sub")
         val parts = fs.listStatus(new Path(table, sub))
@@ -726,8 +788,7 @@ object DeltaLite {
       s"$table is partitioned: Z-ordering within partitions is not in " +
         "this subset — compact with optimize() instead")
     val schema = tableSchema(spark, table)
-    val src = spark.read.schema(schema)
-      .parquet(before.files.map(f => s"$table/$f"): _*)
+    val src = scanWithDvs(spark, table, schema, before.files, before.dvs)
     val v = latest + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/v$v-zord-$token"
@@ -793,8 +854,14 @@ object DeltaLite {
       val v = latestVersion(spark, table) + 1
       if (v > 0) {
         val prior = snapshot(spark, table, v - 1)
+        // EVERY live file must carry partitionValues for partCol — a
+        // values.forall over pvals alone is vacuously true on a non-empty
+        // UNPARTITIONED table (pvals only holds files that have values),
+        // and a partitioned commit landing there would leave files
+        // planPartitioned silently excludes from results
         require(prior.files.isEmpty ||
-          prior.pvals.values.forall(_.keySet == Set(partCol)),
+          (prior.pvals.keySet == prior.files.toSet &&
+            prior.pvals.values.forall(_.keySet == Set(partCol))),
           s"$table is not partitioned by $partCol")
       }
       val token = java.util.UUID.randomUUID().toString.take(8)
@@ -893,6 +960,14 @@ object DeltaLite {
   def planPartitioned(spark: SparkSession, table: String, partCol: String,
       wanted: Set[String]): (Seq[String], Long, Long) = {
     val snap = snapshot(spark, table, latestVersion(spark, table))
+    // refuse-rather-than-answer-wrong: a file with NO partitionValues
+    // cannot be pruned on partCol — excluding it silently drops rows,
+    // including it silently un-prunes. Such a file means the table is
+    // not (consistently) partitioned; reads must go through read().
+    val orphans = snap.files.filterNot(snap.pvals.contains)
+    require(orphans.isEmpty,
+      s"$table has ${orphans.size} live file(s) without partitionValues " +
+        s"for $partCol — not a consistently partitioned table")
     val matched = snap.files.filter(f =>
       snap.pvals.get(f).exists(pv => wanted.contains(pv.getOrElse(partCol, null))))
     (matched, matched.size.toLong, snap.files.size.toLong)
@@ -1098,8 +1173,12 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
     if (affected.isEmpty) return (latestVersion(spark, table), 0L, 0L)
-    val affectedDf = spark.read.schema(tableSchema(spark, table))
-      .parquet(affected.map(f => s"$table/$f"): _*)
+    // DV-aware source: a copy-on-write rewrite of a file that carries a
+    // deletion vector must start from its LIVE rows, or the remove+add
+    // swap resurrects the vector's deleted rows
+    val snapDvs = snapshot(spark, table, latestVersion(spark, table)).dvs
+    val affectedDf =
+      scanWithDvs(spark, table, tableSchema(spark, table), affected, snapDvs)
     val rowsBefore = affectedDf.count()
     val kept = affectedDf.where(not(c_(column).between(lo, hi)))
     val rowsAfter = kept.count()

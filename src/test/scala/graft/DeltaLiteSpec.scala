@@ -539,6 +539,53 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     (v3, nf3, del3) shouldBe ((before, 0L, 0L))
   }
 
+  test("rewrites over live DVs keep rows deleted: optimize, zorder, copy-on-write delete") {
+    import spark.implicits._
+    // optimize: compaction must MERGE vectors, not resurrect their rows
+    val t1 = Sinks.tempDir("delta_dv_opt")
+    val df = (0L until 100L).map(k => (k, k * 10)).toDF("k", "v")
+    DeltaLite.write(spark, df.repartition(2), t1, collectStats = true)
+    DeltaLite.write(spark, df.select($"k" + 100L as "k", $"v").repartition(2),
+      t1, collectStats = true)
+    DeltaLite.deleteWhereDV(spark, t1, "k", 10L, 29L)
+    val (_, _, nAfter) = DeltaLite.optimize(spark, t1, targetFiles = 1)
+    nAfter shouldBe 1L
+    val s1 = DeltaLite.readWithStats(spark, t1)._2
+    s1.dvs shouldBe empty // vectors materialized away by the rewrite
+    DeltaLite.read(spark, t1).count() shouldBe 180L
+    DeltaLite.read(spark, t1).where($"k".between(10, 29)).count() shouldBe 0L
+    // recomputed stats reflect LIVE rows (no stale numRecords)
+    val totalRecs = s1.stats.values
+      .map(js => mapper.readTree(js).get("numRecords").asLong()).sum
+    totalRecs shouldBe 180L
+    // ...and the protocol did NOT silently downgrade after the vectors
+    // cleared: the checkpoint re-emits reader 3 / writer 7 verbatim
+    val cpV = DeltaLite.checkpoint(spark, t1)
+    val cp = spark.read.parquet(
+      s"$t1/_delta_log/${"%020d".format(cpV)}.checkpoint.parquet")
+    cp.where($"protocol".isNotNull).select("protocol.minReaderVersion")
+      .head.getInt(0) shouldBe 3
+    // zorder over a DV table: same merge contract
+    val t2 = Sinks.tempDir("delta_dv_zord")
+    DeltaLite.write(spark,
+      (0L until 100L).map(k => (k, k % 7)).toDF("x", "y").repartition(2),
+      t2, collectStats = true)
+    DeltaLite.deleteWhereDV(spark, t2, "x", 0L, 9L)
+    DeltaLite.optimizeZorder(spark, t2, "x", "y", targetFiles = 2)
+    DeltaLite.read(spark, t2).count() shouldBe 90L
+    DeltaLite.read(spark, t2).agg(min($"x")).head.getLong(0) shouldBe 10L
+    // copy-on-write deleteWhere starting from a DV table: the rewritten
+    // file must not resurrect the vector's rows
+    val t3 = Sinks.tempDir("delta_dv_cow")
+    DeltaLite.write(spark, (0L until 100L).map(k => (k, k)).toDF("k", "v")
+      .repartition(1), t3, collectStats = true)
+    DeltaLite.deleteWhereDV(spark, t3, "k", 0L, 9L)
+    val (_, _, del) = DeltaLite.deleteWhere(spark, t3, "k", 90L, 99L)
+    del shouldBe 10L
+    DeltaLite.read(spark, t3).count() shouldBe 80L
+    DeltaLite.read(spark, t3).agg(min($"k")).head.getLong(0) shouldBe 10L
+  }
+
   test("DV delete drops a file whose every row is deleted") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_dv_full")
