@@ -775,6 +775,44 @@ object FormatQueries {
       .withColumn("n_files_after", lit(nAfter))
   }
 
+  /** X261k: Iceberg v2 POSITION DELETES — merge-on-read row removal
+    * (iceberg.apache.org/spec §Row-level deletes), [[deltaDv]]'s parity
+    * surface: two overlapping range deletes leave every data file
+    * physically untouched and commit (file_path, pos) delete files under
+    * content=1 DELETE manifests instead; the second delete counts only
+    * NEWLY-live rows (the scan that plans it is itself merge-on-read),
+    * reads apply deletes with sequence-number gating, and the pre-delete
+    * snapshot still time-travels to the full count. `files_unchanged`
+    * pins the no-rewrite property on the live DATA-file set. */
+  private def icebergDv(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_dv")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    // two hash-spread commits: every file mixes key ranges, so deletes
+    // hit PARTIAL files (never whole-file drops)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1).repartition(2), table)
+    val preSid = 2L
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val (_, del1) = IcebergLite.deleteWhere(spark, table, "o_orderkey", q, 2 * q)
+    val (_, del2) =
+      IcebergLite.deleteWhere(spark, table, "o_orderkey", 3 * q / 2, 5 * q / 2)
+    val filesAfter = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val rowsBefore = IcebergLite.read(spark, table, preSid).count()
+    IcebergLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_deleted_1", lit(del1))
+      .withColumn("rows_deleted_2", lit(del2))
+      .withColumn("rows_before", lit(rowsBefore))
+      .withColumn("files_unchanged", lit(filesAfter == filesBefore))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261i: Iceberg history — [[DeltaLite.history]]'s parity surface off
     * snapshot summaries + genuinely recounted manifest entries, incl. the
     * streaming batch marker a commitIdempotent snapshot carries. */
@@ -998,6 +1036,7 @@ object FormatQueries {
     "x_delta_partitioned" -> ((s, dir) => deltaPartitioned(s, dir)),
     "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
     "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
+    "x_iceberg_dv" -> ((s, dir) => icebergDv(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1116,6 +1155,23 @@ object FormatQueries {
     // rows_deleted_2 counts only the NEW half (union merge); the final
     // read excludes the combined range; files_unchanged pins no-rewrite
     "x_delta_dv" ->
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN q AND 2*q) AS rows_deleted_1,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN (3*q)//2 AND (5*q)//2
+        |     AND o_orderkey NOT BETWEEN q AND 2*q) AS rows_deleted_2,
+        |  (SELECT count(*) FROM orders) AS rows_before,
+        |  TRUE AS files_unchanged
+        |FROM orders, b
+        |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // Iceberg v2 position deletes: same union/merge contract as
+    // x_delta_dv — overlapping ranges, second delete counts only the new
+    // half, data-file set pinned unchanged
+    "x_iceberg_dv" ->
       """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
         |SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,

@@ -35,10 +35,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *     row per data file with record count and size, the statistics layer
   *     file pruning hangs off.
   *
-  * Conformance subset (documented, not hidden): unpartitioned tables,
-  * required v1 fields only, no metrics maps / split offsets / delete
-  * files; `version-hint.text` is maintained best-effort (the spec itself
-  * marks it advisory — the authoritative pointer is the highest committed
+  * Format-version 2 (row-level deletes) is implemented as POSITION
+  * deletes: [[deleteWhere]] commits (file_path, pos) parquet delete files
+  * under a content=1 DELETE manifest; [[read]] merges them with
+  * sequence-number gating; [[rewriteDataFiles]] materializes them away.
+  * Conformance subset (documented, not hidden): required fields only, no
+  * metrics maps / split offsets / equality deletes / puffin DVs;
+  * `version-hint.text` is maintained best-effort (the spec itself marks
+  * it advisory — the authoritative pointer is the highest committed
   * metadata version).
   *
   * Scale shape: all three metadata layers are control-plane (small files,
@@ -94,14 +98,15 @@ object IcebergLite {
   private def listEntries(fs: FileSystem, listPath: Path): Seq[MEntry] =
     readAvroFile(fs, listPath).map { r =>
       val sid = r.get("added_snapshot_id").asInstanceOf[Long]
-      val content = r.get("content") match {
-        case null => 0
-        case c => c.asInstanceOf[Int]
-      }
-      val seq = r.get("sequence_number") match {
-        case null => sid
-        case s => s.asInstanceOf[Long]
-      }
+      // v1 lists lack these fields entirely; Avro >= 1.9 THROWS on
+      // get(<absent field>) rather than returning null, so presence must
+      // be checked against the record's writer schema, not the value.
+      val content =
+        if (r.getSchema.getField("content") == null) 0
+        else r.get("content").asInstanceOf[Int]
+      val seq =
+        if (r.getSchema.getField("sequence_number") == null) sid
+        else r.get("sequence_number").asInstanceOf[Long]
       MEntry(r.get("manifest_path").toString,
         r.get("manifest_length").asInstanceOf[Long], sid, content, seq)
     }
@@ -239,7 +244,8 @@ object IcebergLite {
       summaryProps: Map[String, String] = Map.empty,
       boundsColumn: Option[String] = None,
       maxRetries: Int = 10,
-      operation: Option[String] = None): Long = {
+      operation: Option[String] = None,
+      formatV2: Boolean = false): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
@@ -247,7 +253,7 @@ object IcebergLite {
     var attempt = 0
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionTruncate,
-        summaryProps, boundsColumn, operation) match {
+        summaryProps, boundsColumn, operation, formatV2) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -261,7 +267,8 @@ object IcebergLite {
       partitionTruncate: Option[(String, Int)],
       summaryProps: Map[String, String],
       boundsColumn: Option[String],
-      operation: Option[String] = None): Option[Long] = {
+      operation: Option[String] = None,
+      formatV2: Boolean = false): Option[Long] = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -362,8 +369,12 @@ object IcebergLite {
     // any v2 DELETE manifests, whose content/sequence fields must survive
     // the copy or deletes would silently re-apply as data) + the new one
     val prevMeta = if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None
-    val formatVersion =
-      prevMeta.map(_.path("format-version").asInt(1)).getOrElse(1)
+    // format version is sticky-upward: v1 tables may upgrade to 2 (the
+    // spec's upgrade path — older snapshots' v1 manifest lists resolve
+    // under the v2 reader via schema defaults), never downgrade
+    val formatVersion = math.max(
+      prevMeta.map(_.path("format-version").asInt(1)).getOrElse(1),
+      if (formatV2) 2 else 1)
     val prior: Seq[MEntry] =
       if (overwrite || prevV == 0) Seq.empty
       else {
@@ -377,7 +388,32 @@ object IcebergLite {
       prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
         snapshotId, content = 0, seq = snapshotId),
       v2 = formatVersion == 2)
-    // new table metadata: prior snapshots + this one, atomic-create commit
+    val committed = commitMetadataJson(fs, table, prevV, prevMeta,
+      formatVersion, snapshotId, df.schema, partitionTruncate, listName,
+      operation.getOrElse(if (overwrite) "overwrite" else "append"),
+      summaryProps)
+    if (!committed) {
+      // lost the race: remove THIS attempt's commit-private artifacts
+      // (nothing references them) and let the caller replan
+      fs.delete(new Path(table, staged), true)
+      fs.delete(new Path(metaDir(table), manifestName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      return None
+    }
+    Some(snapshotId)
+  }
+
+  /** Build the new table-metadata JSON (prior snapshots + this one) and
+    * claim the next metadata version by ATOMIC CREATE. Shared by every
+    * commit shape — data appends/overwrites ([[writeOnce]]) and
+    * position-delete commits ([[deleteWhere]]). Returns false when the
+    * version was lost to a racing writer (caller cleans up its own
+    * commit-private artifacts and replans). */
+  private def commitMetadataJson(fs: FileSystem, table: String, prevV: Int,
+      prevMeta: Option[com.fasterxml.jackson.databind.JsonNode],
+      formatVersion: Int, snapshotId: Long, dfSchema: StructType,
+      partitionTruncate: Option[(String, Int)], listName: String,
+      operation: String, summaryProps: Map[String, String]): Boolean = {
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     if (formatVersion == 2) root.put("last-sequence-number", snapshotId)
@@ -385,14 +421,14 @@ object IcebergLite {
       .getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", table)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", df.schema.fields.length)
+    root.put("last-column-id", dfSchema.fields.length)
     // schema EVOLUTION: if this commit's schema differs from the current
     // one, it gets a NEW schema-id appended to the schemas list (Iceberg's
     // rule: schemas are immutable and id-addressed; snapshots reference
     // the id they were written under)
     def schemaFields(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
       val arr = n.putArray("fields")
-      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      dfSchema.fields.zipWithIndex.foreach { case (f, i) =>
         val fn = arr.addObject()
         fn.put("id", i + 1)
         fn.put("name", f.name)
@@ -441,12 +477,17 @@ object IcebergLite {
       pf.put("name", s"${src}_trunc")
       pf.put("transform", s"truncate[$w]")
       pf.put("source-id",
-        df.schema.fieldNames.indexOf(src) + 1) // Iceberg field ids are 1-based
+        dfSchema.fieldNames.indexOf(src) + 1) // Iceberg field ids are 1-based
       pf.put("field-id", 1000)
     }
     root.put("default-spec-id", 0)
     root.put("last-partition-id", if (partitionTruncate.isDefined) 1000 else 999)
-    root.putObject("properties")
+    // table properties survive every commit (the exactly-once high-water
+    // mark expireSnapshots folds in must outlive later writes)
+    val props = root.putObject("properties")
+    prevMeta.foreach(_.path("properties").fields().forEachRemaining(e =>
+      props.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
     prevMeta.foreach(m => m.get("snapshots").forEach(s =>
@@ -456,8 +497,7 @@ object IcebergLite {
     if (formatVersion == 2) sn.put("sequence-number", snapshotId)
     sn.put("timestamp-ms", 0L)
     val summary = sn.putObject("summary")
-    summary.put("operation",
-      operation.getOrElse(if (overwrite) "overwrite" else "append"))
+    summary.put("operation", operation)
     summaryProps.foreach { case (k, v2) => summary.put(k, v2) }
     sn.put("manifest-list", s"$table/metadata/$listName")
     sn.put("schema-id", schemaId)
@@ -466,19 +506,13 @@ object IcebergLite {
     val committed = AtomicCreate.create(fs, metaFile(table, prevV + 1),
       mapper.writerWithDefaultPrettyPrinter()
         .writeValueAsString(root).getBytes(StandardCharsets.UTF_8))
-    if (!committed) {
-      // lost the race: remove THIS attempt's commit-private artifacts
-      // (nothing references them) and let the caller replan
-      fs.delete(new Path(table, staged), true)
-      fs.delete(new Path(metaDir(table), manifestName), false)
-      fs.delete(new Path(metaDir(table), listName), false)
-      return None
+    if (committed) {
+      // advisory pointer (spec: best-effort)
+      val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
+      try hint.write(s"${prevV + 1}".getBytes(StandardCharsets.UTF_8))
+      finally hint.close()
     }
-    // advisory pointer (spec: best-effort)
-    val hint = fs.create(new Path(metaDir(table), "version-hint.text"), true)
-    try hint.write(s"${prevV + 1}".getBytes(StandardCharsets.UTF_8))
-    finally hint.close()
-    Some(snapshotId)
+    committed
   }
 
   /** Exactly-once micro-batch commit — the Delta txnAppId/txnVersion
@@ -760,19 +794,17 @@ object IcebergLite {
       // than double-count (full ancestry-walking incremental scan is
       // Iceberg's own answer; out of this subset, stated as such)
       if (sid > fromSnap && sid <= toSnap &&
-        (op == "overwrite" || op == "replace"))
+        (op == "overwrite" || op == "replace" || op == "delete"))
         throw new UnsupportedOperationException(
-          s"snapshot $sid ${op}s files: append-only change feed cannot " +
-            "represent it — use row-level CDC")
+          s"snapshot $sid ${op}s rows/files: append-only change feed " +
+            "cannot represent it — use row-level CDC")
     }
     val snap = metaJsonSnapshots(meta).find(_._1 == toSnap).getOrElse(
       throw new IllegalArgumentException(s"snapshot $toSnap not in $table"))
-    val files = readAvroFile(fs, new Path(snap._2))
-      .filter { m =>
-        val sid = m.get("added_snapshot_id").asInstanceOf[Long]
-        sid > fromSnap && sid <= toSnap
-      }
-      .flatMap(m => readAvroFile(fs, new Path(m.get("manifest_path").toString))
+    val files = listEntries(fs, new Path(snap._2))
+      .filter(m => m.content == 0 &&
+        m.addedSid > fromSnap && m.addedSid <= toSnap)
+      .flatMap(m => readAvroFile(fs, new Path(m.path))
         .filter(_.get("status").asInstanceOf[Int] != 2)
         .map(_.get("data_file").asInstanceOf[GenericRecord]
           .get("file_path").toString))
@@ -816,15 +848,162 @@ object IcebergLite {
   /** Read the table at `snapshotId` (default: current) — one multi-path
     * parquet scan under the snapshot's OWN schema (files predating an
     * evolution surface added columns as NULL); pushdown/pruning/AQE
-    * untouched. */
-  def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame = {
+    * untouched. Format-version-2 snapshots carrying POSITION DELETES
+    * (spec §Row-level deletes) are merged on read: a delete row
+    * (file_path, pos) suppresses that position in every data file whose
+    * data sequence number ≤ the delete file's sequence number. */
+  def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
+    readLive(spark, table, snapshotId, keepMeta = false)
+
+  /** [[read]] with the option to RETAIN the (__fn, __ri) position columns
+    * — the coordinate system [[deleteWhere]] records deletes in. */
+  private def readLive(spark: SparkSession, table: String, snapshotId: Long,
+      keepMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
     val fs = hadoopFs(spark, table)
     val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
     val wanted =
       if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
-    val files = snapshotFiles(spark, table, snapshotId)
-    require(files.nonEmpty, s"snapshot has no data files in $table")
-    spark.read.schema(schemaForSnapshot(meta, wanted)).parquet(files: _*)
+    val dataFiles = snapshotManifestFiles(spark, table, wanted, content = 0)
+    require(dataFiles.nonEmpty, s"snapshot has no data files in $table")
+    val deleteFiles = snapshotManifestFiles(spark, table, wanted, content = 1)
+    val base = spark.read.schema(schemaForSnapshot(meta, wanted))
+      .parquet(dataFiles.map(_._1): _*)
+    if (deleteFiles.isEmpty && !keepMeta) base
+    else {
+      import spark.implicits._
+      val withMeta = base
+        .withColumn("__fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__ri", col("_metadata.row_index"))
+      val merged =
+        if (deleteFiles.isEmpty) withMeta
+        else {
+          // control-plane-sized lookups (one row per live file): data file
+          // → its data sequence number; delete file → its sequence number
+          val dataSeq = dataFiles
+            .map { case (p, s) => (new Path(p).getName, s) }.toDF("__fn", "__dseq")
+          val delSeq = deleteFiles
+            .map { case (p, s) => (new Path(p).getName, s) }.toDF("__delfn", "__sseq")
+          // the delete rows themselves are data-plane: one distributed
+          // scan over every delete file, each row stamped with its own
+          // file's sequence via the broadcast lookup
+          val delRows = spark.read.parquet(deleteFiles.map(_._1): _*)
+            .select(
+              element_at(split(col("file_path"), "/"), -1).as("__fn"),
+              col("pos").as("__ri"),
+              element_at(split(col("_metadata.file_path"), "/"), -1).as("__delfn"))
+            .join(broadcast(delSeq), "__delfn")
+          // sequence gating (spec §Scan Planning): a position delete
+          // applies to data files with sequence ≤ its own — a data file
+          // re-added AFTER the delete must not lose rows
+          val applicable = delRows
+            .join(broadcast(dataSeq), "__fn")
+            .where(col("__sseq") >= col("__dseq"))
+            .select("__fn", "__ri")
+          withMeta.join(applicable, Seq("__fn", "__ri"), "left_anti")
+        }
+      if (keepMeta) merged else merged.drop("__fn", "__ri")
+    }
+  }
+
+  /** Row-level DELETE as a POSITION-DELETE commit (merge-on-read; spec
+    * §Row-level deletes) — the Iceberg-v2 parity of
+    * [[DeltaLite.deleteWhereDV]]: no data file is rewritten; matched live
+    * positions are written as ONE (file_path, pos)-sorted parquet delete
+    * file, listed by a DELETE manifest (content = 1 in the manifest-list
+    * row), and committed as a new snapshot. Readers apply the deletes by
+    * sequence number ([[read]]). At 100 TB this is kilobytes written to
+    * delete kilobytes instead of rewriting terabytes. The table upgrades
+    * to format-version 2 if still on 1 (sticky — the spec's upgrade
+    * path). Positions already deleted by an earlier vector never re-match
+    * (the scan is merge-on-read), so re-deleting is a counted no-op.
+    * Returns (snapshotId, rowsDeleted); no commit when nothing matches. */
+  def deleteWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, maxRetries: Int = 10): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      deleteOnce(spark, table, column, lo, hi) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"delete lost $maxRetries metadata races on $table")
+  }
+
+  private def deleteOnce(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val dataFiles = snapshotManifestFiles(spark, table, cur, content = 0)
+    val snapshotId = prevV + 1L
+    // matched LIVE positions (earlier deletes already applied) → the
+    // spec's delete-file schema: full file_path as recorded in manifests
+    // (field-id 2147483546) + pos (2147483545), sorted by (file_path, pos)
+    val nameToPath = dataFiles
+      .map { case (p, _) => (new Path(p).getName, p) }.toDF("__fn", "file_path")
+    val positions = readLive(spark, table, cur, keepMeta = true)
+      .where(col(column).between(lo, hi))
+      .select("__fn", "__ri")
+      .join(broadcast(nameToPath), "__fn")
+      .select(col("file_path"), col("__ri").as("pos"))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/s$snapshotId-$token-del"
+    positions.coalesce(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("errorifexists").parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val nDeleted = spark.read.parquet(s"$table/$staged").count()
+    if (nDeleted == 0) {
+      fs.delete(new Path(table, staged), true)
+      return Some((cur, 0L))
+    }
+    // DELETE manifest — same entry shape as data manifests; what makes it
+    // a delete manifest is its manifest-LIST row's content = 1
+    val entries = parts.toSeq.map { p =>
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("file_path", s"$table/$staged/${p.getPath.getName}")
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(manifestEntrySchema
+        .getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", nDeleted)
+      d.put("file_size_in_bytes", p.getLen)
+      d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      e.put("data_file", d)
+      e
+    }
+    val manifestName = s"$snapshotId-$token-del-m0.avro"
+    val manifestLen = writeAvroFile(
+      new File(new File(table, "metadata"), manifestName),
+      manifestEntrySchema, entries)
+    // manifest list: every prior manifest BY REFERENCE + the delete
+    // manifest, content=1, sequence = this snapshot (applies to all data
+    // files with sequence ≤ it — i.e. everything live right now)
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val prior = listEntries(fs, new Path(curList))
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
+        snapshotId, content = 1, seq = snapshotId),
+      v2 = true)
+    val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
+      formatVersion = 2, snapshotId, schemaForSnapshot(prevMeta, cur),
+      partitionSpec(prevMeta), listName, "delete", Map.empty)
+    if (!committed) {
+      fs.delete(new Path(table, staged), true)
+      fs.delete(new Path(metaDir(table), manifestName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      None
+    } else Some((snapshotId, nDeleted))
   }
 
   /** rewriteDataFiles — Iceberg's compaction op ([[DeltaLite.optimize]]'s
@@ -839,7 +1018,12 @@ object IcebergLite {
   def rewriteDataFiles(spark: SparkSession, table: String,
       targetFiles: Int = 1): (Long, Long, Long) = {
     val before = snapshotFiles(spark, table, -1L)
-    if (before.size <= targetFiles)
+    // a table carrying live position deletes compacts even under the file
+    // target: the rewrite is ALSO the op that materializes deletes away
+    // (read() merges them; the fresh overwrite manifest list drops the
+    // delete manifests) — same contract as DeltaLite.optimize with DVs
+    val liveDeletes = snapshotDeleteFiles(spark, table, -1L)
+    if (before.size <= targetFiles && liveDeletes.isEmpty)
       return (readMetadata(hadoopFs(spark, table), table,
         latestMetadataVersion(spark, table)).get("current-snapshot-id").asLong(),
         before.size.toLong, before.size.toLong)
@@ -866,11 +1050,13 @@ object IcebergLite {
     val rows = mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
     meta.get("snapshots").forEach { s =>
       val sid = s.get("snapshot-id").asLong()
-      val manifests = readAvroFile(fs, new Path(s.get("manifest-list").asText()))
+      // DATA manifests only: a delete snapshot adds a content=1 manifest
+      // whose entries are delete files, not table files
+      val manifests = listEntries(fs,
+        new Path(s.get("manifest-list").asText())).filter(_.content == 0)
       def liveCount(own: Boolean): Long = manifests
-        .filter(m => !own ||
-          m.get("added_snapshot_id").asInstanceOf[Long] == sid)
-        .map(m => readAvroFile(fs, new Path(m.get("manifest_path").toString))
+        .filter(m => !own || m.addedSid == sid)
+        .map(m => readAvroFile(fs, new Path(m.path))
           .count(_.get("status").asInstanceOf[Int] != 2).toLong).sum
       rows += ((sid,
         s.get("summary").get("operation").asText(),

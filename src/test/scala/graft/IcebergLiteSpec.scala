@@ -301,6 +301,67 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 3L
   }
 
+  test("position deletes: merge-on-read, re-delete union, sequence gating, time travel") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_posdel")
+    IcebergLite.write(spark,
+      (0L until 10L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2),
+      table)
+    // v1 table upgrades to format-version 2 on the first delete commit
+    val (sid1, n1) = IcebergLite.deleteWhere(spark, table, "k", 2L, 4L)
+    n1 shouldBe 3L
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(0L, 1L, 5L, 6L, 7L, 8L, 9L)
+    val meta = mapper.readTree(new java.io.File(table,
+      s"metadata/v$sid1.metadata.json"))
+    meta.get("format-version").asInt() shouldBe 2
+    // no data file was rewritten — merge-on-read, not copy-on-write
+    IcebergLite.history(spark, table).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, "append", 2L), (sid1, "delete", 0L))
+    // re-delete union: overlapping range counts only NEWLY-live rows
+    val (sid2, n2) = IcebergLite.deleteWhere(spark, table, "k", 3L, 6L)
+    n2 shouldBe 2L // 5 and 6; 3-4 were already deleted
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(0L, 1L, 7L, 8L, 9L)
+    // nothing matches → no commit, current snapshot unchanged
+    val (sid3, n3) = IcebergLite.deleteWhere(spark, table, "k", 100L, 200L)
+    n3 shouldBe 0L
+    sid3 shouldBe sid2
+    // time travel ACROSS the deletes: each snapshot sees its own state
+    IcebergLite.read(spark, table, snapshotId = 1L).count() shouldBe 10L
+    IcebergLite.read(spark, table, snapshotId = sid1).count() shouldBe 7L
+    // sequence gating: a row appended AFTER the deletes is NOT suppressed
+    // even though an old delete names the same logical key space
+    IcebergLite.write(spark, Seq((3L, 999L)).toDF("k", "v"), table)
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(0L, 1L, 3L, 7L, 8L, 9L)
+    // an append-only change feed refuses a range containing a delete
+    an[UnsupportedOperationException] should be thrownBy
+      IcebergLite.readChanges(spark, table, 1L, sid2)
+  }
+
+  test("position deletes: compaction materializes them away, expiration sweeps delete files") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")
+    IcebergLite.write(spark,
+      (0L until 8L).map(i => (i, i)).toDF("k", "v").repartition(2), table)
+    IcebergLite.deleteWhere(spark, table, "k", 0L, 2L)
+    val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    delFiles should have size 1
+    new java.io.File(delFiles.head).exists() shouldBe true
+    // rewrite reads MERGED rows and drops the delete manifests
+    val (sid, _, nAfter) = IcebergLite.rewriteDataFiles(spark, table)
+    nAfter shouldBe 1L
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(3L, 4L, 5L, 6L, 7L)
+    // expiration reclaims the superseded delete file like any data file
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    new java.io.File(delFiles.head).exists() shouldBe false
+    IcebergLite.read(spark, table).count() shouldBe 5L
+  }
+
   test("history: per-snapshot operation + genuinely recounted file counts") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_hist")
