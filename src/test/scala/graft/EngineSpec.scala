@@ -15,8 +15,26 @@ class EngineSpec extends SparkSpec with Matchers {
 
   test("driver contract: every oracle key has a query; entry returns rows") {
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
-    SparkEntry.queries.size should be >= 50
+    // Pinned floor: a net key-count drop is gate shrinkage and must fail
+    // the build (r10 lost 9 keys silently). Raise when keys are added.
+    SparkEntry.queries.size should be >= 386
     SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("verify dump: success writes parquet, a thrown key writes a loud error marker") {
+    val out = graft.ingest.Sinks.tempDir("verifydump")
+    Verify.dumpKey(spark, "ok_key",
+      (s, _) => { import s.implicits._; Seq(1, 2).toDF("n") }, "", out) shouldBe true
+    new java.io.File(s"$out/ok_key").listFiles()
+      .exists(_.getName.endsWith(".parquet")) shouldBe true
+    Verify.dumpKey(spark, "boom_key",
+      (_, _) => throw new IllegalStateException("kaboom \"quoted\""), "", out) shouldBe false
+    val marker = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/boom_key/_ERROR.json"))
+    marker should include ("boom_key")
+    marker should include ("kaboom")
+    // marker must be valid JSON despite quotes/newlines in the message
+    marker should include ("\\\"quoted\\\"")
   }
 
   test("theta join plans as an equi-hash join with the inequality residual") {
