@@ -46,9 +46,16 @@ object Bench {
     // them at index-build time, queries only probe
     try graft.llm.VectorIndex.warm(spark, sfDir)
     catch { case _: Throwable => () }
-    // ...and the shared shingle-id index the near-dup family probes
-    try graft.llm.Dedup.shingleIds(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // ...and the shared shingle-id index the near-dup family probes,
+    // plus its derived band/prefix artifacts (df-ranked prefix postings,
+    // minhash + simhash band relations — each bucketed by its self-join
+    // key, so the dedup keys measure the exchange-free probe path)
+    try {
+      graft.llm.Dedup.shingleIds(spark, sfDir).count()
+      graft.llm.Dedup.rankedShingleIndex(spark, sfDir)
+      graft.llm.Dedup.minhashBandIndex(spark, sfDir)
+      graft.llm.Dedup.simhashBandIndex(spark, sfDir)
+    } catch { case _: Throwable => () }
     // SPARK_GRAFT_KEYS narrows to a comma-separated key subset (dev-only).
     // SPARK_GRAFT_REPS repeats each key; the DEFAULT is 2 with the MINIMUM
     // reported: host contention noise is strictly additive (the r09 driver
@@ -61,31 +68,42 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(2).max(1)
     // deterministic (sorted) order: run-to-run and round-to-round timings
     // compare like-for-like instead of depending on Map iteration order
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => keyFilter.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              false
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // builder-side caches (dedup/similarity self-join inputs) must not
-          // outlive their query: evict before the next timing starts
-          spark.catalog.clearCache()
-          // a crashed query must not masquerade as a fast one: report -1
-          if (ok) dt else -1.0
+    // INTERLEAVED reps: pass 1 over every key, then pass 2, … — a host
+    // contention window then inflates at most one of a key's samples, so
+    // min/median decorrelates from it (back-to-back reps put every sample
+    // of the late-alphabet keys inside the same window: the r09/r10
+    // driver artifacts' 1.6-2.3× tail).
+    val samples = Array.fill(keys.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Double])
+    (1 to reps).foreach { pass =>
+      keys.zipWithIndex.foreach { case ((name, fn), i) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
-        val dt =
-          if (times.contains(-1.0)) -1.0
-          else if (reps <= 2) times.min
-          else times.sorted.apply(times.length / 2)
-        System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
-          (if (reps > 1) times.map(t => f"$t%.2f").mkString("  [", " ", "]") else ""))
-        name -> dt
+        val dt = (System.nanoTime() - t0) / 1e9
+        // builder-side caches (dedup/similarity self-join inputs) must not
+        // outlive their query: evict before the next timing starts
+        spark.catalog.clearCache()
+        // a crashed query must not masquerade as a fast one: report -1
+        samples(i) += (if (ok) dt else -1.0)
       }
+      System.err.println(s"[bench] === pass $pass/$reps complete ===")
+    }
+    val results = keys.zipWithIndex.map { case ((name, _), i) =>
+      val times = samples(i).toSeq
+      val dt =
+        if (times.contains(-1.0)) -1.0
+        else if (reps <= 2) times.min
+        else times.sorted.apply(times.length / 2)
+      System.err.println(f"[bench] $name%-24s $dt%8.2fs" +
+        (if (reps > 1) times.map(t => f"$t%.2f").mkString("  [", " ", "]") else ""))
+      name -> dt
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

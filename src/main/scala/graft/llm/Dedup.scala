@@ -289,6 +289,32 @@ object Dedup {
       f: DataFrame => A): A =
     loan(minhashBuild(docs, threshold, None))(f)
 
+  /** Session-persisted full-corpus LSH band relation
+    * `(doc_id, sig, band_idx, band_val)` MATERIALIZED PRE-PARTITIONED by
+    * the collision-join keys — signatures derive from the session shingle
+    * index, so a query's whole cost is the (exchange-free) self-join. A
+    * doc's signature depends only on its own shingles, so slicing the
+    * artifact by doc_id yields exactly the slice's band relation. */
+  def minhashBandIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ids = shingleIds(spark, dir) // resolve BEFORE entering the registry
+    graft.relational.SessionIndex.getOrBuildPartitioned(spark, s"minhash_banded|$dir") {
+      bandedSignatures(
+        minhashSignatures(graft.model.Tables.documents(spark, dir),
+          idsOpt = Some(ids)), NumBands)
+        .repartition(col("band_idx"), col("band_val"))
+    }
+  }
+
+  /** [[minhashNearDuplicates]] probing the session [[minhashBandIndex]],
+    * optionally restricted to a doc_id slice (`docFilter`); the filter
+    * preserves the artifact's band partitioning, so the collision join
+    * runs with no exchange and no per-run caches. */
+  def minhashNearDuplicatesIndexed(spark: SparkSession, dir: String,
+      threshold: Double, docFilter: Column = lit(true)): DataFrame =
+    bandCollisionPairs(minhashBandIndex(spark, dir).where(docFilter))
+      .where(col("est_sim") >= threshold)
+      .orderBy("da", "db")
+
   private def minhashBuild(docs: DataFrame, threshold: Double,
       idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     // the BANDED relation (not the signatures) is what both sides of the
@@ -385,6 +411,54 @@ object Dedup {
       f: DataFrame => A): A =
     loan(prefixFilterBuild(docs, threshold, None))(f)
 
+  /** df-ranked shingle rows `(doc_id, sid, df, rn, m)` — the prefix
+    * filter's canonical order, threshold-INDEPENDENT (the threshold only
+    * picks how much of each document's ranking counts as prefix).
+    * Document frequency is a WINDOWED count over sid — ONE shuffle of the
+    * id stream, no aggregate relation, no join back. The r10 first cut
+    * pinned shuffle_hash on a groupBy+join formulation (the broadcast
+    * trap: the dfreq relation is vocabulary-sized — billions of distinct
+    * shingles at 100 TB — and its artifact-derived stats underestimate,
+    * so the planner would broadcast it); the window form removes the
+    * join entirely: same scalable partitioning (sid spreads evenly,
+    * per-key rows bounded by df), one exchange fewer, nothing to
+    * mis-broadcast. */
+  private def rankedShingles(ids: DataFrame): DataFrame =
+    ids
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sid")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "sid")).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+
+  /** Session-persisted [[rankedShingles]] over the FULL documents table of
+    * `dir`, MATERIALIZED PRE-PARTITIONED by the prefix self-join key (sid)
+    * — the PostingsIndex pay-the-shuffle-once discipline: per query the
+    * prefix filter + self-join consume the bucketed layout with NO
+    * exchange and no window re-computation (the r10 de-broadcasting kept
+    * the scalable plan but re-paid both window shuffles every run; at
+    * scale this is the persisted table bucketed by sid, refreshed on
+    * ingest). */
+  def rankedShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.relational.SessionIndex.getOrBuildPartitioned(spark, s"shingle_ranked|$dir") {
+      rankedShingles(shingleIds(spark, dir)).repartition(col("sid"))
+    }
+
+  /** [[prefixFilterNearDuplicates]] probing the session [[rankedShingleIndex]]
+    * — the steady-state query path (no per-run caches to release: both
+    * self-join sides scan the checkpointed sid-partitioned artifact). */
+  def prefixFilterNearDuplicatesIndexed(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val ranked = rankedShingleIndex(spark, dir)
+    // filter preserves the artifact's sid partitioning → exchange-free join
+    val pfx = ranked
+      .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .select("doc_id", "sid", "m")
+    prefixPairsFrom(pfx, shingleIds(spark, dir), threshold)
+  }
+
   private def prefixFilterBuild(docs: DataFrame, threshold: Double,
       idsOpt: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
     // shingleSets is distinct-per-doc by construction and the session
@@ -393,33 +467,25 @@ object Dedup {
     // every one of this plan's four consumers of `ids`
     val ids = idsOpt.getOrElse(shingleSets(docs)
       .select(col("doc_id"), hashId(col("s")).as("sid")).distinct().cache())
-    // document frequency as a WINDOWED count over sid — ONE shuffle of the
-    // id stream, no aggregate relation, no join back. The r10 first cut
-    // pinned shuffle_hash on a groupBy+join formulation (the broadcast
-    // trap: the dfreq relation is vocabulary-sized — billions of distinct
-    // shingles at 100 TB — and its artifact-derived stats underestimate,
-    // so the planner would broadcast it); the window form removes the
-    // join entirely: same scalable partitioning (sid spreads evenly,
-    // per-key rows bounded by df), one exchange fewer, nothing to
-    // mis-broadcast.
-    val ranked = ids
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sid")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("df", "sid")).cast("long"))
-      .withColumn("m", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     // cached: feeds BOTH sides of the candidate self-join — without it the
-    // explode → df-join → double-window chain executes twice
-    val pfx = ranked
+    // explode → df-window chain executes twice
+    val pfx = rankedShingles(ids)
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
       .select("doc_id", "sid", "m")
       // pre-partition by the self-join key before caching: one shuffle
       // feeds BOTH join sides (InMemoryRelation preserves partitioning)
       .repartition(col("sid")).cache()
+    val result = prefixPairsFrom(pfx, ids, threshold)
+    (result, if (idsOpt.isDefined) Seq(pfx) else Seq(ids, pfx))
+  }
+
+  /** Candidate self-join + Jaccard verification over a prefix relation
+    * `(doc_id, sid, m)` already partitioned by sid. */
+  private def prefixPairsFrom(pfx: DataFrame, ids: DataFrame,
+      threshold: Double): DataFrame = {
     // the self-join's build side is the same corpus-scale prefix relation
-    // (cached => underestimated stats => broadcast): pin shuffle too
+    // (cached/checkpointed => underestimated stats => broadcast): pin
+    // shuffle too
     val cands = pfx.as("a").join(pfx.as("b").hint("shuffle_hash"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.m"), col("b.m")).cast("double") >=
@@ -433,7 +499,7 @@ object Dedup {
     // sf0.1: ~4.5 s/run rebuilding two corpus-wide hashed relations; at
     // 100 TB it is a driver OOM. SHUFFLE_HASH pins the scalable plan
     // (evenly-spread doc_id/sid keys, bounded per-key rows).
-    val result = cands
+    cands
       .join(ids.select(col("doc_id").as("da"), col("sid")).hint("shuffle_hash"),
         "da")
       .join(ids.select(col("doc_id").as("db"), col("sid")).hint("shuffle_hash"),
@@ -445,7 +511,6 @@ object Dedup {
           (col("ma") + col("mb") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
       .orderBy("da", "db")
-    (result, if (idsOpt.isDefined) Seq(pfx) else Seq(ids, pfx))
   }
 
   def simhash(docs: DataFrame): DataFrame =
@@ -493,21 +558,33 @@ object Dedup {
 
   private def simhashPairsBuild(docs: DataFrame,
       maxHamming: Int): (DataFrame, Seq[DataFrame]) = {
-    require(maxHamming <= 3,
-      s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
-    val bandBits = SimhashPairBits / 4
-    val mask = (1L << bandBits) - 1
     // cache the BANDED relation pre-partitioned by the join keys: the
     // fingerprint chain runs once, one shuffle feeds both self-join
     // sides, and the shuffle pin keeps the corpus-scale relation off the
     // broadcast path (r10 audit — the minhashBuild discipline)
-    val banded = simhashFingerprints(docs, SimhashPairBits)
+    val banded = simhashBanded(docs)
+      .repartition(col("band_idx"), col("band_val")).cache()
+    (simhashPairsFrom(banded, maxHamming), Seq(banded))
+  }
+
+  /** 4×15-bit band rows `(doc_id, simhash, band_idx, band_val)` of the
+    * 60-bit pairing fingerprint. */
+  private def simhashBanded(docs: DataFrame): DataFrame = {
+    val bandBits = SimhashPairBits / 4
+    val mask = (1L << bandBits) - 1
+    simhashFingerprints(docs, SimhashPairBits)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band_idx", "band_val")))
-      .repartition(col("band_idx"), col("band_val")).cache()
-    val result = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+  }
+
+  /** Band-collision candidates + Hamming verification over a band relation
+    * already partitioned by (band_idx, band_val). */
+  private def simhashPairsFrom(banded: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      s"4-band blocking is only complete for maxHamming <= 3, got $maxHamming")
+    banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -518,8 +595,23 @@ object Dedup {
         bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .orderBy("da", "db")
-    (result, Seq(banded))
   }
+
+  /** Session-persisted full-corpus SimHash band relation, materialized
+    * pre-partitioned by the collision-join keys (the [[minhashBandIndex]]
+    * discipline: the fingerprint chain — tokenize, 60 votes, band explode
+    * — is paid once per session; each query is the exchange-free
+    * self-join + one codegen'd bit_count per candidate). */
+  def simhashBandIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.relational.SessionIndex.getOrBuildPartitioned(spark, s"simhash_banded|$dir") {
+      simhashBanded(graft.model.Tables.documents(spark, dir))
+        .repartition(col("band_idx"), col("band_val"))
+    }
+
+  /** [[simhashNearDuplicates]] probing the session [[simhashBandIndex]]. */
+  def simhashNearDuplicatesIndexed(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhashBandIndex(spark, dir), maxHamming)
 
   /** Duplicate-cluster assignment: connected components of the near-dup
     * pair graph by iterative min-label propagation — the step that turns

@@ -257,8 +257,7 @@ object LlmQueries {
     }),
 
     "x_dedup_prefix" -> ((s, dir) =>
-      Dedup.prefixFilterNearDuplicates(Tables.documents(s, dir), JaccardThreshold,
-        idsOpt = Some(Dedup.shingleIds(s, dir)))),
+      Dedup.prefixFilterNearDuplicatesIndexed(s, dir, JaccardThreshold)),
 
     // X102: the BPE statistics pass — adjacent character-pair counts over
     // the distinct-word table, weighted by word frequency (the merge LOOP
@@ -361,7 +360,7 @@ object LlmQueries {
       Dedup.simhash(Tables.documents(s, dir))),
 
     "x_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 3)),
+      Dedup.simhashNearDuplicatesIndexed(s, dir, maxHamming = 3)),
 
     // probes=2 (multi-probe IVF) is the measured default: the X199 sweep
     // (`x_near_dup_eval_ivf`) put probes=1 at 26% pair recall vs 63% at
@@ -686,11 +685,10 @@ object LlmQueries {
     // Same bounded doc slice as the ngram twin; loan scope releases the
     // signature caches once the (tiny) label relation materializes.
     "x_dedup_cluster_minhash" -> ((s, dir) =>
-      Dedup.withMinhashNearDuplicates(
-        Tables.documents(s, dir).where(col("doc_id") < 1000),
-        MinhashThreshold) { pairs =>
-        Dedup.duplicateClusters(pairs, graphPartitions = 8)
-      }),
+      Dedup.duplicateClusters(
+        Dedup.minhashNearDuplicatesIndexed(s, dir, MinhashThreshold,
+          docFilter = col("doc_id") < 1000),
+        graphPartitions = 8)),
 
     // cluster → canonical: keep the best member per duplicate cluster,
     // reusing the session-memoized cluster relation instead of re-running

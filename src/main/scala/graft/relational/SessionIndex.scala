@@ -50,6 +50,24 @@ object SessionIndex {
   def getOrBuild(spark: SparkSession, name: String)(build: => DataFrame): DataFrame =
     getOrRegister(spark, scoped(spark, name))(build.localCheckpoint(true))
 
+  /** [[getOrBuild]] for artifacts whose VALUE is their bucketing: `build`
+    * must end in `repartition(<join key>)`, and the checkpoint must keep
+    * that hashpartitioning so consumers' joins run with NO exchange.
+    * An AQE-planned checkpoint reports UnknownPartitioning on its
+    * LogicalRDD (coalesced shuffle reads), silently forfeiting the layout
+    * — so the build runs with AQE OFF (one-time cost; queries keep AQE,
+    * and AQE-on consumers recognize the preserved partitioning: measured,
+    * the prefix/band self-joins drop from 4 exchanges to 0). */
+  def getOrBuildPartitioned(spark: SparkSession, name: String)(
+      build: => DataFrame): DataFrame =
+    getOrRegister(spark, scoped(spark, name)) {
+      val key = "spark.sql.adaptive.enabled"
+      val prior = spark.conf.get(key, "true")
+      spark.conf.set(key, "false")
+      try build.localCheckpoint(true)
+      finally spark.conf.set(key, prior)
+    }
+
   /** Like [[getOrBuild]], but `build` returns an ALREADY-materialized
     * relation (e.g. a loan-pattern chain that localCheckpoints inside its
     * scope so intermediate caches can be released) — registered as-is,
