@@ -606,6 +606,34 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X261l: ancestry-walking Iceberg incremental read — the range crosses
+    * a `replace` (rewriteDataFiles) snapshot, which the manifest-list-diff
+    * feed ([[icebergIncremental]]) must refuse (file attribution off the
+    * CURRENT list breaks once a replace rewrote it). The ancestry walk
+    * attributes each snapshot's rows off its OWN retained manifest list:
+    * appends before AND after the compaction land in the feed exactly
+    * once, the replace contributes nothing. Both the tolerant result and
+    * the legacy refusal are pinned. */
+  private def icebergIncrReplace(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("iceberg_incr_rpl")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 0), table)
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 1), table)
+    IcebergLite.rewriteDataFiles(spark, table) // snapshot 3: replace
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 2), table)
+    val legacyRefuses =
+      try { IcebergLite.readChanges(spark, table, 1L, 4L); false }
+      catch { case _: UnsupportedOperationException => true }
+    IcebergLite.readChangesAncestry(spark, table, fromSnap = 1L, toSnap = 4L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .withColumn("legacy_refuses", lit(legacyRefuses))
+      .orderBy("event_type")
+  }
+
   /** X36m: Delta data skipping off the log's `stats` layer — four
     * appends, each a contiguous quarter of the o_orderkey range staged as
     * one file with `collectStats = true` (per-file numRecords + min/max
@@ -1020,6 +1048,7 @@ object FormatQueries {
     "x_iceberg_schema_evolution" -> ((s, dir) => icebergSchemaEvolution(s, dir)),
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
+    "x_iceberg_incr_replace" -> ((s, dir) => icebergIncrReplace(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
     "x_iceberg_skipping" -> ((s, dir) => icebergSkipping(s, dir)),
@@ -1082,6 +1111,15 @@ object FormatQueries {
         |  CAST(sum(user_id) AS BIGINT) AS user_sum,
         |  round(sum(value), 2) AS value_sum
         |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // appends 2 and 4 (event_id % 3 in {1, 2}) cross the replace; the
+    // compaction itself adds no rows and the legacy feed refuses
+    "x_iceberg_incr_replace" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum,
+        |  TRUE AS legacy_refuses
+        |FROM events WHERE event_id % 3 IN (1, 2)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "x_iceberg_roundtrip" -> aggSql,
     // same contract as x_delta_skipping, planned off Iceberg manifests

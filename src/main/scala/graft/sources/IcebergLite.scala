@@ -812,6 +812,60 @@ object IcebergLite {
     spark.read.parquet(files: _*)
   }
 
+  /** ANCESTRY-WALKING incremental read: rows added in (fromSnap, toSnap],
+    * tolerant of `replace` (rewriteDataFiles) snapshots in the range —
+    * the full-strength form of [[readChanges]], which attributes files
+    * off the LATEST manifest list and therefore must refuse once a
+    * replace has rewritten that list. Here each snapshot in range is
+    * walked through its OWN retained manifest list and contributes
+    * exactly the manifests it added (added_snapshot_id == its id):
+    *   - `append` snapshots contribute their added data files (the rows
+    *     first committed in that snapshot — still on disk within the
+    *     retention window, even if a later replace compacted them away
+    *     from the CURRENT snapshot);
+    *   - `replace` snapshots contribute nothing (byte-not-row rewrites
+    *     add no rows — Iceberg's own incremental appends scan makes the
+    *     same move);
+    *   - `overwrite` / `delete` snapshots REFUSE: logical row removal has
+    *     no representation in an append-only feed (X36h's contract).
+    * Every walked snapshot must still be retained (expiration removes
+    * the ancestry evidence — refuse by absence, never guess). */
+  def readChangesAncestry(spark: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long): DataFrame = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val snapLists = metaJsonSnapshots(meta).toMap
+    val files = mutable.ArrayBuffer.empty[String]
+    meta.get("snapshots").forEach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      if (sid > fromSnap && sid <= toSnap) {
+        val op = s.get("summary").get("operation").asText()
+        op match {
+          case "overwrite" | "delete" =>
+            throw new UnsupportedOperationException(
+              s"snapshot $sid ${op}s rows: append-only change feed cannot " +
+                "represent it — use row-level CDC")
+          case "replace" => // byte rewrite, no new rows
+          case _ =>
+            files ++= listEntries(fs, new Path(snapLists(sid)))
+              .filter(m => m.content == 0 && m.addedSid == sid)
+              .flatMap(m => readAvroFile(fs, new Path(m.path))
+                .filter(_.get("status").asInstanceOf[Int] != 2)
+                .map(_.get("data_file").asInstanceOf[GenericRecord]
+                  .get("file_path").toString))
+        }
+      }
+    }
+    // a requested range reaching past retention is an error, not silence
+    (fromSnap + 1 to toSnap).foreach(sid => require(snapLists.contains(sid),
+      s"snapshot $sid expired from $table: ancestry walk cannot attribute " +
+        "its rows"))
+    require(files.nonEmpty, s"no files added in ($fromSnap, $toSnap] on $table")
+    spark.read.parquet(files.toSeq: _*)
+  }
+
   private def sparkType(t: String): org.apache.spark.sql.types.DataType =
     t match {
       case "long" => LongType

@@ -362,6 +362,31 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 5L
   }
 
+  test("ancestry incremental read tolerates replace, refuses deletes and expired ranges") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_incr_anc")
+    IcebergLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), table)
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    IcebergLite.rewriteDataFiles(spark, table) // snapshot 3: replace
+    IcebergLite.write(spark, Seq((4L, 40L)).toDF("k", "v"), table)
+    // legacy list-diff feed refuses the replace; the ancestry walk does not
+    an[UnsupportedOperationException] should be thrownBy
+      IcebergLite.readChanges(spark, table, 1L, 4L)
+    IcebergLite.readChangesAncestry(spark, table, 1L, 4L)
+      .select("k").as[Long].collect().sorted shouldBe Seq(3L, 4L)
+    // full-range walk: every append exactly once, the replace contributes 0
+    IcebergLite.readChangesAncestry(spark, table, 0L, 4L)
+      .select("k").as[Long].collect().sorted shouldBe Seq(1L, 2L, 3L, 4L)
+    // a delete snapshot in range still refuses (logical row removal)
+    IcebergLite.deleteWhere(spark, table, "k", 4L, 4L)
+    an[UnsupportedOperationException] should be thrownBy
+      IcebergLite.readChangesAncestry(spark, table, 0L, 5L)
+    // expiration removes the ancestry evidence → refuse by absence
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.readChangesAncestry(spark, table, 0L, 4L)
+  }
+
   test("history: per-snapshot operation + genuinely recounted file counts") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_hist")
