@@ -33,8 +33,10 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *   - deletion vectors are implemented ([[deleteWhereDV]] writes
   *     roaring-bitmap DV files; [[readWithStats]] and every rewrite path
   *     subtract them) with the reader-3/writer-7 table-features protocol
-  *     upgrade; the remaining exclusion is column mapping only — a
-  *     DV-free table stays standard protocol v1.
+  *     upgrade; column mapping is implemented in NAME mode
+  *     ([[writeColumnMapped]]/[[renameColumn]]/[[dropColumn]], protocol
+  *     2/5) — id-mode mapping and mapped-table evolution remain out, and
+  *     a DV-free unmapped table stays standard protocol v1.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own
@@ -121,7 +123,8 @@ object DeltaLite {
 
   private def metaDataLine(schema: StructType,
       tableId: String = java.util.UUID.randomUUID().toString,
-      partitionColumns: Seq[String] = Seq.empty): String =
+      partitionColumns: Seq[String] = Seq.empty,
+      configuration: Map[String, String] = Map.empty): String =
     jsonObj("metaData") { m =>
     m.put("id", tableId)
     val fmt = m.putObject("format")
@@ -130,7 +133,8 @@ object DeltaLite {
     m.put("schemaString", schema.json)
     val pc = m.putArray("partitionColumns")
     partitionColumns.foreach(pc.add)
-    m.putObject("configuration")
+    val conf = m.putObject("configuration")
+    configuration.foreach { case (k, v) => conf.put(k, v) }
     m.put("createdTime", 0L)
   }
 
@@ -652,6 +656,7 @@ object DeltaLite {
       targetFiles: Int = 1): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "optimize()")
     val latest = latestVersion(spark, table)
     val before = snapshot(spark, table, latest)
     // a PARTITIONED table must compact WITHIN partitions — a cross-
@@ -782,6 +787,7 @@ object DeltaLite {
       colY: String, targetFiles: Int): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, pmod}
     val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "optimizeZorder()")
     val latest = latestVersion(spark, table)
     val before = snapshot(spark, table, latest)
     require(before.pvals.isEmpty,
@@ -847,6 +853,7 @@ object DeltaLite {
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "writePartitioned()")
     require(df.schema.fieldNames.contains(partCol),
       s"partition column $partCol absent from schema")
     var attempt = 0
@@ -1024,11 +1031,158 @@ object DeltaLite {
       txn = Some((TxnAppId, batchId)))
   }
 
+  // ----------------------------------------------------------------------
+  // Column mapping, NAME mode (PROTOCOL.md §Column Mapping) — the layer
+  // that decouples LOGICAL column names from the PHYSICAL parquet names:
+  // every schema field carries `delta.columnMapping.id` and
+  // `delta.columnMapping.physicalName` in its metadata, data files store
+  // only physical names, and readers translate at scan time. The payoff
+  // is metadata-only RENAME and DROP — at 100 TB, renaming a column
+  // rewrites one JSON line instead of the table. Tables declare the mode
+  // in metaData.configuration and the legacy protocol pair (reader 2 /
+  // writer 5) the spec assigns the feature.
+  // ----------------------------------------------------------------------
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+  private val ColumnIdKey = "delta.columnMapping.id"
+
+  private[graft] def isColumnMapped(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalNameKey))
+
+  private def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    f.metadata.getString(PhysicalNameKey)
+
+  /** Refuse-rather-than-answer-wrong guard for operators that read or
+    * write data files under LOGICAL names (stats skipping, DV deletes,
+    * compaction, plain writes, change feeds): on a column-mapped table
+    * the parquet columns are physical, so a logical-name scan would
+    * surface every column as NULL — silently. */
+  private def requireNotMapped(spark: SparkSession, table: String,
+      op: String): Unit =
+    if (latestVersion(spark, table) >= 0) {
+      val s =
+        try tableSchema(spark, table)
+        catch { case _: IllegalArgumentException => return } // no metaData yet
+      require(!isColumnMapped(s),
+        s"$table uses column mapping: $op reads/writes physical-name data " +
+          "files under logical names and is not wired for mapped tables " +
+          "in this subset — use the columnMapped ops")
+    }
+
+  private def cmConfiguration(schema: StructType): Map[String, String] = Map(
+    "delta.columnMapping.mode" -> "name",
+    "delta.columnMapping.maxColumnId" ->
+      schema.fields.map(_.metadata.getLong(ColumnIdKey)).max.toString)
+
+  private def cmProtocolLine: String = jsonObj("protocol") { p =>
+    p.put("minReaderVersion", 2)
+    p.put("minWriterVersion", 5)
+  }
+
+  /** Create (v0) or append to a column-mapped table: logical columns map
+    * to stable physical names `col-<id>` assigned at creation; staged
+    * parquet carries ONLY physical names. Appends must present the
+    * table's current logical schema (the mapping is looked up by logical
+    * name; evolution of mapped tables is out of this subset, stated). */
+  def writeColumnMapped(spark: SparkSession, df: DataFrame, table: String,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.col
+    val fs = hadoopFs(spark, table)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, table) + 1
+      val (header, mapped) =
+        if (v == 0) {
+          val m = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong(ColumnIdKey, i + 1L)
+              .putString(PhysicalNameKey, s"col-${i + 1}")
+              .build())
+          })
+          (Seq(cmProtocolLine,
+            metaDataLine(m, configuration = cmConfiguration(m))), m)
+        } else {
+          val schema = tableSchema(spark, table)
+          require(isColumnMapped(schema),
+            s"$table is not column-mapped: use write()")
+          require(schema.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
+            schema.fields.map(_.dataType).toSeq ==
+              df.schema.fields.map(_.dataType).toSeq,
+            s"append schema must match $table's logical schema exactly " +
+              "(mapped-table evolution is out of this subset)")
+          (Seq.empty, schema)
+        }
+      val physical = df.select(mapped.fields.map(f =>
+        col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staged = s"data/v$v-cm-$token"
+      physical.write.mode("errorifexists").parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      val adds = parts.toSeq.map(p =>
+        addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime))
+      if (tryCommit(fs, table, v,
+          commitInfoLine("WRITE") +: (header ++ adds))) return v
+      fs.delete(new Path(table, staged), true)
+      attempt += 1
+    }
+    throw new IllegalStateException(s"commit lost $maxRetries races on $table")
+  }
+
+  /** METADATA-ONLY column rename — the reason name mapping exists: the
+    * new metaData re-declares the logical name while the field keeps its
+    * id and physicalName, so no data file moves and prior versions still
+    * time-travel under their own names. Returns the commit version. */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val v = latestVersion(spark, table) + 1
+    require(v > 0, s"$table has no Delta log")
+    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val schema = tableSchema(spark, table)
+    require(isColumnMapped(schema),
+      s"renaming without a rewrite requires column mapping — $table is unmapped")
+    require(schema.fieldNames.contains(oldName), s"no column $oldName in $table")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists in $table")
+    val renamed = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("RENAME COLUMN"),
+        metaDataLine(renamed, id, configuration = cmConfiguration(renamed)))))
+      throw new IllegalStateException(s"rename lost the commit race on $table")
+    v
+  }
+
+  /** METADATA-ONLY column drop (column mapping's second superpower): the
+    * field leaves the logical schema; its physical column stays in every
+    * data file, invisible to readers (a later physical purge is a
+    * rewrite — out of scope here, as in Delta's own DROP COLUMN). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val v = latestVersion(spark, table) + 1
+    require(v > 0, s"$table has no Delta log")
+    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val schema = tableSchema(spark, table)
+    require(isColumnMapped(schema),
+      s"dropping without a rewrite requires column mapping — $table is unmapped")
+    require(schema.fieldNames.contains(name), s"no column $name in $table")
+    require(schema.fields.length > 1, s"cannot drop the last column of $table")
+    val dropped = StructType(schema.fields.filterNot(_.name == name))
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("DROP COLUMNS"),
+        metaDataLine(dropped, id, configuration = cmConfiguration(dropped)))))
+      throw new IllegalStateException(s"drop lost the commit race on $table")
+    v
+  }
+
   private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean, tag: String, maxRetries: Int = 10,
       collectStats: Boolean = false,
       txn: Option[(String, Long)] = None): Long = {
     val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "plain write()") // use writeColumnMapped
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, table) + 1
@@ -1105,6 +1259,7 @@ object DeltaLite {
   def readChanges(spark: SparkSession, table: String, fromV: Long,
       toV: Long): DataFrame = {
     val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "readChanges()") // physical-name scan
     val added = mutable.LinkedHashSet.empty[String]
     ((fromV + 1) to toV).foreach { v =>
       val p = versionFile(table, v)
@@ -1145,6 +1300,7 @@ object DeltaLite {
     * a filter. Returns (matched files, matched count, total count). */
   def planSkipping(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long): (Seq[String], Long, Long) = {
+    requireNotMapped(spark, table, "planSkipping()")
     val snap = snapshot(spark, table, latestVersion(spark, table))
     val matched = snap.files.filter { f =>
       snap.stats.get(f) match {
@@ -1377,12 +1533,27 @@ object DeltaLite {
     val schema = DataType.fromJson(snap.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))._2)
       .asInstanceOf[StructType]
+    // column mapping: data files store PHYSICAL names — scan under the
+    // physical schema, then alias every column back to its logical name
+    // (per-version: a read below a rename surfaces that version's names)
+    val mapped = isColumnMapped(schema)
+    val scanSchema =
+      if (!mapped) schema
+      else StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(
+          physicalName(f), f.dataType, f.nullable)))
+    def toLogical(d: DataFrame): DataFrame =
+      if (!mapped) d
+      else d.select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(physicalName(f)).as(f.name))
+        .toIndexedSeq: _*)
     val df =
       if (snap.files.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema)
       else if (snap.dvs.isEmpty)
-        spark.read.schema(schema).parquet(snap.files.map(f => s"$table/$f"): _*)
+        toLogical(spark.read.schema(scanSchema)
+          .parquet(snap.files.map(f => s"$table/$f"): _*))
       else {
         // merge-on-read: subtract each file's deleted positions. The
         // vectors decode driver-side (bounded by the snapshot's deleted-
@@ -1400,13 +1571,13 @@ object DeltaLite {
             DeletionVectors.readPositions(fs, table, d).map(p => (name, p))
         }
         val delDf = deleted.toDF("__fn", "__ri")
-        spark.read.schema(schema)
+        toLogical(spark.read.schema(scanSchema)
           .parquet(snap.files.map(f => s"$table/$f"): _*)
           .withColumn("__fn",
             element_at(split(c_("_metadata.file_path"), "/"), -1))
           .withColumn("__ri", c_("_metadata.row_index"))
           .join(delDf, Seq("__fn", "__ri"), "left_anti")
-          .drop("__fn", "__ri")
+          .drop("__fn", "__ri"))
       }
     (df, snap)
   }

@@ -606,6 +606,32 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X36u: Delta COLUMN MAPPING, name mode (PROTOCOL.md §Column Mapping)
+    * — logical names decoupled from physical parquet names, making RENAME
+    * and DROP metadata-only commits (one JSON line instead of a 100 TB
+    * rewrite). The key creates a mapped table, appends, renames
+    * o_totalprice → price and drops o_orderpriority (both metadata-only —
+    * `files_moved` pins that the live data-file set never changed), then
+    * aggregates under the NEW logical names; `old_name_at_v1` proves the
+    * pre-rename version still time-travels under its own schema. */
+  private def deltaColumnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cm")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.writeColumnMapped(spark, o.where(col("o_orderkey") % 2 === 0), table)
+    DeltaLite.writeColumnMapped(spark, o.where(col("o_orderkey") % 2 === 1), table)
+    val filesBefore = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    DeltaLite.renameColumn(spark, table, "o_totalprice", "price")
+    DeltaLite.dropColumn(spark, table, "o_orderpriority")
+    val filesAfter = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    val oldNameAtV1 = DeltaLite.read(spark, table, versionAsOf = 1L)
+      .schema.fieldNames.contains("o_totalprice")
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"))
+      .withColumn("files_moved", lit((filesAfter != filesBefore)))
+      .withColumn("old_name_at_v1", lit(oldNameAtV1))
+  }
+
   /** X261l: ancestry-walking Iceberg incremental read — the range crosses
     * a `replace` (rewriteDataFiles) snapshot, which the manifest-list-diff
     * feed ([[icebergIncremental]]) must refuse (file attribution off the
@@ -1049,6 +1075,7 @@ object FormatQueries {
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_incr_replace" -> ((s, dir) => icebergIncrReplace(s, dir)),
+    "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
     "x_iceberg_skipping" -> ((s, dir) => icebergSkipping(s, dir)),
@@ -1112,6 +1139,12 @@ object FormatQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // rename + drop are metadata-only (files_moved false); the aggregate
+    // runs under the post-rename logical name
+    "x_delta_column_mapping" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+        |  FALSE AS files_moved, TRUE AS old_name_at_v1
+        |FROM orders""".stripMargin,
     // appends 2 and 4 (event_id % 3 in {1, 2}) cross the replace; the
     // compaction itself adds no rows and the legacy feed refuses
     "x_iceberg_incr_replace" ->

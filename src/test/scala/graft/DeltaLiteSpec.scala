@@ -586,6 +586,56 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.read(spark, t3).agg(min($"k")).head.getLong(0) shouldBe 10L
   }
 
+  test("column mapping: physical names in files, metadata-only rename/drop, guards") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cm0")
+    val df = (0L until 10L).map(k => (k, k * 10, s"s$k")).toDF("k", "v", "s")
+    DeltaLite.writeColumnMapped(spark, df, table)
+    // data files carry ONLY physical names
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFile = fs.listFiles(new Path(table, "data"), true)
+    var physNames: Seq[String] = Nil
+    while (dataFile.hasNext) {
+      val p = dataFile.next().getPath
+      if (p.getName.endsWith(".parquet"))
+        physNames = spark.read.parquet(p.toString).schema.fieldNames.toSeq
+    }
+    physNames shouldBe Seq("col-1", "col-2", "col-3")
+    // reads surface logical names; protocol is the legacy mapping pair
+    DeltaLite.read(spark, table).schema.fieldNames.toSeq shouldBe Seq("k", "v", "s")
+    DeltaLite.read(spark, table).agg(sum($"v")).head.getLong(0) shouldBe 450L
+    val proto = logLines(table, 0L).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    proto.get("minReaderVersion").asInt() shouldBe 2
+    proto.get("minWriterVersion").asInt() shouldBe 5
+    // append maps by logical name; rename + drop move no data files
+    DeltaLite.writeColumnMapped(spark,
+      Seq((100L, 1000L, "x")).toDF("k", "v", "s"), table)
+    val filesBefore = DeltaLite.readWithStats(spark, table)._2.files.toSet
+    DeltaLite.renameColumn(spark, table, "v", "value")
+    DeltaLite.dropColumn(spark, table, "s")
+    DeltaLite.readWithStats(spark, table)._2.files.toSet shouldBe filesBefore
+    DeltaLite.read(spark, table).schema.fieldNames.toSeq shouldBe Seq("k", "value")
+    DeltaLite.read(spark, table).agg(sum($"value")).head.getLong(0) shouldBe 1450L
+    // time travel below the rename reads that version's own names
+    DeltaLite.read(spark, table, versionAsOf = 0L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v", "s")
+    DeltaLite.read(spark, table, versionAsOf = 0L)
+      .agg(sum($"v")).head.getLong(0) shouldBe 450L
+    // logical-name data ops refuse rather than scan physical files wrong
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark, df, table)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.optimize(spark, table)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.deleteWhere(spark, table, "k", 0L, 1L)
+    // rename/drop on an UNMAPPED table refuse (they'd require a rewrite)
+    val plain = Sinks.tempDir("delta_cm_plain")
+    DeltaLite.write(spark, df, plain)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.renameColumn(spark, plain, "v", "value")
+  }
+
   test("DV delete drops a file whose every row is deleted") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_dv_full")
