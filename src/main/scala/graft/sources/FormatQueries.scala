@@ -632,6 +632,36 @@ object FormatQueries {
       .withColumn("old_name_at_v1", lit(oldNameAtV1))
   }
 
+  /** X261m: Iceberg v2 EQUALITY DELETES — the streaming-upsert delete
+    * kind (spec §Row-level deletes, content = 2): the writer commits only
+    * the VALUE LIST (no table scan at delete time), readers suppress
+    * matching rows in data files with sequence STRICTLY below the
+    * delete's, so the row re-appended AFTER the delete survives with its
+    * new price — the CDC upsert semantics the kind exists for. */
+  private def icebergEqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_eqdel_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1).repartition(2), table)
+    val (_, nVals) = IcebergLite.deleteWhereEquality(spark, table,
+      "o_orderkey", (1L to 200L).toSeq)
+    // upsert the smallest key back with a repriced row — it must survive
+    // the (earlier) equality delete
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") === 1L)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderpriority")), table)
+    IcebergLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("values_written", lit(nVals))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261l: ancestry-walking Iceberg incremental read — the range crosses
     * a `replace` (rewriteDataFiles) snapshot, which the manifest-list-diff
     * feed ([[icebergIncremental]]) must refuse (file attribution off the
@@ -1075,6 +1105,7 @@ object FormatQueries {
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_incr_replace" -> ((s, dir) => icebergIncrReplace(s, dir)),
+    "x_iceberg_eq_delete" -> ((s, dir) => icebergEqDelete(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
@@ -1139,6 +1170,20 @@ object FormatQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // keys 1..200 deleted by VALUE, key 1 re-appended repriced AFTER the
+    // delete (strict sequence gating keeps it)
+    "x_iceberg_eq_delete" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 1 AND 200),
+        |re AS (
+        |  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+        |    o_orderpriority FROM orders WHERE o_orderkey = 1)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(200 AS BIGINT) AS values_written
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // rename + drop are metadata-only (files_moved false); the aggregate
     // runs under the post-rename logical name
     "x_delta_column_mapping" ->

@@ -140,7 +140,7 @@ object IcebergLite {
     * what makes manifest-level scan pruning possible without opening any
     * data file. */
   private def entrySchemaFor(partitioned: Boolean,
-      withBounds: Boolean = false): Schema = {
+      withBounds: Boolean = false, withContent: Boolean = false): Schema = {
     val partFields =
       if (partitioned)
         """{"name":"p0","type":["null","string"],"default":null,"field-id":1000}"""
@@ -152,6 +152,13 @@ object IcebergLite {
       if (withBounds)
         """,{"name":"lower_bound","type":["null","long"],"default":null,"field-id":125},
           |{"name":"upper_bound","type":["null","long"],"default":null,"field-id":128}""".stripMargin
+      else ""
+    // v2 data_file.content (field-id 134): 0 = data, 1 = position deletes,
+    // 2 = equality deletes — written in DELETE manifests so readers can
+    // apply each kind's own sequence rule
+    val contentField =
+      if (withContent)
+        """,{"name":"content","type":"int","default":0,"field-id":134}"""
       else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -165,12 +172,17 @@ object IcebergLite {
          |        "type":{"type":"record","name":"r102","fields":[$partFields]}},
          |      {"name":"record_count","type":"long","field-id":103},
          |      {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields
+         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields$contentField
          |  ]}}
          |]}""".stripMargin)
   }
 
   private val manifestEntrySchema: Schema = entrySchemaFor(partitioned = false)
+
+  /** Entry schema for DELETE manifests — carries data_file.content so
+    * readers can tell position deletes (1) from equality deletes (2). */
+  private val deleteEntrySchema: Schema =
+    entrySchemaFor(partitioned = false, withContent = true)
 
   /** Spark → Iceberg primitive type names (the subset the fixture tables
     * use; Iceberg types are lowercase strings in metadata JSON). */
@@ -744,11 +756,11 @@ object IcebergLite {
       snapshotId: Long): Seq[String] =
     snapshotManifestFiles(spark, table, snapshotId, content = 0).map(_._1)
 
-  /** POSITION-DELETE files live in a snapshot exactly like data files —
-    * listed by manifests whose list row says content = 1. */
+  /** DELETE files live in a snapshot exactly like data files — listed by
+    * manifests whose list row says content = 1. */
   private[graft] def snapshotDeleteFiles(spark: SparkSession, table: String,
       snapshotId: Long): Seq[String] =
-    snapshotManifestFiles(spark, table, snapshotId, content = 1).map(_._1)
+    snapshotDeleteEntries(spark, table, snapshotId).map(_._1)
 
   /** (file_path, sequence_number) of every live file of the given kind in
     * a snapshot: manifest list → manifests of that `content` → entries
@@ -770,6 +782,34 @@ object IcebergLite {
           .filter(_.get("status").asInstanceOf[Int] != 2)
           .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
             .get("file_path").toString, m.seq))
+      }
+  }
+
+  /** (file_path, sequence_number, kind) of every live DELETE file in a
+    * snapshot, kind from data_file.content (field-id 134): 1 = position
+    * deletes, 2 = equality deletes. */
+  private def snapshotDeleteEntries(spark: SparkSession, table: String,
+      snapshotId: Long): Seq[(String, Long, Int)] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val wanted =
+      if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
+    val snap = metaJsonSnapshots(meta).find(_._1 == wanted).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $wanted not in $table metadata v$v"))
+    listEntries(fs, new Path(snap._2)).filter(_.content == 1)
+      .flatMap { m =>
+        readAvroFile(fs, new Path(m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val kind =
+              if (d.getSchema.getField("content") == null) 1 // pre-field writers: position
+              else d.get("content").asInstanceOf[Int]
+            (d.get("file_path").toString, m.seq, kind)
+          }
       }
   }
 
@@ -920,43 +960,67 @@ object IcebergLite {
       if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
     val dataFiles = snapshotManifestFiles(spark, table, wanted, content = 0)
     require(dataFiles.nonEmpty, s"snapshot has no data files in $table")
-    val deleteFiles = snapshotManifestFiles(spark, table, wanted, content = 1)
+    val deleteEntries = snapshotDeleteEntries(spark, table, wanted)
+    val posDeletes = deleteEntries.filter(_._3 == 1)
+    val eqDeletes = deleteEntries.filter(_._3 == 2)
     val base = spark.read.schema(schemaForSnapshot(meta, wanted))
       .parquet(dataFiles.map(_._1): _*)
-    if (deleteFiles.isEmpty && !keepMeta) base
+    if (deleteEntries.isEmpty && !keepMeta) base
     else {
       import spark.implicits._
-      val withMeta = base
+      // control-plane-sized lookup (one row per live file): data file →
+      // its data sequence number — both delete kinds gate on it
+      val dataSeq = dataFiles
+        .map { case (p, s) => (new Path(p).getName, s) }.toDF("__fn", "__dseq")
+      var cur = base
         .withColumn("__fn", element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("__ri", col("_metadata.row_index"))
-      val merged =
-        if (deleteFiles.isEmpty) withMeta
-        else {
-          // control-plane-sized lookups (one row per live file): data file
-          // → its data sequence number; delete file → its sequence number
-          val dataSeq = dataFiles
-            .map { case (p, s) => (new Path(p).getName, s) }.toDF("__fn", "__dseq")
-          val delSeq = deleteFiles
-            .map { case (p, s) => (new Path(p).getName, s) }.toDF("__delfn", "__sseq")
-          // the delete rows themselves are data-plane: one distributed
-          // scan over every delete file, each row stamped with its own
-          // file's sequence via the broadcast lookup
-          val delRows = spark.read.parquet(deleteFiles.map(_._1): _*)
-            .select(
-              element_at(split(col("file_path"), "/"), -1).as("__fn"),
-              col("pos").as("__ri"),
-              element_at(split(col("_metadata.file_path"), "/"), -1).as("__delfn"))
+      if (posDeletes.nonEmpty) {
+        val delSeq = posDeletes
+          .map { case (p, s, _) => (new Path(p).getName, s) }.toDF("__delfn", "__sseq")
+        // the delete rows themselves are data-plane: one distributed
+        // scan over every delete file, each row stamped with its own
+        // file's sequence via the broadcast lookup
+        val delRows = spark.read.parquet(posDeletes.map(_._1): _*)
+          .select(
+            element_at(split(col("file_path"), "/"), -1).as("__fn"),
+            col("pos").as("__ri"),
+            element_at(split(col("_metadata.file_path"), "/"), -1).as("__delfn"))
+          .join(broadcast(delSeq), "__delfn")
+        // sequence gating (spec §Scan Planning): a position delete
+        // applies to data files with sequence ≤ its own — a data file
+        // re-added AFTER the delete must not lose rows
+        val applicable = delRows
+          .join(broadcast(dataSeq), "__fn")
+          .where(col("__sseq") >= col("__dseq"))
+          .select("__fn", "__ri")
+        cur = cur.join(applicable, Seq("__fn", "__ri"), "left_anti")
+      }
+      if (eqDeletes.nonEmpty) {
+        // equality deletes suppress rows BY VALUE in data files with
+        // sequence STRICTLY LESS than the delete's (spec §Scan Planning —
+        // rows written in or after the delete's own snapshot survive).
+        // One anti-join per equality column (subset: single-column files).
+        cur = cur.join(broadcast(dataSeq.withColumnRenamed("__dseq", "__ds")),
+          "__fn")
+        eqDeletes.groupBy { case (p, _, _) =>
+          spark.read.parquet(p).schema.fieldNames.head
+        }.foreach { case (eqCol, files) =>
+          val delSeq = files
+            .map { case (p, s, _) => (new Path(p).getName, s) }
+            .toDF("__delfn", "__eseq")
+          val vals = spark.read.parquet(files.map(_._1): _*)
+            .withColumn("__delfn",
+              element_at(split(col("_metadata.file_path"), "/"), -1))
             .join(broadcast(delSeq), "__delfn")
-          // sequence gating (spec §Scan Planning): a position delete
-          // applies to data files with sequence ≤ its own — a data file
-          // re-added AFTER the delete must not lose rows
-          val applicable = delRows
-            .join(broadcast(dataSeq), "__fn")
-            .where(col("__sseq") >= col("__dseq"))
-            .select("__fn", "__ri")
-          withMeta.join(applicable, Seq("__fn", "__ri"), "left_anti")
+            .select(col(eqCol).as("__ev"), col("__eseq"))
+          cur = cur.join(vals,
+            cur(eqCol) === vals("__ev") && cur("__ds") < vals("__eseq"),
+            "left_anti")
         }
-      if (keepMeta) merged else merged.drop("__fn", "__ri")
+        cur = cur.drop("__ds")
+      }
+      if (keepMeta) cur else cur.drop("__fn", "__ri")
     }
   }
 
@@ -983,6 +1047,95 @@ object IcebergLite {
     }
     throw new IllegalStateException(
       s"delete lost $maxRetries metadata races on $table")
+  }
+
+  /** One DELETE-manifest entry of the given kind (1 = position deletes,
+    * 2 = equality deletes). */
+  private def deleteEntry(table: String, snapshotId: Long, rel: String,
+      len: Long, records: Long, kind: Int): GenericRecord = {
+    val e = new GenericData.Record(deleteEntrySchema)
+    e.put("status", 1)
+    e.put("snapshot_id", snapshotId)
+    val d = new GenericData.Record(
+      deleteEntrySchema.getField("data_file").schema())
+    d.put("file_path", s"$table/$rel")
+    d.put("file_format", "PARQUET")
+    d.put("partition", new GenericData.Record(deleteEntrySchema
+      .getField("data_file").schema().getField("partition").schema()))
+    d.put("record_count", records)
+    d.put("file_size_in_bytes", len)
+    d.put("block_size_in_bytes", 64L * 1024 * 1024)
+    d.put("content", kind)
+    e.put("data_file", d)
+    e
+  }
+
+  /** Row-level DELETE as an EQUALITY-DELETE commit (spec §Row-level
+    * deletes, content = 2) — the v2 delete kind built for STREAMING
+    * upsert/delete writers: the delete file stores column VALUES, not
+    * positions, so the writer never has to locate the rows it deletes
+    * (no scan at delete time — O(values) written, nothing read). Readers
+    * suppress matching rows in data files with sequence STRICTLY LESS
+    * than the delete's, so rows (re-)written at or after the delete's
+    * snapshot survive — exactly the upsert semantics Flink/Iceberg CDC
+    * writers rely on. Returns (snapshotId, valuesWritten). */
+  def deleteWhereEquality(spark: SparkSession, table: String, column: String,
+      values: Seq[Long], maxRetries: Int = 10): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      equalityDeleteOnce(spark, table, column, values) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"equality delete lost $maxRetries metadata races on $table")
+  }
+
+  private def equalityDeleteOnce(spark: SparkSession, table: String,
+      column: String, values: Seq[Long]): Option[(Long, Long)] = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(prevMeta, cur)
+    require(schema.fieldNames.contains(column),
+      s"equality column $column not in $table schema")
+    require(values.nonEmpty, "no values to delete")
+    val snapshotId = prevV + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/s$snapshotId-$token-eqdel"
+    // the delete file IS the value list — no scan of the table happens
+    // at delete time (the kind's whole point for a streaming writer)
+    values.distinct.sorted.toDF(column).coalesce(1)
+      .write.mode("errorifexists").parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val entries = parts.toSeq.map(p => deleteEntry(table, snapshotId,
+      s"$staged/${p.getPath.getName}", p.getLen,
+      values.distinct.size.toLong, kind = 2))
+    val manifestName = s"$snapshotId-$token-del-m0.avro"
+    val manifestLen = writeAvroFile(
+      new File(new File(table, "metadata"), manifestName),
+      deleteEntrySchema, entries)
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val prior = listEntries(fs, new Path(curList))
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
+        snapshotId, content = 1, seq = snapshotId),
+      v2 = true)
+    val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
+      formatVersion = 2, snapshotId, schema,
+      partitionSpec(prevMeta), listName, "delete", Map.empty)
+    if (!committed) {
+      fs.delete(new Path(table, staged), true)
+      fs.delete(new Path(metaDir(table), manifestName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      None
+    } else Some((snapshotId, values.distinct.size.toLong))
   }
 
   private def deleteOnce(spark: SparkSession, table: String, column: String,
@@ -1017,28 +1170,15 @@ object IcebergLite {
       fs.delete(new Path(table, staged), true)
       return Some((cur, 0L))
     }
-    // DELETE manifest — same entry shape as data manifests; what makes it
-    // a delete manifest is its manifest-LIST row's content = 1
-    val entries = parts.toSeq.map { p =>
-      val e = new GenericData.Record(manifestEntrySchema)
-      e.put("status", 1)
-      e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
-      d.put("file_path", s"$table/$staged/${p.getPath.getName}")
-      d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(manifestEntrySchema
-        .getField("data_file").schema().getField("partition").schema()))
-      d.put("record_count", nDeleted)
-      d.put("file_size_in_bytes", p.getLen)
-      d.put("block_size_in_bytes", 64L * 1024 * 1024)
-      e.put("data_file", d)
-      e
-    }
+    // DELETE manifest — the manifest-LIST row's content = 1 marks the
+    // manifest as deletes; each entry's data_file.content = 1 marks the
+    // file as POSITION deletes (2 would be equality)
+    val entries = parts.toSeq.map(p => deleteEntry(table, snapshotId,
+      s"$staged/${p.getPath.getName}", p.getLen, nDeleted, kind = 1))
     val manifestName = s"$snapshotId-$token-del-m0.avro"
     val manifestLen = writeAvroFile(
       new File(new File(table, "metadata"), manifestName),
-      manifestEntrySchema, entries)
+      deleteEntrySchema, entries)
     // manifest list: every prior manifest BY REFERENCE + the delete
     // manifest, content=1, sequence = this snapshot (applies to all data
     // files with sequence ≤ it — i.e. everything live right now)

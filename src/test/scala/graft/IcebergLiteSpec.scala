@@ -341,6 +341,38 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       IcebergLite.readChanges(spark, table, 1L, sid2)
   }
 
+  test("equality deletes: by-value suppression, strict sequence gating, no scan at delete time") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_eqdel")
+    IcebergLite.write(spark,
+      (0L until 10L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2), table)
+    val (sid1, n1) = IcebergLite.deleteWhereEquality(spark, table, "k",
+      Seq(2L, 4L, 6L, 4L)) // dup value collapses
+    n1 shouldBe 3L
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(0L, 1L, 3L, 5L, 7L, 8L, 9L)
+    // STRICT gating: a row re-written AFTER the delete with a deleted key
+    // value survives (the upsert semantics the kind exists for)
+    IcebergLite.write(spark, Seq((4L, 444L)).toDF("k", "v"), table)
+    IcebergLite.read(spark, table).where($"k" === 4L)
+      .select("v").as[Long].collect() shouldBe Seq(444L)
+    // ...and a SECOND equality delete of the same value removes it again
+    IcebergLite.deleteWhereEquality(spark, table, "k", Seq(4L))
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(0L, 1L, 3L, 5L, 7L, 8L, 9L)
+    // both kinds compose: a position delete on top of equality deletes
+    IcebergLite.deleteWhere(spark, table, "k", 0L, 0L)
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(1L, 3L, 5L, 7L, 8L, 9L)
+    // time travel below the deletes still sees the original rows
+    IcebergLite.read(spark, table, snapshotId = 1L).count() shouldBe 10L
+    // compaction materializes BOTH kinds away
+    IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(1L, 3L, 5L, 7L, 8L, 9L)
+  }
+
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")

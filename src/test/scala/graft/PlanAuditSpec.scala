@@ -87,6 +87,8 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_iceberg_optimize" -> 1, // category 1: same shape on the Iceberg side
     "x_delta_zorder" -> 1,     // category 1: 1-row box-aggregate final
     "x_delta_restore" -> 1, // category 1: 1-row post-restore summary
+    // category 1: 1-row post-rename/drop summary over the mapped read
+    "x_delta_column_mapping" -> 1,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
     "x_iceberg_skipping" -> 1, // category 1: 1-row planned-scan summary
