@@ -1177,6 +1177,47 @@ object DeltaLite {
     v
   }
 
+  /** REORG (physical purge) of a column-mapped table — Delta's
+    * `REORG TABLE ... APPLY (PURGE)`: rewrite every live data file under
+    * the CURRENT logical schema's physical names, so columns dropped via
+    * [[dropColumn]] (whose bytes [[dropColumn]] deliberately leaves in
+    * place) physically leave the storage. One dataChange=false
+    * remove+add commit, [[optimize]]'s contract: logical rows identical
+    * before and after, bytes reclaimed. Returns
+    * (version, filesRewritten, filesAfter). */
+  def reorgPurge(spark: SparkSession, table: String,
+      targetFiles: Int = 1): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    val before = snapshot(spark, table, latest)
+    val schema = tableSchema(spark, table)
+    require(isColumnMapped(schema), s"$table is not column-mapped: purge " +
+      "is the mapped-table rewrite — use optimize() on plain tables")
+    require(before.pvals.isEmpty && before.dvs.isEmpty,
+      s"purge of partitioned/DV-carrying mapped tables is out of this subset")
+    // read logically (physical → logical translation), restage under the
+    // CURRENT mapping: dropped physical columns simply aren't projected
+    val src = read(spark, table)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-purge-$token"
+    src.select(schema.fields.map(f =>
+        col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+      .coalesce(targetFiles)
+      .write.mode("errorifexists").parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    val adds = parts.toSeq.map(p =>
+      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+        dataChange = false))
+    val removes = before.files.map(removeLine(_, dataChange = false))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("REORG") +: (removes ++ adds)))
+      throw new IllegalStateException(s"purge lost the commit race on $table")
+    (v, before.files.size.toLong, parts.length.toLong)
+  }
+
   private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean, tag: String, maxRetries: Int = 10,
       collectStats: Boolean = false,

@@ -626,10 +626,17 @@ object FormatQueries {
     val filesAfter = DeltaLite.readWithStats(spark, table)._2.files.toSet
     val oldNameAtV1 = DeltaLite.read(spark, table, versionAsOf = 1L)
       .schema.fieldNames.contains("o_totalprice")
+    // REORG purge: the dropped column's bytes physically leave storage
+    // (dataChange=false rewrite under the current mapping); logical rows
+    // identical — the aggregate below reads the purged files
+    DeltaLite.reorgPurge(spark, table, targetFiles = 2)
+    val purged = DeltaLite.readWithStats(spark, table)._2.files.forall(f =>
+      spark.read.parquet(s"$table/$f").schema.fieldNames.length == 2)
     DeltaLite.read(spark, table)
       .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"))
       .withColumn("files_moved", lit((filesAfter != filesBefore)))
       .withColumn("old_name_at_v1", lit(oldNameAtV1))
+      .withColumn("purged", lit(purged))
   }
 
   /** X261m: Iceberg v2 EQUALITY DELETES — the streaming-upsert delete
@@ -1188,7 +1195,7 @@ object FormatQueries {
     // runs under the post-rename logical name
     "x_delta_column_mapping" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
-        |  FALSE AS files_moved, TRUE AS old_name_at_v1
+        |  FALSE AS files_moved, TRUE AS old_name_at_v1, TRUE AS purged
         |FROM orders""".stripMargin,
     // appends 2 and 4 (event_id % 3 in {1, 2}) cross the replace; the
     // compaction itself adds no rows and the legacy feed refuses

@@ -634,6 +634,18 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     DeltaLite.write(spark, df, plain)
     an[IllegalArgumentException] should be thrownBy
       DeltaLite.renameColumn(spark, plain, "v", "value")
+    // REORG purge: the dropped column's BYTES physically leave storage
+    val (_, rewritten, after) = DeltaLite.reorgPurge(spark, table)
+    rewritten should be >= 1L
+    after shouldBe 1L
+    val purgedFiles = DeltaLite.readWithStats(spark, table)._2.files
+    purgedFiles.foreach { f =>
+      spark.read.parquet(s"$table/$f").schema.fieldNames.toSeq shouldBe
+        Seq("col-1", "col-2") // col-3 (dropped "s") is physically gone
+    }
+    DeltaLite.read(spark, table).agg(sum($"value")).head.getLong(0) shouldBe 1450L
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.reorgPurge(spark, plain) // unmapped tables use optimize()
   }
 
   test("DV delete drops a file whose every row is deleted") {
