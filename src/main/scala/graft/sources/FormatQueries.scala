@@ -639,6 +639,33 @@ object FormatQueries {
       .withColumn("purged", lit(purged))
   }
 
+  /** X261n: Iceberg REFS — tag a snapshot, expire with keepLast = 1, and
+    * the tagged snapshot SURVIVES retention (the spec's ref-retention
+    * rule — a tag exists precisely to outlive routine expiration) while
+    * the untagged middle snapshot is swept; the aggregate reads the TAG
+    * (the even-keys half), `expired` pins that exactly one snapshot
+    * left, and `main_rows` pins the main branch tracking the head. */
+  private def icebergRefs(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_refs_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // three DISJOINT appends, so the main branch holds every key once
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 =!= 0), table)
+    IcebergLite.setRef(spark, table, "v1.0", snapshotId = 1L)
+    val (expired, _) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    val mainRows = IcebergLite.readRef(spark, table, "main").count()
+    IcebergLite.readRef(spark, table, "v1.0")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("expired", lit(expired))
+      .withColumn("main_rows", lit(mainRows))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261m: Iceberg v2 EQUALITY DELETES — the streaming-upsert delete
     * kind (spec §Row-level deletes, content = 2): the writer commits only
     * the VALUE LIST (no table scan at delete time), readers suppress
@@ -1113,6 +1140,7 @@ object FormatQueries {
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_incr_replace" -> ((s, dir) => icebergIncrReplace(s, dir)),
     "x_iceberg_eq_delete" -> ((s, dir) => icebergEqDelete(s, dir)),
+    "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
@@ -1177,6 +1205,15 @@ object FormatQueries {
         |  round(sum(value), 2) AS value_sum
         |FROM events WHERE event_id % 2 = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the tag reads snapshot 1 (the even keys); one untagged snapshot
+    // expired; main tracks the head (all keys, disjoint appends)
+    "x_iceberg_refs" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS expired,
+        |  (SELECT count(*) FROM orders) AS main_rows
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // keys 1..200 deleted by VALUE, key 1 re-appended repriced AFTER the
     // delete (strict sequence gating keeps it)
     "x_iceberg_eq_delete" ->

@@ -513,6 +513,15 @@ object IcebergLite {
     summaryProps.foreach { case (k, v2) => summary.put(k, v2) }
     sn.put("manifest-list", s"$table/metadata/$listName")
     sn.put("schema-id", schemaId)
+    // refs (spec §Refs): named branch/tag pointers survive every commit;
+    // the `main` branch always tracks the current snapshot
+    val refs = root.putObject("refs")
+    prevMeta.foreach(_.path("refs").fields().forEachRemaining(e =>
+      refs.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
+    val main = refs.putObject("main")
+    main.put("snapshot-id", snapshotId)
+    main.put("type", "branch")
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
     val committed = AtomicCreate.create(fs, metaFile(table, prevV + 1),
@@ -557,6 +566,63 @@ object IcebergLite {
       summaryProps = Map("graft-batch-id" -> batchId.toString))
   }
 
+  /** Create or move a named REF (spec §Refs) — `tag` pins an immutable
+    * release pointer, `branch` a movable head — as a METADATA-ONLY
+    * commit. Ref-pointed snapshots are RETAINED by [[expireSnapshots]]
+    * regardless of keepLast: the tag is what makes "the audited March
+    * snapshot" survive routine retention. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      snapshotId: Long, refType: String = "tag"): Int = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag|branch, got $refType")
+    require(name != "main", "main is maintained by commits; pick another name")
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    require(metaJsonSnapshots(meta).exists(_._1 == snapshotId),
+      s"snapshot $snapshotId not in $table metadata — cannot ref it")
+    val refs = meta.`with`("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"setRef lost the commit race for metadata v${v + 1} on $table")
+    v + 1
+  }
+
+  /** Delete a named ref (metadata-only); its snapshot becomes an ordinary
+    * expiration candidate again. */
+  def dropRef(spark: SparkSession, table: String, name: String): Int = {
+    require(name != "main", "cannot drop main")
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    require(meta.path("refs").has(name), s"no ref $name on $table")
+    meta.`with`("refs").remove(name)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"dropRef lost the commit race for metadata v${v + 1} on $table")
+    v + 1
+  }
+
+  /** Read the table at a named ref ([[read]] at the ref's snapshot). */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+    val fs = hadoopFs(spark, table)
+    val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
+    val r = meta.path("refs").path(name)
+    require(!r.isMissingNode, s"no ref $name on $table")
+    read(spark, table, r.get("snapshot-id").asLong())
+  }
+
   /** Snapshot expiration — Iceberg's retention op (`expireSnapshots`):
     * drop all but the newest `keepLast` snapshots from the metadata (a
     * NEW metadata version, committed by the same atomic-create arbiter),
@@ -575,7 +641,17 @@ object IcebergLite {
     val meta = readMetadata(fs, table, v).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     val snaps = mutable.ArrayBuffer.empty[com.fasterxml.jackson.databind.JsonNode]
     meta.get("snapshots").forEach(s => snaps += s)
-    val retained = snaps.sortBy(_.get("snapshot-id").asLong()).takeRight(keepLast)
+    // ref-pointed snapshots are retained REGARDLESS of keepLast (spec
+    // §Refs retention): a tag exists precisely to outlive routine
+    // expiration; drop the ref to release the snapshot
+    val reffed = mutable.Set.empty[Long]
+    meta.path("refs").fields().forEachRemaining(e =>
+      reffed += e.getValue.get("snapshot-id").asLong())
+    val byAge = snaps.sortBy(_.get("snapshot-id").asLong())
+    val retained = (byAge.takeRight(keepLast) ++
+      byAge.filter(s => reffed.contains(s.get("snapshot-id").asLong())))
+      .distinctBy(_.get("snapshot-id").asLong())
+      .sortBy(_.get("snapshot-id").asLong())
     val expired = snaps.size - retained.size
     if (expired == 0) return (0L, 0L)
     // exactly-once ledger preservation (r09 advisor finding): dropping a
@@ -583,8 +659,9 @@ object IcebergLite {
     // redelivered batch re-commit. Fold the expired markers' high-water
     // mark into table properties, where [[commitIdempotent]] consults it —
     // batch ids are monotone, so the max subsumes every dropped marker.
-    val dropped = snaps.sortBy(_.get("snapshot-id").asLong())
-      .dropRight(keepLast)
+    val retainedIds = retained.map(_.get("snapshot-id").asLong()).toSet
+    val dropped = byAge.filterNot(s =>
+      retainedIds.contains(s.get("snapshot-id").asLong()))
     val expiredHwm = dropped
       .map(_.get("summary").path("graft-batch-id").asLong(-1L))
       .foldLeft(meta.path("properties").path("graft-max-batch-id").asLong(-1L))(

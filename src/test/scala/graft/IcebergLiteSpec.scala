@@ -419,6 +419,34 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       IcebergLite.readChangesAncestry(spark, table, 0L, 4L)
   }
 
+  test("refs: tags survive expiration, read by name, dropRef releases the snapshot") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_refs")
+    IcebergLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)
+    IcebergLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table)
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    IcebergLite.setRef(spark, table, "v1.0", snapshotId = 1L)
+    IcebergLite.setRef(spark, table, "audit", snapshotId = 2L, refType = "branch")
+    IcebergLite.readRef(spark, table, "v1.0").count() shouldBe 1L
+    IcebergLite.readRef(spark, table, "audit").count() shouldBe 2L
+    // main tracks the current snapshot through commits
+    IcebergLite.readRef(spark, table, "main").count() shouldBe 3L
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.setRef(spark, table, "bad", snapshotId = 99L)
+    // expiration keeps BOTH ref-pointed snapshots despite keepLast = 1
+    val (expired1, _) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    expired1 shouldBe 0L
+    IcebergLite.readRef(spark, table, "v1.0").count() shouldBe 1L
+    // dropping the refs releases their snapshots to normal retention
+    IcebergLite.dropRef(spark, table, "v1.0")
+    IcebergLite.dropRef(spark, table, "audit")
+    val (expired2, _) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    expired2 shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.readRef(spark, table, "v1.0")
+    IcebergLite.read(spark, table).count() shouldBe 3L // current intact
+  }
+
   test("history: per-snapshot operation + genuinely recounted file counts") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_hist")
