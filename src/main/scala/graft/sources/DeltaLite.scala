@@ -220,7 +220,8 @@ object DeltaLite {
       txns: Map[String, Long] = Map.empty,
       pvals: Map[String, Map[String, String]] = Map.empty,
       dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
-      protocol: Option[Protocol] = None)
+      protocol: Option[Protocol] = None,
+      config: Map[String, String] = Map.empty)
 
   /** Inverse of Spark/Hive's partition-directory escaping (the r09
     * advisor finding on the Iceberg side): directory names URI-escape
@@ -307,6 +308,7 @@ object DeltaLite {
     val dvs = mutable.Map.empty[String, DeletionVectors.Descriptor]
     var meta: Option[(String, String)] = None
     var proto: Option[Protocol] = None
+    var config: Map[String, String] = Map.empty
     val cpFiles =
       if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
       else Seq.empty
@@ -321,6 +323,8 @@ object DeltaLite {
       val hasDv = addType.fieldNames.contains("deletionVector")
       val protoHasRf = cp.schema("protocol").dataType.asInstanceOf[StructType]
         .fieldNames.contains("readerFeatures")
+      val metaHasConf = cp.schema("metaData").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("configuration")
       val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
         else cp.select("protocol", "metaData", "add")).collect()
       rows.foreach { r =>
@@ -338,6 +342,8 @@ object DeltaLite {
         if (!r.isNullAt(1)) {
           val m = r.getStruct(1)
           meta = Some((m.getString(0), m.getString(1)))
+          if (metaHasConf && !m.isNullAt(2))
+            config = m.getMap[String, String](2).toMap
         }
         if (!r.isNullAt(2)) {
           val a = r.getStruct(2)
@@ -418,6 +424,10 @@ object DeltaLite {
         } else if (node.has("metaData")) {
           val m = node.get("metaData")
           meta = Some((m.get("id").asText(), m.get("schemaString").asText()))
+          val cm = mutable.Map.empty[String, String]
+          m.path("configuration").fields()
+            .forEachRemaining(e => cm(e.getKey) = e.getValue.asText())
+          config = cm.toMap
         } else if (node.has("txn")) {
           val t = node.get("txn")
           val app = t.get("appId").asText()
@@ -428,7 +438,7 @@ object DeltaLite {
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
       asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap,
-      proto)
+      proto, config)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -463,7 +473,10 @@ object DeltaLite {
         StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
-        StructField("schemaString", StringType)))),
+        StructField("schemaString", StringType),
+        // configuration must survive the checkpoint or expireLog would
+        // silently drop CHECK constraints / column-mapping mode
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("size", LongType),
@@ -497,7 +510,8 @@ object DeltaLite {
       case None => Row(1, 2, null, null)
     }
     val rows = Row(protocolRow, null, null, null) +:
-      Row(null, Row(tableId, schemaJson), null, null) +:
+      Row(null, Row(tableId, schemaJson,
+        if (snap.config.isEmpty) null else snap.config), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         Row(null, null, null, Row(app, ver))
       } ++
@@ -854,6 +868,7 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "writePartitioned()")
+    enforceConstraints(spark, table, df)
     require(df.schema.fieldNames.contains(partCol),
       s"partition column $partCol absent from schema")
     var attempt = 0
@@ -1088,6 +1103,7 @@ object DeltaLite {
       maxRetries: Int = 10): Long = {
     import org.apache.spark.sql.functions.col
     val fs = hadoopFs(spark, table)
+    enforceConstraints(spark, table, df)
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, table) + 1
@@ -1177,6 +1193,62 @@ object DeltaLite {
     v
   }
 
+  /** Add a CHECK constraint (PROTOCOL.md §CHECK Constraints) as a
+    * METADATA-ONLY commit: the predicate lands in metaData.configuration
+    * under `delta.constraints.<name>`, and the commit carries the
+    * feature's writer-protocol requirement (minWriterVersion 3) so
+    * pre-constraint writers refuse instead of committing unvalidated
+    * rows. The EXISTING rows are validated first — a constraint that the
+    * current table already violates must not land. */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      expr: String): Long = {
+    import org.apache.spark.sql.functions.{expr => e_, not}
+    val fs = hadoopFs(spark, table)
+    val v = latestVersion(spark, table) + 1
+    require(v > 0, s"$table has no Delta log")
+    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val schema = tableSchema(spark, table)
+    val violating = read(spark, table).where(not(e_(expr))).count()
+    require(violating == 0L,
+      s"cannot add constraint $name: $violating existing row(s) violate ($expr)")
+    val conf = tableConstraints(spark, table) +
+      (s"delta.constraints.$name" -> expr)
+    val proto = jsonObj("protocol") { p =>
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 3) // CHECK constraints' writer requirement
+    }
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("ADD CONSTRAINT"), proto,
+        metaDataLine(schema, id, configuration = conf))))
+      throw new IllegalStateException(s"addConstraint lost the race on $table")
+    v
+  }
+
+  /** The table's CHECK constraints, `delta.constraints.<name>` → expr —
+    * off the snapshot's replayed metaData.configuration (checkpoint-aware:
+    * the checkpoint's metaData row carries configuration, so constraints
+    * survive expireLog). */
+  private def tableConstraints(spark: SparkSession,
+      table: String): Map[String, String] =
+    snapshot(spark, table, latestVersion(spark, table)).config
+
+  /** Validate `df` against the table's CHECK constraints; throws with the
+    * violating constraint name and count when any row fails — called by
+    * writers BEFORE staging (the protocol's write-time enforcement). */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{expr => e_, not}
+    if (latestVersion(spark, table) < 0) return
+    tableConstraints(spark, table).foreach { case (k, expr) =>
+      if (k.startsWith("delta.constraints.")) {
+        val n = df.where(not(e_(expr))).count()
+        if (n > 0) throw new IllegalArgumentException(
+          s"CHECK constraint ${k.stripPrefix("delta.constraints.")} " +
+            s"violated by $n incoming row(s): ($expr)")
+      }
+    }
+  }
+
   /** REORG (physical purge) of a column-mapped table — Delta's
     * `REORG TABLE ... APPLY (PURGE)`: rewrite every live data file under
     * the CURRENT logical schema's physical names, so columns dropped via
@@ -1224,6 +1296,7 @@ object DeltaLite {
       txn: Option[(String, Long)] = None): Long = {
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "plain write()") // use writeColumnMapped
+    enforceConstraints(spark, table, df) // CHECK constraints gate the write
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, table) + 1
@@ -1273,12 +1346,16 @@ object DeltaLite {
         else Seq.empty
       val header =
         if (v == 0) Seq(protocolLine, metaDataLine(df.schema))
-        else snapshot(spark, table, v - 1).meta match {
-          // schema EVOLUTION: a widened batch re-declares the table schema
-          // in this commit's metaData (same table id — Delta's contract)
-          case Some((id, sj)) if sj != df.schema.json =>
-            Seq(metaDataLine(df.schema, id))
-          case _ => Seq.empty
+        else {
+          val prior = snapshot(spark, table, v - 1)
+          prior.meta match {
+            // schema EVOLUTION: a widened batch re-declares the table
+            // schema in this commit's metaData (same table id, PRESERVED
+            // configuration — constraints survive an evolution commit)
+            case Some((id, sj)) if sj != df.schema.json =>
+              Seq(metaDataLine(df.schema, id, configuration = prior.config))
+            case _ => Seq.empty
+          }
         }
       val info = commitInfoLine(if (overwrite) "OVERWRITE" else "WRITE")
       val txns = txn.map { case (app, ver) => txnLine(app, ver) }.toSeq

@@ -606,6 +606,41 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  /** X36v: Delta CHECK constraints (PROTOCOL.md §CHECK Constraints) —
+    * data-quality enforcement at the COMMIT boundary, the lake-side
+    * answer to a warehouse's schema constraints: the predicate lands in
+    * metaData.configuration as a metadata-only commit carrying the
+    * writer-3 protocol requirement; every later write validates incoming
+    * rows BEFORE staging and refuses with the violating count; a
+    * constraint current rows violate refuses at ADD time. The key proves
+    * enforcement by aggregate: the violating batch's rows are absent,
+    * the valid batch's present. */
+  private def deltaConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_chk_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table)
+    DeltaLite.addConstraint(spark, table, "pos_price", "o_totalprice > 0")
+    val rejectedBefore =
+      try { DeltaLite.addConstraint(spark, table, "impossible",
+        "o_totalprice > 1e12"); false }
+      catch { case _: IllegalArgumentException => true }
+    // the valid half commits; a poisoned batch (negated prices) refuses
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table)
+    val rejectedWrite =
+      try { DeltaLite.write(spark,
+        o.limit(5).select(col("o_orderkey"),
+          (col("o_totalprice") * -1).as("o_totalprice"),
+          col("o_orderpriority")), table); false }
+      catch { case _: IllegalArgumentException => true }
+    DeltaLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rejected_backfill", lit(rejectedBefore))
+      .withColumn("rejected_write", lit(rejectedWrite))
+      .orderBy("o_orderpriority")
+  }
+
   /** X36u: Delta COLUMN MAPPING, name mode (PROTOCOL.md §Column Mapping)
     * — logical names decoupled from physical parquet names, making RENAME
     * and DROP metadata-only commits (one JSON line instead of a 100 TB
@@ -1142,6 +1177,7 @@ object FormatQueries {
     "x_iceberg_eq_delete" -> ((s, dir) => icebergEqDelete(s, dir)),
     "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
+    "x_delta_constraints" -> ((s, dir) => deltaConstraints(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
     "x_iceberg_skipping" -> ((s, dir) => icebergSkipping(s, dir)),
@@ -1227,6 +1263,14 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total,
         |  CAST(200 AS BIGINT) AS values_written
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // both halves committed (the poisoned batch refused), so the
+    // aggregate equals the full table; both rejection flags true
+    "x_delta_constraints" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS rejected_backfill, TRUE AS rejected_write
+        |FROM orders
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // rename + drop are metadata-only (files_moved false); the aggregate
     // runs under the post-rename logical name

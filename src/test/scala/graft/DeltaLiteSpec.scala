@@ -648,6 +648,37 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.reorgPurge(spark, plain) // unmapped tables use optimize()
   }
 
+  test("CHECK constraints: write-time enforcement, existing-row validation, checkpoint survival") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_chk")
+    DeltaLite.write(spark, (1L to 10L).map(k => (k, k * 10)).toDF("k", "v"), table)
+    // a constraint current rows violate must not land
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.addConstraint(spark, table, "big_k", "k > 5")
+    val cv = DeltaLite.addConstraint(spark, table, "pos_v", "v > 0")
+    // the constraint commit carries the writer-3 protocol requirement
+    val proto = logLines(table, cv).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    proto.get("minWriterVersion").asInt() shouldBe 3
+    // valid rows commit; violating rows refuse BEFORE staging
+    DeltaLite.write(spark, Seq((11L, 110L)).toDF("k", "v"), table)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark, Seq((12L, -5L)).toDF("k", "v"), table)
+    DeltaLite.read(spark, table).count() shouldBe 11L
+    // constraints survive checkpoint + expireLog (configuration travels
+    // in the checkpoint's metaData row)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark, Seq((13L, -1L)).toDF("k", "v"), table)
+    DeltaLite.write(spark, Seq((13L, 130L)).toDF("k", "v"), table)
+    DeltaLite.read(spark, table).count() shouldBe 12L
+    // ...and survive a schema-evolution commit (configuration preserved)
+    DeltaLite.write(spark, Seq((14L, 140L, "x")).toDF("k", "v", "s"), table)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark, Seq((15L, -2L, "y")).toDF("k", "v", "s"), table)
+  }
+
   test("DV delete drops a file whose every row is deleted") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_dv_full")
