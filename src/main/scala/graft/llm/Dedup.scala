@@ -104,7 +104,11 @@ object Dedup {
     * consumers pass it via their `idsOpt` parameter; ad-hoc slices keep
     * deriving their own. */
   def shingleIds(spark: SparkSession, dir: String): DataFrame =
-    graft.relational.SessionIndex.getOrBuild(spark, s"shingle_ids|$dir") {
+    graft.relational.SessionIndex.getOrBuildPartitioned(spark, s"shingle_ids|$dir") {
+      // materialized doc_id-partitioned (shingleSets repartitions by
+      // doc_id before the explode, and explode/select preserve it):
+      // consumers joining on doc_id — the prefix verify joins, signature
+      // groupBys — skip their corpus-side exchange
       shingleSets(graft.model.Tables.documents(spark, dir))
         .select(col("doc_id"), hashId(col("s")).as("sid"))
     }
