@@ -35,8 +35,11 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     subtract them) with the reader-3/writer-7 table-features protocol
   *     upgrade; column mapping is implemented in NAME mode
   *     ([[writeColumnMapped]]/[[renameColumn]]/[[dropColumn]], protocol
-  *     2/5) — id-mode mapping and mapped-table evolution remain out, and
-  *     a DV-free unmapped table stays standard protocol v1.
+  *     2/5); the row-level CHANGE DATA FEED is implemented
+  *     ([[enableCdf]]/[[readCdf]], `cdc` actions + `_change_data/` files,
+  *     writer 4 or the `changeDataFeed` writerFeature) — id-mode mapping,
+  *     mapped-table evolution, and CDF on partitioned tables remain out,
+  *     and a DV-free unmapped table stays standard protocol v1.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own
@@ -1450,9 +1453,10 @@ object DeltaLite {
     // DV-aware source: a copy-on-write rewrite of a file that carries a
     // deletion vector must start from its LIVE rows, or the remove+add
     // swap resurrects the vector's deleted rows
-    val snapDvs = snapshot(spark, table, latestVersion(spark, table)).dvs
+    val delSnap = snapshot(spark, table, latestVersion(spark, table))
     val affectedDf =
-      scanWithDvs(spark, table, tableSchema(spark, table), affected, snapDvs)
+      scanWithDvs(spark, table, tableSchema(spark, table), affected,
+        delSnap.dvs)
     val rowsBefore = affectedDf.count()
     val kept = affectedDf.where(not(c_(column).between(lo, hi)))
     val rowsAfter = kept.count()
@@ -1484,8 +1488,16 @@ object DeltaLite {
       addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
         statsByFile.get(p.getPath.getName)))
     val removes = affected.map(removeLine(_))
+    // CDF: the deleted rows themselves ride in the commit as change data
+    // (the rewrite's add/remove mix is underivable — survivors move files)
+    val cdc =
+      if (!cdfEnabled(delSnap.config)) Seq.empty
+      else stageCdc(spark, table,
+        affectedDf.where(c_(column).between(lo, hi))
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete")), v, token)
     if (!tryCommit(fs, table, v,
-        commitInfoLine("DELETE") +: (removes ++ adds)))
+        commitInfoLine("DELETE") +: (removes ++ adds ++ cdc)))
       throw new IllegalStateException(s"delete lost the commit race on $table")
     (v, affected.size.toLong, rowsBefore - rowsAfter)
   }
@@ -1566,8 +1578,26 @@ object DeltaLite {
               dataChange = true, snap.pvals.getOrElse(f, Map.empty), Some(d)))
         }
     val v = latest + 1
+    // CDF: the NEWLY-masked rows are exactly the live rows of the touched
+    // files that match the predicate (the live scan already excludes
+    // positions an earlier vector masked — a re-delete feeds only its
+    // marginal rows, the same contract the return count keeps)
+    val cdc =
+      if (!cdfEnabled(snap.config)) Seq.empty
+      else stageCdc(spark, table,
+        scanWithDvs(spark, table, schema, perFile.map(_._1), snap.dvs)
+          .where(c_(column).between(lo, hi))
+          .withColumn("_change_type",
+            org.apache.spark.sql.functions.lit("delete")),
+        v, java.util.UUID.randomUUID().toString.take(8))
+    // the features upgrade must CARRY any feature already on the table
+    // (a bare dv protocol would silently shed changeDataFeed)
+    val protoLine =
+      if (!cdfEnabled(snap.config)) dvProtocolLine
+      else protocolLineOf(Protocol(3, 7, Seq("deletionVectors"),
+        Seq("deletionVectors", "changeDataFeed")))
     if (!tryCommit(fs, table, v,
-        Seq(commitInfoLine("DELETE"), dvProtocolLine) ++ actions))
+        Seq(commitInfoLine("DELETE"), protoLine) ++ actions ++ cdc))
       throw new IllegalStateException(s"DV delete lost the commit race on $table")
     val deleted = perFile.map { case (_, oldN, union) => union.length - oldN }.sum
     (v, perFile.size.toLong, deleted.toLong)
@@ -1698,5 +1728,242 @@ object DeltaLite {
           .drop("__fn", "__ri"))
       }
     (df, snap)
+  }
+
+  // ----------------------------------------------------------------------
+  // Change Data Feed (PROTOCOL.md §Add CDC File / §Change Data Feed) —
+  // ROW-level change tracking, the layer [[readChanges]]' add-file feed
+  // cannot provide once commits remove or rewrite files. When
+  // `delta.enableChangeDataFeed = true`, DML commits stage their changed
+  // rows (with a `_change_type` column) as parquet under `_change_data/`
+  // and reference them with `cdc` actions (`dataChange = false`, so
+  // snapshot replay and incremental consumers ignore them); commits
+  // without cdc actions derive their feed from the add/remove actions
+  // (blind appends → inserts, full-file tombstones → deletes). At 100 TB
+  // this is what makes downstream incremental MERGE consumers possible:
+  // a delete of kilobytes ships kilobytes of change rows, never a table
+  // diff. `_commit_timestamp` is intentionally not surfaced — this
+  // subset's commits carry deterministic zero timestamps, so the column
+  // would be 0 everywhere; `_commit_version` is the feed's order key.
+  // ----------------------------------------------------------------------
+
+  private[graft] val CdfKey = "delta.enableChangeDataFeed"
+
+  private def cdfEnabled(config: Map[String, String]): Boolean =
+    config.get(CdfKey).contains("true")
+
+  /** The `cdc` action: a change-data file reference. `dataChange = false`
+    * by protocol — cdc files never participate in snapshot state. */
+  private def cdcLine(path: String, size: Long): String = jsonObj("cdc") { c =>
+    c.put("path", path)
+    c.putObject("partitionValues")
+    c.put("size", size)
+    c.put("dataChange", false)
+  }
+
+  private def protocolLineOf(p: Protocol): String = jsonObj("protocol") { o =>
+    o.put("minReaderVersion", p.minReader)
+    o.put("minWriterVersion", p.minWriter)
+    if (p.readerFeatures.nonEmpty || p.writerFeatures.nonEmpty) {
+      val rf = o.putArray("readerFeatures"); p.readerFeatures.foreach(rf.add)
+      val wf = o.putArray("writerFeatures"); p.writerFeatures.foreach(wf.add)
+    }
+  }
+
+  /** Enable the change data feed: a METADATA-ONLY commit setting the
+    * table property and raising the protocol — legacy writer 4 (the
+    * version the spec assigns CDF), or the `changeDataFeed` writerFeature
+    * when the table already runs table-features protocol (a DV table at
+    * writer 7 must not be DOWNGRADED to 4). Idempotent. Partitioned
+    * tables refuse: this subset's metaData replay does not retain
+    * partitionColumns, and re-declaring the table without them would
+    * corrupt it (stated subset bound). Returns the enabling version (or
+    * the current one when already enabled). */
+  def enableCdf(spark: SparkSession, table: String): Long = {
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "enableCdf()")
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    if (cdfEnabled(snap.config)) return latest
+    require(snap.pvals.isEmpty,
+      s"$table is partitioned: CDF on partitioned tables is out of this " +
+        "subset (metaData replay does not retain partitionColumns)")
+    val (id, sj) = snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val cur = snap.protocol.getOrElse(Protocol(1, 2, Nil, Nil))
+    val upgraded =
+      if (cur.minWriter >= 7)
+        cur.copy(writerFeatures = (cur.writerFeatures :+ "changeDataFeed").distinct)
+      else cur.copy(minWriter = math.max(cur.minWriter, 4))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val v = latest + 1
+    if (!tryCommit(fs, table, v, Seq(
+        commitInfoLine("SET TBLPROPERTIES"),
+        protocolLineOf(upgraded),
+        metaDataLine(schema, id,
+          configuration = snap.config + (CdfKey -> "true")))))
+      throw new IllegalStateException(s"enableCdf lost the commit race on $table")
+    v
+  }
+
+  /** Stage `df` (table columns + `_change_type`) as this commit's change
+    * data and return the `cdc` action lines referencing it. */
+  private def stageCdc(spark: SparkSession, table: String, df: DataFrame,
+      v: Long, token: String): Seq[String] = {
+    val dir = s"_change_data/v$v-$token"
+    df.write.mode("errorifexists").parquet(s"$table/$dir")
+    val fs = hadoopFs(spark, table)
+    fs.listStatus(new Path(table, dir))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName).toSeq
+      .map(p => cdcLine(s"$dir/${p.getPath.getName}", p.getLen))
+  }
+
+  /** Row-level UPDATE with stats-planned copy-on-write rewrite (the
+    * [[deleteWhere]] discipline): only files whose recorded bounds for
+    * `column` can contain [lo, hi] are rewritten; matched rows get every
+    * `set` assignment applied, survivors ride along unchanged, untouched
+    * files stay referenced. CHECK constraints validate the updated rows
+    * before staging. On a CDF-enabled table the commit also stages the
+    * matched rows twice — `update_preimage` (before) and
+    * `update_postimage` (after) — the pair a downstream incremental
+    * MERGE needs to retract-then-apply. Returns
+    * (version, filesRewritten, rowsUpdated). */
+  def updateWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long,
+      set: Map[String, org.apache.spark.sql.Column]): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col => c_, lit, not}
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "updateWhere()")
+    val latest = latestVersion(spark, table)
+    val snap = snapshot(spark, table, latest)
+    val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
+    if (affected.isEmpty) return (latest, 0L, 0L)
+    val schema = tableSchema(spark, table)
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
+    val src = scanWithDvs(spark, table, schema, affected, snap.dvs)
+    val matched = src.where(c_(column).between(lo, hi))
+    val updated = set.foldLeft(matched) { case (d, (k, expr)) =>
+      d.withColumn(k, expr)
+    }.select(schema.fieldNames.map(c_).toIndexedSeq: _*)
+    enforceConstraints(spark, table, updated)
+    val rowsUpdated = matched.count()
+    val replacement = src.where(not(c_(column).between(lo, hi)))
+      .unionByName(updated)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staged = s"data/v$v-upd-$token"
+    replacement.write.mode("errorifexists").parquet(s"$table/$staged")
+    val parts = fs.listStatus(new Path(table, staged))
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    // recompute bounds for the planning column over the staged files (an
+    // assignment may have moved `column` itself)
+    val statsByFile = spark.read.parquet(s"$table/$staged")
+      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("numRecords"),
+        org.apache.spark.sql.functions.min(c_(column)).as("mn"),
+        org.apache.spark.sql.functions.max(c_(column)).as("mx"))
+      .collect().map { r =>
+        val o = mapper.createObjectNode()
+        o.put("numRecords", r.getAs[Long]("numRecords"))
+        val mi = r.getAs[java.lang.Long]("mn")
+        val ma = r.getAs[java.lang.Long]("mx")
+        if (mi != null && ma != null) {
+          o.putObject("minValues").put(column, mi.longValue())
+          o.putObject("maxValues").put(column, ma.longValue())
+        }
+        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+      }.toMap
+    val adds = parts.toSeq.map(p =>
+      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
+        statsByFile.get(p.getPath.getName)))
+    val removes = affected.map(removeLine(_))
+    val cdc =
+      if (!cdfEnabled(snap.config)) Seq.empty
+      else stageCdc(spark, table,
+        matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(updated.withColumn("_change_type",
+            lit("update_postimage"))), v, token)
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("UPDATE") +: (removes ++ adds ++ cdc)))
+      throw new IllegalStateException(s"update lost the commit race on $table")
+    (v, affected.size.toLong, rowsUpdated)
+  }
+
+  /** Read the row-level change feed for versions (fromV, toV]: table
+    * columns plus `_change_type`
+    * (insert / delete / update_preimage / update_postimage) and
+    * `_commit_version`. Commits carrying `cdc` actions are read from
+    * their change files — authoritative and complete for that version, by
+    * protocol. Commits without them derive: dataChange adds are inserts,
+    * dataChange removes are whole-file deletes — read from the tombstoned
+    * file (which must still exist — the same pre-vacuum window Delta's
+    * own CDF has) with any prior deletion vector SUBTRACTED, so
+    * already-masked rows never resurrect in the feed. A derive that would
+    * be WRONG — an add introducing a deletion vector (only its
+    * newly-masked rows changed, not the whole file) — refuses instead.
+    * CDF must be enabled at `fromV`. */
+  def readCdf(spark: SparkSession, table: String, fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c_, lit}
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "readCdf()")
+    require(cdfEnabled(snapshot(spark, table, fromV).config),
+      s"change data feed not enabled on $table at version $fromV")
+    val schema = tableSchema(spark, table, toV)
+    val cdcSchema = schema.add("_change_type",
+      org.apache.spark.sql.types.StringType)
+    val frames = ((fromV + 1) to toV).flatMap { v =>
+      val p = versionFile(table, v)
+      require(fs.exists(p), s"version $v absent from $table/_delta_log")
+      var cdcPaths = Vector.empty[String]
+      var addPaths = Vector.empty[String]
+      var rmPaths = Vector.empty[String]
+      var dvAdd = false
+      readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("cdc")) cdcPaths :+= node.get("cdc").get("path").asText()
+        else if (node.has("add") &&
+          node.get("add").path("dataChange").asBoolean(true)) {
+          addPaths :+= node.get("add").get("path").asText()
+          if (node.get("add").path("deletionVector").isObject) dvAdd = true
+        } else if (node.has("remove") &&
+          node.get("remove").path("dataChange").asBoolean(true))
+          rmPaths :+= node.get("remove").get("path").asText()
+      }
+      val perVersion: Seq[DataFrame] =
+        if (cdcPaths.nonEmpty)
+          Seq(spark.read.schema(cdcSchema)
+            .parquet(cdcPaths.map(f => s"$table/$f"): _*))
+        else {
+          if (dvAdd) throw new UnsupportedOperationException(
+            s"version $v adds a deletion vector without cdc actions — " +
+              "its row-level changes are underivable from the file actions")
+          val dels =
+            if (rmPaths.isEmpty) Seq.empty[DataFrame]
+            else {
+              // a tombstoned file's deleted rows are its LIVE rows at the
+              // prior version — any deletion vector it carried must be
+              // subtracted, or the feed resurrects already-deleted rows
+              val prior = snapshot(spark, table, v - 1)
+              Seq(scanWithDvs(spark, table, schema, rmPaths, prior.dvs)
+                .withColumn("_change_type", lit("delete")))
+            }
+          val ins =
+            if (addPaths.isEmpty) Seq.empty[DataFrame]
+            else Seq(spark.read.schema(schema)
+              .parquet(addPaths.map(f => s"$table/$f"): _*)
+              .withColumn("_change_type", lit("insert")))
+          ins ++ dels
+        }
+      perVersion.map(_.withColumn("_commit_version", lit(v)))
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        cdcSchema.add("_commit_version", org.apache.spark.sql.types.LongType))
+    else frames.reduce(_ unionByName _)
   }
 }

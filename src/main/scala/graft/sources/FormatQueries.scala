@@ -641,6 +641,36 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X36w: Delta CHANGE DATA FEED — row-level change tracking
+    * (PROTOCOL.md §Add CDC File): after `enableCdf`, a plain append's
+    * inserts DERIVE from its add actions, while DELETE and UPDATE commits
+    * stage their changed rows under `_change_data/` with `cdc` actions —
+    * preimage AND postimage for updates, the pair a downstream
+    * incremental MERGE consumer needs. The key replays the whole feed
+    * (insert / delete / update_preimage / update_postimage) and pins each
+    * change type's row count, value sum, and commit version against the
+    * source relation — at 100 TB the feed ships kilobytes of changed
+    * rows, never a table diff. */
+  private def deltaCdf(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cdf")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3), table,
+      collectStats = true)                                     // v0 base
+    DeltaLite.enableCdf(spark, table)                          // v1 metadata
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 === 3), table,
+      collectStats = true)                                     // v2 inserts
+    DeltaLite.deleteWhere(spark, table, "o_orderkey", 1L, 800L) // v3 deletes
+    DeltaLite.updateWhere(spark, table, "o_orderkey", 801L, 2000L,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(100.0)))) // v4 updates
+    DeltaLite.readCdf(spark, table, 1L,
+        DeltaLite.latestVersion(spark, table))
+      .groupBy("_change_type")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        max("_commit_version").as("ver"))
+      .orderBy("_change_type")
+  }
+
   /** X36u: Delta COLUMN MAPPING, name mode (PROTOCOL.md §Column Mapping)
     * — logical names decoupled from physical parquet names, making RENAME
     * and DROP metadata-only commits (one JSON line instead of a 100 TB
@@ -966,6 +996,42 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X261o: Iceberg METADATA TABLES — the table's own metadata queried
+    * relationally (`table$snapshots` / `$files` / `$manifests` / `$refs`):
+    * two hash-spread appends then a position delete, and every pinned
+    * number is RECOUNTED from the metadata layer — snapshot count and
+    * current operation off the snapshot list, live data/delete file
+    * inventories (whose record_count sums must equal the source
+    * relation's row counts — the statistics are genuine, not echoed),
+    * manifest entry-status counts, and the `main` branch ref. All
+    * control-plane: the key's metadata walk opens no data file. */
+  private def icebergMetaTables(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_meta")
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    IcebergLite.write(spark,
+      ev.where(col("event_id") % 3 === 0).repartition(2), table)
+    IcebergLite.write(spark,
+      ev.where(col("event_id") % 3 === 1).repartition(2), table)
+    IcebergLite.deleteWhere(spark, table, "user_id", 1L, 50L)
+    val snaps = IcebergLite.metadataTable(spark, table, "snapshots")
+      .agg(count(lit(1)).as("n_snapshots"),
+        max(when(col("is_current"), col("operation"))).as("current_op"))
+    val files = IcebergLite.metadataTable(spark, table, "files")
+      .agg(count(when(col("content") === 0, lit(1))).as("n_data_files"),
+        sum(when(col("content") === 0, col("record_count")))
+          .as("data_records"),
+        count(when(col("content") === 1, lit(1))).as("n_delete_files"),
+        sum(when(col("content") === 1, col("record_count")))
+          .as("deleted_records"))
+    val mans = IcebergLite.metadataTable(spark, table, "manifests")
+      .agg(count(lit(1)).as("n_manifests"),
+        sum("added_files_count").as("n_added_entries"))
+    val refs = IcebergLite.metadataTable(spark, table, "refs")
+      .agg(count(lit(1)).as("n_refs"),
+        max(when(col("name") === "main", col("type"))).as("main_type"))
+    snaps.crossJoin(files).crossJoin(mans).crossJoin(refs)
+  }
+
   /** X261i: Iceberg history — [[DeltaLite.history]]'s parity surface off
     * snapshot summaries + genuinely recounted manifest entries, incl. the
     * streaming batch marker a commitIdempotent snapshot carries. */
@@ -1178,6 +1244,7 @@ object FormatQueries {
     "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_delta_constraints" -> ((s, dir) => deltaConstraints(s, dir)),
+    "x_delta_cdf" -> ((s, dir) => deltaCdf(s, dir)),
     "x_iceberg_partition" -> ((s, dir) => icebergPartitioned(s, dir)),
     "x_iceberg_expire" -> ((s, dir) => icebergExpire(s, dir)),
     "x_iceberg_skipping" -> ((s, dir) => icebergSkipping(s, dir)),
@@ -1193,6 +1260,7 @@ object FormatQueries {
     "x_delta_optimize" -> ((s, dir) => deltaOptimize(s, dir)),
     "x_delta_partitioned" -> ((s, dir) => deltaPartitioned(s, dir)),
     "x_iceberg_history" -> ((s, dir) => icebergHistory(s, dir)),
+    "x_iceberg_meta_tables" -> ((s, dir) => icebergMetaTables(s, dir)),
     "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
     "x_iceberg_dv" -> ((s, dir) => icebergDv(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
@@ -1272,6 +1340,44 @@ object FormatQueries {
         |  TRUE AS rejected_backfill, TRUE AS rejected_write
         |FROM orders
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // the metadata layer recounted: 3 snapshots (2 appends + 1 delete,
+    // head = delete), 4 data files (2 per hash-spread append) whose
+    // record_count sums equal the source slice, ONE position-delete file
+    // whose record_count equals the matched rows, 3 manifests carrying
+    // 2+2+1 added entries, and the always-maintained `main` branch ref
+    "x_iceberg_meta_tables" ->
+      """SELECT CAST(3 AS BIGINT) AS n_snapshots, 'delete' AS current_op,
+        |  CAST(4 AS BIGINT) AS n_data_files,
+        |  (SELECT count(*) FROM events WHERE event_id % 3 IN (0, 1))
+        |    AS data_records,
+        |  CAST(1 AS BIGINT) AS n_delete_files,
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id % 3 IN (0, 1) AND user_id BETWEEN 1 AND 50)
+        |    AS deleted_records,
+        |  CAST(3 AS BIGINT) AS n_manifests,
+        |  CAST(5 AS BIGINT) AS n_added_entries,
+        |  CAST(1 AS BIGINT) AS n_refs, 'branch' AS main_type""".stripMargin,
+    // the feed replayed from the source relation: v2 inserted the %4==3
+    // keys, v3 deleted [1,800], v4 updated [801,2000] (+100.0 each);
+    // ranges are disjoint so every preimage row survived the delete
+    "x_delta_cdf" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, count(*) AS n,
+        |    round(sum(o_totalprice), 2) AS total, CAST(2 AS BIGINT) AS ver
+        |  FROM orders WHERE o_orderkey % 4 = 3
+        |  UNION ALL
+        |  SELECT 'delete', count(*), round(sum(o_totalprice), 2),
+        |    CAST(3 AS BIGINT)
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 800
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*), round(sum(o_totalprice), 2),
+        |    CAST(4 AS BIGINT)
+        |  FROM orders WHERE o_orderkey BETWEEN 801 AND 2000
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*),
+        |    round(sum(o_totalprice + 100.0), 2), CAST(4 AS BIGINT)
+        |  FROM orders WHERE o_orderkey BETWEEN 801 AND 2000
+        |) ORDER BY _change_type""".stripMargin,
     // rename + drop are metadata-only (files_moved false); the aggregate
     // runs under the post-rename logical name
     "x_delta_column_mapping" ->

@@ -1340,4 +1340,99 @@ object IcebergLite {
         "batch_id")
       .orderBy("snapshot_id")
   }
+
+  /** Iceberg METADATA TABLES (iceberg.apache.org/docs §Inspecting tables
+    * — `table$snapshots` & co.): the table's own metadata surfaced
+    * relationally, so the same engine that queries the data can query its
+    * lineage, file inventory, and ref pointers. Kinds:
+    *
+    *   - `snapshots` — one row per retained snapshot (id, operation,
+    *     schema-id it was written under, manifest-list name, whether it
+    *     is the current head);
+    *   - `manifests` — the CURRENT snapshot's manifest-list entries with
+    *     per-manifest entry-status counts (added/existing/deleted)
+    *     genuinely recounted from each manifest;
+    *   - `files` — every live file entry reachable from the current
+    *     snapshot, data AND delete manifests, with its content kind
+    *     (0 data / 1 position deletes / 2 equality deletes) and the
+    *     spec's record_count/file_size statistics;
+    *   - `refs` — the named branch/tag pointers.
+    *
+    * All control-plane: the walk reads manifest METADATA (the same files
+    * scan planning reads), never a data file — at 100 TB this is a few
+    * KB of Avro, which is the feature's point: file inventory queries
+    * cost O(manifests), not O(table). */
+  def metadataTable(spark: SparkSession, table: String,
+      kind: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val currentSid = meta.get("current-snapshot-id").asLong()
+    def currentList: Seq[MEntry] = {
+      var list: Option[String] = None
+      meta.get("snapshots").forEach { s =>
+        if (s.get("snapshot-id").asLong() == currentSid)
+          list = Some(s.get("manifest-list").asText())
+      }
+      listEntries(fs, new Path(list.getOrElse(
+        throw new IllegalArgumentException(
+          s"current snapshot $currentSid not in $table metadata"))))
+    }
+    kind match {
+      case "snapshots" =>
+        val rows = mutable.ArrayBuffer.empty[(Long, String, Int, String, Boolean)]
+        meta.get("snapshots").forEach { s =>
+          val sid = s.get("snapshot-id").asLong()
+          rows += ((sid, s.get("summary").get("operation").asText(),
+            s.get("schema-id").asInt(),
+            new Path(s.get("manifest-list").asText()).getName,
+            sid == currentSid))
+        }
+        rows.toSeq.toDF("snapshot_id", "operation", "schema_id",
+          "manifest_list", "is_current").orderBy("snapshot_id")
+      case "manifests" =>
+        val rows = currentList.map { m =>
+          val entries = readAvroFile(fs, new Path(m.path))
+          def n(status: Int) =
+            entries.count(_.get("status").asInstanceOf[Int] == status).toLong
+          (new Path(m.path).getName, m.len, m.content, m.seq, m.addedSid,
+            n(1), n(0), n(2))
+        }
+        rows.toDF("path", "length", "content", "sequence_number",
+          "added_snapshot_id", "added_files_count", "existing_files_count",
+          "deleted_files_count").orderBy("sequence_number", "path")
+      case "files" =>
+        val rows = currentList.flatMap { m =>
+          readAvroFile(fs, new Path(m.path))
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val df = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              // data_file.content (field-id 134) exists only in DELETE
+              // manifests; data manifests imply content 0
+              val content =
+                if (df.getSchema.getField("content") == null) 0
+                else df.get("content").asInstanceOf[Int]
+              (content, new Path(df.get("file_path").toString).getName,
+                df.get("file_format").toString,
+                df.get("record_count").asInstanceOf[Long],
+                df.get("file_size_in_bytes").asInstanceOf[Long])
+            }
+        }
+        rows.toDF("content", "file_path", "file_format", "record_count",
+          "file_size_in_bytes").orderBy("content", "file_path")
+      case "refs" =>
+        val rows = mutable.ArrayBuffer.empty[(String, String, Long)]
+        meta.path("refs").fields().forEachRemaining { e =>
+          rows += ((e.getKey, e.getValue.get("type").asText(),
+            e.getValue.get("snapshot-id").asLong()))
+        }
+        rows.toSeq.toDF("name", "type", "snapshot_id").orderBy("name")
+      case other => throw new IllegalArgumentException(
+        s"unknown metadata table '$other' " +
+          "(snapshots | manifests | files | refs)")
+    }
+  }
 }

@@ -759,4 +759,98 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     }
     e.getMessage should include("v2Checkpoint")
   }
+
+  test("CDF: derived inserts, cdc deletes/updates, pre/postimage pairs") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cdf_spec")
+    DeltaLite.write(spark,
+      (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v"), table,
+      collectStats = true)                                        // v0
+    // feed not enabled yet — readCdf refuses
+    intercept[IllegalArgumentException] {
+      DeltaLite.readCdf(spark, table, 0L, 0L)
+    }
+    DeltaLite.enableCdf(spark, table) shouldBe 1L                 // v1
+    DeltaLite.enableCdf(spark, table) shouldBe 1L                 // idempotent
+    // legacy protocol upgraded to writer 4
+    val proto = logLines(table, 1L).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    proto.get("minWriterVersion").asInt() shouldBe 4
+    DeltaLite.write(spark,
+      (11L to 13L).map(k => (k, k * 10L)).toDF("k", "v"), table,
+      collectStats = true)                                        // v2
+    DeltaLite.deleteWhere(spark, table, "k", 1L, 3L)              // v3
+    DeltaLite.updateWhere(spark, table, "k", 11L, 12L,
+      Map("v" -> (col("v") + lit(1L))))                           // v4
+    val feed = DeltaLite.readCdf(spark, table, 1L, 4L)
+      .select("k", "v", "_change_type", "_commit_version")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    feed shouldBe Set(
+      (11L, 110L, "insert", 2L), (12L, 120L, "insert", 2L),
+      (13L, 130L, "insert", 2L),
+      (1L, 10L, "delete", 3L), (2L, 20L, "delete", 3L),
+      (3L, 30L, "delete", 3L),
+      (11L, 110L, "update_preimage", 4L), (12L, 120L, "update_preimage", 4L),
+      (11L, 111L, "update_postimage", 4L),
+      (12L, 121L, "update_postimage", 4L))
+    // the cdc actions are dataChange=false and invisible to snapshot state
+    DeltaLite.read(spark, table).count() shouldBe 10L
+    // update really landed in the table
+    DeltaLite.read(spark, table).where($"k" === 11L).select("v")
+      .head().getLong(0) shouldBe 111L
+  }
+
+  test("CDF: overwrite derives insert+delete; DV delete feeds only newly-masked rows") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cdf_dv")
+    DeltaLite.write(spark,
+      (1L to 8L).map(k => (k, k)).toDF("k", "v"), table,
+      collectStats = true)                                        // v0
+    DeltaLite.enableCdf(spark, table)                             // v1
+    // DV delete on a CDF table: cdc carries rows 1-2; protocol keeps both
+    DeltaLite.deleteWhereDV(spark, table, "k", 1L, 2L)            // v2
+    val proto = logLines(table, 2L).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    val wf = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      proto.get("writerFeatures").elements()).asScala.map(_.asText()).toSet
+    wf shouldBe Set("deletionVectors", "changeDataFeed")
+    // re-delete an overlapping range: only k=3 is NEWLY masked
+    DeltaLite.deleteWhereDV(spark, table, "k", 1L, 3L)            // v3
+    val feed = DeltaLite.readCdf(spark, table, 1L, 3L)
+      .select("k", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    feed shouldBe Set(
+      (1L, "delete", 2L), (2L, "delete", 2L), (3L, "delete", 3L))
+    // an overwrite derives: every old live row deletes, new rows insert
+    DeltaLite.write(spark, Seq((99L, 99L)).toDF("k", "v"), table,
+      overwrite = true)                                           // v4
+    val ow = DeltaLite.readCdf(spark, table, 3L, 4L)
+      .select("k", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the overwrite's removed file carried a DV masking k=1..3 — those
+    // rows were already dead and must NOT resurrect in the feed; only
+    // the LIVE rows 4..8 delete
+    ow shouldBe Set((99L, "insert"), (4L, "delete"), (5L, "delete"),
+      (6L, "delete"), (7L, "delete"), (8L, "delete"))
+  }
+
+  test("CDF guards: partitioned refuses enable; DV'd remove refuses derive; update honors constraints") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cdf_part")
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), table, "p")
+    intercept[IllegalArgumentException] {
+      DeltaLite.enableCdf(spark, table)
+    }
+    // CHECK constraints gate updateWhere like any writer
+    val t2 = Sinks.tempDir("delta_cdf_chk")
+    DeltaLite.write(spark, (1L to 5L).map(k => (k, k)).toDF("k", "v"), t2,
+      collectStats = true)
+    DeltaLite.addConstraint(spark, t2, "pos_v", "v > 0")
+    intercept[IllegalArgumentException] {
+      DeltaLite.updateWhere(spark, t2, "k", 1L, 2L,
+        Map("v" -> lit(-5L)))
+    }
+  }
 }

@@ -466,4 +466,41 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.history(spark, table).collect()
       .map(_.getLong(0)).toSeq shouldBe Seq(3L)
   }
+
+  test("metadata tables: snapshots/files/manifests/refs recounted from the metadata layer") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_metatab")
+    IcebergLite.write(spark,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v").repartition(2), table)
+    IcebergLite.write(spark, Seq((7L, 70L)).toDF("k", "v"), table)
+    IcebergLite.setRef(spark, table, "rel", 1L)
+    IcebergLite.deleteWhere(spark, table, "k", 2L, 3L)
+    val snaps = IcebergLite.metadataTable(spark, table, "snapshots").collect()
+    // snapshot ids skip 3: setRef landed metadata v3 without a snapshot
+    snaps.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 4L)
+    snaps.map(_.getString(1)).toSeq shouldBe Seq("append", "append", "delete")
+    snaps.map(_.getBoolean(4)).toSeq shouldBe Seq(false, false, true)
+    val files = IcebergLite.metadataTable(spark, table, "files").collect()
+    // 3 data files (2 + 1) and one position-delete file of 2 rows
+    files.count(_.getInt(0) == 0) shouldBe 3
+    files.filter(_.getInt(0) == 0).map(_.getLong(3)).sum shouldBe 7L
+    val dels = files.filter(_.getInt(0) == 1)
+    dels.length shouldBe 1
+    dels.head.getLong(3) shouldBe 2L
+    val mans = IcebergLite.metadataTable(spark, table, "manifests").collect()
+    mans.length shouldBe 3 // 2 data manifests reused by ref + 1 delete
+    mans.map(r => r.getLong(5)).sum shouldBe 4L // added: 2 + 1 + 1
+    val refs = IcebergLite.metadataTable(spark, table, "refs").collect()
+    refs.map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("main", "branch"), ("rel", "tag"))
+    refs.find(_.getString(0) == "main").get.getLong(2) shouldBe 4L
+    refs.find(_.getString(0) == "rel").get.getLong(2) shouldBe 1L
+    // compaction materializes deletes away and the inventory reflects it
+    IcebergLite.rewriteDataFiles(spark, table)
+    val after = IcebergLite.metadataTable(spark, table, "files").collect()
+    after.count(_.getInt(0) != 0) shouldBe 0
+    after.map(_.getLong(3)).sum shouldBe 5L // 7 rows - 2 deleted
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.metadataTable(spark, table, "partitions")
+  }
 }

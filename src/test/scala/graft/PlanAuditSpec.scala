@@ -91,6 +91,10 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delta_column_mapping" -> 1,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
+    // category 1: four 1-row scalar finals, one per metadata table kind
+    // (snapshots/files/manifests/refs) — each aggregates a metadata-sized
+    // relation (a few rows of manifest inventory), never table data
+    "x_iceberg_meta_tables" -> 4,
     "x_iceberg_skipping" -> 1, // category 1: 1-row planned-scan summary
     // categories 1+2: daily-totals scalar broadcast feeding the 1-row
     // jackknife reduction (the corpus pass is the per-day partial-first
