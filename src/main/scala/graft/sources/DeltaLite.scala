@@ -864,13 +864,14 @@ object DeltaLite {
     * Spark and unescaped on recovery ([[unescapePathName]]), so values
     * needing %-escaping and the null sentinel round-trip exactly. Stats
     * collection composes as in [[write]]. Returns the version. */
-  def writePartitioned(spark: SparkSession, df: DataFrame, table: String,
+  def writePartitioned(spark: SparkSession, dfIn: DataFrame, table: String,
       partCol: String, collectStats: Boolean = false,
       maxRetries: Int = 10, tag: String = "-p-",
       txn: Option[(String, Long)] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "writePartitioned()")
+    val df = applyGenerated(spark, table, dfIn)
     enforceConstraints(spark, table, df)
     require(df.schema.fieldNames.contains(partCol),
       s"partition column $partCol absent from schema")
@@ -1252,6 +1253,97 @@ object DeltaLite {
     }
   }
 
+  /** The table's GENERATED columns, name → generation expression — off
+    * each schema field's metadata key `delta.generationExpression`
+    * (PROTOCOL.md §Writer Requirements for Generated Columns; the
+    * schemaString replay preserves field metadata, and the checkpoint's
+    * metaData row carries schemaString, so declarations survive
+    * expireLog). */
+  private def generatedColumns(schema: StructType): Map[String, String] =
+    schema.fields.flatMap { f =>
+      if (f.metadata.contains("delta.generationExpression"))
+        Some(f.name -> f.metadata.getString("delta.generationExpression"))
+      else None
+    }.toMap
+
+  /** Writer-side enforcement for generated columns, called BEFORE staging:
+    * an incoming frame that OMITS a generated column gets it computed; one
+    * that PROVIDES it is validated value-by-value against the expression
+    * (null-safe equality) and refuses on any mismatch — a reader is
+    * entitled to trust generated values without re-deriving them. Returns
+    * the (possibly augmented) frame in TABLE column order. */
+  private def applyGenerated(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    if (latestVersion(spark, table) < 0) return df
+    val schema = tableSchema(spark, table)
+    val gen = generatedColumns(schema)
+    if (gen.isEmpty) return df
+    val full = gen.foldLeft(df) { case (d, (name, sql)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+      else {
+        val bad = d.where(not(col(name) <=> expr(sql))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"generated column $name: $bad incoming row(s) contradict ($sql)")
+        d
+      }
+    }
+    if (full.columns.toSet == schema.fieldNames.toSet)
+      full.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    else full
+  }
+
+  /** Declare an EXISTING column GENERATED (PROTOCOL.md §Generated
+    * Columns): the expression lands in the field's metadata under
+    * `delta.generationExpression` and the commit raises the writer
+    * requirement to 4 (never a downgrade), so pre-feature writers refuse
+    * instead of committing unvalidated values. The current rows are
+    * validated first — a declaration the table already contradicts must
+    * not land. METADATA-ONLY commit; from then on every writer computes
+    * the column when omitted and validates it when provided
+    * ([[applyGenerated]]). */
+  def addGeneratedColumn(spark: SparkSession, table: String, column: String,
+      exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "addGeneratedColumn()")
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    val (id, _) = snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val schema = tableSchema(spark, table)
+    require(schema.fieldNames.contains(column),
+      s"column $column not in $table schema — generated columns are " +
+        "declared over existing columns in this subset")
+    val bad = read(spark, table)
+      .where(not(col(column) <=> expr(exprSql))).count()
+    require(bad == 0L, s"cannot declare $column generated: $bad existing " +
+      s"row(s) contradict ($exprSql)")
+    val newSchema = StructType(schema.fields.map { f =>
+      if (f.name != column) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putString("delta.generationExpression", exprSql).build())
+    })
+    // generated columns' writer requirement is 4; never downgrade a table
+    // already past it (constraints=3 upgrades, DV/CDF feature tables stay)
+    val priorWriter = snap.protocol.map(_.minWriter).getOrElse(2)
+    val proto =
+      if (priorWriter >= 7) Seq.empty // feature protocol already gates
+      else Seq(jsonObj("protocol") { p =>
+        p.put("minReaderVersion", 1)
+        p.put("minWriterVersion", math.max(priorWriter, 4))
+      })
+    val v = latest + 1
+    if (!tryCommit(fs, table, v,
+        Seq(commitInfoLine("ADD GENERATED COLUMN")) ++ proto ++
+          Seq(metaDataLine(newSchema, id, configuration = snap.config))))
+      throw new IllegalStateException(
+        s"addGeneratedColumn lost the commit race on $table")
+    v
+  }
+
   /** REORG (physical purge) of a column-mapped table — Delta's
     * `REORG TABLE ... APPLY (PURGE)`: rewrite every live data file under
     * the CURRENT logical schema's physical names, so columns dropped via
@@ -1293,12 +1385,13 @@ object DeltaLite {
     (v, before.files.size.toLong, parts.length.toLong)
   }
 
-  private def writeTagged(spark: SparkSession, df: DataFrame, table: String,
+  private def writeTagged(spark: SparkSession, dfIn: DataFrame, table: String,
       overwrite: Boolean, tag: String, maxRetries: Int = 10,
       collectStats: Boolean = false,
       txn: Option[(String, Long)] = None): Long = {
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "plain write()") // use writeColumnMapped
+    val df = applyGenerated(spark, table, dfIn) // compute/validate generated
     enforceConstraints(spark, table, df) // CHECK constraints gate the write
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1354,9 +1447,30 @@ object DeltaLite {
           prior.meta match {
             // schema EVOLUTION: a widened batch re-declares the table
             // schema in this commit's metaData (same table id, PRESERVED
-            // configuration — constraints survive an evolution commit)
-            case Some((id, sj)) if sj != df.schema.json =>
-              Seq(metaDataLine(df.schema, id, configuration = prior.config))
+            // configuration — constraints survive an evolution commit).
+            // Compared STRUCTURALLY (names/types/nullability): an incoming
+            // frame never carries field metadata, so a json-text compare
+            // would emit an evolution commit that silently ERASES
+            // generation expressions; structural equality keeps the table
+            // schema authoritative, and a real evolution re-grafts the
+            // unchanged fields' metadata
+            case Some((id, sj)) =>
+              val tbl = org.apache.spark.sql.types.DataType.fromJson(sj)
+                .asInstanceOf[StructType]
+              def strip(s: StructType) = StructType(s.fields.map(_.copy(
+                metadata = org.apache.spark.sql.types.Metadata.empty)))
+              if (strip(tbl) == strip(df.schema)) Seq.empty
+              else {
+                val merged = StructType(df.schema.fields.map { f =>
+                  tbl.fields.find(_.name == f.name) match {
+                    case Some(of)
+                      if f.metadata == org.apache.spark.sql.types.Metadata.empty =>
+                        f.copy(metadata = of.metadata)
+                    case _ => f
+                  }
+                })
+                Seq(metaDataLine(merged, id, configuration = prior.config))
+              }
             case _ => Seq.empty
           }
         }

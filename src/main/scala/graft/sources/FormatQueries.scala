@@ -996,6 +996,106 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X36x: Delta GENERATED COLUMNS — the declaration is field metadata
+    * (`delta.generationExpression`, writer-4 protocol), and the contract
+    * is writer-side: batch 1 PROVIDES the column (validated on declare),
+    * batch 2 OMITS it and the writer computes it from the expression —
+    * the final grouped read only matches the oracle if the computed
+    * values are right. `n_generated` is recounted from the replayed
+    * schema's field metadata, not echoed. */
+  private def deltaGenerated(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_gen")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    val genExpr = "CAST(year(o_orderdate) AS BIGINT)"
+    DeltaLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_year", expr(genExpr)), table)
+    DeltaLite.addGeneratedColumn(spark, table, "o_year", genExpr)
+    // this batch OMITS o_year — the writer derives it
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table)
+    val nGen = DeltaLite.tableSchema(spark, table).fields
+      .count(_.metadata.contains("delta.generationExpression")).toLong
+    DeltaLite.read(spark, table)
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("n_generated", lit(nGen))
+      .orderBy("o_year")
+  }
+
+  /** X261q: Iceberg MERGE INTO (upsert) with FILE-GRANULAR copy-on-write:
+    * the table is laid out so updates hit only the even-key files (commit
+    * 1) and never the odd-key files (commit 2) — after the merge the odd
+    * files are still live BY REFERENCE (`untouched_retained`) while every
+    * even file left the live set (`touched_rewritten`), proving the
+    * rewrite was planned at file granularity, not table granularity.
+    * Matched keys take the source row (+500), unmatched source keys
+    * insert (+1000), and the counts come from the merge return. */
+  private def icebergMerge(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_mrg")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val init = o.where(col("o_orderkey") % 4 =!= 3)
+    IcebergLite.write(spark,
+      init.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    val evenFiles = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    IcebergLite.write(spark,
+      init.where(col("o_orderkey") % 2 === 1).repartition(2), table)
+    val oddFiles = IcebergLite.snapshotFiles(spark, table, -1L).toSet -- evenFiles
+    val src = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + 500.0).as("o_totalprice"))
+      .unionAll(o.where(col("o_orderkey") % 4 === 3)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice")))
+    val (_, nUpd, nIns) = IcebergLite.mergeInto(spark, table, src, "o_orderkey")
+    val after = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    IcebergLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_updated", lit(nUpd))
+      .withColumn("rows_inserted", lit(nIns))
+      .withColumn("untouched_retained", lit(oddFiles.subsetOf(after)))
+      .withColumn("touched_rewritten", lit(evenFiles.intersect(after).isEmpty))
+  }
+
+  /** X261p: Iceberg v2 merge-on-read UPDATE — ONE snapshot carrying both
+    * manifest kinds (content=1 position deletes masking the old rows,
+    * content=0 data files adding the updated ones; no existing file
+    * rewritten). Two OVERLAPPING updates prove stacking: the second
+    * update's positions are planned on the live view, so rows the first
+    * update relocated are re-masked at their NEW coordinates and the
+    * overlap gets both assignments. The pre-update snapshot still
+    * time-travels to the original total, and every original data file is
+    * still live after both updates (`old_files_retained` — the
+    * no-rewrite property). */
+  private def icebergUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_upd")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    val q = mx / 4
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 0).repartition(2), table)
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") % 2 === 1).repartition(2), table)
+    val preSid = 2L
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val (_, upd1) = IcebergLite.updateWhere(spark, table, "o_orderkey",
+      q, 2 * q, Map("o_totalprice" -> (col("o_totalprice") + 500.0)))
+    val (_, upd2) = IcebergLite.updateWhere(spark, table, "o_orderkey",
+      3 * q / 2, 5 * q / 2,
+      Map("o_totalprice" -> (col("o_totalprice") + 1000.0)))
+    val filesAfter = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val totalBefore = IcebergLite.read(spark, table, preSid)
+      .agg(round(sum("o_totalprice"), 2)).collect()(0).getDouble(0)
+    IcebergLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_updated_1", lit(upd1))
+      .withColumn("rows_updated_2", lit(upd2))
+      .withColumn("total_before", lit(totalBefore))
+      .withColumn("old_files_retained", lit(filesBefore.subsetOf(filesAfter)))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261o: Iceberg METADATA TABLES — the table's own metadata queried
     * relationally (`table$snapshots` / `$files` / `$manifests` / `$refs`):
     * two hash-spread appends then a position delete, and every pinned
@@ -1263,6 +1363,9 @@ object FormatQueries {
     "x_iceberg_meta_tables" -> ((s, dir) => icebergMetaTables(s, dir)),
     "x_iceberg_optimize" -> ((s, dir) => icebergOptimize(s, dir)),
     "x_iceberg_dv" -> ((s, dir) => icebergDv(s, dir)),
+    "x_iceberg_update" -> ((s, dir) => icebergUpdate(s, dir)),
+    "x_iceberg_merge" -> ((s, dir) => icebergMerge(s, dir)),
+    "x_delta_generated" -> ((s, dir) => deltaGenerated(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1494,6 +1597,48 @@ object FormatQueries {
         |  TRUE AS files_unchanged
         |FROM orders, b
         |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // generated columns: the omitted-column batch only matches if the
+    // writer derived o_year correctly from the declared expression
+    "x_delta_generated" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS n_generated
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+    // Iceberg MERGE INTO: evens upserted (+500), the %4==3 keys inserted
+    // (+1000), odds untouched; the file booleans pin file-granular
+    // copy-on-write (odd-key files carried by reference, even-key files
+    // rewritten out of the live set)
+    "x_iceberg_merge" ->
+      """SELECT count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 500
+        |                 WHEN o_orderkey % 4 = 3 THEN o_totalprice + 1000
+        |                 ELSE o_totalprice END), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS rows_updated,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 = 3)
+        |    AS rows_inserted,
+        |  TRUE AS untouched_retained,
+        |  TRUE AS touched_rewritten
+        |FROM orders""".stripMargin,
+    // Iceberg v2 merge-on-read UPDATE: overlapping updates stack (the
+    // overlap gets both +500 and +1000), the pre-update snapshot still
+    // sums to the original total, and no original data file is rewritten
+    "x_iceberg_update" ->
+      """WITH b AS (SELECT max(o_orderkey) // 4 AS q FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice
+        |    + CASE WHEN o_orderkey BETWEEN q AND 2*q
+        |        THEN 500 ELSE 0 END
+        |    + CASE WHEN o_orderkey BETWEEN (3*q)//2 AND (5*q)//2
+        |        THEN 1000 ELSE 0 END), 2) AS total,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN q AND 2*q) AS rows_updated_1,
+        |  (SELECT count(*) FROM orders, b
+        |   WHERE o_orderkey BETWEEN (3*q)//2 AND (5*q)//2) AS rows_updated_2,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders) AS total_before,
+        |  TRUE AS old_files_retained
+        |FROM orders, b
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // the expected provenance rows; every count on the Spark side is
     // counted from the committed log actions, not asserted

@@ -1027,15 +1027,24 @@ object IcebergLite {
     readLive(spark, table, snapshotId, keepMeta = false)
 
   /** [[read]] with the option to RETAIN the (__fn, __ri) position columns
-    * — the coordinate system [[deleteWhere]] records deletes in. */
+    * — the coordinate system [[deleteWhere]] records deletes in — and to
+    * RESTRICT the scan to a planned subset of data files (by file name):
+    * the rewrite ops ([[mergeInto]]) read only the files they touch, with
+    * every live delete still applied. */
   private def readLive(spark: SparkSession, table: String, snapshotId: Long,
-      keepMeta: Boolean): DataFrame = {
+      keepMeta: Boolean,
+      onlyFiles: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, split}
     val fs = hadoopFs(spark, table)
     val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
     val wanted =
       if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
-    val dataFiles = snapshotManifestFiles(spark, table, wanted, content = 0)
+    val allDataFiles = snapshotManifestFiles(spark, table, wanted, content = 0)
+    val dataFiles = onlyFiles match {
+      case None => allDataFiles
+      case Some(names) =>
+        allDataFiles.filter(f => names.contains(new Path(f._1).getName))
+    }
     require(dataFiles.nonEmpty, s"snapshot has no data files in $table")
     val deleteEntries = snapshotDeleteEntries(spark, table, wanted)
     val posDeletes = deleteEntries.filter(_._3 == 1)
@@ -1275,6 +1284,285 @@ object IcebergLite {
       fs.delete(new Path(metaDir(table), listName), false)
       None
     } else Some((snapshotId, nDeleted))
+  }
+
+  /** Row-level UPDATE as a MERGE-ON-READ commit — ONE snapshot carrying
+    * BOTH v2 manifest kinds: a content=1 DELETE manifest masking the
+    * matched rows' old positions and a content=0 data manifest adding the
+    * updated rows ([[DeltaLite.updateWhere]]'s copy-on-write parity, done
+    * the v2 way — iceberg.apache.org/spec §Row-level deletes). No
+    * existing data file is rewritten: at 100 TB an update of k rows
+    * writes O(k) bytes, not O(touched files). The pair is
+    * self-consistent under the spec's sequence rules — the delete file's
+    * rows reference only OLD data files, and the new data files share
+    * the delete's sequence number, so the `seq(delete) ≥ seq(data)`
+    * position gate can never re-mask the rows it just moved. Updates
+    * STACK: a second update's positions are planned on the LIVE view, so
+    * rows relocated by update 1 are re-masked at their NEW coordinates.
+    * Returns (snapshotId, rowsUpdated); nothing matched → no commit. */
+  def updateWhere(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, set: Map[String, org.apache.spark.sql.Column],
+      maxRetries: Int = 10): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      updateOnce(spark, table, column, lo, hi, set) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"update lost $maxRetries metadata races on $table")
+  }
+
+  private def updateOnce(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, set: Map[String, org.apache.spark.sql.Column])
+      : Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    require(partitionSpec(prevMeta).isEmpty,
+      "updateWhere on hidden-partitioned tables is outside the subset")
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(prevMeta, cur)
+    require(set.keySet.subsetOf(schema.fieldNames.toSet),
+      s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
+    val dataFiles = snapshotManifestFiles(spark, table, cur, content = 0)
+    val snapshotId = prevV + 1L
+    // merge-on-read matched set: earlier deletes/updates already applied,
+    // so coordinates are the rows' CURRENT files
+    val matched = readLive(spark, table, cur, keepMeta = true)
+      .where(col(column).between(lo, hi))
+      .persist()
+    try {
+      val rowsUpdated = matched.count()
+      if (rowsUpdated == 0) return Some((cur, 0L))
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      // (1) matched rows' old coordinates → one sorted position-delete file
+      val nameToPath = dataFiles
+        .map { case (p, _) => (new Path(p).getName, p) }
+        .toDF("__fn", "file_path")
+      val stagedDel = s"data/s$snapshotId-$token-del"
+      matched.select("__fn", "__ri")
+        .join(broadcast(nameToPath), "__fn")
+        .select(col("file_path"), col("__ri").as("pos"))
+        .coalesce(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("errorifexists").parquet(s"$table/$stagedDel")
+      // (2) matched rows with assignments applied → new data files
+      val updated = set.foldLeft(matched.drop("__fn", "__ri")) {
+        case (d, (k, expr)) => d.withColumn(k, expr)
+      }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val stagedData = s"data/s$snapshotId-$token-upd"
+      updated.write.mode("errorifexists").parquet(s"$table/$stagedData")
+      // DELETE manifest (data_file.content = 1: position deletes)
+      val delParts = fs.listStatus(new Path(table, stagedDel))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val delEntries = delParts.toSeq.map(p => deleteEntry(table, snapshotId,
+        s"$stagedDel/${p.getPath.getName}", p.getLen, rowsUpdated, kind = 1))
+      val delManifestName = s"$snapshotId-$token-del-m0.avro"
+      val delManifestLen = writeAvroFile(
+        new File(new File(table, "metadata"), delManifestName),
+        deleteEntrySchema, delEntries)
+      // data manifest for the updated rows, record counts in one pass
+      val (dataManifestName, dataManifestLen) =
+        stageDataManifest(spark, fs, table, stagedData, snapshotId, token)
+      // manifest list: every prior manifest BY REFERENCE + both new kinds
+      // at this snapshot's sequence
+      val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+      val prior = listEntries(fs, new Path(curList))
+      val listName = s"snap-$snapshotId-$token.avro"
+      writeManifestList(table, listName,
+        prior ++ Seq(
+          MEntry(s"$table/metadata/$dataManifestName", dataManifestLen,
+            snapshotId, content = 0, seq = snapshotId),
+          MEntry(s"$table/metadata/$delManifestName", delManifestLen,
+            snapshotId, content = 1, seq = snapshotId)),
+        v2 = true)
+      val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
+        formatVersion = 2, snapshotId, schema, None, listName,
+        "overwrite", Map.empty)
+      if (!committed) {
+        fs.delete(new Path(table, stagedDel), true)
+        fs.delete(new Path(table, stagedData), true)
+        fs.delete(new Path(metaDir(table), delManifestName), false)
+        fs.delete(new Path(metaDir(table), dataManifestName), false)
+        fs.delete(new Path(metaDir(table), listName), false)
+        None
+      } else Some((snapshotId, rowsUpdated))
+    } finally matched.unpersist()
+  }
+
+  /** Build ONE data manifest over an already-staged directory of parquet
+    * files (unpartitioned, no bounds — the rewrite-op shape), record
+    * counts from one distributed pass. Returns (manifestName, length). */
+  private def stageDataManifest(spark: SparkSession, fs: FileSystem,
+      table: String, stagedRel: String, snapshotId: Long,
+      token: String): (String, Long) = {
+    import org.apache.spark.sql.functions.{count => cnt, input_file_name, lit => lt}
+    val counts = spark.read.parquet(s"$table/$stagedRel")
+      .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
+      .collect()
+      .map(r => (new Path(r.getAs[String]("f")).getName, r.getAs[Long]("n")))
+      .toMap
+    val parts = fs.listStatus(new Path(table, stagedRel))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val entries = parts.toSeq.map { p =>
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("file_path", s"$table/$stagedRel/${p.getPath.getName}")
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(manifestEntrySchema
+        .getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", counts.getOrElse(p.getPath.getName, 0L))
+      d.put("file_size_in_bytes", p.getLen)
+      d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      e.put("data_file", d)
+      e
+    }
+    val name = s"$snapshotId-$token-m0.avro"
+    val len = writeAvroFile(new File(new File(table, "metadata"), name),
+      manifestEntrySchema, entries)
+    (name, len)
+  }
+
+  /** MERGE INTO (upsert) with file-granular COPY-ON-WRITE rewrite —
+    * [[DeltaLite]]-side MERGE's parity op, planned the Iceberg way: only
+    * the data files that CONTAIN a matched key are rewritten (matched
+    * rows replaced by their source row, survivors riding along);
+    * untouched files stay referenced — at the MANIFEST grain, so a
+    * manifest none of whose files are touched is carried by reference
+    * verbatim, and a partially-touched manifest is re-written with its
+    * surviving entries under its ORIGINAL sequence number (the spec's
+    * RewriteFiles discipline — preserving sequence keeps every carried
+    * position/equality delete applying to exactly the rows it applied to
+    * before). Source rows with no match append as new files. Duplicate
+    * source keys refuse (ambiguous MERGE, SQL semantics). A source that
+    * matches nothing degrades to a plain append commit. Returns
+    * (snapshotId, rowsUpdated, rowsInserted). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String, maxRetries: Int = 10): (Long, Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      mergeOnce(spark, table, source, keyCol) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"merge lost $maxRetries metadata races on $table")
+  }
+
+  private def mergeOnce(spark: SparkSession, table: String,
+      source: DataFrame, keyCol: String): Option[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, collect_set, count => cnt, lit => lt}
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    require(partitionSpec(prevMeta).isEmpty,
+      "mergeInto on hidden-partitioned tables is outside the subset")
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(prevMeta, cur)
+    require(source.columns.toSet == schema.fieldNames.toSet,
+      s"source schema ${source.columns.toSeq} != table ${schema.fieldNames.toSeq}")
+    require(schema.fieldNames.contains(keyCol), s"key $keyCol not in $table")
+    val src = source.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist()
+    try {
+      val nSrc = src.count()
+      require(nSrc > 0, "empty MERGE source")
+      val srcKeys = src.select(keyCol).distinct()
+      require(srcKeys.count() == nSrc,
+        s"duplicate $keyCol values in MERGE source — ambiguous matches")
+      val formatVersion = prevMeta.path("format-version").asInt(1)
+      // match discovery: ONE pass over the live table — matched row count,
+      // matched-key count, and the touched-file set (bounded by file count)
+      val m = readLive(spark, table, cur, keepMeta = true)
+        .select(col(keyCol), col("__fn"))
+        .join(srcKeys, Seq(keyCol))
+        .agg(cnt(lt(1)).as("n"),
+          collect_set("__fn").as("fns"),
+          org.apache.spark.sql.functions.countDistinct(col(keyCol)).as("nk"))
+        .collect()(0)
+      val rowsUpdated = m.getAs[Long]("n")
+      val matchedKeys = m.getAs[Long]("nk")
+      val touched = m.getAs[scala.collection.Seq[String]]("fns").toSet
+      val rowsInserted = nSrc - matchedKeys
+      if (touched.isEmpty) {
+        // nothing matched: a plain append commit of the source
+        return writeOnce(spark, src, table, overwrite = false, None,
+          Map.empty, None, Some("append"), formatV2 = formatVersion == 2)
+          .map(sid => (sid, 0L, rowsInserted))
+      }
+      val snapshotId = prevV + 1L
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      // rewritten content for the touched files: their surviving live rows
+      // (deletes applied by the scan) + every source row (matched rows'
+      // replacements land here; unmatched rows are the inserts)
+      val survivors = readLive(spark, table, cur, keepMeta = true,
+          onlyFiles = Some(touched))
+        .join(srcKeys, Seq(keyCol), "left_anti")
+        .drop("__fn", "__ri")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val stagedData = s"data/s$snapshotId-$token-mrg"
+      survivors.unionByName(src)
+        .write.mode("errorifexists").parquet(s"$table/$stagedData")
+      val (dataManifestName, dataManifestLen) =
+        stageDataManifest(spark, fs, table, stagedData, snapshotId, token)
+      // survivor manifests: untouched → by reference; partially touched →
+      // re-written with surviving entries under the ORIGINAL sequence;
+      // fully touched → dropped. Delete manifests carry by reference
+      // (their rows for rewritten files are inert — the file is gone).
+      val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+      val written = mutable.ArrayBuffer.empty[String]
+      var mIdx = 0
+      val carried = listEntries(fs, new Path(curList)).flatMap { me =>
+        if (me.content != 0) Some(me)
+        else {
+          val records = readAvroFile(fs, new Path(me.path))
+          val (dropped, kept) = records.partition { r =>
+            r.get("status").asInstanceOf[Int] != 2 &&
+              touched.contains(new Path(
+                r.get("data_file").asInstanceOf[GenericRecord]
+                  .get("file_path").toString).getName)
+          }
+          if (dropped.isEmpty) Some(me)
+          else if (kept.isEmpty) None
+          else {
+            mIdx += 1
+            val name = s"$snapshotId-$token-surv$mIdx.avro"
+            val len = writeAvroFile(
+              new File(new File(table, "metadata"), name),
+              kept.head.getSchema, kept)
+            written += name
+            Some(MEntry(s"$table/metadata/$name", len, me.addedSid,
+              content = 0, seq = me.seq))
+          }
+        }
+      }
+      val listName = s"snap-$snapshotId-$token.avro"
+      writeManifestList(table, listName,
+        carried :+ MEntry(s"$table/metadata/$dataManifestName",
+          dataManifestLen, snapshotId, content = 0, seq = snapshotId),
+        v2 = formatVersion == 2)
+      val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
+        formatVersion, snapshotId, schema, None, listName,
+        "overwrite", Map.empty)
+      if (!committed) {
+        fs.delete(new Path(table, stagedData), true)
+        written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
+        fs.delete(new Path(metaDir(table), dataManifestName), false)
+        fs.delete(new Path(metaDir(table), listName), false)
+        None
+      } else Some((snapshotId, rowsUpdated, rowsInserted))
+    } finally src.unpersist()
   }
 
   /** rewriteDataFiles — Iceberg's compaction op ([[DeltaLite.optimize]]'s

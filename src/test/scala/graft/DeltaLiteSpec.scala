@@ -679,6 +679,51 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.write(spark, Seq((15L, -2L, "y")).toDF("k", "v", "s"), table)
   }
 
+  test("generated columns: derive-on-omit, validate-on-provide, evolution + checkpoint survival") {
+    import spark.implicits._
+    val table = Sinks.tempDir("dl_gen")
+    DeltaLite.write(spark,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").withColumn("d", $"v" * 2L),
+      table)
+    // declaring over contradicting rows refuses
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.addGeneratedColumn(spark, table, "d", "v * 3")
+    DeltaLite.addGeneratedColumn(spark, table, "d", "v * 2")
+    // the protocol commit raises the writer requirement to 4
+    logLines(table, 1L).exists(
+      _.contains("\"minWriterVersion\":4")) shouldBe true
+    // a batch OMITTING the column gets it computed
+    DeltaLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)
+    DeltaLite.read(spark, table).where($"k" === 3L)
+      .select("d").as[Long].collect() shouldBe Seq(60L)
+    // a batch PROVIDING contradicting values refuses
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark,
+        Seq((4L, 40L, 99L)).toDF("k", "v", "d"), table)
+    // ...and providing CORRECT values commits (no spurious evolution:
+    // the structural compare keeps the metadata-carrying table schema)
+    DeltaLite.write(spark, Seq((4L, 40L, 80L)).toDF("k", "v", "d"), table)
+    logLines(table, 3L).exists(_.contains("metaData")) shouldBe false
+    // schema EVOLUTION re-grafts the generation expression onto the
+    // unchanged field — enforcement survives the widened schema
+    DeltaLite.write(spark,
+      Seq((5L, 50L, "x")).toDF("k", "v", "extra"), table)
+    DeltaLite.read(spark, table).where($"k" === 5L)
+      .select("d").as[Long].collect() shouldBe Seq(100L)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark,
+        Seq((6L, 60L, 1L, "y")).toDF("k", "v", "d", "extra"), table)
+    // declaration survives checkpoint + expireLog (schemaString replay
+    // through the checkpoint's metaData row)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.write(spark, Seq((7L, 70L)).toDF("k", "v"), table)
+    DeltaLite.read(spark, table).where($"k" === 7L)
+      .select("d").as[Long].collect() shouldBe Seq(140L)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.write(spark, Seq((8L, 80L, 7L)).toDF("k", "v", "d"), table)
+  }
+
   test("DV delete drops a file whose every row is deleted") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_dv_full")

@@ -394,6 +394,104 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 5L
   }
 
+  test("merge-on-read UPDATE: both manifest kinds in one snapshot, stacking, time travel, compaction") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_mor_upd")
+    IcebergLite.write(spark,
+      (0L until 10L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2),
+      table)
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val (sid1, n1) = IcebergLite.updateWhere(spark, table, "k", 2L, 4L,
+      Map("v" -> (col("v") + 1L)))
+    n1 shouldBe 3L
+    // no original data file rewritten — the update is a delete+add pair
+    IcebergLite.snapshotFiles(spark, table, -1L)
+      .toSet should contain allElementsOf filesBefore
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) should have size 1
+    IcebergLite.read(spark, table).orderBy("k")
+      .select("v").as[Long].collect() shouldBe
+      Seq(0L, 10L, 21L, 31L, 41L, 50L, 60L, 70L, 80L, 90L)
+    // stacking: an overlapping update re-masks the MOVED rows at their
+    // new coordinates (live-view planning), and the overlap row gets
+    // both assignments
+    val (_, n2) = IcebergLite.updateWhere(spark, table, "k", 4L, 6L,
+      Map("v" -> (col("v") * 2L)))
+    n2 shouldBe 3L
+    IcebergLite.read(spark, table).orderBy("k")
+      .select("v").as[Long].collect() shouldBe
+      Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
+    // nothing matched → no commit
+    val cur = IcebergLite.read(spark, table).count()
+    val (_, n3) =
+      IcebergLite.updateWhere(spark, table, "k", 100L, 200L,
+        Map("v" -> lit(0L)))
+    n3 shouldBe 0L
+    IcebergLite.read(spark, table).count() shouldBe cur
+    // time travel below each update sees that snapshot's own values
+    IcebergLite.read(spark, table, snapshotId = 1L).where($"k" === 4L)
+      .select("v").as[Long].collect() shouldBe Seq(40L)
+    IcebergLite.read(spark, table, snapshotId = sid1).where($"k" === 4L)
+      .select("v").as[Long].collect() shouldBe Seq(41L)
+    // an append-only change feed refuses across the update
+    an[UnsupportedOperationException] should be thrownBy
+      IcebergLite.readChanges(spark, table, 1L, sid1)
+    // compaction materializes the update's delete files away
+    IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
+    IcebergLite.read(spark, table).orderBy("k")
+      .select("v").as[Long].collect() shouldBe
+      Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
+  }
+
+  test("MERGE INTO: file-granular rewrite, manifest reuse, carried deletes keep applying") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_merge")
+    // commit 1: keys 0-4 across TWO files (one manifest, partial-touch
+    // candidate); commit 2: keys 5-9 in one file (untouched manifest)
+    IcebergLite.write(spark,
+      (0L to 4L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2), table)
+    val m1Files = IcebergLite.snapshotFiles(spark, table, -1L)
+    IcebergLite.write(spark,
+      (5L to 9L).map(i => (i, i * 10L)).toDF("k", "v").coalesce(1), table)
+    val allFiles = IcebergLite.snapshotFiles(spark, table, -1L)
+    val m2Files = allFiles.toSet -- m1Files.toSet
+    // a position delete in the UNTOUCHED region must keep applying after
+    // the merge (survivor manifests preserve sequence numbers)
+    IcebergLite.deleteWhere(spark, table, "k", 6L, 6L)
+    // source touches the file(s) holding keys 2 and 3 plus inserts 42
+    val touched = m1Files.filter(f =>
+      spark.read.parquet(f).where($"k".isin(2L, 3L)).count() > 0).toSet
+    val (_, nU, nI) = IcebergLite.mergeInto(spark, table,
+      Seq((2L, 222L), (3L, 333L), (42L, 420L)).toDF("k", "v"), "k")
+    nU shouldBe 2L
+    nI shouldBe 1L
+    IcebergLite.read(spark, table).orderBy("k")
+      .as[(Long, Long)].collect() shouldBe Seq((0L, 0L), (1L, 10L),
+      (2L, 222L), (3L, 333L), (4L, 40L), (5L, 50L), (7L, 70L), (8L, 80L),
+      (9L, 90L), (42L, 420L))
+    val after = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    // file-granular COW: untouched files (all of commit 2, and commit 1's
+    // untouched file when the hash split separated the keys) still live,
+    // touched files out of the live set
+    m2Files.subsetOf(after) shouldBe true
+    (m1Files.toSet -- touched).subsetOf(after) shouldBe true
+    touched.intersect(after) shouldBe empty
+    // time travel below the merge reads the pre-merge state
+    IcebergLite.read(spark, table, snapshotId = 3L).where($"k" === 2L)
+      .select("v").as[Long].collect() shouldBe Seq(20L)
+    // a source that matches nothing degrades to a plain append
+    val (_, nU2, nI2) = IcebergLite.mergeInto(spark, table,
+      Seq((100L, 1000L)).toDF("k", "v"), "k")
+    nU2 shouldBe 0L
+    nI2 shouldBe 1L
+    IcebergLite.read(spark, table).count() shouldBe 11L
+    // duplicate source keys refuse — ambiguous MERGE
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.mergeInto(spark, table,
+        Seq((2L, 1L), (2L, 2L)).toDF("k", "v"), "k")
+  }
+
   test("ancestry incremental read tolerates replace, refuses deletes and expired ranges") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_incr_anc")
