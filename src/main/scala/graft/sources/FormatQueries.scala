@@ -996,6 +996,33 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X261r: Iceberg PARTITION SPEC EVOLUTION — phase 1 lands under
+    * truncate(priority, 1), the spec evolves, phase 2 lands under
+    * truncate(priority, 3); NOTHING is rewritten. The plan for a wanted
+    * set expressed in the CURRENT spec's values prunes each manifest
+    * under its OWN spec (old files via the width-1 residual, new files
+    * exactly), and the planned scan carries NO row filter — equality with
+    * the filtered oracle proves both residuals pruned correctly. The
+    * file counts are genuinely computed by the planner. */
+  private def icebergSpecEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_specevo")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table,
+      partitionTruncate = Some(("o_orderpriority", 1)))
+    IcebergLite.evolvePartitionSpec(spark, table, Some(("o_orderpriority", 3)))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table,
+      partitionTruncate = Some(("o_orderpriority", 3)))
+    val (files, nMatched, nTotal) =
+      IcebergLite.planPartitioned(spark, table, Set("1-U", "4-N"))
+    spark.read.parquet(files: _*)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("files_scanned", lit(nMatched))
+      .withColumn("files_total", lit(nTotal))
+      .orderBy("o_orderpriority")
+  }
+
   /** X36x: Delta GENERATED COLUMNS — the declaration is field metadata
     * (`delta.generationExpression`, writer-4 protocol), and the contract
     * is writer-side: batch 1 PROVIDES the column (validated on declare),
@@ -1366,6 +1393,7 @@ object FormatQueries {
     "x_iceberg_update" -> ((s, dir) => icebergUpdate(s, dir)),
     "x_iceberg_merge" -> ((s, dir) => icebergMerge(s, dir)),
     "x_delta_generated" -> ((s, dir) => deltaGenerated(s, dir)),
+    "x_iceberg_spec_evolution" -> ((s, dir) => icebergSpecEvolution(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1597,6 +1625,25 @@ object FormatQueries {
         |  TRUE AS files_unchanged
         |FROM orders, b
         |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // spec evolution: the unfiltered planned scan equals this filtered
+    // aggregate only if BOTH specs' residuals pruned correctly (first-char
+    // residual for the old files, exact prefix-3 for the new); file counts
+    // are the distinct transform values per phase
+    "x_iceberg_spec_evolution" ->
+      """WITH odd AS (SELECT DISTINCT substring(o_orderpriority, 1, 1) AS d
+        |             FROM orders WHERE o_orderkey % 2 = 1),
+        |     evn AS (SELECT DISTINCT substring(o_orderpriority, 1, 3) AS d
+        |             FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM odd WHERE d IN ('1', '4')) +
+        |  (SELECT count(*) FROM evn WHERE d IN ('1-U', '4-N'))
+        |    AS files_scanned,
+        |  (SELECT count(*) FROM odd) + (SELECT count(*) FROM evn)
+        |    AS files_total
+        |FROM orders
+        |WHERE substring(o_orderpriority, 1, 3) IN ('1-U', '4-N')
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // generated columns: the omitted-column batch only matches if the
     // writer derived o_year correctly from the declared expression

@@ -91,9 +91,13 @@ object IcebergLite {
   /** One manifest-list row, v1/v2-agnostic: v1 lists lack content and
     * sequence_number — content defaults to DATA, sequence to the adding
     * snapshot's id (this writer's ids are the monotone commit order, so
-    * the mapping satisfies the spec's ordering contract). */
+    * the mapping satisfies the spec's ordering contract). `specId` is the
+    * partition spec the manifest's files were written under (field-id
+    * 502) — the handle partition-spec EVOLUTION hangs off: old manifests
+    * keep their spec id forever, and [[planPartitioned]] evaluates each
+    * manifest against its OWN spec. */
   private final case class MEntry(path: String, len: Long, addedSid: Long,
-      content: Int, seq: Long)
+      content: Int, seq: Long, specId: Int = 0)
 
   private def listEntries(fs: FileSystem, listPath: Path): Seq[MEntry] =
     readAvroFile(fs, listPath).map { r =>
@@ -108,7 +112,8 @@ object IcebergLite {
         if (r.getSchema.getField("sequence_number") == null) sid
         else r.get("sequence_number").asInstanceOf[Long]
       MEntry(r.get("manifest_path").toString,
-        r.get("manifest_length").asInstanceOf[Long], sid, content, seq)
+        r.get("manifest_length").asInstanceOf[Long], sid, content, seq,
+        r.get("partition_spec_id").asInstanceOf[Int])
     }
 
   /** Write a manifest list; the v2 schema is used exactly when the table
@@ -120,7 +125,7 @@ object IcebergLite {
       val r = new GenericData.Record(schema)
       r.put("manifest_path", e.path)
       r.put("manifest_length", e.len)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", e.specId)
       if (v2) {
         r.put("content", e.content)
         r.put("sequence_number", e.seq)
@@ -396,9 +401,11 @@ object IcebergLite {
         listEntries(fs, new Path(snap._2))
       }
     val listName = s"snap-$snapshotId-$token.avro"
+    val defaultSpecId =
+      prevMeta.map(_.path("default-spec-id").asInt(0)).getOrElse(0)
     writeManifestList(table, listName,
       prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
-        snapshotId, content = 0, seq = snapshotId),
+        snapshotId, content = 0, seq = snapshotId, specId = defaultSpecId),
       v2 = formatVersion == 2)
     val committed = commitMetadataJson(fs, table, prevV, prevMeta,
       formatVersion, snapshotId, df.schema, partitionTruncate, listName,
@@ -480,20 +487,35 @@ object IcebergLite {
         schemaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]())
     root.put("current-schema-id", schemaId)
     root.putArray("partition-spec")
+    // partition specs are immutable and id-addressed, like schemas: a data
+    // commit PRESERVES the prior spec list and default pointer verbatim
+    // (the commit already validated it writes under the default spec);
+    // evolution happens only through [[evolvePartitionSpec]]'s
+    // metadata-only commit. Only a table-creating commit synthesizes
+    // spec 0 from its declaration.
     val specs = root.putArray("partition-specs")
-    val spec0 = specs.addObject()
-    spec0.put("spec-id", 0)
-    val specFields = spec0.putArray("fields")
-    partitionTruncate.foreach { case (src, w) =>
-      val pf = specFields.addObject()
-      pf.put("name", s"${src}_trunc")
-      pf.put("transform", s"truncate[$w]")
-      pf.put("source-id",
-        dfSchema.fieldNames.indexOf(src) + 1) // Iceberg field ids are 1-based
-      pf.put("field-id", 1000)
+    prevMeta match {
+      case Some(m) =>
+        m.get("partition-specs").forEach(s =>
+          specs.add(s.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+        root.put("default-spec-id", m.get("default-spec-id").asInt())
+        root.put("last-partition-id", m.path("last-partition-id").asInt(999))
+      case None =>
+        val spec0 = specs.addObject()
+        spec0.put("spec-id", 0)
+        val specFields = spec0.putArray("fields")
+        partitionTruncate.foreach { case (src, w) =>
+          val pf = specFields.addObject()
+          pf.put("name", s"${src}_trunc")
+          pf.put("transform", s"truncate[$w]")
+          pf.put("source-id",
+            dfSchema.fieldNames.indexOf(src) + 1) // Iceberg ids are 1-based
+          pf.put("field-id", 1000)
+        }
+        root.put("default-spec-id", 0)
+        root.put("last-partition-id",
+          if (partitionTruncate.isDefined) 1000 else 999)
     }
-    root.put("default-spec-id", 0)
-    root.put("last-partition-id", if (partitionTruncate.isDefined) 1000 else 999)
     // table properties survive every commit (the exactly-once high-water
     // mark expireSnapshots folds in must outlive later writes)
     val props = root.putObject("properties")
@@ -611,6 +633,56 @@ object IcebergLite {
           .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
         s"dropRef lost the commit race for metadata v${v + 1} on $table")
+    v + 1
+  }
+
+  /** PARTITION SPEC EVOLUTION (spec §Partition Evolution) — the hidden-
+    * partitioning payoff: change how FUTURE data is laid out without
+    * rewriting a byte of the past. A METADATA-ONLY commit appends the new
+    * spec to the immutable id-addressed `partition-specs` list and flips
+    * `default-spec-id`; existing manifests keep the spec id they were
+    * written under (field 502 in the manifest list), and
+    * [[planPartitioned]] evaluates every manifest against its OWN spec —
+    * old files keep pruning under the old transform, new files under the
+    * new. `None` evolves to unpartitioned. Re-declaring the current
+    * default is a no-op (returns the current metadata version). */
+  def evolvePartitionSpec(spark: SparkSession, table: String,
+      newSpec: Option[(String, Int)]): Int = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    if (partitionSpec(meta) == newSpec) return v
+    val schema = schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
+    newSpec.foreach { case (src, w) =>
+      require(schema.fieldNames.contains(src),
+        s"partition source column $src not in $table schema")
+      require(w > 0, s"truncate width must be positive, got $w")
+    }
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    var maxId = -1
+    copy.get("partition-specs").forEach(s =>
+      maxId = math.max(maxId, s.get("spec-id").asInt()))
+    val newId = maxId + 1
+    val spec = copy.withArray("partition-specs").addObject()
+    spec.put("spec-id", newId)
+    val fields = spec.putArray("fields")
+    newSpec.foreach { case (src, w) =>
+      val pf = fields.addObject()
+      pf.put("name", s"${src}_trunc")
+      pf.put("transform", s"truncate[$w]")
+      pf.put("source-id", schema.fieldNames.indexOf(src) + 1)
+      // spec rule: partition field ids are unique ACROSS specs
+      pf.put("field-id", copy.path("last-partition-id").asInt(999) + 1)
+    }
+    copy.put("default-spec-id", newId)
+    if (newSpec.isDefined)
+      copy.put("last-partition-id", copy.path("last-partition-id").asInt(999) + 1)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"evolvePartitionSpec lost the commit race for v${v + 1} on $table")
     v + 1
   }
 
@@ -739,19 +811,28 @@ object IcebergLite {
   /** The table's declared truncate partition spec, decoded back from the
     * metadata JSON (None = unpartitioned). */
   private def partitionSpec(meta: com.fasterxml.jackson.databind.JsonNode)
-      : Option[(String, Int)] = {
-    var found: Option[(String, Int)] = None
+      : Option[(String, Int)] =
+    partitionSpecs(meta)(meta.get("default-spec-id").asInt())
+
+  /** Every spec in the metadata's immutable id-addressed list, id →
+    * Some((sourceColumn, truncateWidth)) or None for an unpartitioned
+    * spec — the per-manifest evaluation table [[planPartitioned]] prunes
+    * with after a spec evolution. */
+  private def partitionSpecs(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Int, Option[(String, Int)]] = {
+    val out = mutable.Map.empty[Int, Option[(String, Int)]]
     meta.get("partition-specs").forEach { s =>
-      if (s.get("spec-id").asInt() == meta.get("default-spec-id").asInt())
-        s.get("fields").forEach { f =>
-          val t = f.get("transform").asText()
-          require(t.startsWith("truncate["),
-            s"transform $t outside the IcebergLite subset")
-          val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
-          found = Some((f.get("name").asText().stripSuffix("_trunc"), w))
-        }
+      var found: Option[(String, Int)] = None
+      s.get("fields").forEach { f =>
+        val t = f.get("transform").asText()
+        require(t.startsWith("truncate["),
+          s"transform $t outside the IcebergLite subset")
+        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
+        found = Some((f.get("name").asText().stripSuffix("_trunc"), w))
+      }
+      out(s.get("spec-id").asInt()) = found
     }
-    found
+    out.toMap
   }
 
   /** Hidden-partitioning scan planning: the reader holds a predicate on
@@ -768,21 +849,46 @@ object IcebergLite {
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    require(partitionSpec(meta).isDefined, s"$table is not partitioned")
+    val specs = partitionSpecs(meta)
+    val default = partitionSpec(meta)
+    require(default.isDefined, s"$table is not partitioned")
+    val (defaultCol, defaultW) = default.get
     val cur = meta.get("current-snapshot-id").asLong()
     val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    // `wanted` holds transform values of the CURRENT DEFAULT spec; each
+    // manifest is evaluated against its OWN spec (spec §Partition
+    // Evolution — residual evaluation per spec):
+    //   same spec            → exact value match
+    //   narrower truncate w' → keep if any wanted value's w'-prefix
+    //                          matches (a superset bucket may hold rows)
+    //   wider truncate w'    → keep if the value's defaultW-prefix is
+    //                          wanted (a subset bucket)
+    //   other column / unpartitioned spec → keep all (no residual exists)
     val all = listEntries(fs, new Path(snap._2)).filter(_.content == 0)
       .flatMap { m =>
-      readAvroFile(fs, new Path(m.path))
-        .filter(_.get("status").asInstanceOf[Int] != 2)
-        .map { e =>
-          val d = e.get("data_file").asInstanceOf[GenericRecord]
-          val part = d.get("partition").asInstanceOf[GenericRecord]
-          val pv = part.get("p0") // null = the null partition, NOT "null"
-          (d.get("file_path").toString, if (pv == null) null else pv.toString)
-        }
-    }
-    val matched = all.filter(f => wanted.contains(f._2)).map(_._1)
+        val mSpec = specs.getOrElse(m.specId, None)
+        readAvroFile(fs, new Path(m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val part = d.get("partition").asInstanceOf[GenericRecord]
+            val pv0 = // null = the null partition, NOT "null"
+              if (part.getSchema.getField("p0") == null) null
+              else part.get("p0")
+            val pv = if (pv0 == null) null else pv0.toString
+            val keep = mSpec match {
+              case Some((c, w)) if c == defaultCol =>
+                if (pv == null) wanted.contains(null)
+                else if (w == defaultW) wanted.contains(pv)
+                else if (w < defaultW)
+                  wanted.exists(x => x != null && x.take(w) == pv)
+                else wanted.contains(pv.take(defaultW))
+              case _ => true // no residual under this manifest's spec
+            }
+            (d.get("file_path").toString, keep)
+          }
+      }
+    val matched = all.filter(_._2).map(_._1)
     (matched, matched.size.toLong, all.size.toLong)
   }
 
@@ -1543,7 +1649,7 @@ object IcebergLite {
               kept.head.getSchema, kept)
             written += name
             Some(MEntry(s"$table/metadata/$name", len, me.addedSid,
-              content = 0, seq = me.seq))
+              content = 0, seq = me.seq, specId = me.specId))
           }
         }
       }

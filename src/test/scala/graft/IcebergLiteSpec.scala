@@ -444,6 +444,52 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
   }
 
+  test("partition spec evolution: per-spec residual pruning, old files never rewritten") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_specevo")
+    IcebergLite.write(spark,
+      Seq(("aa", 1L), ("ab", 2L), ("bb", 3L)).toDF("cat", "v"), table,
+      partitionTruncate = Some(("cat", 1)))
+    val phase1 = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    phase1 should have size 2 // buckets 'a' (aa, ab) and 'b' (bb)
+    IcebergLite.evolvePartitionSpec(spark, table, Some(("cat", 2)))
+    // writes must declare the NEW default spec now
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.write(spark, Seq(("zz", 9L)).toDF("cat", "v"), table,
+        partitionTruncate = Some(("cat", 1)))
+    IcebergLite.write(spark,
+      Seq(("aa", 10L), ("ba", 20L)).toDF("cat", "v"), table,
+      partitionTruncate = Some(("cat", 2)))
+    // old files still live untouched — evolution rewrites nothing
+    IcebergLite.snapshotFiles(spark, table, -1L)
+      .toSet should contain allElementsOf phase1
+    // wanted 'aa' (current spec): the old 'a' bucket is kept by the
+    // width-1 residual (it MAY hold aa rows — and also holds ab, the
+    // conservative superset), the old 'b' bucket prunes; new 'aa' kept,
+    // 'ba' pruned
+    val (files, n, total) = IcebergLite.planPartitioned(spark, table, Set("aa"))
+    (n, total) shouldBe ((2L, 4L))
+    spark.read.parquet(files: _*).select("v").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 10L)
+    // wanted 'bb': only the old 'b' bucket survives either residual
+    val (files2, n2, _) = IcebergLite.planPartitioned(spark, table, Set("bb"))
+    n2 shouldBe 1L
+    spark.read.parquet(files2: _*).select("v").as[Long].collect() shouldBe
+      Seq(3L)
+    // the full read is unaffected by layout history
+    IcebergLite.read(spark, table).count() shouldBe 5L
+    // re-declaring the current default is a no-op commit
+    val v0 = IcebergLite.latestMetadataVersion(spark, table)
+    IcebergLite.evolvePartitionSpec(spark, table, Some(("cat", 2))) shouldBe v0
+    // evolving to UNPARTITIONED: plain writes work, partition planning
+    // refuses (no default transform to express a wanted set in)
+    IcebergLite.evolvePartitionSpec(spark, table, None)
+    IcebergLite.write(spark, Seq(("zz", 9L)).toDF("cat", "v"), table)
+    IcebergLite.read(spark, table).count() shouldBe 6L
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.planPartitioned(spark, table, Set("aa"))
+  }
+
   test("MERGE INTO: file-granular rewrite, manifest reuse, carried deletes keep applying") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_merge")
