@@ -104,11 +104,14 @@ object Dedup {
     * consumers pass it via their `idsOpt` parameter; ad-hoc slices keep
     * deriving their own. */
   def shingleIds(spark: SparkSession, dir: String): DataFrame =
-    graft.relational.SessionIndex.getOrBuildPartitioned(spark, s"shingle_ids|$dir") {
-      // materialized doc_id-partitioned (shingleSets repartitions by
-      // doc_id before the explode, and explode/select preserve it):
-      // consumers joining on doc_id — the prefix verify joins, signature
-      // groupBys — skip their corpus-side exchange
+    graft.relational.SessionIndex.getOrBuild(spark, s"shingle_ids|$dir") {
+      // deliberately the AQE-ON build (NOT getOrBuildPartitioned): an
+      // A/B at sf0.1 measured the doc_id-partitioned variant ~1.3-1.8×
+      // SLOWER across the whole consumer family (most consumers shuffle
+      // by sid/band, not doc_id, so the preserved layout saves little,
+      // while the AQE-off build loses coalescing on the widest explode
+      // in the repo) — the partitioned discipline stays where it wins:
+      // the prefix/band self-join artifacts
       shingleSets(graft.model.Tables.documents(spark, dir))
         .select(col("doc_id"), hashId(col("s")).as("sid"))
     }

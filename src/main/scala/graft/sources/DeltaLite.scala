@@ -37,9 +37,12 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
   *     ([[writeColumnMapped]]/[[renameColumn]]/[[dropColumn]], protocol
   *     2/5); the row-level CHANGE DATA FEED is implemented
   *     ([[enableCdf]]/[[readCdf]], `cdc` actions + `_change_data/` files,
-  *     writer 4 or the `changeDataFeed` writerFeature) — id-mode mapping,
-  *     mapped-table evolution, and CDF on partitioned tables remain out,
-  *     and a DV-free unmapped table stays standard protocol v1.
+  *     writer 4 or the `changeDataFeed` writerFeature); GENERATED COLUMNS
+  *     are implemented ([[addGeneratedColumn]]/[[applyGenerated]], field
+  *     metadata `delta.generationExpression`, writer 4) — id-mode
+  *     mapping, mapped-table evolution, and CDF on partitioned tables
+  *     remain out, and a DV-free unmapped table stays standard protocol
+  *     v1.
   *
   * Scale shape: the log is control-plane (one small JSON file per commit;
   * reads list + parse the log driver-side exactly like Delta's own

@@ -35,15 +35,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   *     row per data file with record count and size, the statistics layer
   *     file pruning hangs off.
   *
-  * Format-version 2 (row-level deletes) is implemented as POSITION
-  * deletes: [[deleteWhere]] commits (file_path, pos) parquet delete files
-  * under a content=1 DELETE manifest; [[read]] merges them with
-  * sequence-number gating; [[rewriteDataFiles]] materializes them away.
+  * Format-version 2 (row-level deletes) is implemented with BOTH delete
+  * kinds: [[deleteWhere]] commits (file_path, pos) POSITION-delete files
+  * under content=1 DELETE manifests, [[deleteWhereEquality]] commits
+  * value-list EQUALITY deletes (content=2, the streaming-upsert kind),
+  * [[read]] merges both with per-kind sequence gating,
+  * [[updateWhere]] is the merge-on-read UPDATE (one snapshot, both
+  * manifest kinds), [[mergeInto]] is a file-granular copy-on-write MERGE,
+  * [[evolvePartitionSpec]] evolves hidden partitioning without rewrites,
+  * and [[rewriteDataFiles]] materializes deletes away.
   * Conformance subset (documented, not hidden): required fields only, no
-  * metrics maps / split offsets / equality deletes / puffin DVs;
-  * `version-hint.text` is maintained best-effort (the spec itself marks
-  * it advisory — the authoritative pointer is the highest committed
-  * metadata version).
+  * metrics maps / split offsets / puffin DVs; `version-hint.text` is
+  * maintained best-effort (the spec itself marks it advisory — the
+  * authoritative pointer is the highest committed metadata version).
   *
   * Scale shape: all three metadata layers are control-plane (small files,
   * parsed driver-side — Iceberg's own planning path); the data plane is
