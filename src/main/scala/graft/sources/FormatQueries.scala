@@ -996,6 +996,40 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X261s: Iceberg WRITE-AUDIT-PUBLISH — the branch workflow production
+    * ingest actually runs: batch 2 stages on the `audit` branch (readable
+    * via the ref, INVISIBLE to main — `rows_main_during_audit` pins it),
+    * the audit passes and main fast-forwards; a bad batch stages on
+    * `reject`, is dropped unpublished, and expiration SWEEPS it while the
+    * ref-pointed audit snapshot survives — its rows never reach main
+    * (the aggregate equality is that proof). */
+  private def icebergWap(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_wap")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 0), table)
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 1), table,
+      toBranch = Some("audit"))
+    val mainDuringAudit = IcebergLite.read(spark, table).count()
+    val staged = IcebergLite.readRef(spark, table, "audit").count()
+    IcebergLite.fastForward(spark, table, "audit")
+    IcebergLite.write(spark, ev.where(col("event_id") % 3 === 2), table,
+      toBranch = Some("reject"))
+    IcebergLite.dropRef(spark, table, "reject")
+    IcebergLite.write(spark,
+      ev.where(col("event_id") % 3 === 2 && col("user_id") % 2 === 0), table)
+    val (nExpired, _) = IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    IcebergLite.read(spark, table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .withColumn("rows_main_during_audit", lit(mainDuringAudit))
+      .withColumn("rows_staged", lit(staged))
+      .withColumn("snapshots_expired", lit(nExpired))
+      .orderBy("event_type")
+  }
+
   /** X261r: Iceberg PARTITION SPEC EVOLUTION — phase 1 lands under
     * truncate(priority, 1), the spec evolves, phase 2 lands under
     * truncate(priority, 3); NOTHING is rewritten. The plan for a wanted
@@ -1394,6 +1428,7 @@ object FormatQueries {
     "x_iceberg_merge" -> ((s, dir) => icebergMerge(s, dir)),
     "x_delta_generated" -> ((s, dir) => deltaGenerated(s, dir)),
     "x_iceberg_spec_evolution" -> ((s, dir) => icebergSpecEvolution(s, dir)),
+    "x_iceberg_wap" -> ((s, dir) => icebergWap(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1626,6 +1661,23 @@ object FormatQueries {
         |FROM orders, b
         |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // WAP: main = published batches only (the rejected odd-user %3==2
+    // rows never appear); staged-branch visibility and the expiration
+    // count pinned; 2 expired = the pre-publish base + the dropped reject
+    "x_iceberg_wap" ->
+      """WITH main AS (
+        |  SELECT * FROM events
+        |  WHERE event_id % 3 = 0 OR event_id % 3 = 1
+        |     OR (event_id % 3 = 2 AND user_id % 2 = 0))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum,
+        |  (SELECT count(*) FROM events WHERE event_id % 3 = 0)
+        |    AS rows_main_during_audit,
+        |  (SELECT count(*) FROM events
+        |   WHERE event_id % 3 = 0 OR event_id % 3 = 1) AS rows_staged,
+        |  CAST(2 AS BIGINT) AS snapshots_expired
+        |FROM main GROUP BY event_type ORDER BY event_type""".stripMargin,
     // spec evolution: the unfiltered planned scan equals this filtered
     // aggregate only if BOTH specs' residuals pruned correctly (first-char
     // residual for the old files, exact prefix-3 for the new); file counts

@@ -266,7 +266,8 @@ object IcebergLite {
       boundsColumn: Option[String] = None,
       maxRetries: Int = 10,
       operation: Option[String] = None,
-      formatV2: Boolean = false): Long = {
+      formatV2: Boolean = false,
+      toBranch: Option[String] = None): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
@@ -274,7 +275,7 @@ object IcebergLite {
     var attempt = 0
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionTruncate,
-        summaryProps, boundsColumn, operation, formatV2) match {
+        summaryProps, boundsColumn, operation, formatV2, toBranch) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -289,7 +290,8 @@ object IcebergLite {
       summaryProps: Map[String, String],
       boundsColumn: Option[String],
       operation: Option[String] = None,
-      formatV2: Boolean = false): Option[Long] = {
+      formatV2: Boolean = false,
+      toBranch: Option[String] = None): Option[Long] = {
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -400,7 +402,14 @@ object IcebergLite {
       if (overwrite || prevV == 0) Seq.empty
       else {
         val meta = prevMeta.get
-        val cur = meta.get("current-snapshot-id").asLong()
+        // a branch commit stacks on the BRANCH head (or cuts the branch
+        // from main when it does not exist yet) — main's head is the base
+        // for everything else
+        val cur = toBranch
+          .map(b => meta.path("refs").path(b))
+          .filterNot(_.isMissingNode)
+          .map(_.get("snapshot-id").asLong())
+          .getOrElse(meta.get("current-snapshot-id").asLong())
         val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
         listEntries(fs, new Path(snap._2))
       }
@@ -414,7 +423,7 @@ object IcebergLite {
     val committed = commitMetadataJson(fs, table, prevV, prevMeta,
       formatVersion, snapshotId, df.schema, partitionTruncate, listName,
       operation.getOrElse(if (overwrite) "overwrite" else "append"),
-      summaryProps)
+      summaryProps, toBranch)
     if (!committed) {
       // lost the race: remove THIS attempt's commit-private artifacts
       // (nothing references them) and let the caller replan
@@ -436,7 +445,17 @@ object IcebergLite {
       prevMeta: Option[com.fasterxml.jackson.databind.JsonNode],
       formatVersion: Int, snapshotId: Long, dfSchema: StructType,
       partitionTruncate: Option[(String, Int)], listName: String,
-      operation: String, summaryProps: Map[String, String]): Boolean = {
+      operation: String, summaryProps: Map[String, String],
+      toBranch: Option[String] = None): Boolean = {
+    // the snapshot this commit planned against — main's head, or the
+    // branch head for a branch-targeted commit (spec: parent-snapshot-id;
+    // fastForward walks it to prove ancestry before publishing)
+    val parentSid: Option[Long] = prevMeta.map { m =>
+      toBranch.map(b => m.path("refs").path(b))
+        .filterNot(_.isMissingNode)
+        .map(_.get("snapshot-id").asLong())
+        .getOrElse(m.get("current-snapshot-id").asLong())
+    }
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
     if (formatVersion == 2) root.put("last-sequence-number", snapshotId)
@@ -526,12 +545,20 @@ object IcebergLite {
     prevMeta.foreach(_.path("properties").fields().forEachRemaining(e =>
       props.set[com.fasterxml.jackson.databind.node.ObjectNode](
         e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
-    root.put("current-snapshot-id", snapshotId)
+    // a BRANCH-targeted commit (write-audit-publish staging) leaves main
+    // and the readable head untouched: the snapshot enters the snapshot
+    // list, only the branch ref advances
+    require(toBranch.isEmpty || prevMeta.isDefined,
+      "cannot stage a branch commit on a table with no committed metadata")
+    root.put("current-snapshot-id",
+      if (toBranch.isEmpty) snapshotId
+      else prevMeta.get.get("current-snapshot-id").asLong())
     val snaps = root.putArray("snapshots")
     prevMeta.foreach(m => m.get("snapshots").forEach(s =>
       snaps.add(s.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
+    parentSid.foreach(p => sn.put("parent-snapshot-id", p))
     if (formatVersion == 2) sn.put("sequence-number", snapshotId)
     sn.put("timestamp-ms", 0L)
     val summary = sn.putObject("summary")
@@ -540,14 +567,23 @@ object IcebergLite {
     sn.put("manifest-list", s"$table/metadata/$listName")
     sn.put("schema-id", schemaId)
     // refs (spec §Refs): named branch/tag pointers survive every commit;
-    // the `main` branch always tracks the current snapshot
+    // the `main` branch tracks the current snapshot except under a
+    // branch-targeted commit, where only that branch advances
     val refs = root.putObject("refs")
     prevMeta.foreach(_.path("refs").fields().forEachRemaining(e =>
       refs.set[com.fasterxml.jackson.databind.node.ObjectNode](
         e.getKey, e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())))
-    val main = refs.putObject("main")
-    main.put("snapshot-id", snapshotId)
-    main.put("type", "branch")
+    toBranch match {
+      case Some(b) =>
+        require(b != "main", "commit to main directly, not via toBranch")
+        val br = refs.putObject(b)
+        br.put("snapshot-id", snapshotId)
+        br.put("type", "branch")
+      case None =>
+        val main = refs.putObject("main")
+        main.put("snapshot-id", snapshotId)
+        main.put("type", "branch")
+    }
     root.putArray("snapshot-log")
     root.putArray("metadata-log")
     val committed = AtomicCreate.create(fs, metaFile(table, prevV + 1),
@@ -687,6 +723,62 @@ object IcebergLite {
           .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
         s"evolvePartitionSpec lost the commit race for v${v + 1} on $table")
+    v + 1
+  }
+
+  /** PUBLISH a staged branch — the fast-forward half of WRITE-AUDIT-
+    * PUBLISH (Iceberg's WAP workflow: stage ingest on a branch with
+    * [[write]]`(toBranch=...)`, audit it via [[readRef]] while `main` —
+    * and every reader — is untouched, then publish by fast-forwarding
+    * main to the branch head). Ancestry is PROVEN before publishing: the
+    * branch head's parent-snapshot-id chain must reach main's current
+    * head, else the branch has diverged (main advanced since the cut)
+    * and a fast-forward would silently drop main's newer commits —
+    * refused. Metadata-only commit; the branch ref survives (drop it
+    * separately to release the snapshots to expiration). Returns the new
+    * metadata version. */
+  def fastForward(spark: SparkSession, table: String,
+      branch: String): Int = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val br = meta.path("refs").path(branch)
+    require(!br.isMissingNode, s"no ref $branch on $table")
+    require(br.get("type").asText() == "branch",
+      s"$branch is a tag — only branches fast-forward")
+    val head = br.get("snapshot-id").asLong()
+    val mainHead = meta.get("current-snapshot-id").asLong()
+    if (head == mainHead) return v // nothing to publish
+    // ancestry proof: walk parent-snapshot-id from the branch head; it
+    // must pass through main's head
+    val parents: Map[Long, Long] = {
+      val out = mutable.Map.empty[Long, Long]
+      meta.get("snapshots").forEach { s =>
+        if (s.has("parent-snapshot-id"))
+          out(s.get("snapshot-id").asLong()) =
+            s.get("parent-snapshot-id").asLong()
+      }
+      out.toMap
+    }
+    var cursor = head
+    var reaches = false
+    while (!reaches && parents.contains(cursor)) {
+      cursor = parents(cursor)
+      if (cursor == mainHead) reaches = true
+    }
+    require(reaches, s"branch $branch (head $head) is not a descendant " +
+      s"of main (head $mainHead) — diverged, cannot fast-forward")
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    copy.put("current-snapshot-id", head)
+    val mainRef = copy.`with`("refs").putObject("main")
+    mainRef.put("snapshot-id", head)
+    mainRef.put("type", "branch")
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"fastForward lost the commit race for v${v + 1} on $table")
     v + 1
   }
 

@@ -444,6 +444,47 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
   }
 
+  test("write-audit-publish: branch staging invisible to main, ancestry-proven fast-forward") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_wap")
+    IcebergLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), table)
+    // staging on a branch: readable via the ref, invisible to main
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table,
+      toBranch = Some("wap"))
+    IcebergLite.read(spark, table).count() shouldBe 2L
+    IcebergLite.readRef(spark, table, "wap").count() shouldBe 3L
+    // a second branch commit STACKS on the branch head, not on main
+    IcebergLite.write(spark, Seq((4L, 40L)).toDF("k", "v"), table,
+      toBranch = Some("wap"))
+    IcebergLite.read(spark, table).count() shouldBe 2L
+    IcebergLite.readRef(spark, table, "wap").count() shouldBe 4L
+    // publish: fast-forward main to the audited branch head
+    val v1 = IcebergLite.fastForward(spark, table, "wap")
+    IcebergLite.read(spark, table).count() shouldBe 4L
+    // re-publishing an already-published branch is a no-op
+    IcebergLite.fastForward(spark, table, "wap") shouldBe v1
+    // divergence: a branch cut before main advanced cannot fast-forward
+    IcebergLite.write(spark, Seq((5L, 50L)).toDF("k", "v"), table,
+      toBranch = Some("late"))
+    IcebergLite.write(spark, Seq((6L, 60L)).toDF("k", "v"), table)
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.fastForward(spark, table, "late")
+    // tags are immutable pointers — they never fast-forward
+    IcebergLite.setRef(spark, table, "rel",
+      snapshotId = 3L, refType = "tag")
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.fastForward(spark, table, "rel")
+    // an abandoned branch is dropped unpublished; expiration sweeps its
+    // snapshot while ref-pointed ones survive — the rows never reach main
+    IcebergLite.dropRef(spark, table, "late")
+    IcebergLite.dropRef(spark, table, "rel")
+    val lateFiles = IcebergLite.read(spark, table).count() // 5 live rows
+    lateFiles shouldBe 5L
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    IcebergLite.read(spark, table).orderBy("k")
+      .select("k").as[Long].collect() shouldBe Seq(1L, 2L, 3L, 4L, 6L)
+  }
+
   test("partition spec evolution: per-spec residual pruning, old files never rewritten") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_specevo")
