@@ -1256,6 +1256,41 @@ object DeltaLite {
     }
   }
 
+  /** Mark the table APPEND-ONLY (PROTOCOL.md §Table Properties,
+    * `delta.appendOnly` — the writer-2 invariant): from this commit on,
+    * every dataChange REMOVE refuses — row-level deletes (copy-on-write
+    * AND deletion-vector), updates, overwrites, restores — while appends
+    * and dataChange=false rewrites (OPTIMIZE / ZORDER / vacuum) stay
+    * legal. The property rides metaData.configuration, so it replays
+    * through snapshots and checkpoints like constraints do. Metadata-only
+    * commit. */
+  def setAppendOnly(spark: SparkSession, table: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    val (id, _) = snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val v = latest + 1
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("SET TBLPROPERTIES"),
+        metaDataLine(tableSchema(spark, table), id,
+          configuration = snap.config + ("delta.appendOnly" -> "true")))))
+      throw new IllegalStateException(
+        s"setAppendOnly lost the commit race on $table")
+    v
+  }
+
+  /** Write-time enforcement of `delta.appendOnly`: called by every op
+    * that would commit a dataChange remove. */
+  private def requireAppendsOnly(spark: SparkSession, table: String,
+      op: String): Unit = {
+    if (latestVersion(spark, table) < 0) return
+    if (snapshot(spark, table, latestVersion(spark, table)).config
+        .get("delta.appendOnly").contains("true"))
+      throw new UnsupportedOperationException(
+        s"$table is append-only (delta.appendOnly=true): $op removes rows")
+  }
+
   /** The table's GENERATED columns, name → generation expression — off
     * each schema field's metadata key `delta.generationExpression`
     * (PROTOCOL.md §Writer Requirements for Generated Columns; the
@@ -1394,6 +1429,7 @@ object DeltaLite {
       txn: Option[(String, Long)] = None): Long = {
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "plain write()") // use writeColumnMapped
+    if (overwrite) requireAppendsOnly(spark, table, "overwrite write()")
     val df = applyGenerated(spark, table, dfIn) // compute/validate generated
     enforceConstraints(spark, table, df) // CHECK constraints gate the write
     var attempt = 0
@@ -1565,6 +1601,7 @@ object DeltaLite {
       lo: Long, hi: Long): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col => c_, not}
     val fs = hadoopFs(spark, table)
+    requireAppendsOnly(spark, table, "deleteWhere()")
     val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
     if (affected.isEmpty) return (latestVersion(spark, table), 0L, 0L)
     // DV-aware source: a copy-on-write rewrite of a file that carries a
@@ -1648,6 +1685,7 @@ object DeltaLite {
       lo: Long, hi: Long): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col => c_, collect_list, sort_array}
     val fs = hadoopFs(spark, table)
+    requireAppendsOnly(spark, table, "deleteWhereDV()")
     val latest = latestVersion(spark, table)
     val snap = snapshot(spark, table, latest)
     val (affected, _, _) = planSkipping(spark, table, column, lo, hi)
@@ -1727,6 +1765,7 @@ object DeltaLite {
     * version. */
   def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
     val fs = hadoopFs(spark, table)
+    requireAppendsOnly(spark, table, "restore()")
     val latest = latestVersion(spark, table)
     val target = snapshot(spark, table, toVersion)
     val current = snapshot(spark, table, latest)
@@ -1953,6 +1992,7 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{col => c_, lit, not}
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "updateWhere()")
+    requireAppendsOnly(spark, table, "updateWhere()")
     val latest = latestVersion(spark, table)
     val snap = snapshot(spark, table, latest)
     val (affected, _, _) = planSkipping(spark, table, column, lo, hi)

@@ -996,6 +996,59 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X36y: Delta APPEND-ONLY tables (`delta.appendOnly`) — the writer-2
+    * invariant enforced at every remove-shaped entry point: after the
+    * property lands, appends still commit, row-level DELETE and OVERWRITE
+    * refuse (the two booleans are genuinely caught refusals), and the
+    * dataChange=false rewrite (OPTIMIZE) stays legal — the final
+    * aggregate reads through the compacted, fully-appended table. */
+  private def deltaAppendOnly(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_ao")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0).repartition(2),
+      table, collectStats = true)
+    DeltaLite.setAppendOnly(spark, table)
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1).repartition(2),
+      table, collectStats = true)
+    val deleteRefused =
+      try { DeltaLite.deleteWhere(spark, table, "o_orderkey", 0L, 10L); false }
+      catch { case _: UnsupportedOperationException => true }
+    val overwriteRefused =
+      try { DeltaLite.write(spark, o.limit(1), table, overwrite = true); false }
+      catch { case _: UnsupportedOperationException => true }
+    val (_, _, nAfter) = DeltaLite.optimize(spark, table)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("delete_refused", lit(deleteRefused))
+      .withColumn("overwrite_refused", lit(overwriteRefused))
+      .withColumn("files_after_optimize", lit(nAfter))
+  }
+
+  /** X261t: Iceberg SORT ORDERS — the declaration is metadata intent, the
+    * payoff is measured: on the hash-spread layout every file spans the
+    * full key range so bounds pruning keeps all 4 (`kept_before`); after
+    * `setSortOrder` + the sorted rewrite (range-clustered files, bounds
+    * recorded), the same [0, max/8] probe keeps fewer files
+    * (`skipping_improved`), and the full read is byte-identical (the
+    * aggregate equality). */
+  private def icebergSortOrder(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_sort")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val mx = o.agg(max("o_orderkey")).collect()(0).getLong(0)
+    IcebergLite.write(spark, o.repartition(4), table,
+      boundsColumn = Some("o_orderkey"))
+    val (_, kept0, total0) = IcebergLite.planBounds(spark, table, 0L, mx / 8)
+    IcebergLite.setSortOrder(spark, table, "o_orderkey")
+    IcebergLite.rewriteDataFiles(spark, table, targetFiles = 4)
+    val (_, kept1, total1) = IcebergLite.planBounds(spark, table, 0L, mx / 8)
+    IcebergLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("kept_before", lit(kept0))
+      .withColumn("files_total", lit(total0))
+      .withColumn("files_after", lit(total1))
+      .withColumn("skipping_improved", lit(kept1 < kept0))
+  }
+
   /** X261s: Iceberg WRITE-AUDIT-PUBLISH — the branch workflow production
     * ingest actually runs: batch 2 stages on the `audit` branch (readable
     * via the ref, INVISIBLE to main — `rows_main_during_audit` pins it),
@@ -1429,6 +1482,8 @@ object FormatQueries {
     "x_delta_generated" -> ((s, dir) => deltaGenerated(s, dir)),
     "x_iceberg_spec_evolution" -> ((s, dir) => icebergSpecEvolution(s, dir)),
     "x_iceberg_wap" -> ((s, dir) => icebergWap(s, dir)),
+    "x_iceberg_sort_order" -> ((s, dir) => icebergSortOrder(s, dir)),
+    "x_delta_append_only" -> ((s, dir) => deltaAppendOnly(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1661,6 +1716,23 @@ object FormatQueries {
         |FROM orders, b
         |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // append-only: both halves present (the delete/overwrite refusals
+    // left no mark), compaction still legal
+    "x_delta_append_only" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS delete_refused, TRUE AS overwrite_refused,
+        |  CAST(1 AS BIGINT) AS files_after_optimize
+        |FROM orders""".stripMargin,
+    // sort order: aggregate byte-identical across the sorted rewrite;
+    // hash layout keeps all 4 files for the [0, max/8] probe, the
+    // range-clustered layout keeps fewer
+    "x_iceberg_sort_order" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(4 AS BIGINT) AS kept_before,
+        |  CAST(4 AS BIGINT) AS files_total,
+        |  CAST(4 AS BIGINT) AS files_after,
+        |  TRUE AS skipping_improved
+        |FROM orders""".stripMargin,
     // WAP: main = published batches only (the rejected odd-user %3==2
     // rows never appear); staged-branch visibility and the expiration
     // count pinned; 2 expired = the pre-publish base + the dropped reject

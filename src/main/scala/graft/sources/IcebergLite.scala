@@ -539,6 +539,14 @@ object IcebergLite {
         root.put("last-partition-id",
           if (partitionTruncate.isDefined) 1000 else 999)
     }
+    // sort orders are immutable and id-addressed like schemas/specs:
+    // preserved verbatim on every data commit; [[setSortOrder]]'s
+    // metadata-only commit is the only writer of new entries
+    prevMeta.filter(_.has("sort-orders")).foreach { m =>
+      root.set[com.fasterxml.jackson.databind.node.ObjectNode]("sort-orders",
+        m.get("sort-orders").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+      root.put("default-sort-order-id", m.path("default-sort-order-id").asInt(0))
+    }
     // table properties survive every commit (the exactly-once high-water
     // mark expireSnapshots folds in must outlive later writes)
     val props = root.putObject("properties")
@@ -724,6 +732,71 @@ object IcebergLite {
       throw new IllegalStateException(
         s"evolvePartitionSpec lost the commit race for v${v + 1} on $table")
     v + 1
+  }
+
+  /** Declare the table's SORT ORDER (spec §Sort Orders): a METADATA-ONLY
+    * commit appending an identity-transform ascending order on `column`
+    * to the immutable id-addressed `sort-orders` list and flipping
+    * `default-sort-order-id`. The declaration is INTENT, exactly as in
+    * Iceberg: writers are not forced to sort (appends stay cheap), and
+    * [[rewriteDataFiles]] honors it — a compaction on a sort-ordered
+    * table range-clusters by the column and records per-file bounds, so
+    * [[planBounds]] pruning turns from no-op (hash layout: every file
+    * spans the full range) to surgical. */
+  def setSortOrder(spark: SparkSession, table: String,
+      column: String): Int = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val schema = schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
+    require(schema.fieldNames.contains(column),
+      s"sort column $column not in $table schema")
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    var maxId = 0
+    if (copy.has("sort-orders"))
+      copy.get("sort-orders").forEach(o =>
+        maxId = math.max(maxId, o.get("order-id").asInt()))
+    else {
+      // spec: order-id 0 is reserved for "unsorted"
+      val unsorted = copy.putArray("sort-orders").addObject()
+      unsorted.put("order-id", 0)
+      unsorted.putArray("fields")
+    }
+    val newId = maxId + 1
+    val order = copy.withArray("sort-orders").addObject()
+    order.put("order-id", newId)
+    val f = order.putArray("fields").addObject()
+    f.put("transform", "identity")
+    f.put("source-id", schema.fieldNames.indexOf(column) + 1)
+    f.put("direction", "asc")
+    f.put("null-order", "nulls-first")
+    copy.put("default-sort-order-id", newId)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"setSortOrder lost the commit race for v${v + 1} on $table")
+    v + 1
+  }
+
+  /** The default sort order's column, None when unsorted (order 0 or no
+    * declaration) — resolved through the current schema's field order
+    * (source-id is 1-based). */
+  private def sortOrderColumn(
+      meta: com.fasterxml.jackson.databind.JsonNode): Option[String] = {
+    if (!meta.has("sort-orders")) return None
+    val wanted = meta.path("default-sort-order-id").asInt(0)
+    if (wanted == 0) return None
+    var found: Option[Int] = None
+    meta.get("sort-orders").forEach { o =>
+      if (o.get("order-id").asInt() == wanted)
+        o.get("fields").forEach(f => found = Some(f.get("source-id").asInt()))
+    }
+    found.map { sid =>
+      schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
+        .fieldNames(sid - 1)
+    }
   }
 
   /** PUBLISH a staged branch — the fast-forward half of WRITE-AUDIT-
@@ -1778,19 +1851,40 @@ object IcebergLite {
     * (snapshotId, filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, table: String,
       targetFiles: Int = 1): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.col
     val before = snapshotFiles(spark, table, -1L)
+    val meta = readMetadata(hadoopFs(spark, table), table,
+      latestMetadataVersion(spark, table))
+    // a declared sort order turns compaction into the CLUSTERING op
+    // (Iceberg's rewriteDataFiles sort strategy): range-partition by the
+    // sort column, sort within files, record per-file bounds — the
+    // planBounds layer then prunes surgically instead of keeping every
+    // hash-spread file
+    val sortCol = sortOrderColumn(meta)
     // a table carrying live position deletes compacts even under the file
     // target: the rewrite is ALSO the op that materializes deletes away
     // (read() merges them; the fresh overwrite manifest list drops the
-    // delete manifests) — same contract as DeltaLite.optimize with DVs
+    // delete manifests) — same contract as DeltaLite.optimize with DVs.
+    // A sort-ordered table always rewrites: re-clustering IS the work.
     val liveDeletes = snapshotDeleteFiles(spark, table, -1L)
-    if (before.size <= targetFiles && liveDeletes.isEmpty)
-      return (readMetadata(hadoopFs(spark, table), table,
-        latestMetadataVersion(spark, table)).get("current-snapshot-id").asLong(),
+    if (before.size <= targetFiles && liveDeletes.isEmpty && sortCol.isEmpty)
+      return (meta.get("current-snapshot-id").asLong(),
         before.size.toLong, before.size.toLong)
     val src = read(spark, table)
-    val sid = write(spark, src.coalesce(targetFiles), table,
-      overwrite = true, operation = Some("replace"))
+    val clustered = sortCol match {
+      case Some(c) if targetFiles > 1 =>
+        src.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(c)
+      case Some(c) => src.coalesce(1).sortWithinPartitions(c)
+      case None => src.coalesce(targetFiles)
+    }
+    val sid = write(spark, clustered, table,
+      overwrite = true, operation = Some("replace"),
+      boundsColumn = sortCol.filter(c =>
+        schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
+          .apply(c).dataType == org.apache.spark.sql.types.LongType),
+      summaryProps = sortCol.map(_ =>
+        "sort-order-id" -> meta.path("default-sort-order-id").asInt(0).toString)
+        .toMap)
     (sid, before.size.toLong, snapshotFiles(spark, table, sid).size.toLong)
   }
 

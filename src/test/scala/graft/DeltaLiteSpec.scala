@@ -724,6 +724,38 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.write(spark, Seq((8L, 80L, 7L)).toDF("k", "v", "d"), table)
   }
 
+  test("append-only: removes refuse, appends and dataChange=false rewrites stay legal") {
+    import spark.implicits._
+    val table = Sinks.tempDir("dl_ao")
+    DeltaLite.write(spark, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), table,
+      collectStats = true)
+    DeltaLite.setAppendOnly(spark, table)
+    DeltaLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table,
+      collectStats = true)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.deleteWhere(spark, table, "k", 1L, 1L)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.deleteWhereDV(spark, table, "k", 1L, 1L)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.updateWhere(spark, table, "k", 1L, 1L,
+        Map("v" -> org.apache.spark.sql.functions.lit(0L)))
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table,
+        overwrite = true)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.restore(spark, table, 0L)
+    // dataChange=false rewrites stay legal
+    DeltaLite.optimize(spark, table)
+    DeltaLite.vacuum(spark, table)
+    DeltaLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      Seq(1L, 2L, 3L)
+    // the property survives checkpoint + expireLog (configuration replay)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    an[UnsupportedOperationException] should be thrownBy
+      DeltaLite.deleteWhere(spark, table, "k", 1L, 1L)
+  }
+
   test("DV delete drops a file whose every row is deleted") {
     import spark.implicits._
     val table = Sinks.tempDir("delta_dv_full")

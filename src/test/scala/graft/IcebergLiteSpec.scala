@@ -444,6 +444,35 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
   }
 
+  test("sort order: metadata-only declaration, sorted rewrite enables bounds pruning") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_sort")
+    // shuffled keys, hash-spread: both files span the full range
+    IcebergLite.write(spark,
+      new scala.util.Random(7).shuffle((0L until 100L).toList)
+        .map(i => (i, i * 2L)).toDF("k", "v").repartition(2),
+      table, boundsColumn = Some("k"))
+    val (_, kept0, total0) = IcebergLite.planBounds(spark, table, 0L, 10L)
+    (kept0, total0) shouldBe ((2L, 2L))
+    IcebergLite.setSortOrder(spark, table, "k")
+    // the rewrite honors the declared order: range-clustered disjoint files
+    IcebergLite.rewriteDataFiles(spark, table, targetFiles = 2)
+    val (files1, kept1, total1) = IcebergLite.planBounds(spark, table, 0L, 10L)
+    total1 shouldBe 2L
+    kept1 shouldBe 1L
+    spark.read.parquet(files1: _*).where($"k" <= 10L).count() shouldBe 11L
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted shouldBe
+      (0L until 100L).toArray
+    // the declaration SURVIVES later data commits (metadata preservation):
+    // an unsorted append then another rewrite re-clusters everything
+    IcebergLite.write(spark,
+      (100L until 110L).map(i => (i, i)).toDF("k", "v"), table)
+    IcebergLite.rewriteDataFiles(spark, table, targetFiles = 2)
+    val (_, kept2, total2) = IcebergLite.planBounds(spark, table, 0L, 10L)
+    (kept2, total2) shouldBe ((1L, 2L))
+    IcebergLite.read(spark, table).count() shouldBe 110L
+  }
+
   test("write-audit-publish: branch staging invisible to main, ancestry-proven fast-forward") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_wap")

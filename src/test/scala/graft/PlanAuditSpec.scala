@@ -86,6 +86,8 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delta_optimize" -> 1,
     "x_iceberg_optimize" -> 1, // category 1: same shape on the Iceberg side
     "x_iceberg_merge" -> 1, // category 1: post-merge global count+sum
+    "x_iceberg_sort_order" -> 1, // category 1: global count+sum final
+    "x_delta_append_only" -> 1, // category 1: global count+sum final
     "x_delta_zorder" -> 1,     // category 1: 1-row box-aggregate final
     "x_delta_restore" -> 1, // category 1: 1-row post-restore summary
     // category 1: 1-row post-rename/drop summary over the mapped read
