@@ -911,6 +911,19 @@ object DeltaLite {
         }
       val longCols = df.schema.fields
         .filter(_.dataType == LongType).map(_.name).toSeq
+      // stats are keyed by the LAST TWO (decoded) path components, never
+      // the basename: one task holding several partition values writes
+      // the SAME part-<n>-<jobUuid> name into each value's directory (the
+      // common case under AQE's coalesced repartition), and a basename
+      // key silently swaps those files' numRecords/min/max — wrong stats
+      // feeding planSkipping is silent row loss. input_file_name() is a
+      // URI (space → %20) while listStatus is raw — decode first.
+      val statsKey: String => String = { p =>
+        val decoded =
+          try Option(new java.net.URI(p).getPath).getOrElse(p)
+          catch { case _: java.net.URISyntaxException => p }
+        decoded.split('/').takeRight(2).mkString("/")
+      }
       val statsByFile: Map[String, String] =
         if (!collectStats) Map.empty
         else {
@@ -932,12 +945,12 @@ object DeltaLite {
                   mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
                 }
               }
-              (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+              (statsKey(r.getAs[String]("f")), mapper.writeValueAsString(o))
             }.toMap
         }
       val adds = parts.map { case (rel, value, p) =>
         addLine(rel, p.getLen, p.getModificationTime,
-          statsByFile.get(p.getPath.getName),
+          statsByFile.get(statsKey(s"$table/$rel")),
           partitionValues = Map(partCol -> value))
       }
       val header =

@@ -996,6 +996,23 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X261u: Iceberg `partitions` METADATA TABLE — per-partition file and
+    * record inventory recounted from the manifest layer of a REAL
+    * hidden-partitioned table (two commits → two files per value): the
+    * layout-health view (skew, small-file pressure) at O(manifests)
+    * metadata cost, no data-file open. */
+  private def icebergPartitionsTable(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_parts")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val spec = Some(("o_orderpriority", 1))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table,
+      partitionTruncate = spec)
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table,
+      partitionTruncate = spec)
+    IcebergLite.metadataTable(spark, table, "partitions")
+  }
+
   /** X36y: Delta APPEND-ONLY tables (`delta.appendOnly`) — the writer-2
     * invariant enforced at every remove-shaped entry point: after the
     * property lands, appends still commit, row-level DELETE and OVERWRITE
@@ -1484,6 +1501,7 @@ object FormatQueries {
     "x_iceberg_wap" -> ((s, dir) => icebergWap(s, dir)),
     "x_iceberg_sort_order" -> ((s, dir) => icebergSortOrder(s, dir)),
     "x_delta_append_only" -> ((s, dir) => deltaAppendOnly(s, dir)),
+    "x_iceberg_partitions_table" -> ((s, dir) => icebergPartitionsTable(s, dir)),
     "x_delta_zorder" -> ((s, dir) => deltaZorder(s, dir)),
     "x_delta_optimize_partitioned" ->
       ((s, dir) => deltaOptimizePartitioned(s, dir)),
@@ -1716,6 +1734,13 @@ object FormatQueries {
         |FROM orders, b
         |WHERE o_orderkey NOT BETWEEN q AND (5*q)//2
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // partitions metadata table: record counts recounted from manifests
+    // must equal the relation's per-prefix counts; 2 files per value (one
+    // per commit, one file per transform value by construction)
+    "x_iceberg_partitions_table" ->
+      """SELECT substring(o_orderpriority, 1, 1) AS partition,
+        |  CAST(2 AS BIGINT) AS n_files, count(*) AS record_count
+        |FROM orders GROUP BY 1 ORDER BY partition""".stripMargin,
     // append-only: both halves present (the delete/overwrite refusals
     // left no mark), compaction still legal
     "x_delta_append_only" ->

@@ -342,7 +342,21 @@ object IcebergLite {
           out.toSeq
       }
     // per-file record counts (and, when a bounds column is declared, its
-    // min/max) in ONE pass over the staged files grouped by file name
+    // min/max) in ONE pass over the staged files. Keyed by the LAST TWO
+    // path components, not the basename: under partitionBy staging a
+    // single task that holds several partition values writes the SAME
+    // part-<n>-<jobUuid> basename into each value's directory (AQE's
+    // coalesced repartition makes this the common case), and a basename
+    // key would silently collapse those files' statistics onto one entry
+    // input_file_name() returns a URI (space → %20 …) while listStatus
+    // returns raw names — decode before comparing, or escaped partition
+    // values miss their stats
+    val statsKey: String => String = { p =>
+      val decoded =
+        try Option(new java.net.URI(p).getPath).getOrElse(p)
+        catch { case _: java.net.URISyntaxException => p }
+      decoded.split('/').takeRight(2).mkString("/")
+    }
     import org.apache.spark.sql.functions.{count => cnt, col => c_, input_file_name, lit => lt, max => mx_, min => mn_}
     val statsAggs = cnt(lt(1)).as("n") +: boundsColumn.toSeq.flatMap(c =>
       Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx")))
@@ -357,7 +371,7 @@ object IcebergLite {
             if (mi == null || ma == null) None
             else Some((mi.longValue(), ma.longValue()))
           }
-          (new Path(r.getAs[String]("f")).getName, (r.getAs[Long]("n"), bounds))
+          (statsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
         }.toMap
     // manifest for the new files
     val entrySchema =
@@ -374,7 +388,7 @@ object IcebergLite {
         .getField("data_file").schema().getField("partition").schema())
       if (pval != null) partRecord.put("p0", pval)
       d.put("partition", partRecord)
-      val (n, bounds) = fileStats.getOrElse(p.getPath.getName, (0L, None))
+      val (n, bounds) = fileStats.getOrElse(statsKey(s"$table/$rel"), (0L, None))
       d.put("record_count", n)
       d.put("file_size_in_bytes", p.getLen)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
@@ -2014,9 +2028,36 @@ object IcebergLite {
             e.getValue.get("snapshot-id").asLong()))
         }
         rows.toSeq.toDF("name", "type", "snapshot_id").orderBy("name")
+      case "partitions" =>
+        // `table$partitions`: per-partition file and record inventory off
+        // the manifests' partition values + record_count statistics — the
+        // layout-health view (skew, small-file pressure per partition)
+        // that costs O(manifests) metadata, never a data-file open.
+        // Unpartitioned files report a NULL partition (Iceberg's own
+        // convention for evolved-in unpartitioned specs).
+        val perFile = currentList.filter(_.content == 0).flatMap { m =>
+          readAvroFile(fs, new Path(m.path))
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val d = e.get("data_file")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              val part = d.get("partition")
+                .asInstanceOf[org.apache.avro.generic.GenericRecord]
+              val pv =
+                if (part.getSchema.getField("p0") == null) null
+                else Option(part.get("p0")).map(_.toString).orNull
+              (pv, d.get("record_count").asInstanceOf[Long])
+            }
+        }
+        perFile.groupBy(_._1).toSeq
+          .map { case (pv, fs0) =>
+            (pv, fs0.size.toLong, fs0.map(_._2).sum)
+          }
+          .toDF("partition", "n_files", "record_count")
+          .orderBy("partition")
       case other => throw new IllegalArgumentException(
         s"unknown metadata table '$other' " +
-          "(snapshots | manifests | files | refs)")
+          "(snapshots | manifests | files | refs | partitions)")
     }
   }
 }

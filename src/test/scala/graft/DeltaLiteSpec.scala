@@ -724,6 +724,25 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.write(spark, Seq((8L, 80L, 7L)).toDF("k", "v", "d"), table)
   }
 
+  test("partitioned stats keyed per partition dir: same-basename files keep their own counts") {
+    import spark.implicits._
+    val table = Sinks.tempDir("dl_pstats")
+    // one upstream partition → one task writes BOTH value dirs with the
+    // same part-00000-<jobUuid> basename (the AQE-coalesced common case);
+    // a basename-keyed stats map would collapse/swap the two files' stats
+    DeltaLite.writePartitioned(spark,
+      Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("cat", "v").coalesce(1),
+      table, "cat", collectStats = true)
+    val adds = logLines(table, 0L).filter(_.contains("\"add\""))
+    adds should have size 2
+    val counts = adds.map { l =>
+      val n = mapper.readTree(l).get("add")
+      (n.get("partitionValues").get("cat").asText(),
+        mapper.readTree(n.get("stats").asText()).get("numRecords").asLong())
+    }.toMap
+    counts shouldBe Map("a" -> 2L, "b" -> 1L)
+  }
+
   test("append-only: removes refuse, appends and dataChange=false rewrites stay legal") {
     import spark.implicits._
     val table = Sinks.tempDir("dl_ao")

@@ -714,7 +714,27 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     val after = IcebergLite.metadataTable(spark, table, "files").collect()
     after.count(_.getInt(0) != 0) shouldBe 0
     after.map(_.getLong(3)).sum shouldBe 5L // 7 rows - 2 deleted
+    // partitions inventory: the unpartitioned table reports one NULL
+    // partition whose recounted records equal the live row count
+    val parts = IcebergLite.metadataTable(spark, table, "partitions").collect()
+    parts.length shouldBe 1
+    parts.head.isNullAt(0) shouldBe true
+    parts.head.getLong(2) shouldBe 5L
     an[IllegalArgumentException] should be thrownBy
-      IcebergLite.metadataTable(spark, table, "partitions")
+      IcebergLite.metadataTable(spark, table, "nope")
+  }
+
+  test("partitions metadata table: per-value file and record inventory") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_parts_mt")
+    val spec = Some(("cat", 1))
+    IcebergLite.write(spark,
+      Seq(("aa", 1L), ("ab", 2L), ("bb", 3L)).toDF("cat", "v"), table,
+      partitionTruncate = spec)
+    IcebergLite.write(spark, Seq(("ac", 4L)).toDF("cat", "v"), table,
+      partitionTruncate = spec)
+    IcebergLite.metadataTable(spark, table, "partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a", 2L, 3L), ("b", 1L, 1L))
   }
 }
