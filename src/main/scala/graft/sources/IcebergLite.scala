@@ -627,7 +627,8 @@ object IcebergLite {
     * and returns the original snapshot id without writing. */
   def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
       batchId: Long,
-      partitionTruncate: Option[(String, Int)] = None): Long = {
+      partitionTruncate: Option[(String, Int)] = None,
+      toBranch: Option[String] = None): Long = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     if (v > 0) {
@@ -647,7 +648,8 @@ object IcebergLite {
       if (found >= 0) return found
     }
     write(spark, df, table, partitionTruncate = partitionTruncate,
-      summaryProps = Map("graft-batch-id" -> batchId.toString))
+      summaryProps = Map("graft-batch-id" -> batchId.toString),
+      toBranch = toBranch)
   }
 
   /** Create or move a named REF (spec §Refs) — `tag` pins an immutable

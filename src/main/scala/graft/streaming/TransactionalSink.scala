@@ -62,6 +62,23 @@ object TransactionalSink {
       ()
     }
 
+  /** X261v: STREAMING WRITE-AUDIT-PUBLISH — [[intoIceberg]]'s exactly-once
+    * contract landing every micro-batch on a BRANCH
+    * ([[graft.sources.IcebergLite.write]]`(toBranch)`): the stream
+    * accumulates snapshots production readers never see (main is
+    * untouched), an audit job reads the branch via `readRef`, and
+    * `fastForward` publishes the whole audited window atomically — the
+    * staging discipline streaming ingest at 100 TB runs so a bad batch
+    * never reaches consumers. Redelivered batches still no-op on the
+    * snapshot-summary ledger (branch snapshots live in the same list). */
+  def intoIcebergBranch(table: String, branch: String)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => {
+      graft.sources.IcebergLite.commitIdempotent(df.sparkSession, df, table,
+        batchId, toBranch = Some(branch))
+      ()
+    }
+
   /** [[intoIceberg]] landing each micro-batch under the table's declared
     * hidden-partitioning spec (`truncate[w]` on `src`) — the
     * [[intoDeltaPartitioned]] composition on the second format: manifests

@@ -444,6 +444,39 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       Seq(0L, 10L, 21L, 31L, 82L, 100L, 120L, 70L, 80L, 90L)
   }
 
+  test("streaming WAP: micro-batches stage on a branch, publish is atomic, replay no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_stream_wap")
+    // the table must exist before branch staging (cannot branch nothing)
+    IcebergLite.write(spark, Seq((0L, 0L)).toDF("k", "v"), table)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("k", "v")
+      .writeStream
+      .foreachBatch(
+        graft.streaming.TransactionalSink.intoIcebergBranch(table, "staging"))
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("icewap_ckpt"))
+      .start()
+    src.addData((1L, 10L), (2L, 20L))
+    q.processAllAvailable()
+    src.addData((3L, 30L))
+    q.processAllAvailable()
+    q.stop()
+    // two micro-batches staged; production readers saw none of it
+    IcebergLite.read(spark, table).count() shouldBe 1L
+    IcebergLite.readRef(spark, table, "staging").count() shouldBe 4L
+    // a replayed batch no-ops on the snapshot-summary ledger
+    IcebergLite.commitIdempotent(spark,
+      Seq((3L, 30L)).toDF("k", "v"), table, batchId = 1L,
+      toBranch = Some("staging"))
+    IcebergLite.readRef(spark, table, "staging").count() shouldBe 4L
+    // the audited window publishes atomically
+    IcebergLite.fastForward(spark, table, "staging")
+    IcebergLite.read(spark, table).orderBy("k")
+      .select("k").as[Long].collect() shouldBe Seq(0L, 1L, 2L, 3L)
+  }
+
   test("sort order: metadata-only declaration, sorted rewrite enables bounds pruning") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_sort")
