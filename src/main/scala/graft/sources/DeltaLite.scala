@@ -1994,7 +1994,12 @@ object DeltaLite {
     * `column` can contain [lo, hi] are rewritten; matched rows get every
     * `set` assignment applied, survivors ride along unchanged, untouched
     * files stay referenced. CHECK constraints validate the updated rows
-    * before staging. On a CDF-enabled table the commit also stages the
+    * before staging; GENERATED columns are RECOMPUTED after the
+    * assignments (an update that moves a generation source must not
+    * leave the generated value stale — Delta's own UPDATE semantics),
+    * and assigning a generated column directly refuses (its value is
+    * the expression's, not the writer's). On a CDF-enabled table the
+    * commit also stages the
     * matched rows twice — `update_preimage` (before) and
     * `update_postimage` (after) — the pair a downstream incremental
     * MERGE needs to retract-then-apply. Returns
@@ -2013,10 +2018,19 @@ object DeltaLite {
     val schema = tableSchema(spark, table)
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
+    val gen = generatedColumns(schema)
+    require(set.keySet.intersect(gen.keySet).isEmpty,
+      s"cannot SET generated column(s) ${set.keySet.intersect(gen.keySet)}" +
+        " — their values are the generation expressions'")
     val src = scanWithDvs(spark, table, schema, affected, snap.dvs)
     val matched = src.where(c_(column).between(lo, hi))
-    val updated = set.foldLeft(matched) { case (d, (k, expr)) =>
+    val assigned = set.foldLeft(matched) { case (d, (k, expr)) =>
       d.withColumn(k, expr)
+    }
+    // recompute generated columns over the post-assignment rows: an
+    // update that moved a generation source must regenerate, never stale
+    val updated = gen.foldLeft(assigned) { case (d, (k, sql)) =>
+      d.withColumn(k, org.apache.spark.sql.functions.expr(sql))
     }.select(schema.fieldNames.map(c_).toIndexedSeq: _*)
     enforceConstraints(spark, table, updated)
     val rowsUpdated = matched.count()

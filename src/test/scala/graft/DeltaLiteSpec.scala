@@ -722,6 +722,15 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       .select("d").as[Long].collect() shouldBe Seq(140L)
     an[IllegalArgumentException] should be thrownBy
       DeltaLite.write(spark, Seq((8L, 80L, 7L)).toDF("k", "v", "d"), table)
+    // UPDATE recomputes generated columns when a source moves, and
+    // refuses to SET a generated column directly
+    DeltaLite.updateWhere(spark, table, "k", 7L, 7L,
+      Map("v" -> ($"v" + 5L)))
+    DeltaLite.read(spark, table).where($"k" === 7L)
+      .select("v", "d").as[(Long, Long)].collect() shouldBe Seq((75L, 150L))
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.updateWhere(spark, table, "k", 7L, 7L,
+        Map("d" -> org.apache.spark.sql.functions.lit(0L)))
   }
 
   test("partitioned stats keyed per partition dir: same-basename files keep their own counts") {
