@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Codegen class cache (static conf; default 100 entries). The bench
+      // runs ~400 distinct keys per pass, each compiling several janino
+      // classes — at the default size a key's classes are fully evicted
+      // between its interleaved reps, so EVERY rep pays full compilation
+      // (~0.1-0.3 s/key, more for multi-job keys). A long-running session
+      // serving a repeated workload sizes this cache to the workload; the
+      // bench measures that steady state. Overridable for A/B runs.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "10000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT + codegen + parquet reader init land here, not inside the
