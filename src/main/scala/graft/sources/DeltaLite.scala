@@ -227,7 +227,8 @@ object DeltaLite {
       pvals: Map[String, Map[String, String]] = Map.empty,
       dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
       protocol: Option[Protocol] = None,
-      config: Map[String, String] = Map.empty)
+      config: Map[String, String] = Map.empty,
+      partCols: Seq[String] = Seq.empty)
 
   /** Inverse of Spark/Hive's partition-directory escaping (the r09
     * advisor finding on the Iceberg side): directory names URI-escape
@@ -315,6 +316,7 @@ object DeltaLite {
     var meta: Option[(String, String)] = None
     var proto: Option[Protocol] = None
     var config: Map[String, String] = Map.empty
+    var partCols: Seq[String] = Seq.empty
     val cpFiles =
       if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
       else Seq.empty
@@ -331,6 +333,8 @@ object DeltaLite {
         .fieldNames.contains("readerFeatures")
       val metaHasConf = cp.schema("metaData").dataType.asInstanceOf[StructType]
         .fieldNames.contains("configuration")
+      val metaHasPc = cp.schema("metaData").dataType.asInstanceOf[StructType]
+        .fieldNames.contains("partitionColumns")
       val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
         else cp.select("protocol", "metaData", "add")).collect()
       rows.foreach { r =>
@@ -350,6 +354,8 @@ object DeltaLite {
           meta = Some((m.getString(0), m.getString(1)))
           if (metaHasConf && !m.isNullAt(2))
             config = m.getMap[String, String](2).toMap
+          if (metaHasPc && !m.isNullAt(3))
+            partCols = m.getSeq[String](3)
         }
         if (!r.isNullAt(2)) {
           val a = r.getStruct(2)
@@ -434,6 +440,13 @@ object DeltaLite {
           m.path("configuration").fields()
             .forEachRemaining(e => cm(e.getKey) = e.getValue.asText())
           config = cm.toMap
+          // partitionColumns must survive replay: a later metaData
+          // re-declaration (enableCdf, constraints) re-emits them, and
+          // dropping them here would let that commit silently
+          // un-partition the table
+          val pcs = mutable.ArrayBuffer.empty[String]
+          m.path("partitionColumns").forEach(p => pcs += p.asText())
+          partCols = pcs.toSeq
         } else if (node.has("txn")) {
           val t = node.get("txn")
           val app = t.get("appId").asText()
@@ -444,7 +457,7 @@ object DeltaLite {
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
       asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap,
-      proto, config)
+      proto, config, partCols)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -482,7 +495,10 @@ object DeltaLite {
         StructField("schemaString", StringType),
         // configuration must survive the checkpoint or expireLog would
         // silently drop CHECK constraints / column-mapping mode
-        StructField("configuration", MapType(StringType, StringType))))),
+        StructField("configuration", MapType(StringType, StringType)),
+        // …and partitionColumns, or a post-expireLog metaData
+        // re-declaration (enableCdf) would un-partition the table
+        StructField("partitionColumns", ArrayType(StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("size", LongType),
@@ -517,7 +533,8 @@ object DeltaLite {
     }
     val rows = Row(protocolRow, null, null, null) +:
       Row(null, Row(tableId, schemaJson,
-        if (snap.config.isEmpty) null else snap.config), null, null) +:
+        if (snap.config.isEmpty) null else snap.config,
+        if (snap.partCols.isEmpty) null else snap.partCols), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
         Row(null, null, null, Row(app, ver))
       } ++
@@ -911,14 +928,21 @@ object DeltaLite {
         }
       val longCols = df.schema.fields
         .filter(_.dataType == LongType).map(_.name).toSeq
-      // stats are keyed by the LAST TWO (decoded) path components, never
-      // the basename: one task holding several partition values writes
-      // the SAME part-<n>-<jobUuid> name into each value's directory (the
+      // stats are keyed by the LAST TWO path components, never the
+      // basename: one task holding several partition values writes the
+      // SAME part-<n>-<jobUuid> name into each value's directory (the
       // common case under AQE's coalesced repartition), and a basename
       // key silently swaps those files' numRecords/min/max — wrong stats
-      // feeding planSkipping is silent row loss. input_file_name() is a
-      // URI (space → %20) while listStatus is raw — decode first.
-      val statsKey: String => String = { p =>
+      // feeding planSkipping is silent row loss. input_file_name() is
+      // URI-escaped over the RAW on-disk name (a literal '%' in a
+      // Spark-escaped partition dir like _p=a%25b arrives double-escaped
+      // as a%2525b), so decode exactly ONCE on that side only; the
+      // listStatus side is already the raw name and must stay undecoded,
+      // or keys for values containing '%', '=' or ':' diverge and the
+      // file's stats are silently dropped (kept unpruned).
+      val rawStatsKey: String => String =
+        _.split('/').takeRight(2).mkString("/")
+      val ifnStatsKey: String => String = { p =>
         val decoded =
           try Option(new java.net.URI(p).getPath).getOrElse(p)
           catch { case _: java.net.URISyntaxException => p }
@@ -945,12 +969,12 @@ object DeltaLite {
                   mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
                 }
               }
-              (statsKey(r.getAs[String]("f")), mapper.writeValueAsString(o))
+              (ifnStatsKey(r.getAs[String]("f")), mapper.writeValueAsString(o))
             }.toMap
         }
       val adds = parts.map { case (rel, value, p) =>
         addLine(rel, p.getLen, p.getModificationTime,
-          statsByFile.get(statsKey(s"$table/$rel")),
+          statsByFile.get(rawStatsKey(rel)),
           partitionValues = Map(partCol -> value))
       }
       val header =
@@ -1226,7 +1250,8 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val v = latestVersion(spark, table) + 1
     require(v > 0, s"$table has no Delta log")
-    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+    val snapC = snapshot(spark, table, v - 1)
+    val (id, _) = snapC.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))
     val schema = tableSchema(spark, table)
     val violating = read(spark, table).where(not(e_(expr))).count()
@@ -1239,7 +1264,8 @@ object DeltaLite {
       p.put("minWriterVersion", 3) // CHECK constraints' writer requirement
     }
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("ADD CONSTRAINT"), proto,
-        metaDataLine(schema, id, configuration = conf))))
+        metaDataLine(schema, id, partitionColumns = snapC.partCols,
+          configuration = conf))))
       throw new IllegalStateException(s"addConstraint lost the race on $table")
     v
   }
@@ -1287,6 +1313,7 @@ object DeltaLite {
     val v = latest + 1
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("SET TBLPROPERTIES"),
         metaDataLine(tableSchema(spark, table), id,
+          partitionColumns = snap.partCols,
           configuration = snap.config + ("delta.appendOnly" -> "true")))))
       throw new IllegalStateException(
         s"setAppendOnly lost the commit race on $table")
@@ -1389,7 +1416,8 @@ object DeltaLite {
     val v = latest + 1
     if (!tryCommit(fs, table, v,
         Seq(commitInfoLine("ADD GENERATED COLUMN")) ++ proto ++
-          Seq(metaDataLine(newSchema, id, configuration = snap.config))))
+          Seq(metaDataLine(newSchema, id,
+            partitionColumns = snap.partCols, configuration = snap.config))))
       throw new IllegalStateException(
         s"addGeneratedColumn lost the commit race on $table")
     v
@@ -1521,7 +1549,9 @@ object DeltaLite {
                     case _ => f
                   }
                 })
-                Seq(metaDataLine(merged, id, configuration = prior.config))
+                Seq(metaDataLine(merged, id,
+                  partitionColumns = prior.partCols,
+                  configuration = prior.config))
               }
             case _ => Seq.empty
           }
@@ -1631,29 +1661,8 @@ object DeltaLite {
     val v = latestVersion(spark, table) + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/v$v-del-$token"
-    kept.write.mode("errorifexists").parquet(s"$table/$staged")
-    val parts = fs.listStatus(new Path(table, staged))
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    val statsByFile = spark.read.parquet(s"$table/$staged")
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("numRecords"),
-        org.apache.spark.sql.functions.min(c_(column)).as("mn"),
-        org.apache.spark.sql.functions.max(c_(column)).as("mx"))
-      .collect().map { r =>
-        val o = mapper.createObjectNode()
-        o.put("numRecords", r.getAs[Long]("numRecords"))
-        val mi = r.getAs[java.lang.Long]("mn")
-        val ma = r.getAs[java.lang.Long]("mx")
-        if (mi != null && ma != null) {
-          o.putObject("minValues").put(column, mi.longValue())
-          o.putObject("maxValues").put(column, ma.longValue())
-        }
-        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
-      }.toMap
-    val adds = parts.toSeq.map(p =>
-      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
-        statsByFile.get(p.getPath.getName)))
+    val adds = stageReplacementAdds(spark, table, kept, staged, column,
+      delSnap.partCols)
     val removes = affected.map(removeLine(_))
     // CDF: the deleted rows themselves ride in the commit as change data
     // (the rewrite's add/remove mix is underivable — survivors move files)
@@ -1667,6 +1676,56 @@ object DeltaLite {
         commitInfoLine("DELETE") +: (removes ++ adds ++ cdc)))
       throw new IllegalStateException(s"delete lost the commit race on $table")
     (v, affected.size.toLong, rowsBefore - rowsAfter)
+  }
+
+  /** Partition-grain DELETE — the canonical 100 TB retention op (drop a
+    * day, a tenant): every file of ONE partition value leaves the live
+    * set in ONE commit of pure log entries — no data file is read,
+    * rewritten, or moved on the data path. On a CDF-enabled table the
+    * dropped rows additionally ride in the commit as `delete` change
+    * data whose `cdc` actions RECORD the partition value, so a
+    * downstream consumer pruning the feed ([[readCdf]]'s
+    * `partitionFilter`) never opens other partitions' change files.
+    * Files carrying deletion vectors stage only their LIVE rows as
+    * change data (already-deleted rows must not re-announce their
+    * deletion). Returns (version, filesRemoved, rowsDeleted); rows is
+    * -1 when CDF is off — counting would force the full-partition read
+    * this op exists to avoid. */
+  def deletePartition(spark: SparkSession, table: String, partCol: String,
+      value: String): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "deletePartition()")
+    requireAppendsOnly(spark, table, "deletePartition()")
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    require(snap.partCols == Seq(partCol),
+      s"$table is partitioned by [${snap.partCols.mkString(", ")}], " +
+        s"not by $partCol")
+    val affected = snap.files.filter(f =>
+      snap.pvals.get(f).exists(pv =>
+        pv.contains(partCol) && pv(partCol) == value))
+    if (affected.isEmpty) return (latest, 0L, 0L)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    var rowsDeleted = -1L
+    val cdc =
+      if (!cdfEnabled(snap.config)) Seq.empty
+      else {
+        val doomed = scanWithDvs(spark, table, tableSchema(spark, table),
+          affected, snap.dvs)
+          .withColumn("_change_type", lit("delete"))
+        rowsDeleted = doomed.count()
+        stageCdc(spark, table, doomed, v, token,
+          partitionValues = Map(partCol -> value))
+      }
+    val removes = affected.map(removeLine(_))
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("DELETE") +: (removes ++ cdc)))
+      throw new IllegalStateException(
+        s"deletePartition lost the commit race on $table")
+    (v, affected.size.toLong, rowsDeleted)
   }
 
   /** Row-level DELETE as a DELETION-VECTOR commit (merge-on-read) — the
@@ -1834,16 +1893,25 @@ object DeltaLite {
       versionAsOf: Long = -1L): DataFrame =
     readWithStats(spark, table, versionAsOf)._1
 
+  /** The assembled [[Snapshot]] at a version (latest when < 0), with the
+    * version bounds validated — the planning surface
+    * [[graft.sources.v2.GraftCatalog]] builds its SQL-visible file scans
+    * from. */
+  private[graft] def snapshotAt(spark: SparkSession, table: String,
+      versionAsOf: Long = -1L): Snapshot = {
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val asOf = if (versionAsOf < 0) latest else versionAsOf
+    require(asOf <= latest, s"versionAsOf=$asOf > latest=$latest on $table")
+    snapshot(spark, table, asOf)
+  }
+
   /** [[read]] plus the snapshot-assembly stats (checkpoint version used,
     * JSON commits replayed) — how the checkpoint key proves the read
     * actually went through the checkpoint instead of a full log replay. */
   def readWithStats(spark: SparkSession, table: String,
       versionAsOf: Long = -1L): (DataFrame, Snapshot) = {
-    val latest = latestVersion(spark, table)
-    require(latest >= 0, s"$table has no Delta log")
-    val asOf = if (versionAsOf < 0) latest else versionAsOf
-    require(asOf <= latest, s"versionAsOf=$asOf > latest=$latest on $table")
-    val snap = snapshot(spark, table, asOf)
+    val snap = snapshotAt(spark, table, versionAsOf)
     // Delta readers always apply the TABLE schema (newest metaData at or
     // below the read version) — files predating an evolution surface the
     // added columns as NULL, never via per-file inference
@@ -1922,10 +1990,17 @@ object DeltaLite {
     config.get(CdfKey).contains("true")
 
   /** The `cdc` action: a change-data file reference. `dataChange = false`
-    * by protocol — cdc files never participate in snapshot state. */
-  private def cdcLine(path: String, size: Long): String = jsonObj("cdc") { c =>
+    * by protocol — cdc files never participate in snapshot state.
+    * `partitionValues` (protocol field, same shape as add's) lets a
+    * pruned [[readCdf]] skip other partitions' change files entirely. */
+  private def cdcLine(path: String, size: Long,
+      partitionValues: Map[String, String] = Map.empty): String =
+    jsonObj("cdc") { c =>
     c.put("path", path)
-    c.putObject("partitionValues")
+    val pv = c.putObject("partitionValues")
+    partitionValues.foreach { case (k, v) =>
+      if (v == null) pv.putNull(k) else pv.put(k, v)
+    }
     c.put("size", size)
     c.put("dataChange", false)
   }
@@ -1944,10 +2019,11 @@ object DeltaLite {
     * version the spec assigns CDF), or the `changeDataFeed` writerFeature
     * when the table already runs table-features protocol (a DV table at
     * writer 7 must not be DOWNGRADED to 4). Idempotent. Partitioned
-    * tables refuse: this subset's metaData replay does not retain
-    * partitionColumns, and re-declaring the table without them would
-    * corrupt it (stated subset bound). Returns the enabling version (or
-    * the current one when already enabled). */
+    * tables work: metaData replay retains partitionColumns (Snapshot
+    * `partCols`) and the re-declaration carries them forward —
+    * [[deletePartition]] is the partition-grain DML that feeds their
+    * change feed and [[readCdf]] prunes it by partition. Returns the
+    * enabling version (or the current one when already enabled). */
   def enableCdf(spark: SparkSession, table: String): Long = {
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "enableCdf()")
@@ -1955,9 +2031,6 @@ object DeltaLite {
     require(latest >= 0, s"$table has no Delta log")
     val snap = snapshot(spark, table, latest)
     if (cdfEnabled(snap.config)) return latest
-    require(snap.pvals.isEmpty,
-      s"$table is partitioned: CDF on partitioned tables is out of this " +
-        "subset (metaData replay does not retain partitionColumns)")
     val (id, sj) = snap.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))
     val cur = snap.protocol.getOrElse(Protocol(1, 2, Nil, Nil))
@@ -1970,23 +2043,110 @@ object DeltaLite {
     if (!tryCommit(fs, table, v, Seq(
         commitInfoLine("SET TBLPROPERTIES"),
         protocolLineOf(upgraded),
-        metaDataLine(schema, id,
+        metaDataLine(schema, id, partitionColumns = snap.partCols,
           configuration = snap.config + (CdfKey -> "true")))))
       throw new IllegalStateException(s"enableCdf lost the commit race on $table")
     v
   }
 
   /** Stage `df` (table columns + `_change_type`) as this commit's change
-    * data and return the `cdc` action lines referencing it. */
+    * data and return the `cdc` action lines referencing it.
+    * `partitionValues` is recorded on every action when the staged rows
+    * all belong to one partition (the [[deletePartition]] shape) — the
+    * log-level knowledge [[readCdf]] prunes on. */
   private def stageCdc(spark: SparkSession, table: String, df: DataFrame,
-      v: Long, token: String): Seq[String] = {
+      v: Long, token: String,
+      partitionValues: Map[String, String] = Map.empty): Seq[String] = {
     val dir = s"_change_data/v$v-$token"
     df.write.mode("errorifexists").parquet(s"$table/$dir")
     val fs = hadoopFs(spark, table)
     fs.listStatus(new Path(table, dir))
       .filter(_.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName).toSeq
-      .map(p => cdcLine(s"$dir/${p.getPath.getName}", p.getLen))
+      .map(p => cdcLine(s"$dir/${p.getPath.getName}", p.getLen,
+        partitionValues))
+  }
+
+  /** Stage a copy-on-write replacement (the deleteWhere/updateWhere
+    * rewrite) and return its `add` lines with stats for the planning
+    * `column`. On a PARTITIONED table the restage goes through the
+    * [[writePartitioned]] discipline — per-value directories, recovered
+    * raw values on every add, stats keyed by the last two path
+    * components — because an add without partitionValues would silently
+    * evict the file from [[planPartitioned]] and break the
+    * all-files-carry-values invariant every partitioned writer checks. */
+  private def stageReplacementAdds(spark: SparkSession, table: String,
+      df: DataFrame, staged: String, column: String,
+      partCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col => c_, count => cnt_, input_file_name, lit => l_, max => mx_, min => mn_}
+    val fs = hadoopFs(spark, table)
+    def statsJson(n: Long, mi: java.lang.Long, ma: java.lang.Long): String = {
+      val o = mapper.createObjectNode()
+      o.put("numRecords", n)
+      if (mi != null && ma != null) {
+        o.putObject("minValues").put(column, mi.longValue())
+        o.putObject("maxValues").put(column, ma.longValue())
+      }
+      mapper.writeValueAsString(o)
+    }
+    if (partCols.isEmpty) {
+      df.write.mode("errorifexists").parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val statsByFile = spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f"))
+        .agg(cnt_(l_(1)).as("numRecords"),
+          mn_(c_(column)).as("mn"), mx_(c_(column)).as("mx"))
+        .collect().map { r =>
+          (new Path(r.getAs[String]("f")).getName,
+            statsJson(r.getAs[Long]("numRecords"),
+              r.getAs[java.lang.Long]("mn"), r.getAs[java.lang.Long]("mx")))
+        }.toMap
+      parts.toSeq.map(p =>
+        addLine(s"$staged/${p.getPath.getName}", p.getLen,
+          p.getModificationTime, statsByFile.get(p.getPath.getName)))
+    } else {
+      require(partCols.size == 1,
+        s"multi-column partitioning is outside the subset: $partCols")
+      val pc = partCols.head
+      df.withColumn("_p", c_(pc).cast("string"))
+        .repartition(c_("_p"))
+        .write.mode("errorifexists").partitionBy("_p")
+        .parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.startsWith("_p="))
+        .sortBy(_.getPath.getName).toSeq.flatMap { d =>
+          val value = unescapePathName(d.getPath.getName.stripPrefix("_p="))
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).map(p =>
+              (s"$staged/${d.getPath.getName}/${p.getPath.getName}", value, p))
+        }
+      // last-two-components keys, decode ONLY the input_file_name side
+      // (the [[writePartitioned]] stats-key discipline)
+      val rawKey: String => String = _.split('/').takeRight(2).mkString("/")
+      val ifnKey: String => String = { p =>
+        val decoded =
+          try Option(new java.net.URI(p).getPath).getOrElse(p)
+          catch { case _: java.net.URISyntaxException => p }
+        decoded.split('/').takeRight(2).mkString("/")
+      }
+      val statsByFile = spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f"))
+        .agg(cnt_(l_(1)).as("numRecords"),
+          mn_(c_(column)).as("mn"), mx_(c_(column)).as("mx"))
+        .collect().map { r =>
+          (ifnKey(r.getAs[String]("f")),
+            statsJson(r.getAs[Long]("numRecords"),
+              r.getAs[java.lang.Long]("mn"), r.getAs[java.lang.Long]("mx")))
+        }.toMap
+      parts.map { case (rel, value, p) =>
+        addLine(rel, p.getLen, p.getModificationTime,
+          statsByFile.get(rawKey(rel)),
+          partitionValues = Map(pc -> value))
+      }
+    }
   }
 
   /** Row-level UPDATE with stats-planned copy-on-write rewrite (the
@@ -2039,30 +2199,10 @@ object DeltaLite {
     val v = latest + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/v$v-upd-$token"
-    replacement.write.mode("errorifexists").parquet(s"$table/$staged")
-    val parts = fs.listStatus(new Path(table, staged))
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    // recompute bounds for the planning column over the staged files (an
-    // assignment may have moved `column` itself)
-    val statsByFile = spark.read.parquet(s"$table/$staged")
-      .groupBy(org.apache.spark.sql.functions.input_file_name().as("f"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("numRecords"),
-        org.apache.spark.sql.functions.min(c_(column)).as("mn"),
-        org.apache.spark.sql.functions.max(c_(column)).as("mx"))
-      .collect().map { r =>
-        val o = mapper.createObjectNode()
-        o.put("numRecords", r.getAs[Long]("numRecords"))
-        val mi = r.getAs[java.lang.Long]("mn")
-        val ma = r.getAs[java.lang.Long]("mx")
-        if (mi != null && ma != null) {
-          o.putObject("minValues").put(column, mi.longValue())
-          o.putObject("maxValues").put(column, ma.longValue())
-        }
-        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
-      }.toMap
-    val adds = parts.toSeq.map(p =>
-      addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
-        statsByFile.get(p.getPath.getName)))
+    // bounds for the planning column are recomputed over the staged
+    // files inside the restage (an assignment may have moved `column`)
+    val adds = stageReplacementAdds(spark, table, replacement, staged,
+      column, snap.partCols)
     val removes = affected.map(removeLine(_))
     val cdc =
       if (!cdfEnabled(snap.config)) Seq.empty
@@ -2088,9 +2228,14 @@ object DeltaLite {
     * already-masked rows never resurrect in the feed. A derive that would
     * be WRONG — an add introducing a deletion vector (only its
     * newly-masked rows changed, not the whole file) — refuses instead.
-    * CDF must be enabled at `fromV`. */
+    * CDF must be enabled at `fromV`. `partitionFilter` restricts the
+    * feed to matching partitions: change/add files whose log action
+    * records deciding partitionValues are PRUNED on mismatch (never
+    * opened), undecided files are read and row-filtered — so the result
+    * is exact either way and pruning is purely a cost lever. */
   def readCdf(spark: SparkSession, table: String, fromV: Long,
-      toV: Long): DataFrame = {
+      toV: Long, partitionFilter: Map[String, String] = Map.empty)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col => c_, lit}
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "readCdf()")
@@ -2099,6 +2244,32 @@ object DeltaLite {
     val schema = tableSchema(spark, table, toV)
     val cdcSchema = schema.add("_change_type",
       org.apache.spark.sql.types.StringType)
+    require(partitionFilter.keySet.subsetOf(schema.fieldNames.toSet),
+      s"partitionFilter names unknown column(s): " +
+        s"${partitionFilter.keySet -- schema.fieldNames}")
+    // Partition pruning is LOG-driven and two-layered: a file whose
+    // action RECORDS partitionValues deciding every filtered column is
+    // skipped outright on mismatch (never opened — at 100 TB the other
+    // partitions' change files are the bulk of the feed); a file whose
+    // action does not decide the filter (row-level DML spanning
+    // partitions records no values) is read and row-filtered — pruning
+    // is an optimization, never a correctness dependency, which is why
+    // the row filter below also re-applies to files kept by pruning.
+    def decidedMismatch(pv: Map[String, String]): Boolean =
+      partitionFilter.nonEmpty &&
+        partitionFilter.keySet.subsetOf(pv.keySet) &&
+        partitionFilter.exists { case (k, v) => pv(k) != v }
+    def nodePv(n: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, String] = {
+      val out = mutable.Map.empty[String, String]
+      n.path("partitionValues").fields().forEachRemaining(e =>
+        out(e.getKey) = if (e.getValue.isNull) null else e.getValue.asText())
+      out.toMap
+    }
+    def rowFilter(df: DataFrame): DataFrame =
+      partitionFilter.foldLeft(df) { case (d, (k, v)) =>
+        d.where(if (v == null) c_(k).isNull else c_(k) === v)
+      }
     val frames = ((fromV + 1) to toV).flatMap { v =>
       val p = versionFile(table, v)
       require(fs.exists(p), s"version $v absent from $table/_delta_log")
@@ -2108,10 +2279,13 @@ object DeltaLite {
       var dvAdd = false
       readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
         val node = mapper.readTree(line)
-        if (node.has("cdc")) cdcPaths :+= node.get("cdc").get("path").asText()
-        else if (node.has("add") &&
+        if (node.has("cdc")) {
+          if (!decidedMismatch(nodePv(node.get("cdc"))))
+            cdcPaths :+= node.get("cdc").get("path").asText()
+        } else if (node.has("add") &&
           node.get("add").path("dataChange").asBoolean(true)) {
-          addPaths :+= node.get("add").get("path").asText()
+          if (!decidedMismatch(nodePv(node.get("add"))))
+            addPaths :+= node.get("add").get("path").asText()
           if (node.get("add").path("deletionVector").isObject) dvAdd = true
         } else if (node.has("remove") &&
           node.get("remove").path("dataChange").asBoolean(true))
@@ -2130,9 +2304,14 @@ object DeltaLite {
             else {
               // a tombstoned file's deleted rows are its LIVE rows at the
               // prior version — any deletion vector it carried must be
-              // subtracted, or the feed resurrects already-deleted rows
+              // subtracted, or the feed resurrects already-deleted rows.
+              // removes carry no partitionValues of their own: the PRIOR
+              // snapshot's add-side values decide the pruning
               val prior = snapshot(spark, table, v - 1)
-              Seq(scanWithDvs(spark, table, schema, rmPaths, prior.dvs)
+              val keptRm = rmPaths.filterNot(f =>
+                prior.pvals.get(f).exists(decidedMismatch))
+              if (keptRm.isEmpty) Seq.empty[DataFrame]
+              else Seq(scanWithDvs(spark, table, schema, keptRm, prior.dvs)
                 .withColumn("_change_type", lit("delete")))
             }
           val ins =
@@ -2142,7 +2321,8 @@ object DeltaLite {
               .withColumn("_change_type", lit("insert")))
           ins ++ dels
         }
-      perVersion.map(_.withColumn("_commit_version", lit(v)))
+      perVersion.map(df => rowFilter(df)
+        .withColumn("_commit_version", lit(v)))
     }
     if (frames.isEmpty)
       spark.createDataFrame(

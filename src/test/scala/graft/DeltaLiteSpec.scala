@@ -940,14 +940,8 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       (6L, "delete"), (7L, "delete"), (8L, "delete"))
   }
 
-  test("CDF guards: partitioned refuses enable; DV'd remove refuses derive; update honors constraints") {
+  test("CDF guards: update honors constraints") {
     import spark.implicits._
-    val table = Sinks.tempDir("delta_cdf_part")
-    DeltaLite.writePartitioned(spark,
-      Seq((1L, "a"), (2L, "b")).toDF("k", "p"), table, "p")
-    intercept[IllegalArgumentException] {
-      DeltaLite.enableCdf(spark, table)
-    }
     // CHECK constraints gate updateWhere like any writer
     val t2 = Sinks.tempDir("delta_cdf_chk")
     DeltaLite.write(spark, (1L to 5L).map(k => (k, k)).toDF("k", "v"), t2,
@@ -957,5 +951,97 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.updateWhere(spark, t2, "k", 1L, 2L,
         Map("v" -> lit(-5L)))
     }
+  }
+
+  test("partitioned CDF: enable keeps partitionColumns, deletePartition feeds, pruning never opens other partitions") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cdf_part_on")
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+        .toDF("k", "src"), table, "src")
+    DeltaLite.enableCdf(spark, table) // v1 — now legal on partitioned
+    // metaData re-declaration must RETAIN partitionColumns…
+    val m = new ObjectMapper()
+    val metaLine = logLines(table, 1L).find(_.contains("\"metaData\"")).get
+    m.readTree(metaLine).get("metaData").get("partitionColumns")
+      .get(0).asText() shouldBe "src"
+    // …so partitioned appends keep working after the enable
+    DeltaLite.writePartitioned(spark,
+      Seq((6L, "a"), (7L, "b")).toDF("k", "src"), table, "src") // v2
+    val (v3, nFiles, nRows) = DeltaLite.deletePartition(spark, table, "src", "b")
+    v3 shouldBe 3L
+    nFiles shouldBe 2L // one file per commit for value b
+    nRows shouldBe 3L  // keys 3, 4, 7
+    DeltaLite.read(spark, table).select("k").as[Long].collect()
+      .sorted shouldBe Seq(1L, 2L, 5L, 6L)
+    // the cdc actions record the partition value
+    val cdcNodes = logLines(table, 3L).map(m.readTree).filter(_.has("cdc"))
+    cdcNodes should not be empty
+    all(cdcNodes.map(_.get("cdc").get("partitionValues")
+      .get("src").asText())) shouldBe "b"
+    // full feed: v2 derived inserts + v3 partition delete
+    val feed = DeltaLite.readCdf(spark, table, 1L, 3L)
+    feed.where($"_change_type" === "delete").select("k").as[Long]
+      .collect().sorted shouldBe Seq(3L, 4L, 7L)
+    // pruned feed for src=a: only a's insert survives, no deletes
+    val aFeed = DeltaLite.readCdf(spark, table, 1L, 3L, Map("src" -> "a"))
+    aFeed.select("k", "_change_type").as[(Long, String)].collect()
+      .sorted shouldBe Seq((6L, "insert"))
+    // PROOF the pruned read never opens other partitions' change files:
+    // destroy b's change data on disk — the pruned read still answers,
+    // the unpruned read (which must open it) now fails
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cdcDir = fs.listStatus(new org.apache.hadoop.fs.Path(
+      table, "_change_data")).head.getPath
+    fs.delete(cdcDir, true)
+    DeltaLite.readCdf(spark, table, 1L, 3L, Map("src" -> "a"))
+      .count() shouldBe 1L
+    intercept[Exception] {
+      DeltaLite.readCdf(spark, table, 1L, 3L).count()
+    }
+  }
+
+  test("partitioned CDF: row filter catches undecided change files; checkpoint keeps partitionColumns") {
+    import spark.implicits._
+    // row-level deleteWhere on a partitioned CDF table stages change
+    // data WITHOUT partitionValues (it can span partitions): a pruned
+    // read must row-filter it, not skip it and not over-return
+    val table = Sinks.tempDir("delta_cdf_part_row")
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "src"),
+      table, "src", collectStats = true)
+    DeltaLite.enableCdf(spark, table) // v1
+    DeltaLite.deleteWhere(spark, table, "k", 2L, 3L) // v2, spans a and b
+    DeltaLite.readCdf(spark, table, 1L, 2L, Map("src" -> "a"))
+      .select("k", "_change_type").as[(Long, String)].collect()
+      .sorted shouldBe Seq((2L, "delete"))
+    DeltaLite.readCdf(spark, table, 1L, 2L, Map("src" -> "b"))
+      .select("k").as[Long].collect() shouldBe Seq(3L)
+    // partitionColumns survive checkpoint + expireLog (metaData row)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.writePartitioned(spark,
+      Seq((9L, "c")).toDF("k", "src"), table, "src")
+    DeltaLite.read(spark, table).select("k").as[Long].collect()
+      .sorted shouldBe Seq(1L, 9L)
+    DeltaLite.planPartitioned(spark, table, "src", Set("c"))._2 shouldBe 1L
+  }
+
+  test("partition values containing path-escaped chars keep their stats") {
+    import spark.implicits._
+    // 'a%1' escapes to _p=a%251 on disk; input_file_name() double-escapes
+    // the literal '%' (a%25251) while listStatus is raw — decoding BOTH
+    // sides once used to diverge the stats keys and silently drop the
+    // file's numRecords/min/max (r11 advisor finding)
+    val table = Sinks.tempDir("delta_spec_pct_stats")
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "a%1"), (2L, "a%1"), (3L, "b=2")).toDF("k", "src"),
+      table, "src", collectStats = true)
+    val adds = logLines(table, 0L).map(mapper.readTree).filter(_.has("add"))
+    adds should not be empty
+    all(adds.map(_.get("add").has("stats"))) shouldBe true
+    adds.map(a => mapper.readTree(a.get("add").get("stats").asText())
+      .get("numRecords").asLong()).sum shouldBe 3L
   }
 }
