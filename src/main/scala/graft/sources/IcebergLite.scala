@@ -193,6 +193,14 @@ object IcebergLite {
   private val deleteEntrySchema: Schema =
     entrySchemaFor(partitioned = false, withContent = true)
 
+  /** DELETE-manifest entry schema for PARTITIONED tables: the partition
+    * record carries the delete file's transform value (p0), so a
+    * partition-restricted scan can prune delete files exactly like data
+    * files (spec §Scan Planning — delete files are selected per
+    * partition). */
+  private val deleteEntrySchemaPartitioned: Schema =
+    entrySchemaFor(partitioned = true, withContent = true)
+
   /** Spark → Iceberg primitive type names (the subset the fixture tables
     * use; Iceberg types are lowercase strings in metadata JSON). */
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String =
@@ -348,10 +356,15 @@ object IcebergLite {
     // part-<n>-<jobUuid> basename into each value's directory (AQE's
     // coalesced repartition makes this the common case), and a basename
     // key would silently collapse those files' statistics onto one entry
-    // input_file_name() returns a URI (space → %20 …) while listStatus
-    // returns raw names — decode before comparing, or escaped partition
-    // values miss their stats
-    val statsKey: String => String = { p =>
+    // input_file_name() is URI-escaped over the RAW on-disk name (a
+    // literal '%' in a Spark-escaped partition dir like _p=a%25b arrives
+    // double-escaped as a%2525b) — decode exactly ONCE on that side
+    // only; the listStatus side is already the raw name and must stay
+    // undecoded, or keys for values containing '%', '=' or ':' diverge
+    // and record_count lands as 0 in the manifest.
+    val rawStatsKey: String => String =
+      _.split('/').takeRight(2).mkString("/")
+    val ifnStatsKey: String => String = { p =>
       val decoded =
         try Option(new java.net.URI(p).getPath).getOrElse(p)
         catch { case _: java.net.URISyntaxException => p }
@@ -371,7 +384,7 @@ object IcebergLite {
             if (mi == null || ma == null) None
             else Some((mi.longValue(), ma.longValue()))
           }
-          (statsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
+          (ifnStatsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
         }.toMap
     // manifest for the new files
     val entrySchema =
@@ -388,7 +401,7 @@ object IcebergLite {
         .getField("data_file").schema().getField("partition").schema())
       if (pval != null) partRecord.put("p0", pval)
       d.put("partition", partRecord)
-      val (n, bounds) = fileStats.getOrElse(statsKey(s"$table/$rel"), (0L, None))
+      val (n, bounds) = fileStats.getOrElse(rawStatsKey(rel), (0L, None))
       d.put("record_count", n)
       d.put("file_size_in_bytes", p.getLen)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
@@ -840,15 +853,21 @@ object IcebergLite {
     val mainHead = meta.get("current-snapshot-id").asLong()
     if (head == mainHead) return v // nothing to publish
     // ancestry proof: walk parent-snapshot-id from the branch head; it
-    // must pass through main's head
-    val parents: Map[Long, Long] = {
-      val out = mutable.Map.empty[Long, Long]
-      meta.get("snapshots").forEach { s =>
-        if (s.has("parent-snapshot-id"))
-          out(s.get("snapshot-id").asLong()) =
-            s.get("parent-snapshot-id").asLong()
-      }
-      out.toMap
+    // must pass through main's head. The walk can terminate three ways
+    // and only one is divergence — distinguish them, because the other
+    // two (a link pointing at an EXPIRED snapshot, or a snapshot
+    // committed before parent pointers existed) are unprovable-not-
+    // diverged: still refused (fail-safe — snapshot-log is written empty
+    // so there is no secondary lineage to fall back on), but with an
+    // error naming the actual obstacle so the operator knows re-cutting
+    // the branch (not merging) is the remedy.
+    val parents = mutable.Map.empty[Long, Long]
+    val known = mutable.Set.empty[Long]
+    meta.get("snapshots").forEach { s =>
+      known += s.get("snapshot-id").asLong()
+      if (s.has("parent-snapshot-id"))
+        parents(s.get("snapshot-id").asLong()) =
+          s.get("parent-snapshot-id").asLong()
     }
     var cursor = head
     var reaches = false
@@ -856,8 +875,17 @@ object IcebergLite {
       cursor = parents(cursor)
       if (cursor == mainHead) reaches = true
     }
-    require(reaches, s"branch $branch (head $head) is not a descendant " +
-      s"of main (head $mainHead) — diverged, cannot fast-forward")
+    if (!reaches && !known.contains(cursor))
+      throw new IllegalArgumentException(
+        s"cannot prove branch $branch (head $head) descends from main " +
+          s"(head $mainHead): ancestry chain breaks at expired snapshot " +
+          s"$cursor — fast-forward needs unexpired history from the " +
+          "branch head back to main; re-cut the branch from current main")
+    require(reaches, s"branch $branch (head $head) did not reach main " +
+      s"(head $mainHead) walking parent pointers (stopped at $cursor, " +
+      "which has none — main's fork point, the table's first snapshot, " +
+      "or a commit predating parent tracking): diverged or unprovable, " +
+      "cannot fast-forward; re-cut the branch from current main")
     val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     copy.put("current-snapshot-id", head)
     val mainRef = copy.`with`("refs").putObject("main")
@@ -1307,6 +1335,21 @@ object IcebergLite {
     StructType(fields.toSeq)
   }
 
+  /** The schema in force at `snapshotId` (current when < 0) — the
+    * planning surface [[graft.sources.v2.GraftCatalog]] types its
+    * SQL-visible scans with. */
+  private[graft] def schemaAt(spark: SparkSession, table: String,
+      snapshotId: Long = -1L): StructType = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val wanted =
+      if (snapshotId < 0) meta.get("current-snapshot-id").asLong()
+      else snapshotId
+    schemaForSnapshot(meta, wanted)
+  }
+
   /** Read the table at `snapshotId` (default: current) — one multi-path
     * parquet scan under the snapshot's OWN schema (files predating an
     * evolution surface added columns as NULL); pushdown/pruning/AQE
@@ -1317,9 +1360,39 @@ object IcebergLite {
   def read(spark: SparkSession, table: String, snapshotId: Long = -1L): DataFrame =
     readLive(spark, table, snapshotId, keepMeta = false)
 
+  /** File identity key: the last TWO path components. Basenames alone
+    * are NOT unique on partitioned tables — one task writes the same
+    * part-<n>-<jobUuid> basename into every partition directory it
+    * holds — and a basename-keyed position join would cross-multiply
+    * coordinates (masking rows in SIBLING partitions: silent row loss).
+    * The parent dir (commit-private staging dir, or `_p=value` under
+    * it) disambiguates. */
+  private def fileKeyRaw(p: String): String =
+    p.split('/').takeRight(2).mkString("/")
+
+  /** [[fileKeyRaw]] over a RAW path column (the `file_path` values
+    * stored inside position-delete files are manifest-verbatim). */
+  private def fileKeyCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat_ws, element_at, split}
+    concat_ws("/", element_at(split(c, "/"), -2),
+      element_at(split(c, "/"), -1))
+  }
+
+  /** [[fileKeyRaw]] over `_metadata.file_path`, which is URI-encoded
+    * (space → %20, literal % → %25) while manifest paths are raw —
+    * decode exactly once; a literal '+' is protected first (%2B)
+    * because url_decode would otherwise read it as an encoded space. */
+  private def fileKeyMeta(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    fileKeyCol(url_decode(regexp_replace(c, "\\+", "%2B")))
+  }
+
   /** [[read]] with the option to RETAIN the (__fn, __ri) position columns
-    * — the coordinate system [[deleteWhere]] records deletes in — and to
-    * RESTRICT the scan to a planned subset of data files (by file name):
+    * — the coordinate system [[deleteWhere]] records deletes in (`__fn`
+    * is the [[fileKeyRaw]] two-component file key) — and to
+    * RESTRICT the scan to a planned subset of data files (by file key):
     * the rewrite ops ([[mergeInto]]) read only the files they touch, with
     * every live delete still applied. */
   private def readLive(spark: SparkSession, table: String, snapshotId: Long,
@@ -1334,7 +1407,7 @@ object IcebergLite {
     val dataFiles = onlyFiles match {
       case None => allDataFiles
       case Some(names) =>
-        allDataFiles.filter(f => names.contains(new Path(f._1).getName))
+        allDataFiles.filter(f => names.contains(fileKeyRaw(f._1)))
     }
     require(dataFiles.nonEmpty, s"snapshot has no data files in $table")
     val deleteEntries = snapshotDeleteEntries(spark, table, wanted)
@@ -1348,21 +1421,21 @@ object IcebergLite {
       // control-plane-sized lookup (one row per live file): data file →
       // its data sequence number — both delete kinds gate on it
       val dataSeq = dataFiles
-        .map { case (p, s) => (new Path(p).getName, s) }.toDF("__fn", "__dseq")
+        .map { case (p, s) => (fileKeyRaw(p), s) }.toDF("__fn", "__dseq")
       var cur = base
-        .withColumn("__fn", element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__fn", fileKeyMeta(col("_metadata.file_path")))
         .withColumn("__ri", col("_metadata.row_index"))
       if (posDeletes.nonEmpty) {
         val delSeq = posDeletes
-          .map { case (p, s, _) => (new Path(p).getName, s) }.toDF("__delfn", "__sseq")
+          .map { case (p, s, _) => (fileKeyRaw(p), s) }.toDF("__delfn", "__sseq")
         // the delete rows themselves are data-plane: one distributed
         // scan over every delete file, each row stamped with its own
         // file's sequence via the broadcast lookup
         val delRows = spark.read.parquet(posDeletes.map(_._1): _*)
           .select(
-            element_at(split(col("file_path"), "/"), -1).as("__fn"),
+            fileKeyCol(col("file_path")).as("__fn"),
             col("pos").as("__ri"),
-            element_at(split(col("_metadata.file_path"), "/"), -1).as("__delfn"))
+            fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
           .join(broadcast(delSeq), "__delfn")
         // sequence gating (spec §Scan Planning): a position delete
         // applies to data files with sequence ≤ its own — a data file
@@ -1384,11 +1457,11 @@ object IcebergLite {
           spark.read.parquet(p).schema.fieldNames.head
         }.foreach { case (eqCol, files) =>
           val delSeq = files
-            .map { case (p, s, _) => (new Path(p).getName, s) }
+            .map { case (p, s, _) => (fileKeyRaw(p), s) }
             .toDF("__delfn", "__eseq")
           val vals = spark.read.parquet(files.map(_._1): _*)
             .withColumn("__delfn",
-              element_at(split(col("_metadata.file_path"), "/"), -1))
+              fileKeyMeta(col("_metadata.file_path")))
             .join(broadcast(delSeq), "__delfn")
             .select(col(eqCol).as("__ev"), col("__eseq"))
           cur = cur.join(vals,
@@ -1429,22 +1502,87 @@ object IcebergLite {
   /** One DELETE-manifest entry of the given kind (1 = position deletes,
     * 2 = equality deletes). */
   private def deleteEntry(table: String, snapshotId: Long, rel: String,
-      len: Long, records: Long, kind: Int): GenericRecord = {
-    val e = new GenericData.Record(deleteEntrySchema)
+      len: Long, records: Long, kind: Int,
+      pval: Option[String] = None): GenericRecord = {
+    val schema =
+      if (pval.isDefined) deleteEntrySchemaPartitioned else deleteEntrySchema
+    val e = new GenericData.Record(schema)
     e.put("status", 1)
     e.put("snapshot_id", snapshotId)
-    val d = new GenericData.Record(
-      deleteEntrySchema.getField("data_file").schema())
+    val d = new GenericData.Record(schema.getField("data_file").schema())
     d.put("file_path", s"$table/$rel")
     d.put("file_format", "PARQUET")
-    d.put("partition", new GenericData.Record(deleteEntrySchema
-      .getField("data_file").schema().getField("partition").schema()))
+    val part = new GenericData.Record(schema
+      .getField("data_file").schema().getField("partition").schema())
+    pval.foreach(v => if (v != null) part.put("p0", v))
+    d.put("partition", part)
     d.put("record_count", records)
     d.put("file_size_in_bytes", len)
     d.put("block_size_in_bytes", 64L * 1024 * 1024)
     d.put("content", kind)
     e.put("data_file", d)
     e
+  }
+
+  /** Stage matched positions as position-delete parquet and return the
+    * DELETE-manifest entries + rows deleted. Unpartitioned tables stage
+    * ONE (file_path, pos)-sorted file; partitioned tables stage PER
+    * PARTITION VALUE (`positions` must carry `_p`, the spec transform of
+    * the row's own value) with the value recorded on each entry — at
+    * 100 TB a partition-restricted scan then opens only its own
+    * partition's delete files. */
+  private def stagePositionDeletes(spark: SparkSession, table: String,
+      positions: org.apache.spark.sql.DataFrame, staged: String,
+      snapshotId: Long, partitioned: Boolean)
+      : (Seq[GenericRecord], Long) = {
+    import org.apache.spark.sql.functions.{col, count => cnt, input_file_name, lit}
+    val fs = hadoopFs(spark, table)
+    if (!partitioned) {
+      positions.coalesce(1).sortWithinPartitions("file_path", "pos")
+        .write.mode("errorifexists").parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+      val n = spark.read.parquet(s"$table/$staged").count()
+      if (n == 0) return (Seq.empty, 0L)
+      (parts.toSeq.map(p => deleteEntry(table, snapshotId,
+        s"$staged/${p.getPath.getName}", p.getLen, n, kind = 1)), n)
+    } else {
+      positions.repartition(col("_p"))
+        .sortWithinPartitions("_p", "file_path", "pos")
+        .write.mode("errorifexists").partitionBy("_p")
+        .parquet(s"$table/$staged")
+      val parts = fs.listStatus(new Path(table, staged))
+        .filter(_.getPath.getName.startsWith("_p="))
+        .sortBy(_.getPath.getName).toSeq.flatMap { d =>
+          val value = DeltaLite.unescapePathName(
+            d.getPath.getName.stripPrefix("_p="))
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName).map(p =>
+              (s"$staged/${d.getPath.getName}/${p.getPath.getName}", value, p))
+        }
+      if (parts.isEmpty) return (Seq.empty, 0L)
+      // per-file delete-row counts: last-two-component keys, decode only
+      // the input_file_name side (the writePartitioned stats discipline)
+      val rawKey: String => String = _.split('/').takeRight(2).mkString("/")
+      val ifnKey: String => String = { p =>
+        val decoded =
+          try Option(new java.net.URI(p).getPath).getOrElse(p)
+          catch { case _: java.net.URISyntaxException => p }
+        decoded.split('/').takeRight(2).mkString("/")
+      }
+      val counts = spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f")).agg(cnt(lit(1)).as("n"))
+        .collect()
+        .map(r => (ifnKey(r.getAs[String]("f")), r.getAs[Long]("n"))).toMap
+      val entries = parts.map { case (rel, value, p) =>
+        deleteEntry(table, snapshotId, rel, p.getLen,
+          counts.getOrElse(rawKey(rel), 0L), kind = 1,
+          pval = Some(value))
+      }
+      (entries, counts.values.sum)
+    }
   }
 
   /** Row-level DELETE as an EQUALITY-DELETE commit (spec §Row-level
@@ -1523,48 +1661,55 @@ object IcebergLite {
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
+    val spec = partitionSpec(prevMeta)
     val cur = prevMeta.get("current-snapshot-id").asLong()
     val dataFiles = snapshotManifestFiles(spark, table, cur, content = 0)
     val snapshotId = prevV + 1L
     // matched LIVE positions (earlier deletes already applied) → the
     // spec's delete-file schema: full file_path as recorded in manifests
-    // (field-id 2147483546) + pos (2147483545), sorted by (file_path, pos)
+    // (field-id 2147483546) + pos (2147483545), sorted by (file_path, pos).
+    // On a partitioned table each position also carries its row's
+    // transform value so the delete files land PER PARTITION.
     val nameToPath = dataFiles
-      .map { case (p, _) => (new Path(p).getName, p) }.toDF("__fn", "file_path")
-    val positions = readLive(spark, table, cur, keepMeta = true)
+      .map { case (p, _) => (fileKeyRaw(p), p) }.toDF("__fn", "file_path")
+    val matchedRows = readLive(spark, table, cur, keepMeta = true)
       .where(col(column).between(lo, hi))
-      .select("__fn", "__ri")
-      .join(broadcast(nameToPath), "__fn")
-      .select(col("file_path"), col("__ri").as("pos"))
+    val positions = spec match {
+      case None => matchedRows.select("__fn", "__ri")
+        .join(broadcast(nameToPath), "__fn")
+        .select(col("file_path"), col("__ri").as("pos"))
+      case Some((src, w)) => matchedRows
+        .select(col("__fn"), col("__ri"),
+          org.apache.spark.sql.functions.substring(col(src), 1, w).as("_p"))
+        .join(broadcast(nameToPath), "__fn")
+        .select(col("file_path"), col("__ri").as("pos"), col("_p"))
+    }
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/s$snapshotId-$token-del"
-    positions.coalesce(1).sortWithinPartitions("file_path", "pos")
-      .write.mode("errorifexists").parquet(s"$table/$staged")
-    val parts = fs.listStatus(new Path(table, staged))
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
-    val nDeleted = spark.read.parquet(s"$table/$staged").count()
+    // DELETE manifest — the manifest-LIST row's content = 1 marks the
+    // manifest as deletes; each entry's data_file.content = 1 marks the
+    // file as POSITION deletes (2 would be equality)
+    val (entries, nDeleted) = stagePositionDeletes(spark, table, positions,
+      staged, snapshotId, spec.isDefined)
     if (nDeleted == 0) {
       fs.delete(new Path(table, staged), true)
       return Some((cur, 0L))
     }
-    // DELETE manifest — the manifest-LIST row's content = 1 marks the
-    // manifest as deletes; each entry's data_file.content = 1 marks the
-    // file as POSITION deletes (2 would be equality)
-    val entries = parts.toSeq.map(p => deleteEntry(table, snapshotId,
-      s"$staged/${p.getPath.getName}", p.getLen, nDeleted, kind = 1))
     val manifestName = s"$snapshotId-$token-del-m0.avro"
     val manifestLen = writeAvroFile(
       new File(new File(table, "metadata"), manifestName),
-      deleteEntrySchema, entries)
+      if (spec.isDefined) deleteEntrySchemaPartitioned else deleteEntrySchema,
+      entries)
     // manifest list: every prior manifest BY REFERENCE + the delete
     // manifest, content=1, sequence = this snapshot (applies to all data
     // files with sequence ≤ it — i.e. everything live right now)
     val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
     val prior = listEntries(fs, new Path(curList))
+    val defaultSpecId = prevMeta.path("default-spec-id").asInt(0)
     val listName = s"snap-$snapshotId-$token.avro"
     writeManifestList(table, listName,
       prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
-        snapshotId, content = 1, seq = snapshotId),
+        snapshotId, content = 1, seq = snapshotId, specId = defaultSpecId),
       v2 = true)
     val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
       formatVersion = 2, snapshotId, schemaForSnapshot(prevMeta, cur),
@@ -1590,6 +1735,10 @@ object IcebergLite {
     * position gate can never re-mask the rows it just moved. Updates
     * STACK: a second update's positions are planned on the LIVE view, so
     * rows relocated by update 1 are re-masked at their NEW coordinates.
+    * A format-version-1 table upgrades sticky to v2 on first update —
+    * position deletes only exist in v2, the same documented upgrade path
+    * [[deleteWhere]] takes (upstream requires the explicit upgrade DDL
+    * first; this surface folds it into the operation).
     * Returns (snapshotId, rowsUpdated); nothing matched → no commit. */
   def updateWhere(spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long, set: Map[String, org.apache.spark.sql.Column],
@@ -1614,12 +1763,16 @@ object IcebergLite {
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
-    require(partitionSpec(prevMeta).isEmpty,
-      "updateWhere on hidden-partitioned tables is outside the subset")
+    val spec = partitionSpec(prevMeta)
     val cur = prevMeta.get("current-snapshot-id").asLong()
     val schema = schemaForSnapshot(prevMeta, cur)
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
+    spec.foreach { case (src, _) =>
+      require(!set.contains(src),
+        s"SET of partition source column $src would move rows across " +
+          "partitions — rewrite via mergeInto/rewriteDataFiles instead")
+    }
     val dataFiles = snapshotManifestFiles(spark, table, cur, content = 0)
     val snapshotId = prevV + 1L
     // merge-on-read matched set: earlier deletes/updates already applied,
@@ -1631,49 +1784,68 @@ object IcebergLite {
       val rowsUpdated = matched.count()
       if (rowsUpdated == 0) return Some((cur, 0L))
       val token = java.util.UUID.randomUUID().toString.take(8)
-      // (1) matched rows' old coordinates → one sorted position-delete file
+      // (1) matched rows' old coordinates → position-delete file(s);
+      // per-partition with the value on each entry when the table is
+      // partitioned (delete files prune with their partition)
       val nameToPath = dataFiles
-        .map { case (p, _) => (new Path(p).getName, p) }
+        .map { case (p, _) => (fileKeyRaw(p), p) }
         .toDF("__fn", "file_path")
       val stagedDel = s"data/s$snapshotId-$token-del"
-      matched.select("__fn", "__ri")
-        .join(broadcast(nameToPath), "__fn")
-        .select(col("file_path"), col("__ri").as("pos"))
-        .coalesce(1).sortWithinPartitions("file_path", "pos")
-        .write.mode("errorifexists").parquet(s"$table/$stagedDel")
-      // (2) matched rows with assignments applied → new data files
+      val positions = spec match {
+        case None => matched.select("__fn", "__ri")
+          .join(broadcast(nameToPath), "__fn")
+          .select(col("file_path"), col("__ri").as("pos"))
+        case Some((src, w)) => matched
+          .select(col("__fn"), col("__ri"),
+            org.apache.spark.sql.functions.substring(col(src), 1, w).as("_p"))
+          .join(broadcast(nameToPath), "__fn")
+          .select(col("file_path"), col("__ri").as("pos"), col("_p"))
+      }
+      val (delEntries, _) = stagePositionDeletes(spark, table, positions,
+        stagedDel, snapshotId, spec.isDefined)
+      // (2) matched rows with assignments applied → new data files, laid
+      // out per partition on a partitioned table (the update never moves
+      // a row across partitions — SET of the source column refuses)
       val updated = set.foldLeft(matched.drop("__fn", "__ri")) {
         case (d, (k, expr)) => d.withColumn(k, expr)
       }.select(schema.fieldNames.map(col).toIndexedSeq: _*)
       val stagedData = s"data/s$snapshotId-$token-upd"
-      updated.write.mode("errorifexists").parquet(s"$table/$stagedData")
-      // DELETE manifest (data_file.content = 1: position deletes)
-      val delParts = fs.listStatus(new Path(table, stagedDel))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-      val delEntries = delParts.toSeq.map(p => deleteEntry(table, snapshotId,
-        s"$stagedDel/${p.getPath.getName}", p.getLen, rowsUpdated, kind = 1))
+      val (dataManifestName, dataManifestLen) = spec match {
+        case None =>
+          updated.write.mode("errorifexists").parquet(s"$table/$stagedData")
+          stageDataManifest(spark, fs, table, stagedData, snapshotId, token)
+        case Some((src, w)) =>
+          updated.withColumn("_p",
+              org.apache.spark.sql.functions.substring(col(src), 1, w))
+            .repartition(col("_p"))
+            .write.mode("errorifexists").partitionBy("_p")
+            .parquet(s"$table/$stagedData")
+          stageDataManifestPartitioned(spark, fs, table, stagedData,
+            snapshotId, token)
+      }
       val delManifestName = s"$snapshotId-$token-del-m0.avro"
       val delManifestLen = writeAvroFile(
         new File(new File(table, "metadata"), delManifestName),
-        deleteEntrySchema, delEntries)
-      // data manifest for the updated rows, record counts in one pass
-      val (dataManifestName, dataManifestLen) =
-        stageDataManifest(spark, fs, table, stagedData, snapshotId, token)
+        if (spec.isDefined) deleteEntrySchemaPartitioned
+        else deleteEntrySchema,
+        delEntries)
       // manifest list: every prior manifest BY REFERENCE + both new kinds
-      // at this snapshot's sequence
+      // at this snapshot's sequence, under the current default spec
       val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
       val prior = listEntries(fs, new Path(curList))
+      val defaultSpecId = prevMeta.path("default-spec-id").asInt(0)
       val listName = s"snap-$snapshotId-$token.avro"
       writeManifestList(table, listName,
         prior ++ Seq(
           MEntry(s"$table/metadata/$dataManifestName", dataManifestLen,
-            snapshotId, content = 0, seq = snapshotId),
+            snapshotId, content = 0, seq = snapshotId,
+            specId = defaultSpecId),
           MEntry(s"$table/metadata/$delManifestName", delManifestLen,
-            snapshotId, content = 1, seq = snapshotId)),
+            snapshotId, content = 1, seq = snapshotId,
+            specId = defaultSpecId)),
         v2 = true)
       val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
-        formatVersion = 2, snapshotId, schema, None, listName,
+        formatVersion = 2, snapshotId, schema, spec, listName,
         "overwrite", Map.empty)
       if (!committed) {
         fs.delete(new Path(table, stagedDel), true)
@@ -1684,6 +1856,58 @@ object IcebergLite {
         None
       } else Some((snapshotId, rowsUpdated))
     } finally matched.unpersist()
+  }
+
+  /** [[stageDataManifest]] for a PARTITIONED staging dir (`_p=value`
+    * layout): entries carry each file's transform value (p0) and exact
+    * per-file record counts. Returns (manifestName, length). */
+  private def stageDataManifestPartitioned(spark: SparkSession,
+      fs: FileSystem, table: String, stagedRel: String, snapshotId: Long,
+      token: String): (String, Long) = {
+    import org.apache.spark.sql.functions.{count => cnt, input_file_name, lit => lt}
+    val schema = entrySchemaFor(partitioned = true)
+    val parts = fs.listStatus(new Path(table, stagedRel))
+      .filter(_.getPath.getName.startsWith("_p="))
+      .sortBy(_.getPath.getName).toSeq.flatMap { d =>
+        val value = DeltaLite.unescapePathName(
+          d.getPath.getName.stripPrefix("_p="))
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).map(p =>
+            (s"$stagedRel/${d.getPath.getName}/${p.getPath.getName}", value, p))
+      }
+    val rawKey: String => String = _.split('/').takeRight(2).mkString("/")
+    val ifnKey: String => String = { p =>
+      val decoded =
+        try Option(new java.net.URI(p).getPath).getOrElse(p)
+        catch { case _: java.net.URISyntaxException => p }
+      decoded.split('/').takeRight(2).mkString("/")
+    }
+    val counts = spark.read.parquet(s"$table/$stagedRel")
+      .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
+      .collect()
+      .map(r => (ifnKey(r.getAs[String]("f")), r.getAs[Long]("n"))).toMap
+    val entries = parts.map { case (rel, pval, p) =>
+      val e = new GenericData.Record(schema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(schema.getField("data_file").schema())
+      d.put("file_path", s"$table/$rel")
+      d.put("file_format", "PARQUET")
+      val part = new GenericData.Record(schema
+        .getField("data_file").schema().getField("partition").schema())
+      if (pval != null) part.put("p0", pval)
+      d.put("partition", part)
+      d.put("record_count", counts.getOrElse(rawKey(rel), 0L))
+      d.put("file_size_in_bytes", p.getLen)
+      d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      e.put("data_file", d)
+      e
+    }
+    val name = s"$snapshotId-$token-m0.avro"
+    val len = writeAvroFile(
+      new File(new File(table, "metadata"), name), schema, entries)
+    (name, len)
   }
 
   /** Build ONE data manifest over an already-staged directory of parquet
@@ -1784,6 +2008,14 @@ object IcebergLite {
         .collect()(0)
       val rowsUpdated = m.getAs[Long]("n")
       val matchedKeys = m.getAs[Long]("nk")
+      // the rewrite below replaces ALL matched rows of a key with the ONE
+      // source row (left_anti + union) — if the TARGET holds several rows
+      // for a matched key that silently shrinks the table (SQL MERGE
+      // updates each matched row), so refuse the ambiguity outright, the
+      // same stance taken for duplicate source keys above
+      require(rowsUpdated == matchedKeys,
+        s"duplicate $keyCol values among matched TARGET rows " +
+          s"($rowsUpdated rows across $matchedKeys keys) — ambiguous MERGE")
       val touched = m.getAs[scala.collection.Seq[String]]("fns").toSet
       val rowsInserted = nSrc - matchedKeys
       if (touched.isEmpty) {
@@ -1820,9 +2052,9 @@ object IcebergLite {
           val records = readAvroFile(fs, new Path(me.path))
           val (dropped, kept) = records.partition { r =>
             r.get("status").asInstanceOf[Int] != 2 &&
-              touched.contains(new Path(
+              touched.contains(fileKeyRaw(
                 r.get("data_file").asInstanceOf[GenericRecord]
-                  .get("file_path").toString).getName)
+                  .get("file_path").toString))
           }
           if (dropped.isEmpty) Some(me)
           else if (kept.isEmpty) None
@@ -1886,15 +2118,24 @@ object IcebergLite {
     if (before.size <= targetFiles && liveDeletes.isEmpty && sortCol.isEmpty)
       return (meta.get("current-snapshot-id").asLong(),
         before.size.toLong, before.size.toLong)
+    val spec = partitionSpec(meta)
+    require(spec.isEmpty || sortCol.isEmpty,
+      "sort-ordered compaction of a partitioned table is outside the " +
+        "subset — the per-value staging re-shuffles by partition and " +
+        "would discard the clustering")
     val src = read(spark, table)
     val clustered = sortCol match {
       case Some(c) if targetFiles > 1 =>
         src.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(c)
       case Some(c) => src.coalesce(1).sortWithinPartitions(c)
+      // partitioned: the overwrite's own per-value staging lays files
+      // out by transform value (deletes materialized away per partition)
+      case None if spec.isDefined => src
       case None => src.coalesce(targetFiles)
     }
     val sid = write(spark, clustered, table,
       overwrite = true, operation = Some("replace"),
+      partitionTruncate = spec,
       boundsColumn = sortCol.filter(c =>
         schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
           .apply(c).dataType == org.apache.spark.sql.types.LongType),

@@ -770,4 +770,105 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
       Seq(("a", 2L, 3L), ("b", 1L, 1L))
   }
+
+  test("escaped partition values keep manifest record counts") {
+    import spark.implicits._
+    // 'a%x' escapes to _p=a%25x on disk; input_file_name() double-escapes
+    // the literal '%' while listStatus is raw — decoding BOTH sides once
+    // used to diverge the stats keys and record record_count = 0 in the
+    // manifest (r11 advisor finding). partitions recounts from manifests.
+    val table = graft.ingest.Sinks.tempDir("ice_pct_stats")
+    IcebergLite.write(spark,
+      Seq(("a%x", 1L), ("a%x", 2L), ("b:y", 3L)).toDF("cat", "v"), table,
+      partitionTruncate = Some(("cat", 3)))
+    IcebergLite.metadataTable(spark, table, "partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq(("a%x", 1L, 2L), ("b:y", 1L, 1L))
+  }
+
+  test("partitioned MOR: per-partition delete files, update keeps pruning effective") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_part_mor")
+    val spec = Some(("cat", 1))
+    IcebergLite.write(spark,
+      Seq(("ax", 1L), ("ay", 2L), ("bx", 3L), ("by", 4L), ("cz", 5L))
+        .toDF("cat", "v"), table, partitionTruncate = spec)
+    // MOR delete of v in [2,3] touches partitions a and b only
+    val (_, nDel) = IcebergLite.deleteWhere(spark, table, "v", 2L, 3L)
+    nDel shouldBe 2L
+    IcebergLite.read(spark, table).select("v").as[Long].collect()
+      .sorted shouldBe Seq(1L, 4L, 5L)
+    // the DELETE manifest's entries carry the partition value (p0) and
+    // per-file counts — one delete file per touched partition
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$table/metadata/v${
+        IcebergLite.latestMetadataVersion(spark, table)}.metadata.json")))
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snapsIt = meta.get("snapshots").elements()
+    var listPath: String = null
+    while (snapsIt.hasNext) {
+      val s = snapsIt.next()
+      if (s.get("snapshot-id").asLong() == cur)
+        listPath = s.get("manifest-list").asText()
+    }
+    val listFile = new java.io.File(listPath)
+    val delManifests = avroRecords(listFile)
+      .filter(r => r.getSchema.getField("content") != null &&
+        r.get("content").asInstanceOf[Int] == 1)
+    delManifests should have size 1
+    val delEntries = avroRecords(new java.io.File(
+      delManifests.head.get("manifest_path").toString))
+    val byPart = delEntries.map { e =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord]
+      val p = d.get("partition").asInstanceOf[GenericRecord]
+      (p.get("p0").toString, d.get("record_count").asInstanceOf[Long])
+    }.sortBy(_._1)
+    byPart shouldBe Seq(("a", 1L), ("b", 1L))
+    // partitioned MOR UPDATE: one snapshot, deletes + new data files all
+    // carrying their partition; pruning stays exact afterwards
+    val (_, nUpd) = IcebergLite.updateWhere(spark, table, "v", 4L, 5L,
+      Map("v" -> (org.apache.spark.sql.functions.col("v") + 100L)))
+    nUpd shouldBe 2L
+    IcebergLite.read(spark, table).orderBy("v").as[(String, Long)]
+      .collect() shouldBe Seq(("ax", 1L), ("by", 104L), ("cz", 105L))
+    val (files, n, total) = IcebergLite.planPartitioned(spark, table, Set("b"))
+    // b's files: the original commit file + the update's new b file
+    n shouldBe 2L
+    // raw (un-merged) content of b's files: bx + old by (both masked —
+    // one by the delete, one by the update's position delete) + new by
+    spark.read.parquet(files: _*).where($"cat".startsWith("b"))
+      .count() shouldBe 3L
+    // SET of the partition source column refuses (rows must not move)
+    intercept[IllegalArgumentException] {
+      IcebergLite.updateWhere(spark, table, "v", 1L, 1L,
+        Map("cat" -> org.apache.spark.sql.functions.lit("zz")))
+    }
+    // time travel below the DML reads the original state
+    IcebergLite.read(spark, table, snapshotId = 1L).count() shouldBe 5L
+    // compaction materializes the partitioned deletes away
+    IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.read(spark, table).select("v").as[Long].collect()
+      .sorted shouldBe Seq(1L, 104L, 105L)
+  }
+
+  test("mergeInto refuses duplicate-key TARGET rows") {
+    import spark.implicits._
+    // the rewrite replaces all matched rows of a key with the ONE source
+    // row — N target rows for one key would silently shrink to 1, so the
+    // ambiguity refuses (r11 advisor finding)
+    val table = graft.ingest.Sinks.tempDir("ice_merge_duptgt")
+    IcebergLite.write(spark,
+      Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("k", "v"), table)
+    val ex = intercept[IllegalArgumentException] {
+      IcebergLite.mergeInto(spark, table,
+        Seq((1L, 100L)).toDF("k", "v"), "k")
+    }
+    ex.getMessage should include("TARGET")
+    // unmatched duplicate target keys are no obstacle
+    val (_, nU, nI) = IcebergLite.mergeInto(spark, table,
+      Seq((2L, 200L), (3L, 30L)).toDF("k", "v"), "k")
+    (nU, nI) shouldBe ((1L, 1L))
+    IcebergLite.read(spark, table).orderBy("k", "v").as[(Long, Long)]
+      .collect() shouldBe Seq((1L, 10L), (1L, 11L), (2L, 200L), (3L, 30L))
+  }
 }
