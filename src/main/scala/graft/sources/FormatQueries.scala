@@ -1466,7 +1466,133 @@ object FormatQueries {
     IcebergLite.read(spark, table).orderBy("o_orderkey")
   }
 
+  /** X268: the Delta table reached through SQL — `graft.db.t` via
+    * [[graft.sources.v2.GraftCatalog]]. The lifecycle is real (two
+    * versioned appends, then a copy-on-write DELETE) and every read goes
+    * through `spark.sql`: the current grouped aggregate AND two
+    * `VERSION AS OF` counts (v0 = first append only, v1 = both) — the
+    * oracle reproduces all three from the source relation, so the key
+    * proves catalog resolution, snapshot planning, and SQL time travel
+    * in one differential check. Catalog name is key-private ("graftd"):
+    * Spark caches catalog plugins by name per session, so sharing a
+    * name across keys would pin the FIRST key's warehouse. */
+  private def deltaSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_delta")
+    spark.conf.set("spark.sql.catalog.graftd",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftd.warehouse", wh)
+    val table = s"$wh/db/orders_sql"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0)
+      .repartition(2), table, collectStats = true) // v0
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1)
+      .repartition(2), table, collectStats = true) // v1
+    DeltaLite.deleteWhere(spark, table, "o_orderkey", 1L, 800L) // v2, COW
+    val v0 = spark.sql(
+      "SELECT count(*) FROM graftd.db.orders_sql VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    val v1 = spark.sql(
+      "SELECT count(*) FROM graftd.db.orders_sql VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftd.db.orders_sql GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_v0", lit(v0))
+      .withColumn("rows_v1", lit(v1))
+      .orderBy("prio")
+  }
+
+  /** X268, Iceberg side: appends → MOR DELETE (which the SQL surface
+    * refuses — the caught refusal is part of the answer) →
+    * `rewriteDataFiles` materializes the deletes away and SQL reads
+    * resume; `VERSION AS OF <snapshot-id>` travels to the first append. */
+  private def icebergSqlRead(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_ice")
+    spark.conf.set("spark.sql.catalog.grafti",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafti.warehouse", wh)
+    val table = s"$wh/db/orders_sql"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0)
+      .repartition(2), table) // snapshot 1
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1)
+      .repartition(2), table) // snapshot 2
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 800L) // snap 3
+    val morRefused =
+      try { spark.sql("SELECT count(*) FROM grafti.db.orders_sql")
+        .collect(); false }
+      catch { case e: Exception => e.getMessage.contains("deletes") }
+    IcebergLite.rewriteDataFiles(spark, table) // snap 4: pure data files
+    val s1 = spark.sql(
+      "SELECT count(*) FROM grafti.db.orders_sql VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM grafti.db.orders_sql GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_snap1", lit(s1))
+      .withColumn("mor_refused", lit(morRefused))
+      .orderBy("prio")
+  }
+
+  /** X36z: CDF on a PARTITIONED table — the 100 TB shape (a table big
+    * enough to need a change feed is partitioned): partitioned appends
+    * feed derived inserts, [[DeltaLite.deletePartition]] drops a whole
+    * partition as pure log entries with partition-stamped change data,
+    * and the consumer reads the feed PRUNED to its partition — the
+    * other partitions' change files are never opened
+    * (DeltaLiteSpec proves that by destroying them). The oracle
+    * reproduces both feed slices from the source relation. */
+  private def deltaCdfPartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cdf_part_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.writePartitioned(spark, o.where(col("o_orderkey") % 2 === 0),
+      table, "o_orderpriority") // v0
+    DeltaLite.enableCdf(spark, table) // v1
+    DeltaLite.writePartitioned(spark, o.where(col("o_orderkey") % 2 === 1),
+      table, "o_orderpriority") // v2: derived inserts
+    DeltaLite.deletePartition(spark, table, "o_orderpriority", "1-URGENT") // v3
+    DeltaLite.readCdf(spark, table, 1L, 3L,
+        partitionFilter = Map("o_orderpriority" -> "1-URGENT"))
+      .groupBy(col("_change_type"), col("_commit_version").as("ver"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("_change_type", "ver")
+  }
+
+  /** X261p': merge-on-read DML on a PARTITIONED (truncate-spec) table —
+    * the 100 TB shape: position-delete files land PER PARTITION with the
+    * transform value on every DELETE-manifest entry, the MOR update's
+    * new data files carry their partition too, and partition pruning
+    * stays exact afterwards (IcebergLiteSpec pins the manifest shapes;
+    * this key pins the ANSWERS differentially: a delete + an update
+    * stacked on partitioned state, read back merged). */
+  private def icebergUpdatePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_upd_part_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o, table,
+      partitionTruncate = Some(("o_orderpriority", 1))) // snapshot 1
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 500L) // snap 2
+    IcebergLite.updateWhere(spark, table, "o_orderkey", 501L, 1500L,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(100.0)))) // snap 3
+    val snap1Rows = IcebergLite.read(spark, table, snapshotId = 1L).count()
+    IcebergLite.read(spark, table)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_snap1", lit(snap1Rows))
+      .orderBy("prio")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_delta_sql_read" -> ((s, dir) => deltaSqlRead(s, dir)),
+    "x_iceberg_sql_read" -> ((s, dir) => icebergSqlRead(s, dir)),
+    "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
+    "x_iceberg_update_partitioned" ->
+      ((s, dir) => icebergUpdatePartitioned(s, dir)),
     "x_iceberg_schema_evolution" -> ((s, dir) => icebergSchemaEvolution(s, dir)),
     "x_delta_schema_evolution" -> ((s, dir) => deltaSchemaEvolution(s, dir)),
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
@@ -1534,6 +1660,48 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // partitioned MOR: the merged view = all rows minus the deleted key
+    // range, +100.0 on the updated range; snapshot 1 = everything
+    "x_iceberg_update_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 501 AND 1500
+        |    THEN o_totalprice + 100.0 ELSE o_totalprice END), 2) AS total,
+        |  (SELECT count(*) FROM orders) AS rows_snap1
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 500
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // partitioned CDF pruned to 1-URGENT: v2's inserts are the odd-key
+    // urgents; v3's partition drop deletes every urgent row
+    "x_delta_cdf_partitioned" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, CAST(3 AS BIGINT) AS ver,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), count(*),
+        |    round(sum(o_totalprice), 2)
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 1
+        |) ORDER BY _change_type, ver""".stripMargin,
+    // SQL-through-catalog, Delta: current = odds+evens minus the deleted
+    // range; v0 = evens only; v1 = everything
+    "x_delta_sql_read" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_v0,
+        |  (SELECT count(*) FROM orders) AS rows_v1
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL-through-catalog, Iceberg: same lifecycle; snapshot 1 = evens;
+    // the merge-on-read window refused SQL reads (TRUE), compaction
+    // restored them
+    "x_iceberg_sql_read" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS rows_snap1,
+        |  TRUE AS mor_refused
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     "x_iceberg_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice

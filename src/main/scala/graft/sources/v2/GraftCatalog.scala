@@ -1,0 +1,207 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** X268: the catalog surface — how every real user reaches a table. The
+  * reference addresses EVERYTHING by warehouse-qualified name through its
+  * query engine's catalog (`Sites/DataProc_Script/
+  * spark_ingest_slmandicprd.py:99-103` reads
+  * `project.dataset.table` names, never file paths); this is that
+  * front door for the two table formats this engine maintains, done the
+  * Spark-native way: a `TableCatalog` plugin
+  * (`spark.sql.catalog.<name> = graft.sources.v2.GraftCatalog`,
+  * `spark.sql.catalog.<name>.warehouse = <root>`), so
+  * `spark.sql("SELECT … FROM <name>.<db>.<table>")` — including
+  * `VERSION AS OF` time travel — resolves through the standard DSv2
+  * analyzer path with ZERO bespoke query code.
+  *
+  * Architecture: the catalog is a THIN PLANNING shim. `loadTable`
+  * assembles the table's snapshot through the format implementation
+  * ([[DeltaLite.snapshotAt]] / [[IcebergLite.snapshotFiles]]) — log
+  * replay, time travel, schema resolution, live-file planning all live
+  * THERE — and then hands the planned live files to Spark's own
+  * `ParquetTable`, so the physical plan is the exact multi-path
+  * vectorized parquet `BatchScan` a hand-built `spark.read.parquet(...)`
+  * twin produces: filter pushdown, column pruning, whole-stage codegen
+  * and AQE all come from the built-in scan, not from code here. At
+  * 100 TB the catalog does control-plane work only (one log/metadata
+  * read per query); the data plane is untouched Spark.
+  *
+  * Format detection is structural: a `_delta_log` directory → Delta, an
+  * Iceberg `metadata` directory → Iceberg. `VERSION AS OF v` maps to the
+  * Delta version / Iceberg snapshot id (both formats' own time-travel
+  * coordinate).
+  *
+  * Stated subset (refused loudly, never silently wrong): snapshots
+  * carrying merge-on-read state (Delta deletion vectors, Iceberg
+  * position/equality deletes) and column-mapped Delta tables need their
+  * format's own reader ([[DeltaLite.read]] / [[IcebergLite.read]]) —
+  * a plain parquet scan would resurrect deleted rows or surface physical
+  * column names. Compact first (`OPTIMIZE` / `rewriteDataFiles`) to
+  * restore SQL readability; the refusal message says so. The catalog is
+  * a QUERY surface: DDL/DML keep going through the format APIs (and
+  * `dropTable` etc. refuse), matching the engine's
+  * commit-through-the-log discipline.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(nsPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new Path(p, "_delta_log")) ||
+        fs.exists(new Path(p, "metadata")))
+      .map(_.getName).sorted.map(Identifier.of(namespace, _))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    fs.exists(new Path(p, "_delta_log")) || fs.exists(new Path(p, "metadata"))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, -1L)
+
+  /** `VERSION AS OF v` — the analyzer routes the literal here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': expected a numeric Delta version / " +
+            "Iceberg snapshot id")
+      }
+    load(ident, v)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is outside the subset — use VERSION AS OF " +
+        "(Delta version / Iceberg snapshot id)")
+
+  private def load(ident: Identifier, version: Long): Table = {
+    val path = tablePath(ident)
+    if (fs.exists(new Path(path, "_delta_log"))) loadDelta(ident, path, version)
+    else if (fs.exists(new Path(path, "metadata")))
+      loadIceberg(ident, path, version)
+    else throw new NoSuchTableException(ident)
+  }
+
+  private def loadDelta(ident: Identifier, path: String,
+      version: Long): Table = {
+    val snap = DeltaLite.snapshotAt(spark, path, version)
+    val schema = DataType.fromJson(snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $path log"))._2)
+      .asInstanceOf[StructType]
+    require(snap.dvs.isEmpty,
+      s"$catName.$ident carries live deletion vectors — a plain parquet " +
+        "scan would resurrect deleted rows; read via DeltaLite.read or " +
+        "compact with DeltaLite.optimize first")
+    require(!DeltaLite.isColumnMapped(schema),
+      s"$catName.$ident is column-mapped — data files store physical " +
+        "col-<id> names; read via DeltaLite.read")
+    parquetTable(ident, schema, snap.files.map(f => s"$path/$f"))
+  }
+
+  private def loadIceberg(ident: Identifier, path: String,
+      version: Long): Table = {
+    val schema = IcebergLite.schemaAt(spark, path, version)
+    require(IcebergLite.snapshotDeleteFiles(spark, path, version).isEmpty,
+      s"$catName.$ident carries live position/equality deletes — a plain " +
+        "parquet scan would resurrect deleted rows; read via " +
+        "IcebergLite.read or compact with rewriteDataFiles first")
+    parquetTable(ident, schema, IcebergLite.snapshotFiles(spark, path, version))
+  }
+
+  /** The planned live files as Spark's OWN parquet DSv2 table: the plan
+    * below the catalog is a stock vectorized multi-path `BatchScan
+    * parquet` with PushedFilters/ReadSchema — pinned by
+    * GraftCatalogSpec. `recursiveFileLookup` suppresses hive-style
+    * partition inference over staging dirs (`_p=…` carries a COPY of a
+    * logical column, never data of its own). */
+  private def parquetTable(ident: Identifier, schema: StructType,
+      paths: Seq[String]): Table =
+    ParquetTable(
+      s"$catName.${ident.namespace.mkString(".")}.${ident.name}",
+      spark,
+      new CaseInsensitiveStringMap(
+        Map("recursiveFileLookup" -> "true").asJava),
+      paths,
+      Some(schema),
+      classOf[ParquetFileFormat])
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$op: the $catName catalog is a query surface — DDL/DML go " +
+        "through the DeltaLite/IcebergLite APIs (commit-through-the-log)")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) return Array.empty
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(d => Array(d.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(new Path((warehouse +: namespace.toSeq).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = readOnly("DROP NAMESPACE")
+}

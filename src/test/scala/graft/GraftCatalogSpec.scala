@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.ingest.Sinks
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** X268: the `graft` TableCatalog — SQL front door for DeltaLite and
+  * IcebergLite tables. Pins (a) SQL answers equal the format reader's,
+  * (b) `VERSION AS OF` time travel, (c) the physical plan below the
+  * catalog is Spark's stock parquet BatchScan with working filter
+  * pushdown (the catalog adds planning, never a data path), (d) the
+  * stated-subset refusals are loud and name the remedy. */
+class GraftCatalogSpec extends SparkSpec with Matchers {
+
+  private val cat = "graftcat"
+  private lazy val warehouse: String = {
+    val w = Sinks.tempDir("catalog_wh")
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    w
+  }
+
+  private def scans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+    case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    case b: BatchScanExec => Seq(b)
+  }.flatten
+
+  test("delta: SQL read, time travel, parquet BatchScan with pushdown") {
+    import spark.implicits._
+    val t = s"$warehouse/db/dsql"
+    DeltaLite.write(spark, (1L to 8L).map(k => (k, k * 10L)).toDF("k", "v"),
+      t, collectStats = true)
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), t)
+    // current version = both commits
+    spark.sql(s"SELECT sum(v) AS s FROM $cat.db.dsql")
+      .as[Long].collect() shouldBe Seq(450L)
+    // VERSION AS OF 0 = first commit only
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.dsql VERSION AS OF 0")
+      .as[Long].collect() shouldBe Seq(8L)
+    // SQL answer == format reader's answer after row-level DML
+    DeltaLite.deleteWhere(spark, t, "k", 3L, 5L)
+    val viaSql = spark.sql(s"SELECT k, v FROM $cat.db.dsql ORDER BY k")
+      .as[(Long, Long)].collect()
+    val viaApi = DeltaLite.read(spark, t).orderBy("k")
+      .as[(Long, Long)].collect()
+    viaSql shouldBe viaApi
+    viaSql.map(_._1) shouldBe Seq(1L, 2L, 6L, 7L, 8L, 9L)
+    // plan shape: a stock parquet BatchScan, filter pushed to the scan
+    val q = spark.sql(s"SELECT v FROM $cat.db.dsql WHERE k = 7")
+    q.as[Long].collect() shouldBe Seq(70L)
+    val scan = scans(q.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no BatchScanExec under the catalog"))
+    val desc = scan.scan.description()
+    desc should include("Parquet")
+    desc should include("PushedFilters")
+    (desc should include).regex("PushedFilters: \\[.*EqualTo\\(k,7\\)")
+    scan.scan.readSchema().fieldNames.toSeq shouldBe Seq("k", "v")
+  }
+
+  test("iceberg: SQL read, snapshot time travel, schema-at-snapshot") {
+    import spark.implicits._
+    val t = s"$warehouse/db/isql"
+    IcebergLite.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), t)
+    IcebergLite.write(spark, Seq((3L, "c")).toDF("k", "s"), t)
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.isql")
+      .as[Long].collect() shouldBe Seq(3L)
+    // VERSION AS OF <snapshot id> — snapshot 1 predates the second append
+    spark.sql(s"SELECT k FROM $cat.db.isql VERSION AS OF 1 ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 2L)
+    spark.sql(s"SELECT s FROM $cat.db.isql WHERE k = 3")
+      .as[String].collect() shouldBe Seq("c")
+  }
+
+  test("partitioned delta: staging dirs never leak a partition column") {
+    import spark.implicits._
+    val t = s"$warehouse/db/dpart"
+    DeltaLite.writePartitioned(spark,
+      Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "src"), t, "src")
+    val df = spark.sql(s"SELECT * FROM $cat.db.dpart")
+    df.schema.fieldNames.toSeq shouldBe Seq("k", "src")
+    df.orderBy("k").as[(Long, String)].collect() shouldBe
+      Seq((1L, "x"), (2L, "y"), (3L, "x"))
+  }
+
+  test("merge-on-read state refuses loudly; compaction restores SQL reads") {
+    import spark.implicits._
+    // Delta deletion vectors
+    val td = s"$warehouse/db/ddv"
+    DeltaLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v"), td)
+    DeltaLite.deleteWhereDV(spark, td, "k", 2L, 3L)
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.ddv").collect()
+    }
+    e1.getMessage should include("deletion vectors")
+    DeltaLite.optimize(spark, td, targetFiles = 1)
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.ddv")
+      .as[Long].collect() shouldBe Seq(4L)
+    // Iceberg position deletes
+    val ti = s"$warehouse/db/idel"
+    IcebergLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v"), ti)
+    IcebergLite.deleteWhere(spark, ti, "k", 1L, 2L)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.idel").collect()
+    }
+    e2.getMessage should include("deletes")
+    IcebergLite.rewriteDataFiles(spark, ti)
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.idel")
+      .as[Long].collect() shouldBe Seq(4L)
+  }
+
+  test("catalog inventory: listTables, tableExists, missing table/namespace") {
+    import spark.implicits._
+    val t = s"$warehouse/inv/one"
+    DeltaLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), t)
+    spark.sql(s"SHOW TABLES IN $cat.inv").select("tableName")
+      .as[String].collect() shouldBe Seq("one")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.inv.absent").collect()
+    }
+    // DDL through SQL refuses: the catalog is a query surface
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.inv.one")
+    }
+    e.getMessage should include("query surface")
+  }
+}
