@@ -88,8 +88,68 @@ object DeltaLite {
   private[graft] def tryCommit(fs: FileSystem, table: String, v: Long,
       actionLines: Seq[String]): Boolean = {
     fs.mkdirs(logDir(table))
+    val lines = stampInCommitTimestamp(fs, table, v, actionLines)
     AtomicCreate.create(fs, versionFile(table, v),
-      (actionLines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+      (lines.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The inCommitTimestamp of a commit file's leading commitInfo, None
+    * when the commit predates enablement (or has no commitInfo first). */
+  private def ictOfFirstLine(text: String): Option[Long] =
+    text.linesIterator.find(_.nonEmpty).flatMap { l =>
+      val n = mapper.readTree(l)
+      if (n.has("commitInfo") && n.get("commitInfo").has("inCommitTimestamp"))
+        Some(n.get("commitInfo").get("inCommitTimestamp").asLong())
+      else None
+    }
+
+  private def ictCommitInfoLine(operation: String, ict: Long): String =
+    jsonObj("commitInfo") { c =>
+      c.put("timestamp", ict)
+      c.put("operation", operation)
+      c.put("inCommitTimestamp", ict)
+    }
+
+  /** IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps), enforced
+    * at the single commit arbiter so EVERY writer obeys the invariant
+    * once [[enableInCommitTimestamps]] has run: the commit's commitInfo
+    * must be its FIRST action and carry `inCommitTimestamp`, strictly
+    * greater than the previous commit's (max(prev+1, wall clock) — the
+    * spec's monotonicity rule; file-modification times, which clock skew
+    * and rename can reorder, stop being the table's time axis).
+    * Enablement is detected from the PREVIOUS commit's own stamp — one
+    * ~200-byte control-plane read — so no writer needs to thread
+    * configuration here; when log expiration has deleted the previous
+    * JSON, the `_last_checkpoint` pointer's `ict` field (written by both
+    * checkpoint shapes; delta-spark keeps the same datum in its
+    * snapshot-state CRC) re-anchors monotonicity across the gap. The
+    * enable commit arrives pre-stamped and passes through. */
+  private def stampInCommitTimestamp(fs: FileSystem, table: String, v: Long,
+      lines: Seq[String]): Seq[String] = {
+    if (v == 0 || lines.headOption.exists(_.contains("\"inCommitTimestamp\"")))
+      return lines
+    val prev = versionFile(table, v - 1)
+    val prevIct: Option[Long] =
+      if (fs.exists(prev)) ictOfFirstLine(readLogText(fs, prev))
+      else {
+        val lc = lastCheckpointFile(table)
+        if (!fs.exists(lc)) None
+        else {
+          val n = mapper.readTree(readLogText(fs, lc))
+          if (n.has("ict")) Some(n.get("ict").asLong()) else None
+        }
+      }
+    prevIct match {
+      case None => lines
+      case Some(p) =>
+        val ict = math.max(p + 1, System.currentTimeMillis())
+        if (lines.head.contains("\"commitInfo\"")) {
+          val n = mapper.readTree(lines.head)
+            .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+          n.`with`("commitInfo").put("inCommitTimestamp", ict)
+          mapper.writeValueAsString(n) +: lines.tail
+        } else ictCommitInfoLine("WRITE", ict) +: lines
+    }
   }
 
   private def jsonObj(field: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
@@ -117,7 +177,7 @@ object DeltaLite {
   /** Reader features this implementation understands; a protocol action
     * declaring any OTHER readerFeature makes every read refuse (the
     * spec's forward-compatibility rule — guessing would answer wrong). */
-  private val knownReaderFeatures = Set("deletionVectors")
+  private val knownReaderFeatures = Set("deletionVectors", "v2Checkpoint")
 
   /** The protocol's provenance action — first line of every commit (as
     * Delta itself writes it); what DESCRIBE HISTORY surfaces. */
@@ -265,6 +325,13 @@ object DeltaLite {
   private def lastCheckpointFile(table: String) =
     new Path(logDir(table), "_last_checkpoint")
 
+  /** Resolve an add-action path against the table root: the protocol
+    * allows `add.path` to be RELATIVE to the table or ABSOLUTE
+    * ([[shallowClone]] writes absolute source paths — its zero-copy
+    * mechanism); `Path(parent, child)` implements exactly that rule. */
+  private def dataPath(table: String, f: String): String =
+    new Path(table, f).toString
+
   /** The `_last_checkpoint` pointer's version, -1 when absent. */
   def lastCheckpointVersion(spark: SparkSession, table: String): Long = {
     val fs = hadoopFs(spark, table)
@@ -294,7 +361,21 @@ object DeltaLite {
     else {
       val parts = lastCheckpointParts(spark, table)
       val files = (1 to parts).map(i => checkpointPartFile(table, v, i, parts))
-      if (parts > 1 && files.forall(fs.exists)) files else Seq.empty
+      if (parts > 1 && files.forall(fs.exists)) files
+      else {
+        // V2 naming (PROTOCOL.md §V2 Checkpoints): one UUID-named
+        // top-level file `%020d.checkpoint.<uuid>.parquet`; its sidecar
+        // actions point at the file-action files
+        val prefix = f"$v%020d.checkpoint."
+        fs.listStatus(logDir(table))
+          .map(_.getPath)
+          .filter { p =>
+            val n = p.getName
+            n.startsWith(prefix) && n.endsWith(".parquet") &&
+              n != single.getName &&
+              !n.stripPrefix(prefix).stripSuffix(".parquet").contains(".")
+          }.sortBy(_.getName).take(1).toSeq
+      }
     }
   }
 
@@ -335,8 +416,15 @@ object DeltaLite {
         .fieldNames.contains("configuration")
       val metaHasPc = cp.schema("metaData").dataType.asInstanceOf[StructType]
         .fieldNames.contains("partitionColumns")
-      val rows = (if (hasTxn) cp.select("protocol", "metaData", "add", "txn")
-        else cp.select("protocol", "metaData", "add")).collect()
+      // V2 checkpoints carry `sidecar` rows whose files hold the add
+      // actions; selecting it (when present) after the fixed columns
+      // keeps every positional index below stable
+      val hasSidecar = cp.schema.fieldNames.contains("sidecar")
+      val baseCols =
+        if (hasTxn) Seq("protocol", "metaData", "add", "txn")
+        else Seq("protocol", "metaData", "add")
+      val rows = cp.select((baseCols ++
+        (if (hasSidecar) Seq("sidecar") else Nil)).map(cp.col): _*).collect()
       rows.foreach { r =>
         if (!r.isNullAt(0)) {
           val p = r.getStruct(0)
@@ -376,6 +464,46 @@ object DeltaLite {
           val t = r.getStruct(3)
           txns(t.getString(0)) =
             math.max(txns.getOrElse(t.getString(0), Long.MinValue), t.getLong(1))
+        }
+      }
+      if (hasSidecar) {
+        // load the referenced sidecar files (relative to
+        // _delta_log/_sidecars/) and fold their add rows into the same
+        // replay state — a sidecar name that does not resolve must FAIL
+        // the read, not shrink the snapshot
+        val scIdx = baseCols.length
+        val names = rows.filter(!_.isNullAt(scIdx))
+          .map(_.getStruct(scIdx).getString(0)).toSeq
+        if (names.nonEmpty) {
+          val dir = new Path(logDir(table), "_sidecars")
+          val scFiles = names.map { n =>
+            val p = new Path(dir, n)
+            require(fs.exists(p),
+              s"V2 checkpoint sidecar $n absent from ${dir} — refusing " +
+                "a partial snapshot")
+            p.toString
+          }
+          val sc = spark.read.parquet(scFiles: _*)
+          val sat = sc.schema("add").dataType.asInstanceOf[StructType]
+          val sHasPv = sat.fieldNames.contains("partitionValues")
+          val sHasDv = sat.fieldNames.contains("deletionVector")
+          sc.select("add").collect().foreach { r =>
+            if (!r.isNullAt(0)) {
+              val a = r.getStruct(0)
+              live += a.getString(0)
+              if (!a.isNullAt(4)) stats(a.getString(0)) = a.getString(4)
+              if (sHasPv && !a.isNullAt(5)) {
+                val m = a.getMap[String, String](5)
+                if (m.nonEmpty) pvals(a.getString(0)) = m.toMap
+              }
+              if (sHasDv && !a.isNullAt(6)) {
+                val d = a.getStruct(6)
+                dvs(a.getString(0)) = DeletionVectors.Descriptor(
+                  d.getString(0), d.getString(1), d.getInt(2), d.getInt(3),
+                  d.getLong(4))
+              }
+            }
+          }
         }
       }
     }
@@ -565,8 +693,168 @@ object DeltaLite {
     fs.delete(staged, true)
     val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
     val out = fs.create(lastCheckpointFile(table), /* overwrite = */ true)
-    try out.write(s"""{"version":$v,"size":${rows.size}$partsField}"""
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      s"""{"version":$v,"size":${rows.size}$partsField${ictField(fs, table, v)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** The checkpointed version's inCommitTimestamp, as a `_last_checkpoint`
+    * JSON fragment — how monotonicity survives [[expireLog]] deleting the
+    * JSON prefix ([[stampInCommitTimestamp]] re-anchors on it); empty
+    * before enablement. */
+  private def ictField(fs: FileSystem, table: String, v: Long): String = {
+    val p = versionFile(table, v)
+    if (!fs.exists(p)) ""
+    else ictOfFirstLine(readLogText(fs, p))
+      .map(i => s""","ict":$i""").getOrElse("")
+  }
+
+  /** V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints — the current spec
+    * frontier of checkpointing): one UUID-named TOP-LEVEL file
+    * (`%020d.checkpoint.<uuid>.parquet`) holding the control-plane rows
+    * (protocol, metaData, txn ledger) plus exactly one
+    * `checkpointMetadata` action (its version) and `sidecar` actions,
+    * while the FILE actions live in SIDECAR parquet files under
+    * `_delta_log/_sidecars/<uuid>.parquet`. Why the shape exists: a
+    * classic checkpoint couples control-plane and file-action state in
+    * one artifact, so a million-file table re-writes everything to
+    * checkpoint; sidecars let the add set split, parallelize, and later
+    * be REUSED across checkpoints. The feature gates on the
+    * `v2Checkpoint` reader feature (reader version 3) — this writer
+    * upgrades the protocol in its own prior commit when absent (never a
+    * downgrade: existing reader/writer features carry), so pre-V2
+    * readers refuse instead of replaying half a snapshot. A missing
+    * sidecar FAILS the read outright (no partial snapshots). Subset
+    * stated: `_last_checkpoint` carries version+size (discovery of the
+    * UUID name is by listing, which the naming scheme supports); the
+    * optional checksum/schema fields are not written. Returns the
+    * checkpointed version. */
+  def checkpointV2(spark: SparkSession, table: String,
+      sidecars: Int = 2): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(sidecars >= 1, "need at least one sidecar file")
+    val fs = hadoopFs(spark, table)
+    val latest0 = latestVersion(spark, table)
+    require(latest0 >= 0, s"$table has no commits to checkpoint")
+    // protocol gate: land the v2Checkpoint feature first, as its own
+    // commit, so the checkpoint never outruns the table's declaration
+    val snap0 = snapshot(spark, table, latest0)
+    val cur = snap0.protocol.getOrElse(Protocol(1, 2, Nil, Nil))
+    val v =
+      if (cur.minReader >= 3 && cur.readerFeatures.contains("v2Checkpoint"))
+        latest0
+      else {
+        val upgraded = Protocol(3, 7,
+          (cur.readerFeatures :+ "v2Checkpoint").distinct,
+          (cur.writerFeatures :+ "v2Checkpoint").distinct)
+        val uv = latest0 + 1
+        if (!tryCommit(fs, table, uv, Seq(
+            commitInfoLine("UPGRADE PROTOCOL"), protocolLineOf(upgraded))))
+          throw new IllegalStateException(
+            s"v2Checkpoint protocol upgrade lost the race on $table")
+        uv
+      }
+    val snap = snapshot(spark, table, v)
+    val (tableId, schemaJson) = snap.meta.getOrElse(
+      throw new IllegalStateException(s"no metaData at version $v of $table"))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))
+    val sidecarFileSchema = StructType(Seq(StructField("add", addType)))
+    // file actions → round-robined across `sidecars` sidecar files
+    val addRows = snap.files.map { f =>
+      val st = fs.getFileStatus(new Path(table, f))
+      val dvRow = snap.dvs.get(f).map(d =>
+        Row(d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+          d.cardinality)).orNull
+      Row(Row(f, st.getLen, st.getModificationTime, true,
+        snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null), dvRow))
+    }
+    val scDir = new Path(logDir(table), "_sidecars")
+    fs.mkdirs(scDir)
+    val groups = addRows.zipWithIndex.groupBy(_._2 % sidecars)
+      .toSeq.sortBy(_._1).map(_._2.map(_._1))
+    val sidecarInfos = groups.map { g =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val staged = new Path(table,
+        s"_sidecar_staged_${java.util.UUID.randomUUID().toString.take(8)}")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(g, 1), sidecarFileSchema)
+        .write.parquet(staged.toString)
+      val part = fs.listStatus(staged)
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fs.rename(part, new Path(scDir, name))
+      fs.delete(staged, true)
+      val st = fs.getFileStatus(new Path(scDir, name))
+      (name, st.getLen, st.getModificationTime)
+    }
+    // top-level file: control plane + checkpointMetadata + sidecar rows
+    val topSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("configuration", MapType(StringType, StringType)),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", addType),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val protoRow = snap.protocol match {
+      case Some(p) => Row(p.minReader, p.minWriter,
+        if (p.readerFeatures.nonEmpty) p.readerFeatures else null,
+        if (p.writerFeatures.nonEmpty) p.writerFeatures else null)
+      case None => Row(1, 2, null, null)
+    }
+    val topRows =
+      Row(protoRow, null, null, null, null, null) +:
+      Row(null, Row(tableId, schemaJson,
+        if (snap.config.isEmpty) null else snap.config,
+        if (snap.partCols.isEmpty) null else snap.partCols),
+        null, null, null, null) +:
+      Row(null, null, null, null, Row(v), null) +:
+      (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
+        Row(null, null, null, Row(app, ver), null, null)
+      } ++ sidecarInfos.map { case (n, len, mt) =>
+        Row(null, null, null, null, null, Row(n, len, mt))
+      })
+    val topName = f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
+    val staged = new Path(table,
+      s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(topRows, 1), topSchema)
+      .write.parquet(staged.toString)
+    val part = fs.listStatus(staged)
+      .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+    fs.rename(part, new Path(logDir(table), topName))
+    fs.delete(staged, true)
+    val out = fs.create(lastCheckpointFile(table), /* overwrite = */ true)
+    try out.write(
+      s"""{"version":$v,"size":${topRows.size + addRows.size}${ictField(fs, table, v)}}"""
+        .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     v
   }
@@ -658,7 +946,7 @@ object DeltaLite {
       schema: StructType, files: Seq[String],
       dvs: Map[String, DeletionVectors.Descriptor]): DataFrame = {
     val relevant = dvs.filter { case (f, _) => files.contains(f) }
-    val base = spark.read.schema(schema).parquet(files.map(f => s"$table/$f"): _*)
+    val base = spark.read.schema(schema).parquet(files.map(f => dataPath(table, f)): _*)
     if (relevant.isEmpty) base
     else {
       import org.apache.spark.sql.functions.{col => c_, element_at, split}
@@ -1128,24 +1416,55 @@ object DeltaLite {
           "in this subset — use the columnMapped ops")
     }
 
-  private def cmConfiguration(schema: StructType): Map[String, String] = Map(
-    "delta.columnMapping.mode" -> "name",
+  private def cmConfiguration(schema: StructType,
+      mode: String = "name"): Map[String, String] = Map(
+    "delta.columnMapping.mode" -> mode,
     "delta.columnMapping.maxColumnId" ->
       schema.fields.map(_.metadata.getLong(ColumnIdKey)).max.toString)
+
+  /** The table's declared mapping mode ("name" | "id"), read from the
+    * live configuration — metadata-only commits (rename/drop/purge) must
+    * RE-DECLARE the mode they found, never reset it. */
+  private def cmMode(config: Map[String, String]): String =
+    config.getOrElse("delta.columnMapping.mode", "name")
 
   private def cmProtocolLine: String = jsonObj("protocol") { p =>
     p.put("minReaderVersion", 2)
     p.put("minWriterVersion", 5)
   }
 
+  /** Assign fresh mapping metadata (id + physical name) to `fields`,
+    * numbering from `firstId`. */
+  private def cmAssign(fields: Seq[org.apache.spark.sql.types.StructField],
+      firstId: Long): Seq[org.apache.spark.sql.types.StructField] =
+    fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong(ColumnIdKey, firstId + i)
+        .putString(PhysicalNameKey, s"col-${firstId + i}")
+        .build())
+    }
+
   /** Create (v0) or append to a column-mapped table: logical columns map
     * to stable physical names `col-<id>` assigned at creation; staged
-    * parquet carries ONLY physical names. Appends must present the
-    * table's current logical schema (the mapping is looked up by logical
-    * name; evolution of mapped tables is out of this subset, stated). */
+    * parquet carries ONLY physical names, each stamped with its column
+    * id as the parquet FIELD ID (footer metadata — the coordinate
+    * `mode = "id"` readers resolve by, written for both modes as the
+    * spec allows). Appends must present every existing logical column
+    * with its type; EXTRA columns are WIDENING EVOLUTION — they get
+    * fresh ids above maxColumnId, a merged metaData commits with the
+    * append, and files predating the widening surface the new columns
+    * as NULL (reads below the widening see that version's own schema —
+    * the rename→widen→time-travel lifecycle the 100 TB table actually
+    * lives). `mode` ("name" | "id", creation only) declares which
+    * coordinate readers bind to: name mode binds physicalName, id mode
+    * binds the parquet field id (spec pins id-resolution by reading
+    * under deliberately WRONG physical names with matching ids). */
   def writeColumnMapped(spark: SparkSession, df: DataFrame, table: String,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, mode: String = "name"): Long = {
     import org.apache.spark.sql.functions.col
+    require(mode == "name" || mode == "id",
+      s"unknown column-mapping mode '$mode' (name | id)")
     val fs = hadoopFs(spark, table)
     enforceConstraints(spark, table, df)
     var attempt = 0
@@ -1153,28 +1472,49 @@ object DeltaLite {
       val v = latestVersion(spark, table) + 1
       val (header, mapped) =
         if (v == 0) {
-          val m = StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
-            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong(ColumnIdKey, i + 1L)
-              .putString(PhysicalNameKey, s"col-${i + 1}")
-              .build())
-          })
+          val m = StructType(cmAssign(df.schema.fields.toSeq, 1L))
           (Seq(cmProtocolLine,
-            metaDataLine(m, configuration = cmConfiguration(m))), m)
+            metaDataLine(m, configuration = cmConfiguration(m, mode))), m)
         } else {
+          val snapW = snapshot(spark, table, v - 1)
           val schema = tableSchema(spark, table)
           require(isColumnMapped(schema),
             s"$table is not column-mapped: use write()")
-          require(schema.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
-            schema.fields.map(_.dataType).toSeq ==
-              df.schema.fields.map(_.dataType).toSeq,
-            s"append schema must match $table's logical schema exactly " +
-              "(mapped-table evolution is out of this subset)")
-          (Seq.empty, schema)
+          val existing = schema.fieldNames.toSet
+          require(existing.subsetOf(df.schema.fieldNames.toSet),
+            s"append must include every existing logical column of " +
+              s"$table; missing ${existing -- df.schema.fieldNames}")
+          schema.fields.foreach { f =>
+            require(df.schema(f.name).dataType == f.dataType,
+              s"column ${f.name}: append type " +
+                s"${df.schema(f.name).dataType.simpleString} != table " +
+                s"type ${f.dataType.simpleString}")
+          }
+          val newCols = df.schema.fields.filterNot(f =>
+            existing.contains(f.name))
+          if (newCols.isEmpty) (Seq.empty, schema)
+          else {
+            // widening evolution: fresh ids above maxColumnId, merged
+            // metaData rides in the SAME commit as the widened files
+            val maxId = schema.fields
+              .map(_.metadata.getLong(ColumnIdKey)).max
+            val merged = StructType(
+              schema.fields.toSeq ++ cmAssign(newCols.toSeq, maxId + 1))
+            val (id, _) = snapW.meta.getOrElse(
+              throw new IllegalArgumentException(s"no metaData in $table"))
+            (Seq(metaDataLine(merged, id,
+              configuration = cmConfiguration(merged, cmMode(snapW.config)))),
+              merged)
+          }
         }
+      // physical frame: physical names + the column id as parquet field
+      // id (Spark's parquet writer emits footer ids for fields carrying
+      // the `parquet.field.id` metadata key)
       val physical = df.select(mapped.fields.map(f =>
-        col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+        col(f.name).as(physicalName(f), new org.apache.spark.sql.types
+          .MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
+          .build())).toIndexedSeq: _*)
       val token = java.util.UUID.randomUUID().toString.take(8)
       val staged = s"data/v$v-cm-$token"
       physical.write.mode("errorifexists").parquet(s"$table/$staged")
@@ -1199,7 +1539,8 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val v = latestVersion(spark, table) + 1
     require(v > 0, s"$table has no Delta log")
-    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+    val snapR = snapshot(spark, table, v - 1)
+    val (id, _) = snapR.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))
     val schema = tableSchema(spark, table)
     require(isColumnMapped(schema),
@@ -1210,7 +1551,8 @@ object DeltaLite {
     val renamed = StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("RENAME COLUMN"),
-        metaDataLine(renamed, id, configuration = cmConfiguration(renamed)))))
+        metaDataLine(renamed, id,
+          configuration = cmConfiguration(renamed, cmMode(snapR.config))))))
       throw new IllegalStateException(s"rename lost the commit race on $table")
     v
   }
@@ -1223,7 +1565,8 @@ object DeltaLite {
     val fs = hadoopFs(spark, table)
     val v = latestVersion(spark, table) + 1
     require(v > 0, s"$table has no Delta log")
-    val (id, _) = snapshot(spark, table, v - 1).meta.getOrElse(
+    val snapD = snapshot(spark, table, v - 1)
+    val (id, _) = snapD.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $table log"))
     val schema = tableSchema(spark, table)
     require(isColumnMapped(schema),
@@ -1232,7 +1575,8 @@ object DeltaLite {
     require(schema.fields.length > 1, s"cannot drop the last column of $table")
     val dropped = StructType(schema.fields.filterNot(_.name == name))
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("DROP COLUMNS"),
-        metaDataLine(dropped, id, configuration = cmConfiguration(dropped)))))
+        metaDataLine(dropped, id,
+          configuration = cmConfiguration(dropped, cmMode(snapD.config))))))
       throw new IllegalStateException(s"drop lost the commit race on $table")
     v
   }
@@ -1605,7 +1949,7 @@ object DeltaLite {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(spark, table, toV))
     else spark.read.schema(tableSchema(spark, table, toV))
-      .parquet(added.toSeq.map(f => s"$table/$f"): _*)
+      .parquet(added.toSeq.map(f => dataPath(table, f)): _*)
   }
 
   /** Data skipping off the log's `stats` layer: select the current
@@ -1764,7 +2108,7 @@ object DeltaLite {
     if (affected.isEmpty) return (latest, 0L, 0L)
     val schema = tableSchema(spark, table)
     val byFile = spark.read.schema(schema)
-      .parquet(affected.map(f => s"$table/$f"): _*)
+      .parquet(affected.map(f => dataPath(table, f)): _*)
       .select(c_("_metadata.file_path").as("__fp"),
         c_("_metadata.row_index").as("__ri"), c_(column).as("__v"))
       .where(c_("__v").between(lo, hi))
@@ -1828,6 +2172,58 @@ object DeltaLite {
       throw new IllegalStateException(s"DV delete lost the commit race on $table")
     val deleted = perFile.map { case (_, oldN, union) => union.length - oldN }.sum
     (v, perFile.size.toLong, deleted.toLong)
+  }
+
+  /** SHALLOW CLONE (Delta's zero-copy CLONE): `dst` is created by ONE
+    * metadata commit whose add actions reference the source's live data
+    * files by ABSOLUTE path (the protocol allows `add.path` to be either
+    * table-relative or absolute — this op is why) — at 100 TB a dev/test
+    * or migration copy materializes in milliseconds and zero data bytes.
+    * The clone carries the source's schema, partitionColumns,
+    * configuration, protocol, per-file stats and partitionValues, under
+    * a FRESH table id (the clone is its own table: appends land in ITS
+    * data dir, copy-on-write DML rewrites into ITS dir while untouched
+    * absolute entries keep pointing at the source, and its vacuum walks
+    * only its own tree — source files are structurally out of reach).
+    * The source is never written. A source with live deletion vectors or
+    * column mapping refuses (a cloned absolute scan would mis-read both;
+    * compact / use the format reader first — stated subset). If the
+    * source has in-commit timestamps enabled, the clone commit stamps
+    * itself so the chain continues ([[stampInCommitTimestamp]]). */
+  def shallowClone(spark: SparkSession, src: String, dst: String,
+      now: Long = System.currentTimeMillis()): Long = {
+    val fs = hadoopFs(spark, dst)
+    require(latestVersion(spark, dst) < 0, s"$dst already has a Delta log")
+    val srcLatest = latestVersion(spark, src)
+    require(srcLatest >= 0, s"$src has no Delta log to clone")
+    val snap = snapshot(spark, src, srcLatest)
+    require(snap.dvs.isEmpty,
+      s"shallow clone of $src: live deletion vectors would be dropped by " +
+        "an absolute-path scan — optimize (compact) the source first")
+    val (_, sj) = snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $src log"))
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    require(!isColumnMapped(schema),
+      s"shallow clone of $src: column-mapped sources are outside this " +
+        "subset — read via the columnMapped ops")
+    val srcRoot = new Path(src)
+    val srcFs = hadoopFs(spark, src)
+    val ict = snap.config.get("delta.enableInCommitTimestamps").contains("true")
+    val lines =
+      (if (ict) ictCommitInfoLine("CLONE", now) else commitInfoLine("CLONE")) +:
+      snap.protocol.map(protocolLineOf).getOrElse(protocolLine) +:
+      metaDataLine(schema, partitionColumns = snap.partCols,
+        configuration = snap.config) +:
+      snap.files.map { f =>
+        val abs = new Path(srcRoot, f)
+        val st = srcFs.getFileStatus(abs)
+        addLine(abs.toString, st.getLen, st.getModificationTime,
+          stats = snap.stats.get(f),
+          partitionValues = snap.pvals.getOrElse(f, Map.empty))
+      }
+    if (!tryCommit(fs, dst, 0L, lines))
+      throw new IllegalStateException(s"clone lost the race creating $dst")
+    0L
   }
 
   /** RESTORE to an earlier version as a NEW commit (Delta's own rollback
@@ -1938,7 +2334,7 @@ object DeltaLite {
           schema)
       else if (snap.dvs.isEmpty)
         toLogical(spark.read.schema(scanSchema)
-          .parquet(snap.files.map(f => s"$table/$f"): _*))
+          .parquet(snap.files.map(f => dataPath(table, f)): _*))
       else {
         // merge-on-read: subtract each file's deleted positions. The
         // vectors decode driver-side (bounded by the snapshot's deleted-
@@ -1957,7 +2353,7 @@ object DeltaLite {
         }
         val delDf = deleted.toDF("__fn", "__ri")
         toLogical(spark.read.schema(scanSchema)
-          .parquet(snap.files.map(f => s"$table/$f"): _*)
+          .parquet(snap.files.map(f => dataPath(table, f)): _*)
           .withColumn("__fn",
             element_at(split(c_("_metadata.file_path"), "/"), -1))
           .withColumn("__ri", c_("_metadata.row_index"))
@@ -2024,6 +2420,82 @@ object DeltaLite {
     * [[deletePartition]] is the partition-grain DML that feeds their
     * change feed and [[readCdf]] prunes it by partition. Returns the
     * enabling version (or the current one when already enabled). */
+  /** Enable IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps):
+    * a metadata-only commit setting `delta.enableInCommitTimestamps`
+    * plus the spec's enablement-provenance pair
+    * (`delta.inCommitTimestampEnablementVersion` / `...Timestamp` —
+    * readers need the boundary because timestamps BELOW it never had the
+    * monotone guarantee), and raising the protocol to writer 7 with the
+    * `inCommitTimestamp` writerFeature (writer-only: old READERS keep
+    * working untouched — the stamp lives in commitInfo, which replay
+    * ignores). From this commit on, [[tryCommit]] stamps every commit's
+    * leading commitInfo with a strictly-increasing `inCommitTimestamp`
+    * ([[stampInCommitTimestamp]]); this commit itself carries the first
+    * stamp. Why the feature exists at 100 TB: `TIMESTAMP AS OF` against
+    * file-modification times breaks under clock skew, log copy/restore,
+    * and metadata cleanup — the timestamp must live IN the commit.
+    * `now` is injectable for deterministic tests. Idempotent. */
+  def enableInCommitTimestamps(spark: SparkSession, table: String,
+      now: Long = System.currentTimeMillis()): Long = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    if (snap.config.get("delta.enableInCommitTimestamps").contains("true"))
+      return latest
+    val (id, sj) = snap.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val cur = snap.protocol.getOrElse(Protocol(1, 2, Nil, Nil))
+    val upgraded = Protocol(cur.minReader, 7, cur.readerFeatures,
+      (cur.writerFeatures :+ "inCommitTimestamp").distinct)
+    val schema = DataType.fromJson(sj).asInstanceOf[StructType]
+    val v = latest + 1
+    if (!tryCommit(fs, table, v, Seq(
+        ictCommitInfoLine("SET TBLPROPERTIES", now),
+        protocolLineOf(upgraded),
+        metaDataLine(schema, id, partitionColumns = snap.partCols,
+          configuration = snap.config ++ Map(
+            "delta.enableInCommitTimestamps" -> "true",
+            "delta.inCommitTimestampEnablementVersion" -> v.toString,
+            "delta.inCommitTimestampEnablementTimestamp" -> now.toString)))))
+      throw new IllegalStateException(
+        s"enableInCommitTimestamps lost the commit race on $table")
+    v
+  }
+
+  /** The (version, inCommitTimestamp) ledger of every retained commit
+    * that carries a stamp, ascending — the table's time axis. */
+  def ictLedger(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    (0L to latest).flatMap { v =>
+      val p = versionFile(table, v)
+      if (!fs.exists(p)) None
+      else ictOfFirstLine(readLogText(fs, p)).map(i => (v, i))
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolved THROUGH in-commit timestamps: the newest
+    * version whose stamp is ≤ `ts`, read with [[read]]'s version time
+    * travel. Requests BELOW the first retained stamp refuse — pre-ICT
+    * commits have only file-modification times, which this subset
+    * declines to treat as a time axis (the exact failure mode the
+    * feature exists to end), and a version whose JSON expired can no
+    * longer prove its stamp. */
+  def readTimestampAsOf(spark: SparkSession, table: String,
+      ts: Long): DataFrame = {
+    val ledger = ictLedger(spark, table)
+    require(ledger.nonEmpty,
+      s"$table has no in-commit timestamps — enableInCommitTimestamps first")
+    require(ts >= ledger.head._2,
+      s"timestamp $ts precedes the first retained in-commit timestamp " +
+        s"${ledger.head._2} of $table — pre-ICT versions have no reliable " +
+        "time axis in this subset")
+    val v = ledger.takeWhile(_._2 <= ts).last._1
+    read(spark, table, versionAsOf = v)
+  }
+
   def enableCdf(spark: SparkSession, table: String): Long = {
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "enableCdf()")
@@ -2294,7 +2766,7 @@ object DeltaLite {
       val perVersion: Seq[DataFrame] =
         if (cdcPaths.nonEmpty)
           Seq(spark.read.schema(cdcSchema)
-            .parquet(cdcPaths.map(f => s"$table/$f"): _*))
+            .parquet(cdcPaths.map(f => dataPath(table, f)): _*))
         else {
           if (dvAdd) throw new UnsupportedOperationException(
             s"version $v adds a deletion vector without cdc actions — " +
@@ -2317,7 +2789,7 @@ object DeltaLite {
           val ins =
             if (addPaths.isEmpty) Seq.empty[DataFrame]
             else Seq(spark.read.schema(schema)
-              .parquet(addPaths.map(f => s"$table/$f"): _*)
+              .parquet(addPaths.map(f => dataPath(table, f)): _*)
               .withColumn("_change_type", lit("insert")))
           ins ++ dels
         }

@@ -856,13 +856,13 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     val out = fs.create(p, false)
     out.write(
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""" + "\n")
+        """"readerFeatures":["typeWidening"],"writerFeatures":["typeWidening"]}}""" + "\n")
         .getBytes("UTF-8"))
     out.close()
     val e = intercept[UnsupportedOperationException] {
       DeltaLite.read(spark, table).count()
     }
-    e.getMessage should include("v2Checkpoint")
+    e.getMessage should include("typeWidening")
   }
 
   test("CDF: derived inserts, cdc deletes/updates, pre/postimage pairs") {
@@ -951,6 +951,259 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       DeltaLite.updateWhere(spark, t2, "k", 1L, 2L,
         Map("v" -> lit(-5L)))
     }
+  }
+
+  test("column mapping id mode: footer field ids, id-resolution, rename then widen") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cm_id")
+    DeltaLite.writeColumnMapped(spark,
+      (0L until 5L).map(k => (k, k * 10L)).toDF("k", "v"), table,
+      mode = "id") // v0
+    // mode declared in configuration
+    val meta0 = logLines(table, 0L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    meta0.get("configuration").get("delta.columnMapping.mode")
+      .asText() shouldBe "id"
+    // data files carry parquet FIELD IDS equal to the delta column ids
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(table, "data"), true)
+    var allFiles = Vector.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) allFiles :+= p.toString
+    }
+    val file0 = allFiles.head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration,
+      new Path(file0),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val ids = footer.getFileMetaData.getSchema.getFields
+    ids.get(0).getId.intValue() shouldBe 1
+    ids.get(1).getId.intValue() shouldBe 2
+    // ID RESOLUTION: read under deliberately WRONG physical names whose
+    // field ids match — values still land correctly (name mode could
+    // not do this; the parquet reader binds the footer ids)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      val idSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("totally", org.apache.spark.sql.types.LongType,
+          nullable = true, metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().putLong("parquet.field.id", 2L).build()),
+        org.apache.spark.sql.types.StructField("wrong", org.apache.spark.sql.types.LongType,
+          nullable = true, metadata = new org.apache.spark.sql.types
+            .MetadataBuilder().putLong("parquet.field.id", 1L).build())))
+      spark.read.schema(idSchema).parquet(allFiles: _*)
+        .agg(sum($"totally"), sum($"wrong")).as[(Long, Long)]
+        .head() shouldBe ((100L, 10L)) // id 2 = v (sum 100), id 1 = k
+    } finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    // rename (metadata-only, mode PRESERVED) then WIDENING append
+    DeltaLite.renameColumn(spark, table, "v", "value") // v1
+    val meta1 = logLines(table, 1L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    meta1.get("configuration").get("delta.columnMapping.mode")
+      .asText() shouldBe "id"
+    DeltaLite.writeColumnMapped(spark,
+      Seq((100L, 1000L, "fresh")).toDF("k", "value", "note"), table) // v2
+    // current read: renamed + widened; old files surface note as NULL
+    val cur = DeltaLite.read(spark, table)
+    cur.schema.fieldNames.toSeq shouldBe Seq("k", "value", "note")
+    cur.agg(sum($"value")).head.getLong(0) shouldBe 1100L
+    cur.where($"note".isNull).count() shouldBe 5L
+    cur.where($"note" === "fresh").select("k").as[Long]
+      .collect() shouldBe Seq(100L)
+    // the widened column got the next id and physical name
+    val meta2 = logLines(table, 2L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    meta2.get("configuration").get("delta.columnMapping.maxColumnId")
+      .asText() shouldBe "3"
+    meta2.get("configuration").get("delta.columnMapping.mode")
+      .asText() shouldBe "id"
+    // time travel: below the widen sees two columns under the renamed
+    // name; below the rename sees the original name
+    DeltaLite.read(spark, table, versionAsOf = 1L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "value")
+    DeltaLite.read(spark, table, versionAsOf = 0L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v")
+    // appends must still present every existing column with its type
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.writeColumnMapped(spark,
+        Seq((1L, "x")).toDF("k", "note"), table) // missing `value`
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.writeColumnMapped(spark,
+        Seq((1L, 1.5, "x")).toDF("k", "value", "note"), table) // type
+  }
+
+  test("shallow clone: zero-copy absolute adds, clone-local DML, source never written, vacuum cannot reach source files") {
+    import spark.implicits._
+    val src = Sinks.tempDir("delta_clone_src")
+    val dst = Sinks.tempDir("delta_clone_dst")
+    DeltaLite.write(spark,
+      (1L to 8L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1), src,
+      collectStats = true)
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), src)
+    val srcFilesBefore = DeltaLite.read(spark, src)
+      .select(input_file_name()).distinct().count()
+    DeltaLite.shallowClone(spark, src, dst) shouldBe 0L
+    // the clone answers identically — through the SOURCE's bytes
+    DeltaLite.read(spark, dst).orderBy("k").as[(Long, Long)].collect() shouldBe
+      DeltaLite.read(spark, src).orderBy("k").as[(Long, Long)].collect()
+    // zero copy: no data files under dst
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(dst, "data")) shouldBe false
+    // add actions reference the source absolutely; fresh table id
+    val adds0 = logLines(dst, 0L).map(mapper.readTree).filter(_.has("add"))
+    adds0 should not be empty
+    adds0.foreach(_.get("add").get("path").asText() should startWith ("/"))
+    val srcId = logLines(src, 0L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData").get("id").asText()
+    logLines(dst, 0L).map(mapper.readTree).find(_.has("metaData")).get
+      .get("metaData").get("id").asText() should not be srcId
+    // clone-local append: dst grows, src untouched
+    DeltaLite.write(spark, Seq((100L, 1000L)).toDF("k", "v"), dst)
+    DeltaLite.read(spark, dst).count() shouldBe 10L
+    DeltaLite.read(spark, src).count() shouldBe 9L
+    // copy-on-write DML on the clone rewrites into ITS OWN dir; the
+    // source's files and answers are untouched
+    DeltaLite.deleteWhere(spark, dst, "k", 1L, 3L)
+    DeltaLite.read(spark, dst).count() shouldBe 7L
+    DeltaLite.read(spark, src).count() shouldBe 9L
+    DeltaLite.read(spark, src)
+      .select(input_file_name()).distinct().count() shouldBe srcFilesBefore
+    // stats carried: skipping still plans on the clone's absolute adds
+    DeltaLite.read(spark, dst, versionAsOf = 0L).count() shouldBe 9L
+    // the clone's vacuum walks only its own tree — source files are
+    // structurally unreachable
+    DeltaLite.vacuum(spark, dst)
+    DeltaLite.read(spark, src).count() shouldBe 9L
+    // refusals: DV-carrying and column-mapped sources
+    val dvSrc = Sinks.tempDir("delta_clone_dv")
+    DeltaLite.write(spark,
+      (0L until 10L).map(k => (k, k)).toDF("k", "v").coalesce(1), dvSrc)
+    DeltaLite.deleteWhereDV(spark, dvSrc, "k", 0L, 2L)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.shallowClone(spark, dvSrc, Sinks.tempDir("delta_clone_dv_d"))
+    val cmSrc = Sinks.tempDir("delta_clone_cm")
+    DeltaLite.writeColumnMapped(spark, Seq((1L, 2L)).toDF("k", "v"), cmSrc)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.shallowClone(spark, cmSrc, Sinks.tempDir("delta_clone_cm_d"))
+  }
+
+  test("in-commit timestamps: the arbiter stamps every later commit monotonically; TIMESTAMP AS OF resolves through them") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_ict")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)   // v0
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table)   // v1
+    // pre-enablement commits carry no stamp
+    DeltaLite.ictLedger(spark, table) shouldBe empty
+    DeltaLite.enableInCommitTimestamps(spark, table,
+      now = 1000000L) shouldBe 2L                                  // v2
+    DeltaLite.enableInCommitTimestamps(spark, table) shouldBe 2L   // idem
+    // protocol: writer-only feature — reader version untouched
+    val proto = logLines(table, 2L).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    proto.get("minReaderVersion").asInt() shouldBe 1
+    proto.get("minWriterVersion").asInt() shouldBe 7
+    var wf = Set.empty[String]
+    proto.get("writerFeatures").forEach(f => wf += f.asText())
+    wf should contain ("inCommitTimestamp")
+    // provenance pair recorded
+    val conf = logLines(table, 2L).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData").get("configuration")
+    conf.get("delta.inCommitTimestampEnablementVersion").asText() shouldBe "2"
+    conf.get("delta.inCommitTimestampEnablementTimestamp")
+      .asText() shouldBe "1000000"
+    // EVERY later commit is stamped by the arbiter, strictly increasing,
+    // with commitInfo as the commit's first action
+    DeltaLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table)   // v3
+    DeltaLite.deleteWhere(spark, table, "k", 1L, 1L)               // v4
+    val ledger = DeltaLite.ictLedger(spark, table)
+    ledger.map(_._1) shouldBe Seq(2L, 3L, 4L)
+    ledger.map(_._2) shouldBe ledger.map(_._2).sorted
+    ledger.map(_._2).distinct.length shouldBe 3
+    ledger.head._2 shouldBe 1000000L
+    logLines(table, 3L).head should include ("commitInfo")
+    // timestamp time travel resolves through the stamps
+    val ict3 = ledger.find(_._1 == 3L).get._2
+    val ict4 = ledger.find(_._1 == 4L).get._2
+    DeltaLite.readTimestampAsOf(spark, table, ict3).count() shouldBe 3L
+    DeltaLite.readTimestampAsOf(spark, table, ict4 - 1).count() shouldBe 3L
+    DeltaLite.readTimestampAsOf(spark, table, ict4 + 1000L).count() shouldBe 2L
+    // below the first retained stamp: refuse, never guess off file mtimes
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.readTimestampAsOf(spark, table, 999999L)
+    // monotonicity survives checkpoint + expireLog: the pointer carries
+    // the last stamp and the next commit re-anchors on it
+    DeltaLite.checkpoint(spark, table)
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lcIn = fs.open(new Path(table, "_delta_log/_last_checkpoint"))
+    val lcText = try scala.io.Source.fromInputStream(lcIn).mkString
+      finally lcIn.close()
+    lcText should include (""""ict":""")
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table)   // v5
+    val after = DeltaLite.ictLedger(spark, table)
+    after.last._1 shouldBe 5L
+    after.last._2 should be > ict4
+  }
+
+  test("V2 checkpoint: sidecars carry the adds, expired log replays exactly, missing sidecar fails the read") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cp_v2")
+    DeltaLite.write(spark,
+      (0L until 20L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1),
+      table, collectStats = true)                                  // v0
+    DeltaLite.write(spark,
+      (20L until 40L).map(k => (k, k * 10L)).toDF("k", "v").coalesce(1),
+      table, collectStats = true)                                  // v1
+    DeltaLite.deleteWhereDV(spark, table, "k", 0L, 4L)             // v2 + DV
+    // protocol lacks v2Checkpoint → the checkpoint lands AFTER its own
+    // upgrade commit (v3), never outrunning the table's declaration
+    val v = DeltaLite.checkpointV2(spark, table, sidecars = 2)
+    v shouldBe 3L
+    DeltaLite.lastCheckpointVersion(spark, table) shouldBe 3L
+    val fs = new Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // shape: ONE uuid-named top-level file + exactly 2 sidecars
+    val tops = fs.listStatus(new Path(table, "_delta_log"))
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith("00000000000000000003.checkpoint.") &&
+        n.endsWith(".parquet"))
+    tops.length shouldBe 1
+    val scDir = new Path(table, "_delta_log/_sidecars")
+    val sidecars = fs.listStatus(scDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    sidecars.length shouldBe 2
+    // the top-level file holds NO add actions — they live in sidecars
+    val top = spark.read.parquet(
+      new Path(new Path(table, "_delta_log"), tops.head).toString)
+    top.where(col("add").isNotNull).count() shouldBe 0L
+    top.where(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").as[Long].head() shouldBe 3L
+    top.where(col("sidecar").isNotNull).count() shouldBe 2L
+    // expire the JSON prefix: state must now come from checkpoint+sidecars
+    DeltaLite.expireLog(spark, table) shouldBe 3L
+    val (df, snap) = DeltaLite.readWithStats(spark, table)
+    snap.checkpointVersion shouldBe 3L
+    df.agg(count(lit(1)), sum($"v")).as[(Long, Long)].head() shouldBe
+      ((35L, (5L until 40L).map(_ * 10L).sum)) // DV still masks k<5
+    // stats replayed from the sidecar add rows → skipping still prunes
+    val (_, matched, total) = DeltaLite.planSkipping(spark, table, "k", 25L, 30L)
+    (matched, total) shouldBe ((1L, 2L))
+    // re-checkpoint on an upgraded table: no second protocol commit
+    DeltaLite.write(spark, Seq((100L, 1000L)).toDF("k", "v"), table) // v4
+    DeltaLite.checkpointV2(spark, table) shouldBe 4L
+    DeltaLite.read(spark, table).count() shouldBe 36L
+    // a sidecar vanishing FAILS the read outright — no partial snapshot
+    DeltaLite.expireLog(spark, table)
+    fs.listStatus(scDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(p => fs.delete(p, false))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLite.read(spark, table).count()
+    }
+    e.getMessage should include("sidecar")
   }
 
   test("partitioned CDF: enable keeps partitionColumns, deletePartition feeds, pruning never opens other partitions") {
