@@ -574,6 +574,15 @@ object IcebergLite {
         m.get("sort-orders").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
       root.put("default-sort-order-id", m.path("default-sort-order-id").asInt(0))
     }
+    // statistics files (spec §Table Statistics / Puffin) are snapshot-
+    // addressed and survive every commit verbatim — a reader decides
+    // staleness by comparing the entry's snapshot-id to the snapshot it
+    // plans; [[writeStatistics]]'s metadata-only commit is the only
+    // writer of new entries
+    prevMeta.filter(_.has("statistics")).foreach { m =>
+      root.set[com.fasterxml.jackson.databind.node.ObjectNode]("statistics",
+        m.get("statistics").deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+    }
     // table properties survive every commit (the exactly-once high-water
     // mark expireSnapshots folds in must outlive later writes)
     val props = root.putObject("properties")
@@ -694,6 +703,41 @@ object IcebergLite {
     v + 1
   }
 
+  /** ROLLBACK to a retained snapshot (Iceberg's `rollback_to_snapshot`
+    * procedure): a METADATA-ONLY commit pointing `current-snapshot-id`
+    * (and the `main` ref) back at `snapshotId`. Nothing rewinds —
+    * history is PRESERVED: later snapshots stay in the list (still
+    * time-travelable, and expirable like any other unreferenced
+    * snapshot), their data files untouched; the next data commit
+    * branches from the restored head (its parent-snapshot-id records
+    * the divergence). At 100 TB this is THE bad-ingest remedy: undoing
+    * a terabyte-scale mistake costs one small JSON commit, zero data
+    * I/O. Rolling back to the current snapshot is a no-op (returns the
+    * current metadata version); an unknown or expired snapshot
+    * refuses. */
+  def rollbackTo(spark: SparkSession, table: String,
+      snapshotId: Long): Int = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    require(metaJsonSnapshots(meta).exists(_._1 == snapshotId),
+      s"snapshot $snapshotId not in $table metadata (expired or never " +
+        "committed) — cannot roll back to it")
+    if (meta.get("current-snapshot-id").asLong() == snapshotId) return v
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    copy.put("current-snapshot-id", snapshotId)
+    val main = copy.`with`("refs").putObject("main")
+    main.put("snapshot-id", snapshotId)
+    main.put("type", "branch")
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"rollbackTo lost the commit race for metadata v${v + 1} on $table")
+    v + 1
+  }
+
   /** Delete a named ref (metadata-only); its snapshot becomes an ordinary
     * expiration candidate again. */
   def dropRef(spark: SparkSession, table: String, name: String): Int = {
@@ -807,6 +851,155 @@ object IcebergLite {
       throw new IllegalStateException(
         s"setSortOrder lost the commit race for v${v + 1} on $table")
     v + 1
+  }
+
+  /** TABLE STATISTICS in a PUFFIN file (spec §Table Statistics +
+    * puffin-spec): distinct-count sketches for `columns`, computed at
+    * the CURRENT snapshot, serialized as `apache-datasketches-theta-v1`
+    * blobs (a compact Theta sketch per column — the blob type the spec
+    * names, producible here because Spark bundles datasketches-java for
+    * its own approx functions), and registered in table metadata's
+    * snapshot-addressed `statistics` list by a METADATA-ONLY commit.
+    * Why this exists at 100 TB: NDV drives join-side and
+    * broadcast decisions, and recomputing it means a full scan —
+    * the Puffin blob is a few KB read at plan time instead. The
+    * compute is one distributed pass: each partition folds its rows
+    * into per-column Theta sketches and emits only the compact bytes
+    * (KB), the driver unions them — order- and partitioning-
+    * insensitive by the sketch's set semantics, never a row collect.
+    * Blob metadata (field ids, snapshot, sequence, `ndv` property) is
+    * duplicated in the file footer AND the table metadata, as the spec
+    * requires, so a planner chooses blobs without opening the file.
+    * Re-running at the same snapshot REPLACES that snapshot's entry.
+    * Returns the new metadata version. */
+  def writeStatistics(spark: SparkSession, table: String,
+      columns: Seq[String]): Int = {
+    require(columns.nonEmpty, "need at least one column to sketch")
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val sid = meta.get("current-snapshot-id").asLong()
+    val seqNum = meta.path("last-sequence-number").asLong(sid)
+    val schema = schemaForSnapshot(meta, sid)
+    columns.foreach(c => require(schema.fieldNames.contains(c),
+      s"statistics column $c not in $table schema"))
+    val df = read(spark, table)
+      .select(columns.map(org.apache.spark.sql.functions.col): _*)
+    val n = columns.length
+    val partSketches = df.rdd.mapPartitions { it =>
+      val sks = Array.fill(n)(
+        org.apache.datasketches.theta.UpdateSketch.builder().build())
+      it.foreach { row =>
+        var i = 0
+        while (i < n) {
+          if (!row.isNullAt(i)) row.get(i) match {
+            case s: String => sks(i).update(s)
+            case l: Long => sks(i).update(l)
+            case d: Double => sks(i).update(d)
+            case other => sks(i).update(other.toString)
+          }
+          i += 1
+        }
+      }
+      Iterator.single(sks.map(_.compact(true, null).toByteArray))
+    }.collect()
+    val merged = (0 until n).map { i =>
+      val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+      partSketches.foreach(p => u.union(
+        org.apache.datasketches.theta.CompactSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(p(i)))))
+      u.getResult(true, null)
+    }
+    val blobs = columns.zip(merged).map { case (c, sk) =>
+      ("apache-datasketches-theta-v1",
+        Seq(schema.fieldNames.indexOf(c) + 1), sid, seqNum,
+        Map("ndv" -> Math.round(sk.getEstimate).toString), sk.toByteArray)
+    }
+    val written = Puffin.write(blobs,
+      Map("created-by" -> "graft IcebergLite"))
+    val statsPath = new Path(metaDir(table),
+      s"$sid-${java.util.UUID.randomUUID()}.stats.puffin")
+    val out = fs.create(statsPath, false)
+    try out.write(written.bytes) finally out.close()
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val stats = mapper.createArrayNode()
+    if (copy.has("statistics")) copy.get("statistics").forEach(s =>
+      if (s.get("snapshot-id").asLong() != sid)
+        stats.add(s.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+    val e = stats.addObject()
+    e.put("snapshot-id", sid)
+    e.put("statistics-path", statsPath.toString)
+    e.put("file-size-in-bytes", written.bytes.length.toLong)
+    e.put("file-footer-size-in-bytes", written.footerSize)
+    val bmArr = e.putArray("blob-metadata")
+    written.blobs.foreach { m =>
+      val b = bmArr.addObject()
+      b.put("type", m.blobType)
+      b.put("snapshot-id", m.snapshotId)
+      b.put("sequence-number", m.sequenceNumber)
+      val f = b.putArray("fields")
+      m.fields.foreach(f.add)
+      if (m.properties.nonEmpty) {
+        val p = b.putObject("properties")
+        m.properties.toSeq.sortBy(_._1).foreach { case (k, pv) => p.put(k, pv) }
+      }
+    }
+    copy.set[com.fasterxml.jackson.databind.node.ObjectNode]("statistics", stats)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"writeStatistics lost the commit race for v${v + 1} on $table")
+    v + 1
+  }
+
+  /** Read back the table's statistics: for each blob registered against
+    * `snapshotId` (default: current), deserialize the Theta sketch and
+    * surface (column, sketch estimate, declared `ndv` property, stale?).
+    * The sketch is re-estimated FROM THE FILE — a copy of the numbers in
+    * the metadata would hide a corrupt or swapped Puffin file; instead
+    * the footer's blob list must agree with the metadata's copy
+    * (offset/type/fields), and all three magics must verify
+    * ([[Puffin.read]] refuses otherwise). `stale` flags statistics
+    * whose snapshot is no longer the table's current one — the reader
+    * decides whether approximations from an older snapshot still
+    * serve. */
+  def readStatistics(spark: SparkSession, table: String)
+      : Seq[(String, Long, Long, Boolean)] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    require(meta.has("statistics") && meta.get("statistics").size() > 0,
+      s"$table has no statistics files — run writeStatistics first")
+    val cur = meta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(meta, cur)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
+    meta.get("statistics").forEach { entry =>
+      val p = new Path(entry.get("statistics-path").asText())
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toByteArray
+      } finally in.close()
+      require(bytes.length == entry.get("file-size-in-bytes").asLong(),
+        s"statistics file $p size ${bytes.length} != metadata's " +
+          s"${entry.get("file-size-in-bytes").asLong()} — refusing")
+      val (metas, payloads, _) = Puffin.read(bytes)
+      val stale = entry.get("snapshot-id").asLong() != cur
+      metas.zip(payloads).foreach { case (m, payload) =>
+        require(m.blobType == "apache-datasketches-theta-v1",
+          s"unknown statistics blob type ${m.blobType} — refusing")
+        val sk = org.apache.datasketches.theta.CompactSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(payload))
+        val colName = schema.fieldNames(m.fields.head - 1)
+        out += ((colName, Math.round(sk.getEstimate),
+          m.properties("ndv").toLong, stale))
+      }
+    }
+    out.toSeq
   }
 
   /** The default sort order's column, None when unsorted (order 0 or no
@@ -1300,6 +1493,139 @@ object IcebergLite {
         "its rows"))
     require(files.nonEmpty, s"no files added in ($fromSnap, $toSnap] on $table")
     spark.read.parquet(files.toSeq: _*)
+  }
+
+  /** ROW-LEVEL CHANGELOG scan over (fromSnap, toSnap] — the
+    * full-strength form [[readChanges]]/[[readChangesAncestry]] refuse
+    * down to (Iceberg's own `create_changelog_view`): every snapshot
+    * kind is representable, because each snapshot's changes derive from
+    * the STATE DIFF against its parent instead of an append-only
+    * attribution walk. Output = the table's columns + `_change_type`
+    * (`insert` | `delete`) + `_snapshot_id`. Per snapshot, ascending:
+    *
+    *   - data files ADDED vs the parent (set diff by file key — robust
+    *     whether the manifest list was carried by reference, rewritten
+    *     by a COW overwrite, or freshly written) → their rows as
+    *     `insert`;
+    *   - data files REMOVED vs the parent → their rows AS LIVE AT THE
+    *     PARENT (earlier position/equality deletes already subtracted —
+    *     a masked row must not re-report its deletion) as `delete`;
+    *   - DELETE FILES added in the snapshot (merge-on-read DML) → the
+    *     parent-live rows they mask, found by position semi-join
+    *     (position deletes) or value semi-join (equality deletes) as
+    *     `delete` — so a MOR UPDATE surfaces as its delete+insert pair,
+    *     exactly how Iceberg's changelog renders updates;
+    *   - `replace` (rewriteDataFiles) snapshots contribute NOTHING:
+    *     byte-not-row rewrites are invisible to a row-level feed.
+    *
+    * Like the ancestry walk, every snapshot in range must still be
+    * retained (expiration removes the evidence — refuse, never guess),
+    * and a parent expired out from under a snapshot refuses too. COW
+    * rewrites report at FILE grain (carried rows appear as delete+insert
+    * pairs, Iceberg's own changelog behavior for copy-on-write); MOR
+    * commits report exactly the touched rows. Cost: control-plane
+    * manifest reads per snapshot plus targeted scans of only the
+    * added/removed/masked files — O(changed bytes), never O(table). */
+  def readChangelog(spark: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val snapLists = metaJsonSnapshots(meta).toMap
+    (fromSnap + 1 to toSnap).foreach(sid => require(snapLists.contains(sid),
+      s"snapshot $sid expired from $table: changelog cannot reconstruct " +
+        "its changes"))
+    val ops = mutable.Map.empty[Long, String]
+    val parents = mutable.Map.empty[Long, Long]
+    meta.get("snapshots").forEach { s =>
+      val sid = s.get("snapshot-id").asLong()
+      ops(sid) = s.get("summary").get("operation").asText()
+      if (s.has("parent-snapshot-id"))
+        parents(sid) = s.get("parent-snapshot-id").asLong()
+    }
+    val sids = snapLists.keySet.filter(s => s > fromSnap && s <= toSnap)
+      .toSeq.sorted
+    require(sids.nonEmpty, s"no snapshots in ($fromSnap, $toSnap] on $table")
+    val slices = sids.flatMap { sid =>
+      if (ops(sid) == "replace") Seq.empty[DataFrame]
+      else {
+        // parent = recorded pointer, else the nearest lower snapshot id
+        // (ids are this writer's monotone commit order); None on the
+        // table-creating snapshot
+        val parent: Option[Long] = parents.get(sid).orElse(
+          snapLists.keySet.filter(_ < sid).reduceOption(_ max _))
+        parent.foreach(p => require(snapLists.contains(p),
+          s"parent snapshot $p of $sid expired from $table: changelog " +
+            "cannot reconstruct the state diff"))
+        val curFiles = snapshotManifestFiles(spark, table, sid, content = 0)
+          .map { case (p, _) => (fileKeyRaw(p), p) }.toMap
+        val parFiles = parent.map(p =>
+          snapshotManifestFiles(spark, table, p, content = 0)
+            .map { case (q, _) => (fileKeyRaw(q), q) }.toMap)
+          .getOrElse(Map.empty[String, String])
+        val addedPaths = (curFiles.keySet -- parFiles.keySet).toSeq.sorted
+          .map(curFiles)
+        val removedKeys = parFiles.keySet -- curFiles.keySet
+        val schema = schemaForSnapshot(meta, sid)
+        val inserts =
+          if (addedPaths.isEmpty) None
+          else Some(spark.read.schema(schema).parquet(addedPaths: _*)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_snapshot_id", lit(sid)))
+        val cowDeletes =
+          if (removedKeys.isEmpty) None
+          else Some(readLive(spark, table, parent.get, keepMeta = true,
+              onlyFiles = Some(removedKeys))
+            .drop("__fn", "__ri")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_snapshot_id", lit(sid)))
+        // delete FILES this snapshot added (MOR DML): the rows they mask
+        // were live at the parent — semi-join them out of the parent view
+        val newDeletes = listEntries(fs, new Path(snapLists(sid)))
+          .filter(m => m.content == 1 && m.addedSid == sid)
+          .flatMap(m => readAvroFile(fs, new Path(m.path))
+            .filter(_.get("status").asInstanceOf[Int] != 2)
+            .map { e =>
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              val kind =
+                if (d.getSchema.getField("content") == null) 1
+                else d.get("content").asInstanceOf[Int]
+              (d.get("file_path").toString, kind)
+            })
+        val morDeletes =
+          if (newDeletes.isEmpty) None
+          else {
+            val parentLive = readLive(spark, table, parent.get, keepMeta = true)
+            val pos = newDeletes.filter(_._2 == 1).map(_._1)
+            val eq = newDeletes.filter(_._2 == 2).map(_._1)
+            var masked: Option[DataFrame] = None
+            if (pos.nonEmpty) {
+              val coords = spark.read.parquet(pos: _*)
+                .select(fileKeyCol(col("file_path")).as("__fn"),
+                  col("pos").as("__ri"))
+              masked = Some(parentLive.join(coords, Seq("__fn", "__ri"),
+                "left_semi"))
+            }
+            eq.groupBy(p => spark.read.parquet(p).schema.fieldNames.head)
+              .foreach { case (eqCol, files) =>
+                val vals = spark.read.parquet(files: _*)
+                  .select(col(eqCol)).distinct()
+                val hit = parentLive.join(vals,
+                  parentLive(eqCol) === vals(eqCol), "left_semi")
+                masked = Some(masked.map(_.unionByName(hit)).getOrElse(hit))
+              }
+            masked.map(_.drop("__fn", "__ri")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_snapshot_id", lit(sid)))
+          }
+        Seq(cowDeletes, morDeletes, inserts).flatten
+      }
+    }
+    require(slices.nonEmpty,
+      s"only replace snapshots in ($fromSnap, $toSnap] on $table — no row changes")
+    slices.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def sparkType(t: String): org.apache.spark.sql.types.DataType =

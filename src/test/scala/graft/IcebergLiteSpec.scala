@@ -871,4 +871,147 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).orderBy("k", "v").as[(Long, Long)]
       .collect() shouldBe Seq((1L, 10L), (1L, 11L), (2L, 200L), (3L, 30L))
   }
+
+  test("rollback: metadata-only head move, history preserved, next commit branches from the restored head") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_rollback")
+    IcebergLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table) // snap 1
+    IcebergLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table) // snap 2
+    IcebergLite.write(spark, Seq((3L, 30L)).toDF("k", "v"), table) // snap 3
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val v = IcebergLite.rollbackTo(spark, table, 1L)
+    v shouldBe IcebergLite.latestMetadataVersion(spark, table)
+    // head moved, zero data I/O, bad snapshots still time-travelable
+    IcebergLite.read(spark, table).as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 10L))
+    IcebergLite.read(spark, table, snapshotId = 3L).count() shouldBe 3L
+    IcebergLite.snapshotFiles(spark, table, 3L).toSet shouldBe filesBefore
+    // idempotent on the current head
+    IcebergLite.rollbackTo(spark, table, 1L) shouldBe v
+    // the next commit branches FROM the restored head
+    IcebergLite.write(spark, Seq((9L, 90L)).toDF("k", "v"), table)
+    IcebergLite.read(spark, table).as[(Long, Long)].collect().toSet shouldBe
+      Set((1L, 10L), (9L, 90L))
+    // divergence recorded: the new snapshot's parent is the restored head
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(table, "metadata",
+        f"v${IcebergLite.latestMetadataVersion(spark, table)}%d.metadata.json")))
+    val root = mapper.readTree(meta)
+    var parentOfNew = -1L
+    root.get("snapshots").forEach { s =>
+      if (s.get("snapshot-id").asLong() ==
+          root.get("current-snapshot-id").asLong())
+        parentOfNew = s.get("parent-snapshot-id").asLong()
+    }
+    parentOfNew shouldBe 1L
+    // unknown snapshot refuses
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.rollbackTo(spark, table, 999L)
+  }
+
+  test("changelog: state-diff feed over appends, MOR delete/update, overwrite; replace invisible; expired refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = graft.ingest.Sinks.tempDir("ice_changelog")
+    IcebergLite.write(spark,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), table)    // snap 1
+    IcebergLite.write(spark,
+      Seq((7L, 70L), (8L, 80L)).toDF("k", "v"), table)            // snap 2
+    IcebergLite.deleteWhere(spark, table, "k", 1L, 2L)            // snap 3 MOR
+    IcebergLite.updateWhere(spark, table, "k", 5L, 6L,
+      Map("v" -> (col("v") + lit(1L))))                           // snap 4 MOR
+    IcebergLite.rewriteDataFiles(spark, table)                    // snap 5 replace
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "_change_type", "_snapshot_id")
+        .as[(Long, Long, String, Long)].collect().toSet
+    // full-range feed: every row change, attributed to its snapshot
+    val full = rows(IcebergLite.readChangelog(spark, table, 0L, 5L))
+    full shouldBe (
+      (1L to 6L).map(k => (k, k * 10L, "insert", 1L)).toSet ++
+      Set((7L, 70L, "insert", 2L), (8L, 80L, "insert", 2L),
+        (1L, 10L, "delete", 3L), (2L, 20L, "delete", 3L),
+        (5L, 50L, "delete", 4L), (6L, 60L, "delete", 4L),   // preimages
+        (5L, 51L, "insert", 4L), (6L, 61L, "insert", 4L)))  // postimages
+    // a sliced range sees only its snapshots' changes
+    rows(IcebergLite.readChangelog(spark, table, 2L, 4L)) shouldBe Set(
+      (1L, 10L, "delete", 3L), (2L, 20L, "delete", 3L),
+      (5L, 50L, "delete", 4L), (6L, 60L, "delete", 4L),
+      (5L, 51L, "insert", 4L), (6L, 61L, "insert", 4L))
+    // a masked row never re-reports: re-delete overlapping 1..3 —
+    // only the still-live row 3 surfaces
+    IcebergLite.deleteWhere(spark, table, "k", 1L, 3L)            // snap 6
+    rows(IcebergLite.readChangelog(spark, table, 5L, 6L)) shouldBe Set(
+      (3L, 30L, "delete", 6L))
+    // a COW overwrite reports at file grain: every live row deleted,
+    // every new row inserted
+    IcebergLite.write(spark, Seq((100L, 1L)).toDF("k", "v"), table,
+      overwrite = true)                                           // snap 7
+    val ow = rows(IcebergLite.readChangelog(spark, table, 6L, 7L))
+    ow.filter(_._3 == "insert") shouldBe Set((100L, 1L, "insert", 7L))
+    ow.filter(_._3 == "delete").map(r => (r._1, r._2)) shouldBe
+      Set((4L, 40L), (5L, 51L), (6L, 61L), (7L, 70L), (8L, 80L))
+    // replace-only ranges carry no row changes — refuse, never silence
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.readChangelog(spark, table, 4L, 5L)
+    // an expired snapshot in range refuses
+    IcebergLite.expireSnapshots(spark, table, keepLast = 1)
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.readChangelog(spark, table, 0L, 7L)
+  }
+
+  test("Puffin statistics: theta blobs round-trip, survive data commits, staleness flagged, corruption refuses") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_puffin")
+    IcebergLite.write(spark,
+      (0L until 200L).map(k => (k, s"cat-${k % 7}")).toDF("k", "cat")
+        .repartition(4), table)
+    // no statistics yet — refuse, never invent
+    an[IllegalArgumentException] should be thrownBy
+      IcebergLite.readStatistics(spark, table)
+    val v = IcebergLite.writeStatistics(spark, table, Seq("k", "cat"))
+    v shouldBe IcebergLite.latestMetadataVersion(spark, table)
+    // exact-mode theta: estimates ARE the distinct counts; partitioning
+    // didn't matter (4 partitions unioned)
+    val stats = IcebergLite.readStatistics(spark, table)
+    stats.map(s => (s._1, s._2, s._3, s._4)).toSet shouldBe
+      Set(("k", 200L, 200L, false), ("cat", 7L, 7L, false))
+    // the puffin FILE itself is spec-shaped: three magics, footer blob
+    // list agreeing with the metadata copy
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val puffins = fs.listStatus(new org.apache.hadoop.fs.Path(table, "metadata"))
+      .map(_.getPath).filter(_.getName.endsWith(".stats.puffin"))
+    puffins.length shouldBe 1
+    val bytes = {
+      val in = fs.open(puffins.head)
+      try { val b = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, b, 65536, false)
+        b.toByteArray } finally in.close()
+    }
+    val (metas, payloads, fileProps) = graft.sources.Puffin.read(bytes)
+    metas.map(_.blobType).toSet shouldBe Set("apache-datasketches-theta-v1")
+    metas.map(_.fields) shouldBe Seq(Seq(1), Seq(2))
+    payloads.foreach(_.length should be > 8)
+    fileProps("created-by") should include("graft")
+    // statistics SURVIVE a later data commit (carried verbatim), and the
+    // reader flags them STALE against the new snapshot
+    IcebergLite.write(spark, Seq((1000L, "cat-new")).toDF("k", "cat"), table)
+    val stale = IcebergLite.readStatistics(spark, table)
+    stale.map(_._4).toSet shouldBe Set(true)
+    stale.find(_._1 == "k").get._2 shouldBe 200L // still the OLD snapshot's count
+    // recompute at the new snapshot: fresh entry replaces nothing (new
+    // snapshot id), estimates track the appended data
+    IcebergLite.writeStatistics(spark, table, Seq("k", "cat"))
+    val fresh = IcebergLite.readStatistics(spark, table)
+      .filter(!_._4)
+    fresh.map(s => (s._1, s._2)).toSet shouldBe
+      Set(("k", 201L), ("cat", 8L))
+    // corruption refuses: flip a byte inside the footer magic
+    val corrupt = bytes.clone()
+    corrupt(corrupt.length - 1) = 'X'.toByte
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.Puffin.read(corrupt)
+    }
+    ex.getMessage should include("magic")
+  }
 }
