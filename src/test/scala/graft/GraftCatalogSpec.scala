@@ -63,6 +63,43 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     scan.scan.readSchema().fieldNames.toSeq shouldBe Seq("k", "v")
   }
 
+  test("delta: TIMESTAMP AS OF resolves through in-commit timestamps; pre-ICT and Iceberg refuse") {
+    import spark.implicits._
+    val t = s"$warehouse/db/dtts"
+    DeltaLite.write(spark, (1L to 4L).map(k => (k, k)).toDF("k", "v"), t) // v0
+    // no stamps yet: refuse with the remedy, never fall back to mtimes
+    val e0 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.dtts " +
+        "TIMESTAMP AS OF timestamp_millis(1700000000000)").collect()
+    }
+    e0.getMessage should include("in-commit timestamps")
+    DeltaLite.enableInCommitTimestamps(spark, t,
+      now = 1700000000000L)                                              // v1
+    DeltaLite.write(spark, Seq((9L, 9L)).toDF("k", "v"), t)              // v2
+    val ict2 = DeltaLite.ictLedger(spark, t).last._2
+    // at the enablement stamp: v1 state (4 rows); at/after v2's: 5 rows
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.dtts " +
+        "TIMESTAMP AS OF timestamp_millis(1700000000000)")
+      .as[Long].collect() shouldBe Seq(4L)
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.dtts " +
+        s"TIMESTAMP AS OF timestamp_millis($ict2)")
+      .as[Long].collect() shouldBe Seq(5L)
+    // below the first stamp refuses
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.dtts " +
+        "TIMESTAMP AS OF timestamp_millis(1699999999999)").collect()
+    }
+    e1.getMessage should include("precedes the first retained")
+    // Iceberg: no wall-clock axis in this subset — refuse, name the remedy
+    val it = s"$warehouse/db/itts"
+    IcebergLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), it)
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.itts " +
+        "TIMESTAMP AS OF timestamp_millis(1700000000000)").collect()
+    }
+    e2.getMessage should include("VERSION AS OF")
+  }
+
   test("iceberg: SQL read, snapshot time travel, schema-at-snapshot") {
     import spark.implicits._
     val t = s"$warehouse/db/isql"
