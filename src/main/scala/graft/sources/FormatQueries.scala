@@ -1587,7 +1587,212 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X36ac: Delta SHALLOW CLONE — zero-copy table copy: one metadata
+    * commit whose adds reference the source's live files by ABSOLUTE
+    * path (the protocol's other `add.path` form); at 100 TB a dev/test
+    * copy costs milliseconds and zero data bytes. The clone then lives
+    * its own life: appends land in ITS data dir, copy-on-write DML
+    * rewrites into ITS dir, and the SOURCE never changes — the key pins
+    * both directions (clone evolves, source count/files untouched) plus
+    * the zero-copy fact itself. */
+  private def deltaClone(spark: SparkSession, dir: String): DataFrame = {
+    val src = Sinks.tempDir("delta_clone_src_q")
+    val dst = Sinks.tempDir("delta_clone_dst_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0), src,
+      collectStats = true)
+    DeltaLite.shallowClone(spark, src, dst)
+    val fs = new org.apache.hadoop.fs.Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val zeroCopy = !fs.exists(new org.apache.hadoop.fs.Path(dst, "data"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1), dst)
+    DeltaLite.deleteWhere(spark, dst, "o_orderkey", 1L, 1000L)
+    val srcRows = DeltaLite.read(spark, src).count()
+    DeltaLite.read(spark, dst)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("src_rows", lit(srcRows))
+      .withColumn("zero_copy", lit(zeroCopy))
+  }
+
+  /** X261y: Iceberg ROLLBACK (`rollback_to_snapshot`) — the bad-ingest
+    * remedy at lake scale: one small metadata-only commit moves the
+    * head back, zero data I/O; history is preserved (the orphaned
+    * snapshot still time-travels and its file set is untouched — both
+    * pinned by the key). */
+  private def icebergRollback(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_rollback_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table) // 1
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table) // 2
+    val before = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    IcebergLite.rollbackTo(spark, table, 1L)
+    val orphanRows = IcebergLite.read(spark, table, snapshotId = 2L).count()
+    val untouched = IcebergLite.snapshotFiles(spark, table, 2L).toSet == before
+    IcebergLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_at_orphan", lit(orphanRows))
+      .withColumn("files_untouched", lit(untouched))
+  }
+
+  /** X36ab: Delta IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit
+    * Timestamps) — the table's time axis moves INTO the commit: once
+    * enabled, the commit arbiter stamps every commit's leading
+    * commitInfo with a strictly-monotone `inCommitTimestamp`, and
+    * `TIMESTAMP AS OF` resolves through the stamps instead of
+    * file-modification times (which clock skew, log copy/restore and
+    * cleanup reorder — the failure mode the feature ends). The key
+    * pins: the enablement stamp (injected, so deterministic), time
+    * travel to the enablement instant (pre-enable content) and past the
+    * last stamp (current content), ledger monotonicity, and the
+    * refusal below the first retained stamp. */
+  private def deltaIct(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_ict_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table) // v0
+    DeltaLite.enableInCommitTimestamps(spark, table,
+      now = 1700000000000L)                                             // v1
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table) // v2
+    val ledger = DeltaLite.ictLedger(spark, table)
+    val monotone = ledger.map(_._2) == ledger.map(_._2).sorted &&
+      ledger.map(_._2).distinct.length == ledger.length
+    val rowsAtEnable =
+      DeltaLite.readTimestampAsOf(spark, table, ledger.head._2).count()
+    val refusedBelow =
+      try { DeltaLite.readTimestampAsOf(spark, table, ledger.head._2 - 1)
+        false }
+      catch { case _: IllegalArgumentException => true }
+    DeltaLite.readTimestampAsOf(spark, table, ledger.last._2 + 1000L)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("rows_at_enable", lit(rowsAtEnable))
+      .withColumn("first_stamp", lit(ledger.head._2))
+      .withColumn("monotone", lit(monotone))
+      .withColumn("refused_below", lit(refusedBelow))
+  }
+
+  /** X261x: Iceberg CHANGELOG scan — the full-strength change feed the
+    * append-only incremental reads (X261h/X261l) refuse down to,
+    * Iceberg's own `create_changelog_view`: every snapshot kind is
+    * representable because changes derive from each snapshot's STATE
+    * DIFF against its parent (added/removed files + the rows new MOR
+    * delete files mask), so a consumer replays appends, merge-on-read
+    * DELETEs and UPDATEs (delete+insert pairs), and COW overwrites from
+    * one feed; `replace` (compaction) snapshots are invisible, and the
+    * post-compaction feed still answers — the state diff reads each
+    * snapshot's own retained manifests. The key runs the lifecycle and
+    * aggregates the feed per (change type, snapshot); the oracle
+    * reproduces every slice from the source relation. */
+  private def icebergChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_changelog_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table) // 1
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table) // 2
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 500L)         // 3
+    IcebergLite.updateWhere(spark, table, "o_orderkey", 501L, 1500L,
+      Map("o_totalprice" -> (col("o_totalprice") + lit(100.0))))          // 4
+    IcebergLite.rewriteDataFiles(spark, table)                            // 5
+    IcebergLite.readChangelog(spark, table, 0L, 5L)
+      .groupBy(col("_change_type"), col("_snapshot_id").as("snap"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("snap", "_change_type")
+  }
+
+  /** X269: Iceberg TABLE STATISTICS via PUFFIN (spec §Table Statistics
+    * + puffin-spec) — NDV sketches outside the data path: one
+    * distributed pass folds each partition into per-column compact
+    * Theta sketches (`apache-datasketches-theta-v1`, the spec's blob
+    * type), the driver unions KB-sized blobs, and the Puffin file
+    * registers in table metadata by a metadata-only commit. At 100 TB
+    * this is what replaces a full scan per distinct-count at plan time.
+    * The key sketches two low-cardinality orders columns (Theta stays
+    * in exact mode, so the estimates ARE the distinct counts and the
+    * DuckDB oracle reproduces them exactly at every SF), re-reads them
+    * THROUGH the file (footer magics + blob parse, not a metadata
+    * copy), and proves staleness bookkeeping after a further append. */
+  private def icebergPuffin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = Sinks.tempDir("ice_puffin_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    IcebergLite.write(spark, o, table)
+    IcebergLite.writeStatistics(spark, table,
+      Seq("o_orderstatus", "o_orderpriority"))
+    val stats = IcebergLite.readStatistics(spark, table)
+    // a later append makes them stale; the flag must flip
+    IcebergLite.write(spark,
+      Seq((-1L, "Z", "9-NONE")).toDF(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"), table)
+    val staleAfter = IcebergLite.readStatistics(spark, table).forall(_._4)
+    stats.toDF("col", "ndv_sketch", "ndv_prop", "stale")
+      .withColumn("stale_after_append", lit(staleAfter))
+      .orderBy("col")
+  }
+
+  /** X36aa: V2 CHECKPOINT (PROTOCOL.md §V2 Checkpoints) — the current
+    * spec frontier of Delta checkpointing: the control plane lives in
+    * one UUID-named top-level file while the file actions split across
+    * SIDECAR parquet files under `_delta_log/_sidecars/`, so a
+    * million-file table checkpoints without rewriting its whole add set
+    * in one artifact. The key runs the full lifecycle against real
+    * state worth checkpointing — partition-shaped appends, a DV delete
+    * (the descriptor must survive THROUGH the sidecar), checkpointV2,
+    * then expireLog so the read can only answer from
+    * checkpoint+sidecars. DeltaLiteSpec pins the file shapes and the
+    * refuse-on-missing-sidecar rule; this key pins the ANSWERS. */
+  private def deltaCheckpointV2(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cp_v2_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table,
+      collectStats = true) // v0
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table,
+      collectStats = true) // v1
+    DeltaLite.deleteWhereDV(spark, table, "o_orderkey", 1L, 1000L) // v2
+    val cpV = DeltaLite.checkpointV2(spark, table, sidecars = 3) // v3 upgrade
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("cp_version", lit(cpV))
+  }
+
+  /** X36u'': column-mapping ID MODE + EVOLUTION on mapped tables — the
+    * routine lifecycle collision the subset previously refused: create
+    * in id mode (parquet footers carry the column ids readers bind to),
+    * RENAME metadata-only (mode preserved), then a WIDENING append whose
+    * new column takes the next id; the current read surfaces the
+    * renamed + widened schema with pre-widening files as NULL, and time
+    * travel below the rename still answers under the ORIGINAL name. */
+  private def deltaCmEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_cm_evo_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.writeColumnMapped(spark,
+      o.where(col("o_orderkey") % 2 === 0), table, mode = "id") // v0
+    DeltaLite.renameColumn(spark, table, "o_totalprice", "price") // v1
+    DeltaLite.writeColumnMapped(spark,
+      Tables.orders(spark, dir).where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio")), table) // v2: widen
+    val v0 = DeltaLite.read(spark, table, versionAsOf = 0L)
+    DeltaLite.read(spark, table)
+      .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"),
+        count(col("prio")).as("n_prio"))
+      .withColumn("rows_v0", lit(v0.count()))
+      .withColumn("v0_has_old_name",
+        lit(v0.columns.contains("o_totalprice")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_delta_checkpoint_v2" -> ((s, dir) => deltaCheckpointV2(s, dir)),
+    "x_iceberg_puffin" -> ((s, dir) => icebergPuffin(s, dir)),
+    "x_iceberg_changelog" -> ((s, dir) => icebergChangelog(s, dir)),
+    "x_delta_ict" -> ((s, dir) => deltaIct(s, dir)),
+    "x_delta_clone" -> ((s, dir) => deltaClone(s, dir)),
+    "x_iceberg_rollback" -> ((s, dir) => icebergRollback(s, dir)),
+    "x_delta_cm_evolution" -> ((s, dir) => deltaCmEvolution(s, dir)),
     "x_delta_sql_read" -> ((s, dir) => deltaSqlRead(s, dir)),
     "x_iceberg_sql_read" -> ((s, dir) => icebergSqlRead(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
@@ -1660,6 +1865,82 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // shallow clone: dst evolved (all orders minus deleted range), src
+    // untouched (evens), zero bytes copied at clone time
+    "x_delta_clone" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS src_rows,
+        |  TRUE AS zero_copy
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 1000""".stripMargin,
+    // rollback: head back to the evens snapshot; the orphaned snapshot
+    // still answers in full and its files are untouched
+    "x_iceberg_rollback" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders) AS rows_at_orphan,
+        |  TRUE AS files_untouched
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
+    // in-commit timestamps: time travel past the last stamp sees all
+    // orders; at the enablement stamp only the evens (pre-enable v0)
+    "x_delta_ict" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS rows_at_enable,
+        |  1700000000000::BIGINT AS first_stamp,
+        |  TRUE AS monotone, TRUE AS refused_below
+        |FROM orders""".stripMargin,
+    // changelog: inserts per parity-append, MOR delete preimages for
+    // keys 1..500, update preimage/postimage pairs for keys 501..1500
+    // (+100 on the postimage); the replace snapshot contributes nothing
+    "x_iceberg_changelog" ->
+      """SELECT * FROM (
+        |  SELECT 'insert' AS _change_type, 1::BIGINT AS snap,
+        |    count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'insert', 2::BIGINT, count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT 'delete', 3::BIGINT, count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 500
+        |  UNION ALL
+        |  SELECT 'delete', 4::BIGINT, count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
+        |  UNION ALL
+        |  SELECT 'insert', 4::BIGINT, count(*),
+        |    round(sum(o_totalprice + 100.0), 2)
+        |  FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
+        |) ORDER BY snap, _change_type""".stripMargin,
+    // puffin NDV: theta exact-mode estimates equal the true distinct
+    // counts of the two low-cardinality columns at any SF
+    "x_iceberg_puffin" ->
+      """SELECT col, ndv_sketch, ndv_sketch AS ndv_prop,
+        |  FALSE AS stale, TRUE AS stale_after_append
+        |FROM (
+        |  SELECT 'o_orderstatus' AS col,
+        |    count(DISTINCT o_orderstatus) AS ndv_sketch FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    count(DISTINCT o_orderpriority) FROM orders
+        |) ORDER BY col""".stripMargin,
+    // V2 checkpoint: all orders minus the DV-deleted key range; the
+    // checkpoint landed at v3 (v0,v1 appends + v2 delete + protocol
+    // upgrade commit)
+    "x_delta_checkpoint_v2" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  3::BIGINT AS cp_version
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 1000""".stripMargin,
+    // mapped-table evolution: evens created, renamed, odds appended
+    // widened with priority — prio is non-null exactly on the appended
+    // rows; v0 = evens under the original column name
+    "x_delta_cm_evolution" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+        |    AS n_prio,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS rows_v0,
+        |  TRUE AS v0_has_old_name
+        |FROM orders""".stripMargin,
     // partitioned MOR: the merged view = all rows minus the deleted key
     // range, +100.0 on the updated range; snapshot 1 = everything
     "x_iceberg_update_partitioned" ->

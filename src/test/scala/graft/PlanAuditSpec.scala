@@ -92,6 +92,18 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delta_restore" -> 1, // category 1: 1-row post-restore summary
     // category 1: 1-row post-rename/drop summary over the mapped read
     "x_delta_column_mapping" -> 1,
+    // category 1: 1-row current-read summary after the rename→widen
+    // lifecycle (the widened appends themselves are narrow writes)
+    "x_delta_cm_evolution" -> 1,
+    // category 1: 1-row post-expireLog summary read through the V2
+    // checkpoint + sidecars
+    "x_delta_checkpoint_v2" -> 1,
+    // category 1: 1-row summary of the timestamp-resolved read
+    "x_delta_ict" -> 1,
+    // category 1: 1-row post-DML summary of the evolved clone
+    "x_delta_clone" -> 1,
+    // category 1: 1-row summary of the rolled-back head
+    "x_iceberg_rollback" -> 1,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
     // category 1: four 1-row scalar finals, one per metadata table kind
