@@ -1628,6 +1628,31 @@ object IcebergLite {
     slices.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** NET CHANGES over (fromSnap, toSnap] — [[readChangelog]] folded to
+    * its endpoint-to-endpoint effect (Iceberg's `net_changes` option):
+    * per distinct row VALUE, inserts count +1 and deletes −1 across the
+    * range; rows whose multiplicity nets to zero VANISH — a row
+    * inserted then deleted inside the range, and the delete+insert
+    * pairs a copy-on-write rewrite reports for carried rows, cancel
+    * exactly. Output = the table's columns + `_change_type` + `_net`
+    * (|multiplicity change|). One shuffle of CHANGED rows only — the
+    * table itself is never grouped. */
+  def readChangelogNet(spark: SparkSession, table: String, fromSnap: Long,
+      toSnap: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, lit, sum, when}
+    val cl = readChangelog(spark, table, fromSnap, toSnap)
+    val valueCols = cl.columns.filterNot(c =>
+      c == "_change_type" || c == "_snapshot_id").toSeq
+    cl.groupBy(valueCols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("__net"))
+      .where(col("__net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__net") > 0, "insert").otherwise("delete"))
+      .withColumn("_net", abs(col("__net")))
+      .drop("__net")
+  }
+
   private def sparkType(t: String): org.apache.spark.sql.types.DataType =
     t match {
       case "long" => LongType

@@ -959,6 +959,45 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       IcebergLite.readChangelog(spark, table, 0L, 7L)
   }
 
+  test("changelog net: COW carried-row pairs cancel, insert-then-delete vanishes, stacked updates fold to one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val table = graft.ingest.Sinks.tempDir("ice_cl_net")
+    IcebergLite.write(spark,
+      (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v"), table)    // snap 1
+    // COW overwrite rewriting everything + adding 5,6: carried rows
+    // 1..4 appear as delete+insert pairs in the raw feed
+    IcebergLite.write(spark,
+      (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"), table,
+      overwrite = true)                                           // snap 2
+    IcebergLite.deleteWhere(spark, table, "k", 5L, 5L)            // snap 3
+    IcebergLite.updateWhere(spark, table, "k", 6L, 6L,
+      Map("v" -> (col("v") + lit(1L))))                           // snap 4
+    IcebergLite.updateWhere(spark, table, "k", 6L, 6L,
+      Map("v" -> (col("v") + lit(1L))))                           // snap 5
+    // raw feed over (1, 5]: carried pairs + churn all present
+    val raw = IcebergLite.readChangelog(spark, table, 1L, 5L)
+    raw.count() should be > 6L
+    // net over (1,5]: carried 1..4 cancel, 5 inserted-then-deleted
+    // vanishes, 6's whole churn (insert@2, two updates) folds to its
+    // final value alone
+    IcebergLite.readChangelogNet(spark, table, 1L, 5L)
+      .select("k", "v", "_change_type", "_net")
+      .as[(Long, Long, String, Long)].collect().toSet shouldBe
+      Set((6L, 62L, "insert", 1L))
+    // net over (2,5]: the pre-range values now surface as deletes
+    IcebergLite.readChangelogNet(spark, table, 2L, 5L)
+      .select("k", "v", "_change_type", "_net")
+      .as[(Long, Long, String, Long)].collect().toSet shouldBe
+      Set((5L, 50L, "delete", 1L), (6L, 60L, "delete", 1L),
+        (6L, 62L, "insert", 1L))
+    // full-range net == current table content (empty start)
+    val full = IcebergLite.readChangelogNet(spark, table, 0L, 5L)
+    full.where(col("_change_type") === "delete").count() shouldBe 0L
+    full.select("k", "v").as[(Long, Long)].collect().toSet shouldBe
+      IcebergLite.read(spark, table).as[(Long, Long)].collect().toSet
+  }
+
   test("Puffin statistics: theta blobs round-trip, survive data commits, staleness flagged, corruption refuses") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_puffin")
