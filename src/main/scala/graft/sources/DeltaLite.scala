@@ -288,7 +288,8 @@ object DeltaLite {
       dvs: Map[String, DeletionVectors.Descriptor] = Map.empty,
       protocol: Option[Protocol] = None,
       config: Map[String, String] = Map.empty,
-      partCols: Seq[String] = Seq.empty)
+      partCols: Seq[String] = Seq.empty,
+      domains: Map[String, String] = Map.empty)
 
   /** Inverse of Spark/Hive's partition-directory escaping (the r09
     * advisor finding on the Iceberg side): directory names URI-escape
@@ -398,6 +399,7 @@ object DeltaLite {
     var proto: Option[Protocol] = None
     var config: Map[String, String] = Map.empty
     var partCols: Seq[String] = Seq.empty
+    val domains = mutable.Map.empty[String, String]
     val cpFiles =
       if (cpV >= 0 && cpV <= asOf) checkpointFileSet(spark, table, cpV)
       else Seq.empty
@@ -420,11 +422,14 @@ object DeltaLite {
       // actions; selecting it (when present) after the fixed columns
       // keeps every positional index below stable
       val hasSidecar = cp.schema.fieldNames.contains("sidecar")
+      val hasDomain = cp.schema.fieldNames.contains("domainMetadata")
       val baseCols =
         if (hasTxn) Seq("protocol", "metaData", "add", "txn")
         else Seq("protocol", "metaData", "add")
-      val rows = cp.select((baseCols ++
-        (if (hasSidecar) Seq("sidecar") else Nil)).map(cp.col): _*).collect()
+      val optCols = (if (hasSidecar) Seq("sidecar") else Nil) ++
+        (if (hasDomain) Seq("domainMetadata") else Nil)
+      val rows = cp.select((baseCols ++ optCols).map(cp.col): _*).collect()
+      val domIdx = baseCols.length + (if (hasSidecar) 1 else 0)
       rows.foreach { r =>
         if (!r.isNullAt(0)) {
           val p = r.getStruct(0)
@@ -464,6 +469,10 @@ object DeltaLite {
           val t = r.getStruct(3)
           txns(t.getString(0)) =
             math.max(txns.getOrElse(t.getString(0), Long.MinValue), t.getLong(1))
+        }
+        if (hasDomain && !r.isNullAt(domIdx)) {
+          val d = r.getStruct(domIdx)
+          domains(d.getString(0)) = d.getString(1)
         }
       }
       if (hasSidecar) {
@@ -580,12 +589,21 @@ object DeltaLite {
           val app = t.get("appId").asText()
           txns(app) = math.max(txns.getOrElse(app, Long.MinValue),
             t.get("version").asLong())
+        } else if (node.has("domainMetadata")) {
+          // §Domain Metadata: newest action per domain wins; a removal
+          // tombstone deletes the domain from the snapshot
+          val d = node.get("domainMetadata")
+          if (d.path("removed").asBoolean(false))
+            domains -= d.get("domain").asText()
+          else
+            domains(d.get("domain").asText()) =
+              d.get("configuration").asText()
         }
       }
     }
     Snapshot(live.toSeq, meta, if (fromCheckpoint) cpV else -1L,
       asOf - firstJson + 1, stats.toMap, txns.toMap, pvals.toMap, dvs.toMap,
-      proto, config, partCols)
+      proto, config, partCols, domains.toMap)
   }
 
   private def liveFiles(spark: SparkSession, table: String, asOf: Long): Seq[String] =
@@ -647,7 +665,12 @@ object DeltaLite {
       // txn actions precisely so streaming dedup survives log cleanup
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
-        StructField("version", LongType))))))
+        StructField("version", LongType)))),
+      // §Domain Metadata: live (non-removed) domains must survive the
+      // checkpoint — they ARE system state (clustering declarations etc.)
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType))))))
     // the checkpoint subsumes the JSON prefix, so it must re-emit the
     // table's LATEST protocol action VERBATIM — inferring it from current
     // DV presence would silently downgrade a reader-3/writer-7 table
@@ -659,12 +682,16 @@ object DeltaLite {
         if (p.writerFeatures.nonEmpty) p.writerFeatures else null)
       case None => Row(1, 2, null, null)
     }
-    val rows = Row(protocolRow, null, null, null) +:
+    val rows = Row(protocolRow, null, null, null, null) +:
       Row(null, Row(tableId, schemaJson,
         if (snap.config.isEmpty) null else snap.config,
-        if (snap.partCols.isEmpty) null else snap.partCols), null, null) +:
+        if (snap.partCols.isEmpty) null else snap.partCols),
+        null, null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
-        Row(null, null, null, Row(app, ver))
+        Row(null, null, null, Row(app, ver), null)
+      } ++
+      snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+        Row(null, null, null, null, Row(d, c))
       } ++
       snap.files.map { f =>
         val st = fs.getFileStatus(new Path(table, f))
@@ -674,7 +701,7 @@ object DeltaLite {
         Row(null, null,
           Row(f, st.getLen, st.getModificationTime, true,
             snap.stats.getOrElse(f, null), snap.pvals.getOrElse(f, null),
-            dvRow), null)
+            dvRow), null, null)
       })
     val staged = new Path(table, s"_checkpoint_staged_${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(
@@ -822,7 +849,10 @@ object DeltaLite {
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
-        StructField("modificationTime", LongType))))))
+        StructField("modificationTime", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType))))))
     val protoRow = snap.protocol match {
       case Some(p) => Row(p.minReader, p.minWriter,
         if (p.readerFeatures.nonEmpty) p.readerFeatures else null,
@@ -830,16 +860,18 @@ object DeltaLite {
       case None => Row(1, 2, null, null)
     }
     val topRows =
-      Row(protoRow, null, null, null, null, null) +:
+      Row(protoRow, null, null, null, null, null, null) +:
       Row(null, Row(tableId, schemaJson,
         if (snap.config.isEmpty) null else snap.config,
         if (snap.partCols.isEmpty) null else snap.partCols),
-        null, null, null, null) +:
-      Row(null, null, null, null, Row(v), null) +:
+        null, null, null, null, null) +:
+      Row(null, null, null, null, Row(v), null, null) +:
       (snap.txns.toSeq.sortBy(_._1).map { case (app, ver) =>
-        Row(null, null, null, Row(app, ver), null, null)
+        Row(null, null, null, Row(app, ver), null, null, null)
+      } ++ snap.domains.toSeq.sortBy(_._1).map { case (d, c) =>
+        Row(null, null, null, null, null, null, Row(d, c))
       } ++ sidecarInfos.map { case (n, len, mt) =>
-        Row(null, null, null, null, null, Row(n, len, mt))
+        Row(null, null, null, null, null, Row(n, len, mt), null)
       })
     val topName = f"$v%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet"
     val staged = new Path(table,
@@ -2420,6 +2452,75 @@ object DeltaLite {
     * [[deletePartition]] is the partition-grain DML that feeds their
     * change feed and [[readCdf]] prunes it by partition. Returns the
     * enabling version (or the current one when already enabled). */
+  /** DOMAIN METADATA (PROTOCOL.md §Domain Metadata) — system-owned
+    * configuration that rides the LOG, not the table properties:
+    * features like clustering keep their state (e.g. clustering
+    * columns) in a named domain so it versions, time-travels and
+    * checkpoints with the data while staying invisible to schema and
+    * properties. `setDomainMetadata` commits one `domainMetadata`
+    * action (newest wins per domain); the first use raises the protocol
+    * to writer 7 with the `domainMetadata` writerFeature in the SAME
+    * commit (writer-only: readers are untouched). Live domains survive
+    * checkpoints — both shapes carry them — so expireLog cannot drop
+    * system state. Returns the commit version. */
+  def setDomainMetadata(spark: SparkSession, table: String, domain: String,
+      configuration: String): Long = {
+    require(domain.nonEmpty, "domain name must be non-empty")
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    val cur = snap.protocol.getOrElse(Protocol(1, 2, Nil, Nil))
+    val protoLines =
+      if (cur.minWriter >= 7 && cur.writerFeatures.contains("domainMetadata"))
+        Seq.empty
+      else Seq(protocolLineOf(Protocol(cur.minReader, 7, cur.readerFeatures,
+        (cur.writerFeatures :+ "domainMetadata").distinct)))
+    val v = latest + 1
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("SET DOMAIN METADATA") +: protoLines :+
+          domainMetadataLine(domain, configuration, removed = false)))
+      throw new IllegalStateException(
+        s"setDomainMetadata lost the commit race on $table")
+    v
+  }
+
+  /** Remove a domain: a tombstone action — replay (and the next
+    * checkpoint, which carries only LIVE domains) drops it. Refuses an
+    * absent domain rather than committing a no-op tombstone. */
+  def removeDomainMetadata(spark: SparkSession, table: String,
+      domain: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    require(snap.domains.contains(domain),
+      s"domain '$domain' not present on $table — nothing to remove")
+    val v = latest + 1
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("REMOVE DOMAIN METADATA"),
+        domainMetadataLine(domain, "", removed = true))))
+      throw new IllegalStateException(
+        s"removeDomainMetadata lost the commit race on $table")
+    v
+  }
+
+  /** The live domain → configuration map at the latest (or given)
+    * version. */
+  def domainMetadata(spark: SparkSession, table: String,
+      versionAsOf: Long = -1L): Map[String, String] = {
+    val v = if (versionAsOf < 0) latestVersion(spark, table) else versionAsOf
+    require(v >= 0, s"$table has no Delta log")
+    snapshot(spark, table, v).domains
+  }
+
+  private def domainMetadataLine(domain: String, configuration: String,
+      removed: Boolean): String =
+    jsonObj("domainMetadata") { d =>
+      d.put("domain", domain)
+      d.put("configuration", configuration)
+      d.put("removed", removed)
+    }
+
   /** Enable IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps):
     * a metadata-only commit setting `delta.enableInCommitTimestamps`
     * plus the spec's enablement-provenance pair

@@ -1034,6 +1034,49 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
         Seq((1L, 1.5, "x")).toDF("k", "value", "note"), table) // type
   }
 
+  test("domain metadata: newest-wins replay, tombstone removal, survival through both checkpoint shapes") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_domain")
+    DeltaLite.write(spark, Seq((1L, 10L)).toDF("k", "v"), table)   // v0
+    DeltaLite.domainMetadata(spark, table) shouldBe empty
+    DeltaLite.setDomainMetadata(spark, table,
+      "graft.clustering", """{"cols":["k"]}""") shouldBe 1L
+    // first use raised the protocol with the writer-only feature
+    val proto = logLines(table, 1L).map(mapper.readTree)
+      .find(_.has("protocol")).get.get("protocol")
+    proto.get("minWriterVersion").asInt() shouldBe 7
+    var wf = Set.empty[String]
+    proto.get("writerFeatures").forEach(f => wf += f.asText())
+    wf should contain ("domainMetadata")
+    // newest wins per domain; a second domain coexists; no re-upgrade
+    DeltaLite.setDomainMetadata(spark, table,
+      "graft.clustering", """{"cols":["v"]}""")                    // v2
+    logLines(table, 2L).count(_.contains("protocol")) shouldBe 0
+    DeltaLite.setDomainMetadata(spark, table, "graft.audit", "on") // v3
+    DeltaLite.domainMetadata(spark, table) shouldBe Map(
+      "graft.clustering" -> """{"cols":["v"]}""", "graft.audit" -> "on")
+    // time travel reads that version's own domain state
+    DeltaLite.domainMetadata(spark, table, versionAsOf = 1L) shouldBe Map(
+      "graft.clustering" -> """{"cols":["k"]}""")
+    // tombstone removal; absent domain refuses
+    DeltaLite.removeDomainMetadata(spark, table, "graft.audit")    // v4
+    DeltaLite.domainMetadata(spark, table).keySet shouldBe Set("graft.clustering")
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.removeDomainMetadata(spark, table, "graft.audit")
+    // classic checkpoint carries LIVE domains only; expireLog keeps them
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.domainMetadata(spark, table) shouldBe Map(
+      "graft.clustering" -> """{"cols":["v"]}""")
+    // V2 checkpoint carries them in its control-plane file
+    DeltaLite.write(spark, Seq((2L, 20L)).toDF("k", "v"), table)
+    DeltaLite.checkpointV2(spark, table)
+    DeltaLite.expireLog(spark, table)
+    DeltaLite.domainMetadata(spark, table) shouldBe Map(
+      "graft.clustering" -> """{"cols":["v"]}""")
+    DeltaLite.read(spark, table).count() shouldBe 2L
+  }
+
   test("shallow clone: zero-copy absolute adds, clone-local DML, source never written, vacuum cannot reach source files") {
     import spark.implicits._
     val src = Sinks.tempDir("delta_clone_src")
