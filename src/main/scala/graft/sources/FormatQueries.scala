@@ -1636,6 +1636,36 @@ object FormatQueries {
       .withColumn("files_untouched", lit(untouched))
   }
 
+  /** X36ad: Delta DOMAIN METADATA (PROTOCOL.md §Domain Metadata) —
+    * system-owned state that rides the LOG: versioned, time-traveling,
+    * checkpoint-surviving, invisible to schema and properties (the
+    * substrate features like clustering keep their column declarations
+    * in). The key runs newest-wins overwrite, a coexisting second
+    * domain, tombstone removal, then a checkpoint + expireLog so the
+    * surviving map can only have come THROUGH the checkpoint's
+    * domainMetadata rows; the table's own rows ride along to prove the
+    * data path is untouched. */
+  private def deltaDomainMetadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_domain_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.write(spark, o, table)
+    DeltaLite.setDomainMetadata(spark, table,
+      "graft.clustering", """{"cols":["o_orderkey"]}""")
+    DeltaLite.setDomainMetadata(spark, table, "graft.audit", "on")
+    DeltaLite.setDomainMetadata(spark, table,
+      "graft.clustering", """{"cols":["o_totalprice"]}""") // newest wins
+    DeltaLite.removeDomainMetadata(spark, table, "graft.audit")
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    val rows = DeltaLite.read(spark, table).count()
+    DeltaLite.domainMetadata(spark, table).toSeq
+      .toDF("domain", "configuration")
+      .withColumn("table_rows", lit(rows))
+      .orderBy("domain")
+  }
+
   /** X36ab: Delta IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit
     * Timestamps) — the table's time axis moves INTO the commit: once
     * enabled, the commit arbiter stamps every commit's leading
@@ -1698,6 +1728,30 @@ object FormatQueries {
       .groupBy(col("_change_type"), col("_snapshot_id").as("snap"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("snap", "_change_type")
+  }
+
+  /** X261x': changelog NET CHANGES — the raw feed folded to its
+    * endpoint-to-endpoint effect (Iceberg's `net_changes`): a COW
+    * overwrite's carried-row delete+insert pairs cancel exactly, and
+    * rows inserted-then-deleted inside the range vanish, so a
+    * downstream consumer applies only what actually changed. The
+    * lifecycle here makes both cancellations load-bearing: evens
+    * written, a full COW overwrite (carried evens must cancel), then a
+    * MOR delete whose in-range odds (inserted by the overwrite) must
+    * vanish while in-range evens (pre-range inserts) surface as
+    * deletes. */
+  private def icebergChangelogNet(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_cl_net_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table) // 1
+    IcebergLite.write(spark, o, table, overwrite = true)                  // 2
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 500L)         // 3
+    IcebergLite.readChangelogNet(spark, table, 1L, 3L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+        sum("_net").as("net"))
+      .orderBy("_change_type")
   }
 
   /** X269: Iceberg TABLE STATISTICS via PUFFIN (spec §Table Statistics
@@ -1789,8 +1843,10 @@ object FormatQueries {
     "x_delta_checkpoint_v2" -> ((s, dir) => deltaCheckpointV2(s, dir)),
     "x_iceberg_puffin" -> ((s, dir) => icebergPuffin(s, dir)),
     "x_iceberg_changelog" -> ((s, dir) => icebergChangelog(s, dir)),
+    "x_iceberg_changelog_net" -> ((s, dir) => icebergChangelogNet(s, dir)),
     "x_delta_ict" -> ((s, dir) => deltaIct(s, dir)),
     "x_delta_clone" -> ((s, dir) => deltaClone(s, dir)),
+    "x_delta_domain_metadata" -> ((s, dir) => deltaDomainMetadata(s, dir)),
     "x_iceberg_rollback" -> ((s, dir) => icebergRollback(s, dir)),
     "x_delta_cm_evolution" -> ((s, dir) => deltaCmEvolution(s, dir)),
     "x_delta_sql_read" -> ((s, dir) => deltaSqlRead(s, dir)),
@@ -1865,6 +1921,13 @@ object FormatQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // domain metadata: newest-wins clustering declaration survives the
+    // checkpoint; the removed domain stays gone; data untouched
+    "x_delta_domain_metadata" ->
+      """SELECT 'graft.clustering' AS domain,
+        |  '{"cols":["o_totalprice"]}' AS configuration,
+        |  count(*) AS table_rows
+        |FROM orders""".stripMargin,
     // shallow clone: dst evolved (all orders minus deleted range), src
     // untouched (evens), zero bytes copied at clone time
     "x_delta_clone" ->
@@ -1911,6 +1974,20 @@ object FormatQueries {
         |    round(sum(o_totalprice + 100.0), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
         |) ORDER BY snap, _change_type""".stripMargin,
+    // changelog net over (1,3]: deletes = evens in the deleted key range
+    // (pre-range inserts), inserts = odds outside it (carried evens
+    // cancel, in-range odds vanish)
+    "x_iceberg_changelog_net" ->
+      """SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n,
+        |    round(sum(o_totalprice), 2) AS total, count(*) AS net
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |    AND o_orderkey BETWEEN 1 AND 500
+        |  UNION ALL
+        |  SELECT 'insert', count(*), round(sum(o_totalprice), 2), count(*)
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |    AND o_orderkey NOT BETWEEN 1 AND 500
+        |) ORDER BY _change_type""".stripMargin,
     // puffin NDV: theta exact-mode estimates equal the true distinct
     // counts of the two low-cardinality columns at any SF
     "x_iceberg_puffin" ->
