@@ -1730,6 +1730,35 @@ object FormatQueries {
       .orderBy("snap", "_change_type")
   }
 
+  /** X268b: Iceberg METADATA TABLES through SQL — `cat.db.t.snapshots`
+    * / `.files` / `.refs` (namespace [db, t] + a metadata-kind name,
+    * Iceberg's own idiom): the operational-introspection surface a real
+    * user reaches first, served as control-plane-sized local relations
+    * (rows ∝ snapshots/manifests, never data) that plain SQL composes
+    * over. Lifecycle: two appends + a compaction, then every number in
+    * the answer is read through SQL over the metadata relations. */
+  private def icebergSqlMeta(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_meta")
+    spark.conf.set("spark.sql.catalog.gmeta",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmeta.warehouse", wh)
+    val table = s"$wh/db/m"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table) // 1
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table) // 2
+    IcebergLite.rewriteDataFiles(spark, table)                            // 3
+    spark.sql(
+      """SELECT
+        |  (SELECT count(*) FROM gmeta.db.m.snapshots) AS n_snapshots,
+        |  (SELECT count(*) FROM gmeta.db.m.snapshots
+        |     WHERE operation = 'append') AS n_appends,
+        |  (SELECT snapshot_id FROM gmeta.db.m.snapshots
+        |     WHERE is_current) AS current_snapshot,
+        |  (SELECT sum(record_count) FROM gmeta.db.m.files) AS n_records,
+        |  (SELECT count(*) FROM gmeta.db.m.refs) AS n_refs""".stripMargin)
+  }
+
   /** X261x': changelog NET CHANGES — the raw feed folded to its
     * endpoint-to-endpoint effect (Iceberg's `net_changes`): a COW
     * overwrite's carried-row delete+insert pairs cancel exactly, and
@@ -1844,6 +1873,7 @@ object FormatQueries {
     "x_iceberg_puffin" -> ((s, dir) => icebergPuffin(s, dir)),
     "x_iceberg_changelog" -> ((s, dir) => icebergChangelog(s, dir)),
     "x_iceberg_changelog_net" -> ((s, dir) => icebergChangelogNet(s, dir)),
+    "x_iceberg_sql_meta" -> ((s, dir) => icebergSqlMeta(s, dir)),
     "x_delta_ict" -> ((s, dir) => deltaIct(s, dir)),
     "x_delta_clone" -> ((s, dir) => deltaClone(s, dir)),
     "x_delta_domain_metadata" -> ((s, dir) => deltaDomainMetadata(s, dir)),
@@ -1974,6 +2004,13 @@ object FormatQueries {
         |    round(sum(o_totalprice + 100.0), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
         |) ORDER BY snap, _change_type""".stripMargin,
+    // SQL metadata tables: 2 appends + 1 replace; compaction leaves
+    // record counts intact; one ref (main)
+    "x_iceberg_sql_meta" ->
+      """SELECT 3::BIGINT AS n_snapshots, 2::BIGINT AS n_appends,
+        |  3::BIGINT AS current_snapshot,
+        |  (SELECT count(*) FROM orders) AS n_records,
+        |  1::BIGINT AS n_refs""".stripMargin,
     // changelog net over (1,3]: deletes = evens in the deleted key range
     // (pre-range inserts), inserts = odds outside it (carried evens
     // cancel, in-range odds vanish)

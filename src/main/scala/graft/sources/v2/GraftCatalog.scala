@@ -144,8 +144,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (fs.exists(new Path(path, "_delta_log"))) loadDelta(ident, path, version)
     else if (fs.exists(new Path(path, "metadata")))
       loadIceberg(ident, path, version)
-    else throw new NoSuchTableException(ident)
+    else loadMetadataTable(ident, version).getOrElse(
+      throw new NoSuchTableException(ident))
   }
+
+  /** Iceberg's metadata-table idiom through SQL: `cat.db.t.snapshots`
+    * parses as namespace [db, t] + name `snapshots` — when [db, t]
+    * resolves to a table and the name is a metadata kind, the relation
+    * serves as a [[LocalRowsTable]] (control-plane-sized by
+    * construction: rows ∝ snapshots/manifests, never data). Kinds:
+    * Iceberg `snapshots | manifests | files | refs | partitions |
+    * history`; Delta `history` (DESCRIBE HISTORY's relation). Time
+    * travel on a metadata table refuses — the relations are already
+    * ABOUT history. */
+  private def loadMetadataTable(ident: Identifier,
+      version: Long): Option[Table] = {
+    if (ident.namespace.length < 2) return None
+    val parent = (warehouse +: ident.namespace.toSeq).mkString("/")
+    val kind = ident.name
+    val isIce = fs.exists(new Path(parent, "metadata"))
+    val isDelta = fs.exists(new Path(parent, "_delta_log"))
+    if (!isIce && !isDelta) return None
+    val df =
+      if (isIce && kind == "history") IcebergLite.history(spark, parent)
+      else if (isIce && IceMetaKinds.contains(kind))
+        IcebergLite.metadataTable(spark, parent, kind)
+      else if (isDelta && kind == "history") DeltaLite.history(spark, parent)
+      else throw new NoSuchTableException(ident)
+    require(version < 0,
+      s"VERSION AS OF on metadata table $kind: the relation is already " +
+        "about history — query it unversioned")
+    Some(new LocalRowsTable(
+      s"$catName.${ident.namespace.mkString(".")}.$kind",
+      df.schema, df.collect().toSeq))
+  }
+
+  private val IceMetaKinds =
+    Set("snapshots", "manifests", "files", "refs", "partitions")
 
   private def loadDelta(ident: Identifier, path: String,
       version: Long): Table = {

@@ -152,6 +152,36 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].collect() shouldBe Seq(4L)
   }
 
+  test("metadata tables through SQL: t.snapshots/files/refs and Delta t.history serve control-plane relations") {
+    import spark.implicits._
+    val t = s"$warehouse/db/imeta"
+    IcebergLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v"), t)
+    IcebergLite.write(spark, Seq((7L, 7L)).toDF("k", "v"), t)
+    spark.sql(s"SELECT snapshot_id, operation, is_current " +
+        s"FROM $cat.db.imeta.snapshots ORDER BY snapshot_id")
+      .as[(Long, String, Boolean)].collect() shouldBe Seq(
+      (1L, "append", false), (2L, "append", true))
+    spark.sql(s"SELECT sum(record_count) AS n FROM $cat.db.imeta.files")
+      .as[Long].head() shouldBe 7L
+    spark.sql(s"SELECT count(*) FROM $cat.db.imeta.refs")
+      .as[Long].head() shouldBe 1L // main
+    // plain SQL composes over it (join the metadata relation to itself)
+    spark.sql(s"SELECT count(*) FROM $cat.db.imeta.manifests " +
+        "WHERE added_files_count > 0").as[Long].head() should be >= 1L
+    // Delta history through the same idiom
+    val d = s"$warehouse/db/dmeta"
+    DeltaLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), d)
+    DeltaLite.write(spark, Seq((2L, 2L)).toDF("k", "v"), d)
+    spark.sql(s"SELECT count(*) FROM $cat.db.dmeta.history")
+      .as[Long].head() shouldBe 2L
+    // unknown kind on a real table and time travel on a metadata table
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM $cat.db.imeta.nonsense").collect()
+    an[Exception] should be thrownBy
+      spark.sql(s"SELECT * FROM $cat.db.imeta.snapshots VERSION AS OF 1")
+        .collect()
+  }
+
   test("catalog inventory: listTables, tableExists, missing table/namespace") {
     import spark.implicits._
     val t = s"$warehouse/inv/one"

@@ -104,6 +104,10 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     "x_delta_clone" -> 1,
     // category 1: 1-row summary of the rolled-back head
     "x_iceberg_rollback" -> 1,
+    // category 1: five scalar-subquery finals, each a 1-row aggregate
+    // over a control-plane metadata relation (rows ∝ snapshots/
+    // manifests) — data never enters the plan
+    "x_iceberg_sql_meta" -> 5,
     "x_delta_vacuum" -> 1, // category 1: 1-row post-vacuum summary
     "x_iceberg_expire" -> 1, // category 1: 1-row post-expire summary
     // category 1: four 1-row scalar finals, one per metadata table kind
