@@ -1431,6 +1431,20 @@ object DeltaLite {
   private def physicalName(f: org.apache.spark.sql.types.StructField): String =
     f.metadata.getString(PhysicalNameKey)
 
+  /** The FIELD-ID read schema of a column-mapped table: LOGICAL names,
+    * each stamped with its Delta column id as `parquet.field.id` — with
+    * `spark.sql.parquet.fieldId.read.enabled`, Spark's parquet reader
+    * binds columns by the footer ids this implementation writes in both
+    * mapping modes, so a plain multi-path scan serves a mapped table
+    * under its logical names (no aliasing layer). How the SQL catalog
+    * reads mapped tables. */
+  private[graft] def fieldIdReadSchema(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
+        .build())
+    })
+
   /** Refuse-rather-than-answer-wrong guard for operators that read or
     * write data files under LOGICAL names (stats skipping, DV deletes,
     * compaction, plain writes, change feeds): on a column-mapped table

@@ -1759,6 +1759,44 @@ object FormatQueries {
         |  (SELECT count(*) FROM gmeta.db.m.refs) AS n_refs""".stripMargin)
   }
 
+  /** X268c: COLUMN-MAPPED table through SQL — the refusal X268 stated,
+    * converted into a real read by FIELD-ID resolution: the catalog
+    * serves the scan under logical names each stamped with its Delta
+    * column id as `parquet.field.id`, and Spark's reader binds by the
+    * footer ids this implementation writes in both mapping modes — so
+    * metadata-only renames are immediately SQL-visible and widening
+    * evolution reads pre-widening files as NULL, with zero aliasing
+    * layers in the plan. Scalars are materialized inside the key while
+    * the session flag is set (the flag is restored after — a catalog
+    * read's requirement, not a global default). */
+  private def deltaCmSql(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wh = Sinks.tempDir("cat_wh_cm")
+    spark.conf.set("spark.sql.catalog.gcm",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcm.warehouse", wh)
+    val table = s"$wh/db/cm"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    DeltaLite.writeColumnMapped(spark,
+      o.where(col("o_orderkey") % 2 === 0), table, mode = "id")     // v0
+    DeltaLite.renameColumn(spark, table, "o_totalprice", "price")   // v1
+    DeltaLite.writeColumnMapped(spark,
+      Tables.orders(spark, dir).where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_orderpriority").as("prio")), table)                // v2
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val row = try {
+      val cur = spark.sql(
+        """SELECT count(*) AS n, round(sum(price), 2) AS total,
+          |  count(prio) AS n_prio FROM gcm.db.cm""".stripMargin).head()
+      val v0 = spark.sql(
+        "SELECT count(*) FROM gcm.db.cm VERSION AS OF 0").head().getLong(0)
+      (cur.getLong(0), cur.getDouble(1), cur.getLong(2), v0)
+    } finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+    Seq(row).toDF("n", "total", "n_prio", "rows_v0")
+  }
+
   /** X261x': changelog NET CHANGES — the raw feed folded to its
     * endpoint-to-endpoint effect (Iceberg's `net_changes`): a COW
     * overwrite's carried-row delete+insert pairs cancel exactly, and
@@ -1874,6 +1912,7 @@ object FormatQueries {
     "x_iceberg_changelog" -> ((s, dir) => icebergChangelog(s, dir)),
     "x_iceberg_changelog_net" -> ((s, dir) => icebergChangelogNet(s, dir)),
     "x_iceberg_sql_meta" -> ((s, dir) => icebergSqlMeta(s, dir)),
+    "x_delta_cm_sql" -> ((s, dir) => deltaCmSql(s, dir)),
     "x_delta_ict" -> ((s, dir) => deltaIct(s, dir)),
     "x_delta_clone" -> ((s, dir) => deltaClone(s, dir)),
     "x_delta_domain_metadata" -> ((s, dir) => deltaDomainMetadata(s, dir)),
@@ -2004,6 +2043,15 @@ object FormatQueries {
         |    round(sum(o_totalprice + 100.0), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 501 AND 1500
         |) ORDER BY snap, _change_type""".stripMargin,
+    // column-mapped SQL read: renamed + widened table; prio non-null
+    // exactly on the appended odds; v0 = the evens
+    "x_delta_cm_sql" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+        |    AS n_prio,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS rows_v0
+        |FROM orders""".stripMargin,
     // SQL metadata tables: 2 appends + 1 replace; compaction leaves
     // record counts intact; one ref (main)
     "x_iceberg_sql_meta" ->

@@ -192,10 +192,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"$catName.$ident carries live deletion vectors — a plain parquet " +
         "scan would resurrect deleted rows; read via DeltaLite.read or " +
         "compact with DeltaLite.optimize first")
-    require(!DeltaLite.isColumnMapped(schema),
-      s"$catName.$ident is column-mapped — data files store physical " +
-        "col-<id> names; read via DeltaLite.read")
-    parquetTable(ident, schema, snap.files.map(f => s"$path/$f"))
+    // column-mapped tables serve through FIELD-ID resolution: the scan
+    // schema carries logical names + the Delta column id as
+    // parquet.field.id, and Spark's reader binds by the footer ids this
+    // implementation writes in both mapping modes — renames/drops stay
+    // metadata-only AND SQL-visible. Requires the session flag; a file
+    // without footer ids fails loudly at scan (ignoreMissing=false),
+    // never resolves wrong.
+    val scanSchema =
+      if (!DeltaLite.isColumnMapped(schema)) schema
+      else {
+        require(spark.conf.getOption(
+            "spark.sql.parquet.fieldId.read.enabled").contains("true"),
+          s"$catName.$ident is column-mapped: SQL reads bind columns by " +
+            "parquet field id — set spark.sql.parquet.fieldId.read.enabled" +
+            "=true (or read via DeltaLite.read)")
+        DeltaLite.fieldIdReadSchema(schema)
+      }
+    parquetTable(ident, scanSchema, snap.files.map(f => s"$path/$f"))
   }
 
   private def loadIceberg(ident: Identifier, path: String,

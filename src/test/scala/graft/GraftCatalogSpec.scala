@@ -152,6 +152,37 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].collect() shouldBe Seq(4L)
   }
 
+  test("column-mapped table through SQL: field-id resolution serves logical names across rename + widen") {
+    import spark.implicits._
+    val t = s"$warehouse/db/cmsql"
+    DeltaLite.writeColumnMapped(spark,
+      (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v"), t, mode = "id") // v0
+    // without the session flag: refuse with the remedy named
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.cmsql").collect()
+    }
+    e.getMessage should include ("fieldId.read.enabled")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    try {
+      spark.sql(s"SELECT sum(v) AS s FROM $cat.db.cmsql")
+        .as[Long].head() shouldBe 100L
+      // metadata-only rename is immediately SQL-visible
+      DeltaLite.renameColumn(spark, t, "v", "value")                   // v1
+      spark.sql(s"SELECT sum(value) FROM $cat.db.cmsql")
+        .as[Long].head() shouldBe 100L
+      // widening append: pre-widening files surface the new column NULL
+      DeltaLite.writeColumnMapped(spark,
+        Seq((9L, 90L, "fresh")).toDF("k", "value", "note"), t)         // v2
+      spark.sql(s"SELECT count(*) FROM $cat.db.cmsql WHERE note IS NULL")
+        .as[Long].head() shouldBe 4L
+      spark.sql(s"SELECT k FROM $cat.db.cmsql WHERE note = 'fresh'")
+        .as[Long].collect() shouldBe Seq(9L)
+      // time travel below the rename answers under the ORIGINAL name
+      spark.sql(s"SELECT sum(v) FROM $cat.db.cmsql VERSION AS OF 0")
+        .as[Long].head() shouldBe 100L
+    } finally spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
+  }
+
   test("metadata tables through SQL: t.snapshots/files/refs and Delta t.history serve control-plane relations") {
     import spark.implicits._
     val t = s"$warehouse/db/imeta"
