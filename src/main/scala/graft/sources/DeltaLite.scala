@@ -330,7 +330,7 @@ object DeltaLite {
     * allows `add.path` to be RELATIVE to the table or ABSOLUTE
     * ([[shallowClone]] writes absolute source paths — its zero-copy
     * mechanism); `Path(parent, child)` implements exactly that rule. */
-  private def dataPath(table: String, f: String): String =
+  private[graft] def dataPath(table: String, f: String): String =
     new Path(table, f).toString
 
   /** The `_last_checkpoint` pointer's version, -1 when absent. */
@@ -713,9 +713,18 @@ object DeltaLite {
     // actual non-empty output may be fewer than requested (tiny state):
     // the COMMITTED part count is what the files say
     val nParts = stagedParts.length
-    if (nParts == 1) fs.rename(stagedParts.head, checkpointFile(table, v))
-    else stagedParts.zipWithIndex.foreach { case (p, i) =>
-      fs.rename(p, checkpointPartFile(table, v, i + 1, nParts))
+    // abort on a failed rename BEFORE _last_checkpoint is updated — a
+    // pointer at a missing checkpoint part + expireLog loses the log
+    val renamed =
+      if (nParts == 1) fs.rename(stagedParts.head, checkpointFile(table, v))
+      else stagedParts.zipWithIndex.forall { case (p, i) =>
+        fs.rename(p, checkpointPartFile(table, v, i + 1, nParts))
+      }
+    if (!renamed) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"checkpoint install rename failed on $table — aborted before " +
+          "_last_checkpoint was updated")
     }
     fs.delete(staged, true)
     val partsField = if (nParts > 1) s""","parts":$nParts""" else ""
@@ -823,7 +832,15 @@ object DeltaLite {
         .write.parquet(staged.toString)
       val part = fs.listStatus(staged)
         .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-      fs.rename(part, new Path(scDir, name))
+      // a failed rename must abort BEFORE _last_checkpoint is touched:
+      // a pointer at a checkpoint with a missing sidecar + a subsequent
+      // expireLog would leave the table with no readable log state
+      if (!fs.rename(part, new Path(scDir, name))) {
+        fs.delete(staged, true)
+        throw new IllegalStateException(
+          s"sidecar install rename failed on $table — checkpoint aborted " +
+            "before _last_checkpoint was updated")
+      }
       fs.delete(staged, true)
       val st = fs.getFileStatus(new Path(scDir, name))
       (name, st.getLen, st.getModificationTime)
@@ -881,7 +898,12 @@ object DeltaLite {
       .write.parquet(staged.toString)
     val part = fs.listStatus(staged)
       .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
-    fs.rename(part, new Path(logDir(table), topName))
+    if (!fs.rename(part, new Path(logDir(table), topName))) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"checkpoint install rename failed on $table — aborted before " +
+          "_last_checkpoint was updated")
+    }
     fs.delete(staged, true)
     val out = fs.create(lastCheckpointFile(table), /* overwrite = */ true)
     try out.write(
@@ -2255,11 +2277,19 @@ object DeltaLite {
     val srcRoot = new Path(src)
     val srcFs = hadoopFs(spark, src)
     val ict = snap.config.get("delta.enableInCommitTimestamps").contains("true")
+    // ICT enablement provenance refers to SOURCE version numbering — the
+    // clone's log restarts at v0, so carrying the source's boundary would
+    // lie to any reader that trusts it; rewrite the pair for the clone
+    val cloneConfig =
+      if (!ict) snap.config
+      else snap.config ++ Map(
+        "delta.inCommitTimestampEnablementVersion" -> "0",
+        "delta.inCommitTimestampEnablementTimestamp" -> now.toString)
     val lines =
       (if (ict) ictCommitInfoLine("CLONE", now) else commitInfoLine("CLONE")) +:
       snap.protocol.map(protocolLineOf).getOrElse(protocolLine) +:
       metaDataLine(schema, partitionColumns = snap.partCols,
-        configuration = snap.config) +:
+        configuration = cloneConfig) +:
       snap.files.map { f =>
         val abs = new Path(srcRoot, f)
         val st = srcFs.getFileStatus(abs)

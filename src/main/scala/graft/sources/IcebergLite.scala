@@ -974,9 +974,12 @@ object IcebergLite {
     require(meta.has("statistics") && meta.get("statistics").size() > 0,
       s"$table has no statistics files — run writeStatistics first")
     val cur = meta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(meta, cur)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Boolean)]
     meta.get("statistics").forEach { entry =>
+      // field ids resolve through the schema AS OF THE BLOB'S SNAPSHOT —
+      // a stale entry read under the current schema would silently
+      // relabel blobs after a reorder/drop evolution
+      val schema = schemaForSnapshot(meta, entry.get("snapshot-id").asLong())
       val p = new Path(entry.get("statistics-path").asText())
       val in = fs.open(p)
       val bytes = try {
@@ -1534,9 +1537,18 @@ object IcebergLite {
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val snapLists = metaJsonSnapshots(meta).toMap
-    (fromSnap + 1 to toSnap).foreach(sid => require(snapLists.contains(sid),
-      s"snapshot $sid expired from $table: changelog cannot reconstruct " +
-        "its changes"))
+    // snapshot ids derive from metadata versions, which metadata-only
+    // commits (rollback, statistics, refs, expiration) also consume — ids
+    // legitimately skip integers, so NO dense-id assertion (it would
+    // spuriously refuse fully-retained ranges on such tables). Retention
+    // is validated on the ids actually in the snapshots list: the upper
+    // endpoint here (an expired endpoint would silently truncate the
+    // feed), every in-range snapshot by membership, and each one's
+    // parent by the per-snapshot check below.
+    require(snapLists.contains(toSnap),
+      s"snapshot $toSnap is not a retained snapshot of $table: changelog " +
+        "cannot reconstruct its changes (expired, or a metadata-only " +
+        "version id — pass a snapshot id)")
     val ops = mutable.Map.empty[Long, String]
     val parents = mutable.Map.empty[Long, Long]
     meta.get("snapshots").forEach { s =>

@@ -209,7 +209,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "=true (or read via DeltaLite.read)")
         DeltaLite.fieldIdReadSchema(schema)
       }
-    parquetTable(ident, scanSchema, snap.files.map(f => s"$path/$f"))
+    // add.path may be relative OR absolute (shallowClone writes absolute
+    // source paths) — resolve with the same rule as DeltaLite.dataPath
+    parquetTable(ident, scanSchema,
+      snap.files.map(f => DeltaLite.dataPath(path, f)))
   }
 
   private def loadIceberg(ident: Identifier, path: String,

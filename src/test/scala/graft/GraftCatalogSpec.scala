@@ -228,4 +228,18 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     }
     e.getMessage should include("query surface")
   }
+
+  test("shallow clone in the warehouse: absolute add paths resolve through SQL") {
+    import spark.implicits._
+    // source OUTSIDE the warehouse; clone inside — its add actions carry
+    // ABSOLUTE source paths, which must not be glued under the clone root
+    val src = Sinks.tempDir("cat_clone_src")
+    DeltaLite.write(spark, (1L to 6L).map(k => (k, k * 10L)).toDF("k", "v"),
+      src, collectStats = true)
+    DeltaLite.shallowClone(spark, src, s"$warehouse/db/cloned")
+    spark.sql(s"SELECT sum(v) AS s FROM $cat.db.cloned")
+      .as[Long].collect() shouldBe Seq(210L)
+    spark.sql(s"SELECT k FROM $cat.db.cloned WHERE k >= 5 ORDER BY k")
+      .as[Long].collect() shouldBe Seq(5L, 6L)
+  }
 }
