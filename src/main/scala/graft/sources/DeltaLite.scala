@@ -260,6 +260,30 @@ object DeltaLite {
     writeTagged(spark, df, table, overwrite, tag = "-",
       maxRetries = maxRetries, collectStats = collectStats)
 
+  /** CREATE TABLE — a v0 METADATA-ONLY commit (protocol + metaData, zero
+    * add actions): the empty table exists, carries its schema and
+    * partition declaration, and every subsequent [[write]] /
+    * [[writePartitioned]] appends under it. This is the DDL half the SQL
+    * front door ([[graft.sources.v2.GraftCatalog]]) runs for
+    * `CREATE TABLE` / CTAS — the reference's create-if-absent step
+    * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py:83-97`) done as
+    * a log commit instead of a warehouse DDL call. Cost: one small JSON
+    * write; no data plane. */
+  def createTable(spark: SparkSession, table: String, schema: StructType,
+      partitionColumns: Seq[String] = Seq.empty): Long = {
+    val fs = hadoopFs(spark, table)
+    require(latestVersion(spark, table) < 0,
+      s"$table already has a Delta log — CREATE TABLE refuses to clobber")
+    partitionColumns.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c absent from the declared schema"))
+    if (!tryCommit(fs, table, 0L, Seq(
+        commitInfoLine("CREATE TABLE"), protocolLine,
+        metaDataLine(schema, partitionColumns = partitionColumns))))
+      throw new IllegalStateException(
+        s"CREATE TABLE lost the commit race on $table")
+    0L
+  }
+
   private def readLogText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
@@ -2831,6 +2855,184 @@ object DeltaLite {
         commitInfoLine("UPDATE") +: (removes ++ adds ++ cdc)))
       throw new IllegalStateException(s"update lost the commit race on $table")
     (v, affected.size.toLong, rowsUpdated)
+  }
+
+  /** Live rows of `files` WITH file provenance (`__fn` = basename —
+    * unique here: every staged part-file name carries a job UUID, and
+    * [[mergeInto]] refuses partitioned tables, the one layout that
+    * reuses basenames across directories) — [[scanWithDvs]]'s DV
+    * subtraction, keeping the coordinate the touched-file planner needs. */
+  private def liveScanWithFile(spark: SparkSession, table: String,
+      schema: StructType, files: Seq[String],
+      dvs: Map[String, DeletionVectors.Descriptor]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c_, element_at, split}
+    val base = spark.read.schema(schema)
+      .parquet(files.map(f => dataPath(table, f)): _*)
+      .withColumn("__fn",
+        element_at(split(c_("_metadata.file_path"), "/"), -1))
+    val relevant = dvs.filter { case (f, _) => files.contains(f) }
+    if (relevant.isEmpty) base
+    else {
+      import spark.implicits._
+      val fs = hadoopFs(spark, table)
+      val deleted: Seq[(String, Long)] = relevant.toSeq.flatMap {
+        case (f, d) =>
+          val name = new Path(f).getName
+          DeletionVectors.readPositions(fs, table, d).map(p => (name, p))
+      }
+      base.withColumn("__ri", c_("_metadata.row_index"))
+        .join(deleted.toDF("__fn", "__ri"), Seq("__fn", "__ri"), "left_anti")
+        .drop("__ri")
+    }
+  }
+
+  /** File-granular MERGE (the r12 verdict's one flagged scale-killer,
+    * fixed): keyed upsert + optional delete in ONE commit that rewrites
+    * ONLY the files holding matched keys — cost O(touched bytes), never
+    * O(table). [[IcebergLite.mergeInto]]'s discipline on the Delta log:
+    *
+    *   1. PLAN off the committed stats layer: files whose recorded
+    *      [min,max] of `keyCol` cannot intersect the source's key range
+    *      are never opened (the [[deleteWhere]]/planSkipping move);
+    *   2. the exact touched set comes from ONE live scan of the
+    *      candidates' key column (DV-aware — a key matching only
+    *      already-deleted rows is an insert, not a match);
+    *   3. touched files are rewritten from their LIVE survivors + every
+    *      upsert row; untouched files are CARRIED — their add actions
+    *      simply stay live, no remove/re-add, no bytes moved;
+    *   4. unmatched source rows land as inserts in the same staged data;
+    *      matched rows flagged by `deleteWhen` (a predicate over source
+    *      columns) delete their target rows.
+    *
+    * Ambiguity refuses, never guesses: duplicate source keys and
+    * duplicate matched TARGET rows per key both throw (SQL MERGE's
+    * multiple-match error). On a CDF-enabled table the commit stages
+    * row-level change data — `update_preimage`/`update_postimage` for
+    * updates, `delete`/`insert` for the rest — so [[readCdf]] serves the
+    * MERGE at row grain instead of the file-grain add/remove fallback
+    * (which would surface carried survivor rows as churn).
+    *
+    * Stated subset: unpartitioned tables (partition-grain DML has
+    * [[deletePartition]]); LONG `keyCol` (the stats layer's key type).
+    * Returns (version, rowsUpdated, rowsDeleted, rowsInserted). */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keyCol: String,
+      deleteWhen: Option[org.apache.spark.sql.Column] = None)
+      : (Long, Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col => c_, collect_set, count => cnt_, countDistinct, lit, max => mx_, min => mn_, not, sum => sum_, when}
+    val fs = hadoopFs(spark, table)
+    requireNotMapped(spark, table, "mergeInto()")
+    requireAppendsOnly(spark, table, "mergeInto()")
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    require(snap.partCols.isEmpty,
+      "mergeInto on partitioned tables is outside the subset — " +
+        "deletePartition + write for partition-grain maintenance")
+    val schema = tableSchema(spark, table)
+    require(schema.fieldNames.toSet.subsetOf(source.columns.toSet),
+      s"MERGE source is missing table column(s): " +
+        s"${schema.fieldNames.toSet -- source.columns}")
+    require(schema.fieldNames.contains(keyCol), s"key $keyCol not in $table")
+    require(schema(keyCol).dataType == LongType,
+      s"mergeInto keys on a LONG column (the stats layer's type); " +
+        s"$keyCol is ${schema(keyCol).dataType}")
+    val src = source.select(schema.fieldNames.map(c_).toIndexedSeq :+
+        coalesce(deleteWhen.getOrElse(lit(false)), lit(false)).as("__del"): _*)
+      .persist()
+    try {
+      val nSrc = src.count()
+      require(nSrc > 0, "empty MERGE source")
+      require(src.select(keyCol).distinct().count() == nSrc,
+        s"duplicate $keyCol values in MERGE source — ambiguous matches")
+      // (1) stats-planned candidates: committed [min,max] vs source range
+      val b = src.agg(mn_(c_(keyCol)), mx_(c_(keyCol))).collect()(0)
+      val (srcLo, srcHi) = (b.getLong(0), b.getLong(1))
+      def bounds(f: String): Option[(Long, Long)] = snap.stats.get(f)
+        .flatMap { s =>
+          val n = mapper.readTree(s)
+          val lo = n.path("minValues").path(keyCol)
+          val hi = n.path("maxValues").path(keyCol)
+          if (lo.isNumber && hi.isNumber) Some((lo.asLong(), hi.asLong()))
+          else None
+        }
+      val candidates = snap.files.filter(f => bounds(f) match {
+        case Some((fLo, fHi)) => fHi >= srcLo && fLo <= srcHi
+        case None => true // no stats: must be scanned
+      })
+      // (2) exact touched set + match counts, one key-column pass
+      val (rowsMatched, matchedKeys, deletedKeys, touched) =
+        if (candidates.isEmpty) (0L, 0L, 0L, Set.empty[String])
+        else {
+          val m = liveScanWithFile(spark, table, schema, candidates, snap.dvs)
+            .select(c_(keyCol), c_("__fn"))
+            .join(src.select(c_(keyCol), c_("__del")), Seq(keyCol))
+            .agg(cnt_(lit(1)).as("n"), countDistinct(c_(keyCol)).as("nk"),
+              countDistinct(when(c_("__del"), c_(keyCol))).as("ndel"),
+              collect_set("__fn").as("fns"))
+            .collect()(0)
+          (m.getAs[Long]("n"), m.getAs[Long]("nk"), m.getAs[Long]("ndel"),
+            m.getAs[scala.collection.Seq[String]]("fns").toSet)
+        }
+      require(rowsMatched == matchedKeys,
+        s"duplicate $keyCol values among matched TARGET rows " +
+          s"($rowsMatched rows across $matchedKeys keys) — ambiguous MERGE")
+      val rowsUpdated = matchedKeys - deletedKeys
+      val rowsInserted = src.where(not(c_("__del"))).count() - rowsUpdated
+      val upserts0 = applyGenerated(spark, table,
+        src.where(not(c_("__del")))
+          .select(schema.fieldNames.map(c_).toIndexedSeq: _*))
+      enforceConstraints(spark, table, upserts0)
+      if (touched.isEmpty) {
+        // nothing matched: pure append (inserts only; unmatched deletes
+        // are no-ops). CDF consumers derive inserts from the adds.
+        if (rowsInserted == 0) return (latest, 0L, 0L, 0L)
+        val v = write(spark, upserts0, table, collectStats = true)
+        return (v, 0L, 0L, rowsInserted)
+      }
+      val byName = candidates.map(f => new Path(f).getName -> f).toMap
+      val touchedRel = touched.toSeq.sorted.map(byName)
+      // (3) rewrite = touched files' surviving live rows + every upsert
+      val liveTouched =
+        liveScanWithFile(spark, table, schema, touchedRel, snap.dvs)
+      val survivors = liveTouched
+        .join(src.select(keyCol), Seq(keyCol), "left_anti")
+        .drop("__fn")
+        .select(schema.fieldNames.map(c_).toIndexedSeq: _*)
+      val v = latest + 1
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val staged = s"data/v$v-mrg-$token"
+      val adds = stageReplacementAdds(spark, table,
+        survivors.unionByName(upserts0), staged, keyCol, Seq.empty)
+      val removes = touchedRel.map(removeLine(_))
+      // row-level change data: the rewrite's add/remove mix is
+      // underivable (carried survivors moved files)
+      val cdc =
+        if (!cdfEnabled(snap.config)) Seq.empty
+        else {
+          val matchedTarget = liveTouched.drop("__fn")
+            .join(src.select(c_(keyCol), c_("__del")), Seq(keyCol))
+          val liveKeys = liveTouched.select(keyCol).distinct()
+          val pre = matchedTarget.where(not(c_("__del"))).drop("__del")
+            .withColumn("_change_type", lit("update_preimage"))
+          val post = src.join(liveKeys, Seq(keyCol), "left_semi")
+            .where(not(c_("__del"))).drop("__del")
+            .withColumn("_change_type", lit("update_postimage"))
+          val dels = matchedTarget.where(c_("__del")).drop("__del")
+            .withColumn("_change_type", lit("delete"))
+          val ins = src.join(liveKeys, Seq(keyCol), "left_anti")
+            .where(not(c_("__del"))).drop("__del")
+            .withColumn("_change_type", lit("insert"))
+          stageCdc(spark, table,
+            pre.unionByName(post).unionByName(dels).unionByName(ins),
+            v, token)
+        }
+      if (!tryCommit(fs, table, v,
+          commitInfoLine("MERGE") +: (removes ++ adds ++ cdc)))
+        throw new IllegalStateException(
+          s"merge lost the commit race on $table")
+      (v, rowsUpdated, deletedKeys, rowsInserted)
+    } finally src.unpersist()
   }
 
   /** Read the row-level change feed for versions (fromV, toV]: table

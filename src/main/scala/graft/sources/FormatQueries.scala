@@ -456,37 +456,61 @@ object FormatQueries {
     * counts (inserted/updated/deleted — the x_cdc_apply discipline: the
     * oracle recomputes all five numbers from the raw table, so a lost or
     * double-applied row turns the key red). */
+  /** X36m replanned (the r12 verdict's flagged scale-killer): MERGE via
+    * [[DeltaLite.mergeInto]] — stats-planned touched files, O(touched)
+    * rewrite, untouched files carried live (DeltaLiteSpec pins the
+    * carry), delete/upsert in ONE commit. The counts come from the op
+    * itself; the oracle reproduces the whole lifecycle relationally. */
   private def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
     val table = Sinks.tempDir("delta_mg")
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
-    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3), table)
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3), table,
+      collectStats = true)
     // disjoint by construction: upserts hit even keys, deletes odd ones
     val src = o.where(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"),
         (col("o_totalprice") + 500.0).as("o_totalprice"), lit("U").as("op"))
       .unionAll(o.where(col("o_orderkey") % 8 === 1)
         .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op")))
-    val cur = DeltaLite.read(spark, table)
-    val joined = cur.as("t").join(src.as("s"), Seq("o_orderkey"), "full_outer")
-      .select(col("o_orderkey"),
-        col("t.o_totalprice").as("t_price"),
-        col("s.o_totalprice").as("s_price"), col("op"))
-    val merged = joined
-      .where(col("op").isNull || col("op") === "U")
-      .select(col("o_orderkey"),
-        when(col("op") === "U", col("s_price")).otherwise(col("t_price"))
-          .as("o_totalprice"))
-    DeltaLite.write(spark, merged, table, overwrite = true)
-    val audit = joined.agg(
-      sum(when(col("op") === "U" && col("t_price").isNull, 1L).otherwise(0L))
-        .as("n_inserted"),
-      sum(when(col("op") === "U" && col("t_price").isNotNull, 1L).otherwise(0L))
-        .as("n_updated"),
-      sum(when(col("op") === "D" && col("t_price").isNotNull, 1L).otherwise(0L))
-        .as("n_deleted"))
+    val (_, nUpd, nDel, nIns) = DeltaLite.mergeInto(spark, table, src,
+      "o_orderkey", deleteWhen = Some(col("op") === "D"))
     DeltaLite.read(spark, table)
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
-      .crossJoin(audit)
+      .withColumn("n_inserted", lit(nIns))
+      .withColumn("n_updated", lit(nUpd))
+      .withColumn("n_deleted", lit(nDel))
+  }
+
+  /** X36m + CDF: a MERGE on a change-data-feed table stages its row-level
+    * changes in the commit — `update_preimage`/`update_postimage` for
+    * matched upserts, `delete`/`insert` for the rest — so the feed slice
+    * serves the merge at ROW grain (the derive-from-add/remove fallback
+    * would surface every carried survivor row as churn). The key reads
+    * the feed back grouped by change type; the oracle reproduces each
+    * class from the source relation. */
+  private def deltaMergeCdf(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("delta_mg_cdf")
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    // base EXCLUDES k%8==0 so the even upserts split into real updates
+    // (matched) AND real inserts (the k%8==0 evens)
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3 &&
+      col("o_orderkey") % 8 =!= 0), table,
+      collectStats = true) // v0
+    DeltaLite.enableCdf(spark, table) // v1
+    val src = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"), lit("U").as("op"))
+      .unionAll(o.where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op")))
+    DeltaLite.mergeInto(spark, table, src, "o_orderkey",
+      deleteWhen = Some(col("op") === "D")) // v2, row-level change data
+    DeltaLite.readCdf(spark, table, 1L, 2L)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("o_orderkey").as("key_sum"),
+        round(sum("o_totalprice"), 2).as("price_sum"))
+      .orderBy("_change_type")
+      .select("_change_type", "n", "key_sum", "price_sum")
   }
 
   /** X36h: incremental (changes-between-versions) read — a downstream
@@ -1005,11 +1029,11 @@ object FormatQueries {
     val table = Sinks.tempDir("ice_parts")
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-    val spec = Some(("o_orderpriority", 1))
+    val spec = Some(IcebergLite.PartField.truncate("o_orderpriority", 1))
     IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table,
-      partitionTruncate = spec)
+      partitionField = spec)
     IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table,
-      partitionTruncate = spec)
+      partitionField = spec)
     IcebergLite.metadataTable(spark, table, "partitions")
   }
 
@@ -1113,10 +1137,11 @@ object FormatQueries {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table,
-      partitionTruncate = Some(("o_orderpriority", 1)))
-    IcebergLite.evolvePartitionSpec(spark, table, Some(("o_orderpriority", 3)))
+      partitionField = Some(IcebergLite.PartField.truncate("o_orderpriority", 1)))
+    IcebergLite.evolvePartitionSpec(spark, table,
+      Some(IcebergLite.PartField.truncate("o_orderpriority", 3)))
     IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table,
-      partitionTruncate = Some(("o_orderpriority", 3)))
+      partitionField = Some(IcebergLite.PartField.truncate("o_orderpriority", 3)))
     val (files, nMatched, nTotal) =
       IcebergLite.planPartitioned(spark, table, Set("1-U", "4-N"))
     spark.read.parquet(files: _*)
@@ -1377,7 +1402,7 @@ object FormatQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
         col("o_totalprice"))
     IcebergLite.write(spark, o, table,
-      partitionTruncate = Some(("o_orderdate", 7)))
+      partitionField = Some(IcebergLite.PartField.truncate("o_orderdate", 7)))
     val (files, matched, total) =
       IcebergLite.planPartitioned(spark, table, Set("1996-03", "1997-07"))
     spark.read.parquet(files: _*)
@@ -1504,10 +1529,13 @@ object FormatQueries {
       .orderBy("prio")
   }
 
-  /** X268, Iceberg side: appends → MOR DELETE (which the SQL surface
-    * refuses — the caught refusal is part of the answer) →
-    * `rewriteDataFiles` materializes the deletes away and SQL reads
-    * resume; `VERSION AS OF <snapshot-id>` travels to the first append. */
+  /** X268/X276, Iceberg side: appends → MOR DELETE, which the SQL
+    * surface now SERVES uncompacted (the catalog routes delete-carrying
+    * snapshots through [[IcebergLite.read]]'s sequence-gated anti-join
+    * plan via the V1 bridge — `mor_rows` is counted through `spark.sql`
+    * while the position deletes are live) → `rewriteDataFiles`
+    * compacts and the stock parquet path resumes with the same answer;
+    * `VERSION AS OF <snapshot-id>` travels to the first append. */
   private def icebergSqlRead(spark: SparkSession, dir: String): DataFrame = {
     val wh = Sinks.tempDir("cat_wh_ice")
     spark.conf.set("spark.sql.catalog.grafti",
@@ -1521,10 +1549,9 @@ object FormatQueries {
     IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1)
       .repartition(2), table) // snapshot 2
     IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 800L) // snap 3
-    val morRefused =
-      try { spark.sql("SELECT count(*) FROM grafti.db.orders_sql")
-        .collect(); false }
-      catch { case e: Exception => e.getMessage.contains("deletes") }
+    // merge-on-read state through SQL, uncompacted: deleted rows gone
+    val morRows = spark.sql("SELECT count(*) FROM grafti.db.orders_sql")
+      .collect()(0).getLong(0)
     IcebergLite.rewriteDataFiles(spark, table) // snap 4: pure data files
     val s1 = spark.sql(
       "SELECT count(*) FROM grafti.db.orders_sql VERSION AS OF 1")
@@ -1534,8 +1561,208 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total
         |FROM grafti.db.orders_sql GROUP BY o_orderpriority""".stripMargin)
       .withColumn("rows_snap1", lit(s1))
-      .withColumn("mor_refused", lit(morRefused))
+      .withColumn("mor_rows", lit(morRows))
       .orderBy("prio")
+  }
+
+  /** X275: the SQL WRITE path — the reference's core data-plane
+    * operation (catalog-addressed `mode("overwrite")`/`mode("append")`
+    * writes, `spark_ingest_slmandicprd.py:99-103,137-141`) as Spark's
+    * own SQL statements. `CREATE TABLE` runs [[DeltaLite.createTable]]'s
+    * v0 metadata-only commit; two `INSERT INTO ... SELECT` appends land
+    * as versions 1 and 2 through [[DeltaLite.write]]'s arbiter;
+    * `INSERT OVERWRITE` truncates as ONE versioned commit (v3) that
+    * time travel still sees through. The read-back goes through BOTH
+    * surfaces — SQL and the format reader — and the oracle reproduces
+    * the final state plus the pre-overwrite row count from the source
+    * relation. */
+  private def deltaSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    // session-stable warehouse: Spark caches catalog plugins by name, so
+    // a re-run in the same session must resolve the SAME warehouse the
+    // cached plugin pinned — first run names it, later runs reuse it
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdw.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_dins")
+        spark.conf.set("spark.sql.catalog.graftdw",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdw.warehouse", w)
+        w
+      }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("dins_src")
+    // Spark caches catalog plugins by name per session: a re-run of this
+    // key resolves the CACHED warehouse, so the lifecycle must be
+    // idempotent — drop any prior run's table first
+    spark.sql("DROP TABLE IF EXISTS graftdw.db.orders_ins")
+    spark.sql("""CREATE TABLE graftdw.db.orders_ins
+      |  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+      |  USING delta""".stripMargin) // v0: metadata only
+    spark.sql("""INSERT INTO graftdw.db.orders_ins
+      |SELECT * FROM dins_src WHERE o_orderkey % 2 = 0""".stripMargin) // v1
+    spark.sql("""INSERT INTO graftdw.db.orders_ins
+      |SELECT * FROM dins_src WHERE o_orderkey % 2 = 1""".stripMargin) // v2
+    val afterAppends = spark
+      .sql("SELECT count(*) FROM graftdw.db.orders_ins")
+      .collect()(0).getLong(0)
+    spark.sql("""INSERT OVERWRITE graftdw.db.orders_ins
+      |SELECT * FROM dins_src WHERE o_orderkey <= 1000""".stripMargin) // v3
+    // both surfaces agree on the committed log
+    val apiRows = DeltaLite.read(spark, s"$wh/db/orders_ins").count()
+    val v2Rows = spark
+      .sql("SELECT count(*) FROM graftdw.db.orders_ins VERSION AS OF 2")
+      .collect()(0).getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftdw.db.orders_ins GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_appended", lit(afterAppends))
+      .withColumn("rows_api", lit(apiRows))
+      .withColumn("rows_v2", lit(v2Rows))
+      .orderBy("prio")
+  }
+
+  /** X275, Iceberg side: CREATE TABLE commits an empty first snapshot,
+    * INSERTs append manifests BY REFERENCE (commit cost O(new files)),
+    * INSERT OVERWRITE starts the manifest list fresh — the exact
+    * semantics of [[IcebergLite.write]], reached through SQL. */
+  private def icebergSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftiw.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_iins")
+        spark.conf.set("spark.sql.catalog.graftiw",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftiw.warehouse", w)
+        w
+      }
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("iins_src")
+    spark.sql("DROP TABLE IF EXISTS graftiw.db.orders_ins") // re-run safety
+    spark.sql("""CREATE TABLE graftiw.db.orders_ins
+      |  (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+      |  USING iceberg""".stripMargin) // snapshot 1: empty
+    spark.sql("""INSERT INTO graftiw.db.orders_ins
+      |SELECT * FROM iins_src WHERE o_orderkey % 2 = 0""".stripMargin) // snap 2
+    spark.sql("""INSERT INTO graftiw.db.orders_ins
+      |SELECT * FROM iins_src WHERE o_orderkey % 2 = 1""".stripMargin) // snap 3
+    val afterAppends = spark
+      .sql("SELECT count(*) FROM graftiw.db.orders_ins")
+      .collect()(0).getLong(0)
+    spark.sql("""INSERT OVERWRITE graftiw.db.orders_ins
+      |SELECT * FROM iins_src WHERE o_orderkey <= 1000""".stripMargin) // snap 4
+    val apiRows = IcebergLite.read(spark, s"$wh/db/orders_ins").count()
+    val s3Rows = spark
+      .sql("SELECT count(*) FROM graftiw.db.orders_ins VERSION AS OF 3")
+      .collect()(0).getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftiw.db.orders_ins GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_appended", lit(afterAppends))
+      .withColumn("rows_api", lit(apiRows))
+      .withColumn("rows_snap3", lit(s3Rows))
+      .orderBy("prio")
+  }
+
+  /** X277: ingestion-TIME partitioning — the reference's one physical
+    * layout (`_PARTITIONTIME` 30-day pruning,
+    * `Sites/DataProc_Script/verifica_carga_slmandicprd.py:74-79`) as the
+    * Iceberg spec's `day` transform: events day-partitioned by `ts`
+    * (hidden layout — the source column stays untouched in the files),
+    * then a 5-day window planned OFF THE MANIFESTS ALONE
+    * ([[IcebergLite.planPartitioned]] with the window's epoch-day
+    * ordinals): 5 of 30 day-files open, the rest are never touched. At
+    * 100 TB this is the difference between scanning a month and
+    * scanning a work-week. The oracle reproduces the window's aggregate
+    * relationally; the scanned/total counts ride as pinned columns. */
+  private def icebergPartitionTime(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_ptime")
+    val e = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    IcebergLite.write(spark, e, table,
+      partitionField = Some(IcebergLite.PartField.day("ts")))
+    val d0 = java.time.LocalDate.of(2024, 1, 5).toEpochDay // data: Jan 1-30
+    val wanted = (d0 to d0 + 4).map(_.toString).toSet
+    val (files, nMatched, nTotal) =
+      IcebergLite.planPartitioned(spark, table, wanted)
+    spark.read.schema(e.schema).parquet(files: _*)
+      .where(to_date(col("ts")).between("2024-01-05", "2024-01-09"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("user_id").as("user_sum"),
+        round(sum("value"), 2).as("value_sum"))
+      .withColumn("files_scanned", lit(nMatched))
+      .withColumn("files_total", lit(nTotal))
+      .orderBy("event_type")
+  }
+
+  /** X278: `bucket[8]` hidden partitioning on the join/lookup key — the
+    * spec's seed-0 Murmur3 ([[graft.functions.IcebergBucket]], codegen'd;
+    * spec test vector hash(34)=2017239379 pinned in IcebergLiteSpec).
+    * A 3-key lookup plans to the keys' OWN buckets off the manifests:
+    * ≤3 of 8 bucket-files open. This layout is the prerequisite for
+    * storage-partitioned (shuffle-free) joins — both sides bucket
+    * identically by construction. */
+  private def icebergBucket(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_bucket")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val pf = IcebergLite.PartField.bucket("o_orderkey", 8)
+    IcebergLite.write(spark, o, table, partitionField = Some(pf))
+    val keys = Seq(10L, 11L, 12L)
+    val (files, nMatched, nTotal) = IcebergLite.planPartitioned(spark, table,
+      keys.map(k => pf.valueOf(k)).toSet)
+    spark.read.schema(o.schema).parquet(files: _*)
+      .where(col("o_orderkey").isin(keys: _*))
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .withColumn("files_scanned", lit(nMatched))
+      .withColumn("files_total", lit(nTotal))
+      .orderBy("o_orderkey")
+  }
+
+  /** X276: a deletion-vector-carrying Delta snapshot read through
+    * `spark.sql` WITHOUT compacting — the catalog serves it via
+    * [[DeltaLite.read]]'s DV anti-join plan through the V1 bridge.
+    * The WHERE below pushes through the bridge into the underlying
+    * parquet scans (Catalyst pushes the re-applied predicate below the
+    * anti-join). The oracle reproduces the post-delete state. */
+  private def deltaSqlReadDv(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_ddv")
+    spark.conf.set("spark.sql.catalog.graftdv",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdv.warehouse", wh)
+    val table = s"$wh/db/orders_dv"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.write(spark, o.repartition(4), table, collectStats = true) // v0
+    DeltaLite.deleteWhereDV(spark, table, "o_orderkey", 1L, 800L) // v1+v2: DVs
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(CASE WHEN o_orderkey <= 2000 THEN 1 END) AS n_low
+        |FROM graftdv.db.orders_dv GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin)
+  }
+
+  /** X276, Iceberg side: live position deletes served through SQL
+    * uncompacted, sequence gating intact. */
+  private def icebergSqlReadMor(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_imor")
+    spark.conf.set("spark.sql.catalog.graftim",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftim.warehouse", wh)
+    val table = s"$wh/db/orders_mor"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o.repartition(4), table) // snap 1
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 800L) // snap 2
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(CASE WHEN o_orderkey <= 2000 THEN 1 END) AS n_low
+        |FROM graftim.db.orders_mor GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin)
   }
 
   /** X36z: CDF on a PARTITIONED table — the 100 TB shape (a table big
@@ -1575,7 +1802,7 @@ object FormatQueries {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     IcebergLite.write(spark, o, table,
-      partitionTruncate = Some(("o_orderpriority", 1))) // snapshot 1
+      partitionField = Some(IcebergLite.PartField.truncate("o_orderpriority", 1))) // snapshot 1
     IcebergLite.deleteWhere(spark, table, "o_orderkey", 1L, 500L) // snap 2
     IcebergLite.updateWhere(spark, table, "o_orderkey", 501L, 1500L,
       Map("o_totalprice" -> (col("o_totalprice") + lit(100.0)))) // snap 3
@@ -1920,6 +2147,12 @@ object FormatQueries {
     "x_delta_cm_evolution" -> ((s, dir) => deltaCmEvolution(s, dir)),
     "x_delta_sql_read" -> ((s, dir) => deltaSqlRead(s, dir)),
     "x_iceberg_sql_read" -> ((s, dir) => icebergSqlRead(s, dir)),
+    "x_delta_sql_insert" -> ((s, dir) => deltaSqlInsert(s, dir)),
+    "x_iceberg_sql_insert" -> ((s, dir) => icebergSqlInsert(s, dir)),
+    "x_delta_sql_read_dv" -> ((s, dir) => deltaSqlReadDv(s, dir)),
+    "x_iceberg_sql_read_mor" -> ((s, dir) => icebergSqlReadMor(s, dir)),
+    "x_iceberg_partition_time" -> ((s, dir) => icebergPartitionTime(s, dir)),
+    "x_iceberg_bucket" -> ((s, dir) => icebergBucket(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -1964,6 +2197,7 @@ object FormatQueries {
     "x_delta_vacuum" -> ((s, dir) => deltaVacuum(s, dir)),
     "x_delta_time_travel" -> ((s, dir) => deltaTimeTravel(s, dir)),
     "x_delta_merge" -> ((s, dir) => deltaMerge(s, dir)),
+    "x_delta_merge_cdf" -> ((s, dir) => deltaMergeCdf(s, dir)),
     "x_delta_incremental" -> ((s, dir) => deltaIncremental(s, dir)),
     "x_dict_encode" -> ((s, dir) => dictEncode(s, dir)),
     "x_dsv2_scan" -> ((s, dir) => dsv2Scan(s)),
@@ -2135,16 +2369,68 @@ object FormatQueries {
         |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
         |GROUP BY 1 ORDER BY prio""".stripMargin,
     // SQL-through-catalog, Iceberg: same lifecycle; snapshot 1 = evens;
-    // the merge-on-read window refused SQL reads (TRUE), compaction
-    // restored them
+    // the merge-on-read window now SERVES SQL reads (mor_rows counted
+    // while the position deletes were live, uncompacted)
     "x_iceberg_sql_read" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
         |    AS rows_snap1,
-        |  TRUE AS mor_refused
+        |  (SELECT count(*) FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800)
+        |    AS mor_rows
         |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL WRITE path, Delta: final state = keys <= 1000 (the INSERT
+    // OVERWRITE); rows_appended/rows_api/rows_v2 pin the append
+    // lifecycle and the SQL-vs-API agreement
+    "x_delta_sql_insert" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders) AS rows_appended,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS rows_api,
+        |  (SELECT count(*) FROM orders) AS rows_v2
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_sql_insert" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders) AS rows_appended,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey <= 1000) AS rows_api,
+        |  (SELECT count(*) FROM orders) AS rows_snap3
+        |FROM orders WHERE o_orderkey <= 1000
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // MOR-state SQL reads, uncompacted: post-delete live rows only
+    "x_delta_sql_read_dv" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(CASE WHEN o_orderkey <= 2000 THEN 1 END) AS n_low
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_sql_read_mor" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(CASE WHEN o_orderkey <= 2000 THEN 1 END) AS n_low
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 800
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // day-transform pruning: the 5-day window's aggregate; 5 of the 30
+    // day-partition files opened (events span exactly 2024-01-01..30)
+    "x_iceberg_partition_time" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  round(sum(value), 2) AS value_sum,
+        |  CAST(5 AS BIGINT) AS files_scanned,
+        |  CAST(30 AS BIGINT) AS files_total
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // bucket[8] pruning: keys 10,12 share bucket 4, key 11 is bucket 7
+    // (spec murmur3 seed 0) — 2 of 8 bucket files opened
+    "x_iceberg_bucket" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(2 AS BIGINT) AS files_scanned,
+        |  CAST(8 AS BIGINT) AS files_total
+        |FROM orders WHERE o_orderkey IN (10, 11, 12)
+        |ORDER BY o_orderkey""".stripMargin,
     "x_iceberg_schema_evolution" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice
@@ -2553,6 +2839,33 @@ object FormatQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM d
         |    WHERE o_orderkey IN (SELECT o_orderkey FROM base)) AS n_deleted
         |FROM fin""".stripMargin,
+    // MERGE's row-level change feed: preimage/postimage for matched
+    // upserts, delete for matched D-keys, insert for unmatched upserts
+    "x_delta_merge_cdf" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 4 <> 3 AND o_orderkey % 8 <> 0),
+        |mu AS (SELECT o_orderkey, o_totalprice FROM base
+        |  WHERE o_orderkey % 2 = 0),
+        |ins AS (SELECT o_orderkey, o_totalprice + 500.0 AS p FROM orders
+        |  WHERE o_orderkey % 8 = 0),
+        |del AS (SELECT o_orderkey, o_totalprice FROM base
+        |  WHERE o_orderkey % 8 = 1)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    round(sum(o_totalprice), 2) AS price_sum FROM del
+        |  UNION ALL
+        |  SELECT 'insert', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey) AS BIGINT), round(sum(p), 2) FROM ins
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey) AS BIGINT),
+        |    round(sum(o_totalprice + 500.0), 2) FROM mu
+        |  UNION ALL
+        |  SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |    CAST(sum(o_orderkey) AS BIGINT),
+        |    round(sum(o_totalprice), 2) FROM mu
+        |) WHERE n > 0 ORDER BY _change_type""".stripMargin,
     "x_delta_incremental" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id) AS BIGINT) AS user_sum,

@@ -57,6 +57,109 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
   */
 object IcebergLite {
 
+  /** One declared partition field (spec §Partition Transforms): the spec
+    * transform string applied to a source column. Supported transforms —
+    * `truncate[w]` (string source, w-prefix), `bucket[n]` (long source,
+    * the spec's seed-0 Murmur3 via [[graft.functions.IcebergBucket]]),
+    * and the temporal family `year | month | day | hour` (timestamp
+    * source; `day` also takes date) producing the spec's
+    * years/months/days/hours-since-epoch ordinals. The reference's one
+    * physical layout is ingestion-TIME partitioning (`_PARTITIONTIME`
+    * 30-day pruning, `Sites/DataProc_Script/
+    * verifica_carga_slmandicprd.py:74-79`) — `day` is how Iceberg
+    * expresses exactly that; `bucket[n]` is the prerequisite for
+    * storage-partitioned (shuffle-free) joins.
+    *
+    * Subset note: manifests record the transform VALUE as a string
+    * (`p0`), typed consistently by writer and reader ([[valueColumn]] /
+    * [[valueOf]] are the single sources of truth). */
+  final case class PartField(source: String, transform: String) {
+    val kind: String = transform.takeWhile(_ != '[')
+    val param: Int =
+      if (transform.endsWith("]"))
+        transform.substring(transform.indexOf('[') + 1,
+          transform.length - 1).toInt
+      else 0
+    require(PartField.Kinds.contains(kind),
+      s"transform $transform outside the IcebergLite subset " +
+        s"(${PartField.Kinds.mkString("|")})")
+    require(!Set("truncate", "bucket").contains(kind) || param > 0,
+      s"$transform needs a positive parameter")
+
+    /** Spec field name (arbitrary per spec; stable here). */
+    def fieldName: String = s"${source}_$kind"
+
+    /** The per-row transform value, AS THE STRING the manifests record.
+      * Computed inside whole-stage codegen (built-in functions + the
+      * codegen'd [[graft.functions.IcebergBucket]]). */
+    def valueColumn(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{datediff, lit, month, pmod, substring, to_date, year}
+      import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+      kind match {
+        case "truncate" => substring(c, 1, param)
+        case "bucket" =>
+          column(graft.functions.IcebergBucket(
+            expression(c.cast("long")), param)).cast("string")
+        case "year" => (year(c) - lit(1970)).cast("string")
+        case "month" =>
+          ((year(c) - lit(1970)) * 12 + month(c) - 1).cast("string")
+        case "day" =>
+          datediff(to_date(c), lit("1970-01-01")).cast("string")
+        case "hour" =>
+          // exact floor division via pmod (cast timestamp→long = seconds)
+          ((c.cast("long") - pmod(c.cast("long"), lit(3600L))) / 3600L)
+            .cast("long").cast("string")
+      }
+    }
+
+    /** Driver-side twin of [[valueColumn]] for planning literals: the
+      * transform value a predicate constant lands in. Temporal inputs
+      * take `java.time` types (UTC, the engine's session zone). */
+    def valueOf(v: Any): String = kind match {
+      case "truncate" =>
+        val s = v.toString; s.substring(0, math.min(param, s.length))
+      case "bucket" =>
+        ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(
+          v.asInstanceOf[Number].longValue(), 0) & Int.MaxValue) % param)
+          .toString
+      case _ =>
+        val odt = v match {
+          case i: java.time.Instant => i.atOffset(java.time.ZoneOffset.UTC)
+          case d: java.time.LocalDate => d.atStartOfDay()
+            .atOffset(java.time.ZoneOffset.UTC)
+          case t: java.sql.Timestamp => t.toInstant
+            .atOffset(java.time.ZoneOffset.UTC)
+          case other => throw new IllegalArgumentException(
+            s"$kind transform plans over java.time values, got $other")
+        }
+        val epoch = java.time.OffsetDateTime.of(1970, 1, 1, 0, 0, 0, 0,
+          java.time.ZoneOffset.UTC)
+        val n = kind match {
+          case "year" => odt.getYear - 1970
+          case "month" => (odt.getYear - 1970) * 12 + odt.getMonthValue - 1
+          case "day" => java.time.temporal.ChronoUnit.DAYS
+            .between(epoch.toLocalDate, odt.toLocalDate).toInt
+          case "hour" => java.time.temporal.ChronoUnit.HOURS
+            .between(epoch, odt).toInt
+        }
+        n.toString
+    }
+  }
+
+  object PartField {
+    private[IcebergLite] val Kinds =
+      Set("truncate", "bucket", "year", "month", "day", "hour")
+    def truncate(source: String, w: Int): PartField =
+      PartField(source, s"truncate[$w]")
+    def bucket(source: String, n: Int): PartField =
+      PartField(source, s"bucket[$n]")
+    def day(source: String): PartField = PartField(source, "day")
+    def hour(source: String): PartField = PartField(source, "hour")
+    def month(source: String): PartField = PartField(source, "month")
+    def year(source: String): PartField = PartField(source, "year")
+  }
+
   private val mapper = new ObjectMapper()
 
   private def hadoopFs(spark: SparkSession, table: String): FileSystem =
@@ -208,6 +311,12 @@ object IcebergLite {
       case LongType => "long"
       case DoubleType => "double"
       case StringType => "string"
+      case org.apache.spark.sql.types.IntegerType => "int"
+      case org.apache.spark.sql.types.BooleanType => "boolean"
+      case org.apache.spark.sql.types.FloatType => "float"
+      case org.apache.spark.sql.types.DateType => "date"
+      case org.apache.spark.sql.types.TimestampType => "timestamp"
+      case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
       case other => throw new IllegalArgumentException(
         s"type ${other.simpleString} outside the IcebergLite subset")
     }
@@ -267,9 +376,33 @@ object IcebergLite {
     * file — the source column stays there untouched), and
     * [[planPartitioned]] prunes scans off the manifests alone. Every
     * commit to a partitioned table must declare the SAME spec. */
+  /** CREATE TABLE — commit an EMPTY first snapshot (a manifest list with
+    * zero manifests): the table exists with its schema and partition
+    * spec declared, every reader sees zero rows, and subsequent
+    * [[write]]s append under snapshot 1. The DDL half of the SQL front
+    * door's `CREATE TABLE` / CTAS ([[graft.sources.v2.GraftCatalog]]).
+    * Cost: one empty avro + one metadata JSON; no data plane. */
+  def createTable(spark: SparkSession, table: String, schema: StructType,
+      partitionField: Option[PartField] = None): Long = {
+    val fs = hadoopFs(spark, table)
+    require(latestMetadataVersion(spark, table) == 0,
+      s"$table already has Iceberg metadata — CREATE TABLE refuses to clobber")
+    fs.mkdirs(metaDir(table))
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val listName = s"snap-1-$token.avro"
+    writeManifestList(table, listName, Seq.empty, v2 = false)
+    if (!commitMetadataJson(fs, table, 0, None, 1, 1L, schema,
+        partitionField, listName, "append", Map.empty)) {
+      fs.delete(new Path(metaDir(table), listName), false)
+      throw new IllegalStateException(
+        s"CREATE TABLE lost the commit race on $table")
+    }
+    1L
+  }
+
   def write(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean = false,
-      partitionTruncate: Option[(String, Int)] = None,
+      partitionField: Option[PartField] = None,
       summaryProps: Map[String, String] = Map.empty,
       boundsColumn: Option[String] = None,
       maxRetries: Int = 10,
@@ -282,7 +415,7 @@ object IcebergLite {
     // the winner's metadata — both writers' rows land, in two snapshots
     var attempt = 0
     while (attempt < maxRetries) {
-      writeOnce(spark, df, table, overwrite, partitionTruncate,
+      writeOnce(spark, df, table, overwrite, partitionField,
         summaryProps, boundsColumn, operation, formatV2, toBranch) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
@@ -294,7 +427,7 @@ object IcebergLite {
 
   private def writeOnce(spark: SparkSession, df: DataFrame, table: String,
       overwrite: Boolean,
-      partitionTruncate: Option[(String, Int)],
+      partitionField: Option[PartField],
       summaryProps: Map[String, String],
       boundsColumn: Option[String],
       operation: Option[String] = None,
@@ -305,9 +438,9 @@ object IcebergLite {
     val prevV = latestMetadataVersion(spark, table)
     if (prevV > 0) {
       val priorSpec = partitionSpec(readMetadata(fs, table, prevV))
-      require(priorSpec == partitionTruncate,
+      require(priorSpec == partitionField,
         s"partition spec mismatch on $table: table has $priorSpec, " +
-          s"commit declares $partitionTruncate")
+          s"commit declares $partitionField")
     }
     val snapshotId = prevV + 1L
     // stage data files (commit-private dir, the DeltaLite discipline)
@@ -315,18 +448,18 @@ object IcebergLite {
     val staged = s"data/s$snapshotId-$token"
     // (relative-file-path, partition-value-or-null, file-status)
     val parts: Seq[(String, String, org.apache.hadoop.fs.FileStatus)] =
-      partitionTruncate match {
+      partitionField match {
         case None =>
           df.write.mode("errorifexists").parquet(s"$table/$staged")
           fs.listStatus(new Path(table, staged))
             .filter(_.getPath.getName.endsWith(".parquet"))
             .sortBy(_.getPath.getName)
             .map(p => (s"$staged/${p.getPath.getName}", null, p)).toSeq
-        case Some((src, w)) =>
+        case Some(pf) =>
           // one file per transform value: repartition by the value, then
           // partitionBy splits each task's rows into per-value directories
-          df.withColumn("_p", org.apache.spark.sql.functions
-              .substring(org.apache.spark.sql.functions.col(src), 1, w))
+          df.withColumn("_p",
+              pf.valueColumn(org.apache.spark.sql.functions.col(pf.source)))
             .repartition(org.apache.spark.sql.functions.col("_p"))
             .write.mode("errorifexists").partitionBy("_p")
             .parquet(s"$table/$staged")
@@ -388,7 +521,7 @@ object IcebergLite {
         }.toMap
     // manifest for the new files
     val entrySchema =
-      entrySchemaFor(partitionTruncate.isDefined, boundsColumn.isDefined)
+      entrySchemaFor(partitionField.isDefined, boundsColumn.isDefined)
     val entries = parts.map { case (rel, pval, p) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -448,7 +581,7 @@ object IcebergLite {
         snapshotId, content = 0, seq = snapshotId, specId = defaultSpecId),
       v2 = formatVersion == 2)
     val committed = commitMetadataJson(fs, table, prevV, prevMeta,
-      formatVersion, snapshotId, df.schema, partitionTruncate, listName,
+      formatVersion, snapshotId, df.schema, partitionField, listName,
       operation.getOrElse(if (overwrite) "overwrite" else "append"),
       summaryProps, toBranch)
     if (!committed) {
@@ -471,7 +604,7 @@ object IcebergLite {
   private def commitMetadataJson(fs: FileSystem, table: String, prevV: Int,
       prevMeta: Option[com.fasterxml.jackson.databind.JsonNode],
       formatVersion: Int, snapshotId: Long, dfSchema: StructType,
-      partitionTruncate: Option[(String, Int)], listName: String,
+      partitionField: Option[PartField], listName: String,
       operation: String, summaryProps: Map[String, String],
       toBranch: Option[String] = None): Boolean = {
     // the snapshot this commit planned against — main's head, or the
@@ -554,17 +687,17 @@ object IcebergLite {
         val spec0 = specs.addObject()
         spec0.put("spec-id", 0)
         val specFields = spec0.putArray("fields")
-        partitionTruncate.foreach { case (src, w) =>
+        partitionField.foreach { f =>
           val pf = specFields.addObject()
-          pf.put("name", s"${src}_trunc")
-          pf.put("transform", s"truncate[$w]")
+          pf.put("name", f.fieldName)
+          pf.put("transform", f.transform)
           pf.put("source-id",
-            dfSchema.fieldNames.indexOf(src) + 1) // Iceberg ids are 1-based
+            dfSchema.fieldNames.indexOf(f.source) + 1) // ids are 1-based
           pf.put("field-id", 1000)
         }
         root.put("default-spec-id", 0)
         root.put("last-partition-id",
-          if (partitionTruncate.isDefined) 1000 else 999)
+          if (partitionField.isDefined) 1000 else 999)
     }
     // sort orders are immutable and id-addressed like schemas/specs:
     // preserved verbatim on every data commit; [[setSortOrder]]'s
@@ -649,7 +782,7 @@ object IcebergLite {
     * and returns the original snapshot id without writing. */
   def commitIdempotent(spark: SparkSession, df: DataFrame, table: String,
       batchId: Long,
-      partitionTruncate: Option[(String, Int)] = None,
+      partitionField: Option[PartField] = None,
       toBranch: Option[String] = None): Long = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
@@ -669,7 +802,7 @@ object IcebergLite {
       }
       if (found >= 0) return found
     }
-    write(spark, df, table, partitionTruncate = partitionTruncate,
+    write(spark, df, table, partitionField = partitionField,
       summaryProps = Map("graft-batch-id" -> batchId.toString),
       toBranch = toBranch)
   }
@@ -768,17 +901,16 @@ object IcebergLite {
     * new. `None` evolves to unpartitioned. Re-declaring the current
     * default is a no-op (returns the current metadata version). */
   def evolvePartitionSpec(spark: SparkSession, table: String,
-      newSpec: Option[(String, Int)]): Int = {
+      newSpec: Option[PartField]): Int = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     if (partitionSpec(meta) == newSpec) return v
     val schema = schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
-    newSpec.foreach { case (src, w) =>
-      require(schema.fieldNames.contains(src),
-        s"partition source column $src not in $table schema")
-      require(w > 0, s"truncate width must be positive, got $w")
+    newSpec.foreach { f =>
+      require(schema.fieldNames.contains(f.source),
+        s"partition source column ${f.source} not in $table schema")
     }
     val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     var maxId = -1
@@ -788,11 +920,11 @@ object IcebergLite {
     val spec = copy.withArray("partition-specs").addObject()
     spec.put("spec-id", newId)
     val fields = spec.putArray("fields")
-    newSpec.foreach { case (src, w) =>
+    newSpec.foreach { f =>
       val pf = fields.addObject()
-      pf.put("name", s"${src}_trunc")
-      pf.put("transform", s"truncate[$w]")
-      pf.put("source-id", schema.fieldNames.indexOf(src) + 1)
+      pf.put("name", f.fieldName)
+      pf.put("transform", f.transform)
+      pf.put("source-id", schema.fieldNames.indexOf(f.source) + 1)
       // spec rule: partition field ids are unique ACROSS specs
       pf.put("field-id", copy.path("last-partition-id").asInt(999) + 1)
     }
@@ -1220,24 +1352,41 @@ object IcebergLite {
   /** The table's declared truncate partition spec, decoded back from the
     * metadata JSON (None = unpartitioned). */
   private def partitionSpec(meta: com.fasterxml.jackson.databind.JsonNode)
-      : Option[(String, Int)] =
+      : Option[PartField] =
     partitionSpecs(meta)(meta.get("default-spec-id").asInt())
+
+  /** The table's current default partition spec as (sourceColumn,
+    * truncateWidth) — what a new commit must declare. The SQL write
+    * path ([[graft.sources.v2.GraftCatalog]]) reads it so SQL INSERTs
+    * keep the table's physical layout. */
+  private[graft] def currentPartitionSpec(spark: SparkSession,
+      table: String): Option[PartField] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    partitionSpec(readMetadata(fs, table, v))
+  }
 
   /** Every spec in the metadata's immutable id-addressed list, id →
     * Some((sourceColumn, truncateWidth)) or None for an unpartitioned
     * spec — the per-manifest evaluation table [[planPartitioned]] prunes
     * with after a spec evolution. */
   private def partitionSpecs(meta: com.fasterxml.jackson.databind.JsonNode)
-      : Map[Int, Option[(String, Int)]] = {
-    val out = mutable.Map.empty[Int, Option[(String, Int)]]
+      : Map[Int, Option[PartField]] = {
+    // source-id resolves through the current schema (field ids are
+    // positional and append-only in this impl, so historical specs
+    // resolve under it too)
+    val fieldNames = schemaForSnapshot(meta,
+      meta.get("current-snapshot-id").asLong()).fieldNames
+    val out = mutable.Map.empty[Int, Option[PartField]]
     meta.get("partition-specs").forEach { s =>
-      var found: Option[(String, Int)] = None
+      var found: Option[PartField] = None
       s.get("fields").forEach { f =>
-        val t = f.get("transform").asText()
-        require(t.startsWith("truncate["),
-          s"transform $t outside the IcebergLite subset")
-        val w = t.stripPrefix("truncate[").stripSuffix("]").toInt
-        found = Some((f.get("name").asText().stripSuffix("_trunc"), w))
+        val sid = f.get("source-id").asInt()
+        require(sid >= 1 && sid <= fieldNames.length,
+          s"partition source-id $sid outside the schema")
+        found = Some(PartField(fieldNames(sid - 1),
+          f.get("transform").asText()))
       }
       out(s.get("spec-id").asInt()) = found
     }
@@ -1261,7 +1410,7 @@ object IcebergLite {
     val specs = partitionSpecs(meta)
     val default = partitionSpec(meta)
     require(default.isDefined, s"$table is not partitioned")
-    val (defaultCol, defaultW) = default.get
+    val dpf = default.get
     val cur = meta.get("current-snapshot-id").asLong()
     val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
     // `wanted` holds transform values of the CURRENT DEFAULT spec; each
@@ -1286,12 +1435,17 @@ object IcebergLite {
               else part.get("p0")
             val pv = if (pv0 == null) null else pv0.toString
             val keep = mSpec match {
-              case Some((c, w)) if c == defaultCol =>
+              case Some(pf) if pf.source == dpf.source =>
                 if (pv == null) wanted.contains(null)
-                else if (w == defaultW) wanted.contains(pv)
-                else if (w < defaultW)
-                  wanted.exists(x => x != null && x.take(w) == pv)
-                else wanted.contains(pv.take(defaultW))
+                else if (pf.transform == dpf.transform) wanted.contains(pv)
+                else if (pf.kind == "truncate" && dpf.kind == "truncate") {
+                  // truncate-width residuals: a narrower historical width
+                  // is a superset bucket, a wider one a subset bucket
+                  if (pf.param < dpf.param)
+                    wanted.exists(x => x != null && x.take(pf.param) == pv)
+                  else wanted.contains(pv.take(dpf.param))
+                }
+                else true // cross-transform residuals: keep (never wrong)
               case _ => true // no residual under this manifest's spec
             }
             (d.get("file_path").toString, keep)
@@ -1670,6 +1824,11 @@ object IcebergLite {
       case "long" => LongType
       case "double" => DoubleType
       case "string" => StringType
+      case "int" => org.apache.spark.sql.types.IntegerType
+      case "boolean" => org.apache.spark.sql.types.BooleanType
+      case "float" => org.apache.spark.sql.types.FloatType
+      case "date" => org.apache.spark.sql.types.DateType
+      case "timestamp" => org.apache.spark.sql.types.TimestampType
       case other => throw new IllegalArgumentException(
         s"type $other outside the IcebergLite subset")
     }
@@ -2041,9 +2200,9 @@ object IcebergLite {
       case None => matchedRows.select("__fn", "__ri")
         .join(broadcast(nameToPath), "__fn")
         .select(col("file_path"), col("__ri").as("pos"))
-      case Some((src, w)) => matchedRows
+      case Some(pf) => matchedRows
         .select(col("__fn"), col("__ri"),
-          org.apache.spark.sql.functions.substring(col(src), 1, w).as("_p"))
+          pf.valueColumn(col(pf.source)).as("_p"))
         .join(broadcast(nameToPath), "__fn")
         .select(col("file_path"), col("__ri").as("pos"), col("_p"))
     }
@@ -2131,10 +2290,11 @@ object IcebergLite {
     val schema = schemaForSnapshot(prevMeta, cur)
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
-    spec.foreach { case (src, _) =>
-      require(!set.contains(src),
-        s"SET of partition source column $src would move rows across " +
-          "partitions — rewrite via mergeInto/rewriteDataFiles instead")
+    spec.foreach { pf =>
+      require(!set.contains(pf.source),
+        s"SET of partition source column ${pf.source} would move rows " +
+          "across partitions — rewrite via mergeInto/rewriteDataFiles " +
+          "instead")
     }
     val dataFiles = snapshotManifestFiles(spark, table, cur, content = 0)
     val snapshotId = prevV + 1L
@@ -2158,9 +2318,9 @@ object IcebergLite {
         case None => matched.select("__fn", "__ri")
           .join(broadcast(nameToPath), "__fn")
           .select(col("file_path"), col("__ri").as("pos"))
-        case Some((src, w)) => matched
+        case Some(pf) => matched
           .select(col("__fn"), col("__ri"),
-            org.apache.spark.sql.functions.substring(col(src), 1, w).as("_p"))
+            pf.valueColumn(col(pf.source)).as("_p"))
           .join(broadcast(nameToPath), "__fn")
           .select(col("file_path"), col("__ri").as("pos"), col("_p"))
       }
@@ -2177,9 +2337,8 @@ object IcebergLite {
         case None =>
           updated.write.mode("errorifexists").parquet(s"$table/$stagedData")
           stageDataManifest(spark, fs, table, stagedData, snapshotId, token)
-        case Some((src, w)) =>
-          updated.withColumn("_p",
-              org.apache.spark.sql.functions.substring(col(src), 1, w))
+        case Some(pf) =>
+          updated.withColumn("_p", pf.valueColumn(col(pf.source)))
             .repartition(col("_p"))
             .write.mode("errorifexists").partitionBy("_p")
             .parquet(s"$table/$stagedData")
@@ -2498,7 +2657,7 @@ object IcebergLite {
     }
     val sid = write(spark, clustered, table,
       overwrite = true, operation = Some("replace"),
-      partitionTruncate = spec,
+      partitionField = spec,
       boundsColumn = sortCol.filter(c =>
         schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
           .apply(c).dataType == org.apache.spark.sql.types.LongType),

@@ -5,9 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -45,16 +46,21 @@ import graft.sources.{DeltaLite, IcebergLite}
   * Delta version / Iceberg snapshot id (both formats' own time-travel
   * coordinate).
   *
-  * Stated subset (refused loudly, never silently wrong): snapshots
-  * carrying merge-on-read state (Delta deletion vectors, Iceberg
-  * position/equality deletes) and column-mapped Delta tables need their
-  * format's own reader ([[DeltaLite.read]] / [[IcebergLite.read]]) —
-  * a plain parquet scan would resurrect deleted rows or surface physical
-  * column names. Compact first (`OPTIMIZE` / `rewriteDataFiles`) to
-  * restore SQL readability; the refusal message says so. The catalog is
-  * a QUERY surface: DDL/DML keep going through the format APIs (and
-  * `dropTable` etc. refuse), matching the engine's
-  * commit-through-the-log discipline.
+  * Merge-on-read snapshots (Delta deletion vectors, Iceberg position/
+  * equality deletes) serve through SQL too (X276): the table the catalog
+  * returns routes those snapshots through the format reader's OWN
+  * anti-join plan via the [[org.apache.spark.sql.connector.read.V1Scan]]
+  * bridge — deleted rows never resurrect, and pushed filters/pruned
+  * columns still reach the underlying parquet scans through Catalyst.
+  * Clean snapshots keep the stock vectorized `ParquetTable` path.
+  *
+  * The catalog is also a WRITE surface (X275): `CREATE TABLE` (+ CTAS,
+  * provider `delta` | `iceberg`, default delta), `INSERT INTO` (append)
+  * and `INSERT OVERWRITE` (truncating overwrite) commit through
+  * [[DeltaLite]]/[[IcebergLite]]'s own atomic arbiters — SQL writes and
+  * API writes serialize on the same log and are indistinguishable to
+  * readers. ALTER/RENAME keep refusing (schema evolution goes through
+  * the format APIs); DROP TABLE removes the table directory.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -184,46 +190,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadDelta(ident: Identifier, path: String,
       version: Long): Table = {
-    val snap = DeltaLite.snapshotAt(spark, path, version)
+    val s = spark
+    val snap = DeltaLite.snapshotAt(s, path, version)
     val schema = DataType.fromJson(snap.meta.getOrElse(
       throw new IllegalArgumentException(s"no metaData in $path log"))._2)
       .asInstanceOf[StructType]
-    require(snap.dvs.isEmpty,
-      s"$catName.$ident carries live deletion vectors — a plain parquet " +
-        "scan would resurrect deleted rows; read via DeltaLite.read or " +
-        "compact with DeltaLite.optimize first")
-    // column-mapped tables serve through FIELD-ID resolution: the scan
-    // schema carries logical names + the Delta column id as
-    // parquet.field.id, and Spark's reader binds by the footer ids this
-    // implementation writes in both mapping modes — renames/drops stay
-    // metadata-only AND SQL-visible. Requires the session flag; a file
-    // without footer ids fails loudly at scan (ignoreMissing=false),
-    // never resolves wrong.
-    val scanSchema =
-      if (!DeltaLite.isColumnMapped(schema)) schema
-      else {
-        require(spark.conf.getOption(
-            "spark.sql.parquet.fieldId.read.enabled").contains("true"),
-          s"$catName.$ident is column-mapped: SQL reads bind columns by " +
-            "parquet field id — set spark.sql.parquet.fieldId.read.enabled" +
-            "=true (or read via DeltaLite.read)")
-        DeltaLite.fieldIdReadSchema(schema)
+    val mapped = DeltaLite.isColumnMapped(schema)
+    // the TABLE schema the analyzer binds against: logical names; in the
+    // column-mapped parquet path it must KEEP the parquet.field.id
+    // metadata (fieldIdReadSchema) or the pruned scan loses its binding
+    // coordinate — the V1/MOR path reads through DeltaLite.read, which
+    // surfaces plain logical names
+    var tableSchema =
+      if (mapped) StructType(schema.fields.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+      else schema
+    val readDelegate: Either[() => DataFrame, Table] =
+      if (snap.dvs.nonEmpty) {
+        // live deletion vectors: a plain parquet scan would resurrect
+        // deleted rows — serve the format reader's anti-join plan
+        // through the V1 bridge (filters/pruning still push through)
+        Left(() => DeltaLite.read(s, path, version))
+      } else {
+        // column-mapped tables serve through FIELD-ID resolution: the
+        // scan schema carries logical names + the Delta column id as
+        // parquet.field.id, and Spark's reader binds by the footer ids
+        // this implementation writes in both mapping modes — renames/
+        // drops stay metadata-only AND SQL-visible. Requires the session
+        // flag; a file without footer ids fails loudly at scan
+        // (ignoreMissing=false), never resolves wrong.
+        val scanSchema =
+          if (!mapped) schema
+          else {
+            require(s.conf.getOption(
+                "spark.sql.parquet.fieldId.read.enabled").contains("true"),
+              s"$catName.$ident is column-mapped: SQL reads bind columns " +
+                "by parquet field id — set spark.sql.parquet.fieldId." +
+                "read.enabled=true (or read via DeltaLite.read)")
+            DeltaLite.fieldIdReadSchema(schema)
+          }
+        tableSchema = scanSchema
+        // add.path may be relative OR absolute (shallowClone writes
+        // absolute source paths) — resolve like DeltaLite.dataPath
+        Right(parquetTable(ident, scanSchema,
+          snap.files.map(f => DeltaLite.dataPath(path, f))))
       }
-    // add.path may be relative OR absolute (shallowClone writes absolute
-    // source paths) — resolve with the same rule as DeltaLite.dataPath
-    parquetTable(ident, scanSchema,
-      snap.files.map(f => DeltaLite.dataPath(path, f)))
+    new GraftTable(fullName(ident), path, "delta", tableSchema,
+      snap.partCols, None, mapped, readDelegate, writable = version < 0)
   }
 
   private def loadIceberg(ident: Identifier, path: String,
       version: Long): Table = {
-    val schema = IcebergLite.schemaAt(spark, path, version)
-    require(IcebergLite.snapshotDeleteFiles(spark, path, version).isEmpty,
-      s"$catName.$ident carries live position/equality deletes — a plain " +
-        "parquet scan would resurrect deleted rows; read via " +
-        "IcebergLite.read or compact with rewriteDataFiles first")
-    parquetTable(ident, schema, IcebergLite.snapshotFiles(spark, path, version))
+    val s = spark
+    val schema = IcebergLite.schemaAt(s, path, version)
+    val readDelegate: Either[() => DataFrame, Table] =
+      if (IcebergLite.snapshotDeleteFiles(s, path, version).nonEmpty)
+        // merge-on-read state: serve the format reader's sequence-gated
+        // anti-join plan through the V1 bridge
+        Left(() => IcebergLite.read(s, path, version))
+      else
+        Right(parquetTable(ident, schema,
+          IcebergLite.snapshotFiles(s, path, version)))
+    new GraftTable(fullName(ident), path, "iceberg", schema,
+      Seq.empty, IcebergLite.currentPartitionSpec(s, path), columnMapped = false,
+      readDelegate, writable = version < 0)
   }
+
+  private def fullName(ident: Identifier): String =
+    s"$catName.${ident.namespace.mkString(".")}.${ident.name}"
 
   /** The planned live files as Spark's OWN parquet DSv2 table: the plan
     * below the catalog is a stock vectorized multi-path `BatchScan
@@ -242,14 +276,90 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Some(schema),
       classOf[ParquetFileFormat])
 
+  /** `CREATE TABLE` / CTAS (X275): provider `delta` (default) or
+    * `iceberg` picks the format; the physical create is the format's own
+    * DDL commit ([[DeltaLite.createTable]] — a v0 metadata-only log
+    * entry; [[IcebergLite.createTable]] — an empty first snapshot), so
+    * the created table is immediately readable (zero rows) and every
+    * subsequent write — SQL or API — appends under it. Partitioning:
+    * identity transforms declare Delta partition columns; `truncate(w,
+    * col)` declares the Iceberg spec transform. Tables live in the
+    * warehouse (external LOCATION refuses — the catalog owns its
+    * layout). */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      Seq(catName) ++ ident.namespace.toSeq :+ ident.name)
+    val props = properties.asScala
+    props.get(TableCatalog.PROP_LOCATION).foreach(_ =>
+      throw new UnsupportedOperationException(
+        s"CREATE TABLE $catName.$ident: external LOCATION is outside " +
+          "this subset — the catalog owns its warehouse layout"))
+    val format = props.getOrElse(TableCatalog.PROP_PROVIDER, "delta")
+      .toLowerCase(java.util.Locale.ROOT)
+    val path = tablePath(ident)
+    format match {
+      case "delta" =>
+        val partCols = partitions.toSeq.map {
+          case t if t.name == "identity" =>
+            t.references.head.fieldNames.mkString(".")
+          case other => throw new UnsupportedOperationException(
+            s"CREATE TABLE $catName.$ident: Delta partitioning supports " +
+              s"identity columns; got $other")
+        }
+        require(partCols.size <= 1,
+          s"CREATE TABLE $catName.$ident: this subset partitions Delta " +
+            "tables by one column")
+        DeltaLite.createTable(spark, path, schema, partCols)
+      case "iceberg" =>
+        // SQL transform names → spec transforms: truncate(w,c), bucket(n,c),
+        // years/months/days/hours(c) (Spark's plural SQL spellings map to
+        // the spec's singular ordinals)
+        val temporal = Map("years" -> "year", "months" -> "month",
+          "days" -> "day", "hours" -> "hour")
+        def intArg(t: Transform): Int = t.arguments.toSeq.collectFirst {
+          case l: Literal[_] => l.value.toString.toInt }.getOrElse(
+          throw new IllegalArgumentException(s"${t.name} needs a parameter"))
+        def colArg(t: Transform): String = t.arguments.toSeq.collectFirst {
+          case r: NamedReference => r.fieldNames.mkString(".") }.getOrElse(
+          throw new IllegalArgumentException(s"${t.name} needs a column"))
+        val spec = partitions.toSeq.map {
+          case t if t.name == "truncate" =>
+            IcebergLite.PartField.truncate(colArg(t), intArg(t))
+          case t if t.name == "bucket" =>
+            IcebergLite.PartField.bucket(colArg(t), intArg(t))
+          case t if temporal.contains(t.name) =>
+            IcebergLite.PartField(colArg(t), temporal(t.name))
+          case other => throw new UnsupportedOperationException(
+            s"CREATE TABLE $catName.$ident: Iceberg partitioning supports " +
+              s"truncate/bucket/years/months/days/hours; got $other")
+        }
+        require(spec.size <= 1,
+          s"CREATE TABLE $catName.$ident: this subset declares one " +
+            "partition field")
+        IcebergLite.createTable(spark, path, schema, spec.headOption)
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE $catName.$ident: provider must be delta or " +
+          s"iceberg; got $other")
+    }
+    loadTable(ident)
+  }
+
+  /** DROP TABLE: remove the table directory (data + log — the
+    * HadoopCatalog model, where the directory IS the table). */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    fs.delete(new Path(tablePath(ident)), true)
+  }
+
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"$op: the $catName catalog is a query surface — DDL/DML go " +
-        "through the DeltaLite/IcebergLite APIs (commit-through-the-log)")
+      s"$op: schema/name changes go through the DeltaLite/IcebergLite " +
+        "APIs (commit-through-the-log)")
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = readOnly("ALTER TABLE")
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 
@@ -277,7 +387,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(namespace)
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(new Path((warehouse +: namespace.toSeq).mkString("/")))
+    ()
+  }
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
   override def dropNamespace(namespace: Array[String],

@@ -1,0 +1,254 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{DeltaLite, IcebergLite}
+
+/** X276: one catalog table, BOTH planes. The DSv2 `Table` the
+  * [[GraftCatalog]] serves: reads delegate to the plan the catalog chose
+  * (stock vectorized `ParquetTable` for clean snapshots; the format
+  * reader's merge-on-read anti-join plan through the sanctioned
+  * [[V1Scan]] bridge when the snapshot carries deletion vectors or
+  * position/equality deletes), and writes go through the DSv2 write
+  * contract (`V1_BATCH_WRITE`) committing through the format's OWN
+  * atomic arbiter — [[DeltaLite.write]]/[[DeltaLite.writePartitioned]]/
+  * [[IcebergLite.write]], the exact staged-parquet + atomic-log-commit
+  * discipline every API write uses. SQL `INSERT INTO` (append) and
+  * `INSERT OVERWRITE` (truncating overwrite) thereby land as ordinary
+  * versioned commits: concurrent SQL and API writers serialize on the
+  * same log, and readers time-travel over SQL-written versions like any
+  * other. This is the reference's core data-plane operation —
+  * catalog-addressed `mode("overwrite")` / `mode("append")` writes
+  * (`Sites/DataProc_Script/spark_ingest_slmandicprd.py:99-103,137-141`)
+  * — re-expressed as Spark's own SQL write path.
+  *
+  * Scale notes: the V1 write bridge hands the WHOLE DataFrame to the
+  * format writer — the data plane stays Spark's distributed parquet
+  * write (executors write staged files; only the log commit is
+  * driver-side), so a 100 TB INSERT behaves exactly like the API write.
+  * The V1 read bridge (MOR snapshots only) keeps the format reader's
+  * logical plan intact, so pushed filters and pruned columns reach the
+  * underlying parquet scans through Catalyst before the anti-joins —
+  * [[DataFrameScanBuilder]] re-applies both on the DataFrame, where the
+  * optimizer pushes them below the join for free.
+  */
+private[v2] final class GraftTable(
+    tableName: String,
+    path: String,
+    format: String, // "delta" | "iceberg"
+    logicalSchema: StructType,
+    deltaPartCols: Seq[String],
+    icePartition: Option[IcebergLite.PartField],
+    columnMapped: Boolean,
+    // Right = clean snapshot (stock parquet DSv2 table); Left = the
+    // format reader's MOR plan, bridged via V1Scan
+    readDelegate: Either[() => DataFrame, Table],
+    writable: Boolean)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = logicalSchema
+
+  override def partitioning(): Array[Transform] = {
+    val delta = deltaPartCols.map(Expressions.identity)
+    val ice = icePartition.toSeq.map { pf =>
+      pf.kind match {
+        case "truncate" => Expressions.apply("truncate",
+          Expressions.literal(Integer.valueOf(pf.param)),
+          Expressions.column(pf.source))
+        case "bucket" =>
+          Expressions.bucket(pf.param, pf.source)
+        case temporal => // year | month | day | hour
+          Expressions.apply(temporal, Expressions.column(pf.source))
+      }
+    }
+    (delta ++ ice).toArray
+  }
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> format).asJava
+
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable) {
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps.add(TableCapability.OVERWRITE_BY_FILTER)
+    }
+    caps
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    readDelegate match {
+      case Right(parquet) =>
+        parquet.asInstanceOf[SupportsRead].newScanBuilder(options)
+      case Left(plan) =>
+        new DataFrameScanBuilder(tableName, plan, logicalSchema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(writable,
+      s"$tableName is not writable through SQL at a time-travel version " +
+        "— write at the table's head")
+    new WriteBuilder with SupportsOverwriteV2 {
+      private var overwriteAll = false
+
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        val alwaysTrue = predicates.isEmpty ||
+          (predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE")
+        if (!alwaysTrue) throw new UnsupportedOperationException(
+          s"$tableName: partial INSERT OVERWRITE (a partition/filter " +
+            "overwrite) is outside this subset — use the format's " +
+            "deletePartition/deleteWhere then INSERT INTO")
+        overwriteAll = true
+        this
+      }
+
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              commitInsert(data, overwriteAll || overwrite)
+          }
+      }
+    }
+  }
+
+  /** The write's commit: align the incoming frame to the TABLE schema
+    * (SQL inserts resolve by position; `Dataset.to` reconciles names,
+    * order and types so the table schema stays authoritative), then
+    * commit through the format's arbiter. Partitioned tables keep their
+    * layout: the commit goes through the partitioned writer, so SQL
+    * inserts and API writes produce indistinguishable versions. */
+  private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
+    val spark = data.sparkSession
+    val aligned = data.to(logicalSchema)
+    format match {
+      case "delta" if columnMapped =>
+        require(!overwrite,
+          s"$tableName: INSERT OVERWRITE on a column-mapped table is " +
+            "outside this subset — use DeltaLite.writeColumnMapped")
+        DeltaLite.writeColumnMapped(spark, aligned, path)
+      case "delta" if deltaPartCols.isEmpty =>
+        DeltaLite.write(spark, aligned, path, overwrite = overwrite,
+          collectStats = true)
+      case "delta" =>
+        require(!overwrite,
+          s"$tableName: INSERT OVERWRITE on a partitioned table is " +
+            "outside this subset — deletePartition then INSERT INTO")
+        require(deltaPartCols.size == 1,
+          s"$tableName declares ${deltaPartCols.size} partition columns; " +
+            "this subset writes one")
+        DeltaLite.writePartitioned(spark, aligned, path, deltaPartCols.head,
+          collectStats = true)
+      case "iceberg" =>
+        IcebergLite.write(spark, aligned, path, overwrite = overwrite,
+          partitionField = icePartition)
+      case other =>
+        throw new IllegalStateException(s"unknown format $other")
+    }
+  }
+}
+
+/** The V1 read bridge for merge-on-read snapshots: wraps the format
+  * reader's DataFrame (a LOGICAL plan — parquet scans + sequence-gated
+  * anti-joins) as a DSv2 scan. Column pruning and filter pushdown are
+  * applied ON the DataFrame, where Catalyst pushes them through the
+  * anti-joins into the underlying parquet scans — the pruned/filtered
+  * plan is then executed as-is (`queryExecution.toRdd`, no row
+  * conversion). Filters the V1 `Filter` algebra can't express re-apply
+  * above the scan (Spark's standard V1 re-evaluation), so the bridge is
+  * never wrong, only occasionally less pushed. */
+private[v2] final class DataFrameScanBuilder(
+    tableName: String,
+    plan: () => DataFrame,
+    fullSchema: StructType)
+  extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterToColumn(f).isDefined)
+    // hand EVERY filter back for re-evaluation above: the pushed subset
+    // prunes the scan, the engine's recheck keeps semantics exact
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan = {
+    val readSchema0 = required
+    val pushed0 = pushed
+    new V1Scan {
+      override def readSchema(): StructType = readSchema0
+
+      override def toV1TableScan[T <: BaseRelation with TableScan](
+          context: SQLContext): T = {
+        new BaseRelation with TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = readSchema0
+          override def needConversion: Boolean = false
+          override def buildScan(): RDD[Row] = {
+            val df0 = plan()
+            val filtered = pushed0.flatMap(FilterToColumn(_))
+              .foldLeft(df0)(_ where _)
+            val projected = filtered.select(readSchema0.fieldNames.toIndexedSeq
+              .map(org.apache.spark.sql.functions.col): _*)
+            // needConversion=false: the engine consumes InternalRow
+            projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+          }
+        }.asInstanceOf[T]
+      }
+    }
+  }
+}
+
+/** V1 `Filter` → `Column` (the pushable subset). Anything untranslated
+  * simply isn't pushed — Spark re-evaluates all filters above the V1
+  * scan, so omission is safe. */
+private[v2] object FilterToColumn {
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.Column
+
+  def apply(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (lc <- apply(l); rc <- apply(r)) yield lc && rc
+    case sources.Or(l, r) => for (lc <- apply(l); rc <- apply(r)) yield lc || rc
+    case sources.Not(c) => apply(c).map(not)
+    case _ => None
+  }
+}

@@ -88,7 +88,7 @@ object TransactionalSink {
       : (DataFrame, Long) => Unit =
     (df, batchId) => {
       graft.sources.IcebergLite.commitIdempotent(df.sparkSession, df, table,
-        batchId, partitionTruncate = Some((src, width)))
+        batchId, partitionField = Some(graft.sources.IcebergLite.PartField.truncate(src, width)))
       ()
     }
 }

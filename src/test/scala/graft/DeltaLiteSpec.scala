@@ -1340,4 +1340,73 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
     adds.map(a => mapper.readTree(a.get("add").get("stats").asText())
       .get("numRecords").asLong()).sum shouldBe 3L
   }
+
+  test("mergeInto: O(touched) rewrite — untouched files carried live, stats-planned, ambiguity refuses") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_merge_fg")
+    // three key-disjoint files with stats: [1..10], [11..20], [21..30]
+    DeltaLite.write(spark, (1L to 10L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), table, collectStats = true)                       // v0
+    DeltaLite.write(spark, (11L to 20L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), table, collectStats = true)                       // v1
+    DeltaLite.write(spark, (21L to 30L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), table, collectStats = true)                       // v2
+    val before = DeltaLite.snapshotAt(spark, table).files
+    before.size shouldBe 3
+    // source touches ONLY the middle file: update 12, delete 15, insert 99
+    val src = Seq((12L, 120L, "U"), (15L, 15L, "D"), (99L, 99L, "U"))
+      .toDF("k", "v", "op")
+    val (v, nUpd, nDel, nIns) = DeltaLite.mergeInto(spark, table, src, "k",
+      deleteWhen = Some(col("op") === "D"))
+    (v, nUpd, nDel, nIns) shouldBe (3L, 1L, 1L, 1L)
+    val after = DeltaLite.snapshotAt(spark, table).files
+    // the two untouched files are CARRIED (same add entries, no rewrite);
+    // exactly the ONE touched file was removed
+    before.toSet.intersect(after.toSet).size shouldBe 2
+    (before.toSet -- after.toSet).size shouldBe 1
+    val got = DeltaLite.read(spark, table).as[(Long, Long)].collect().toMap
+    got(12L) shouldBe 120L
+    got.contains(15L) shouldBe false
+    got(99L) shouldBe 99L
+    got.size shouldBe 30 // 30 - 1 deleted + 1 inserted
+    // the commit is MERGE-operation, one version
+    DeltaLite.history(spark, table).where(col("version") === v)
+      .select("operation").as[String].head() shouldBe "MERGE"
+    // duplicate source keys refuse
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.mergeInto(spark, table,
+        Seq((1L, 1L), (1L, 2L)).toDF("k", "v"), "k")
+    // duplicate matched TARGET rows refuse (ambiguous SQL MERGE)
+    DeltaLite.write(spark, Seq((12L, 1L)).toDF("k", "v"), table,
+      collectStats = true)
+    an[IllegalArgumentException] should be thrownBy
+      DeltaLite.mergeInto(spark, table, Seq((12L, 5L)).toDF("k", "v"), "k")
+  }
+
+  test("mergeInto: no-match source appends; DV-masked rows are inserts not matches; CDF stages row-level changes") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_merge_dv")
+    DeltaLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), table, collectStats = true)                       // v0
+    DeltaLite.enableCdf(spark, table)                                 // v1
+    // DV-delete key 3: a source row for 3 must be an INSERT (the live
+    // scan must not match the masked row)
+    DeltaLite.deleteWhereDV(spark, table, "k", 3L, 3L)                // v2
+    val (_, u1, d1, i1) = DeltaLite.mergeInto(spark, table,
+      Seq((3L, 33L)).toDF("k", "v"), "k")                             // v3
+    (u1, d1, i1) shouldBe (0L, 0L, 1L)
+    DeltaLite.read(spark, table).where(col("k") === 3L)
+      .as[(Long, Long)].collect() shouldBe Seq((3L, 33L))
+    // matched merge on the CDF table stages pre/postimage + insert rows
+    val (_, u2, d2, i2) = DeltaLite.mergeInto(spark, table,
+      Seq((5L, 50L, "U"), (6L, 6L, "D"), (70L, 70L, "U")).toDF("k", "v", "op"),
+      "k", deleteWhen = Some(col("op") === "D"))                      // v4
+    (u2, d2, i2) shouldBe (1L, 1L, 1L)
+    val feed = DeltaLite.readCdf(spark, table, 3L, 4L)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSet
+    feed shouldBe Set(
+      (5L, 5L, "update_preimage"), (5L, 50L, "update_postimage"),
+      (6L, 6L, "delete"), (70L, 70L, "insert"))
+  }
 }

@@ -126,30 +126,102 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       Seq((1L, "x"), (2L, "y"), (3L, "x"))
   }
 
-  test("merge-on-read state refuses loudly; compaction restores SQL reads") {
+  test("merge-on-read state serves through SQL uncompacted, and stays right after compaction") {
     import spark.implicits._
-    // Delta deletion vectors
+    // Delta deletion vectors: SQL answers WITHOUT compacting — the
+    // catalog routes the snapshot through DeltaLite.read's anti-join
+    // plan (X276); a plain parquet scan would say 6
     val td = s"$warehouse/db/ddv"
     DeltaLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v"), td)
     DeltaLite.deleteWhereDV(spark, td, "k", 2L, 3L)
-    val e1 = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.db.ddv").collect()
-    }
-    e1.getMessage should include("deletion vectors")
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.ddv")
+      .as[Long].collect() shouldBe Seq(4L)
+    spark.sql(s"SELECT k FROM $cat.db.ddv WHERE v >= 4 ORDER BY k")
+      .as[Long].collect() shouldBe Seq(4L, 5L, 6L)
+    // after compaction the stock parquet path takes over, same answer
     DeltaLite.optimize(spark, td, targetFiles = 1)
     spark.sql(s"SELECT count(*) AS n FROM $cat.db.ddv")
       .as[Long].collect() shouldBe Seq(4L)
-    // Iceberg position deletes
+    // Iceberg position deletes: same contract
     val ti = s"$warehouse/db/idel"
     IcebergLite.write(spark, (1L to 6L).map(k => (k, k)).toDF("k", "v"), ti)
     IcebergLite.deleteWhere(spark, ti, "k", 1L, 2L)
-    val e2 = intercept[Exception] {
-      spark.sql(s"SELECT * FROM $cat.db.idel").collect()
-    }
-    e2.getMessage should include("deletes")
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.idel")
+      .as[Long].collect() shouldBe Seq(4L)
+    spark.sql(s"SELECT sum(v) AS s FROM $cat.db.idel")
+      .as[Long].collect() shouldBe Seq(18L)
     IcebergLite.rewriteDataFiles(spark, ti)
     spark.sql(s"SELECT count(*) AS n FROM $cat.db.idel")
       .as[Long].collect() shouldBe Seq(4L)
+  }
+
+  test("SQL write path: CREATE TABLE + INSERT INTO + INSERT OVERWRITE commit through the format arbiters") {
+    import spark.implicits._
+    // Delta: CREATE (v0 metadata-only) → INSERT (v1) → INSERT (v2) →
+    // OVERWRITE (v3); SQL and API reads agree at every coordinate
+    spark.sql(s"CREATE TABLE $cat.db.wsql (k BIGINT, v BIGINT) USING delta")
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.wsql")
+      .as[Long].head() shouldBe 0L
+    spark.sql(s"INSERT INTO $cat.db.wsql VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT INTO $cat.db.wsql SELECT k + 2, v + 20 FROM $cat.db.wsql")
+    spark.sql(s"SELECT sum(v) AS s FROM $cat.db.wsql")
+      .as[Long].head() shouldBe 100L
+    DeltaLite.latestVersion(spark, s"$warehouse/db/wsql") shouldBe 2L
+    DeltaLite.read(spark, s"$warehouse/db/wsql").count() shouldBe 4L
+    spark.sql(s"INSERT OVERWRITE $cat.db.wsql VALUES (9, 90)")
+    spark.sql(s"SELECT k, v FROM $cat.db.wsql")
+      .as[(Long, Long)].collect() shouldBe Seq((9L, 90L))
+    // the overwrite is one versioned commit; time travel still serves v2
+    spark.sql(s"SELECT count(*) FROM $cat.db.wsql VERSION AS OF 2")
+      .as[Long].head() shouldBe 4L
+    // API write lands on the same log, visible to SQL immediately
+    DeltaLite.write(spark, Seq((7L, 70L)).toDF("k", "v"),
+      s"$warehouse/db/wsql")
+    spark.sql(s"SELECT count(*) FROM $cat.db.wsql")
+      .as[Long].head() shouldBe 2L
+    // Iceberg: same lifecycle through the other format's arbiter
+    spark.sql(s"CREATE TABLE $cat.db.wice (k BIGINT, v BIGINT) USING iceberg")
+    spark.sql(s"SELECT count(*) AS n FROM $cat.db.wice")
+      .as[Long].head() shouldBe 0L
+    spark.sql(s"INSERT INTO $cat.db.wice VALUES (1, 10), (2, 20)")
+    spark.sql(s"INSERT OVERWRITE $cat.db.wice VALUES (5, 50)")
+    spark.sql(s"SELECT k, v FROM $cat.db.wice")
+      .as[(Long, Long)].collect() shouldBe Seq((5L, 50L))
+    IcebergLite.read(spark, s"$warehouse/db/wice")
+      .as[(Long, Long)].collect() shouldBe Seq((5L, 50L))
+    // snapshot 2 (the first INSERT) still serves
+    spark.sql(s"SELECT count(*) FROM $cat.db.wice VERSION AS OF 2")
+      .as[Long].head() shouldBe 2L
+  }
+
+  test("SQL writes keep a partitioned table's layout; CTAS; DROP TABLE") {
+    import spark.implicits._
+    // partitioned Delta: CREATE declares the column; INSERTs go through
+    // writePartitioned so every add carries partitionValues
+    spark.sql(s"CREATE TABLE $cat.db.wpart (k BIGINT, p STRING) " +
+      "USING delta PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.db.wpart VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql(s"INSERT INTO $cat.db.wpart VALUES (4, 'b')")
+    spark.sql(s"SELECT p, count(*) AS n FROM $cat.db.wpart GROUP BY p ORDER BY p")
+      .as[(String, Long)].collect() shouldBe Seq(("a", 2L), ("b", 2L))
+    // the partition layer is real: planPartitioned prunes off the log
+    val (_, scanned, total) =
+      DeltaLite.planPartitioned(spark, s"$warehouse/db/wpart", "p", Set("a"))
+    scanned should be < total
+    // partial overwrite refuses with the remedy
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE $cat.db.wpart VALUES (9, 'z')")
+    }
+    e.getMessage should (include("outside this subset") or include("deletePartition"))
+    // CTAS: createTable + first insert in one statement
+    spark.sql(s"CREATE TABLE $cat.db.wctas USING delta AS " +
+      s"SELECT k, p FROM $cat.db.wpart WHERE p = 'a'")
+    spark.sql(s"SELECT sum(k) AS s FROM $cat.db.wctas")
+      .as[Long].head() shouldBe 4L
+    // DROP TABLE removes the directory
+    spark.sql(s"DROP TABLE $cat.db.wctas")
+    spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
+      .as[String].collect() should not contain "wctas"
   }
 
   test("column-mapped table through SQL: field-id resolution serves logical names across rename + widen") {
@@ -222,11 +294,11 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.inv.absent").collect()
     }
-    // DDL through SQL refuses: the catalog is a query surface
+    // schema/name DDL refuses (evolution goes through the format APIs)
     val e = intercept[Exception] {
-      spark.sql(s"DROP TABLE $cat.inv.one")
+      spark.sql(s"ALTER TABLE $cat.inv.one RENAME TO $cat.inv.two")
     }
-    e.getMessage should include("query surface")
+    e.getMessage should include("commit-through-the-log")
   }
 
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {

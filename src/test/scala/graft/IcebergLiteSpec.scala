@@ -158,7 +158,7 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     val rows = Seq((1L, "2024-01-05", 10L), (2L, "2024-01-20", 20L),
       (3L, "2024-02-02", 30L), (4L, "2024-03-09", 40L))
     IcebergLite.write(spark, rows.toDF("k", "d", "v"), table,
-      partitionTruncate = Some(("d", 7)))
+      partitionField = Some(IcebergLite.PartField.truncate("d", 7)))
     // metadata declares the spec transform with partition-field-id 1000
     val meta = mapper.readTree(new java.io.File(table, "metadata/v1.metadata.json"))
     val pf = meta.get("partition-specs").get(0).get("fields").get(0)
@@ -182,7 +182,7 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       IcebergLite.write(spark, Seq((5L, "2024-04-01", 50L)).toDF("k", "d", "v"),
         table)
     IcebergLite.write(spark, Seq((5L, "2024-04-01", 50L)).toDF("k", "d", "v"),
-      table, partitionTruncate = Some(("d", 7)))
+      table, partitionField = Some(IcebergLite.PartField.truncate("d", 7)))
     IcebergLite.planPartitioned(spark, table, Set("2024-04"))._2 shouldBe 1L
   }
 
@@ -239,7 +239,7 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     // names) and a null source value (default-partition sentinel)
     val df = Seq((1L, "a:b c2024", 10L), (2L, "a:b cXXXX", 20L),
       (3L, null, 30L)).toDF("k", "d", "v")
-    IcebergLite.write(spark, df, table, partitionTruncate = Some(("d", 5)))
+    IcebergLite.write(spark, df, table, partitionField = Some(IcebergLite.PartField.truncate("d", 5)))
     val (files, n, total) =
       IcebergLite.planPartitioned(spark, table, Set("a:b c"))
     total shouldBe 2L
@@ -282,7 +282,7 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
   test("partitioned exactly-once: redelivery no-ops, manifests prune") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_ptxn")
-    val spec = Some(("d", 7))
+    val spec = Some(IcebergLite.PartField.truncate("d", 7))
     val b0 = Seq((1L, "2024-01-05"), (2L, "2024-02-01")).toDF("k", "d")
     val b1 = Seq((3L, "2024-01-20")).toDF("k", "d")
     val s0 = IcebergLite.commitIdempotent(spark, b0, table, 0L, spec)
@@ -552,17 +552,18 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     val table = graft.ingest.Sinks.tempDir("ice_specevo")
     IcebergLite.write(spark,
       Seq(("aa", 1L), ("ab", 2L), ("bb", 3L)).toDF("cat", "v"), table,
-      partitionTruncate = Some(("cat", 1)))
+      partitionField = Some(IcebergLite.PartField.truncate("cat", 1)))
     val phase1 = IcebergLite.snapshotFiles(spark, table, -1L).toSet
     phase1 should have size 2 // buckets 'a' (aa, ab) and 'b' (bb)
-    IcebergLite.evolvePartitionSpec(spark, table, Some(("cat", 2)))
+    IcebergLite.evolvePartitionSpec(spark, table,
+      Some(IcebergLite.PartField.truncate("cat", 2)))
     // writes must declare the NEW default spec now
     an[IllegalArgumentException] should be thrownBy
       IcebergLite.write(spark, Seq(("zz", 9L)).toDF("cat", "v"), table,
-        partitionTruncate = Some(("cat", 1)))
+        partitionField = Some(IcebergLite.PartField.truncate("cat", 1)))
     IcebergLite.write(spark,
       Seq(("aa", 10L), ("ba", 20L)).toDF("cat", "v"), table,
-      partitionTruncate = Some(("cat", 2)))
+      partitionField = Some(IcebergLite.PartField.truncate("cat", 2)))
     // old files still live untouched — evolution rewrites nothing
     IcebergLite.snapshotFiles(spark, table, -1L)
       .toSet should contain allElementsOf phase1
@@ -583,7 +584,8 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, table).count() shouldBe 5L
     // re-declaring the current default is a no-op commit
     val v0 = IcebergLite.latestMetadataVersion(spark, table)
-    IcebergLite.evolvePartitionSpec(spark, table, Some(("cat", 2))) shouldBe v0
+    IcebergLite.evolvePartitionSpec(spark, table,
+      Some(IcebergLite.PartField.truncate("cat", 2))) shouldBe v0
     // evolving to UNPARTITIONED: plain writes work, partition planning
     // refuses (no default transform to express a wanted set in)
     IcebergLite.evolvePartitionSpec(spark, table, None)
@@ -760,12 +762,12 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
   test("partitions metadata table: per-value file and record inventory") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_parts_mt")
-    val spec = Some(("cat", 1))
+    val spec = Some(IcebergLite.PartField.truncate("cat", 1))
     IcebergLite.write(spark,
       Seq(("aa", 1L), ("ab", 2L), ("bb", 3L)).toDF("cat", "v"), table,
-      partitionTruncate = spec)
+      partitionField = spec)
     IcebergLite.write(spark, Seq(("ac", 4L)).toDF("cat", "v"), table,
-      partitionTruncate = spec)
+      partitionField = spec)
     IcebergLite.metadataTable(spark, table, "partitions").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
       Seq(("a", 2L, 3L), ("b", 1L, 1L))
@@ -780,7 +782,7 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     val table = graft.ingest.Sinks.tempDir("ice_pct_stats")
     IcebergLite.write(spark,
       Seq(("a%x", 1L), ("a%x", 2L), ("b:y", 3L)).toDF("cat", "v"), table,
-      partitionTruncate = Some(("cat", 3)))
+      partitionField = Some(IcebergLite.PartField.truncate("cat", 3)))
     IcebergLite.metadataTable(spark, table, "partitions").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
       Seq(("a%x", 1L, 2L), ("b:y", 1L, 1L))
@@ -789,10 +791,10 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
   test("partitioned MOR: per-partition delete files, update keeps pruning effective") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_part_mor")
-    val spec = Some(("cat", 1))
+    val spec = Some(IcebergLite.PartField.truncate("cat", 1))
     IcebergLite.write(spark,
       Seq(("ax", 1L), ("ay", 2L), ("bx", 3L), ("by", 4L), ("cz", 5L))
-        .toDF("cat", "v"), table, partitionTruncate = spec)
+        .toDF("cat", "v"), table, partitionField = spec)
     // MOR delete of v in [2,3] touches partitions a and b only
     val (_, nDel) = IcebergLite.deleteWhere(spark, table, "v", 2L, 3L)
     nDel shouldBe 2L
@@ -1052,5 +1054,85 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       graft.sources.Puffin.read(corrupt)
     }
     ex.getMessage should include("magic")
+  }
+
+  test("partition transforms: spec test vectors (bucket murmur3 seed 0, temporal ordinals)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // spec Appendix B pins hash(34) = 2017239379 for int/long buckets
+    org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashLong(34L, 0) shouldBe 2017239379
+    IcebergLite.PartField.bucket("k", 16).valueOf(34L) shouldBe
+      (2017239379 % 16).toString
+    // the codegen'd expression agrees with the driver-side twin
+    val pf = IcebergLite.PartField.bucket("k", 8)
+    val viaExpr = Seq(10L, 11L, 12L).toDF("k")
+      .select(pf.valueColumn(col("k")).as("b")).as[String].collect()
+    viaExpr shouldBe Seq("4", "7", "4")
+    viaExpr shouldBe Seq(10L, 11L, 12L).map(pf.valueOf)
+    // temporal ordinals — the spec's examples: 2017-11-16 → day 17486,
+    // month 574, year 47; 22:31:08 that day → hour 419686
+    val ts = java.sql.Timestamp.valueOf("2017-11-16 22:31:08")
+    val one = Seq(ts).toDF("ts")
+    def v(k: IcebergLite.PartField): String =
+      one.select(k.valueColumn(col("ts"))).as[String].head()
+    v(IcebergLite.PartField.day("ts")) shouldBe "17486"
+    v(IcebergLite.PartField.month("ts")) shouldBe "574"
+    v(IcebergLite.PartField.year("ts")) shouldBe "47"
+    v(IcebergLite.PartField.hour("ts")) shouldBe "419686"
+    // driver twins agree
+    IcebergLite.PartField.day("ts").valueOf(ts) shouldBe "17486"
+    IcebergLite.PartField.hour("ts").valueOf(ts) shouldBe "419686"
+    IcebergLite.PartField.day("ts")
+      .valueOf(java.time.LocalDate.of(2017, 11, 16)) shouldBe "17486"
+  }
+
+  test("day-partitioned table: hidden partitioning prunes by manifests; bucket table prunes by key hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    val table = graft.ingest.Sinks.tempDir("ice_day_part")
+    val rows = (0 until 96).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-${i / 4 + 1}%02d 0${i % 4}:00:00"),
+        i.toLong)
+    }
+    IcebergLite.write(spark, rows.toDF("ts", "v"), table,
+      partitionField = Some(IcebergLite.PartField.day("ts")))
+    // 24 day-partitions; a 3-day window scans exactly 3 files
+    val d0 = java.time.LocalDate.of(2024, 1, 5).toEpochDay
+    val wanted = (d0 to d0 + 2).map(_.toString).toSet
+    val (files, matched, total) =
+      IcebergLite.planPartitioned(spark, table, wanted)
+    total shouldBe 24L
+    matched shouldBe 3L
+    spark.read.parquet(files: _*).count() shouldBe 12L // 4 rows/day
+    // the source column is UNTOUCHED in the data files (hidden layout)
+    spark.read.parquet(files: _*).columns.toSet shouldBe Set("ts", "v")
+    // bucket[8]: pruning by key hash, spec-exact buckets
+    val bt = graft.ingest.Sinks.tempDir("ice_bucket_part")
+    IcebergLite.write(spark, (1L to 64L).map(k => (k, k * 10)).toDF("k", "v"),
+      bt, partitionField = Some(IcebergLite.PartField.bucket("k", 8)))
+    val pf = IcebergLite.PartField.bucket("k", 8)
+    val (bFiles, bMatched, bTotal) = IcebergLite.planPartitioned(spark, bt,
+      Set(pf.valueOf(11L)))
+    bTotal shouldBe 8L
+    bMatched shouldBe 1L
+    spark.read.parquet(bFiles: _*).where(col("k") === 11L)
+      .select("v").as[Long].collect() shouldBe Seq(110L)
+    // spec evolution interplay: evolve day → unpartitioned, then back;
+    // old manifests keep pruning under their own spec
+    IcebergLite.evolvePartitionSpec(spark, table, None)
+    IcebergLite.write(spark,
+      Seq((java.sql.Timestamp.valueOf("2024-01-05 09:00:00"), 999L))
+        .toDF("ts", "v"), table)
+    IcebergLite.evolvePartitionSpec(spark, table,
+      Some(IcebergLite.PartField.day("ts")))
+    val (files2, m2, t2) = IcebergLite.planPartitioned(spark, table, wanted)
+    // old day-manifests still prune (3 of 24) + the unpartitioned file
+    // is kept conservatively (no residual under its spec)
+    m2 shouldBe 4L
+    t2 shouldBe 25L
+    spark.read.parquet(files2: _*)
+      .where(to_date(col("ts")).between("2024-01-05", "2024-01-07"))
+      .count() shouldBe 13L
   }
 }
