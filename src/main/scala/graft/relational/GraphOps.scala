@@ -260,25 +260,28 @@ object GraphOps {
     * uncached lazy chain would double the subplan per round (2^rounds
     * recompute; the kHopReach frontier discipline prevents it). */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    val bi = edges.select(col("u"), col("v"))
+    // iterate on the INDUCED EDGE SET, not the vertex set: the r12 plan
+    // joined the FULL bidirectional graph against the survivor set twice
+    // EVERY round — O(rounds · |E|) join input. Here each round's two
+    // semi-joins restrict the PREVIOUS round's surviving edges (a
+    // monotonically shrinking set — after round one, usually a small
+    // fraction of the graph), and the degree aggregate reads the cached
+    // edge set directly. Same fixed-round semantics, same oracle.
+    var live = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
-    var active = bi.select(col("u").as("node")).distinct().cache()
-    val cached = scala.collection.mutable.ArrayBuffer(active)
-    def induced(a: DataFrame) =
-      bi.join(a.select(col("node").as("u")), "u")
-        .join(a.select(col("node").as("v")), "v")
+    val cached = scala.collection.mutable.ArrayBuffer(live)
     for (_ <- 1 to rounds) {
-      active = induced(active)
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select(col("u").as("node")).cache()
-      cached += active
+      val surv = live.groupBy("u").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("u"))
+      live = live.join(surv, "u")
+        .join(surv.select(col("u").as("v")), "v")
+        .select(col("u"), col("v")).cache()
+      cached += live
     }
-    val out = induced(active)
-      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val out = live.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("node"), col("deg"))
       .orderBy("node").localCheckpoint(true)
     cached.foreach(_.unpersist())
-    bi.unpersist()
     out
   }
 

@@ -1721,6 +1721,124 @@ object FormatQueries {
       .orderBy("o_orderkey")
   }
 
+  /** X279: STORAGE-PARTITIONED JOIN — the 100 TB join shape: orders and
+    * per-order lineitem totals land in two `bucket[8](orderkey)` tables
+    * (the spec transform, seed-0 Murmur3), and the catalog's key-grouped
+    * scan ([[graft.sources.v2.KeyGroupedParquetScan]]) reports each
+    * side's bucket layout to Spark, which plans the join with ZERO
+    * exchanges — neither table shuffles, ever. The key counts the
+    * shuffles in the executed join plan and emits the count (pinned 0)
+    * beside the joined aggregate the oracle reproduces relationally.
+    * This is what `bucket[N]` exists for: co-locate once at write time,
+    * join forever for free. */
+  private def icebergSpjJoin(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_spj")
+    spark.conf.set("spark.sql.catalog.graftsp",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsp.warehouse", wh)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n_items"))
+    IcebergLite.write(spark, o, s"$wh/db/spj_orders",
+      partitionField = Some(IcebergLite.PartField.bucket("o_orderkey", 8)))
+    IcebergLite.write(spark, l, s"$wh/db/spj_items",
+      partitionField = Some(IcebergLite.PartField.bucket("l_orderkey", 8)))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = spark.sql(
+        """SELECT a.o_orderkey, a.o_totalprice, a.o_orderpriority, b.qty
+          |FROM graftsp.db.spj_orders a
+          |JOIN graftsp.db.spj_items b ON a.o_orderkey = b.l_orderkey""".stripMargin)
+      joined.count() // execute: finalizes the (AQE) plan
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          shuffles(a.executedPlan)
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+      }.sum
+      val nShuffles = shuffles(joined.queryExecution.executedPlan)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("total"),
+          round(sum("qty"), 2).as("qty_sum"))
+        .withColumn("join_shuffles", lit(nShuffles.toLong))
+        .orderBy("o_orderpriority")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** X280: spec column statistics beyond long ranges — STRING bounds
+    * (lower_bounds/upper_bounds, truncated binary encoding) and NULL
+    * counts (null_value_counts, field 110). One value-clustered write
+    * records both; then (a) a string-range predicate plans off the
+    * bounds alone and (b) an IS-NULL audit (the reference's
+    * data-quality shape — its verifica job counts null keys) plans off
+    * the null counts alone, each opening a strict subset of files. The
+    * unfiltered aggregate is oracle-reproduced; the pruning counters
+    * ride as pinned columns. */
+  private def icebergSkippingStr(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_skip_str")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(col("o_orderpriority")).as("prio"))
+      // explicit count: AQE must not coalesce the value-clustered layout
+      // (hash of the 6 distinct values is data-size-independent, so the
+      // file layout — and the pruning counters — are identical at every
+      // scale factor)
+      .repartition(8, col("prio"))
+    IcebergLite.write(spark, o, table, statsColumns = Seq("prio"))
+    // string-range plan: files whose [lower, upper] may intersect
+    val (rangeFiles, rm, rt) =
+      IcebergLite.planStringRange(spark, table, "prio", "2", "4")
+    val ranged = spark.read.schema(o.schema).parquet(rangeFiles: _*)
+      .where(col("prio") >= "2" && col("prio") <= "4")
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+    // IS NULL plan: only files whose recorded null count is > 0 open
+    val (nullFiles, nm, _) = IcebergLite.planNulls(spark, table, "prio")
+    val nullRows = spark.read.schema(o.schema).parquet(nullFiles: _*)
+      .where(col("prio").isNull).count()
+    ranged
+      .withColumn("null_rows", lit(nullRows))
+      .withColumn("range_files", lit(rm))
+      .withColumn("null_files", lit(nm))
+      .withColumn("files_total", lit(rt))
+      .orderBy("prio")
+  }
+
+  /** X281: Puffin statistics STEERING a plan ([[graft.plans
+    * .PuffinPlanner]]): the engine's own written NDV blob (40 distinct
+    * join keys on the fan-in side) licenses the broadcast key-set
+    * prefilter even though the side's bytes are over the broadcast
+    * budget — the strategy the planner picked rides as a pinned column,
+    * and the joined aggregate is oracle-reproduced. */
+  private def puffinJoin(spark: SparkSession, dir: String): DataFrame = {
+    val lt = Sinks.tempDir("puffin_join_l")
+    val rt = Sinks.tempDir("puffin_join_r")
+    val o = Tables.orders(spark, dir)
+    IcebergLite.write(spark,
+      o.select((col("o_orderkey") % 40).as("k"), col("o_totalprice")), lt)
+    IcebergLite.write(spark,
+      o.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio")), rt)
+    IcebergLite.writeStatistics(spark, lt, Seq("k"))
+    val (joined, strategy) = graft.plans.PuffinPlanner.join(
+      spark, lt, rt, "k", "k", broadcastBytes = 1L)
+    joined.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("strategy", lit(strategy))
+      .orderBy("prio")
+  }
+
   /** X276: a deletion-vector-carrying Delta snapshot read through
     * `spark.sql` WITHOUT compacting — the catalog serves it via
     * [[DeltaLite.read]]'s DV anti-join plan through the V1 bridge.
@@ -2153,6 +2271,9 @@ object FormatQueries {
     "x_iceberg_sql_read_mor" -> ((s, dir) => icebergSqlReadMor(s, dir)),
     "x_iceberg_partition_time" -> ((s, dir) => icebergPartitionTime(s, dir)),
     "x_iceberg_bucket" -> ((s, dir) => icebergBucket(s, dir)),
+    "x_spj_join" -> ((s, dir) => icebergSpjJoin(s, dir)),
+    "x_iceberg_skipping_str" -> ((s, dir) => icebergSkippingStr(s, dir)),
+    "x_puffin_join" -> ((s, dir) => puffinJoin(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -2423,6 +2544,41 @@ object FormatQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // string bounds + null counts: the range plan opens 2 of 5
+    // value-clustered files, the IS-NULL audit opens 1 (the hash layout
+    // over the 6 distinct values is scale-factor-independent)
+    "x_iceberg_skipping_str" ->
+      """WITH src AS (SELECT o_totalprice,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL
+        |         ELSE o_orderpriority END AS prio
+        |  FROM orders)
+        |SELECT prio, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM src WHERE prio IS NULL) AS null_rows,
+        |  CAST(2 AS BIGINT) AS range_files,
+        |  CAST(1 AS BIGINT) AS null_files,
+        |  CAST(5 AS BIGINT) AS files_total
+        |FROM src WHERE prio >= '2' AND prio <= '4'
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Puffin-steered join: the written NDV blob (40 keys) licenses the
+    // broadcast key-set prefilter; keys 0..39 join orders 0..39
+    "x_puffin_join" ->
+      """SELECT r.o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(l.o_totalprice), 2) AS total,
+        |  'ndv_prefilter' AS strategy
+        |FROM orders l JOIN orders r ON l.o_orderkey % 40 = r.o_orderkey
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // storage-partitioned join: co-bucketed tables join with ZERO
+    // shuffles (join_shuffles pinned 0); the aggregate is relational
+    "x_spj_join" ->
+      """WITH items AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(sum(qty), 2) AS qty_sum,
+        |  CAST(0 AS BIGINT) AS join_shuffles
+        |FROM orders JOIN items ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // bucket[8] pruning: keys 10,12 share bucket 4, key 11 is bucket 7
     // (spec murmur3 seed 0) — 2 of 8 bucket files opened
     "x_iceberg_bucket" ->

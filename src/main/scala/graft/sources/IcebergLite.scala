@@ -252,7 +252,11 @@ object IcebergLite {
     * what makes manifest-level scan pruning possible without opening any
     * data file. */
   private def entrySchemaFor(partitioned: Boolean,
-      withBounds: Boolean = false, withContent: Boolean = false): Schema = {
+      withBounds: Boolean = false, withContent: Boolean = false,
+      withColStats: Boolean = false): Schema = {
+    require(!(withBounds && withColStats),
+      "legacy single-column bounds and spec column-stats maps are " +
+        "mutually exclusive manifest layouts")
     val partFields =
       if (partitioned)
         """{"name":"p0","type":["null","string"],"default":null,"field-id":1000}"""
@@ -264,6 +268,30 @@ object IcebergLite {
       if (withBounds)
         """,{"name":"lower_bound","type":["null","long"],"default":null,"field-id":125},
           |{"name":"upper_bound","type":["null","long"],"default":null,"field-id":128}""".stripMargin
+      else ""
+    // the spec's FULL column-statistics encoding: null_value_counts
+    // (field-id 110, k121/v122) and lower_bounds/upper_bounds (125/128,
+    // k126/v127 & k129/v130) as field-id-keyed entry lists with
+    // single-value binary bounds (longs 8 LE bytes; strings UTF-8,
+    // truncated to 16 chars — upper bounds char-incremented to stay
+    // upper after truncation, the spec's rule)
+    val colStatFields =
+      if (withColStats)
+        """,{"name":"null_value_counts","type":["null",{"type":"array","items":{
+          |  "type":"record","name":"k121_v122","fields":[
+          |    {"name":"key","type":"int","field-id":121},
+          |    {"name":"value","type":"long","field-id":122}]}}],
+          |  "default":null,"field-id":110},
+          |{"name":"lower_bounds","type":["null",{"type":"array","items":{
+          |  "type":"record","name":"k126_v127","fields":[
+          |    {"name":"key","type":"int","field-id":126},
+          |    {"name":"value","type":"bytes","field-id":127}]}}],
+          |  "default":null,"field-id":125},
+          |{"name":"upper_bounds","type":["null",{"type":"array","items":{
+          |  "type":"record","name":"k129_v130","fields":[
+          |    {"name":"key","type":"int","field-id":129},
+          |    {"name":"value","type":"bytes","field-id":130}]}}],
+          |  "default":null,"field-id":128}""".stripMargin
       else ""
     // v2 data_file.content (field-id 134): 0 = data, 1 = position deletes,
     // 2 = equality deletes — written in DELETE manifests so readers can
@@ -284,10 +312,43 @@ object IcebergLite {
          |        "type":{"type":"record","name":"r102","fields":[$partFields]}},
          |      {"name":"record_count","type":"long","field-id":103},
          |      {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields$contentField
+         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields$colStatFields$contentField
          |  ]}}
          |]}""".stripMargin)
   }
+
+  /** Single-value binary serialization of a bound (spec Appendix D):
+    * longs as 8 little-endian bytes; strings as UTF-8 truncated to 16
+    * characters — `upper = true` increments the last kept character so a
+    * truncated value stays an UPPER bound (None when no character can
+    * be incremented). */
+  private def boundBytes(v: Any, upper: Boolean): Option[Array[Byte]] =
+    v match {
+      case null => None
+      case l: java.lang.Long => Some(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array())
+      case s: String =>
+        if (s.length <= 16) Some(s.getBytes(StandardCharsets.UTF_8))
+        else {
+          val t = s.substring(0, 16)
+          if (!upper) Some(t.getBytes(StandardCharsets.UTF_8))
+          else {
+            val idx = t.lastIndexWhere(_ != Char.MaxValue)
+            if (idx < 0) None // nothing incrementable: drop the bound
+            else Some((t.substring(0, idx) + (t.charAt(idx) + 1).toChar)
+              .getBytes(StandardCharsets.UTF_8))
+          }
+        }
+      case other => throw new IllegalArgumentException(
+        s"column-stats bound over unsupported type: $other")
+    }
+
+  private def boundLong(b: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+
+  private def boundString(b: Array[Byte]): String =
+    new String(b, StandardCharsets.UTF_8)
 
   private val manifestEntrySchema: Schema = entrySchemaFor(partitioned = false)
 
@@ -408,7 +469,8 @@ object IcebergLite {
       maxRetries: Int = 10,
       operation: Option[String] = None,
       formatV2: Boolean = false,
-      toBranch: Option[String] = None): Long = {
+      toBranch: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
@@ -416,7 +478,8 @@ object IcebergLite {
     var attempt = 0
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionField,
-        summaryProps, boundsColumn, operation, formatV2, toBranch) match {
+        summaryProps, boundsColumn, operation, formatV2, toBranch,
+        statsColumns) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -432,7 +495,13 @@ object IcebergLite {
       boundsColumn: Option[String],
       operation: Option[String] = None,
       formatV2: Boolean = false,
-      toBranch: Option[String] = None): Option[Long] = {
+      toBranch: Option[String] = None,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    require(boundsColumn.isEmpty || statsColumns.isEmpty,
+      "boundsColumn (legacy long bounds) and statsColumns (spec " +
+        "column-stats maps) are mutually exclusive")
+    statsColumns.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"stats column $c absent from the schema"))
     val fs = hadoopFs(spark, table)
     fs.mkdirs(metaDir(table))
     val prevV = latestMetadataVersion(spark, table)
@@ -504,13 +573,22 @@ object IcebergLite {
       decoded.split('/').takeRight(2).mkString("/")
     }
     import org.apache.spark.sql.functions.{count => cnt, col => c_, input_file_name, lit => lt, max => mx_, min => mn_}
-    val statsAggs = cnt(lt(1)).as("n") +: boundsColumn.toSeq.flatMap(c =>
-      Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx")))
-    val fileStats: Map[String, (Long, Option[(Long, Long)])] =
+    val statsAggs = cnt(lt(1)).as("n") +:
+      (boundsColumn.toSeq.flatMap(c =>
+        Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx"))) ++
+        statsColumns.zipWithIndex.flatMap { case (c, i) =>
+          Seq(mn_(c_(c)).as(s"mn_$i"), mx_(c_(c)).as(s"mx_$i"),
+            cnt(c_(c)).as(s"nn_$i")) // count(col) = non-null count
+        })
+    // per-file: (record count, legacy long bounds, per-column spec stats
+    // as (1-based field id, min, max, null count))
+    val statRows =
       spark.read.parquet(s"$table/$staged")
         .groupBy(input_file_name().as("f"))
         .agg(statsAggs.head, statsAggs.tail: _*)
-        .collect().map { r =>
+        .collect()
+    val fileStats: Map[String, (Long, Option[(Long, Long)])] =
+      statRows.map { r =>
           val bounds = boundsColumn.flatMap { _ =>
             val mi = r.getAs[java.lang.Long]("mn")
             val ma = r.getAs[java.lang.Long]("mx")
@@ -519,9 +597,20 @@ object IcebergLite {
           }
           (ifnStatsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
         }.toMap
+    val colStats: Map[String, Seq[(Int, Any, Any, Long)]] =
+      if (statsColumns.isEmpty) Map.empty
+      else statRows.map { r =>
+        val n = r.getAs[Long]("n")
+        (ifnStatsKey(r.getAs[String]("f")),
+          statsColumns.zipWithIndex.map { case (c, i) =>
+            (df.schema.fieldNames.indexOf(c) + 1,
+              r.getAs[Any](s"mn_$i"), r.getAs[Any](s"mx_$i"),
+              n - r.getAs[Long](s"nn_$i"))
+          })
+      }.toMap
     // manifest for the new files
-    val entrySchema =
-      entrySchemaFor(partitionField.isDefined, boundsColumn.isDefined)
+    val entrySchema = entrySchemaFor(partitionField.isDefined,
+      boundsColumn.isDefined, withColStats = statsColumns.nonEmpty)
     val entries = parts.map { case (rel, pval, p) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
@@ -541,6 +630,29 @@ object IcebergLite {
       bounds.foreach { case (lo, hi) =>
         d.put("lower_bound", lo)
         d.put("upper_bound", hi)
+      }
+      colStats.get(rawStatsKey(rel)).foreach { perCol =>
+        val dfs = entrySchema.getField("data_file").schema()
+        def itemSchema(field: String) =
+          dfs.getField(field).schema().getTypes.get(1).getElementType
+        def kv(field: String, pairs: Seq[(Int, Any)]) = {
+          val arr = new java.util.ArrayList[GenericData.Record]()
+          pairs.foreach { case (k2, v2) =>
+            val rec = new GenericData.Record(itemSchema(field))
+            rec.put("key", k2)
+            rec.put("value", v2)
+            arr.add(rec)
+          }
+          arr
+        }
+        d.put("null_value_counts",
+          kv("null_value_counts", perCol.map(t => (t._1, t._4: Any))))
+        d.put("lower_bounds", kv("lower_bounds", perCol.flatMap(t =>
+          boundBytes(t._2, upper = false)
+            .map(b => (t._1, java.nio.ByteBuffer.wrap(b): Any)))))
+        d.put("upper_bounds", kv("upper_bounds", perCol.flatMap(t =>
+          boundBytes(t._3, upper = true)
+            .map(b => (t._1, java.nio.ByteBuffer.wrap(b): Any)))))
       }
       e.put("data_file", d)
       e
@@ -1488,6 +1600,87 @@ object IcebergLite {
     (matched, matched.size.toLong, all.size.toLong)
   }
 
+  /** Per-file spec column statistics for `column` off the manifests:
+    * (path, lower, upper, null count) — bounds absent when the file was
+    * written without [[write]]`(statsColumns)` or the bound was dropped
+    * (untruncatable upper). Control-plane reads only. */
+  private def colStatsFor(spark: SparkSession, table: String,
+      column: String): Seq[(String, Option[Array[Byte]],
+      Option[Array[Byte]], Option[Long])] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val fid = schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
+      .fieldNames.indexOf(column) + 1
+    require(fid > 0, s"stats column $column not in $table schema")
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    def entry(d: GenericRecord, field: String, want: Int): Option[Any] = {
+      if (d.getSchema.getField(field) == null) return None
+      val arr = d.get(field)
+      if (arr == null) return None
+      var found: Option[Any] = None
+      arr.asInstanceOf[java.util.List[_]].forEach { r0 =>
+        val r = r0.asInstanceOf[GenericRecord]
+        if (r.get("key").asInstanceOf[Int] == want) found = Some(r.get("value"))
+      }
+      found
+    }
+    def bytesOf(v0: Any): Array[Byte] = v0 match {
+      case bb: java.nio.ByteBuffer =>
+        val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+      case a: Array[Byte] => a
+    }
+    listEntries(fs, new Path(snap._2)).filter(_.content == 0).flatMap { m =>
+      readAvroFile(fs, new Path(m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          (d.get("file_path").toString,
+            entry(d, "lower_bounds", fid).map(bytesOf),
+            entry(d, "upper_bounds", fid).map(bytesOf),
+            entry(d, "null_value_counts", fid)
+              .map(_.asInstanceOf[Long]))
+        }
+    }
+  }
+
+  /** STRING-bounds scan planning (spec lower_bounds/upper_bounds over a
+    * string column, truncated binary encoding): keep files whose
+    * recorded [lower, upper] may intersect [lo, hi]; files without
+    * bounds are conservatively kept. Truncation keeps this sound —
+    * a truncated lower is ≤ the true min, an incremented-truncated
+    * upper ≥ the true max. Returns (matched, nMatched, nTotal). */
+  def planStringRange(spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): (Seq[String], Long, Long) = {
+    val all = colStatsFor(spark, table, column).map {
+      case (p, lb, ub, _) =>
+        val keep = (lb, ub) match {
+          case (Some(l), Some(u)) =>
+            boundString(u) >= lo && boundString(l) <= hi
+          case _ => true
+        }
+        (p, keep)
+    }
+    val matched = all.filter(_._2).map(_._1)
+    (matched, matched.size.toLong, all.size.toLong)
+  }
+
+  /** IS NULL scan planning off null_value_counts (spec field 110): keep
+    * only files that MAY hold a null of `column` (recorded count > 0, or
+    * no stats). A file with a recorded zero is skipped — at 100 TB the
+    * null-audit query (the reference's data-quality shape) opens only
+    * the files that can answer it. */
+  def planNulls(spark: SparkSession, table: String, column: String)
+      : (Seq[String], Long, Long) = {
+    val all = colStatsFor(spark, table, column).map { case (p, _, _, nc) =>
+      (p, nc.forall(_ > 0L))
+    }
+    val matched = all.filter(_._2).map(_._1)
+    (matched, matched.size.toLong, all.size.toLong)
+  }
+
   private def metaJsonSnapshots(meta: com.fasterxml.jackson.databind.JsonNode)
       : Seq[(Long, String)] = {
     val out = mutable.ArrayBuffer.empty[(Long, String)]
@@ -1507,6 +1700,69 @@ object IcebergLite {
   private[graft] def snapshotDeleteFiles(spark: SparkSession, table: String,
       snapshotId: Long): Seq[String] =
     snapshotDeleteEntries(spark, table, snapshotId).map(_._1)
+
+  /** Exact current-snapshot table size off the manifests alone:
+    * (row count, data bytes) — the control-plane numbers a cost-based
+    * planning decision reads without touching a data file. */
+  private[graft] def tableSizeStats(spark: SparkSession,
+      table: String): (Long, Long) = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    var rows = 0L
+    var bytes = 0L
+    listEntries(fs, new Path(snap._2)).filter(_.content == 0).foreach { m =>
+      readAvroFile(fs, new Path(m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .foreach { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          rows += d.get("record_count").asInstanceOf[Long]
+          bytes += d.get("file_size_in_bytes").asInstanceOf[Long]
+        }
+    }
+    (rows, bytes)
+  }
+
+  /** The current snapshot's live data files GROUPED BY partition value —
+    * (transform value, [(absolute path, file size)]) — the planning
+    * input for the storage-partitioned-join scan
+    * ([[graft.sources.v2.GraftCatalog]]): one key-grouped input
+    * partition per transform value, exchange-free joins downstream.
+    * Control-plane reads only. Refuses when any manifest was written
+    * under a DIFFERENT spec than the current default (a spec evolution
+    * breaks the one-value-one-group invariant — compact first). */
+  private[graft] def snapshotFilesByPartition(spark: SparkSession,
+      table: String): Seq[(String, Seq[(String, Long)])] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    require(partitionSpec(meta).isDefined, s"$table is not partitioned")
+    val defaultSpecId = meta.get("default-spec-id").asInt()
+    val cur = meta.get("current-snapshot-id").asLong()
+    val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
+    val out = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Long)]]
+    listEntries(fs, new Path(snap._2)).filter(_.content == 0).foreach { m =>
+      require(m.specId == defaultSpecId,
+        s"manifest ${m.path} was written under spec ${m.specId}, not the " +
+          s"default $defaultSpecId — key-grouped scans need one spec; " +
+          "rewriteDataFiles first")
+      readAvroFile(fs, new Path(m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .foreach { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val part = d.get("partition").asInstanceOf[GenericRecord]
+          val pv = Option(part.get("p0")).map(_.toString).orNull
+          out.getOrElseUpdate(pv, mutable.ArrayBuffer.empty) +=
+            ((d.get("file_path").toString,
+              d.get("file_size_in_bytes").asInstanceOf[Long]))
+        }
+    }
+    out.toSeq.map { case (v2, fs2) => (v2, fs2.toSeq) }.sortBy(_._1)
+  }
 
   /** (file_path, sequence_number) of every live file of the given kind in
     * a snapshot: manifest list → manifests of that `content` → entries

@@ -62,7 +62,8 @@ import graft.sources.{DeltaLite, IcebergLite}
   * readers. ALTER/RENAME keep refusing (schema evolution goes through
   * the format APIs); DROP TABLE removes the table directory.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -205,12 +206,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (mapped) StructType(schema.fields.map(_.copy(
         metadata = org.apache.spark.sql.types.Metadata.empty)))
       else schema
-    val readDelegate: Either[() => DataFrame, Table] =
+    val readDelegate: ReadPlan =
       if (snap.dvs.nonEmpty) {
         // live deletion vectors: a plain parquet scan would resurrect
         // deleted rows — serve the format reader's anti-join plan
         // through the V1 bridge (filters/pruning still push through)
-        Left(() => DeltaLite.read(s, path, version))
+        MorPlan(() => DeltaLite.read(s, path, version))
       } else {
         // column-mapped tables serve through FIELD-ID resolution: the
         // scan schema carries logical names + the Delta column id as
@@ -232,7 +233,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         tableSchema = scanSchema
         // add.path may be relative OR absolute (shallowClone writes
         // absolute source paths) — resolve like DeltaLite.dataPath
-        Right(parquetTable(ident, scanSchema,
+        ParquetPlan(parquetTable(ident, scanSchema,
           snap.files.map(f => DeltaLite.dataPath(path, f))))
       }
     new GraftTable(fullName(ident), path, "delta", tableSchema,
@@ -243,18 +244,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       version: Long): Table = {
     val s = spark
     val schema = IcebergLite.schemaAt(s, path, version)
-    val readDelegate: Either[() => DataFrame, Table] =
-      if (IcebergLite.snapshotDeleteFiles(s, path, version).nonEmpty)
+    val pfOpt = IcebergLite.currentPartitionSpec(s, path)
+    val morState = IcebergLite.snapshotDeleteFiles(s, path, version).nonEmpty
+    val readDelegate: ReadPlan =
+      if (morState)
         // merge-on-read state: serve the format reader's sequence-gated
         // anti-join plan through the V1 bridge
-        Left(() => IcebergLite.read(s, path, version))
+        MorPlan(() => IcebergLite.read(s, path, version))
+      else if (version < 0 && pfOpt.isDefined && s.conf.getOption(
+          "spark.sql.sources.v2.bucketing.enabled").contains("true"))
+        // transform-partitioned table under Spark's V2 bucketing flag:
+        // serve the key-grouped scan so joins between co-partitioned
+        // catalog tables plan with NO exchange (storage-partitioned
+        // join). Falls back to the stock split scan when the grouping
+        // invariant doesn't hold (mixed partition specs).
+        scala.util.Try(IcebergLite.snapshotFilesByPartition(s, path))
+          .fold(
+            _ => ParquetPlan(parquetTable(ident, schema,
+              IcebergLite.snapshotFiles(s, path, version))),
+            grouped => KeyGroupedPlan(() =>
+              new KeyGroupedScanBuilder(s, schema, grouped, pfOpt.get)))
       else
-        Right(parquetTable(ident, schema,
+        ParquetPlan(parquetTable(ident, schema,
           IcebergLite.snapshotFiles(s, path, version)))
     new GraftTable(fullName(ident), path, "iceberg", schema,
-      Seq.empty, IcebergLite.currentPartitionSpec(s, path), columnMapped = false,
+      Seq.empty, pfOpt, columnMapped = false,
       readDelegate, writable = version < 0)
   }
+
+  // ---- functions (storage-partitioned-join resolution) -----------------
+
+  /** The partition-transform functions ([[GraftFunctions]]): Spark loads
+    * them from the TABLE's catalog to turn a scan-reported key-grouped
+    * partitioning into comparable catalyst expressions — the resolution
+    * step storage-partitioned joins hinge on. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.unbound(ident.name)
 
   private def fullName(ident: Identifier): String =
     s"$catName.${ident.namespace.mkString(".")}.${ident.name}"

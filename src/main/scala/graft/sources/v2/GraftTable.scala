@@ -54,9 +54,7 @@ private[v2] final class GraftTable(
     deltaPartCols: Seq[String],
     icePartition: Option[IcebergLite.PartField],
     columnMapped: Boolean,
-    // Right = clean snapshot (stock parquet DSv2 table); Left = the
-    // format reader's MOR plan, bridged via V1Scan
-    readDelegate: Either[() => DataFrame, Table],
+    readDelegate: ReadPlan,
     writable: Boolean)
   extends Table with SupportsRead with SupportsWrite {
 
@@ -95,10 +93,11 @@ private[v2] final class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     readDelegate match {
-      case Right(parquet) =>
+      case ParquetPlan(parquet) =>
         parquet.asInstanceOf[SupportsRead].newScanBuilder(options)
-      case Left(plan) =>
+      case MorPlan(plan) =>
         new DataFrameScanBuilder(tableName, plan, logicalSchema)
+      case KeyGroupedPlan(mk) => mk()
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -166,6 +165,18 @@ private[v2] final class GraftTable(
     }
   }
 }
+
+/** How the catalog serves a snapshot's reads: the stock vectorized
+  * parquet DSv2 table (clean snapshots), the format reader's
+  * merge-on-read plan through the V1 bridge (live DV/delete state), or
+  * the key-grouped parquet scan (bucket/transform-partitioned tables
+  * under `spark.sql.sources.v2.bucketing.enabled` — the
+  * storage-partitioned-join path, [[KeyGroupedParquetScan]]). */
+private[v2] sealed trait ReadPlan
+private[v2] final case class ParquetPlan(table: Table) extends ReadPlan
+private[v2] final case class MorPlan(plan: () => DataFrame) extends ReadPlan
+private[v2] final case class KeyGroupedPlan(mk: () => ScanBuilder)
+  extends ReadPlan
 
 /** The V1 read bridge for merge-on-read snapshots: wraps the format
   * reader's DataFrame (a LOGICAL plan — parquet scans + sequence-gated

@@ -301,6 +301,54 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     e.getMessage should include("commit-through-the-log")
   }
 
+  test("storage-partitioned join: co-bucketed catalog tables join with NO exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pf = graft.sources.IcebergLite.PartField.bucket("k", 8)
+    IcebergLite.write(spark, (1L to 400L).map(k => (k, k * 2)).toDF("k", "v"),
+      s"$warehouse/db/spj1", partitionField = Some(pf))
+    IcebergLite.write(spark,
+      (1L to 400L by 2).map(k => (k, k * 3)).toDF("k", "w"),
+      s"$warehouse/db/spj2", partitionField = Some(pf))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT a.k, a.v, b.w FROM $cat.db.spj1 a
+           |JOIN $cat.db.spj2 b ON a.k = b.k""".stripMargin)
+      val rows = q.as[(Long, Long, Long)].collect().sortBy(_._1)
+      rows.length shouldBe 200
+      rows.head shouldBe ((1L, 2L, 3L))
+      rows.last shouldBe ((399L, 798L, 1197L))
+      // the whole point: NO shuffle on either side — the scans' reported
+      // key-grouped partitioning (same graft.bucket function, same args)
+      // satisfies the join's distribution on both sides
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val inner = p.collect {
+          case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+          case _: ShuffleExchangeExec => 1
+        }
+        inner.sum
+      }
+      shuffles(q.queryExecution.executedPlan) shouldBe 0
+      // and the scan really is the key-grouped one (8 groups)
+      q.queryExecution.executedPlan.toString should include("key-grouped")
+      // flag OFF: same answer through the stock split scan (with shuffles)
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val q2 = spark.sql(
+        s"""SELECT count(*) FROM $cat.db.spj1 a
+           |JOIN $cat.db.spj2 b ON a.k = b.k""".stripMargin)
+      q2.as[Long].head() shouldBe 200L
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {
     import spark.implicits._
     // source OUTSIDE the warehouse; clone inside — its add actions carry

@@ -1056,6 +1056,38 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     ex.getMessage should include("magic")
   }
 
+  test("puffin NDV steers the join: statistics blob flips shuffle → broadcast-prefilter plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val lt = graft.ingest.Sinks.tempDir("puffin_left")
+    val rt = graft.ingest.Sinks.tempDir("puffin_right")
+    // left: many rows, FEW distinct keys (the high-fan-in dimension
+    // shape); right: wide key space
+    IcebergLite.write(spark,
+      (1L to 5000L).map(i => (i % 40L, i)).toDF("k", "v"), lt)
+    IcebergLite.write(spark,
+      (0L to 4999L).map(i => (i, i * 2)).toDF("k", "w"), rt)
+    def run(bb: Long) = graft.plans.PuffinPlanner.join(
+      spark, lt, rt, "k", "k", broadcastBytes = bb)
+    // no statistics written + bytes too big to broadcast → plain shuffle
+    val (plain, s0) = run(1L)
+    s0 shouldBe "shuffle"
+    val expect = plain.count()
+    // the blob flips the plan: left's NDV (40) licenses the broadcast
+    // key-set prefilter — and the answer is unchanged
+    IcebergLite.writeStatistics(spark, lt, Seq("k"))
+    val (pre, s1) = run(1L)
+    s1 shouldBe "ndv_prefilter"
+    pre.count() shouldBe expect
+    pre.queryExecution.executedPlan.toString should
+      include("BroadcastHashJoin")
+    // a STALE blob must not license anything: advance the table, flip back
+    IcebergLite.write(spark, Seq((999L, 999L)).toDF("k", "v"), lt)
+    run(1L)._2 shouldBe "shuffle"
+    // exact manifest bytes pick plain broadcast when a side fits
+    run(100L << 20)._2 shouldBe "broadcast"
+  }
+
   test("partition transforms: spec test vectors (bucket murmur3 seed 0, temporal ordinals)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
