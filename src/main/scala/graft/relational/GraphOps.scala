@@ -260,28 +260,33 @@ object GraphOps {
     * uncached lazy chain would double the subplan per round (2^rounds
     * recompute; the kHopReach frontier discipline prevents it). */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    // iterate on the INDUCED EDGE SET, not the vertex set: the r12 plan
-    // joined the FULL bidirectional graph against the survivor set twice
-    // EVERY round — O(rounds · |E|) join input. Here each round's two
-    // semi-joins restrict the PREVIOUS round's surviving edges (a
-    // monotonically shrinking set — after round one, usually a small
-    // fraction of the graph), and the degree aggregate reads the cached
-    // edge set directly. Same fixed-round semantics, same oracle.
-    var live = edges.select(col("u"), col("v"))
+    // ONE big join per round (the r12 tree paid two): the induced degree
+    // of u is its count of neighbors v ∈ active, so restricting the
+    // NEIGHBOR side alone before the aggregate suffices — the u-side
+    // restriction moves AFTER the aggregate, where it is a semi-join of
+    // two vertex-sized (tiny, broadcastable) tables instead of a second
+    // pass over the edge list. Per round: bi ⋈ active(v) [broadcast —
+    // active is vertex-sized], one degree aggregate [the round's only
+    // shuffle], one tiny vertex semi-join. Survivor sets are cached
+    // (they feed the next round twice); the edge list is cached ONCE.
+    val bi = edges.select(col("u"), col("v"))
       .unionAll(edges.select(col("v").as("u"), col("u").as("v"))).cache()
-    val cached = scala.collection.mutable.ArrayBuffer(live)
+    var active = bi.select(col("u").as("node")).distinct().cache()
+    val cached = scala.collection.mutable.ArrayBuffer(active)
+    def inducedDeg(a: DataFrame) =
+      bi.join(broadcast(a.select(col("node").as("v"))), "v")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+        .join(a.select(col("node").as("u")), "u") // u must survive too
     for (_ <- 1 to rounds) {
-      val surv = live.groupBy("u").agg(count(lit(1)).as("d"))
-        .where(col("d") >= k).select(col("u"))
-      live = live.join(surv, "u")
-        .join(surv.select(col("u").as("v")), "v")
-        .select(col("u"), col("v")).cache()
-      cached += live
+      active = inducedDeg(active)
+        .where(col("deg") >= k).select(col("u").as("node")).cache()
+      cached += active
     }
-    val out = live.groupBy("u").agg(count(lit(1)).as("deg"))
+    val out = inducedDeg(active)
       .select(col("u").as("node"), col("deg"))
       .orderBy("node").localCheckpoint(true)
     cached.foreach(_.unpersist())
+    bi.unpersist()
     out
   }
 
