@@ -1253,10 +1253,17 @@ object DeltaLite {
   def writePartitioned(spark: SparkSession, dfIn: DataFrame, table: String,
       partCol: String, collectStats: Boolean = false,
       maxRetries: Int = 10, tag: String = "-p-",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      overwrite: Boolean = false,
+      replaceValue: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "writePartitioned()")
+    require(!(overwrite && replaceValue.isDefined),
+      "overwrite (truncating) and replaceValue (one partition) are " +
+        "mutually exclusive")
+    if (overwrite || replaceValue.isDefined)
+      requireAppendsOnly(spark, table, "partitioned overwrite write()")
     val df = applyGenerated(spark, table, dfIn)
     enforceConstraints(spark, table, df)
     require(df.schema.fieldNames.contains(partCol),
@@ -1348,8 +1355,31 @@ object DeltaLite {
           Seq(protocolLine, metaDataLine(df.schema, partitionColumns = Seq(partCol)))
         else Seq.empty
       val txns = txn.map { case (app, ver) => txnLine(app, ver) }.toSeq
+      // a SINGLE-PARTITION overwrite must not leak rows into sibling
+      // partitions: the staged per-value layout is the free witness —
+      // any staged value other than the replaced one aborts
+      replaceValue.foreach { rv =>
+        val stray = parts.map(_._2).filter(_ != rv).distinct
+        if (stray.nonEmpty) {
+          fs.delete(new Path(table, staged), true)
+          throw new IllegalArgumentException(
+            s"partition overwrite of $partCol=$rv received rows for " +
+              s"${stray.mkString("[", ", ", "]")} — refuse, never leak")
+        }
+      }
+      val removes: Seq[String] =
+        if (v == 0) Seq.empty
+        else if (overwrite)
+          snapshot(spark, table, v - 1).files.map(removeLine(_))
+        else replaceValue.toSeq.flatMap { rv =>
+          val prior = snapshot(spark, table, v - 1)
+          prior.files.filter(f =>
+            prior.pvals.get(f).exists(_.get(partCol).contains(rv)))
+            .map(removeLine(_))
+        }
+      val op = if (overwrite || replaceValue.isDefined) "OVERWRITE" else "WRITE"
       if (tryCommit(fs, table, v,
-          commitInfoLine("WRITE") +: (header ++ txns ++ adds))) return v
+          commitInfoLine(op) +: (header ++ txns ++ removes ++ adds))) return v
       fs.delete(new Path(table, staged), true)
       attempt += 1
     }
@@ -2862,7 +2892,7 @@ object DeltaLite {
     * [[mergeInto]] refuses partitioned tables, the one layout that
     * reuses basenames across directories) — [[scanWithDvs]]'s DV
     * subtraction, keeping the coordinate the touched-file planner needs. */
-  private def liveScanWithFile(spark: SparkSession, table: String,
+  private[graft] def liveScanWithFile(spark: SparkSession, table: String,
       schema: StructType, files: Seq[String],
       dvs: Map[String, DeletionVectors.Descriptor]): DataFrame = {
     import org.apache.spark.sql.functions.{col => c_, element_at, split}
@@ -2884,6 +2914,72 @@ object DeltaLite {
         .join(deleted.toDF("__fn", "__ri"), Seq("__fn", "__ri"), "left_anti")
         .drop("__ri")
     }
+  }
+
+  /** The pieces the SQL row-level operation pins at creation: live
+    * files (log-relative), their deletion vectors, the table schema —
+    * one snapshot, used by BOTH the operation's scan and its commit so
+    * the copy-on-write replacement is self-consistent. */
+  private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
+      : (Seq[String], Map[String, DeletionVectors.Descriptor], StructType) = {
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    require(snap.partCols.isEmpty,
+      "SQL row-level operations on partitioned tables are outside the " +
+        "subset — deletePartition / partition overwrite instead")
+    (snap.files, snap.dvs, tableSchema(spark, table))
+  }
+
+  /** Commit a COPY-ON-WRITE replacement written by the SQL row-level
+    * write path ([[graft.sources.v2]]): remove `removeRel`, add the
+    * staged `addRel` files (stats recomputed for every LONG column in
+    * one distributed pass — skipping keeps working on SQL-updated
+    * files), one version, the usual atomic arbiter. */
+  private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
+      removeRel: Seq[String], addRel: Seq[String],
+      operation: String): Long = {
+    import org.apache.spark.sql.functions.{col => c_, count => cnt_, input_file_name, lit => l_, max => mx_, min => mn_}
+    val fs = hadoopFs(spark, table)
+    val v = latestVersion(spark, table) + 1
+    val schema = tableSchema(spark, table)
+    val longCols = schema.fields.filter(_.dataType == LongType)
+      .map(_.name).toSeq
+    val statsByFile: Map[String, String] =
+      if (addRel.isEmpty) Map.empty
+      else {
+        val aggs = cnt_(l_(1)).as("numRecords") +: longCols.flatMap(c =>
+          Seq(mn_(c_(c)).as(s"min_$c"), mx_(c_(c)).as(s"max_$c")))
+        spark.read.schema(schema)
+          .parquet(addRel.map(f => dataPath(table, f)): _*)
+          .groupBy(input_file_name().as("f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val o = mapper.createObjectNode()
+            o.put("numRecords", r.getAs[Long]("numRecords"))
+            val mins = o.putObject("minValues")
+            val maxs = o.putObject("maxValues")
+            longCols.foreach { c =>
+              val mi = r.getAs[java.lang.Long](s"min_$c")
+              val ma = r.getAs[java.lang.Long](s"max_$c")
+              if (mi != null && ma != null) {
+                mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+              }
+            }
+            (new Path(r.getAs[String]("f")).getName,
+              mapper.writeValueAsString(o))
+          }.toMap
+      }
+    val adds = addRel.map { f =>
+      val st = fs.getFileStatus(new Path(table, f))
+      addLine(f, st.getLen, st.getModificationTime,
+        statsByFile.get(new Path(f).getName))
+    }
+    if (!tryCommit(fs, table, v,
+        commitInfoLine(operation) +: (removeRel.map(removeLine(_)) ++ adds)))
+      throw new IllegalStateException(
+        s"$operation lost the commit race on $table")
+    v
   }
 
   /** File-granular MERGE (the r12 verdict's one flagged scale-killer,

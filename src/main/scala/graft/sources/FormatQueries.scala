@@ -1839,6 +1839,232 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X282: SQL `DELETE FROM` through the catalog — the predicate lowers
+    * to [[DeltaLite.deleteWhere]]'s stats-planned copy-on-write rewrite
+    * (only files whose recorded key range intersects the predicate are
+    * opened); the post-delete state reads back through SQL and the
+    * format reader, both time-travel coordinates pinned. */
+  private def deltaSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdd.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_ddel")
+        spark.conf.set("spark.sql.catalog.graftdd",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdd.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftdd.db.orders_del")
+    DeltaLite.write(spark, o.repartition(4), s"$wh/db/orders_del",
+      collectStats = true) // v0
+    spark.sql(
+      "DELETE FROM graftdd.db.orders_del WHERE o_orderkey BETWEEN 1 AND 700")
+    spark.sql("DELETE FROM graftdd.db.orders_del WHERE o_orderkey >= 2500")
+    val v0Rows = spark
+      .sql("SELECT count(*) FROM graftdd.db.orders_del VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    val apiRows = DeltaLite.read(spark, s"$wh/db/orders_del").count()
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftdd.db.orders_del GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_v0", lit(v0Rows))
+      .withColumn("rows_api", lit(apiRows))
+      .orderBy("prio")
+  }
+
+  /** X275b: STATIC partition overwrite through SQL — `INSERT OVERWRITE
+    * … PARTITION (p = 'v')` replaces exactly that partition's files in
+    * ONE commit ([[DeltaLite.writePartitioned]]`(replaceValue)`): the
+    * other partitions' files are untouched (their add actions stay
+    * live), and rows that would leak into sibling partitions refuse at
+    * the format layer. The reference's daily re-ingest is exactly this
+    * shape — replace today's partition, never rewrite the table. */
+  private def deltaSqlOverwritePartition(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftpo.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_po")
+        spark.conf.set("spark.sql.catalog.graftpo",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftpo.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftpo.db.orders_po")
+    DeltaLite.writePartitioned(spark, o, s"$wh/db/orders_po",
+      "o_orderpriority") // v0: all priorities
+    o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+      .createOrReplaceTempView("po_src")
+    spark.sql("""INSERT OVERWRITE graftpo.db.orders_po
+      |PARTITION (o_orderpriority = '1-URGENT')
+      |SELECT o_orderkey, o_totalprice FROM po_src""".stripMargin) // v1
+    // the untouched partitions' files are CARRIED: planPartitioned on a
+    // sibling value sees the same files before and after
+    val (files1, _, _) = DeltaLite.planPartitioned(spark,
+      s"$wh/db/orders_po", "o_orderpriority", Set("5-LOW"))
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftpo.db.orders_po GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("sibling_files", lit(files1.size.toLong > 0L))
+      .orderBy("prio")
+  }
+
+  /** X283: an Iceberg TIME AXIS — snapshots carry real `timestamp-ms`
+    * when the writer declares one ([[IcebergLite.write]]`(timestampMs)`,
+    * the Delta in-commit-timestamp stance: the time axis lives IN the
+    * commit, injectable so the differential gate stays deterministic),
+    * and SQL `TIMESTAMP AS OF` resolves through the snapshot ledger.
+    * Three stamped appends; reads at between-stamps and at-stamp
+    * coordinates pinned, the current aggregate oracle-reproduced. */
+  private def icebergTimestampAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftts.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_its")
+        spark.conf.set("spark.sql.catalog.graftts",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftts.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftts.db.orders_ts")
+    val table = s"$wh/db/orders_ts"
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 3 === 0), table,
+      timestampMs = 1700000000000L)
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 3 === 1), table,
+      timestampMs = 1700000100000L)
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 3 === 2), table,
+      timestampMs = 1700000200000L)
+    val atFirst = spark.sql(
+      """SELECT count(*) FROM graftts.db.orders_ts
+        |TIMESTAMP AS OF timestamp_millis(1700000050000)""".stripMargin)
+      .collect()(0).getLong(0)
+    val atSecond = spark.sql(
+      """SELECT count(*) FROM graftts.db.orders_ts
+        |TIMESTAMP AS OF timestamp_millis(1700000100000)""".stripMargin)
+      .collect()(0).getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftts.db.orders_ts GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rows_ts1", lit(atFirst))
+      .withColumn("rows_ts2", lit(atSecond))
+      .orderBy("prio")
+  }
+
+  /** X284: SQL `UPDATE` through the catalog — Spark's group-based
+    * row-level rewrite over the file-tagged scan: the runtime group
+    * filter narrows the rewrite to the files holding matched keys, the
+    * replacement rows stream through the real DSv2 parquet BatchWrite,
+    * and the commit swaps removes+adds as one log version. The key
+    * pins the carried-file discipline (untouched files survive) beside
+    * the oracle-reproduced post-update state. */
+  private def deltaSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftup.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_upd")
+        spark.conf.set("spark.sql.catalog.graftup",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftup.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftup.db.orders_up")
+    val table = s"$wh/db/orders_up"
+    // key-clustered files: the 100..300 window then lives in ONE file
+    // and the carried-file flag is meaningful at every scale factor
+    DeltaLite.write(spark, o.repartitionByRange(4, col("o_orderkey")),
+      table, collectStats = true)
+    val before = DeltaLite.snapshotAt(spark, table).files.toSet
+    spark.sql("""UPDATE graftup.db.orders_up
+      |SET o_totalprice = o_totalprice * 2
+      |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+    val after = DeltaLite.snapshotAt(spark, table).files.toSet
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftup.db.orders_up GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rewrote_subset",
+        lit(before.intersect(after).nonEmpty && (before -- after).nonEmpty))
+      .orderBy("prio")
+  }
+
+  /** X284: SQL `MERGE INTO` through the catalog — the same group-based
+    * rewrite driving update + delete + insert from ONE statement; the
+    * oracle reproduces the merged state relationally. */
+  private def deltaSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftmg.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_mrg")
+        spark.conf.set("spark.sql.catalog.graftmg",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmg.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftmg.db.orders_mg")
+    DeltaLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3)
+      .repartition(4), s"$wh/db/orders_mg", collectStats = true)
+    // upserts on evens (+500), deletes on k%8==1, inserts where unmatched
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"),
+        col("o_orderpriority"), lit("U").as("op"))
+      .unionAll(o.where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), lit("D").as("op")))
+      .createOrReplaceTempView("sqlmrg_src")
+    spark.sql(
+      """MERGE INTO graftmg.db.orders_mg t USING sqlmrg_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED AND s.op = 'U' THEN
+        |  INSERT (o_orderkey, o_totalprice, o_orderpriority)
+        |  VALUES (s.o_orderkey, s.o_totalprice, s.o_orderpriority)""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftmg.db.orders_mg GROUP BY o_orderpriority""".stripMargin)
+      .orderBy("prio")
+  }
+
+  /** X282, Iceberg side: SQL DELETE lands as a merge-on-read position-
+    * delete commit — no data file rewritten — and the post-delete SQL
+    * read serves UNCOMPACTED through the MOR bridge (X276): two
+    * features composing through the same front door. */
+  private def icebergSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftid.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_idel")
+        spark.conf.set("spark.sql.catalog.graftid",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftid.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftid.db.orders_del")
+    IcebergLite.write(spark, o.repartition(4), s"$wh/db/orders_del") // snap 1
+    spark.sql(
+      "DELETE FROM graftid.db.orders_del WHERE o_orderkey BETWEEN 1 AND 700")
+    val morFiles =
+      IcebergLite.snapshotDeleteFiles(spark, s"$wh/db/orders_del", -1L).size
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftid.db.orders_del GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("mor_delete_files", lit(morFiles.toLong > 0L))
+      .orderBy("prio")
+  }
+
   /** X276: a deletion-vector-carrying Delta snapshot read through
     * `spark.sql` WITHOUT compacting — the catalog serves it via
     * [[DeltaLite.read]]'s DV anti-join plan through the V1 bridge.
@@ -2274,6 +2500,13 @@ object FormatQueries {
     "x_spj_join" -> ((s, dir) => icebergSpjJoin(s, dir)),
     "x_iceberg_skipping_str" -> ((s, dir) => icebergSkippingStr(s, dir)),
     "x_puffin_join" -> ((s, dir) => puffinJoin(s, dir)),
+    "x_delta_sql_delete" -> ((s, dir) => deltaSqlDelete(s, dir)),
+    "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
+    "x_delta_sql_overwrite_partition" ->
+      ((s, dir) => deltaSqlOverwritePartition(s, dir)),
+    "x_iceberg_timestamp_as_of" -> ((s, dir) => icebergTimestampAsOf(s, dir)),
+    "x_delta_sql_update" -> ((s, dir) => deltaSqlUpdate(s, dir)),
+    "x_delta_sql_merge" -> ((s, dir) => deltaSqlMerge(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -2544,6 +2777,65 @@ object FormatQueries {
         |FROM events
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // SQL DELETE through the catalog: two range deletes on Delta (plus
+    // version-0 and format-reader pins), one MOR delete on Iceberg whose
+    // post-delete read serves uncompacted
+    "x_delta_sql_delete" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders) AS rows_v0,
+        |  (SELECT count(*) FROM orders
+        |    WHERE o_orderkey NOT BETWEEN 1 AND 700
+        |      AND o_orderkey < 2500) AS rows_api
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1 AND 700 AND o_orderkey < 2500
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_sql_delete" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS mor_delete_files
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 700
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL UPDATE: keys 100..300 doubled; the rewrite touched a strict
+    // subset of files (carried + removed both nonempty)
+    "x_delta_sql_update" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 100 AND 300
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS rewrote_subset
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL MERGE INTO: base (k%4<>3) with evens upserted (+500), k%8==1
+    // deleted, unmatched evens inserted — all one statement
+    "x_delta_sql_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |u AS (SELECT o_orderkey, o_totalprice + 500.0 AS p,
+        |    o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+        |fin AS (
+        |  SELECT COALESCE(u.o_orderkey, base.o_orderkey) AS k,
+        |    COALESCE(u.p, base.o_totalprice) AS p,
+        |    COALESCE(u.o_orderpriority, base.o_orderpriority) AS prio
+        |  FROM base FULL JOIN u ON base.o_orderkey = u.o_orderkey
+        |  WHERE COALESCE(u.o_orderkey, base.o_orderkey) % 8 <> 1
+        |     OR COALESCE(u.o_orderkey, base.o_orderkey) % 4 = 3)
+        |SELECT prio, count(*) AS n, round(sum(p), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg TIMESTAMP AS OF through the stamped snapshot ledger:
+    // ts1 window sees the first third, at-ts2 sees two thirds
+    "x_iceberg_timestamp_as_of" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS rows_ts1,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 3 <= 1) AS rows_ts2
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // static partition overwrite: 1-URGENT's prices doubled in one
+    // commit, the other partitions byte-untouched
+    "x_delta_sql_overwrite_partition" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS sibling_files
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // string bounds + null counts: the range plan opens 2 of 5
     // value-clustered files, the IS-NULL audit opens 1 (the hash layout
     // over the 6 distinct values is scale-factor-independent)

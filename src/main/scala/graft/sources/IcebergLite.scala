@@ -470,7 +470,8 @@ object IcebergLite {
       operation: Option[String] = None,
       formatV2: Boolean = false,
       toBranch: Option[String] = None,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      timestampMs: Long = 0L): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
@@ -479,7 +480,7 @@ object IcebergLite {
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionField,
         summaryProps, boundsColumn, operation, formatV2, toBranch,
-        statsColumns) match {
+        statsColumns, timestampMs) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -496,7 +497,8 @@ object IcebergLite {
       operation: Option[String] = None,
       formatV2: Boolean = false,
       toBranch: Option[String] = None,
-      statsColumns: Seq[String] = Nil): Option[Long] = {
+      statsColumns: Seq[String] = Nil,
+      timestampMs: Long = 0L): Option[Long] = {
     require(boundsColumn.isEmpty || statsColumns.isEmpty,
       "boundsColumn (legacy long bounds) and statsColumns (spec " +
         "column-stats maps) are mutually exclusive")
@@ -695,7 +697,7 @@ object IcebergLite {
     val committed = commitMetadataJson(fs, table, prevV, prevMeta,
       formatVersion, snapshotId, df.schema, partitionField, listName,
       operation.getOrElse(if (overwrite) "overwrite" else "append"),
-      summaryProps, toBranch)
+      summaryProps, toBranch, timestampMs)
     if (!committed) {
       // lost the race: remove THIS attempt's commit-private artifacts
       // (nothing references them) and let the caller replan
@@ -718,7 +720,7 @@ object IcebergLite {
       formatVersion: Int, snapshotId: Long, dfSchema: StructType,
       partitionField: Option[PartField], listName: String,
       operation: String, summaryProps: Map[String, String],
-      toBranch: Option[String] = None): Boolean = {
+      toBranch: Option[String] = None, timestampMs: Long = 0L): Boolean = {
     // the snapshot this commit planned against — main's head, or the
     // branch head for a branch-targeted commit (spec: parent-snapshot-id;
     // fastForward walks it to prove ancestry before publishing)
@@ -849,7 +851,12 @@ object IcebergLite {
     sn.put("snapshot-id", snapshotId)
     parentSid.foreach(p => sn.put("parent-snapshot-id", p))
     if (formatVersion == 2) sn.put("sequence-number", snapshotId)
-    sn.put("timestamp-ms", 0L)
+    // the snapshot's time axis (spec: timestamp-ms). 0 by default — the
+    // differential gate needs byte-deterministic metadata — and a real
+    // stamp when the WRITER declares one (the Delta in-commit-timestamp
+    // stance: the time axis must live IN the commit, injectable for
+    // deterministic tests); TIMESTAMP AS OF resolves through it.
+    sn.put("timestamp-ms", timestampMs)
     val summary = sn.putObject("summary")
     summary.put("operation", operation)
     summaryProps.foreach { case (k, v2) => summary.put(k, v2) }
@@ -1852,6 +1859,21 @@ object IcebergLite {
           .get("file_path").toString))
     require(files.nonEmpty, s"no files added in ($fromSnap, $toSnap] on $table")
     spark.read.parquet(files: _*)
+  }
+
+  /** The (snapshotId, timestamp-ms) ledger of every retained snapshot
+    * carrying a REAL stamp (> 0), ascending by id — the table's time
+    * axis when its writers declared one ([[write]]`(timestampMs)`). */
+  def snapshotLedger(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    readMetadata(fs, table, v).get("snapshots").forEach { sn =>
+      val ts = sn.path("timestamp-ms").asLong(0L)
+      if (ts > 0L) out += ((sn.get("snapshot-id").asLong(), ts))
+    }
+    out.sortBy(_._1).toSeq
   }
 
   /** ANCESTRY-WALKING incremental read: rows added in (fromSnap, toSnap],

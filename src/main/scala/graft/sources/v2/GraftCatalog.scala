@@ -122,16 +122,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * path as a version read. Tables without stamps refuse with the
     * remedy named — file-modification times are exactly the unreliable
     * axis in-commit timestamps exist to end, so this catalog never
-    * falls back to them. Iceberg tables refuse (this subset's Iceberg
-    * metadata pins timestamp-ms to 0 for determinism: no time axis). */
+    * falls back to them. Iceberg tables resolve through their snapshots'
+    * own `timestamp-ms` axis when the writers declared stamps
+    * (`IcebergLite.write(timestampMs)`); stampless tables refuse with
+    * the remedy named. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val path = tablePath(ident)
     if (!fs.exists(new Path(path, "_delta_log"))) {
-      if (fs.exists(new Path(path, "metadata")))
-        throw new UnsupportedOperationException(
-          "TIMESTAMP AS OF on Iceberg tables is outside the subset (no " +
-            "wall-clock axis in this metadata) — use VERSION AS OF " +
+      if (fs.exists(new Path(path, "metadata"))) {
+        // Iceberg: resolve through the snapshots' OWN timestamp-ms axis
+        // — present only when the writers declared stamps
+        // (IcebergLite.write(timestampMs), the in-commit-timestamp
+        // stance); stampless tables refuse with the remedy named
+        val ms = math.floorDiv(timestamp, 1000L)
+        val ledger = IcebergLite.snapshotLedger(spark, path)
+        require(ledger.nonEmpty,
+          s"$catName.$ident carries no snapshot timestamps — write with " +
+            "IcebergLite.write(timestampMs = …), or use VERSION AS OF " +
             "(snapshot id)")
+        require(ms >= ledger.head._2,
+          s"TIMESTAMP AS OF $ms precedes the first stamped snapshot " +
+            s"${ledger.head._2} of $catName.$ident")
+        return load(ident, ledger.takeWhile(_._2 <= ms).last._1)
+      }
       throw new NoSuchTableException(ident)
     }
     val ms = math.floorDiv(timestamp, 1000L)
@@ -236,8 +249,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ParquetPlan(parquetTable(ident, scanSchema,
           snap.files.map(f => DeltaLite.dataPath(path, f))))
       }
-    new GraftTable(fullName(ident), path, "delta", tableSchema,
-      snap.partCols, None, mapped, readDelegate, writable = version < 0)
+    if (!mapped && version < 0 && snap.partCols.isEmpty)
+      // the SQL row-level envelope holds: serve the table that also
+      // speaks UPDATE / MERGE INTO / fallback DELETE (X284)
+      new GraftDeltaTable(fullName(ident), path, tableSchema, snap.files,
+        readDelegate)
+    else
+      new GraftTable(fullName(ident), path, "delta", tableSchema,
+        snap.partCols, None, mapped, readDelegate, writable = version < 0)
   }
 
   private def loadIceberg(ident: Identifier, path: String,

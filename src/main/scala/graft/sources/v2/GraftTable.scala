@@ -46,7 +46,7 @@ import graft.sources.{DeltaLite, IcebergLite}
   * [[DataFrameScanBuilder]] re-applies both on the DataFrame, where the
   * optimizer pushes them below the join for free.
   */
-private[v2] final class GraftTable(
+private[v2] class GraftTable(
     tableName: String,
     path: String,
     format: String, // "delta" | "iceberg"
@@ -56,7 +56,54 @@ private[v2] final class GraftTable(
     columnMapped: Boolean,
     readDelegate: ReadPlan,
     writable: Boolean)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** SQL `DELETE FROM … WHERE <long-column range>` (X282): the predicate
+    * lowers to the format's OWN row-level delete — [[DeltaLite
+    * .deleteWhere]]'s stats-planned copy-on-write rewrite, or
+    * [[IcebergLite.deleteWhere]]'s merge-on-read position-delete commit
+    * (after which SQL reads keep working uncompacted, X276). Only
+    * predicate shapes the formats' planners prune on are CLAIMED
+    * (`canDeleteWhere`): a single long column under =, >,
+    * >=, <, <=, BETWEEN-style conjunctions. Anything else — including
+    * bare `DELETE FROM t` — refuses at analysis (Spark's own error),
+    * never a silent full-table rewrite. */
+  private def isTruncate(predicates: Array[Predicate]): Boolean =
+    predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE"
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    writable && !columnMapped && (isTruncate(predicates) ||
+      DeletePredicate.toRange(predicates, logicalSchema).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (isTruncate(predicates)) {
+      // bare DELETE FROM t: one commit removing every live file (Delta)
+      // / an empty overwrite snapshot (Iceberg) — no byte read
+      format match {
+        case "delta" =>
+          val (files, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
+          DeltaLite.commitReplaceFiles(spark, path, files, Nil, "DELETE")
+        case _ =>
+          IcebergLite.write(spark,
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              logicalSchema),
+            path, overwrite = true, operation = Some("delete"))
+      }
+      return
+    }
+    val (column, lo, hi) = DeletePredicate.toRange(predicates, logicalSchema)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"$tableName: DELETE supports a single long-column range " +
+          "predicate — use the format APIs for other shapes"))
+    format match {
+      case "delta" => DeltaLite.deleteWhere(spark, path, column, lo, hi)
+      case _ => IcebergLite.deleteWhere(spark, path, column, lo, hi)
+    }
+    ()
+  }
 
   override def name(): String = tableName
 
@@ -106,17 +153,30 @@ private[v2] final class GraftTable(
         "— write at the table's head")
     new WriteBuilder with SupportsOverwriteV2 {
       private var overwriteAll = false
+      private var overwriteValue: Option[String] = None
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
         val alwaysTrue = predicates.isEmpty ||
           (predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE")
-        if (!alwaysTrue) throw new UnsupportedOperationException(
-          s"$tableName: partial INSERT OVERWRITE (a partition/filter " +
-            "overwrite) is outside this subset — use the format's " +
-            "deletePartition/deleteWhere then INSERT INTO")
-        overwriteAll = true
+        if (alwaysTrue) { overwriteAll = true; return this }
+        // STATIC single-partition overwrite (`INSERT OVERWRITE t
+        // PARTITION (p = 'v') …`): one equality on the table's (Delta)
+        // partition column replaces exactly that partition's files in
+        // one commit — every other shape refuses
+        // static partition values arrive as `=` or null-safe `<=>`
+        val value = predicates match {
+          case Array(p) if p.name() == "=" || p.name() == "<=>" =>
+            DeletePredicate.stringEquality(p, deltaPartCols)
+          case _ => None
+        }
+        overwriteValue = Some(value.getOrElse(
+          throw new UnsupportedOperationException(
+            s"$tableName: INSERT OVERWRITE supports the full table or " +
+              "ONE partition-column equality — use the format's " +
+              "deletePartition/deleteWhere then INSERT INTO for other " +
+              "shapes")))
         this
       }
 
@@ -124,7 +184,7 @@ private[v2] final class GraftTable(
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              commitInsert(data, overwriteAll || overwrite)
+              commitInsert(data, overwriteAll || overwrite, overwriteValue)
           }
       }
     }
@@ -136,33 +196,86 @@ private[v2] final class GraftTable(
     * commit through the format's arbiter. Partitioned tables keep their
     * layout: the commit goes through the partitioned writer, so SQL
     * inserts and API writes produce indistinguishable versions. */
-  private def commitInsert(data: DataFrame, overwrite: Boolean): Unit = {
+  private def commitInsert(data: DataFrame, overwrite: Boolean,
+      overwriteValue: Option[String] = None): Unit = {
     val spark = data.sparkSession
     val aligned = data.to(logicalSchema)
     format match {
       case "delta" if columnMapped =>
-        require(!overwrite,
+        require(!overwrite && overwriteValue.isEmpty,
           s"$tableName: INSERT OVERWRITE on a column-mapped table is " +
             "outside this subset — use DeltaLite.writeColumnMapped")
         DeltaLite.writeColumnMapped(spark, aligned, path)
       case "delta" if deltaPartCols.isEmpty =>
+        require(overwriteValue.isEmpty,
+          s"$tableName is not partitioned — PARTITION overwrite needs a " +
+            "partitioned table")
         DeltaLite.write(spark, aligned, path, overwrite = overwrite,
           collectStats = true)
       case "delta" =>
-        require(!overwrite,
-          s"$tableName: INSERT OVERWRITE on a partitioned table is " +
-            "outside this subset — deletePartition then INSERT INTO")
         require(deltaPartCols.size == 1,
           s"$tableName declares ${deltaPartCols.size} partition columns; " +
             "this subset writes one")
         DeltaLite.writePartitioned(spark, aligned, path, deltaPartCols.head,
-          collectStats = true)
+          collectStats = true, overwrite = overwrite,
+          replaceValue = overwriteValue)
       case "iceberg" =>
+        require(overwriteValue.isEmpty,
+          s"$tableName: partition-level INSERT OVERWRITE on Iceberg is " +
+            "outside this subset — deleteWhere then INSERT INTO")
         IcebergLite.write(spark, aligned, path, overwrite = overwrite,
           partitionField = icePartition)
       case other =>
         throw new IllegalStateException(s"unknown format $other")
     }
+  }
+}
+
+/** The Delta table the catalog serves when the SQL row-level envelope
+  * holds (unpartitioned, non-column-mapped, head version): additionally
+  * speaks `SupportsRowLevelOperations` — SQL `UPDATE`, `MERGE INTO`, and
+  * fallback `DELETE` for predicates [[GraftTable.canDeleteWhere]] cannot
+  * claim — via the group-based copy-on-write rewrite
+  * ([[GraftRowLevelOp]], X284), and declares the `_file` metadata column
+  * those plans resolve their group coordinate against. */
+private[v2] final class GraftDeltaTable(
+    tableName: String,
+    path: String,
+    logicalSchema: StructType,
+    snapFiles: Seq[String],
+    readDelegate: ReadPlan)
+  extends GraftTable(tableName, path, "delta", logicalSchema, Seq.empty,
+    None, columnMapped = false, readDelegate, writable = true)
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTable.FileMetadataColumn)
+
+  /** The runtime group-filter subquery reads `_file` through the
+    * REGULAR scan path — wrap the stock builder so a pruned schema
+    * containing `_file` serves the file-tagged scan instead. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
+      path, logicalSchema, snapFiles, super.newScanBuilder(options))
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(tableName, path, logicalSchema, info)
+}
+
+private[v2] object GraftTable {
+  object FileMetadataColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "file the row lives in (row-level operation group coordinate)"
   }
 }
 
@@ -234,6 +347,84 @@ private[v2] final class DataFrameScanBuilder(
         }.asInstanceOf[T]
       }
     }
+  }
+}
+
+/** Lowers SQL DELETE predicates to the formats' (column, lo, hi) range
+  * contract. Claims ONLY what the stats planners prune exactly: every
+  * conjunct must constrain the SAME long column, and together they must
+  * pin a closed range — `k = v`, `k BETWEEN a AND b` (an AND of bounds),
+  * one-sided bounds (the open side saturates to Long.Min/Max). Returns
+  * None for anything else, which makes `canDeleteWhere` refuse. */
+private[v2] object DeletePredicate {
+  import org.apache.spark.sql.connector.{expressions => vexpr}
+  import org.apache.spark.sql.connector.expressions.Expression
+  import org.apache.spark.sql.types.LongType
+
+  /** `p = 'value'` over one of `partCols` → the partition value a
+    * static `INSERT OVERWRITE … PARTITION` replaces. */
+  def stringEquality(p: Predicate,
+      partCols: Seq[String]): Option[String] = p.children() match {
+    case Array(r: vexpr.NamedReference, l: vexpr.Literal[_])
+        if partCols.contains(r.fieldNames.mkString(".")) =>
+      Some(String.valueOf(l.value))
+    case Array(l: vexpr.Literal[_], r: vexpr.NamedReference)
+        if partCols.contains(r.fieldNames.mkString(".")) =>
+      Some(String.valueOf(l.value))
+    case _ => None
+  }
+
+  def toRange(predicates: Array[Predicate],
+      schema: StructType): Option[(String, Long, Long)] = {
+    // every top-level predicate is a conjunct; flatten nested ANDs
+    def conjuncts(p: Predicate): Seq[Predicate] = p.name() match {
+      case "AND" => p.children().toSeq.collect { case c: Predicate => c }
+        .flatMap(conjuncts)
+      case _ => Seq(p)
+    }
+    val leaves = predicates.toSeq.flatMap(conjuncts)
+    if (leaves.isEmpty) return None // bare DELETE FROM t: refuse
+    // each leaf → (column, lo, hi) contribution
+    def colLit(children: Array[Expression])
+        : Option[(String, Long, Boolean)] = children match {
+      case Array(r: vexpr.NamedReference, l: vexpr.Literal[_])
+          if l.dataType == LongType =>
+        Some((r.fieldNames.mkString("."),
+          l.value.asInstanceOf[Number].longValue(), false))
+      case Array(l: vexpr.Literal[_], r: vexpr.NamedReference)
+          if l.dataType == LongType =>
+        Some((r.fieldNames.mkString("."),
+          l.value.asInstanceOf[Number].longValue(), true)) // flipped
+      case _ => None
+    }
+    val bounds = leaves.map { p =>
+      colLit(p.children()).flatMap { case (c, v, flipped) =>
+        val op = p.name() match {
+          case op0 @ (">" | ">=" | "<" | "<=") if flipped =>
+            // 5 < k ≡ k > 5: mirror the operator
+            op0 match { case ">" => "<"; case ">=" => "<="
+              case "<" => ">"; case _ => ">=" }
+          case op0 => op0
+        }
+        op match {
+          case "=" => Some((c, v, v))
+          case ">" => Some((c, math.addExact(v, 1), Long.MaxValue))
+          case ">=" => Some((c, v, Long.MaxValue))
+          case "<" => Some((c, Long.MinValue, math.subtractExact(v, 1)))
+          case "<=" => Some((c, Long.MinValue, v))
+          case _ => None
+        }
+      }
+    }
+    if (bounds.exists(_.isEmpty)) return None
+    val bs = bounds.flatten
+    val col = bs.head._1
+    if (!bs.forall(_._1 == col)) return None
+    if (!schema.fields.exists(f => f.name == col && f.dataType == LongType))
+      return None
+    val lo = bs.map(_._2).max
+    val hi = bs.map(_._3).min
+    Some((col, lo, hi))
   }
 }
 

@@ -103,44 +103,9 @@ private[v2] final class KeyGroupedParquetScan(
         new GenericInternalRow(Array[Any](key)))
     }.toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the conf handshake ParquetScan.createReaderFactory performs: the
-    // reader binds its ReadSupport and requested schema off the hadoop
-    // conf, not the factory arguments
-    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
-    import org.apache.spark.sql.internal.SQLConf
-    val sqlConf = spark.sessionState.conf
-    val conf = spark.sessionState.newHadoopConf()
-    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readSchema0.json)
-    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readSchema0.json)
-    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
-    conf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-      sqlConf.nestedSchemaPruningEnabled)
-    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
-    ParquetWriteSupport.setSchema(readSchema0, conf)
-    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
-      sqlConf.isParquetBinaryAsString)
-    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-      sqlConf.isParquetINT96AsTimestamp)
-    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-      sqlConf.parquetInferTimestampNTZEnabled)
-    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      sqlConf.legacyParquetNanosAsLong)
-    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
-      sqlConf.parquetFieldIdReadEnabled)
-    ParquetPartitionReaderFactory(
-      spark.sessionState.conf,
-      spark.sparkContext.broadcast(new SerializableConfiguration(conf)),
-      dataSchema,
-      readSchema0,
-      StructType(Nil), // no hive-style partition columns: hidden layout
-      pushedFilters,
-      None,
-      new ParquetOptions(CaseInsensitiveMap(Map.empty[String, String]),
-        spark.sessionState.conf))
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetReaders.factory(spark, dataSchema, readSchema0,
+      pushedFilters)
 
   override def outputPartitioning(): Partitioning = {
     val keyExpr: Transform = pf.kind match {
@@ -165,4 +130,50 @@ private[v2] final class KeyedFilePartition(
     key: InternalRow)
   extends FilePartition(idx, files) with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** Spark's own vectorized parquet DSv2 reader factory, with the conf
+  * handshake `ParquetScan.createReaderFactory` performs — the reader
+  * binds its ReadSupport and requested schema off the hadoop conf, not
+  * the factory arguments. Shared by the key-grouped scan (X279) and the
+  * row-level-operation scan (X284). */
+private[v2] object GraftParquetReaders {
+  def factory(spark: SparkSession, dataSchema: StructType,
+      readDataSchema: StructType,
+      pushedFilters: Array[Filter]): ParquetPartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    import org.apache.spark.sql.internal.SQLConf
+    val sqlConf = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      readDataSchema.json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchema.json)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readDataSchema, conf)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    ParquetPartitionReaderFactory(
+      spark.sessionState.conf,
+      spark.sparkContext.broadcast(new SerializableConfiguration(conf)),
+      dataSchema,
+      readDataSchema,
+      StructType(Nil),
+      pushedFilters,
+      None,
+      new ParquetOptions(CaseInsensitiveMap(Map.empty[String, String]),
+        spark.sessionState.conf))
+  }
 }

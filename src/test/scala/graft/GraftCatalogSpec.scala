@@ -90,7 +90,7 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
         "TIMESTAMP AS OF timestamp_millis(1699999999999)").collect()
     }
     e1.getMessage should include("precedes the first retained")
-    // Iceberg: no wall-clock axis in this subset — refuse, name the remedy
+    // Iceberg, stampless: refuse and name the remedy
     val it = s"$warehouse/db/itts"
     IcebergLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), it)
     val e2 = intercept[Exception] {
@@ -98,6 +98,24 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
         "TIMESTAMP AS OF timestamp_millis(1700000000000)").collect()
     }
     e2.getMessage should include("VERSION AS OF")
+    // Iceberg, STAMPED: snapshots carry their own timestamp-ms axis and
+    // TIMESTAMP AS OF resolves through it
+    val it2 = s"$warehouse/db/itts2"
+    IcebergLite.write(spark, Seq((1L, 1L)).toDF("k", "v"), it2,
+      timestampMs = 1700000000000L) // snap 1
+    IcebergLite.write(spark, Seq((2L, 2L)).toDF("k", "v"), it2,
+      timestampMs = 1700000100000L) // snap 2
+    spark.sql(s"SELECT count(*) FROM $cat.db.itts2 " +
+        "TIMESTAMP AS OF timestamp_millis(1700000050000)")
+      .as[Long].head() shouldBe 1L
+    spark.sql(s"SELECT count(*) FROM $cat.db.itts2 " +
+        "TIMESTAMP AS OF timestamp_millis(1700000100000)")
+      .as[Long].head() shouldBe 2L
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.itts2 " +
+        "TIMESTAMP AS OF timestamp_millis(1699999999999)").collect()
+    }
+    e3.getMessage should include("precedes the first stamped")
   }
 
   test("iceberg: SQL read, snapshot time travel, schema-at-snapshot") {
@@ -196,6 +214,7 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
 
   test("SQL writes keep a partitioned table's layout; CTAS; DROP TABLE") {
     import spark.implicits._
+    val wh = warehouse // force catalog registration before the first SQL
     // partitioned Delta: CREATE declares the column; INSERTs go through
     // writePartitioned so every add carries partitionValues
     spark.sql(s"CREATE TABLE $cat.db.wpart (k BIGINT, p STRING) " +
@@ -206,18 +225,36 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[(String, Long)].collect() shouldBe Seq(("a", 2L), ("b", 2L))
     // the partition layer is real: planPartitioned prunes off the log
     val (_, scanned, total) =
-      DeltaLite.planPartitioned(spark, s"$warehouse/db/wpart", "p", Set("a"))
+      DeltaLite.planPartitioned(spark, s"$wh/db/wpart", "p", Set("a"))
     scanned should be < total
-    // partial overwrite refuses with the remedy
-    val e = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE $cat.db.wpart VALUES (9, 'z')")
+    // STATIC partition overwrite: replaces exactly partition b's files
+    // in one commit; partition a is untouched
+    spark.sql(s"INSERT OVERWRITE $cat.db.wpart PARTITION (p = 'b') " +
+      "VALUES (40)")
+    spark.sql(s"SELECT k FROM $cat.db.wpart ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 3L, 40L)
+    // rows leaking into OTHER partitions under a partition overwrite
+    // refuse at the format layer (the SQL path constant-fills the
+    // partition column, so only the API can even attempt this)
+    val leak = intercept[Exception] {
+      DeltaLite.writePartitioned(spark,
+        Seq((50L, "z")).toDF("k", "p"), s"$wh/db/wpart", "p",
+        replaceValue = Some("b"))
     }
-    e.getMessage should (include("outside this subset") or include("deletePartition"))
+    leak.getMessage should include("never leak")
+    // full truncating overwrite of the partitioned table: one commit,
+    // partitioned layout preserved
+    spark.sql(s"INSERT OVERWRITE $cat.db.wpart VALUES (7, 'c'), (8, 'd')")
+    spark.sql(s"SELECT p, count(*) FROM $cat.db.wpart GROUP BY p ORDER BY p")
+      .as[(String, Long)].collect() shouldBe Seq(("c", 1L), ("d", 1L))
+    val (_, s2, t2) =
+      DeltaLite.planPartitioned(spark, s"$wh/db/wpart", "p", Set("c"))
+    s2 should be < t2
     // CTAS: createTable + first insert in one statement
     spark.sql(s"CREATE TABLE $cat.db.wctas USING delta AS " +
-      s"SELECT k, p FROM $cat.db.wpart WHERE p = 'a'")
+      s"SELECT k, p FROM $cat.db.wpart WHERE p = 'c'")
     spark.sql(s"SELECT sum(k) AS s FROM $cat.db.wctas")
-      .as[Long].head() shouldBe 4L
+      .as[Long].head() shouldBe 7L
     // DROP TABLE removes the directory
     spark.sql(s"DROP TABLE $cat.db.wctas")
     spark.sql(s"SHOW TABLES IN $cat.db").select("tableName")
@@ -301,6 +338,39 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     e.getMessage should include("commit-through-the-log")
   }
 
+  test("SQL DELETE lowers to the formats' own row-level ops; unsupported shapes refuse at analysis") {
+    import spark.implicits._
+    // Delta: DELETE = stats-planned copy-on-write rewrite (one commit)
+    val td = s"$warehouse/db/sdel"
+    DeltaLite.write(spark, (1L to 20L).map(k => (k, k)).toDF("k", "v"), td,
+      collectStats = true)
+    spark.sql(s"DELETE FROM $cat.db.sdel WHERE k BETWEEN 3 AND 7")
+    spark.sql(s"SELECT count(*) FROM $cat.db.sdel").as[Long].head() shouldBe 15L
+    DeltaLite.read(spark, td).count() shouldBe 15L
+    spark.sql(s"DELETE FROM $cat.db.sdel WHERE k = 10")
+    spark.sql(s"DELETE FROM $cat.db.sdel WHERE k >= 18")
+    spark.sql(s"SELECT k FROM $cat.db.sdel ORDER BY k").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 2L, 8L, 9L, 11L, 12L, 13L, 14L, 15L, 16L, 17L)
+    // time travel still reads the pre-delete versions
+    spark.sql(s"SELECT count(*) FROM $cat.db.sdel VERSION AS OF 0")
+      .as[Long].head() shouldBe 20L
+    // Iceberg: DELETE = merge-on-read position deletes; SQL reads keep
+    // working UNCOMPACTED through the MOR bridge
+    val ti = s"$warehouse/db/sdeli"
+    IcebergLite.write(spark, (1L to 20L).map(k => (k, k)).toDF("k", "v"), ti)
+    spark.sql(s"DELETE FROM $cat.db.sdeli WHERE k > 2 AND k <= 6")
+    spark.sql(s"SELECT count(*) FROM $cat.db.sdeli").as[Long].head() shouldBe 16L
+    IcebergLite.snapshotDeleteFiles(spark, ti, -1L) should not be empty
+    // shapes the metadata fast path cannot claim FALL BACK to the
+    // group-based row-level rewrite (X284) — arbitrary predicates work
+    spark.sql(s"DELETE FROM $cat.db.sdel WHERE v = 11 OR k = 2")
+    spark.sql(s"SELECT k FROM $cat.db.sdel ORDER BY k").as[Long].collect()
+      .toSeq shouldBe Seq(1L, 8L, 9L, 12L, 13L, 14L, 15L, 16L, 17L)
+    // bare DELETE empties the table through the same rewrite
+    spark.sql(s"DELETE FROM $cat.db.sdel")
+    spark.sql(s"SELECT count(*) FROM $cat.db.sdel").as[Long].head() shouldBe 0L
+  }
+
   test("storage-partitioned join: co-bucketed catalog tables join with NO exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -347,6 +417,67 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
+  }
+
+  test("SQL UPDATE / MERGE INTO: group-based copy-on-write, O(touched) files, fallback DELETE") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/db/uptbl"
+    // three key-disjoint files with stats
+    DeltaLite.write(spark, (1L to 10L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t, collectStats = true)
+    DeltaLite.write(spark, (11L to 20L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t, collectStats = true)
+    DeltaLite.write(spark, (21L to 30L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t, collectStats = true)
+    val before = DeltaLite.snapshotAt(spark, t).files.toSet
+    // UPDATE touching only the middle file
+    spark.sql(s"UPDATE $cat.db.uptbl SET v = v * 10 WHERE k BETWEEN 12 AND 14")
+    val after = DeltaLite.snapshotAt(spark, t).files.toSet
+    // runtime group filtering: the two untouched files are CARRIED
+    before.intersect(after).size shouldBe 2
+    (before -- after).size shouldBe 1
+    spark.sql(s"SELECT sum(v) FROM $cat.db.uptbl WHERE k BETWEEN 12 AND 14")
+      .as[Long].head() shouldBe (120L + 130L + 140L)
+    spark.sql(s"SELECT count(*) FROM $cat.db.uptbl").as[Long].head() shouldBe 30L
+    // fallback DELETE: a predicate canDeleteWhere cannot claim (OR over
+    // two columns) routes through the row-level rewrite
+    spark.sql(s"DELETE FROM $cat.db.uptbl WHERE k = 1 OR v = 130")
+    spark.sql(s"SELECT count(*) FROM $cat.db.uptbl").as[Long].head() shouldBe 28L
+    // MERGE INTO: update + delete + insert through one SQL statement
+    Seq((2L, 222L, "U"), (5L, 0L, "D"), (99L, 99L, "I"))
+      .toDF("k", "v", "op").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.uptbl t USING mrg_src s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val got = spark.sql(s"SELECT k, v FROM $cat.db.uptbl " +
+      "WHERE k IN (2, 5, 99) ORDER BY k").as[(Long, Long)].collect()
+    got shouldBe Seq((2L, 222L), (99L, 99L))
+    spark.sql(s"SELECT count(*) FROM $cat.db.uptbl").as[Long].head() shouldBe 28L
+    // the API reader agrees — SQL DML landed as ordinary log versions
+    DeltaLite.read(spark, t).count() shouldBe 28L
+  }
+
+  test("CREATE OR REPLACE / IF NOT EXISTS route through the catalog's create+drop") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"CREATE TABLE $cat.db.corp (k BIGINT) USING delta")
+    spark.sql(s"INSERT INTO $cat.db.corp VALUES (1)")
+    // replace = drop + fresh create (the non-staging catalog contract):
+    // new schema, empty table, log restarts
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.corp (k BIGINT, v BIGINT) " +
+      "USING delta")
+    spark.sql(s"SELECT count(*) FROM $cat.db.corp").as[Long].head() shouldBe 0L
+    DeltaLite.latestVersion(spark, s"$wh/db/corp") shouldBe 0L
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.db.corp2 USING iceberg AS " +
+      "SELECT CAST(5 AS BIGINT) AS k")
+    spark.sql(s"SELECT k FROM $cat.db.corp2").as[Long].head() shouldBe 5L
+    // IF NOT EXISTS no-ops on the existing table
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.corp2 (x BIGINT) " +
+      "USING delta")
+    spark.sql(s"SELECT k FROM $cat.db.corp2").as[Long].head() shouldBe 5L
   }
 
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {
