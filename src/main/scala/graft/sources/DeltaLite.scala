@@ -1703,6 +1703,40 @@ object DeltaLite {
     v
   }
 
+  /** METADATA-ONLY widening — SQL `ALTER TABLE ADD COLUMNS`'s landing
+    * (X287): one metaData commit re-declares the schema with the new
+    * NULLABLE column at the END; no file moves, and pre-widening files
+    * surface the column as NULL (parquet by-name binding — the same
+    * mechanism widened appends already rely on). Column-mapped tables
+    * assign the fresh field an id above maxColumnId + its physical name
+    * (the writeColumnMapped widening rule), so mapped reads keep
+    * binding by id; the table's other configuration (constraints, CDF,
+    * ICT flags) is RE-DECLARED, never reset. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val fs = hadoopFs(spark, table)
+    val v = latestVersion(spark, table) + 1
+    require(v > 0, s"$table has no Delta log")
+    val snapA = snapshot(spark, table, v - 1)
+    val (id, _) = snapA.meta.getOrElse(
+      throw new IllegalArgumentException(s"no metaData in $table log"))
+    val schema = tableSchema(spark, table)
+    require(!schema.fieldNames.contains(name),
+      s"column $name already exists in $table")
+    val nf = org.apache.spark.sql.types.StructField(name, dataType)
+    val (widened, conf) =
+      if (isColumnMapped(schema)) {
+        val maxId = schema.fields.map(_.metadata.getLong(ColumnIdKey)).max
+        val w = StructType(schema.fields.toSeq ++ cmAssign(Seq(nf), maxId + 1))
+        (w, snapA.config ++ cmConfiguration(w, cmMode(snapA.config)))
+      } else (StructType(schema.fields :+ nf), snapA.config)
+    if (!tryCommit(fs, table, v, Seq(commitInfoLine("ADD COLUMNS"),
+        metaDataLine(widened, id, snapA.partCols, conf))))
+      throw new IllegalStateException(
+        s"add column lost the commit race on $table")
+    v
+  }
+
   /** Add a CHECK constraint (PROTOCOL.md §CHECK Constraints) as a
     * METADATA-ONLY commit: the predicate lands in metaData.configuration
     * under `delta.constraints.<name>`, and the commit carries the
@@ -1994,16 +2028,22 @@ object DeltaLite {
             // schema EVOLUTION: a widened batch re-declares the table
             // schema in this commit's metaData (same table id, PRESERVED
             // configuration — constraints survive an evolution commit).
-            // Compared STRUCTURALLY (names/types/nullability): an incoming
-            // frame never carries field metadata, so a json-text compare
+            // Compared STRUCTURALLY (names/types): an incoming frame
+            // never carries field metadata, so a json-text compare
             // would emit an evolution commit that silently ERASES
             // generation expressions; structural equality keeps the table
             // schema authoritative, and a real evolution re-grafts the
-            // unchanged fields' metadata
+            // unchanged fields' metadata. NULLABILITY is the table's,
+            // never the batch's — a non-null batch (VALUES literals,
+            // post-filter frames) must not NARROW a nullable column,
+            // which would break reads of older files missing it — and
+            // evolution-added columns are always nullable (pre-widening
+            // files surface them as NULL).
             case Some((id, sj)) =>
               val tbl = org.apache.spark.sql.types.DataType.fromJson(sj)
                 .asInstanceOf[StructType]
               def strip(s: StructType) = StructType(s.fields.map(_.copy(
+                nullable = true,
                 metadata = org.apache.spark.sql.types.Metadata.empty)))
               if (strip(tbl) == strip(df.schema)) Seq.empty
               else {
@@ -2011,8 +2051,9 @@ object DeltaLite {
                   tbl.fields.find(_.name == f.name) match {
                     case Some(of)
                       if f.metadata == org.apache.spark.sql.types.Metadata.empty =>
-                        f.copy(metadata = of.metadata)
-                    case _ => f
+                        f.copy(nullable = of.nullable, metadata = of.metadata)
+                    case Some(of) => f.copy(nullable = of.nullable)
+                    case None => f.copy(nullable = true)
                   }
                 })
                 Seq(metaDataLine(merged, id,
@@ -2939,37 +2980,9 @@ object DeltaLite {
   private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
       removeRel: Seq[String], addRel: Seq[String],
       operation: String): Long = {
-    import org.apache.spark.sql.functions.{col => c_, count => cnt_, input_file_name, lit => l_, max => mx_, min => mn_}
     val fs = hadoopFs(spark, table)
     val v = latestVersion(spark, table) + 1
-    val schema = tableSchema(spark, table)
-    val longCols = schema.fields.filter(_.dataType == LongType)
-      .map(_.name).toSeq
-    val statsByFile: Map[String, String] =
-      if (addRel.isEmpty) Map.empty
-      else {
-        val aggs = cnt_(l_(1)).as("numRecords") +: longCols.flatMap(c =>
-          Seq(mn_(c_(c)).as(s"min_$c"), mx_(c_(c)).as(s"max_$c")))
-        spark.read.schema(schema)
-          .parquet(addRel.map(f => dataPath(table, f)): _*)
-          .groupBy(input_file_name().as("f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val o = mapper.createObjectNode()
-            o.put("numRecords", r.getAs[Long]("numRecords"))
-            val mins = o.putObject("minValues")
-            val maxs = o.putObject("maxValues")
-            longCols.foreach { c =>
-              val mi = r.getAs[java.lang.Long](s"min_$c")
-              val ma = r.getAs[java.lang.Long](s"max_$c")
-              if (mi != null && ma != null) {
-                mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
-              }
-            }
-            (new Path(r.getAs[String]("f")).getName,
-              mapper.writeValueAsString(o))
-          }.toMap
-      }
+    val statsByFile = longStatsFor(spark, table, addRel)
     val adds = addRel.map { f =>
       val st = fs.getFileStatus(new Path(table, f))
       addLine(f, st.getLen, st.getModificationTime,
@@ -2980,6 +2993,70 @@ object DeltaLite {
       throw new IllegalStateException(
         s"$operation lost the commit race on $table")
     v
+  }
+
+  /** Exactly-once STREAMING epoch commit for the SQL
+    * `writeStream.toTable` path (X286): the staged files the epoch's
+    * SUCCEEDED writers reported commit as ONE append version carrying
+    * the SetTransaction ledger row ([[TxnAppId]], epochId) — a
+    * redelivered epoch finds its id ≤ the ledger mark and no-ops
+    * ([[commitIdempotent]]'s contract with the data plane moved into
+    * real DSv2 streaming writers). Stats recomputed so skipping keeps
+    * working on streamed files. */
+  private[graft] def commitStreamFiles(spark: SparkSession, table: String,
+      addRel: Seq[String], epochId: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val latest = latestVersion(spark, table)
+    require(latest >= 0,
+      s"$table has no Delta log — CREATE TABLE through the catalog first")
+    if (snapshot(spark, table, latest).txns.get(TxnAppId)
+        .exists(_ >= epochId)) return latest
+    val statsByFile = longStatsFor(spark, table, addRel)
+    val adds = addRel.map { f =>
+      val st = fs.getFileStatus(new Path(table, f))
+      addLine(f, st.getLen, st.getModificationTime,
+        statsByFile.get(new Path(f).getName))
+    }
+    val v = latest + 1
+    if (!tryCommit(fs, table, v,
+        Seq(commitInfoLine("STREAMING UPDATE"),
+          txnLine(TxnAppId, epochId)) ++ adds))
+      throw new IllegalStateException(
+        s"streaming epoch $epochId lost the commit race on $table")
+    v
+  }
+
+  /** numRecords + long-column min/max stats for staged files, computed
+    * in ONE distributed pass — the stats layer every commit path feeds
+    * so skipping keeps working on rewritten/streamed files. */
+  private def longStatsFor(spark: SparkSession, table: String,
+      addRel: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions.{col => c_, count => cnt_, input_file_name, lit => l_, max => mx_, min => mn_}
+    if (addRel.isEmpty) return Map.empty
+    val schema = tableSchema(spark, table)
+    val longCols = schema.fields.filter(_.dataType == LongType)
+      .map(_.name).toSeq
+    val aggs = cnt_(l_(1)).as("numRecords") +: longCols.flatMap(c =>
+      Seq(mn_(c_(c)).as(s"min_$c"), mx_(c_(c)).as(s"max_$c")))
+    spark.read.schema(schema)
+      .parquet(addRel.map(f => dataPath(table, f)): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val o = mapper.createObjectNode()
+        o.put("numRecords", r.getAs[Long]("numRecords"))
+        val mins = o.putObject("minValues")
+        val maxs = o.putObject("maxValues")
+        longCols.foreach { c =>
+          val mi = r.getAs[java.lang.Long](s"min_$c")
+          val ma = r.getAs[java.lang.Long](s"max_$c")
+          if (mi != null && ma != null) {
+            mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+          }
+        }
+        (new Path(r.getAs[String]("f")).getName,
+          mapper.writeValueAsString(o))
+      }.toMap
   }
 
   /** File-granular MERGE (the r12 verdict's one flagged scale-killer,

@@ -2036,6 +2036,195 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
+    * same group-based row-level rewrite as X284, committing through the
+    * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
+    * manifests carried by reference, one `overwrite` snapshot. The key
+    * pins the carried-file discipline AND that the pre-update snapshot
+    * still time-travels (the replaced files stay readable under the
+    * prior manifest list). */
+  private def icebergSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftiu.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_iupd")
+        spark.conf.set("spark.sql.catalog.graftiu",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftiu.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftiu.db.orders_iu")
+    val table = s"$wh/db/orders_iu"
+    // key-clustered files: the 100..300 window lives in ONE file, so the
+    // carried-file flag is meaningful at every scale factor
+    IcebergLite.write(spark, o.repartitionByRange(4, col("o_orderkey")),
+      table)
+    val snapBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    spark.sql("""UPDATE graftiu.db.orders_iu
+      |SET o_totalprice = o_totalprice * 2
+      |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+    val snapAfter = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftiu.db.orders_iu GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rewrote_subset",
+        lit(snapBefore.intersect(snapAfter).nonEmpty &&
+          (snapBefore -- snapAfter).nonEmpty))
+      .orderBy("prio")
+  }
+
+  /** X285: SQL `MERGE INTO` an Iceberg table — update + delete + insert
+    * in one statement through the group-based rewrite, landing as one
+    * manifest-arbiter overwrite snapshot; the oracle reproduces the
+    * merged state relationally. */
+  private def icebergSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftig.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_imrg")
+        spark.conf.set("spark.sql.catalog.graftig",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftig.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftig.db.orders_ig")
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 4 =!= 3)
+      .repartition(4), s"$wh/db/orders_ig")
+    // upserts on evens (+500), deletes on k%8==1, inserts where unmatched
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"),
+        col("o_orderpriority"), lit("U").as("op"))
+      .unionAll(o.where(col("o_orderkey") % 8 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"), lit("D").as("op")))
+      .createOrReplaceTempView("icemrg_src")
+    spark.sql(
+      """MERGE INTO graftig.db.orders_ig t USING icemrg_src s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+        |WHEN NOT MATCHED AND s.op = 'U' THEN
+        |  INSERT (o_orderkey, o_totalprice, o_orderpriority)
+        |  VALUES (s.o_orderkey, s.o_totalprice, s.o_orderpriority)""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftig.db.orders_ig GROUP BY o_orderpriority""".stripMargin)
+      .orderBy("prio")
+  }
+
+  /** X286: REAL `writeStream.toTable` through the catalog — the
+    * streaming ingest shape (the reference's scheduled batch ingest,
+    * re-expressed as Structured Streaming): a file-source stream over
+    * the orders parquet drains under `Trigger.AvailableNow` into a
+    * catalog-created table via the DSv2 `StreamingWrite` (executors
+    * stage epoch parquet, the driver commits each epoch through the
+    * format's idempotent arbiter). The key pins exactly-once by
+    * REPLAYING an epoch against the ledger (version unchanged) beside
+    * the oracle-reproduced table state. */
+  private def streamToTable(spark: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val catName = s"graftsw$fmt".take(12)
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir(s"cat_wh_sw_$fmt")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_st")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_st (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING $fmt""".stripMargin)
+    val table = s"$wh/db/orders_st"
+    // the testdata table is a single parquet FILE; the file stream
+    // source wants a directory to watch — stage a copy (control plane,
+    // one file)
+    val srcDir = Sinks.tempDir(s"st2t_src_$fmt")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new org.apache.hadoop.fs.Path(s"$dir/orders.parquet"), hfs,
+      new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet"),
+      false, hconf)
+    val q = spark.readStream.schema(Tables.orders(spark, dir).schema)
+      .parquet(srcDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeStream
+      .option("checkpointLocation", Sinks.tempDir(s"st2t_ckpt_$fmt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$catName.db.orders_st")
+    q.awaitTermination()
+    // epoch replay no-ops on the ledger — the exactly-once pin
+    val dedup =
+      if (fmt == "delta") {
+        val v = DeltaLite.latestVersion(spark, table)
+        DeltaLite.commitStreamFiles(spark, table, Nil, epochId = 0L)
+        DeltaLite.latestVersion(spark, table) == v
+      } else {
+        val v = IcebergLite.latestMetadataVersion(spark, table)
+        IcebergLite.commitStreamFiles(spark, table, Nil, epochId = 0L)
+        IcebergLite.latestMetadataVersion(spark, table) == v
+      }
+    spark.sql(
+      s"""SELECT o_orderpriority AS prio, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $catName.db.orders_st GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("exactly_once", lit(dedup))
+      .orderBy("prio")
+  }
+
+  /** X287: SQL `ALTER TABLE ADD COLUMNS` through the catalog — a
+    * METADATA-ONLY widening (Delta: one re-declared metaData commit;
+    * Iceberg: a new schema-id, no snapshot): the key creates a narrow
+    * table, inserts half the rows, widens, inserts the other half WITH
+    * the new column, and pins (a) not a byte moved by the ALTER,
+    * (b) pre-evolution rows surfacing the column as NULL — against the
+    * relational oracle. */
+  private def sqlAlter(spark: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val catName = s"graftal$fmt".take(12)
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir(s"cat_wh_al_$fmt")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_alt")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_alt (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE) USING $fmt""".stripMargin)
+    val table = s"$wh/db/orders_alt"
+    Tables.orders(spark, dir).createOrReplaceTempView("alter_src")
+    spark.sql(s"""INSERT INTO $catName.db.orders_alt
+      |SELECT o_orderkey, o_totalprice FROM alter_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    def files(): Set[String] =
+      if (fmt == "delta") DeltaLite.snapshotAt(spark, table).files.toSet
+      else IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val before = files()
+    spark.sql(
+      s"ALTER TABLE $catName.db.orders_alt ADD COLUMNS (o_orderpriority STRING)")
+    val metadataOnly = files() == before
+    spark.sql(s"""INSERT INTO $catName.db.orders_alt
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM alter_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    spark.sql(
+      s"""SELECT COALESCE(o_orderpriority, 'PRE-EVOLUTION') AS prio,
+         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+         |FROM $catName.db.orders_alt GROUP BY 1""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+      .orderBy("prio")
+  }
+
   /** X282, Iceberg side: SQL DELETE lands as a merge-on-read position-
     * delete commit — no data file rewritten — and the post-delete SQL
     * read serves UNCOMPACTED through the MOR bridge (X276): two
@@ -2507,6 +2696,13 @@ object FormatQueries {
     "x_iceberg_timestamp_as_of" -> ((s, dir) => icebergTimestampAsOf(s, dir)),
     "x_delta_sql_update" -> ((s, dir) => deltaSqlUpdate(s, dir)),
     "x_delta_sql_merge" -> ((s, dir) => deltaSqlMerge(s, dir)),
+    "x_iceberg_sql_update" -> ((s, dir) => icebergSqlUpdate(s, dir)),
+    "x_iceberg_sql_merge" -> ((s, dir) => icebergSqlMerge(s, dir)),
+    "x_delta_stream_to_table" -> ((s, dir) => streamToTable(s, dir, "delta")),
+    "x_iceberg_stream_to_table" ->
+      ((s, dir) => streamToTable(s, dir, "iceberg")),
+    "x_delta_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "delta")),
+    "x_iceberg_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "iceberg")),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -2820,6 +3016,57 @@ object FormatQueries {
         |     OR COALESCE(u.o_orderkey, base.o_orderkey) % 4 = 3)
         |SELECT prio, count(*) AS n, round(sum(p), 2) AS total
         |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
+    // doubled, manifest-carried subset pinned
+    "x_iceberg_sql_update" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 100 AND 300
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS rewrote_subset
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg SQL MERGE INTO: base (k%4<>3) with evens upserted (+500),
+    // k%8==1 deleted, unmatched evens inserted — one overwrite snapshot
+    "x_iceberg_sql_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 <> 3),
+        |u AS (SELECT o_orderkey, o_totalprice + 500.0 AS p,
+        |    o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+        |fin AS (
+        |  SELECT COALESCE(u.o_orderkey, base.o_orderkey) AS k,
+        |    COALESCE(u.p, base.o_totalprice) AS p,
+        |    COALESCE(u.o_orderpriority, base.o_orderpriority) AS prio
+        |  FROM base FULL JOIN u ON base.o_orderkey = u.o_orderkey
+        |  WHERE COALESCE(u.o_orderkey, base.o_orderkey) % 8 <> 1
+        |     OR COALESCE(u.o_orderkey, base.o_orderkey) % 4 = 3)
+        |SELECT prio, count(*) AS n, round(sum(p), 2) AS total
+        |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
+    // writeStream.toTable: the drained stream IS the orders table, plus
+    // the replayed-epoch exactly-once pin
+    "x_delta_stream_to_table" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS exactly_once
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_stream_to_table" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS exactly_once
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // ALTER TABLE ADD COLUMNS: evens inserted pre-evolution (surface the
+    // column as NULL → 'PRE-EVOLUTION'), odds post-evolution carry it;
+    // the ALTER itself moved no files
+    "x_delta_sql_alter" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |    ELSE 'PRE-EVOLUTION' END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS metadata_only
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_sql_alter" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |    ELSE 'PRE-EVOLUTION' END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS metadata_only
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg TIMESTAMP AS OF through the stamped snapshot ledger:
     // ts1 window sees the first third, at-ts2 sees two thirds
     "x_iceberg_timestamp_as_of" ->

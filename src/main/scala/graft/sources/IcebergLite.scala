@@ -1009,6 +1009,53 @@ object IcebergLite {
     v + 1
   }
 
+  /** METADATA-ONLY schema evolution — SQL `ALTER TABLE ADD COLUMNS`'s
+    * landing (X287; spec §Schema Evolution, AddColumn): the widened
+    * schema appends to the immutable id-addressed schemas list and
+    * `current-schema-id` flips — NO new snapshot, NO byte rewritten;
+    * head reads scan under the current schema so pre-evolution files
+    * surface the column as NULL, while time travel below the evolution
+    * keeps each snapshot's own schema. The column lands at the END, so
+    * this writer's positional field ids stay stable for every existing
+    * column (the id-stability rule all stats/bounds resolution depends
+    * on). */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Int = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val schema = currentSchema(meta)
+    require(!schema.fieldNames.contains(name),
+      s"column $name already exists in $table")
+    val widened = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType))
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    var maxSid = 0
+    copy.get("schemas").forEach(s =>
+      maxSid = math.max(maxSid, s.get("schema-id").asInt()))
+    val sid = maxSid + 1
+    val sn = copy.withArray("schemas").addObject()
+    sn.put("type", "struct")
+    sn.put("schema-id", sid)
+    val arr = sn.putArray("fields")
+    widened.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = arr.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", false)
+      fn.put("type", icebergType(f.dataType))
+    }
+    copy.put("current-schema-id", sid)
+    copy.put("last-column-id", widened.fields.length)
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"addColumn lost the commit race for metadata v${v + 1} on $table")
+    v + 1
+  }
+
   /** PARTITION SPEC EVOLUTION (spec §Partition Evolution) — the hidden-
     * partitioning payoff: change how FUTURE data is laid out without
     * rewriting a byte of the past. A METADATA-ONLY commit appends the new
@@ -2122,6 +2169,20 @@ object IcebergLite {
       if (s.get("snapshot-id").asLong() == snapshotId && s.has("schema-id"))
         sid = s.get("schema-id").asInt()
     }
+    schemaById(meta, sid)
+  }
+
+  /** The table's CURRENT schema — what head reads scan under (Iceberg's
+    * rule: scans use the table schema; time travel uses the snapshot's
+    * own). Distinct from [[schemaForSnapshot]] since a metadata-only
+    * evolution ([[addColumn]]) can move `current-schema-id` past the
+    * head snapshot's recorded schema-id. */
+  private def currentSchema(
+      meta: com.fasterxml.jackson.databind.JsonNode): StructType =
+    schemaById(meta, meta.get("current-schema-id").asInt())
+
+  private def schemaById(meta: com.fasterxml.jackson.databind.JsonNode,
+      sid: Int): StructType = {
     val fields = mutable.ArrayBuffer.empty[org.apache.spark.sql.types.StructField]
     meta.get("schemas").forEach { sch =>
       if (sch.get("schema-id").asInt() == sid) {
@@ -2144,10 +2205,8 @@ object IcebergLite {
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    val wanted =
-      if (snapshotId < 0) meta.get("current-snapshot-id").asLong()
-      else snapshotId
-    schemaForSnapshot(meta, wanted)
+    if (snapshotId < 0) currentSchema(meta)
+    else schemaForSnapshot(meta, snapshotId)
   }
 
   /** Read the table at `snapshotId` (default: current) — one multi-path
@@ -2213,7 +2272,12 @@ object IcebergLite {
     val deleteEntries = snapshotDeleteEntries(spark, table, wanted)
     val posDeletes = deleteEntries.filter(_._3 == 1)
     val eqDeletes = deleteEntries.filter(_._3 == 2)
-    val base = spark.read.schema(schemaForSnapshot(meta, wanted))
+    // head reads scan under the table's CURRENT schema (a metadata-only
+    // evolution surfaces immediately); time travel under the snapshot's
+    val readSchema =
+      if (snapshotId < 0) currentSchema(meta)
+      else schemaForSnapshot(meta, wanted)
+    val base = spark.read.schema(readSchema)
       .parquet(dataFiles.map(_._1): _*)
     if (deleteEntries.isEmpty && !keepMeta) base
     else {
@@ -2886,6 +2950,198 @@ object IcebergLite {
         None
       } else Some((snapshotId, rowsUpdated, rowsInserted))
     } finally src.unpersist()
+  }
+
+  /** The pieces the SQL row-level operation pins at creation — the
+    * Iceberg side of [[DeltaLite.rowLevelSnapshot]]: the current
+    * snapshot's live data files (absolute paths, the manifests' own
+    * coordinates) plus the schema in force. Refuses on
+    * hidden-partitioned tables and on merge-on-read delete state
+    * ([[rewriteDataFiles]] first) — the copy-on-write envelope
+    * [[graft.sources.v2.GraftRowLevelOp]] states. */
+  private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
+      : (Seq[String], StructType) = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    require(partitionSpec(meta).isEmpty,
+      "SQL row-level operations on hidden-partitioned tables are " +
+        "outside the subset — deleteWhere / spec-grain ops instead")
+    require(snapshotDeleteFiles(spark, table, -1L).isEmpty,
+      s"$table carries merge-on-read delete files — " +
+        "IcebergLite.rewriteDataFiles first")
+    val cur = meta.get("current-snapshot-id").asLong()
+    (snapshotFiles(spark, table, -1L), schemaForSnapshot(meta, cur))
+  }
+
+  /** Commit the COPY-ON-WRITE replacement the SQL row-level write path
+    * staged ([[graft.sources.v2.GraftReplaceBatchWrite]]): remove the
+    * absolute `removePaths`, add the table-relative staged `addRel`
+    * files, ONE `overwrite` snapshot. Manifest discipline is
+    * [[mergeInto]]'s RewriteFiles shape — untouched manifests carried
+    * by REFERENCE, partially-touched manifests re-written with their
+    * surviving entries under the ORIGINAL sequence number, fully
+    * touched manifests dropped — so the commit's metadata cost is
+    * O(touched manifests), never O(table). */
+  private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
+      removePaths: Seq[String], addRel: Seq[String],
+      operation: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    require(partitionSpec(prevMeta).isEmpty,
+      "commitReplaceFiles targets unpartitioned tables")
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(prevMeta, cur)
+    val formatVersion = prevMeta.path("format-version").asInt(1)
+    val snapshotId = prevV + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val removed = removePaths.map(fileKeyRaw).toSet
+    // the staged data manifest lists EXACTLY the files the succeeded
+    // writers reported — never a directory listing, so stray files from
+    // failed attempts stay invisible to readers
+    val dataManifest =
+      if (addRel.isEmpty) None
+      else Some(stageDataManifestFiles(spark, fs, table, addRel,
+        snapshotId, token))
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val written = mutable.ArrayBuffer.empty[String]
+    var mIdx = 0
+    val carried = listEntries(fs, new Path(curList)).flatMap { me =>
+      if (me.content != 0) Some(me) // delete manifests: rows for removed
+        // files are inert (the file is gone); rows for kept files were
+        // required empty by rowLevelSnapshot
+      else {
+        val records = readAvroFile(fs, new Path(me.path))
+        val (dropped, kept) = records.partition { r =>
+          r.get("status").asInstanceOf[Int] != 2 &&
+            removed.contains(fileKeyRaw(
+              r.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString))
+        }
+        if (dropped.isEmpty) Some(me)
+        else if (kept.isEmpty) None
+        else {
+          mIdx += 1
+          val name = s"$snapshotId-$token-surv$mIdx.avro"
+          val len = writeAvroFile(
+            new File(new File(table, "metadata"), name),
+            kept.head.getSchema, kept)
+          written += name
+          Some(MEntry(s"$table/metadata/$name", len, me.addedSid,
+            content = 0, seq = me.seq, specId = me.specId))
+        }
+      }
+    }
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      carried ++ dataManifest.map { case (n, len) =>
+        MEntry(s"$table/metadata/$n", len, snapshotId, content = 0,
+          seq = snapshotId) },
+      v2 = formatVersion == 2)
+    if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
+        snapshotId, schema, None, listName, operation, Map.empty)) {
+      written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
+      dataManifest.foreach { case (n, _) =>
+        fs.delete(new Path(metaDir(table), n), false) }
+      fs.delete(new Path(metaDir(table), listName), false)
+      throw new IllegalStateException(
+        s"$operation lost the commit race on $table")
+    }
+    snapshotId
+  }
+
+  /** Exactly-once STREAMING epoch commit for the SQL
+    * `writeStream.toTable` path (X286) — [[commitIdempotent]]'s
+    * snapshot-summary ledger with the data plane moved into real DSv2
+    * streaming writers: the staged files the epoch's SUCCEEDED writers
+    * reported commit as ONE `append` snapshot whose summary carries the
+    * epoch marker; a redelivered epoch finds its marker (or the
+    * folded high-water property) and no-ops. Current manifests carry by
+    * reference — the commit's metadata cost is O(1) manifests. */
+  private[graft] def commitStreamFiles(spark: SparkSession, table: String,
+      addRel: Seq[String], epochId: Long): Long = {
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0,
+      s"$table has no Iceberg metadata — CREATE TABLE through the " +
+        "catalog first")
+    val prevMeta = readMetadata(fs, table, prevV)
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    // dedup ledger half 1: the high-water mark expireSnapshots folds
+    // into table properties; half 2: retained snapshots' own markers
+    val hwm = prevMeta.path("properties").path("graft-max-batch-id")
+      .asLong(-1L)
+    if (epochId <= hwm) return cur
+    var found = -1L
+    prevMeta.get("snapshots").forEach { s =>
+      if (s.get("summary").path("graft-batch-id").asText("")
+          == epochId.toString)
+        found = s.get("snapshot-id").asLong()
+    }
+    if (found >= 0) return found
+    if (addRel.isEmpty) return cur // empty epoch: nothing to dedup
+    require(partitionSpec(prevMeta).isEmpty,
+      "streaming toTable targets unpartitioned Iceberg tables — " +
+        "foreachBatch + commitIdempotent(partitionField) for the rest")
+    val schema = schemaForSnapshot(prevMeta, cur)
+    val formatVersion = prevMeta.path("format-version").asInt(1)
+    val snapshotId = prevV + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val (mName, mLen) = stageDataManifestFiles(spark, fs, table, addRel,
+      snapshotId, token)
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val carried = listEntries(fs, new Path(curList))
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      carried :+ MEntry(s"$table/metadata/$mName", mLen, snapshotId,
+        content = 0, seq = snapshotId),
+      v2 = formatVersion == 2)
+    if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
+        snapshotId, schema, None, listName, "append",
+        Map("graft-batch-id" -> epochId.toString))) {
+      fs.delete(new Path(metaDir(table), mName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      throw new IllegalStateException(
+        s"streaming epoch $epochId lost the commit race on $table")
+    }
+    snapshotId
+  }
+
+  /** [[stageDataManifest]] over an EXPLICIT file list (table-relative)
+    * instead of a staged directory — the SQL row-level write's commit
+    * must trust only the writers' own reports. */
+  private def stageDataManifestFiles(spark: SparkSession, fs: FileSystem,
+      table: String, relFiles: Seq[String], snapshotId: Long,
+      token: String): (String, Long) = {
+    import org.apache.spark.sql.functions.{count => cnt, input_file_name, lit => lt}
+    val counts = spark.read.parquet(relFiles.map(f => s"$table/$f"): _*)
+      .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
+      .collect()
+      .map(r => (new Path(r.getAs[String]("f")).getName, r.getAs[Long]("n")))
+      .toMap
+    val entries = relFiles.sorted.map { f =>
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      d.put("file_path", s"$table/$f")
+      d.put("file_format", "PARQUET")
+      d.put("partition", new GenericData.Record(manifestEntrySchema
+        .getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", counts.getOrElse(new Path(f).getName, 0L))
+      d.put("file_size_in_bytes", fs.getFileStatus(new Path(table, f)).getLen)
+      d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      e.put("data_file", d)
+      e
+    }
+    val name = s"$snapshotId-$token-m0.avro"
+    val len = writeAvroFile(new File(new File(table, "metadata"), name),
+      manifestEntrySchema, entries)
+    (name, len)
   }
 
   /** rewriteDataFiles — Iceberg's compaction op ([[DeltaLite.optimize]]'s

@@ -265,6 +265,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = IcebergLite.schemaAt(s, path, version)
     val pfOpt = IcebergLite.currentPartitionSpec(s, path)
     val morState = IcebergLite.snapshotDeleteFiles(s, path, version).nonEmpty
+    lazy val snapFiles = IcebergLite.snapshotFiles(s, path, version)
     val readDelegate: ReadPlan =
       if (morState)
         // merge-on-read state: serve the format reader's sequence-gated
@@ -279,16 +280,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // invariant doesn't hold (mixed partition specs).
         scala.util.Try(IcebergLite.snapshotFilesByPartition(s, path))
           .fold(
-            _ => ParquetPlan(parquetTable(ident, schema,
-              IcebergLite.snapshotFiles(s, path, version))),
+            _ => ParquetPlan(parquetTable(ident, schema, snapFiles)),
             grouped => KeyGroupedPlan(() =>
               new KeyGroupedScanBuilder(s, schema, grouped, pfOpt.get)))
       else
-        ParquetPlan(parquetTable(ident, schema,
-          IcebergLite.snapshotFiles(s, path, version)))
-    new GraftTable(fullName(ident), path, "iceberg", schema,
-      Seq.empty, pfOpt, columnMapped = false,
-      readDelegate, writable = version < 0)
+        ParquetPlan(parquetTable(ident, schema, snapFiles))
+    if (version < 0 && !morState && pfOpt.isEmpty)
+      // the SQL row-level envelope holds: serve the table that also
+      // speaks UPDATE / MERGE INTO / fallback DELETE, committing
+      // through the manifest arbiter (X285)
+      new GraftIcebergTable(fullName(ident), path, schema, snapFiles,
+        readDelegate)
+    else
+      new GraftTable(fullName(ident), path, "iceberg", schema,
+        Seq.empty, pfOpt, columnMapped = false,
+        readDelegate, writable = version < 0)
   }
 
   // ---- functions (storage-partitioned-join resolution) -----------------
@@ -406,8 +412,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       s"$op: schema/name changes go through the DeltaLite/IcebergLite " +
         "APIs (commit-through-the-log)")
 
+  /** SQL `ALTER TABLE` (X287) — lowered to the formats' METADATA-ONLY
+    * evolution commits, never a rewrite:
+    *
+    *   - `ADD COLUMNS (c TYPE)` → [[DeltaLite.addColumn]] (one widened
+    *     metaData commit; mapped tables get fresh ids above
+    *     maxColumnId) / [[IcebergLite.addColumn]] (new schema-id, no
+    *     snapshot). Top-level, END-positioned, nullable columns — the
+    *     evolution the formats make free.
+    *   - `RENAME COLUMN` / `DROP COLUMN` → the Delta COLUMN MAPPING
+    *     ops ([[DeltaLite.renameColumn]]/[[DeltaLite.dropColumn]]) —
+    *     exactly the feature that makes them metadata-only; unmapped
+    *     tables refuse loudly there with the remedy named.
+    *
+    * Everything else (type changes, repositioning, property edits)
+    * keeps refusing — those either need a rewrite or live in the
+    * format APIs. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    val isDelta = fs.exists(new Path(path, "_delta_log"))
+    if (!isDelta && !fs.exists(new Path(path, "metadata")))
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: nested column adds are outside " +
+            "this subset")
+        require(add.position() == null,
+          s"ALTER TABLE $catName.$ident: FIRST/AFTER positioning is " +
+            "outside this subset — new columns land at the end")
+        if (isDelta)
+          DeltaLite.addColumn(spark, path, add.fieldNames.head, add.dataType())
+        else
+          IcebergLite.addColumn(spark, path, add.fieldNames.head,
+            add.dataType())
+      case rn: TableChange.RenameColumn =>
+        require(isDelta && rn.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: RENAME COLUMN lowers to Delta " +
+            "column mapping — other shapes are outside this subset")
+        DeltaLite.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(isDelta && del.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: DROP COLUMN lowers to Delta " +
+            "column mapping — other shapes are outside this subset")
+        DeltaLite.dropColumn(spark, path, del.fieldNames.head)
+      case other => readOnly(s"ALTER TABLE ($other)")
+    }
+    loadTable(ident)
+  }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.sources.DeltaLite
+import graft.sources.{DeltaLite, IcebergLite}
 
 /** X284: SQL `UPDATE` and `MERGE INTO` through the catalog — Spark's
   * GROUP-BASED row-level-operation contract (`SupportsRowLevelOperations`,
@@ -42,39 +42,48 @@ import graft.sources.DeltaLite
   *      files. Failed/speculative attempts abort their own file; the
   *      commit lists only files the SUCCEEDED writers reported.
   *
-  * Stated subset: Delta, unpartitioned, non-column-mapped, no live
-  * deletion vectors (optimize first) — the mergeInto envelope; the
-  * snapshot is pinned LAZILY at first execution, so claimable DELETEs
-  * still take the metadata fast path without touching it. */
+  * Stated subset (`format = "delta"`): unpartitioned,
+  * non-column-mapped, no live deletion vectors (optimize first) — the
+  * mergeInto envelope; the snapshot is pinned LAZILY at first
+  * execution, so claimable DELETEs still take the metadata fast path
+  * without touching it. With `format = "iceberg"` (X285) the SAME
+  * machinery commits through [[IcebergLite.commitReplaceFiles]]'s
+  * manifest arbiter instead — untouched manifests carried by
+  * reference, one `overwrite` snapshot. */
 private[v2] final class GraftRowLevelBuilder(
     tableName: String,
     path: String,
     tableSchema: StructType,
-    info: RowLevelOperationInfo)
+    info: RowLevelOperationInfo,
+    format: String = "delta")
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOp(tableName, path, tableSchema, info)
+    new GraftRowLevelOp(tableName, path, tableSchema, info, format)
 }
 
 private[v2] final class GraftRowLevelOp(
     tableName: String,
     path: String,
     tableSchema: StructType,
-    info: RowLevelOperationInfo)
+    info: RowLevelOperationInfo,
+    format: String)
   extends RowLevelOperation {
 
   private def spark = SparkSession.active
 
   // ONE snapshot pins both the scan and the commit — resolved lazily so
-  // plans that end up metadata-only never pay (or refuse) it
-  private lazy val snapshot: (Seq[String], Long => String) = {
-    val (files, dvs, _) = DeltaLite.rowLevelSnapshot(spark, path)
-    require(dvs.isEmpty,
-      s"$tableName: SQL ${info.command()} on a deletion-vector-carrying " +
-        "snapshot is outside this subset — DeltaLite.optimize first")
-    (files, null)
+  // plans that end up metadata-only never pay (or refuse) it. Delta
+  // files are log-relative; Iceberg files are the manifests' absolute
+  // paths (FileTaggedScan resolves both, the dataPath rule).
+  private lazy val snapFiles: Seq[String] = format match {
+    case "delta" =>
+      val (files, dvs, _) = DeltaLite.rowLevelSnapshot(spark, path)
+      require(dvs.isEmpty,
+        s"$tableName: SQL ${info.command()} on a deletion-vector-carrying " +
+          "snapshot is outside this subset — DeltaLite.optimize first")
+      files
+    case _ => IcebergLite.rowLevelSnapshot(spark, path)._1
   }
-  private def snapFiles: Seq[String] = snapshot._1
 
   // the affected file set (basenames) the runtime group filter found;
   // None = filtering never ran → every live file is affected
@@ -154,7 +163,7 @@ private[v2] final class GraftRowLevelOp(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
           spark, path, tableSchema, () => affectedFiles,
-          info.command().toString)
+          info.command().toString, format)
       }
     }
 }
@@ -306,13 +315,15 @@ private[v2] final class FileTaggingReaderFactory(
 /** The replacement write: executors stream rows into commit-private
   * staged parquet via Spark's own parquet writer factory; the driver
   * commit removes the affected files and adds exactly the files the
-  * succeeded writers reported. */
+  * succeeded writers reported — through the Delta log arbiter or the
+  * Iceberg manifest arbiter, per `format`. */
 private[v2] final class GraftReplaceBatchWrite(
     spark: SparkSession,
     path: String,
     schema: StructType,
     removeFiles: () => Seq[String],
-    operation: String)
+    operation: String,
+    format: String = "delta")
   extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -336,8 +347,16 @@ private[v2] final class GraftReplaceBatchWrite(
     val added = messages.collect {
       case GraftWrittenFile(name) if name != null => s"$stagedRel/$name"
     }.toSeq.sorted
-    DeltaLite.commitReplaceFiles(spark, path, removeFiles(), added,
-      operation)
+    format match {
+      case "delta" =>
+        DeltaLite.commitReplaceFiles(spark, path, removeFiles(), added,
+          operation)
+      case _ =>
+        // the spec's operation for replacing rows is `overwrite`,
+        // whatever SQL verb drove it
+        IcebergLite.commitReplaceFiles(spark, path, removeFiles(), added,
+          "overwrite")
+    }
     ()
   }
 

@@ -134,6 +134,11 @@ private[v2] class GraftTable(
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.OVERWRITE_BY_FILTER)
+      // real `writeStream.toTable` (X286) — the unpartitioned,
+      // non-column-mapped envelope; other layouts stream through
+      // foreachBatch + TransactionalSink
+      if (!columnMapped && deltaPartCols.isEmpty && icePartition.isEmpty)
+        caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }
@@ -186,6 +191,25 @@ private[v2] class GraftTable(
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
               commitInsert(data, overwriteAll || overwrite, overwriteValue)
           }
+
+        /** `writeStream.toTable` (X286): executors stage each epoch's
+          * parquet, the driver commits through the format's idempotent
+          * arbiter — exactly-once under Structured Streaming's
+          * at-least-once epoch redelivery. Append output mode only
+          * (streaming truncate-per-epoch has no versioned-table story
+          * worth telling; complete mode refuses with the remedy). */
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!overwriteAll && overwriteValue.isEmpty,
+            s"$tableName: streaming writes support APPEND output mode " +
+              "only — aggressive modes go through foreachBatch")
+          require(!columnMapped && deltaPartCols.isEmpty &&
+              icePartition.isEmpty,
+            s"$tableName: streaming toTable targets unpartitioned, " +
+              "non-column-mapped tables — use foreachBatch + " +
+              "TransactionalSink for partitioned layouts")
+          new GraftStreamingWrite(path, info.schema(), format)
+        }
       }
     }
   }
@@ -265,6 +289,41 @@ private[v2] final class GraftDeltaTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelBuilder(tableName, path, logicalSchema, info)
+}
+
+/** The Iceberg twin of [[GraftDeltaTable]] (X285): when the SQL
+  * row-level envelope holds (unpartitioned, no merge-on-read delete
+  * state, head snapshot), the catalog's Iceberg table speaks `UPDATE` /
+  * `MERGE INTO` / fallback `DELETE` through the SAME group-based
+  * copy-on-write machinery — the only difference is the commit, which
+  * lands through [[graft.sources.IcebergLite.commitReplaceFiles]]'s
+  * manifest arbiter (untouched manifests carried by reference, one
+  * `overwrite` snapshot) instead of the Delta log. */
+private[v2] final class GraftIcebergTable(
+    tableName: String,
+    path: String,
+    logicalSchema: StructType,
+    snapFiles: Seq[String],
+    readDelegate: ReadPlan)
+  extends GraftTable(tableName, path, "iceberg", logicalSchema, Seq.empty,
+    None, columnMapped = false, readDelegate, writable = true)
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftTable.FileMetadataColumn)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
+      path, logicalSchema, snapFiles, super.newScanBuilder(options))
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GraftRowLevelBuilder(tableName, path, logicalSchema, info,
+      format = "iceberg")
 }
 
 private[v2] object GraftTable {

@@ -460,6 +460,132 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     DeltaLite.read(spark, t).count() shouldBe 28L
   }
 
+  test("Iceberg SQL UPDATE / MERGE INTO: manifest-arbiter copy-on-write, carried manifests") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/db/iuptbl"
+    // three key-disjoint files via three append snapshots (1, 2, 3)
+    IcebergLite.write(spark, (1L to 10L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t)
+    IcebergLite.write(spark, (11L to 20L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t)
+    IcebergLite.write(spark, (21L to 30L).map(k => (k, k)).toDF("k", "v")
+      .coalesce(1), t)
+    val before = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    // UPDATE touching only the middle file
+    spark.sql(s"UPDATE $cat.db.iuptbl SET v = v * 10 WHERE k BETWEEN 12 AND 14")
+    val after = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    // runtime group filtering: the two untouched files are CARRIED
+    before.intersect(after).size shouldBe 2
+    (before -- after).size shouldBe 1
+    spark.sql(s"SELECT sum(v) FROM $cat.db.iuptbl WHERE k BETWEEN 12 AND 14")
+      .as[Long].head() shouldBe (120L + 130L + 140L)
+    spark.sql(s"SELECT count(*) FROM $cat.db.iuptbl").as[Long]
+      .head() shouldBe 30L
+    // the replaced files stay readable under the PRIOR manifest list
+    spark.sql(s"SELECT sum(v) FROM $cat.db.iuptbl VERSION AS OF 3")
+      .as[Long].head() shouldBe (1L to 30L).sum
+    // fallback DELETE: a predicate canDeleteWhere cannot claim (OR over
+    // two columns) routes through the row-level rewrite
+    spark.sql(s"DELETE FROM $cat.db.iuptbl WHERE k = 1 OR v = 130")
+    spark.sql(s"SELECT count(*) FROM $cat.db.iuptbl").as[Long]
+      .head() shouldBe 28L
+    // MERGE INTO: update + delete + insert through one SQL statement
+    Seq((2L, 222L, "U"), (5L, 0L, "D"), (99L, 99L, "I"))
+      .toDF("k", "v", "op").createOrReplaceTempView("imrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.iuptbl t USING imrg_src s ON t.k = s.k
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    spark.sql(s"SELECT k, v FROM $cat.db.iuptbl " +
+      "WHERE k IN (2, 5, 99) ORDER BY k").as[(Long, Long)].collect()
+      .shouldBe(Seq((2L, 222L), (99L, 99L)))
+    spark.sql(s"SELECT count(*) FROM $cat.db.iuptbl").as[Long]
+      .head() shouldBe 28L
+    // the API reader agrees — SQL DML landed as ordinary snapshots
+    IcebergLite.read(spark, t).count() shouldBe 28L
+  }
+
+  test("writeStream.toTable: real StreamingWrite executors, exactly-once epoch ledger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = warehouse // force catalog registration
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"st_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING $fmt")
+      val src = MemoryStream[(Long, Long)]
+      val q = src.toDF().toDF("k", "v")
+        .writeStream
+        .option("checkpointLocation",
+          graft.ingest.Sinks.tempDir(s"sttbl_ckpt_$fmt"))
+        .toTable(s"$cat.db.$tbl")
+      src.addData((1L, 10L), (2L, 20L))
+      q.processAllAvailable()
+      src.addData((3L, 30L))
+      q.processAllAvailable()
+      q.stop()
+      // both micro-batches landed as ordinary versioned commits
+      spark.sql(s"SELECT k, v FROM $cat.db.$tbl ORDER BY k")
+        .as[(Long, Long)].collect() shouldBe
+        Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      val path = s"$wh/db/$tbl"
+      if (fmt == "delta") {
+        // epoch redelivery no-ops on the SetTransaction ledger
+        val before = DeltaLite.latestVersion(spark, path)
+        DeltaLite.commitStreamFiles(spark, path, Nil, epochId = 1L)
+        DeltaLite.latestVersion(spark, path) shouldBe before
+        // the API reader agrees, and time travel sees epoch boundaries
+        DeltaLite.read(spark, path).count() shouldBe 3L
+        DeltaLite.read(spark, path, versionAsOf = before - 1)
+          .count() shouldBe 2L
+      } else {
+        val before = IcebergLite.latestMetadataVersion(spark, path)
+        IcebergLite.commitStreamFiles(spark, path, Nil, epochId = 1L)
+        IcebergLite.latestMetadataVersion(spark, path) shouldBe before
+        IcebergLite.read(spark, path).count() shouldBe 3L
+      }
+    }
+  }
+
+  test("ALTER TABLE: metadata-only ADD COLUMNS on both formats, RENAME/DROP via column mapping") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"alt_$fmt"
+      val path = s"$wh/db/$tbl"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING $fmt")
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (1, 10), (2, 20)")
+      def files(): Set[String] =
+        if (fmt == "delta") DeltaLite.snapshotAt(spark, path).files.toSet
+        else IcebergLite.snapshotFiles(spark, path, -1L).toSet
+      val before = files()
+      spark.sql(s"ALTER TABLE $cat.db.$tbl ADD COLUMNS (w BIGINT)")
+      files() shouldBe before // metadata-only: not a byte moved
+      // pre-evolution rows surface w as NULL; the widened insert lands
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (3, 30, 300)")
+      spark.sql(s"SELECT k, v, w FROM $cat.db.$tbl ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))) shouldBe
+        Seq((1L, 10L, -1L), (2L, 20L, -1L), (3L, 30L, 300L))
+    }
+    // RENAME/DROP land through Delta column mapping; unmapped refuses
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    DeltaLite.writeColumnMapped(spark, Seq((1L, 10L)).toDF("k", "v"),
+      s"$wh/db/alt_cm")
+    spark.sql(s"ALTER TABLE $cat.db.alt_cm RENAME COLUMN v TO v2")
+    spark.sql(s"SELECT v2 FROM $cat.db.alt_cm").as[Long].head() shouldBe 10L
+    spark.sql(s"ALTER TABLE $cat.db.alt_cm DROP COLUMN v2")
+    spark.sql(s"SELECT * FROM $cat.db.alt_cm").columns shouldBe Array("k")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.alt_delta RENAME COLUMN v TO x")
+    }
+    e.getMessage should include("column mapping")
+  }
+
   test("CREATE OR REPLACE / IF NOT EXISTS route through the catalog's create+drop") {
     import spark.implicits._
     val wh = warehouse
