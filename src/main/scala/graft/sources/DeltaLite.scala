@@ -2958,18 +2958,24 @@ object DeltaLite {
   }
 
   /** The pieces the SQL row-level operation pins at creation: live
-    * files (log-relative), their deletion vectors, the table schema —
-    * one snapshot, used by BOTH the operation's scan and its commit so
-    * the copy-on-write replacement is self-consistent. */
+    * files (log-relative), their deletion vectors, the table schema,
+    * and the partition declaration — one snapshot, used by BOTH the
+    * operation's scan and its commit so the copy-on-write replacement
+    * is self-consistent. Partitioned tables are IN the envelope
+    * (X288): their data files physically carry the partition column
+    * (the `_p=` directory is a copy), so the row-level scan reads them
+    * like any other file, and the commit re-declares partitionValues
+    * on every replacement add. */
   private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
-      : (Seq[String], Map[String, DeletionVectors.Descriptor], StructType) = {
+      : (Seq[String], Map[String, DeletionVectors.Descriptor], StructType,
+        Seq[String]) = {
     val latest = latestVersion(spark, table)
     require(latest >= 0, s"$table has no Delta log")
     val snap = snapshot(spark, table, latest)
-    require(snap.partCols.isEmpty,
-      "SQL row-level operations on partitioned tables are outside the " +
-        "subset — deletePartition / partition overwrite instead")
-    (snap.files, snap.dvs, tableSchema(spark, table))
+    require(snap.partCols.size <= 1,
+      "SQL row-level operations support at most one partition column " +
+        "(the writePartitioned subset)")
+    (snap.files, snap.dvs, tableSchema(spark, table), snap.partCols)
   }
 
   /** Commit a COPY-ON-WRITE replacement written by the SQL row-level
@@ -2979,14 +2985,17 @@ object DeltaLite {
     * files), one version, the usual atomic arbiter. */
   private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
       removeRel: Seq[String], addRel: Seq[String],
-      operation: String): Long = {
+      operation: String,
+      partitionValues: Map[String, Map[String, String]] = Map.empty)
+      : Long = {
     val fs = hadoopFs(spark, table)
     val v = latestVersion(spark, table) + 1
     val statsByFile = longStatsFor(spark, table, addRel)
     val adds = addRel.map { f =>
       val st = fs.getFileStatus(new Path(table, f))
       addLine(f, st.getLen, st.getModificationTime,
-        statsByFile.get(new Path(f).getName))
+        statsByFile.get(new Path(f).getName),
+        partitionValues = partitionValues.getOrElse(f, Map.empty))
     }
     if (!tryCommit(fs, table, v,
         commitInfoLine(operation) +: (removeRel.map(removeLine(_)) ++ adds)))

@@ -2036,6 +2036,50 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X288: SQL `UPDATE` on a PARTITIONED Delta table — the row-level
+    * rewrite's write plan demands clustering+ordering on the partition
+    * column, so the rolling writers emit one staged file per partition
+    * value and every add action re-declares its partitionValues. The
+    * key pins (a) carried files outside the touched partition, (b) the
+    * writePartitioned invariant (every live file still carries
+    * partitionValues — log-only pruning keeps working after SQL DML). */
+  private def deltaSqlUpdatePartitioned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftpu.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_pupd")
+        spark.conf.set("spark.sql.catalog.graftpu",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftpu.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftpu.db.orders_pup")
+    val table = s"$wh/db/orders_pup"
+    DeltaLite.writePartitioned(spark, o, table, "o_orderpriority",
+      collectStats = true)
+    val before = DeltaLite.snapshotAt(spark, table).files.toSet
+    spark.sql("""UPDATE graftpu.db.orders_pup
+      |SET o_totalprice = o_totalprice * 2
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    val snap = DeltaLite.snapshotAt(spark, table)
+    val after = snap.files.toSet
+    val carried = before.intersect(after).nonEmpty && (before -- after).nonEmpty
+    // every live file still declares its partition value, and the
+    // partition planner prunes off the log alone
+    val (urgentFiles, _, _) = DeltaLite.planPartitioned(spark, table,
+      "o_orderpriority", Set("1-URGENT"))
+    val pvalsDeclared = snap.pvals.keySet == after && urgentFiles.nonEmpty
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftpu.db.orders_pup GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rewrote_subset", lit(carried))
+      .withColumn("pvals_declared", lit(pvalsDeclared))
+      .orderBy("prio")
+  }
+
   /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
     * same group-based row-level rewrite as X284, committing through the
     * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
@@ -2703,6 +2747,8 @@ object FormatQueries {
       ((s, dir) => streamToTable(s, dir, "iceberg")),
     "x_delta_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "delta")),
     "x_iceberg_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "iceberg")),
+    "x_delta_sql_update_partitioned" ->
+      ((s, dir) => deltaSqlUpdatePartitioned(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -3016,6 +3062,14 @@ object FormatQueries {
         |     OR COALESCE(u.o_orderkey, base.o_orderkey) % 4 = 3)
         |SELECT prio, count(*) AS n, round(sum(p), 2) AS total
         |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
+    // partitioned SQL UPDATE: 1-URGENT doubled in place, sibling
+    // partitions carried, every live file still declares its partition
+    "x_delta_sql_update_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS rewrote_subset, TRUE AS pvals_declared
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
     // doubled, manifest-carried subset pinned
     "x_iceberg_sql_update" ->

@@ -249,11 +249,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ParquetPlan(parquetTable(ident, scanSchema,
           snap.files.map(f => DeltaLite.dataPath(path, f))))
       }
-    if (!mapped && version < 0 && snap.partCols.isEmpty)
+    if (!mapped && version < 0 && snap.partCols.size <= 1)
       // the SQL row-level envelope holds: serve the table that also
-      // speaks UPDATE / MERGE INTO / fallback DELETE (X284)
+      // speaks UPDATE / MERGE INTO / fallback DELETE (X284; partitioned
+      // tables through the rolling write, X288)
       new GraftDeltaTable(fullName(ident), path, tableSchema, snap.files,
-        readDelegate)
+        snap.partCols, readDelegate)
     else
       new GraftTable(fullName(ident), path, "delta", tableSchema,
         snap.partCols, None, mapped, readDelegate, writable = version < 0)

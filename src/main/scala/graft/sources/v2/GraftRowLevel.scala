@@ -55,10 +55,11 @@ private[v2] final class GraftRowLevelBuilder(
     path: String,
     tableSchema: StructType,
     info: RowLevelOperationInfo,
-    format: String = "delta")
+    format: String = "delta",
+    partCol: Option[String] = None)
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOp(tableName, path, tableSchema, info, format)
+    new GraftRowLevelOp(tableName, path, tableSchema, info, format, partCol)
 }
 
 private[v2] final class GraftRowLevelOp(
@@ -66,7 +67,8 @@ private[v2] final class GraftRowLevelOp(
     path: String,
     tableSchema: StructType,
     info: RowLevelOperationInfo,
-    format: String)
+    format: String,
+    partCol: Option[String])
   extends RowLevelOperation {
 
   private def spark = SparkSession.active
@@ -77,7 +79,7 @@ private[v2] final class GraftRowLevelOp(
   // paths (FileTaggedScan resolves both, the dataPath rule).
   private lazy val snapFiles: Seq[String] = format match {
     case "delta" =>
-      val (files, dvs, _) = DeltaLite.rowLevelSnapshot(spark, path)
+      val (files, dvs, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
       require(dvs.isEmpty,
         s"$tableName: SQL ${info.command()} on a deletion-vector-carrying " +
           "snapshot is outside this subset — DeltaLite.optimize first")
@@ -91,7 +93,7 @@ private[v2] final class GraftRowLevelOp(
 
   private def affectedFiles: Seq[String] = affected match {
     case Some(names) =>
-      snapFiles.filter(f => names.contains(new Path(f).getName))
+      snapFiles.filter(f => names.contains(GraftRowLevel.fileTag(f)))
     case None => snapFiles
   }
 
@@ -160,10 +162,34 @@ private[v2] final class GraftRowLevelOp(
 
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
-          spark, path, tableSchema, () => affectedFiles,
-          info.command().toString, format)
+      override def build(): Write = partCol match {
+        case Some(pc) =>
+          // partitioned replacement (X288): demand the engine CLUSTER
+          // and SORT the replacement rows by the partition column, so
+          // the rolling writers below emit one staged file per
+          // (task, partition value) and every add action can carry its
+          // partitionValues — log-only pruning keeps working on
+          // SQL-rewritten partitions
+          new Write with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
+            override def requiredDistribution()
+                : org.apache.spark.sql.connector.distributions.Distribution =
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(Expressions.identity(pc)))
+            override def requiredOrdering(): Array[
+                org.apache.spark.sql.connector.expressions.SortOrder] =
+              Array(Expressions.sort(Expressions.column(pc),
+                org.apache.spark.sql.connector.expressions.SortDirection
+                  .ASCENDING))
+            override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
+              spark, path, tableSchema, () => affectedFiles,
+              info.command().toString, format, partCol)
+          }
+        case None => new Write {
+          override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
+            spark, path, tableSchema, () => affectedFiles,
+            info.command().toString, format)
+        }
       }
     }
 }
@@ -286,7 +312,7 @@ private[v2] final class FileTaggingReaderFactory(
       : PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
     val tag = UTF8String.fromString(
-      fp.files.head.toPath.getName)
+      GraftRowLevel.fileTag(fp.files.head.toPath.toString))
     val dataIdx = dataCols.fieldNames.zipWithIndex.toMap
     // output position → source data position (-1 = the _file tag)
     val perm = outSchema.fields.map(f => dataIdx.getOrElse(f.name, -1))
@@ -323,7 +349,8 @@ private[v2] final class GraftReplaceBatchWrite(
     schema: StructType,
     removeFiles: () => Seq[String],
     operation: String,
-    format: String = "delta")
+    format: String = "delta",
+    partCol: Option[String] = None)
   extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -339,22 +366,36 @@ private[v2] final class GraftReplaceBatchWrite(
           .ParquetOptions(
           org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
             Map.empty[String, String]), spark.sessionState.conf))
-    new GraftParquetWriterFactory(s"$path/$stagedRel", schema, factory,
-      new SerializableConfiguration(job.getConfiguration))
+    val serConf = new SerializableConfiguration(job.getConfiguration)
+    partCol match {
+      case Some(pc) => new GraftRollingParquetWriterFactory(
+        s"$path/$stagedRel", schema, pc, factory, serConf)
+      case None => new GraftParquetWriterFactory(s"$path/$stagedRel",
+        schema, factory, serConf)
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val added = messages.collect {
       case GraftWrittenFile(name) if name != null => s"$stagedRel/$name"
     }.toSeq.sorted
+    val partFiles = messages.collect {
+      case GraftWrittenPartFiles(files) => files
+    }.flatten.toSeq.sortBy(_._1)
+    val addedAll = added ++ partFiles.map(f => s"$stagedRel/${f._1}")
+    val pvals: Map[String, Map[String, String]] = partCol match {
+      case Some(pc) =>
+        partFiles.map(f => s"$stagedRel/${f._1}" -> Map(pc -> f._2)).toMap
+      case None => Map.empty
+    }
     format match {
       case "delta" =>
-        DeltaLite.commitReplaceFiles(spark, path, removeFiles(), added,
-          operation)
+        DeltaLite.commitReplaceFiles(spark, path, removeFiles(), addedAll,
+          operation, pvals)
       case _ =>
         // the spec's operation for replacing rows is `overwrite`,
         // whatever SQL verb drove it
-        IcebergLite.commitReplaceFiles(spark, path, removeFiles(), added,
+        IcebergLite.commitReplaceFiles(spark, path, removeFiles(), addedAll,
           "overwrite")
     }
     ()
@@ -368,8 +409,105 @@ private[v2] final class GraftReplaceBatchWrite(
   }
 }
 
+private[v2] object GraftRowLevel {
+  /** The `_file` group coordinate: the LAST TWO path components, never
+    * the basename alone — one partitioned write job stages the SAME
+    * `part-<n>-<jobUuid>` basename into every `_p=<value>` directory it
+    * touches (the writePartitioned stats-key hazard), so a basename tag
+    * would glue sibling partitions into one group and rewrite files the
+    * predicate never touched. The penultimate component (staging-dir
+    * token or partition-value dir under a tokened stage) disambiguates. */
+  def fileTag(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
+}
+
 private[v2] final case class GraftWrittenFile(name: String)
   extends WriterCommitMessage
+
+/** (file name, partition value) pairs a ROLLING writer reported — the
+  * value rides with the file so the commit can declare partitionValues
+  * on every add action (null value = null partition). */
+private[v2] final case class GraftWrittenPartFiles(
+    files: Seq[(String, String)])
+  extends WriterCommitMessage
+
+/** Partition-ROLLING parquet writers (X288): the write plan's required
+  * clustering + ordering delivers each task's rows grouped by the
+  * partition column, so the writer closes its current file and opens a
+  * fresh one whenever the value changes — one staged file per
+  * (task, partition value), each reported WITH its value. Rolling stays
+  * CORRECT without the sort (just more files), so a plan that somehow
+  * drops the ordering degrades in file count, never in rows. */
+private[v2] final class GraftRollingParquetWriterFactory(
+    stagedDir: String,
+    schema: StructType,
+    partCol: String,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration)
+  extends DataWriterFactory {
+
+  private val partIdx = schema.fieldIndex(partCol)
+  private val partDt = schema(partCol).dataType
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private var cur: org.apache.spark.sql.execution.datasources
+      .OutputWriter = null
+    private var curValue: String = null
+    private var curOpen = false
+    private var written = List.empty[(String, String)]
+
+    private def valueOf(r: InternalRow): String =
+      if (r.isNullAt(partIdx)) null
+      else partDt match {
+        case StringType => r.getUTF8String(partIdx).toString
+        case org.apache.spark.sql.types.LongType =>
+          r.getLong(partIdx).toString
+        case org.apache.spark.sql.types.IntegerType =>
+          r.getInt(partIdx).toString
+        case other => throw new UnsupportedOperationException(
+          s"partition column $partCol: ${other.simpleString} is outside " +
+            "the rolling-writer subset (string/long/int)")
+      }
+
+    private def attempt(n: Int) = new TaskAttemptContextImpl(conf.value,
+      new TaskAttemptID("graft", 0,
+        org.apache.hadoop.mapreduce.TaskType.MAP, partitionId,
+        ((taskId * 131 + n) % Int.MaxValue).toInt))
+
+    private def roll(v: String): Unit = {
+      if (curOpen) cur.close()
+      val name =
+        f"part-$partitionId%05d-$taskId-${java.util.UUID.randomUUID()}.parquet"
+      cur = factory.newInstance(s"$stagedDir/$name", schema,
+        attempt(written.size))
+      curOpen = true
+      curValue = v
+      written = (name, v) :: written
+    }
+
+    override def write(record: InternalRow): Unit = {
+      val v = valueOf(record)
+      if (!curOpen || curValue != v) roll(v)
+      cur.write(record)
+    }
+
+    override def commit(): WriterCommitMessage = {
+      if (curOpen) { cur.close(); curOpen = false }
+      GraftWrittenPartFiles(written.reverse)
+    }
+
+    override def abort(): Unit = {
+      if (curOpen) { cur.close(); curOpen = false }
+      val fs = new Path(stagedDir).getFileSystem(conf.value)
+      written.foreach { case (name, _) =>
+        fs.delete(new Path(s"$stagedDir/$name"), false)
+      }
+    }
+
+    override def close(): Unit = ()
+  }
+}
 
 private[v2] final class GraftParquetWriterFactory(
     stagedDir: String,

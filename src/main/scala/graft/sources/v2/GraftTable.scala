@@ -83,7 +83,7 @@ private[v2] class GraftTable(
       // / an empty overwrite snapshot (Iceberg) — no byte read
       format match {
         case "delta" =>
-          val (files, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
+          val (files, _, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
           DeltaLite.commitReplaceFiles(spark, path, files, Nil, "DELETE")
         case _ =>
           IcebergLite.write(spark,
@@ -256,19 +256,22 @@ private[v2] class GraftTable(
 }
 
 /** The Delta table the catalog serves when the SQL row-level envelope
-  * holds (unpartitioned, non-column-mapped, head version): additionally
-  * speaks `SupportsRowLevelOperations` — SQL `UPDATE`, `MERGE INTO`, and
-  * fallback `DELETE` for predicates [[GraftTable.canDeleteWhere]] cannot
-  * claim — via the group-based copy-on-write rewrite
-  * ([[GraftRowLevelOp]], X284), and declares the `_file` metadata column
-  * those plans resolve their group coordinate against. */
+  * holds (at most ONE partition column, non-column-mapped, head
+  * version): additionally speaks `SupportsRowLevelOperations` — SQL
+  * `UPDATE`, `MERGE INTO`, and fallback `DELETE` for predicates
+  * [[GraftTable.canDeleteWhere]] cannot claim — via the group-based
+  * copy-on-write rewrite ([[GraftRowLevelOp]], X284; partitioned tables
+  * via the clustering-required rolling write, X288), and declares the
+  * `_file` metadata column those plans resolve their group coordinate
+  * against. */
 private[v2] final class GraftDeltaTable(
     tableName: String,
     path: String,
     logicalSchema: StructType,
     snapFiles: Seq[String],
+    partCols: Seq[String],
     readDelegate: ReadPlan)
-  extends GraftTable(tableName, path, "delta", logicalSchema, Seq.empty,
+  extends GraftTable(tableName, path, "delta", logicalSchema, partCols,
     None, columnMapped = false, readDelegate, writable = true)
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -288,7 +291,8 @@ private[v2] final class GraftDeltaTable(
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelBuilder(tableName, path, logicalSchema, info)
+    new GraftRowLevelBuilder(tableName, path, logicalSchema, info,
+      format = "delta", partCol = partCols.headOption)
 }
 
 /** The Iceberg twin of [[GraftDeltaTable]] (X285): when the SQL

@@ -460,6 +460,57 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     DeltaLite.read(spark, t).count() shouldBe 28L
   }
 
+  test("partitioned Delta SQL UPDATE / MERGE / DELETE: rolling write re-declares partitionValues") {
+    import spark.implicits._
+    val wh = warehouse
+    val t = s"$wh/db/puptbl"
+    // two partitions, two files each (key-split)
+    DeltaLite.writePartitioned(spark,
+      (1L to 20L).map(k => (k, k, if (k % 2 == 0) "even" else "odd"))
+        .toDF("k", "v", "p").repartition(2), t, "p", collectStats = true)
+    val before = DeltaLite.snapshotAt(spark, t).files.toSet
+    // UPDATE confined to one partition's rows
+    spark.sql(s"UPDATE $cat.db.puptbl SET v = v * 10 WHERE p = 'even'")
+    val snap = DeltaLite.snapshotAt(spark, t)
+    // untouched-partition files carried (odd files live on)
+    before.intersect(snap.files.toSet) should not be empty
+    // EVERY live file still declares partitionValues for p — the
+    // writePartitioned invariant the rolling write must uphold
+    snap.pvals.keySet shouldBe snap.files.toSet
+    snap.pvals.values.foreach(_.keySet shouldBe Set("p"))
+    // log-only partition pruning keeps working on the rewritten files
+    val (evenFiles, _, _) = DeltaLite.planPartitioned(spark, t, "p",
+      Set("even"))
+    evenFiles should not be empty
+    spark.sql(s"SELECT sum(v) FROM $cat.db.puptbl WHERE p = 'even'")
+      .as[Long].head() shouldBe (2L to 20L by 2).map(_ * 10).sum
+    spark.sql(s"SELECT sum(v) FROM $cat.db.puptbl WHERE p = 'odd'")
+      .as[Long].head() shouldBe (1L to 19L by 2).sum
+    // UPDATE of the partition column itself: rows MIGRATE partitions
+    spark.sql(s"UPDATE $cat.db.puptbl SET p = 'odd' WHERE k = 2")
+    spark.sql(s"SELECT count(*) FROM $cat.db.puptbl WHERE p = 'odd'")
+      .as[Long].head() shouldBe 11L
+    // MERGE: update one row, insert one (lands in its declared partition)
+    Seq((3L, 333L, "odd"), (99L, 99L, "even"))
+      .toDF("k", "v", "p").createOrReplaceTempView("pmrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.puptbl t USING pmrg_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v, p = s.p
+         |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)""".stripMargin)
+    spark.sql(s"SELECT v FROM $cat.db.puptbl WHERE k = 3").as[Long]
+      .head() shouldBe 333L
+    spark.sql(s"SELECT p FROM $cat.db.puptbl WHERE k = 99").as[String]
+      .head() shouldBe "even"
+    // fallback DELETE across partitions
+    spark.sql(s"DELETE FROM $cat.db.puptbl WHERE k = 1 OR k = 99")
+    spark.sql(s"SELECT count(*) FROM $cat.db.puptbl").as[Long]
+      .head() shouldBe 19L
+    // the API writer still accepts partitioned appends after SQL DML
+    DeltaLite.writePartitioned(spark,
+      Seq((100L, 1L, "even")).toDF("k", "v", "p"), t, "p")
+    DeltaLite.read(spark, t).count() shouldBe 20L
+  }
+
   test("Iceberg SQL UPDATE / MERGE INTO: manifest-arbiter copy-on-write, carried manifests") {
     import spark.implicits._
     val wh = warehouse
