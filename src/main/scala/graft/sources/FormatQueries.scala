@@ -2080,6 +2080,52 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X289: Iceberg IDENTITY partitioning end-to-end through SQL — the
+    * spec's plainest transform and real warehouses' commonest layout:
+    * `CREATE TABLE … PARTITIONED BY (col)`, inserts land partitioned
+    * (manifest rows carry the raw value; `planPartitioned` prunes on it
+    * alone), and `INSERT OVERWRITE … PARTITION (col = 'v')` replaces
+    * exactly that partition's files in ONE overwrite snapshot
+    * ([[IcebergLite.replacePartition]]) — sibling partitions carried by
+    * reference, leaking rows refusing. */
+  private def icebergPartitionIdentity(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftii.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_iid")
+        spark.conf.set("spark.sql.catalog.graftii",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftii.warehouse", w)
+        w
+      }
+    spark.sql("DROP TABLE IF EXISTS graftii.db.orders_id")
+    spark.sql(
+      """CREATE TABLE graftii.db.orders_id (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg PARTITIONED BY (o_orderpriority)""".stripMargin)
+    val table = s"$wh/db/orders_id"
+    Tables.orders(spark, dir).createOrReplaceTempView("iid_src")
+    spark.sql("""INSERT INTO graftii.db.orders_id
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM iid_src""".stripMargin)
+    val (_, nUrgent, nTotal) =
+      IcebergLite.planPartitioned(spark, table, Set("1-URGENT"))
+    val sibling = IcebergLite
+      .planPartitioned(spark, table, Set("5-LOW"))._1.toSet
+    spark.sql("""INSERT OVERWRITE graftii.db.orders_id
+      |PARTITION (o_orderpriority = '1-URGENT')
+      |SELECT o_orderkey, o_totalprice * 2 FROM iid_src
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    val siblingCarried = IcebergLite
+      .planPartitioned(spark, table, Set("5-LOW"))._1.toSet == sibling
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftii.db.orders_id GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("pruned", lit(nUrgent < nTotal))
+      .withColumn("sibling_carried", lit(siblingCarried))
+      .orderBy("prio")
+  }
+
   /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
     * same group-based row-level rewrite as X284, committing through the
     * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
@@ -2749,6 +2795,8 @@ object FormatQueries {
     "x_iceberg_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "iceberg")),
     "x_delta_sql_update_partitioned" ->
       ((s, dir) => deltaSqlUpdatePartitioned(s, dir)),
+    "x_iceberg_partition_identity" ->
+      ((s, dir) => icebergPartitionIdentity(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -3069,6 +3117,14 @@ object FormatQueries {
         |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
         |  TRUE AS rewrote_subset, TRUE AS pvals_declared
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg identity partitioning: 1-URGENT statically overwritten
+    // (doubled) in one snapshot, siblings carried, manifests pruning
+    "x_iceberg_partition_identity" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS pruned, TRUE AS sibling_carried
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
     // doubled, manifest-carried subset pinned

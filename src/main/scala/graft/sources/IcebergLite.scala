@@ -97,6 +97,7 @@ object IcebergLite {
       import org.apache.spark.sql.functions.{datediff, lit, month, pmod, substring, to_date, year}
       import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
       kind match {
+        case "identity" => c.cast("string")
         case "truncate" => substring(c, 1, param)
         case "bucket" =>
           column(graft.functions.IcebergBucket(
@@ -117,6 +118,7 @@ object IcebergLite {
       * transform value a predicate constant lands in. Temporal inputs
       * take `java.time` types (UTC, the engine's session zone). */
     def valueOf(v: Any): String = kind match {
+      case "identity" => v.toString
       case "truncate" =>
         val s = v.toString; s.substring(0, math.min(param, s.length))
       case "bucket" =>
@@ -149,7 +151,8 @@ object IcebergLite {
 
   object PartField {
     private[IcebergLite] val Kinds =
-      Set("truncate", "bucket", "year", "month", "day", "hour")
+      Set("identity", "truncate", "bucket", "year", "month", "day", "hour")
+    def identity(source: String): PartField = PartField(source, "identity")
     def truncate(source: String, w: Int): PartField =
       PartField(source, s"truncate[$w]")
     def bucket(source: String, n: Int): PartField =
@@ -3106,6 +3109,98 @@ object IcebergLite {
       fs.delete(new Path(metaDir(table), listName), false)
       throw new IllegalStateException(
         s"streaming epoch $epochId lost the commit race on $table")
+    }
+    snapshotId
+  }
+
+  /** Static partition OVERWRITE (X289) — the Iceberg landing of
+    * `INSERT OVERWRITE t PARTITION (p = 'v')`: ONE `overwrite` snapshot
+    * replaces exactly the files whose transform value equals `value`
+    * with the incoming frame. Manifest discipline as everywhere else —
+    * untouched manifests carried by reference, partially-touched
+    * rewritten with surviving entries under their ORIGINAL sequence;
+    * manifests under a DIFFERENT spec than the default refuse (a
+    * residual drop across specs could leak rows of the replaced
+    * partition — rewriteDataFiles first). Incoming rows must ALL land
+    * in the replaced partition; leaking rows refuse. */
+  def replacePartition(spark: SparkSession, df: DataFrame, table: String,
+      value: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    val pf = partitionSpec(prevMeta).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table is not partitioned — INSERT OVERWRITE the whole table"))
+    val defaultSpecId = prevMeta.get("default-spec-id").asInt()
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val schema = schemaForSnapshot(prevMeta, cur)
+    val formatVersion = prevMeta.path("format-version").asInt(1)
+    val stray = df.select(pf.valueColumn(col(pf.source)).as("__pv"))
+      .where(!(col("__pv") <=> value)).limit(1).collect()
+    require(stray.isEmpty,
+      s"INSERT OVERWRITE PARTITION ($value): incoming rows land in " +
+        s"partition ${stray.headOption.map(_.get(0)).orNull} — refuse " +
+        "rather than leak")
+    val snapshotId = prevV + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val stagedRel = s"data/s$snapshotId-$token-po"
+    df.withColumn("_p", pf.valueColumn(col(pf.source)))
+      .repartition(col("_p"))
+      .write.mode("errorifexists").partitionBy("_p")
+      .parquet(s"$table/$stagedRel")
+    val (mName, mLen) = stageDataManifestPartitioned(spark, fs, table,
+      stagedRel, snapshotId, token)
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val written = mutable.ArrayBuffer.empty[String]
+    var mIdx = 0
+    val carried = listEntries(fs, new Path(curList)).flatMap { me =>
+      if (me.content != 0) Some(me)
+      else {
+        require(me.specId == defaultSpecId,
+          s"manifest ${me.path} was written under spec ${me.specId}, not " +
+            s"the default $defaultSpecId — partition-grain overwrite " +
+            "needs one spec; rewriteDataFiles first")
+        val records = readAvroFile(fs, new Path(me.path))
+        val (dropped, kept) = records.partition { r =>
+          if (r.get("status").asInstanceOf[Int] == 2) false
+          else {
+            val part = r.get("data_file").asInstanceOf[GenericRecord]
+              .get("partition").asInstanceOf[GenericRecord]
+            val pv =
+              if (part.getSchema.getField("p0") == null) null
+              else Option(part.get("p0")).map(_.toString).orNull
+            pv == value
+          }
+        }
+        if (dropped.isEmpty) Some(me)
+        else if (kept.isEmpty) None
+        else {
+          mIdx += 1
+          val name = s"$snapshotId-$token-surv$mIdx.avro"
+          val len = writeAvroFile(
+            new File(new File(table, "metadata"), name),
+            kept.head.getSchema, kept)
+          written += name
+          Some(MEntry(s"$table/metadata/$name", len, me.addedSid,
+            content = 0, seq = me.seq, specId = me.specId))
+        }
+      }
+    }
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      carried :+ MEntry(s"$table/metadata/$mName", mLen, snapshotId,
+        content = 0, seq = snapshotId, specId = defaultSpecId),
+      v2 = formatVersion == 2)
+    if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
+        snapshotId, schema, Some(pf), listName, "overwrite", Map.empty)) {
+      fs.delete(new Path(table, stagedRel), true)
+      written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
+      fs.delete(new Path(metaDir(table), mName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      throw new IllegalStateException(
+        s"partition overwrite lost the commit race on $table")
     }
     snapshotId
   }

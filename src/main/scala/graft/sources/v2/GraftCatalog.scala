@@ -380,6 +380,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           case r: NamedReference => r.fieldNames.mkString(".") }.getOrElse(
           throw new IllegalArgumentException(s"${t.name} needs a column"))
         val spec = partitions.toSeq.map {
+          case t if t.name == "identity" =>
+            IcebergLite.PartField.identity(
+              t.references.head.fieldNames.mkString("."))
           case t if t.name == "truncate" =>
             IcebergLite.PartField.truncate(colArg(t), intArg(t))
           case t if t.name == "bucket" =>
@@ -388,7 +391,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             IcebergLite.PartField(colArg(t), temporal(t.name))
           case other => throw new UnsupportedOperationException(
             s"CREATE TABLE $catName.$ident: Iceberg partitioning supports " +
-              s"truncate/bucket/years/months/days/hours; got $other")
+              s"identity/truncate/bucket/years/months/days/hours; got $other")
         }
         require(spec.size <= 1,
           s"CREATE TABLE $catName.$ident: this subset declares one " +

@@ -113,6 +113,7 @@ private[v2] class GraftTable(
     val delta = deltaPartCols.map(Expressions.identity)
     val ice = icePartition.toSeq.map { pf =>
       pf.kind match {
+        case "identity" => Expressions.identity(pf.source)
         case "truncate" => Expressions.apply("truncate",
           Expressions.literal(Integer.valueOf(pf.param)),
           Expressions.column(pf.source))
@@ -167,13 +168,17 @@ private[v2] class GraftTable(
           (predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE")
         if (alwaysTrue) { overwriteAll = true; return this }
         // STATIC single-partition overwrite (`INSERT OVERWRITE t
-        // PARTITION (p = 'v') …`): one equality on the table's (Delta)
-        // partition column replaces exactly that partition's files in
-        // one commit — every other shape refuses
+        // PARTITION (p = 'v') …`): one equality on the table's partition
+        // column — a Delta identity column, or an Iceberg IDENTITY
+        // transform's source (non-identity transforms have no static
+        // PARTITION syntax) — replaces exactly that partition's files
+        // in one commit; every other shape refuses
         // static partition values arrive as `=` or null-safe `<=>`
+        val partSources = deltaPartCols ++
+          icePartition.filter(_.kind == "identity").map(_.source)
         val value = predicates match {
           case Array(p) if p.name() == "=" || p.name() == "<=>" =>
-            DeletePredicate.stringEquality(p, deltaPartCols)
+            DeletePredicate.stringEquality(p, partSources)
           case _ => None
         }
         overwriteValue = Some(value.getOrElse(
@@ -243,10 +248,11 @@ private[v2] class GraftTable(
         DeltaLite.writePartitioned(spark, aligned, path, deltaPartCols.head,
           collectStats = true, overwrite = overwrite,
           replaceValue = overwriteValue)
+      case "iceberg" if overwriteValue.isDefined =>
+        IcebergLite.replacePartition(spark, aligned, path,
+          overwriteValue.get)
+        ()
       case "iceberg" =>
-        require(overwriteValue.isEmpty,
-          s"$tableName: partition-level INSERT OVERWRITE on Iceberg is " +
-            "outside this subset — deleteWhere then INSERT INTO")
         IcebergLite.write(spark, aligned, path, overwrite = overwrite,
           partitionField = icePartition)
       case other =>

@@ -97,6 +97,18 @@ private[v2] final class KeyGroupedParquetScan(
       val key: Any = pf.kind match {
         case "truncate" => org.apache.spark.unsafe.types.UTF8String
           .fromString(value)
+        case "identity" =>
+          // identity keys carry the SOURCE column's native type
+          if (value == null) null
+          else dataSchema(pf.source).dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(value)
+            case org.apache.spark.sql.types.LongType => value.toLong
+            case org.apache.spark.sql.types.IntegerType => value.toInt
+            case other => throw new UnsupportedOperationException(
+              s"identity key-grouped scan over ${other.simpleString} is " +
+                "outside this subset (string/long/int)")
+          }
         case _ => value.toInt
       }
       new KeyedFilePartition(idx, pfiles,
@@ -109,6 +121,7 @@ private[v2] final class KeyGroupedParquetScan(
 
   override def outputPartitioning(): Partitioning = {
     val keyExpr: Transform = pf.kind match {
+      case "identity" => Expressions.identity(pf.source)
       case "bucket" => Expressions.bucket(pf.param, pf.source)
       case "truncate" => Expressions.apply("truncate",
         Expressions.literal(Integer.valueOf(pf.param)),

@@ -637,6 +637,38 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     e.getMessage should include("column mapping")
   }
 
+  test("Iceberg identity partitioning: SQL create, manifest pruning, static partition overwrite") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ice_id")
+    spark.sql(s"CREATE TABLE $cat.db.ice_id (k BIGINT, v DOUBLE, p STRING) " +
+      "USING iceberg PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.db.ice_id VALUES " +
+      "(1, 1.0, 'a'), (2, 2.0, 'b'), (3, 3.0, 'a')")
+    val t = s"$wh/db/ice_id"
+    // identity values prune off the manifests alone
+    val (_, na, total) = IcebergLite.planPartitioned(spark, t, Set("a"))
+    na should be < total
+    val bBefore = IcebergLite.planPartitioned(spark, t, Set("b"))._1.toSet
+    // static partition overwrite replaces exactly partition 'a'
+    spark.sql(s"INSERT OVERWRITE $cat.db.ice_id PARTITION (p = 'a') " +
+      "VALUES (10, 10.0)")
+    spark.sql(s"SELECT k, v, p FROM $cat.db.ice_id ORDER BY k")
+      .as[(Long, Double, String)].collect() shouldBe
+      Seq((2L, 2.0, "b"), (10L, 10.0, "a"))
+    // sibling partition's files carried byte-identical
+    IcebergLite.planPartitioned(spark, t, Set("b"))._1.toSet shouldBe bBefore
+    // prior snapshot still time-travels over the replaced files
+    spark.sql(s"SELECT count(*) FROM $cat.db.ice_id VERSION AS OF 2")
+      .as[Long].head() shouldBe 3L
+    // leaking rows refuse (API surface: the SQL static form cannot leak)
+    val e = intercept[Exception] {
+      IcebergLite.replacePartition(spark,
+        Seq((9L, 9.0, "b")).toDF("k", "v", "p"), t, "a")
+    }
+    e.getMessage should include("refuse")
+  }
+
   test("CREATE OR REPLACE / IF NOT EXISTS route through the catalog's create+drop") {
     import spark.implicits._
     val wh = warehouse
