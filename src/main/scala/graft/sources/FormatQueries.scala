@@ -2126,6 +2126,50 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X290: SQL `UPDATE` on an identity-PARTITIONED Iceberg table — the
+    * X288 rolling write with the commit landing through the manifest
+    * arbiter: each rolling file's raw value becomes its manifest `p0`,
+    * so partition pruning keeps planning correctly after SQL DML; the
+    * untouched partition's files carry by reference. */
+  private def icebergSqlUpdatePartitioned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftip.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_ipup")
+        spark.conf.set("spark.sql.catalog.graftip",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftip.warehouse", w)
+        w
+      }
+    spark.sql("DROP TABLE IF EXISTS graftip.db.orders_ipu")
+    spark.sql(
+      """CREATE TABLE graftip.db.orders_ipu (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg PARTITIONED BY (o_orderpriority)""".stripMargin)
+    val table = s"$wh/db/orders_ipu"
+    Tables.orders(spark, dir).createOrReplaceTempView("ipu_src")
+    spark.sql("""INSERT INTO graftip.db.orders_ipu
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM ipu_src""".stripMargin)
+    val sibling = IcebergLite
+      .planPartitioned(spark, table, Set("5-LOW"))._1.toSet
+    spark.sql("""UPDATE graftip.db.orders_ipu
+      |SET o_totalprice = o_totalprice * 2
+      |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+    // sibling partition carried byte-identical; the rewritten
+    // partition's files still plan (their manifest p0 is declared)
+    val siblingCarried = IcebergLite
+      .planPartitioned(spark, table, Set("5-LOW"))._1.toSet == sibling
+    val urgentPlanned = IcebergLite
+      .planPartitioned(spark, table, Set("1-URGENT"))._1.nonEmpty
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftip.db.orders_ipu GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rewrote_subset", lit(siblingCarried))
+      .withColumn("pvals_declared", lit(urgentPlanned))
+      .orderBy("prio")
+  }
+
   /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
     * same group-based row-level rewrite as X284, committing through the
     * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
@@ -2797,6 +2841,8 @@ object FormatQueries {
       ((s, dir) => deltaSqlUpdatePartitioned(s, dir)),
     "x_iceberg_partition_identity" ->
       ((s, dir) => icebergPartitionIdentity(s, dir)),
+    "x_iceberg_sql_update_partitioned" ->
+      ((s, dir) => icebergSqlUpdatePartitioned(s, dir)),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -3125,6 +3171,14 @@ object FormatQueries {
         |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
         |  TRUE AS pruned, TRUE AS sibling_carried
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // identity-partitioned Iceberg SQL UPDATE: 1-URGENT doubled, sibling
+    // partition carried, rewritten files still partition-planned
+    "x_iceberg_sql_update_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS rewrote_subset, TRUE AS pvals_declared
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
     // doubled, manifest-carried subset pinned

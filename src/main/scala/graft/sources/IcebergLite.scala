@@ -2968,9 +2968,10 @@ object IcebergLite {
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    require(partitionSpec(meta).isEmpty,
-      "SQL row-level operations on hidden-partitioned tables are " +
-        "outside the subset — deleteWhere / spec-grain ops instead")
+    require(partitionSpec(meta).forall(_.kind == "identity"),
+      "SQL row-level operations on HIDDEN-partitioned tables (non-" +
+        "identity transforms) are outside the subset — deleteWhere / " +
+        "spec-grain ops instead")
     require(snapshotDeleteFiles(spark, table, -1L).isEmpty,
       s"$table carries merge-on-read delete files — " +
         "IcebergLite.rewriteDataFiles first")
@@ -2989,13 +2990,20 @@ object IcebergLite {
     * O(touched manifests), never O(table). */
   private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
       removePaths: Seq[String], addRel: Seq[String],
-      operation: String): Long = {
+      operation: String,
+      partitionValues: Map[String, String] = Map.empty): Long = {
     val fs = hadoopFs(spark, table)
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
-    require(partitionSpec(prevMeta).isEmpty,
-      "commitReplaceFiles targets unpartitioned tables")
+    val pfOpt = partitionSpec(prevMeta)
+    require(pfOpt.forall(_.kind == "identity"),
+      "commitReplaceFiles on hidden-partitioned tables (non-identity " +
+        "transforms) is outside the subset")
+    val defaultSpecId = prevMeta.get("default-spec-id").asInt()
+    require(pfOpt.isEmpty || addRel.forall(partitionValues.contains),
+      "partitioned replacement adds must each declare their partition " +
+        "value")
     val cur = prevMeta.get("current-snapshot-id").asLong()
     val schema = schemaForSnapshot(prevMeta, cur)
     val formatVersion = prevMeta.path("format-version").asInt(1)
@@ -3008,7 +3016,8 @@ object IcebergLite {
     val dataManifest =
       if (addRel.isEmpty) None
       else Some(stageDataManifestFiles(spark, fs, table, addRel,
-        snapshotId, token))
+        snapshotId, token,
+        values = if (pfOpt.isEmpty) None else Some(partitionValues)))
     val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
     val written = mutable.ArrayBuffer.empty[String]
     var mIdx = 0
@@ -3042,10 +3051,10 @@ object IcebergLite {
     writeManifestList(table, listName,
       carried ++ dataManifest.map { case (n, len) =>
         MEntry(s"$table/metadata/$n", len, snapshotId, content = 0,
-          seq = snapshotId) },
+          seq = snapshotId, specId = defaultSpecId) },
       v2 = formatVersion == 2)
     if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
-        snapshotId, schema, None, listName, operation, Map.empty)) {
+        snapshotId, schema, pfOpt, listName, operation, Map.empty)) {
       written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
       dataManifest.foreach { case (n, _) =>
         fs.delete(new Path(metaDir(table), n), false) }
@@ -3207,26 +3216,37 @@ object IcebergLite {
 
   /** [[stageDataManifest]] over an EXPLICIT file list (table-relative)
     * instead of a staged directory — the SQL row-level write's commit
-    * must trust only the writers' own reports. */
+    * must trust only the writers' own reports. With `values` the
+    * entries are PARTITIONED (each file's p0 = its declared value —
+    * the identity-transform replacement shape). */
   private def stageDataManifestFiles(spark: SparkSession, fs: FileSystem,
       table: String, relFiles: Seq[String], snapshotId: Long,
-      token: String): (String, Long) = {
+      token: String,
+      values: Option[Map[String, String]] = None): (String, Long) = {
     import org.apache.spark.sql.functions.{count => cnt, input_file_name, lit => lt}
+    val schema =
+      if (values.isEmpty) manifestEntrySchema
+      else entrySchemaFor(partitioned = true)
     val counts = spark.read.parquet(relFiles.map(f => s"$table/$f"): _*)
       .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
       .collect()
       .map(r => (new Path(r.getAs[String]("f")).getName, r.getAs[Long]("n")))
       .toMap
     val entries = relFiles.sorted.map { f =>
-      val e = new GenericData.Record(manifestEntrySchema)
+      val e = new GenericData.Record(schema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+        schema.getField("data_file").schema())
       d.put("file_path", s"$table/$f")
       d.put("file_format", "PARQUET")
-      d.put("partition", new GenericData.Record(manifestEntrySchema
-        .getField("data_file").schema().getField("partition").schema()))
+      val part = new GenericData.Record(schema
+        .getField("data_file").schema().getField("partition").schema())
+      values.foreach { m =>
+        val pv = m.getOrElse(f, null)
+        if (pv != null) part.put("p0", pv)
+      }
+      d.put("partition", part)
       d.put("record_count", counts.getOrElse(new Path(f).getName, 0L))
       d.put("file_size_in_bytes", fs.getFileStatus(new Path(table, f)).getLen)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
@@ -3235,7 +3255,7 @@ object IcebergLite {
     }
     val name = s"$snapshotId-$token-m0.avro"
     val len = writeAvroFile(new File(new File(table, "metadata"), name),
-      manifestEntrySchema, entries)
+      schema, entries)
     (name, len)
   }
 

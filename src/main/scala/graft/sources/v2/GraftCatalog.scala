@@ -286,12 +286,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               new KeyGroupedScanBuilder(s, schema, grouped, pfOpt.get)))
       else
         ParquetPlan(parquetTable(ident, schema, snapFiles))
-    if (version < 0 && !morState && pfOpt.isEmpty)
-      // the SQL row-level envelope holds: serve the table that also
-      // speaks UPDATE / MERGE INTO / fallback DELETE, committing
-      // through the manifest arbiter (X285)
+    if (version < 0 && !morState &&
+        pfOpt.forall(_.kind == "identity"))
+      // the SQL row-level envelope holds (unpartitioned or identity-
+      // partitioned, X290): serve the table that also speaks UPDATE /
+      // MERGE INTO / fallback DELETE, committing through the manifest
+      // arbiter (X285)
       new GraftIcebergTable(fullName(ident), path, schema, snapFiles,
-        readDelegate)
+        pfOpt, readDelegate)
     else
       new GraftTable(fullName(ident), path, "iceberg", schema,
         Seq.empty, pfOpt, columnMapped = false,

@@ -394,9 +394,12 @@ private[v2] final class GraftReplaceBatchWrite(
           operation, pvals)
       case _ =>
         // the spec's operation for replacing rows is `overwrite`,
-        // whatever SQL verb drove it
+        // whatever SQL verb drove it; identity-partitioned tables carry
+        // each rolling file's raw value as its manifest p0
         IcebergLite.commitReplaceFiles(spark, path, removeFiles(), addedAll,
-          "overwrite")
+          "overwrite",
+          partitionValues = partFiles
+            .map(f => s"$stagedRel/${f._1}" -> f._2).toMap)
     }
     ()
   }

@@ -314,9 +314,10 @@ private[v2] final class GraftIcebergTable(
     path: String,
     logicalSchema: StructType,
     snapFiles: Seq[String],
+    icePart: Option[IcebergLite.PartField],
     readDelegate: ReadPlan)
   extends GraftTable(tableName, path, "iceberg", logicalSchema, Seq.empty,
-    None, columnMapped = false, readDelegate, writable = true)
+    icePart, columnMapped = false, readDelegate, writable = true)
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
@@ -333,7 +334,8 @@ private[v2] final class GraftIcebergTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelBuilder(tableName, path, logicalSchema, info,
-      format = "iceberg")
+      format = "iceberg",
+      partCol = icePart.filter(_.kind == "identity").map(_.source))
 }
 
 private[v2] object GraftTable {

@@ -669,6 +669,71 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     e.getMessage should include("refuse")
   }
 
+  test("identity-partitioned Iceberg SQL UPDATE / MERGE: rolling write carries manifest p0") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ice_pup")
+    spark.sql(s"CREATE TABLE $cat.db.ice_pup (k BIGINT, v BIGINT, p STRING) " +
+      "USING iceberg PARTITIONED BY (p)")
+    (1L to 20L).map(k => (k, k, if (k % 2 == 0) "even" else "odd"))
+      .toDF("k", "v", "p").createOrReplaceTempView("ipup_src")
+    spark.sql(s"INSERT INTO $cat.db.ice_pup SELECT * FROM ipup_src")
+    val t = s"$wh/db/ice_pup"
+    val before = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    val oddBefore = IcebergLite.planPartitioned(spark, t, Set("odd"))._1.toSet
+    spark.sql(s"UPDATE $cat.db.ice_pup SET v = v * 10 WHERE p = 'even'")
+    val after = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    // the odd partition's file carried; the even one replaced
+    before.intersect(after) shouldBe oddBefore
+    (before -- after) should not be empty
+    // the replacement files carry their manifest p0: partition pruning
+    // still plans correctly on both sides
+    IcebergLite.planPartitioned(spark, t, Set("odd"))._1.toSet shouldBe oddBefore
+    val evenAfter = IcebergLite.planPartitioned(spark, t, Set("even"))._1.toSet
+    evenAfter.intersect(oddBefore) shouldBe empty
+    evenAfter should not be empty
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ice_pup WHERE p = 'even'")
+      .as[Long].head() shouldBe (2L to 20L by 2).map(_ * 10).sum
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ice_pup WHERE p = 'odd'")
+      .as[Long].head() shouldBe (1L to 19L by 2).sum
+    // MERGE: update across partitions + insert landing in its partition
+    Seq((3L, 333L, "odd"), (99L, 99L, "even"))
+      .toDF("k", "v", "p").createOrReplaceTempView("ipmrg_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.ice_pup t USING ipmrg_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v, p) VALUES (s.k, s.v, s.p)""".stripMargin)
+    spark.sql(s"SELECT v FROM $cat.db.ice_pup WHERE k = 3").as[Long]
+      .head() shouldBe 333L
+    spark.sql(s"SELECT count(*) FROM $cat.db.ice_pup WHERE p = 'even'")
+      .as[Long].head() shouldBe 11L
+    // the API reader agrees
+    IcebergLite.read(spark, t).count() shouldBe 21L
+  }
+
+  test("TRUNCATE TABLE: one metadata commit removing every live file, history intact") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"tr_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT) USING $fmt")
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (1), (2), (3)")
+      spark.sql(s"TRUNCATE TABLE $cat.db.$tbl")
+      spark.sql(s"SELECT count(*) FROM $cat.db.$tbl").as[Long]
+        .head() shouldBe 0L
+      // a truncate is a COMMIT, not a wipe: the pre-truncate version
+      // still time-travels
+      val preVersion = if (fmt == "delta") 1 else 2
+      spark.sql(s"SELECT count(*) FROM $cat.db.$tbl " +
+        s"VERSION AS OF $preVersion").as[Long].head() shouldBe 3L
+      // and the table keeps accepting writes
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (9)")
+      spark.sql(s"SELECT k FROM $cat.db.$tbl").as[Long]
+        .collect() shouldBe Seq(9L)
+    }
+  }
+
   test("CREATE OR REPLACE / IF NOT EXISTS route through the catalog's create+drop") {
     import spark.implicits._
     val wh = warehouse
