@@ -2115,6 +2115,33 @@ object DeltaLite {
       .parquet(added.toSeq.map(f => dataPath(table, f)): _*)
   }
 
+  /** [[readChanges]]' FILE-level twin for the streaming source (X291):
+    * the add paths committed in versions (fromV, toV], refusing any
+    * version that removes files (the append-only discipline — a stream
+    * of appends cannot represent a rewrite; row-level CDC can). */
+  private[graft] def addedFilesBetween(spark: SparkSession, table: String,
+      fromV: Long, toV: Long): Seq[String] = {
+    val fs = hadoopFs(spark, table)
+    val added = mutable.LinkedHashSet.empty[String]
+    ((fromV + 1) to toV).foreach { v =>
+      val p = versionFile(table, v)
+      require(fs.exists(p), s"version $v absent from $table/_delta_log — " +
+        "expired below the stream's offset; restart the stream")
+      readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("remove") &&
+          node.get("remove").path("dataChange").asBoolean(true))
+          throw new UnsupportedOperationException(
+            s"version $v removes files: the table stream serves appends " +
+              "only — consume rewrites through readCdf")
+        if (node.has("add") &&
+          node.get("add").path("dataChange").asBoolean(true))
+          added += node.get("add").get("path").asText()
+      }
+    }
+    added.toSeq
+  }
+
   /** Data skipping off the log's `stats` layer: select the current
     * snapshot's files whose recorded [min, max] for `column` intersects
     * [lo, hi] — no data file or footer is opened; the decision rides

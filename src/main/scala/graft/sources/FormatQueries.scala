@@ -2359,6 +2359,58 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X291: streaming READ from a catalog table —
+    * `spark.readStream.table(…)` with the commit log as the offset
+    * axis: the first drain's batch is the table's snapshot, and a
+    * RESUMED query (same checkpoint) processes ONLY the versions
+    * committed since — pinned by the two drained row counts riding in
+    * the key beside the oracle-reproduced table state. */
+  private def streamRead(spark: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val catName = s"graftrd$fmt".take(12)
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir(s"cat_wh_rd_$fmt")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_rd")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_rd (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING $fmt""".stripMargin)
+    Tables.orders(spark, dir).createOrReplaceTempView("rd_src")
+    spark.sql(s"""INSERT INTO $catName.db.orders_rd
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM rd_src
+      |WHERE o_orderkey % 2 = 0""".stripMargin)
+    val ckpt = Sinks.tempDir(s"rd_ckpt_$fmt")
+    def drain(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.table(s"$catName.db.orders_rd")
+        .writeStream
+        .foreachBatch((df: DataFrame, _: Long) => { n.addAndGet(df.count()); () })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      n.get()
+    }
+    val batch1 = drain() // the initial snapshot (evens)
+    spark.sql(s"""INSERT INTO $catName.db.orders_rd
+      |SELECT o_orderkey, o_totalprice, o_orderpriority FROM rd_src
+      |WHERE o_orderkey % 2 = 1""".stripMargin)
+    val batch2 = drain() // resumed: ONLY the appended odds
+    spark.sql(
+      s"""SELECT o_orderpriority AS prio, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $catName.db.orders_rd GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("batch1_rows", lit(batch1))
+      .withColumn("batch2_rows", lit(batch2))
+      .orderBy("prio")
+  }
+
   /** X282, Iceberg side: SQL DELETE lands as a merge-on-read position-
     * delete commit — no data file rewritten — and the post-delete SQL
     * read serves UNCOMPACTED through the MOR bridge (X276): two
@@ -2843,6 +2895,8 @@ object FormatQueries {
       ((s, dir) => icebergPartitionIdentity(s, dir)),
     "x_iceberg_sql_update_partitioned" ->
       ((s, dir) => icebergSqlUpdatePartitioned(s, dir)),
+    "x_delta_stream_read" -> ((s, dir) => streamRead(s, dir, "delta")),
+    "x_iceberg_stream_read" -> ((s, dir) => streamRead(s, dir, "iceberg")),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
     "x_iceberg_update_partitioned" ->
       ((s, dir) => icebergUpdatePartitioned(s, dir)),
@@ -3204,6 +3258,24 @@ object FormatQueries {
         |     OR COALESCE(u.o_orderkey, base.o_orderkey) % 4 = 3)
         |SELECT prio, count(*) AS n, round(sum(p), 2) AS total
         |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
+    // readStream.table: first drain = the snapshot (evens), resumed
+    // drain = only the appended odds
+    "x_delta_stream_read" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS batch1_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+        |    AS batch2_rows
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    "x_iceberg_stream_read" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS batch1_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1)
+        |    AS batch2_rows
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // writeStream.toTable: the drained stream IS the orders table, plus
     // the replayed-epoch exactly-once pin
     "x_delta_stream_to_table" ->

@@ -3065,6 +3065,36 @@ object IcebergLite {
     snapshotId
   }
 
+  /** The current snapshot id — the streaming source's offset axis. */
+  private[graft] def currentSnapshotId(spark: SparkSession,
+      table: String): Long = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    readMetadata(fs, table, v).get("current-snapshot-id").asLong()
+  }
+
+  /** The FILE-level append diff for the streaming source (X291): data
+    * files live at snapshot `toSnap` but not at `fromSnap` (-1 = table
+    * start → the whole snapshot). Refuses when `fromSnap` files have
+    * disappeared by `toSnap` (a rewrite — appends-only streams cannot
+    * represent it) or when the range carries merge-on-read delete
+    * files. Control-plane reads only. */
+  private[graft] def addedFilesBetween(spark: SparkSession, table: String,
+      fromSnap: Long, toSnap: Long): Seq[String] = {
+    require(snapshotDeleteFiles(spark, table, toSnap).isEmpty,
+      s"$table carries merge-on-read delete files — the table stream " +
+        "serves appends only; consume row-level changes via readChangelog")
+    val to = snapshotFiles(spark, table, toSnap)
+    if (fromSnap < 0) return to
+    val from = snapshotFiles(spark, table, fromSnap).map(fileKeyRaw).toSet
+    val toKeys = to.map(fileKeyRaw).toSet
+    require(from.subsetOf(toKeys),
+      s"snapshots ($fromSnap, $toSnap] replace files: the table stream " +
+        "serves appends only — consume rewrites via readChangelog")
+    to.filterNot(f => from.contains(fileKeyRaw(f)))
+  }
+
   /** Exactly-once STREAMING epoch commit for the SQL
     * `writeStream.toTable` path (X286) — [[commitIdempotent]]'s
     * snapshot-summary ledger with the data plane moved into real DSv2

@@ -248,7 +248,9 @@ private[v2] final class FileAwareScanBuilder(
     path: String,
     tableSchema: StructType,
     files: Seq[String],
-    inner: ScanBuilder)
+    inner: ScanBuilder,
+    mkStream: Option[StructType =>
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -286,7 +288,13 @@ private[v2] final class FileAwareScanBuilder(
   }
 
   override def build(): Scan =
-    if (!wantsFile) inner.build()
+    if (!wantsFile) inner.build() match {
+      // the merge-on-read V1 bridge resolves through the V1Scan
+      // interface — wrapping would hide it (and MOR snapshots refuse
+      // to stream anyway)
+      case v1: org.apache.spark.sql.connector.read.V1Scan => v1
+      case b => mkStream.fold(b)(mk => new StreamCapableScan(b, mk))
+    }
     else
       // no row-group pushdown on the tagged path: Spark re-evaluates
       // every data filter above the scan (file-source contract), and

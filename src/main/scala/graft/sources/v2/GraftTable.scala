@@ -289,10 +289,18 @@ private[v2] final class GraftDeltaTable(
   /** The runtime group-filter subquery reads `_file` through the
     * REGULAR scan path — wrap the stock builder so a pruned schema
     * containing `_file` serves the file-tagged scan instead. */
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = super.capabilities()
+    caps.add(TableCapability.MICRO_BATCH_READ) // readStream.table (X291)
+    caps
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
-      path, logicalSchema, snapFiles, super.newScanBuilder(options))
+      path, logicalSchema, snapFiles, super.newScanBuilder(options),
+      mkStream = Some(rs =>
+        new GraftTableStream(path, "delta", logicalSchema, rs)))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -325,10 +333,18 @@ private[v2] final class GraftIcebergTable(
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(GraftTable.FileMetadataColumn)
 
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = super.capabilities()
+    caps.add(TableCapability.MICRO_BATCH_READ) // readStream.table (X291)
+    caps
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
-      path, logicalSchema, snapFiles, super.newScanBuilder(options))
+      path, logicalSchema, snapFiles, super.newScanBuilder(options),
+      mkStream = Some(rs =>
+        new GraftTableStream(path, "iceberg", logicalSchema, rs)))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

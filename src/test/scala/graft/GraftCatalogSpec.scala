@@ -711,6 +711,43 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     IcebergLite.read(spark, t).count() shouldBe 21L
   }
 
+  test("readStream.table: the commit log is the offset axis, restart resumes, rewrites refuse") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"srd_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING $fmt")
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (1, 10), (2, 20)")
+      val ckpt = graft.ingest.Sinks.tempDir(s"srd_ckpt_$fmt")
+      def drain(): Long = {
+        val n = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = spark.readStream.table(s"$cat.db.$tbl")
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            n.addAndGet(df.count()); ()
+          })
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        n.get()
+      }
+      // first drain: the initial snapshot
+      drain() shouldBe 2L
+      // appends land; a resumed query (same checkpoint) sees ONLY them
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (3, 30), (4, 40), (5, 50)")
+      drain() shouldBe 3L
+      // a rewriting commit cannot masquerade as appends: refuse loudly
+      spark.sql(s"UPDATE $cat.db.$tbl SET v = 99 WHERE k = 1")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        drain()
+      }
+      e.getMessage should (include("appends only") or include("removes files")
+        or include("replace files"))
+    }
+  }
+
   test("TRUNCATE TABLE: one metadata commit removing every live file, history intact") {
     import spark.implicits._
     val wh = warehouse
