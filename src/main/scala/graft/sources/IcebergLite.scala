@@ -120,7 +120,12 @@ object IcebergLite {
     def valueOf(v: Any): String = kind match {
       case "identity" => v.toString
       case "truncate" =>
-        val s = v.toString; s.substring(0, math.min(param, s.length))
+        // CODEPOINT truncation, matching Spark's substring (the codegen
+        // twin): Java's substring counts UTF-16 units and would split a
+        // surrogate pair one character early on astral-plane text
+        val s = v.toString
+        s.substring(0, s.offsetByCodePoints(0,
+          math.min(param, s.codePointCount(0, s.length))))
       case "bucket" =>
         ((org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(
           v.asInstanceOf[Number].longValue(), 0) & Int.MaxValue) % param)
@@ -142,8 +147,11 @@ object IcebergLite {
           case "month" => (odt.getYear - 1970) * 12 + odt.getMonthValue - 1
           case "day" => java.time.temporal.ChronoUnit.DAYS
             .between(epoch.toLocalDate, odt.toLocalDate).toInt
-          case "hour" => java.time.temporal.ChronoUnit.HOURS
-            .between(epoch, odt).toInt
+          case "hour" =>
+            // FLOOR division, matching the codegen twin's pmod form:
+            // ChronoUnit.HOURS.between truncates toward zero, which
+            // disagrees one bucket on every pre-epoch timestamp
+            math.floorDiv(odt.toEpochSecond, 3600L).toInt
         }
         n.toString
     }
