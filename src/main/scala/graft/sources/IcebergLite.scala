@@ -3121,17 +3121,26 @@ object IcebergLite {
     val prevMeta = readMetadata(fs, table, prevV)
     val cur = prevMeta.get("current-snapshot-id").asLong()
     // dedup ledger half 1: the high-water mark expireSnapshots folds
-    // into table properties; half 2: retained snapshots' own markers
+    // into table properties; half 2: retained snapshots' own markers.
+    // The contract is MONOTONE (micro-batch ids only grow within a
+    // query), so anything at-or-below the MAX committed marker is a
+    // redelivery and must no-op — an equality-only marker match would
+    // re-commit a replayed id whose own marker snapshot is absent
+    // (found by StreamCommitProperties)
     val hwm = prevMeta.path("properties").path("graft-max-batch-id")
       .asLong(-1L)
-    if (epochId <= hwm) return cur
     var found = -1L
+    var maxMarker = -1L
     prevMeta.get("snapshots").forEach { s =>
-      if (s.get("summary").path("graft-batch-id").asText("")
-          == epochId.toString)
-        found = s.get("snapshot-id").asLong()
+      val m = s.get("summary").path("graft-batch-id").asText("")
+      if (m.nonEmpty) {
+        maxMarker = math.max(maxMarker, m.toLong)
+        if (m == epochId.toString)
+          found = s.get("snapshot-id").asLong()
+      }
     }
     if (found >= 0) return found
+    if (epochId <= math.max(hwm, maxMarker)) return cur
     if (addRel.isEmpty) return cur // empty epoch: nothing to dedup
     require(partitionSpec(prevMeta).isEmpty,
       "streaming toTable targets unpartitioned Iceberg tables — " +
