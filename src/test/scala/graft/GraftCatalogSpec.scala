@@ -511,6 +511,35 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     DeltaLite.read(spark, t).count() shouldBe 20L
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: full three-way merge through the row-level path") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"nbs_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING $fmt")
+      spark.sql(s"INSERT INTO $cat.db.$tbl " +
+        (1L to 20L).map(k => s"VALUES ($k, $k)").head +
+        (2L to 20L).map(k => s", ($k, $k)").mkString)
+      Seq((2L, 222L), (15L, 555L), (99L, 999L)).toDF("k", "v")
+        .createOrReplaceTempView(s"nbs_src_$fmt")
+      // all three match classes in one statement: matched update,
+      // not-matched insert, not-matched-BY-SOURCE delete
+      spark.sql(
+        s"""MERGE INTO $cat.db.$tbl t USING nbs_src_$fmt s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |WHEN NOT MATCHED BY SOURCE AND t.k > 18 THEN DELETE""".stripMargin)
+      val rows = spark.sql(s"SELECT k, v FROM $cat.db.$tbl ORDER BY k")
+        .as[(Long, Long)].collect()
+      rows.length shouldBe 19 // 20 - {19,20 deleted} + {99 inserted}
+      rows.find(_._1 == 2L).map(_._2) shouldBe Some(222L)
+      rows.find(_._1 == 15L).map(_._2) shouldBe Some(555L)
+      rows.find(_._1 == 99L).map(_._2) shouldBe Some(999L)
+      rows.exists(_._1 == 19L) shouldBe false
+    }
+  }
+
   test("Iceberg SQL UPDATE / MERGE INTO: manifest-arbiter copy-on-write, carried manifests") {
     import spark.implicits._
     val wh = warehouse
