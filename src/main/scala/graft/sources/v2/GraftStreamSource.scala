@@ -30,46 +30,123 @@ import graft.sources.{DeltaLite, IcebergLite}
   * Scale notes: planning reads only the log/manifests of the new
   * versions (O(delta), never O(table)); the data plane is the stock
   * vectorized parquet reader over exactly the new files. */
-private[v2] final case class GraftVersionOffset(v: Long) extends Offset {
-  override def json(): String = v.toString
+private[v2] final case class GraftStreamOffset(snapV: Long, v: Long,
+    k: Long) extends Offset {
+  override def json(): String = s"$snapV/$v/$k"
+}
+
+private[v2] object GraftStreamOffset {
+  def parse(s: String): GraftStreamOffset = {
+    val Array(a, b, c) = s.split('/')
+    GraftStreamOffset(a.toLong, b.toLong, c.toLong)
+  }
 }
 
 private[v2] final class GraftTableStream(
     path: String,
     format: String,
     tableSchema: StructType,
-    readSchema: StructType)
-  extends MicroBatchStream {
+    readSchema: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = GraftVersionOffset(-1L)
-
-  override def latestOffset(): Offset = GraftVersionOffset(format match {
+  private def latestVersion: Long = format match {
     case "delta" => DeltaLite.latestVersion(spark, path)
     case _ => IcebergLite.currentSnapshotId(spark, path)
-  })
+  }
+
+  /** The offset axis is a concatenation of UNITS: unit(snapV) is the
+    * pinned INITIAL SNAPSHOT's file list, unit(v > snapV) is exactly
+    * the files version v added. File-granular offsets (v, k) = k files
+    * of unit(v) consumed — so admission control can split a 100 TB
+    * initial snapshot into bounded micro-batches instead of one. */
+  private def unit(snapV: Long, v: Long): Seq[String] =
+    if (v == snapV) format match {
+      case "delta" =>
+        val snap = DeltaLite.snapshotAt(spark, path, v)
+        require(snap.dvs.isEmpty,
+          s"$path carries deletion vectors — the table stream serves " +
+            "appends only; consume row-level changes via readCdf")
+        snap.files
+      case _ => IcebergLite.addedFilesBetween(spark, path, -1L, v)
+    }
+    else format match {
+      case "delta" => DeltaLite.addedFilesBetween(spark, path, v - 1, v)
+      case _ => IcebergLite.addedFilesBetween(spark, path, v - 1, v)
+    }
+
+  override def initialOffset(): Offset = {
+    val snapV = latestVersion
+    GraftStreamOffset(snapV, snapV, 0L)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled " +
+        "source")
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxFiles(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  // Trigger.AvailableNow pins its end HERE, so a concurrent writer
+  // cannot keep the drain alive forever
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowBound = Some(latestVersion)
+  }
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val bound = availableNowBound.fold(latestVersion)(
+      b => math.min(b, latestVersion))
+    var v = s.v
+    var k = s.k
+    var budget = cap.toLong
+    var done = false
+    while (!done && budget > 0) {
+      val size = unit(s.snapV, v).size.toLong
+      if (k < size) {
+        val take = math.min(budget, size - k)
+        k += take
+        budget -= take
+      } else if (v < bound) { v += 1; k = 0 }
+      else done = true
+    }
+    GraftStreamOffset(s.snapV, v, k)
+  }
+
+  override def reportLatestOffset(): Offset = null // AvailableNow pins
+  // through prepareForTriggerAvailableNow, never this
 
   override def deserializeOffset(json: String): Offset =
-    GraftVersionOffset(json.toLong)
+    GraftStreamOffset.parse(json)
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftVersionOffset].v
-    val e = end.asInstanceOf[GraftVersionOffset].v
-    if (s >= e) return Array.empty
-    val files: Seq[String] = format match {
-      case "delta" =>
-        if (s < 0) {
-          // the initial batch IS the snapshot at `e`
-          val snap = DeltaLite.snapshotAt(spark, path, e)
-          require(snap.dvs.isEmpty,
-            s"$path carries deletion vectors — the table stream serves " +
-              "appends only; consume row-level changes via readCdf")
-          snap.files
-        } else DeltaLite.addedFilesBetween(spark, path, s, e)
-      case _ =>
-        IcebergLite.addedFilesBetween(spark, path, s, e)
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    val files: Seq[String] = (s.v to e.v).flatMap { v =>
+      val u = unit(s.snapV, v)
+      val from = if (v == s.v) s.k.toInt else 0
+      val until = if (v == e.v) e.k.toInt else u.size
+      u.slice(from, until)
     }
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

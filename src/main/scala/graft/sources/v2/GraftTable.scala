@@ -300,7 +300,8 @@ private[v2] final class GraftDeltaTable(
     new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
       path, logicalSchema, snapFiles, super.newScanBuilder(options),
       mkStream = Some(rs =>
-        new GraftTableStream(path, "delta", logicalSchema, rs)))
+        new GraftTableStream(path, "delta", logicalSchema, rs,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -344,7 +345,8 @@ private[v2] final class GraftIcebergTable(
     new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
       path, logicalSchema, snapFiles, super.newScanBuilder(options),
       mkStream = Some(rs =>
-        new GraftTableStream(path, "iceberg", logicalSchema, rs)))
+        new GraftTableStream(path, "iceberg", logicalSchema, rs,
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

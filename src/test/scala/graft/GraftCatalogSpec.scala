@@ -777,6 +777,47 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("readStream.table admission control: maxFilesPerTrigger bounds every micro-batch") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      val tbl = s"adm_$fmt"
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+      spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT) USING $fmt")
+      // three single-file commits → the initial snapshot holds 3 files
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO $cat.db.$tbl VALUES ($i)"))
+      val ckpt = graft.ingest.Sinks.tempDir(s"adm_ckpt_$fmt")
+      def drain(): (Long, Long) = { // (batches, rows)
+        val batches = new java.util.concurrent.atomic.AtomicLong(0)
+        val rows = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = spark.readStream
+          .option("maxFilesPerTrigger", "1")
+          .table(s"$cat.db.$tbl")
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+            val n = df.count()
+            if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+            ()
+          })
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (batches.get(), rows.get())
+      }
+      // the 100 TB hazard, bounded: the initial snapshot drains as one
+      // batch PER FILE, not one batch total
+      drain() shouldBe ((3L, 3L))
+      // appends keep the same bound on resume
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (4)")
+      spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (5)")
+      drain() shouldBe ((2L, 2L))
+      spark.sql(s"SELECT sum(k) FROM $cat.db.$tbl").as[Long]
+        .head() shouldBe 15L
+    }
+  }
+
   test("table-to-table streaming ETL: readStream.table -> transform -> writeStream.toTable") {
     import spark.implicits._
     val wh = warehouse
