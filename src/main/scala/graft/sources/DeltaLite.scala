@@ -1322,7 +1322,10 @@ object DeltaLite {
         decoded.split('/').takeRight(2).mkString("/")
       }
       val statsByFile: Map[String, String] =
-        if (!collectStats) Map.empty
+        // `parts` can be EMPTY (an empty frame clearing a partition via
+        // replaceValue): the stats pass must skip, not die inferring a
+        // schema from a fileless staging dir
+        if (!collectStats || parts.isEmpty) Map.empty
         else {
           val aggs = count(lit(1)).as("numRecords") +:
             longCols.flatMap(c =>

@@ -2758,10 +2758,15 @@ object IcebergLite {
         catch { case _: java.net.URISyntaxException => p }
       decoded.split('/').takeRight(2).mkString("/")
     }
-    val counts = spark.read.parquet(s"$table/$stagedRel")
-      .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
-      .collect()
-      .map(r => (ifnKey(r.getAs[String]("f")), r.getAs[Long]("n"))).toMap
+    // an EMPTY staged frame (a partition overwrite CLEARING a partition)
+    // stages no files: the counts pass must skip, not die inferring a
+    // schema from a fileless directory
+    val counts =
+      if (parts.isEmpty) Map.empty[String, Long]
+      else spark.read.parquet(s"$table/$stagedRel")
+        .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
+        .collect()
+        .map(r => (ifnKey(r.getAs[String]("f")), r.getAs[Long]("n"))).toMap
     val entries = parts.map { case (rel, pval, p) =>
       val e = new GenericData.Record(schema)
       e.put("status", 1)
