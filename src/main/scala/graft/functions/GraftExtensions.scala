@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
     e.injectOptimizerRule(_ => graft.plans.MaterializedViewRewrite)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // maintenance verbs (X296): OPTIMIZE / VACUUM / CALL …system.…
+    // regex-match ahead of the delegate; all real SQL passes through
+    e.injectParser((_, delegate) =>
+      new graft.plans.MaintenanceSqlParser(delegate))
   }
 }
 

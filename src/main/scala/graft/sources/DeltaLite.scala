@@ -1524,6 +1524,24 @@ object DeltaLite {
         .build())
     })
 
+  /** The PHYSICAL parquet schema a column-mapped table's data files
+    * carry, in LOGICAL field order (positional writers depend on the
+    * order): physical names `col-<id>` plus the column id as the parquet
+    * FIELD ID — what the SQL row-level write path stages replacement
+    * files under (X294), so field-id-bound reads keep resolving across
+    * renames/drops on SQL-updated files exactly as on written ones. */
+  private[graft] def physicalWriteSchema(spark: SparkSession,
+      table: String): StructType = {
+    val schema = tableSchema(spark, table)
+    require(isColumnMapped(schema),
+      s"$table is not column-mapped: stage under logical names")
+    StructType(schema.fields.map(f =>
+      f.copy(name = physicalName(f),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id", f.metadata.getLong(ColumnIdKey))
+          .build())))
+  }
+
   /** Refuse-rather-than-answer-wrong guard for operators that read or
     * write data files under LOGICAL names (stats skipping, DV deletes,
     * compaction, plain writes, change feeds): on a column-mapped table
@@ -1541,11 +1559,25 @@ object DeltaLite {
           "in this subset — use the columnMapped ops")
     }
 
+  /** `floor` is the table's PRIOR declared maxColumnId: the spec requires
+    * maxColumnId to be MONOTONE (ids are never reused), so after a DROP
+    * COLUMN shrinks the live schema's max id, the configuration must keep
+    * re-declaring the old high-water mark — otherwise a later ADD COLUMNS
+    * would hand the dropped field's id (and physical name col-N) to the
+    * new column, and field-id-bound reads of pre-drop files would surface
+    * the dropped column's old values under the new name. */
   private def cmConfiguration(schema: StructType,
-      mode: String = "name"): Map[String, String] = Map(
+      mode: String = "name", floor: Long = 0L): Map[String, String] = Map(
     "delta.columnMapping.mode" -> mode,
-    "delta.columnMapping.maxColumnId" ->
-      schema.fields.map(_.metadata.getLong(ColumnIdKey)).max.toString)
+    "delta.columnMapping.maxColumnId" -> math.max(floor,
+      schema.fields.map(_.metadata.getLong(ColumnIdKey)).max).toString)
+
+  /** Monotone column-id high-water mark: max of the live schema's ids and
+    * the configuration's declared maxColumnId (which outlives drops). */
+  private def cmMaxId(schema: StructType,
+      config: Map[String, String]): Long = math.max(
+    schema.fields.map(_.metadata.getLong(ColumnIdKey)).max,
+    config.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L))
 
   /** The table's declared mapping mode ("name" | "id"), read from the
     * live configuration — metadata-only commits (rename/drop/purge) must
@@ -1619,16 +1651,18 @@ object DeltaLite {
             existing.contains(f.name))
           if (newCols.isEmpty) (Seq.empty, schema)
           else {
-            // widening evolution: fresh ids above maxColumnId, merged
-            // metaData rides in the SAME commit as the widened files
-            val maxId = schema.fields
-              .map(_.metadata.getLong(ColumnIdKey)).max
+            // widening evolution: fresh ids above the MONOTONE high-water
+            // mark (configuration maxColumnId, which outlives drops — ids
+            // are never reused), merged metaData rides in the SAME commit
+            // as the widened files
+            val maxId = cmMaxId(schema, snapW.config)
             val merged = StructType(
               schema.fields.toSeq ++ cmAssign(newCols.toSeq, maxId + 1))
             val (id, _) = snapW.meta.getOrElse(
               throw new IllegalArgumentException(s"no metaData in $table"))
             (Seq(metaDataLine(merged, id,
-              configuration = cmConfiguration(merged, cmMode(snapW.config)))),
+              configuration = cmConfiguration(merged, cmMode(snapW.config),
+                floor = maxId))),
               merged)
           }
         }
@@ -1677,7 +1711,8 @@ object DeltaLite {
       if (f.name == oldName) f.copy(name = newName) else f))
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("RENAME COLUMN"),
         metaDataLine(renamed, id,
-          configuration = cmConfiguration(renamed, cmMode(snapR.config))))))
+          configuration = cmConfiguration(renamed, cmMode(snapR.config),
+            floor = cmMaxId(schema, snapR.config))))))
       throw new IllegalStateException(s"rename lost the commit race on $table")
     v
   }
@@ -1701,7 +1736,10 @@ object DeltaLite {
     val dropped = StructType(schema.fields.filterNot(_.name == name))
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("DROP COLUMNS"),
         metaDataLine(dropped, id,
-          configuration = cmConfiguration(dropped, cmMode(snapD.config))))))
+          // floor keeps maxColumnId at the PRE-drop high-water mark: the
+          // dropped field's id must never be handed to a later ADD COLUMNS
+          configuration = cmConfiguration(dropped, cmMode(snapD.config),
+            floor = cmMaxId(schema, snapD.config))))))
       throw new IllegalStateException(s"drop lost the commit race on $table")
     v
   }
@@ -1729,9 +1767,10 @@ object DeltaLite {
     val nf = org.apache.spark.sql.types.StructField(name, dataType)
     val (widened, conf) =
       if (isColumnMapped(schema)) {
-        val maxId = schema.fields.map(_.metadata.getLong(ColumnIdKey)).max
+        val maxId = cmMaxId(schema, snapA.config)
         val w = StructType(schema.fields.toSeq ++ cmAssign(Seq(nf), maxId + 1))
-        (w, snapA.config ++ cmConfiguration(w, cmMode(snapA.config)))
+        (w, snapA.config ++ cmConfiguration(w, cmMode(snapA.config),
+          floor = maxId))
       } else (StructType(schema.fields :+ nf), snapA.config)
     if (!tryCommit(fs, table, v, Seq(commitInfoLine("ADD COLUMNS"),
         metaDataLine(widened, id, snapA.partCols, conf))))
@@ -3016,10 +3055,9 @@ object DeltaLite {
   private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
       removeRel: Seq[String], addRel: Seq[String],
       operation: String,
-      partitionValues: Map[String, Map[String, String]] = Map.empty)
-      : Long = {
+      partitionValues: Map[String, Map[String, String]] = Map.empty,
+      maxRetries: Int = 10): Long = {
     val fs = hadoopFs(spark, table)
-    val v = latestVersion(spark, table) + 1
     val statsByFile = longStatsFor(spark, table, addRel)
     val adds = addRel.map { f =>
       val st = fs.getFileStatus(new Path(table, f))
@@ -3027,11 +3065,29 @@ object DeltaLite {
         statsByFile.get(new Path(f).getName),
         partitionValues = partitionValues.getOrElse(f, Map.empty))
     }
-    if (!tryCommit(fs, table, v,
-        commitInfoLine(operation) +: (removeRel.map(removeLine(_)) ++ adds)))
-      throw new IllegalStateException(
-        s"$operation lost the commit race on $table")
-    v
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val v = latestVersion(spark, table) + 1
+      // OPTIMISTIC CONFLICT RESOLUTION (Delta's own rule): after losing a
+      // race, the rewrite may re-commit at the new version ONLY if every
+      // file it removes is still live there — a concurrent APPEND
+      // commutes with this rewrite; a concurrent commit that touched our
+      // files does not, and retrying would silently drop its effects.
+      if (attempt > 0) {
+        val live = snapshot(spark, table, v - 1).files.toSet
+        require(removeRel.forall(live.contains),
+          s"$operation on $table conflicts with a concurrent commit " +
+            "that rewrote the same files — re-run the statement against " +
+            "the new snapshot")
+      }
+      if (tryCommit(fs, table, v,
+          commitInfoLine(operation) +:
+            (removeRel.map(removeLine(_)) ++ adds)))
+        return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"$operation lost $maxRetries commit races on $table")
   }
 
   /** Exactly-once STREAMING epoch commit for the SQL
@@ -3040,29 +3096,57 @@ object DeltaLite {
     * the SetTransaction ledger row ([[TxnAppId]], epochId) — a
     * redelivered epoch finds its id ≤ the ledger mark and no-ops
     * ([[commitIdempotent]]'s contract with the data plane moved into
-    * real DSv2 streaming writers). Stats recomputed so skipping keeps
-    * working on streamed files. */
+    * real DSv2 streaming writers). The ledger is keyed PER QUERY:
+    * `appId` is the streaming query's id (LogicalWriteInfo.queryId), so
+    * two queries writing the same table — or a query plus a foreachBatch
+    * commitIdempotent sink — each advance their OWN SetTransaction row
+    * instead of sharing one high-water mark (a shared ledger would make
+    * the lower-epoch query silently no-op its commits and drop data;
+    * reference Delta scopes txn appId by query id the same way). Stats
+    * recomputed so skipping keeps working on streamed files. */
   private[graft] def commitStreamFiles(spark: SparkSession, table: String,
-      addRel: Seq[String], epochId: Long): Long = {
+      addRel: Seq[String], epochId: Long,
+      appId: String = TxnAppId,
+      partitionValues: Map[String, Map[String, String]] = Map.empty,
+      maxRetries: Int = 10): Long = {
     val fs = hadoopFs(spark, table)
-    val latest = latestVersion(spark, table)
-    require(latest >= 0,
-      s"$table has no Delta log — CREATE TABLE through the catalog first")
-    if (snapshot(spark, table, latest).txns.get(TxnAppId)
-        .exists(_ >= epochId)) return latest
-    val statsByFile = longStatsFor(spark, table, addRel)
-    val adds = addRel.map { f =>
-      val st = fs.getFileStatus(new Path(table, f))
-      addLine(f, st.getLen, st.getModificationTime,
-        statsByFile.get(new Path(f).getName))
+    var statsByFile: Map[String, String] = null
+    var attempt = 0
+    // OPTIMISTIC RETRY: two streaming queries (or a query and a batch
+    // writer) legitimately race one table; an epoch append conflicts
+    // with nothing, so losing the arbiter race just means re-reading
+    // the head — the per-appId ledger check re-runs each attempt so a
+    // replay that lands concurrently still no-ops.
+    while (attempt < maxRetries) {
+      val latest = latestVersion(spark, table)
+      require(latest >= 0,
+        s"$table has no Delta log — CREATE TABLE through the catalog first")
+      val snapS = snapshot(spark, table, latest)
+      // a PARTITIONED table's epochs must declare partitionValues on
+      // every add (the rolling streaming writers do) — a value-less add
+      // would be a file planPartitioned silently excludes
+      require(snapS.partCols.isEmpty ||
+          addRel.forall(partitionValues.contains),
+        s"$table is partitioned: streaming adds must declare " +
+          "partitionValues")
+      if (snapS.txns.get(appId).exists(_ >= epochId)) return latest
+      if (addRel.isEmpty) return latest // empty epoch: nothing to dedup
+      if (statsByFile == null) statsByFile = longStatsFor(spark, table,
+        addRel)
+      val adds = addRel.map { f =>
+        val st = fs.getFileStatus(new Path(table, f))
+        addLine(f, st.getLen, st.getModificationTime,
+          statsByFile.get(new Path(f).getName),
+          partitionValues = partitionValues.getOrElse(f, Map.empty))
+      }
+      if (tryCommit(fs, table, latest + 1,
+          Seq(commitInfoLine("STREAMING UPDATE"),
+            txnLine(appId, epochId)) ++ adds))
+        return latest + 1
+      attempt += 1
     }
-    val v = latest + 1
-    if (!tryCommit(fs, table, v,
-        Seq(commitInfoLine("STREAMING UPDATE"),
-          txnLine(TxnAppId, epochId)) ++ adds))
-      throw new IllegalStateException(
-        s"streaming epoch $epochId lost the commit race on $table")
-    v
+    throw new IllegalStateException(
+      s"streaming epoch $epochId lost $maxRetries commit races on $table")
   }
 
   /** numRecords + long-column min/max stats for staged files, computed
@@ -3073,6 +3157,10 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{col => c_, count => cnt_, input_file_name, lit => l_, max => mx_, min => mn_}
     if (addRel.isEmpty) return Map.empty
     val schema = tableSchema(spark, table)
+    // column-mapped staged files carry PHYSICAL names — logical-name
+    // stats would mis-scan, and the skipping layer refuses mapped
+    // tables anyway (requireNotMapped): commit without stats
+    if (isColumnMapped(schema)) return Map.empty
     val longCols = schema.fields.filter(_.dataType == LongType)
       .map(_.name).toSeq
     val aggs = cnt_(l_(1)).as("numRecords") +: longCols.flatMap(c =>
@@ -3264,6 +3352,68 @@ object DeltaLite {
     * records deciding partitionValues are PRUNED on mismatch (never
     * opened), undecided files are read and row-filtered — so the result
     * is exact either way and pruning is purely a cost lever. */
+  /** One file of a version's CHANGE SET, as the streaming change feed
+    * plans it (X297): `cdc` files carry their own `_change_type` column;
+    * `insert` units are the commit's dataChange adds; `delete` units are
+    * its dataChange removes, whose deleted rows are the file's rows MINUS
+    * `dvPositions` (any vector the file carried at the prior version —
+    * already-deleted rows must not re-announce). */
+  private[graft] final case class ChangeUnit(relPath: String, kind: String,
+      dvPositions: Array[Long])
+
+  /** First version whose snapshot declares change-data-feed — the
+    * earliest point the feed can serve from. */
+  private[graft] def firstCdfVersion(spark: SparkSession,
+      table: String): Option[Long] = {
+    val latest = latestVersion(spark, table)
+    (0L to latest).find(v => cdfEnabled(snapshot(spark, table, v).config))
+  }
+
+  /** Version `v`'s change units for the STREAMING feed — the same
+    * per-version rules as [[readCdf]] (cdc wins; else adds as inserts +
+    * removes as DV-masked deletes; a DV add without cdc is underivable
+    * and refuses), but as FILE-GRANULAR plans an executor-side reader
+    * can serve without a driver-side DataFrame. */
+  private[graft] def changeUnits(spark: SparkSession, table: String,
+      v: Long): Seq[ChangeUnit] = {
+    val fs = hadoopFs(spark, table)
+    val p = versionFile(table, v)
+    require(fs.exists(p), s"version $v absent from $table/_delta_log")
+    var cdcPaths = Vector.empty[String]
+    var addPaths = Vector.empty[String]
+    var rmPaths = Vector.empty[String]
+    var dvAdd = false
+    readLogText(fs, p).split('\n').filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("cdc"))
+        cdcPaths :+= node.get("cdc").get("path").asText()
+      else if (node.has("add") &&
+        node.get("add").path("dataChange").asBoolean(true)) {
+        addPaths :+= node.get("add").get("path").asText()
+        if (node.get("add").path("deletionVector").isObject) dvAdd = true
+      } else if (node.has("remove") &&
+        node.get("remove").path("dataChange").asBoolean(true))
+        rmPaths :+= node.get("remove").get("path").asText()
+    }
+    if (cdcPaths.nonEmpty)
+      cdcPaths.map(ChangeUnit(_, "cdc", Array.empty))
+    else {
+      if (dvAdd) throw new UnsupportedOperationException(
+        s"version $v adds a deletion vector without cdc actions — " +
+          "its row-level changes are underivable from the file actions")
+      val dels =
+        if (rmPaths.isEmpty) Seq.empty
+        else {
+          val prior = snapshot(spark, table, v - 1)
+          rmPaths.map(f => ChangeUnit(f, "delete",
+            prior.dvs.get(f)
+              .map(d => DeletionVectors.readPositions(fs, table, d))
+              .getOrElse(Array.empty[Long])))
+        }
+      addPaths.map(ChangeUnit(_, "insert", Array.empty)) ++ dels
+    }
+  }
+
   def readCdf(spark: SparkSession, table: String, fromV: Long,
       toV: Long, partitionFilter: Map[String, String] = Map.empty)
       : DataFrame = {

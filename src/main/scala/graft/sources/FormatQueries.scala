@@ -1874,6 +1874,186 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X293: SQL DML on a DELETION-VECTOR-carrying Delta table — the
+    * 100 TB shape DVs exist for. A table that already carries vectors
+    * takes the DV route for SQL `DELETE` (new positions UNION into the
+    * existing vectors, [[DeltaLite.deleteWhereDV]] — kilobytes written,
+    * NO data-file rewrite) and the MASKED tagged scan for SQL `UPDATE`
+    * (the copy-on-write rewrite starts from live rows, so the vectors'
+    * deleted rows never resurrect). The key pins: file set unchanged
+    * across the SQL DELETE, uncompacted SQL/API reads hash-matched, and
+    * the post-UPDATE state correct. */
+  private def deltaSqlDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdvd.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_dvd")
+        spark.conf.set("spark.sql.catalog.graftdvd",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdvd.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    spark.sql("DROP TABLE IF EXISTS graftdvd.db.orders_dvd")
+    val table = s"$wh/db/orders_dvd"
+    DeltaLite.write(spark, o.repartition(4), table, collectStats = true)
+    // seed vectors through the format API (the pre-existing DV state)
+    DeltaLite.deleteWhereDV(spark, table, "o_orderkey", 100L, 200L)
+    val filesBefore = DeltaLite.snapshotAt(spark, table).files.toSet
+    // SQL DELETE on the DV table: vectors merge, data files untouched
+    spark.sql("DELETE FROM graftdvd.db.orders_dvd " +
+      "WHERE o_orderkey BETWEEN 201 AND 300")
+    val snapAfter = DeltaLite.snapshotAt(spark, table)
+    val noRewrite = snapAfter.files.toSet == filesBefore &&
+      snapAfter.dvs.nonEmpty
+    // SQL UPDATE through the masked scan: doubled prices for live keys
+    // 301..400, deleted keys stay deleted
+    spark.sql(
+      """UPDATE graftdvd.db.orders_dvd SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderkey BETWEEN 301 AND 400""".stripMargin)
+    val apiRows = DeltaLite.read(spark, table).count()
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftdvd.db.orders_dvd GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("dv_route_no_rewrite", lit(noRewrite))
+      .withColumn("rows_api", lit(apiRows))
+      .orderBy("prio")
+  }
+
+  /** X294: SQL row-level DML on a COLUMN-MAPPED Delta table — rename a
+    * column (metadata-only), then SQL `UPDATE` binds by parquet FIELD ID
+    * through the rename and stages its replacement files under PHYSICAL
+    * names + field ids, so id-bound reads keep resolving on SQL-updated
+    * files and versions below the rename still serve the original
+    * names. */
+  private def deltaCmSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftcm.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_cmu")
+        spark.conf.set("spark.sql.catalog.graftcm",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftcm.warehouse", w)
+        w
+      }
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val table = s"$wh/db/orders_cm"
+    spark.sql("DROP TABLE IF EXISTS graftcm.db.orders_cm")
+    DeltaLite.writeColumnMapped(spark, o, table)
+    DeltaLite.renameColumn(spark, table, "o_totalprice", "price")
+    // UPDATE binds `price` by field id; replacement files stage under
+    // physical names so the rename stays metadata-only afterwards
+    spark.sql(
+      """UPDATE graftcm.db.orders_cm SET price = price * 2
+        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+    // the pre-rename version still serves its own (original) names
+    val v0 = DeltaLite.read(spark, table, versionAsOf = 0L)
+    val v0Original = v0.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority")
+    val apiSum = DeltaLite.read(spark, table)
+      .agg(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.sum(col("price")), 2))
+      .head.getDouble(0)
+    val sqlSum = spark.sql(
+      "SELECT round(sum(price), 2) FROM graftcm.db.orders_cm")
+      .head.getDouble(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(price), 2) AS total
+        |FROM graftcm.db.orders_cm GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("v0_original_names", lit(v0Original))
+      .withColumn("api_agrees", lit(apiSum == sqlSum))
+      .orderBy("prio")
+  }
+
+  /** X296: the MAINTENANCE verbs through SQL — `OPTIMIZE` + `VACUUM` on
+    * Delta ([[graft.plans.MaintenanceSqlParser]], injected by
+    * [[graft.functions.GraftExtensions]]): file count drops, the
+    * compaction commit is dataChange=false so the change feed stays
+    * SILENT across it, time travel below the rewrite keeps serving, and
+    * VACUUM physically deletes exactly the files no retained version
+    * references. */
+  private def deltaSqlOptimize(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftmx.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_mx")
+        spark.conf.set("spark.sql.catalog.graftmx",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmx.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val table = s"$wh/db/orders_mx"
+    spark.sql("DROP TABLE IF EXISTS graftmx.db.orders_mx")
+    DeltaLite.write(spark, o.repartition(8), table, collectStats = true)
+    DeltaLite.enableCdf(spark, table)
+    val filesBefore = DeltaLite.snapshotAt(spark, table).files.size.toLong
+    val opt = spark.sql("OPTIMIZE graftmx.db.orders_mx").collect()(0)
+    val (optV, b, a) = (opt.getLong(0), opt.getLong(1), opt.getLong(2))
+    // the change feed is SILENT across the dataChange=false compaction
+    val cdfSilent = DeltaLite.readCdf(spark, table, optV, optV).count() == 0L
+    // time travel below the rewrite keeps serving the pre-compaction files
+    val v0Rows = spark.sql(
+      "SELECT count(*) FROM graftmx.db.orders_mx VERSION AS OF 0")
+      .collect()(0).getLong(0)
+    // VACUUM deletes exactly the compacted-away files
+    val deleted = spark.sql("VACUUM graftmx.db.orders_mx")
+      .collect()(0).getLong(0)
+    val v0AfterVacuum = // pre-compaction versions are gone from storage
+      scala.util.Try(spark.sql(
+        "SELECT count(*) FROM graftmx.db.orders_mx VERSION AS OF 0")
+        .collect()(0).getLong(0)).isFailure
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftmx.db.orders_mx GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("compacted", lit(b == filesBefore && a < b))
+      .withColumn("cdf_silent", lit(cdfSilent))
+      .withColumn("rows_v0", lit(v0Rows))
+      .withColumn("vacuumed", lit(deleted >= filesBefore - 1 &&
+        v0AfterVacuum))
+      .orderBy("prio")
+  }
+
+  /** X296: the Iceberg maintenance PROCEDURES through SQL —
+    * `CALL cat.system.rewrite_data_files('db.t')` (bin-pack compaction,
+    * operation `replace`, rows byte-identical) and
+    * `CALL cat.system.expire_snapshots('db.t', keepLast)` (drop old
+    * snapshots, delete only the files the dropped ones referenced). */
+  private def icebergSqlMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftmi.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_mi")
+        spark.conf.set("spark.sql.catalog.graftmi",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmi.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val table = s"$wh/db/orders_mi"
+    spark.sql("DROP TABLE IF EXISTS graftmi.db.orders_mi")
+    IcebergLite.write(spark, o.repartition(8), table)
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).size.toLong
+    val rw = spark.sql(
+      "CALL graftmi.system.rewrite_data_files('db.orders_mi')").collect()(0)
+    val (b, a) = (rw.getLong(1), rw.getLong(2))
+    val exp = spark.sql(
+      "CALL graftmi.system.expire_snapshots('db.orders_mi', 1)").collect()(0)
+    val (expired, deleted) = (exp.getLong(0), exp.getLong(1))
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftmi.db.orders_mi GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("compacted", lit(b == filesBefore && a < b))
+      .withColumn("expired", lit(expired >= 1L && deleted >= 1L))
+      .orderBy("prio")
+  }
+
   /** X275b: STATIC partition overwrite through SQL — `INSERT OVERWRITE
     * … PARTITION (p = 'v')` replaces exactly that partition's files in
     * ONE commit ([[DeltaLite.writePartitioned]]`(replaceValue)`): the
@@ -2170,6 +2350,102 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X292: SQL `UPDATE` + `MERGE INTO` on HIDDEN-transform Iceberg
+    * partitions — the partitioning real Iceberg tables actually use
+    * (`bucket(8, o_orderkey)` on orders, `days(ts)` on events). The
+    * row-level write clusters replacement rows by the TRANSFORM value
+    * (resolved through the catalog's own FunctionCatalog, the SPJ
+    * machinery) and the rolling writers recompute each staged file's
+    * bucket/day for its manifest p0 — so after SQL DML: sibling
+    * partitions' files carried byte-identical, partition pruning plans
+    * EXACTLY the touched partition's replacement files (disjoint from
+    * siblings — the files_scanned discipline), and the pre-update
+    * snapshot still time-travels. */
+  private def icebergSqlUpdateHidden(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftih.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_ihid")
+        spark.conf.set("spark.sql.catalog.graftih",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftih.warehouse", w)
+        w
+      }
+    // ---- bucket(8, o_orderkey) ---------------------------------------
+    spark.sql("DROP TABLE IF EXISTS graftih.db.orders_ih")
+    spark.sql(
+      """CREATE TABLE graftih.db.orders_ih (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("ih_src")
+    spark.sql("INSERT INTO graftih.db.orders_ih SELECT * FROM ih_src")
+    val table = s"$wh/db/orders_ih"
+    val pf = IcebergLite.PartField.bucket("o_orderkey", 8)
+    val touched = (100L to 300L).map(k => pf.valueOf(k)).toSet
+    val siblings = (0 until 8).map(_.toString).toSet -- touched
+    val sibBefore = IcebergLite.planPartitioned(spark, table, siblings)._1.toSet
+    val prevSnap = IcebergLite.currentSnapshotId(spark, table)
+    spark.sql(
+      """UPDATE graftih.db.orders_ih SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+    val sibCarried = siblings.isEmpty ||
+      IcebergLite.planPartitioned(spark, table, siblings)._1.toSet == sibBefore
+    val touchedPlan = IcebergLite.planPartitioned(spark, table, touched)._1.toSet
+    val prunedExact = touchedPlan.nonEmpty &&
+      touchedPlan.intersect(sibBefore).isEmpty
+    // prior snapshot still serves the pre-update (smaller) prices
+    val prevSum = spark.sql("SELECT sum(o_totalprice) FROM " +
+      s"graftih.db.orders_ih VERSION AS OF $prevSnap").head.getDouble(0)
+    val curSum = spark.sql(
+      "SELECT sum(o_totalprice) FROM graftih.db.orders_ih").head.getDouble(0)
+    val priorTravels = prevSum < curSum
+    // MERGE through the same rolling path: matched rows land back in
+    // their recomputed buckets
+    spark.sql(
+      """MERGE INTO graftih.db.orders_ih t
+        |USING (SELECT o_orderkey, o_totalprice FROM ih_src
+        |       WHERE o_orderkey % 10 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000
+        |""".stripMargin)
+    // ---- days(ts) ----------------------------------------------------
+    spark.sql("DROP TABLE IF EXISTS graftih.db.events_ih")
+    spark.sql(
+      """CREATE TABLE graftih.db.events_ih (
+        |  event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+        |USING iceberg PARTITIONED BY (days(ts))""".stripMargin)
+    Tables.events(spark, dir).select(col("event_id"), col("ts"), col("value"))
+      .createOrReplaceTempView("ihe_src")
+    spark.sql("INSERT INTO graftih.db.events_ih SELECT * FROM ihe_src")
+    val et = s"$wh/db/events_ih"
+    val day1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toString
+    val day2 = java.time.LocalDate.of(2024, 1, 2).toEpochDay.toString
+    val day1Before = IcebergLite.planPartitioned(spark, et, Set(day1))._1.toSet
+    spark.sql(
+      """UPDATE graftih.db.events_ih SET value = value + 100
+        |WHERE CAST(ts AS DATE) = DATE'2024-01-02'""".stripMargin)
+    val dayCarried =
+      IcebergLite.planPartitioned(spark, et, Set(day1))._1.toSet == day1Before
+    val day2Plan = IcebergLite.planPartitioned(spark, et, Set(day2))._1.toSet
+    val dayPruned = day2Plan.nonEmpty && day2Plan.intersect(day1Before).isEmpty
+    val dayTotal = spark.sql(
+      "SELECT round(sum(value), 2) FROM graftih.db.events_ih")
+      .head.getDouble(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftih.db.orders_ih GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("sibling_carried", lit(sibCarried))
+      .withColumn("pruned_exact", lit(prunedExact))
+      .withColumn("prior_travels", lit(priorTravels))
+      .withColumn("day_carried", lit(dayCarried))
+      .withColumn("day_pruned", lit(dayPruned))
+      .withColumn("day_total", lit(dayTotal))
+      .orderBy("prio")
+  }
+
   /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
     * same group-based row-level rewrite as X284, committing through the
     * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
@@ -2312,6 +2588,130 @@ object FormatQueries {
          |FROM $catName.db.orders_st GROUP BY o_orderpriority""".stripMargin)
       .withColumn("exactly_once", lit(dedup))
       .orderBy("prio")
+  }
+
+  /** X295: PARTITIONED `writeStream.toTable` — the streaming ingest
+    * shape landing in a PARTITIONED Delta table: the epoch's rows
+    * cluster+sort by the partition column (the Write's required
+    * distribution, honored for micro-batch writes), ROLLING writers
+    * stage one file per (task, value) and report each with its value,
+    * and the commit declares partitionValues on every add — so log-only
+    * pruning works on the streamed sink exactly as on batch writes. The
+    * key pins partitionValues completeness + exactness (planPartitioned
+    * refuses value-less files; the pruned set is a strict subset) and
+    * the per-query exactly-once replay. */
+  private def streamToTablePartitioned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "graftswp"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_swp")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_swp")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_swp (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING delta PARTITIONED BY (o_orderpriority)""".stripMargin)
+    val table = s"$wh/db/orders_swp"
+    val srcDir = Sinks.tempDir("swp_src")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new org.apache.hadoop.fs.Path(s"$dir/orders.parquet"), hfs,
+      new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet"),
+      false, hconf)
+    val q = spark.readStream.schema(Tables.orders(spark, dir).schema)
+      .parquet(srcDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeStream
+      .option("checkpointLocation", Sinks.tempDir("swp_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$catName.db.orders_swp")
+    q.awaitTermination()
+    // planPartitioned REFUSES tables with value-less files, so a
+    // successful call proves every streamed add declared its value; the
+    // urgent partition's plan is a strict, non-empty subset
+    val (uFiles, matched, total) = DeltaLite.planPartitioned(spark, table,
+      "o_orderpriority", Set("1-URGENT"))
+    val pruned = matched > 0 && matched < total &&
+      uFiles.toSet.size == matched
+    // per-query exactly-once: replay epoch 0 under the query's OWN ledger
+    val appId = DeltaLite.snapshotAt(spark, table).txns.keys
+      .find(_.startsWith(DeltaLite.TxnAppId)).getOrElse(DeltaLite.TxnAppId)
+    val v = DeltaLite.latestVersion(spark, table)
+    DeltaLite.commitStreamFiles(spark, table, Nil, epochId = 0L,
+      appId = appId)
+    val dedup = DeltaLite.latestVersion(spark, table) == v
+    spark.sql(
+      s"""SELECT o_orderpriority AS prio, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $catName.db.orders_swp GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("pvals_pruned", lit(pruned))
+      .withColumn("exactly_once", lit(dedup))
+      .orderBy("prio")
+  }
+
+  /** X297: the change feed as a STREAMING source — `cat.db.t.changes`
+    * drains a DML history (insert → SQL DELETE → merge upserts) as
+    * micro-batches equal to the batch feed relation / [[DeltaLite
+    * .readCdf]]: the row-level-DML table streams, where the append-only
+    * `readStream.table(t)` rightly refuses rewrites. The key pins the
+    * stream≡batch parity and oracles the feed census relationally. */
+  private def deltaCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val catName = "graftcf"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_cf")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_cf")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_cf (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING delta""".stripMargin)                                  // v0
+    val table = s"$wh/db/orders_cf"
+    DeltaLite.enableCdf(spark, table)                                  // v1
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    o.createOrReplaceTempView("cf_src")
+    spark.sql(s"INSERT INTO $catName.db.orders_cf SELECT * FROM cf_src") // v2
+    spark.sql(s"DELETE FROM $catName.db.orders_cf " +
+      "WHERE o_orderkey BETWEEN 1 AND 700")                            // v3
+    // merge: matched %100==0 keys update (+1000); the deleted ones among
+    // them re-insert — both images ride the feed as cdc
+    DeltaLite.mergeInto(spark, table,
+      o.where(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderpriority")),
+      "o_orderkey")                                                    // v4
+    // stream≡batch: drain the feed from the first data version and
+    // compare censuses
+    val batch = spark.sql(s"SELECT * FROM $catName.db.orders_cf.changes")
+    val batchN = batch.count()
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.option("startingVersion", "2")
+      .table(s"$catName.db.orders_cf.changes")
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) => {
+        drained.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", Sinks.tempDir("cf_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batch.groupBy(col("_change_type").as("ct"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("stream_equals_batch", lit(drained.get() == batchN))
+      .orderBy("ct")
   }
 
   /** X287: SQL `ALTER TABLE ADD COLUMNS` through the catalog — a
@@ -2876,6 +3276,13 @@ object FormatQueries {
     "x_iceberg_skipping_str" -> ((s, dir) => icebergSkippingStr(s, dir)),
     "x_puffin_join" -> ((s, dir) => puffinJoin(s, dir)),
     "x_delta_sql_delete" -> ((s, dir) => deltaSqlDelete(s, dir)),
+    "x_delta_sql_delete_dv" -> ((s, dir) => deltaSqlDeleteDv(s, dir)),
+    "x_delta_cm_sql_update" -> ((s, dir) => deltaCmSqlUpdate(s, dir)),
+    "x_delta_sql_optimize" -> ((s, dir) => deltaSqlOptimize(s, dir)),
+    "x_iceberg_sql_maintenance" -> ((s, dir) => icebergSqlMaintenance(s, dir)),
+    "x_delta_stream_to_table_partitioned" ->
+      ((s, dir) => streamToTablePartitioned(s, dir)),
+    "x_delta_cdf_stream" -> ((s, dir) => deltaCdfStream(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -2895,6 +3302,8 @@ object FormatQueries {
       ((s, dir) => icebergPartitionIdentity(s, dir)),
     "x_iceberg_sql_update_partitioned" ->
       ((s, dir) => icebergSqlUpdatePartitioned(s, dir)),
+    "x_iceberg_sql_update_hidden" ->
+      ((s, dir) => icebergSqlUpdateHidden(s, dir)),
     "x_delta_stream_read" -> ((s, dir) => streamRead(s, dir, "delta")),
     "x_iceberg_stream_read" -> ((s, dir) => streamRead(s, dir, "iceberg")),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
@@ -3186,6 +3595,74 @@ object FormatQueries {
         |  TRUE AS mor_delete_files
         |FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 700
         |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL DML on a DV-carrying table: API DV-delete 100..200, SQL DELETE
+    // 201..300 (merged vectors, file set unchanged), SQL UPDATE doubling
+    // live 301..400 through the masked scan
+    "x_delta_sql_delete_dv" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 301 AND 400
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS dv_route_no_rewrite,
+        |  (SELECT count(*) FROM orders
+        |    WHERE o_orderkey NOT BETWEEN 100 AND 300) AS rows_api
+        |FROM orders WHERE o_orderkey NOT BETWEEN 100 AND 300
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // the change feed as a streaming source: insert all orders, SQL
+    // DELETE 1..700, merge %100==0 (+1000; deleted ones re-insert) —
+    // the census reproduces relationally, stream drain == batch feed
+    "x_delta_cdf_stream" ->
+      """SELECT ct, n, total, TRUE AS stream_equals_batch FROM (
+        |  SELECT 'insert' AS ct,
+        |    (SELECT count(*) FROM orders) + (SELECT count(*) FROM orders
+        |       WHERE o_orderkey % 100 = 0
+        |         AND o_orderkey BETWEEN 1 AND 700) AS n,
+        |    round((SELECT sum(o_totalprice) FROM orders) +
+        |      (SELECT coalesce(sum(o_totalprice + 1000), 0) FROM orders
+        |       WHERE o_orderkey % 100 = 0
+        |         AND o_orderkey BETWEEN 1 AND 700), 2) AS total
+        |  UNION ALL
+        |  SELECT 'delete', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 700
+        |  UNION ALL
+        |  SELECT 'update_preimage', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |    AND o_orderkey NOT BETWEEN 1 AND 700
+        |  UNION ALL
+        |  SELECT 'update_postimage', count(*),
+        |    round(sum(o_totalprice + 1000), 2)
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |    AND o_orderkey NOT BETWEEN 1 AND 700
+        |) ORDER BY ct""".stripMargin,
+    // partitioned writeStream.toTable: all orders streamed in, every
+    // epoch add carrying partitionValues, urgent partition pruned exact
+    "x_delta_stream_to_table_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS pvals_pruned, TRUE AS exactly_once
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL OPTIMIZE/VACUUM: compaction drops file count, dataChange=false
+    // keeps the change feed silent, VACUUM deletes the unreferenced files
+    "x_delta_sql_optimize" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS compacted, TRUE AS cdf_silent,
+        |  (SELECT count(*) FROM orders) AS rows_v0, TRUE AS vacuumed
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg CALL procedures: rewrite_data_files compacts (rows
+    // byte-identical), expire_snapshots drops history + its files
+    "x_iceberg_sql_maintenance" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS compacted, TRUE AS expired
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // column-mapped SQL UPDATE: price renamed then doubled for keys
+    // 100..300 via field-id binding; v0 serves original names
+    "x_delta_cm_sql_update" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey BETWEEN 100 AND 300
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS v0_original_names, TRUE AS api_agrees
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // SQL UPDATE: keys 100..300 doubled; the rewrite touched a strict
     // subset of files (carried + removed both nonempty)
     "x_delta_sql_update" ->
@@ -3233,6 +3710,19 @@ object FormatQueries {
         |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
         |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total,
         |  TRUE AS rewrote_subset, TRUE AS pvals_declared
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // hidden-transform SQL DML: keys 100..300 doubled, then %10==0 keys
+    // merged back to original+1000; events day 2024-01-02 +100; all
+    // pruning/carry/time-travel instruments pinned TRUE
+    "x_iceberg_sql_update_hidden" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |    WHEN o_orderkey BETWEEN 100 AND 300 THEN o_totalprice * 2
+        |    ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS sibling_carried, TRUE AS pruned_exact,
+        |  TRUE AS prior_travels, TRUE AS day_carried, TRUE AS day_pruned,
+        |  (SELECT round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
+        |     THEN value + 100 ELSE value END), 2) FROM events) AS day_total
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
     // doubled, manifest-carried subset pinned

@@ -905,6 +905,20 @@ object IcebergLite {
     committed
   }
 
+  /** The ledger name for batch-side [[commitIdempotent]] sinks and the
+    * back-compat default of [[commitStreamFiles]]: snapshots with no
+    * `graft-query-id` summary key belong here. Query-scoped streaming
+    * writers pass their OWN query id instead, so concurrent queries on
+    * one table never share a high-water mark. */
+  private[graft] val DefaultLedger = "graft-stream"
+
+  /** Per-ledger high-water-mark property name ([[expireSnapshots]] folds
+    * dropped markers here): the default ledger keeps the historical
+    * un-suffixed key so existing tables read on. */
+  private def hwmKey(appId: String): String =
+    if (appId == DefaultLedger) "graft-max-batch-id"
+    else s"graft-max-batch-id.$appId"
+
   /** Exactly-once micro-batch commit — the Delta txnAppId/txnVersion
     * contract in Iceberg terms: the streaming `batchId` travels as a
     * snapshot-summary property, so the snapshot list IS the dedup ledger.
@@ -924,10 +938,19 @@ object IcebergLite {
       // Streaming contract), so <= means already applied
       val hwm = meta.path("properties").path("graft-max-batch-id").asLong(-1L)
       if (batchId <= hwm) return meta.get("current-snapshot-id").asLong()
-      // ledger half 2: the retained snapshots' own summary markers
+      // ledger half 2: the retained snapshots' own summary markers —
+      // only THIS ledger's markers (snapshots committed by a query-scoped
+      // writeStream.toTable carry graft-query-id and live in their own
+      // ledger; matching them here would falsely dedup a foreachBatch
+      // batch that happens to share the epoch number)
       var found = -1L
       meta.get("snapshots").forEach { s =>
-        if (s.get("summary").path("graft-batch-id").asText("") == batchId.toString)
+        val sameLedger =
+          s.get("summary").path("graft-query-id").asText(DefaultLedger) ==
+            DefaultLedger
+        if (sameLedger &&
+            s.get("summary").path("graft-batch-id").asText("") ==
+              batchId.toString)
           found = s.get("snapshot-id").asLong()
       }
       if (found >= 0) return found
@@ -1452,14 +1475,21 @@ object IcebergLite {
     val retainedIds = retained.map(_.get("snapshot-id").asLong()).toSet
     val dropped = byAge.filterNot(s =>
       retainedIds.contains(s.get("snapshot-id").asLong()))
-    val expiredHwm = dropped
-      .map(_.get("summary").path("graft-batch-id").asLong(-1L))
-      .foldLeft(meta.path("properties").path("graft-max-batch-id").asLong(-1L))(
-        math.max)
-    if (expiredHwm >= 0) {
-      val props = meta.`with`("properties")
-      props.put("graft-max-batch-id", expiredHwm)
-    }
+    // fold PER LEDGER: markers are query-scoped (graft-query-id; absent =
+    // the default foreachBatch ledger), so each query's dropped markers
+    // fold into that query's own high-water property — folding them all
+    // into one key would cross-contaminate concurrent queries' dedup
+    dropped.groupBy(_.get("summary").path("graft-query-id")
+        .asText("graft-stream"))
+      .foreach { case (appId, snapsOfLedger) =>
+        val key = if (appId == "graft-stream") "graft-max-batch-id"
+          else s"graft-max-batch-id.$appId"
+        val expiredHwm = snapsOfLedger
+          .map(_.get("summary").path("graft-batch-id").asLong(-1L))
+          .foldLeft(meta.path("properties").path(key).asLong(-1L))(math.max)
+        if (expiredHwm >= 0)
+          meta.`with`("properties").put(key, expiredHwm)
+      }
     val newSnaps = meta.putArray("snapshots")
     retained.foreach(newSnaps.add)
     val committed = AtomicCreate.create(fs, metaFile(table, v + 1),
@@ -2971,20 +3001,19 @@ object IcebergLite {
   /** The pieces the SQL row-level operation pins at creation — the
     * Iceberg side of [[DeltaLite.rowLevelSnapshot]]: the current
     * snapshot's live data files (absolute paths, the manifests' own
-    * coordinates) plus the schema in force. Refuses on
-    * hidden-partitioned tables and on merge-on-read delete state
-    * ([[rewriteDataFiles]] first) — the copy-on-write envelope
-    * [[graft.sources.v2.GraftRowLevelOp]] states. */
+    * coordinates) plus the schema in force. Partitioned tables of ANY
+    * transform kind qualify — the replacement writer recomputes each
+    * staged file's transform value (identity AND hidden bucket/temporal/
+    * truncate), so manifest p0 pruning stays exact after SQL DML.
+    * Refuses on merge-on-read delete state ([[rewriteDataFiles]] first)
+    * — the copy-on-write envelope [[graft.sources.v2.GraftRowLevelOp]]
+    * states. */
   private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
       : (Seq[String], StructType) = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    require(partitionSpec(meta).forall(_.kind == "identity"),
-      "SQL row-level operations on HIDDEN-partitioned tables (non-" +
-        "identity transforms) are outside the subset — deleteWhere / " +
-        "spec-grain ops instead")
     require(snapshotDeleteFiles(spark, table, -1L).isEmpty,
       s"$table carries merge-on-read delete files — " +
         "IcebergLite.rewriteDataFiles first")
@@ -3004,15 +3033,44 @@ object IcebergLite {
   private[graft] def commitReplaceFiles(spark: SparkSession, table: String,
       removePaths: Seq[String], addRel: Seq[String],
       operation: String,
-      partitionValues: Map[String, String] = Map.empty): Long = {
+      partitionValues: Map[String, String] = Map.empty,
+      maxRetries: Int = 10): Long = {
+    // OPTIMISTIC CONFLICT RESOLUTION: after losing the arbiter race, the
+    // rewrite may retry against the new head ONLY while every file it
+    // removes is still live there (a concurrent APPEND commutes; a
+    // concurrent rewrite of our files does not — the liveness require
+    // below surfaces that loudly instead of dropping its effects).
+    var attempt = 0
+    var last: IllegalStateException = null
+    while (attempt < maxRetries) {
+      if (attempt > 0) {
+        val live = snapshotFiles(spark, table, -1L).map(fileKeyRaw).toSet
+        require(removePaths.map(fileKeyRaw).forall(live.contains),
+          s"$operation on $table conflicts with a concurrent commit " +
+            "that rewrote the same files — re-run the statement against " +
+            "the new snapshot")
+      }
+      try return commitReplaceFilesOnce(spark, table, removePaths, addRel,
+        operation, partitionValues)
+      catch {
+        case e: IllegalStateException =>
+          last = e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"$operation lost $maxRetries commit races on $table", last)
+  }
+
+  private def commitReplaceFilesOnce(spark: SparkSession, table: String,
+      removePaths: Seq[String], addRel: Seq[String],
+      operation: String,
+      partitionValues: Map[String, String]): Long = {
     val fs = hadoopFs(spark, table)
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
     val pfOpt = partitionSpec(prevMeta)
-    require(pfOpt.forall(_.kind == "identity"),
-      "commitReplaceFiles on hidden-partitioned tables (non-identity " +
-        "transforms) is outside the subset")
     val defaultSpecId = prevMeta.get("default-spec-id").asInt()
     require(pfOpt.isEmpty || addRel.forall(partitionValues.contains),
       "partitioned replacement adds must each declare their partition " +
@@ -3087,6 +3145,37 @@ object IcebergLite {
     readMetadata(fs, table, v).get("current-snapshot-id").asLong()
   }
 
+  /** The ids actually present in the current metadata's snapshots list,
+    * in commit order (ids are assigned monotonically, so numeric order
+    * IS sequence order). The streaming source needs this because the id
+    * axis is monotone but NOT dense: a metadata-only commit (ALTER,
+    * partition-spec evolution) consumes a metadata version without
+    * producing a snapshot, leaving a gap before the next append's id. */
+  private[graft] def snapshotIdList(spark: SparkSession,
+      table: String): Seq[Long] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    readMetadata(fs, table, v).get("snapshots").forEach(s =>
+      out += s.get("snapshot-id").asLong())
+    out.sorted.toSeq
+  }
+
+  /** Gap-tolerant single-version append diff for the streaming source:
+    * an id absent from the snapshots list (a metadata-only commit's
+    * version) contributes NO files instead of throwing; a present id
+    * diffs against its ACTUAL predecessor snapshot, not id-1 — so a
+    * checkpointed readStream survives ALTER TABLE + append instead of
+    * wedging on the missing id. */
+  private[graft] def addedFilesAt(spark: SparkSession, table: String,
+      v: Long): Seq[String] = {
+    val ids = snapshotIdList(spark, table)
+    if (!ids.contains(v)) return Seq.empty
+    val prev = ids.filter(_ < v)
+    addedFilesBetween(spark, table, if (prev.isEmpty) -1L else prev.max, v)
+  }
+
   /** The FILE-level append diff for the streaming source (X291): data
     * files live at snapshot `toSnap` but not at `fromSnap` (-1 = table
     * start → the whole snapshot). Refuses when `fromSnap` files have
@@ -3114,10 +3203,42 @@ object IcebergLite {
     * streaming writers: the staged files the epoch's SUCCEEDED writers
     * reported commit as ONE `append` snapshot whose summary carries the
     * epoch marker; a redelivered epoch finds its marker (or the
-    * folded high-water property) and no-ops. Current manifests carry by
-    * reference — the commit's metadata cost is O(1) manifests. */
+    * folded high-water property) and no-ops. The ledger is keyed PER
+    * QUERY (`appId` = the streaming query's id): two queries writing the
+    * same table each advance their OWN marker stream and high-water
+    * property instead of sharing one — a shared ledger would make the
+    * lower-epoch query silently no-op its commits and drop data. Current
+    * manifests carry by reference — the commit's metadata cost is O(1)
+    * manifests. */
   private[graft] def commitStreamFiles(spark: SparkSession, table: String,
-      addRel: Seq[String], epochId: Long): Long = {
+      addRel: Seq[String], epochId: Long,
+      appId: String = DefaultLedger,
+      partitionValues: Map[String, String] = Map.empty,
+      maxRetries: Int = 10): Long = {
+    // OPTIMISTIC RETRY: an epoch append conflicts with nothing, so a
+    // lost arbiter race (a concurrent query's epoch, a batch writer)
+    // just re-reads the head and re-stages — the per-appId ledger check
+    // re-runs each attempt so a concurrently landed replay still no-ops.
+    var attempt = 0
+    var last: IllegalStateException = null
+    while (attempt < maxRetries) {
+      try return commitStreamFilesOnce(spark, table, addRel, epochId,
+        appId, partitionValues)
+      catch {
+        case e: IllegalStateException =>
+          last = e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"streaming epoch $epochId lost $maxRetries commit races on $table",
+      last)
+  }
+
+  private def commitStreamFilesOnce(spark: SparkSession, table: String,
+      addRel: Seq[String], epochId: Long,
+      appId: String,
+      partitionValues: Map[String, String]): Long = {
     val fs = hadoopFs(spark, table)
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0,
@@ -3132,13 +3253,15 @@ object IcebergLite {
     // redelivery and must no-op — an equality-only marker match would
     // re-commit a replayed id whose own marker snapshot is absent
     // (found by StreamCommitProperties)
-    val hwm = prevMeta.path("properties").path("graft-max-batch-id")
+    val hwm = prevMeta.path("properties").path(hwmKey(appId))
       .asLong(-1L)
     var found = -1L
     var maxMarker = -1L
     prevMeta.get("snapshots").forEach { s =>
+      val sameLedger =
+        s.get("summary").path("graft-query-id").asText(DefaultLedger) == appId
       val m = s.get("summary").path("graft-batch-id").asText("")
-      if (m.nonEmpty) {
+      if (sameLedger && m.nonEmpty) {
         maxMarker = math.max(maxMarker, m.toLong)
         if (m == epochId.toString)
           found = s.get("snapshot-id").asLong()
@@ -3147,25 +3270,32 @@ object IcebergLite {
     if (found >= 0) return found
     if (epochId <= math.max(hwm, maxMarker)) return cur
     if (addRel.isEmpty) return cur // empty epoch: nothing to dedup
-    require(partitionSpec(prevMeta).isEmpty,
-      "streaming toTable targets unpartitioned Iceberg tables — " +
-        "foreachBatch + commitIdempotent(partitionField) for the rest")
+    // PARTITIONED tables stream too (X295): the rolling streaming
+    // writers report each staged file's transform value, recorded as
+    // manifest p0 so log-only pruning keeps working on streamed epochs
+    val pfS = partitionSpec(prevMeta)
+    require(pfS.isEmpty || addRel.forall(partitionValues.contains),
+      s"$table is partitioned: streaming adds must declare their " +
+        "transform values")
     val schema = schemaForSnapshot(prevMeta, cur)
     val formatVersion = prevMeta.path("format-version").asInt(1)
     val snapshotId = prevV + 1L
     val token = java.util.UUID.randomUUID().toString.take(8)
     val (mName, mLen) = stageDataManifestFiles(spark, fs, table, addRel,
-      snapshotId, token)
+      snapshotId, token,
+      values = if (pfS.isEmpty) None else Some(partitionValues))
     val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
     val carried = listEntries(fs, new Path(curList))
     val listName = s"snap-$snapshotId-$token.avro"
     writeManifestList(table, listName,
       carried :+ MEntry(s"$table/metadata/$mName", mLen, snapshotId,
-        content = 0, seq = snapshotId),
+        content = 0, seq = snapshotId,
+        specId = prevMeta.get("default-spec-id").asInt()),
       v2 = formatVersion == 2)
     if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
         snapshotId, schema, None, listName, "append",
-        Map("graft-batch-id" -> epochId.toString))) {
+        Map("graft-batch-id" -> epochId.toString,
+          "graft-query-id" -> appId))) {
       fs.delete(new Path(metaDir(table), mName), false)
       fs.delete(new Path(metaDir(table), listName), false)
       throw new IllegalStateException(

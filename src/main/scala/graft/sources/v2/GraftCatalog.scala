@@ -63,7 +63,8 @@ import graft.sources.{DeltaLite, IcebergLite}
   * the format APIs); DROP TABLE removes the table directory.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -185,6 +186,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val isIce = fs.exists(new Path(parent, "metadata"))
     val isDelta = fs.exists(new Path(parent, "_delta_log"))
     if (!isIce && !isDelta) return None
+    if (kind == "changes") {
+      // the CHANGE FEED relation (X297) — data-sized, so never a
+      // LocalRowsTable: batch serves the full row-level history through
+      // the V1 bridge; Delta additionally streams it micro-batch-wise
+      require(version < 0,
+        "VERSION AS OF on t.changes: the feed is already about history " +
+          "— bound it with startingVersion / readCdf ranges instead")
+      val baseSchema =
+        if (isDelta) {
+          val snap = DeltaLite.snapshotAt(spark, parent)
+          DataType.fromJson(snap.meta.getOrElse(
+            throw new IllegalArgumentException(
+              s"no metaData in $parent log"))._2).asInstanceOf[StructType]
+        } else IcebergLite.schemaAt(spark, parent, -1L)
+      return Some(new GraftChangesTable(
+        s"$catName.${ident.namespace.mkString(".")}.changes", parent,
+        if (isDelta) "delta" else "iceberg", baseSchema))
+    }
     val df =
       if (isIce && kind == "history") IcebergLite.history(spark, parent)
       else if (isIce && IceMetaKinds.contains(kind))
@@ -249,12 +268,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ParquetPlan(parquetTable(ident, scanSchema,
           snap.files.map(f => DeltaLite.dataPath(path, f))))
       }
-    if (!mapped && version < 0 && snap.partCols.size <= 1)
+    if (version < 0 && snap.partCols.size <= 1)
       // the SQL row-level envelope holds: serve the table that also
       // speaks UPDATE / MERGE INTO / fallback DELETE (X284; partitioned
-      // tables through the rolling write, X288)
+      // tables through the rolling write, X288; DV-carrying snapshots
+      // through the masked tagged scan, X293; column-mapped tables via
+      // field-id scans + physical-name staging, X294)
       new GraftDeltaTable(fullName(ident), path, tableSchema, snap.files,
-        snap.partCols, readDelegate)
+        snap.partCols, readDelegate, snap.dvs, mapped)
     else
       new GraftTable(fullName(ident), path, "delta", tableSchema,
         snap.partCols, None, mapped, readDelegate, writable = version < 0)
@@ -286,12 +307,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               new KeyGroupedScanBuilder(s, schema, grouped, pfOpt.get)))
       else
         ParquetPlan(parquetTable(ident, schema, snapFiles))
-    if (version < 0 && !morState &&
-        pfOpt.forall(_.kind == "identity"))
-      // the SQL row-level envelope holds (unpartitioned or identity-
-      // partitioned, X290): serve the table that also speaks UPDATE /
-      // MERGE INTO / fallback DELETE, committing through the manifest
-      // arbiter (X285)
+    if (version < 0 && !morState)
+      // the SQL row-level envelope holds (unpartitioned X285, identity
+      // X290, hidden transforms X292 — the rolling writer recomputes
+      // bucket/temporal/truncate values per replacement row): serve the
+      // table that also speaks UPDATE / MERGE INTO / fallback DELETE,
+      // committing through the manifest arbiter
       new GraftIcebergTable(fullName(ident), path, schema, snapFiles,
         pfOpt, readDelegate)
     else
@@ -299,6 +320,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         Seq.empty, pfOpt, columnMapped = false,
         readDelegate, writable = version < 0)
   }
+
+  // ---- procedures (maintenance verbs, X296) -----------------------------
+
+  /** Spark 4's native `CALL $catName.system.<proc>('db.t', …)` path:
+    * [[GraftProcedures]] serves rewrite_data_files / expire_snapshots /
+    * vacuum, resolving the table under this catalog's warehouse. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live under $catName.system — got " +
+        ident.namespace().mkString("."))
+    GraftProcedures.load(warehouse, ident.name())
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ---- functions (storage-partitioned-join resolution) -----------------
 
@@ -448,6 +486,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(add.position() == null,
           s"ALTER TABLE $catName.$ident: FIRST/AFTER positioning is " +
             "outside this subset — new columns land at the end")
+        // a NOT NULL add would silently land nullable (both formats
+        // write the widened column nullable, and pre-widening files
+        // surface it as NULL anyway) — refuse rather than drop a
+        // declared constraint without error
+        require(add.isNullable,
+          s"ALTER TABLE $catName.$ident: only NULLABLE column adds are " +
+            "in this subset — a NOT NULL add cannot hold for " +
+            "pre-widening files, which surface the new column as NULL")
         if (isDelta)
           DeltaLite.addColumn(spark, path, add.fieldNames.head, add.dataType())
         else

@@ -42,24 +42,30 @@ import graft.sources.{DeltaLite, IcebergLite}
   *      files. Failed/speculative attempts abort their own file; the
   *      commit lists only files the SUCCEEDED writers reported.
   *
-  * Stated subset (`format = "delta"`): unpartitioned,
-  * non-column-mapped, no live deletion vectors (optimize first) — the
-  * mergeInto envelope; the snapshot is pinned LAZILY at first
-  * execution, so claimable DELETEs still take the metadata fast path
-  * without touching it. With `format = "iceberg"` (X285) the SAME
-  * machinery commits through [[IcebergLite.commitReplaceFiles]]'s
-  * manifest arbiter instead — untouched manifests carried by
-  * reference, one `overwrite` snapshot. */
+  * Envelope (`format = "delta"`): at most one partition column (the
+  * rolling-writer subset); DELETION-VECTOR-carrying snapshots serve
+  * through the masked tagged scan (X293 — the rewrite starts from live
+  * rows); COLUMN-MAPPED tables scan by parquet field id and stage
+  * replacements under physical names (X294). The snapshot is pinned
+  * LAZILY at first execution, so claimable DELETEs still take the
+  * metadata fast path without touching it. With `format = "iceberg"`
+  * (X285) the SAME machinery commits through
+  * [[IcebergLite.commitReplaceFiles]]'s manifest arbiter instead —
+  * untouched manifests carried by reference, one `overwrite` snapshot;
+  * partitioned tables of ANY transform kind cluster replacement rows by
+  * the transform value (X290 identity, X292 hidden). */
 private[v2] final class GraftRowLevelBuilder(
     tableName: String,
     path: String,
     tableSchema: StructType,
     info: RowLevelOperationInfo,
     format: String = "delta",
-    partCol: Option[String] = None)
+    part: Option[IcebergLite.PartField] = None,
+    mapped: Boolean = false)
   extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOp(tableName, path, tableSchema, info, format, partCol)
+    new GraftRowLevelOp(tableName, path, tableSchema, info, format, part,
+      mapped)
 }
 
 private[v2] final class GraftRowLevelOp(
@@ -68,7 +74,8 @@ private[v2] final class GraftRowLevelOp(
     tableSchema: StructType,
     info: RowLevelOperationInfo,
     format: String,
-    partCol: Option[String])
+    part: Option[IcebergLite.PartField],
+    mapped: Boolean = false)
   extends RowLevelOperation {
 
   private def spark = SparkSession.active
@@ -76,15 +83,19 @@ private[v2] final class GraftRowLevelOp(
   // ONE snapshot pins both the scan and the commit — resolved lazily so
   // plans that end up metadata-only never pay (or refuse) it. Delta
   // files are log-relative; Iceberg files are the manifests' absolute
-  // paths (FileTaggedScan resolves both, the dataPath rule).
-  private lazy val snapFiles: Seq[String] = format match {
+  // paths (FileTaggedScan resolves both, the dataPath rule). Deletion
+  // vectors ride along as per-file masked positions (X293): the
+  // operation's scan SKIPS them, so a COW rewrite of a DV-carrying file
+  // starts from its LIVE rows — the remove+add swap never resurrects
+  // the vector's deleted rows.
+  private lazy val (snapFiles: Seq[String],
+      dvPositions: Map[String, Array[Long]]) = format match {
     case "delta" =>
       val (files, dvs, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
-      require(dvs.isEmpty,
-        s"$tableName: SQL ${info.command()} on a deletion-vector-carrying " +
-          "snapshot is outside this subset — DeltaLite.optimize first")
-      files
-    case _ => IcebergLite.rowLevelSnapshot(spark, path)._1
+      (files, GraftRowLevel.dvPositions(spark, path, dvs))
+    case _ =>
+      (IcebergLite.rowLevelSnapshot(spark, path)._1,
+        Map.empty[String, Array[Long]])
   }
 
   // the affected file set (basenames) the runtime group filter found;
@@ -125,7 +136,7 @@ private[v2] final class GraftRowLevelOp(
     * (conservative, never wrong). */
   private final class RowLevelScan(readSchema0: StructType)
     extends FileTaggedScan(spark, path, tableSchema, readSchema0,
-      () => affectedFiles, Array.empty)
+      () => affectedFiles, Array.empty, () => dvPositions)
     with SupportsRuntimeV2Filtering {
 
     override def description(): String =
@@ -162,33 +173,37 @@ private[v2] final class GraftRowLevelOp(
 
   override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = partCol match {
-        case Some(pc) =>
-          // partitioned replacement (X288): demand the engine CLUSTER
-          // and SORT the replacement rows by the partition column, so
-          // the rolling writers below emit one staged file per
-          // (task, partition value) and every add action can carry its
-          // partitionValues — log-only pruning keeps working on
-          // SQL-rewritten partitions
+      override def build(): Write = part match {
+        case Some(pf) =>
+          // partitioned replacement (X288/X292): demand the engine
+          // CLUSTER and SORT the replacement rows by the partition
+          // TRANSFORM value — identity is the plain column; hidden
+          // transforms (bucket/days/…) resolve through the catalog's
+          // own FunctionCatalog ([[GraftFunctions]]), the same
+          // machinery storage-partitioned joins use — so the rolling
+          // writers below emit one staged file per (task, transform
+          // value) and every add action can carry its partitionValues.
+          // Manifest-grain pruning keeps working on SQL-rewritten
+          // partitions, hidden or not.
           new Write with org.apache.spark.sql.connector.write
               .RequiresDistributionAndOrdering {
             override def requiredDistribution()
                 : org.apache.spark.sql.connector.distributions.Distribution =
               org.apache.spark.sql.connector.distributions.Distributions
-                .clustered(Array(Expressions.identity(pc)))
+                .clustered(Array(GraftRowLevel.transformExpr(pf)))
             override def requiredOrdering(): Array[
                 org.apache.spark.sql.connector.expressions.SortOrder] =
-              Array(Expressions.sort(Expressions.column(pc),
+              Array(Expressions.sort(GraftRowLevel.transformExpr(pf),
                 org.apache.spark.sql.connector.expressions.SortDirection
                   .ASCENDING))
             override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
               spark, path, tableSchema, () => affectedFiles,
-              info.command().toString, format, partCol)
+              info.command().toString, format, part, mapped)
           }
         case None => new Write {
           override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
             spark, path, tableSchema, () => affectedFiles,
-            info.command().toString, format)
+            info.command().toString, format, mapped = mapped)
         }
       }
     }
@@ -205,7 +220,8 @@ private[v2] class FileTaggedScan(
     tableSchema: StructType,
     readSchema0: StructType,
     filesProvider: () => Seq[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    dvPositions: () => Map[String, Array[Long]] = () => Map.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = readSchema0
@@ -230,9 +246,14 @@ private[v2] class FileTaggedScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataCols =
       StructType(readSchema0.fields.filterNot(_.name == "_file"))
+    val dvs = dvPositions()
+    // DV masking counts file row positions — row-group skipping would
+    // desynchronize the counter, so the two must never combine
+    require(dvs.isEmpty || pushed.isEmpty,
+      "deletion-vector masking excludes row-group pushdown")
     new FileTaggingReaderFactory(
       GraftParquetReaders.factory(spark, tableSchema, dataCols, pushed),
-      readSchema0, dataCols)
+      readSchema0, dataCols, dvs)
   }
 }
 
@@ -250,7 +271,8 @@ private[v2] final class FileAwareScanBuilder(
     files: Seq[String],
     inner: ScanBuilder,
     mkStream: Option[StructType =>
-      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None)
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
+    dvPositions: () => Map[String, Array[Long]] = () => Map.empty)
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -299,18 +321,26 @@ private[v2] final class FileAwareScanBuilder(
       // no row-group pushdown on the tagged path: Spark re-evaluates
       // every data filter above the scan (file-source contract), and
       // this path serves only the control-plane-sized group-filter
-      // subquery — correctness first, the stock path keeps its pushdown
+      // subquery — correctness first, the stock path keeps its pushdown.
+      // Deletion vectors mask here too, so a `_file` projection never
+      // serves deleted rows.
       new FileTaggedScan(spark, path, tableSchema, required, () => files,
-        Array.empty)
+        Array.empty, dvPositions)
 }
 
 /** Wraps the stock parquet reader: each partition holds ONE file, and
   * every row gains that file's basename at the `_file` position of the
-  * requested schema. Row-based (the wrapper disables columnar). */
+  * requested schema. Rows whose file-position appears in that file's
+  * DELETION VECTOR are SKIPPED (the positions are file row indexes; a
+  * whole-file partition read row-by-row visits rows in file order, so a
+  * running counter IS the row index — which is why this path never
+  * takes row-group-skipping pushdown). Row-based (the wrapper disables
+  * columnar). */
 private[v2] final class FileTaggingReaderFactory(
     inner: PartitionReaderFactory,
     outSchema: StructType,
-    dataCols: StructType)
+    dataCols: StructType,
+    dvPositions: Map[String, Array[Long]] = Map.empty)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -319,15 +349,25 @@ private[v2] final class FileTaggingReaderFactory(
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
-    val tag = UTF8String.fromString(
-      GraftRowLevel.fileTag(fp.files.head.toPath.toString))
+    val tagStr = GraftRowLevel.fileTag(fp.files.head.toPath.toString)
+    val tag = UTF8String.fromString(tagStr)
+    val masked = dvPositions.getOrElse(tagStr, Array.empty[Long]) // sorted
     val dataIdx = dataCols.fieldNames.zipWithIndex.toMap
     // output position → source data position (-1 = the _file tag)
     val perm = outSchema.fields.map(f => dataIdx.getOrElse(f.name, -1))
     val types = dataCols.fields.map(_.dataType)
     val ir = inner.createReader(partition)
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = ir.next()
+      private var rowIdx = -1L
+      private var mi = 0
+      override def next(): Boolean = {
+        while (ir.next()) {
+          rowIdx += 1
+          while (mi < masked.length && masked(mi) < rowIdx) mi += 1
+          if (mi >= masked.length || masked(mi) != rowIdx) return true
+        }
+        false
+      }
       override def get(): InternalRow = {
         val r = ir.get()
         val out = new GenericInternalRow(perm.length)
@@ -358,7 +398,8 @@ private[v2] final class GraftReplaceBatchWrite(
     removeFiles: () => Seq[String],
     operation: String,
     format: String = "delta",
-    partCol: Option[String] = None)
+    part: Option[IcebergLite.PartField] = None,
+    mapped: Boolean = false)
   extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -366,20 +407,25 @@ private[v2] final class GraftReplaceBatchWrite(
 
   override def createBatchWriterFactory(
       physInfo: PhysicalWriteInfo): DataWriterFactory = {
+    // column-mapped tables stage under PHYSICAL names + parquet field
+    // ids (replacement rows are positional, so renaming the writer
+    // schema's fields in place is the whole translation — X294)
+    val writeSchema =
+      if (mapped) DeltaLite.physicalWriteSchema(spark, path) else schema
     val conf = spark.sessionState.newHadoopConf()
     val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
     val factory = org.apache.spark.sql.execution.datasources.parquet
-      .ParquetUtils.prepareWrite(spark.sessionState.conf, job, schema,
+      .ParquetUtils.prepareWrite(spark.sessionState.conf, job, writeSchema,
         new org.apache.spark.sql.execution.datasources.parquet
           .ParquetOptions(
           org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
             Map.empty[String, String]), spark.sessionState.conf))
     val serConf = new SerializableConfiguration(job.getConfiguration)
-    partCol match {
-      case Some(pc) => new GraftRollingParquetWriterFactory(
-        s"$path/$stagedRel", schema, pc, factory, serConf)
+    part match {
+      case Some(pf) => new GraftRollingParquetWriterFactory(
+        s"$path/$stagedRel", writeSchema, pf, factory, serConf)
       case None => new GraftParquetWriterFactory(s"$path/$stagedRel",
-        schema, factory, serConf)
+        writeSchema, factory, serConf)
     }
   }
 
@@ -391,9 +437,12 @@ private[v2] final class GraftReplaceBatchWrite(
       case GraftWrittenPartFiles(files) => files
     }.flatten.toSeq.sortBy(_._1)
     val addedAll = added ++ partFiles.map(f => s"$stagedRel/${f._1}")
-    val pvals: Map[String, Map[String, String]] = partCol match {
-      case Some(pc) =>
-        partFiles.map(f => s"$stagedRel/${f._1}" -> Map(pc -> f._2)).toMap
+    val pvals: Map[String, Map[String, String]] = part match {
+      case Some(pf) =>
+        // Delta partitionValues key by the partition COLUMN (identity
+        // only); Iceberg manifests record the TRANSFORM value as p0
+        partFiles.map(f =>
+          s"$stagedRel/${f._1}" -> Map(pf.source -> f._2)).toMap
       case None => Map.empty
     }
     format match {
@@ -421,6 +470,43 @@ private[v2] final class GraftReplaceBatchWrite(
 }
 
 private[v2] object GraftRowLevel {
+  /** Per-file deletion-vector positions, keyed by [[fileTag]] — loaded
+    * once on the driver (position lists are bounded by the DELETED-row
+    * count, the same control-plane cost model as the log itself) and
+    * shipped to the tagged readers, which skip those row indexes. */
+  def dvPositions(spark: SparkSession, path: String,
+      dvs: Map[String, graft.sources.DeletionVectors.Descriptor])
+      : Map[String, Array[Long]] =
+    if (dvs.isEmpty) Map.empty
+    else {
+      val fs = new Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      dvs.map { case (f, d) =>
+        fileTag(f) -> graft.sources.DeletionVectors.readPositions(fs, path, d)
+      }
+    }
+
+  /** The V2 expression the replacement write clusters/sorts by — the
+    * partition TRANSFORM, not just its source column. Hidden transforms
+    * (`bucket`, `truncate`, temporal ordinals) resolve to catalyst
+    * through the catalog's [[GraftFunctions]] (the SPJ resolution path),
+    * so replacement rows arrive at the rolling writers grouped by the
+    * value the manifests will record. */
+  def transformExpr(pf: IcebergLite.PartField)
+      : org.apache.spark.sql.connector.expressions.Expression =
+    pf.kind match {
+      case "identity" => Expressions.identity(pf.source)
+      case "bucket" => Expressions.bucket(pf.param, pf.source)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(pf.param), Expressions.column(pf.source))
+      case "year" => Expressions.years(pf.source)
+      case "month" => Expressions.months(pf.source)
+      case "day" => Expressions.days(pf.source)
+      case "hour" => Expressions.hours(pf.source)
+      case other => throw new UnsupportedOperationException(
+        s"transform $other has no write distribution")
+    }
+
   /** The `_file` group coordinate: the LAST TWO path components, never
     * the basename alone — one partitioned write job stages the SAME
     * `part-<n>-<jobUuid>` basename into every `_p=<value>` directory it
@@ -444,21 +530,27 @@ private[v2] final case class GraftWrittenPartFiles(
 
 /** Partition-ROLLING parquet writers (X288): the write plan's required
   * clustering + ordering delivers each task's rows grouped by the
-  * partition column, so the writer closes its current file and opens a
-  * fresh one whenever the value changes — one staged file per
-  * (task, partition value), each reported WITH its value. Rolling stays
+  * partition TRANSFORM value, so the writer closes its current file and
+  * opens a fresh one whenever the value changes — one staged file per
+  * (task, transform value), each reported WITH its value. The per-row
+  * value is the SAME computation as [[IcebergLite.PartField.valueOf]] /
+  * `valueColumn` / [[GraftFunctions]] (identity raw, spec Murmur3
+  * bucket, codepoint truncate, UTC epoch ordinals) — bit-agreement is
+  * what keeps manifest p0 pruning exact after SQL DML. Rolling stays
   * CORRECT without the sort (just more files), so a plan that somehow
   * drops the ordering degrades in file count, never in rows. */
 private[v2] final class GraftRollingParquetWriterFactory(
     stagedDir: String,
     schema: StructType,
-    partCol: String,
+    part: IcebergLite.PartField,
     factory: OutputWriterFactory,
     conf: SerializableConfiguration)
   extends DataWriterFactory {
 
-  private val partIdx = schema.fieldIndex(partCol)
-  private val partDt = schema(partCol).dataType
+  private val partIdx = schema.fieldIndex(part.source)
+  private val partDt = schema(part.source).dataType
+  private val kind = part.kind
+  private val param = part.param
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
@@ -468,17 +560,61 @@ private[v2] final class GraftRollingParquetWriterFactory(
     private var curOpen = false
     private var written = List.empty[(String, String)]
 
+    private def sourceLong(r: InternalRow): Long = partDt match {
+      case org.apache.spark.sql.types.LongType => r.getLong(partIdx)
+      case org.apache.spark.sql.types.IntegerType => r.getInt(partIdx).toLong
+      case other => throw new UnsupportedOperationException(
+        s"partition column ${part.source}: $kind over " +
+          s"${other.simpleString} is outside the rolling-writer subset")
+    }
+
+    // timestamp micros since epoch (UTC session zone); dates scale up
+    private def sourceMicros(r: InternalRow): Long = partDt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        r.getLong(partIdx)
+      case org.apache.spark.sql.types.DateType =>
+        r.getInt(partIdx).toLong * 86400L * 1000000L
+      case other => throw new UnsupportedOperationException(
+        s"partition column ${part.source}: $kind over " +
+          s"${other.simpleString} is outside the rolling-writer subset")
+    }
+
     private def valueOf(r: InternalRow): String =
       if (r.isNullAt(partIdx)) null
-      else partDt match {
-        case StringType => r.getUTF8String(partIdx).toString
-        case org.apache.spark.sql.types.LongType =>
-          r.getLong(partIdx).toString
-        case org.apache.spark.sql.types.IntegerType =>
-          r.getInt(partIdx).toString
+      else kind match {
+        case "identity" => partDt match {
+          case StringType => r.getUTF8String(partIdx).toString
+          case org.apache.spark.sql.types.LongType =>
+            r.getLong(partIdx).toString
+          case org.apache.spark.sql.types.IntegerType =>
+            r.getInt(partIdx).toString
+          case other => throw new UnsupportedOperationException(
+            s"partition column ${part.source}: ${other.simpleString} is " +
+              "outside the rolling-writer subset (string/long/int)")
+        }
+        case "bucket" =>
+          // spec bucket: seed-0 Murmur3 over the long's 8 LE bytes
+          ((org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashLong(sourceLong(r), 0) & Int.MaxValue) % param).toString
+        case "truncate" =>
+          // CODEPOINT truncation (PartField.valueOf's rule — UTF-16
+          // counting would split surrogate pairs a character early)
+          val s = r.getUTF8String(partIdx).toString
+          s.substring(0, s.offsetByCodePoints(0,
+            math.min(param, s.codePointCount(0, s.length))))
+        case "hour" =>
+          math.floorDiv(sourceMicros(r), 3600L * 1000000L).toString
+        case "day" =>
+          math.floorDiv(sourceMicros(r), 86400L * 1000000L).toString
+        case "year" | "month" =>
+          val d = java.time.LocalDate.ofEpochDay(
+            math.floorDiv(sourceMicros(r), 86400L * 1000000L))
+          val n = if (kind == "year") d.getYear - 1970
+            else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+          n.toString
         case other => throw new UnsupportedOperationException(
-          s"partition column $partCol: ${other.simpleString} is outside " +
-            "the rolling-writer subset (string/long/int)")
+          s"transform $other is outside the rolling-writer subset")
       }
 
     private def attempt(n: Int) = new TaskAttemptContextImpl(conf.value,

@@ -76,7 +76,12 @@ private[v2] final class GraftTableStream(
     }
     else format match {
       case "delta" => DeltaLite.addedFilesBetween(spark, path, v - 1, v)
-      case _ => IcebergLite.addedFilesBetween(spark, path, v - 1, v)
+      // Iceberg snapshot ids are monotone but NOT dense — a metadata-only
+      // commit (ALTER, spec evolution) bumps the version without a
+      // snapshot. addedFilesAt treats a gap id as an empty unit and diffs
+      // a present id against its actual predecessor snapshot, so a
+      // checkpointed stream survives ALTER + append.
+      case _ => IcebergLite.addedFilesAt(spark, path, v)
     }
 
   override def initialOffset(): Offset = {

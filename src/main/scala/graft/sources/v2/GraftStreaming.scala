@@ -23,6 +23,12 @@ import graft.sources.{DeltaLite, IcebergLite}
   * ledger). Exactly-once: Structured Streaming redelivers epochs
   * at-least-once; the ledger makes the redelivery a no-op, the same
   * txnAppId/txnVersion contract Delta's own streaming writer implements.
+  * The ledger is keyed by `queryId` (LogicalWriteInfo.queryId — stable
+  * across restarts of the same checkpointed query): two streaming
+  * queries writing one table, or a query plus a foreachBatch
+  * commitIdempotent sink, each advance their OWN ledger instead of
+  * sharing a global high-water mark that would silently drop the
+  * lower-epoch query's commits.
   *
   * Scale notes: the data plane is per-executor parquet writing (no
   * driver rows, no shuffle added); the commit is one control-plane
@@ -33,7 +39,9 @@ import graft.sources.{DeltaLite, IcebergLite}
 private[v2] final class GraftStreamingWrite(
     path: String,
     writeSchema: StructType,
-    format: String)
+    format: String,
+    queryId: String,
+    part: Option[graft.sources.IcebergLite.PartField] = None)
   extends StreamingWrite {
 
   private def spark = SparkSession.active
@@ -56,7 +64,7 @@ private[v2] final class GraftStreamingWrite(
           org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(
             Map.empty[String, String]), spark.sessionState.conf))
     new GraftStreamingWriterFactory(path, token, writeSchema, factory,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration), part)
   }
 
   override def commit(epochId: Long,
@@ -65,11 +73,26 @@ private[v2] final class GraftStreamingWrite(
       case GraftWrittenFile(name) if name != null =>
         s"${stagedRel(epochId)}/$name"
     }.toSeq.sorted
+    // PARTITIONED epochs (X295): rolling writers report each staged
+    // file WITH its partition/transform value, recorded in the commit so
+    // log-only pruning keeps working on streamed epochs
+    val partFiles = messages.collect {
+      case GraftWrittenPartFiles(files) => files
+    }.flatten.toSeq.sortBy(_._1)
+    val addedAll = added ++ partFiles.map(f => s"${stagedRel(epochId)}/${f._1}")
     format match {
       case "delta" =>
-        DeltaLite.commitStreamFiles(spark, path, added, epochId)
+        DeltaLite.commitStreamFiles(spark, path, addedAll, epochId,
+          appId = s"${DeltaLite.TxnAppId}-$queryId",
+          partitionValues = part.fold(
+            Map.empty[String, Map[String, String]])(pf =>
+            partFiles.map(f => s"${stagedRel(epochId)}/${f._1}" ->
+              Map(pf.source -> f._2)).toMap))
       case _ =>
-        IcebergLite.commitStreamFiles(spark, path, added, epochId)
+        IcebergLite.commitStreamFiles(spark, path, addedAll, epochId,
+          appId = s"${IcebergLite.DefaultLedger}-$queryId",
+          partitionValues = partFiles
+            .map(f => s"${stagedRel(epochId)}/${f._1}" -> f._2).toMap)
     }
     ()
   }
@@ -91,11 +114,20 @@ private[v2] final class GraftStreamingWriterFactory(
     token: String,
     schema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    part: Option[graft.sources.IcebergLite.PartField] = None)
   extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new GraftParquetWriterFactory(s"$path/data/se$epochId-$token", schema,
-      factory, conf).createWriter(partitionId, taskId)
+      epochId: Long): DataWriter[InternalRow] = part match {
+    case Some(pf) =>
+      // partitioned epoch: ROLLING writers — one staged file per
+      // (task, partition value), reported with the value (X288's
+      // machinery in the streaming slot)
+      new GraftRollingParquetWriterFactory(s"$path/data/se$epochId-$token",
+        schema, pf, factory, conf).createWriter(partitionId, taskId)
+    case None =>
+      new GraftParquetWriterFactory(s"$path/data/se$epochId-$token", schema,
+        factory, conf).createWriter(partitionId, taskId)
+  }
 }

@@ -99,7 +99,14 @@ private[v2] class GraftTable(
         s"$tableName: DELETE supports a single long-column range " +
           "predicate — use the format APIs for other shapes"))
     format match {
-      case "delta" => DeltaLite.deleteWhere(spark, path, column, lo, hi)
+      case "delta" =>
+        // a table already carrying deletion vectors takes the DV route
+        // (X293): new positions UNION into the existing vectors — one
+        // kilobyte-scale commit, NO data-file rewrite (the reason DVs
+        // exist; a COW remedy here would rewrite terabytes at 100 TB)
+        if (DeltaLite.snapshotAt(spark, path).dvs.nonEmpty)
+          DeltaLite.deleteWhereDV(spark, path, column, lo, hi)
+        else DeltaLite.deleteWhere(spark, path, column, lo, hi)
       case _ => IcebergLite.deleteWhere(spark, path, column, lo, hi)
     }
     ()
@@ -135,10 +142,10 @@ private[v2] class GraftTable(
       caps.add(TableCapability.V1_BATCH_WRITE)
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.OVERWRITE_BY_FILTER)
-      // real `writeStream.toTable` (X286) — the unpartitioned,
-      // non-column-mapped envelope; other layouts stream through
-      // foreachBatch + TransactionalSink
-      if (!columnMapped && deltaPartCols.isEmpty && icePartition.isEmpty)
+      // real `writeStream.toTable` (X286; partitioned via the rolling
+      // epoch writers, X295) — column-mapped tables still stream
+      // through foreachBatch + TransactionalSink
+      if (!columnMapped)
         caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
@@ -190,16 +197,50 @@ private[v2] class GraftTable(
         this
       }
 
-      override def build(): Write = new V1Write {
+      override def build(): Write = new V1Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        // STREAMING epochs into a partitioned table cluster + sort by
+        // the partition transform (SPARK-34183 honors this for
+        // micro-batch writes), so the rolling epoch writers emit one
+        // staged file per (task, value); the V1 BATCH path ignores the
+        // interface (writePartitioned repartitions itself). Rolling is
+        // correct without the sort — a plan that drops it degrades in
+        // file count, never rows.
+        private def streamPart: Option[IcebergLite.PartField] =
+          deltaPartCols.headOption.map(IcebergLite.PartField.identity)
+            .orElse(icePartition)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          streamPart match {
+            case Some(pf) if !columnMapped =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(GraftRowLevel.transformExpr(pf)))
+            case _ => org.apache.spark.sql.connector.distributions
+              .Distributions.unspecified()
+          }
+        override def requiredOrdering(): Array[
+            org.apache.spark.sql.connector.expressions.SortOrder] =
+          streamPart match {
+            case Some(pf) if !columnMapped =>
+              Array(Expressions.sort(GraftRowLevel.transformExpr(pf),
+                org.apache.spark.sql.connector.expressions.SortDirection
+                  .ASCENDING))
+            case _ => Array.empty
+          }
+
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
               commitInsert(data, overwriteAll || overwrite, overwriteValue)
           }
 
-        /** `writeStream.toTable` (X286): executors stage each epoch's
-          * parquet, the driver commits through the format's idempotent
-          * arbiter — exactly-once under Structured Streaming's
+        /** `writeStream.toTable` (X286; partitioned X295): executors
+          * stage each epoch's parquet — ROLLING writers on partitioned
+          * tables, one staged file per (task, transform value), each
+          * reported with its value — and the driver commits through the
+          * format's idempotent arbiter with partitionValues/manifest p0
+          * declared, exactly-once under Structured Streaming's
           * at-least-once epoch redelivery. Append output mode only
           * (streaming truncate-per-epoch has no versioned-table story
           * worth telling; complete mode refuses with the remedy). */
@@ -208,12 +249,20 @@ private[v2] class GraftTable(
           require(!overwriteAll && overwriteValue.isEmpty,
             s"$tableName: streaming writes support APPEND output mode " +
               "only — aggressive modes go through foreachBatch")
-          require(!columnMapped && deltaPartCols.isEmpty &&
-              icePartition.isEmpty,
-            s"$tableName: streaming toTable targets unpartitioned, " +
-              "non-column-mapped tables — use foreachBatch + " +
-              "TransactionalSink for partitioned layouts")
-          new GraftStreamingWrite(path, info.schema(), format)
+          require(!columnMapped,
+            s"$tableName: streaming toTable targets non-column-mapped " +
+              "tables — use foreachBatch + TransactionalSink")
+          require(deltaPartCols.size <= 1,
+            s"$tableName: streaming toTable writes at most one " +
+              "partition column (the rolling-writer subset)")
+          val streamPart =
+            deltaPartCols.headOption.map(IcebergLite.PartField.identity)
+              .orElse(icePartition)
+          // ledger keyed per query (info.queryId — stable across restarts
+          // of a checkpointed query), so concurrent queries on one table
+          // never share an epoch high-water mark
+          new GraftStreamingWrite(path, info.schema(), format,
+            info.queryId(), streamPart)
         }
       }
     }
@@ -276,9 +325,11 @@ private[v2] final class GraftDeltaTable(
     logicalSchema: StructType,
     snapFiles: Seq[String],
     partCols: Seq[String],
-    readDelegate: ReadPlan)
+    readDelegate: ReadPlan,
+    dvs: Map[String, graft.sources.DeletionVectors.Descriptor] = Map.empty,
+    mapped: Boolean = false)
   extends GraftTable(tableName, path, "delta", logicalSchema, partCols,
-    None, columnMapped = false, readDelegate, writable = true)
+    None, columnMapped = mapped, readDelegate, writable = true)
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
@@ -301,13 +352,21 @@ private[v2] final class GraftDeltaTable(
       path, logicalSchema, snapFiles, super.newScanBuilder(options),
       mkStream = Some(rs =>
         new GraftTableStream(path, "delta", logicalSchema, rs,
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))))
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
+      dvPositions = () => GraftRowLevel.dvPositions(
+        org.apache.spark.sql.SparkSession.active, path, dvs))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelBuilder(tableName, path, logicalSchema, info,
-      format = "delta", partCol = partCols.headOption)
+      format = "delta",
+      part = partCols.headOption.map(IcebergLite.PartField.identity),
+      // column-mapped tables stage replacement files under PHYSICAL
+      // names + field ids (X294), so id-bound reads keep resolving on
+      // SQL-updated files; the scan side already binds by field id
+      // (logicalSchema carries parquet.field.id for mapped tables)
+      mapped = mapped)
 }
 
 /** The Iceberg twin of [[GraftDeltaTable]] (X285): when the SQL
@@ -353,7 +412,10 @@ private[v2] final class GraftIcebergTable(
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GraftRowLevelBuilder(tableName, path, logicalSchema, info,
       format = "iceberg",
-      partCol = icePart.filter(_.kind == "identity").map(_.source))
+      // ANY transform kind (X292): the rolling writer recomputes the
+      // hidden transform value per row, so bucket/day/… tables take
+      // SQL UPDATE / MERGE with manifest p0 pruning intact
+      part = icePart)
 }
 
 private[v2] object GraftTable {

@@ -17,6 +17,7 @@ import graft.cdc.ChangeDetection
 object CdcProperties extends Properties("ChangeDetection") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

@@ -1409,4 +1409,45 @@ class DeltaLiteSpec extends SparkSpec with Matchers {
       (5L, 5L, "update_preimage"), (5L, 50L, "update_postimage"),
       (6L, 6L, "delete"), (70L, 70L, "insert"))
   }
+
+  test("column mapping: maxColumnId is MONOTONE — ADD after DROP never reuses the dropped field's id") {
+    import spark.implicits._
+    val table = Sinks.tempDir("delta_cm_mono")
+    // ids at creation: k=1, v=2, s=3 (maxColumnId = 3)
+    DeltaLite.writeColumnMapped(spark,
+      Seq((1L, 10L, "old1"), (2L, 20L, "old2")).toDF("k", "v", "s"), table)
+    DeltaLite.dropColumn(spark, table, "s") // live schema's max id shrinks to 2
+    // the DROP commit must RE-DECLARE maxColumnId = 3, not shrink it
+    val dropV = DeltaLite.latestVersion(spark, table)
+    val dropMeta = logLines(table, dropV).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    dropMeta.get("configuration").get("delta.columnMapping.maxColumnId")
+      .asText() shouldBe "3"
+    // the ADD must take a FRESH id (4) — reusing 3 would bind the new
+    // column to the dropped column's physical col-3 in pre-drop files
+    DeltaLite.addColumn(spark, table, "s2",
+      org.apache.spark.sql.types.StringType)
+    val addV = DeltaLite.latestVersion(spark, table)
+    val addMeta = logLines(table, addV).map(mapper.readTree)
+      .find(_.has("metaData")).get.get("metaData")
+    var s2Id = -1L
+    var s2Phys = ""
+    mapper.readTree(addMeta.get("schemaString").asText()).get("fields")
+      .forEach { f =>
+        if (f.get("name").asText() == "s2") {
+          s2Id = f.get("metadata").get("delta.columnMapping.id").asLong()
+          s2Phys = f.get("metadata")
+            .get("delta.columnMapping.physicalName").asText()
+        }
+      }
+    s2Id shouldBe 4L
+    s2Phys shouldBe "col-4"
+    addMeta.get("configuration").get("delta.columnMapping.maxColumnId")
+      .asText() shouldBe "4"
+    // pre-drop files surface the new column as NULL — never the dropped
+    // column's old bytes under the new name (the id-reuse failure mode)
+    DeltaLite.read(spark, table).select("k", "s2")
+      .as[(Long, Option[String])].collect().toSet shouldBe
+      Set((1L, None), (2L, None))
+  }
 }

@@ -266,7 +266,9 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     val t = s"$warehouse/db/cmsql"
     DeltaLite.writeColumnMapped(spark,
       (1L to 4L).map(k => (k, k * 10L)).toDF("k", "v"), t, mode = "id") // v0
-    // without the session flag: refuse with the remedy named
+    // without the session flag: refuse with the remedy named (unset
+    // explicitly — other suites/keys legitimately leave it enabled)
+    spark.conf.unset("spark.sql.parquet.fieldId.read.enabled")
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.db.cmsql").collect()
     }
@@ -613,9 +615,15 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
         Seq((1L, 10L), (2L, 20L), (3L, 30L))
       val path = s"$wh/db/$tbl"
       if (fmt == "delta") {
-        // epoch redelivery no-ops on the SetTransaction ledger
+        // epoch redelivery no-ops on the SetTransaction ledger — under
+        // the QUERY'S OWN appId (the ledger is per-query now); the
+        // committed txn row tells us the id the stream used
         val before = DeltaLite.latestVersion(spark, path)
-        DeltaLite.commitStreamFiles(spark, path, Nil, epochId = 1L)
+        val appId = DeltaLite.snapshotAt(spark, path).txns.keys
+          .find(_.startsWith(DeltaLite.TxnAppId))
+          .getOrElse(fail("no stream txn ledger row"))
+        DeltaLite.commitStreamFiles(spark, path, Nil, epochId = 1L,
+          appId = appId)
         DeltaLite.latestVersion(spark, path) shouldBe before
         // the API reader agrees, and time travel sees epoch boundaries
         DeltaLite.read(spark, path).count() shouldBe 3L
@@ -623,6 +631,8 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
           .count() shouldBe 2L
       } else {
         val before = IcebergLite.latestMetadataVersion(spark, path)
+        // an empty redelivered epoch no-ops regardless of ledger (no
+        // files), and a replay under the query's ledger no-ops too
         IcebergLite.commitStreamFiles(spark, path, Nil, epochId = 1L)
         IcebergLite.latestMetadataVersion(spark, path) shouldBe before
         IcebergLite.read(spark, path).count() shouldBe 3L
@@ -664,6 +674,90 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       spark.sql(s"ALTER TABLE $cat.db.alt_delta RENAME COLUMN v TO x")
     }
     e.getMessage should include("column mapping")
+    // a NOT NULL add refuses loudly — silently landing it nullable would
+    // drop a declared constraint without error
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $cat.db.alt_delta ADD COLUMNS (nn BIGINT NOT NULL)")
+    }
+    e2.getMessage should include("NULLABLE")
+  }
+
+  test("readStream.table survives ALTER + append: Iceberg snapshot ids are gap-tolerant") {
+    import spark.implicits._
+    val wh = warehouse
+    val tbl = "srd_gap"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+    spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (1, 10), (2, 20)")
+    val ckpt = graft.ingest.Sinks.tempDir("srd_gap_ckpt")
+    def drain(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.table(s"$cat.db.$tbl")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          n.addAndGet(df.count()); ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      n.get()
+    }
+    drain() shouldBe 2L
+    // a METADATA-ONLY commit (ALTER) consumes a metadata version without
+    // a snapshot, leaving a gap in the id axis; the next append's id
+    // skips it. Before the fix the checkpointed stream wedged here with
+    // IllegalArgumentException on the missing snapshot id.
+    spark.sql(s"ALTER TABLE $cat.db.$tbl ADD COLUMNS (w BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (3, 30, 300)")
+    drain() shouldBe 1L
+    // a second ALTER with NO trailing append is also just an empty unit
+    spark.sql(s"ALTER TABLE $cat.db.$tbl ADD COLUMNS (x BIGINT)")
+    drain() shouldBe 0L
+  }
+
+  test("writeStream.toTable ledgers are PER QUERY: two queries' epochs never dedup each other") {
+    import spark.implicits._
+    val wh = warehouse
+    for (fmt <- Seq("delta", "iceberg")) {
+      spark.sql(s"DROP TABLE IF EXISTS $cat.db.led_dst_$fmt")
+      spark.sql(
+        s"CREATE TABLE $cat.db.led_dst_$fmt (k BIGINT) USING $fmt")
+      // two INDEPENDENT checkpointed queries write the same table; both
+      // start at epoch 0. A shared (global-constant) ledger would make
+      // the second query's epoch 0 look like a redelivery and silently
+      // drop its rows.
+      for (src <- Seq("a", "b")) {
+        val st = s"led_src_${fmt}_$src"
+        spark.sql(s"DROP TABLE IF EXISTS $cat.db.$st")
+        spark.sql(s"CREATE TABLE $cat.db.$st (k BIGINT) USING delta")
+        spark.sql(s"INSERT INTO $cat.db.$st VALUES " +
+          (if (src == "a") "(1), (2)" else "(3)"))
+        val q = spark.readStream.table(s"$cat.db.$st")
+          .writeStream
+          .option("checkpointLocation",
+            graft.ingest.Sinks.tempDir(s"led_ckpt_${fmt}_$src"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.db.led_dst_$fmt")
+        q.awaitTermination()
+      }
+      spark.sql(s"SELECT k FROM $cat.db.led_dst_$fmt ORDER BY k")
+        .as[Long].collect() shouldBe Seq(1L, 2L, 3L)
+      // a FRESH checkpoint is a NEW query id: its epoch 0 must land even
+      // though another query already committed an epoch 0 on this table
+      // (same-query redelivery no-op is pinned by the ETL test above)
+      val q2 = spark.readStream.table(s"$cat.db.led_src_${fmt}_b")
+        .writeStream
+        .option("checkpointLocation",
+          graft.ingest.Sinks.tempDir(s"led_ckpt_${fmt}_b2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.db.led_dst_$fmt")
+      q2.awaitTermination()
+      // 3 appears twice now: same data, different query
+      spark.sql(s"SELECT count(*) FROM $cat.db.led_dst_$fmt")
+        .as[Long].head() shouldBe 4L
+    }
   }
 
   test("Iceberg identity partitioning: SQL create, manifest pruning, static partition overwrite") {
@@ -738,6 +832,346 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].head() shouldBe 11L
     // the API reader agrees
     IcebergLite.read(spark, t).count() shouldBe 21L
+  }
+
+  test("hidden-transform Iceberg SQL UPDATE / MERGE: bucket + day partitions, p0 pruning stays exact") {
+    import spark.implicits._
+    val wh = warehouse
+    // ---- bucket(4, k): the transform real tables actually use --------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ice_bup")
+    spark.sql(s"CREATE TABLE $cat.db.ice_bup (k BIGINT, v BIGINT) " +
+      "USING iceberg PARTITIONED BY (bucket(4, k))")
+    (1L to 40L).map(k => (k, k)).toDF("k", "v")
+      .createOrReplaceTempView("ibup_src")
+    spark.sql(s"INSERT INTO $cat.db.ice_bup SELECT * FROM ibup_src")
+    val t = s"$wh/db/ice_bup"
+    val pf = IcebergLite.PartField.bucket("k", 4)
+    val tgt = pf.valueOf(7L) // the bucket k=7 hashes into
+    val others = (0 until 4).map(_.toString).toSet - tgt
+    val untouchedBefore = IcebergLite.planPartitioned(spark, t, others)._1.toSet
+    val sumBefore = (1L to 40L).sum
+    spark.sql(s"UPDATE $cat.db.ice_bup SET v = v + 1000 WHERE k = 7")
+    // untouched buckets' files carried; pruning on them plans the SAME
+    // files, and the touched bucket's plan is disjoint from them — the
+    // replacement file's manifest p0 is the recomputed BUCKET value
+    IcebergLite.planPartitioned(spark, t, others)._1.toSet shouldBe
+      untouchedBefore
+    val tgtAfter = IcebergLite.planPartitioned(spark, t, Set(tgt))._1.toSet
+    tgtAfter should not be empty
+    tgtAfter.intersect(untouchedBefore) shouldBe empty
+    spark.sql(s"SELECT v FROM $cat.db.ice_bup WHERE k = 7")
+      .as[Long].head() shouldBe 1007L
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ice_bup")
+      .as[Long].head() shouldBe sumBefore + 1000L
+    // prior snapshots still time-travel below the rewrite
+    val snaps = IcebergLite.snapshotIdList(spark, t)
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ice_bup VERSION AS OF " +
+      s"${snaps.dropRight(1).last}").as[Long].head() shouldBe sumBefore
+    // MERGE: matched update + not-matched insert, each landing in ITS
+    // recomputed bucket
+    Seq((7L, 7777L), (100L, 100L)).toDF("k", "v")
+      .createOrReplaceTempView("ibm_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.ice_bup t USING ibm_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    spark.sql(s"SELECT v FROM $cat.db.ice_bup WHERE k = 7")
+      .as[Long].head() shouldBe 7777L
+    val b100 = pf.valueOf(100L)
+    IcebergLite.planPartitioned(spark, t, Set(b100))._1 should not be empty
+    spark.sql(s"SELECT count(*) FROM $cat.db.ice_bup").as[Long]
+      .head() shouldBe 41L
+    IcebergLite.read(spark, t).count() shouldBe 41L // API reader agrees
+    // ---- days(ts): temporal hidden partitioning ----------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ice_dup")
+    spark.sql(s"CREATE TABLE $cat.db.ice_dup (ts TIMESTAMP, v BIGINT) " +
+      "USING iceberg PARTITIONED BY (days(ts))")
+    spark.sql(s"INSERT INTO $cat.db.ice_dup VALUES " +
+      "(TIMESTAMP'2024-01-01 03:00:00', 1), " +
+      "(TIMESTAMP'2024-01-02 04:00:00', 2), " +
+      "(TIMESTAMP'2024-01-03 05:00:00', 3)")
+    val td = s"$wh/db/ice_dup"
+    val day2 = java.time.LocalDate.of(2024, 1, 2).toEpochDay.toString
+    val otherDays = Set(java.time.LocalDate.of(2024, 1, 1).toEpochDay,
+      java.time.LocalDate.of(2024, 1, 3).toEpochDay).map(_.toString)
+    val otherFiles = IcebergLite.planPartitioned(spark, td, otherDays)._1.toSet
+    spark.sql(s"UPDATE $cat.db.ice_dup SET v = 20 WHERE v = 2")
+    IcebergLite.planPartitioned(spark, td, otherDays)._1.toSet shouldBe
+      otherFiles
+    val day2After = IcebergLite.planPartitioned(spark, td, Set(day2))._1.toSet
+    day2After should not be empty
+    day2After.intersect(otherFiles) shouldBe empty
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ice_dup").as[Long]
+      .head() shouldBe 24L
+  }
+
+  test("SQL DML on deletion-vector tables: DELETE merges vectors (no rewrite), UPDATE never resurrects") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ddv")
+    spark.sql(s"CREATE TABLE $cat.db.ddv (k BIGINT, v BIGINT) USING delta")
+    (1L to 100L).map(k => (k, k)).toDF("k", "v")
+      .createOrReplaceTempView("ddv_src")
+    spark.sql(s"INSERT INTO $cat.db.ddv SELECT * FROM ddv_src")
+    val t = s"$wh/db/ddv"
+    // seed a deletion vector through the format API
+    DeltaLite.deleteWhereDV(spark, t, "k", 10L, 20L)
+    val filesBefore = DeltaLite.snapshotAt(spark, t).files.toSet
+    // SQL DELETE on the DV-carrying table takes the DV route: the new
+    // positions UNION into the vectors — data files unchanged
+    spark.sql(s"DELETE FROM $cat.db.ddv WHERE k >= 30 AND k <= 40")
+    val snapAfter = DeltaLite.snapshotAt(spark, t)
+    snapAfter.files.toSet shouldBe filesBefore // no data-file rewrite
+    snapAfter.dvs should not be empty
+    spark.sql(s"SELECT count(*) FROM $cat.db.ddv").as[Long]
+      .head() shouldBe 78L
+    DeltaLite.read(spark, t).count() shouldBe 78L // uncompacted API read
+    // SQL UPDATE goes through the DV-MASKED row-level scan: the rewrite
+    // starts from live rows, so deleted keys never resurrect
+    spark.sql(s"UPDATE $cat.db.ddv SET v = v + 1000 WHERE k BETWEEN 5 AND 35")
+    spark.sql(s"SELECT count(*) FROM $cat.db.ddv").as[Long]
+      .head() shouldBe 78L
+    // live matched keys: 5..9 and 21..29 = 14 rows updated
+    spark.sql(s"SELECT sum(v) FROM $cat.db.ddv").as[Long]
+      .head() shouldBe (4500L + 14L * 1000L)
+    spark.sql(s"SELECT count(*) FROM $cat.db.ddv WHERE k BETWEEN 10 AND 20")
+      .as[Long].head() shouldBe 0L
+    // the `_file` projection masks too — no deleted row carries a tag
+    spark.sql(s"SELECT count(*) FROM (SELECT k, _file FROM $cat.db.ddv)")
+      .as[Long].head() shouldBe 78L
+  }
+
+  test("SQL DML on column-mapped tables: rename -> UPDATE -> field-id reads, time travel intact") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val t = s"$wh/db/cmu"
+    DeltaLite.writeColumnMapped(spark,
+      (1L to 50L).map(k => (k, k, s"s$k")).toDF("k", "v", "s"), t)
+    DeltaLite.renameColumn(spark, t, "v", "value") // metadata-only
+    // SQL UPDATE binds by field id through the rename
+    spark.sql(s"UPDATE $cat.db.cmu SET value = value * 10 " +
+      "WHERE k BETWEEN 10 AND 19")
+    spark.sql(s"SELECT sum(value) FROM $cat.db.cmu").as[Long]
+      .head() shouldBe ((1L to 50L).sum - (10L to 19L).sum +
+        (10L to 19L).map(_ * 10).sum)
+    // the staged replacement files carry PHYSICAL names + field ids —
+    // the API reader (field-id resolution) agrees
+    DeltaLite.read(spark, t)
+      .agg(org.apache.spark.sql.functions.sum($"value")).head
+      .getLong(0) shouldBe spark.sql(
+        s"SELECT sum(value) FROM $cat.db.cmu").as[Long].head()
+    // strings survive the rewrite (all columns restaged physically)
+    spark.sql(s"SELECT s FROM $cat.db.cmu WHERE k = 10").as[String]
+      .head() shouldBe "s10"
+    // MERGE through the same path
+    Seq((10L, 77L), (999L, 999L)).toDF("k", "value")
+      .createOrReplaceTempView("cmu_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.cmu t USING cmu_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    spark.sql(s"SELECT value FROM $cat.db.cmu WHERE k = 10").as[Long]
+      .head() shouldBe 77L
+    // a version below the rename still serves the ORIGINAL names
+    DeltaLite.read(spark, t, versionAsOf = 0L)
+      .schema.fieldNames.toSeq shouldBe Seq("k", "v", "s")
+    DeltaLite.read(spark, t, versionAsOf = 0L)
+      .agg(org.apache.spark.sql.functions.sum($"v")).head
+      .getLong(0) shouldBe (1L to 50L).sum
+    // SQL DELETE falls back to the row-level path on mapped tables
+    spark.sql(s"DELETE FROM $cat.db.cmu WHERE k BETWEEN 40 AND 50")
+    spark.sql(s"SELECT count(*) FROM $cat.db.cmu").as[Long]
+      .head() shouldBe 39L
+  }
+
+  test("partitioned writeStream.toTable: rolling epoch writers declare partitionValues, exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = warehouse
+    // ---- Delta identity partition ------------------------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.spt_delta")
+    spark.sql(s"CREATE TABLE $cat.db.spt_delta (k BIGINT, p STRING) " +
+      "USING delta PARTITIONED BY (p)")
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("k", "p")
+      .writeStream
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("spt_ckpt"))
+      .toTable(s"$cat.db.spt_delta")
+    src.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    q.processAllAvailable()
+    src.addData((4L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val t = s"$wh/db/spt_delta"
+    spark.sql(s"SELECT k FROM $cat.db.spt_delta ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 2L, 3L, 4L)
+    // every streamed file carries partitionValues: log-only pruning
+    // plans each partition exactly
+    val (aFiles, aMatched, total) =
+      DeltaLite.planPartitioned(spark, t, "p", Set("a"))
+    val (bFiles, bMatched, _) =
+      DeltaLite.planPartitioned(spark, t, "p", Set("b"))
+    aMatched + bMatched shouldBe total
+    aFiles.toSet.intersect(bFiles.toSet) shouldBe empty
+    // the pruned read returns exactly that partition's rows
+    spark.read.parquet(aFiles.map(f => s"$t/$f"): _*)
+      .select("k").as[Long].collect().sorted shouldBe Seq(1L, 3L)
+    // epoch replay no-ops: re-commit epoch 0 under the query's ledger
+    val appId = DeltaLite.snapshotAt(spark, t).txns.keys
+      .find(_.startsWith(DeltaLite.TxnAppId)).get
+    val before = DeltaLite.latestVersion(spark, t)
+    DeltaLite.commitStreamFiles(spark, t, Nil, epochId = 0L, appId = appId)
+    DeltaLite.latestVersion(spark, t) shouldBe before
+    // ---- Iceberg hidden transform ------------------------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.spt_ice")
+    spark.sql(s"CREATE TABLE $cat.db.spt_ice (k BIGINT, v BIGINT) " +
+      "USING iceberg PARTITIONED BY (bucket(4, k))")
+    val isrc = MemoryStream[(Long, Long)]
+    val iq = isrc.toDF().toDF("k", "v")
+      .writeStream
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("spt_ickpt"))
+      .toTable(s"$cat.db.spt_ice")
+    isrc.addData((1L, 10L), (2L, 20L), (7L, 70L))
+    iq.processAllAvailable()
+    iq.stop()
+    val it = s"$wh/db/spt_ice"
+    spark.sql(s"SELECT sum(v) FROM $cat.db.spt_ice").as[Long]
+      .head() shouldBe 100L
+    // manifest p0 recorded per streamed file: bucket pruning is exact
+    val pf = IcebergLite.PartField.bucket("k", 4)
+    val b7 = pf.valueOf(7L)
+    val plan7 = IcebergLite.planPartitioned(spark, it, Set(b7))._1
+    plan7 should not be empty
+    spark.read.parquet(plan7: _*).select("k").as[Long]
+      .collect() should contain(7L)
+  }
+
+  test("maintenance SQL: OPTIMIZE / ZORDER / VACUUM / CALL procedures lower to the format ops") {
+    import spark.implicits._
+    val wh = warehouse
+    // OPTIMIZE/VACUUM go through the injected parser; CALL resolves
+    // through the catalog's native ProcedureCatalog — all plain SQL
+    def run(sql: String): Seq[org.apache.spark.sql.Row] =
+      spark.sql(sql).collect().toSeq
+    // ---- Delta: OPTIMIZE then VACUUM ---------------------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.mx")
+    spark.sql(s"CREATE TABLE $cat.db.mx (k BIGINT) USING delta")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $cat.db.mx VALUES ($i)"))
+    val Seq(opt) = run(s"OPTIMIZE $cat.db.mx")
+    opt.getLong(1) shouldBe 4L // files before
+    opt.getLong(2) shouldBe 1L // files after
+    val Seq(vac) = run(s"VACUUM $cat.db.mx")
+    vac.getLong(0) shouldBe 4L // the compacted-away files left storage
+    spark.sql(s"SELECT sum(k) FROM $cat.db.mx").as[Long].head() shouldBe 10L
+    // ---- Delta: ZORDER spelling --------------------------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.mz")
+    spark.sql(s"CREATE TABLE $cat.db.mz (x BIGINT, y BIGINT) USING delta")
+    (1 to 5).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.mz VALUES ($i, ${6 - i})"))
+    val Seq(z) = run(s"OPTIMIZE $cat.db.mz ZORDER BY (x, y)")
+    z.getLong(2) should be <= z.getLong(1)
+    spark.sql(s"SELECT sum(x) FROM $cat.db.mz").as[Long].head() shouldBe 15L
+    // ---- Iceberg: CALL procedures ------------------------------------
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.mi")
+    spark.sql(s"CREATE TABLE $cat.db.mi (k BIGINT) USING iceberg")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO $cat.db.mi VALUES ($i)"))
+    val Seq(rw) = run(s"CALL $cat.system.rewrite_data_files('db.mi')")
+    rw.getLong(1) shouldBe 3L
+    rw.getLong(2) shouldBe 1L
+    val Seq(exp) = run(s"CALL $cat.system.expire_snapshots('db.mi', 1)")
+    exp.getLong(0) should be >= 1L
+    exp.getLong(1) should be >= 1L
+    spark.sql(s"SELECT sum(k) FROM $cat.db.mi").as[Long].head() shouldBe 6L
+    // format mismatches refuse with the remedy named
+    val e1 = intercept[Exception] { run(s"VACUUM $cat.db.mi") }
+    e1.getMessage should include("expire_snapshots")
+    val e2 = intercept[Exception] {
+      run(s"CALL $cat.system.expire_snapshots('db.mx', 1)")
+    }
+    e2.getMessage should include("VACUUM")
+    // ordinary SQL parses through the delegate untouched
+    spark.sql("SELECT 1 AS x").collect()(0).getInt(0) shouldBe 1
+    spark.sql(s"SELECT count(*) FROM $cat.db.mx WHERE k > 1")
+      .collect()(0).getLong(0) shouldBe 3L
+    // procedures are discoverable
+    spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
+      .listProcedures(Array("system")).map(_.name()).sorted shouldBe
+      Array("expire_snapshots", "rewrite_data_files", "vacuum")
+  }
+
+  test("t.changes: batch feed relation + streaming drain across a DML history") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.chg")
+    spark.sql(s"CREATE TABLE $cat.db.chg (k BIGINT, v BIGINT) USING delta") // v0
+    val t = s"$wh/db/chg"
+    DeltaLite.enableCdf(spark, t)                                           // v1
+    spark.sql(s"INSERT INTO $cat.db.chg SELECT id, id FROM range(1, 51)")   // v2
+    spark.sql(s"DELETE FROM $cat.db.chg WHERE k >= 10 AND k <= 19")         // v3
+    DeltaLite.mergeInto(spark, t,
+      Seq((20L, 2000L), (999L, 999L)).toDF("k", "v"), "k")                  // v4
+    // the batch relation IS readCdf
+    val batch = spark.sql(s"SELECT * FROM $cat.db.chg.changes")
+    batch.columns.toSeq shouldBe
+      Seq("k", "v", "_change_type", "_commit_version")
+    val census = batch.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    census shouldBe Map("insert" -> 51L, "delete" -> 10L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L)
+    val batchSet = batch.as[(Long, Long, String, Long)].collect().toSet
+    // a streaming drain from the first data version equals the batch feed
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, String, Long)]()
+    val ckpt = graft.ingest.Sinks.tempDir("chg_ckpt")
+    def drain(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong(0)
+      val q = spark.readStream.option("startingVersion", "2")
+        .table(s"$cat.db.chg.changes")
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+          df.as[(Long, Long, String, Long)].collect().foreach { r =>
+            seen.add(r); n.incrementAndGet()
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      n.get()
+    }
+    drain() shouldBe batchSet.size.toLong
+    scala.jdk.CollectionConverters.SetHasAsScala(seen).asScala
+      .toSet shouldBe batchSet
+    // resume: only NEW commits' changes drain (checkpointed offset)
+    spark.sql(s"DELETE FROM $cat.db.chg WHERE k = 5")                       // v5
+    drain() shouldBe 1L
+    // DV-route deletes announce through their cdc too
+    DeltaLite.deleteWhereDV(spark, t, "k", 30L, 32L)                        // v6
+    drain() shouldBe 3L
+    // iceberg: the batch relation serves; streaming names the remedy
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ichg")
+    spark.sql(s"CREATE TABLE $cat.db.ichg (k BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.ichg VALUES (1), (2)")
+    spark.sql(s"DELETE FROM $cat.db.ichg WHERE k = 1")
+    val ife = spark.sql(s"SELECT k, _change_type FROM $cat.db.ichg.changes")
+      .as[(Long, String)].collect().toSet
+    ife should contain((1L, "insert"))
+    ife should contain((1L, "delete"))
+    val e = intercept[Exception] {
+      val q = spark.readStream.table(s"$cat.db.ichg.changes")
+        .writeStream
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .option("checkpointLocation", graft.ingest.Sinks.tempDir("ichg_ck"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the capability set refuses upfront (Spark's own wording) — the
+    // batch relation is the served path
+    e.getMessage should include("micro-batch")
   }
 
   test("readStream.table: the commit log is the offset axis, restart resumes, rewrites refuse") {

@@ -21,6 +21,7 @@ import graft.sources.IcebergLite.PartField
 object PartFieldProperties extends Properties("PartField") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

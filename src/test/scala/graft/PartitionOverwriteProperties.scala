@@ -17,6 +17,7 @@ object PartitionOverwriteProperties
   extends Properties("PartitionOverwrite") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

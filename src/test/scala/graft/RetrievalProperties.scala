@@ -14,6 +14,7 @@ import graft.llm.Retrieval
 object RetrievalProperties extends Properties("WandPruning") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -23,6 +23,7 @@ import graft.llm.Similarity
 object SimilarityProperties extends Properties("PqAdc") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

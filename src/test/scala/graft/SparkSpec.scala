@@ -8,6 +8,10 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
+    // the SAME extensions Verify/Bench run with (custom expressions,
+    // optimizer rules, the maintenance-SQL parser) — tests exercise the
+    // session users actually get
+    .withExtensions(new graft.functions.GraftExtensions())
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")

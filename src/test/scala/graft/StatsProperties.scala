@@ -15,6 +15,7 @@ import org.scalacheck.Prop.propBoolean
 object StatsProperties extends Properties("WeightedPercentile") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

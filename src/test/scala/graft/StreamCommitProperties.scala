@@ -19,6 +19,7 @@ import graft.sources.{DeltaLite, IcebergLite}
 object StreamCommitProperties extends Properties("StreamCommits") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -17,6 +17,7 @@ import graft.sources.{DeltaLite, IcebergLite}
 object StreamSourceProperties extends Properties("StreamSource") {
 
   private lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new graft.functions.GraftExtensions())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
