@@ -2714,6 +2714,60 @@ object FormatQueries {
       .orderBy("ct")
   }
 
+  /** X297, Iceberg side: the change feed streamed from `t.changes` —
+    * inserts + MOR position-deletes drain as micro-batches equal to the
+    * batch relation / [[IcebergLite.readChangelog]]; position-delete
+    * commits announce EXACTLY the rows they masked (the reader emits
+    * those file positions), re-deletes announce only their fresh
+    * positions, so the census reproduces relationally. */
+  private def icebergCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    val catName = "grafticf"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_icf")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_icf")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_icf (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING iceberg""".stripMargin)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    o.createOrReplaceTempView("icf_src")
+    spark.sql(s"INSERT INTO $catName.db.orders_icf SELECT * FROM icf_src")
+    spark.sql(s"DELETE FROM $catName.db.orders_icf " +
+      "WHERE o_orderkey BETWEEN 1 AND 700") // MOR position delete
+    spark.sql(s"INSERT INTO $catName.db.orders_icf " +
+      "SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority " +
+      "FROM icf_src WHERE o_orderkey % 2 = 0")
+    // overlapping re-delete: only the FRESH positions announce
+    spark.sql(s"DELETE FROM $catName.db.orders_icf " +
+      "WHERE o_orderkey BETWEEN 600 AND 800")
+    val batch = spark.sql(
+      s"SELECT * FROM $catName.db.orders_icf.changes")
+    val batchN = batch.count()
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.option("startingVersion", "1")
+      .table(s"$catName.db.orders_icf.changes")
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) => {
+        drained.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", Sinks.tempDir("icf_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    batch.groupBy(col("_change_type").as("ct"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("stream_equals_batch", lit(drained.get() == batchN))
+      .orderBy("ct")
+  }
+
   /** X287: SQL `ALTER TABLE ADD COLUMNS` through the catalog — a
     * METADATA-ONLY widening (Delta: one re-declared metaData commit;
     * Iceberg: a new schema-id, no snapshot): the key creates a narrow
@@ -3283,6 +3337,7 @@ object FormatQueries {
     "x_delta_stream_to_table_partitioned" ->
       ((s, dir) => streamToTablePartitioned(s, dir)),
     "x_delta_cdf_stream" -> ((s, dir) => deltaCdfStream(s, dir)),
+    "x_iceberg_cdf_stream" -> ((s, dir) => icebergCdfStream(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -3632,6 +3687,20 @@ object FormatQueries {
         |    round(sum(o_totalprice + 1000), 2)
         |  FROM orders WHERE o_orderkey % 100 = 0
         |    AND o_orderkey NOT BETWEEN 1 AND 700
+        |) ORDER BY ct""".stripMargin,
+    // Iceberg change feed streamed: insert all + evens re-keyed, MOR
+    // delete 1..700 then fresh positions 701..800 only
+    "x_iceberg_cdf_stream" ->
+      """SELECT ct, n, total, TRUE AS stream_equals_batch FROM (
+        |  SELECT 'insert' AS ct,
+        |    (SELECT count(*) FROM orders) + (SELECT count(*) FROM orders
+        |       WHERE o_orderkey % 2 = 0) AS n,
+        |    round((SELECT sum(o_totalprice) FROM orders) +
+        |      (SELECT sum(o_totalprice) FROM orders
+        |       WHERE o_orderkey % 2 = 0), 2) AS total
+        |  UNION ALL
+        |  SELECT 'delete', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderkey BETWEEN 1 AND 800
         |) ORDER BY ct""".stripMargin,
     // partitioned writeStream.toTable: all orders streamed in, every
     // epoch add carrying partitionValues, urgent partition pruned exact

@@ -2160,6 +2160,98 @@ object IcebergLite {
     slices.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** One file of a snapshot's CHANGE SET, as the streaming change feed
+    * plans it (X297, Iceberg side): `insert` units are data files the
+    * snapshot added; COW `delete` units are files it removed, whose
+    * deleted rows are the file's rows MINUS `skip` (positions the
+    * PARENT's pos-deletes already masked — they must not re-announce);
+    * MOR `delete` units carry `emit` — exactly the row positions this
+    * snapshot's new position-delete files mask. */
+  private[graft] final case class IceChangeUnit(absPath: String,
+      kind: String, emit: Array[Long], skip: Array[Long])
+
+  /** Snapshot `sid`'s change units for the STREAMING feed — the same
+    * per-snapshot state-diff rules as [[readChangelog]] (added files as
+    * inserts, removed files' parent-live rows as deletes, new
+    * position-delete files' masked rows as deletes; `replace` snapshots
+    * are row-silent), but as FILE-GRANULAR plans an executor-side
+    * reader serves. Ids absent from the snapshots list (metadata-only
+    * versions) contribute nothing. EQUALITY deletes refuse with the
+    * remedy named — their masked set is a value join, not a position
+    * list. Position lists pass through the driver bounded by the
+    * DELETED-row count (the deleteWhereDV cost model). */
+  private[graft] def changeUnits(spark: SparkSession, table: String,
+      sid: Long): Seq[IceChangeUnit] = {
+    import org.apache.spark.sql.functions.col
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val snapLists = metaJsonSnapshots(meta).toMap
+    if (!snapLists.contains(sid)) return Seq.empty // metadata-only gap
+    var op = "append"
+    var parentRec: Option[Long] = None
+    meta.get("snapshots").forEach { s =>
+      if (s.get("snapshot-id").asLong() == sid) {
+        op = s.get("summary").get("operation").asText()
+        if (s.has("parent-snapshot-id"))
+          parentRec = Some(s.get("parent-snapshot-id").asLong())
+      }
+    }
+    if (op == "replace") return Seq.empty // compaction: rows unchanged
+    val parent: Option[Long] = parentRec.orElse(
+      snapLists.keySet.filter(_ < sid).reduceOption(_ max _))
+    parent.foreach(p => require(snapLists.contains(p),
+      s"parent snapshot $p of $sid expired from $table: the change " +
+        "stream cannot reconstruct the state diff"))
+    val cur = snapshotManifestFiles(spark, table, sid, content = 0)
+      .map { case (p, _) => (fileKeyRaw(p), p) }.toMap
+    val par = parent.map(p =>
+      snapshotManifestFiles(spark, table, p, content = 0)
+        .map { case (q, _) => (fileKeyRaw(q), q) }.toMap)
+      .getOrElse(Map.empty[String, String])
+    // delete-file inventory of a snapshot's list: (path, kind, addedSid)
+    def deleteFiles(s: Long): Seq[(String, Int, Long)] =
+      listEntries(fs, new Path(snapLists(s))).filter(_.content == 1)
+        .flatMap(m => readAvroFile(fs, new Path(m.path))
+          .filter(_.get("status").asInstanceOf[Int] != 2)
+          .map { e =>
+            val d = e.get("data_file").asInstanceOf[GenericRecord]
+            val kind =
+              if (d.getSchema.getField("content") == null) 1
+              else d.get("content").asInstanceOf[Int]
+            (d.get("file_path").toString, kind, m.addedSid)
+          })
+    val sidDel = deleteFiles(sid)
+    require(sidDel.forall(_._2 == 1),
+      s"snapshot $sid of $table carries EQUALITY deletes — the change " +
+        "stream serves position deletes; consume the range via " +
+        "readChangelog")
+    def positionsBy(paths: Seq[String]): Map[String, Array[Long]] =
+      if (paths.isEmpty) Map.empty
+      else spark.read.parquet(paths: _*)
+        .select(col("file_path"), col("pos")).collect()
+        .groupBy(r => fileKeyRaw(r.getString(0)))
+        .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+    val parentPos = positionsBy(
+      parent.map(p => deleteFiles(p).map(_._1)).getOrElse(Seq.empty))
+    val newPos = positionsBy(sidDel.filter(_._3 == sid).map(_._1))
+    val inserts = (cur.keySet -- par.keySet).toSeq.sorted.map(k =>
+      IceChangeUnit(cur(k), "insert", null, Array.empty))
+    val cowDeletes = (par.keySet -- cur.keySet).toSeq.sorted.map(k =>
+      IceChangeUnit(par(k), "delete", null,
+        parentPos.getOrElse(k, Array.empty)))
+    val morDeletes = newPos.toSeq.sortBy(_._1).flatMap { case (k, pos) =>
+      // a re-delete's already-masked positions must not re-announce
+      val prior = parentPos.getOrElse(k, Array.empty[Long]).toSet
+      val fresh = pos.filterNot(prior)
+      if (fresh.isEmpty) None
+      else par.get(k).orElse(cur.get(k)).map(p =>
+        IceChangeUnit(p, "delete", fresh, Array.empty))
+    }
+    inserts ++ cowDeletes ++ morDeletes
+  }
+
   /** NET CHANGES over (fromSnap, toSnap] — [[readChangelog]] folded to
     * its endpoint-to-endpoint effect (Iceberg's `net_changes` option):
     * per distinct row VALUE, inserts count +1 and deletes −1 across the

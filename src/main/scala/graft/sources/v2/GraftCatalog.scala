@@ -394,6 +394,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val format = props.getOrElse(TableCatalog.PROP_PROVIDER, "delta")
       .toLowerCase(java.util.Locale.ROOT)
     val path = tablePath(ident)
+    val declared = tableProperties(ident, format, props.toMap)
     format match {
       case "delta" =>
         val partCols = partitions.toSeq.map {
@@ -441,7 +442,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"CREATE TABLE $catName.$ident: provider must be delta or " +
           s"iceberg; got $other")
     }
+    declared.foreach(_(path)) // TBLPROPERTIES as metadata commits (X299)
     loadTable(ident)
+  }
+
+  /** TBLPROPERTIES → the formats' METADATA-ONLY feature commits (X299):
+    * `delta.enableChangeDataFeed=true`, `delta.appendOnly=true`, and
+    * `delta.constraints.<name> = <expr>` lower to [[DeltaLite.enableCdf]]
+    * / [[DeltaLite.setAppendOnly]] / [[DeltaLite.addConstraint]] — so
+    * `CREATE TABLE … TBLPROPERTIES(…)` and
+    * `ALTER TABLE … SET TBLPROPERTIES(…)` are the whole lifecycle SQL
+    * needs; the properties Spark attaches itself (provider/owner/
+    * comment) pass through, anything else refuses loudly rather than
+    * silently dropping a declared behavior. Returns the appliers
+    * (validated eagerly, applied after the physical create exists). */
+  private def tableProperties(ident: Identifier, format: String,
+      props: Map[String, String]): Seq[String => Unit] = {
+    val passthrough = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+      "transient_lastDdlTime")
+    props.toSeq.sortBy(_._1).filterNot(kv => passthrough(kv._1)).map {
+      case ("delta.enableChangeDataFeed", v) =>
+        require(format == "delta" && v == "true",
+          s"$catName.$ident: delta.enableChangeDataFeed takes 'true' on " +
+            "Delta tables")
+        (path: String) => { DeltaLite.enableCdf(spark, path); () }
+      case ("delta.appendOnly", v) =>
+        require(format == "delta" && v == "true",
+          s"$catName.$ident: delta.appendOnly takes 'true' on Delta tables")
+        (path: String) => { DeltaLite.setAppendOnly(spark, path); () }
+      case (k, expr) if k.startsWith("delta.constraints.") =>
+        require(format == "delta",
+          s"$catName.$ident: CHECK constraints are the Delta feature")
+        (path: String) => {
+          DeltaLite.addConstraint(spark, path,
+            k.stripPrefix("delta.constraints."), expr); ()
+        }
+      case (k, _) => throw new UnsupportedOperationException(
+        s"$catName.$ident: table property $k is outside this subset — " +
+          "supported: delta.enableChangeDataFeed, delta.appendOnly, " +
+          "delta.constraints.<name>")
+    }
   }
 
   /** DROP TABLE: remove the table directory (data + log — the
@@ -509,6 +551,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"ALTER TABLE $catName.$ident: DROP COLUMN lowers to Delta " +
             "column mapping — other shapes are outside this subset")
         DeltaLite.dropColumn(spark, path, del.fieldNames.head)
+      case sp: TableChange.SetProperty =>
+        // SET TBLPROPERTIES lowers to the same metadata-only feature
+        // commits CREATE-time TBLPROPERTIES take (X299)
+        tableProperties(ident, if (isDelta) "delta" else "iceberg",
+          Map(sp.property -> sp.value)).foreach(_(path))
       case other => readOnly(s"ALTER TABLE ($other)")
     }
     loadTable(ident)

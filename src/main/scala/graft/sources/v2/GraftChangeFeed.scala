@@ -26,16 +26,23 @@ import graft.sources.{DeltaLite, IcebergLite}
   *     `_commit_version`) or [[IcebergLite.readChangelog]] (schema +
   *     `_change_type` + `_snapshot_id`) — through the V1 bridge, exactly
   *     the batch readers' answers.
-  *   - STREAMING (Delta): `spark.readStream.table("cat.db.t.changes")`
-  *     drains each commit's change set as a micro-batch — so tables that
-  *     take row-level DML stream too, where the append-only
+  *   - STREAMING: `spark.readStream.table("cat.db.t.changes")` drains
+  *     each commit's change set as a micro-batch — so tables that take
+  *     row-level DML stream too, where the append-only
   *     `readStream.table(t)` (X291) rightly refuses rewrites. Offsets
-  *     are commit versions (a version's change set commits atomically);
-  *     `option("startingVersion", v)` replays history from `v`, default
-  *     = changes after stream start. Micro-batch N is byte-equal to
-  *     `readCdf(N-1, N)`: cdc files serve their own `_change_type`
-  *     column, dataChange adds serve as `insert`, dataChange removes
-  *     serve their PRIOR live rows (deletion-vector masked) as `delete`.
+  *     are commit versions / snapshot ids (a commit's change set lands
+  *     atomically); `option("startingVersion", v)` replays history from
+  *     `v`, default = changes after stream start. Delta micro-batch N is
+  *     byte-equal to `readCdf(N-1, N)`: cdc files serve their own
+  *     `_change_type` column, dataChange adds serve as `insert`,
+  *     dataChange removes serve their PRIOR live rows (deletion-vector
+  *     masked) as `delete`. Iceberg micro-batches follow
+  *     `readChangelog`'s state-diff rules file-granularly: added files
+  *     as `insert`, removed files' parent-live rows as `delete`
+  *     (parent pos-deletes masked), a MOR position-delete commit's
+  *     masked rows as `delete` (the reader EMITS exactly those
+  *     positions); `replace` snapshots are row-silent, EQUALITY deletes
+  *     refuse with the remedy named.
   *
   * Scale notes: planning touches only the versions in (start, end] —
   * O(changed commits), never O(table); the data plane is one parquet
@@ -59,11 +66,9 @@ private[v2] final class GraftChangesTable(
 
   override def schema(): StructType = feedSchema
 
-  override def capabilities(): util.Set[TableCapability] = {
-    val caps = util.EnumSet.of(TableCapability.BATCH_READ)
-    if (format == "delta") caps.add(TableCapability.MICRO_BATCH_READ)
-    caps
-  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   private def batchFeed(): DataFrame = format match {
     case "delta" =>
@@ -89,14 +94,9 @@ private[v2] final class GraftChangesTable(
             context: org.apache.spark.sql.SQLContext): T =
           v1.toV1TableScan(context)
         override def toMicroBatchStream(checkpointLocation: String)
-            : MicroBatchStream = {
-          require(format == "delta",
-            s"$tableName: the Iceberg changelog is batch-only in this " +
-              "subset — read ranges via IcebergLite.readChangelog or the " +
-              "batch t.changes relation")
+            : MicroBatchStream =
           new GraftChangeFeedStream(parent, baseSchema,
-            Option(options.get("startingVersion")).map(_.toLong))
-        }
+            Option(options.get("startingVersion")).map(_.toLong), format)
         override def description(): String =
           s"graft change feed of $tableName"
       }
@@ -112,17 +112,20 @@ private[v2] final case class GraftCdfOffset(v: Long) extends Offset {
 private[v2] final class GraftChangeFeedStream(
     path: String,
     baseSchema: StructType,
-    startingVersion: Option[Long])
+    startingVersion: Option[Long],
+    format: String = "delta")
   extends MicroBatchStream {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = GraftCdfOffset(
-    startingVersion.map(_ - 1)
-      .getOrElse(DeltaLite.latestVersion(spark, path)))
+  private def head: Long =
+    if (format == "delta") DeltaLite.latestVersion(spark, path)
+    else IcebergLite.currentSnapshotId(spark, path)
 
-  override def latestOffset(): Offset =
-    GraftCdfOffset(DeltaLite.latestVersion(spark, path))
+  override def initialOffset(): Offset = GraftCdfOffset(
+    startingVersion.map(_ - 1).getOrElse(head))
+
+  override def latestOffset(): Offset = GraftCdfOffset(head)
 
   override def deserializeOffset(json: String): Offset =
     GraftCdfOffset(json.toLong)
@@ -134,17 +137,30 @@ private[v2] final class GraftChangeFeedStream(
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     var idx = -1
-    ((s + 1) to e).flatMap { v =>
-      DeltaLite.changeUnits(spark, path, v).map { u =>
-        idx += 1
-        val abs = new Path(DeltaLite.dataPath(path, u.relPath))
-        ChangeFilePartition(
-          FilePartition(idx, Array(PartitionedFile(InternalRow.empty,
-            SparkPath.fromPath(abs), 0L, fs.getFileStatus(abs).getLen,
-            Array.empty[String]))),
-          u.kind, v, u.dvPositions): InputPartition
-      }
-    }.toArray
+    def part(abs: Path, kind: String, v: Long, emit: Array[Long],
+        skip: Array[Long]): InputPartition = {
+      idx += 1
+      ChangeFilePartition(
+        FilePartition(idx, Array(PartitionedFile(InternalRow.empty,
+          SparkPath.fromPath(abs), 0L, fs.getFileStatus(abs).getLen,
+          Array.empty[String]))),
+        kind, v, skip, emit)
+    }
+    if (format == "delta")
+      ((s + 1) to e).flatMap { v =>
+        DeltaLite.changeUnits(spark, path, v).map(u =>
+          part(new Path(DeltaLite.dataPath(path, u.relPath)), u.kind, v,
+            emit = null, skip = u.dvPositions))
+      }.toArray
+    else
+      // iceberg snapshot ids are monotone but not dense: plan only the
+      // ids actually in the snapshots list
+      IcebergLite.snapshotIdList(spark, path)
+        .filter(id => id > s && id <= e).flatMap { id =>
+          IcebergLite.changeUnits(spark, path, id).map(u =>
+            part(new Path(u.absPath), u.kind, id,
+              emit = u.emit, skip = u.skip))
+        }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -162,14 +178,17 @@ private[v2] final class GraftChangeFeedStream(
 }
 
 /** One change file: the parquet partition plus HOW its rows announce —
-  * `cdc` (in-file `_change_type`), `insert`, or `delete` (the latter
-  * DV-masked: `dvPositions` are prior-version row indexes that must not
-  * re-announce their deletion). */
+  * `cdc` (in-file `_change_type`), `insert`, or `delete`. `skip` holds
+  * prior-version row indexes that must NOT re-announce (Delta deletion
+  * vectors / Iceberg parent position-deletes); `emit`, when non-null,
+  * INVERTS the mask — serve ONLY those positions (an Iceberg MOR
+  * position-delete commit announces exactly the rows it masked). */
 private[v2] final case class ChangeFilePartition(
     fp: FilePartition,
     kind: String,
     version: Long,
-    dvPositions: Array[Long]) extends InputPartition
+    skip: Array[Long],
+    emit: Array[Long] = null) extends InputPartition
 
 private[v2] final class ChangeFeedReaderFactory(
     cdcFactory: PartitionReaderFactory,
@@ -189,15 +208,22 @@ private[v2] final class ChangeFeedReaderFactory(
     val isCdc = cp.kind == "cdc"
     val inner = (if (isCdc) cdcFactory else dataFactory).createReader(cp.fp)
     val tag = if (isCdc) null else UTF8String.fromString(cp.kind)
-    val masked = cp.dvPositions // sorted row indexes to skip
+    val masked = cp.skip // sorted row indexes to skip
+    val emit = cp.emit // non-null: sorted row indexes to serve EXCLUSIVELY
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
       private var mi = 0
       override def next(): Boolean = {
         while (inner.next()) {
           rowIdx += 1
-          while (mi < masked.length && masked(mi) < rowIdx) mi += 1
-          if (mi >= masked.length || masked(mi) != rowIdx) return true
+          if (emit != null) {
+            while (mi < emit.length && emit(mi) < rowIdx) mi += 1
+            if (mi >= emit.length) return false // past the last emitted
+            if (emit(mi) == rowIdx) return true
+          } else {
+            while (mi < masked.length && masked(mi) < rowIdx) mi += 1
+            if (mi >= masked.length || masked(mi) != rowIdx) return true
+          }
         }
         false
       }

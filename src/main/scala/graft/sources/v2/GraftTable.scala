@@ -143,10 +143,8 @@ private[v2] class GraftTable(
       caps.add(TableCapability.TRUNCATE)
       caps.add(TableCapability.OVERWRITE_BY_FILTER)
       // real `writeStream.toTable` (X286; partitioned via the rolling
-      // epoch writers, X295) — column-mapped tables still stream
-      // through foreachBatch + TransactionalSink
-      if (!columnMapped)
-        caps.add(TableCapability.STREAMING_WRITE)
+      // epoch writers X295; column-mapped via physical-name staging X294)
+      caps.add(TableCapability.STREAMING_WRITE)
     }
     caps
   }
@@ -249,19 +247,32 @@ private[v2] class GraftTable(
           require(!overwriteAll && overwriteValue.isEmpty,
             s"$tableName: streaming writes support APPEND output mode " +
               "only — aggressive modes go through foreachBatch")
-          require(!columnMapped,
-            s"$tableName: streaming toTable targets non-column-mapped " +
-              "tables — use foreachBatch + TransactionalSink")
           require(deltaPartCols.size <= 1,
             s"$tableName: streaming toTable writes at most one " +
               "partition column (the rolling-writer subset)")
           val streamPart =
             deltaPartCols.headOption.map(IcebergLite.PartField.identity)
               .orElse(icePartition)
+          // column-mapped tables stage epochs under PHYSICAL names +
+          // field ids (rows are positional — the X294 translation); the
+          // translation is pure renaming, so the incoming column ORDER
+          // must already be the table's (a swapped same-typed pair would
+          // land silently wrong otherwise — refuse instead)
+          if (columnMapped)
+            require(info.schema().fieldNames
+                .sameElements(logicalSchema.fieldNames),
+              s"$tableName: streaming into a column-mapped table binds " +
+                "columns positionally — align the query's column order " +
+                "to the table schema")
+          val epochSchema =
+            if (columnMapped)
+              DeltaLite.physicalWriteSchema(
+                org.apache.spark.sql.SparkSession.active, path)
+            else info.schema()
           // ledger keyed per query (info.queryId — stable across restarts
           // of a checkpointed query), so concurrent queries on one table
           // never share an epoch high-water mark
-          new GraftStreamingWrite(path, info.schema(), format,
+          new GraftStreamingWrite(path, epochSchema, format,
             info.queryId(), streamPart)
         }
       }

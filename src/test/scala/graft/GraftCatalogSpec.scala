@@ -1151,27 +1151,105 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     // DV-route deletes announce through their cdc too
     DeltaLite.deleteWhereDV(spark, t, "k", 30L, 32L)                        // v6
     drain() shouldBe 3L
-    // iceberg: the batch relation serves; streaming names the remedy
+    // iceberg: the batch relation serves AND the stream drains the same
+    // state-diff feed — inserts, a MOR position delete, a COW rewrite
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.ichg")
-    spark.sql(s"CREATE TABLE $cat.db.ichg (k BIGINT) USING iceberg")
-    spark.sql(s"INSERT INTO $cat.db.ichg VALUES (1), (2)")
-    spark.sql(s"DELETE FROM $cat.db.ichg WHERE k = 1")
-    val ife = spark.sql(s"SELECT k, _change_type FROM $cat.db.ichg.changes")
-      .as[(Long, String)].collect().toSet
-    ife should contain((1L, "insert"))
-    ife should contain((1L, "delete"))
+    spark.sql(s"CREATE TABLE $cat.db.ichg (k BIGINT, v BIGINT) USING iceberg")
+    val it = s"$wh/db/ichg"
+    spark.sql(s"INSERT INTO $cat.db.ichg SELECT id, id FROM range(1, 21)")
+    spark.sql(s"DELETE FROM $cat.db.ichg WHERE k >= 5 AND k <= 8") // MOR
+    IcebergLite.rewriteDataFiles(spark, it) // replace: row-silent
+    spark.sql(s"UPDATE $cat.db.ichg SET v = v * 10 WHERE k = 10") // COW
+    val batchIce = spark.sql(
+      s"SELECT k, v, _change_type, _snapshot_id FROM $cat.db.ichg.changes")
+      .as[(Long, Long, String, Long)].collect().toSet
+    batchIce.map(_._3).toSet shouldBe Set("insert", "delete")
+    val iceSeen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, Long, String, Long)]()
+    val iq = spark.readStream.option("startingVersion", "1")
+      .table(s"$cat.db.ichg.changes")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        df.as[(Long, Long, String, Long)].collect().foreach(iceSeen.add)
+        ()
+      })
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("ichg_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    iq.awaitTermination()
+    scala.jdk.CollectionConverters.SetHasAsScala(iceSeen).asScala
+      .toSet shouldBe batchIce
+    // the MOR delete announced exactly the masked rows once
+    iceSeen.size shouldBe batchIce.size
+  }
+
+  test("TBLPROPERTIES: CDF / append-only / CHECK constraints land as metadata commits") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.tp")
+    spark.sql(s"CREATE TABLE $cat.db.tp (k BIGINT, v BIGINT) USING delta " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true', " +
+      "'delta.constraints.pos_v' = 'v > 0')")
+    val t = s"$wh/db/tp"
+    // CDF declared at create: the change feed covers the first insert
+    spark.sql(s"INSERT INTO $cat.db.tp VALUES (1, 10), (2, 20)")
+    spark.sql(s"SELECT k, _change_type FROM $cat.db.tp.changes")
+      .as[(Long, String)].collect().toSet shouldBe
+      Set((1L, "insert"), (2L, "insert"))
+    // the CHECK constraint enforces at write time
     val e = intercept[Exception] {
-      val q = spark.readStream.table(s"$cat.db.ichg.changes")
-        .writeStream
-        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
-        .option("checkpointLocation", graft.ingest.Sinks.tempDir("ichg_ck"))
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      spark.sql(s"INSERT INTO $cat.db.tp VALUES (3, -1)")
     }
-    // the capability set refuses upfront (Spark's own wording) — the
-    // batch relation is the served path
-    e.getMessage should include("micro-batch")
+    e.getMessage should include("pos_v")
+    // ALTER … SET TBLPROPERTIES: append-only locks out deletes
+    spark.sql(s"ALTER TABLE $cat.db.tp " +
+      "SET TBLPROPERTIES ('delta.appendOnly' = 'true')")
+    val e2 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.db.tp WHERE k = 1")
+    }
+    e2.getMessage.toLowerCase should include("append")
+    spark.sql(s"SELECT count(*) FROM $cat.db.tp").as[Long].head() shouldBe 2L
+    // unknown properties refuse loudly, never silently drop
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.tpx (k BIGINT) USING delta " +
+        "TBLPROPERTIES ('delta.unknown.feature' = 'true')")
+    }
+    e3.getMessage should include("outside this subset")
+  }
+
+  test("writeStream.toTable into a column-mapped table: physical-name epochs, field-id reads") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = warehouse
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val t = s"$wh/db/cmst"
+    DeltaLite.writeColumnMapped(spark,
+      Seq((1L, 10L)).toDF("k", "v"), t)
+    DeltaLite.renameColumn(spark, t, "v", "value") // metadata-only
+    val src = MemoryStream[(Long, Long)]
+    val q = src.toDF().toDF("k", "value")
+      .writeStream
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("cmst_ck"))
+      .toTable(s"$cat.db.cmst")
+    src.addData((2L, 20L), (3L, 30L))
+    q.processAllAvailable()
+    q.stop()
+    // field-id reads serve the streamed rows under the renamed name
+    spark.sql(s"SELECT sum(value) FROM $cat.db.cmst").as[Long]
+      .head() shouldBe 60L
+    DeltaLite.read(spark, t)
+      .agg(org.apache.spark.sql.functions.sum($"value")).head
+      .getLong(0) shouldBe 60L
+    // the staged epoch parquet carries PHYSICAL names only
+    val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val epochFile = fs.listStatus(new org.apache.hadoop.fs.Path(t, "data"))
+      .filter(_.getPath.getName.startsWith("se")).flatMap(d =>
+        fs.listStatus(d.getPath)).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    spark.read.parquet(epochFile.toString).schema.fieldNames
+      .toSeq shouldBe Seq("col-1", "col-2")
   }
 
   test("readStream.table: the commit log is the offset axis, restart resumes, rewrites refuse") {
