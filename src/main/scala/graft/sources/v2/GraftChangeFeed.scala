@@ -96,7 +96,8 @@ private[v2] final class GraftChangesTable(
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
           new GraftChangeFeedStream(parent, baseSchema,
-            Option(options.get("startingVersion")).map(_.toLong), format)
+            Option(options.get("startingVersion")).map(_.toLong), format,
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt))
         override def description(): String =
           s"graft change feed of $tableName"
       }
@@ -113,8 +114,12 @@ private[v2] final class GraftChangeFeedStream(
     path: String,
     baseSchema: StructType,
     startingVersion: Option[Long],
-    format: String = "delta")
-  extends MicroBatchStream {
+    format: String = "delta",
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming
+    .SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
@@ -122,10 +127,74 @@ private[v2] final class GraftChangeFeedStream(
     if (format == "delta") DeltaLite.latestVersion(spark, path)
     else IcebergLite.currentSnapshotId(spark, path)
 
+  /** The commit ids in (s, e] that can hold change units — all versions
+    * for Delta (dense), the snapshots list for Iceberg (gap-tolerant). */
+  private def idsIn(s: Long, e: Long): Seq[Long] =
+    if (format == "delta") (s + 1) to e
+    else IcebergLite.snapshotIdList(spark, path).filter(id =>
+      id > s && id <= e)
+
+  private def unitCount(id: Long): Int =
+    if (format == "delta") DeltaLite.changeUnits(spark, path, id).size
+    else IcebergLite.changeUnits(spark, path, id).size
+
   override def initialOffset(): Offset = GraftCdfOffset(
     startingVersion.map(_ - 1).getOrElse(head))
 
-  override def latestOffset(): Offset = GraftCdfOffset(head)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this admission-controlled " +
+        "source")
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .maxFiles(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming.ReadLimit
+        .allAvailable())
+
+  // Trigger.AvailableNow pins its end HERE, so a concurrent writer
+  // cannot keep the drain alive forever
+  @volatile private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowBound = Some(head)
+  }
+
+  /** ADMISSION CONTROL: a commit's change set lands atomically (offsets
+    * are whole versions), but `maxFilesPerTrigger` bounds how many
+    * COMMITS a micro-batch spans by their change-file count — replaying
+    * a long DML history drains as bounded batches, never one. At least
+    * one commit per batch, so progress is guaranteed. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[GraftCdfOffset].v
+    val cap = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val bound = availableNowBound.fold(head)(b => math.min(b, head))
+    var last = s
+    var budget = cap.toLong
+    var first = true
+    idsIn(s, bound).foreach { id =>
+      if (budget > 0 || first) {
+        val n = unitCount(id)
+        if (first || n <= budget) {
+          last = id
+          budget -= n
+          first = false
+        } else budget = 0
+      }
+    }
+    GraftCdfOffset(last)
+  }
+
+  override def reportLatestOffset(): Offset = null // AvailableNow pins
+  // through prepareForTriggerAvailableNow, never this
 
   override def deserializeOffset(json: String): Offset =
     GraftCdfOffset(json.toLong)

@@ -1252,6 +1252,37 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .toSeq shouldBe Seq("col-1", "col-2")
   }
 
+  test("t.changes admission control: maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.chgac")
+    spark.sql(s"CREATE TABLE $cat.db.chgac (k BIGINT) USING delta")
+    DeltaLite.enableCdf(spark, s"$wh/db/chgac")
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.db.chgac VALUES ($i)"))
+    spark.sql(s"DELETE FROM $cat.db.chgac WHERE k = 2")
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream
+      .option("startingVersion", "2")
+      .option("maxFilesPerTrigger", "1")
+      .table(s"$cat.db.chgac.changes")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
+        val n = df.count()
+        if (n > 0) { batches.incrementAndGet(); rows.addAndGet(n) }
+        ()
+      })
+      .option("checkpointLocation", graft.ingest.Sinks.tempDir("chgac_ck"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 4 change-carrying commits, one unit each, cap 1 → one commit per
+    // micro-batch; 3 inserts + 1 delete = 4 rows total
+    batches.get() shouldBe 4L
+    rows.get() shouldBe 4L
+  }
+
   test("readStream.table: the commit log is the offset axis, restart resumes, rewrites refuse") {
     import spark.implicits._
     val wh = warehouse
