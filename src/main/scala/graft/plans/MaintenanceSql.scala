@@ -143,7 +143,10 @@ final case class OptimizeTableCommand(ident: String,
         DeltaLite.optimizeZorder(spark, path, x, y,
           targetFiles = math.max(targetFiles, 4))
       case ("iceberg", None) =>
-        IcebergLite.rewriteDataFiles(spark, path, targetFiles)
+        // the maintenance verb re-anchors existing Puffin stats at the
+        // compacted snapshot (X303); stat-less tables unchanged
+        IcebergLite.rewriteDataFiles(spark, path, targetFiles,
+          refreshStats = true)
       case ("iceberg", Some(_)) => throw new UnsupportedOperationException(
         "ZORDER BY is the Delta spelling — declare an Iceberg sort order " +
           "(IcebergLite.setSortOrder) and CALL rewrite_data_files")

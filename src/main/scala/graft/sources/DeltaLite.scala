@@ -3068,12 +3068,17 @@ object DeltaLite {
     var attempt = 0
     while (attempt < maxRetries) {
       val v = latestVersion(spark, table) + 1
-      // OPTIMISTIC CONFLICT RESOLUTION (Delta's own rule): after losing a
-      // race, the rewrite may re-commit at the new version ONLY if every
-      // file it removes is still live there — a concurrent APPEND
-      // commutes with this rewrite; a concurrent commit that touched our
-      // files does not, and retrying would silently drop its effects.
-      if (attempt > 0) {
+      // OPTIMISTIC CONFLICT RESOLUTION (Delta's own rule): the rewrite
+      // may commit at the head ONLY if every file it removes is still
+      // live there — a concurrent APPEND commutes with this rewrite; a
+      // concurrent commit that touched our files does not, and
+      // committing anyway would silently drop its effects. Checked on
+      // EVERY attempt, not just retries (X304): the hazard window is
+      // pin-to-commit — a compaction landing between the row-level
+      // scan's snapshot pin and this commit would otherwise be clobbered
+      // on a FIRST-attempt CAS that sees the compacted head as prev
+      // (removes match nothing, adds duplicate the rewritten rows).
+      locally {
         val live = snapshot(spark, table, v - 1).files.toSet
         require(removeRel.forall(live.contains),
           s"$operation on $table conflicts with a concurrent commit " +

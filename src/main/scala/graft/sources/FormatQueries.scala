@@ -1839,6 +1839,64 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X303: the Puffin lifecycle CLOSED through SQL — `CALL
+    * cat.system.write_statistics('db.t', 'k')` writes the NDV blobs
+    * catalog-addressably (previously API-only), and compaction through
+    * the maintenance verb RE-ANCHORS them at the new snapshot instead
+    * of staling them silently (a stale blob licenses nothing — X281's
+    * planner ignores it, so without the refresh every OPTIMIZE quietly
+    * turns the steered plan back into a shuffle). Pinned: the plan
+    * FLIPS from `shuffle` to `ndv_prefilter` after the CALL, and stays
+    * `ndv_prefilter` after `CALL rewrite_data_files` because the stats
+    * re-anchored (fresh, not stale, at the compacted snapshot). */
+  private def icebergSqlWriteStatistics(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "graftstats"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_stats")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+    val lt = s"$wh/db/stats_l"
+    val rt = s"$wh/db/stats_r"
+    val hfs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(lt), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(rt), true)
+    // fan-in left side: 40 distinct join keys over every order row
+    IcebergLite.write(spark,
+      o.select((col("o_orderkey") % 40).as("k"), col("o_totalprice"))
+        .repartition(4), lt)
+    IcebergLite.write(spark,
+      o.select(col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio")), rt)
+    def strategy(): String = graft.plans.PuffinPlanner.join(
+      spark, lt, rt, "k", "k", broadcastBytes = 1L)._2
+    val before = strategy() // no blob: nothing licenses the prefilter
+    spark.sql(
+      s"CALL $catName.system.write_statistics('db.stats_l', 'k')")
+    val after = strategy() // the written NDV (40) licenses it
+    spark.sql(s"CALL $catName.system.rewrite_data_files('db.stats_l', 1)")
+    // the compacted snapshot carries a FRESH re-anchored entry (prior
+    // snapshots keep theirs — one stats entry per snapshot, stale by
+    // construction — so exists, not forall)
+    val statsFresh = IcebergLite.readStatistics(spark, lt).exists(!_._4)
+    val afterCompact = strategy() // re-anchored stats keep licensing
+    val (joined, _) = graft.plans.PuffinPlanner.join(
+      spark, lt, rt, "k", "k", broadcastBytes = 1L)
+    joined.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("flip_before", lit(before))
+      .withColumn("flip_after", lit(after))
+      .withColumn("after_compact", lit(afterCompact))
+      .withColumn("stats_fresh", lit(statsFresh))
+      .orderBy("prio")
+  }
+
   /** X282: SQL `DELETE FROM` through the catalog — the predicate lowers
     * to [[DeltaLite.deleteWhere]]'s stats-planned copy-on-write rewrite
     * (only files whose recorded key range intersects the predicate are
@@ -2446,6 +2504,144 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X300: SQL row-level DML on MERGE-ON-READ delete state — the
+    * Iceberg analog of X293 and the r14 verdict's top surface ask. A
+    * real Iceberg pipeline streams MOR deletes (position AND equality)
+    * all day and runs SQL UPDATE/MERGE on the same table; demanding
+    * `rewriteDataFiles` first is a table rewrite at 100 TB. Here: SQL
+    * DELETE takes the claimable MOR fast path (a position-delete
+    * commit — kilobytes written, nothing rewritten), an EQUALITY delete
+    * lands via the streaming-upsert API, then SQL UPDATE and MERGE run
+    * with BOTH delete kinds applied READER-SIDE in the row-level scan
+    * (per-file sequence-gated position masks; equality values checked
+    * per row against each file's data sequence) — the copy-on-write
+    * replacement starts from LIVE rows, so nothing resurrects, and the
+    * commit refuses loudly if a conflicting delete lands in the
+    * pin-to-commit window. Pinned: the table was UNCOMPACTED before the
+    * DML (delete files live), the post-delete snapshot still
+    * time-travels with its MOR state applied, and no deleted key
+    * reappears. */
+  private def icebergSqlUpdateMor(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftmor.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_imordml")
+        spark.conf.set("spark.sql.catalog.graftmor",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftmor.warehouse", w)
+        w
+      }
+    spark.sql("DROP TABLE IF EXISTS graftmor.db.orders_mordml")
+    spark.sql(
+      """CREATE TABLE graftmor.db.orders_mordml (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg""".stripMargin)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("mordml_src")
+    spark.sql("INSERT INTO graftmor.db.orders_mordml " +
+      "SELECT * FROM mordml_src")
+    val table = s"$wh/db/orders_mordml"
+    // claimable SQL DELETE routes MERGE-ON-READ: a position-delete
+    // commit, no data file rewritten
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    spark.sql("DELETE FROM graftmor.db.orders_mordml " +
+      "WHERE o_orderkey BETWEEN 1 AND 50")
+    val morFastPath =
+      IcebergLite.snapshotFiles(spark, table, -1L).toSet == filesBefore
+    // equality delete: the streaming-upsert delete kind (values, no scan)
+    IcebergLite.deleteWhereEquality(spark, table, "o_orderkey",
+      (400L to 450L).toSeq)
+    val uncompacted = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+      .nonEmpty
+    val prevSnap = IcebergLite.currentSnapshotId(spark, table)
+    val prevCount = spark.sql(
+      "SELECT count(*) FROM graftmor.db.orders_mordml").head.getLong(0)
+    // SQL UPDATE + MERGE with the MOR state applied reader-side
+    spark.sql(
+      """UPDATE graftmor.db.orders_mordml
+        |SET o_totalprice = o_totalprice * 2
+        |WHERE o_orderkey BETWEEN 100 AND 300""".stripMargin)
+    spark.sql(
+      """MERGE INTO graftmor.db.orders_mordml t
+        |USING (SELECT o_orderkey, o_totalprice FROM mordml_src
+        |       WHERE o_orderkey % 10 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice + 1000
+        |""".stripMargin)
+    // nothing resurrected: both deleted ranges stay gone through SQL
+    val resurrected = spark.sql(
+      """SELECT count(*) FROM graftmor.db.orders_mordml
+        |WHERE o_orderkey BETWEEN 1 AND 50
+        |   OR o_orderkey BETWEEN 400 AND 450""".stripMargin).head.getLong(0)
+    // the pre-DML snapshot time-travels WITH its MOR state applied
+    val travelCount = spark.sql("SELECT count(*) FROM " +
+      s"graftmor.db.orders_mordml VERSION AS OF $prevSnap").head.getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftmor.db.orders_mordml GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("mor_fast_path", lit(morFastPath))
+      .withColumn("uncompacted", lit(uncompacted))
+      .withColumn("no_resurrection", lit(resurrected == 0L))
+      .withColumn("prior_travels", lit(travelCount == prevCount))
+      .orderBy("prio")
+  }
+
+  /** X302: `VERSION AS OF '<ref>'` — named branches/tags resolve in SQL.
+    * The WAP workflow (X261s/v) stages on a branch and audits by tag;
+    * until now the audit read had to leave SQL for `readRef`. A
+    * non-numeric version literal resolves through the Iceberg refs map;
+    * ref-pointed snapshots survive `expireSnapshots` (spec §Refs
+    * retention), so the pinned audit read KEEPS serving after routine
+    * retention has expired every un-reffed snapshot — both pinned
+    * here: the tag read equals the tagged state after later appends AND
+    * after expiration. */
+  private def icebergSqlReadRef(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftref.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_iref")
+        spark.conf.set("spark.sql.catalog.graftref",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftref.warehouse", w)
+        w
+      }
+    spark.sql("DROP TABLE IF EXISTS graftref.db.orders_ref")
+    spark.sql(
+      """CREATE TABLE graftref.db.orders_ref (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg""".stripMargin)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("ref_src")
+    spark.sql("INSERT INTO graftref.db.orders_ref " +
+      "SELECT * FROM ref_src WHERE o_orderkey % 2 = 0")
+    val table = s"$wh/db/orders_ref"
+    IcebergLite.setRef(spark, table, "audit",
+      IcebergLite.currentSnapshotId(spark, table))
+    spark.sql("INSERT INTO graftref.db.orders_ref " +
+      "SELECT * FROM ref_src WHERE o_orderkey % 2 = 1")
+    val atTag = spark.sql("SELECT count(*) FROM " +
+      "graftref.db.orders_ref VERSION AS OF 'audit'").head.getLong(0)
+    val atHead = spark.sql(
+      "SELECT count(*) FROM graftref.db.orders_ref").head.getLong(0)
+    // routine retention: every un-reffed snapshot expires, the tag stays
+    val (expired, _) = IcebergLite.expireSnapshots(spark, table,
+      keepLast = 1)
+    val afterExpire = spark.sql("SELECT count(*) FROM " +
+      "graftref.db.orders_ref VERSION AS OF 'audit'").head.getLong(0)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftref.db.orders_ref VERSION AS OF 'audit'
+        |GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("tag_pinned", lit(atTag < atHead))
+      .withColumn("expired_some", lit(expired > 0L))
+      .withColumn("tag_survives_expiry", lit(afterExpire == atTag))
+      .orderBy("prio")
+  }
+
   /** X285: SQL `UPDATE` through the catalog on an ICEBERG table — the
     * same group-based row-level rewrite as X284, committing through the
     * MANIFEST arbiter ([[IcebergLite.commitReplaceFiles]]): untouched
@@ -2655,6 +2851,70 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X295, Iceberg side (r14 verdict ask #5): PARTITIONED
+    * `writeStream.toTable` into an Iceberg table under a HIDDEN
+    * transform spec — the streaming ingest shape at 100 TB (the table
+    * big enough to stream into is partitioned, and Iceberg partitions
+    * by transform): each epoch's rows cluster+sort by the transform
+    * value, ROLLING writers stage one file per (task, value), and the
+    * epoch commit records manifest p0 — so manifest-grain pruning works
+    * on the streamed sink exactly as on batch writes. Pins
+    * partitionValues completeness + pruning exactness and the
+    * per-query-ledger exactly-once replay. */
+  private def icebergStreamToTablePartitioned(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "graftiswp"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_iswp")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_iswp")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_iswp (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING iceberg
+         |PARTITIONED BY (truncate(1, o_orderpriority))""".stripMargin)
+    val table = s"$wh/db/orders_iswp"
+    val srcDir = Sinks.tempDir("iswp_src")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new org.apache.hadoop.fs.Path(s"$dir/orders.parquet"), hfs,
+      new org.apache.hadoop.fs.Path(s"$srcDir/orders.parquet"),
+      false, hconf)
+    val q = spark.readStream.schema(Tables.orders(spark, dir).schema)
+      .parquet(srcDir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeStream
+      .option("checkpointLocation", Sinks.tempDir("iswp_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$catName.db.orders_iswp")
+    q.awaitTermination()
+    // manifest-grain pruning on the streamed sink: the '1' truncate
+    // value (1-URGENT) plans a strict, non-empty file subset
+    val (uFiles, matched, total) =
+      IcebergLite.planPartitioned(spark, table, Set("1"))
+    val pruned = matched > 0 && matched < total &&
+      uFiles.toSet.size.toLong == matched
+    // per-query exactly-once: replay epoch 0 under the query's own
+    // ledger (appId = the streaming query id) — must no-op
+    val v = IcebergLite.latestMetadataVersion(spark, table)
+    IcebergLite.commitStreamFiles(spark, table, Nil, epochId = 0L,
+      appId = q.id.toString)
+    val dedup = IcebergLite.latestMetadataVersion(spark, table) == v
+    spark.sql(
+      s"""SELECT o_orderpriority AS prio, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM $catName.db.orders_iswp GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("pvals_pruned", lit(pruned))
+      .withColumn("exactly_once", lit(dedup))
+      .orderBy("prio")
+  }
+
   /** X297: the change feed as a STREAMING source — `cat.db.t.changes`
     * drains a DML history (insert → SQL DELETE → merge upserts) as
     * micro-batches equal to the batch feed relation / [[DeltaLite
@@ -2747,6 +3007,11 @@ object FormatQueries {
     // overlapping re-delete: only the FRESH positions announce
     spark.sql(s"DELETE FROM $catName.db.orders_icf " +
       "WHERE o_orderkey BETWEEN 600 AND 800")
+    // EQUALITY delete (X301): the streaming-upsert delete kind streams
+    // its feed too — the commit's masked live rows announce as deletes,
+    // value-filtered reader-side against each parent file
+    IcebergLite.deleteWhereEquality(spark, s"$wh/db/orders_icf",
+      "o_orderkey", (900L to 950L).toSeq)
     val batch = spark.sql(
       s"SELECT * FROM $catName.db.orders_icf.changes")
     val batchN = batch.count()
@@ -3329,6 +3594,8 @@ object FormatQueries {
     "x_spj_join" -> ((s, dir) => icebergSpjJoin(s, dir)),
     "x_iceberg_skipping_str" -> ((s, dir) => icebergSkippingStr(s, dir)),
     "x_puffin_join" -> ((s, dir) => puffinJoin(s, dir)),
+    "x_iceberg_sql_write_statistics" ->
+      ((s, dir) => icebergSqlWriteStatistics(s, dir)),
     "x_delta_sql_delete" -> ((s, dir) => deltaSqlDelete(s, dir)),
     "x_delta_sql_delete_dv" -> ((s, dir) => deltaSqlDeleteDv(s, dir)),
     "x_delta_cm_sql_update" -> ((s, dir) => deltaCmSqlUpdate(s, dir)),
@@ -3336,6 +3603,8 @@ object FormatQueries {
     "x_iceberg_sql_maintenance" -> ((s, dir) => icebergSqlMaintenance(s, dir)),
     "x_delta_stream_to_table_partitioned" ->
       ((s, dir) => streamToTablePartitioned(s, dir)),
+    "x_iceberg_stream_to_table_partitioned" ->
+      ((s, dir) => icebergStreamToTablePartitioned(s, dir)),
     "x_delta_cdf_stream" -> ((s, dir) => deltaCdfStream(s, dir)),
     "x_iceberg_cdf_stream" -> ((s, dir) => icebergCdfStream(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
@@ -3359,6 +3628,10 @@ object FormatQueries {
       ((s, dir) => icebergSqlUpdatePartitioned(s, dir)),
     "x_iceberg_sql_update_hidden" ->
       ((s, dir) => icebergSqlUpdateHidden(s, dir)),
+    "x_iceberg_sql_update_mor" ->
+      ((s, dir) => icebergSqlUpdateMor(s, dir)),
+    "x_iceberg_sql_read_ref" ->
+      ((s, dir) => icebergSqlReadRef(s, dir)),
     "x_delta_stream_read" -> ((s, dir) => streamRead(s, dir, "delta")),
     "x_iceberg_stream_read" -> ((s, dir) => streamRead(s, dir, "iceberg")),
     "x_delta_cdf_partitioned" -> ((s, dir) => deltaCdfPartitioned(s, dir)),
@@ -3689,7 +3962,8 @@ object FormatQueries {
         |    AND o_orderkey NOT BETWEEN 1 AND 700
         |) ORDER BY ct""".stripMargin,
     // Iceberg change feed streamed: insert all + evens re-keyed, MOR
-    // delete 1..700 then fresh positions 701..800 only
+    // delete 1..700 then fresh positions 701..800 only, then the
+    // EQUALITY delete of 900..950 announcing its live matches
     "x_iceberg_cdf_stream" ->
       """SELECT ct, n, total, TRUE AS stream_equals_batch FROM (
         |  SELECT 'insert' AS ct,
@@ -3701,10 +3975,18 @@ object FormatQueries {
         |  UNION ALL
         |  SELECT 'delete', count(*), round(sum(o_totalprice), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 1 AND 800
+        |     OR o_orderkey BETWEEN 900 AND 950
         |) ORDER BY ct""".stripMargin,
     // partitioned writeStream.toTable: all orders streamed in, every
     // epoch add carrying partitionValues, urgent partition pruned exact
     "x_delta_stream_to_table_partitioned" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS pvals_pruned, TRUE AS exactly_once
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg partitioned writeStream.toTable under truncate(1): all
+    // orders streamed in, manifest p0 pruning exact, epoch replay no-op
+    "x_iceberg_stream_to_table_partitioned" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
         |  TRUE AS pvals_pruned, TRUE AS exactly_once
@@ -3793,6 +4075,31 @@ object FormatQueries {
         |  (SELECT round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02'
         |     THEN value + 100 ELSE value END), 2) FROM events) AS day_total
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // SQL DML over merge-on-read state: keys 1..50 position-deleted,
+    // 400..450 equality-deleted, survivors 100..300 doubled, then
+    // %10==0 survivors merged back to original+1000; all MOR
+    // instruments (fast-path, uncompacted, no-resurrection,
+    // time-travel) pinned TRUE
+    "x_iceberg_sql_update_mor" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+        |    WHEN o_orderkey BETWEEN 100 AND 300 THEN o_totalprice * 2
+        |    ELSE o_totalprice END), 2) AS total,
+        |  TRUE AS mor_fast_path, TRUE AS uncompacted,
+        |  TRUE AS no_resurrection, TRUE AS prior_travels
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1 AND 50
+        |  AND o_orderkey NOT BETWEEN 400 AND 450
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // the tag pins the even-key state; instruments TRUE (tag < head,
+    // expiration dropped snapshots, tag still serves after)
+    "x_iceberg_sql_read_ref" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS tag_pinned, TRUE AS expired_some,
+        |  TRUE AS tag_survives_expiry
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg SQL UPDATE: same shape as the Delta key — keys 100..300
     // doubled, manifest-carried subset pinned
     "x_iceberg_sql_update" ->
@@ -3899,6 +4206,16 @@ object FormatQueries {
       """SELECT r.o_orderpriority AS prio, count(*) AS n,
         |  round(sum(l.o_totalprice), 2) AS total,
         |  'ndv_prefilter' AS strategy
+        |FROM orders l JOIN orders r ON l.o_orderkey % 40 = r.o_orderkey
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Puffin lifecycle through SQL: no blob → shuffle; CALL
+    // write_statistics → ndv_prefilter; CALL rewrite_data_files
+    // re-anchors → still ndv_prefilter, stats fresh
+    "x_iceberg_sql_write_statistics" ->
+      """SELECT r.o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(l.o_totalprice), 2) AS total,
+        |  'shuffle' AS flip_before, 'ndv_prefilter' AS flip_after,
+        |  'ndv_prefilter' AS after_compact, TRUE AS stats_fresh
         |FROM orders l JOIN orders r ON l.o_orderkey % 40 = r.o_orderkey
         |GROUP BY 1 ORDER BY prio""".stripMargin,
     // storage-partitioned join: co-bucketed tables join with ZERO

@@ -482,16 +482,22 @@ object IcebergLite {
       formatV2: Boolean = false,
       toBranch: Option[String] = None,
       statsColumns: Seq[String] = Nil,
-      timestampMs: Long = 0L): Long = {
+      timestampMs: Long = 0L,
+      requireSourceSnapshot: Option[Long] = None): Long = {
     // optimistic-concurrency retry (Iceberg's own commit model): a lost
     // metadata-version race cleans up this attempt's commit-private
     // artifacts (staged data, manifest, manifest list) and replans from
-    // the winner's metadata — both writers' rows land, in two snapshots
+    // the winner's metadata — both writers' rows land, in two snapshots.
+    // EXCEPT when the caller staged a REPLACEMENT of a specific source
+    // snapshot (requireSourceSnapshot, X304 — rewriteDataFiles): a
+    // retried overwrite would re-commit rows staged from the OLD head
+    // and silently undo whatever the race winner wrote; the per-attempt
+    // check below refuses loudly instead.
     var attempt = 0
     while (attempt < maxRetries) {
       writeOnce(spark, df, table, overwrite, partitionField,
         summaryProps, boundsColumn, operation, formatV2, toBranch,
-        statsColumns, timestampMs) match {
+        statsColumns, timestampMs, requireSourceSnapshot) match {
         case Some(snapshotId) => return snapshotId
         case None => attempt += 1
       }
@@ -509,7 +515,8 @@ object IcebergLite {
       formatV2: Boolean = false,
       toBranch: Option[String] = None,
       statsColumns: Seq[String] = Nil,
-      timestampMs: Long = 0L): Option[Long] = {
+      timestampMs: Long = 0L,
+      requireSourceSnapshot: Option[Long] = None): Option[Long] = {
     require(boundsColumn.isEmpty || statsColumns.isEmpty,
       "boundsColumn (legacy long bounds) and statsColumns (spec " +
         "column-stats maps) are mutually exclusive")
@@ -523,6 +530,21 @@ object IcebergLite {
       require(priorSpec == partitionField,
         s"partition spec mismatch on $table: table has $priorSpec, " +
           s"commit declares $partitionField")
+    }
+    // a REPLACEMENT pinned to a source snapshot commits only while that
+    // snapshot is still the head (X304): a concurrent commit's rows
+    // must never be undone by stale staged data. The arbiter CAS below
+    // makes the check-commit pair atomic — a commit sneaking in after
+    // this check loses us the CAS, and the retry re-checks.
+    requireSourceSnapshot.foreach { srcSnap =>
+      val cur =
+        if (prevV > 0)
+          readMetadata(fs, table, prevV).get("current-snapshot-id").asLong()
+        else -1L
+      require(cur == srcSnap,
+        s"replace on $table conflicts with a concurrent commit: staged " +
+          s"from snapshot $srcSnap but the head is now $cur — re-run " +
+          "against the new snapshot")
     }
     val snapshotId = prevV + 1L
     // stage data files (commit-private dir, the DeltaLite discipline)
@@ -1286,6 +1308,39 @@ object IcebergLite {
     v + 1
   }
 
+  /** Re-anchor the table's statistics at the CURRENT snapshot (X303):
+    * re-sketch the columns the existing blobs cover and commit a fresh
+    * `statistics` entry. This is the missing half of the Puffin
+    * lifecycle — [[writeStatistics]] is a point-in-time write, every
+    * later commit marks it stale, and a stale blob licenses nothing
+    * ([[graft.plans.PuffinPlanner]] ignores it) — so compaction and the
+    * `write_statistics` procedure call this to keep the plan-steering
+    * numbers live. Columns that no longer exist in the current schema
+    * are dropped from the refresh (a field-id bound to a dropped column
+    * must not resurrect under a new name). None when the table carries
+    * no statistics — nothing to refresh is not an error. */
+  def refreshStatistics(spark: SparkSession, table: String): Option[Int] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    if (!meta.has("statistics") || meta.get("statistics").size() == 0)
+      return None
+    val cur = meta.get("current-snapshot-id").asLong()
+    val curSchema = schemaForSnapshot(meta, cur)
+    val columns = scala.collection.mutable.LinkedHashSet.empty[String]
+    meta.get("statistics").forEach { entry =>
+      val blobSchema = schemaForSnapshot(meta,
+        entry.get("snapshot-id").asLong())
+      entry.get("blob-metadata").forEach { b =>
+        val name = blobSchema.fieldNames(b.get("fields").get(0).asInt() - 1)
+        if (curSchema.fieldNames.contains(name)) columns += name
+      }
+    }
+    if (columns.isEmpty) None
+    else Some(writeStatistics(spark, table, columns.toSeq))
+  }
+
   /** Read back the table's statistics: for each blob registered against
     * `snapshotId` (default: current), deserialize the Theta sketch and
     * surface (column, sketch estimate, declared `ndv` property, stale?).
@@ -1427,14 +1482,22 @@ object IcebergLite {
     v + 1
   }
 
-  /** Read the table at a named ref ([[read]] at the ref's snapshot). */
-  def readRef(spark: SparkSession, table: String, name: String): DataFrame = {
+  /** Resolve a named ref (branch or tag) to its snapshot id — the SQL
+    * `VERSION AS OF '<ref>'` coordinate (X302). Ref-pointed snapshots
+    * survive [[expireSnapshots]] (spec §Refs retention), so a tag read
+    * keeps serving after routine expiration. */
+  def refSnapshotId(spark: SparkSession, table: String,
+      name: String): Long = {
     val fs = hadoopFs(spark, table)
     val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
     val r = meta.path("refs").path(name)
     require(!r.isMissingNode, s"no ref $name on $table")
-    read(spark, table, r.get("snapshot-id").asLong())
+    r.get("snapshot-id").asLong()
   }
+
+  /** Read the table at a named ref ([[read]] at the ref's snapshot). */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, refSnapshotId(spark, table, name))
 
   /** Snapshot expiration — Iceberg's retention op (`expireSnapshots`):
     * drop all but the newest `keepLast` snapshots from the metadata (a
@@ -2164,22 +2227,32 @@ object IcebergLite {
     * plans it (X297, Iceberg side): `insert` units are data files the
     * snapshot added; COW `delete` units are files it removed, whose
     * deleted rows are the file's rows MINUS `skip` (positions the
-    * PARENT's pos-deletes already masked — they must not re-announce);
-    * MOR `delete` units carry `emit` — exactly the row positions this
-    * snapshot's new position-delete files mask. */
+    * PARENT's pos-deletes already masked — they must not re-announce)
+    * MINUS `skipEq` (values the parent's equality deletes already
+    * masked, sequence-gated driver-side per file); MOR `delete` units
+    * carry `emit` — exactly the row positions this snapshot's new
+    * position-delete files mask — or `emitEq` (X301): the value lists a
+    * new EQUALITY-delete commit masks, evaluated reader-side against
+    * each parent-live file so streaming-upsert tables stream their feed
+    * too. A unit's served rows = (emit ∪ emitEq match, or all rows when
+    * neither is set) − skip − skipEq. */
   private[graft] final case class IceChangeUnit(absPath: String,
-      kind: String, emit: Array[Long], skip: Array[Long])
+      kind: String, emit: Array[Long], skip: Array[Long],
+      emitEq: Seq[(String, Array[Long])] = Nil,
+      skipEq: Seq[(String, Array[Long])] = Nil)
 
   /** Snapshot `sid`'s change units for the STREAMING feed — the same
     * per-snapshot state-diff rules as [[readChangelog]] (added files as
     * inserts, removed files' parent-live rows as deletes, new
-    * position-delete files' masked rows as deletes; `replace` snapshots
-    * are row-silent), but as FILE-GRANULAR plans an executor-side
-    * reader serves. Ids absent from the snapshots list (metadata-only
-    * versions) contribute nothing. EQUALITY deletes refuse with the
-    * remedy named — their masked set is a value join, not a position
-    * list. Position lists pass through the driver bounded by the
-    * DELETED-row count (the deleteWhereDV cost model). */
+    * position-delete files' masked rows as deletes, a new EQUALITY
+    * delete's masked rows as value-filtered deletes over every
+    * parent-live file — the same per-row cost the batch changelog's
+    * semi-join pays, just file-granular; `replace` snapshots are
+    * row-silent), but as FILE-GRANULAR plans an executor-side reader
+    * serves. Ids absent from the snapshots list (metadata-only
+    * versions) contribute nothing. Position lists and equality values
+    * pass through the driver bounded by the DELETED-row count (the
+    * deleteWhereDV cost model). */
   private[graft] def changeUnits(spark: SparkSession, table: String,
       sid: Long): Seq[IceChangeUnit] = {
     import org.apache.spark.sql.functions.col
@@ -2206,12 +2279,14 @@ object IcebergLite {
         "stream cannot reconstruct the state diff"))
     val cur = snapshotManifestFiles(spark, table, sid, content = 0)
       .map { case (p, _) => (fileKeyRaw(p), p) }.toMap
-    val par = parent.map(p =>
+    val parSeqAndPath = parent.map(p =>
       snapshotManifestFiles(spark, table, p, content = 0)
-        .map { case (q, _) => (fileKeyRaw(q), q) }.toMap)
-      .getOrElse(Map.empty[String, String])
-    // delete-file inventory of a snapshot's list: (path, kind, addedSid)
-    def deleteFiles(s: Long): Seq[(String, Int, Long)] =
+        .map { case (q, s) => (fileKeyRaw(q), (q, s)) }.toMap)
+      .getOrElse(Map.empty[String, (String, Long)])
+    val par = parSeqAndPath.map { case (k, (q, _)) => (k, q) }
+    // delete-file inventory of a snapshot's list: (path, kind,
+    // addedSid, sequence)
+    def deleteFiles(s: Long): Seq[(String, Int, Long, Long)] =
       listEntries(fs, new Path(snapLists(s))).filter(_.content == 1)
         .flatMap(m => readAvroFile(fs, new Path(m.path))
           .filter(_.get("status").asInstanceOf[Int] != 2)
@@ -2220,36 +2295,77 @@ object IcebergLite {
             val kind =
               if (d.getSchema.getField("content") == null) 1
               else d.get("content").asInstanceOf[Int]
-            (d.get("file_path").toString, kind, m.addedSid)
+            (d.get("file_path").toString, kind, m.addedSid, m.seq)
           })
     val sidDel = deleteFiles(sid)
-    require(sidDel.forall(_._2 == 1),
-      s"snapshot $sid of $table carries EQUALITY deletes — the change " +
-        "stream serves position deletes; consume the range via " +
-        "readChangelog")
+    val parDel = parent.map(deleteFiles).getOrElse(Seq.empty)
     def positionsBy(paths: Seq[String]): Map[String, Array[Long]] =
       if (paths.isEmpty) Map.empty
       else spark.read.parquet(paths: _*)
         .select(col("file_path"), col("pos")).collect()
         .groupBy(r => fileKeyRaw(r.getString(0)))
         .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
-    val parentPos = positionsBy(
-      parent.map(p => deleteFiles(p).map(_._1)).getOrElse(Seq.empty))
-    val newPos = positionsBy(sidDel.filter(_._3 == sid).map(_._1))
+    // one (column, seq, values) triple per equality-delete file — the
+    // same driver-bounded load as the row-level MorMask
+    def eqValuesBy(paths: Seq[String]): Seq[(String, Long, Array[Long])] =
+      paths.map { p =>
+        val df = spark.read.parquet(p)
+        require(df.schema.length == 1 && (df.schema.head.dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.IntegerType => true
+          case _ => false
+        }), s"equality delete file $p is not a single integral column — " +
+          "the change stream masks only this engine's own " +
+          "deleteWhereEquality shape; consume the range via readChangelog")
+        val seq = (sidDel ++ parDel).find(_._1 == p).map(_._4).getOrElse(sid)
+        (df.schema.head.name, seq,
+          df.collect().map(_.get(0) match {
+            case i: Int => i.toLong; case l: Long => l
+          }).distinct.sorted)
+      }
+    val parentPos = positionsBy(parDel.filter(_._2 == 1).map(_._1))
+    val parentEq = eqValuesBy(parDel.filter(_._2 == 2).map(_._1))
+    // the parent's equality state, sequence-gated per parent file:
+    // values that already masked rows there must not re-announce
+    def skipEqFor(k: String): Seq[(String, Array[Long])] =
+      parSeqAndPath.get(k).map { case (_, dseq) =>
+        parentEq.filter(_._2 > dseq).map(e => (e._1, e._3))
+      }.getOrElse(Nil)
+    val newPos = positionsBy(
+      sidDel.filter(e => e._2 == 1 && e._3 == sid).map(_._1))
+    val newEq = eqValuesBy(
+      sidDel.filter(e => e._2 == 2 && e._3 == sid).map(_._1))
     val inserts = (cur.keySet -- par.keySet).toSeq.sorted.map(k =>
       IceChangeUnit(cur(k), "insert", null, Array.empty))
     val cowDeletes = (par.keySet -- cur.keySet).toSeq.sorted.map(k =>
       IceChangeUnit(par(k), "delete", null,
-        parentPos.getOrElse(k, Array.empty)))
+        parentPos.getOrElse(k, Array.empty), skipEq = skipEqFor(k)))
     val morDeletes = newPos.toSeq.sortBy(_._1).flatMap { case (k, pos) =>
       // a re-delete's already-masked positions must not re-announce
       val prior = parentPos.getOrElse(k, Array.empty[Long]).toSet
       val fresh = pos.filterNot(prior)
       if (fresh.isEmpty) None
       else par.get(k).orElse(cur.get(k)).map(p =>
-        IceChangeUnit(p, "delete", fresh, Array.empty))
+        IceChangeUnit(p, "delete", fresh, Array.empty,
+          skipEq = skipEqFor(k)))
     }
-    inserts ++ cowDeletes ++ morDeletes
+    // a new EQUALITY delete (X301) masks matching LIVE rows in every
+    // parent file with a strictly smaller sequence — one value-filter
+    // unit per file, the file-granular spelling of the batch
+    // changelog's semi-join (announcing the deleted rows costs a scan
+    // of the candidate files in EITHER face; the units stay
+    // executor-side and admission-controlled)
+    val eqDeletes =
+      if (newEq.isEmpty) Nil
+      else par.toSeq.sortBy(_._1).flatMap { case (k, p) =>
+        val dseq = parSeqAndPath(k)._2
+        val applicable = newEq.filter(_._2 > dseq).map(e => (e._1, e._3))
+        if (applicable.isEmpty) None
+        else Some(IceChangeUnit(p, "delete", null,
+          parentPos.getOrElse(k, Array.empty),
+          emitEq = applicable, skipEq = skipEqFor(k)))
+      }
+    inserts ++ cowDeletes ++ morDeletes ++ eqDeletes
   }
 
   /** NET CHANGES over (fromSnap, toSnap] — [[readChangelog]] folded to
@@ -3090,27 +3206,98 @@ object IcebergLite {
     } finally src.unpersist()
   }
 
+  /** The merge-on-read delete state the SQL row-level path applies
+    * READER-SIDE (X300 — the Iceberg analog of X293's deletion-vector
+    * masking, so SQL UPDATE/MERGE/DELETE never demand a table rewrite
+    * first): per-data-file POSITION masks, already sequence-gated (spec
+    * §Scan Planning: a position delete applies to data files with
+    * sequence ≤ its own), plus the EQUALITY-delete value lists with
+    * their sequence numbers (a value suppresses rows in data files with
+    * sequence STRICTLY LESS than the delete's — evaluated per row at
+    * the reader against each file's own data sequence). Loaded once on
+    * the driver: delete files are bounded by the DELETED-row count, the
+    * same control-plane cost model as Delta deletion vectors and the
+    * log itself. Equality subset matches this engine's writer
+    * ([[deleteWhereEquality]]): single integral column per delete file
+    * — anything else refuses loudly. */
+  case class MorMask(
+      posByFile: Map[String, Array[Long]],      // fileKeyRaw → sorted pos
+      eq: Seq[(String, Long, Array[Long])],     // (column, seq, values)
+      dataSeq: Map[String, Long],               // fileKeyRaw → data seq
+      deleteFiles: Set[String]) {               // pinned delete-file paths
+    def isEmpty: Boolean = posByFile.isEmpty && eq.isEmpty
+  }
+  object MorMask {
+    val empty: MorMask = MorMask(Map.empty, Nil, Map.empty, Set.empty)
+  }
+
+  private[graft] def morRowLevelState(spark: SparkSession,
+      table: String): MorMask = {
+    val deletes = snapshotDeleteEntries(spark, table, -1L)
+    if (deletes.isEmpty) return MorMask.empty
+    val dataSeq = snapshotManifestFiles(spark, table, -1L, content = 0)
+      .map { case (p, s) => (fileKeyRaw(p), s) }.toMap
+    val pos = deletes.filter(_._3 == 1)
+    val posByFile =
+      if (pos.isEmpty) Map.empty[String, Array[Long]]
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        import spark.implicits._
+        val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
+          .toDF("__delfn", "__sseq")
+        spark.read.parquet(pos.map(_._1): _*)
+          .select(fileKeyCol(col("file_path")).as("__fn"), col("pos"),
+            fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
+          .join(broadcast(delSeq), "__delfn")
+          .collect()
+          .groupBy(_.getAs[String]("__fn"))
+          .collect { case (fn, rows) if dataSeq.contains(fn) =>
+            // sequence gating: position deletes apply at seq ≥ the data
+            // file's — a file re-added after the delete keeps its rows
+            val dseq = dataSeq(fn)
+            fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
+              .map(_.getAs[Long]("pos")).distinct.sorted
+          }
+          .filter(_._2.nonEmpty).toMap
+      }
+    val eq = deletes.filter(_._3 == 2).map { case (p, s, _) =>
+      val df = spark.read.parquet(p)
+      require(df.schema.length == 1 && (df.schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType => true
+        case _ => false
+      }), s"equality delete file $p is not a single integral column — " +
+        "the SQL row-level reader masks only this engine's own " +
+        "deleteWhereEquality shape; IcebergLite.rewriteDataFiles first")
+      val values = df.collect().map { r =>
+        r.get(0) match { case i: Int => i.toLong; case l: Long => l }
+      }.distinct.sorted
+      (df.schema.head.name, s, values)
+    }
+    MorMask(posByFile, eq, dataSeq, deletes.map(_._1).toSet)
+  }
+
   /** The pieces the SQL row-level operation pins at creation — the
     * Iceberg side of [[DeltaLite.rowLevelSnapshot]]: the current
     * snapshot's live data files (absolute paths, the manifests' own
-    * coordinates) plus the schema in force. Partitioned tables of ANY
-    * transform kind qualify — the replacement writer recomputes each
-    * staged file's transform value (identity AND hidden bucket/temporal/
-    * truncate), so manifest p0 pruning stays exact after SQL DML.
-    * Refuses on merge-on-read delete state ([[rewriteDataFiles]] first)
-    * — the copy-on-write envelope [[graft.sources.v2.GraftRowLevelOp]]
-    * states. */
+    * coordinates), the schema in force, and the MERGE-ON-READ delete
+    * state ([[MorMask]]) the operation's scan applies reader-side —
+    * the copy-on-write rewrite starts from LIVE rows, so position- or
+    * equality-deleted rows never resurrect (X300; previously a stated
+    * refusal whose remedy was a table rewrite). Partitioned tables of
+    * ANY transform kind qualify — the replacement writer recomputes
+    * each staged file's transform value (identity AND hidden bucket/
+    * temporal/truncate), so manifest p0 pruning stays exact after SQL
+    * DML. */
   private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
-      : (Seq[String], StructType) = {
+      : (Seq[String], StructType, MorMask) = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    require(snapshotDeleteFiles(spark, table, -1L).isEmpty,
-      s"$table carries merge-on-read delete files — " +
-        "IcebergLite.rewriteDataFiles first")
     val cur = meta.get("current-snapshot-id").asLong()
-    (snapshotFiles(spark, table, -1L), schemaForSnapshot(meta, cur))
+    (snapshotFiles(spark, table, -1L), schemaForSnapshot(meta, cur),
+      morRowLevelState(spark, table))
   }
 
   /** Commit the COPY-ON-WRITE replacement the SQL row-level write path
@@ -3126,21 +3313,54 @@ object IcebergLite {
       removePaths: Seq[String], addRel: Seq[String],
       operation: String,
       partitionValues: Map[String, String] = Map.empty,
-      maxRetries: Int = 10): Long = {
-    // OPTIMISTIC CONFLICT RESOLUTION: after losing the arbiter race, the
-    // rewrite may retry against the new head ONLY while every file it
-    // removes is still live there (a concurrent APPEND commutes; a
-    // concurrent rewrite of our files does not — the liveness require
-    // below surfaces that loudly instead of dropping its effects).
+      maxRetries: Int = 10,
+      pinnedDeleteFiles: Option[Set[String]] = None): Long = {
+    // OPTIMISTIC CONFLICT RESOLUTION: the rewrite may commit against the
+    // head ONLY while every file it removes is still live there (a
+    // concurrent APPEND commutes; a concurrent rewrite of our files does
+    // not — the liveness require below surfaces that loudly instead of
+    // dropping its effects). Checked on EVERY attempt, not just retries
+    // (X304): the hazard window is pin-to-commit — a compaction landing
+    // between the row-level snapshot pin and this commit would
+    // otherwise be clobbered on a first-attempt CAS that sees the
+    // compacted head as prev (removes match nothing, adds duplicate the
+    // rewritten rows).
     var attempt = 0
     var last: IllegalStateException = null
     while (attempt < maxRetries) {
-      if (attempt > 0) {
+      locally {
         val live = snapshotFiles(spark, table, -1L).map(fileKeyRaw).toSet
         require(removePaths.map(fileKeyRaw).forall(live.contains),
           s"$operation on $table conflicts with a concurrent commit " +
             "that rewrote the same files — re-run the statement against " +
             "the new snapshot")
+      }
+      // MERGE-ON-READ conflict rule (X300, checked EVERY attempt — the
+      // hazard is the pin-to-commit window, not just a lost CAS): the
+      // rewrite re-staged its files' rows from the PINNED delete state,
+      // so a delete file that landed since then and touches those rows
+      // would be silently undone. A fresh POSITION delete conflicts iff
+      // it references a file this commit removes; a fresh EQUALITY
+      // delete always conflicts (its values may match re-staged rows —
+      // the new data files' higher sequence would exempt them from a
+      // delete that serialized first). Fresh deletes on untouched files
+      // commute: their manifests are carried and keep applying.
+      pinnedDeleteFiles.foreach { pinned =>
+        val fresh = snapshotDeleteEntries(spark, table, -1L)
+          .filterNot(e => pinned.contains(e._1))
+        if (fresh.nonEmpty) {
+          require(fresh.forall(_._3 != 2),
+            s"$operation on $table conflicts with a concurrent equality " +
+              "delete — re-run the statement against the new snapshot")
+          val removedKeys = removePaths.map(fileKeyRaw).toSet
+          val touched = spark.read.parquet(fresh.map(_._1): _*)
+            .select("file_path").collect()
+            .map(r => fileKeyRaw(r.getString(0))).toSet
+          require(touched.intersect(removedKeys).isEmpty,
+            s"$operation on $table conflicts with a concurrent position " +
+              "delete on a file it rewrites — re-run the statement " +
+              "against the new snapshot")
+        }
       }
       try return commitReplaceFilesOnce(spark, table, removePaths, addRel,
         operation, partitionValues)
@@ -3185,9 +3405,13 @@ object IcebergLite {
     val written = mutable.ArrayBuffer.empty[String]
     var mIdx = 0
     val carried = listEntries(fs, new Path(curList)).flatMap { me =>
-      if (me.content != 0) Some(me) // delete manifests: rows for removed
-        // files are inert (the file is gone); rows for kept files were
-        // required empty by rowLevelSnapshot
+      if (me.content != 0) Some(me) // delete manifests carried whole:
+        // position rows for REMOVED files are inert (scan planning joins
+        // them against live files only); rows for KEPT files must keep
+        // applying — the rewrite re-staged only the files it removed;
+        // equality deletes keep their sequence, and the staged files'
+        // HIGHER data sequence exempts re-written rows (spec §Scan
+        // Planning: equality applies strictly below its own sequence)
       else {
         val records = readAvroFile(fs, new Path(me.path))
         val (dropped, kept) = records.partition { r =>
@@ -3540,10 +3764,14 @@ object IcebergLite {
     * rows) and a fresh manifest list. Rows byte-identical pre/post;
     * prior snapshots still time-travel until expired; incremental
     * readers refuse ranges containing the replace (no row-change
-    * representation — [[readChanges]]). Returns
+    * representation — [[readChanges]]). With `refreshStats` the
+    * compaction also RE-ANCHORS any existing Puffin statistics at the
+    * new snapshot ([[refreshStatistics]], X303) — otherwise the rewrite
+    * is exactly the commit that silently stales them. Returns
     * (snapshotId, filesBefore, filesAfter). */
   def rewriteDataFiles(spark: SparkSession, table: String,
-      targetFiles: Int = 1): (Long, Long, Long) = {
+      targetFiles: Int = 1, refreshStats: Boolean = false)
+      : (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     val before = snapshotFiles(spark, table, -1L)
     val meta = readMetadata(hadoopFs(spark, table), table,
@@ -3560,9 +3788,11 @@ object IcebergLite {
     // delete manifests) — same contract as DeltaLite.optimize with DVs.
     // A sort-ordered table always rewrites: re-clustering IS the work.
     val liveDeletes = snapshotDeleteFiles(spark, table, -1L)
-    if (before.size <= targetFiles && liveDeletes.isEmpty && sortCol.isEmpty)
+    if (before.size <= targetFiles && liveDeletes.isEmpty && sortCol.isEmpty) {
+      if (refreshStats) refreshStatistics(spark, table)
       return (meta.get("current-snapshot-id").asLong(),
         before.size.toLong, before.size.toLong)
+    }
     val spec = partitionSpec(meta)
     require(spec.isEmpty || sortCol.isEmpty,
       "sort-ordered compaction of a partitioned table is outside the " +
@@ -3586,7 +3816,13 @@ object IcebergLite {
           .apply(c).dataType == org.apache.spark.sql.types.LongType),
       summaryProps = sortCol.map(_ =>
         "sort-order-id" -> meta.path("default-sort-order-id").asInt(0).toString)
-        .toMap)
+        .toMap,
+      // the rewrite replaces EXACTLY the planned snapshot's rows: refuse
+      // loudly if anything committed since (X304) — a retried overwrite
+      // staged from the old head would silently undo the race winner
+      requireSourceSnapshot =
+        Some(meta.get("current-snapshot-id").asLong()))
+    if (refreshStats) refreshStatistics(spark, table)
     (sid, before.size.toLong, snapshotFiles(spark, table, sid).size.toLong)
   }
 

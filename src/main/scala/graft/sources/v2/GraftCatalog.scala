@@ -104,14 +104,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = load(ident, -1L)
 
-  /** `VERSION AS OF v` — the analyzer routes the literal here. */
+  /** `VERSION AS OF v` — the analyzer routes the literal here. Numeric
+    * literals are Delta versions / Iceberg snapshot ids; a non-numeric
+    * string resolves through the Iceberg REFS map (X302): `VERSION AS
+    * OF 'audit'` reads a tag/branch head in SQL — the WAP workflow's
+    * audit read (X261s/v) without leaving the SQL surface; tag-pointed
+    * snapshots survive expiration (spec §Refs retention), so the read
+    * keeps serving after routine cleanup. Delta has no named refs —
+    * refuses with the remedy. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v =
       try version.toLong
       catch {
-        case _: NumberFormatException => throw new IllegalArgumentException(
-          s"VERSION AS OF '$version': expected a numeric Delta version / " +
-            "Iceberg snapshot id")
+        case _: NumberFormatException =>
+          val path = tablePath(ident)
+          if (!fs.exists(new Path(path, "metadata")))
+            throw new IllegalArgumentException(
+              s"VERSION AS OF '$version': Delta tables have no named " +
+                "refs — use a numeric version (Iceberg branches/tags " +
+                "resolve by name)")
+          IcebergLite.refSnapshotId(spark, path, version)
       }
     load(ident, v)
   }
@@ -307,14 +319,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               new KeyGroupedScanBuilder(s, schema, grouped, pfOpt.get)))
       else
         ParquetPlan(parquetTable(ident, schema, snapFiles))
-    if (version < 0 && !morState)
+    if (version < 0)
       // the SQL row-level envelope holds (unpartitioned X285, identity
       // X290, hidden transforms X292 — the rolling writer recomputes
-      // bucket/temporal/truncate values per replacement row): serve the
-      // table that also speaks UPDATE / MERGE INTO / fallback DELETE,
+      // bucket/temporal/truncate values per replacement row; MERGE-ON-
+      // READ delete state applied reader-side, X300): serve the table
+      // that also speaks UPDATE / MERGE INTO / fallback DELETE,
       // committing through the manifest arbiter
       new GraftIcebergTable(fullName(ident), path, schema, snapFiles,
-        pfOpt, readDelegate)
+        pfOpt, readDelegate,
+        // resolved at scan time, not load time — a delete landing
+        // between catalog load and query keeps the `_file` path exact
+        morMask = () => IcebergLite.morRowLevelState(s, path))
     else
       new GraftTable(fullName(ident), path, "iceberg", schema,
         Seq.empty, pfOpt, columnMapped = false,

@@ -41,8 +41,10 @@ import graft.sources.{DeltaLite, IcebergLite}
   *     as `insert`, removed files' parent-live rows as `delete`
   *     (parent pos-deletes masked), a MOR position-delete commit's
   *     masked rows as `delete` (the reader EMITS exactly those
-  *     positions); `replace` snapshots are row-silent, EQUALITY deletes
-  *     refuse with the remedy named.
+  *     positions), an EQUALITY-delete commit's masked rows as
+  *     value-filtered `delete` units over the parent-live files (X301 —
+  *     streaming-upsert tables, equality deletes' whole reason to
+  *     exist, stream their feed); `replace` snapshots are row-silent.
   *
   * Scale notes: planning touches only the versions in (start, end] —
   * O(changed commits), never O(table); the data plane is one parquet
@@ -206,14 +208,20 @@ private[v2] final class GraftChangeFeedStream(
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     var idx = -1
+    // equality value lists travel with the column resolved to its
+    // baseSchema ordinal — the executor-side reader compares raw values
+    def eqIdx(eq: Seq[(String, Array[Long])]): Seq[(Int, Array[Long])] =
+      eq.map { case (c, vals) => (baseSchema.fieldIndex(c), vals) }
     def part(abs: Path, kind: String, v: Long, emit: Array[Long],
-        skip: Array[Long]): InputPartition = {
+        skip: Array[Long],
+        emitEq: Seq[(Int, Array[Long])] = Nil,
+        skipEq: Seq[(Int, Array[Long])] = Nil): InputPartition = {
       idx += 1
       ChangeFilePartition(
         FilePartition(idx, Array(PartitionedFile(InternalRow.empty,
           SparkPath.fromPath(abs), 0L, fs.getFileStatus(abs).getLen,
           Array.empty[String]))),
-        kind, v, skip, emit)
+        kind, v, skip, emit, emitEq, skipEq)
     }
     if (format == "delta")
       ((s + 1) to e).flatMap { v =>
@@ -228,7 +236,8 @@ private[v2] final class GraftChangeFeedStream(
         .filter(id => id > s && id <= e).flatMap { id =>
           IcebergLite.changeUnits(spark, path, id).map(u =>
             part(new Path(u.absPath), u.kind, id,
-              emit = u.emit, skip = u.skip))
+              emit = u.emit, skip = u.skip,
+              emitEq = eqIdx(u.emitEq), skipEq = eqIdx(u.skipEq)))
         }.toArray
   }
 
@@ -251,13 +260,21 @@ private[v2] final class GraftChangeFeedStream(
   * prior-version row indexes that must NOT re-announce (Delta deletion
   * vectors / Iceberg parent position-deletes); `emit`, when non-null,
   * INVERTS the mask — serve ONLY those positions (an Iceberg MOR
-  * position-delete commit announces exactly the rows it masked). */
+  * position-delete commit announces exactly the rows it masked).
+  * `emitEq` is the VALUE spelling of `emit` (X301 — an EQUALITY-delete
+  * commit announces rows whose column value matches), and `skipEq` the
+  * value spelling of `skip` (rows the parent's equality deletes already
+  * masked); columns travel as baseSchema ordinals. A row is served iff
+  * it passes the emit selection (positions ∪ values; everything when
+  * neither is set) and neither skip mask. */
 private[v2] final case class ChangeFilePartition(
     fp: FilePartition,
     kind: String,
     version: Long,
     skip: Array[Long],
-    emit: Array[Long] = null) extends InputPartition
+    emit: Array[Long] = null,
+    emitEq: Seq[(Int, Array[Long])] = Nil,
+    skipEq: Seq[(Int, Array[Long])] = Nil) extends InputPartition
 
 private[v2] final class ChangeFeedReaderFactory(
     cdcFactory: PartitionReaderFactory,
@@ -279,19 +296,56 @@ private[v2] final class ChangeFeedReaderFactory(
     val tag = if (isCdc) null else UTF8String.fromString(cp.kind)
     val masked = cp.skip // sorted row indexes to skip
     val emit = cp.emit // non-null: sorted row indexes to serve EXCLUSIVELY
+    def eqSets(eq: Seq[(Int, Array[Long])]): Array[(Int,
+        java.util.HashSet[Long])] =
+      eq.map { case (j, vals) =>
+        val set = new java.util.HashSet[Long](vals.length * 2)
+        vals.foreach(v => set.add(v))
+        (j, set)
+      }.toArray
+    val emitEq = eqSets(cp.emitEq)
+    val skipEq = eqSets(cp.skipEq)
+    def eqHit(r: InternalRow, checks: Array[(Int,
+        java.util.HashSet[Long])]): Boolean = {
+      var i = 0
+      while (i < checks.length) {
+        val (j, set) = checks(i)
+        if (!r.isNullAt(j)) {
+          val v = types(j) match {
+            case org.apache.spark.sql.types.IntegerType => r.getInt(j).toLong
+            case _ => r.getLong(j)
+          }
+          if (set.contains(v)) return true
+        }
+        i += 1
+      }
+      false
+    }
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
       private var mi = 0
+      private var si = 0
       override def next(): Boolean = {
         while (inner.next()) {
           rowIdx += 1
-          if (emit != null) {
-            while (mi < emit.length && emit(mi) < rowIdx) mi += 1
-            if (mi >= emit.length) return false // past the last emitted
-            if (emit(mi) == rowIdx) return true
-          } else {
-            while (mi < masked.length && masked(mi) < rowIdx) mi += 1
-            if (mi >= masked.length || masked(mi) != rowIdx) return true
+          // emit selection: positions ∪ value match; all rows when
+          // neither mask is set
+          val selected =
+            if (emit == null && emitEq.isEmpty) true
+            else {
+              var hit = false
+              if (emit != null) {
+                while (mi < emit.length && emit(mi) < rowIdx) mi += 1
+                hit = mi < emit.length && emit(mi) == rowIdx
+              }
+              hit || (emitEq.nonEmpty && eqHit(inner.get(), emitEq))
+            }
+          if (selected) {
+            while (si < masked.length && masked(si) < rowIdx) si += 1
+            val posDead = si < masked.length && masked(si) == rowIdx
+            if (!posDead &&
+                (skipEq.isEmpty || !eqHit(inner.get(), skipEq)))
+              return true
           }
         }
         false

@@ -26,6 +26,13 @@ import graft.sources.{DeltaLite, IcebergLite}
   *   - `CALL cat.system.vacuum('db.t' [, retain_hours])` →
   *     [[DeltaLite.vacuum]] — delete files no retained version
   *     references.
+  *   - `CALL cat.system.write_statistics('db.t' [, 'c1,c2'])` →
+  *     [[IcebergLite.writeStatistics]] (X303) — Theta-sketch NDV blobs
+  *     as a Puffin file; with no column list, RE-ANCHORS the existing
+  *     blobs' columns at the current snapshot
+  *     ([[IcebergLite.refreshStatistics]]). `rewrite_data_files` also
+  *     re-anchors existing statistics after compacting — compaction is
+  *     exactly the commit that would otherwise stale them silently.
   *
   * Each procedure resolves `'db.t'` under THIS catalog's warehouse and
   * returns its counters as a one-row relation ([[LocalScan]]). The ops
@@ -34,7 +41,8 @@ import graft.sources.{DeltaLite, IcebergLite}
 private[v2] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("rewrite_data_files", "expire_snapshots", "vacuum")
+    Seq("rewrite_data_files", "expire_snapshots", "vacuum",
+      "write_statistics")
 
   def load(warehouse: String, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -46,7 +54,10 @@ private[v2] object GraftProcedures {
         run = (spark, path, format, n) => {
           val (v, b, a) = format match {
             case "delta" => DeltaLite.optimize(spark, path, n)
-            case _ => IcebergLite.rewriteDataFiles(spark, path, n)
+            // the maintenance verb re-anchors existing Puffin stats at
+            // the compacted snapshot (X303); stat-less tables unchanged
+            case _ => IcebergLite.rewriteDataFiles(spark, path, n,
+              refreshStats = true)
           }
           InternalRow(v, b, a)
         })
@@ -73,6 +84,48 @@ private[v2] object GraftProcedures {
           InternalRow(DeltaLite.vacuum(spark, path,
             graceMs = n.toLong * 3600L * 1000L))
         })
+      case "write_statistics" => new UnboundProcedure {
+        override def name(): String = "write_statistics"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = "write_statistics"
+            override def parameters(): Array[ProcedureParameter] = Array(
+              ProcedureParameter.in("table", StringType).build(),
+              ProcedureParameter.in("columns", StringType)
+                .defaultValue("''").build())
+            override def isDeterministic: Boolean = false
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] = {
+              val spark = SparkSession.active
+              val table = input.getUTF8String(0).toString
+              val cols =
+                if (input.isNullAt(1)) Seq.empty
+                else input.getUTF8String(1).toString.split(',')
+                  .map(_.trim).filter(_.nonEmpty).toSeq
+              val (path, format) = resolve(warehouse, table)
+              require(format == "iceberg",
+                "write_statistics is the Iceberg procedure (Puffin " +
+                  "blobs) — Delta tables keep per-file log stats")
+              val version =
+                if (cols.nonEmpty)
+                  IcebergLite.writeStatistics(spark, path, cols)
+                else IcebergLite.refreshStatistics(spark, path).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"'$table' has no statistics to refresh — pass a " +
+                      "column list"))
+              val sketched = IcebergLite.readStatistics(spark, path)
+                .count(!_._4)
+              java.util.List.of[Scan](new LocalScan {
+                override def rows(): Array[InternalRow] = Array(
+                  InternalRow(version.toLong, sketched.toLong))
+                override def readSchema(): StructType =
+                  StructType(new StructType()
+                    .add("version", LongType)
+                    .add("columns_sketched", LongType))
+              }).iterator()
+            }
+          }
+      }
       case other =>
         throw new IllegalArgumentException(
           s"no procedure system.$other — this catalog serves " +

@@ -83,20 +83,25 @@ private[v2] final class GraftRowLevelOp(
   // ONE snapshot pins both the scan and the commit — resolved lazily so
   // plans that end up metadata-only never pay (or refuse) it. Delta
   // files are log-relative; Iceberg files are the manifests' absolute
-  // paths (FileTaggedScan resolves both, the dataPath rule). Deletion
-  // vectors ride along as per-file masked positions (X293): the
-  // operation's scan SKIPS them, so a COW rewrite of a DV-carrying file
-  // starts from its LIVE rows — the remove+add swap never resurrects
-  // the vector's deleted rows.
-  private lazy val (snapFiles: Seq[String],
-      dvPositions: Map[String, Array[Long]]) = format match {
+  // paths (FileTaggedScan resolves both, the dataPath rule). The delete
+  // state rides along as reader-side masks: Delta deletion vectors as
+  // per-file positions (X293), Iceberg merge-on-read state as
+  // sequence-gated positions PLUS equality-delete values (X300) — the
+  // operation's scan SKIPS masked rows, so a COW rewrite starts from
+  // LIVE rows and the remove+add swap never resurrects deleted ones.
+  private lazy val pinned: (Seq[String], Map[String, Array[Long]],
+      IcebergLite.MorMask) = format match {
     case "delta" =>
       val (files, dvs, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
-      (files, GraftRowLevel.dvPositions(spark, path, dvs))
+      (files, GraftRowLevel.dvPositions(spark, path, dvs),
+        IcebergLite.MorMask.empty)
     case _ =>
-      (IcebergLite.rowLevelSnapshot(spark, path)._1,
-        Map.empty[String, Array[Long]])
+      val (files, _, mask) = IcebergLite.rowLevelSnapshot(spark, path)
+      (files, mask.posByFile, mask)
   }
+  private def snapFiles: Seq[String] = pinned._1
+  private def dvPositions: Map[String, Array[Long]] = pinned._2
+  private def morMask: IcebergLite.MorMask = pinned._3
 
   // the affected file set (basenames) the runtime group filter found;
   // None = filtering never ran → every live file is affected
@@ -136,7 +141,8 @@ private[v2] final class GraftRowLevelOp(
     * (conservative, never wrong). */
   private final class RowLevelScan(readSchema0: StructType)
     extends FileTaggedScan(spark, path, tableSchema, readSchema0,
-      () => affectedFiles, Array.empty, () => dvPositions)
+      () => affectedFiles, Array.empty, () => dvPositions,
+      () => (morMask.eq, morMask.dataSeq))
     with SupportsRuntimeV2Filtering {
 
     override def description(): String =
@@ -198,12 +204,14 @@ private[v2] final class GraftRowLevelOp(
                   .ASCENDING))
             override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
               spark, path, tableSchema, () => affectedFiles,
-              info.command().toString, format, part, mapped)
+              info.command().toString, format, part, mapped,
+              pinnedDeletes = () => morMask.deleteFiles)
           }
         case None => new Write {
           override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
             spark, path, tableSchema, () => affectedFiles,
-            info.command().toString, format, mapped = mapped)
+            info.command().toString, format, mapped = mapped,
+            pinnedDeletes = () => morMask.deleteFiles)
         }
       }
     }
@@ -221,7 +229,9 @@ private[v2] class FileTaggedScan(
     readSchema0: StructType,
     filesProvider: () => Seq[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    dvPositions: () => Map[String, Array[Long]] = () => Map.empty)
+    dvPositions: () => Map[String, Array[Long]] = () => Map.empty,
+    eqMask: () => (Seq[(String, Long, Array[Long])], Map[String, Long]) =
+      () => (Nil, Map.empty))
   extends Scan with Batch {
 
   override def readSchema(): StructType = readSchema0
@@ -247,13 +257,21 @@ private[v2] class FileTaggedScan(
     val dataCols =
       StructType(readSchema0.fields.filterNot(_.name == "_file"))
     val dvs = dvPositions()
-    // DV masking counts file row positions — row-group skipping would
-    // desynchronize the counter, so the two must never combine
+    // position masking counts file row positions — row-group skipping
+    // would desynchronize the counter, so the two must never combine
+    // (equality masking is value-based and indifferent to skipping)
     require(dvs.isEmpty || pushed.isEmpty,
       "deletion-vector masking excludes row-group pushdown")
+    val (eqs, dataSeq) = eqMask()
+    // equality masking compares row VALUES — a pruned projection that
+    // dropped the equality column reads it back internally; the tagging
+    // reader's output permutation never surfaces it
+    val innerCols = eqs.map(_._1).distinct
+      .filterNot(dataCols.fieldNames.contains)
+      .foldLeft(dataCols)((s, c) => s.add(tableSchema(c)))
     new FileTaggingReaderFactory(
-      GraftParquetReaders.factory(spark, tableSchema, dataCols, pushed),
-      readSchema0, dataCols, dvs)
+      GraftParquetReaders.factory(spark, tableSchema, innerCols, pushed),
+      readSchema0, innerCols, dvs, eqs, dataSeq)
   }
 }
 
@@ -272,7 +290,9 @@ private[v2] final class FileAwareScanBuilder(
     inner: ScanBuilder,
     mkStream: Option[StructType =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
-    dvPositions: () => Map[String, Array[Long]] = () => Map.empty)
+    dvPositions: () => Map[String, Array[Long]] = () => Map.empty,
+    eqMask: () => (Seq[(String, Long, Array[Long])], Map[String, Long]) =
+      () => (Nil, Map.empty))
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns {
@@ -322,10 +342,10 @@ private[v2] final class FileAwareScanBuilder(
       // every data filter above the scan (file-source contract), and
       // this path serves only the control-plane-sized group-filter
       // subquery — correctness first, the stock path keeps its pushdown.
-      // Deletion vectors mask here too, so a `_file` projection never
-      // serves deleted rows.
+      // Deletion vectors / merge-on-read state mask here too, so a
+      // `_file` projection never serves deleted rows.
       new FileTaggedScan(spark, path, tableSchema, required, () => files,
-        Array.empty, dvPositions)
+        Array.empty, dvPositions, eqMask)
 }
 
 /** Wraps the stock parquet reader: each partition holds ONE file, and
@@ -340,7 +360,9 @@ private[v2] final class FileTaggingReaderFactory(
     inner: PartitionReaderFactory,
     outSchema: StructType,
     dataCols: StructType,
-    dvPositions: Map[String, Array[Long]] = Map.empty)
+    dvPositions: Map[String, Array[Long]] = Map.empty,
+    eqDeletes: Seq[(String, Long, Array[Long])] = Nil,
+    dataSeq: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -356,15 +378,44 @@ private[v2] final class FileTaggingReaderFactory(
     // output position → source data position (-1 = the _file tag)
     val perm = outSchema.fields.map(f => dataIdx.getOrElse(f.name, -1))
     val types = dataCols.fields.map(_.dataType)
+    // equality deletes applicable to THIS file: sequence strictly above
+    // the file's own data sequence (X300) — value sets per column index
+    val fileSeq = dataSeq.getOrElse(tagStr, Long.MaxValue)
+    val eqChecks: Array[(Int, java.util.HashSet[Long])] = eqDeletes
+      .filter(_._2 > fileSeq)
+      .map { case (c, _, vals) =>
+        val set = new java.util.HashSet[Long](vals.length * 2)
+        vals.foreach(v => set.add(v))
+        (dataIdx(c), set)
+      }.toArray
     val ir = inner.createReader(partition)
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
       private var mi = 0
+      private def eqDead(): Boolean = {
+        if (eqChecks.isEmpty) return false
+        val r = ir.get()
+        var i = 0
+        while (i < eqChecks.length) {
+          val (j, set) = eqChecks(i)
+          if (!r.isNullAt(j)) {
+            val v = types(j) match {
+              case org.apache.spark.sql.types.IntegerType =>
+                r.getInt(j).toLong
+              case _ => r.getLong(j)
+            }
+            if (set.contains(v)) return true
+          }
+          i += 1
+        }
+        false
+      }
       override def next(): Boolean = {
         while (ir.next()) {
           rowIdx += 1
           while (mi < masked.length && masked(mi) < rowIdx) mi += 1
-          if (mi >= masked.length || masked(mi) != rowIdx) return true
+          if ((mi >= masked.length || masked(mi) != rowIdx) && !eqDead())
+            return true
         }
         false
       }
@@ -399,7 +450,8 @@ private[v2] final class GraftReplaceBatchWrite(
     operation: String,
     format: String = "delta",
     part: Option[IcebergLite.PartField] = None,
-    mapped: Boolean = false)
+    mapped: Boolean = false,
+    pinnedDeletes: () => Set[String] = () => Set.empty)
   extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -456,7 +508,10 @@ private[v2] final class GraftReplaceBatchWrite(
         IcebergLite.commitReplaceFiles(spark, path, removeFiles(), addedAll,
           "overwrite",
           partitionValues = partFiles
-            .map(f => s"$stagedRel/${f._1}" -> f._2).toMap)
+            .map(f => s"$stagedRel/${f._1}" -> f._2).toMap,
+          // the delete files known at pin: commit refuses loudly if a
+          // conflicting delete landed in the pin-to-commit window (X300)
+          pinnedDeleteFiles = Some(pinnedDeletes()))
     }
     ()
   }

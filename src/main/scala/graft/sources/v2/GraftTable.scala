@@ -394,7 +394,8 @@ private[v2] final class GraftIcebergTable(
     logicalSchema: StructType,
     snapFiles: Seq[String],
     icePart: Option[IcebergLite.PartField],
-    readDelegate: ReadPlan)
+    readDelegate: ReadPlan,
+    morMask: () => IcebergLite.MorMask = () => IcebergLite.MorMask.empty)
   extends GraftTable(tableName, path, "iceberg", logicalSchema, Seq.empty,
     icePart, columnMapped = false, readDelegate, writable = true)
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -416,7 +417,12 @@ private[v2] final class GraftIcebergTable(
       path, logicalSchema, snapFiles, super.newScanBuilder(options),
       mkStream = Some(rs =>
         new GraftTableStream(path, "iceberg", logicalSchema, rs,
-          Option(options.get("maxFilesPerTrigger")).map(_.toInt))))
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt))),
+      // merge-on-read state masks the `_file` tagged path too (X300):
+      // a `_file` projection — the runtime group-filter subquery —
+      // never serves position- or equality-deleted rows
+      dvPositions = () => morMask().posByFile,
+      eqMask = () => { val m = morMask(); (m.eq, m.dataSeq) })
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
