@@ -47,9 +47,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
   private case class Insert(keys: Seq[Long]) extends Op
   private case class CowDelete(lo: Long, hi: Long) extends Op
   private case class MorDelete(lo: Long, hi: Long) extends Op // DV / pos
+  private case class EqDelete(lo: Long, hi: Long) extends Op // values
 
   private val opGen: Gen[Op] = Gen.frequency(
-    2 -> (for {
+    3 -> (for {
       a <- Gen.choose(0L, 80L); n <- Gen.choose(3, 10)
     } yield Insert((a until a + n).toSeq)),
     1 -> (for {
@@ -57,7 +58,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
     } yield CowDelete(lo, lo + w)),
     1 -> (for {
       lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
-    } yield MorDelete(lo, lo + w)))
+    } yield MorDelete(lo, lo + w)),
+    1 -> (for {
+      lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
+    } yield EqDelete(lo, lo + w)))
 
   private val historyGen: Gen[List[Op]] = for {
     first <- Gen.choose(0L, 20L).map(a => Insert((a until a + 8).toSeq))
@@ -83,17 +87,27 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
         live.keys.toSeq.filter(k => k >= lo && k <= hi).foreach { k =>
           feed((k, "delete")) += live(k); live.remove(k)
         }
+      case EqDelete(lo, hi) =>
+        // equality semantics: only rows with a STRICTLY SMALLER data
+        // sequence are masked — exactly "live at the delete's commit";
+        // later re-inserts survive, which the live-map already models
+        live.keys.toSeq.filter(k => k >= lo && k <= hi).foreach { k =>
+          feed((k, "delete")) += live(k); live.remove(k)
+        }
     }
     feed.toMap
   }
 
   private var n = 0
   private def fresh(fmt: String): (String, String) = synchronized {
+    // Force catalog registration BEFORE the first SQL touches `$cat` —
+    // Spark resolves an unregistered name under spark_catalog.
+    val wh = warehouse
     n += 1
     val name = s"cfp_${fmt}_$n"
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.$name")
     spark.sql(s"CREATE TABLE $cat.db.$name (k BIGINT) USING $fmt")
-    (s"$cat.db.$name", s"$warehouse/db/$name")
+    (s"$cat.db.$name", s"$wh/db/$name")
   }
 
   private def drain(tbl: String,
@@ -122,8 +136,13 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
   }
 
   property("Delta: arbitrary insert/COW/DV histories — stream == batch == model") =
-    Prop.forAll(historyGen) { ops =>
+    Prop.forAll(historyGen) { ops0 =>
       import spark.implicits._
+      // delta has no equality-delete kind: those histories land as DVs
+      val ops = ops0.map {
+        case EqDelete(lo, hi) => MorDelete(lo, hi)
+        case o => o
+      }
       val (tbl, path) = fresh("delta")
       DeltaLite.enableCdf(spark, path) // v1
       ops.foreach {
@@ -133,6 +152,7 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
           DeltaLite.deleteWhere(spark, path, "k", lo, hi)
         case MorDelete(lo, hi) =>
           DeltaLite.deleteWhereDV(spark, path, "k", lo, hi)
+        case EqDelete(_, _) => ()
       }
       val want = model(ops)
       val batch = spark.sql(s"SELECT k, _change_type FROM $tbl.changes")
@@ -143,11 +163,12 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
         ((streamed == want) :| s"stream $streamed != model $want (ops $ops)")
     }
 
-  property("Iceberg: arbitrary insert/MOR histories — stream == batch == model") =
+  property("Iceberg: arbitrary insert/MOR/EQUALITY histories — stream == batch == model") =
     Prop.forAll(historyGen) { ops0 =>
       import spark.implicits._
-      // iceberg side: COW range deletes aren't a format op here — both
-      // delete flavors land as MOR position deletes
+      // iceberg side: COW range deletes aren't a format op here — they
+      // land as MOR position deletes; EqDelete stays the real
+      // equality-delete commit (X301: the stream now serves them)
       val ops = ops0.map {
         case CowDelete(lo, hi) => MorDelete(lo, hi)
         case o => o
@@ -157,6 +178,8 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
         case Insert(keys) => IcebergLite.write(spark, keys.toDF("k"), path)
         case MorDelete(lo, hi) =>
           IcebergLite.deleteWhere(spark, path, "k", lo, hi)
+        case EqDelete(lo, hi) =>
+          IcebergLite.deleteWhereEquality(spark, path, "k", (lo to hi).toSeq)
         case CowDelete(_, _) => ()
       }
       val want = model(ops)

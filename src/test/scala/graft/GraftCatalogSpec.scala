@@ -1098,7 +1098,8 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).sorted shouldBe
-      Array("expire_snapshots", "rewrite_data_files", "vacuum")
+      Array("expire_snapshots", "rewrite_data_files", "vacuum",
+        "write_statistics")
   }
 
   test("t.changes: batch feed relation + streaming drain across a DML history") {
@@ -1435,6 +1436,72 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.db.corp2 (x BIGINT) " +
       "USING delta")
     spark.sql(s"SELECT k FROM $cat.db.corp2").as[Long].head() shouldBe 5L
+  }
+
+  test("merge-on-read state takes SQL UPDATE / MERGE: live-row rewrite, no resurrection, MOR time travel (X300)") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.imor")
+    spark.sql(s"CREATE TABLE $cat.db.imor (k BIGINT, v BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.imor " +
+      "SELECT id AS k, id AS v FROM range(1, 101)")
+    val t = s"$wh/db/imor"
+    // claimable SQL DELETE takes the MOR fast path: no data file moves
+    val filesBefore = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    spark.sql(s"DELETE FROM $cat.db.imor WHERE k BETWEEN 1 AND 20")
+    IcebergLite.snapshotFiles(spark, t, -1L).toSet shouldBe filesBefore
+    // equality delete: the streaming-upsert kind
+    IcebergLite.deleteWhereEquality(spark, t, "k", Seq(30L, 31L, 32L))
+    IcebergLite.snapshotDeleteFiles(spark, t, -1L) should not be empty
+    val prevSnap = IcebergLite.currentSnapshotId(spark, t)
+    // SQL UPDATE + MERGE with BOTH delete kinds applied reader-side —
+    // previously a stated refusal whose remedy was a table rewrite
+    spark.sql(s"UPDATE $cat.db.imor SET v = v * 10 WHERE k BETWEEN 25 AND 40")
+    spark.sql(
+      s"""MERGE INTO $cat.db.imor x
+         |USING (SELECT id AS k FROM range(1, 101) WHERE id % 10 = 0) s
+         |ON x.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = x.v + 1000""".stripMargin)
+    val want = (21L to 100L).filterNot(Set(30L, 31L, 32L)).map { k =>
+      val u = if (k >= 25 && k <= 40) k * 10 else k
+      (k, if (k % 10 == 0) u + 1000 else u)
+    }
+    spark.sql(s"SELECT k, v FROM $cat.db.imor ORDER BY k")
+      .as[(Long, Long)].collect().toSeq shouldBe want
+    // nothing resurrects: both deleted populations stay gone
+    spark.sql(s"SELECT count(*) FROM $cat.db.imor " +
+      "WHERE k <= 20 OR k IN (30, 31, 32)").as[Long].head() shouldBe 0L
+    // the pre-DML snapshot time-travels WITH its MOR state applied
+    spark.sql(s"SELECT count(*) FROM $cat.db.imor VERSION AS OF $prevSnap")
+      .as[Long].head() shouldBe 77L
+  }
+
+  test("VERSION AS OF '<ref>' resolves Iceberg tags in SQL; Delta refuses with the remedy (X302)") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.reft")
+    spark.sql(s"CREATE TABLE $cat.db.reft (k BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.reft SELECT id FROM range(0, 10)")
+    IcebergLite.setRef(spark, s"$wh/db/reft", "audit",
+      IcebergLite.currentSnapshotId(spark, s"$wh/db/reft"))
+    spark.sql(s"INSERT INTO $cat.db.reft SELECT id FROM range(10, 30)")
+    spark.sql(s"SELECT count(*) FROM $cat.db.reft VERSION AS OF 'audit'")
+      .as[Long].head() shouldBe 10L
+    spark.sql(s"SELECT count(*) FROM $cat.db.reft")
+      .as[Long].head() shouldBe 30L
+    // the tag outlives routine expiration (spec §Refs retention)
+    IcebergLite.expireSnapshots(spark, s"$wh/db/reft", keepLast = 1)
+    spark.sql(s"SELECT count(*) FROM $cat.db.reft VERSION AS OF 'audit'")
+      .as[Long].head() shouldBe 10L
+    // unknown refs and Delta tables refuse loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.reft VERSION AS OF 'nope'").collect()
+    }.getMessage should include("no ref")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.dreft")
+    spark.sql(s"CREATE TABLE $cat.db.dreft (k BIGINT) USING delta")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.dreft VERSION AS OF 'tag'").collect()
+    }.getMessage should include("no named refs")
   }
 
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {

@@ -78,11 +78,14 @@ object SqlConcurrencyProperties extends Properties("SqlConcurrency") {
 
   private var n = 0
   private def freshTable(fmt: String): (String, String) = synchronized {
+    // Force catalog registration BEFORE the first SQL touches `$cat` —
+    // Spark resolves an unregistered name under spark_catalog.
+    val wh = warehouse
     n += 1
     val name = s"conc_${fmt}_$n"
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.$name")
     spark.sql(s"CREATE TABLE $cat.db.$name (k BIGINT, v BIGINT) USING $fmt")
-    (s"$cat.db.$name", s"$warehouse/db/$name")
+    (s"$cat.db.$name", s"$wh/db/$name")
   }
 
   private val writersGen: Gen[Int] = Gen.choose(2, 4)
@@ -140,6 +143,38 @@ object SqlConcurrencyProperties extends Properties("SqlConcurrency") {
           s"insert failures: ${insertFailures.map(_.getMessage)}") &&
           ((got == want) :|
             s"updateOk=$updateOk got $got want $want")
+      }
+
+  for (fmt <- Seq("delta", "iceberg"))
+    property(s"$fmt: UPDATE racing compaction serializes or refuses loudly") =
+      Prop.forAll(Gen.choose(2, 5)) { files =>
+        val (tbl, path) = freshTable(fmt)
+        // one commit per row → a multi-file table, so the rewrite and
+        // the row-level UPDATE race over REAL overlapping file sets
+        (1 to files).foreach(i =>
+          spark.sql(s"INSERT INTO $tbl VALUES ($i, $i)"))
+        val outcomes = race(Seq(
+          () => { spark.sql(s"UPDATE $tbl SET v = v + 100 WHERE k >= 1"); () },
+          () => {
+            if (fmt == "delta") DeltaLite.optimize(spark, path, 1)
+            else IcebergLite.rewriteDataFiles(spark, path, 1)
+            ()
+          }))
+        val updateOk = outcomes.head.isEmpty
+        // either op may lose and THROW (that is the conflict rule working:
+        // removed-files liveness / source-snapshot pin) — but the final
+        // state must equal the serial order of the ops that REPORTED
+        // success: all-updated if the UPDATE succeeded, all-base if it
+        // refused. Compaction never changes values, only file layout —
+        // a half-applied UPDATE or a compaction that resurrected
+        // pre-update rows shows up as a value mismatch here.
+        val want = (1 to files).map(i =>
+          if (updateOk) (i.toLong, i + 100L) else (i.toLong, i.toLong))
+        val got = spark.sql(s"SELECT k, v FROM $tbl ORDER BY k")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (got == want) :|
+          s"updateOk=$updateOk maintOk=${outcomes(1).isEmpty} " +
+            s"got $got want $want"
       }
 
   private val epochsGen: Gen[List[Int]] = for {
