@@ -785,6 +785,43 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X305: COMPOSITE-KEY equality deletes — the tuple shape CDC upsert
+    * writers actually produce (a Flink primary key is rarely one
+    * column). The delete file stores (o_orderkey, o_orderpriority)
+    * tuples; a row is suppressed only when BOTH columns match the SAME
+    * tuple — keys ≤ 1000 with a non-urgent priority survive, which a
+    * per-column matcher would have over-deleted (that's what the oracle
+    * pins). Sequence gating unchanged: the one urgent row re-appended
+    * AFTER the delete survives with its new price. */
+  private def icebergEqDeleteMulti(spark: SparkSession,
+      dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_eqdelm_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o.repartition(2), table)
+    // the delete stream: key tuples, NOT a table scan (tuples matching
+    // nothing are harmless — the writer never looks)
+    val tuples = spark.range(1, 1001)
+      .select(col("id").as("o_orderkey"),
+        lit("1-URGENT").as("o_orderpriority"))
+    val (_, nTuples) =
+      IcebergLite.deleteWhereEqualityRows(spark, table, tuples)
+    // upsert one deleted row back — its higher data sequence exempts it
+    val reins = o
+      .where(col("o_orderkey") <= 1000 &&
+        col("o_orderpriority") === "1-URGENT")
+      .orderBy("o_orderkey").limit(1)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 5000.0).as("o_totalprice"),
+        col("o_orderpriority"))
+    IcebergLite.write(spark, reins, table)
+    IcebergLite.read(spark, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("tuples_written", lit(nTuples))
+      .orderBy("o_orderpriority")
+  }
+
   /** X261l: ancestry-walking Iceberg incremental read — the range crosses
     * a `replace` (rewriteDataFiles) snapshot, which the manifest-list-diff
     * feed ([[icebergIncremental]]) must refuse (file attribution off the
@@ -3642,6 +3679,8 @@ object FormatQueries {
     "x_iceberg_incremental" -> ((s, dir) => icebergIncremental(s, dir)),
     "x_iceberg_incr_replace" -> ((s, dir) => icebergIncrReplace(s, dir)),
     "x_iceberg_eq_delete" -> ((s, dir) => icebergEqDelete(s, dir)),
+    "x_iceberg_eq_delete_multi" ->
+      ((s, dir) => icebergEqDeleteMulti(s, dir)),
     "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_delta_constraints" -> ((s, dir) => deltaConstraints(s, dir)),
@@ -4273,6 +4312,23 @@ object FormatQueries {
         |SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
         |  CAST(200 AS BIGINT) AS values_written
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // composite-key equality delete: only (key<=1000 AND urgent) rows
+    // die — same keys with other priorities survive (the tuple-match
+    // pin); the re-appended urgent row outlives the delete by sequence
+    "x_iceberg_eq_delete_multi" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE NOT (o_orderkey <= 1000 AND o_orderpriority = '1-URGENT')),
+        |re AS (
+        |  SELECT o_orderkey, o_totalprice + 5000.0 AS o_totalprice,
+        |    o_orderpriority FROM orders
+        |  WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders
+        |    WHERE o_orderkey <= 1000 AND o_orderpriority = '1-URGENT'))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(1000 AS BIGINT) AS tuples_written
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
     // both halves committed (the poisoned batch refused), so the

@@ -2203,12 +2203,15 @@ object IcebergLite {
               masked = Some(parentLive.join(coords, Seq("__fn", "__ri"),
                 "left_semi"))
             }
-            eq.groupBy(p => spark.read.parquet(p).schema.fieldNames.head)
-              .foreach { case (eqCol, files) =>
+            eq.groupBy(p => spark.read.parquet(p).schema.fieldNames.toSeq)
+              .foreach { case (eqCols, files) =>
+                // composite keys (X305): a row announces only when EVERY
+                // key column matches the same delete tuple
                 val vals = spark.read.parquet(files: _*)
-                  .select(col(eqCol)).distinct()
-                val hit = parentLive.join(vals,
-                  parentLive(eqCol) === vals(eqCol), "left_semi")
+                  .select(eqCols.map(col): _*).distinct()
+                val cond = eqCols.map(c => parentLive(c) === vals(c))
+                  .reduce(_ && _)
+                val hit = parentLive.join(vals, cond, "left_semi")
                 masked = Some(masked.map(_.unionByName(hit)).getOrElse(hit))
               }
             masked.map(_.drop("__fn", "__ri")
@@ -2563,12 +2566,15 @@ object IcebergLite {
         // equality deletes suppress rows BY VALUE in data files with
         // sequence STRICTLY LESS than the delete's (spec §Scan Planning —
         // rows written in or after the delete's own snapshot survive).
-        // One anti-join per equality column (subset: single-column files).
+        // One anti-join per equality-COLUMN-SET: a composite-key delete
+        // file (X305 — the CDC upsert shape) suppresses a row only when
+        // EVERY key column matches the same tuple; the columns are
+        // implied by the delete file's own parquet schema.
         cur = cur.join(broadcast(dataSeq.withColumnRenamed("__dseq", "__ds")),
           "__fn")
         eqDeletes.groupBy { case (p, _, _) =>
-          spark.read.parquet(p).schema.fieldNames.head
-        }.foreach { case (eqCol, files) =>
+          spark.read.parquet(p).schema.fieldNames.toSeq
+        }.foreach { case (eqCols, files) =>
           val delSeq = files
             .map { case (p, s, _) => (fileKeyRaw(p), s) }
             .toDF("__delfn", "__eseq")
@@ -2576,10 +2582,11 @@ object IcebergLite {
             .withColumn("__delfn",
               fileKeyMeta(col("_metadata.file_path")))
             .join(broadcast(delSeq), "__delfn")
-            .select(col(eqCol).as("__ev"), col("__eseq"))
-          cur = cur.join(vals,
-            cur(eqCol) === vals("__ev") && cur("__ds") < vals("__eseq"),
-            "left_anti")
+            .select(eqCols.map(c => col(c).as(s"__ev_$c")) :+
+              col("__eseq"): _*)
+          val cond = eqCols.map(c => cur(c) === vals(s"__ev_$c"))
+            .reduce(_ && _) && cur("__ds") < vals("__eseq")
+          cur = cur.join(vals, cond, "left_anti")
         }
         cur = cur.drop("__ds")
       }
@@ -2709,9 +2716,29 @@ object IcebergLite {
     * writers rely on. Returns (snapshotId, valuesWritten). */
   def deleteWhereEquality(spark: SparkSession, table: String, column: String,
       values: Seq[Long], maxRetries: Int = 10): (Long, Long) = {
+    import spark.implicits._
+    deleteWhereEqualityRows(spark, table,
+      values.distinct.sorted.toDF(column), maxRetries)
+  }
+
+  /** [[deleteWhereEquality]] for COMPOSITE keys (X305) — the delete
+    * tuple shape CDC writers actually produce (a Flink upsert stream
+    * keys on the table's primary key, which is rarely one column):
+    * `keys` is an N-column relation of deleted key tuples over any
+    * subset of the table's columns; the delete file stores the tuples,
+    * readers suppress a row when EVERY key column matches some tuple
+    * (in data files with sequence strictly below the delete's — the
+    * same gating as the single-column kind). The equality columns are
+    * implied by the delete file's own parquet schema, which batch
+    * readers resolve per file. Served by the BATCH read and the batch
+    * changelog; the executor-side streaming/SQL-DML masks keep the
+    * single-integral-column subset and refuse multi-column files with
+    * the remedy named. */
+  def deleteWhereEqualityRows(spark: SparkSession, table: String,
+      keys: DataFrame, maxRetries: Int = 10): (Long, Long) = {
     var attempt = 0
     while (attempt < maxRetries) {
-      equalityDeleteOnce(spark, table, column, values) match {
+      equalityDeleteOnce(spark, table, keys) match {
         case Some(r) => return r
         case None => attempt += 1
       }
@@ -2721,29 +2748,32 @@ object IcebergLite {
   }
 
   private def equalityDeleteOnce(spark: SparkSession, table: String,
-      column: String, values: Seq[Long]): Option[(Long, Long)] = {
-    import spark.implicits._
+      keys: DataFrame): Option[(Long, Long)] = {
     val fs = hadoopFs(spark, table)
     val prevV = latestMetadataVersion(spark, table)
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
     val cur = prevMeta.get("current-snapshot-id").asLong()
     val schema = schemaForSnapshot(prevMeta, cur)
-    require(schema.fieldNames.contains(column),
-      s"equality column $column not in $table schema")
-    require(values.nonEmpty, "no values to delete")
+    keys.schema.fieldNames.foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"equality column $c not in $table schema"))
+    require(keys.schema.nonEmpty, "no equality columns to delete on")
+    val tuples = keys.distinct()
+    val nTuples = tuples.count()
+    require(nTuples > 0, "no values to delete")
     val snapshotId = prevV + 1L
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/s$snapshotId-$token-eqdel"
     // the delete file IS the value list — no scan of the table happens
     // at delete time (the kind's whole point for a streaming writer)
-    values.distinct.sorted.toDF(column).coalesce(1)
+    tuples.coalesce(1)
       .write.mode("errorifexists").parquet(s"$table/$staged")
     val parts = fs.listStatus(new Path(table, staged))
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val entries = parts.toSeq.map(p => deleteEntry(table, snapshotId,
       s"$staged/${p.getPath.getName}", p.getLen,
-      values.distinct.size.toLong, kind = 2))
+      nTuples, kind = 2))
     val manifestName = s"$snapshotId-$token-del-m0.avro"
     val manifestLen = writeAvroFile(
       new File(new File(table, "metadata"), manifestName),
@@ -2763,7 +2793,7 @@ object IcebergLite {
       fs.delete(new Path(metaDir(table), manifestName), false)
       fs.delete(new Path(metaDir(table), listName), false)
       None
-    } else Some((snapshotId, values.distinct.size.toLong))
+    } else Some((snapshotId, nTuples))
   }
 
   private def deleteOnce(spark: SparkSession, table: String, column: String,

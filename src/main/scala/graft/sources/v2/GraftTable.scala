@@ -411,6 +411,11 @@ private[v2] final class GraftIcebergTable(
     caps
   }
 
+  // resolved once per loaded table instance (one statement sees one
+  // consistent mask; the thunks below are hit 2-3× per DML plan, each
+  // resolution costing control-plane reads + a delete-file parquet job)
+  private lazy val morMaskOnce: IcebergLite.MorMask = morMask()
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new FileAwareScanBuilder(org.apache.spark.sql.SparkSession.active,
@@ -421,8 +426,8 @@ private[v2] final class GraftIcebergTable(
       // merge-on-read state masks the `_file` tagged path too (X300):
       // a `_file` projection — the runtime group-filter subquery —
       // never serves position- or equality-deleted rows
-      dvPositions = () => morMask().posByFile,
-      eqMask = () => { val m = morMask(); (m.eq, m.dataSeq) })
+      dvPositions = () => morMaskOnce.posByFile,
+      eqMask = () => (morMaskOnce.eq, morMaskOnce.dataSeq))
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)

@@ -373,6 +373,39 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       Seq(1L, 3L, 5L, 7L, 8L, 9L)
   }
 
+  test("composite-key equality deletes: tuple matching, sequence gating, batch changelog (X305)") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_eqdelm")
+    // (k, grp, v): the composite key is (k, grp) — k alone is NOT unique
+    IcebergLite.write(spark,
+      Seq((1L, "a", 10L), (1L, "b", 11L), (2L, "a", 20L), (2L, "b", 21L),
+        (3L, "a", 30L)).toDF("k", "grp", "v").repartition(2), table)
+    val (_, n) = IcebergLite.deleteWhereEqualityRows(spark, table,
+      Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "grp")) // dup collapses
+    n shouldBe 2L
+    // only the exact tuples die — (1,b) and (2,a) share a key column with
+    // a deleted tuple and MUST survive (per-column matching would kill them)
+    IcebergLite.read(spark, table).select("k", "grp").as[(Long, String)]
+      .collect().sorted shouldBe Seq((1L, "b"), (2L, "a"), (3L, "a"))
+    // sequence gating: the tuple re-appended AFTER the delete survives
+    IcebergLite.write(spark, Seq((1L, "a", 111L)).toDF("k", "grp", "v"), table)
+    IcebergLite.read(spark, table).where($"k" === 1L && $"grp" === "a")
+      .select("v").as[Long].collect() shouldBe Seq(111L)
+    // the batch changelog announces exactly the two tuples' rows as
+    // deletes (value semi-join on ALL key columns)
+    val feed = IcebergLite.readChangelog(spark, table, 0L,
+      IcebergLite.currentSnapshotId(spark, table))
+    feed.where($"_change_type" === "delete")
+      .select("k", "grp").as[(Long, String)].collect().sorted shouldBe
+      Seq((1L, "a"), (2L, "b"))
+    // the streaming feed refuses the multi-column kind WITH the remedy
+    val e = intercept[Exception] {
+      IcebergLite.changeUnits(spark, table,
+        IcebergLite.snapshotIdList(spark, table).apply(1))
+    }
+    e.getMessage should include("readChangelog")
+  }
+
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")
