@@ -1934,6 +1934,58 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X306: `DELETE FROM … WHERE k IN (…)` — the right-to-be-forgotten
+    * shape — claims the EQUALITY-delete fast path on Iceberg: the value
+    * list IS the delete file (O(values) written, NOTHING read or
+    * rewritten — at 100 TB a COW fallback here rewrites terabytes to
+    * forget a handful of users). Pinned: the live data-file set is
+    * byte-identical across the DELETE, the committed delete file is the
+    * EQUALITY kind (its parquet schema is the key column, not
+    * (file_path, pos)), deleted keys stay gone through SQL, and a row
+    * re-inserted AFTER the delete survives it by sequence — the upsert
+    * semantics the kind exists for, now end-to-end in SQL. */
+  private def icebergSqlDeleteIn(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdin.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_din")
+        spark.conf.set("spark.sql.catalog.graftdin",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdin.warehouse", w)
+        w
+      }
+    spark.sql("DROP TABLE IF EXISTS graftdin.db.orders_din")
+    spark.sql(
+      """CREATE TABLE graftdin.db.orders_din (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+        |USING iceberg""".stripMargin)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .createOrReplaceTempView("din_src")
+    spark.sql("INSERT INTO graftdin.db.orders_din SELECT * FROM din_src")
+    val table = s"$wh/db/orders_din"
+    val filesBefore = IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    spark.sql("DELETE FROM graftdin.db.orders_din " +
+      "WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 34)")
+    val noRewrite =
+      IcebergLite.snapshotFiles(spark, table, -1L).toSet == filesBefore
+    // the delete file is the EQUALITY kind: its schema is the key
+    // column's value list, not (file_path, pos) coordinates
+    val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    val eqKind = delFiles.nonEmpty && delFiles.forall(p =>
+      spark.read.parquet(p).schema.fieldNames.toSeq == Seq("o_orderkey"))
+    // a key re-inserted AFTER the delete survives it (sequence gating)
+    spark.sql("INSERT INTO graftdin.db.orders_din " +
+      "VALUES (1, 9999.0, '1-URGENT')")
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftdin.db.orders_din GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("no_rewrite", lit(noRewrite))
+      .withColumn("eq_kind", lit(eqKind))
+      .orderBy("prio")
+  }
+
   /** X282: SQL `DELETE FROM` through the catalog — the predicate lowers
     * to [[DeltaLite.deleteWhere]]'s stats-planned copy-on-write rewrite
     * (only files whose recorded key range intersects the predicate are
@@ -3681,6 +3733,8 @@ object FormatQueries {
     "x_iceberg_eq_delete" -> ((s, dir) => icebergEqDelete(s, dir)),
     "x_iceberg_eq_delete_multi" ->
       ((s, dir) => icebergEqDeleteMulti(s, dir)),
+    "x_iceberg_sql_delete_in" ->
+      ((s, dir) => icebergSqlDeleteIn(s, dir)),
     "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_delta_constraints" -> ((s, dir) => deltaConstraints(s, dir)),
@@ -4331,6 +4385,18 @@ object FormatQueries {
         |  CAST(1000 AS BIGINT) AS tuples_written
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // DELETE ... IN lowers to an equality-delete commit: listed keys
+    // gone (no rewrite, eq-kind file), re-inserted key 1 survives
+    "x_iceberg_sql_delete_in" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS no_rewrite, TRUE AS eq_kind
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 34)
+        |  UNION ALL
+        |  SELECT '1-URGENT', 9999.0
+        |) GROUP BY 1 ORDER BY prio""".stripMargin,
     // both halves committed (the poisoned batch refused), so the
     // aggregate equals the full table; both rejection flags true
     "x_delta_constraints" ->

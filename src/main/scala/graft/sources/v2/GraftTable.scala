@@ -74,7 +74,13 @@ private[v2] class GraftTable(
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     writable && !columnMapped && (isTruncate(predicates) ||
-      DeletePredicate.toRange(predicates, logicalSchema).isDefined)
+      DeletePredicate.toRange(predicates, logicalSchema).isDefined ||
+      // IN lists claim ONLY on Iceberg (X306): they lower to an
+      // equality-delete commit — O(values) written, nothing read. Delta
+      // has no value-delete kind, so IN falls through to the row-level
+      // rewrite (or DV merge) instead of a pretend metadata path.
+      (format != "delta" &&
+        DeletePredicate.toInList(predicates, logicalSchema).isDefined))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -93,6 +99,16 @@ private[v2] class GraftTable(
             path, overwrite = true, operation = Some("delete"))
       }
       return
+    }
+    if (format != "delta") {
+      // `DELETE … WHERE k IN (…)` — the RTBF shape — lowers to an
+      // EQUALITY-delete commit (X306): the value list IS the delete
+      // file, no scan, no rewrite; readers apply it by sequence
+      DeletePredicate.toInList(predicates, logicalSchema).foreach {
+        case (column, values) =>
+          IcebergLite.deleteWhereEquality(spark, path, column, values)
+          return
+      }
     }
     val (column, lo, hi) = DeletePredicate.toRange(predicates, logicalSchema)
       .getOrElse(throw new UnsupportedOperationException(
@@ -545,6 +561,29 @@ private[v2] object DeletePredicate {
         if partCols.contains(r.fieldNames.mkString(".")) =>
       Some(String.valueOf(l.value))
     case _ => None
+  }
+
+  /** `k IN (v1, …, vn)` over a single long column → the value list an
+    * Iceberg EQUALITY-delete commit claims (X306): the right-to-be-
+    * forgotten shape — O(values) written, nothing read or rewritten. */
+  def toInList(predicates: Array[Predicate],
+      schema: StructType): Option[(String, Seq[Long])] = {
+    if (predicates.length != 1 || predicates.head.name() != "IN") return None
+    val children = predicates.head.children()
+    children.headOption match {
+      case Some(r: vexpr.NamedReference) =>
+        val col = r.fieldNames.mkString(".")
+        if (!schema.fields.exists(f =>
+            f.name == col && f.dataType == LongType)) return None
+        val values = children.tail.toSeq.map {
+          case l: vexpr.Literal[_] if l.dataType == LongType &&
+              l.value != null =>
+            l.value.asInstanceOf[Number].longValue()
+          case _ => return None
+        }
+        if (values.isEmpty) None else Some((col, values))
+      case _ => None
+    }
   }
 
   def toRange(predicates: Array[Predicate],

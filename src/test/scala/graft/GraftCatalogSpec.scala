@@ -1504,6 +1504,35 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     }.getMessage should include("no named refs")
   }
 
+  test("DELETE ... IN: equality-delete fast path on Iceberg, row-level fallback on Delta (X306)") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.din")
+    spark.sql(s"CREATE TABLE $cat.db.din (k BIGINT, v BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.din SELECT id, id * 10 FROM range(0, 20)")
+    val t = s"$wh/db/din"
+    val filesBefore = IcebergLite.snapshotFiles(spark, t, -1L).toSet
+    spark.sql(s"DELETE FROM $cat.db.din WHERE k IN (3, 5, 7, 99)")
+    // no data file moved: the value list IS the commit
+    IcebergLite.snapshotFiles(spark, t, -1L).toSet shouldBe filesBefore
+    IcebergLite.snapshotDeleteFiles(spark, t, -1L).foreach(p =>
+      spark.read.parquet(p).schema.fieldNames.toSeq shouldBe Seq("k"))
+    spark.sql(s"SELECT k FROM $cat.db.din ORDER BY k").as[Long].collect()
+      .toSeq shouldBe (0L until 20L).filterNot(Set(3L, 5L, 7L))
+    // sequence gating end-to-end in SQL: re-insert outlives the delete
+    spark.sql(s"INSERT INTO $cat.db.din VALUES (5, 555)")
+    spark.sql(s"SELECT v FROM $cat.db.din WHERE k = 5").as[Long]
+      .collect().toSeq shouldBe Seq(555L)
+    // Delta: IN is not claimable (no value-delete kind) — it falls
+    // through to the row-level rewrite and still answers correctly
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.ddin")
+    spark.sql(s"CREATE TABLE $cat.db.ddin (k BIGINT, v BIGINT) USING delta")
+    spark.sql(s"INSERT INTO $cat.db.ddin SELECT id, id * 10 FROM range(0, 10)")
+    spark.sql(s"DELETE FROM $cat.db.ddin WHERE k IN (2, 4)")
+    spark.sql(s"SELECT k FROM $cat.db.ddin ORDER BY k").as[Long].collect()
+      .toSeq shouldBe (0L until 10L).filterNot(Set(2L, 4L))
+  }
+
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {
     import spark.implicits._
     // source OUTSIDE the warehouse; clone inside — its add actions carry
