@@ -2330,8 +2330,29 @@ object DeltaLite {
     * Returns (version, filesGainingOrLosingVectors, newlyDeletedRows);
     * (latest, 0, 0) when nothing matches. */
   def deleteWhereDV(spark: SparkSession, table: String, column: String,
-      lo: Long, hi: Long): (Long, Long, Long) = {
+      lo: Long, hi: Long): (Long, Long, Long) =
+    deleteDVImpl(spark, table, column, lo, hi, None)
+
+  /** [[deleteWhereDV]] for a VALUE LIST (X307) — the right-to-be-
+    * forgotten point-delete shape on Delta: skipping plans off the
+    * list's (min, max) envelope, the position scan keeps only exact
+    * matches, and the marginal positions land as vector updates —
+    * kilobytes written, no data file rewritten. */
+  def deleteValuesDV(spark: SparkSession, table: String, column: String,
+      values: Seq[Long]): (Long, Long, Long) = {
+    require(values.nonEmpty, "no values to delete")
+    deleteDVImpl(spark, table, column, values.min, values.max,
+      Some(values.distinct))
+  }
+
+  private def deleteDVImpl(spark: SparkSession, table: String,
+      column: String, lo: Long, hi: Long,
+      valueList: Option[Seq[Long]]): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col => c_, collect_list, sort_array}
+    // matched rows: the range [lo, hi], or exact membership in the list
+    // (whose [min, max] envelope already drove the skipping plan)
+    def matched(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      valueList.fold(c.between(lo, hi))(vs => c.isin(vs: _*))
     val fs = hadoopFs(spark, table)
     requireAppendsOnly(spark, table, "deleteWhereDV()")
     val latest = latestVersion(spark, table)
@@ -2343,7 +2364,7 @@ object DeltaLite {
       .parquet(affected.map(f => dataPath(table, f)): _*)
       .select(c_("_metadata.file_path").as("__fp"),
         c_("_metadata.row_index").as("__ri"), c_(column).as("__v"))
-      .where(c_("__v").between(lo, hi))
+      .where(matched(c_("__v")))
       .groupBy("__fp")
       .agg(sort_array(collect_list("__ri")).as("pos"))
       .collect()
@@ -2389,7 +2410,7 @@ object DeltaLite {
       if (!cdfEnabled(snap.config)) Seq.empty
       else stageCdc(spark, table,
         scanWithDvs(spark, table, schema, perFile.map(_._1), snap.dvs)
-          .where(c_(column).between(lo, hi))
+          .where(matched(c_(column)))
           .withColumn("_change_type",
             org.apache.spark.sql.functions.lit("delete")),
         v, java.util.UUID.randomUUID().toString.take(8))

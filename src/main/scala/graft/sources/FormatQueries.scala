@@ -1986,6 +1986,45 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X307: `DELETE … WHERE k IN (…)` on a DELETION-VECTOR-carrying
+    * Delta table — the Delta half of the RTBF fast path (X306 is the
+    * Iceberg half): exact-match positions union into the existing
+    * vectors, kilobytes written, the live file set byte-identical
+    * across the DELETE (pinned). Plain Delta tables do NOT claim IN —
+    * they fall through to the row-level rewrite rather than serving a
+    * pretend metadata path. */
+  private def deltaSqlDeleteInDv(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdvin.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_dvin")
+        spark.conf.set("spark.sql.catalog.graftdvin",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdvin.warehouse", w)
+        w
+      }
+    val table = s"$wh/db/orders_dvin"
+    val hfs = new org.apache.hadoop.fs.Path(wh).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(table), true)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    DeltaLite.write(spark, o.repartition(4), table, collectStats = true)
+    DeltaLite.deleteWhereDV(spark, table, "o_orderkey", 1L, 800L) // DVs live
+    val filesBefore = DeltaLite.snapshotAt(spark, table).files.toSet
+    spark.sql("DELETE FROM graftdvin.db.orders_dvin " +
+      "WHERE o_orderkey IN (850, 900, 950, 1000, 1050, 1100)")
+    val noRewrite =
+      DeltaLite.snapshotAt(spark, table).files.toSet == filesBefore
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftdvin.db.orders_dvin
+        |GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("no_rewrite", lit(noRewrite))
+      .orderBy("prio")
+  }
+
   /** X282: SQL `DELETE FROM` through the catalog — the predicate lowers
     * to [[DeltaLite.deleteWhere]]'s stats-planned copy-on-write rewrite
     * (only files whose recorded key range intersects the predicate are
@@ -3735,6 +3774,8 @@ object FormatQueries {
       ((s, dir) => icebergEqDeleteMulti(s, dir)),
     "x_iceberg_sql_delete_in" ->
       ((s, dir) => icebergSqlDeleteIn(s, dir)),
+    "x_delta_sql_delete_in_dv" ->
+      ((s, dir) => deltaSqlDeleteInDv(s, dir)),
     "x_iceberg_refs" -> ((s, dir) => icebergRefs(s, dir)),
     "x_delta_column_mapping" -> ((s, dir) => deltaColumnMapping(s, dir)),
     "x_delta_constraints" -> ((s, dir) => deltaConstraints(s, dir)),
@@ -4385,6 +4426,16 @@ object FormatQueries {
         |  CAST(1000 AS BIGINT) AS tuples_written
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM re)
         |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    // DELETE ... IN on a DV-carrying Delta table merges positions into
+    // the vectors: range 1..800 DV-deleted, then the listed keys, file
+    // set unchanged throughout
+    "x_delta_sql_delete_in_dv" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, TRUE AS no_rewrite
+        |FROM orders
+        |WHERE o_orderkey NOT BETWEEN 1 AND 800
+        |  AND o_orderkey NOT IN (850, 900, 950, 1000, 1050, 1100)
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     // DELETE ... IN lowers to an equality-delete commit: listed keys
     // gone (no rewrite, eq-kind file), re-inserted key 1 survives
     "x_iceberg_sql_delete_in" ->

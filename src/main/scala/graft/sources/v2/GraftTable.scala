@@ -72,14 +72,20 @@ private[v2] class GraftTable(
   private def isTruncate(predicates: Array[Predicate]): Boolean =
     predicates.length == 1 && predicates.head.name() == "ALWAYS_TRUE"
 
+  /** Overridden by the DV-carrying Delta table: X293's policy routes
+    * deletes on such tables through vector merges, and X307 extends
+    * that claim to IN lists. */
+  protected def dvCarrying: Boolean = false
+
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
     writable && !columnMapped && (isTruncate(predicates) ||
       DeletePredicate.toRange(predicates, logicalSchema).isDefined ||
-      // IN lists claim ONLY on Iceberg (X306): they lower to an
-      // equality-delete commit — O(values) written, nothing read. Delta
-      // has no value-delete kind, so IN falls through to the row-level
-      // rewrite (or DV merge) instead of a pretend metadata path.
-      (format != "delta" &&
+      // IN lists claim on Iceberg (X306: an equality-delete commit —
+      // O(values) written, nothing read) and on DV-CARRYING Delta
+      // tables (X307: positions of exact matches union into the
+      // vectors). Plain Delta tables keep the row-level rewrite — a
+      // claimed metadata path that secretly rewrites would lie.
+      ((format != "delta" || dvCarrying) &&
         DeletePredicate.toInList(predicates, logicalSchema).isDefined))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
@@ -100,15 +106,20 @@ private[v2] class GraftTable(
       }
       return
     }
-    if (format != "delta") {
-      // `DELETE … WHERE k IN (…)` — the RTBF shape — lowers to an
-      // EQUALITY-delete commit (X306): the value list IS the delete
-      // file, no scan, no rewrite; readers apply it by sequence
-      DeletePredicate.toInList(predicates, logicalSchema).foreach {
-        case (column, values) =>
+    // `DELETE … WHERE k IN (…)` — the RTBF shape — takes the format's
+    // point-delete fast path: an EQUALITY-delete commit on Iceberg
+    // (X306: the value list IS the delete file, no scan, no rewrite) or
+    // a deletion-vector merge on DV-carrying Delta (X307: exact-match
+    // positions union into the vectors, kilobytes written)
+    DeletePredicate.toInList(predicates, logicalSchema).foreach {
+      case (column, values) =>
+        if (format != "delta") {
           IcebergLite.deleteWhereEquality(spark, path, column, values)
           return
-      }
+        } else if (dvCarrying) {
+          DeltaLite.deleteValuesDV(spark, path, column, values)
+          return
+        }
     }
     val (column, lo, hi) = DeletePredicate.toRange(predicates, logicalSchema)
       .getOrElse(throw new UnsupportedOperationException(
@@ -359,6 +370,8 @@ private[v2] final class GraftDeltaTable(
     None, columnMapped = mapped, readDelegate, writable = true)
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override protected def dvCarrying: Boolean = dvs.nonEmpty
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =

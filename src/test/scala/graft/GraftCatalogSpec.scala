@@ -1523,14 +1523,26 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     spark.sql(s"INSERT INTO $cat.db.din VALUES (5, 555)")
     spark.sql(s"SELECT v FROM $cat.db.din WHERE k = 5").as[Long]
       .collect().toSeq shouldBe Seq(555L)
-    // Delta: IN is not claimable (no value-delete kind) — it falls
-    // through to the row-level rewrite and still answers correctly
+    // plain Delta: IN is not claimable (no value-delete kind) — it
+    // falls through to the row-level rewrite and still answers correctly
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.ddin")
     spark.sql(s"CREATE TABLE $cat.db.ddin (k BIGINT, v BIGINT) USING delta")
     spark.sql(s"INSERT INTO $cat.db.ddin SELECT id, id * 10 FROM range(0, 10)")
     spark.sql(s"DELETE FROM $cat.db.ddin WHERE k IN (2, 4)")
     spark.sql(s"SELECT k FROM $cat.db.ddin ORDER BY k").as[Long].collect()
       .toSeq shouldBe (0L until 10L).filterNot(Set(2L, 4L))
+    // DV-CARRYING Delta (X307): IN claims the vector-merge fast path —
+    // positions of exact matches union in, no data file moves
+    val dt = s"$wh/db/dvin"
+    DeltaLite.write(spark,
+      (0L until 20L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2),
+      dt, collectStats = true)
+    DeltaLite.deleteWhereDV(spark, dt, "k", 0L, 1L) // vectors live
+    val before = DeltaLite.snapshotAt(spark, dt).files.toSet
+    spark.sql(s"DELETE FROM $cat.db.dvin WHERE k IN (6, 9, 12)")
+    DeltaLite.snapshotAt(spark, dt).files.toSet shouldBe before
+    spark.sql(s"SELECT k FROM $cat.db.dvin ORDER BY k").as[Long].collect()
+      .toSeq shouldBe (2L until 20L).filterNot(Set(6L, 9L, 12L))
   }
 
   test("shallow clone in the warehouse: absolute add paths resolve through SQL") {
