@@ -3,18 +3,30 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** The commit arbiter's one primitive: create `target` with `bytes` iff it
-  * does not already exist, atomically with respect to every other writer.
+  * does not already exist, atomically with respect to every other writer
+  * AND every reader.
   *
-  * On HDFS-class stores `FileSystem.create(path, overwrite = false)` IS
-  * that primitive (a namenode-atomic O_EXCL create — the arbiter Delta's
-  * own HDFSLogStore documents). On the LOCAL filesystem, however,
-  * `RawLocalFileSystem.create` is CHECK-THEN-ACT (an exists() test followed
-  * by a plain FileOutputStream), so two threads racing in one JVM can both
-  * "win" the same version — caught by IcebergLiteSpec's racing-writers
-  * case under full-suite load (r10). This helper closes the in-process
-  * window with a JVM-wide per-path monitor around the exists+create pair;
-  * cross-PROCESS arbitration still rides the store's own atomic create,
-  * which is the deployment contract on every real cluster store.
+  * Two distinct atomicity obligations meet here:
+  *
+  *   1. WRITER vs WRITER — only one creator may win a version file. On
+  *      HDFS-class stores `FileSystem.create(path, overwrite = false)` IS
+  *      that primitive (a namenode-atomic O_EXCL create — the arbiter
+  *      Delta's own HDFSLogStore documents). On the LOCAL filesystem
+  *      `RawLocalFileSystem.create` is CHECK-THEN-ACT, so two threads
+  *      racing in one JVM can both "win" — closed by a JVM-wide per-path
+  *      monitor (caught by IcebergLiteSpec's racing writers, r10).
+  *   2. WRITER vs READER — a version file must never be OBSERVABLE with
+  *      partial content. A bare create+write+close publishes the name
+  *      BEFORE the bytes: a concurrent reader lists the new version,
+  *      replays it as empty/truncated JSON, and concludes the commit
+  *      removed nothing — which let r15's UPDATE-vs-OPTIMIZE race pass
+  *      its removed-files liveness check against a half-written
+  *      compaction commit and DOUBLE the rows (caught by
+  *      SqlConcurrencyProperties; the cloud contract is an atomic PUT,
+  *      which never exposes partial objects). Closed by staging the
+  *      bytes to a dot-prefixed temp name and PUBLISHING via rename —
+  *      on every store in scope a rename is visibility-atomic, so
+  *      exists(target) now implies complete content.
   */
 private[sources] object AtomicCreate {
 
@@ -25,20 +37,33 @@ private[sources] object AtomicCreate {
   def create(fs: FileSystem, target: Path, bytes: Array[Byte]): Boolean = {
     val key = fs.makeQualified(target).toString
     val m = monitors.computeIfAbsent(key, _ => new Object)
+    // stage OUTSIDE the monitor (bulk of the work; dot-prefix keeps the
+    // temp name invisible to Spark/Hadoop listings and version scans)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val staged =
+      try {
+        val out = fs.create(tmp, /* overwrite = */ true)
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!staged) return false
     val won = m.synchronized {
       if (fs.exists(target)) false
       else
-        try {
-          val out = fs.create(target, /* overwrite = */ false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        // atomic PUBLISH: the full content appears under the target name
+        // in one step — a reader that can see the version can read all
+        // of it. Hadoop rename refuses an existing destination, so even
+        // a cross-process race cannot overwrite a landed commit.
+        try fs.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
     }
+    if (!won) fs.delete(tmp, false)
     // Only retire the monitor once the file EXISTS: removing it after a
-    // failed create would let a third thread mint a fresh monitor while
-    // another still holds the old one — reopening the exact exists+create
-    // TOCTOU this helper closes. Monitors for losers/failures stay mapped
-    // (bounded: one tiny Object per version-file path this JVM touches).
+    // failed attempt would let a third thread mint a fresh monitor while
+    // another still holds the old one — reopening the exact TOCTOU this
+    // helper closes. Monitors for losers/failures stay mapped (bounded:
+    // one tiny Object per version-file path this JVM touches).
     if (won) monitors.remove(key, m)
     won
   }
