@@ -1476,6 +1476,38 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].head() shouldBe 77L
   }
 
+  test("PARTITIONED merge-on-read state takes SQL UPDATE: rolling rewrite from live rows, sibling partitions carried (X300)") {
+    import spark.implicits._
+    val wh = warehouse
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.pmor")
+    spark.sql(s"CREATE TABLE $cat.db.pmor (k BIGINT, p STRING, v BIGINT) " +
+      "USING iceberg PARTITIONED BY (p)")
+    spark.sql(s"INSERT INTO $cat.db.pmor " +
+      "SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, id " +
+      "FROM range(0, 40)")
+    val t = s"$wh/db/pmor"
+    // MOR state on the partitioned table: position-delete 0..9, then an
+    // equality delete — both apply reader-side during the DML
+    spark.sql(s"DELETE FROM $cat.db.pmor WHERE k BETWEEN 0 AND 9")
+    IcebergLite.deleteWhereEquality(spark, t, "k", Seq(20L, 21L))
+    IcebergLite.snapshotDeleteFiles(spark, t, -1L) should not be empty
+    val aBefore = IcebergLite.planPartitioned(spark, t, Set("a"))._1.toSet
+    // UPDATE touches only partition 'b' (odd keys): the rolling write
+    // re-declares p0, partition 'a' files carried byte-identical
+    spark.sql(s"UPDATE $cat.db.pmor SET v = v * 10 " +
+      "WHERE k >= 25 AND p = 'b'")
+    IcebergLite.planPartitioned(spark, t, Set("a"))._1.toSet shouldBe aBefore
+    val want = (10L until 40L).filterNot(Set(20L, 21L)).map { k =>
+      val p = if (k % 2 == 0) "a" else "b"
+      (k, p, if (k >= 25 && p == "b") k * 10 else k)
+    }
+    spark.sql(s"SELECT k, p, v FROM $cat.db.pmor ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq shouldBe want
+    // nothing resurrects in either partition
+    spark.sql(s"SELECT count(*) FROM $cat.db.pmor " +
+      "WHERE k <= 9 OR k IN (20, 21)").as[Long].head() shouldBe 0L
+  }
+
   test("VERSION AS OF '<ref>' resolves Iceberg tags in SQL; Delta refuses with the remedy (X302)") {
     import spark.implicits._
     val wh = warehouse
