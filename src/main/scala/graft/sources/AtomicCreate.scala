@@ -47,14 +47,24 @@ private[sources] object AtomicCreate {
         try out.write(bytes) finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!staged) return false
+    if (!staged) {
+      // a failed stage may have left a partial temp file — reclaim it
+      // (readers never see it either way; dot-prefix hides it)
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => }
+      return false
+    }
     val won = m.synchronized {
       if (fs.exists(target)) false
       else
         // atomic PUBLISH: the full content appears under the target name
         // in one step — a reader that can see the version can read all
-        // of it. Hadoop rename refuses an existing destination, so even
-        // a cross-process race cannot overwrite a landed commit.
+        // of it. On HDFS-class stores rename additionally refuses an
+        // existing destination, so a cross-process race cannot overwrite
+        // a landed commit; on the LOCAL filesystem rename(2) silently
+        // replaces, so cross-process writer arbitration there remains
+        // check-then-act (same as the old create path — the in-JVM
+        // monitor above covers same-process writers, which is the only
+        // multi-writer regime this sandbox runs).
         try fs.rename(tmp, target)
         catch { case _: java.io.IOException => false }
     }

@@ -3077,7 +3077,9 @@ object DeltaLite {
       removeRel: Seq[String], addRel: Seq[String],
       operation: String,
       partitionValues: Map[String, Map[String, String]] = Map.empty,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10,
+      pinnedDvs: Option[Map[String, DeletionVectors.Descriptor]] = None)
+      : Long = {
     val fs = hadoopFs(spark, table)
     val statsByFile = longStatsFor(spark, table, addRel)
     val adds = addRel.map { f =>
@@ -3100,11 +3102,25 @@ object DeltaLite {
       // on a FIRST-attempt CAS that sees the compacted head as prev
       // (removes match nothing, adds duplicate the rewritten rows).
       locally {
-        val live = snapshot(spark, table, v - 1).files.toSet
+        val prev = snapshot(spark, table, v - 1)
+        val live = prev.files.toSet
         require(removeRel.forall(live.contains),
           s"$operation on $table conflicts with a concurrent commit " +
             "that rewrote the same files — re-run the statement against " +
             "the new snapshot")
+        // Liveness alone is BLIND to a concurrent deleteWhereDV: a DV
+        // commit removes+re-adds the same path (the path stays live),
+        // but this rewrite was staged from the OLDER mask, so committing
+        // would resurrect the concurrently DV-deleted rows. The pin is
+        // the Delta twin of Iceberg's pinnedDeleteFiles check (X300):
+        // refuse when any removed file's DV descriptor changed since the
+        // row-level snapshot was taken.
+        pinnedDvs.foreach { pin =>
+          require(removeRel.forall(f => prev.dvs.get(f) == pin.get(f)),
+            s"$operation on $table conflicts with a concurrent " +
+              "deletion-vector commit on the same files — re-run the " +
+              "statement against the new snapshot")
+        }
       }
       if (tryCommit(fs, table, v,
           commitInfoLine(operation) +:

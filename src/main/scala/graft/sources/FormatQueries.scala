@@ -3132,14 +3132,12 @@ object FormatQueries {
     spark.sql(s"INSERT INTO $catName.db.orders_icf " +
       "SELECT o_orderkey + 1000000, o_totalprice, o_orderpriority " +
       "FROM icf_src WHERE o_orderkey % 2 = 0")
-    // overlapping re-delete: only the FRESH positions announce
+    // overlapping re-delete: only the FRESH positions announce.
+    // (The equality-delete and SQL-DML change kinds live in their own
+    // key, x_iceberg_cdf_stream_dml — this key is FROZEN so bench
+    // diffs stay attributable round over round.)
     spark.sql(s"DELETE FROM $catName.db.orders_icf " +
       "WHERE o_orderkey BETWEEN 600 AND 800")
-    // EQUALITY delete (X301): the streaming-upsert delete kind streams
-    // its feed too — the commit's masked live rows announce as deletes,
-    // value-filtered reader-side against each parent file
-    IcebergLite.deleteWhereEquality(spark, s"$wh/db/orders_icf",
-      "o_orderkey", (900L to 950L).toSeq)
     val batch = spark.sql(
       s"SELECT * FROM $catName.db.orders_icf.changes")
     val batchN = batch.count()
@@ -3159,6 +3157,83 @@ object FormatQueries {
         round(sum(col("o_totalprice")), 2).as("total"))
       .withColumn("stream_equals_batch", lit(drained.get() == batchN))
       .orderBy("ct")
+  }
+
+  /** The DML change kinds of the Iceberg feed, split out of
+    * [[icebergCdfStream]] so that key stays frozen: EQUALITY deletes —
+    * single-column (X301) AND composite-key tuples (X305, previously a
+    * stated executor-side refusal) — stream their feed, a sequence-
+    * gated upsert re-insert survives them, and SQL UPDATE succeeds on a
+    * table CARRYING a composite equality delete (the row-level scan's
+    * MorMask now evaluates N-column tuples). The stream drains the
+    * whole lifecycle — eq-delete units (emitEq/skipEq tuple payloads)
+    * plus the UPDATE's COW overwrite — and must equal the batch feed;
+    * the oracle pins the FINAL table census, which is exactly the
+    * over-delete hazard: rows sharing ONE key column with a deleted
+    * tuple must survive. */
+  private def icebergCdfStreamDml(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "grafticfd"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_icfd")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_icfd")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_icfd (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)
+         |USING iceberg""".stripMargin)
+    val table = s"$wh/db/orders_icfd"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    o.createOrReplaceTempView("icfd_src")
+    spark.sql(s"INSERT INTO $catName.db.orders_icfd SELECT * FROM icfd_src")
+    // single-column equality delete (X301)
+    IcebergLite.deleteWhereEquality(spark, table,
+      "o_orderkey", (900L to 950L).toSeq)
+    // COMPOSITE-key equality delete (X305): (key, priority) tuples —
+    // non-urgent rows sharing a key with a deleted tuple must survive
+    IcebergLite.deleteWhereEqualityRows(spark, table,
+      spark.range(1, 1001).select(col("id").as("o_orderkey"),
+        lit("1-URGENT").as("o_orderpriority")))
+    // upsert one tuple-deleted row back: its higher data sequence
+    // exempts it from BOTH earlier deletes
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") <= 1000 &&
+          col("o_orderpriority") === "1-URGENT")
+        .orderBy("o_orderkey").limit(1)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 5000.0).as("o_totalprice"),
+          col("o_orderpriority")), table)
+    // SQL UPDATE on a table CARRYING a composite equality delete — the
+    // r15 refusal, now served: the COW scan masks tuple-deleted rows,
+    // so the rewrite never resurrects them
+    spark.sql(s"UPDATE $catName.db.orders_icfd " +
+      "SET o_totalprice = o_totalprice + 10.0 WHERE o_orderkey % 500 = 0")
+    val batch = spark.sql(
+      s"SELECT * FROM $catName.db.orders_icfd.changes")
+    val batchN = batch.count()
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.option("startingVersion", "1")
+      .table(s"$catName.db.orders_icfd.changes")
+      .writeStream
+      .foreachBatch((df: DataFrame, _: Long) => {
+        drained.addAndGet(df.count()); ()
+      })
+      .option("checkpointLocation", Sinks.tempDir("icfd_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.sql(s"SELECT * FROM $catName.db.orders_icfd")
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .withColumn("stream_equals_batch", lit(drained.get() == batchN))
+      .orderBy("prio")
   }
 
   /** X287: SQL `ALTER TABLE ADD COLUMNS` through the catalog — a
@@ -3735,6 +3810,8 @@ object FormatQueries {
       ((s, dir) => icebergStreamToTablePartitioned(s, dir)),
     "x_delta_cdf_stream" -> ((s, dir) => deltaCdfStream(s, dir)),
     "x_iceberg_cdf_stream" -> ((s, dir) => icebergCdfStream(s, dir)),
+    "x_iceberg_cdf_stream_dml" ->
+      ((s, dir) => icebergCdfStreamDml(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -4096,8 +4173,7 @@ object FormatQueries {
         |    AND o_orderkey NOT BETWEEN 1 AND 700
         |) ORDER BY ct""".stripMargin,
     // Iceberg change feed streamed: insert all + evens re-keyed, MOR
-    // delete 1..700 then fresh positions 701..800 only, then the
-    // EQUALITY delete of 900..950 announcing its live matches
+    // delete 1..700 then fresh positions 701..800 only
     "x_iceberg_cdf_stream" ->
       """SELECT ct, n, total, TRUE AS stream_equals_batch FROM (
         |  SELECT 'insert' AS ct,
@@ -4109,8 +4185,33 @@ object FormatQueries {
         |  UNION ALL
         |  SELECT 'delete', count(*), round(sum(o_totalprice), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 1 AND 800
-        |     OR o_orderkey BETWEEN 900 AND 950
         |) ORDER BY ct""".stripMargin,
+    // Iceberg DML change kinds streamed end-to-end: single-column +
+    // COMPOSITE-tuple equality deletes, a sequence-gated upsert, then
+    // SQL UPDATE on the eq-carrying table; oracle pins the FINAL census
+    // (tuple over-delete hazard: non-urgent rows sharing a deleted key
+    // survive) with stream == batch riding as a boolean
+    "x_iceberg_cdf_stream_dml" ->
+      """WITH live0 AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 900 AND 950
+        |    AND NOT (o_orderkey <= 1000 AND o_orderpriority = '1-URGENT')
+        |), reins AS (
+        |  SELECT o_orderkey, o_totalprice + 5000.0 AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders
+        |  WHERE o_orderkey <= 1000 AND o_orderpriority = '1-URGENT'
+        |  ORDER BY o_orderkey LIMIT 1
+        |), fin AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM (SELECT * FROM live0 UNION ALL SELECT * FROM reins)
+        |)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS stream_equals_batch
+        |FROM fin GROUP BY 1 ORDER BY prio""".stripMargin,
     // partitioned writeStream.toTable: all orders streamed in, every
     // epoch add carrying partitionValues, urgent partition pruned exact
     "x_delta_stream_to_table_partitioned" ->

@@ -634,15 +634,23 @@ object IcebergLite {
         }.toMap
     val colStats: Map[String, Seq[(Int, Any, Any, Long)]] =
       if (statsColumns.isEmpty) Map.empty
-      else statRows.map { r =>
-        val n = r.getAs[Long]("n")
-        (ifnStatsKey(r.getAs[String]("f")),
-          statsColumns.zipWithIndex.map { case (c, i) =>
-            (df.schema.fieldNames.indexOf(c) + 1,
-              r.getAs[Any](s"mn_$i"), r.getAs[Any](s"mx_$i"),
-              n - r.getAs[Long](s"nn_$i"))
-          })
-      }.toMap
+      else {
+        // stats key by the FIELD IDS this commit's schema declares —
+        // the same assignment the metadata commit below makes (ids ≠
+        // positions once the table has dropped a column)
+        val fids = assignFieldIds(
+          if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None,
+          df.schema)
+        statRows.map { r =>
+          val n = r.getAs[Long]("n")
+          (ifnStatsKey(r.getAs[String]("f")),
+            statsColumns.zipWithIndex.map { case (c, i) =>
+              (fids(df.schema.fieldNames.indexOf(c)),
+                r.getAs[Any](s"mn_$i"), r.getAs[Any](s"mx_$i"),
+                n - r.getAs[Long](s"nn_$i"))
+            })
+        }.toMap
+      }
     // manifest for the new files
     val entrySchema = entrySchemaFor(partitionField.isDefined,
       boundsColumn.isDefined, withColStats = statsColumns.nonEmpty)
@@ -770,16 +778,22 @@ object IcebergLite {
       .getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", table)
     root.put("last-updated-ms", 0L)
-    root.put("last-column-id", dfSchema.fields.length)
     // schema EVOLUTION: if this commit's schema differs from the current
     // one, it gets a NEW schema-id appended to the schemas list (Iceberg's
     // rule: schemas are immutable and id-addressed; snapshots reference
-    // the id they were written under)
+    // the id they were written under). Field ids resolve by NAME against
+    // the current schema — existing fields keep their ids (stable across
+    // renames/drops), new fields get monotone fresh ids — so positions
+    // and ids may diverge once a DROP COLUMN exists.
+    val fieldIds = assignFieldIds(prevMeta, dfSchema)
+    root.put("last-column-id", math.max(
+      prevMeta.map(_.path("last-column-id").asInt(0)).getOrElse(0),
+      (0 +: fieldIds).max))
     def schemaFields(n: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
       val arr = n.putArray("fields")
       dfSchema.fields.zipWithIndex.foreach { case (f, i) =>
         val fn = arr.addObject()
-        fn.put("id", i + 1)
+        fn.put("id", fieldIds(i))
         fn.put("name", f.name)
         fn.put("required", false)
         fn.put("type", icebergType(f.dataType))
@@ -1076,16 +1090,76 @@ object IcebergLite {
     * column (the id-stability rule all stats/bounds resolution depends
     * on). */
   def addColumn(spark: SparkSession, table: String, name: String,
-      dataType: org.apache.spark.sql.types.DataType): Int = {
+      dataType: org.apache.spark.sql.types.DataType): Int =
+    evolveSchema(spark, table, "addColumn") { fields =>
+      require(!fields.exists(_._2 == name),
+        s"column $name already exists in $table")
+      (fields, Some((name, dataType)))
+    }
+
+  /** METADATA-ONLY column rename (spec §Schema Evolution, RenameColumn):
+    * a new schema-id re-declares the field under its new name with the
+    * SAME field id — no snapshot, no byte moved. Head reads resolve old
+    * files by id ([[readLive]]'s write-schema grouping), stats written
+    * under the old name keep pruning (manifest stats key by id), and
+    * time travel below the rename answers under the original name.
+    * Refuses while live EQUALITY-delete files exist: their key columns
+    * are implied by the delete file's own parquet NAMES, which a rename
+    * would orphan (remedy: rewriteDataFiles first). */
+  def renameColumn(spark: SparkSession, table: String, oldName: String,
+      newName: String): Int =
+    evolveSchema(spark, table, "renameColumn") { fields =>
+      require(fields.exists(_._2 == oldName),
+        s"column $oldName not in $table schema")
+      require(!fields.exists(_._2 == newName),
+        s"column $newName already exists in $table")
+      require(snapshotDeleteEntries(spark, table, -1L)
+          .forall(_._3 != 2),
+        s"$table carries live equality-delete files, whose key columns " +
+          "are bound by parquet NAME — IcebergLite.rewriteDataFiles " +
+          "first, then rename")
+      (fields.map(f => if (f._2 == oldName) (f._1, newName, f._3) else f),
+        None)
+    }
+
+  /** METADATA-ONLY column drop (spec §Schema Evolution, DeleteColumn):
+    * a new schema-id omits the field — no snapshot, no byte moved; the
+    * field's id is NEVER reused (`last-column-id` is monotone), so a
+    * later re-add of the same name is a NEW field and pre-drop files
+    * surface it as NULL instead of resurrecting dropped values. The
+    * partition/sort source column refuses (live specs must resolve). */
+  def dropColumn(spark: SparkSession, table: String, name: String): Int =
+    evolveSchema(spark, table, "dropColumn") { fields =>
+      require(fields.exists(_._2 == name), s"column $name not in $table")
+      require(fields.size > 1, s"cannot drop the only column of $table")
+      (fields.filterNot(_._2 == name), None)
+    }
+
+  /** Shared METADATA-ONLY schema-evolution commit: `f` maps the current
+    * (id, name, type) field list to its evolved form (plus an optional
+    * appended column, which gets a fresh monotone id). Appends a new
+    * schema node, flips `current-schema-id`, keeps `last-column-id`
+    * monotone — NO new snapshot. */
+  private def evolveSchema(spark: SparkSession, table: String, op: String)(
+      f: Seq[(Int, String, org.apache.spark.sql.types.DataType)] =>
+        (Seq[(Int, String, org.apache.spark.sql.types.DataType)],
+         Option[(String, org.apache.spark.sql.types.DataType)])): Int = {
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    val schema = currentSchema(meta)
-    require(!schema.fieldNames.contains(name),
-      s"column $name already exists in $table")
-    val widened = StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(name, dataType))
+    val cur = schemaFieldsById(meta, meta.get("current-schema-id").asInt())
+    val (kept, appended) = f(cur)
+    val lastCol = math.max(meta.path("last-column-id").asInt(0),
+      cur.map(_._1).max)
+    val evolved = kept ++ appended.map { case (n, t) => (lastCol + 1, n, t) }
+    // the partition/sort source columns must keep resolving by id
+    meta.get("partition-specs").forEach(s => s.get("fields").forEach { pf =>
+      val sid = pf.get("source-id").asInt()
+      require(evolved.exists(_._1 == sid),
+        s"$op on $table would orphan partition source-id $sid — " +
+          "evolve the partition spec first")
+    })
     val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     var maxSid = 0
     copy.get("schemas").forEach(s =>
@@ -1095,20 +1169,20 @@ object IcebergLite {
     sn.put("type", "struct")
     sn.put("schema-id", sid)
     val arr = sn.putArray("fields")
-    widened.fields.zipWithIndex.foreach { case (f, i) =>
+    evolved.foreach { case (id, n, t) =>
       val fn = arr.addObject()
-      fn.put("id", i + 1)
-      fn.put("name", f.name)
+      fn.put("id", id)
+      fn.put("name", n)
       fn.put("required", false)
-      fn.put("type", icebergType(f.dataType))
+      fn.put("type", icebergType(t))
     }
     copy.put("current-schema-id", sid)
-    copy.put("last-column-id", widened.fields.length)
+    copy.put("last-column-id", math.max(lastCol, evolved.map(_._1).max))
     if (!AtomicCreate.create(fs, metaFile(table, v + 1),
         mapper.writerWithDefaultPrettyPrinter()
           .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
-        s"addColumn lost the commit race for metadata v${v + 1} on $table")
+        s"$op lost the commit race for metadata v${v + 1} on $table")
     v + 1
   }
 
@@ -1146,7 +1220,7 @@ object IcebergLite {
       val pf = fields.addObject()
       pf.put("name", f.fieldName)
       pf.put("transform", f.transform)
-      pf.put("source-id", schema.fieldNames.indexOf(f.source) + 1)
+      pf.put("source-id", fieldIdOf(meta, f.source))
       // spec rule: partition field ids are unique ACROSS specs
       pf.put("field-id", copy.path("last-partition-id").asInt(999) + 1)
     }
@@ -1195,7 +1269,7 @@ object IcebergLite {
     order.put("order-id", newId)
     val f = order.putArray("fields").addObject()
     f.put("transform", "identity")
-    f.put("source-id", schema.fieldNames.indexOf(column) + 1)
+    f.put("source-id", fieldIdOf(meta, column))
     f.put("direction", "asc")
     f.put("null-order", "nulls-first")
     copy.put("default-sort-order-id", newId)
@@ -1267,7 +1341,7 @@ object IcebergLite {
     }
     val blobs = columns.zip(merged).map { case (c, sk) =>
       ("apache-datasketches-theta-v1",
-        Seq(schema.fieldNames.indexOf(c) + 1), sid, seqNum,
+        Seq(fieldIdOf(meta, c)), sid, seqNum,
         Map("ndv" -> Math.round(sk.getEstimate).toString), sk.toByteArray)
     }
     val written = Puffin.write(blobs,
@@ -1330,11 +1404,21 @@ object IcebergLite {
     val curSchema = schemaForSnapshot(meta, cur)
     val columns = scala.collection.mutable.LinkedHashSet.empty[String]
     meta.get("statistics").forEach { entry =>
-      val blobSchema = schemaForSnapshot(meta,
-        entry.get("snapshot-id").asLong())
+      val blobFields = schemaFieldsById(meta, schemaIdForSnapshot(meta,
+        entry.get("snapshot-id").asLong()))
       entry.get("blob-metadata").forEach { b =>
-        val name = blobSchema.fieldNames(b.get("fields").get(0).asInt() - 1)
-        if (curSchema.fieldNames.contains(name)) columns += name
+        // blob fields are FIELD IDS — resolve to the blob-era name by
+        // id, then carry forward only if the CURRENT schema still has
+        // that id (renamed columns refresh under their new name)
+        val fid = b.get("fields").get(0).asInt()
+        blobFields.find(_._1 == fid).map(_._2).foreach { name =>
+          val curName = schemaFieldsById(meta,
+            meta.get("current-schema-id").asInt())
+            .find(_._1 == fid).map(_._2)
+          curName.foreach(columns += _)
+          if (curName.isEmpty && curSchema.fieldNames.contains(name))
+            columns += name
+        }
       }
     }
     if (columns.isEmpty) None
@@ -1366,7 +1450,8 @@ object IcebergLite {
       // field ids resolve through the schema AS OF THE BLOB'S SNAPSHOT —
       // a stale entry read under the current schema would silently
       // relabel blobs after a reorder/drop evolution
-      val schema = schemaForSnapshot(meta, entry.get("snapshot-id").asLong())
+      val blobFields = schemaFieldsById(meta, schemaIdForSnapshot(meta,
+        entry.get("snapshot-id").asLong()))
       val p = new Path(entry.get("statistics-path").asText())
       val in = fs.open(p)
       val bytes = try {
@@ -1384,7 +1469,10 @@ object IcebergLite {
           s"unknown statistics blob type ${m.blobType} — refusing")
         val sk = org.apache.datasketches.theta.CompactSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(payload))
-        val colName = schema.fieldNames(m.fields.head - 1)
+        val colName = blobFields.find(_._1 == m.fields.head).map(_._2)
+          .getOrElse(throw new IllegalArgumentException(
+            s"statistics blob field id ${m.fields.head} not in its " +
+              "snapshot's schema"))
         out += ((colName, Math.round(sk.getEstimate),
           m.properties("ndv").toLong, stale))
       }
@@ -1406,8 +1494,10 @@ object IcebergLite {
         o.get("fields").forEach(f => found = Some(f.get("source-id").asInt()))
     }
     found.map { sid =>
-      schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
-        .fieldNames(sid - 1)
+      schemaFieldsById(meta, meta.get("current-schema-id").asInt())
+        .find(_._1 == sid).map(_._2)
+        .getOrElse(throw new IllegalArgumentException(
+          s"sort-order source-id $sid not in the current schema"))
     }
   }
 
@@ -1643,19 +1733,19 @@ object IcebergLite {
     * with after a spec evolution. */
   private def partitionSpecs(meta: com.fasterxml.jackson.databind.JsonNode)
       : Map[Int, Option[PartField]] = {
-    // source-id resolves through the current schema (field ids are
-    // positional and append-only in this impl, so historical specs
-    // resolve under it too)
-    val fieldNames = schemaForSnapshot(meta,
-      meta.get("current-snapshot-id").asLong()).fieldNames
+    // source-id resolves through the current schema BY FIELD ID (stable
+    // across renames; a dropped partition source column is refused at
+    // drop time, so live specs always resolve)
+    val idToName = schemaFieldsById(meta,
+      meta.get("current-schema-id").asInt()).map(f => f._1 -> f._2).toMap
     val out = mutable.Map.empty[Int, Option[PartField]]
     meta.get("partition-specs").forEach { s =>
       var found: Option[PartField] = None
       s.get("fields").forEach { f =>
         val sid = f.get("source-id").asInt()
-        require(sid >= 1 && sid <= fieldNames.length,
+        require(idToName.contains(sid),
           s"partition source-id $sid outside the schema")
-        found = Some(PartField(fieldNames(sid - 1),
+        found = Some(PartField(idToName(sid),
           f.get("transform").asText()))
       }
       out(s.get("spec-id").asInt()) = found
@@ -1769,9 +1859,11 @@ object IcebergLite {
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
-    val fid = schemaForSnapshot(meta, meta.get("current-snapshot-id").asLong())
-      .fieldNames.indexOf(column) + 1
-    require(fid > 0, s"stats column $column not in $table schema")
+    // the column's FIELD ID (stable across renames — stats written
+    // under the old name keep resolving, which is the id system's point)
+    val fid = currentFieldIds(meta).getOrElse(column,
+      throw new IllegalArgumentException(
+        s"stats column $column not in $table schema"))
     val cur = meta.get("current-snapshot-id").asLong()
     val snap = metaJsonSnapshots(meta).find(_._1 == cur).get
     def entry(d: GenericRecord, field: String, want: Int): Option[Any] = {
@@ -1850,14 +1942,15 @@ object IcebergLite {
   /** Data files of a snapshot: manifest list → manifests → live entries
     * (status != DELETED). All control-plane reads. */
   private[graft] def snapshotFiles(spark: SparkSession, table: String,
-      snapshotId: Long): Seq[String] =
-    snapshotManifestFiles(spark, table, snapshotId, content = 0).map(_._1)
+      snapshotId: Long, metaV: Int = -1): Seq[String] =
+    snapshotManifestFiles(spark, table, snapshotId, content = 0,
+      metaV = metaV).map(_._1)
 
   /** DELETE files live in a snapshot exactly like data files — listed by
     * manifests whose list row says content = 1. */
   private[graft] def snapshotDeleteFiles(spark: SparkSession, table: String,
-      snapshotId: Long): Seq[String] =
-    snapshotDeleteEntries(spark, table, snapshotId).map(_._1)
+      snapshotId: Long, metaV: Int = -1): Seq[String] =
+    snapshotDeleteEntries(spark, table, snapshotId, metaV = metaV).map(_._1)
 
   /** Exact current-snapshot table size off the manifests alone:
     * (row count, data bytes) — the control-plane numbers a cost-based
@@ -1926,9 +2019,9 @@ object IcebergLite {
     * a snapshot: manifest list → manifests of that `content` → entries
     * with status != DELETED. All control-plane reads. */
   private def snapshotManifestFiles(spark: SparkSession, table: String,
-      snapshotId: Long, content: Int): Seq[(String, Long)] = {
+      snapshotId: Long, content: Int, metaV: Int = -1): Seq[(String, Long)] = {
     val fs = hadoopFs(spark, table)
-    val v = latestMetadataVersion(spark, table)
+    val v = if (metaV > 0) metaV else latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val wanted =
@@ -1949,9 +2042,9 @@ object IcebergLite {
     * snapshot, kind from data_file.content (field-id 134): 1 = position
     * deletes, 2 = equality deletes. */
   private def snapshotDeleteEntries(spark: SparkSession, table: String,
-      snapshotId: Long): Seq[(String, Long, Int)] = {
+      snapshotId: Long, metaV: Int = -1): Seq[(String, Long, Int)] = {
     val fs = hadoopFs(spark, table)
-    val v = latestMetadataVersion(spark, table)
+    val v = if (metaV > 0) metaV else latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val wanted =
@@ -2241,8 +2334,8 @@ object IcebergLite {
     * neither is set) − skip − skipEq. */
   private[graft] final case class IceChangeUnit(absPath: String,
       kind: String, emit: Array[Long], skip: Array[Long],
-      emitEq: Seq[(String, Array[Long])] = Nil,
-      skipEq: Seq[(String, Array[Long])] = Nil)
+      emitEq: Seq[EqVals] = Nil,
+      skipEq: Seq[EqVals] = Nil)
 
   /** Snapshot `sid`'s change units for the STREAMING feed — the same
     * per-snapshot state-diff rules as [[readChangelog]] (added files as
@@ -2308,36 +2401,29 @@ object IcebergLite {
         .select(col("file_path"), col("pos")).collect()
         .groupBy(r => fileKeyRaw(r.getString(0)))
         .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
-    // one (column, seq, values) triple per equality-delete file — the
-    // same driver-bounded load as the row-level MorMask
-    def eqValuesBy(paths: Seq[String]): Seq[(String, Long, Array[Long])] =
-      paths.map { p =>
-        val df = spark.read.parquet(p)
-        require(df.schema.length == 1 && (df.schema.head.dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.IntegerType => true
-          case _ => false
-        }), s"equality delete file $p is not a single integral column — " +
-          "the change stream masks only this engine's own " +
-          "deleteWhereEquality shape; consume the range via readChangelog")
-        val seq = (sidDel ++ parDel).find(_._1 == p).map(_._4).getOrElse(sid)
-        (df.schema.head.name, seq,
-          df.collect().map(_.get(0) match {
-            case i: Int => i.toLong; case l: Long => l
-          }).distinct.sorted)
-      }
+    // equality-delete payloads load LAZILY, per file, ONLY when a
+    // planned unit actually needs that file's values (r15 advice: eager
+    // validation of every live parent file made one exotic delete file
+    // anywhere wedge the whole feed retroactively) — and the payload is
+    // an N-column TUPLE relation, so composite-key CDC deletes stream
+    // their feed too (the X305 subset, closed). Sequence gating uses
+    // the manifest entries' own seq, so NO file is read to decide
+    // whether it applies.
+    val eqCache = mutable.Map.empty[String, EqVals]
+    def eqValue(p: String, seq: Long): EqVals =
+      eqCache.getOrElseUpdate(p,
+        EqVals.load(spark, p, seq, "the change stream"))
     val parentPos = positionsBy(parDel.filter(_._2 == 1).map(_._1))
-    val parentEq = eqValuesBy(parDel.filter(_._2 == 2).map(_._1))
+    val parentEqEntries = parDel.filter(_._2 == 2)
     // the parent's equality state, sequence-gated per parent file:
     // values that already masked rows there must not re-announce
-    def skipEqFor(k: String): Seq[(String, Array[Long])] =
+    def skipEqFor(k: String): Seq[EqVals] =
       parSeqAndPath.get(k).map { case (_, dseq) =>
-        parentEq.filter(_._2 > dseq).map(e => (e._1, e._3))
+        parentEqEntries.filter(_._4 > dseq).map(e => eqValue(e._1, e._4))
       }.getOrElse(Nil)
     val newPos = positionsBy(
       sidDel.filter(e => e._2 == 1 && e._3 == sid).map(_._1))
-    val newEq = eqValuesBy(
-      sidDel.filter(e => e._2 == 2 && e._3 == sid).map(_._1))
+    val newEqEntries = sidDel.filter(e => e._2 == 2 && e._3 == sid)
     val inserts = (cur.keySet -- par.keySet).toSeq.sorted.map(k =>
       IceChangeUnit(cur(k), "insert", null, Array.empty))
     val cowDeletes = (par.keySet -- cur.keySet).toSeq.sorted.map(k =>
@@ -2359,10 +2445,11 @@ object IcebergLite {
     // of the candidate files in EITHER face; the units stay
     // executor-side and admission-controlled)
     val eqDeletes =
-      if (newEq.isEmpty) Nil
+      if (newEqEntries.isEmpty) Nil
       else par.toSeq.sortBy(_._1).flatMap { case (k, p) =>
         val dseq = parSeqAndPath(k)._2
-        val applicable = newEq.filter(_._2 > dseq).map(e => (e._1, e._3))
+        val applicable = newEqEntries.filter(_._4 > dseq)
+          .map(e => eqValue(e._1, e._4))
         if (applicable.isEmpty) None
         else Some(IceChangeUnit(p, "delete", null,
           parentPos.getOrElse(k, Array.empty),
@@ -2424,6 +2511,19 @@ object IcebergLite {
     schemaById(meta, sid)
   }
 
+  /** The schema-id in force at `snapshotId` (current when the snapshot
+    * predates recorded schema-ids or is unknown). */
+  private def schemaIdForSnapshot(
+      meta: com.fasterxml.jackson.databind.JsonNode,
+      snapshotId: Long): Int = {
+    var sid = meta.get("current-schema-id").asInt()
+    meta.get("snapshots").forEach { s =>
+      if (s.get("snapshot-id").asLong() == snapshotId && s.has("schema-id"))
+        sid = s.get("schema-id").asInt()
+    }
+    sid
+  }
+
   /** The table's CURRENT schema — what head reads scan under (Iceberg's
     * rule: scans use the table schema; time travel uses the snapshot's
     * own). Distinct from [[schemaForSnapshot]] since a metadata-only
@@ -2446,6 +2546,59 @@ object IcebergLite {
     }
     require(fields.nonEmpty, s"schema-id $sid not found in metadata")
     StructType(fields.toSeq)
+  }
+
+  /** Schema `sid` as (field-id, name, type) triples — the IDENTITY
+    * coordinate (spec: schemas are immutable and id-addressed; a field
+    * keeps its id across renames and its id is NEVER reused after a
+    * drop). Everything that keys stats or resolves source columns must
+    * go through ids, not positions — positions and ids coincide only
+    * until the first DROP COLUMN. */
+  private def schemaFieldsById(meta: com.fasterxml.jackson.databind.JsonNode,
+      sid: Int): Seq[(Int, String, org.apache.spark.sql.types.DataType)] = {
+    val fields = mutable.ArrayBuffer
+      .empty[(Int, String, org.apache.spark.sql.types.DataType)]
+    meta.get("schemas").forEach { sch =>
+      if (sch.get("schema-id").asInt() == sid) {
+        fields.clear()
+        sch.get("fields").forEach(f => fields +=
+          ((f.get("id").asInt(), f.get("name").asText(),
+            sparkType(f.get("type").asText()))))
+      }
+    }
+    require(fields.nonEmpty, s"schema-id $sid not found in metadata")
+    fields.toSeq
+  }
+
+  /** The CURRENT schema's name → field-id map. */
+  private def currentFieldIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[String, Int] =
+    schemaFieldsById(meta, meta.get("current-schema-id").asInt())
+      .map(f => f._2 -> f._1).toMap
+
+  /** The current field id of `column`, by its CURRENT name. */
+  private def fieldIdOf(meta: com.fasterxml.jackson.databind.JsonNode,
+      column: String): Int =
+    currentFieldIds(meta).getOrElse(column,
+      throw new IllegalArgumentException(
+        s"column $column not in the current schema"))
+
+  /** The field ids the NEXT commit under `dfSchema` declares, in field
+    * order: names already in the current schema KEEP their ids; new
+    * names get fresh monotone ids above `last-column-id` (ids are never
+    * reused — a re-added name after a drop is a NEW field, so pre-drop
+    * files surface it as NULL instead of resurrecting old values).
+    * Shared by the metadata commit and the stats writer so manifest
+    * stats key exactly the ids the schema declares. */
+  private def assignFieldIds(
+      prevMeta: Option[com.fasterxml.jackson.databind.JsonNode],
+      dfSchema: StructType): Seq[Int] = {
+    val prevIds = prevMeta.map(currentFieldIds).getOrElse(Map.empty)
+    var next = math.max(
+      prevMeta.map(_.path("last-column-id").asInt(0)).getOrElse(0),
+      if (prevIds.isEmpty) 0 else prevIds.values.max)
+    dfSchema.fields.toSeq.map(f =>
+      prevIds.getOrElse(f.name, { next += 1; next }))
   }
 
   /** The schema in force at `snapshotId` (current when < 0) — the
@@ -2729,11 +2882,12 @@ object IcebergLite {
     * readers suppress a row when EVERY key column matches some tuple
     * (in data files with sequence strictly below the delete's — the
     * same gating as the single-column kind). The equality columns are
-    * implied by the delete file's own parquet schema, which batch
-    * readers resolve per file. Served by the BATCH read and the batch
-    * changelog; the executor-side streaming/SQL-DML masks keep the
-    * single-integral-column subset and refuse multi-column files with
-    * the remedy named. */
+    * implied by the delete file's own parquet schema, which every
+    * reader resolves per file: the BATCH read, the batch changelog,
+    * the STREAMING change feed, and the SQL row-level DML masks all
+    * evaluate the tuple relation ([[EqVals]] — integral/string/boolean
+    * key columns; exotic types refuse loudly, and only when a plan
+    * actually needs that file). */
   def deleteWhereEqualityRows(spark: SparkSession, table: String,
       keys: DataFrame, maxRetries: Int = 10): (Long, Long) = {
     var attempt = 0
@@ -3247,12 +3401,13 @@ object IcebergLite {
     * the reader against each file's own data sequence). Loaded once on
     * the driver: delete files are bounded by the DELETED-row count, the
     * same control-plane cost model as Delta deletion vectors and the
-    * log itself. Equality subset matches this engine's writer
-    * ([[deleteWhereEquality]]): single integral column per delete file
-    * — anything else refuses loudly. */
+    * log itself. Equality payloads are N-column TUPLE relations
+    * ([[deleteWhereEqualityRows]]'s composite-key shape included) over
+    * integral/string/boolean columns — exotic column types refuse
+    * loudly with the rewriteDataFiles remedy named. */
   case class MorMask(
       posByFile: Map[String, Array[Long]],      // fileKeyRaw → sorted pos
-      eq: Seq[(String, Long, Array[Long])],     // (column, seq, values)
+      eq: Seq[EqVals],                          // N-column value tuples
       dataSeq: Map[String, Long],               // fileKeyRaw → data seq
       deleteFiles: Set[String]) {               // pinned delete-file paths
     def isEmpty: Boolean = posByFile.isEmpty && eq.isEmpty
@@ -3262,11 +3417,11 @@ object IcebergLite {
   }
 
   private[graft] def morRowLevelState(spark: SparkSession,
-      table: String): MorMask = {
-    val deletes = snapshotDeleteEntries(spark, table, -1L)
+      table: String, metaV: Int = -1): MorMask = {
+    val deletes = snapshotDeleteEntries(spark, table, -1L, metaV = metaV)
     if (deletes.isEmpty) return MorMask.empty
-    val dataSeq = snapshotManifestFiles(spark, table, -1L, content = 0)
-      .map { case (p, s) => (fileKeyRaw(p), s) }.toMap
+    val dataSeq = snapshotManifestFiles(spark, table, -1L, content = 0,
+      metaV = metaV).map { case (p, s) => (fileKeyRaw(p), s) }.toMap
     val pos = deletes.filter(_._3 == 1)
     val posByFile =
       if (pos.isEmpty) Map.empty[String, Array[Long]]
@@ -3290,19 +3445,12 @@ object IcebergLite {
           }
           .filter(_._2.nonEmpty).toMap
       }
+    // N-column tuple payloads (X305 closed for the executor-side masks
+    // too): a row is suppressed only when EVERY equality column matches
+    // the same tuple — the file-granular spelling of the batch read's
+    // per-column-set anti-join
     val eq = deletes.filter(_._3 == 2).map { case (p, s, _) =>
-      val df = spark.read.parquet(p)
-      require(df.schema.length == 1 && (df.schema.head.dataType match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType => true
-        case _ => false
-      }), s"equality delete file $p is not a single integral column — " +
-        "the SQL row-level reader masks only this engine's own " +
-        "deleteWhereEquality shape; IcebergLite.rewriteDataFiles first")
-      val values = df.collect().map { r =>
-        r.get(0) match { case i: Int => i.toLong; case l: Long => l }
-      }.distinct.sorted
-      (df.schema.head.name, s, values)
+      EqVals.load(spark, p, s, "the SQL row-level reader")
     }
     MorMask(posByFile, eq, dataSeq, deletes.map(_._1).toSet)
   }
@@ -3322,12 +3470,17 @@ object IcebergLite {
   private[graft] def rowLevelSnapshot(spark: SparkSession, table: String)
       : (Seq[String], StructType, MorMask) = {
     val fs = hadoopFs(spark, table)
+    // ONE metadata version resolution — the file list and the MOR mask
+    // both derive from it, so a commit landing mid-pin cannot produce an
+    // inconsistent (files, mask) pair (r15 advice: two separate
+    // latest-head reads here let a concurrent commit slip between them)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val cur = meta.get("current-snapshot-id").asLong()
-    (snapshotFiles(spark, table, -1L), schemaForSnapshot(meta, cur),
-      morRowLevelState(spark, table))
+    (snapshotFiles(spark, table, -1L, metaV = v),
+      schemaForSnapshot(meta, cur),
+      morRowLevelState(spark, table, metaV = v))
   }
 
   /** Commit the COPY-ON-WRITE replacement the SQL row-level write path

@@ -296,10 +296,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def loadIceberg(ident: Identifier, path: String,
       version: Long): Table = {
     val s = spark
+    // pin ONE metadata version at load: the file list below and the MOR
+    // mask the scan applies must describe the SAME snapshot, or a commit
+    // landing between load and first scan pairs stale files with a fresh
+    // mask (r15 advice — e.g. a compaction's new files arrive only in
+    // the mask's dataSeq, and removed files read unmasked)
+    val pinnedV = IcebergLite.latestMetadataVersion(s, path)
     val schema = IcebergLite.schemaAt(s, path, version)
     val pfOpt = IcebergLite.currentPartitionSpec(s, path)
-    val morState = IcebergLite.snapshotDeleteFiles(s, path, version).nonEmpty
-    lazy val snapFiles = IcebergLite.snapshotFiles(s, path, version)
+    val morState = IcebergLite.snapshotDeleteFiles(s, path, version,
+      metaV = pinnedV).nonEmpty
+    lazy val snapFiles = IcebergLite.snapshotFiles(s, path, version,
+      metaV = pinnedV)
     val readDelegate: ReadPlan =
       if (morState)
         // merge-on-read state: serve the format reader's sequence-gated
@@ -328,9 +336,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // committing through the manifest arbiter
       new GraftIcebergTable(fullName(ident), path, schema, snapFiles,
         pfOpt, readDelegate,
-        // resolved at scan time, not load time — a delete landing
-        // between catalog load and query keeps the `_file` path exact
-        morMask = () => IcebergLite.morRowLevelState(s, path))
+        // derived from the SAME pinned metadata version as snapFiles —
+        // snapshot-consistent (files, mask); a delete landing after
+        // load is seen by the NEXT catalog load, the usual isolation
+        morMask = () => IcebergLite.morRowLevelState(s, path,
+          metaV = pinnedV))
     else
       new GraftTable(fullName(ident), path, "iceberg", schema,
         Seq.empty, pfOpt, columnMapped = false,

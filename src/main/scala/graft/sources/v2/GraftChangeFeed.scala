@@ -208,14 +208,17 @@ private[v2] final class GraftChangeFeedStream(
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     var idx = -1
-    // equality value lists travel with the column resolved to its
-    // baseSchema ordinal — the executor-side reader compares raw values
-    def eqIdx(eq: Seq[(String, Array[Long])]): Seq[(Int, Array[Long])] =
-      eq.map { case (c, vals) => (baseSchema.fieldIndex(c), vals) }
+    // equality tuple relations travel with their columns resolved to
+    // baseSchema ordinals — the executor-side reader compares canonical
+    // raw values per tuple (N-column composite keys included, X305)
+    def eqIdx(eq: Seq[graft.sources.EqVals])
+        : Seq[(Array[Int], Array[Seq[Any]])] =
+      eq.map(ev =>
+        (ev.cols.map(baseSchema.fieldIndex).toArray, ev.tuples))
     def part(abs: Path, kind: String, v: Long, emit: Array[Long],
         skip: Array[Long],
-        emitEq: Seq[(Int, Array[Long])] = Nil,
-        skipEq: Seq[(Int, Array[Long])] = Nil): InputPartition = {
+        emitEq: Seq[(Array[Int], Array[Seq[Any]])] = Nil,
+        skipEq: Seq[(Array[Int], Array[Seq[Any]])] = Nil): InputPartition = {
       idx += 1
       ChangeFilePartition(
         FilePartition(idx, Array(PartitionedFile(InternalRow.empty,
@@ -264,17 +267,18 @@ private[v2] final class GraftChangeFeedStream(
   * `emitEq` is the VALUE spelling of `emit` (X301 — an EQUALITY-delete
   * commit announces rows whose column value matches), and `skipEq` the
   * value spelling of `skip` (rows the parent's equality deletes already
-  * masked); columns travel as baseSchema ordinals. A row is served iff
-  * it passes the emit selection (positions ∪ values; everything when
-  * neither is set) and neither skip mask. */
+  * masked); each entry is one delete file's N-column TUPLE relation,
+  * columns as baseSchema ordinals. A row is served iff it passes the
+  * emit selection (positions ∪ values; everything when neither is set)
+  * and neither skip mask. */
 private[v2] final case class ChangeFilePartition(
     fp: FilePartition,
     kind: String,
     version: Long,
     skip: Array[Long],
     emit: Array[Long] = null,
-    emitEq: Seq[(Int, Array[Long])] = Nil,
-    skipEq: Seq[(Int, Array[Long])] = Nil) extends InputPartition
+    emitEq: Seq[(Array[Int], Array[Seq[Any]])] = Nil,
+    skipEq: Seq[(Array[Int], Array[Seq[Any]])] = Nil) extends InputPartition
 
 private[v2] final class ChangeFeedReaderFactory(
     cdcFactory: PartitionReaderFactory,
@@ -296,31 +300,11 @@ private[v2] final class ChangeFeedReaderFactory(
     val tag = if (isCdc) null else UTF8String.fromString(cp.kind)
     val masked = cp.skip // sorted row indexes to skip
     val emit = cp.emit // non-null: sorted row indexes to serve EXCLUSIVELY
-    def eqSets(eq: Seq[(Int, Array[Long])]): Array[(Int,
-        java.util.HashSet[Long])] =
-      eq.map { case (j, vals) =>
-        val set = new java.util.HashSet[Long](vals.length * 2)
-        vals.foreach(v => set.add(v))
-        (j, set)
-      }.toArray
-    val emitEq = eqSets(cp.emitEq)
-    val skipEq = eqSets(cp.skipEq)
-    def eqHit(r: InternalRow, checks: Array[(Int,
-        java.util.HashSet[Long])]): Boolean = {
-      var i = 0
-      while (i < checks.length) {
-        val (j, set) = checks(i)
-        if (!r.isNullAt(j)) {
-          val v = types(j) match {
-            case org.apache.spark.sql.types.IntegerType => r.getInt(j).toLong
-            case _ => r.getLong(j)
-          }
-          if (set.contains(v)) return true
-        }
-        i += 1
-      }
-      false
-    }
+    val emitEq = graft.sources.EqVals.checks(cp.emitEq, types)
+    val skipEq = graft.sources.EqVals.checks(cp.skipEq, types)
+    def eqHit(r: InternalRow,
+        checks: Array[graft.sources.EqVals.Check]): Boolean =
+      graft.sources.EqVals.hit(r, checks)
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
       private var mi = 0

@@ -90,18 +90,24 @@ private[v2] final class GraftRowLevelOp(
   // operation's scan SKIPS masked rows, so a COW rewrite starts from
   // LIVE rows and the remove+add swap never resurrects deleted ones.
   private lazy val pinned: (Seq[String], Map[String, Array[Long]],
-      IcebergLite.MorMask) = format match {
+      IcebergLite.MorMask,
+      Map[String, graft.sources.DeletionVectors.Descriptor]) = format match {
     case "delta" =>
       val (files, dvs, _, _) = DeltaLite.rowLevelSnapshot(spark, path)
       (files, GraftRowLevel.dvPositions(spark, path, dvs),
-        IcebergLite.MorMask.empty)
+        IcebergLite.MorMask.empty, dvs)
     case _ =>
       val (files, _, mask) = IcebergLite.rowLevelSnapshot(spark, path)
-      (files, mask.posByFile, mask)
+      (files, mask.posByFile, mask, Map.empty)
   }
   private def snapFiles: Seq[String] = pinned._1
   private def dvPositions: Map[String, Array[Long]] = pinned._2
   private def morMask: IcebergLite.MorMask = pinned._3
+  // the Delta DV descriptors live at the pin — the commit refuses if a
+  // concurrent deleteWhereDV changed any removed file's mask (the Delta
+  // twin of Iceberg's pinnedDeleteFiles, see ADVICE r15 medium)
+  private def deltaDvPin: Map[String, graft.sources.DeletionVectors
+    .Descriptor] = pinned._4
 
   // the affected file set (basenames) the runtime group filter found;
   // None = filtering never ran → every live file is affected
@@ -205,13 +211,15 @@ private[v2] final class GraftRowLevelOp(
             override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
               spark, path, tableSchema, () => affectedFiles,
               info.command().toString, format, part, mapped,
-              pinnedDeletes = () => morMask.deleteFiles)
+              pinnedDeletes = () => morMask.deleteFiles,
+              pinnedDvs = () => deltaDvPin)
           }
         case None => new Write {
           override def toBatch: BatchWrite = new GraftReplaceBatchWrite(
             spark, path, tableSchema, () => affectedFiles,
             info.command().toString, format, mapped = mapped,
-            pinnedDeletes = () => morMask.deleteFiles)
+            pinnedDeletes = () => morMask.deleteFiles,
+            pinnedDvs = () => deltaDvPin)
         }
       }
     }
@@ -230,7 +238,7 @@ private[v2] class FileTaggedScan(
     filesProvider: () => Seq[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
     dvPositions: () => Map[String, Array[Long]] = () => Map.empty,
-    eqMask: () => (Seq[(String, Long, Array[Long])], Map[String, Long]) =
+    eqMask: () => (Seq[graft.sources.EqVals], Map[String, Long]) =
       () => (Nil, Map.empty))
   extends Scan with Batch {
 
@@ -264,9 +272,9 @@ private[v2] class FileTaggedScan(
       "deletion-vector masking excludes row-group pushdown")
     val (eqs, dataSeq) = eqMask()
     // equality masking compares row VALUES — a pruned projection that
-    // dropped the equality column reads it back internally; the tagging
+    // dropped an equality column reads it back internally; the tagging
     // reader's output permutation never surfaces it
-    val innerCols = eqs.map(_._1).distinct
+    val innerCols = eqs.flatMap(_.cols).distinct
       .filterNot(dataCols.fieldNames.contains)
       .foldLeft(dataCols)((s, c) => s.add(tableSchema(c)))
     new FileTaggingReaderFactory(
@@ -291,7 +299,7 @@ private[v2] final class FileAwareScanBuilder(
     mkStream: Option[StructType =>
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream] = None,
     dvPositions: () => Map[String, Array[Long]] = () => Map.empty,
-    eqMask: () => (Seq[(String, Long, Array[Long])], Map[String, Long]) =
+    eqMask: () => (Seq[graft.sources.EqVals], Map[String, Long]) =
       () => (Nil, Map.empty))
   extends ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -361,7 +369,7 @@ private[v2] final class FileTaggingReaderFactory(
     outSchema: StructType,
     dataCols: StructType,
     dvPositions: Map[String, Array[Long]] = Map.empty,
-    eqDeletes: Seq[(String, Long, Array[Long])] = Nil,
+    eqDeletes: Seq[graft.sources.EqVals] = Nil,
     dataSeq: Map[String, Long] = Map.empty)
   extends PartitionReaderFactory {
 
@@ -379,37 +387,20 @@ private[v2] final class FileTaggingReaderFactory(
     val perm = outSchema.fields.map(f => dataIdx.getOrElse(f.name, -1))
     val types = dataCols.fields.map(_.dataType)
     // equality deletes applicable to THIS file: sequence strictly above
-    // the file's own data sequence (X300) — value sets per column index
+    // the file's own data sequence (X300) — N-column tuple sets, one
+    // membership check per delete file (X305 closed executor-side)
     val fileSeq = dataSeq.getOrElse(tagStr, Long.MaxValue)
-    val eqChecks: Array[(Int, java.util.HashSet[Long])] = eqDeletes
-      .filter(_._2 > fileSeq)
-      .map { case (c, _, vals) =>
-        val set = new java.util.HashSet[Long](vals.length * 2)
-        vals.foreach(v => set.add(v))
-        (dataIdx(c), set)
-      }.toArray
+    val eqChecks: Array[graft.sources.EqVals.Check] =
+      graft.sources.EqVals.checks(
+        eqDeletes.filter(_.seq > fileSeq)
+          .map(ev => (ev.cols.map(dataIdx).toArray, ev.tuples)),
+        types)
     val ir = inner.createReader(partition)
     new PartitionReader[InternalRow] {
       private var rowIdx = -1L
       private var mi = 0
-      private def eqDead(): Boolean = {
-        if (eqChecks.isEmpty) return false
-        val r = ir.get()
-        var i = 0
-        while (i < eqChecks.length) {
-          val (j, set) = eqChecks(i)
-          if (!r.isNullAt(j)) {
-            val v = types(j) match {
-              case org.apache.spark.sql.types.IntegerType =>
-                r.getInt(j).toLong
-              case _ => r.getLong(j)
-            }
-            if (set.contains(v)) return true
-          }
-          i += 1
-        }
-        false
-      }
+      private def eqDead(): Boolean =
+        eqChecks.nonEmpty && graft.sources.EqVals.hit(ir.get(), eqChecks)
       override def next(): Boolean = {
         while (ir.next()) {
           rowIdx += 1
@@ -451,7 +442,9 @@ private[v2] final class GraftReplaceBatchWrite(
     format: String = "delta",
     part: Option[IcebergLite.PartField] = None,
     mapped: Boolean = false,
-    pinnedDeletes: () => Set[String] = () => Set.empty)
+    pinnedDeletes: () => Set[String] = () => Set.empty,
+    pinnedDvs: () => Map[String, graft.sources.DeletionVectors.Descriptor] =
+      () => Map.empty)
   extends BatchWrite {
 
   private val token = java.util.UUID.randomUUID().toString.take(8)
@@ -500,7 +493,12 @@ private[v2] final class GraftReplaceBatchWrite(
     format match {
       case "delta" =>
         DeltaLite.commitReplaceFiles(spark, path, removeFiles(), addedAll,
-          operation, pvals)
+          operation, pvals,
+          // the DV descriptors known at pin: commit refuses loudly if a
+          // concurrent deleteWhereDV re-masked a removed file in the
+          // pin-to-commit window (liveness alone passes — the path
+          // stays live across a DV remove+re-add)
+          pinnedDvs = Some(pinnedDvs()))
       case _ =>
         // the spec's operation for replacing rows is `overwrite`,
         // whatever SQL verb drove it; identity-partitioned tables carry

@@ -48,6 +48,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
   private case class CowDelete(lo: Long, hi: Long) extends Op
   private case class MorDelete(lo: Long, hi: Long) extends Op // DV / pos
   private case class EqDelete(lo: Long, hi: Long) extends Op // values
+  // COMPOSITE-key equality delete (X305): tuples (k, 0) over a range —
+  // rows with g = 1 share the key column but must SURVIVE (the
+  // over-delete a per-column matcher would commit)
+  private case class EqDeleteMulti(lo: Long, hi: Long) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> (for {
@@ -61,7 +65,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
     } yield MorDelete(lo, lo + w)),
     1 -> (for {
       lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
-    } yield EqDelete(lo, lo + w)))
+    } yield EqDelete(lo, lo + w)),
+    1 -> (for {
+      lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
+    } yield EqDeleteMulti(lo, lo + w)))
 
   private val historyGen: Gen[List[Op]] = for {
     first <- Gen.choose(0L, 20L).map(a => Insert((a until a + 8).toSeq))
@@ -94,6 +101,14 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
         live.keys.toSeq.filter(k => k >= lo && k <= hi).foreach { k =>
           feed((k, "delete")) += live(k); live.remove(k)
         }
+      case EqDeleteMulti(lo, hi) =>
+        // tuple semantics: the delete file holds (k, 0) tuples, rows
+        // carry g = k % 2 — only EVEN keys in range match BOTH columns;
+        // odd keys share the k column with a tuple and must survive
+        live.keys.toSeq
+          .filter(k => k >= lo && k <= hi && k % 2 == 0).foreach { k =>
+            feed((k, "delete")) += live(k); live.remove(k)
+          }
     }
     feed.toMap
   }
@@ -106,7 +121,7 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
     n += 1
     val name = s"cfp_${fmt}_$n"
     spark.sql(s"DROP TABLE IF EXISTS $cat.db.$name")
-    spark.sql(s"CREATE TABLE $cat.db.$name (k BIGINT) USING $fmt")
+    spark.sql(s"CREATE TABLE $cat.db.$name (k BIGINT, g BIGINT) USING $fmt")
     (s"$cat.db.$name", s"$wh/db/$name")
   }
 
@@ -119,7 +134,7 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
       .table(s"$tbl.changes")
       .writeStream
       .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => {
-        df.collect().foreach { r =>
+        df.select("k", "_change_type").collect().foreach { r =>
           seen.computeIfAbsent((r.getLong(0), r.getString(1)),
             _ => new java.util.concurrent.atomic.AtomicInteger())
             .incrementAndGet()
@@ -138,21 +153,25 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
   property("Delta: arbitrary insert/COW/DV histories — stream == batch == model") =
     Prop.forAll(historyGen) { ops0 =>
       import spark.implicits._
-      // delta has no equality-delete kind: those histories land as DVs
+      // delta has no equality-delete kind: those histories (single- and
+      // multi-column alike) land as DV range deletes — the model runs
+      // on the MAPPED ops, so semantics stay aligned
       val ops = ops0.map {
         case EqDelete(lo, hi) => MorDelete(lo, hi)
+        case EqDeleteMulti(lo, hi) => MorDelete(lo, hi)
         case o => o
       }
       val (tbl, path) = fresh("delta")
       DeltaLite.enableCdf(spark, path) // v1
       ops.foreach {
         case Insert(keys) =>
-          DeltaLite.write(spark, keys.toDF("k"), path, collectStats = true)
+          DeltaLite.write(spark, keys.map(k => (k, k % 2)).toDF("k", "g"),
+            path, collectStats = true)
         case CowDelete(lo, hi) =>
           DeltaLite.deleteWhere(spark, path, "k", lo, hi)
         case MorDelete(lo, hi) =>
           DeltaLite.deleteWhereDV(spark, path, "k", lo, hi)
-        case EqDelete(_, _) => ()
+        case _ => ()
       }
       val want = model(ops)
       val batch = spark.sql(s"SELECT k, _change_type FROM $tbl.changes")
@@ -175,11 +194,18 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
       }
       val (tbl, path) = fresh("iceberg")
       ops.foreach {
-        case Insert(keys) => IcebergLite.write(spark, keys.toDF("k"), path)
+        case Insert(keys) =>
+          IcebergLite.write(spark, keys.map(k => (k, k % 2)).toDF("k", "g"),
+            path)
         case MorDelete(lo, hi) =>
           IcebergLite.deleteWhere(spark, path, "k", lo, hi)
         case EqDelete(lo, hi) =>
           IcebergLite.deleteWhereEquality(spark, path, "k", (lo to hi).toSeq)
+        case EqDeleteMulti(lo, hi) =>
+          // the REAL composite-key commit: (k, 0) tuples — the stream's
+          // executor-side tuple mask is what's under test here
+          IcebergLite.deleteWhereEqualityRows(spark, path,
+            (lo to hi).map(k => (k, 0L)).toDF("k", "g"))
         case CowDelete(_, _) => ()
       }
       val want = model(ops)

@@ -398,12 +398,17 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     feed.where($"_change_type" === "delete")
       .select("k", "grp").as[(Long, String)].collect().sorted shouldBe
       Seq((1L, "a"), (2L, "b"))
-    // the streaming feed refuses the multi-column kind WITH the remedy
-    val e = intercept[Exception] {
-      IcebergLite.changeUnits(spark, table,
-        IcebergLite.snapshotIdList(spark, table).apply(1))
+    // the streaming feed SERVES the multi-column kind too (X305 closed
+    // executor-side): the eq-delete snapshot plans value-filtered delete
+    // units whose payload is the (k, grp) TUPLE relation
+    val units = IcebergLite.changeUnits(spark, table,
+      IcebergLite.snapshotIdList(spark, table).apply(1))
+    val eqUnits = units.flatMap(_.emitEq)
+    eqUnits should not be empty
+    eqUnits.foreach { ev =>
+      ev.cols.toSet shouldBe Set("k", "grp")
+      ev.tuples.length shouldBe 2 // exactly the two deleted tuples
     }
-    e.getMessage should include("readChangelog")
   }
 
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
