@@ -3281,6 +3281,68 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X308: Iceberg `ALTER TABLE RENAME/DROP COLUMN` as NATIVE
+    * metadata-only schema evolution (spec §Schema Evolution — schemas
+    * are immutable and id-addressed, a field keeps its id across
+    * renames and ids are never reused after a drop): rename mints a new
+    * schema-id with the SAME field id, reads resolve each data file's
+    * parquet names through its WRITE schema by id (pre-rename files
+    * keep serving under the new name — not a byte moved), a widened
+    * append mixes name epochs in one table, and time travel below the
+    * rename answers under the ORIGINAL name. The key also drops a
+    * column metadata-only and pins that the dropped values are gone
+    * from the head read while the pre-drop snapshot still serves them. */
+  private def icebergSqlAlterRename(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "graftar"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_ar")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_ar")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_ar (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING,
+         |  junk BIGINT)
+         |USING iceberg""".stripMargin)
+    val table = s"$wh/db/orders_ar"
+    Tables.orders(spark, dir).createOrReplaceTempView("ar_src")
+    spark.sql(s"""INSERT INTO $catName.db.orders_ar
+      |SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderkey
+      |FROM ar_src WHERE o_orderkey % 2 = 0""".stripMargin)
+    val snap1 = IcebergLite.currentSnapshotId(spark, table)
+    def files(): Set[String] =
+      IcebergLite.snapshotFiles(spark, table, -1L).toSet
+    val before = files()
+    spark.sql(
+      s"ALTER TABLE $catName.db.orders_ar RENAME COLUMN o_totalprice TO price")
+    spark.sql(s"ALTER TABLE $catName.db.orders_ar DROP COLUMN junk")
+    val metadataOnly = files() == before
+    // widened append under the NEW name — epochs now mix in one table
+    spark.sql(s"""INSERT INTO $catName.db.orders_ar
+      |SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM ar_src WHERE o_orderkey % 2 = 1""".stripMargin)
+    // time travel BELOW the rename: the ORIGINAL names answer
+    val tt = spark.sql(
+      s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS t,
+         |  sum(junk) AS j
+         |FROM $catName.db.orders_ar VERSION AS OF $snap1""".stripMargin)
+      .collect().head
+    spark.sql(
+      s"""SELECT o_orderpriority AS prio, count(*) AS n,
+         |  round(sum(price), 2) AS total
+         |FROM $catName.db.orders_ar GROUP BY 1""".stripMargin)
+      .withColumn("metadata_only", lit(metadataOnly))
+      .withColumn("tt_n", lit(tt.getLong(0)))
+      .withColumn("tt_total", lit(tt.getDouble(1)))
+      .withColumn("tt_junk", lit(tt.getLong(2)))
+      .orderBy("prio")
+  }
+
   /** X291: streaming READ from a catalog table —
     * `spark.readStream.table(…)` with the commit log as the offset
     * axis: the first drain's batch is the table's snapshot, and a
@@ -3825,6 +3887,8 @@ object FormatQueries {
       ((s, dir) => streamToTable(s, dir, "iceberg")),
     "x_delta_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "delta")),
     "x_iceberg_sql_alter" -> ((s, dir) => sqlAlter(s, dir, "iceberg")),
+    "x_iceberg_sql_alter_rename" ->
+      ((s, dir) => icebergSqlAlterRename(s, dir)),
     "x_delta_sql_update_partitioned" ->
       ((s, dir) => deltaSqlUpdatePartitioned(s, dir)),
     "x_iceberg_partition_identity" ->
@@ -4403,6 +4467,19 @@ object FormatQueries {
         |    ELSE 'PRE-EVOLUTION' END AS prio,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  TRUE AS metadata_only
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
+    // Iceberg RENAME/DROP COLUMN: pre-rename files serve under the new
+    // name (head census = ALL orders), time travel below the rename
+    // answers under the original names including the since-dropped junk
+    "x_iceberg_sql_alter_rename" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS metadata_only,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS tt_n,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders
+        |   WHERE o_orderkey % 2 = 0) AS tt_total,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 2 = 0) AS tt_junk
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg TIMESTAMP AS OF through the stamped snapshot ledger:
     // ts1 window sees the first third, at-ts2 sees two thirds

@@ -2019,7 +2019,17 @@ object IcebergLite {
     * a snapshot: manifest list → manifests of that `content` → entries
     * with status != DELETED. All control-plane reads. */
   private def snapshotManifestFiles(spark: SparkSession, table: String,
-      snapshotId: Long, content: Int, metaV: Int = -1): Seq[(String, Long)] = {
+      snapshotId: Long, content: Int, metaV: Int = -1): Seq[(String, Long)] =
+    snapshotManifestEntries(spark, table, snapshotId, content, metaV)
+      .map(e => (e._1, e._2))
+
+  /** Like [[snapshotManifestFiles]] but also carrying each file's
+    * ADDING snapshot id (the manifest's added_snapshot_id, preserved
+    * through partial rewrites) — the coordinate that resolves which
+    * SCHEMA a data file's parquet column names were written under. */
+  private def snapshotManifestEntries(spark: SparkSession, table: String,
+      snapshotId: Long, content: Int, metaV: Int = -1)
+      : Seq[(String, Long, Long)] = {
     val fs = hadoopFs(spark, table)
     val v = if (metaV > 0) metaV else latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
@@ -2034,7 +2044,7 @@ object IcebergLite {
         readAvroFile(fs, new Path(m.path))
           .filter(_.get("status").asInstanceOf[Int] != 2)
           .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString, m.seq))
+            .get("file_path").toString, m.seq, m.addedSid))
       }
   }
 
@@ -2373,13 +2383,28 @@ object IcebergLite {
     parent.foreach(p => require(snapLists.contains(p),
       s"parent snapshot $p of $sid expired from $table: the change " +
         "stream cannot reconstruct the state diff"))
-    val cur = snapshotManifestFiles(spark, table, sid, content = 0)
-      .map { case (p, _) => (fileKeyRaw(p), p) }.toMap
-    val parSeqAndPath = parent.map(p =>
-      snapshotManifestFiles(spark, table, p, content = 0)
-        .map { case (q, s) => (fileKeyRaw(q), (q, s)) }.toMap)
-      .getOrElse(Map.empty[String, (String, Long)])
+    val curE = snapshotManifestEntries(spark, table, sid, content = 0)
+    val cur = curE.map { case (p, _, _) => (fileKeyRaw(p), p) }.toMap
+    val parE = parent.map(p =>
+      snapshotManifestEntries(spark, table, p, content = 0))
+      .getOrElse(Seq.empty)
+    val parSeqAndPath =
+      parE.map { case (q, s, _) => (fileKeyRaw(q), (q, s)) }.toMap
     val par = parSeqAndPath.map { case (k, (q, _)) => (k, q) }
+    // the feed's executor-side readers scan files BY NAME under the
+    // table's current schema — refuse units over files written under
+    // since-renamed names (remedy: rewriteDataFiles; scoped to THIS
+    // snapshot's involved files, never the whole feed)
+    locally {
+      val readSid = meta.get("current-schema-id").asInt()
+      val readFields = schemaFieldsById(meta, readSid)
+      val sidToSchema = snapshotSchemaIds(meta)
+      require((curE ++ parE).forall { e =>
+        val w = sidToSchema.getOrElse(e._3, readSid)
+        w == readSid || nameIdentical(meta, readFields, w)
+      }, s"snapshot $sid of $table involves files written under " +
+        "since-renamed column names — IcebergLite.rewriteDataFiles first")
+    }
     // delete-file inventory of a snapshot's list: (path, kind,
     // addedSid, sequence)
     def deleteFiles(s: Long): Seq[(String, Int, Long, Long)] =
@@ -2653,6 +2678,144 @@ object IcebergLite {
     fileKeyCol(url_decode(regexp_replace(c, "\\+", "%2B")))
   }
 
+  /** snapshot-id → recorded schema-id, for every snapshot that carries
+    * one (writers record the schema current at commit — exactly the
+    * NAMES their staged parquet columns bear, since metadata-only
+    * evolutions move `current-schema-id` without a snapshot). */
+  private def snapshotSchemaIds(
+      meta: com.fasterxml.jackson.databind.JsonNode): Map[Long, Int] = {
+    val m = mutable.Map.empty[Long, Int]
+    meta.get("snapshots").forEach(s =>
+      if (s.has("schema-id"))
+        m(s.get("snapshot-id").asLong()) = s.get("schema-id").asInt())
+    m.toMap
+  }
+
+  /** True iff write-schema `wsid`'s column NAMES agree with read-schema
+    * `readFields` wherever field ids are shared, AND no read-schema name
+    * collides with a DIFFERENT id's column in the write schema (the
+    * drop-then-re-add hazard: same name, new id — a by-name read would
+    * resurrect the dropped column's values). When this holds, a plain
+    * by-name scan of the file is exact. */
+  private def nameIdentical(meta: com.fasterxml.jackson.databind.JsonNode,
+      readFields: Seq[(Int, String, org.apache.spark.sql.types.DataType)],
+      wsid: Int): Boolean = {
+    val wf = schemaFieldsById(meta, wsid)
+    val wById = wf.map(x => x._1 -> x._2).toMap
+    val wNames = wf.map(_._2).toSet
+    readFields.forall { case (id, name, _) =>
+      wById.get(id) match {
+        case Some(w) => w == name
+        case None => !wNames.contains(name)
+      }
+    }
+  }
+
+  /** Scan `files` under read-schema `readSid`'s NAMES, resolving each
+    * file's physical parquet columns through the schema it was WRITTEN
+    * under — matched BY FIELD ID, the spec's identity rule, so renamed
+    * columns keep serving from pre-rename files and a re-added name
+    * never resurrects a dropped column's values. Files group by write
+    * schema (one multi-path scan per NAME EPOCH — the no-rename common
+    * case plans exactly today's single scan); fields absent from a
+    * file's write schema surface as NULL. `withMeta` appends the
+    * (__fn, __ri) position columns the delete machinery joins on. */
+  private def readUnderSchemaNames(spark: SparkSession,
+      meta: com.fasterxml.jackson.databind.JsonNode, readSid: Int,
+      files: Seq[(String, Long)], // (absolute path, added snapshot id)
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val readFields = schemaFieldsById(meta, readSid)
+    val readSchema = StructType(readFields.map(f =>
+      org.apache.spark.sql.types.StructField(f._2, f._3)))
+    val sidToSchema = snapshotSchemaIds(meta)
+    def metaCols(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.withColumn("__fn", fileKeyMeta(col("_metadata.file_path")))
+        .withColumn("__ri", col("_metadata.row_index"))
+    val bySchema = files.groupBy(f => sidToSchema.getOrElse(f._2, readSid))
+    if (bySchema.keys.forall(w => w == readSid ||
+        nameIdentical(meta, readFields, w)))
+      // FAST PATH (no live name drift): one by-name multi-path scan
+      return metaCols(spark.read.schema(readSchema)
+        .parquet(files.map(_._1): _*))
+    // a file whose adding snapshot EXPIRED cannot prove its name epoch
+    // once the table has drifted names — refuse rather than misread
+    require(files.forall(f => sidToSchema.contains(f._2)),
+      s"live data files predate retained history on a table with " +
+        "renamed columns — IcebergLite.rewriteDataFiles first")
+    val out = bySchema.toSeq.sortBy(_._1).map { case (wsid, group) =>
+      val wById = schemaFieldsById(meta, wsid).map(x => x._1 -> x._2).toMap
+      // physical read schema: the read fields PRESENT in this epoch,
+      // under their as-written names (types from the read schema — type
+      // evolution is not in this subset)
+      val phys = StructType(readFields.collect {
+        case (id, _, t) if wById.contains(id) =>
+          org.apache.spark.sql.types.StructField(wById(id), t)
+      })
+      val df = metaCols(spark.read.schema(phys)
+        .parquet(group.map(_._1): _*))
+      df.select(readFields.map { case (id, name, t) =>
+        wById.get(id) match {
+          case Some(w) => col(w).as(name)
+          case None => lit(null).cast(t).as(name)
+        }
+      } ++ (if (withMeta) Seq(col("__fn"), col("__ri")) else Nil): _*)
+    }
+    out.reduce(_.union(_))
+  }
+
+  /** True iff any LIVE data file was written under a schema whose
+    * column names drift from the current schema (a rename or a
+    * drop-then-re-add with older files still live) — the state in which
+    * by-NAME scans misread and id-aware paths must serve instead.
+    * Control-plane reads only; `rewriteDataFiles` clears it. */
+  private[graft] def nameDrift(spark: SparkSession, table: String,
+      snapshotId: Long = -1L): Boolean = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    if (v <= 0) return false
+    val meta = readMetadata(fs, table, v)
+    val readSid =
+      if (snapshotId < 0) meta.get("current-schema-id").asInt()
+      else schemaIdForSnapshot(meta, snapshotId)
+    val readFields = schemaFieldsById(meta, readSid)
+    // metadata-only precheck: unless SOME schema in the immutable list
+    // name-diverges from the current one, no file can drift — the
+    // no-rename common case never walks a manifest here
+    val anyDivergent = {
+      var divergent = false
+      meta.get("schemas").forEach { s =>
+        val sid = s.get("schema-id").asInt()
+        if (sid != readSid && !nameIdentical(meta, readFields, sid))
+          divergent = true
+      }
+      divergent
+    }
+    if (!anyDivergent) return false
+    if (meta.get("current-snapshot-id").asLong() < 0) return false
+    val sidToSchema = snapshotSchemaIds(meta)
+    snapshotManifestEntries(spark, table, snapshotId, content = 0)
+      .map(f => sidToSchema.getOrElse(f._3, readSid)).distinct
+      .exists(w => w != readSid && !nameIdentical(meta, readFields, w))
+  }
+
+  /** True iff the files ADDED at snapshot `sid` were written under
+    * column names that drift from the CURRENT schema — the guard for
+    * by-name incremental readers consuming a commit that predates a
+    * rename (metadata-only check). */
+  private[graft] def addedNamesDrift(spark: SparkSession, table: String,
+      sid: Long): Boolean = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    if (v <= 0) return false
+    val meta = readMetadata(fs, table, v)
+    val readSid = meta.get("current-schema-id").asInt()
+    val w = schemaIdForSnapshot(meta, sid)
+    w != readSid &&
+      !nameIdentical(meta, schemaFieldsById(meta, readSid), w)
+  }
+
   /** [[read]] with the option to RETAIN the (__fn, __ri) position columns
     * — the coordinate system [[deleteWhere]] records deletes in (`__fn`
     * is the [[fileKeyRaw]] two-component file key) — and to
@@ -2667,7 +2830,8 @@ object IcebergLite {
     val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
     val wanted =
       if (snapshotId < 0) meta.get("current-snapshot-id").asLong() else snapshotId
-    val allDataFiles = snapshotManifestFiles(spark, table, wanted, content = 0)
+    val allDataFiles = snapshotManifestEntries(spark, table, wanted,
+      content = 0)
     val dataFiles = onlyFiles match {
       case None => allDataFiles
       case Some(names) =>
@@ -2678,22 +2842,25 @@ object IcebergLite {
     val posDeletes = deleteEntries.filter(_._3 == 1)
     val eqDeletes = deleteEntries.filter(_._3 == 2)
     // head reads scan under the table's CURRENT schema (a metadata-only
-    // evolution surfaces immediately); time travel under the snapshot's
-    val readSchema =
-      if (snapshotId < 0) currentSchema(meta)
-      else schemaForSnapshot(meta, wanted)
-    val base = spark.read.schema(readSchema)
-      .parquet(dataFiles.map(_._1): _*)
+    // evolution surfaces immediately); time travel under the snapshot's.
+    // Files resolve their parquet column names through the schema they
+    // were WRITTEN under, by field id — a renamed column keeps serving
+    // from pre-rename files (one scan per name epoch; exactly one scan,
+    // unchanged, for the no-rename common case).
+    val readSid =
+      if (snapshotId < 0) meta.get("current-schema-id").asInt()
+      else schemaIdForSnapshot(meta, wanted)
+    val base = readUnderSchemaNames(spark, meta, readSid,
+      dataFiles.map(f => (f._1, f._3)),
+      withMeta = deleteEntries.nonEmpty || keepMeta)
     if (deleteEntries.isEmpty && !keepMeta) base
     else {
       import spark.implicits._
       // control-plane-sized lookup (one row per live file): data file →
       // its data sequence number — both delete kinds gate on it
       val dataSeq = dataFiles
-        .map { case (p, s) => (fileKeyRaw(p), s) }.toDF("__fn", "__dseq")
+        .map { case (p, s, _) => (fileKeyRaw(p), s) }.toDF("__fn", "__dseq")
       var cur = base
-        .withColumn("__fn", fileKeyMeta(col("_metadata.file_path")))
-        .withColumn("__ri", col("_metadata.row_index"))
       if (posDeletes.nonEmpty) {
         val delSeq = posDeletes
           .map { case (p, s, _) => (fileKeyRaw(p), s) }.toDF("__delfn", "__sseq")
@@ -3478,7 +3645,23 @@ object IcebergLite {
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val cur = meta.get("current-snapshot-id").asLong()
-    (snapshotFiles(spark, table, -1L, metaV = v),
+    val entries = snapshotManifestEntries(spark, table, -1L, content = 0,
+      metaV = v)
+    // the row-level scan reads data files BY NAME (the tagged parquet
+    // factory) — refuse while any live file predates a column rename
+    // (remedy: rewriteDataFiles, which restages under current names)
+    locally {
+      val readSid = meta.get("current-schema-id").asInt()
+      val readFields = schemaFieldsById(meta, readSid)
+      val sidToSchema = snapshotSchemaIds(meta)
+      require(entries.forall { e =>
+        val w = sidToSchema.getOrElse(e._3, readSid)
+        w == readSid || nameIdentical(meta, readFields, w)
+      }, s"$table has live files written under since-renamed column " +
+        "names — IcebergLite.rewriteDataFiles first, then retry the " +
+        "SQL row-level statement")
+    }
+    (entries.map(_._1),
       schemaForSnapshot(meta, cur),
       morRowLevelState(spark, table, metaV = v))
   }

@@ -309,9 +309,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     lazy val snapFiles = IcebergLite.snapshotFiles(s, path, version,
       metaV = pinnedV)
     val readDelegate: ReadPlan =
-      if (morState)
-        // merge-on-read state: serve the format reader's sequence-gated
-        // anti-join plan through the V1 bridge
+      if (morState || IcebergLite.nameDrift(s, path, version))
+        // merge-on-read state, or live files written under since-renamed
+        // column names (X308): serve the format reader's plan through
+        // the V1 bridge — it applies delete masks AND resolves each
+        // file's parquet names through its write schema by field id
         MorPlan(() => IcebergLite.read(s, path, version))
       else if (version < 0 && pfOpt.isDefined && s.conf.getOption(
           "spark.sql.sources.v2.bucketing.enabled").contains("true"))
@@ -568,15 +570,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           IcebergLite.addColumn(spark, path, add.fieldNames.head,
             add.dataType())
       case rn: TableChange.RenameColumn =>
-        require(isDelta && rn.fieldNames.length == 1,
-          s"ALTER TABLE $catName.$ident: RENAME COLUMN lowers to Delta " +
-            "column mapping — other shapes are outside this subset")
-        DeltaLite.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
+        // Delta: the column-mapping feature; Iceberg: NATIVE — schemas
+        // are immutable and id-addressed, so a rename is a new
+        // schema-id re-declaring the field under its new name (X308)
+        require(rn.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: nested column renames are " +
+            "outside this subset")
+        if (isDelta)
+          DeltaLite.renameColumn(spark, path, rn.fieldNames.head, rn.newName)
+        else
+          IcebergLite.renameColumn(spark, path, rn.fieldNames.head,
+            rn.newName)
       case del: TableChange.DeleteColumn =>
-        require(isDelta && del.fieldNames.length == 1,
-          s"ALTER TABLE $catName.$ident: DROP COLUMN lowers to Delta " +
-            "column mapping — other shapes are outside this subset")
-        DeltaLite.dropColumn(spark, path, del.fieldNames.head)
+        require(del.fieldNames.length == 1,
+          s"ALTER TABLE $catName.$ident: nested column drops are " +
+            "outside this subset")
+        if (isDelta) DeltaLite.dropColumn(spark, path, del.fieldNames.head)
+        else IcebergLite.dropColumn(spark, path, del.fieldNames.head)
       case sp: TableChange.SetProperty =>
         // SET TBLPROPERTIES lowers to the same metadata-only feature
         // commits CREATE-time TBLPROPERTIES take (X299)

@@ -72,7 +72,13 @@ private[v2] final class GraftTableStream(
           s"$path carries deletion vectors — the table stream serves " +
             "appends only; consume row-level changes via readCdf")
         snap.files
-      case _ => IcebergLite.addedFilesBetween(spark, path, -1L, v)
+      case _ =>
+        // the table stream scans files BY NAME under the stream schema —
+        // an initial snapshot holding pre-rename files would misread
+        require(!IcebergLite.nameDrift(spark, path),
+          s"$path has live files written under since-renamed column " +
+            "names — IcebergLite.rewriteDataFiles first, then stream")
+        IcebergLite.addedFilesBetween(spark, path, -1L, v)
     }
     else format match {
       case "delta" => DeltaLite.addedFilesBetween(spark, path, v - 1, v)
@@ -81,7 +87,11 @@ private[v2] final class GraftTableStream(
       // snapshot. addedFilesAt treats a gap id as an empty unit and diffs
       // a present id against its actual predecessor snapshot, so a
       // checkpointed stream survives ALTER + append.
-      case _ => IcebergLite.addedFilesAt(spark, path, v)
+      case _ =>
+        require(!IcebergLite.addedNamesDrift(spark, path, v),
+          s"snapshot $v of $path added files under since-renamed column " +
+            "names — IcebergLite.rewriteDataFiles first, then stream")
+        IcebergLite.addedFilesAt(spark, path, v)
     }
 
   override def initialOffset(): Offset = {

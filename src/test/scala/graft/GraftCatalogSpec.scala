@@ -683,6 +683,57 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     e2.getMessage should include("NULLABLE")
   }
 
+  test("Iceberg ALTER RENAME/DROP COLUMN: metadata-only, id-resolved reads, no id reuse (X308)") {
+    import spark.implicits._
+    val wh = warehouse
+    val tbl = "alt_ice_rn"
+    val path = s"$wh/db/$tbl"
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.$tbl")
+    spark.sql(s"CREATE TABLE $cat.db.$tbl (k BIGINT, v BIGINT) USING iceberg")
+    spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (1, 10), (2, 20)")
+    val snap1 = IcebergLite.currentSnapshotId(spark, path)
+    val before = IcebergLite.snapshotFiles(spark, path, -1L).toSet
+    // RENAME: a new schema-id, same field id — not a byte moved
+    spark.sql(s"ALTER TABLE $cat.db.$tbl RENAME COLUMN v TO price")
+    IcebergLite.snapshotFiles(spark, path, -1L).toSet shouldBe before
+    // pre-rename files serve under the NEW name (id-resolved read)
+    spark.sql(s"SELECT k, price FROM $cat.db.$tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Seq((1L, 10L), (2L, 20L))
+    // widened append under the new name mixes epochs in one table
+    spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (3, 30)")
+    spark.sql(s"SELECT sum(price) FROM $cat.db.$tbl").as[Long].head() shouldBe 60L
+    // time travel BELOW the rename answers under the ORIGINAL name
+    val tt = spark.sql(
+      s"SELECT k, v FROM $cat.db.$tbl VERSION AS OF $snap1 ORDER BY k")
+    tt.collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe
+      Seq((1L, 10L), (2L, 20L))
+    // DML on a drifted table refuses with the remedy; compaction
+    // restages under current names and clears the drift
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.$tbl SET price = price + 1 WHERE k = 1")
+    }
+    e.getMessage should include("rewriteDataFiles")
+    IcebergLite.rewriteDataFiles(spark, path)
+    spark.sql(s"UPDATE $cat.db.$tbl SET price = price + 1 WHERE k = 1")
+    spark.sql(s"SELECT sum(price) FROM $cat.db.$tbl").as[Long].head() shouldBe 61L
+    // DROP: metadata-only; the field id is NEVER reused — a re-added
+    // name is a NEW field, so surviving files surface NULL instead of
+    // resurrecting the dropped column's values
+    val beforeDrop = IcebergLite.snapshotFiles(spark, path, -1L).toSet
+    spark.sql(s"ALTER TABLE $cat.db.$tbl DROP COLUMN price")
+    IcebergLite.snapshotFiles(spark, path, -1L).toSet shouldBe beforeDrop
+    spark.sql(s"SELECT * FROM $cat.db.$tbl").columns shouldBe Array("k")
+    spark.sql(s"ALTER TABLE $cat.db.$tbl ADD COLUMNS (price BIGINT)")
+    spark.sql(s"SELECT k, price FROM $cat.db.$tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.isNullAt(1))) shouldBe
+      Seq((1L, true), (2L, true), (3L, true))
+    // stats written pre-rename keep pruning: manifest stats key by id
+    spark.sql(s"INSERT INTO $cat.db.$tbl VALUES (4, 400)")
+    spark.sql(s"SELECT count(*) FROM $cat.db.$tbl WHERE price = 400")
+      .as[Long].head() shouldBe 1L
+  }
+
   test("readStream.table survives ALTER + append: Iceberg snapshot ids are gap-tolerant") {
     import spark.implicits._
     val wh = warehouse
