@@ -138,7 +138,15 @@ final case class OptimizeTableCommand(ident: String,
     val (path, format) = MaintenanceSql.resolve(spark, ident)
     val (v, before, after) = (format, zorder) match {
       case ("delta", None) =>
-        DeltaLite.optimize(spark, path, targetFiles)
+        // a bare OPTIMIZE consults the table's DECLARED clustering
+        // domain (graft.clustering, X36ad): declared columns re-cluster
+        // without the operator re-stating them — Delta's clustered-table
+        // contract; undeclared tables bin-pack as before
+        DeltaLite.clusteringColumns(spark, path) match {
+          case Some(cols) => DeltaLite.optimizeClustered(spark, path,
+            cols, targetFiles = math.max(targetFiles, 4))
+          case None => DeltaLite.optimize(spark, path, targetFiles)
+        }
       case ("delta", Some((x, y))) =>
         DeltaLite.optimizeZorder(spark, path, x, y,
           targetFiles = math.max(targetFiles, 4))

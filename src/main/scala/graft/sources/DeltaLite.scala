@@ -1187,8 +1187,32 @@ object DeltaLite {
     * dataChange=false commit contract as [[optimize]]. Returns
     * (version, filesBefore, filesAfter). */
   def optimizeZorder(spark: SparkSession, table: String, colX: String,
-      colY: String, targetFiles: Int): (Long, Long, Long) = {
+      colY: String, targetFiles: Int): (Long, Long, Long) =
+    optimizeClustered(spark, table, Seq(colX, colY), targetFiles)
+
+  /** The table's DECLARED clustering columns, from the `graft.clustering`
+    * domain (X36ad: `{"cols":[…]}`) — what a bare `OPTIMIZE t` clusters
+    * on when the operator doesn't re-state them (Delta's clustered-table
+    * feature: the layout declaration lives WITH the table). None when
+    * the domain is absent or tombstoned. */
+  def clusteringColumns(spark: SparkSession,
+      table: String): Option[Seq[String]] =
+    domainMetadata(spark, table).get("graft.clustering").map { json =>
+      val node = mapper.readTree(json)
+      val cols = mutable.ArrayBuffer.empty[String]
+      node.path("cols").forEach(c => cols += c.asText())
+      cols.toSeq
+    }.filter(_.nonEmpty)
+
+  /** [[optimizeZorder]] generalized to a DECLARED column list: one
+    * column range-sorts (linear clustering — optimal for a single
+    * dimension), two columns Morton-interleave (the Z-order the box
+    * predicates want). Same one-version dataChange=false contract. */
+  def optimizeClustered(spark: SparkSession, table: String,
+      cols: Seq[String], targetFiles: Int): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, pmod}
+    require(cols.size == 1 || cols.size == 2,
+      s"clustered optimize takes 1 or 2 columns — got ${cols.mkString(",")}")
     val fs = hadoopFs(spark, table)
     requireNotMapped(spark, table, "optimizeZorder()")
     val latest = latestVersion(spark, table)
@@ -1201,8 +1225,12 @@ object DeltaLite {
     val v = latest + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staged = s"data/v$v-zord-$token"
-    src.withColumn("_z", FormatQueries.zValue(
-        pmod(col(colX), lit(65536L)), pmod(col(colY), lit(65536L))))
+    val clusterKey = cols match {
+      case Seq(x) => col(x)
+      case Seq(x, y) => FormatQueries.zValue(
+        pmod(col(x), lit(65536L)), pmod(col(y), lit(65536L)))
+    }
+    src.withColumn("_z", clusterKey)
       .repartitionByRange(targetFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -3596,6 +3596,73 @@ object FormatQueries {
       .orderBy("domain")
   }
 
+  /** X309: a bare `OPTIMIZE t` CONSUMES the table's declared clustering
+    * domain (closing the r14/r15 "declared but inert" gap): the
+    * `graft.clustering` domain (X36ad) names the columns once, and
+    * every OPTIMIZE thereafter re-clusters on them without the operator
+    * re-stating a ZORDER clause — Delta's clustered-table contract (the
+    * layout declaration lives WITH the table, so a 2 a.m. maintenance
+    * job can't silently bin-pack a Z-ordered 100 TB table flat). Pins:
+    * box-predicate pruning works after the clause-less OPTIMIZE (X36s
+    * machinery), the change feed stays silent (dataChange=false), and
+    * the domain survives checkpoint + expireLog. */
+  private def deltaOptimizeClustered(spark: SparkSession,
+      dir: String): DataFrame = {
+    val catName = "graftoc"
+    val wh = spark.conf
+      .getOption(s"spark.sql.catalog.$catName.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_oc")
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse", w)
+        w
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $catName.db.orders_oc")
+    spark.sql(
+      s"""CREATE TABLE $catName.db.orders_oc (
+         |  o_orderkey BIGINT, cx BIGINT, dy BIGINT, o_totalprice DOUBLE)
+         |USING delta
+         |TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true')"""
+        .stripMargin)
+    val table = s"$wh/db/orders_oc"
+    Tables.orders(spark, dir).createOrReplaceTempView("oc_src")
+    spark.sql(s"""INSERT INTO $catName.db.orders_oc
+      |SELECT o_orderkey, o_custkey % 65536,
+      |  CAST(datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')
+      |    AS BIGINT) % 65536,
+      |  o_totalprice
+      |FROM oc_src""".stripMargin)
+    // declare the clustering ONCE, in the domain the table carries
+    DeltaLite.setDomainMetadata(spark, table,
+      "graft.clustering", """{"cols":["cx","dy"]}""")
+    val cdfBefore = spark.sql(
+      s"SELECT count(*) FROM $catName.db.orders_oc.changes").first().getLong(0)
+    // NO ZORDER clause — the domain supplies the columns
+    val opt = spark.sql(s"OPTIMIZE $catName.db.orders_oc").collect().head
+    val nAfter = opt.getLong(2)
+    val cdfSilent = spark.sql(
+      s"SELECT count(*) FROM $catName.db.orders_oc.changes")
+      .first().getLong(0) == cdfBefore
+    // the Z-layout the domain demanded: box predicates prune on BOTH
+    // dimensions off the per-file stats
+    val (fx, _, _) = DeltaLite.planSkipping(spark, table, "cx", 10L, 60L)
+    val (fy, _, _) = DeltaLite.planSkipping(spark, table, "dy", 100L, 400L)
+    val sel = fx.toSet.intersect(fy.toSet).toSeq.sorted
+    val files = if (sel.nonEmpty) sel else (fx ++ fy).distinct
+    // the domain is system state that rides the LOG: checkpoint +
+    // expireLog must carry it (X36ad's survival contract)
+    DeltaLite.checkpoint(spark, table)
+    DeltaLite.expireLog(spark, table)
+    val domainSurvives = DeltaLite.clusteringColumns(spark, table)
+      .contains(Seq("cx", "dy"))
+    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      .where(col("cx").between(10, 60) && col("dy").between(100, 400))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("pruned", lit(if (sel.size < nAfter) 1L else 0L))
+      .withColumn("cdf_silent", lit(cdfSilent))
+      .withColumn("domain_survives", lit(domainSurvives))
+  }
+
   /** X36ab: Delta IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit
     * Timestamps) — the table's time axis moves INTO the commit: once
     * enabled, the commit arbiter stamps every commit's leading
@@ -3865,6 +3932,8 @@ object FormatQueries {
     "x_delta_sql_delete_dv" -> ((s, dir) => deltaSqlDeleteDv(s, dir)),
     "x_delta_cm_sql_update" -> ((s, dir) => deltaCmSqlUpdate(s, dir)),
     "x_delta_sql_optimize" -> ((s, dir) => deltaSqlOptimize(s, dir)),
+    "x_delta_optimize_clustered" ->
+      ((s, dir) => deltaOptimizeClustered(s, dir)),
     "x_iceberg_sql_maintenance" -> ((s, dir) => icebergSqlMaintenance(s, dir)),
     "x_delta_stream_to_table_partitioned" ->
       ((s, dir) => streamToTablePartitioned(s, dir)),
@@ -4927,6 +4996,17 @@ object FormatQueries {
     "x_delta_zorder" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
         |  CAST(1 AS BIGINT) AS pruned, CAST(4 AS BIGINT) AS files_total
+        |FROM orders
+        |WHERE (o_custkey % 65536) BETWEEN 10 AND 60
+        |  AND CAST(date_diff('day', DATE '1995-01-01',
+        |        CAST(o_orderdate AS DATE)) AS BIGINT) % 65536
+        |      BETWEEN 100 AND 400""".stripMargin,
+    // bare OPTIMIZE consumes the declared clustering domain: same box
+    // census as the explicit ZORDER key, feed silent, domain survives
+    "x_delta_optimize_clustered" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  CAST(1 AS BIGINT) AS pruned, TRUE AS cdf_silent,
+        |  TRUE AS domain_survives
         |FROM orders
         |WHERE (o_custkey % 65536) BETWEEN 10 AND 60
         |  AND CAST(date_diff('day', DATE '1995-01-01',
