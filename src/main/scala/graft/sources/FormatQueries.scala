@@ -822,6 +822,45 @@ object FormatQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** X310: Iceberg v3 DELETION VECTORS — position deletes move from
+    * parquet files into Puffin `deletion-vector-v1` blobs (one vector
+    * per data file; v3 shares the 64-bit portable RoaringBitmap layout
+    * with Delta's DVs, which this engine already frames): a DELETE
+    * writes KILOBYTES (no parquet delete file, no data rewrite — the
+    * only delete artifact is the .puffin carrier, pinned), an
+    * overlapping second DELETE merges into a SUPERSET vector
+    * (newest-wins at read), re-appended rows survive by sequence, and
+    * rewriteDataFiles materializes the vectors away (pinned: delete
+    * file set empty after, census unchanged). */
+  private def icebergDvPuffin(spark: SparkSession, dir: String): DataFrame = {
+    val table = Sinks.tempDir("ice_dv3_q")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    IcebergLite.write(spark, o.repartition(2), table)
+    IcebergLite.upgradeFormatVersion(spark, table, 3)
+    val (s2, _) = IcebergLite.deleteWhereDV(spark, table,
+      "o_orderkey", 1L, 700L)
+    val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    val puffinOnly = delFiles.nonEmpty && delFiles.forall(_.endsWith(".puffin"))
+    // overlapping second vector: superset merge, newest wins
+    IcebergLite.deleteWhereDV(spark, table, "o_orderkey", 600L, 900L)
+    // time travel below it sees only the first vector's masking
+    val ttRows = IcebergLite.read(spark, table, s2).count()
+    // sequence gating: re-appended keys survive the older vectors
+    IcebergLite.write(spark, o.where(col("o_orderkey") <= 50), table)
+    // compaction materializes the vectors away
+    IcebergLite.rewriteDataFiles(spark, table)
+    val deletesGone =
+      IcebergLite.snapshotDeleteFiles(spark, table, -1L).isEmpty
+    IcebergLite.read(spark, table)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .withColumn("puffin_only", lit(puffinOnly))
+      .withColumn("deletes_gone", lit(deletesGone))
+      .withColumn("tt_rows", lit(ttRows))
+      .orderBy("prio")
+  }
+
   /** X261l: ancestry-walking Iceberg incremental read — the range crosses
     * a `replace` (rewriteDataFiles) snapshot, which the manifest-list-diff
     * feed ([[icebergIncremental]]) must refuse (file attribution off the
@@ -2237,6 +2276,68 @@ object FormatQueries {
         |FROM graftmi.db.orders_mi GROUP BY o_orderpriority""".stripMargin)
       .withColumn("compacted", lit(b == filesBefore && a < b))
       .withColumn("expired", lit(expired >= 1L && deleted >= 1L))
+      .orderBy("prio")
+  }
+
+  /** X311: the BAD-INGEST REMEDIES through SQL — Iceberg
+    * `CALL cat.system.rollback_to_snapshot('db.t', sid)` (a
+    * METADATA-ONLY commit: `current-snapshot-id` + the `main` ref move
+    * back, ZERO data I/O at any table size — undoing a terabyte-scale
+    * mistake costs one small JSON write) and the Delta twin
+    * `CALL cat.system.restore('db.t', v)` (a NEW commit carrying the
+    * file-set diff). Both are history-PRESERVING: the orphaned bad head
+    * stays time-travelable (pinned), and the next Iceberg commit
+    * branches from the restored head — its parent pointer is the
+    * divergence witness (pinned). */
+  private def sqlCallRollback(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftrb.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_rb")
+        spark.conf.set("spark.sql.catalog.graftrb",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftrb.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val total = o.count()
+    val nBad = o.where(col("o_orderkey") <= 200).count()
+    // Iceberg: good snapshot → bad double-ingest → CALL rollback
+    val ti = s"$wh/db/orders_rbi"
+    spark.sql("DROP TABLE IF EXISTS graftrb.db.orders_rbi")
+    IcebergLite.write(spark, o, ti)
+    val good = IcebergLite.currentSnapshotId(spark, ti)
+    IcebergLite.write(spark, o.where(col("o_orderkey") <= 200), ti)
+    val bad = IcebergLite.currentSnapshotId(spark, ti)
+    val r = spark.sql("CALL graftrb.system.rollback_to_snapshot(" +
+      s"'db.orders_rbi', ${good}L)").collect()(0)
+    val rolledBack = r.getLong(0) == bad && r.getLong(1) == good &&
+      spark.table("graftrb.db.orders_rbi").count() == total
+    // the orphan is preserved (expirable, not rewound)
+    val orphanOk = IcebergLite.read(spark, ti, bad).count() == total + nBad
+    // the next commit branches FROM THE RESTORED HEAD
+    IcebergLite.write(spark, o.where(col("o_orderkey") <= 100), ti)
+    val branched = IcebergLite.parentSnapshotOf(spark, ti,
+      IcebergLite.currentSnapshotId(spark, ti)).contains(good)
+    // Delta twin: v0 good, v1 bad, CALL restore → v2 = v0's rows;
+    // v1 still serves time travel
+    val td = s"$wh/db/orders_rbd"
+    spark.sql("DROP TABLE IF EXISTS graftrb.db.orders_rbd")
+    DeltaLite.write(spark, o, td)
+    DeltaLite.write(spark, o.where(col("o_orderkey") <= 200), td)
+    val rr = spark.sql(
+      "CALL graftrb.system.restore('db.orders_rbd', 0L)").collect()(0)
+    val deltaRestored = rr.getLong(0) == 2L &&
+      spark.table("graftrb.db.orders_rbd").count() == total &&
+      DeltaLite.read(spark, td, versionAsOf = 1L).count() == total + nBad
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftrb.db.orders_rbi GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("rolled_back", lit(rolledBack))
+      .withColumn("orphan_ok", lit(orphanOk))
+      .withColumn("branched", lit(branched))
+      .withColumn("delta_restored", lit(deltaRestored))
       .orderBy("prio")
   }
 
@@ -3756,6 +3857,44 @@ object FormatQueries {
         |  (SELECT count(*) FROM gmeta.db.m.refs) AS n_refs""".stripMargin)
   }
 
+  /** X312: the TIME-TRAVEL-WIDE metadata tables through SQL —
+    * `cat.db.t.entries` (one row per manifest entry of the CURRENT
+    * snapshot, statuses included — `files` hides the deleted ones),
+    * `.all_manifests` (every retained snapshot's manifest list,
+    * `reference_snapshot_id` attributing the walk) and `.all_files`
+    * (every file live in ANY retained snapshot, deduped — the
+    * referenced-set a GC/audit sweep must respect). Lifecycle: two
+    * half-appends + a compaction; the entries recount equals the
+    * source census, the all-files recount equals both halves PLUS the
+    * compacted copy (history keeps pre-compaction files live), and the
+    * all_manifests walk covers all three snapshots, strictly wider
+    * than the current `manifests` view. Control-plane-sized: rows ∝
+    * snapshots × manifests, no data file opens. */
+  private def icebergMetaAll(spark: SparkSession, dir: String): DataFrame = {
+    val wh = Sinks.tempDir("cat_wh_ma")
+    spark.conf.set("spark.sql.catalog.gma",
+      classOf[graft.sources.v2.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gma.warehouse", wh)
+    val table = s"$wh/db/ma"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 0), table)
+    IcebergLite.write(spark, o.where(col("o_orderkey") % 2 === 1), table)
+    IcebergLite.rewriteDataFiles(spark, table)
+    val walked = spark.sql(
+      "SELECT count(*) AS r, count(DISTINCT reference_snapshot_id) AS s " +
+        "FROM gma.db.ma.all_manifests").collect()(0)
+    val curMans = spark.table("gma.db.ma.manifests").count()
+    val walkWider = walked.getLong(1) == 3L && walked.getLong(0) > curMans
+    spark.sql(
+      """SELECT
+        |  (SELECT sum(record_count) FROM gma.db.ma.entries
+        |     WHERE status <> 2 AND content = 0) AS live_records,
+        |  (SELECT sum(record_count) FROM gma.db.ma.all_files
+        |     WHERE content = 0) AS alltime_records""".stripMargin)
+      .withColumn("walk_wider", lit(walkWider))
+  }
+
   /** X268c: COLUMN-MAPPED table through SQL — the refusal X268 stated,
     * converted into a real read by FIELD-ID resolution: the catalog
     * serves the scan under logical names each stamped with its Delta
@@ -3943,6 +4082,9 @@ object FormatQueries {
     "x_iceberg_cdf_stream" -> ((s, dir) => icebergCdfStream(s, dir)),
     "x_iceberg_cdf_stream_dml" ->
       ((s, dir) => icebergCdfStreamDml(s, dir)),
+    "x_iceberg_dv_puffin" -> ((s, dir) => icebergDvPuffin(s, dir)),
+    "x_sql_call_rollback" -> ((s, dir) => sqlCallRollback(s, dir)),
+    "x_iceberg_meta_all" -> ((s, dir) => icebergMetaAll(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -4319,6 +4461,41 @@ object FormatQueries {
         |  SELECT 'delete', count(*), round(sum(o_totalprice), 2)
         |  FROM orders WHERE o_orderkey BETWEEN 1 AND 800
         |) ORDER BY ct""".stripMargin,
+    // v3 deletion vectors: DELETE 1..900 through two overlapping Puffin
+    // vectors, keys <= 50 re-appended after (survive by sequence),
+    // compaction materializes; tt_rows = census after the FIRST vector
+    "x_iceberg_dv_puffin" ->
+      """WITH live AS (
+        |  SELECT * FROM orders WHERE o_orderkey NOT BETWEEN 1 AND 900
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey <= 50
+        |)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS puffin_only, TRUE AS deletes_gone,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 1 AND 700) AS tt_rows
+        |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
+    // time-travel-wide metadata walk: entries recount = source census,
+    // all_files = both halves + the compacted copy (history live)
+    "x_iceberg_meta_all" ->
+      """SELECT (SELECT count(*) FROM orders) AS live_records,
+        |  (SELECT 2 * count(*) FROM orders) AS alltime_records,
+        |  TRUE AS walk_wider""".stripMargin,
+    // bad-ingest remedies through CALL: Iceberg rolled back to the good
+    // snapshot then appended keys <= 100 (branching from the restored
+    // head); Delta restored to v0 — final census = orders ∪ orders<=100
+    "x_sql_call_rollback" ->
+      """WITH live AS (
+        |  SELECT * FROM orders
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderkey <= 100
+        |)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS rolled_back, TRUE AS orphan_ok, TRUE AS branched,
+        |  TRUE AS delta_restored
+        |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
     // Iceberg DML change kinds streamed end-to-end: single-column +
     // COMPOSITE-tuple equality deletes, a sequence-gated upsert, then
     // SQL UPDATE on the eq-carrying table; oracle pins the FINAL census

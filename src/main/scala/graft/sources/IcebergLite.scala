@@ -264,7 +264,7 @@ object IcebergLite {
     * data file. */
   private def entrySchemaFor(partitioned: Boolean,
       withBounds: Boolean = false, withContent: Boolean = false,
-      withColStats: Boolean = false): Schema = {
+      withColStats: Boolean = false, withDvRef: Boolean = false): Schema = {
     require(!(withBounds && withColStats),
       "legacy single-column bounds and spec column-stats maps are " +
         "mutually exclusive manifest layouts")
@@ -311,6 +311,17 @@ object IcebergLite {
       if (withContent)
         """,{"name":"content","type":"int","default":0,"field-id":134}"""
       else ""
+    // v3 DELETION VECTORS (spec §Deletion vectors): a content=1 entry
+    // whose file is a PUFFIN blob carrier — referenced_data_file names
+    // the ONE data file the vector masks, content_offset/size locate the
+    // `deletion-vector-v1` blob inside the Puffin file (field-ids
+    // 143/144/145, the spec's own)
+    val dvFields =
+      if (withDvRef)
+        """,{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
+      else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
@@ -323,7 +334,7 @@ object IcebergLite {
          |        "type":{"type":"record","name":"r102","fields":[$partFields]}},
          |      {"name":"record_count","type":"long","field-id":103},
          |      {"name":"file_size_in_bytes","type":"long","field-id":104},
-         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields$colStatFields$contentField
+         |      {"name":"block_size_in_bytes","type":"long","field-id":105}$boundFields$colStatFields$contentField$dvFields
          |  ]}}
          |]}""".stripMargin)
   }
@@ -375,6 +386,12 @@ object IcebergLite {
     * partition). */
   private val deleteEntrySchemaPartitioned: Schema =
     entrySchemaFor(partitioned = true, withContent = true)
+
+  /** v3 DELETION-VECTOR manifest entry schema: content=1 entries whose
+    * file is a Puffin blob carrier with the spec's reference triple. */
+  private val deleteEntrySchemaDv: Schema =
+    entrySchemaFor(partitioned = false, withContent = true,
+      withDvRef = true)
 
   /** Spark → Iceberg primitive type names (the subset the fixture tables
     * use; Iceberg types are lowercase strings in metadata JSON). */
@@ -734,7 +751,7 @@ object IcebergLite {
     writeManifestList(table, listName,
       prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
         snapshotId, content = 0, seq = snapshotId, specId = defaultSpecId),
-      v2 = formatVersion == 2)
+      v2 = formatVersion >= 2)
     val committed = commitMetadataJson(fs, table, prevV, prevMeta,
       formatVersion, snapshotId, df.schema, partitionField, listName,
       operation.getOrElse(if (overwrite) "overwrite" else "append"),
@@ -773,7 +790,7 @@ object IcebergLite {
     }
     val root = mapper.createObjectNode()
     root.put("format-version", formatVersion)
-    if (formatVersion == 2) root.put("last-sequence-number", snapshotId)
+    if (formatVersion >= 2) root.put("last-sequence-number", snapshotId)
     root.put("table-uuid", prevMeta.map(_.get("table-uuid").asText())
       .getOrElse(java.util.UUID.randomUUID().toString))
     root.put("location", table)
@@ -897,7 +914,7 @@ object IcebergLite {
     val sn = snaps.addObject()
     sn.put("snapshot-id", snapshotId)
     parentSid.foreach(p => sn.put("parent-snapshot-id", p))
-    if (formatVersion == 2) sn.put("sequence-number", snapshotId)
+    if (formatVersion >= 2) sn.put("sequence-number", snapshotId)
     // the snapshot's time axis (spec: timestamp-ms). 0 by default — the
     // differential gate needs byte-deterministic metadata — and a real
     // stamp when the WRITER declares one (the Delta in-commit-timestamp
@@ -2070,6 +2087,11 @@ object IcebergLite {
             val d = e.get("data_file").asInstanceOf[GenericRecord]
             val kind =
               if (d.getSchema.getField("content") == null) 1 // pre-field writers: position
+              // v3: a content=1 entry naming a referenced_data_file is a
+              // DELETION VECTOR (Puffin blob, NOT parquet) — kind 3 so
+              // no consumer parquet-reads the carrier by accident
+              else if (d.getSchema.getField("referenced_data_file") != null &&
+                  d.get("referenced_data_file") != null) 3
               else d.get("content").asInstanceOf[Int]
             (d.get("file_path").toString, m.seq, kind)
           }
@@ -2289,9 +2311,15 @@ object IcebergLite {
               val d = e.get("data_file").asInstanceOf[GenericRecord]
               val kind =
                 if (d.getSchema.getField("content") == null) 1
+                else if (d.getSchema.getField("referenced_data_file") != null
+                    && d.get("referenced_data_file") != null) 3 // v3 DV
                 else d.get("content").asInstanceOf[Int]
               (d.get("file_path").toString, kind)
             })
+        require(newDeletes.forall(_._2 != 3),
+          s"snapshot $sid of $table commits v3 deletion vectors — the " +
+            "changelog serves parquet delete kinds; " +
+            "IcebergLite.rewriteDataFiles first")
         val morDeletes =
           if (newDeletes.isEmpty) None
           else {
@@ -2415,11 +2443,17 @@ object IcebergLite {
             val d = e.get("data_file").asInstanceOf[GenericRecord]
             val kind =
               if (d.getSchema.getField("content") == null) 1
+              else if (d.getSchema.getField("referenced_data_file") != null &&
+                  d.get("referenced_data_file") != null) 3 // v3 DV
               else d.get("content").asInstanceOf[Int]
             (d.get("file_path").toString, kind, m.addedSid, m.seq)
           })
     val sidDel = deleteFiles(sid)
     val parDel = parent.map(deleteFiles).getOrElse(Seq.empty)
+    require((sidDel ++ parDel).forall(_._2 != 3),
+      s"snapshot $sid of $table involves v3 deletion vectors — the " +
+        "streaming feed serves parquet delete kinds; " +
+        "IcebergLite.rewriteDataFiles first")
     def positionsBy(paths: Seq[String]): Map[String, Array[Long]] =
       if (paths.isEmpty) Map.empty
       else spark.read.parquet(paths: _*)
@@ -2882,6 +2916,22 @@ object IcebergLite {
           .select("__fn", "__ri")
         cur = cur.join(applicable, Seq("__fn", "__ri"), "left_anti")
       }
+      if (deleteEntries.exists(_._3 == 3)) {
+        // v3 DELETION VECTORS: the newest vector per data file masks its
+        // positions (sequence-gated like parquet position deletes — a
+        // file re-added after the vector keeps its rows). Positions pass
+        // through the driver bounded by the DELETED-row count, then join
+        // as a small relation; parquet delete rows for a vectored file
+        // are a subset of the vector (the writer's superset contract),
+        // so the union with the block above is exact.
+        val dvRows = dvPositionsByFile(spark, table, wanted).toSeq
+          .flatMap { case (fn, (pos, dvSeq)) =>
+            val applies = dataFiles.exists(f =>
+              fileKeyRaw(f._1) == fn && f._2 <= dvSeq)
+            if (applies) pos.map(p => (fn, p)) else Nil
+          }.toDF("__fn", "__ri")
+        cur = cur.join(dvRows, Seq("__fn", "__ri"), "left_anti")
+      }
       if (eqDeletes.nonEmpty) {
         // equality deletes suppress rows BY VALUE in data files with
         // sequence STRICTLY LESS than the delete's (spec §Scan Planning —
@@ -3107,7 +3157,8 @@ object IcebergLite {
         snapshotId, content = 1, seq = snapshotId),
       v2 = true)
     val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
-      formatVersion = 2, snapshotId, schema,
+      formatVersion = math.max(2,
+        prevMeta.path("format-version").asInt(1)), snapshotId, schema,
       partitionSpec(prevMeta), listName, "delete", Map.empty)
     if (!committed) {
       fs.delete(new Path(table, staged), true)
@@ -3115,6 +3166,224 @@ object IcebergLite {
       fs.delete(new Path(metaDir(table), listName), false)
       None
     } else Some((snapshotId, nTuples))
+  }
+
+  /** STICKY-UPWARD format-version upgrade (metadata-only commit; the
+    * spec's upgrade path — never a downgrade). v3 unlocks DELETION
+    * VECTORS ([[deleteWhereDV]]). Returns the new metadata version. */
+  def upgradeFormatVersion(spark: SparkSession, table: String,
+      to: Int): Int = {
+    require(to == 2 || to == 3, s"format-version $to outside the subset")
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val curFv = meta.path("format-version").asInt(1)
+    if (curFv >= to) return v
+    val copy = meta.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    copy.put("format-version", to)
+    if (!copy.has("last-sequence-number"))
+      copy.put("last-sequence-number",
+        meta.get("current-snapshot-id").asLong().max(0L))
+    if (!AtomicCreate.create(fs, metaFile(table, v + 1),
+        mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsString(copy).getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"upgradeFormatVersion lost the commit race on $table")
+    v + 1
+  }
+
+  /** Live v3 DELETION-VECTOR entries of a snapshot: (puffin path,
+    * referenced data-file key, blob offset, blob size, sequence). */
+  private def snapshotDvEntries(spark: SparkSession, table: String,
+      snapshotId: Long): Seq[(String, String, Long, Long, Long)] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    val meta = readMetadata(fs, table, v)
+    val wanted =
+      if (snapshotId < 0) meta.get("current-snapshot-id").asLong()
+      else snapshotId
+    val snap = metaJsonSnapshots(meta).find(_._1 == wanted).getOrElse(
+      return Seq.empty)
+    listEntries(fs, new Path(snap._2)).filter(_.content == 1).flatMap { m =>
+      readAvroFile(fs, new Path(m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .flatMap { e =>
+          val d = e.get("data_file").asInstanceOf[GenericRecord]
+          val refF = d.getSchema.getField("referenced_data_file")
+          val ref = if (refF == null) null else d.get("referenced_data_file")
+          if (ref == null) None
+          else Some((d.get("file_path").toString,
+            fileKeyRaw(ref.toString),
+            d.get("content_offset").asInstanceOf[Long],
+            d.get("content_size_in_bytes").asInstanceOf[Long],
+            m.seq))
+        }
+    }
+  }
+
+  /** The NEWEST deletion vector per data file, positions deserialized —
+    * driver-bounded by the deleted-row count (the DV cost model). The
+    * newest-wins rule mirrors the spec's writer obligation (a new DV
+    * REPLACES the file's old one and must be a superset). */
+  private def dvPositionsByFile(spark: SparkSession, table: String,
+      snapshotId: Long): Map[String, (Array[Long], Long)] = {
+    val fs = hadoopFs(spark, table)
+    val entries = snapshotDvEntries(spark, table, snapshotId)
+    if (entries.isEmpty) return Map.empty
+    // one read per Puffin file, blobs sliced by recorded offset/size
+    val bytesByPath = entries.map(_._1).distinct.map { p =>
+      val in = fs.open(new Path(p))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      finally in.close()
+      p -> buf.toByteArray
+    }.toMap
+    entries.groupBy(_._2).map { case (fileKey, es) =>
+      val (puffin, _, off, len, seq) = es.maxBy(_._5)
+      val payload = java.util.Arrays.copyOfRange(
+        bytesByPath(puffin), off.toInt, (off + len).toInt)
+      fileKey -> (DeletionVectors.deserializeBitmap(payload), seq)
+    }
+  }
+
+  /** Row-level DELETE as a v3 DELETION VECTOR (spec §Deletion vectors)
+    * — position deletes move from parquet files into ONE Puffin blob
+    * per affected data file (`deletion-vector-v1`: the 64-bit portable
+    * RoaringBitmap layout v3 shares with Delta's DV format, which
+    * [[DeletionVectors]] already implements): kilobytes written, no
+    * parquet delete file, no data-file rewrite. The new vector is the
+    * spec's SUPERSET: prior vector positions and still-applicable
+    * parquet position-delete rows for the affected files merge in, so
+    * readers apply ONLY the newest vector per file. Requires
+    * format-version 3 ([[upgradeFormatVersion]]); rewriteDataFiles
+    * materializes vectors away. Returns (snapshotId, newlyMasked). */
+  def deleteWhereDV(spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long, maxRetries: Int = 10): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      deleteDvOnce(spark, table, column, lo, hi) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"DV delete lost $maxRetries metadata races on $table")
+  }
+
+  private def deleteDvOnce(spark: SparkSession, table: String,
+      column: String, lo: Long, hi: Long): Option[(Long, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    require(prevMeta.path("format-version").asInt(1) >= 3,
+      s"deletion vectors are a format-version-3 feature — " +
+        s"IcebergLite.upgradeFormatVersion($table, 3) first")
+    require(partitionSpec(prevMeta).isEmpty,
+      "DV deletes on partitioned tables are outside this subset — " +
+        "use deleteWhere (position-delete parquet)")
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val dataSeq = snapshotManifestFiles(spark, table, cur, content = 0)
+      .map { case (p, s) => (fileKeyRaw(p), (p, s)) }.toMap
+    val snapshotId = prevV + 1L
+    // matched LIVE positions — prior masks (parquet deletes AND vectors)
+    // already applied by the read, so this is exactly the NEW deletions;
+    // driver-bounded by the deleted-row count (the DV cost model)
+    val matched = readLive(spark, table, cur, keepMeta = true)
+      .where(col(column).between(lo, hi))
+      .select("__fn", "__ri").collect()
+      .groupBy(_.getString(0))
+      .map { case (fn, rows) => fn -> rows.map(_.getLong(1)) }
+    if (matched.isEmpty) return Some((cur, 0L))
+    val nNew = matched.values.map(_.length.toLong).sum
+    // the SUPERSET contract: the file's new vector = prior vector ∪
+    // still-applicable parquet position-delete rows ∪ new matches
+    val priorDvs = dvPositionsByFile(spark, table, cur)
+    val priorParquet: Map[String, Array[Long]] = {
+      val pos = snapshotDeleteEntries(spark, table, cur).filter(_._3 == 1)
+      if (pos.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{broadcast, col => c}
+        import spark.implicits._
+        val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
+          .toDF("__delfn", "__sseq")
+        spark.read.parquet(pos.map(_._1): _*)
+          .select(fileKeyCol(c("file_path")).as("__fn"), c("pos"),
+            fileKeyMeta(c("_metadata.file_path")).as("__delfn"))
+          .join(broadcast(delSeq), "__delfn")
+          .collect().groupBy(_.getAs[String]("__fn"))
+          .collect { case (fn, rows) if matched.contains(fn) &&
+              dataSeq.contains(fn) =>
+            val dseq = dataSeq(fn)._2
+            fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
+              .map(_.getAs[Long]("pos"))
+          }.toMap
+      }
+    }
+    val vectors = matched.toSeq.sortBy(_._1).map { case (fn, pos) =>
+      val all = (pos ++
+        priorDvs.get(fn).filter(_._2 >= dataSeq(fn)._2).map(_._1)
+          .getOrElse(Array.empty[Long]) ++
+        priorParquet.getOrElse(fn, Array.empty[Long])).distinct.sorted
+      (fn, all)
+    }
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val written = Puffin.write(
+      vectors.map { case (fn, pos) =>
+        ("deletion-vector-v1", Seq.empty[Int], snapshotId, snapshotId,
+          Map("referenced-data-file" -> dataSeq(fn)._1,
+            "cardinality" -> pos.length.toString),
+          DeletionVectors.serializeBitmap(pos))
+      },
+      Map("created-by" -> "graft IcebergLite"))
+    val rel = s"data/s$snapshotId-$token-dv.puffin"
+    val out = fs.create(new Path(table, rel), false)
+    try out.write(written.bytes) finally out.close()
+    val entries = vectors.zip(written.blobs).map { case ((fn, pos), b) =>
+      val e = new GenericData.Record(deleteEntrySchemaDv)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(
+        deleteEntrySchemaDv.getField("data_file").schema())
+      d.put("file_path", s"$table/$rel")
+      d.put("file_format", "PUFFIN")
+      d.put("partition", new GenericData.Record(deleteEntrySchemaDv
+        .getField("data_file").schema().getField("partition").schema()))
+      d.put("record_count", pos.length.toLong)
+      d.put("file_size_in_bytes", written.bytes.length.toLong)
+      d.put("block_size_in_bytes", 64L * 1024 * 1024)
+      d.put("content", 1)
+      d.put("referenced_data_file", dataSeq(fn)._1)
+      d.put("content_offset", b.offset)
+      d.put("content_size_in_bytes", b.length)
+      e.put("data_file", d)
+      e
+    }
+    val manifestName = s"$snapshotId-$token-dv-m0.avro"
+    val manifestLen = writeAvroFile(
+      new File(new File(table, "metadata"), manifestName),
+      deleteEntrySchemaDv, entries)
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
+    val prior = listEntries(fs, new Path(curList))
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName,
+      prior :+ MEntry(s"$table/metadata/$manifestName", manifestLen,
+        snapshotId, content = 1, seq = snapshotId,
+        specId = prevMeta.path("default-spec-id").asInt(0)),
+      v2 = true)
+    val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
+      formatVersion = prevMeta.path("format-version").asInt(1), snapshotId,
+      schemaForSnapshot(prevMeta, cur), partitionSpec(prevMeta), listName,
+      "delete", Map.empty)
+    if (!committed) {
+      fs.delete(new Path(table, rel), false)
+      fs.delete(new Path(metaDir(table), manifestName), false)
+      fs.delete(new Path(metaDir(table), listName), false)
+      None
+    } else Some((snapshotId, nNew))
   }
 
   private def deleteOnce(spark: SparkSession, table: String, column: String,
@@ -3176,7 +3445,8 @@ object IcebergLite {
         snapshotId, content = 1, seq = snapshotId, specId = defaultSpecId),
       v2 = true)
     val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
-      formatVersion = 2, snapshotId, schemaForSnapshot(prevMeta, cur),
+      formatVersion = math.max(2,
+        prevMeta.path("format-version").asInt(1)), snapshotId, schemaForSnapshot(prevMeta, cur),
       partitionSpec(prevMeta), listName, "delete", Map.empty)
     if (!committed) {
       fs.delete(new Path(table, staged), true)
@@ -3309,7 +3579,8 @@ object IcebergLite {
             specId = defaultSpecId)),
         v2 = true)
       val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
-        formatVersion = 2, snapshotId, schema, spec, listName,
+        formatVersion = math.max(2,
+        prevMeta.path("format-version").asInt(1)), snapshotId, schema, spec, listName,
         "overwrite", Map.empty)
       if (!committed) {
         fs.delete(new Path(table, stagedDel), true)
@@ -3490,7 +3761,7 @@ object IcebergLite {
       if (touched.isEmpty) {
         // nothing matched: a plain append commit of the source
         return writeOnce(spark, src, table, overwrite = false, None,
-          Map.empty, None, Some("append"), formatV2 = formatVersion == 2)
+          Map.empty, None, Some("append"), formatV2 = formatVersion >= 2)
           .map(sid => (sid, 0L, rowsInserted))
       }
       val snapshotId = prevV + 1L
@@ -3543,7 +3814,7 @@ object IcebergLite {
       writeManifestList(table, listName,
         carried :+ MEntry(s"$table/metadata/$dataManifestName",
           dataManifestLen, snapshotId, content = 0, seq = snapshotId),
-        v2 = formatVersion == 2)
+        v2 = formatVersion >= 2)
       val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
         formatVersion, snapshotId, schema, None, listName,
         "overwrite", Map.empty)
@@ -3587,6 +3858,9 @@ object IcebergLite {
       table: String, metaV: Int = -1): MorMask = {
     val deletes = snapshotDeleteEntries(spark, table, -1L, metaV = metaV)
     if (deletes.isEmpty) return MorMask.empty
+    require(deletes.forall(_._3 != 3),
+      s"$table carries v3 deletion vectors — the SQL row-level masks " +
+        "serve parquet delete kinds; IcebergLite.rewriteDataFiles first")
     val dataSeq = snapshotManifestFiles(spark, table, -1L, content = 0,
       metaV = metaV).map { case (p, s) => (fileKeyRaw(p), s) }.toMap
     val pos = deletes.filter(_._3 == 1)
@@ -3718,6 +3992,12 @@ object IcebergLite {
           require(fresh.forall(_._3 != 2),
             s"$operation on $table conflicts with a concurrent equality " +
               "delete — re-run the statement against the new snapshot")
+          // a concurrent v3 deletion vector always conflicts (the
+          // rewrite was staged from the pinned mask, which lacks it)
+          require(fresh.forall(_._3 != 3),
+            s"$operation on $table conflicts with a concurrent deletion-" +
+              "vector commit — re-run the statement against the new " +
+              "snapshot")
           val removedKeys = removePaths.map(fileKeyRaw).toSet
           val touched = spark.read.parquet(fresh.map(_._1): _*)
             .select("file_path").collect()
@@ -3805,7 +4085,7 @@ object IcebergLite {
       carried ++ dataManifest.map { case (n, len) =>
         MEntry(s"$table/metadata/$n", len, snapshotId, content = 0,
           seq = snapshotId, specId = defaultSpecId) },
-      v2 = formatVersion == 2)
+      v2 = formatVersion >= 2)
     if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
         snapshotId, schema, pfOpt, listName, operation, Map.empty)) {
       written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
@@ -3825,6 +4105,22 @@ object IcebergLite {
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     readMetadata(fs, table, v).get("current-snapshot-id").asLong()
+  }
+
+  /** A snapshot's parent pointer (None for roots or pre-pointer
+    * writers) — the branch-divergence witness after a rollback. */
+  private[graft] def parentSnapshotOf(spark: SparkSession, table: String,
+      snapshotId: Long): Option[Long] = {
+    val fs = hadoopFs(spark, table)
+    val v = latestMetadataVersion(spark, table)
+    require(v > 0, s"$table has no Iceberg metadata")
+    var parent: Option[Long] = None
+    readMetadata(fs, table, v).get("snapshots").forEach { s =>
+      if (s.get("snapshot-id").asLong() == snapshotId &&
+          s.has("parent-snapshot-id"))
+        parent = Some(s.get("parent-snapshot-id").asLong())
+    }
+    parent
   }
 
   /** The ids actually present in the current metadata's snapshots list,
@@ -3973,7 +4269,7 @@ object IcebergLite {
       carried :+ MEntry(s"$table/metadata/$mName", mLen, snapshotId,
         content = 0, seq = snapshotId,
         specId = prevMeta.get("default-spec-id").asInt()),
-      v2 = formatVersion == 2)
+      v2 = formatVersion >= 2)
     if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
         snapshotId, schema, None, listName, "append",
         Map("graft-batch-id" -> epochId.toString,
@@ -4065,7 +4361,7 @@ object IcebergLite {
     writeManifestList(table, listName,
       carried :+ MEntry(s"$table/metadata/$mName", mLen, snapshotId,
         content = 0, seq = snapshotId, specId = defaultSpecId),
-      v2 = formatVersion == 2)
+      v2 = formatVersion >= 2)
     if (!commitMetadataJson(fs, table, prevV, Some(prevMeta), formatVersion,
         snapshotId, schema, Some(pf), listName, "overwrite", Map.empty)) {
       fs.delete(new Path(table, stagedRel), true)
@@ -4345,9 +4641,72 @@ object IcebergLite {
           }
           .toDF("partition", "n_files", "record_count")
           .orderBy("partition")
+      case "entries" =>
+        // `table$entries`: one row per manifest ENTRY of the current
+        // snapshot, statuses INCLUDED (0 existing / 1 added / 2 deleted
+        // — `files` hides 2s; this is the audit view of what each
+        // manifest physically carries and which snapshot wrote it).
+        val rows = currentList.flatMap { m =>
+          readAvroFile(fs, new Path(m.path)).map { e =>
+            val d = e.get("data_file")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val content =
+              if (d.getSchema.getField("content") == null) m.content
+              else d.get("content").asInstanceOf[Int]
+            val entrySid = Option(e.get("snapshot_id"))
+              .map(_.asInstanceOf[Long]).getOrElse(m.addedSid)
+            (e.get("status").asInstanceOf[Int], entrySid, m.seq, content,
+              new Path(d.get("file_path").toString).getName,
+              d.get("file_format").toString,
+              d.get("record_count").asInstanceOf[Long])
+          }
+        }
+        rows.toDF("status", "snapshot_id", "sequence_number", "content",
+          "file_path", "file_format", "record_count")
+          .orderBy("sequence_number", "content", "file_path", "status")
+      case "all_manifests" =>
+        // `table$all_manifests`: the manifests view widened across ALL
+        // retained snapshots (one row per snapshot × manifest-list
+        // entry, reference_snapshot_id attributing the walk). Control-
+        // plane-sized: retained snapshots × their list rows — no
+        // manifest needs opening beyond the lists themselves.
+        val rows = metaJsonSnapshots(meta).flatMap { case (sid, list) =>
+          listEntries(fs, new Path(list)).map { m =>
+            (sid, new Path(m.path).getName, m.len, m.content, m.seq,
+              m.addedSid)
+          }
+        }
+        rows.toDF("reference_snapshot_id", "path", "length", "content",
+          "sequence_number", "added_snapshot_id")
+          .orderBy("reference_snapshot_id", "sequence_number", "path")
+      case "all_files" =>
+        // `table$all_files`: every data/delete file LIVE in any retained
+        // snapshot, deduped — the time-travel-wide inventory (what a
+        // GC/audit sweep must treat as referenced; expireSnapshots'
+        // delete set is exactly live(current) subtracted from this).
+        val rows = metaJsonSnapshots(meta).flatMap { case (_, list) =>
+          listEntries(fs, new Path(list)).flatMap { m =>
+            readAvroFile(fs, new Path(m.path))
+              .filter(_.get("status").asInstanceOf[Int] != 2)
+              .map { e =>
+                val d = e.get("data_file")
+                  .asInstanceOf[org.apache.avro.generic.GenericRecord]
+                val content =
+                  if (d.getSchema.getField("content") == null) m.content
+                  else d.get("content").asInstanceOf[Int]
+                (content, new Path(d.get("file_path").toString).getName,
+                  d.get("file_format").toString,
+                  d.get("record_count").asInstanceOf[Long],
+                  d.get("file_size_in_bytes").asInstanceOf[Long])
+              }
+          }
+        }.distinct
+        rows.toDF("content", "file_path", "file_format", "record_count",
+          "file_size_in_bytes").orderBy("content", "file_path")
       case other => throw new IllegalArgumentException(
-        s"unknown metadata table '$other' " +
-          "(snapshots | manifests | files | refs | partitions)")
+        s"unknown metadata table '$other' (snapshots | manifests | " +
+          "files | refs | partitions | entries | all_manifests | " +
+          "all_files)")
     }
   }
 }

@@ -187,7 +187,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * serves as a [[LocalRowsTable]] (control-plane-sized by
     * construction: rows ∝ snapshots/manifests, never data). Kinds:
     * Iceberg `snapshots | manifests | files | refs | partitions |
-    * history`; Delta `history` (DESCRIBE HISTORY's relation). Time
+    * entries | all_manifests | all_files | history`; Delta `history`
+    * (DESCRIBE HISTORY's relation). Time
     * travel on a metadata table refuses — the relations are already
     * ABOUT history. */
   private def loadMetadataTable(ident: Identifier,
@@ -231,7 +232,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val IceMetaKinds =
-    Set("snapshots", "manifests", "files", "refs", "partitions")
+    Set("snapshots", "manifests", "files", "refs", "partitions",
+      "entries", "all_manifests", "all_files")
 
   private def loadDelta(ident: Identifier, path: String,
       version: Long): Table = {

@@ -42,7 +42,7 @@ private[v2] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("rewrite_data_files", "expire_snapshots", "vacuum",
-      "write_statistics")
+      "write_statistics", "rollback_to_snapshot", "restore")
 
   def load(warehouse: String, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -126,6 +126,36 @@ private[v2] object GraftProcedures {
             }
           }
       }
+      // X311: the BAD-INGEST REMEDIES, catalog-addressable (the op an
+      // operator wants at 2 a.m. without an API session). Both are
+      // history-preserving commits, never rewinds: the orphaned head
+      // stays time-travelable and expirable.
+      case "rollback_to_snapshot" => unboundLong(warehouse,
+        "rollback_to_snapshot", longParamName = "snapshot_id",
+        out = StructType(new StructType()
+          .add("previous_snapshot_id", LongType)
+          .add("current_snapshot_id", LongType)),
+        run = (spark, path, format, sid) => {
+          require(format == "iceberg",
+            "rollback_to_snapshot is the Iceberg procedure — Delta " +
+              "tables CALL system.restore(table, version)")
+          val before = IcebergLite.currentSnapshotId(spark, path)
+          // metadata-only commit: current-snapshot-id + main ref move,
+          // zero data I/O regardless of table size (the 100 TB remedy)
+          IcebergLite.rollbackTo(spark, path, sid)
+          InternalRow(before, IcebergLite.currentSnapshotId(spark, path))
+        })
+      case "restore" => unboundLong(warehouse, "restore",
+        longParamName = "version",
+        out = StructType(new StructType()
+          .add("version", LongType)
+          .add("restored_to", LongType)),
+        run = (spark, path, format, ver) => {
+          require(format == "delta",
+            "restore is the Delta procedure — Iceberg tables CALL " +
+              "system.rollback_to_snapshot(table, snapshot_id)")
+          InternalRow(DeltaLite.restore(spark, path, ver), ver)
+        })
       case other =>
         throw new IllegalArgumentException(
           s"no procedure system.$other — this catalog serves " +
@@ -148,6 +178,35 @@ private[v2] object GraftProcedures {
         s"'$table' resolves to $path, which holds no Delta log or " +
           "Iceberg metadata")
     (path, format)
+  }
+
+  /** Like [[unbound]] but the second parameter is a REQUIRED long —
+    * snapshot ids / versions have no sensible default. */
+  private def unboundLong(warehouse: String, procName: String,
+      longParamName: String, out: StructType,
+      run: (SparkSession, String, String, Long) => InternalRow)
+      : UnboundProcedure = new UnboundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = procName
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in(longParamName, LongType).build())
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = SparkSession.active
+          val table = input.getUTF8String(0).toString
+          require(!input.isNullAt(1),
+            s"$procName requires $longParamName")
+          val (path, format) = resolve(warehouse, table)
+          val row = run(spark, path, format, input.getLong(1))
+          java.util.List.of[Scan](new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = out
+          }).iterator()
+        }
+      }
   }
 
   private def unbound(warehouse: String, procName: String,

@@ -411,6 +411,48 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("v3 deletion vectors: Puffin blobs, superset merge, sequence gating, compaction materializes (X310)") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_dv3")
+    IcebergLite.write(spark,
+      (0L until 10L).map(i => (i, i * 10)).toDF("k", "v").repartition(2),
+      table)
+    IcebergLite.upgradeFormatVersion(spark, table, 3)
+    val (s2, n1) = IcebergLite.deleteWhereDV(spark, table, "k", 0L, 2L)
+    n1 shouldBe 3L
+    // the ONLY delete artifact is the Puffin carrier — no parquet file
+    val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    delFiles should not be empty
+    all(delFiles) should endWith(".puffin")
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(3L to 9L)
+    // overlapping second delete: the file's NEW vector is a superset of
+    // the old one (merged), newest-wins at read
+    val (_, n2) = IcebergLite.deleteWhereDV(spark, table, "k", 2L, 4L)
+    n2 shouldBe 2L // 3 and 4 — 2 was already masked
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(5L to 9L)
+    // time travel below the second vector sees only the first
+    IcebergLite.read(spark, table, s2).select("k").as[Long].collect()
+      .sorted.shouldBe(3L to 9L)
+    // sequence gating: re-appended keys survive (the vectors reference
+    // the ORIGINAL files, not the new one)
+    IcebergLite.write(spark, Seq((0L, 999L), (3L, 999L)).toDF("k", "v"),
+      table)
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(Seq(0L, 3L) ++ (5L to 9L))
+    // the streaming feed refuses the vector kind with the remedy
+    val e = intercept[Exception] {
+      IcebergLite.changeUnits(spark, table, s2)
+    }
+    e.getMessage should include("rewriteDataFiles")
+    // compaction materializes vectors away; census unchanged
+    IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(Seq(0L, 3L) ++ (5L to 9L))
+  }
+
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")
