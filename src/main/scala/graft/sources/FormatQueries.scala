@@ -2503,6 +2503,58 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X313: `MERGE INTO … WITH SCHEMA EVOLUTION` — the standard
+    * CDC-landing shape when upstream adds a column: a source frame with
+    * an extra column WIDENS the target before the rewrite plans
+    * (Spark's native ResolveMergeIntoSchemaEvolution path, gated on the
+    * clause AND the table's AUTOMATIC_SCHEMA_EVOLUTION capability — a
+    * plain MERGE never auto-evolves). Both formats in one key: the same
+    * evolving merge runs on Delta and Iceberg; pre-merge rows surface
+    * the new column as NULL, merged rows carry values, and the two
+    * formats' final censuses must agree (pinned). On Iceberg the
+    * rewrite commit must then keep the EVOLVED schema current — head
+    * commits record the table's current schema, not the head snapshot's
+    * own (the two diverge after any metadata-only evolution). */
+  private def sqlMergeEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftme.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_mevo")
+        spark.conf.set("spark.sql.catalog.graftme",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftme.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+    val target = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // the evolved source: +500 on price, plus a column the target lacks
+    o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + 500.0).as("o_totalprice"),
+        col("o_orderpriority"))
+      .createOrReplaceTempView("mevo_src")
+    def runOn(fmt: String, tn: String): DataFrame = {
+      val t = s"$wh/db/$tn"
+      spark.sql(s"DROP TABLE IF EXISTS graftme.db.$tn")
+      if (fmt == "delta") DeltaLite.write(spark, target, t)
+      else IcebergLite.write(spark, target, t)
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO graftme.db.$tn t
+           |USING mevo_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.sql(
+        s"""SELECT coalesce(o_orderpriority, '(none)') AS prio,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+           |FROM graftme.db.$tn GROUP BY 1""".stripMargin)
+    }
+    val d = runOn("delta", "orders_mevo_d").orderBy("prio")
+    val i = runOn("iceberg", "orders_mevo_i").orderBy("prio")
+    val twinMatch = d.collect().toSeq == i.collect().toSeq
+    d.withColumn("twin_match", lit(twinMatch))
+  }
+
   /** X288: SQL `UPDATE` on a PARTITIONED Delta table — the row-level
     * rewrite's write plan demands clustering+ordering on the partition
     * column, so the rolling writers emit one staged file per partition
@@ -4085,6 +4137,7 @@ object FormatQueries {
     "x_iceberg_dv_puffin" -> ((s, dir) => icebergDvPuffin(s, dir)),
     "x_sql_call_rollback" -> ((s, dir) => sqlCallRollback(s, dir)),
     "x_iceberg_meta_all" -> ((s, dir) => icebergMetaAll(s, dir)),
+    "x_sql_merge_evolution" -> ((s, dir) => sqlMergeEvolution(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -4476,6 +4529,21 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey NOT BETWEEN 1 AND 700) AS tt_rows
         |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
+    // evolving MERGE: target = evens (no priority column); source =
+    // k%3==0 with +500 price and the priority column; matched evens
+    // updated, odd multiples of 3 inserted, untouched evens keep NULL
+    "x_sql_merge_evolution" ->
+      """WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 500, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |)
+        |SELECT coalesce(o_orderpriority, '(none)') AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS twin_match
+        |FROM merged GROUP BY 1 ORDER BY prio""".stripMargin,
     // time-travel-wide metadata walk: entries recount = source census,
     // all_files = both halves + the compacted copy (history live)
     "x_iceberg_meta_all" ->

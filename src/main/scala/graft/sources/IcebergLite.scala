@@ -3125,7 +3125,7 @@ object IcebergLite {
     require(prevV > 0, s"$table has no Iceberg metadata")
     val prevMeta = readMetadata(fs, table, prevV)
     val cur = prevMeta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     keys.schema.fieldNames.foreach(c =>
       require(schema.fieldNames.contains(c),
         s"equality column $c not in $table schema"))
@@ -3376,7 +3376,7 @@ object IcebergLite {
       v2 = true)
     val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
       formatVersion = prevMeta.path("format-version").asInt(1), snapshotId,
-      schemaForSnapshot(prevMeta, cur), partitionSpec(prevMeta), listName,
+      currentSchema(prevMeta), partitionSpec(prevMeta), listName,
       "delete", Map.empty)
     if (!committed) {
       fs.delete(new Path(table, rel), false)
@@ -3446,7 +3446,7 @@ object IcebergLite {
       v2 = true)
     val committed = commitMetadataJson(fs, table, prevV, Some(prevMeta),
       formatVersion = math.max(2,
-        prevMeta.path("format-version").asInt(1)), snapshotId, schemaForSnapshot(prevMeta, cur),
+        prevMeta.path("format-version").asInt(1)), snapshotId, currentSchema(prevMeta),
       partitionSpec(prevMeta), listName, "delete", Map.empty)
     if (!committed) {
       fs.delete(new Path(table, staged), true)
@@ -3499,7 +3499,7 @@ object IcebergLite {
     val prevMeta = readMetadata(fs, table, prevV)
     val spec = partitionSpec(prevMeta)
     val cur = prevMeta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     require(set.keySet.subsetOf(schema.fieldNames.toSet),
       s"unknown columns in SET: ${set.keySet -- schema.fieldNames}")
     spec.foreach { pf =>
@@ -3724,7 +3724,7 @@ object IcebergLite {
     require(partitionSpec(prevMeta).isEmpty,
       "mergeInto on hidden-partitioned tables is outside the subset")
     val cur = prevMeta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     require(source.columns.toSet == schema.fieldNames.toSet,
       s"source schema ${source.columns.toSeq} != table ${schema.fieldNames.toSeq}")
     require(schema.fieldNames.contains(keyCol), s"key $keyCol not in $table")
@@ -4034,7 +4034,7 @@ object IcebergLite {
       "partitioned replacement adds must each declare their partition " +
         "value")
     val cur = prevMeta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     val formatVersion = prevMeta.path("format-version").asInt(1)
     val snapshotId = prevV + 1L
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -4255,7 +4255,7 @@ object IcebergLite {
     require(pfS.isEmpty || addRel.forall(partitionValues.contains),
       s"$table is partitioned: streaming adds must declare their " +
         "transform values")
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     val formatVersion = prevMeta.path("format-version").asInt(1)
     val snapshotId = prevV + 1L
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -4304,7 +4304,7 @@ object IcebergLite {
         s"$table is not partitioned — INSERT OVERWRITE the whole table"))
     val defaultSpecId = prevMeta.get("default-spec-id").asInt()
     val cur = prevMeta.get("current-snapshot-id").asLong()
-    val schema = schemaForSnapshot(prevMeta, cur)
+    val schema = currentSchema(prevMeta)
     val formatVersion = prevMeta.path("format-version").asInt(1)
     val stray = df.select(pf.valueColumn(col(pf.source)).as("__pv"))
       .where(!(col("__pv") <=> value)).limit(1).collect()

@@ -172,6 +172,11 @@ private[v2] class GraftTable(
       // real `writeStream.toTable` (X286; partitioned via the rolling
       // epoch writers X295; column-mapped via physical-name staging X294)
       caps.add(TableCapability.STREAMING_WRITE)
+      // `MERGE … WITH SCHEMA EVOLUTION` (X313): Spark widens the target
+      // through catalog.alterTable(AddColumn) BEFORE planning the
+      // rewrite — gated on clause AND capability, so plain MERGE never
+      // auto-evolves
+      caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     }
     caps
   }

@@ -1149,8 +1149,8 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     spark.sessionState.catalogManager.catalog(cat)
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).sorted shouldBe
-      Array("expire_snapshots", "rewrite_data_files", "vacuum",
-        "write_statistics")
+      Array("expire_snapshots", "restore", "rewrite_data_files",
+        "rollback_to_snapshot", "vacuum", "write_statistics")
   }
 
   test("t.changes: batch feed relation + streaming drain across a DML history") {
@@ -1640,5 +1640,60 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].collect() shouldBe Seq(210L)
     spark.sql(s"SELECT k FROM $cat.db.cloned WHERE k >= 5 ORDER BY k")
       .as[Long].collect() shouldBe Seq(5L, 6L)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens both formats; plain MERGE never auto-evolves (X313)") {
+    import spark.implicits._
+    for ((fmt, tn) <- Seq("delta" -> "mevo_d", "iceberg" -> "mevo_i")) {
+      val t = s"$warehouse/db/$tn"
+      val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      if (fmt == "delta") DeltaLite.write(spark, base, t)
+      else IcebergLite.write(spark, base, t)
+      Seq((2L, 99.0, "x"), (3L, 30.0, "y")).toDF("k", "v", "tag")
+        .createOrReplaceTempView(s"evo_src_$tn")
+      // WITHOUT the clause: star actions align to the target — no
+      // evolution, no error (capability alone must not auto-evolve)
+      spark.sql(
+        s"""MERGE INTO $cat.db.$tn t USING evo_src_$tn s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.table(s"$cat.db.$tn").columns.toSeq shouldBe Seq("k", "v")
+      // WITH the clause: the target widens through alterTable(AddColumn)
+      // before the rewrite plans; pre-merge rows surface NULL
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.db.$tn t
+           |USING evo_src_$tn s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.table(s"$cat.db.$tn").columns.toSeq shouldBe Seq("k", "v", "tag")
+      spark.sql(s"SELECT k, v, tag FROM $cat.db.$tn ORDER BY k")
+        .as[(Long, Double, Option[String])].collect() shouldBe Seq(
+        (1L, 10.0, None), (2L, 99.0, Some("x")), (3L, 30.0, Some("y")))
+    }
+  }
+
+  test("Iceberg head DML after a metadata-only evolution keeps the evolved schema (X313 regression)") {
+    import spark.implicits._
+    val t = s"$warehouse/db/evo_dml"
+    IcebergLite.write(spark,
+      (1L to 8L).map(k => (k, k * 10.0)).toDF("k", "v"), t)
+    spark.sql(s"ALTER TABLE $cat.db.evo_dml ADD COLUMNS (tag STRING)")
+    // each head-commit path must record the TABLE's current schema, not
+    // the head snapshot's own (they diverge after a metadata-only
+    // evolution — committing the snapshot's schema silently REVERTS it)
+    IcebergLite.deleteWhere(spark, t, "k", 1L, 2L) // MOR position delete
+    spark.table(s"$cat.db.evo_dml").columns.toSeq shouldBe
+      Seq("k", "v", "tag")
+    spark.sql(s"UPDATE $cat.db.evo_dml SET v = v + 1 WHERE k = 5") // COW
+    spark.table(s"$cat.db.evo_dml").columns.toSeq shouldBe
+      Seq("k", "v", "tag")
+    IcebergLite.rewriteDataFiles(spark, t) // replace
+    spark.table(s"$cat.db.evo_dml").columns.toSeq shouldBe
+      Seq("k", "v", "tag")
+    spark.sql(s"SELECT k, tag FROM $cat.db.evo_dml WHERE k >= 7 ORDER BY k")
+      .as[(Long, Option[String])].collect() shouldBe
+      Seq((7L, None), (8L, None))
   }
 }
