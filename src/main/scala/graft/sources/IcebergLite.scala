@@ -3196,9 +3196,10 @@ object IcebergLite {
   /** Live v3 DELETION-VECTOR entries of a snapshot: (puffin path,
     * referenced data-file key, blob offset, blob size, sequence). */
   private def snapshotDvEntries(spark: SparkSession, table: String,
-      snapshotId: Long): Seq[(String, String, Long, Long, Long)] = {
+      snapshotId: Long, metaV: Int = -1)
+      : Seq[(String, String, Long, Long, Long)] = {
     val fs = hadoopFs(spark, table)
-    val v = latestMetadataVersion(spark, table)
+    val v = if (metaV > 0) metaV else latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
     val meta = readMetadata(fs, table, v)
     val wanted =
@@ -3228,9 +3229,10 @@ object IcebergLite {
     * newest-wins rule mirrors the spec's writer obligation (a new DV
     * REPLACES the file's old one and must be a superset). */
   private def dvPositionsByFile(spark: SparkSession, table: String,
-      snapshotId: Long): Map[String, (Array[Long], Long)] = {
+      snapshotId: Long, metaV: Int = -1)
+      : Map[String, (Array[Long], Long)] = {
     val fs = hadoopFs(spark, table)
-    val entries = snapshotDvEntries(spark, table, snapshotId)
+    val entries = snapshotDvEntries(spark, table, snapshotId, metaV)
     if (entries.isEmpty) return Map.empty
     // one read per Puffin file, blobs sliced by recorded offset/size
     val bytesByPath = entries.map(_._1).distinct.map { p =>
@@ -3301,7 +3303,7 @@ object IcebergLite {
     val nNew = matched.values.map(_.length.toLong).sum
     // the SUPERSET contract: the file's new vector = prior vector ∪
     // still-applicable parquet position-delete rows ∪ new matches
-    val priorDvs = dvPositionsByFile(spark, table, cur)
+    val priorDvs = dvPositionsByFile(spark, table, cur, metaV = prevV)
     val priorParquet: Map[String, Array[Long]] = {
       val pos = snapshotDeleteEntries(spark, table, cur).filter(_._3 == 1)
       if (pos.isEmpty) Map.empty
@@ -3858,13 +3860,19 @@ object IcebergLite {
       table: String, metaV: Int = -1): MorMask = {
     val deletes = snapshotDeleteEntries(spark, table, -1L, metaV = metaV)
     if (deletes.isEmpty) return MorMask.empty
-    require(deletes.forall(_._3 != 3),
-      s"$table carries v3 deletion vectors — the SQL row-level masks " +
-        "serve parquet delete kinds; IcebergLite.rewriteDataFiles first")
     val dataSeq = snapshotManifestFiles(spark, table, -1L, content = 0,
       metaV = metaV).map { case (p, s) => (fileKeyRaw(p), s) }.toMap
+    // v3 DELETION VECTORS (X310) are position deletes by another
+    // carrier: the newest vector per data file masks its positions,
+    // sequence-gated exactly like parquet rows — SQL reads AND row-level
+    // DML serve DV-carrying tables, no compaction needed
+    val dvByFile: Map[String, Array[Long]] =
+      if (!deletes.exists(_._3 == 3)) Map.empty
+      else dvPositionsByFile(spark, table, -1L, metaV = metaV)
+        .collect { case (fn, (p, dvSeq))
+            if dataSeq.get(fn).exists(_ <= dvSeq) => fn -> p }
     val pos = deletes.filter(_._3 == 1)
-    val posByFile =
+    val parquetPosByFile =
       if (pos.isEmpty) Map.empty[String, Array[Long]]
       else {
         import org.apache.spark.sql.functions.{broadcast, col}
@@ -3886,6 +3894,12 @@ object IcebergLite {
           }
           .filter(_._2.nonEmpty).toMap
       }
+    // union the two position-delete carriers (the DV superset contract
+    // makes parquet rows for a vectored file a subset, so this is exact)
+    val posByFile = (parquetPosByFile.keySet ++ dvByFile.keySet).map { fn =>
+      fn -> (parquetPosByFile.getOrElse(fn, Array.empty[Long]) ++
+        dvByFile.getOrElse(fn, Array.empty[Long])).distinct.sorted
+    }.toMap
     // N-column tuple payloads (X305 closed for the executor-side masks
     // too): a row is suppressed only when EVERY equality column matches
     // the same tuple — the file-granular spelling of the batch read's

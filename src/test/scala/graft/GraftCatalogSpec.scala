@@ -1674,6 +1674,25 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("SQL serves v3 DV-carrying tables: read masks through vectors, UPDATE does not resurrect (X310)") {
+    import spark.implicits._
+    val t = s"$warehouse/db/dv3sql"
+    IcebergLite.write(spark,
+      (0L until 10L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .repartition(2), t)
+    IcebergLite.upgradeFormatVersion(spark, t, 3)
+    IcebergLite.deleteWhereDV(spark, t, "k", 0L, 2L)
+    // plain SQL read masks through the Puffin vector — no compaction
+    spark.sql(s"SELECT k FROM $cat.db.dv3sql ORDER BY k")
+      .as[Long].collect() shouldBe (3L to 9L)
+    // row-level DML sees the vector too: the rewritten rows are exactly
+    // the LIVE matches; DV-deleted rows stay dead
+    spark.sql(s"UPDATE $cat.db.dv3sql SET v = v + 1000 WHERE k <= 4")
+    spark.sql(s"SELECT k, v FROM $cat.db.dv3sql ORDER BY k")
+      .as[(Long, Double)].collect() shouldBe
+      ((3L to 9L).map(k => (k, if (k <= 4) k * 10.0 + 1000 else k * 10.0)))
+  }
+
   test("Iceberg head DML after a metadata-only evolution keeps the evolved schema (X313 regression)") {
     import spark.implicits._
     val t = s"$warehouse/db/evo_dml"
