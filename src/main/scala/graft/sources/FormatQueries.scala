@@ -843,9 +843,14 @@ object FormatQueries {
     val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
     val puffinOnly = delFiles.nonEmpty && delFiles.forall(_.endsWith(".puffin"))
     // overlapping second vector: superset merge, newest wins
-    IcebergLite.deleteWhereDV(spark, table, "o_orderkey", 600L, 900L)
+    val (s3, _) = IcebergLite.deleteWhereDV(spark, table,
+      "o_orderkey", 600L, 900L)
     // time travel below it sees only the first vector's masking
     val ttRows = IcebergLite.read(spark, table, s2).count()
+    // the changelog over the superset vector announces ONLY the fresh
+    // deletions — keys in (700, 900] (the [600,700] overlap was dead)
+    val cdfFresh = IcebergLite.readChangelog(spark, table, s2, s3)
+      .where(col("_change_type") === "delete").count()
     // sequence gating: re-appended keys survive the older vectors
     IcebergLite.write(spark, o.where(col("o_orderkey") <= 50), table)
     // compaction materializes the vectors away
@@ -858,6 +863,7 @@ object FormatQueries {
       .withColumn("puffin_only", lit(puffinOnly))
       .withColumn("deletes_gone", lit(deletesGone))
       .withColumn("tt_rows", lit(ttRows))
+      .withColumn("cdf_fresh", lit(cdfFresh))
       .orderBy("prio")
   }
 
@@ -4527,7 +4533,9 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total,
         |  TRUE AS puffin_only, TRUE AS deletes_gone,
         |  (SELECT count(*) FROM orders
-        |   WHERE o_orderkey NOT BETWEEN 1 AND 700) AS tt_rows
+        |   WHERE o_orderkey NOT BETWEEN 1 AND 700) AS tt_rows,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey > 700 AND o_orderkey <= 900) AS cdf_fresh
         |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
     // evolving MERGE: target = evens (no priority column); source =
     // k%3==0 with +500 price and the priority column; matched evens

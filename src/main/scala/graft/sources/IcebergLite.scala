@@ -2240,6 +2240,7 @@ object IcebergLite {
   def readChangelog(spark: SparkSession, table: String, fromSnap: Long,
       toSnap: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
     val fs = hadoopFs(spark, table)
     val v = latestMetadataVersion(spark, table)
     require(v > 0, s"$table has no Iceberg metadata")
@@ -2316,10 +2317,6 @@ object IcebergLite {
                 else d.get("content").asInstanceOf[Int]
               (d.get("file_path").toString, kind)
             })
-        require(newDeletes.forall(_._2 != 3),
-          s"snapshot $sid of $table commits v3 deletion vectors — the " +
-            "changelog serves parquet delete kinds; " +
-            "IcebergLite.rewriteDataFiles first")
         val morDeletes =
           if (newDeletes.isEmpty) None
           else {
@@ -2333,6 +2330,23 @@ object IcebergLite {
                   col("pos").as("__ri"))
               masked = Some(parentLive.join(coords, Seq("__fn", "__ri"),
                 "left_semi"))
+            }
+            if (newDeletes.exists(_._2 == 3)) {
+              // v3 DELETION VECTORS (X310): the rows a DV commit kills
+              // are the new vectors' positions that were LIVE at the
+              // parent — the semi-join against parentLive drops
+              // already-masked positions for free (parent vector ∪
+              // parent parquet rows are not in parentLive), so the
+              // superset vector announces exactly its fresh deletions.
+              // Positions pass the driver bounded by deleted-row count.
+              val dvCoords = dvPositionsByFile(spark, table, sid,
+                  metaV = v)
+                .collect { case (fn, (ps, dvSeq)) if dvSeq == sid =>
+                  ps.map(p => (fn, p)) }
+                .flatten.toSeq.toDF("__fn", "__ri")
+              val hit = parentLive.join(dvCoords, Seq("__fn", "__ri"),
+                "left_semi")
+              masked = Some(masked.map(_.unionByName(hit)).getOrElse(hit))
             }
             eq.groupBy(p => spark.read.parquet(p).schema.fieldNames.toSeq)
               .foreach { case (eqCols, files) =>
@@ -2450,10 +2464,20 @@ object IcebergLite {
           })
     val sidDel = deleteFiles(sid)
     val parDel = parent.map(deleteFiles).getOrElse(Seq.empty)
-    require((sidDel ++ parDel).forall(_._2 != 3),
-      s"snapshot $sid of $table involves v3 deletion vectors — the " +
-        "streaming feed serves parquet delete kinds; " +
-        "IcebergLite.rewriteDataFiles first")
+    // v3 DELETION VECTORS stream too (X310): the parent's vectors fold
+    // into the SKIP mask (their positions were already dead — must not
+    // re-announce), and a vector committed at THIS snapshot emits its
+    // fresh positions like a new position-delete file. Both pass the
+    // driver bounded by deleted-row count (the DV cost model).
+    val parentDvPos: Map[String, Array[Long]] =
+      if (!parDel.exists(_._2 == 3)) Map.empty
+      else dvPositionsByFile(spark, table, parent.get, metaV = v)
+        .collect { case (k, (ps, dvSeq))
+            if parSeqAndPath.get(k).exists(_._2 <= dvSeq) => k -> ps }
+    val newDvPos: Map[String, Array[Long]] =
+      if (!sidDel.exists(e => e._2 == 3 && e._3 == sid)) Map.empty
+      else dvPositionsByFile(spark, table, sid, metaV = v)
+        .collect { case (k, (ps, dvSeq)) if dvSeq == sid => k -> ps }
     def positionsBy(paths: Seq[String]): Map[String, Array[Long]] =
       if (paths.isEmpty) Map.empty
       else spark.read.parquet(paths: _*)
@@ -2483,15 +2507,30 @@ object IcebergLite {
     val newPos = positionsBy(
       sidDel.filter(e => e._2 == 1 && e._3 == sid).map(_._1))
     val newEqEntries = sidDel.filter(e => e._2 == 2 && e._3 == sid)
+    // a file's full parent-side position mask: parquet rows ∪ vector
+    def parentMask(k: String): Array[Long] =
+      (parentPos.getOrElse(k, Array.empty[Long]) ++
+        parentDvPos.getOrElse(k, Array.empty[Long])).distinct
     val inserts = (cur.keySet -- par.keySet).toSeq.sorted.map(k =>
       IceChangeUnit(cur(k), "insert", null, Array.empty))
     val cowDeletes = (par.keySet -- cur.keySet).toSeq.sorted.map(k =>
       IceChangeUnit(par(k), "delete", null,
-        parentPos.getOrElse(k, Array.empty), skipEq = skipEqFor(k)))
+        parentMask(k), skipEq = skipEqFor(k)))
     val morDeletes = newPos.toSeq.sortBy(_._1).flatMap { case (k, pos) =>
       // a re-delete's already-masked positions must not re-announce
-      val prior = parentPos.getOrElse(k, Array.empty[Long]).toSet
+      val prior = parentMask(k).toSet
       val fresh = pos.filterNot(prior)
+      if (fresh.isEmpty) None
+      else par.get(k).orElse(cur.get(k)).map(p =>
+        IceChangeUnit(p, "delete", fresh, Array.empty,
+          skipEq = skipEqFor(k)))
+    }
+    // a vector committed at THIS snapshot (deleteWhereDV never pairs it
+    // with a parquet delete in one commit): its SUPERSET content minus
+    // the parent mask is exactly the fresh deletions
+    val dvDeletes = newDvPos.toSeq.sortBy(_._1).flatMap { case (k, ps) =>
+      val prior = parentMask(k).toSet
+      val fresh = ps.filterNot(prior)
       if (fresh.isEmpty) None
       else par.get(k).orElse(cur.get(k)).map(p =>
         IceChangeUnit(p, "delete", fresh, Array.empty,
@@ -2511,10 +2550,10 @@ object IcebergLite {
           .map(e => eqValue(e._1, e._4))
         if (applicable.isEmpty) None
         else Some(IceChangeUnit(p, "delete", null,
-          parentPos.getOrElse(k, Array.empty),
+          parentMask(k),
           emitEq = applicable, skipEq = skipEqFor(k)))
       }
-    inserts ++ cowDeletes ++ morDeletes ++ eqDeletes
+    inserts ++ cowDeletes ++ morDeletes ++ dvDeletes ++ eqDeletes
   }
 
   /** NET CHANGES over (fromSnap, toSnap] — [[readChangelog]] folded to
@@ -2924,11 +2963,13 @@ object IcebergLite {
         // as a small relation; parquet delete rows for a vectored file
         // are a subset of the vector (the writer's superset contract),
         // so the union with the block above is exact.
+        val seqByKey = dataFiles.map { case (p, s, _) =>
+          (fileKeyRaw(p), s) }.toMap
         val dvRows = dvPositionsByFile(spark, table, wanted).toSeq
           .flatMap { case (fn, (pos, dvSeq)) =>
-            val applies = dataFiles.exists(f =>
-              fileKeyRaw(f._1) == fn && f._2 <= dvSeq)
-            if (applies) pos.map(p => (fn, p)) else Nil
+            if (seqByKey.get(fn).exists(_ <= dvSeq))
+              pos.map(p => (fn, p))
+            else Nil
           }.toDF("__fn", "__ri")
         cur = cur.join(dvRows, Seq("__fn", "__ri"), "left_anti")
       }

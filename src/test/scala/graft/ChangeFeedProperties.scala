@@ -52,6 +52,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
   // rows with g = 1 share the key column but must SURVIVE (the
   // over-delete a per-column matcher would commit)
   private case class EqDeleteMulti(lo: Long, hi: Long) extends Op
+  // v3 DELETION-VECTOR delete (X310): Puffin vector, no parquet delete
+  // file — the feeds must announce its fresh positions and fold prior
+  // vectors into the skip mask
+  private case class DvDelete(lo: Long, hi: Long) extends Op
 
   private val opGen: Gen[Op] = Gen.frequency(
     3 -> (for {
@@ -68,7 +72,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
     } yield EqDelete(lo, lo + w)),
     1 -> (for {
       lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
-    } yield EqDeleteMulti(lo, lo + w)))
+    } yield EqDeleteMulti(lo, lo + w)),
+    1 -> (for {
+      lo <- Gen.choose(0L, 80L); w <- Gen.choose(0L, 25L)
+    } yield DvDelete(lo, lo + w)))
 
   private val historyGen: Gen[List[Op]] = for {
     first <- Gen.choose(0L, 20L).map(a => Insert((a until a + 8).toSeq))
@@ -109,6 +116,11 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
           .filter(k => k >= lo && k <= hi && k % 2 == 0).foreach { k =>
             feed((k, "delete")) += live(k); live.remove(k)
           }
+      case DvDelete(lo, hi) =>
+        // positionally identical to MorDelete — the carrier differs
+        live.keys.toSeq.filter(k => k >= lo && k <= hi).foreach { k =>
+          feed((k, "delete")) += live(k); live.remove(k)
+        }
     }
     feed.toMap
   }
@@ -159,6 +171,7 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
       val ops = ops0.map {
         case EqDelete(lo, hi) => MorDelete(lo, hi)
         case EqDeleteMulti(lo, hi) => MorDelete(lo, hi)
+        case DvDelete(lo, hi) => MorDelete(lo, hi) // delta MorDelete IS a DV
         case o => o
       }
       val (tbl, path) = fresh("delta")
@@ -206,6 +219,10 @@ object ChangeFeedProperties extends Properties("ChangeFeed") {
           // executor-side tuple mask is what's under test here
           IcebergLite.deleteWhereEqualityRows(spark, path,
             (lo to hi).map(k => (k, 0L)).toDF("k", "g"))
+        case DvDelete(lo, hi) =>
+          // Puffin deletion vector (X310): upgrade is sticky/idempotent
+          IcebergLite.upgradeFormatVersion(spark, path, 3)
+          IcebergLite.deleteWhereDV(spark, path, "k", lo, hi)
         case CowDelete(_, _) => ()
       }
       val want = model(ops)

@@ -441,11 +441,20 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       table)
     IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
       .shouldBe(Seq(0L, 3L) ++ (5L to 9L))
-    // the streaming feed refuses the vector kind with the remedy
-    val e = intercept[Exception] {
-      IcebergLite.changeUnits(spark, table, s2)
-    }
-    e.getMessage should include("rewriteDataFiles")
+    // the change feeds SERVE the vector kind (X310): the changelog over
+    // the first DV commit announces exactly its deletions; over the
+    // SECOND (superset) vector only the FRESH positions announce
+    IcebergLite.readChangelog(spark, table, s2 - 1, s2)
+      .where(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted shouldBe (0L to 2L)
+    IcebergLite.readChangelog(spark, table, s2, s2 + 1)
+      .where(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .select("k").as[Long].collect().sorted shouldBe Seq(3L, 4L)
+    // the streaming units agree: one fresh-position delete unit per
+    // vectored file, parent vectors folded into the skip mask
+    val units = IcebergLite.changeUnits(spark, table, s2 + 1)
+    units.map(_.kind).distinct shouldBe Seq("delete")
+    units.flatMap(_.emit).length shouldBe 2 // keys 3 and 4
     // compaction materializes vectors away; census unchanged
     IcebergLite.rewriteDataFiles(spark, table)
     IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
