@@ -393,6 +393,13 @@ object IcebergLite {
     entrySchemaFor(partitioned = false, withContent = true,
       withDvRef = true)
 
+  /** Partitioned variant: each vector entry records its referenced data
+    * file's partition value, so a partition-restricted scan loads only
+    * its own partition's vectors. */
+  private val deleteEntrySchemaDvPartitioned: Schema =
+    entrySchemaFor(partitioned = true, withContent = true,
+      withDvRef = true)
+
   /** Spark → Iceberg primitive type names (the subset the fixture tables
     * use; Iceberg types are lowercase strings in metadata JSON). */
   private def icebergType(dt: org.apache.spark.sql.types.DataType): String =
@@ -3325,23 +3332,34 @@ object IcebergLite {
     require(prevMeta.path("format-version").asInt(1) >= 3,
       s"deletion vectors are a format-version-3 feature — " +
         s"IcebergLite.upgradeFormatVersion($table, 3) first")
-    require(partitionSpec(prevMeta).isEmpty,
-      "DV deletes on partitioned tables are outside this subset — " +
-        "use deleteWhere (position-delete parquet)")
+    val spec = partitionSpec(prevMeta)
     val cur = prevMeta.get("current-snapshot-id").asLong()
     val dataSeq = snapshotManifestFiles(spark, table, cur, content = 0)
       .map { case (p, s) => (fileKeyRaw(p), (p, s)) }.toMap
     val snapshotId = prevV + 1L
     // matched LIVE positions — prior masks (parquet deletes AND vectors)
     // already applied by the read, so this is exactly the NEW deletions;
-    // driver-bounded by the deleted-row count (the DV cost model)
-    val matched = readLive(spark, table, cur, keepMeta = true)
+    // driver-bounded by the deleted-row count (the DV cost model). On a
+    // partitioned table each file also carries its rows' (constant)
+    // transform value, recorded on the vector's manifest entry so a
+    // partition-restricted scan loads only its own partition's vectors.
+    val matchedRows = readLive(spark, table, cur, keepMeta = true)
       .where(col(column).between(lo, hi))
-      .select("__fn", "__ri").collect()
-      .groupBy(_.getString(0))
-      .map { case (fn, rows) => fn -> rows.map(_.getLong(1)) }
+    val matched: Map[String, (Array[Long], String)] = (spec match {
+      case None => matchedRows.select("__fn", "__ri").collect()
+        .groupBy(_.getString(0))
+        .map { case (fn, rows) =>
+          fn -> (rows.map(_.getLong(1)), null: String) }
+      case Some(pf) => matchedRows
+        .select(col("__fn"), col("__ri"),
+          pf.valueColumn(col(pf.source)).cast("string").as("_p"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (fn, rows) =>
+          fn -> (rows.map(_.getLong(1)), rows.head.getString(2)) }
+    })
     if (matched.isEmpty) return Some((cur, 0L))
-    val nNew = matched.values.map(_.length.toLong).sum
+    val nNew = matched.values.map(_._1.length.toLong).sum
     // the SUPERSET contract: the file's new vector = prior vector ∪
     // still-applicable parquet position-delete rows ∪ new matches
     val priorDvs = dvPositionsByFile(spark, table, cur, metaV = prevV)
@@ -3366,16 +3384,16 @@ object IcebergLite {
           }.toMap
       }
     }
-    val vectors = matched.toSeq.sortBy(_._1).map { case (fn, pos) =>
+    val vectors = matched.toSeq.sortBy(_._1).map { case (fn, (pos, pv)) =>
       val all = (pos ++
         priorDvs.get(fn).filter(_._2 >= dataSeq(fn)._2).map(_._1)
           .getOrElse(Array.empty[Long]) ++
         priorParquet.getOrElse(fn, Array.empty[Long])).distinct.sorted
-      (fn, all)
+      (fn, all, pv)
     }
     val token = java.util.UUID.randomUUID().toString.take(8)
     val written = Puffin.write(
-      vectors.map { case (fn, pos) =>
+      vectors.map { case (fn, pos, _) =>
         ("deletion-vector-v1", Seq.empty[Int], snapshotId, snapshotId,
           Map("referenced-data-file" -> dataSeq(fn)._1,
             "cardinality" -> pos.length.toString),
@@ -3385,16 +3403,21 @@ object IcebergLite {
     val rel = s"data/s$snapshotId-$token-dv.puffin"
     val out = fs.create(new Path(table, rel), false)
     try out.write(written.bytes) finally out.close()
-    val entries = vectors.zip(written.blobs).map { case ((fn, pos), b) =>
-      val e = new GenericData.Record(deleteEntrySchemaDv)
+    val entrySchema =
+      if (spec.isDefined) deleteEntrySchemaDvPartitioned
+      else deleteEntrySchemaDv
+    val entries = vectors.zip(written.blobs).map { case ((fn, pos, pv), b) =>
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(
-        deleteEntrySchemaDv.getField("data_file").schema())
+        entrySchema.getField("data_file").schema())
       d.put("file_path", s"$table/$rel")
       d.put("file_format", "PUFFIN")
-      d.put("partition", new GenericData.Record(deleteEntrySchemaDv
-        .getField("data_file").schema().getField("partition").schema()))
+      val part = new GenericData.Record(entrySchema
+        .getField("data_file").schema().getField("partition").schema())
+      if (pv != null) part.put("p0", pv)
+      d.put("partition", part)
       d.put("record_count", pos.length.toLong)
       d.put("file_size_in_bytes", written.bytes.length.toLong)
       d.put("block_size_in_bytes", 64L * 1024 * 1024)
@@ -3408,7 +3431,7 @@ object IcebergLite {
     val manifestName = s"$snapshotId-$token-dv-m0.avro"
     val manifestLen = writeAvroFile(
       new File(new File(table, "metadata"), manifestName),
-      deleteEntrySchemaDv, entries)
+      entrySchema, entries)
     val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).get._2
     val prior = listEntries(fs, new Path(curList))
     val listName = s"snap-$snapshotId-$token.avro"
@@ -4710,15 +4733,21 @@ object IcebergLite {
               else d.get("content").asInstanceOf[Int]
             val entrySid = Option(e.get("snapshot_id"))
               .map(_.asInstanceOf[Long]).getOrElse(m.addedSid)
+            val part = d.get("partition")
+              .asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val pv =
+              if (part == null || part.getSchema.getField("p0") == null) null
+              else Option(part.get("p0")).map(_.toString).orNull
             (e.get("status").asInstanceOf[Int], entrySid, m.seq, content,
               new Path(d.get("file_path").toString).getName,
               d.get("file_format").toString,
-              d.get("record_count").asInstanceOf[Long])
+              d.get("record_count").asInstanceOf[Long], pv)
           }
         }
         rows.toDF("status", "snapshot_id", "sequence_number", "content",
-          "file_path", "file_format", "record_count")
-          .orderBy("sequence_number", "content", "file_path", "status")
+          "file_path", "file_format", "record_count", "partition")
+          .orderBy("sequence_number", "content", "file_path", "status",
+            "partition")
       case "all_manifests" =>
         // `table$all_manifests`: the manifests view widened across ALL
         // retained snapshots (one row per snapshot × manifest-list

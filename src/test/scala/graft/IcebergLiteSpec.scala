@@ -462,6 +462,37 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       .shouldBe(Seq(0L, 3L) ++ (5L to 9L))
   }
 
+  test("v3 deletion vectors on a PARTITIONED table: entries carry partition values, pruning intact (X310)") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_dv3_part")
+    val df = (0L until 20L).map(i => (i, s"c${i % 2}")).toDF("k", "cat")
+    IcebergLite.write(spark,
+      df.repartition(2, org.apache.spark.sql.functions.col("cat")), table,
+      partitionField = Some(IcebergLite.PartField("cat", "identity")))
+    IcebergLite.upgradeFormatVersion(spark, table, 3)
+    val (_, n) = IcebergLite.deleteWhereDV(spark, table, "k", 0L, 5L)
+    n shouldBe 6L
+    val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    all(delFiles) should endWith(".puffin")
+    // each vector's manifest entry records its referenced file's
+    // partition value — both partitions held keys 0..5
+    IcebergLite.metadataTable(spark, table, "entries")
+      .where(org.apache.spark.sql.functions.col("file_format") === "PUFFIN")
+      .select("partition").as[String].collect().sorted
+      .shouldBe(Array("c0", "c1"))
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(6L to 19L)
+    // a second vector in one partition only merges per-file supersets
+    IcebergLite.deleteWhereDV(spark, table, "k", 4L, 7L)
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(8L to 19L)
+    // compaction materializes; census unchanged
+    IcebergLite.rewriteDataFiles(spark, table)
+    IcebergLite.snapshotDeleteFiles(spark, table, -1L) shouldBe empty
+    IcebergLite.read(spark, table).select("k").as[Long].collect().sorted
+      .shouldBe(8L to 19L)
+  }
+
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")
