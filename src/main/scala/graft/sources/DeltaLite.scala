@@ -2332,6 +2332,38 @@ object DeltaLite {
     (v, affected.size.toLong, rowsDeleted)
   }
 
+  /** TRUNCATE — remove every live file in ONE commit, zero data I/O
+    * (at 100 TB: one small JSON write). History is preserved: earlier
+    * versions still time-travel, VACUUM reclaims the files after
+    * retention. With CDF enabled the truncate stages delete change rows
+    * for every live row first (the feed's contract — that part is
+    * data-sized, as it must be). Returns (version, filesRemoved). */
+  def truncate(spark: SparkSession, table: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    val fs = hadoopFs(spark, table)
+    requireAppendsOnly(spark, table, "truncate()")
+    val latest = latestVersion(spark, table)
+    require(latest >= 0, s"$table has no Delta log")
+    val snap = snapshot(spark, table, latest)
+    if (snap.files.isEmpty) return (latest, 0L)
+    val v = latest + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val cdc =
+      if (!cdfEnabled(snap.config)) Seq.empty
+      else {
+        requireNotMapped(spark, table, "truncate() with CDF")
+        stageCdc(spark, table,
+          scanWithDvs(spark, table, tableSchema(spark, table),
+            snap.files, snap.dvs)
+            .withColumn("_change_type", lit("delete")), v, token)
+      }
+    if (!tryCommit(fs, table, v,
+        commitInfoLine("TRUNCATE") +: (snap.files.map(removeLine(_)) ++ cdc)))
+      throw new IllegalStateException(
+        s"truncate lost the commit race on $table")
+    (v, snap.files.size.toLong)
+  }
+
   /** Row-level DELETE as a DELETION-VECTOR commit (merge-on-read) — the
     * protocol's alternative to [[deleteWhere]]'s copy-on-write rewrite:
     * no data file is rewritten; instead each affected file gains a

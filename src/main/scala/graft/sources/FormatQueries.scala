@@ -2509,6 +2509,136 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X316: `DESCRIBE DETAIL`'s relation as the `t.detail` metadata
+    * table — the operational one-row summary (format, file count,
+    * bytes, recounted row count, version count) served off the
+    * METADATA layer alone: Delta reads per-file log stats, Iceberg the
+    * manifests' record_count sums; no data file opens. The row counts
+    * are genuine recounts — the oracle pins them against the source
+    * relation for both formats. */
+  private def sqlDescribeDetail(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftdd.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_dd")
+        spark.conf.set("spark.sql.catalog.graftdd",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftdd.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    spark.sql("DROP TABLE IF EXISTS graftdd.db.orders_dd")
+    spark.sql("DROP TABLE IF EXISTS graftdd.db.orders_di")
+    DeltaLite.write(spark, o.repartition(4), s"$wh/db/orders_dd",
+      collectStats = true)
+    IcebergLite.write(spark, o.repartition(4), s"$wh/db/orders_di")
+    spark.sql(
+      """SELECT format, num_files, num_records,
+        |  size_in_bytes > 0 AS size_ok
+        |FROM graftdd.db.orders_dd.detail
+        |UNION ALL
+        |SELECT format, num_files, num_records, size_in_bytes > 0
+        |FROM graftdd.db.orders_di.detail
+        |ORDER BY format""".stripMargin)
+  }
+
+  /** X315: `CALL system.rewrite_manifests` — MANIFEST compaction, the
+    * metadata-scale remedy: a 100 TB table committing every few minutes
+    * accumulates one manifest per commit and scan PLANNING (thousands
+    * of small avro reads) becomes the bottleneck before scanning does.
+    * The lifecycle stresses exactly what the rewrite must preserve:
+    * append → equality-delete → RE-ADD of deleted keys (survive by
+    * sequence) → position delete, then the CALL consolidates the data
+    * manifests to ONE while each entry carries its ORIGINAL
+    * sequence_number/snapshot_id explicitly (spec entry-level
+    * inheritance) — the census is byte-identical before/after (oracle),
+    * a post-rewrite delete still gates correctly, and the op is
+    * row-silent in the change feeds. */
+  private def icebergRewriteManifests(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftrm.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_rm")
+        spark.conf.set("spark.sql.catalog.graftrm",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftrm.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val table = s"$wh/db/orders_rm"
+    spark.sql("DROP TABLE IF EXISTS graftrm.db.orders_rm")
+    IcebergLite.write(spark, o.repartition(3), table)
+    IcebergLite.deleteWhereEquality(spark, table, "o_orderkey",
+      (1L to 300L).toSeq)
+    // re-add half the deleted range DOUBLED — survives the eq delete
+    // by sequence; the rewrite must keep it that way
+    IcebergLite.write(spark,
+      o.where(col("o_orderkey") <= 150)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), table)
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 400L, 500L)
+    val r = spark.sql(
+      "CALL graftrm.system.rewrite_manifests('db.orders_rm')").collect()(0)
+    val consolidated = r.getLong(1) >= 2L && r.getLong(2) == 1L
+    // a delete AFTER the rewrite still gates by the carried sequences
+    IcebergLite.deleteWhere(spark, table, "o_orderkey", 501L, 600L)
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftrm.db.orders_rm GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("consolidated", lit(consolidated))
+      .orderBy("prio")
+  }
+
+  /** X314: `TRUNCATE TABLE` through the catalog — the supported
+    * spelling of "remove every row", committed METADATA-ONLY on both
+    * formats (Delta: one remove-all commit; Iceberg: a `delete`
+    * snapshot with an EMPTY manifest list — zero data I/O at any table
+    * size). History is preserved (the pre-truncate state still
+    * time-travels, pinned) and the next append starts a fresh live set
+    * (the final census is only the re-inserted subset, oracle-pinned on
+    * both formats in one key). */
+  private def sqlTruncate(spark: SparkSession, dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.grafttr.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_tr")
+        spark.conf.set("spark.sql.catalog.grafttr",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.grafttr.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val total = o.count()
+    def runOn(fmt: String, tn: String): (DataFrame, Boolean) = {
+      val t = s"$wh/db/$tn"
+      spark.sql(s"DROP TABLE IF EXISTS grafttr.db.$tn")
+      val v0 =
+        if (fmt == "delta") DeltaLite.write(spark, o, t)
+        else IcebergLite.write(spark, o, t)
+      spark.sql(s"TRUNCATE TABLE grafttr.db.$tn")
+      val emptied = spark.table(s"grafttr.db.$tn").count() == 0L
+      val history =
+        if (fmt == "delta") DeltaLite.read(spark, t, v0).count() == total
+        else IcebergLite.read(spark, t, v0).count() == total
+      val sub = o.where(col("o_orderkey") <= 500)
+      if (fmt == "delta") DeltaLite.write(spark, sub, t)
+      else IcebergLite.write(spark, sub, t)
+      (spark.sql(
+        s"""SELECT o_orderpriority AS prio, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM grafttr.db.$tn GROUP BY 1""".stripMargin),
+        emptied && history)
+    }
+    val (d, dOk) = runOn("delta", "orders_tr_d")
+    val (i, iOk) = runOn("iceberg", "orders_tr_i")
+    val twinMatch = d.orderBy("prio").collect().toSeq ==
+      i.orderBy("prio").collect().toSeq
+    d.withColumn("lifecycle_ok", lit(dOk && iOk))
+      .withColumn("twin_match", lit(twinMatch))
+      .orderBy("prio")
+  }
+
   /** X313: `MERGE INTO … WITH SCHEMA EVOLUTION` — the standard
     * CDC-landing shape when upstream adds a column: a source frame with
     * an extra column WIDENS the target before the rewrite plans
@@ -4144,6 +4274,10 @@ object FormatQueries {
     "x_sql_call_rollback" -> ((s, dir) => sqlCallRollback(s, dir)),
     "x_iceberg_meta_all" -> ((s, dir) => icebergMetaAll(s, dir)),
     "x_sql_merge_evolution" -> ((s, dir) => sqlMergeEvolution(s, dir)),
+    "x_sql_truncate" -> ((s, dir) => sqlTruncate(s, dir)),
+    "x_iceberg_rewrite_manifests" ->
+      ((s, dir) => icebergRewriteManifests(s, dir)),
+    "x_sql_describe_detail" -> ((s, dir) => sqlDescribeDetail(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -4537,6 +4671,37 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey > 700 AND o_orderkey <= 900) AS cdf_fresh
         |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
+    // DESCRIBE DETAIL: metadata-layer recounts pinned vs the source
+    "x_sql_describe_detail" ->
+      """SELECT 'delta' AS format, CAST(4 AS BIGINT) AS num_files,
+        |  (SELECT count(*) FROM orders) AS num_records, TRUE AS size_ok
+        |UNION ALL
+        |SELECT 'iceberg', CAST(4 AS BIGINT),
+        |  (SELECT count(*) FROM orders), TRUE
+        |ORDER BY format""".stripMargin,
+    // manifest compaction: census must be byte-identical through the
+    // rewrite — live = (orders − eq-deleted 1..300 − pos-deleted
+    // 400..600) ∪ doubled re-adds <= 150 (sequence survivors)
+    "x_iceberg_rewrite_manifests" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT BETWEEN 1 AND 300
+        |    AND o_orderkey NOT BETWEEN 400 AND 600
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 150
+        |)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, TRUE AS consolidated
+        |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
+    // TRUNCATE both formats, then re-insert keys <= 500 — the final
+    // census is only the re-inserted subset
+    "x_sql_truncate" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  TRUE AS lifecycle_ok, TRUE AS twin_match
+        |FROM orders WHERE o_orderkey <= 500
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
     // evolving MERGE: target = evens (no priority column); source =
     // k%3==0 with +500 price and the priority column; matched evens
     // updated, odd multiples of 3 inserted, untouched evens keep NULL

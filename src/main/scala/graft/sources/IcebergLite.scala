@@ -264,7 +264,8 @@ object IcebergLite {
     * data file. */
   private def entrySchemaFor(partitioned: Boolean,
       withBounds: Boolean = false, withContent: Boolean = false,
-      withColStats: Boolean = false, withDvRef: Boolean = false): Schema = {
+      withColStats: Boolean = false, withDvRef: Boolean = false,
+      withSeq: Boolean = false): Schema = {
     require(!(withBounds && withColStats),
       "legacy single-column bounds and spec column-stats maps are " +
         "mutually exclusive manifest layouts")
@@ -322,10 +323,19 @@ object IcebergLite {
           |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
           |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
       else ""
+    // the spec's ENTRY-LEVEL sequence_number (field-id 3): normally
+    // inherited from the manifest-list row, but a manifest REWRITE
+    // (rewriteManifests) must carry each entry's ORIGINAL sequence
+    // explicitly — readers prefer the entry's own value when present
+    val seqField =
+      if (withSeq)
+        """{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},"""
+      else ""
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
          |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  $seqField
          |  {"name":"data_file","field-id":2,"type":{
          |    "type":"record","name":"r2","fields":[
          |      {"name":"file_path","type":"string","field-id":100},
@@ -2042,6 +2052,20 @@ object IcebergLite {
   /** (file_path, sequence_number) of every live file of the given kind in
     * a snapshot: manifest list → manifests of that `content` → entries
     * with status != DELETED. All control-plane reads. */
+  /** Entry-level sequence_number / snapshot_id with manifest-list
+    * inheritance (spec: null means "inherit") — a rewritten manifest
+    * (rewriteManifests) carries originals explicitly. */
+  private def entrySeqOf(e: GenericRecord, inherited: Long): Long = {
+    val f = e.getSchema.getField("sequence_number")
+    if (f == null) inherited
+    else Option(e.get("sequence_number")).map(_.asInstanceOf[Long])
+      .getOrElse(inherited)
+  }
+
+  private def entrySidOf(e: GenericRecord, inherited: Long): Long =
+    Option(e.get("snapshot_id")).map(_.asInstanceOf[Long])
+      .getOrElse(inherited)
+
   private def snapshotManifestFiles(spark: SparkSession, table: String,
       snapshotId: Long, content: Int, metaV: Int = -1): Seq[(String, Long)] =
     snapshotManifestEntries(spark, table, snapshotId, content, metaV)
@@ -2068,7 +2092,8 @@ object IcebergLite {
         readAvroFile(fs, new Path(m.path))
           .filter(_.get("status").asInstanceOf[Int] != 2)
           .map(e => (e.get("data_file").asInstanceOf[GenericRecord]
-            .get("file_path").toString, m.seq, m.addedSid))
+            .get("file_path").toString, entrySeqOf(e, m.seq),
+            entrySidOf(e, m.addedSid)))
       }
   }
 
@@ -2100,7 +2125,7 @@ object IcebergLite {
               else if (d.getSchema.getField("referenced_data_file") != null &&
                   d.get("referenced_data_file") != null) 3
               else d.get("content").asInstanceOf[Int]
-            (d.get("file_path").toString, m.seq, kind)
+            (d.get("file_path").toString, entrySeqOf(e, m.seq), kind)
           }
       }
   }
@@ -3214,6 +3239,39 @@ object IcebergLite {
       fs.delete(new Path(metaDir(table), listName), false)
       None
     } else Some((snapshotId, nTuples))
+  }
+
+  /** TRUNCATE — a `delete` snapshot whose manifest list is EMPTY:
+    * nothing live, zero data I/O regardless of table size. History is
+    * preserved (earlier snapshots still time-travel; expiration
+    * reclaims their files), and the next append starts a fresh live
+    * set. Returns (snapshotId, filesRemoved). */
+  def truncate(spark: SparkSession, table: String,
+      maxRetries: Int = 10): (Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val fs = hadoopFs(spark, table)
+      val prevV = latestMetadataVersion(spark, table)
+      require(prevV > 0, s"$table has no Iceberg metadata")
+      val prevMeta = readMetadata(fs, table, prevV)
+      val cur = prevMeta.get("current-snapshot-id").asLong()
+      val nFiles = snapshotFiles(spark, table, cur, metaV = prevV).size
+      if (nFiles == 0) return (cur, 0L)
+      val snapshotId = prevV + 1L
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val listName = s"snap-$snapshotId-$token.avro"
+      writeManifestList(table, listName, Seq.empty,
+        v2 = prevMeta.path("format-version").asInt(1) >= 2)
+      if (commitMetadataJson(fs, table, prevV, Some(prevMeta),
+          prevMeta.path("format-version").asInt(1), snapshotId,
+          currentSchema(prevMeta), partitionSpec(prevMeta), listName,
+          "delete", Map.empty))
+        return (snapshotId, nFiles.toLong)
+      fs.delete(new Path(metaDir(table), listName), false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"truncate lost $maxRetries commit races on $table")
   }
 
   /** STICKY-UPWARD format-version upgrade (metadata-only commit; the
@@ -4497,6 +4555,126 @@ object IcebergLite {
     (name, len)
   }
 
+  /** Structural Avro copy into a structurally-equal target schema —
+    * fields matched by name, nested records re-wrapped (the rewrite
+    * manifest's entry schema gains a top-level field; data_file
+    * sub-records copy through unchanged). */
+  private def copyRecord(src: GenericRecord, target: Schema): GenericRecord = {
+    val out = new GenericData.Record(target)
+    target.getFields.forEach { f =>
+      if (src.getSchema.getField(f.name()) != null) {
+        val resolved = f.schema().getType match {
+          case Schema.Type.UNION => f.schema().getTypes.toArray
+            .map(_.asInstanceOf[Schema])
+            .find(_.getType == Schema.Type.RECORD)
+          case Schema.Type.RECORD => Some(f.schema())
+          case _ => None
+        }
+        src.get(f.name()) match {
+          case r: GenericRecord if resolved.isDefined =>
+            out.put(f.name(), copyRecord(r, resolved.get))
+          case other => out.put(f.name(), other)
+        }
+      }
+    }
+    out
+  }
+
+  /** rewriteManifests — Iceberg's MANIFEST compaction (`CALL
+    * system.rewrite_manifests`): a 100 TB table ingesting every few
+    * minutes accumulates one manifest per commit, and scan PLANNING —
+    * not scanning — becomes the bottleneck (thousands of small avro
+    * reads per query). This op rewrites the current snapshot's DATA
+    * manifests into one consolidated manifest per entry-schema shape,
+    * each entry carrying its ORIGINAL sequence_number and snapshot_id
+    * explicitly (the spec's entry-level inheritance fields, field-ids
+    * 3/1) so sequence-gated semantics — position/equality-delete
+    * applicability, re-append survival, schema-epoch resolution — are
+    * byte-preserved. Delete manifests are carried untouched. METADATA-
+    * ONLY: no data file is read or written; operation `replace`, rows
+    * unchanged, change feeds silent. Returns
+    * (snapshotId, manifestsBefore, manifestsAfter). */
+  def rewriteManifests(spark: SparkSession, table: String,
+      maxRetries: Int = 10): (Long, Long, Long) = {
+    var attempt = 0
+    while (attempt < maxRetries) {
+      rewriteManifestsOnce(spark, table) match {
+        case Some(r) => return r
+        case None => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"rewriteManifests lost $maxRetries commit races on $table")
+  }
+
+  private def rewriteManifestsOnce(spark: SparkSession,
+      table: String): Option[(Long, Long, Long)] = {
+    val fs = hadoopFs(spark, table)
+    val prevV = latestMetadataVersion(spark, table)
+    require(prevV > 0, s"$table has no Iceberg metadata")
+    val prevMeta = readMetadata(fs, table, prevV)
+    val cur = prevMeta.get("current-snapshot-id").asLong()
+    val curList = metaJsonSnapshots(prevMeta).find(_._1 == cur).getOrElse(
+      throw new IllegalArgumentException(
+        s"current snapshot $cur not in $table metadata"))._2
+    val all = listEntries(fs, new Path(curList))
+    val (dataMans, deleteMans) = all.partition(_.content == 0)
+    if (dataMans.size <= 1) return Some((cur, dataMans.size.toLong,
+      dataMans.size.toLong))
+    val snapshotId = prevV + 1L
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    // live entries, grouped by entry-schema SHAPE (one rewritten
+    // manifest per shape — appends from one writer share a shape, so
+    // the common case consolidates to ONE)
+    val byShape = dataMans.flatMap { m =>
+      readAvroFile(fs, new Path(m.path))
+        .filter(_.get("status").asInstanceOf[Int] != 2)
+        .map(e => (e, entrySeqOf(e, m.seq), entrySidOf(e, m.addedSid),
+          m.specId))
+    }.groupBy { case (e, _, _, specId) =>
+      val d = e.get("data_file").asInstanceOf[GenericRecord].getSchema
+      (d.getField("content") != null, d.getField("lower_bound") != null,
+        d.getField("null_value_counts") != null,
+        d.getField("referenced_data_file") != null,
+        d.getField("partition").schema().getFields.size() > 0, specId)
+    }
+    val written = mutable.ArrayBuffer.empty[String]
+    val rewritten = byShape.toSeq.sortBy(_._1.toString).zipWithIndex
+      .map { case (((content, bounds, stats, dvRef, part, specId),
+          entries), i) =>
+        val target = entrySchemaFor(partitioned = part,
+          withBounds = bounds, withContent = content,
+          withColStats = stats, withDvRef = dvRef, withSeq = true)
+        val recs = entries.sortBy { case (e, seq, _, _) =>
+          (seq, e.get("data_file").asInstanceOf[GenericRecord]
+            .get("file_path").toString)
+        }.map { case (e, seq, sid, _) =>
+          val out = copyRecord(e, target)
+          out.put("status", 0) // EXISTING — carried, not added
+          out.put("snapshot_id", sid)
+          out.put("sequence_number", seq)
+          out
+        }
+        val name = s"$snapshotId-$token-rm$i.avro"
+        val len = writeAvroFile(
+          new File(new File(table, "metadata"), name), target, recs)
+        written += name
+        MEntry(s"$table/metadata/$name", len, snapshotId, content = 0,
+          seq = snapshotId, specId = specId)
+      }
+    val listName = s"snap-$snapshotId-$token.avro"
+    writeManifestList(table, listName, rewritten ++ deleteMans,
+      v2 = prevMeta.path("format-version").asInt(1) >= 2)
+    if (!commitMetadataJson(fs, table, prevV, Some(prevMeta),
+        prevMeta.path("format-version").asInt(1), snapshotId,
+        currentSchema(prevMeta), partitionSpec(prevMeta), listName,
+        "replace", Map.empty)) {
+      written.foreach(n => fs.delete(new Path(metaDir(table), n), false))
+      fs.delete(new Path(metaDir(table), listName), false)
+      None
+    } else Some((snapshotId, dataMans.size.toLong, rewritten.size.toLong))
+  }
+
   /** rewriteDataFiles — Iceberg's compaction op ([[DeltaLite.optimize]]'s
     * parity surface): the current snapshot's files read back, bin-packed
     * to `targetFiles`, and committed as ONE new snapshot with operation
@@ -4731,14 +4909,13 @@ object IcebergLite {
             val content =
               if (d.getSchema.getField("content") == null) m.content
               else d.get("content").asInstanceOf[Int]
-            val entrySid = Option(e.get("snapshot_id"))
-              .map(_.asInstanceOf[Long]).getOrElse(m.addedSid)
             val part = d.get("partition")
               .asInstanceOf[org.apache.avro.generic.GenericRecord]
             val pv =
               if (part == null || part.getSchema.getField("p0") == null) null
               else Option(part.get("p0")).map(_.toString).orNull
-            (e.get("status").asInstanceOf[Int], entrySid, m.seq, content,
+            (e.get("status").asInstanceOf[Int], entrySidOf(e, m.addedSid),
+              entrySeqOf(e, m.seq), content,
               new Path(d.get("file_path").toString).getName,
               d.get("file_format").toString,
               d.get("record_count").asInstanceOf[Long], pv)

@@ -218,7 +218,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (isDelta) "delta" else "iceberg", baseSchema))
     }
     val df =
-      if (isIce && kind == "history") IcebergLite.history(spark, parent)
+      if (kind == "detail") {
+        // DESCRIBE DETAIL's relation (X316): one operational-summary
+        // row off the metadata layer alone — counts/bytes from the log
+        // stats (Delta) or manifests (Iceberg), no data file opened
+        val sp = spark
+        import sp.implicits._
+        if (isDelta) {
+          val snap = DeltaLite.snapshotAt(spark, parent)
+          val latest = snap.files.size.toLong
+          val bytes = snap.files.map { f =>
+            try fs.getFileStatus(
+              new Path(DeltaLite.dataPath(parent, f))).getLen
+            catch { case _: java.io.IOException => 0L }
+          }.sum
+          // numRecords off per-file log stats when every file carries
+          // them; -1 (unknown) otherwise — never a data scan
+          val rows =
+            if (snap.files.nonEmpty &&
+                snap.files.forall(snap.stats.contains)) {
+              val pat = java.util.regex.Pattern.compile(
+                "\"numRecords\"\\s*:\\s*(\\d+)")
+              snap.files.map { f =>
+                val m = pat.matcher(snap.stats(f))
+                if (m.find()) m.group(1).toLong else -1L
+              }.foldLeft(0L)((a, b) => if (a < 0 || b < 0) -1L else a + b)
+            } else -1L
+          Seq(("delta", latest, bytes,
+            snap.partCols.mkString(","),
+            DeltaLite.history(spark, parent).count(), rows))
+            .toDF("format", "num_files", "size_in_bytes",
+              "partition_columns", "num_versions", "num_records")
+        } else {
+          val (rows, bytes) = IcebergLite.tableSizeStats(spark, parent)
+          val nFiles = IcebergLite.snapshotFiles(spark, parent, -1L)
+            .size.toLong
+          Seq(("iceberg", nFiles, bytes,
+            IcebergLite.currentPartitionSpec(spark, parent)
+              .map(pf => s"${pf.transform}(${pf.source})").getOrElse(""),
+            IcebergLite.history(spark, parent).count()))
+            .toDF("format", "num_files", "size_in_bytes",
+              "partition_columns", "num_versions")
+            .withColumn("num_records",
+              org.apache.spark.sql.functions.lit(rows))
+        }
+      }
+      else if (isIce && kind == "history") IcebergLite.history(spark, parent)
       else if (isIce && IceMetaKinds.contains(kind))
         IcebergLite.metadataTable(spark, parent, kind)
       else if (isDelta && kind == "history") DeltaLite.history(spark, parent)

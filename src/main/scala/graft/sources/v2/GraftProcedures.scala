@@ -41,8 +41,8 @@ import graft.sources.{DeltaLite, IcebergLite}
 private[v2] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("rewrite_data_files", "expire_snapshots", "vacuum",
-      "write_statistics", "rollback_to_snapshot", "restore")
+    Seq("rewrite_data_files", "rewrite_manifests", "expire_snapshots",
+      "vacuum", "write_statistics", "rollback_to_snapshot", "restore")
 
   def load(warehouse: String, name: String): UnboundProcedure =
     name.toLowerCase match {
@@ -59,6 +59,21 @@ private[v2] object GraftProcedures {
             case _ => IcebergLite.rewriteDataFiles(spark, path, n,
               refreshStats = true)
           }
+          InternalRow(v, b, a)
+        })
+      // X315: MANIFEST compaction — scan-PLANNING health on tables with
+      // thousands of commit-sized manifests; metadata-only, rows and
+      // sequence semantics byte-preserved
+      case "rewrite_manifests" => unbound(warehouse, "rewrite_manifests",
+        intParamName = "unused", intDefault = 0,
+        out = StructType(new StructType()
+          .add("version", LongType).add("manifests_before", LongType)
+          .add("manifests_after", LongType)),
+        run = (spark, path, format, _) => {
+          require(format == "iceberg",
+            "rewrite_manifests is the Iceberg procedure — Delta has no " +
+              "manifest layer (the log + checkpoint are its metadata)")
+          val (v, b, a) = IcebergLite.rewriteManifests(spark, path)
           InternalRow(v, b, a)
         })
       case "expire_snapshots" => unbound(warehouse, "expire_snapshots",

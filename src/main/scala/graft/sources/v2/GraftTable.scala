@@ -57,7 +57,22 @@ private[v2] class GraftTable(
     readDelegate: ReadPlan,
     writable: Boolean)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE` (X314) — the supported spelling of "remove
+    * every row": both formats commit it METADATA-ONLY (one remove-all /
+    * empty-manifest-list commit, zero data I/O at any table size, which
+    * is why bare `DELETE FROM t` stays refused in favor of this verb).
+    * History is preserved — earlier versions still time-travel. */
+  override def truncateTable(): Boolean = {
+    require(writable,
+      s"$tableName is not writable through SQL at a time-travel version")
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (format == "delta") graft.sources.DeltaLite.truncate(spark, path)
+    else IcebergLite.truncate(spark, path)
+    true
+  }
 
   /** SQL `DELETE FROM … WHERE <long-column range>` (X282): the predicate
     * lowers to the format's OWN row-level delete — [[DeltaLite

@@ -1150,7 +1150,8 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name()).sorted shouldBe
       Array("expire_snapshots", "restore", "rewrite_data_files",
-        "rollback_to_snapshot", "vacuum", "write_statistics")
+        "rewrite_manifests", "rollback_to_snapshot", "vacuum",
+        "write_statistics")
   }
 
   test("t.changes: batch feed relation + streaming drain across a DML history") {
@@ -1640,6 +1641,50 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].collect() shouldBe Seq(210L)
     spark.sql(s"SELECT k FROM $cat.db.cloned WHERE k >= 5 ORDER BY k")
       .as[Long].collect() shouldBe Seq(5L, 6L)
+  }
+
+  test("t.detail serves DESCRIBE DETAIL's one-row summary off metadata alone (X316)") {
+    import spark.implicits._
+    for ((fmt, tn) <- Seq("delta" -> "det_d", "iceberg" -> "det_i")) {
+      val t = s"$warehouse/db/$tn"
+      val rows = (1L to 40L).map(k => (k, k * 2.0)).toDF("k", "v")
+      if (fmt == "delta")
+        DeltaLite.write(spark, rows.repartition(3), t, collectStats = true)
+      else IcebergLite.write(spark, rows.repartition(3), t)
+      val d = spark.sql(
+        s"""SELECT format, num_files, size_in_bytes, num_records,
+           |num_versions FROM $cat.db.$tn.detail""".stripMargin).collect()
+      d.length shouldBe 1
+      d(0).getString(0) shouldBe fmt
+      d(0).getLong(1) shouldBe 3L
+      d(0).getLong(2) should be > 0L
+      d(0).getLong(3) shouldBe 40L // recounted from log stats/manifests
+      d(0).getLong(4) should be >= 1L
+    }
+  }
+
+  test("TRUNCATE TABLE: metadata-only remove-all on both formats, history preserved (X314)") {
+    import spark.implicits._
+    for ((fmt, tn) <- Seq("delta" -> "trunc_d", "iceberg" -> "trunc_i")) {
+      val t = s"$warehouse/db/$tn"
+      val rows = (1L to 6L).map(k => (k, k * 10.0)).toDF("k", "v")
+      val v0 =
+        if (fmt == "delta") DeltaLite.write(spark, rows, t)
+        else IcebergLite.write(spark, rows, t)
+      spark.sql(s"TRUNCATE TABLE $cat.db.$tn")
+      spark.table(s"$cat.db.$tn").count() shouldBe 0L
+      // history preserved: the pre-truncate version still serves
+      if (fmt == "delta")
+        spark.sql(s"SELECT count(*) FROM $cat.db.$tn VERSION AS OF $v0")
+          .as[Long].collect() shouldBe Seq(6L)
+      else IcebergLite.read(spark, t, v0).count() shouldBe 6L
+      // the next append starts a fresh live set
+      if (fmt == "delta")
+        DeltaLite.write(spark, Seq((9L, 90.0)).toDF("k", "v"), t)
+      else IcebergLite.write(spark, Seq((9L, 90.0)).toDF("k", "v"), t)
+      spark.sql(s"SELECT k FROM $cat.db.$tn").as[Long].collect() shouldBe
+        Seq(9L)
+    }
   }
 
   test("MERGE WITH SCHEMA EVOLUTION widens both formats; plain MERGE never auto-evolves (X313)") {

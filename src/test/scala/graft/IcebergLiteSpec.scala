@@ -493,6 +493,39 @@ class IcebergLiteSpec extends SparkSpec with Matchers {
       .shouldBe(8L to 19L)
   }
 
+  test("rewriteManifests: data manifests consolidate, per-entry sequences preserve delete gating (X315)") {
+    import spark.implicits._
+    val table = graft.ingest.Sinks.tempDir("ice_rm")
+    // append A, eq-delete 0..4, append B RE-ADDS 0..4 (survive by seq),
+    // then a position delete — four commits, four+ manifests
+    IcebergLite.write(spark,
+      (0L until 10L).map(i => (i, 1L)).toDF("k", "gen"), table)
+    IcebergLite.deleteWhereEquality(spark, table, "k", 0L to 4L)
+    IcebergLite.write(spark,
+      (0L until 5L).map(i => (i, 2L)).toDF("k", "gen"), table)
+    IcebergLite.deleteWhere(spark, table, "k", 9L, 9L)
+    val before = IcebergLite.read(spark, table)
+      .as[(Long, Long)].collect().sortBy(identity)
+    before.map(_._1).sorted shouldBe (0L to 8L)
+    val mansBefore = IcebergLite.metadataTable(spark, table, "manifests")
+      .where(org.apache.spark.sql.functions.col("content") === 0).count()
+    mansBefore should be >= 2L
+    val (_, b, a) = IcebergLite.rewriteManifests(spark, table)
+    b shouldBe mansBefore
+    a shouldBe 1L
+    // rows byte-identical: the eq delete still gates by the ORIGINAL
+    // per-entry sequences (gen-2 re-adds survive, gen-1 0..4 stay dead)
+    IcebergLite.read(spark, table).as[(Long, Long)].collect()
+      .sortBy(identity) shouldBe before
+    // delete semantics keep working AFTER the rewrite
+    IcebergLite.deleteWhere(spark, table, "k", 8L, 8L)
+    IcebergLite.read(spark, table).select("k").as[Long].collect()
+      .sorted shouldBe (0L to 7L)
+    // the rewrite is row-silent in the change feeds
+    IcebergLite.changeUnits(spark, table,
+      IcebergLite.currentSnapshotId(spark, table) - 1) shouldBe empty
+  }
+
   test("position deletes: compaction materializes them away, expiration sweeps delete files") {
     import spark.implicits._
     val table = graft.ingest.Sinks.tempDir("ice_posdel_rw")

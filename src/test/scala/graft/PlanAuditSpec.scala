@@ -114,6 +114,12 @@ class PlanAuditSpec extends SparkSpec with Matchers {
     // (snapshots/files/manifests/refs) — each aggregates a metadata-sized
     // relation (a few rows of manifest inventory), never table data
     "x_iceberg_meta_tables" -> 4,
+    // category 1: two scalar-subquery finals (entries recount, all_files
+    // recount) over control-plane metadata relations — rows ∝ manifests
+    "x_iceberg_meta_all" -> 2,
+    // category 1: 1-row post-OPTIMIZE summary (the re-cluster itself is
+    // the staged range/Morton sort-write, a distributed narrow plan)
+    "x_delta_optimize_clustered" -> 1,
     "x_iceberg_skipping" -> 1, // category 1: 1-row planned-scan summary
     // categories 1+2: daily-totals scalar broadcast feeding the 1-row
     // jackknife reduction (the corpus pass is the per-day partial-first
