@@ -2509,6 +2509,51 @@ object FormatQueries {
       .orderBy("prio")
   }
 
+  /** X317: WRITE-audit-publish entirely in SQL — the WAP loop's write
+    * half: `INSERT INTO cat.db.t.branch_audit` commits ON THE BRANCH
+    * (the branch-addressed table, X302's ref-read spelling made
+    * writable), the audit read sees base + staged rows while MAIN is
+    * untouched (pinned), tags refuse writes (immutable), and
+    * fastForward publishes — the final main census is base ∪ staged
+    * (oracle). */
+  private def icebergSqlWriteBranch(spark: SparkSession,
+      dir: String): DataFrame = {
+    val wh = spark.conf
+      .getOption("spark.sql.catalog.graftbw.warehouse").getOrElse {
+        val w = Sinks.tempDir("cat_wh_bw")
+        spark.conf.set("spark.sql.catalog.graftbw",
+          classOf[graft.sources.v2.GraftCatalog].getName)
+        spark.conf.set("spark.sql.catalog.graftbw.warehouse", w)
+        w
+      }
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val total = o.count()
+    val table = s"$wh/db/orders_bw"
+    spark.sql("DROP TABLE IF EXISTS graftbw.db.orders_bw")
+    IcebergLite.write(spark, o, table)
+    IcebergLite.setRef(spark, table, "audit",
+      IcebergLite.currentSnapshotId(spark, table), "branch")
+    o.where(col("o_orderkey") <= 100)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("bw_staged")
+    spark.sql(
+      "INSERT INTO graftbw.db.orders_bw.branch_audit " +
+        "SELECT * FROM bw_staged")
+    val nStaged = o.where(col("o_orderkey") <= 100).count()
+    val auditSees = spark
+      .table("graftbw.db.orders_bw.branch_audit").count() == total + nStaged
+    val mainUntouched =
+      spark.table("graftbw.db.orders_bw").count() == total
+    IcebergLite.fastForward(spark, table, "audit")
+    spark.sql(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM graftbw.db.orders_bw GROUP BY o_orderpriority""".stripMargin)
+      .withColumn("wap_ok", lit(auditSees && mainUntouched))
+      .orderBy("prio")
+  }
+
   /** X316: `DESCRIBE DETAIL`'s relation as the `t.detail` metadata
     * table — the operational one-row summary (format, file count,
     * bytes, recounted row count, version count) served off the
@@ -4278,6 +4323,8 @@ object FormatQueries {
     "x_iceberg_rewrite_manifests" ->
       ((s, dir) => icebergRewriteManifests(s, dir)),
     "x_sql_describe_detail" -> ((s, dir) => sqlDescribeDetail(s, dir)),
+    "x_iceberg_sql_write_branch" ->
+      ((s, dir) => icebergSqlWriteBranch(s, dir)),
     "x_iceberg_sql_delete" -> ((s, dir) => icebergSqlDelete(s, dir)),
     "x_delta_sql_overwrite_partition" ->
       ((s, dir) => deltaSqlOverwritePartition(s, dir)),
@@ -4670,6 +4717,18 @@ object FormatQueries {
         |   WHERE o_orderkey NOT BETWEEN 1 AND 700) AS tt_rows,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey > 700 AND o_orderkey <= 900) AS cdf_fresh
+        |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
+    // WAP through SQL: branch write staged keys <= 100 doubled, then
+    // fastForward published — final main = base ∪ staged
+    "x_iceberg_sql_write_branch" ->
+      """WITH live AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice * 2, o_orderpriority
+        |  FROM orders WHERE o_orderkey <= 100
+        |)
+        |SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total, TRUE AS wap_ok
         |FROM live GROUP BY 1 ORDER BY prio""".stripMargin,
     // DESCRIBE DETAIL: metadata-layer recounts pinned vs the source
     "x_sql_describe_detail" ->

@@ -1623,6 +1623,17 @@ object IcebergLite {
   def readRef(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, refSnapshotId(spark, table, name))
 
+  /** A ref's (snapshot-id, type) — the type gates writability: branches
+    * take commits, tags are immutable. */
+  private[graft] def refInfo(spark: SparkSession, table: String,
+      name: String): (Long, String) = {
+    val fs = hadoopFs(spark, table)
+    val meta = readMetadata(fs, table, latestMetadataVersion(spark, table))
+    val r = meta.path("refs").path(name)
+    require(!r.isMissingNode, s"no ref $name on $table")
+    (r.get("snapshot-id").asLong(), r.get("type").asText())
+  }
+
   /** Snapshot expiration — Iceberg's retention op (`expireSnapshots`):
     * drop all but the newest `keepLast` snapshots from the metadata (a
     * NEW metadata version, committed by the same atomic-create arbiter),

@@ -217,6 +217,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"$catName.${ident.namespace.mkString(".")}.changes", parent,
         if (isDelta) "delta" else "iceberg", baseSchema))
     }
+    if (isIce && kind.startsWith("branch_")) {
+      // X317: BRANCH-ADDRESSED table — `cat.db.t.branch_dev` reads the
+      // branch head and takes `INSERT INTO` commits ON THE BRANCH (the
+      // WAP write half of X302's ref reads; main untouched until
+      // fastForward publishes). Tags refuse — they are immutable.
+      require(version < 0,
+        "VERSION AS OF on a branch-addressed table: the branch IS the " +
+          "version coordinate — address one or the other")
+      val branch = kind.stripPrefix("branch_")
+      val (sid, refType) = IcebergLite.refInfo(spark, parent, branch)
+      require(refType == "branch",
+        s"ref $branch is a tag — tags are immutable; write to a branch")
+      val schema = IcebergLite.schemaAt(spark, parent, sid)
+      val pfOpt = IcebergLite.currentPartitionSpec(spark, parent)
+      val morState =
+        IcebergLite.snapshotDeleteFiles(spark, parent, sid).nonEmpty
+      val s = spark
+      val readDelegate: ReadPlan =
+        if (morState) MorPlan(() => IcebergLite.read(s, parent, sid))
+        else ParquetPlan(parquetTable(
+          Identifier.of(ident.namespace, kind), schema,
+          IcebergLite.snapshotFiles(s, parent, sid)))
+      return Some(new GraftTable(
+        s"$catName.${ident.namespace.mkString(".")}.$kind", parent,
+        "iceberg", schema, Seq.empty, pfOpt, columnMapped = false,
+        readDelegate, writable = true) {
+        override protected def iceToBranch: Option[String] = Some(branch)
+      })
+    }
     val df =
       if (kind == "detail") {
         // DESCRIBE DETAIL's relation (X316): one operational-summary

@@ -360,12 +360,19 @@ private[v2] class GraftTable(
           overwriteValue.get)
         ()
       case "iceberg" =>
+        require(!overwrite || iceToBranch.isEmpty,
+          s"$tableName: INSERT OVERWRITE a branch is outside this " +
+            "subset — append to the branch, or overwrite main")
         IcebergLite.write(spark, aligned, path, overwrite = overwrite,
-          partitionField = icePartition)
+          partitionField = icePartition, toBranch = iceToBranch)
       case other =>
         throw new IllegalStateException(s"unknown format $other")
     }
   }
+
+  /** Branch-addressed tables (X317: `cat.db.t.branch_<name>`) override
+    * this so INSERT commits land on the BRANCH head, main untouched. */
+  protected def iceToBranch: Option[String] = None
 }
 
 /** The Delta table the catalog serves when the SQL row-level envelope

@@ -17,7 +17,7 @@ class EngineSpec extends SparkSpec with Matchers {
     SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet) shouldBe true
     // Pinned floor: a net key-count drop is gate shrinkage and must fail
     // the build (r10 lost 9 keys silently). Raise when keys are added.
-    SparkEntry.queries.size should be >= 468
+    SparkEntry.queries.size should be >= 469
     SparkEntry.entry(spark).count() should be > 0L
   }
 

@@ -1643,6 +1643,33 @@ class GraftCatalogSpec extends SparkSpec with Matchers {
       .as[Long].collect() shouldBe Seq(5L, 6L)
   }
 
+  test("branch-addressed writes: INSERT INTO t.branch_dev commits on the branch, main untouched (X317)") {
+    import spark.implicits._
+    val t = s"$warehouse/db/brw"
+    IcebergLite.write(spark,
+      (1L to 4L).map(k => (k, k * 10.0)).toDF("k", "v"), t)
+    IcebergLite.setRef(spark, t, "dev",
+      IcebergLite.currentSnapshotId(spark, t), "branch")
+    IcebergLite.setRef(spark, t, "v1tag",
+      IcebergLite.currentSnapshotId(spark, t), "tag")
+    Seq((9L, 90.0)).toDF("k", "v").createOrReplaceTempView("brw_src")
+    spark.sql(s"INSERT INTO $cat.db.brw.branch_dev SELECT * FROM brw_src")
+    // the branch sees base + the branch append; main is untouched
+    spark.sql(s"SELECT k FROM $cat.db.brw.branch_dev ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 2L, 3L, 4L, 9L)
+    spark.sql(s"SELECT k FROM $cat.db.brw ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 2L, 3L, 4L)
+    // tags are immutable — the write spelling refuses
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.brw.branch_v1tag VALUES (7, 70.0)")
+    }
+    e.getMessage should include("tag")
+    // fastForward publishes the branch to main
+    IcebergLite.fastForward(spark, t, "dev")
+    spark.sql(s"SELECT k FROM $cat.db.brw ORDER BY k")
+      .as[Long].collect() shouldBe Seq(1L, 2L, 3L, 4L, 9L)
+  }
+
   test("t.detail serves DESCRIBE DETAIL's one-row summary off metadata alone (X316)") {
     import spark.implicits._
     for ((fmt, tn) <- Seq("delta" -> "det_d", "iceberg" -> "det_i")) {
