@@ -86,8 +86,10 @@ object Bench {
     // driver artifacts' 1.6-2.3× tail).
     val samples = Array.fill(keys.length)(
       scala.collection.mutable.ArrayBuffer.empty[Double])
+    BenchStats.install(spark) // no-op unless SPARK_GRAFT_JOBSTATS=1
     (1 to reps).foreach { pass =>
       keys.zipWithIndex.foreach { case ((name, fn), i) =>
+        BenchStats.reset(spark)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -95,6 +97,9 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        val stats = BenchStats.snapshot(spark)
+        if (stats.nonEmpty)
+          System.err.println(f"[jobstats] $name%-24s $dt%8.2fs$stats")
         // builder-side caches (dedup/similarity self-join inputs) must not
         // outlive their query: evict before the next timing starts
         spark.catalog.clearCache()
