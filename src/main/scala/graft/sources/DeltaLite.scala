@@ -1082,24 +1082,30 @@ object DeltaLite {
     val parts = fs.listStatus(new Path(table, staged))
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
-    val aggs = count(lit(1)).as("numRecords") +:
-      longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val statsByFile = spark.read.parquet(s"$table/$staged")
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val o = mapper.createObjectNode()
-        o.put("numRecords", r.getAs[Long]("numRecords"))
-        val mins = o.putObject("minValues")
-        val maxs = o.putObject("maxValues")
-        longCols.foreach { c =>
-          val mi = r.getAs[java.lang.Long](s"min_$c")
-          val ma = r.getAs[java.lang.Long](s"max_$c")
-          if (mi != null && ma != null) {
-            mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+    // footers first; distributed fallback keeps the JSON identical
+    val statsByFile = FooterStats.deltaJson(
+      spark.sparkContext.hadoopConfiguration,
+      parts.toSeq.map(p => (p.getPath.getName, p)), longCols, mapper)
+      .getOrElse {
+      val aggs = count(lit(1)).as("numRecords") +:
+        longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val o = mapper.createObjectNode()
+          o.put("numRecords", r.getAs[Long]("numRecords"))
+          val mins = o.putObject("minValues")
+          val maxs = o.putObject("maxValues")
+          longCols.foreach { c =>
+            val mi = r.getAs[java.lang.Long](s"min_$c")
+            val ma = r.getAs[java.lang.Long](s"max_$c")
+            if (mi != null && ma != null) {
+              mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+            }
           }
-        }
-        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
-      }.toMap
+          (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+        }.toMap
+      }
     val adds = parts.toSeq.map(p =>
       addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
         statsByFile.get(p.getPath.getName), dataChange = false))
@@ -1142,25 +1148,31 @@ object DeltaLite {
         val parts = fs.listStatus(new Path(table, sub))
           .filter(_.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName)
-        val aggs = count(lit(1)).as("numRecords") +:
-          longCols.flatMap(c =>
-            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-        val statsByFile = spark.read.parquet(s"$table/$sub")
-          .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val o = mapper.createObjectNode()
-            o.put("numRecords", r.getAs[Long]("numRecords"))
-            val mins = o.putObject("minValues")
-            val maxs = o.putObject("maxValues")
-            longCols.foreach { c =>
-              val mi = r.getAs[java.lang.Long](s"min_$c")
-              val ma = r.getAs[java.lang.Long](s"max_$c")
-              if (mi != null && ma != null) {
-                mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+        // footers first; distributed fallback keeps the JSON identical
+        val statsByFile = FooterStats.deltaJson(
+          spark.sparkContext.hadoopConfiguration,
+          parts.toSeq.map(p => (p.getPath.getName, p)), longCols, mapper)
+          .getOrElse {
+          val aggs = count(lit(1)).as("numRecords") +:
+            longCols.flatMap(c =>
+              Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          spark.read.parquet(s"$table/$sub")
+            .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+            .collect().map { r =>
+              val o = mapper.createObjectNode()
+              o.put("numRecords", r.getAs[Long]("numRecords"))
+              val mins = o.putObject("minValues")
+              val maxs = o.putObject("maxValues")
+              longCols.foreach { c =>
+                val mi = r.getAs[java.lang.Long](s"min_$c")
+                val ma = r.getAs[java.lang.Long](s"max_$c")
+                if (mi != null && ma != null) {
+                  mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+                }
               }
-            }
-            (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
-          }.toMap
+              (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+            }.toMap
+          }
         adds ++= parts.toSeq.map(p =>
           addLine(s"$sub/${p.getPath.getName}", p.getLen, p.getModificationTime,
             statsByFile.get(p.getPath.getName), dataChange = false,
@@ -1238,24 +1250,30 @@ object DeltaLite {
     val parts = fs.listStatus(new Path(table, staged))
       .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
     val longCols = schema.fields.filter(_.dataType == LongType).map(_.name).toSeq
-    val aggs = count(lit(1)).as("numRecords") +:
-      longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val statsByFile = spark.read.parquet(s"$table/$staged")
-      .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
-        val o = mapper.createObjectNode()
-        o.put("numRecords", r.getAs[Long]("numRecords"))
-        val mins = o.putObject("minValues")
-        val maxs = o.putObject("maxValues")
-        longCols.foreach { c =>
-          val mi = r.getAs[java.lang.Long](s"min_$c")
-          val ma = r.getAs[java.lang.Long](s"max_$c")
-          if (mi != null && ma != null) {
-            mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+    // footers first; distributed fallback keeps the JSON identical
+    val statsByFile = FooterStats.deltaJson(
+      spark.sparkContext.hadoopConfiguration,
+      parts.toSeq.map(p => (p.getPath.getName, p)), longCols, mapper)
+      .getOrElse {
+      val aggs = count(lit(1)).as("numRecords") +:
+        longCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      spark.read.parquet(s"$table/$staged")
+        .groupBy(input_file_name().as("f")).agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val o = mapper.createObjectNode()
+          o.put("numRecords", r.getAs[Long]("numRecords"))
+          val mins = o.putObject("minValues")
+          val maxs = o.putObject("maxValues")
+          longCols.foreach { c =>
+            val mi = r.getAs[java.lang.Long](s"min_$c")
+            val ma = r.getAs[java.lang.Long](s"max_$c")
+            if (mi != null && ma != null) {
+              mins.put(c, mi.longValue()); maxs.put(c, ma.longValue())
+            }
           }
-        }
-        (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
-      }.toMap
+          (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
+        }.toMap
+      }
     val adds = parts.toSeq.map(p =>
       addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
         statsByFile.get(p.getPath.getName), dataChange = false))
@@ -1354,7 +1372,10 @@ object DeltaLite {
         // replaceValue): the stats pass must skip, not die inferring a
         // schema from a fileless staging dir
         if (!collectStats || parts.isEmpty) Map.empty
-        else {
+        else FooterStats.deltaJson(spark.sparkContext.hadoopConfiguration,
+          parts.map { case (rel, _, p) => (rawStatsKey(rel), p) },
+          longCols, mapper)
+          .getOrElse {
           val aggs = count(lit(1)).as("numRecords") +:
             longCols.flatMap(c =>
               Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1375,7 +1396,7 @@ object DeltaLite {
               }
               (ifnStatsKey(r.getAs[String]("f")), mapper.writeValueAsString(o))
             }.toMap
-        }
+          }
       val adds = parts.map { case (rel, value, p) =>
         addLine(rel, p.getLen, p.getModificationTime,
           statsByFile.get(rawStatsKey(rel)),
@@ -2058,9 +2079,15 @@ object DeltaLite {
       val statsByFile: Map[String, String] =
         if (!collectStats) Map.empty
         else {
-          import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
           val longCols = df.schema.fields
             .filter(_.dataType == LongType).map(_.name).toSeq
+          // footers first (no second pass over the staged bytes);
+          // distributed fallback keeps the JSON identical if any footer
+          // is unusable
+          FooterStats.deltaJson(spark.sparkContext.hadoopConfiguration,
+            parts.toSeq.map(p => (p.getPath.getName, p)), longCols, mapper)
+            .getOrElse {
+          import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
           val aggs = count(lit(1)).as("numRecords") +:
             longCols.flatMap(c =>
               Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -2083,6 +2110,7 @@ object DeltaLite {
               }
               (new Path(r.getAs[String]("f")).getName, mapper.writeValueAsString(o))
             }.toMap
+          }
         }
       val adds = parts.toSeq.map(p =>
         addLine(s"$staged/${p.getPath.getName}", p.getLen, p.getModificationTime,
@@ -2956,7 +2984,14 @@ object DeltaLite {
       val parts = fs.listStatus(new Path(table, staged))
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-      val statsByFile = spark.read.parquet(s"$table/$staged")
+      // footers first (this path's JSON omits empty bounds objects);
+      // distributed fallback keeps it identical
+      val statsByFile = FooterStats.deltaJson(
+        spark.sparkContext.hadoopConfiguration,
+        parts.toSeq.map(p => (p.getPath.getName, p)), Seq(column), mapper,
+        omitEmptyBoundsObjects = true)
+        .getOrElse {
+        spark.read.parquet(s"$table/$staged")
         .groupBy(input_file_name().as("f"))
         .agg(cnt_(l_(1)).as("numRecords"),
           mn_(c_(column)).as("mn"), mx_(c_(column)).as("mx"))
@@ -2965,6 +3000,7 @@ object DeltaLite {
             statsJson(r.getAs[Long]("numRecords"),
               r.getAs[java.lang.Long]("mn"), r.getAs[java.lang.Long]("mx")))
         }.toMap
+        }
       parts.toSeq.map(p =>
         addLine(s"$staged/${p.getPath.getName}", p.getLen,
           p.getModificationTime, statsByFile.get(p.getPath.getName)))
@@ -2994,7 +3030,12 @@ object DeltaLite {
           catch { case _: java.net.URISyntaxException => p }
         decoded.split('/').takeRight(2).mkString("/")
       }
-      val statsByFile = spark.read.parquet(s"$table/$staged")
+      val statsByFile = FooterStats.deltaJson(
+        spark.sparkContext.hadoopConfiguration,
+        parts.map { case (rel, _, p) => (rawKey(rel), p) }, Seq(column),
+        mapper, omitEmptyBoundsObjects = true)
+        .getOrElse {
+        spark.read.parquet(s"$table/$staged")
         .groupBy(input_file_name().as("f"))
         .agg(cnt_(l_(1)).as("numRecords"),
           mn_(c_(column)).as("mn"), mx_(c_(column)).as("mx"))
@@ -3003,6 +3044,7 @@ object DeltaLite {
             statsJson(r.getAs[Long]("numRecords"),
               r.getAs[java.lang.Long]("mn"), r.getAs[java.lang.Long]("mx")))
         }.toMap
+        }
       parts.map { case (rel, value, p) =>
         addLine(rel, p.getLen, p.getModificationTime,
           statsByFile.get(rawKey(rel)),
@@ -3265,6 +3307,16 @@ object DeltaLite {
     if (isColumnMapped(schema)) return Map.empty
     val longCols = schema.fields.filter(_.dataType == LongType)
       .map(_.name).toSeq
+    // footers first; distributed fallback keeps the JSON identical
+    val footer = {
+      val fs = hadoopFs(spark, table)
+      FooterStats.deltaJson(spark.sparkContext.hadoopConfiguration,
+        addRel.map { f =>
+          val p = new Path(dataPath(table, f))
+          (p.getName, fs.getFileStatus(p))
+        }, longCols, mapper)
+    }
+    footer.getOrElse {
     val aggs = cnt_(l_(1)).as("numRecords") +: longCols.flatMap(c =>
       Seq(mn_(c_(c)).as(s"min_$c"), mx_(c_(c)).as(s"max_$c")))
     spark.read.schema(schema)
@@ -3286,6 +3338,7 @@ object DeltaLite {
         (new Path(r.getAs[String]("f")).getName,
           mapper.writeValueAsString(o))
       }.toMap
+    }
   }
 
   /** File-granular MERGE (the r12 verdict's one flagged scale-killer,

@@ -72,6 +72,16 @@ private[graft] object EqVals {
     * remedy) only for column types outside the canonical set. */
   def load(spark: SparkSession, path: String, seq: Long,
       context: String): EqVals = {
+    // deleted-key payloads are driver-bounded by definition — read them
+    // with a plain driver parquet reader (no Spark job) whenever the
+    // schema is the canonical integral/string/boolean tuple set; any
+    // other shape falls back to the Spark read below, which owns the
+    // user-facing refusal message
+    ParquetDirect.tryReadEqTuples(
+        spark.sparkContext.hadoopConfiguration, path) match {
+      case Some((names, tuples)) => return EqVals(names, seq, tuples)
+      case None => ()
+    }
     val df = spark.read.parquet(path)
     df.schema.fields.foreach(f => require(supported(f.dataType),
       s"equality delete file $path column ${f.name} has type " +

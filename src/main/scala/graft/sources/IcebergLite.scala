@@ -641,50 +641,100 @@ object IcebergLite {
         catch { case _: java.net.URISyntaxException => p }
       decoded.split('/').takeRight(2).mkString("/")
     }
-    import org.apache.spark.sql.functions.{count => cnt, col => c_, input_file_name, lit => lt, max => mx_, min => mn_}
-    val statsAggs = cnt(lt(1)).as("n") +:
-      (boundsColumn.toSeq.flatMap(c =>
-        Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx"))) ++
-        statsColumns.zipWithIndex.flatMap { case (c, i) =>
-          Seq(mn_(c_(c)).as(s"mn_$i"), mx_(c_(c)).as(s"mx_$i"),
-            cnt(c_(c)).as(s"nn_$i")) // count(col) = non-null count
-        })
+    // Per-file stats come from the staged files' parquet FOOTERS (one
+    // driver metadata read per file — the write just produced them, and
+    // the footer already carries row counts, min/max and null counts),
+    // NOT a second distributed pass over every staged byte. Any footer
+    // this helper can't serve exactly (non-INT64/UTF8 column, missing
+    // statistics) falls back to the original distributed stats job, so
+    // the manifest content is identical either way. Guide §1.2: remove
+    // the pass, not speed it up.
+    val neededCols: Seq[String] = boundsColumn.toSeq ++ statsColumns
+    val footerPerFile: Option[Map[String, FooterStats.PerFile]] = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val acc = Map.newBuilder[String, FooterStats.PerFile]
+      val ok = parts.forall { case (rel, _, st) =>
+        FooterStats.read(conf, st, neededCols) match {
+          case Some(pf) => acc += rawStatsKey(rel) -> pf; true
+          case None => false
+        }
+      }
+      if (ok) Some(acc.result()) else None
+    }
     // per-file: (record count, legacy long bounds, per-column spec stats
     // as (1-based field id, min, max, null count))
-    val statRows =
-      spark.read.parquet(s"$table/$staged")
-        .groupBy(input_file_name().as("f"))
-        .agg(statsAggs.head, statsAggs.tail: _*)
-        .collect()
-    val fileStats: Map[String, (Long, Option[(Long, Long)])] =
-      statRows.map { r =>
-          val bounds = boundsColumn.flatMap { _ =>
-            val mi = r.getAs[java.lang.Long]("mn")
-            val ma = r.getAs[java.lang.Long]("mx")
-            if (mi == null || ma == null) None
-            else Some((mi.longValue(), ma.longValue()))
+    lazy val fidsForStats: Seq[Int] = {
+      // stats key by the FIELD IDS this commit's schema declares —
+      // the same assignment the metadata commit below makes (ids ≠
+      // positions once the table has dropped a column)
+      val fids = assignFieldIds(
+        if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None,
+        df.schema)
+      statsColumns.map(c => fids(df.schema.fieldNames.indexOf(c)))
+    }
+    val statsPair: (Map[String, (Long, Option[(Long, Long)])],
+        Map[String, Seq[(Int, Any, Any, Long)]]) = footerPerFile match {
+      case Some(perFile) =>
+        val fStats = perFile.map { case (k, pf) =>
+          val bounds = boundsColumn.flatMap { c =>
+            (pf.cols(c).min, pf.cols(c).max) match {
+              case (mi: java.lang.Long, ma: java.lang.Long) =>
+                Some((mi.longValue(), ma.longValue()))
+              case _ => None // all-null slice: no bounds, as the job path
+            }
           }
-          (ifnStatsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
-        }.toMap
-    val colStats: Map[String, Seq[(Int, Any, Any, Long)]] =
-      if (statsColumns.isEmpty) Map.empty
-      else {
-        // stats key by the FIELD IDS this commit's schema declares —
-        // the same assignment the metadata commit below makes (ids ≠
-        // positions once the table has dropped a column)
-        val fids = assignFieldIds(
-          if (prevV > 0) Some(readMetadata(fs, table, prevV)) else None,
-          df.schema)
-        statRows.map { r =>
-          val n = r.getAs[Long]("n")
-          (ifnStatsKey(r.getAs[String]("f")),
-            statsColumns.zipWithIndex.map { case (c, i) =>
-              (fids(df.schema.fieldNames.indexOf(c)),
-                r.getAs[Any](s"mn_$i"), r.getAs[Any](s"mx_$i"),
-                n - r.getAs[Long](s"nn_$i"))
+          (k, (pf.rows, bounds))
+        }
+        val cStats: Map[String, Seq[(Int, Any, Any, Long)]] =
+          if (statsColumns.isEmpty) Map.empty
+          // a zero-row file forms no input_file_name() group in the job
+          // path and so carries no column stats — mirror that
+          else perFile.collect { case (k, pf) if pf.rows > 0L =>
+            (k, statsColumns.zipWithIndex.map { case (c, i) =>
+              val s = pf.cols(c)
+              (fidsForStats(i), s.min, s.max, s.nulls)
             })
-        }.toMap
-      }
+          }
+        (fStats, cStats)
+      case None =>
+        import org.apache.spark.sql.functions.{count => cnt, col => c_, input_file_name, lit => lt, max => mx_, min => mn_}
+        val statsAggs = cnt(lt(1)).as("n") +:
+          (boundsColumn.toSeq.flatMap(c =>
+            Seq(mn_(c_(c)).as("mn"), mx_(c_(c)).as("mx"))) ++
+            statsColumns.zipWithIndex.flatMap { case (c, i) =>
+              Seq(mn_(c_(c)).as(s"mn_$i"), mx_(c_(c)).as(s"mx_$i"),
+                cnt(c_(c)).as(s"nn_$i")) // count(col) = non-null count
+            })
+        val statRows =
+          spark.read.parquet(s"$table/$staged")
+            .groupBy(input_file_name().as("f"))
+            .agg(statsAggs.head, statsAggs.tail: _*)
+            .collect()
+        val fStats: Map[String, (Long, Option[(Long, Long)])] =
+          statRows.map { r =>
+              val bounds = boundsColumn.flatMap { _ =>
+                val mi = r.getAs[java.lang.Long]("mn")
+                val ma = r.getAs[java.lang.Long]("mx")
+                if (mi == null || ma == null) None
+                else Some((mi.longValue(), ma.longValue()))
+              }
+              (ifnStatsKey(r.getAs[String]("f")), (r.getAs[Long]("n"), bounds))
+            }.toMap
+        val cStats: Map[String, Seq[(Int, Any, Any, Long)]] =
+          if (statsColumns.isEmpty) Map.empty
+          else statRows.map { r =>
+            val n = r.getAs[Long]("n")
+            (ifnStatsKey(r.getAs[String]("f")),
+              statsColumns.zipWithIndex.map { case (c, i) =>
+                (fidsForStats(i),
+                  r.getAs[Any](s"mn_$i"), r.getAs[Any](s"mx_$i"),
+                  n - r.getAs[Long](s"nn_$i"))
+              })
+          }.toMap
+        (fStats, cStats)
+    }
+    val fileStats = statsPair._1
+    val colStats = statsPair._2
     // manifest for the new files
     val entrySchema = entrySchemaFor(partitionField.isDefined,
       boundsColumn.isDefined, withColStats = statsColumns.nonEmpty)
@@ -2391,7 +2441,8 @@ object IcebergLite {
                 "left_semi")
               masked = Some(masked.map(_.unionByName(hit)).getOrElse(hit))
             }
-            eq.groupBy(p => spark.read.parquet(p).schema.fieldNames.toSeq)
+            eq.groupBy(p => ParquetDirect.schemaFieldNames(
+                spark.sparkContext.hadoopConfiguration, p))
               .foreach { case (eqCols, files) =>
                 // composite keys (X305): a row announces only when EVERY
                 // key column matches the same delete tuple
@@ -2523,10 +2574,19 @@ object IcebergLite {
         .collect { case (k, (ps, dvSeq)) if dvSeq == sid => k -> ps }
     def positionsBy(paths: Seq[String]): Map[String, Array[Long]] =
       if (paths.isEmpty) Map.empty
-      else spark.read.parquet(paths: _*)
-        .select(col("file_path"), col("pos")).collect()
-        .groupBy(r => fileKeyRaw(r.getString(0)))
-        .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+      // driver-bounded payload: plain driver parquet read, no Spark job
+      // (unexpected schemas fall back to the distributed read)
+      else ParquetDirect.tryReadPositions(
+          spark.sparkContext.hadoopConfiguration, paths) match {
+        case Some(rows) =>
+          rows.groupBy(r => fileKeyRaw(r._1))
+            .map { case (k, rs) => k -> rs.map(_._2).sorted.toArray }
+        case None =>
+          spark.read.parquet(paths: _*)
+            .select(col("file_path"), col("pos")).collect()
+            .groupBy(r => fileKeyRaw(r.getString(0)))
+            .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+      }
     // equality-delete payloads load LAZILY, per file, ONLY when a
     // planned unit actually needs that file's values (r15 advice: eager
     // validation of every live parent file made one exotic delete file
@@ -3027,7 +3087,9 @@ object IcebergLite {
         cur = cur.join(broadcast(dataSeq.withColumnRenamed("__dseq", "__ds")),
           "__fn")
         eqDeletes.groupBy { case (p, _, _) =>
-          spark.read.parquet(p).schema.fieldNames.toSeq
+          // column set from the footer — no per-file Spark schema job
+          ParquetDirect.schemaFieldNames(
+            spark.sparkContext.hadoopConfiguration, p)
         }.foreach { case (eqCols, files) =>
           val delSeq = files
             .map { case (p, s, _) => (fileKeyRaw(p), s) }
@@ -3117,7 +3179,9 @@ object IcebergLite {
       val parts = fs.listStatus(new Path(table, staged))
         .filter(_.getPath.getName.endsWith(".parquet"))
         .sortBy(_.getPath.getName)
-      val n = spark.read.parquet(s"$table/$staged").count()
+      // row count from the staged footers, not a Spark count job
+      val n = parts.map(p => ParquetDirect.rowCount(
+        spark.sparkContext.hadoopConfiguration, p.getPath)).sum
       if (n == 0) return (Seq.empty, 0L)
       (parts.toSeq.map(p => deleteEntry(table, snapshotId,
         s"$staged/${p.getPath.getName}", p.getLen, n, kind = 1)), n)
@@ -3146,10 +3210,11 @@ object IcebergLite {
           catch { case _: java.net.URISyntaxException => p }
         decoded.split('/').takeRight(2).mkString("/")
       }
-      val counts = spark.read.parquet(s"$table/$staged")
-        .groupBy(input_file_name().as("f")).agg(cnt(lit(1)).as("n"))
-        .collect()
-        .map(r => (ifnKey(r.getAs[String]("f")), r.getAs[Long]("n"))).toMap
+      // per-file row counts from the staged footers, not a Spark job
+      val counts = parts.map { case (rel, _, p) =>
+        (rawKey(rel), ParquetDirect.rowCount(
+          spark.sparkContext.hadoopConfiguration, p.getPath))
+      }.toMap
       val entries = parts.map { case (rel, value, p) =>
         deleteEntry(table, snapshotId, rel, p.getLen,
           counts.getOrElse(rawKey(rel), 0L), kind = 1,
@@ -4008,24 +4073,57 @@ object IcebergLite {
     val parquetPosByFile =
       if (pos.isEmpty) Map.empty[String, Array[Long]]
       else {
-        import org.apache.spark.sql.functions.{broadcast, col}
-        import spark.implicits._
-        val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
-          .toDF("__delfn", "__sseq")
-        spark.read.parquet(pos.map(_._1): _*)
-          .select(fileKeyCol(col("file_path")).as("__fn"), col("pos"),
-            fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
-          .join(broadcast(delSeq), "__delfn")
-          .collect()
-          .groupBy(_.getAs[String]("__fn"))
-          .collect { case (fn, rows) if dataSeq.contains(fn) =>
-            // sequence gating: position deletes apply at seq ≥ the data
-            // file's — a file re-added after the delete keeps its rows
-            val dseq = dataSeq(fn)
-            fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
-              .map(_.getAs[Long]("pos")).distinct.sorted
+        // position payloads are driver-bounded (the deleteWhereDV cost
+        // model): read them with the driver parquet reader — no Spark
+        // job per DML statement. Each row's sequence is its own file's,
+        // so the per-file read replaces the _metadata.file_path join.
+        // Any unexpected schema falls back to the distributed read.
+        val direct: Option[Seq[(String, Long, Long)]] = { // (fn, pos, seq)
+          val conf = spark.sparkContext.hadoopConfiguration
+          val acc = Seq.newBuilder[(String, Long, Long)]
+          val ok = pos.forall { case (p, s, _) =>
+            ParquetDirect.tryReadPositions(conf, Seq(p)) match {
+              case Some(rows) =>
+                rows.foreach { case (fp, ri) =>
+                  acc += ((fileKeyRaw(fp), ri, s))
+                }
+                true
+              case None => false
+            }
           }
-          .filter(_._2.nonEmpty).toMap
+          if (ok) Some(acc.result()) else None
+        }
+        direct match {
+          case Some(rows) =>
+            rows.groupBy(_._1)
+              .collect { case (fn, rs) if dataSeq.contains(fn) =>
+                // sequence gating: position deletes apply at seq ≥ the
+                // data file's — a re-added file keeps its rows
+                val dseq = dataSeq(fn)
+                fn -> rs.filter(_._3 >= dseq).map(_._2)
+                  .distinct.sorted.toArray
+              }
+              .filter(_._2.nonEmpty).toMap
+          case None =>
+            import org.apache.spark.sql.functions.{broadcast, col}
+            import spark.implicits._
+            val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
+              .toDF("__delfn", "__sseq")
+            spark.read.parquet(pos.map(_._1): _*)
+              .select(fileKeyCol(col("file_path")).as("__fn"), col("pos"),
+                fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
+              .join(broadcast(delSeq), "__delfn")
+              .collect()
+              .groupBy(_.getAs[String]("__fn"))
+              .collect { case (fn, rows) if dataSeq.contains(fn) =>
+                // sequence gating: position deletes apply at seq ≥ the
+                // data file's — a re-added file keeps its rows
+                val dseq = dataSeq(fn)
+                fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
+                  .map(_.getAs[Long]("pos")).distinct.sorted
+              }
+              .filter(_._2.nonEmpty).toMap
+        }
       }
     // union the two position-delete carriers (the DV superset contract
     // makes parquet rows for a vectored file a subset, so this is exact)
@@ -4534,11 +4632,12 @@ object IcebergLite {
     val schema =
       if (values.isEmpty) manifestEntrySchema
       else entrySchemaFor(partitioned = true)
-    val counts = spark.read.parquet(relFiles.map(f => s"$table/$f"): _*)
-      .groupBy(input_file_name().as("f")).agg(cnt(lt(1)).as("n"))
-      .collect()
-      .map(r => (new Path(r.getAs[String]("f")).getName, r.getAs[Long]("n")))
-      .toMap
+    // per-file row counts from the footers, not a distributed pass
+    val counts = relFiles.map { f =>
+      val p = new Path(table, f)
+      (p.getName, ParquetDirect.rowCount(
+        spark.sparkContext.hadoopConfiguration, p))
+    }.toMap
     val entries = relFiles.sorted.map { f =>
       val e = new GenericData.Record(schema)
       e.put("status", 1)

@@ -136,9 +136,28 @@ private[v2] final class GraftChangeFeedStream(
     else IcebergLite.snapshotIdList(spark, path).filter(id =>
       id > s && id <= e)
 
+  // A committed version's change set is IMMUTABLE (it derives from that
+  // commit's and its parent's manifests alone), but the planner asks for
+  // it repeatedly — once per micro-batch in admission control
+  // (unitCount), again in planInputPartitions — and computing Iceberg
+  // units opens position-delete files (Spark jobs). Memoize per stream
+  // instance: one computation per version per query run.
+  private val deltaUnitCache =
+    scala.collection.mutable.Map.empty[Long, Seq[DeltaLite.ChangeUnit]]
+  private val iceUnitCache =
+    scala.collection.mutable.Map.empty[Long, Seq[IcebergLite.IceChangeUnit]]
+
+  private def deltaUnits(id: Long): Seq[DeltaLite.ChangeUnit] =
+    deltaUnitCache.getOrElseUpdate(id,
+      DeltaLite.changeUnits(spark, path, id))
+
+  private def iceUnits(id: Long): Seq[IcebergLite.IceChangeUnit] =
+    iceUnitCache.getOrElseUpdate(id,
+      IcebergLite.changeUnits(spark, path, id))
+
   private def unitCount(id: Long): Int =
-    if (format == "delta") DeltaLite.changeUnits(spark, path, id).size
-    else IcebergLite.changeUnits(spark, path, id).size
+    if (format == "delta") deltaUnits(id).size
+    else iceUnits(id).size
 
   override def initialOffset(): Offset = GraftCdfOffset(
     startingVersion.map(_ - 1).getOrElse(head))
@@ -228,7 +247,7 @@ private[v2] final class GraftChangeFeedStream(
     }
     if (format == "delta")
       ((s + 1) to e).flatMap { v =>
-        DeltaLite.changeUnits(spark, path, v).map(u =>
+        deltaUnits(v).map(u =>
           part(new Path(DeltaLite.dataPath(path, u.relPath)), u.kind, v,
             emit = null, skip = u.dvPositions))
       }.toArray
@@ -237,7 +256,7 @@ private[v2] final class GraftChangeFeedStream(
       // ids actually in the snapshots list
       IcebergLite.snapshotIdList(spark, path)
         .filter(id => id > s && id <= e).flatMap { id =>
-          IcebergLite.changeUnits(spark, path, id).map(u =>
+          iceUnits(id).map(u =>
             part(new Path(u.absPath), u.kind, id,
               emit = u.emit, skip = u.skip,
               emitEq = eqIdx(u.emitEq), skipEq = eqIdx(u.skipEq)))

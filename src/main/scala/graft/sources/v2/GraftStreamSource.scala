@@ -59,12 +59,22 @@ private[v2] final class GraftTableStream(
     case _ => IcebergLite.currentSnapshotId(spark, path)
   }
 
+  // a committed version's added-file list is immutable, but admission
+  // control walks unit(v) once per candidate version per micro-batch and
+  // planInputPartitions re-reads it — memoize per stream instance so each
+  // version's log/manifest diff is computed once per query run
+  private val unitCache =
+    scala.collection.mutable.Map.empty[(Long, Long), Seq[String]]
+
   /** The offset axis is a concatenation of UNITS: unit(snapV) is the
     * pinned INITIAL SNAPSHOT's file list, unit(v > snapV) is exactly
     * the files version v added. File-granular offsets (v, k) = k files
     * of unit(v) consumed — so admission control can split a 100 TB
     * initial snapshot into bounded micro-batches instead of one. */
   private def unit(snapV: Long, v: Long): Seq[String] =
+    unitCache.getOrElseUpdate((snapV, v), unitUncached(snapV, v))
+
+  private def unitUncached(snapV: Long, v: Long): Seq[String] =
     if (v == snapV) format match {
       case "delta" =>
         val snap = DeltaLite.snapshotAt(spark, path, v)
