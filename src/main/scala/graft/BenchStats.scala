@@ -23,8 +23,15 @@ object BenchStats {
   private var registered = false
 
   private object L extends SparkListener {
-    override def onJobStart(e: SparkListenerJobStart): Unit =
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
       counts.jobs.incrementAndGet()
+      if (verbose) {
+        val names = e.stageInfos.map(_.name).distinct
+        val site = names.find(n => !n.contains("withThreadLocalCaptured"))
+          .getOrElse(names.headOption.getOrElse("?"))
+        System.err.println(s"[jobsite] $site")
+      }
+    }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
       counts.stages.incrementAndGet()
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -35,7 +42,11 @@ object BenchStats {
     }
   }
 
-  def enabled: Boolean = sys.env.get("SPARK_GRAFT_JOBSTATS").contains("1")
+  def enabled: Boolean =
+    sys.env.get("SPARK_GRAFT_JOBSTATS").exists(v => v == "1" || v == "2")
+
+  /** JOBSTATS=2 additionally prints each job's short call site. */
+  def verbose: Boolean = sys.env.get("SPARK_GRAFT_JOBSTATS").contains("2")
 
   def install(spark: SparkSession): Unit = if (enabled && !registered) {
     spark.sparkContext.addSparkListener(L)

@@ -462,7 +462,7 @@ object Dedup {
     // filter preserves the artifact's sid partitioning → exchange-free join
     val pfx = ranked
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select("doc_id", "sid", "m")
+      .select("doc_id", "sid", "m", "rn")
     prefixPairsFrom(pfx, shingleIds(spark, dir), threshold)
   }
 
@@ -478,7 +478,7 @@ object Dedup {
     // explode → df-window chain executes twice
     val pfx = rankedShingles(ids)
       .where(col("rn") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select("doc_id", "sid", "m")
+      .select("doc_id", "sid", "m", "rn")
       // pre-partition by the self-join key before caching: one shuffle
       // feeds BOTH join sides (InMemoryRelation preserves partitioning)
       .repartition(col("sid")).cache()
@@ -487,16 +487,30 @@ object Dedup {
   }
 
   /** Candidate self-join + Jaccard verification over a prefix relation
-    * `(doc_id, sid, m)` already partitioned by sid. */
+    * `(doc_id, sid, m, rn)` already partitioned by sid. */
   private def prefixPairsFrom(pfx: DataFrame, ids: DataFrame,
       threshold: Double): DataFrame = {
+    // PPJoin POSITIONAL filter (Xiao et al., exact — no recall loss): a
+    // pair reaching Jaccard t needs overlap ≥ α = ⌈t/(1+t)·(ma+mb)⌉, and
+    // at a shared prefix element with df-ranks (rn_a, rn_b) the overlap
+    // is bounded by 1 + min(ma − rn_a, mb − rn_b) — for the pair's FIRST
+    // shared element (where the bound is largest, since both ranks only
+    // grow) a true pair always passes, so filtering every matched row by
+    // its own bound keeps exactly the pairs a later verification could
+    // accept. α is slack-adjusted by 1e-6 before ceil so float noise can
+    // only ADMIT a candidate (harmless: verification is exact), never
+    // drop a true pair.
+    val alpha = ceil((lit(threshold / (1.0 + threshold)) *
+      (col("a.m") + col("b.m"))).cast("double") - lit(1e-6))
     // the self-join's build side is the same corpus-scale prefix relation
     // (cached/checkpointed => underestimated stats => broadcast): pin
     // shuffle too
     val cands = pfx.as("a").join(pfx.as("b").hint("shuffle_hash"),
         col("a.sid") === col("b.sid") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.m"), col("b.m")).cast("double") >=
-            greatest(col("a.m"), col("b.m")) * threshold)
+            greatest(col("a.m"), col("b.m")) * threshold &&
+          lit(1) + least(col("a.m") - col("a.rn"),
+            col("b.m") - col("b.rn")) >= alpha)
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(min(col("a.m")).as("ma"), min(col("b.m")).as("mb"))
     // verification joins MUST shuffle: `ids` is corpus-sized, but when it

@@ -613,9 +613,17 @@ object LlmQueries {
     "x_bitext_mine" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
+      // the broadcast nested-loop probe does |a|·|b| dot products; the
+      // single-file scan gives `a` one input split, so without the
+      // repartition the whole score matrix runs on one core. The
+      // partition count is pinned (session shuffle parallelism): the
+      // shuffle is byte-light, so AQE's byte-based coalescing would
+      // fold the compute-dense probe back to one partition
       val a = e.where(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("va"),
           col("nrm").as("na"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("a_id"))
       val b = e.where(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("b_id"), col("embedding").as("vb"),
           col("nrm").as("nb"))

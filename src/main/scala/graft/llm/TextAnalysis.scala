@@ -517,6 +517,12 @@ object TextAnalysis {
     * once per 10¹¹ occurrences. */
   def wordSymbolTable(docs: DataFrame): DataFrame =
     docs
+      // spread the tokenize+explode: the single-row-group corpus file
+      // gives the scan ONE split, serializing the heaviest map work of
+      // every BPE pass; pinned width (session shuffle parallelism) so
+      // AQE's byte heuristic can't fold the byte-light text shuffle back
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("w"), col("freq"),

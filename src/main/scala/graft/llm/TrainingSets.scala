@@ -264,10 +264,14 @@ object TrainingSets {
     import spark.implicits._
     val w = docs.select(col("source"), split(lower(col("text")), " ").as("ws"))
       .withColumn("n", size(col("ws"))).where(col("n") >= 3)
+    // cached PRE-PARTITIONED by term: every round's anti-join and the
+    // total-distinct consume the layout exchange-free (InMemoryRelation
+    // preserves partitioning), instead of re-sorting the corpus relation
+    // per round
     val sv = w.select(col("source"),
         explode(transform(sequence(lit(1), col("n") - 2),
           i => concat_ws(" ", slice(col("ws"), i, lit(3))))).as("term"))
-      .distinct().cache()
+      .distinct().repartition(col("term")).cache()
     try {
       val total = sv.select("term").distinct().count()
       var covered = sv.select("term").where(lit(false))
@@ -278,7 +282,10 @@ object TrainingSets {
         val marg = sv
           .where(if (picked.isEmpty) lit(true)
                  else !col("source").isin(picked.toSeq: _*))
-          .join(covered, Seq("term"), "left_anti")
+          // hash, not sort-merge: re-sorting the corpus-side strings
+          // every round was the loop's real cost; the build side is the
+          // covered-terms set (bounded by terms already taken)
+          .join(covered.hint("shuffle_hash"), Seq("term"), "left_anti")
           .groupBy("source").agg(count(lit(1)).as("m"))
           .orderBy(col("m").desc, col("source")).limit(1)
           .collect()

@@ -108,11 +108,21 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val pBin = Alias(binOf(p), "__graft_bin_p")()
       val binAttr = AttributeReference("__graft_bin_i", LongType, nullable = true)()
       val (pointChild, boundsChild) = if (pOnLeft) (j.left, j.right) else (j.right, j.left)
-      val pointPlan = Project(pointChild.output :+ pBin, pointChild)
-      val boundsPlan = Generate(
-        Explode(Sequence(binOf(s), binOf(e), None)),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(binAttr), child = boundsChild)
+      // PIN the exchange width (the hand-written twin's repartition): the
+      // bin shuffle is byte-light but the within-bin compare loop is
+      // compute-dense, so AQE's byte-based coalescing would fold it to
+      // 1-2 partitions and serialize the probe; an explicit partition
+      // count keeps it at the session's shuffle parallelism
+      val n = org.apache.spark.sql.internal.SQLConf.get.numShufflePartitions
+      val pointPlan = org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression(Seq(pBin.toAttribute),
+          Project(pointChild.output :+ pBin, pointChild), Some(n))
+      val boundsPlan = org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression(Seq(binAttr),
+          Generate(
+            Explode(Sequence(binOf(s), binOf(e), None)),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(binAttr), child = boundsChild), Some(n))
       val newCond = And(EqualTo(pBin.toAttribute, binAttr), j.condition.get)
       val (newLeft, newRight) = if (pOnLeft) (pointPlan, boundsPlan) else (boundsPlan, pointPlan)
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))

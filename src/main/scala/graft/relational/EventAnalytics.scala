@@ -109,7 +109,13 @@ object EventAnalytics {
     * in the point's bin — so no post-join dedup is needed. Oracle: DuckDB's
     * native IEJoin on the raw inequality. */
   private def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val B = 16 // bin width (days) > max interval length => ≤ 2 bins/interval
+    // bin width (days) ≥ max interval length (8) => ≤ 2 bins/interval.
+    // 8, not 16: candidate pairs per bin scale with points/bin ×
+    // intervals/bin, so halving the width halves the per-bin cross
+    // product the BETWEEN filter then discards — same result, half the
+    // compare volume (guide §1.2: the distributed algorithm first).
+    val B = 8
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val iv = Tables.orders(spark, dir)
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -122,7 +128,14 @@ object EventAnalytics {
         expr("CAST(datediff(CAST(l_shipdate AS DATE), DATE '1995-01-01') AS BIGINT)").as("p"),
         col("l_quantity"))
       .withColumn("bin", expr(s"p div $B"))
-    pt.join(iv, Seq("bin")).where(col("p").between(col("s"), col("e")))
+    // pin the exchange width: the shuffle is only ~MBs so AQE's
+    // byte-based coalescing folds it to 1-2 partitions, serializing the
+    // compute-dense within-bin compare loop; an explicit partition count
+    // (the session's shuffle parallelism — scale-adaptive, not a local
+    // constant) keeps the probe parallel
+    pt.repartition(n, col("bin"))
+      .join(iv.repartition(n, col("bin")), Seq("bin"))
+      .where(col("p").between(col("s"), col("e")))
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct("o_orderkey").as("n_orders"),
@@ -205,7 +218,7 @@ object EventAnalytics {
     val key = graft.plans.IntervalJoinRewrite.BinWidthKey
     val prev = spark.conf.getOption(key)
     try {
-      spark.conf.set(key, "16")
+      spark.conf.set(key, "8") // same width as intervalJoin — see there
       val rewritten = graft.plans.IntervalJoinRewrite(naive.queryExecution.analyzed)
       require(rewritten.toString.contains("__graft_bin_p"),
         "IntervalJoinRewrite did not fire on the naive BETWEEN join")

@@ -31,6 +31,14 @@ object GraphOps {
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      // the edge list is bounded by C(maxPart, 2) BY CONSTRUCTION — a
+      // control-plane-sized relation at any corpus scale. Collapsing the
+      // final distinct to one partition keeps the iterative consumers
+      // (k-core rounds, label propagation, PageRank, k-hop frontiers)
+      // from running 32 near-empty tasks per tiny stage; the corpus-
+      // sized build (scan + pair join + partial aggregates) above the
+      // exchange stays fully parallel.
+      .coalesce(1)
   }
 
   /** Triangle count via degree-ordered wedges. Every shuffle is on a

@@ -40,16 +40,26 @@ object RecordLinkage {
     * matched pairs link the SAME underlying entity (the synthetic truth
     * b_key = c_custkey — precision is auditable, not asserted). */
   def linkage(customers: DataFrame): DataFrame = {
+    val spark = customers.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = customers.select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
       col("c_nationkey").as("a_nation"),
       expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").as("a_cents"),
       col("c_mktsegment").as("a_segment"))
     val b = systemB(customers)
-    val scored = a.join(b,
+    // explicit block-key partition count: the blocked join's shuffle is
+    // byte-light but its within-block A×B levenshtein loop is compute-
+    // dense, so AQE's byte-based coalescing would serialize it; the
+    // session shuffle parallelism keeps it spread at any scale. The
+    // levenshtein lands in ONE column consumed twice — the when-chain
+    // used to evaluate the full edit-distance matrix twice per pair.
+    val scored = a.repartition(n, col("a_nation"), col("a_segment"))
+      .join(b.repartition(n, col("b_nation"), col("b_segment")),
         col("a_nation") === col("b_nation") && col("a_segment") === col("b_segment"))
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
       .select(col("a_key"), col("b_key"),
-        (when(levenshtein(col("a_name"), col("b_name")) <= 2, 12L)
-          .when(levenshtein(col("a_name"), col("b_name")) <= 5, 4L)
+        (when(col("lev") <= 2, 12L)
+          .when(col("lev") <= 5, 4L)
           .otherwise(0L) +
          when(abs(col("a_cents") - col("b_cents")) <= 10, 8L).otherwise(0L))
           .as("score"))

@@ -619,7 +619,15 @@ object StatsOps {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val cnt = li.groupBy("pk").agg(count(lit(1)).as("c"))
     val nOrders = li.agg(countDistinct("ok").as("n"))
-    li.as("a").join(li.as("b"),
+    // pinned-width exchange for the pair-generating self-join: the ok
+    // shuffle is byte-light, so AQE's byte-based coalescing would run
+    // the within-order pair expansion + count on 1-2 cores; one
+    // explicit exchange feeds BOTH sides (reused subtree)
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byOk = li.repartition(n, col("ok"))
+    // hash, not sort-merge: per-order groups are tiny (≤ lines/order),
+    // sorting 0.5M-row sides per run would cost more than the join
+    byOk.as("a").join(byOk.as("b").hint("shuffle_hash"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
       .agg(count(lit(1)).as("c_ab"))
@@ -1117,8 +1125,15 @@ object StatsOps {
     * for cents < 2⁵³. */
   private def iqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("v_li_iqr")
+    // pinned-width repartition (session shuffle parallelism — scale-
+    // adaptive, not a local constant): the single-row-group scan gives
+    // the percentile build ONE input split, and AQE's byte-based
+    // coalescing would fold the byte-light shuffle back to ~1 partition;
+    // the shared c subtree also lets both consumers reuse one exchange
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     spark.sql(
-      """WITH c AS (SELECT l_returnflag AS flag,
+      s"""WITH c AS (SELECT /*+ REPARTITION($n, flag, cents) */
+        |    l_returnflag AS flag,
         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
         |  FROM v_li_iqr),
         |q AS (SELECT flag,
