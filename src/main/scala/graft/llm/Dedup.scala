@@ -800,7 +800,11 @@ object Dedup {
     * `documents` at `benchMaxId`. */
   def contamination(docs: DataFrame, benchMaxId: Long, threshold: Double,
       gramLen: Int = 8): DataFrame = {
-    def grams(d: DataFrame) = d.repartition(col("doc_id"))
+    // pinned width: a column-only repartition of the byte-light text
+    // shuffle gets AQE-coalesced back to ~1 partition (measured: 7 tasks,
+    // taskTime ≈ wall), serializing the 8-gram explode
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def grams(d: DataFrame) = d.repartition(n, col("doc_id"))
       .select(col("doc_id"),
         explode(shinglesN(TextAnalysis.tokens(col("text")), gramLen)).as("s"))
     val bench = grams(docs.where(col("doc_id") < benchMaxId))

@@ -659,7 +659,14 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       val nrm = emb.select(col("vec_id"), col("embedding"),
         graft.functions.VectorOps.norm(col("embedding")).as("nrm"))
-      val nExact = nrm.as("a").join(nrm.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // spread the brute-force ground-truth pass: the nested-loop stream
+      // side otherwise inherits the single-file scan's one split and the
+      // whole N²/2 cosine matrix runs on one core (pinned width — AQE's
+      // byte heuristic would fold the tiny vector shuffle back)
+      val nrmSpread = nrm.repartition(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+      val nExact = nrmSpread.as("a")
+        .join(nrm.as("b"), col("a.vec_id") < col("b.vec_id"))
         .where(round(
           graft.functions.VectorOps.dot(col("a.embedding"), col("b.embedding")) /
             (col("a.nrm") * col("b.nrm")), 6) >= EmbedThreshold)

@@ -709,7 +709,12 @@ object CoreQueries {
         max(col(c)).cast("double").as(s"${c}__max")) }
       val stackArgs = cols.map(c =>
         s"'$c', n_rows - ${c}__nn, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+      // spread the triple-countDistinct expand (single-split scan would
+      // run the whole partial aggregate on one core; pinned width so the
+      // byte-light shuffle isn't AQE-folded back)
       Tables.orders(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("o_orderkey"))
         .agg(aggs.head, aggs.tail: _*)
         .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
           "(column_name, n_nulls, n_distinct, min_v, max_v)"))

@@ -290,9 +290,22 @@ object GraphOps {
         .where(col("deg") >= k).select(col("u").as("node")).cache()
       cached += active
     }
-    val out = inducedDeg(active)
-      .select(col("u").as("node"), col("deg"))
-      .orderBy("node").localCheckpoint(true)
+    // The whole 6-round cascade materializes HERE (the eager checkpoint;
+    // every per-round cache is lazy). Under AQE each of the ~20 tiny
+    // exchanges becomes its own stage-materialization JOB (~60-100 ms of
+    // fixed cost each — measured 36 jobs for 0.6 s of task time); with
+    // the graph control-plane-sized by construction, planning the
+    // cascade non-adaptively runs it as ONE job. Query results are
+    // partitioning-independent (integer degrees).
+    val spark = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prior = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    val out =
+      try inducedDeg(active)
+        .select(col("u").as("node"), col("deg"))
+        .orderBy("node").localCheckpoint(true)
+      finally spark.conf.set(aqeKey, prior)
     cached.foreach(_.unpersist())
     bi.unpersist()
     out

@@ -213,11 +213,16 @@ object FormatQueries {
         rm(d)
       }
     }
+    // pre-spread each write to its bucket count (same murmur hash as the
+    // bucket spec, so each task holds whole buckets): the single-split
+    // scan would otherwise sort+encode all 8 bucket files in ONE task
     Tables.orders(spark, dir)
+      .repartition(8, col("o_orderkey"))
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("kb_orders")
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_quantity")
+      .repartition(8, col("l_orderkey"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("kb_lineitem")
     spark.table("kb_lineitem")
