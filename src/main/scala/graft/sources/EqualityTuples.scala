@@ -79,7 +79,7 @@ private[graft] object EqVals {
     // user-facing refusal message
     ParquetDirect.tryReadEqTuples(
         spark.sparkContext.hadoopConfiguration, path) match {
-      case Some((names, tuples)) => return EqVals(names, seq, tuples)
+      case Some((names, _, tuples)) => return EqVals(names, seq, tuples)
       case None => ()
     }
     val df = spark.read.parquet(path)

@@ -724,8 +724,10 @@ object FormatQueries {
     // (dataChange=false rewrite under the current mapping); logical rows
     // identical — the aggregate below reads the purged files
     DeltaLite.reorgPurge(spark, table, targetFiles = 2)
+    // footer-only sniff: driver parquet metadata read, no Spark job
     val purged = DeltaLite.readWithStats(spark, table)._2.files.forall(f =>
-      spark.read.parquet(s"$table/$f").schema.fieldNames.length == 2)
+      ParquetDirect.schemaFieldNames(
+        spark.sparkContext.hadoopConfiguration, s"$table/$f").length == 2)
     DeltaLite.read(spark, table)
       .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total_price"))
       .withColumn("files_moved", lit((filesAfter != filesBefore)))
@@ -2022,8 +2024,10 @@ object FormatQueries {
     // the delete file is the EQUALITY kind: its schema is the key
     // column's value list, not (file_path, pos) coordinates
     val delFiles = IcebergLite.snapshotDeleteFiles(spark, table, -1L)
+    // footer-only sniff: driver parquet metadata read, no Spark job
     val eqKind = delFiles.nonEmpty && delFiles.forall(p =>
-      spark.read.parquet(p).schema.fieldNames.toSeq == Seq("o_orderkey"))
+      ParquetDirect.schemaFieldNames(
+        spark.sparkContext.hadoopConfiguration, p) == Seq("o_orderkey"))
     // a key re-inserted AFTER the delete survives it (sequence gating)
     spark.sql("INSERT INTO graftdin.db.orders_din " +
       "VALUES (1, 9999.0, '1-URGENT')")

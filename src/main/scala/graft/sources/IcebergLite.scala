@@ -2418,9 +2418,18 @@ object IcebergLite {
             val eq = newDeletes.filter(_._2 == 2).map(_._1)
             var masked: Option[DataFrame] = None
             if (pos.nonEmpty) {
-              val coords = spark.read.parquet(pos: _*)
-                .select(fileKeyCol(col("file_path")).as("__fn"),
-                  col("pos").as("__ri"))
+              // coordinate payloads are driver-bounded (deleted-row
+              // count): driver parquet read, no Spark job — unexpected
+              // schemas fall back to the distributed read
+              val coords = directPosRows(spark, pos.map((_, 0L))) match {
+                case Some(rows) =>
+                  rows.map { case (fn, ri, _) => (fn, ri) }
+                    .toDF("__fn", "__ri")
+                case None =>
+                  spark.read.parquet(pos: _*)
+                    .select(fileKeyCol(col("file_path")).as("__fn"),
+                      col("pos").as("__ri"))
+              }
               masked = Some(parentLive.join(coords, Seq("__fn", "__ri"),
                 "left_semi"))
             }
@@ -2445,9 +2454,42 @@ object IcebergLite {
                 spark.sparkContext.hadoopConfiguration, p))
               .foreach { case (eqCols, files) =>
                 // composite keys (X305): a row announces only when EVERY
-                // key column matches the same delete tuple
-                val vals = spark.read.parquet(files: _*)
-                  .select(eqCols.map(col): _*).distinct()
+                // key column matches the same delete tuple. Tuple
+                // payloads are driver-bounded — per-file driver reads
+                // build a LOCAL relation (canonical integral→Long
+                // widening, lossless under `===`); non-canonical column
+                // types fall back to the distributed read
+                val direct: Option[(Seq[org.apache.spark.sql.types
+                    .DataType], Array[Seq[Any]])] = {
+                  val conf = spark.sparkContext.hadoopConfiguration
+                  val acc = Array.newBuilder[Seq[Any]]
+                  var types: Seq[org.apache.spark.sql.types.DataType] =
+                    null
+                  val ok = files.forall { p =>
+                    ParquetDirect.tryReadEqTuples(conf, p) match {
+                      case Some((names, ts, tuples)) if names == eqCols &&
+                          (types == null || types == ts) =>
+                        types = ts
+                        acc ++= tuples
+                        true
+                      case _ => false
+                    }
+                  }
+                  if (ok) Some((types, acc.result().distinct)) else None
+                }
+                val vals = direct match {
+                  case Some((types, tuples)) =>
+                    val schema = StructType(eqCols.zip(types).map {
+                      case (c, t) =>
+                        org.apache.spark.sql.types.StructField(c, t)
+                    })
+                    spark.createDataFrame(java.util.Arrays.asList(
+                      tuples.map(t =>
+                        org.apache.spark.sql.Row.fromSeq(t)): _*), schema)
+                  case None =>
+                    spark.read.parquet(files: _*)
+                      .select(eqCols.map(col): _*).distinct()
+                }
                 val cond = eqCols.map(c => parentLive(c) === vals(c))
                   .reduce(_ && _)
                 val hit = parentLive.join(vals, cond, "left_semi")
@@ -2992,6 +3034,28 @@ object IcebergLite {
       !nameIdentical(meta, schemaFieldsById(meta, readSid), w)
   }
 
+  /** Driver-read (file-key, position, delete-sequence) rows of a set of
+    * position-delete files — None when any file's schema is unexpected
+    * (callers fall back to the distributed read, byte-identical
+    * semantics). Payloads are bounded by the DELETED-row count (the
+    * deleteWhereDV cost model), never corpus-sized, so this is
+    * control-plane work at any scale; the Spark path it replaces cost
+    * 1-2 whole jobs per batch read. */
+  private def directPosRows(spark: SparkSession,
+      files: Seq[(String, Long)]): Option[Seq[(String, Long, Long)]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val acc = Seq.newBuilder[(String, Long, Long)]
+    val ok = files.forall { case (p, s) =>
+      ParquetDirect.tryReadPositions(conf, Seq(p)) match {
+        case Some(rows) =>
+          rows.foreach { case (fp, ri) => acc += ((fileKeyRaw(fp), ri, s)) }
+          true
+        case None => false
+      }
+    }
+    if (ok) Some(acc.result()) else None
+  }
+
   /** [[read]] with the option to RETAIN the (__fn, __ri) position columns
     * — the coordinate system [[deleteWhere]] records deletes in (`__fn`
     * is the [[fileKeyRaw]] two-component file key) — and to
@@ -3038,24 +3102,36 @@ object IcebergLite {
         .map { case (p, s, _) => (fileKeyRaw(p), s) }.toDF("__fn", "__dseq")
       var cur = base
       if (posDeletes.nonEmpty) {
-        val delSeq = posDeletes
-          .map { case (p, s, _) => (fileKeyRaw(p), s) }.toDF("__delfn", "__sseq")
-        // the delete rows themselves are data-plane: one distributed
-        // scan over every delete file, each row stamped with its own
-        // file's sequence via the broadcast lookup
-        val delRows = spark.read.parquet(posDeletes.map(_._1): _*)
-          .select(
-            fileKeyCol(col("file_path")).as("__fn"),
-            col("pos").as("__ri"),
-            fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
-          .join(broadcast(delSeq), "__delfn")
-        // sequence gating (spec §Scan Planning): a position delete
-        // applies to data files with sequence ≤ its own — a data file
-        // re-added AFTER the delete must not lose rows
-        val applicable = delRows
-          .join(broadcast(dataSeq), "__fn")
-          .where(col("__sseq") >= col("__dseq"))
-          .select("__fn", "__ri")
+        // position payloads are driver-bounded (the deleteWhereDV cost
+        // model): read them with the driver parquet reader — no Spark
+        // jobs per batch read — and apply sequence gating (spec §Scan
+        // Planning: a position delete applies to data files with
+        // sequence ≤ its own; a file re-added AFTER the delete must not
+        // lose rows) against the driver-side file→sequence map. An
+        // unexpected delete-file schema falls back to the distributed
+        // read, byte-identical semantics.
+        val seqByKey = dataFiles.map { case (p, s, _) =>
+          (fileKeyRaw(p), s) }.toMap
+        val applicable = directPosRows(spark,
+            posDeletes.map { case (p, s, _) => (p, s) }) match {
+          case Some(rows) =>
+            rows.collect { case (fn, ri, sseq)
+                if seqByKey.get(fn).exists(sseq >= _) => (fn, ri) }
+              .toDF("__fn", "__ri")
+          case None =>
+            val delSeq = posDeletes
+              .map { case (p, s, _) => (fileKeyRaw(p), s) }
+              .toDF("__delfn", "__sseq")
+            spark.read.parquet(posDeletes.map(_._1): _*)
+              .select(
+                fileKeyCol(col("file_path")).as("__fn"),
+                col("pos").as("__ri"),
+                fileKeyMeta(col("_metadata.file_path")).as("__delfn"))
+              .join(broadcast(delSeq), "__delfn")
+              .join(broadcast(dataSeq), "__fn")
+              .where(col("__sseq") >= col("__dseq"))
+              .select("__fn", "__ri")
+        }
         cur = cur.join(applicable, Seq("__fn", "__ri"), "left_anti")
       }
       if (deleteEntries.exists(_._3 == 3)) {
@@ -3091,15 +3167,49 @@ object IcebergLite {
           ParquetDirect.schemaFieldNames(
             spark.sparkContext.hadoopConfiguration, p)
         }.foreach { case (eqCols, files) =>
-          val delSeq = files
-            .map { case (p, s, _) => (fileKeyRaw(p), s) }
-            .toDF("__delfn", "__eseq")
-          val vals = spark.read.parquet(files.map(_._1): _*)
-            .withColumn("__delfn",
-              fileKeyMeta(col("_metadata.file_path")))
-            .join(broadcast(delSeq), "__delfn")
-            .select(eqCols.map(c => col(c).as(s"__ev_$c")) :+
-              col("__eseq"): _*)
+          // deleted-key tuples are driver-bounded: per-file driver reads
+          // build a LOCAL tuple relation (schema = the reader's canonical
+          // integral→Long widening, lossless under `===`); any column
+          // type outside the canonical set falls back to the distributed
+          // read, which serves every parquet type
+          val direct: Option[(Seq[org.apache.spark.sql.types.DataType],
+              Array[org.apache.spark.sql.Row])] = {
+            val conf = spark.sparkContext.hadoopConfiguration
+            val acc = Array.newBuilder[org.apache.spark.sql.Row]
+            var types: Seq[org.apache.spark.sql.types.DataType] = null
+            val ok = files.forall { case (p, s, _) =>
+              ParquetDirect.tryReadEqTuples(conf, p) match {
+                case Some((names, ts, tuples)) if names == eqCols &&
+                    (types == null || types == ts) =>
+                  types = ts
+                  tuples.foreach(t =>
+                    acc += org.apache.spark.sql.Row.fromSeq(t :+ s))
+                  true
+                case _ => false
+              }
+            }
+            if (ok) Some((types, acc.result())) else None
+          }
+          val vals = direct match {
+            case Some((types, rows)) =>
+              val schema = StructType(
+                eqCols.zip(types).map { case (c, t) =>
+                  org.apache.spark.sql.types.StructField(s"__ev_$c", t)
+                } :+ org.apache.spark.sql.types.StructField("__eseq",
+                  LongType, nullable = false))
+              spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*), schema)
+            case None =>
+              val delSeq = files
+                .map { case (p, s, _) => (fileKeyRaw(p), s) }
+                .toDF("__delfn", "__eseq")
+              spark.read.parquet(files.map(_._1): _*)
+                .withColumn("__delfn",
+                  fileKeyMeta(col("_metadata.file_path")))
+                .join(broadcast(delSeq), "__delfn")
+                .select(eqCols.map(c => col(c).as(s"__ev_$c")) :+
+                  col("__eseq"): _*)
+          }
           val cond = eqCols.map(c => cur(c) === vals(s"__ev_$c"))
             .reduce(_ && _) && cur("__ds") < vals("__eseq")
           cur = cur.join(vals, cond, "left_anti")
@@ -3500,22 +3610,33 @@ object IcebergLite {
     val priorParquet: Map[String, Array[Long]] = {
       val pos = snapshotDeleteEntries(spark, table, cur).filter(_._3 == 1)
       if (pos.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{broadcast, col => c}
-        import spark.implicits._
-        val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
-          .toDF("__delfn", "__sseq")
-        spark.read.parquet(pos.map(_._1): _*)
-          .select(fileKeyCol(c("file_path")).as("__fn"), c("pos"),
-            fileKeyMeta(c("_metadata.file_path")).as("__delfn"))
-          .join(broadcast(delSeq), "__delfn")
-          .collect().groupBy(_.getAs[String]("__fn"))
-          .collect { case (fn, rows) if matched.contains(fn) &&
-              dataSeq.contains(fn) =>
-            val dseq = dataSeq(fn)._2
-            fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
-              .map(_.getAs[Long]("pos"))
-          }.toMap
+      else directPosRows(spark, pos.map { case (p, s, _) => (p, s) }) match {
+        // driver-bounded payload (deleted-row count): driver parquet
+        // read, no Spark jobs — unexpected schemas fall back to the
+        // distributed read
+        case Some(rows) =>
+          rows.groupBy(_._1)
+            .collect { case (fn, rs) if matched.contains(fn) &&
+                dataSeq.contains(fn) =>
+              val dseq = dataSeq(fn)._2
+              fn -> rs.filter(_._3 >= dseq).map(_._2).toArray
+            }.toMap
+        case None =>
+          import org.apache.spark.sql.functions.{broadcast, col => c}
+          import spark.implicits._
+          val delSeq = pos.map { case (p, s, _) => (fileKeyRaw(p), s) }
+            .toDF("__delfn", "__sseq")
+          spark.read.parquet(pos.map(_._1): _*)
+            .select(fileKeyCol(c("file_path")).as("__fn"), c("pos"),
+              fileKeyMeta(c("_metadata.file_path")).as("__delfn"))
+            .join(broadcast(delSeq), "__delfn")
+            .collect().groupBy(_.getAs[String]("__fn"))
+            .collect { case (fn, rows) if matched.contains(fn) &&
+                dataSeq.contains(fn) =>
+              val dseq = dataSeq(fn)._2
+              fn -> rows.filter(_.getAs[Long]("__sseq") >= dseq)
+                .map(_.getAs[Long]("pos"))
+            }.toMap
       }
     }
     val vectors = matched.toSeq.sortBy(_._1).map { case (fn, (pos, pv)) =>

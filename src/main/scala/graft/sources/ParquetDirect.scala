@@ -97,12 +97,15 @@ private[graft] object ParquetDirect {
 
   /** One equality-delete file's deleted-key tuples in [[EqVals]]'
     * canonical representation (integrals → Long, strings → String,
-    * booleans → Boolean, null components null), or None when any column
-    * is outside the signed-integral/string/boolean set this reader can
-    * canonicalize exactly — the caller falls back to the Spark path,
-    * which owns the user-facing refusal message. */
-  def tryReadEqTuples(conf: Configuration,
-      path: String): Option[(Seq[String], Array[Seq[Any]])] = {
+    * booleans → Boolean, null components null) plus the matching
+    * canonical Spark type per column (so a caller can build a LOCAL
+    * relation whose schema is exact for the values), or None when any
+    * column is outside the signed-integral/string/boolean set this
+    * reader can canonicalize exactly — the caller falls back to the
+    * Spark path, which owns the user-facing refusal message. */
+  def tryReadEqTuples(conf: Configuration, path: String)
+      : Option[(Seq[String], Seq[org.apache.spark.sql.types.DataType],
+          Array[Seq[Any]])] = {
     val r = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(path), conf))
     val schemaInfo = try {
@@ -139,6 +142,12 @@ private[graft] object ParquetDirect {
         }
       }: Seq[Any]
     }.toArray.distinct
-    Some((names, tuples))
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+    val types = kinds.map {
+      case 0 | 1 => LongType
+      case 2 => StringType
+      case _ => BooleanType
+    }
+    Some((names, types, tuples))
   }
 }
